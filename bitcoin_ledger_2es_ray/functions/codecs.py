@@ -1,0 +1,143 @@
+"""Posting-list codecs (SURVEY.md §2.5 C1–C3): delta + varbyte + block-max.
+
+All encode/decode paths are numpy-vectorized over whole arrays — the encoder
+is called once per shard on the *concatenated* gap stream of every term in the
+shard, and per-term byte ranges are recovered from the per-value byte-length
+cumsum, so the Python-level loop is only over terms, never over postings.
+
+Layout (BASELINE.json L6: "delta-encoded docIDs + varbyte compression,
+per-block max-score metadata"):
+
+- docIDs of one posting list are strictly increasing uint64; stored as gaps
+  (``gap[0] = doc[0]``, ``gap[i] = doc[i] - doc[i-1]``) in LEB128 varbyte
+  (7 data bits per byte, high bit = continuation, little-endian groups).
+- tfs are stored varbyte, undeltaed.
+- every ``BLOCK`` (=128) postings form a skip block with
+  ``(first_doc, last_doc, max_tf, off_docs, off_tfs)`` metadata.  A block can
+  be decoded independently: its first gap is relative to the previous block's
+  ``last_doc`` (0 for the first block), which block-max WAND reads from the
+  metadata of block i-1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128
+_MAX_VB_BYTES = 10  # ceil(64 / 7)
+
+
+def varbyte_sizes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per uint64 value (vectorized)."""
+    v = values.astype(np.uint64, copy=False)
+    nb = np.ones(len(v), dtype=np.int64)
+    for k in range(1, _MAX_VB_BYTES):
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nb
+
+
+def varbyte_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode uint64 values → (uint8 buffer, per-value byte lengths)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nb = varbyte_sizes(v)
+    total = int(nb.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.zeros(len(v), dtype=np.int64)
+    if len(v):
+        np.cumsum(nb[:-1], out=starts[1:])
+    for j in range(_MAX_VB_BYTES):
+        m = nb > j
+        if not m.any():
+            break
+        byte = ((v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[m] - 1 > j).astype(np.uint8)
+        out[starts[m] + j] = byte | (cont << 7)
+    return out, nb
+
+
+def varbyte_decode(buf: np.ndarray | bytes) -> np.ndarray:
+    """Decode a varbyte buffer → uint64 values (vectorized via reduceat)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, memoryview)) else buf
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.empty(len(ends), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    within = (np.arange(len(b), dtype=np.int64) - np.repeat(starts, lengths)).astype(np.uint64)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * within)
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing uint64 docIDs → gaps (gap[0] = doc[0])."""
+    d = doc_ids.astype(np.uint64, copy=False)
+    return np.diff(d, prepend=np.uint64(0))
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.uint64, copy=False), dtype=np.uint64)
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, block: int = BLOCK
+) -> tuple[bytes, bytes, list[dict]]:
+    """Encode one posting list → (doc_bytes, tf_bytes, block_meta).
+
+    ``doc_ids`` must be strictly increasing.  ``block_meta`` is a list of
+    dicts matching schemas.BLOCK_META.
+    """
+    df = len(doc_ids)
+    gaps = delta_encode(doc_ids)
+    doc_buf, doc_nb = varbyte_encode(gaps)
+    tf_buf, tf_nb = varbyte_encode(tfs.astype(np.uint64, copy=False))
+
+    block_starts = np.arange(0, df, block, dtype=np.int64)
+    doc_off = np.zeros(df + 1, dtype=np.int64)
+    np.cumsum(doc_nb, out=doc_off[1:])
+    tf_off = np.zeros(df + 1, dtype=np.int64)
+    np.cumsum(tf_nb, out=tf_off[1:])
+    meta: list[dict] = []
+    for s in block_starts:
+        e = min(s + block, df)
+        meta.append(
+            {
+                "first_doc": int(doc_ids[s]),
+                "last_doc": int(doc_ids[e - 1]),
+                "max_tf": int(tfs[s:e].max()),
+                "off_docs": int(doc_off[s]),
+                "off_tfs": int(tf_off[s]),
+            }
+        )
+    return doc_buf.tobytes(), tf_buf.tobytes(), meta
+
+
+def decode_postings(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a full posting list → (doc_ids uint64, tfs uint32)."""
+    gaps = varbyte_decode(doc_bytes)
+    tfs = varbyte_decode(tf_bytes).astype(np.uint32)
+    return delta_decode(gaps), tfs
+
+
+def decode_block(
+    doc_bytes: bytes,
+    tf_bytes: bytes,
+    block_meta: list[dict],
+    i: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Independently decode skip block ``i`` of a posting list.
+
+    Uses block i-1's ``last_doc`` as the delta base (0 for block 0) —
+    the property block-max WAND relies on to skip without decoding.
+    """
+    off_d = block_meta[i]["off_docs"]
+    off_t = block_meta[i]["off_tfs"]
+    end_d = block_meta[i + 1]["off_docs"] if i + 1 < len(block_meta) else len(doc_bytes)
+    end_t = block_meta[i + 1]["off_tfs"] if i + 1 < len(block_meta) else len(tf_bytes)
+    base = np.uint64(block_meta[i - 1]["last_doc"]) if i > 0 else np.uint64(0)
+    gaps = varbyte_decode(doc_bytes[off_d:end_d])
+    docs = base + np.cumsum(gaps, dtype=np.uint64)
+    tfs = varbyte_decode(tf_bytes[off_t:end_t]).astype(np.uint32)
+    return docs, tfs

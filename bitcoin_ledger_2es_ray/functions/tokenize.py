@@ -1,0 +1,155 @@
+"""Code-aware tokenizer (SURVEY.md §2.2 M3–M5), fully vectorized.
+
+Semantics (normative — the exact oracle, the DuckDB SQL oracle and the engine
+all rely on this definition):
+
+1. *Identifiers* are maximal runs of ``[A-Za-z0-9_]`` in ``content``.
+2. The *compound* token of an identifier is the identifier lowercased with
+   underscores removed (``getBlockHash`` → ``getblockhash``, ``foo_bar`` →
+   ``foobar``).
+3. The identifier is additionally split into *parts* at underscores,
+   lower→Upper camel boundaries (``fooBar`` → ``foo bar``), acronym
+   boundaries (``HTTPServer`` → ``http server``) and letter↔digit
+   boundaries (``Server2`` → ``server 2``).  When this yields more than one
+   part, each part is emitted **in addition to** the compound
+   (``getBlockHash`` → ``getblockhash get block hash``).  A plain word emits
+   exactly one token — so on a space-separated bag-of-words corpus the
+   token stream equals ``string_split(text, ' ')`` and the DuckDB SQL oracle
+   is exact (FIXTURES.md §A).
+4. Tokens are lowercase; tokens longer than 64 chars are dropped; empties
+   are dropped.
+5. Optional language tagging prefixes every token with ``{lang}:``
+   (BASELINE.json L6 "lang-tagged terms"); off by default because the SQL
+   oracle corpus is untagged.
+
+The hot path is pyarrow.compute regex kernels over whole Arrow arrays plus
+numpy on the flattened values — no per-row Python (SURVEY.md §2 header).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MAX_TOKEN_LEN = 64
+
+_SPLIT_IDENT = r"[^\p{L}\p{N}_]+"  # unicode letters/digits form identifiers
+# order matters: acronym rule first so HTTPServer -> HTTP Server before
+# the lower->Upper rule sees it.
+_BOUNDARIES = (
+    (r"([A-Z]+)([A-Z][a-z])", r"\1 \2"),  # HTTPServer -> HTTP Server
+    (r"([a-z0-9])([A-Z])", r"\1 \2"),  # fooBar -> foo Bar ; v2Beta -> v2 Beta
+    (r"([A-Za-z])([0-9])", r"\1 \2"),  # server2 -> server 2
+    (r"([0-9])([A-Za-z])", r"\1 \2"),  # 2fa -> 2 fa
+)
+
+
+def _flatten_list_array(arr: pa.ListArray) -> tuple[pa.Array, np.ndarray]:
+    """Flatten list<string> → (values, int64 row index per value)."""
+    lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+    row_idx = np.repeat(np.arange(len(arr), dtype=np.int64), lengths)
+    return pc.list_flatten(arr), row_idx
+
+
+def tokenize_flat(
+    content: pa.Array | pa.ChunkedArray,
+    langs: pa.Array | None = None,
+    tag_lang: bool = False,
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Tokenize a batch of documents.
+
+    Returns ``(terms, doc_idx, dl)`` where ``terms`` is a flat string array of
+    every emitted token, ``doc_idx[i]`` is the within-batch row of ``terms[i]``
+    (int64, non-decreasing is NOT guaranteed), and ``dl`` is the per-row token
+    count (uint32) — the BM25 document length.
+    """
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    n = len(content)
+
+    idents_list = pc.split_pattern_regex(content, _SPLIT_IDENT)
+    idents, doc_of_ident = _flatten_list_array(idents_list)
+
+    # compound tokens: lowercase, underscores removed
+    compound = pc.utf8_lower(pc.replace_substring(idents, "_", ""))
+
+    # part tokens: boundary-insert then split
+    parts_src = pc.replace_substring(idents, "_", " ")
+    for pat, rep in _BOUNDARIES:
+        parts_src = pc.replace_substring_regex(parts_src, pat, rep)
+    parts_src = pc.utf8_lower(parts_src)
+
+    # identifiers that split into >1 part contribute their parts too
+    multi_mask = pc.match_substring(parts_src, " ").to_numpy(zero_copy_only=False)
+    multi_mask = np.nan_to_num(multi_mask, nan=False).astype(bool)
+    multi_idx = np.flatnonzero(multi_mask)
+    if len(multi_idx):
+        parts_list = pc.split_pattern(parts_src.take(pa.array(multi_idx)), " ")
+        part_vals, part_row = _flatten_list_array(parts_list)
+        part_doc = doc_of_ident[multi_idx][part_row]
+        terms = pa.concat_arrays([compound.cast(pa.string()), part_vals.cast(pa.string())])
+        doc_idx = np.concatenate([doc_of_ident, part_doc])
+    else:
+        terms = compound.cast(pa.string())
+        doc_idx = doc_of_ident
+
+    # drop empties and over-long tokens
+    tok_len = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+    tok_len = np.nan_to_num(tok_len, nan=0).astype(np.int64)
+    keep = (tok_len > 0) & (tok_len <= MAX_TOKEN_LEN)
+    if not keep.all():
+        keep_idx = np.flatnonzero(keep)
+        terms = terms.take(pa.array(keep_idx))
+        doc_idx = doc_idx[keep_idx]
+
+    if tag_lang:
+        if langs is None:
+            raise ValueError("tag_lang=True requires the langs column")
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        doc_langs = langs.take(pa.array(doc_idx))
+        terms = pc.binary_join_element_wise(doc_langs, terms, ":")
+
+    dl = np.bincount(doc_idx, minlength=n).astype(np.uint32)
+    return terms, doc_idx, dl
+
+
+def tokenize_docs(content: pa.Array | pa.ChunkedArray) -> list[list[str]]:
+    """Per-doc token lists (convenience for the exact oracle and tests)."""
+    terms, doc_idx, _ = tokenize_flat(content)
+    toks = terms.to_pylist()
+    out: list[list[str]] = [[] for _ in range(len(content))]
+    for d, t in zip(doc_idx, toks):
+        out[d].append(t)
+    return out
+
+
+def tokenize_query(text: str) -> list[str]:
+    """Tokenize one query string with the same rules as documents."""
+    return tokenize_docs(pa.array([text]))[0]
+
+
+def term_counts(
+    terms: pa.Array, doc_idx: np.ndarray, doc_ids: np.ndarray
+) -> pa.Table:
+    """Aggregate the flat token stream to (term, doc_id, tf) posting triples.
+
+    ``doc_ids`` maps within-batch row → global uint64 docID.  Uses Arrow's
+    hash aggregation (C++) — no Python loop.
+    """
+    t = pa.table(
+        {
+            "term": terms,
+            "doc_id": pa.array(doc_ids[doc_idx], type=pa.uint64()),
+        }
+    )
+    agg = t.group_by(["term", "doc_id"]).aggregate([("doc_id", "count")])
+    return pa.table(
+        {
+            "term": agg["term"],
+            "doc_id": agg["doc_id"],
+            "tf": agg["doc_id_count"].cast(pa.uint32()),
+        }
+    )

@@ -1,0 +1,146 @@
+"""Fixed, explicit pyarrow schemas for every inter-stage table.
+
+SURVEY.md §1.2: all inter-stage schemas are declared and asserted — no dynamic
+or inferred schemas anywhere.  Schema drift at 10^12-file scale is a
+silent-corruption vector, so every stage asserts its input/output against
+these objects (``assert_schema``).
+
+The input shape is mandated by BASELINE.json L15:
+``(repo: string, path: string, commit: string, lang: string, content: string)``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# corpus (input) — exact shape mandated by BASELINE.json L15.
+# ``large_string`` variants are accepted on read and cast down per batch.
+CORPUS = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+# corpus + reference-provided expected content hash (the per-row invariant:
+# sha256(content) equality is enforced during ingest, BASELINE.json L15).
+CORPUS_WITH_SHA = CORPUS.append(pa.field("sha256", pa.binary(32)))
+
+# corpus after ingest verification + deterministic docID assignment + doc length
+CORPUS_V = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+        ("sha256", pa.binary(32)),
+        ("doc_id", pa.uint64()),
+        ("dl", pa.uint32()),
+    ]
+)
+
+# docID → (repo, path, commit) forward map (BASELINE.json L6)
+FORWARD_MAP = pa.schema(
+    [
+        ("doc_id", pa.uint64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("sha256", pa.binary(32)),
+        ("dl", pa.uint32()),
+    ]
+)
+
+# exploded posting triples, pre-shuffle (one row per distinct (term, doc))
+POSTINGS_RAW = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.uint64()),
+        ("tf", pa.uint32()),
+        ("shard", pa.uint32()),
+    ]
+)
+
+# per-128-posting block metadata for block-max WAND (BASELINE.json L6)
+BLOCK_META = pa.struct(
+    [
+        ("first_doc", pa.uint64()),
+        ("last_doc", pa.uint64()),
+        ("max_tf", pa.uint32()),
+        ("off_docs", pa.uint32()),  # byte offset of block start in doc_ids
+        ("off_tfs", pa.uint32()),  # byte offset of block start in tfs
+    ]
+)
+
+# one row per (term, salt) in a shard's segment file; doc_ids is
+# delta+varbyte-compressed, tfs is varbyte-compressed
+SEGMENT = pa.schema(
+    [
+        ("term", pa.string()),
+        ("salt", pa.uint16()),
+        ("df", pa.uint32()),
+        ("cf", pa.uint64()),
+        ("max_tf", pa.uint32()),
+        ("doc_ids", pa.binary()),
+        ("tfs", pa.binary()),
+        ("block_meta", pa.list_(BLOCK_META)),
+    ]
+)
+
+# globally term-sorted dictionary (FST-style sorted keys, BASELINE.json L6)
+TERM_DICT = pa.schema(
+    [
+        ("term", pa.string()),
+        ("partition", pa.uint32()),
+        ("row", pa.uint32()),
+        ("df", pa.uint32()),
+        ("cf", pa.uint64()),
+    ]
+)
+
+# single-row global stats
+STATS = pa.schema(
+    [
+        ("n_docs", pa.uint64()),
+        ("total_dl", pa.uint64()),
+        ("avgdl", pa.float64()),
+        ("n_terms", pa.uint64()),
+    ]
+)
+
+QUERIES = pa.schema(
+    [
+        ("query_id", pa.uint64()),
+        ("text", pa.string()),
+        ("k", pa.uint32()),
+    ]
+)
+
+RESULTS = pa.schema(
+    [
+        ("query_id", pa.uint64()),
+        ("rank", pa.uint32()),
+        ("doc_id", pa.uint64()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+def assert_schema(table: pa.Table, schema: pa.Schema, where: str = "") -> None:
+    """Hard-fail when a stage's table drifts from its declared schema."""
+    if table.schema != schema:
+        raise AssertionError(
+            f"schema drift{' at ' + where if where else ''}:\n"
+            f"  got      {table.schema}\n  expected {schema}"
+        )
+
+
+def cast_to(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Cast a compatible table (e.g. large_string content) to the fixed schema."""
+    return table.select(schema.names).cast(schema)

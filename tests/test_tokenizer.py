@@ -1,0 +1,78 @@
+"""Tokenizer goldens (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from bitcoin_ledger_2es_ray.functions.tokenize import (
+    term_counts,
+    tokenize_docs,
+    tokenize_flat,
+    tokenize_query,
+)
+
+
+def test_camel_case():
+    assert tokenize_query("getBlockHash") == ["getblockhash", "get", "block", "hash"]
+
+
+def test_snake_case():
+    assert tokenize_query("compute_bm25_score") == [
+        "computebm25score",
+        "compute",
+        "bm",
+        "25",
+        "score",
+    ]
+
+
+def test_acronym_and_digits():
+    assert tokenize_query("HTTPServer2") == ["httpserver2", "http", "server", "2"]
+
+
+def test_plain_words_emitted_once():
+    # bag-of-words corpus must tokenize exactly like string_split(text, ' ')
+    assert tokenize_query("batch scan batch window") == ["batch", "scan", "batch", "window"]
+
+
+def test_separators_and_empty():
+    assert tokenize_query("foo.bar(baz, qux)") == ["foo", "bar", "baz", "qux"]
+    assert tokenize_query("") == []
+    assert tokenize_query("...") == []
+
+
+def test_long_token_dropped():
+    assert tokenize_query("x" * 65) == []
+    assert tokenize_query("x" * 64) == ["x" * 64]
+
+
+def test_unicode_identifiers():
+    assert tokenize_query("héllo wörld") == ["héllo", "wörld"]
+    assert tokenize_query("Größe_MAX") == ["größemax", "größe", "max"]
+
+
+def test_lang_tagging():
+    content = pa.array(["fooBar", "baz"])
+    langs = pa.array(["go", "py"])
+    terms, doc_idx, dl = tokenize_flat(content, langs=langs, tag_lang=True)
+    assert terms.to_pylist() == ["go:foobar", "py:baz", "go:foo", "go:bar"]
+    np.testing.assert_array_equal(dl, [3, 1])
+
+
+def test_dl_counts():
+    _, _, dl = tokenize_flat(pa.array(["a b c", "", "getX"]))
+    np.testing.assert_array_equal(dl, [3, 0, 3])  # getx, get, x
+
+
+def test_term_counts():
+    terms, doc_idx, _ = tokenize_flat(pa.array(["a b a", "b"]))
+    t = term_counts(terms, doc_idx, np.array([10, 20], dtype=np.uint64))
+    rows = sorted(zip(t["term"].to_pylist(), t["doc_id"].to_pylist(), t["tf"].to_pylist()))
+    assert rows == [("a", 10, 2), ("b", 10, 1), ("b", 20, 1)]
+
+
+def test_docs_roundtrip():
+    docs = tokenize_docs(pa.array(["snake_case fooBar", "plain words here"]))
+    assert docs[0] == ["snakecase", "foobar", "snake", "case", "foo", "bar"]
+    assert docs[1] == ["plain", "words", "here"]
