@@ -82,23 +82,30 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
 
 
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, block: int = BLOCK
-) -> tuple[bytes, bytes, list[dict]]:
-    """Encode one posting list → (doc_bytes, tf_bytes, block_meta).
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray | None = None, block: int = BLOCK
+) -> tuple[bytes, bytes, bytes, list[dict]]:
+    """Encode one posting list → (doc_bytes, tf_bytes, dl_bytes, block_meta).
 
-    ``doc_ids`` must be strictly increasing.  ``block_meta`` is a list of
-    dicts matching schemas.BLOCK_META.
+    ``doc_ids`` must be strictly increasing.  ``dls`` is the per-posting doc
+    length (schemas.POSTINGS_RAW: dl travels with the posting so segments are
+    self-contained).  ``block_meta`` is a list of dicts matching
+    schemas.BLOCK_META.
     """
     df = len(doc_ids)
+    if dls is None:
+        dls = np.ones(df, dtype=np.uint32)
     gaps = delta_encode(doc_ids)
     doc_buf, doc_nb = varbyte_encode(gaps)
     tf_buf, tf_nb = varbyte_encode(tfs.astype(np.uint64, copy=False))
+    dl_buf, dl_nb = varbyte_encode(dls.astype(np.uint64, copy=False))
 
     block_starts = np.arange(0, df, block, dtype=np.int64)
     doc_off = np.zeros(df + 1, dtype=np.int64)
     np.cumsum(doc_nb, out=doc_off[1:])
     tf_off = np.zeros(df + 1, dtype=np.int64)
     np.cumsum(tf_nb, out=tf_off[1:])
+    dl_off = np.zeros(df + 1, dtype=np.int64)
+    np.cumsum(dl_nb, out=dl_off[1:])
     meta: list[dict] = []
     for s in block_starts:
         e = min(s + block, df)
@@ -107,37 +114,47 @@ def encode_postings(
                 "first_doc": int(doc_ids[s]),
                 "last_doc": int(doc_ids[e - 1]),
                 "max_tf": int(tfs[s:e].max()),
+                "min_dl": int(dls[s:e].min()),
                 "off_docs": int(doc_off[s]),
                 "off_tfs": int(tf_off[s]),
+                "off_dls": int(dl_off[s]),
             }
         )
-    return doc_buf.tobytes(), tf_buf.tobytes(), meta
+    return doc_buf.tobytes(), tf_buf.tobytes(), dl_buf.tobytes(), meta
 
 
-def decode_postings(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a full posting list → (doc_ids uint64, tfs uint32)."""
+def decode_postings(
+    doc_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes | None = None
+) -> tuple[np.ndarray, ...]:
+    """Decode a full posting list → (doc_ids uint64, tfs uint32[, dls uint32])."""
     gaps = varbyte_decode(doc_bytes)
     tfs = varbyte_decode(tf_bytes).astype(np.uint32)
-    return delta_decode(gaps), tfs
+    if dl_bytes is None:
+        return delta_decode(gaps), tfs
+    dls = varbyte_decode(dl_bytes).astype(np.uint32)
+    return delta_decode(gaps), tfs, dls
 
 
 def decode_block(
     doc_bytes: bytes,
     tf_bytes: bytes,
+    dl_bytes: bytes,
     block_meta: list[dict],
     i: int,
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Independently decode skip block ``i`` of a posting list.
 
     Uses block i-1's ``last_doc`` as the delta base (0 for block 0) —
     the property block-max WAND relies on to skip without decoding.
     """
-    off_d = block_meta[i]["off_docs"]
-    off_t = block_meta[i]["off_tfs"]
-    end_d = block_meta[i + 1]["off_docs"] if i + 1 < len(block_meta) else len(doc_bytes)
-    end_t = block_meta[i + 1]["off_tfs"] if i + 1 < len(block_meta) else len(tf_bytes)
+    m = block_meta[i]
+    last = len(block_meta) - 1
+    end_d = block_meta[i + 1]["off_docs"] if i < last else len(doc_bytes)
+    end_t = block_meta[i + 1]["off_tfs"] if i < last else len(tf_bytes)
+    end_l = block_meta[i + 1]["off_dls"] if i < last else len(dl_bytes)
     base = np.uint64(block_meta[i - 1]["last_doc"]) if i > 0 else np.uint64(0)
-    gaps = varbyte_decode(doc_bytes[off_d:end_d])
+    gaps = varbyte_decode(doc_bytes[m["off_docs"] : end_d])
     docs = base + np.cumsum(gaps, dtype=np.uint64)
-    tfs = varbyte_decode(tf_bytes[off_t:end_t]).astype(np.uint32)
-    return docs, tfs
+    tfs = varbyte_decode(tf_bytes[m["off_tfs"] : end_t]).astype(np.uint32)
+    dls = varbyte_decode(dl_bytes[m["off_dls"] : end_l]).astype(np.uint32)
+    return docs, tfs, dls

@@ -1,0 +1,249 @@
+"""Index build pipeline (SURVEY.md §3.1) — the flagship.
+
+    scan footers → head-term df sketch → phase A (read+verify+tokenize+
+    explode, checkpointed per read unit) → phase B (term shuffle →
+    segments, checkpointed per shard) → finalize (term_dict, stats).
+
+Resume (SURVEY.md §3.3) is partition-granular: phase A skips read units
+whose manifest entry's input fingerprint still matches (no re-tokenize —
+BASELINE.json L6), phase B skips shards already committed under the same
+build fingerprint + tokenize-set lineage.  Because docIDs are deterministic
+(footer-offset scheme) and every stage is a pure function of its input
+partition, a resumed build is bit-identical to an uninterrupted one
+(asserted in tests/test_resume.py).
+
+The materialized ``postings/`` directory IS the phase-A checkpoint: the
+narrow (term, doc_id, tf, dl, salt, shard) table without content — the
+classic external-indexing spill design.  Phase B's shuffle re-reads it,
+which is what makes "resume without re-tokenizing" possible at all.
+
+Ray is NEVER initialised here — the caller owns the session (driver
+contract, __ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.hashing import fingerprint
+from ..functions.tokenize import tokenize_flat
+from ..schemas import STATS, TERM_DICT
+from ..sources.corpus import read_unit, scan_corpus, unit_fingerprint
+from ..stages.ingest import ReadVerifyTokenize
+from ..stages.segment import make_segment_builder
+from ..state.manifest import Manifest, atomic_write_parquet
+
+
+@dataclass
+class BuildConfig:
+    corpus: str | list[str]
+    out_dir: str
+    num_partitions: int = 32
+    tag_lang: bool = False
+    # head-term skew handling (SURVEY.md §2.4 G1): terms whose sampled
+    # df/N exceeds head_df_ratio get n_salt doc-disjoint slices.
+    head_df_ratio: float = 0.10
+    n_salt: int = 4
+    sketch_stride: int = 16  # sample every k-th read unit for the df sketch
+    concurrency: int | None = None
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    n_docs: int
+    total_dl: int
+    n_terms: int
+    n_units: int
+    skipped_units: int
+    n_shards: int
+    skipped_shards: int
+    head_terms: dict = field(default_factory=dict)
+
+
+def _df_sketch(units: list[dict], cfg: BuildConfig) -> dict[str, int]:
+    """Sampled df sketch → head-term salt table (SURVEY.md §4 'skew').
+
+    Reads every ``sketch_stride``-th read unit (deterministic stride, not
+    random — resume must reproduce the same head set), tokenizes it, and
+    counts per-term document frequency on the sample.  Runs as a Ray Data
+    pipeline so the sample scan parallelizes; the aggregated sketch is tiny
+    (one row per sampled distinct term).
+    """
+    sample = units[:: max(1, cfg.sketch_stride)]
+    if not sample:
+        return {}
+    import ray.data as rd
+
+    tag = cfg.tag_lang
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        outs = []
+        for unit in batch.to_pylist():
+            t = read_unit(unit, columns=["content", "lang"])
+            terms, doc_idx, _ = tokenize_flat(
+                t["content"].combine_chunks(),
+                langs=t["lang"].combine_chunks() if tag else None,
+                tag_lang=tag,
+            )
+            pairs = pa.table({"term": terms, "d": pa.array(doc_idx)})
+            uniq = pairs.group_by(["term", "d"]).aggregate([])
+            part = uniq.group_by("term").aggregate([("d", "count")])
+            outs.append(
+                pa.table({"term": part["term"], "df": part["d_count"].cast(pa.uint64())})
+            )
+        return pa.concat_tables(outs)
+
+    ds = rd.from_items(sample).map_batches(sketch, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    agg = ds.groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
+    sampled_docs = sum(u["num_rows"] for u in sample)
+    if sampled_docs == 0:
+        return {}
+    head = agg[agg["df"] / sampled_docs >= cfg.head_df_ratio]
+    return {t: cfg.n_salt for t in sorted(head["term"])}
+
+
+def build_index(cfg: BuildConfig) -> BuildResult:
+    import ray
+    import ray.data as rd
+
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    manifest = Manifest(cfg.out_dir)
+    units = scan_corpus(cfg.corpus)
+
+    # ---- head-term df sketch (always: resume must reproduce the salts) ----
+    head_salts = _df_sketch(units, cfg)
+    # build fingerprint covers everything that changes tokenize/shard output
+    bfp = fingerprint(
+        cfg.num_partitions, cfg.tag_lang, sorted(head_salts.items())
+    )
+    head_ref = ray.put(head_salts)
+
+    # ---- resume filter for phase A (skip = no re-tokenize) ----------------
+    done_tok = manifest.completed("tokenize")
+    todo = [
+        u
+        for u in units
+        if done_tok.get(str(u["part"]), {}).get("input_fingerprint") != unit_fingerprint(u)
+        or done_tok.get(str(u["part"]), {}).get("build_fingerprint") != bfp
+    ]
+
+    # ---- phase A: tokenize + explode, checkpointed per unit ---------------
+    concurrency = cfg.concurrency or max(1, int(ray.cluster_resources().get("CPU", 4)))
+    if todo:
+        rd.from_items(todo).map_batches(
+            ReadVerifyTokenize,
+            fn_constructor_kwargs={
+                "out_dir": cfg.out_dir,
+                "num_partitions": cfg.num_partitions,
+                "head_salts_ref": head_ref,
+                "tag_lang": cfg.tag_lang,
+                "build_fingerprint": bfp,
+            },
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=min(concurrency, max(1, len(todo))),
+            num_cpus=1,
+        ).materialize()
+
+    # ---- phase B: term shuffle → segments, checkpointed per shard ---------
+    tokset = _tokenize_set_key(manifest)
+    done_seg = {
+        k: e
+        for k, e in manifest.completed("segment").items()
+        if e.get("build_fingerprint") == bfp and e.get("tokenize_set") == tokset
+    }
+    skip_shards = sorted(int(k) for k in done_seg)
+    postings = rd.read_parquet(os.path.join(cfg.out_dir, "postings"))
+    if skip_shards:
+        skip = pa.array(np.array(skip_shards, dtype=np.uint32))
+        postings = postings.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["shard"], value_set=skip))),
+            batch_format="pyarrow",
+        )
+    new_dict = postings.groupby("shard").map_groups(
+        make_segment_builder(cfg.out_dir, bfp, tokset), batch_format="pyarrow"
+    )
+    dict_parts = [ray.get(r) for r in new_dict.to_arrow_refs()]
+    dict_parts = [t for t in dict_parts if t.num_rows > 0]
+
+    # ---- finalize: term_dict (recover skipped shards' rows), stats --------
+    for sid in skip_shards:
+        seg = pq.read_table(
+            f"{cfg.out_dir}/segments/shard-{sid:05d}.parquet",
+            columns=["term", "salt", "df", "cf"],
+        )
+        dict_parts.append(
+            pa.table(
+                {
+                    "term": seg["term"],
+                    "salt": seg["salt"],
+                    "partition": pa.array(np.full(seg.num_rows, sid, dtype=np.uint32)),
+                    "row": pa.array(np.arange(seg.num_rows, dtype=np.uint32)),
+                    "df": seg["df"],
+                    "cf": seg["cf"],
+                },
+                schema=TERM_DICT,
+            )
+        )
+    if dict_parts:
+        term_dict = pa.concat_tables(dict_parts).sort_by(
+            [("term", "ascending"), ("salt", "ascending")]
+        )
+    else:
+        term_dict = pa.Table.from_pylist([], schema=TERM_DICT)
+    atomic_write_parquet(term_dict, os.path.join(cfg.out_dir, "term_dict.parquet"))
+
+    fwd = rd.read_parquet(os.path.join(cfg.out_dir, "forward_map"), columns=["dl"])
+    from ray.data.aggregate import Count, Sum
+
+    st = fwd.aggregate(Count(alias_name="n"), Sum("dl", alias_name="sdl"))
+    n_docs, total_dl = int(st["n"]), int(st["sdl"] or 0)
+    n_terms = len(pc.unique(term_dict["term"]))
+    stats = pa.table(
+        {
+            "n_docs": pa.array([n_docs], type=pa.uint64()),
+            "total_dl": pa.array([total_dl], type=pa.uint64()),
+            "avgdl": pa.array([total_dl / n_docs if n_docs else 0.0], type=pa.float64()),
+            "n_terms": pa.array([n_terms], type=pa.uint64()),
+        },
+        schema=STATS,
+    )
+    atomic_write_parquet(stats, os.path.join(cfg.out_dir, "stats.parquet"))
+    manifest.write_entry(
+        "final",
+        "index",
+        {
+            "status": "done",
+            "build_fingerprint": bfp,
+            "n_docs": n_docs,
+            "total_dl": total_dl,
+            "n_terms": n_terms,
+            "head_terms": sorted(head_salts),
+        },
+    )
+    return BuildResult(
+        out_dir=cfg.out_dir,
+        n_docs=n_docs,
+        total_dl=total_dl,
+        n_terms=n_terms,
+        n_units=len(units),
+        skipped_units=len(units) - len(todo),
+        n_shards=cfg.num_partitions,
+        skipped_shards=len(skip_shards),
+        head_terms=head_salts,
+    )
+
+
+def _tokenize_set_key(manifest: Manifest) -> str:
+    """Fingerprint of the completed tokenize partition set (segment lineage)."""
+    done = manifest.completed("tokenize")
+    return fingerprint(sorted((k, e.get("input_fingerprint")) for k, e in done.items()))

@@ -1,0 +1,188 @@
+"""BM25 query pipeline (SURVEY.md §3.2) — batch top-k evaluation.
+
+``SegmentStore`` loads an index directory (term_dict + stats + segment
+shards, lazily per shard).  The batch evaluation path distributes a query
+*set* with Ray Data: ``queries_ds.map_batches(BM25Scorer, concurrency=N)``
+where each actor holds the store (loaded once in ``__init__``, SURVEY.md
+§2.3 T4).  Each scorer replica holds all partitions — fine at test scale;
+the partition-routed serving path lives in pipelines/serve.py.
+
+Rank-identity rules (BASELINE.json L14):
+- per-term contributions are accumulated in **sorted term order** (matches
+  the exact oracle bit-for-bit: one contribution per (term, doc), summed
+  with np.add.at in concatenation order);
+- ties break (score DESC, doc_id ASC);
+- when ``round_decimals`` is set, ranking happens on the ROUNDED score so
+  the DuckDB SQL oracle (which ranks on its own rounded sum) agrees even
+  when the two engines' float sums differ in the last ulp.
+
+A salted head term contributes one posting per doc across its doc-disjoint
+salt slices, so scoring needs no slice merge — slices are just extra rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.bm25 import B, K1, idf, tf_norm, topk_order
+from ..functions.codecs import decode_postings
+from ..functions.tokenize import tokenize_query
+from ..schemas import RESULTS
+
+
+class SegmentStore:
+    """In-memory view of a built index; shard files load lazily."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        st = pq.read_table(os.path.join(index_dir, "stats.parquet"))
+        self.n_docs = int(st["n_docs"][0].as_py())
+        self.avgdl = float(st["avgdl"][0].as_py())
+        td = pq.read_table(os.path.join(index_dir, "term_dict.parquet"))
+        # term → [(partition, row), ...] plus exact df per term (sum of the
+        # doc-disjoint salt slices).  Python dict build is O(vocab) once.
+        self.lookup: dict[str, list[tuple[int, int]]] = {}
+        self.df: dict[str, int] = {}
+        for term, part, row, df in zip(
+            td["term"].to_pylist(),
+            td["partition"].to_pylist(),
+            td["row"].to_pylist(),
+            td["df"].to_pylist(),
+        ):
+            self.lookup.setdefault(term, []).append((part, row))
+            self.df[term] = self.df.get(term, 0) + df
+        self._shards: dict[int, pa.Table] = {}
+
+    def _shard(self, sid: int) -> pa.Table:
+        if sid not in self._shards:
+            self._shards[sid] = pq.read_table(
+                os.path.join(self.index_dir, "segments", f"shard-{sid:05d}.parquet")
+            )
+        return self._shards[sid]
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decoded (doc_ids, tfs, dls) of a term — all salt slices concatenated.
+
+        Slices are doc-disjoint, so concatenation order cannot change any
+        score (exactly one posting per (term, doc)).
+        """
+        rows = self.lookup.get(term)
+        if not rows:
+            e = np.empty(0, dtype=np.uint64)
+            return e, e.astype(np.uint32), e.astype(np.uint32)
+        docs_l, tfs_l, dls_l = [], [], []
+        for part, row in rows:
+            shard = self._shard(part)
+            d, t, l = decode_postings(
+                shard["doc_ids"][row].as_py(),
+                shard["tfs"][row].as_py(),
+                shard["dls"][row].as_py(),
+            )
+            docs_l.append(d)
+            tfs_l.append(t)
+            dls_l.append(l)
+        return np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(dls_l)
+
+
+def score_query(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """Exhaustive top-k for one query — the rank-identity reference path."""
+    terms = sorted(set(tokenize_query(text)))
+    docs_l, contrib_l = [], []
+    for term in terms:
+        df_t = store.df.get(term, 0)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        w = float(idf(store.n_docs, df_t))
+        contrib_l.append(w * tf_norm(tf, dl, store.avgdl, k1, b))
+        docs_l.append(d)
+    if not docs_l:
+        return []
+    all_docs = np.concatenate(docs_l)
+    all_contrib = np.concatenate(contrib_l)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, all_contrib)  # adds in sorted-term concat order
+    if round_decimals is not None:
+        scores = np.round(scores, round_decimals)
+    order = topk_order(scores, uniq, k)
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
+class BM25Scorer:
+    """Actor-pool batch scorer: queries batch in → RESULTS rows out."""
+
+    def __init__(self, index_dir: str, round_decimals: int | None = None):
+        self.store = SegmentStore(index_dir)
+        self.round_decimals = round_decimals
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * batch.num_rows
+        for qid, text, k in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist(), ks):
+            top = score_query(self.store, text, int(k), round_decimals=self.round_decimals)
+            for r, (d, s) in enumerate(top, start=1):
+                qids.append(qid)
+                ranks.append(r)
+                docs.append(d)
+                scores.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.uint64()),
+                "rank": pa.array(ranks, type=pa.uint32()),
+                "doc_id": pa.array(docs, type=pa.uint64()),
+                "score": pa.array(scores, type=pa.float64()),
+            },
+            schema=RESULTS,
+        )
+
+
+def run_queries(
+    index_dir: str,
+    queries: pa.Table,
+    concurrency: int = 2,
+    round_decimals: int | None = None,
+):
+    """Distribute a query set over a scorer actor pool → RESULTS Dataset."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(queries)
+    return ds.map_batches(
+        BM25Scorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "round_decimals": round_decimals},
+        batch_size=max(1, queries.num_rows // max(1, concurrency)),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def attach_doc_meta(results: pa.Table, index_dir: str) -> pa.Table:
+    """G5 forward-map join: results → (repo, path, commit).
+
+    Broadcast-style: the small results docID set filters the forward map
+    (semi-join pushdown), then an Arrow hash join attaches the metadata —
+    no shuffle of the big side.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    wanted = pc.unique(results["doc_id"])
+    fwd = pads.dataset(os.path.join(index_dir, "forward_map")).to_table(
+        columns=["doc_id", "repo", "path", "commit"],
+        filter=pads.field("doc_id").isin(wanted),
+    )
+    return results.join(fwd, keys="doc_id", join_type="left outer").sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )

@@ -57,29 +57,41 @@ FORWARD_MAP = pa.schema(
     ]
 )
 
-# exploded posting triples, pre-shuffle (one row per distinct (term, doc))
+# exploded posting triples, pre-shuffle (one row per distinct (term, doc)).
+# ``dl`` (the doc's BM25 length) travels WITH the posting so that the
+# term-partitioned segments are self-contained for scoring — no per-doc
+# norms table has to be broadcast to scorers at 10^12-doc scale.
 POSTINGS_RAW = pa.schema(
     [
         ("term", pa.string()),
         ("doc_id", pa.uint64()),
         ("tf", pa.uint32()),
+        ("dl", pa.uint32()),
+        ("salt", pa.uint16()),
         ("shard", pa.uint32()),
     ]
 )
 
-# per-128-posting block metadata for block-max WAND (BASELINE.json L6)
+# per-128-posting block metadata for block-max WAND (BASELINE.json L6).
+# (max_tf, min_dl) give a safe per-block score upper bound: tf_norm is
+# increasing in tf and decreasing in dl (functions.bm25.block_upper_bound).
 BLOCK_META = pa.struct(
     [
         ("first_doc", pa.uint64()),
         ("last_doc", pa.uint64()),
         ("max_tf", pa.uint32()),
+        ("min_dl", pa.uint32()),
         ("off_docs", pa.uint32()),  # byte offset of block start in doc_ids
         ("off_tfs", pa.uint32()),  # byte offset of block start in tfs
+        ("off_dls", pa.uint32()),  # byte offset of block start in dls
     ]
 )
 
 # one row per (term, salt) in a shard's segment file; doc_ids is
-# delta+varbyte-compressed, tfs is varbyte-compressed
+# delta+varbyte-compressed, tfs and dls are varbyte-compressed.
+# A salted head term has n_salt rows across shards, each owning the
+# doc-disjoint slice ``doc_id % n_salt == salt`` — slices can be scored
+# independently and exactly (partial dfs sum to the true df).
 SEGMENT = pa.schema(
     [
         ("term", pa.string()),
@@ -89,14 +101,18 @@ SEGMENT = pa.schema(
         ("max_tf", pa.uint32()),
         ("doc_ids", pa.binary()),
         ("tfs", pa.binary()),
+        ("dls", pa.binary()),
         ("block_meta", pa.list_(BLOCK_META)),
     ]
 )
 
-# globally term-sorted dictionary (FST-style sorted keys, BASELINE.json L6)
+# globally term-sorted dictionary (FST-style sorted keys, BASELINE.json L6).
+# May hold multiple rows per term (one per salt slice of a head term);
+# the true df/cf of a term is the sum over its rows.
 TERM_DICT = pa.schema(
     [
         ("term", pa.string()),
+        ("salt", pa.uint16()),
         ("partition", pa.uint32()),
         ("row", pa.uint32()),
         ("df", pa.uint32()),

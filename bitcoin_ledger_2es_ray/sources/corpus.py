@@ -1,0 +1,142 @@
+"""Corpus source (SURVEY.md §2.1 S1/S2, §2.2 M2).
+
+Two jobs:
+
+1. ``derive_corpus_parquet`` — FIXTURES.md §B: map the driver's
+   ``documents.parquet`` into the mandated corpus shape
+   ``(repo, path, commit, lang, content)`` (BASELINE.json L15) plus the
+   reference-provided expected ``sha256`` column, as a *pure deterministic
+   function* of the documents rows (no RNG).  Row i keeps engine doc_id i.
+
+2. ``scan_corpus`` / ``read_corpus_units`` — the deterministic reader.
+   DocIDs must be identical across cluster sizes and resumes (SURVEY.md
+   §1.2), so they are derived from Parquet *footer metadata only*: the
+   driver scans per-(file, row_group) row counts (cheap, no data read),
+   prefix-sums them in sorted-path order into global offsets, and each read
+   unit then assigns ``doc_id = offset + row_index_within_row_group``.
+   Block arrival order never matters.
+
+   The unit list becomes a ``ray.data`` dataset of descriptors; the actual
+   column data is read inside ``map_batches`` tasks, one row group per task
+   — file/row-group-level parallelism exactly like ``read_parquet``, but
+   with deterministic ids and a stable ``part`` ordinal that keys the
+   checkpoint manifest (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schemas import CORPUS_WITH_SHA
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def derive_corpus_parquet(
+    sf_dir: str, out_path: str, row_group_size: int = 512
+) -> str:
+    """Write the corpus-shaped parquet derived from ``{sf_dir}/documents.parquet``.
+
+    Deterministic (FIXTURES.md §B); cached — rewritten only if missing.
+    Multiple row groups so the reader parallelizes even on one file.
+    """
+    if os.path.exists(out_path):
+        return out_path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang", "source"]
+    )
+    doc_id = docs["doc_id"].to_pylist()
+    source = docs["source"].to_pylist()
+    text = docs["text"].to_pylist()
+    table = pa.table(
+        {
+            "repo": [f"org{d % 7}/repo{d % 20}" for d in doc_id],
+            "path": [f"src/{s}/file_{d}.py" for d, s in zip(doc_id, source)],
+            "commit": [hashlib.sha256(f"commit:{d}".encode()).hexdigest()[:40] for d in doc_id],
+            "lang": docs["lang"],
+            "content": docs["text"],
+            "sha256": [hashlib.sha256(t.encode("utf-8")).digest() for t in text],
+        },
+        schema=CORPUS_WITH_SHA,
+    )
+    tmp = out_path + ".tmp"
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pq.write_table(table, tmp, row_group_size=row_group_size)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def scan_corpus(paths: list[str] | str) -> list[dict]:
+    """Footer-only scan → ordered read units with deterministic doc offsets.
+
+    Returns one dict per (file, row_group):
+    ``{part, path, row_group, offset, num_rows, has_sha}``, with ``offset``
+    the global docID of the unit's first row.  At 10^12-file scale this
+    metadata pass fans out as Ray tasks per file; the footer read is a few
+    KB per file regardless of file size.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            files.extend(
+                sorted(
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+            )
+        else:
+            files.append(p)
+    units: list[dict] = []
+    offset = 0
+    part = 0
+    for path in files:
+        meta = pq.ParquetFile(path)
+        has_sha = "sha256" in meta.schema_arrow.names
+        for rg in range(meta.metadata.num_row_groups):
+            n = meta.metadata.row_group(rg).num_rows
+            units.append(
+                {
+                    "part": part,
+                    "path": path,
+                    "row_group": rg,
+                    "offset": offset,
+                    "num_rows": n,
+                    "has_sha": has_sha,
+                }
+            )
+            offset += n
+            part += 1
+    return units
+
+
+def read_unit(unit: dict, columns: list[str] | None = None) -> pa.Table:
+    """Read one (file, row_group) unit → corpus table + ``doc_id`` + ``part``."""
+    cols = columns or CORPUS_COLUMNS
+    want = cols + (["sha256"] if unit["has_sha"] and "sha256" not in cols else [])
+    t = pq.ParquetFile(unit["path"]).read_row_group(unit["row_group"], columns=want)
+    n = t.num_rows
+    if n != unit["num_rows"]:
+        raise ValueError(
+            f"row-group size drift in {unit['path']}#{unit['row_group']}: "
+            f"{n} rows, manifest says {unit['num_rows']}"
+        )
+    doc_id = pa.array(range(unit["offset"], unit["offset"] + n), type=pa.uint64())
+    t = t.append_column("doc_id", doc_id)
+    return t.append_column("part", pa.array([unit["part"]] * n, type=pa.uint32()))
+
+
+def unit_fingerprint(unit: dict) -> str:
+    """Lineage key of a read unit: path identity + size + row layout."""
+    st = os.stat(unit["path"])
+    from ..functions.hashing import fingerprint
+
+    return fingerprint(
+        unit["path"], st.st_size, int(st.st_mtime), unit["row_group"], unit["offset"], unit["num_rows"]
+    )

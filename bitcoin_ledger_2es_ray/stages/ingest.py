@@ -1,0 +1,153 @@
+"""Phase A stage: read → verify sha256 → tokenize → explode postings.
+
+SURVEY.md §3.1: M1 (sha256 ingest verify), M2 (deterministic docIDs, done by
+the reader's footer-offset scheme), M3–M5 (tokenize + dl), M7 (posting
+explode) are fused into ONE pass over ``content`` — content never crosses a
+stage boundary after this (it is the widest column; shuffling it would
+dominate the job at 10^12-file scale).
+
+The stage is a callable class (actor pool): the head-term salt table is
+fetched from the object store once per actor in ``__init__`` (broadcast via
+``ray.put``, not re-shipped per batch), and each batch of read-unit
+descriptors produces:
+
+- side outputs, committed atomically per unit (the checkpoint granularity):
+  ``forward_map/part-NNNNNN.parquet``, ``postings/part-NNNNNN.parquet``,
+  and a manifest entry with lineage fingerprint + metrics;
+- a small manifest-row table as the dataset output (metadata only — the
+  wide data stays in the partitioned side outputs).
+
+Corrupted input (sha256 mismatch vs the reference-provided column) raises
+and fails the build (BASELINE.json L15 per-row invariant).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import sha256_column, shard_and_salt
+from ..functions.tokenize import term_counts, tokenize_flat
+from ..schemas import FORWARD_MAP, POSTINGS_RAW
+from ..sources.corpus import read_unit, unit_fingerprint
+from ..state.manifest import Manifest, atomic_write_parquet
+
+ENTRY_SCHEMA = pa.schema(
+    [
+        ("part", pa.uint32()),
+        ("rows", pa.uint64()),
+        ("n_postings", pa.uint64()),
+        ("total_dl", pa.uint64()),
+        ("wall_s", pa.float64()),
+    ]
+)
+
+
+class ReadVerifyTokenize:
+    """One read unit (file, row_group) in → postings + forward map out."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        num_partitions: int,
+        head_salts_ref=None,
+        tag_lang: bool = False,
+        build_fingerprint: str = "",
+    ):
+        import ray
+
+        self.out_dir = out_dir
+        self.num_partitions = num_partitions
+        self.tag_lang = tag_lang
+        self.build_fingerprint = build_fingerprint
+        self.head_salts = ray.get(head_salts_ref) if head_salts_ref is not None else {}
+        self.manifest = Manifest(out_dir)
+
+    def _process_unit(self, unit: dict) -> dict:
+        t0 = time.monotonic()
+        t = read_unit(unit)
+        content = t["content"].combine_chunks()
+
+        # M1 — per-row sha256 invariant (BASELINE.json L15)
+        computed = sha256_column(content)
+        if unit["has_sha"]:
+            ok = pc.equal(computed, t["sha256"].combine_chunks().cast(pa.binary(32)))
+            bad = pc.indices_nonzero(pc.invert(pc.fill_null(ok, False)))
+            if len(bad):
+                rows = bad.to_pylist()[:5]
+                raise ValueError(
+                    f"sha256 mismatch: {len(bad)} corrupted rows in "
+                    f"{unit['path']}#{unit['row_group']} (first local rows {rows})"
+                )
+
+        # M3–M5 — tokenize + doc length, one pass
+        terms, doc_idx, dl = tokenize_flat(
+            content, langs=t["lang"].combine_chunks() if self.tag_lang else None, tag_lang=self.tag_lang
+        )
+        doc_ids = np.arange(unit["offset"], unit["offset"] + t.num_rows, dtype=np.uint64)
+
+        # forward map side output (doc metadata leaves the pipeline here)
+        fwd = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.uint64()),
+                "repo": t["repo"],
+                "path": t["path"],
+                "commit": t["commit"],
+                "lang": t["lang"],
+                "sha256": computed,
+                "dl": pa.array(dl, type=pa.uint32()),
+            },
+            schema=FORWARD_MAP,
+        )
+        atomic_write_parquet(fwd, f"{self.out_dir}/forward_map/part-{unit['part']:06d}.parquet")
+
+        # M7 — explode to (term, doc_id, tf) + dl + shard/salt
+        postings = term_counts(terms, doc_idx, doc_ids)
+        p_doc = np.asarray(postings["doc_id"])
+        p_dl = dl[(p_doc - np.uint64(unit["offset"])).astype(np.int64)]
+        shard, salt = shard_and_salt(
+            postings["term"], p_doc, self.num_partitions, self.head_salts
+        )
+        out = pa.table(
+            {
+                "term": postings["term"],
+                "doc_id": postings["doc_id"],
+                "tf": postings["tf"],
+                "dl": pa.array(p_dl, type=pa.uint32()),
+                "salt": pa.array(salt, type=pa.uint16()),
+                "shard": pa.array(shard, type=pa.uint32()),
+            },
+            schema=POSTINGS_RAW,
+        )
+        nbytes = atomic_write_parquet(
+            out, f"{self.out_dir}/postings/part-{unit['part']:06d}.parquet"
+        )
+        wall = time.monotonic() - t0
+        entry = {
+            "status": "done",
+            "build_fingerprint": self.build_fingerprint,
+            "input_fingerprint": unit_fingerprint(unit),
+            "path": unit["path"],
+            "row_group": unit["row_group"],
+            "offset": unit["offset"],
+            "rows": t.num_rows,
+            "n_postings": out.num_rows,
+            "total_dl": int(dl.sum()),
+            "bytes": nbytes,
+            "wall_s": round(wall, 4),
+        }
+        self.manifest.write_entry("tokenize", unit["part"], entry)
+        return {
+            "part": unit["part"],
+            "rows": t.num_rows,
+            "n_postings": out.num_rows,
+            "total_dl": int(dl.sum()),
+            "wall_s": wall,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._process_unit(u) for u in batch.to_pylist()]
+        return pa.Table.from_pylist(rows, schema=ENTRY_SCHEMA)

@@ -1,0 +1,136 @@
+"""End-to-end build + query rank-identity vs the exact oracle (SURVEY.md §5.3).
+
+The engine path (footer-offset docIDs → fused tokenize/explode → salted term
+shuffle → compressed segments → store/scorer) must reproduce the brute-force
+oracle exactly: same top-k docIDs, scores within 1e-9, deterministic ties.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bitcoin_ledger_2es_ray.oracle import BM25Oracle
+from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+from bitcoin_ledger_2es_ray.pipelines.query import (
+    SegmentStore,
+    attach_doc_meta,
+    run_queries,
+    score_query,
+)
+from bitcoin_ledger_2es_ray.sources.corpus import derive_corpus_parquet
+from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("idx")
+    corpus = derive_corpus_parquet(SF_DIR, str(root / "corpus.parquet"), row_group_size=128)
+    cfg = BuildConfig(
+        corpus=corpus,
+        out_dir=str(root / "index"),
+        num_partitions=8,
+        head_df_ratio=0.5,
+        n_salt=2,
+        sketch_stride=2,
+    )
+    res = build_index(cfg)
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet")
+    oracle = BM25Oracle(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    return res, oracle, corpus
+
+
+def test_stats_match_oracle(built):
+    res, oracle, _ = built
+    assert res.n_docs == oracle.n_docs
+    assert res.total_dl == int(oracle.dl.sum())
+    assert res.n_terms == len(oracle.postings)
+    assert res.head_terms, "testdata head terms (df≈0.8N) must be salted"
+
+
+def test_term_df_matches_oracle(built):
+    res, oracle, _ = built
+    store = SegmentStore(res.out_dir)
+    assert set(store.df) == set(oracle.postings)
+    for term, plist in oracle.postings.items():
+        assert store.df[term] == len(plist), term
+        d, tf, dl = store.postings(term)
+        order = np.argsort(d)
+        exp = sorted(plist.items())
+        np.testing.assert_array_equal(d[order], oracle.doc_ids[[r for r, _ in exp]])
+        np.testing.assert_array_equal(tf[order], [v for _, v in exp])
+        np.testing.assert_array_equal(dl[order], oracle.dl[[r for r, _ in exp]].astype(np.uint32))
+
+
+def test_rank_identity_vs_oracle(built):
+    res, oracle, _ = built
+    store = SegmentStore(res.out_dir)
+    queries = fixture_queries(sorted(oracle.postings), n=50)
+    for qid, text, k in zip(
+        queries["query_id"].to_pylist(),
+        queries["text"].to_pylist(),
+        queries["k"].to_pylist(),
+    ):
+        got = score_query(store, text, k)
+        exp = oracle.topk(text, k)
+        assert [d for d, _ in got] == [d for d, _ in exp], f"q{qid}: {text!r}"
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in exp], rtol=0, atol=1e-9
+        )
+
+
+def test_distributed_query_path(built):
+    res, oracle, _ = built
+    queries = fixture_queries(sorted(oracle.postings), n=12)
+    results = run_queries(res.out_dir, queries, concurrency=2)
+    rows = results.take_all()
+    # group rows per query and compare against the oracle
+    import collections
+
+    per_q = collections.defaultdict(list)
+    for row in rows:
+        per_q[row["query_id"]].append((row["rank"], row["doc_id"], row["score"]))
+    for qid, text, k in zip(
+        queries["query_id"].to_pylist(), queries["text"].to_pylist(), queries["k"].to_pylist()
+    ):
+        exp = oracle.topk(text, k)
+        got = sorted(per_q[qid])
+        assert [d for _, d, _ in got] == [d for d, _ in exp], f"q{qid}"
+
+
+def test_forward_map_join(built):
+    res, oracle, _ = built
+    store = SegmentStore(res.out_dir)
+    top = score_query(store, "dup", 5)
+    results = pa.table(
+        {
+            "query_id": pa.array([0] * len(top), type=pa.uint64()),
+            "rank": pa.array(range(1, len(top) + 1), type=pa.uint32()),
+            "doc_id": pa.array([d for d, _ in top], type=pa.uint64()),
+            "score": pa.array([s for _, s in top], type=pa.float64()),
+        }
+    )
+    joined = attach_doc_meta(results, res.out_dir)
+    assert joined.num_rows == len(top)
+    for row in joined.to_pylist():
+        d = row["doc_id"]
+        assert row["repo"] == f"org{d % 7}/repo{d % 20}"
+        assert row["path"].endswith(f"file_{d}.py")
+
+
+def test_sha256_corruption_fails_build(ray_session, tmp_path):
+    corpus = derive_corpus_parquet(SF_DIR, str(tmp_path / "corpus.parquet"), row_group_size=128)
+    t = pq.read_table(corpus)
+    bad_sha = t["sha256"].to_pylist()
+    bad_sha[3] = b"\x00" * 32
+    t = t.set_column(t.schema.get_field_index("sha256"), "sha256", pa.array(bad_sha, type=pa.binary(32)))
+    bad_path = str(tmp_path / "bad.parquet")
+    pq.write_table(t, bad_path, row_group_size=128)
+    with pytest.raises(Exception, match="sha256 mismatch"):
+        build_index(
+            BuildConfig(corpus=bad_path, out_dir=str(tmp_path / "bad_idx"), num_partitions=4)
+        )

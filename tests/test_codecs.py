@@ -44,17 +44,21 @@ def test_postings_roundtrip_and_blocks(n):
     docs = _rand_sorted(rng, n, 10**12)
     n = len(docs)
     tfs = rng.integers(1, 1000, size=n).astype(np.uint32)
-    db, tb, meta = codecs.encode_postings(docs, tfs)
-    d2, t2 = codecs.decode_postings(db, tb)
+    dls = rng.integers(1, 10000, size=n).astype(np.uint32)
+    db, tb, lb, meta = codecs.encode_postings(docs, tfs, dls)
+    d2, t2, l2 = codecs.decode_postings(db, tb, lb)
     np.testing.assert_array_equal(d2, docs)
     np.testing.assert_array_equal(t2, tfs)
+    np.testing.assert_array_equal(l2, dls)
 
     assert len(meta) == (n + codecs.BLOCK - 1) // codecs.BLOCK
     for i, m in enumerate(meta):
         s, e = i * codecs.BLOCK, min((i + 1) * codecs.BLOCK, n)
         assert m["first_doc"] == docs[s] and m["last_doc"] == docs[e - 1]
         assert m["max_tf"] == tfs[s:e].max()
+        assert m["min_dl"] == dls[s:e].min()
         # independent block decode matches the slice
-        bd, bt = codecs.decode_block(db, tb, meta, i)
+        bd, bt, bl = codecs.decode_block(db, tb, lb, meta, i)
         np.testing.assert_array_equal(bd, docs[s:e])
         np.testing.assert_array_equal(bt, tfs[s:e])
+        np.testing.assert_array_equal(bl, dls[s:e])
