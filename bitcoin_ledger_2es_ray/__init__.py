@@ -24,3 +24,26 @@ No module in this package calls ``ray.init()`` — the driver owns the session.
 """
 
 __version__ = "0.1.0"
+
+
+def _register_with_cloudpickle() -> None:
+    """Ship this package's code by value inside Ray task/actor closures.
+
+    The package is imported from a repo checkout, not site-packages, so Ray
+    worker processes (whose sys.path may not include the checkout when the
+    driver added it at runtime) would otherwise fail to unpickle our stage
+    classes with ModuleNotFoundError.  cloudpickle's by-value registration
+    covers the package and all submodules; payload cost is a few KB per
+    task.  Best-effort: harmless if ray is absent.
+    """
+    try:
+        import sys
+
+        from ray import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+
+_register_with_cloudpickle()

@@ -64,6 +64,25 @@ class SegmentStore:
             )
         return self._shards[sid]
 
+    def raw_rows(self, term: str) -> list[dict]:
+        """Compressed segment rows of a term (one per salt slice) — the
+        WAND/serving path consumes these without full decode."""
+        rows = self.lookup.get(term)
+        if not rows:
+            return []
+        out = []
+        for part, row in rows:
+            shard = self._shard(part)
+            out.append(
+                {
+                    "doc_ids": shard["doc_ids"][row].as_py(),
+                    "tfs": shard["tfs"][row].as_py(),
+                    "dls": shard["dls"][row].as_py(),
+                    "block_meta": shard["block_meta"][row].as_py(),
+                }
+            )
+        return out
+
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Decoded (doc_ids, tfs, dls) of a term — all salt slices concatenated.
 
@@ -118,6 +137,44 @@ def score_query(
         scores = np.round(scores, round_decimals)
     order = topk_order(scores, uniq, k)
     return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
+def score_query_wand(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    """Top-k via block-max WAND over the compressed segments (C5).
+
+    Rank-identical to ``score_query`` by construction (functions/wand.py);
+    asserted in tests/test_wand.py.
+    """
+    from ..functions.wand import Cursor, wand_topk
+
+    terms = sorted(set(tokenize_query(text)))
+    cursors = []
+    for order, term in enumerate(terms):
+        df_t = store.df.get(term, 0)
+        if df_t == 0:
+            continue
+        w = float(idf(store.n_docs, df_t))
+        for raw in store.raw_rows(term):
+            cursors.append(
+                Cursor(
+                    order,
+                    w,
+                    raw["doc_ids"],
+                    raw["tfs"],
+                    raw["dls"],
+                    raw["block_meta"],
+                    store.avgdl,
+                    k1,
+                    b,
+                )
+            )
+    return wand_topk(cursors, k)
 
 
 class BM25Scorer:

@@ -1,0 +1,170 @@
+"""Partition-routed BM25 serving (SURVEY.md §3.2, §2.3 T4, §2.4 G6/G7).
+
+Low-latency path for interactive top-k: an actor pool where each
+``SegmentActor`` pins a subset of the term-partitioned segment shards in
+memory and serves *compressed posting rows* for its terms.  The router
+holds only the (small) term dictionary + stats, looks up which partitions
+own a query's terms (G6 — driver-side routing table, no shuffle), fetches
+the compressed rows concurrently from the owning actors, and runs
+block-max WAND locally (G7's heap merge degenerates to one heap because
+posting transfer, not score merging, is the distribution unit — partial
+BM25 scores of one doc would otherwise have to be SUMMED across term
+partitions, which a naive per-partition-top-k merge gets wrong).
+
+Scale notes: shipping compressed rows bounds transfer by the query terms'
+total compressed size; head terms stay chunked in doc-disjoint salt slices
+(bounded rows).  Raw ``@ray.remote`` actors are justified here — a serving
+pool is shared mutable state that the Dataset API cannot express
+(instructions §custom-operators (c)).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..functions.bm25 import B, K1, idf
+from ..functions.tokenize import tokenize_query
+from ..functions.wand import Cursor, wand_topk
+
+
+def _segment_actor_cls():
+    import ray
+
+    @ray.remote(num_cpus=1)
+    class SegmentActor:
+        """Holds a set of segment shard files; serves compressed rows."""
+
+        def __init__(self, index_dir: str, shard_ids: list[int]):
+            self.tables = {}
+            for sid in shard_ids:
+                path = os.path.join(index_dir, "segments", f"shard-{sid:05d}.parquet")
+                if os.path.exists(path):
+                    self.tables[sid] = pq.read_table(path)
+
+        def fetch(self, wants: list[tuple[int, int]]) -> list[dict]:
+            """[(shard, row)] → compressed posting rows."""
+            out = []
+            for sid, row in wants:
+                t = self.tables[sid]
+                out.append(
+                    {
+                        "doc_ids": t["doc_ids"][row].as_py(),
+                        "tfs": t["tfs"][row].as_py(),
+                        "dls": t["dls"][row].as_py(),
+                        "block_meta": t["block_meta"][row].as_py(),
+                    }
+                )
+            return out
+
+    return SegmentActor
+
+
+class TopKService:
+    """Router + segment actor pool.  Create once, query many times."""
+
+    def __init__(self, index_dir: str, num_actors: int = 4, k1: float = K1, b: float = B):
+        import ray
+
+        self.k1, self.b = k1, b
+        st = pq.read_table(os.path.join(index_dir, "stats.parquet"))
+        self.n_docs = int(st["n_docs"][0].as_py())
+        self.avgdl = float(st["avgdl"][0].as_py())
+        td = pq.read_table(os.path.join(index_dir, "term_dict.parquet"))
+        self.lookup: dict[str, list[tuple[int, int]]] = {}
+        self.df: dict[str, int] = {}
+        shard_ids = set()
+        for term, part, row, df in zip(
+            td["term"].to_pylist(),
+            td["partition"].to_pylist(),
+            td["row"].to_pylist(),
+            td["df"].to_pylist(),
+        ):
+            self.lookup.setdefault(term, []).append((part, row))
+            self.df[term] = self.df.get(term, 0) + df
+            shard_ids.add(part)
+        # G6 routing: shard → owning actor (round-robin over sorted shards)
+        shards = sorted(shard_ids)
+        num_actors = max(1, min(num_actors, len(shards) or 1))
+        cls = _segment_actor_cls()
+        assignment: list[list[int]] = [shards[i::num_actors] for i in range(num_actors)]
+        self.actor_of_shard = {}
+        self.actors = []
+        for ai, owned in enumerate(assignment):
+            actor = cls.remote(index_dir, owned)
+            self.actors.append(actor)
+            for sid in owned:
+                self.actor_of_shard[sid] = ai
+        ray.get([a.__ray_ready__.remote() for a in self.actors])
+
+    def query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score) — rank-identical to the exhaustive path."""
+        import ray
+
+        terms = sorted(set(tokenize_query(text)))
+        plan: dict[int, list[tuple[int, int]]] = defaultdict(list)  # actor → wants
+        meta: list[tuple[int, float, int]] = []  # (order, weight) per want, aligned
+        for order, term in enumerate(terms):
+            rows = self.lookup.get(term)
+            if not rows:
+                continue
+            w = float(idf(self.n_docs, self.df[term]))
+            for part, row in rows:
+                ai = self.actor_of_shard[part]
+                plan[ai].append((part, row))
+                meta.append((order, w, ai))
+        if not plan:
+            return []
+        # concurrent fetch from owning actors
+        futures = {ai: self.actors[ai].fetch.remote(wants) for ai, wants in plan.items()}
+        fetched = {ai: ray.get(f) for ai, f in futures.items()}
+        taken = {ai: 0 for ai in fetched}
+        cursors = []
+        for order, w, ai in meta:
+            raw = fetched[ai][taken[ai]]
+            taken[ai] += 1
+            cursors.append(
+                Cursor(
+                    order, w, raw["doc_ids"], raw["tfs"], raw["dls"],
+                    raw["block_meta"], self.avgdl, self.k1, self.b,
+                )
+            )
+        return wand_topk(cursors, k)
+
+    def query_batch(self, texts: list[str], k: int = 10) -> list[list[tuple[int, float]]]:
+        return [self.query(t, k) for t in texts]
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+def latency_benchmark(
+    index_dir: str, queries: list[str], k: int = 10, num_actors: int = 4
+) -> dict:
+    """p50/p99 per-query latency over warm actors (BASELINE.md metric)."""
+    import time
+
+    svc = TopKService(index_dir, num_actors=num_actors)
+    try:
+        svc.query(queries[0], k)  # warm
+        lat = []
+        for q in queries:
+            t0 = time.monotonic()
+            svc.query(q, k)
+            lat.append(time.monotonic() - t0)
+        lat = np.array(lat)
+        return {
+            "n": len(lat),
+            "p50_ms": float(np.percentile(lat, 50) * 1e3),
+            "p99_ms": float(np.percentile(lat, 99) * 1e3),
+            "mean_ms": float(lat.mean() * 1e3),
+        }
+    finally:
+        svc.shutdown()

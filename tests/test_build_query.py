@@ -26,24 +26,6 @@ from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="module")
-def built(ray_session, tmp_path_factory):
-    root = tmp_path_factory.mktemp("idx")
-    corpus = derive_corpus_parquet(SF_DIR, str(root / "corpus.parquet"), row_group_size=128)
-    cfg = BuildConfig(
-        corpus=corpus,
-        out_dir=str(root / "index"),
-        num_partitions=8,
-        head_df_ratio=0.5,
-        n_salt=2,
-        sketch_stride=2,
-    )
-    res = build_index(cfg)
-    docs = pq.read_table(f"{SF_DIR}/documents.parquet")
-    oracle = BM25Oracle(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
-    return res, oracle, corpus
-
-
 def test_stats_match_oracle(built):
     res, oracle, _ = built
     assert res.n_docs == oracle.n_docs

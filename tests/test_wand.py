@@ -1,0 +1,129 @@
+"""Block-max WAND rank-identity vs exhaustive scoring (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from bitcoin_ledger_2es_ray.functions.bm25 import idf, tf_norm, topk_order
+from bitcoin_ledger_2es_ray.functions.codecs import encode_postings
+from bitcoin_ledger_2es_ray.functions.wand import Cursor, wand_topk
+
+
+def _synthetic_index(seed: int, n_docs: int = 4000, vocab: int = 40):
+    """Random zipf-ish corpus → per-term (docs, tfs) + dl array."""
+    rng = np.random.default_rng(seed)
+    dl = rng.integers(5, 400, size=n_docs).astype(np.uint32)
+    avgdl = float(dl.mean())
+    terms = {}
+    for t in range(vocab):
+        df = max(1, int(n_docs * (0.9 ** t)))  # head → tail skew
+        docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.uint64)
+        tfs = rng.integers(1, 20, size=df).astype(np.uint32)
+        terms[f"t{t:02d}"] = (docs, tfs)
+    return terms, dl, avgdl, n_docs
+
+
+def _exact_topk(terms, dl, avgdl, n_docs, query_terms, k):
+    scores = np.zeros(n_docs, dtype=np.float64)
+    for t in sorted(set(query_terms)):
+        if t not in terms:
+            continue
+        docs, tfs = terms[t]
+        w = float(idf(n_docs, len(docs)))
+        scores[docs.astype(np.int64)] += w * tf_norm(
+            tfs.astype(np.float64), dl[docs.astype(np.int64)].astype(np.float64), avgdl
+        )
+    nz = np.flatnonzero(scores > 0)
+    order = topk_order(scores[nz], nz.astype(np.uint64), k)
+    return [(int(nz[i]), float(scores[nz][i])) for i in order]
+
+
+def _cursors_for(terms, dl, avgdl, n_docs, query_terms, n_salt_for=()):
+    cursors = []
+    for order, t in enumerate(sorted(set(query_terms))):
+        if t not in terms:
+            continue
+        docs, tfs = terms[t]
+        w = float(idf(n_docs, len(docs)))
+        slices = [(docs, tfs)]
+        if t in n_salt_for:  # emulate a salted head term: doc-disjoint slices
+            m = docs % 2
+            slices = [(docs[m == s], tfs[m == s]) for s in (0, 1)]
+        for sdocs, stfs in slices:
+            if len(sdocs) == 0:
+                continue
+            db, tb, lb, meta = encode_postings(sdocs, stfs, dl[sdocs.astype(np.int64)])
+            cursors.append(Cursor(order, w, db, tb, lb, meta, avgdl))
+    return cursors
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_wand_matches_exact_synthetic(seed):
+    terms, dl, avgdl, n_docs = _synthetic_index(seed)
+    rng = np.random.default_rng(100 + seed)
+    names = sorted(terms)
+    for qi in range(25):
+        q = list(rng.choice(names, size=rng.integers(1, 5), replace=False))
+        k = int(rng.integers(1, 30))
+        got = wand_topk(_cursors_for(terms, dl, avgdl, n_docs, q), k)
+        exp = _exact_topk(terms, dl, avgdl, n_docs, q, k)
+        assert [d for d, _ in got] == [d for d, _ in exp], f"seed{seed} q{qi} {q} k={k}"
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in exp], rtol=0, atol=0)
+
+
+def test_wand_with_salted_slices():
+    terms, dl, avgdl, n_docs = _synthetic_index(7)
+    q = ["t00", "t01", "t05"]  # head terms
+    got = wand_topk(_cursors_for(terms, dl, avgdl, n_docs, q, n_salt_for={"t00", "t01"}), 15)
+    exp = _exact_topk(terms, dl, avgdl, n_docs, q, 15)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in exp], rtol=0, atol=0)
+
+
+def test_wand_edge_cases():
+    terms, dl, avgdl, n_docs = _synthetic_index(11)
+    assert wand_topk([], 10) == []
+    assert wand_topk(_cursors_for(terms, dl, avgdl, n_docs, ["t03"]), 0) == []
+    # k larger than result set
+    got = wand_topk(_cursors_for(terms, dl, avgdl, n_docs, ["t39"]), 10**6)
+    exp = _exact_topk(terms, dl, avgdl, n_docs, ["t39"], 10**6)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_wand_on_built_index(built):
+    """WAND over the real built index == exhaustive scorer, all 50 queries."""
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        score_query,
+        score_query_wand,
+    )
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+    res, oracle, _ = built
+    store = SegmentStore(res.out_dir)
+    queries = fixture_queries(sorted(oracle.postings), n=50)
+    for text, k in zip(queries["text"].to_pylist(), queries["k"].to_pylist()):
+        got = score_query_wand(store, text, k)
+        exp = score_query(store, text, k)
+        assert [d for d, _ in got] == [d for d, _ in exp], text
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in exp], rtol=0, atol=0
+        )
+
+
+def test_serving_pool(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, score_query
+    from bitcoin_ledger_2es_ray.pipelines.serve import TopKService
+
+    res, oracle, _ = built
+    store = SegmentStore(res.out_dir)
+    svc = TopKService(res.out_dir, num_actors=3)
+    try:
+        for text in ["dup", "batch scan", "window agg join", "nosuchterm"]:
+            got = svc.query(text, 10)
+            exp = score_query(store, text, 10)
+            assert [d for d, _ in got] == [d for d, _ in exp], text
+    finally:
+        svc.shutdown()
