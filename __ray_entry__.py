@@ -93,7 +93,10 @@ def _q_doc_stats(sf_dir: str) -> pa.Table:
         {
             "n_docs": pa.array([res.n_docs], type=pa.int64()),
             "total_dl": pa.array([res.total_dl], type=pa.int64()),
-            "avgdl": pa.array([round(res.total_dl / res.n_docs, _ROUND)], type=pa.float64()),
+            "avgdl": pa.array(
+                [__import__("bitcoin_ledger_2es_ray.functions.bm25", fromlist=["sql_round"]).sql_round(res.total_dl / res.n_docs, _ROUND)],
+                type=pa.float64(),
+            ),
         }
     )
 
@@ -205,8 +208,93 @@ def _q_boolean_or(sf_dir: str) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+
+
+def _q_exact_dedup(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(sf_dir)
+
+
+def _q_jaccard_dups(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.dedup import shingle_jaccard_pairs
+
+    return shingle_jaccard_pairs(sf_dir, k=3, tau=0.8)
+
+
+def _q_minhash_dups(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(sf_dir, k=3, tau=0.8)
+
+
+def _q_simhash(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(sf_dir)
+
+
+def _q_quality(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.textstats import quality_scores
+
+    return quality_scores(sf_dir)
+
+
+def _q_bpe(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.textstats import token_count_bpe
+
+    return token_count_bpe(sf_dir)
+
+
+def _q_lang_id(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.textstats import lang_id
+
+    return lang_id(sf_dir)
+
+
+def _q_fingerprints(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.textstats import doc_fingerprints
+
+    return doc_fingerprints(sf_dir)
+
+
+def _q_ann_topk(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_bruteforce
+
+    return knn_bruteforce(sf_dir, n_queries=5, k=5)
+
+
+def _q_ann_lsh(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_lsh
+
+    return knn_lsh(sf_dir, n_queries=5, k=5)
+
+
+def _q_cosine_dups(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.ann import cosine_dup_pairs
+
+    return cosine_dup_pairs(sf_dir, tau=0.4)
+
+
+def _q_media_features(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.multimodal import media_pipeline, synthesize_media
+
+    t = media_pipeline(synthesize_media(200))
+    return pa.table(
+        {
+            "media_id": t["media_id"],
+            "f0": pa.array(
+                [v[0] for v in t["feature"].to_pylist()], type=pa.float32()
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # core engine (SURVEY.md §2)
         "doc_stats": _q_doc_stats,
         "token_counts": _q_token_counts,
         "ingest_sha": _q_ingest_sha,
@@ -215,6 +303,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "boolean_and": _q_boolean_and,
         "boolean_or": _q_boolean_or,
+        # training-data operators
+        "exact_dedup": _q_exact_dedup,
+        "jaccard_dups": _q_jaccard_dups,
+        "minhash_dups": _q_minhash_dups,  # rows-only (probabilistic recall)
+        "simhash": _q_simhash,  # rows-only (hash function not SQL-expressible)
+        "quality_scores": _q_quality,
+        "token_count_bpe": _q_bpe,
+        "lang_id": _q_lang_id,  # rows-only (heuristic model)
+        "doc_fingerprints": _q_fingerprints,  # rows-only (rolling hash)
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,  # rows-only (approximate)
+        "cosine_dups": _q_cosine_dups,
+        "media_features": _q_media_features,  # rows-only (synthetic media)
     }
 
 
@@ -319,5 +420,74 @@ ORDER BY query_id, doc_id
 SELECT DISTINCT qt.query_id, tf.doc_id
 FROM qterm qt JOIN tf ON tf.term = qt.term
 ORDER BY query_id, doc_id
+""",
+        "exact_dedup": """
+SELECT min(doc_id)::BIGINT AS rep_doc_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY text ORDER BY rep_doc_id
+""",
+        "jaccard_dups": """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM words WHERE len(w) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
+)
+SELECT a, b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE i / (sa.sz + sb.sz - i) >= 0.8 ORDER BY a, b
+""",
+        "quality_scores": """
+WITH base AS (
+  SELECT doc_id, len(text)::BIGINT AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         round(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the','and','of','a','to','in','is','it','that','for',
+                          'on','with','as','at','by','an','be','or','this','are',
+                          'from')))::DOUBLE / greatest(n_tokens, 1), 6) AS stop_ratio,
+         round((n_chars - (n_tokens - 1))::DOUBLE / greatest(n_tokens, 1), 6)
+           AS mean_tok_len
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens, stop_ratio, mean_tok_len,
+       round(0.5 * least(n_tokens, 100) / 100.0
+             + 0.3 * (1 - least(mean_tok_len, 10.0) / 10.0)
+             + 0.2 * stop_ratio, 6) AS quality
+FROM base ORDER BY doc_id
+""",
+        "token_count_bpe": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))::BIGINT
+         AS n_bpe
+FROM documents ORDER BY doc_id
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+           AS sim
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank,
+         vec_id, sim
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        "cosine_dups": """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+ORDER BY a, b
 """,
     }

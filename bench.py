@@ -1,0 +1,177 @@
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Headline: index build over the sf corpus (derive → verify → tokenize →
+salted term shuffle → compressed segments) plus the BM25 query paths.
+
+    python bench.py               # one run; prints ONE JSON line
+    python bench.py --scaling     # 8-CPU vs 32-CPU fresh processes +
+                                  # scaling efficiency (N vs 4N stand-in)
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_once() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+    from bitcoin_ledger_2es_ray.pipelines.query import run_queries
+    from bitcoin_ledger_2es_ray.pipelines.serve import latency_benchmark
+    from bitcoin_ledger_2es_ray.sources.corpus import derive_corpus_parquet
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+    work = f"/tmp/blray_bench/{os.path.basename(SF_DIR.rstrip('/'))}-cpus{NUM_CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    # untimed: corpus derivation (test fixture, not the engine) + cache warm.
+    # The sf corpus is deterministically replicated up to ~100k docs so the
+    # measurement is dominated by pipeline compute, not session fixed costs
+    # (sources.corpus.derive_corpus_parquet docstring).
+    import pyarrow.parquet as pqm
+
+    base_docs = pqm.ParquetFile(os.path.join(SF_DIR, "documents.parquet")).metadata.num_rows
+    replicate = int(os.environ.get("GRAFT_REPLICATE", max(1, round(100_000 / base_docs))))
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    corpus = derive_corpus_parquet(
+        SF_DIR,
+        f"/tmp/blray_bench/corpus-{sf_name}-r{replicate}.parquet",  # shared across CPU levels
+        row_group_size=2048,
+        replicate=replicate,
+    )
+    with open(corpus, "rb") as f:
+        while f.read(1 << 22):
+            pass
+
+    # untimed: warm the Ray worker pool (process spawn + package import) —
+    # a long-lived cluster's workers are warm; we measure compute + shuffle.
+    import ray.data as rd
+
+    def _warm(b):
+        import bitcoin_ledger_2es_ray  # noqa: F401  (worker-side import)
+
+        return b
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm, batch_size=1, num_cpus=1
+    ).materialize()
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: index build -------------------------------------------
+    cfg = BuildConfig(
+        corpus=corpus,
+        out_dir=f"{work}/index",
+        num_partitions=32,
+        head_df_ratio=0.5,
+        n_salt=2,
+        sketch_stride=16,
+    )
+    t0 = time.monotonic()
+    res = build_index(cfg)
+    timings["build"] = time.monotonic() - t0
+    files_per_sec = res.n_docs / timings["build"]
+
+    # ---- batch BM25 top-k over the 50-query fixture set ------------------
+    import pyarrow.parquet as pq
+
+    vocab = sorted(
+        set(pq.read_table(f"{cfg.out_dir}/term_dict.parquet", columns=["term"])["term"].to_pylist())
+    )
+    queries = fixture_queries(vocab, n=50, k=10)
+    t0 = time.monotonic()
+    out = run_queries(cfg.out_dir, queries, concurrency=min(8, NUM_CPUS))
+    n_results = out.count()
+    timings["bm25_topk_batch"] = time.monotonic() - t0
+
+    # ---- serving latency (warm actors): vectorized TAAT + block-max WAND -
+    texts = queries["text"].to_pylist()
+    lat = latency_benchmark(cfg.out_dir, texts, k=10, num_actors=min(4, NUM_CPUS))
+    lat_wand = latency_benchmark(
+        cfg.out_dir, texts[:10], k=10, num_actors=min(4, NUM_CPUS), mode="wand"
+    )
+    timings["serve_50_queries"] = lat["n"] * lat["mean_ms"] / 1e3
+
+    result = {
+        "metric": "index-build + BM25 query wall time (sf corpus)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "n_docs": res.n_docs,
+        "replicate": replicate,
+        "n_results": n_results,
+        "build_files_per_sec": round(files_per_sec, 1),
+        "query_p50_ms": round(lat["p50_ms"], 2),
+        "query_p99_ms": round(lat["p99_ms"], 2),
+        "wand_p50_ms": round(lat_wand["p50_ms"], 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same input at num_cpus=8 and 32 in fresh processes (N vs 4N rule)."""
+
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling runs use a larger corpus so per-session fixed costs do not
+        # mask the parallel speedup (same input at both CPU levels)
+        env.setdefault("GRAFT_REPLICATE", "200")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = sub(8), sub(32)
+    tput_lo = lo["build_files_per_sec"]
+    tput_hi = hi["build_files_per_sec"]
+    eff = tput_hi / (4 * tput_lo)
+    return {
+        "metric": "scaling efficiency (build files/s, 8 vs 32 CPUs)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "files_per_sec_8": tput_lo,
+        "files_per_sec_32": tput_hi,
+        "build_sec_8": lo["queries"]["build"],
+        "build_sec_32": hi["queries"]["build"],
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

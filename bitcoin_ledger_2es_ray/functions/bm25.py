@@ -23,6 +23,21 @@ B = 0.75
 ROUND_DECIMALS = 6
 
 
+def sql_round(x, decimals: int = ROUND_DECIMALS):
+    """Round-half-AWAY-from-zero on the scaled double — bit-compatible with
+    DuckDB's ``round(x, n)`` (C++ std::round of x*10^n).
+
+    numpy's np.round is half-EVEN, and the synthetic corpus produces exact
+    .5 boundaries (token counts are powers of two), so np.round would flip
+    the last digit vs the SQL oracle.  Both engines compute the same double
+    ``x * 10^n``, so floor(+0.5) here reproduces DuckDB exactly.
+    """
+    scale = 10.0 ** decimals
+    x = np.asarray(x, dtype=np.float64)
+    out = np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+    return out if out.ndim else float(out)
+
+
 def idf(n_docs: float, df: np.ndarray | float) -> np.ndarray | float:
     """Lucene BM25 idf; df may be a scalar or vector."""
     return np.log(1.0 + (n_docs - np.asarray(df, dtype=np.float64) + 0.5) / (np.asarray(df, dtype=np.float64) + 0.5))

@@ -75,20 +75,28 @@ def tokenize_flat(
     # compound tokens: lowercase, underscores removed
     compound = pc.utf8_lower(pc.replace_substring(idents, "_", ""))
 
-    # part tokens: boundary-insert then split
-    parts_src = pc.replace_substring(idents, "_", " ")
-    for pat, rep in _BOUNDARIES:
-        parts_src = pc.replace_substring_regex(parts_src, pat, rep)
-    parts_src = pc.utf8_lower(parts_src)
-
-    # identifiers that split into >1 part contribute their parts too
-    multi_mask = pc.match_substring(parts_src, " ").to_numpy(zero_copy_only=False)
-    multi_mask = np.nan_to_num(multi_mask, nan=False).astype(bool)
-    multi_idx = np.flatnonzero(multi_mask)
-    if len(multi_idx):
-        parts_list = pc.split_pattern(parts_src.take(pa.array(multi_idx)), " ")
-        part_vals, part_row = _flatten_list_array(parts_list)
-        part_doc = doc_of_ident[multi_idx][part_row]
+    # Only identifiers containing an ASCII uppercase letter, a digit or an
+    # underscore can split under the boundary rules — restrict the (pricey)
+    # boundary-regex pipeline to that subset.  On a plain-word corpus this
+    # skips nearly all of the tokenizer's regex work.
+    splittable = pc.match_substring_regex(idents, r"[A-Z0-9_]").to_numpy(zero_copy_only=False)
+    splittable = np.nan_to_num(splittable, nan=False).astype(bool)
+    split_idx = np.flatnonzero(splittable)
+    part_vals = None
+    if len(split_idx):
+        parts_src = pc.replace_substring(idents.take(pa.array(split_idx)), "_", " ")
+        for pat, rep in _BOUNDARIES:
+            parts_src = pc.replace_substring_regex(parts_src, pat, rep)
+        parts_src = pc.utf8_lower(parts_src)
+        # identifiers that split into >1 part contribute their parts too
+        multi_mask = pc.match_substring(parts_src, " ").to_numpy(zero_copy_only=False)
+        multi_mask = np.nan_to_num(multi_mask, nan=False).astype(bool)
+        multi_sub = np.flatnonzero(multi_mask)
+        if len(multi_sub):
+            parts_list = pc.split_pattern(parts_src.take(pa.array(multi_sub)), " ")
+            part_vals, part_row = _flatten_list_array(parts_list)
+            part_doc = doc_of_ident[split_idx[multi_sub]][part_row]
+    if part_vals is not None:
         terms = pa.concat_arrays([compound.cast(pa.string()), part_vals.cast(pa.string())])
         doc_idx = np.concatenate([doc_of_ident, part_doc])
     else:

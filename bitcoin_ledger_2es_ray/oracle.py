@@ -63,7 +63,9 @@ class BM25Oracle:
         nz = np.flatnonzero(scores > 0.0)
         s = scores[nz]
         if round_decimals is not None:
-            s = np.round(s, round_decimals)
+            from .functions.bm25 import sql_round
+
+            s = sql_round(s, round_decimals)
         ids = self.doc_ids[nz]
         order = topk_order(s, ids, k)
         return [(int(ids[i]), float(s[i])) for i in order]

@@ -125,7 +125,6 @@ def build_index(cfg: BuildConfig) -> BuildResult:
     bfp = fingerprint(
         cfg.num_partitions, cfg.tag_lang, sorted(head_salts.items())
     )
-    head_ref = ray.put(head_salts)
 
     # ---- resume filter for phase A (skip = no re-tokenize) ----------------
     done_tok = manifest.completed("tokenize")
@@ -137,21 +136,26 @@ def build_index(cfg: BuildConfig) -> BuildResult:
     ]
 
     # ---- phase A: tokenize + explode, checkpointed per unit ---------------
-    concurrency = cfg.concurrency or max(1, int(ray.cluster_resources().get("CPU", 4)))
+    # Stateless task pool (not actors): the stage carries only the tiny
+    # head-salt table, so the driver-built callable ships in each task's
+    # closure and Ray schedules plain tasks — no actor-pool startup wave.
     if todo:
+        stage = ReadVerifyTokenize(
+            out_dir=cfg.out_dir,
+            num_partitions=cfg.num_partitions,
+            head_salts=head_salts,
+            tag_lang=cfg.tag_lang,
+            build_fingerprint=bfp,
+        )
+        opts: dict = {}
+        if cfg.concurrency:
+            opts["concurrency"] = min(cfg.concurrency, max(1, len(todo)))
         rd.from_items(todo).map_batches(
-            ReadVerifyTokenize,
-            fn_constructor_kwargs={
-                "out_dir": cfg.out_dir,
-                "num_partitions": cfg.num_partitions,
-                "head_salts_ref": head_ref,
-                "tag_lang": cfg.tag_lang,
-                "build_fingerprint": bfp,
-            },
+            stage,
             batch_size=1,
             batch_format="pyarrow",
-            concurrency=min(concurrency, max(1, len(todo))),
             num_cpus=1,
+            **opts,
         ).materialize()
 
     # ---- phase B: term shuffle → segments, checkpointed per shard ---------
@@ -202,11 +206,12 @@ def build_index(cfg: BuildConfig) -> BuildResult:
         term_dict = pa.Table.from_pylist([], schema=TERM_DICT)
     atomic_write_parquet(term_dict, os.path.join(cfg.out_dir, "term_dict.parquet"))
 
-    fwd = rd.read_parquet(os.path.join(cfg.out_dir, "forward_map"), columns=["dl"])
-    from ray.data.aggregate import Count, Sum
-
-    st = fwd.aggregate(Count(alias_name="n"), Sum("dl", alias_name="sdl"))
-    n_docs, total_dl = int(st["n"]), int(st["sdl"] or 0)
+    # global stats (G3): phase A's manifest entries already carry per-unit
+    # row counts and total_dl — summing them here avoids re-scanning the
+    # forward map with another Ray job (values are oracle-checked in tests).
+    tok_entries = manifest.completed("tokenize").values()
+    n_docs = sum(e["rows"] for e in tok_entries)
+    total_dl = sum(e["total_dl"] for e in tok_entries)
     n_terms = len(pc.unique(term_dict["term"]))
     stats = pa.table(
         {

@@ -107,6 +107,42 @@ class SegmentStore:
         return np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(dls_l)
 
 
+def taat_topk(
+    weighted_lists: list[tuple[float, np.ndarray, np.ndarray, np.ndarray]],
+    avgdl: float,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """Vectorized term-at-a-time top-k.
+
+    ``weighted_lists`` = [(idf_weight, docs, tfs, dls)] in **sorted term
+    order** — contributions are accumulated in that order (np.add.at adds
+    sequentially in concat order), which fixes the float sum per doc and
+    makes the result bit-identical across every scoring path.
+    """
+    docs_l, contrib_l = [], []
+    for w, d, tf, dl in weighted_lists:
+        if len(d) == 0:
+            continue
+        contrib_l.append(w * tf_norm(tf, dl, avgdl, k1, b))
+        docs_l.append(d)
+    if not docs_l:
+        return []
+    all_docs = np.concatenate(docs_l)
+    all_contrib = np.concatenate(contrib_l)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, all_contrib)
+    if round_decimals is not None:
+        from ..functions.bm25 import sql_round
+
+        scores = sql_round(scores, round_decimals)
+    order = topk_order(scores, uniq, k)
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
 def score_query(
     store: SegmentStore,
     text: str,
@@ -117,26 +153,14 @@ def score_query(
 ) -> list[tuple[int, float]]:
     """Exhaustive top-k for one query — the rank-identity reference path."""
     terms = sorted(set(tokenize_query(text)))
-    docs_l, contrib_l = [], []
+    lists = []
     for term in terms:
         df_t = store.df.get(term, 0)
         if df_t == 0:
             continue
         d, tf, dl = store.postings(term)
-        w = float(idf(store.n_docs, df_t))
-        contrib_l.append(w * tf_norm(tf, dl, store.avgdl, k1, b))
-        docs_l.append(d)
-    if not docs_l:
-        return []
-    all_docs = np.concatenate(docs_l)
-    all_contrib = np.concatenate(contrib_l)
-    uniq, inv = np.unique(all_docs, return_inverse=True)
-    scores = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(scores, inv, all_contrib)  # adds in sorted-term concat order
-    if round_decimals is not None:
-        scores = np.round(scores, round_decimals)
-    order = topk_order(scores, uniq, k)
-    return [(int(uniq[i]), float(scores[i])) for i in order]
+        lists.append((float(idf(store.n_docs, df_t)), d, tf, dl))
+    return taat_topk(lists, store.avgdl, k, k1, b, round_decimals)
 
 
 def score_query_wand(

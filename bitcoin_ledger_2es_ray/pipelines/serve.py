@@ -100,13 +100,21 @@ class TopKService:
                 self.actor_of_shard[sid] = ai
         ray.get([a.__ray_ready__.remote() for a in self.actors])
 
-    def query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
-        """Top-k (doc_id, score) — rank-identical to the exhaustive path."""
+    def query(self, text: str, k: int = 10, mode: str = "taat") -> list[tuple[int, float]]:
+        """Top-k (doc_id, score) — rank-identical across both modes.
+
+        ``taat`` (default): decode the fetched lists fully and score with the
+        vectorized term-at-a-time kernel — fastest in a numpy world.
+        ``wand``: block-max WAND document-at-a-time with block skipping —
+        the scale path's algorithmic shape (per-block decode + skip), kept
+        rank-identical and exercised by tests; a compiled DAAT would make
+        it the latency winner on high-df corpora.
+        """
         import ray
 
         terms = sorted(set(tokenize_query(text)))
         plan: dict[int, list[tuple[int, int]]] = defaultdict(list)  # actor → wants
-        meta: list[tuple[int, float, int]] = []  # (order, weight) per want, aligned
+        meta: list[tuple[int, float, int]] = []  # (order, weight, actor) per want
         for order, term in enumerate(terms):
             rows = self.lookup.get(term)
             if not rows:
@@ -122,20 +130,34 @@ class TopKService:
         futures = {ai: self.actors[ai].fetch.remote(wants) for ai, wants in plan.items()}
         fetched = {ai: ray.get(f) for ai, f in futures.items()}
         taken = {ai: 0 for ai in fetched}
-        cursors = []
+        raws = []
         for order, w, ai in meta:
-            raw = fetched[ai][taken[ai]]
+            raws.append((order, w, fetched[ai][taken[ai]]))
             taken[ai] += 1
-            cursors.append(
+
+        if mode == "wand":
+            cursors = [
                 Cursor(
                     order, w, raw["doc_ids"], raw["tfs"], raw["dls"],
                     raw["block_meta"], self.avgdl, self.k1, self.b,
                 )
-            )
-        return wand_topk(cursors, k)
+                for order, w, raw in raws
+            ]
+            return wand_topk(cursors, k)
 
-    def query_batch(self, texts: list[str], k: int = 10) -> list[list[tuple[int, float]]]:
-        return [self.query(t, k) for t in texts]
+        from ..functions.codecs import decode_postings
+        from .query import taat_topk
+
+        lists = [
+            (w, *decode_postings(raw["doc_ids"], raw["tfs"], raw["dls"]))
+            for order, w, raw in raws  # meta order == sorted term order
+        ]
+        return taat_topk(lists, self.avgdl, k, self.k1, self.b)
+
+    def query_batch(
+        self, texts: list[str], k: int = 10, mode: str = "taat"
+    ) -> list[list[tuple[int, float]]]:
+        return [self.query(t, k, mode=mode) for t in texts]
 
     def shutdown(self) -> None:
         import ray
@@ -146,18 +168,18 @@ class TopKService:
 
 
 def latency_benchmark(
-    index_dir: str, queries: list[str], k: int = 10, num_actors: int = 4
+    index_dir: str, queries: list[str], k: int = 10, num_actors: int = 4, mode: str = "taat"
 ) -> dict:
     """p50/p99 per-query latency over warm actors (BASELINE.md metric)."""
     import time
 
     svc = TopKService(index_dir, num_actors=num_actors)
     try:
-        svc.query(queries[0], k)  # warm
+        svc.query(queries[0], k, mode=mode)  # warm
         lat = []
         for q in queries:
             t0 = time.monotonic()
-            svc.query(q, k)
+            svc.query(q, k, mode=mode)
             lat.append(time.monotonic() - t0)
         lat = np.array(lat)
         return {

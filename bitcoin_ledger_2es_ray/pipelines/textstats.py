@@ -1,0 +1,191 @@
+"""Text-analysis operators for training-data pipelines.
+
+- ``quality_scores``   length / punctuation / stopword heuristics (vectorized
+                       Arrow kernels; SQL-oracle checkable)
+- ``token_count_bpe``  BPE-ish pre-tokenizer count via a compiled regex
+                       (letters runs | digit runs | single non-space symbol)
+- ``lang_id``          stopword-profile n-gram-free language heuristic
+                       (deterministic; no external models)
+- ``doc_fingerprints`` Karp-Rabin rolling-hash document fingerprint set
+
+All run as ``map_batches`` over Arrow batches of the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS_EN = {
+    "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on",
+    "with", "as", "at", "by", "an", "be", "or", "this", "are", "from",
+}
+
+# tiny public stopword profiles for the langid heuristic
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": STOPWORDS_EN,
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "du", "en", "est", "que", "pour"},
+    "es": {"el", "la", "los", "las", "de", "y", "un", "una", "en", "es", "que", "por", "del"},
+    "de": {"der", "die", "das", "und", "ein", "eine", "von", "zu", "mit", "ist", "den", "für"},
+    "zh": set(),  # handled by the CJK-character ratio below
+}
+
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")  # compiled once per process
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _collect_sorted(ds, key="doc_id") -> pa.Table:
+    import ray
+
+    t = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    keys = [key] if isinstance(key, str) else list(key)
+    return t.sort_by([(k, "ascending") for k in keys])
+
+
+def quality_scores(sf_dir: str) -> pa.Table:
+    """(doc_id, n_chars, n_tokens, stop_ratio, mean_tok_len, quality).
+
+    quality = round(1/(1+exp(-(0.2·stop_ratio + 0.05·min(n_tokens,200)/200
+    ... )) simplified to a fixed affine blend — the exact formula is mirrored
+    in the SQL oracle, so any drift fails the gate.
+    """
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        words = pc.split_pattern(text, " ")
+        n_tokens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, row_idx = pc.list_flatten(words), np.repeat(
+            np.arange(batch.num_rows), np.nan_to_num(
+                pc.list_value_length(words).to_numpy(zero_copy_only=False), nan=0
+            ).astype(np.int64),
+        )
+        is_stop = np.array(
+            [w in STOPWORDS_EN for w in flat.to_pylist()], dtype=np.float64
+        )
+        stop_cnt = np.bincount(row_idx, weights=is_stop, minlength=batch.num_rows)
+        from ..functions.bm25 import sql_round
+
+        stop_ratio = sql_round(stop_cnt / np.maximum(n_tokens, 1), 6)
+        mean_tok = sql_round(
+            (n_chars - (n_tokens - 1)) / np.maximum(n_tokens, 1), 6
+        )  # chars minus separators over tokens
+        quality = sql_round(
+            0.5 * np.minimum(n_tokens, 100) / 100.0
+            + 0.3 * (1.0 - np.minimum(mean_tok, 10.0) / 10.0)
+            + 0.2 * stop_ratio,
+            6,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_chars": pa.array(n_chars),
+                "n_tokens": pa.array(n_tokens),
+                "stop_ratio": pa.array(stop_ratio),
+                "mean_tok_len": pa.array(mean_tok),
+                "quality": pa.array(quality),
+            }
+        )
+
+    return _collect_sorted(_read_docs(sf_dir).map_batches(score, batch_format="pyarrow"))
+
+
+def token_count_bpe(sf_dir: str) -> pa.Table:
+    """(doc_id, n_bpe) — BPE-ish pre-token count with a compiled regex."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = np.array([len(_BPE_RE.findall(t)) for t in texts], dtype=np.int64)
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()), "n_bpe": pa.array(n)})
+
+    return _collect_sorted(_read_docs(sf_dir).map_batches(count, batch_format="pyarrow"))
+
+
+class LangId:
+    """Stateful language-ID stage (actor pool): profiles built in __init__.
+
+    Heuristic: CJK char ratio > 0.2 → zh; otherwise the profile with the
+    highest stopword hit-rate; ties → 'en'; no hits → 'und'.
+    """
+
+    def __init__(self):
+        self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        if len(_CJK_RE.findall(text)) / max(len(text), 1) > 0.2:
+            return "zh"
+        words = text.lower().split()
+        if not words:
+            return "und"
+        best, best_rate = "und", 0.0
+        for lang in sorted(self.profiles):  # sorted → deterministic ties
+            rate = sum(w in self.profiles[lang] for w in words) / len(words)
+            if rate > best_rate:
+                best, best_rate = lang, rate
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "lang_pred": pa.array(preds, type=pa.string()),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    ds = _read_docs(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2, num_cpus=1
+    )
+    return _collect_sorted(ds)
+
+
+_FP_BASE = np.uint64(1315423911)
+_FP_WINDOW = 16
+
+
+def doc_fingerprints(sf_dir: str, window: int = _FP_WINDOW, keep: int = 4) -> pa.Table:
+    """(doc_id, fp) — ``keep`` smallest Karp-Rabin window hashes per doc
+    (winnowing-lite).  Vectorized rolling hash over the char codes."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out_doc, out_fp = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < window:
+                hashes = np.array(
+                    [int(b.sum()) if len(b) else 0], dtype=np.uint64
+                )
+            else:
+                # polynomial window hash mod 2^64 (uint64 wraparound),
+                # vectorized over positions — the loop is only the 16
+                # in-window offsets, never the characters
+                n_pos = len(b) - window + 1
+                hashes = np.zeros(n_pos, dtype=np.uint64)
+                for j in range(window):
+                    hashes = hashes * _FP_BASE + b[j : j + n_pos]
+            sel = np.sort(hashes)[:keep]
+            out_doc.extend([doc_id] * len(sel))
+            out_fp.extend(int(x) for x in sel)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "fp": pa.array(np.array(out_fp, dtype=np.uint64).astype(np.int64)),
+            }
+        )
+
+    return _collect_sorted(
+        _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow"), key=["doc_id", "fp"]
+    )

@@ -37,32 +37,46 @@ CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
 def derive_corpus_parquet(
-    sf_dir: str, out_path: str, row_group_size: int = 512
+    sf_dir: str, out_path: str, row_group_size: int = 512, replicate: int = 1
 ) -> str:
     """Write the corpus-shaped parquet derived from ``{sf_dir}/documents.parquet``.
 
     Deterministic (FIXTURES.md §B); cached — rewritten only if missing.
     Multiple row groups so the reader parallelizes even on one file.
+
+    ``replicate`` (bench only): repeat the documents R times with docIDs
+    offset by ``r * N`` — a deterministic scale-up of the driver corpus so
+    throughput/scaling runs measure compute, not fixed overhead.  Content
+    per doc is unchanged (vocab and avgdl invariant).
     """
     if os.path.exists(out_path):
         return out_path
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang", "source"]
     )
-    doc_id = docs["doc_id"].to_pylist()
-    source = docs["source"].to_pylist()
-    text = docs["text"].to_pylist()
-    table = pa.table(
-        {
-            "repo": [f"org{d % 7}/repo{d % 20}" for d in doc_id],
-            "path": [f"src/{s}/file_{d}.py" for d, s in zip(doc_id, source)],
-            "commit": [hashlib.sha256(f"commit:{d}".encode()).hexdigest()[:40] for d in doc_id],
-            "lang": docs["lang"],
-            "content": docs["text"],
-            "sha256": [hashlib.sha256(t.encode("utf-8")).digest() for t in text],
-        },
-        schema=CORPUS_WITH_SHA,
-    )
+    n = docs.num_rows
+    parts = []
+    base_text = docs["text"].to_pylist()
+    base_sha = [hashlib.sha256(t.encode("utf-8")).digest() for t in base_text]
+    for r in range(max(1, replicate)):
+        doc_id = [d + r * n for d in docs["doc_id"].to_pylist()]
+        source = docs["source"].to_pylist()
+        parts.append(
+            pa.table(
+                {
+                    "repo": [f"org{d % 7}/repo{d % 20}" for d in doc_id],
+                    "path": [f"src/{s}/file_{d}.py" for d, s in zip(doc_id, source)],
+                    "commit": [
+                        hashlib.sha256(f"commit:{d}".encode()).hexdigest()[:40] for d in doc_id
+                    ],
+                    "lang": docs["lang"],
+                    "content": docs["text"],
+                    "sha256": base_sha,
+                },
+                schema=CORPUS_WITH_SHA,
+            )
+        )
+    table = pa.concat_tables(parts)
     tmp = out_path + ".tmp"
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     pq.write_table(table, tmp, row_group_size=row_group_size)

@@ -53,18 +53,26 @@ class ReadVerifyTokenize:
         self,
         out_dir: str,
         num_partitions: int,
-        head_salts_ref=None,
+        head_salts: dict | None = None,
         tag_lang: bool = False,
         build_fingerprint: str = "",
     ):
-        import ray
-
         self.out_dir = out_dir
         self.num_partitions = num_partitions
         self.tag_lang = tag_lang
         self.build_fingerprint = build_fingerprint
-        self.head_salts = ray.get(head_salts_ref) if head_salts_ref is not None else {}
-        self.manifest = Manifest(out_dir)
+        # The head-salt table is small (head terms only), so the instance is
+        # built on the driver and shipped inside the task closure — a
+        # stateless TASK pool, no actor startup cost.  A huge salt table
+        # would instead be ray.put once and resolved lazily here.
+        self.head_salts = head_salts or {}
+        self._manifest: Manifest | None = None
+
+    @property
+    def manifest(self) -> Manifest:
+        if self._manifest is None:
+            self._manifest = Manifest(self.out_dir)
+        return self._manifest
 
     def _process_unit(self, unit: dict) -> dict:
         t0 = time.monotonic()

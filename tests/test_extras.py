@@ -1,0 +1,145 @@
+"""Training-data pipeline operators: dedup family, ANN, text analysis,
+multimodal plumbing (instructions §beyond-the-reference)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_counts(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.dedup import exact_dedup
+
+    t = exact_dedup(SF)
+    assert t["n_dups"].to_pylist() == [1] * t.num_rows or sum(t["n_dups"].to_pylist()) == 500
+    assert sum(t["n_dups"].to_pylist()) == 500  # every doc accounted for
+    reps = t["rep_doc_id"].to_pylist()
+    assert reps == sorted(reps)
+
+
+def test_minhash_recall_vs_exact(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    exact = shingle_jaccard_pairs(SF, tau=0.8)
+    approx = minhash_lsh_pairs(SF, tau=0.8)
+    exact_pairs = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    approx_pairs = set(zip(approx["a"].to_pylist(), approx["b"].to_pylist()))
+    assert approx_pairs <= exact_pairs  # verified candidates → perfect precision
+    recall = len(approx_pairs) / max(1, len(exact_pairs))
+    assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
+    # verified jaccard values agree with the exact pipeline
+    exact_j = dict(zip(exact_pairs, exact["jaccard"].to_pylist()))
+    for pair, j in zip(approx_pairs, approx["jaccard"].to_pylist()):
+        assert abs(exact_j[pair] - j) < 1e-6
+
+
+def test_simhash_near_dups_are_close(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.dedup import (
+        shingle_jaccard_pairs,
+        simhash_fingerprints,
+    )
+
+    fp = simhash_fingerprints(SF)
+    sims = dict(zip(fp["doc_id"].to_pylist(), fp["simhash"].to_pylist()))
+
+    def ham(a, b):
+        return bin((sims[a] & 0xFFFFFFFFFFFFFFFF) ^ (sims[b] & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    dups = shingle_jaccard_pairs(SF, tau=0.8)
+    dup_d = [ham(a, b) for a, b in zip(dups["a"].to_pylist(), dups["b"].to_pylist())]
+    rng = np.random.default_rng(0)
+    ids = fp["doc_id"].to_pylist()
+    rand_d = [ham(*rng.choice(ids, 2, replace=False)) for _ in range(200)]
+    assert np.mean(dup_d) < np.mean(rand_d) / 2, (np.mean(dup_d), np.mean(rand_d))
+
+
+def test_ann_lsh_recall(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_bruteforce, knn_lsh
+
+    exact = knn_bruteforce(SF, n_queries=5, k=5)
+    approx = knn_lsh(SF, n_queries=5, k=5)
+    # rank-1 (the vector itself) must always be found by LSH
+    exact_top1 = {
+        (q, v)
+        for q, r, v in zip(
+            exact["query_id"].to_pylist(), exact["rank"].to_pylist(), exact["vec_id"].to_pylist()
+        )
+        if r == 1
+    }
+    approx_hits = set(zip(approx["query_id"].to_pylist(), approx["vec_id"].to_pylist()))
+    assert exact_top1 <= approx_hits
+
+
+def test_langid_goldens(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.textstats import LangId
+
+    lid = LangId()
+    assert lid.classify("the cat and the dog are in the house") == "en"
+    assert lid.classify("le chat et le chien est dans la maison") == "fr"
+    assert lid.classify("el gato y el perro en la casa es que") == "es"
+    assert lid.classify("der hund und die katze ist mit ein haus") == "de"
+    assert lid.classify("你好世界这是一个测试文档") == "zh"
+    assert lid.classify("") == "und"
+    assert lid.classify("zzz qqq xxx") == "und"
+
+
+def test_fingerprints_deterministic(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.textstats import doc_fingerprints
+
+    a = doc_fingerprints(SF)
+    b = doc_fingerprints(SF)
+    assert a.equals(b)
+    # identical texts → identical fingerprint sets
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    by_text: dict[str, list[int]] = {}
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        by_text.setdefault(t, []).append(d)
+    fps: dict[int, tuple] = {}
+    for row in a.to_pylist():
+        fps.setdefault(row["doc_id"], [])
+    for row in a.to_pylist():
+        fps[row["doc_id"]].append(row["fp"])
+    for ids in by_text.values():
+        if len(ids) > 1:
+            assert fps[ids[0]] == fps[ids[1]]
+
+
+def test_multimodal_pipeline(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.multimodal import (
+        FEATURES,
+        MediaDecoder,
+        frame_sample,
+        media_pipeline,
+        synthesize_media,
+    )
+
+    media = synthesize_media(150, kind="video")
+    out = media_pipeline(media, concurrency=2)
+    assert out.num_rows == 150
+    assert out.schema == FEATURES
+    v = np.array(out["feature"][0].as_py())
+    assert len(v) == 64 and abs(v.sum() - 1.0) < 1e-3  # normalized histogram
+    # determinism
+    out2 = media_pipeline(media, concurrency=2)
+    assert out.equals(out2)
+    # the real-decode path is a clearly-marked stub
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(fake=False)._decode_one("image", b"\x00")
+    assert frame_sample(12, every=5) == [0, 5, 10]
+
+
+def test_quality_monotonic_sanity(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.textstats import quality_scores
+
+    q = quality_scores(SF)
+    assert q.num_rows == 500
+    vals = np.array(q["quality"].to_pylist())
+    assert ((vals >= 0) & (vals <= 1)).all()
