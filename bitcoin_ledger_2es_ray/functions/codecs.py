@@ -37,21 +37,32 @@ def varbyte_sizes(values: np.ndarray) -> np.ndarray:
 
 
 def varbyte_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Encode uint64 values → (uint8 buffer, per-value byte lengths)."""
+    """Encode uint64 values → (uint8 buffer, per-value byte lengths).
+
+    Fast path: posting gaps/tfs/dls are overwhelmingly < 128 (dense posting
+    lists have avg gap ≈ N/df ≈ 1–2), so the all-single-byte case — a plain
+    uint8 cast — is worth special-casing before the general scatter loop.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     nb = varbyte_sizes(v)
     total = int(nb.sum())
+    if total == len(v):  # every value fits one byte
+        return v.astype(np.uint8), nb
     out = np.zeros(total, dtype=np.uint8)
     starts = np.zeros(len(v), dtype=np.int64)
     if len(v):
         np.cumsum(nb[:-1], out=starts[1:])
-    for j in range(_MAX_VB_BYTES):
-        m = nb > j
-        if not m.any():
-            break
-        byte = ((v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
-        cont = (nb[m] - 1 > j).astype(np.uint8)
-        out[starts[m] + j] = byte | (cont << 7)
+    # single-byte values (the vast majority for posting gaps): one scatter
+    m1 = nb == 1
+    out[starts[m1]] = v[m1]
+    rest = np.flatnonzero(~m1)
+    if len(rest):
+        vr, nbr, sr = v[rest], nb[rest], starts[rest]
+        for j in range(int(nbr.max())):
+            m = nbr > j
+            byte = ((vr[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+            cont = (nbr[m] - 1 > j).astype(np.uint8)
+            out[sr[m] + j] = byte | (cont << 7)
     return out, nb
 
 

@@ -52,6 +52,13 @@ class BuildConfig:
     n_salt: int = 4
     sketch_stride: int = 16  # sample every k-th read unit for the df sketch
     concurrency: int | None = None
+    # term-shuffle execution (G1): "fs" = map-side hash partition into one
+    # parquet row group per shard + reduce-side selective row-group reads
+    # (filesystem exchange — restartable, bounded memory, no in-memory
+    # all-to-all); "raydata" = ds.groupby("shard").map_groups (Ray Data's
+    # sort shuffle).  Both produce byte-identical segments (encode_shard is
+    # order-insensitive); asserted in tests/test_resume.py.
+    shuffle: str = "fs"
 
 
 @dataclass
@@ -112,15 +119,27 @@ def _df_sketch(units: list[dict], cfg: BuildConfig) -> dict[str, int]:
 
 
 def build_index(cfg: BuildConfig) -> BuildResult:
+    import time
+
     import ray
     import ray.data as rd
+
+    phase_t: dict[str, float] = {}
+    _t0 = time.monotonic()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        phase_t[name] = round(time.monotonic() - _t0, 3)
+        _t0 = time.monotonic()
 
     os.makedirs(cfg.out_dir, exist_ok=True)
     manifest = Manifest(cfg.out_dir)
     units = scan_corpus(cfg.corpus)
+    _mark("scan")
 
     # ---- head-term df sketch (always: resume must reproduce the salts) ----
     head_salts = _df_sketch(units, cfg)
+    _mark("sketch")
     # build fingerprint covers everything that changes tokenize/shard output
     bfp = fingerprint(
         cfg.num_partitions, cfg.tag_lang, sorted(head_salts.items())
@@ -128,11 +147,13 @@ def build_index(cfg: BuildConfig) -> BuildResult:
 
     # ---- resume filter for phase A (skip = no re-tokenize) ----------------
     done_tok = manifest.completed("tokenize")
+    _mark("resume_filter_read")
     todo = [
         u
         for u in units
         if done_tok.get(str(u["part"]), {}).get("input_fingerprint") != unit_fingerprint(u)
         or done_tok.get(str(u["part"]), {}).get("build_fingerprint") != bfp
+        or "shard_row_groups" not in done_tok.get(str(u["part"]), {})
     ]
 
     # ---- phase A: tokenize + explode, checkpointed per unit ---------------
@@ -158,6 +179,8 @@ def build_index(cfg: BuildConfig) -> BuildResult:
             **opts,
         ).materialize()
 
+    _mark("phase_a")
+
     # ---- phase B: term shuffle → segments, checkpointed per shard ---------
     tokset = _tokenize_set_key(manifest)
     done_seg = {
@@ -166,18 +189,89 @@ def build_index(cfg: BuildConfig) -> BuildResult:
         if e.get("build_fingerprint") == bfp and e.get("tokenize_set") == tokset
     }
     skip_shards = sorted(int(k) for k in done_seg)
-    postings = rd.read_parquet(os.path.join(cfg.out_dir, "postings"))
-    if skip_shards:
-        skip = pa.array(np.array(skip_shards, dtype=np.uint32))
-        postings = postings.map_batches(
-            lambda t: t.filter(pc.invert(pc.is_in(t["shard"], value_set=skip))),
-            batch_format="pyarrow",
+    builder = make_segment_builder(cfg.out_dir, bfp, tokset)
+    if cfg.shuffle == "fs":
+        # Reduce side of the filesystem exchange: each task owns a GROUP of
+        # shards (keeps per-shard sorts cache-sized while amortizing file
+        # opens — every postings part is opened once per task and only the
+        # group's row groups are read; a reducer never touches other
+        # shards' bytes).  Shard→row-group indices come from the phase-A
+        # manifest, so no footer scan is needed to plan the exchange.
+        done_entries = sorted(
+            manifest.completed("tokenize").items(), key=lambda kv: int(kv[0])
         )
-    new_dict = postings.groupby("shard").map_groups(
-        make_segment_builder(cfg.out_dir, bfp, tokset), batch_format="pyarrow"
-    )
-    dict_parts = [ray.get(r) for r in new_dict.to_arrow_refs()]
+        todo_shards = [
+            sid for sid in range(cfg.num_partitions) if sid not in skip_shards
+        ]
+        # Task count is a function of the PARTITION LAYOUT, not the CPU
+        # count: the per-task cost includes opening every postings part, so
+        # scaling the task count with CPUs would inflate total work and
+        # destroy N→4N scaling.  64 tasks ≫ any tested CPU level.
+        n_tasks = min(len(todo_shards), 64) or 1
+        per_task = max(1, (len(todo_shards) + n_tasks - 1) // n_tasks)
+        items = []
+        for i in range(0, len(todo_shards), per_task):
+            group = todo_shards[i : i + per_task]
+            plan: dict[str, dict[int, int]] = {}
+            for k, e in done_entries:
+                srg = e.get("shard_row_groups", {})
+                path = f"{cfg.out_dir}/postings/part-{int(k):06d}.parquet"
+                rgs = {sid: srg[str(sid)] for sid in group if str(sid) in srg}
+                if rgs:
+                    plan[path] = rgs
+            if plan:
+                items.append(
+                    {
+                        "shards": group,
+                        "paths": list(plan),
+                        "rg_maps": [
+                            [[sid, rg] for sid, rg in m.items()] for m in plan.values()
+                        ],
+                    }
+                )
+
+        def reduce_shards(batch: pa.Table) -> pa.Table:
+            outs = []
+            for item in batch.to_pylist():
+                # ONE read call per file for all of this task's row groups,
+                # then one stable uint32 argsort splits the shards back out —
+                # far cheaper than a read call per (file, shard)
+                tabs = [
+                    pq.ParquetFile(path).read_row_groups([rg for _, rg in rg_map])
+                    for path, rg_map in zip(item["paths"], item["rg_maps"])
+                ]
+                big = pa.concat_tables(tabs).combine_chunks()
+                shard_col = np.asarray(big["shard"].combine_chunks())
+                order = np.argsort(shard_col, kind="stable")
+                ss = shard_col[order]
+                bounds = np.flatnonzero(np.diff(ss)) + 1
+                for s, e in zip(
+                    np.concatenate(([0], bounds)),
+                    np.concatenate((bounds, [len(ss)])),
+                ):
+                    outs.append(builder(big.take(pa.array(order[s:e]))))
+            return pa.concat_tables(outs) if outs else pa.Table.from_pylist([], schema=TERM_DICT)
+
+        if items:
+            # one block per item → every reduce task runs in parallel
+            new_dict = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+                reduce_shards, batch_size=1, batch_format="pyarrow", num_cpus=1
+            )
+            dict_parts = [ray.get(r) for r in new_dict.to_arrow_refs()]
+        else:
+            dict_parts = []
+    else:
+        postings = rd.read_parquet(os.path.join(cfg.out_dir, "postings"))
+        if skip_shards:
+            skip = pa.array(np.array(skip_shards, dtype=np.uint32))
+            postings = postings.map_batches(
+                lambda t: t.filter(pc.invert(pc.is_in(t["shard"], value_set=skip))),
+                batch_format="pyarrow",
+            )
+        new_dict = postings.groupby("shard").map_groups(builder, batch_format="pyarrow")
+        dict_parts = [ray.get(r) for r in new_dict.to_arrow_refs()]
     dict_parts = [t for t in dict_parts if t.num_rows > 0]
+    _mark("phase_b")
 
     # ---- finalize: term_dict (recover skipped shards' rows), stats --------
     for sid in skip_shards:
@@ -223,11 +317,13 @@ def build_index(cfg: BuildConfig) -> BuildResult:
         schema=STATS,
     )
     atomic_write_parquet(stats, os.path.join(cfg.out_dir, "stats.parquet"))
+    _mark("finalize")
     manifest.write_entry(
         "final",
         "index",
         {
             "status": "done",
+            "phase_seconds": phase_t,
             "build_fingerprint": bfp,
             "n_docs": n_docs,
             "total_dl": total_dl,

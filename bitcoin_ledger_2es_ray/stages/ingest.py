@@ -35,6 +35,22 @@ from ..schemas import FORWARD_MAP, POSTINGS_RAW
 from ..sources.corpus import read_unit, unit_fingerprint
 from ..state.manifest import Manifest, atomic_write_parquet
 
+def _write_rowgrouped(table: pa.Table, slices: list[tuple[int, int]], path: str) -> int:
+    """Atomically write ``table`` with one parquet row group per slice."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with pq.ParquetWriter(tmp, table.schema) as w:
+        for s, e in slices:
+            w.write_table(table.slice(s, e - s))
+    size = os.path.getsize(tmp)
+    os.replace(tmp, path)
+    return size
+
+
 ENTRY_SCHEMA = pa.schema(
     [
         ("part", pa.uint32()),
@@ -130,8 +146,21 @@ class ReadVerifyTokenize:
             },
             schema=POSTINGS_RAW,
         )
-        nbytes = atomic_write_parquet(
-            out, f"{self.out_dir}/postings/part-{unit['part']:06d}.parquet"
+        # map-side hash partition: rows sorted by shard, ONE PARQUET ROW
+        # GROUP PER SHARD, with the shard→row-group map recorded in the
+        # manifest.  Phase B's reducer for shard s then reads exactly its
+        # row groups — the term shuffle becomes a filesystem exchange with
+        # no in-memory all-to-all (stages/segment.py, pipelines/build.py).
+        out = out.sort_by("shard")
+        shard_sorted = np.asarray(out["shard"])
+        bounds = np.flatnonzero(np.diff(shard_sorted)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(shard_sorted)]))
+        shard_rg = {int(shard_sorted[s]): i for i, s in enumerate(starts)}
+        nbytes = _write_rowgrouped(
+            out,
+            [(int(s), int(e)) for s, e in zip(starts, ends)],
+            f"{self.out_dir}/postings/part-{unit['part']:06d}.parquet",
         )
         wall = time.monotonic() - t0
         entry = {
@@ -145,6 +174,7 @@ class ReadVerifyTokenize:
             "n_postings": out.num_rows,
             "total_dl": int(dl.sum()),
             "bytes": nbytes,
+            "shard_row_groups": {str(k): v for k, v in shard_rg.items()},
             "wall_s": round(wall, 4),
         }
         self.manifest.write_entry("tokenize", unit["part"], entry)

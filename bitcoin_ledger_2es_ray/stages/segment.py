@@ -46,23 +46,54 @@ def _slice_bytes(buf: np.ndarray, offsets: np.ndarray, starts: np.ndarray, ends:
 
 
 def encode_shard(table: pa.Table) -> tuple[pa.Table, pa.Table, int]:
-    """Encode one shard's postings → (segment table, term_dict rows, shard id)."""
+    """Encode one shard's postings → (segment table, term_dict rows, shard id).
+
+    Output is a pure function of the row SET (the sort key (term, salt,
+    doc_id) is unique per row), so any input order — Ray groupby groups or
+    file-partitioned concatenation — yields byte-identical segments.
+    """
+    table = table.combine_chunks()  # shuffle output is heavily chunked
     sid = int(table["shard"][0].as_py())
-    t = table.sort_by(
-        [("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")]
-    )
-    dic = pc.dictionary_encode(t["term"].combine_chunks())
+    # sort numerically on dictionary codes remapped to lexicographic rank —
+    # much cheaper than an Arrow multi-key string sort at millions of rows,
+    # and the gather afterwards is plain numpy fancy indexing
+    dic = pc.dictionary_encode(table["term"].combine_chunks())
     codes = np.asarray(dic.indices)
-    salt = np.asarray(t["salt"].combine_chunks())
-    docs = np.asarray(t["doc_id"].combine_chunks())
-    tfs = np.asarray(t["tf"].combine_chunks())
-    dls = np.asarray(t["dl"].combine_chunks())
+    vocab = dic.dictionary.to_pylist()
+    vorder = sorted(range(len(vocab)), key=vocab.__getitem__)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[vorder] = np.arange(len(vocab))
+    skey = rank[codes]
+    salt0 = np.asarray(table["salt"].combine_chunks())
+    docs0 = np.asarray(table["doc_id"].combine_chunks())
+    if (
+        len(vocab) <= 0xFFFF
+        and docs0.size
+        and int(docs0.max()) < 1 << 40
+        and int(salt0.max()) < 256
+    ):
+        # composite single-key sort: term-rank(16b) | salt(8b) | doc(40b) —
+        # one argsort instead of three stable lexsort passes
+        key = (
+            (skey.astype(np.uint64) << np.uint64(48))
+            | (salt0.astype(np.uint64) << np.uint64(40))
+            | docs0.astype(np.uint64)
+        )
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((docs0, salt0, skey))
+    skey = skey[order]
+    salt = salt0[order]
+    docs = docs0[order]
+    tfs = np.asarray(table["tf"].combine_chunks())[order]
+    dls = np.asarray(table["dl"].combine_chunks())[order]
+    code_sorted = codes[order]
     n = len(docs)
 
     # run boundaries: a run = one (term, salt) posting list
     change = np.empty(n, dtype=bool)
     change[0] = True
-    change[1:] = (codes[1:] != codes[:-1]) | (salt[1:] != salt[:-1])
+    change[1:] = (skey[1:] != skey[:-1]) | (salt[1:] != salt[:-1])
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
 
@@ -118,7 +149,7 @@ def encode_shard(table: pa.Table) -> tuple[pa.Table, pa.Table, int]:
     np.cumsum(blocks_per_run, out=list_off[1:])
     block_list = pa.ListArray.from_arrays(pa.array(list_off, type=pa.int32()), block_struct)
 
-    run_terms = dic.dictionary.take(pa.array(codes[starts]))
+    run_terms = pa.array([vocab[c] for c in code_sorted[starts]], type=pa.string())
     df = run_lens.astype(np.uint32)
     cf = np.add.reduceat(tfs.astype(np.uint64), starts)
     max_tf = np.maximum.reduceat(tfs, starts).astype(np.uint32)

@@ -101,6 +101,15 @@ def test_config_change_invalidates(corpus, tmp_path):
     assert res.skipped_units == 0  # build fingerprint changed → re-tokenize
 
 
+def test_shuffle_modes_bit_identical(corpus, tmp_path):
+    """fs (row-group exchange) and raydata (groupby) shuffles → same bytes."""
+    a = tmp_path / "fs"
+    b = tmp_path / "rd"
+    build_index(_cfg(corpus, a, shuffle="fs"))
+    build_index(_cfg(corpus, b, shuffle="raydata"))
+    assert _tree_hashes(str(a)) == _tree_hashes(str(b))
+
+
 def test_determinism_across_parallelism(corpus, tmp_path):
     """Same bytes at concurrency 1 and 4 (stand-in for N vs 4N workers)."""
     a = tmp_path / "c1"
