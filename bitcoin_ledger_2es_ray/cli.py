@@ -1,0 +1,141 @@
+"""Command-line entry points — the reference's CLI surface, re-expressed.
+
+The reference (``wenweih/bitcoin-ledger-2es``, SURVEY.md §0.1) is a Go CLI
+that syncs a ledger into Elasticsearch and leaves querying to ES.  The graft
+exposes the equivalent operations over its own engine:
+
+    python -m bitcoin_ledger_2es_ray.cli build  --corpus DIR_OR_FILE --out IDX
+    python -m bitcoin_ledger_2es_ray.cli resume --corpus ...        --out IDX
+    python -m bitcoin_ledger_2es_ray.cli query  --index IDX --q "text" [-k 10]
+    python -m bitcoin_ledger_2es_ray.cli serve-bench --index IDX --queries Q.parquet
+
+``build`` and ``resume`` are the same operation (the build is always
+incremental from the manifest — the reference's "resume from last indexed
+height" generalized to per-partition lineage); both names exist for
+familiarity.  The CLI owns the Ray session (the ONLY library-adjacent code
+allowed to call ray.init, guarded for pre-initialised drivers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    from .pipelines.build import BuildConfig, build_index
+
+    _ensure_ray(args.num_cpus)
+    cfg = BuildConfig(
+        corpus=args.corpus,
+        out_dir=args.out,
+        num_partitions=args.partitions,
+        tag_lang=args.tag_lang,
+        head_df_ratio=args.head_df_ratio,
+        n_salt=args.n_salt,
+        shuffle=args.shuffle,
+    )
+    res = build_index(cfg)
+    print(
+        json.dumps(
+            {
+                "out_dir": res.out_dir,
+                "n_docs": res.n_docs,
+                "n_terms": res.n_terms,
+                "units": res.n_units,
+                "skipped_units": res.skipped_units,
+                "skipped_shards": res.skipped_shards,
+                "head_terms": len(res.head_terms),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from .pipelines.query import SegmentStore, attach_doc_meta, score_query
+    import pyarrow as pa
+
+    store = SegmentStore(args.index)
+    top = score_query(store, args.q, args.k)
+    results = pa.table(
+        {
+            "query_id": pa.array([0] * len(top), type=pa.uint64()),
+            "rank": pa.array(range(1, len(top) + 1), type=pa.uint32()),
+            "doc_id": pa.array([d for d, _ in top], type=pa.uint64()),
+            "score": pa.array([s for _, s in top], type=pa.float64()),
+        }
+    )
+    joined = attach_doc_meta(results, args.index)
+    for row in joined.to_pylist():
+        print(
+            f"{row['rank']:3d}  {row['score']:10.4f}  doc {row['doc_id']}  "
+            f"{row['repo']}:{row['path']}@{row['commit'][:8]}"
+        )
+    return 0
+
+
+def cmd_serve_bench(args: argparse.Namespace) -> int:
+    import pyarrow.parquet as pq
+
+    from .pipelines.serve import latency_benchmark
+
+    _ensure_ray(args.num_cpus)
+    texts = pq.read_table(args.queries, columns=["text"])["text"].to_pylist()
+    print(json.dumps(latency_benchmark(args.index, texts, k=args.k, num_actors=args.actors)))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bitcoin_ledger_2es_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name in ("build", "resume"):
+        b = sub.add_parser(name, help="build (or incrementally resume) the index")
+        b.add_argument("--corpus", required=True, help="corpus parquet file or directory")
+        b.add_argument("--out", required=True, help="index output directory")
+        b.add_argument("--partitions", type=int, default=32)
+        b.add_argument("--n-salt", type=int, default=4)
+        b.add_argument("--head-df-ratio", type=float, default=0.10)
+        b.add_argument("--tag-lang", action="store_true")
+        b.add_argument("--shuffle", choices=("fs", "raydata"), default="fs")
+        b.add_argument("--num-cpus", type=int, default=None)
+        b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True, help="query text")
+    q.add_argument("-k", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("serve-bench", help="p50/p99 latency over warm serving actors")
+    s.add_argument("--index", required=True)
+    s.add_argument("--queries", required=True, help="queries parquet (text column)")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--actors", type=int, default=4)
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_serve_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
