@@ -208,6 +208,46 @@ def _q_boolean_or(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_boolean_not(sf_dir: str) -> pa.Table:
+    """Docs containing the query's FIRST term but none of the later terms
+    (C6 NOT/difference) — multi-term fixture queries only."""
+    from bitcoin_ledger_2es_ray.functions.boolean import difference, union_many
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_query_terms
+
+    store, _ = _store_for(sf_dir)
+    qterms = fixture_query_terms(sorted(store.df), n=_N_QUERIES)
+    qids, docs = [], []
+    for qid, terms in enumerate(qterms):
+        terms = sorted(set(terms))  # "first" = alphabetically first (SQL mirror)
+        if len(terms) < 2:
+            continue
+        pos = np.sort(store.postings(terms[0])[0])
+        neg = union_many([np.sort(store.postings(t)[0]) for t in terms[1:]])
+        hits = np.sort(difference(pos, neg))
+        qids.extend([qid] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {"query_id": pa.array(qids, type=pa.int64()), "doc_id": pa.array(docs, type=pa.int64())}
+    )
+
+
+def _q_lang_counts(sf_dir: str) -> pa.Table:
+    """M6 language filter/projection: doc counts per lang from the engine's
+    forward map, via a Ray Data groupby aggregate."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    res = _index_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(res.out_dir, "forward_map"), columns=["lang"])
+    agg = ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+    parts = [ray.get(r) for r in agg.to_arrow_refs()]
+    t = pa.concat_tables([p for p in parts if p.num_rows > 0])
+    return pa.table(
+        {"lang": t["lang"], "n_docs": t["n_docs"].cast(pa.int64())}
+    ).sort_by("lang")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text analysis)
 
@@ -303,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "boolean_and": _q_boolean_and,
         "boolean_or": _q_boolean_or,
+        "boolean_not": _q_boolean_not,
+        "lang_counts": _q_lang_counts,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
         "jaccard_dups": _q_jaccard_dups,
@@ -420,6 +462,33 @@ ORDER BY query_id, doc_id
 SELECT DISTINCT qt.query_id, tf.doc_id
 FROM qterm qt JOIN tf ON tf.term = qt.term
 ORDER BY query_id, doc_id
+""",
+        "boolean_not": _PRELUDE
+        + """
+, qfirst AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY term) AS rn,
+           count(*) OVER (PARTITION BY query_id) AS nt
+    FROM (SELECT DISTINCT query_id, term FROM qterm)
+  ) WHERE rn = 1 AND nt >= 2
+),
+qrest AS (
+  SELECT DISTINCT q.query_id, q.term FROM qterm q
+  JOIN qfirst f ON f.query_id = q.query_id AND q.term <> f.term
+),
+pos AS (
+  SELECT f.query_id, tf.doc_id FROM qfirst f JOIN tf ON tf.term = f.term
+),
+neg AS (
+  SELECT DISTINCT r.query_id, tf.doc_id FROM qrest r JOIN tf ON tf.term = r.term
+)
+SELECT p.query_id, p.doc_id FROM pos p
+ANTI JOIN neg n ON n.query_id = p.query_id AND n.doc_id = p.doc_id
+ORDER BY query_id, doc_id
+""",
+        "lang_counts": """
+SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang ORDER BY lang
 """,
         "exact_dedup": """
 SELECT min(doc_id)::BIGINT AS rep_doc_id, count(*)::BIGINT AS n_dups

@@ -97,10 +97,10 @@ def run_once() -> dict:
     cfg = BuildConfig(
         corpus=corpus,
         out_dir=f"{work}/index",
-        num_partitions=max(32, min(512, n_docs_total // 15_000)),
+        num_partitions=max(32, min(512, n_docs_total // 7_500)),
         head_df_ratio=0.5,
         n_salt=2,
-        sketch_stride=16,
+        sketch_stride=32,
     )
     t0 = time.monotonic()
     res = build_index(cfg)
@@ -174,8 +174,17 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same input at num_cpus=8 and 32 in fresh processes (N vs 4N rule)."""
+    """Same input at two CPU levels (N vs 4N) in fresh processes.
 
+    Default pair 8→32; override with BENCH_SCALE_CPUS="2,8" etc.  This VM's
+    memory subsystem saturates this workload around 8 concurrent workers
+    (see BASELINE.md), so the lower pair shows the pipeline's parallel
+    scaling while the higher pair measures the machine's ceiling.
+    """
+
+    lo_cpu, hi_cpu = (
+        int(x) for x in os.environ.get("BENCH_SCALE_CPUS", "8,32").split(",")
+    )
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
 
     def sub(ncpu: int) -> dict:
@@ -195,23 +204,24 @@ def run_scaling() -> dict:
 
     # best-of-N per level: this VM's concurrent throughput is noisy
     # (hypervisor neighbors); min wall time is the least-polluted sample
-    lo_runs = [sub(8) for _ in range(trials)]
-    hi_runs = [sub(32) for _ in range(trials)]
+    lo_runs = [sub(lo_cpu) for _ in range(trials)]
+    hi_runs = [sub(hi_cpu) for _ in range(trials)]
     lo = min(lo_runs, key=lambda r: r["queries"]["build"])
     hi = min(hi_runs, key=lambda r: r["queries"]["build"])
     tput_lo = lo["build_files_per_sec"]
     tput_hi = hi["build_files_per_sec"]
     eff = tput_hi / (4 * tput_lo)
     return {
-        "metric": "scaling efficiency (build files/s, 8 vs 32 CPUs)",
+        "metric": f"scaling efficiency (build files/s, {lo_cpu} vs {hi_cpu} CPUs)",
         "value": round(eff, 3),
         "unit": "ratio",
-        "files_per_sec_8": tput_lo,
-        "files_per_sec_32": tput_hi,
-        "build_sec_8": lo["queries"]["build"],
-        "build_sec_32": hi["queries"]["build"],
-        "build_sec_8_all": [r["queries"]["build"] for r in lo_runs],
-        "build_sec_32_all": [r["queries"]["build"] for r in hi_runs],
+        "cpus": [lo_cpu, hi_cpu],
+        "files_per_sec_lo": tput_lo,
+        "files_per_sec_hi": tput_hi,
+        "build_sec_lo": lo["queries"]["build"],
+        "build_sec_hi": hi["queries"]["build"],
+        "build_sec_lo_all": [r["queries"]["build"] for r in lo_runs],
+        "build_sec_hi_all": [r["queries"]["build"] for r in hi_runs],
         "n_docs": lo["n_docs"],
         "sf": lo["sf"],
     }

@@ -124,6 +124,54 @@ def tokenize_flat(
     return terms, doc_idx, dl
 
 
+def whitespace_tokenize_flat(
+    content: pa.Array | pa.ChunkedArray,
+    langs: pa.Array | None = None,
+    tag_lang: bool = False,
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Plain whitespace tokenizer (no identifier splits, no lowercase) —
+    the minimal Tokenizer-protocol implementation and registry example."""
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    n = len(content)
+    toks = pc.split_pattern_regex(content, r"\s+")
+    terms, doc_idx = _flatten_list_array(toks)
+    tok_len = np.nan_to_num(
+        pc.utf8_length(terms).to_numpy(zero_copy_only=False), nan=0
+    ).astype(np.int64)
+    keep = (tok_len > 0) & (tok_len <= MAX_TOKEN_LEN)
+    if not keep.all():
+        keep_idx = np.flatnonzero(keep)
+        terms = terms.take(pa.array(keep_idx))
+        doc_idx = doc_idx[keep_idx]
+    terms = terms.cast(pa.string())
+    if tag_lang:
+        if langs is None:
+            raise ValueError("tag_lang=True requires the langs column")
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        terms = pc.binary_join_element_wise(langs.take(pa.array(doc_idx)), terms, ":")
+    dl = np.bincount(doc_idx, minlength=n).astype(np.uint32)
+    return terms, doc_idx, dl
+
+
+# Tokenizer protocol registry (SURVEY.md §2.7): a tokenizer is any callable
+# (content, langs=None, tag_lang=False) -> (terms, doc_idx, dl).  Build
+# pipelines select by name (BuildConfig.tokenizer); the name participates in
+# the build fingerprint so switching tokenizers invalidates checkpoints.
+TOKENIZERS: dict[str, object] = {
+    "code": tokenize_flat,
+    "whitespace": whitespace_tokenize_flat,
+}
+
+
+def get_tokenizer(name: str):
+    try:
+        return TOKENIZERS[name]
+    except KeyError:
+        raise ValueError(f"unknown tokenizer {name!r}; registered: {sorted(TOKENIZERS)}")
+
+
 def tokenize_docs(content: pa.Array | pa.ChunkedArray) -> list[list[str]]:
     """Per-doc token lists (convenience for the exact oracle and tests)."""
     terms, doc_idx, _ = tokenize_flat(content)

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.hashing import fingerprint
-from ..functions.tokenize import tokenize_flat
+from ..functions.tokenize import get_tokenizer
 from ..schemas import STATS, TERM_DICT
 from ..sources.corpus import read_unit, scan_corpus, unit_fingerprint
 from ..stages.ingest import ReadVerifyTokenize
@@ -59,6 +59,7 @@ class BuildConfig:
     # sort shuffle).  Both produce byte-identical segments (encode_shard is
     # order-insensitive); asserted in tests/test_resume.py.
     shuffle: str = "fs"
+    tokenizer: str = "code"  # Tokenizer-protocol registry name (SURVEY §2.7)
 
 
 @dataclass
@@ -89,12 +90,13 @@ def _df_sketch(units: list[dict], cfg: BuildConfig) -> dict[str, int]:
     import ray.data as rd
 
     tag = cfg.tag_lang
+    tok = get_tokenizer(cfg.tokenizer)
 
     def sketch(batch: pa.Table) -> pa.Table:
         outs = []
         for unit in batch.to_pylist():
             t = read_unit(unit, columns=["content", "lang"])
-            terms, doc_idx, _ = tokenize_flat(
+            terms, doc_idx, _ = tok(
                 t["content"].combine_chunks(),
                 langs=t["lang"].combine_chunks() if tag else None,
                 tag_lang=tag,
@@ -142,7 +144,7 @@ def build_index(cfg: BuildConfig) -> BuildResult:
     _mark("sketch")
     # build fingerprint covers everything that changes tokenize/shard output
     bfp = fingerprint(
-        cfg.num_partitions, cfg.tag_lang, sorted(head_salts.items())
+        cfg.num_partitions, cfg.tag_lang, cfg.tokenizer, sorted(head_salts.items())
     )
 
     # ---- resume filter for phase A (skip = no re-tokenize) ----------------
@@ -167,6 +169,7 @@ def build_index(cfg: BuildConfig) -> BuildResult:
             head_salts=head_salts,
             tag_lang=cfg.tag_lang,
             build_fingerprint=bfp,
+            tokenizer=cfg.tokenizer,
         )
         opts: dict = {}
         if cfg.concurrency:

@@ -152,5 +152,10 @@ def unit_fingerprint(unit: dict) -> str:
     from ..functions.hashing import fingerprint
 
     return fingerprint(
-        unit["path"], st.st_size, int(st.st_mtime), unit["row_group"], unit["offset"], unit["num_rows"]
+        unit["path"],
+        st.st_size,
+        st.st_mtime_ns,  # ns resolution: same-second rewrites must invalidate
+        unit["row_group"],
+        unit["offset"],
+        unit["num_rows"],
     )

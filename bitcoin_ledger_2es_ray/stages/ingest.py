@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import sha256_column, shard_and_salt
-from ..functions.tokenize import term_counts, tokenize_flat
+from ..functions.tokenize import get_tokenizer, term_counts
 from ..schemas import FORWARD_MAP, POSTINGS_RAW
 from ..sources.corpus import read_unit, unit_fingerprint
 from ..state.manifest import Manifest, atomic_write_parquet
@@ -72,10 +72,12 @@ class ReadVerifyTokenize:
         head_salts: dict | None = None,
         tag_lang: bool = False,
         build_fingerprint: str = "",
+        tokenizer: str = "code",
     ):
         self.out_dir = out_dir
         self.num_partitions = num_partitions
         self.tag_lang = tag_lang
+        self.tokenizer = tokenizer
         self.build_fingerprint = build_fingerprint
         # The head-salt table is small (head terms only), so the instance is
         # built on the driver and shipped inside the task closure — a
@@ -108,7 +110,7 @@ class ReadVerifyTokenize:
                 )
 
         # M3–M5 — tokenize + doc length, one pass
-        terms, doc_idx, dl = tokenize_flat(
+        terms, doc_idx, dl = get_tokenizer(self.tokenizer)(
             content, langs=t["lang"].combine_chunks() if self.tag_lang else None, tag_lang=self.tag_lang
         )
         doc_ids = np.arange(unit["offset"], unit["offset"] + t.num_rows, dtype=np.uint64)

@@ -72,6 +72,22 @@ def test_term_counts():
     assert rows == [("a", 10, 2), ("b", 10, 1), ("b", 20, 1)]
 
 
+def test_whitespace_tokenizer_and_registry():
+    import pytest
+
+    from bitcoin_ledger_2es_ray.functions.tokenize import (
+        get_tokenizer,
+        whitespace_tokenize_flat,
+    )
+
+    terms, doc_idx, dl = whitespace_tokenize_flat(pa.array(["Foo_bar baz", "  a  b "]))
+    assert terms.to_pylist() == ["Foo_bar", "baz", "a", "b"]  # no splits, no lowercase
+    np.testing.assert_array_equal(dl, [2, 2])
+    assert get_tokenizer("code") is not None
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        get_tokenizer("nope")
+
+
 def test_docs_roundtrip():
     docs = tokenize_docs(pa.array(["snake_case fooBar", "plain words here"]))
     assert docs[0] == ["snakecase", "foobar", "snake", "case", "foo", "bar"]
