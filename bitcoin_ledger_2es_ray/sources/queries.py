@@ -24,6 +24,29 @@ def fixture_query_terms(vocab: list[str], n: int = 50) -> list[list[str]]:
     return out
 
 
+def read_queries(path: str) -> pa.Table:
+    """S5: query-set reader (QUERIES-schema parquet)."""
+    import pyarrow.parquet as pq
+
+    from ..schemas import QUERIES as QSCHEMA
+    from ..schemas import cast_to
+
+    return cast_to(pq.read_table(path), QSCHEMA)
+
+
+def write_results(results, path: str) -> str:
+    """S5: results writer — accepts a RESULTS-schema Dataset or Table."""
+    import pyarrow as _pa
+
+    from ..state.manifest import atomic_write_parquet
+
+    if isinstance(results, _pa.Table):
+        atomic_write_parquet(results, path)
+    else:  # ray.data.Dataset → partitioned directory sink
+        results.write_parquet(path)
+    return path
+
+
 def fixture_queries(vocab: list[str], n: int = 50, k: int = 10) -> pa.Table:
     terms = fixture_query_terms(vocab, n)
     return pa.table(
