@@ -183,15 +183,15 @@ def run_scaling() -> dict:
     """
 
     lo_cpu, hi_cpu = (
-        int(x) for x in os.environ.get("BENCH_SCALE_CPUS", "8,32").split(",")
+        int(x) for x in os.environ.get("BENCH_SCALE_CPUS", "2,8").split(",")
     )
-    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
 
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # scaling runs use a larger corpus so per-session fixed costs do not
         # mask the parallel speedup (same input at both CPU levels)
-        env.setdefault("GRAFT_REPLICATE", "800")
+        env.setdefault("GRAFT_REPLICATE", "200")
         env.setdefault("BENCH_BUILD_ONLY", "1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -86,7 +86,7 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 5) -> pa.Table:
         [
             ray.get(r)
             for r in _read_embeddings(sf_dir)
-            .map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
+            .map_batches(partial_topk, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
             .to_arrow_refs()
         ]
     )
@@ -144,7 +144,7 @@ def cosine_dup_pairs(sf_dir: str, tau: float = 0.99) -> pa.Table:
         [
             ray.get(r)
             for r in _read_embeddings(sf_dir)
-            .map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+            .map_batches(pairs, batch_format="pyarrow", batch_size=2048, zero_copy_batch=True)
             .to_arrow_refs()
         ]
     )
@@ -184,7 +184,7 @@ def knn_lsh(
         [
             ray.get(r)
             for r in _read_embeddings(sf_dir)
-            .map_batches(bucketize, batch_format="pyarrow", batch_size=4096)
+            .map_batches(bucketize, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
             .to_arrow_refs()
         ]
     )

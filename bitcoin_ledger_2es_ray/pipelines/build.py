@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from ..functions.hashing import fingerprint
 from ..functions.tokenize import get_tokenizer
-from ..schemas import STATS, TERM_DICT
+from ..schemas import FORMAT_VERSION, STATS, TERM_DICT
 from ..sources.corpus import read_unit, scan_corpus, unit_fingerprint
 from ..stages.ingest import ReadVerifyTokenize
 from ..stages.segment import make_segment_builder
@@ -144,7 +144,11 @@ def build_index(cfg: BuildConfig) -> BuildResult:
     _mark("sketch")
     # build fingerprint covers everything that changes tokenize/shard output
     bfp = fingerprint(
-        cfg.num_partitions, cfg.tag_lang, cfg.tokenizer, sorted(head_salts.items())
+        FORMAT_VERSION,
+        cfg.num_partitions,
+        cfg.tag_lang,
+        cfg.tokenizer,
+        sorted(head_salts.items()),
     )
 
     # ---- resume filter for phase A (skip = no re-tokenize) ----------------

@@ -103,7 +103,7 @@ def exact_dedup(sf_dir: str) -> pa.Table:
         h = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
         return pa.table({"doc_id": batch["doc_id"], "h": pa.array(h, type=pa.string())})
 
-    ds = _read_docs(sf_dir).map_batches(add_hash, batch_format="pyarrow")
+    ds = _read_docs(sf_dir).map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
     agg = ds.groupby("h").aggregate(
         Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_dups")
     )
@@ -136,7 +136,7 @@ def shingle_jaccard_pairs(sf_dir: str, k: int = 3, tau: float = 0.8) -> pa.Table
         d, s = _doc_shingles(batch, k)
         return pa.table({"doc_id": pa.array(d), "sh": pa.array(s)})
 
-    shingles = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+    shingles = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     sizes_ds = shingles.groupby("doc_id").aggregate(Count(alias_name="size"))
     pairs = shingles.groupby("sh").map_groups(_pairs_from_groups, batch_format="pyarrow")
     inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
@@ -229,7 +229,7 @@ def minhash_lsh_pairs(
         )
 
     docs = _read_docs(sf_dir)
-    buckets = docs.map_batches(sign, batch_format="pyarrow")
+    buckets = docs.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
     cand = buckets.groupby(["band", "bucket"]).map_groups(
         _pairs_from_groups, batch_format="pyarrow"
     )
@@ -308,7 +308,7 @@ def simhash_fingerprints(sf_dir: str) -> pa.Table:
         )
 
     t = pa.concat_tables(
-        [_as_table(x) for x in _collect(_read_docs(sf_dir).map_batches(sim, batch_format="pyarrow"))]
+        [_as_table(x) for x in _collect(_read_docs(sf_dir).map_batches(sim, batch_format="pyarrow", zero_copy_batch=True))]
     )
     return t.sort_by("doc_id")
 

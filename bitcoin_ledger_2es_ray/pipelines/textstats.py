@@ -96,7 +96,7 @@ def quality_scores(sf_dir: str) -> pa.Table:
             }
         )
 
-    return _collect_sorted(_read_docs(sf_dir).map_batches(score, batch_format="pyarrow"))
+    return _collect_sorted(_read_docs(sf_dir).map_batches(score, batch_format="pyarrow", zero_copy_batch=True))
 
 
 def token_count_bpe(sf_dir: str) -> pa.Table:
@@ -107,7 +107,7 @@ def token_count_bpe(sf_dir: str) -> pa.Table:
         n = np.array([len(_BPE_RE.findall(t)) for t in texts], dtype=np.int64)
         return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()), "n_bpe": pa.array(n)})
 
-    return _collect_sorted(_read_docs(sf_dir).map_batches(count, batch_format="pyarrow"))
+    return _collect_sorted(_read_docs(sf_dir).map_batches(count, batch_format="pyarrow", zero_copy_batch=True))
 
 
 class LangId:
@@ -187,5 +187,5 @@ def doc_fingerprints(sf_dir: str, window: int = _FP_WINDOW, keep: int = 4) -> pa
         )
 
     return _collect_sorted(
-        _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow"), key=["doc_id", "fp"]
+        _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow", zero_copy_batch=True), key=["doc_id", "fp"]
     )

@@ -13,6 +13,11 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+# bump when the on-disk index layout changes — participates in the build
+# fingerprint so stale cross-round checkpoint caches rebuild instead of
+# being misread
+FORMAT_VERSION = 1
+
 # ---------------------------------------------------------------------------
 # corpus (input) — exact shape mandated by BASELINE.json L15.
 # ``large_string`` variants are accepted on read and cast down per batch.

@@ -131,10 +131,17 @@ def scan_corpus(paths: list[str] | str) -> list[dict]:
 
 
 def read_unit(unit: dict, columns: list[str] | None = None) -> pa.Table:
-    """Read one (file, row_group) unit → corpus table + ``doc_id`` + ``part``."""
+    """Read one (file, row_group) unit → corpus table + ``doc_id`` + ``part``.
+
+    ``large_string`` corpus columns are cast down to ``string`` per batch
+    (SURVEY.md §1.2 — accepted on read, normalized immediately).
+    """
     cols = columns or CORPUS_COLUMNS
     want = cols + (["sha256"] if unit["has_sha"] and "sha256" not in cols else [])
     t = pq.ParquetFile(unit["path"]).read_row_group(unit["row_group"], columns=want)
+    for i, f in enumerate(t.schema):
+        if f.type == pa.large_string():
+            t = t.set_column(i, f.name, t.column(i).cast(pa.string()))
     n = t.num_rows
     if n != unit["num_rows"]:
         raise ValueError(
