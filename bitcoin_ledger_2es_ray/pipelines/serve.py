@@ -99,6 +99,11 @@ class TopKService:
             for sid in owned:
                 self.actor_of_shard[sid] = ai
         ray.get([a.__ray_ready__.remote() for a in self.actors])
+        # small router-side cache of fetched compressed rows: query streams
+        # hit the same (head) terms repeatedly; compressed rows are tiny
+        # relative to the index, so a few thousand terms is cheap
+        self._row_cache: dict[str, list[dict]] = {}
+        self._row_cache_cap = 4096
 
     def query(self, text: str, k: int = 10, mode: str = "taat") -> list[tuple[int, float]]:
         """Top-k (doc_id, score) — rank-identical across both modes.
@@ -114,26 +119,43 @@ class TopKService:
 
         terms = sorted(set(tokenize_query(text)))
         plan: dict[int, list[tuple[int, int]]] = defaultdict(list)  # actor → wants
-        meta: list[tuple[int, float, int]] = []  # (order, weight, actor) per want
+        meta: list[tuple[int, float, int, str, int]] = []
+        raws: list[tuple[int, float, dict] | None] = []
         for order, term in enumerate(terms):
             rows = self.lookup.get(term)
             if not rows:
                 continue
             w = float(idf(self.n_docs, self.df[term]))
-            for part, row in rows:
+            cached = self._row_cache.get(term)
+            for slice_i, (part, row) in enumerate(rows):
+                if cached is not None:
+                    raws.append((order, w, cached[slice_i]))
+                    continue
                 ai = self.actor_of_shard[part]
                 plan[ai].append((part, row))
-                meta.append((order, w, ai))
-        if not plan:
+                meta.append((order, w, ai, term, slice_i))
+                raws.append(None)
+        if not raws:
             return []
-        # concurrent fetch from owning actors
-        futures = {ai: self.actors[ai].fetch.remote(wants) for ai, wants in plan.items()}
-        fetched = {ai: ray.get(f) for ai, f in futures.items()}
-        taken = {ai: 0 for ai in fetched}
-        raws = []
-        for order, w, ai in meta:
-            raws.append((order, w, fetched[ai][taken[ai]]))
-            taken[ai] += 1
+        if plan:
+            # concurrent fetch of the cache misses from owning actors
+            futures = {ai: self.actors[ai].fetch.remote(wants) for ai, wants in plan.items()}
+            fetched = {ai: ray.get(f) for ai, f in futures.items()}
+            taken = {ai: 0 for ai in fetched}
+            miss_i = 0
+            new_rows: dict[str, dict[int, dict]] = defaultdict(dict)
+            for i, r in enumerate(raws):
+                if r is not None:
+                    continue
+                order, w, ai, term, slice_i = meta[miss_i]
+                miss_i += 1
+                raw = fetched[ai][taken[ai]]
+                taken[ai] += 1
+                raws[i] = (order, w, raw)
+                new_rows[term][slice_i] = raw
+            if len(self._row_cache) < self._row_cache_cap:
+                for term, slices in new_rows.items():
+                    self._row_cache[term] = [slices[j] for j in sorted(slices)]
 
         if mode == "wand":
             cursors = [

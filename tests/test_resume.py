@@ -119,6 +119,26 @@ def test_determinism_across_parallelism(corpus, tmp_path):
     assert _tree_hashes(str(a)) == _tree_hashes(str(b))
 
 
+def test_determinism_across_unit_layout(ray_session, tmp_path):
+    """Same segments/dict/stats regardless of read-unit (row-group) size —
+    docIDs derive from global row offsets, not unit boundaries."""
+    a_corpus = derive_corpus_parquet(SF_DIR, str(tmp_path / "c128.parquet"), row_group_size=128)
+    b_corpus = derive_corpus_parquet(SF_DIR, str(tmp_path / "c256.parquet"), row_group_size=256)
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    build_index(_cfg(a_corpus, a))
+    build_index(_cfg(b_corpus, b))
+
+    def engine_outputs(root):
+        return {
+            k: v
+            for k, v in _tree_hashes(str(root)).items()
+            if k.startswith("segments") or k in ("term_dict.parquet", "stats.parquet")
+        }
+
+    assert engine_outputs(a) == engine_outputs(b)
+
+
 def test_manifest_metrics(corpus, tmp_path):
     out = tmp_path / "idx"
     build_index(_cfg(corpus, out))
