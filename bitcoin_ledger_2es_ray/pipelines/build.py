@@ -47,9 +47,14 @@ class BuildConfig:
     num_partitions: int = 32
     tag_lang: bool = False
     # head-term skew handling (SURVEY.md §2.4 G1): terms whose sampled
-    # df/N exceeds head_df_ratio get n_salt doc-disjoint slices.
+    # df/N exceeds head_df_ratio get doc-disjoint salt slices.  The slice
+    # count ADAPTS to the estimated df — at least n_salt, and enough that
+    # no slice exceeds ~max_slice_postings (caps the largest reduce-side
+    # posting run regardless of corpus size; a df≈N term at 10^12 docs
+    # simply gets more slices).
     head_df_ratio: float = 0.10
     n_salt: int = 4
+    max_slice_postings: int = 1_000_000
     sketch_stride: int = 16  # sample every k-th read unit for the df sketch
     concurrency: int | None = None
     # term-shuffle execution (G1): "fs" = map-side hash partition into one
@@ -116,8 +121,14 @@ def _df_sketch(units: list[dict], cfg: BuildConfig) -> dict[str, int]:
     sampled_docs = sum(u["num_rows"] for u in sample)
     if sampled_docs == 0:
         return {}
+    total_docs = sum(u["num_rows"] for u in units)
     head = agg[agg["df"] / sampled_docs >= cfg.head_df_ratio]
-    return {t: cfg.n_salt for t in sorted(head["term"])}
+    out = {}
+    for term, df_s in sorted(zip(head["term"], head["df"])):
+        est_df = df_s / sampled_docs * total_docs
+        n = max(cfg.n_salt, int(-(-est_df // cfg.max_slice_postings)))
+        out[term] = min(n, 4096)
+    return out
 
 
 def build_index(cfg: BuildConfig) -> BuildResult:

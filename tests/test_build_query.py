@@ -104,6 +104,38 @@ def test_forward_map_join(built):
         assert row["path"].endswith(f"file_{d}.py")
 
 
+def test_adaptive_salting_bounds_slices(ray_session, tmp_path):
+    """Head-term skew (SURVEY §2.4 G1): salt counts scale with estimated df
+    so no reduce-side posting run exceeds ~max_slice_postings — and the
+    salted index still scores rank-identically."""
+    import glob
+
+    corpus = derive_corpus_parquet(SF_DIR, str(tmp_path / "c.parquet"), row_group_size=128)
+    cfg = BuildConfig(
+        corpus=corpus,
+        out_dir=str(tmp_path / "idx"),
+        num_partitions=8,
+        head_df_ratio=0.5,
+        n_salt=2,
+        max_slice_postings=50,
+        sketch_stride=2,
+    )
+    res = build_index(cfg)
+    assert max(res.head_terms.values()) >= 8  # df≈400 docs / 50 per slice
+    dfs = []
+    for seg in glob.glob(f"{res.out_dir}/segments/shard-*.parquet"):
+        dfs.extend(pq.read_table(seg, columns=["df"])["df"].to_pylist())
+    assert max(dfs) <= 120  # 2x estimate slack over the 50-posting target
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet")
+    oracle = BM25Oracle(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    store = SegmentStore(res.out_dir)
+    for text in ["batch dup", "scan agg window", "dup"]:
+        got = score_query(store, text, 10)
+        exp = oracle.topk(text, 10)
+        assert [d for d, _ in got] == [d for d, _ in exp], text
+
+
 def test_sha256_corruption_fails_build(ray_session, tmp_path):
     corpus = derive_corpus_parquet(SF_DIR, str(tmp_path / "corpus.parquet"), row_group_size=128)
     t = pq.read_table(corpus)
