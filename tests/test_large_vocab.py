@@ -1,0 +1,108 @@
+"""Large-vocabulary stress (code corpora have millions of identifiers, not
+the 31-term testdata vocab): build + rank-identity on a synthetic corpus
+with tens of thousands of distinct terms, zipf-ish dfs, and camelCase
+identifiers that exercise the code tokenizer's compound+parts path."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bitcoin_ledger_2es_ray.oracle import BM25Oracle
+from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+from bitcoin_ledger_2es_ray.pipelines.query import (
+    SegmentStore,
+    score_query,
+    score_query_wand,
+)
+from bitcoin_ledger_2es_ray.schemas import CORPUS_WITH_SHA
+
+
+def _code_corpus(path: str, n_docs: int = 2000, seed: int = 3) -> list[str]:
+    """Deterministic fake source files: zipf-ish draws over a large
+    identifier vocabulary, mixed camelCase/snake_case."""
+    rng = np.random.default_rng(seed)
+    nouns = ["block", "hash", "ledger", "index", "query", "score", "merge",
+             "shard", "token", "batch", "frame", "cache", "actor", "table"]
+    verbs = ["get", "set", "compute", "build", "read", "write", "merge",
+             "split", "encode", "decode", "verify", "resume"]
+    vocab = [f"{v}{n.capitalize()}{i}" for v in verbs for n in nouns for i in range(40)]
+    # zipf-ish: p(rank) ∝ 1/(rank+1) over the whole vocabulary
+    p = 1.0 / (np.arange(len(vocab)) + 1.0)
+    ranks = rng.choice(len(vocab), size=n_docs * 40, p=p / p.sum())
+    docs = []
+    pos = 0
+    for d in range(n_docs):
+        ln = int(rng.integers(10, 60))
+        words = [vocab[r] for r in ranks[pos : pos + ln]]
+        pos += ln
+        docs.append(" ".join(words) if words else "empty_doc")
+    t = pa.table(
+        {
+            "repo": [f"org/r{d % 13}" for d in range(n_docs)],
+            "path": [f"src/m{d % 7}/f_{d}.py" for d in range(n_docs)],
+            "commit": [hashlib.sha256(f"c{d}".encode()).hexdigest()[:40] for d in range(n_docs)],
+            "lang": ["py"] * n_docs,
+            "content": docs,
+            "sha256": [hashlib.sha256(c.encode()).digest() for c in docs],
+        },
+        schema=CORPUS_WITH_SHA,
+    )
+    pq.write_table(t, path, row_group_size=256)
+    return docs
+
+
+@pytest.fixture(scope="module")
+def big_vocab(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bigvocab")
+    docs = _code_corpus(str(root / "corpus.parquet"))
+    res = build_index(
+        BuildConfig(
+            corpus=str(root / "corpus.parquet"),
+            out_dir=str(root / "idx"),
+            num_partitions=16,
+            head_df_ratio=0.05,
+            n_salt=2,
+            max_slice_postings=2000,
+            sketch_stride=2,
+        )
+    )
+    oracle = BM25Oracle(list(range(len(docs))), docs)
+    return res, oracle
+
+
+def test_vocab_scale(big_vocab):
+    res, oracle = big_vocab
+    assert res.n_terms > 5_000  # compounds + parts (160x the testdata vocab)
+    assert res.n_terms == len(oracle.postings)
+    assert res.n_docs == 2000
+
+
+def test_rank_identity_large_vocab(big_vocab):
+    res, oracle = big_vocab
+    store = SegmentStore(res.out_dir)
+    rng = np.random.default_rng(11)
+    vocab = sorted(oracle.postings)
+    # mix of rare identifiers, head parts, and full camelCase queries
+    queries = ["getBlockHash0 computeScore1", "block hash index", "verify"]
+    queries += [" ".join(rng.choice(vocab, size=rng.integers(1, 4), replace=False)) for _ in range(30)]
+    for text in queries:
+        got = score_query(store, text, 10)
+        exp = oracle.topk(text, 10)
+        assert [d for d, _ in got] == [d for d, _ in exp], text
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in exp], rtol=0, atol=1e-9
+        )
+        wand = score_query_wand(store, text, 10)
+        assert [d for d, _ in wand] == [d for d, _ in got], text
+
+
+def test_term_dict_sorted(big_vocab):
+    res, _ = big_vocab
+    td = pq.read_table(f"{res.out_dir}/term_dict.parquet", columns=["term"])
+    terms = td["term"].to_pylist()
+    assert terms == sorted(terms)  # FST-style globally sorted keys
