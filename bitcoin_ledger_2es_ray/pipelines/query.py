@@ -56,6 +56,12 @@ class SegmentStore:
             self.lookup.setdefault(term, []).append((part, row))
             self.df[term] = self.df.get(term, 0) + df
         self._shards: dict[int, pa.Table] = {}
+        # decoded-postings cache: a query STREAM hits the same (head) terms
+        # repeatedly; decoded arrays are the expensive part of TAAT.  Capped
+        # by term count — at real scale an actor holds one partition and the
+        # cap bounds residency.
+        self._decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._decoded_cap = 1024
 
     def _shard(self, sid: int) -> pa.Table:
         if sid not in self._shards:
@@ -89,6 +95,9 @@ class SegmentStore:
         Slices are doc-disjoint, so concatenation order cannot change any
         score (exactly one posting per (term, doc)).
         """
+        cached = self._decoded.get(term)
+        if cached is not None:
+            return cached
         rows = self.lookup.get(term)
         if not rows:
             e = np.empty(0, dtype=np.uint64)
@@ -104,7 +113,10 @@ class SegmentStore:
             docs_l.append(d)
             tfs_l.append(t)
             dls_l.append(l)
-        return np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(dls_l)
+        out = (np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(dls_l))
+        if len(self._decoded) < self._decoded_cap:
+            self._decoded[term] = out
+        return out
 
 
 def taat_topk(
