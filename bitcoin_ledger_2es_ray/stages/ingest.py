@@ -6,10 +6,11 @@ explode) are fused into ONE pass over ``content`` — content never crosses a
 stage boundary after this (it is the widest column; shuffling it would
 dominate the job at 10^12-file scale).
 
-The stage is a callable class (actor pool): the head-term salt table is
-fetched from the object store once per actor in ``__init__`` (broadcast via
-``ray.put``, not re-shipped per batch), and each batch of read-unit
-descriptors produces:
+The stage is a callable instance shipped in a stateless TASK pool: its only
+state (the head-term salt table) is tiny and rides in the task closure, so
+there is no actor startup wave (SURVEY.md §8.5; a large salt table would be
+``ray.put`` once and fetched lazily).  Each batch of read-unit descriptors
+produces:
 
 - side outputs, committed atomically per unit (the checkpoint granularity):
   ``forward_map/part-NNNNNN.parquet``, ``postings/part-NNNNNN.parquet``,
