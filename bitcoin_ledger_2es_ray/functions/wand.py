@@ -199,21 +199,47 @@ def wand_topk(cursors: list[Cursor], k: int) -> list[tuple[int, float]]:
             continue
 
         if active[0].cur_doc == pivot:
-            # -- full evaluation: all lead cursors sit on pivot.
-            # Sum in sorted-term order (cursor.order) for bit-identical
-            # floats vs the exhaustive scorer.
-            score = 0.0
-            for c in sorted(lead, key=lambda c: c.order):
-                score += c.score_current()
-            if len(heap) < k:
-                heapq.heappush(heap, (score, -int(pivot)))
-                if len(heap) == k:
+            # -- full evaluation, BLOCK-AT-A-TIME: when sorted, lead cursors
+            # all sit exactly on the pivot (pivot is the max lead cur_doc).
+            # The window [pivot, win_end] ends at the earliest CURRENT-block
+            # boundary over ALL active cursors, so every posting any cursor
+            # holds inside the window is already decoded — the whole window
+            # gets complete scores in one vectorized numpy TAAT pass instead
+            # of doc-by-doc Python.  (Every active cursor's current block
+            # ends at or after its cur_doc > pivot, so win_end >= pivot and
+            # the loop always advances.)
+            win_end = min(c.block_last[c.bi] for c in active)
+            docs_l, contrib_l = [], []
+            for c in sorted(active, key=lambda c: c.order):  # fixed float order
+                i1 = int(np.searchsorted(c.docs, win_end, side="right"))
+                if i1 <= c.pos:
+                    continue
+                d = c.docs[c.pos : i1]
+                tf = c.tfs[c.pos : i1].astype(np.float64)
+                dl = c.dls[c.pos : i1].astype(np.float64)
+                docs_l.append(d)
+                contrib_l.append(
+                    c.weight * (tf / (tf + c.k1 * (1.0 - c.b + c.b * dl / c.avgdl)))
+                )
+            uniq, inv = np.unique(np.concatenate(docs_l), return_inverse=True)
+            scores = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(scores, inv, np.concatenate(contrib_l))
+            # candidates ascend by docID (np.unique sorts) → same tie
+            # behavior as the doc-at-a-time loop
+            if len(heap) >= k:
+                m = scores > theta
+                uniq, scores = uniq[m], scores[m]
+            for doc, score in zip(uniq, scores):
+                if len(heap) < k:
+                    heapq.heappush(heap, (float(score), -int(doc)))
+                    if len(heap) == k:
+                        theta = heap[0][0]
+                elif score > theta:
+                    heapq.heapreplace(heap, (float(score), -int(doc)))
                     theta = heap[0][0]
-            elif score > theta:
-                heapq.heapreplace(heap, (score, -int(pivot)))
-                theta = heap[0][0]
-            for c in lead:
-                c.advance()
+            for c in active:
+                if c.cur_doc <= win_end:
+                    c.next_geq(win_end + np.uint64(1))
         else:
             # -- not aligned: advance the earliest cursor up to the pivot
             active[0].next_geq(pivot)
