@@ -332,6 +332,18 @@ def _q_media_features(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_tumbling_window(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.events import tumbling_window
+
+    return tumbling_window(sf_dir, window_s=3600)
+
+
+def _q_sessionize(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.events import sessionize
+
+    return sessionize(sf_dir, gap_s=1800)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core engine (SURVEY.md §2)
@@ -358,6 +370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,  # rows-only (approximate)
         "cosine_dups": _q_cosine_dups,
         "media_features": _q_media_features,  # rows-only (synthetic media)
+        # stream-shaped ops over the ordered events log
+        "tumbling_window": _q_tumbling_window,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -550,6 +565,29 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, vec_id, sim
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        "tumbling_window": """
+SELECT user_id, ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "sessionize": """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events),
+o AS (
+  SELECT user_id, sec,
+         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+              THEN 1 ELSE 0 END AS new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+),
+s AS (
+  SELECT user_id, sec,
+         sum(new) OVER (PARTITION BY user_id ORDER BY sec
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       min(sec) AS start_s, max(sec) AS end_s
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "cosine_dups": """
 SELECT a.vec_id AS a, b.vec_id AS b,

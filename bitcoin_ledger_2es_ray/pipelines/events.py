@@ -1,0 +1,131 @@
+"""Stream-shaped operators over the ``events`` table (SURVEY.md §2.6 note).
+
+Ray Data has no event-time watermarks; stream-shaped work is expressed as
+batch over an ordered, partitioned log (Ray guide §streaming-shaped):
+
+- ``tumbling_window``  per (user, fixed window): count + sum(value).
+  Uses the PRE-AGGREGATION pattern: partials per Arrow batch inside
+  map_batches (one row per key per batch), then a small groupby aggregate
+  — the shuffle moves partials, not events.
+- ``sessionize``       gap-based sessions per user via
+  ``groupby(user).map_groups`` over the ts-sorted group (the documented
+  ordering assumption: events of one user fit one group and are sorted
+  in-group before windowing).
+
+Timestamps are converted to epoch seconds (BIGINT) at the edges so the
+DuckDB oracle comparison is timezone-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read_events(sf_dir: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def tumbling_window(sf_dir: str, window_s: int = 3600) -> pa.Table:
+    """(user_id, window_start, n_events, sum_value) per user per window."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(batch["ts"].cast(pa.int64()), 1_000_000)  # us → s
+        bucket = pc.multiply(pc.floor(pc.divide(epoch.cast(pa.float64()), window_s)).cast(pa.int64()), window_s)
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "window_start": bucket,
+                "value": batch["value"],
+            }
+        )
+        agg = t.group_by(["user_id", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return pa.table(
+            {
+                "user_id": agg["user_id"].cast(pa.int64()),
+                "window_start": agg["window_start"],
+                "n": agg["value_count"].cast(pa.int64()),
+                "v": agg["value_sum"],
+            }
+        )
+
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    final = ds.groupby(["user_id", "window_start"]).aggregate(
+        Sum("n", alias_name="n_events"), Sum("v", alias_name="sum_value")
+    )
+    parts = [ray.get(r) for r in final.to_arrow_refs()]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    from ..functions.bm25 import sql_round
+
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "window_start": t["window_start"].cast(pa.int64()),
+            "n_events": t["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(
+                sql_round(np.asarray(t["sum_value"], dtype=np.float64), 6)
+            ),
+        }
+    ).sort_by([("user_id", "ascending"), ("window_start", "ascending")])
+
+
+def sessionize(sf_dir: str, gap_s: int = 1800) -> pa.Table:
+    """(user_id, session_id, n_events, start_s, end_s): a new session starts
+    when the gap to the previous event of the same user exceeds ``gap_s``."""
+    import ray
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        sec = (g["ts"].astype("int64") // 1_000_000).to_numpy()
+        new = np.ones(len(sec), dtype=bool)
+        new[1:] = (sec[1:] - sec[:-1]) > gap_s
+        sid = np.cumsum(new)
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "session_id": sid,
+                "sec": sec,
+            }
+        )
+        return (
+            out.groupby("session_id", as_index=False)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("sec", "size"),
+                start_s=("sec", "min"),
+                end_s=("sec", "max"),
+            )
+        )[["user_id", "session_id", "n_events", "start_s", "end_s"]]
+
+    ds = (
+        _read_events(sf_dir, ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    tabs = []
+    for p in parts:
+        if not isinstance(p, pa.Table):
+            p = pa.Table.from_pandas(p)
+        if p.num_rows:
+            tabs.append(p)
+    t = pa.concat_tables(tabs)
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "session_id": t["session_id"].cast(pa.int64()),
+            "n_events": t["n_events"].cast(pa.int64()),
+            "start_s": t["start_s"].cast(pa.int64()),
+            "end_s": t["end_s"].cast(pa.int64()),
+        }
+    ).sort_by([("user_id", "ascending"), ("session_id", "ascending")])

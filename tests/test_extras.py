@@ -143,3 +143,20 @@ def test_quality_monotonic_sanity(ray_session):
     assert q.num_rows == 500
     vals = np.array(q["quality"].to_pylist())
     assert ((vals >= 0) & (vals <= 1)).all()
+
+
+def test_event_windows(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.events import sessionize, tumbling_window
+
+    w = tumbling_window(SF, window_s=3600)
+    assert w.num_rows > 0
+    assert set(w.column_names) == {"user_id", "window_start", "n_events", "sum_value"}
+    assert all(ws % 3600 == 0 for ws in w["window_start"].to_pylist()[:100])
+
+    s = sessionize(SF, gap_s=1800)
+    assert s.num_rows > 0
+    rows = s.to_pylist()
+    for r in rows[:200]:
+        assert r["end_s"] >= r["start_s"] and r["n_events"] >= 1
+    # deterministic
+    assert sessionize(SF, gap_s=1800).equals(s)
