@@ -115,6 +115,8 @@ def scan_corpus(paths: list[str] | str) -> list[dict]:
         has_sha = "sha256" in meta.schema_arrow.names
         for rg in range(meta.metadata.num_row_groups):
             n = meta.metadata.row_group(rg).num_rows
+            if n == 0:
+                continue  # empty row group (e.g. an empty corpus file)
             units.append(
                 {
                     "part": part,

@@ -156,9 +156,12 @@ class ReadVerifyTokenize:
         # no in-memory all-to-all (stages/segment.py, pipelines/build.py).
         out = out.sort_by("shard")
         shard_sorted = np.asarray(out["shard"])
-        bounds = np.flatnonzero(np.diff(shard_sorted)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(shard_sorted)]))
+        if len(shard_sorted):
+            bounds = np.flatnonzero(np.diff(shard_sorted)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(shard_sorted)]))
+        else:  # a unit whose docs produced no tokens at all
+            starts = ends = np.array([], dtype=np.int64)
         shard_rg = {int(shard_sorted[s]): i for i, s in enumerate(starts)}
         nbytes = _write_rowgrouped(
             out,
