@@ -65,9 +65,13 @@ class SegmentStore:
 
     def _shard(self, sid: int) -> pa.Table:
         if sid not in self._shards:
-            self._shards[sid] = pq.read_table(
+            from ..schemas import SEGMENT, assert_schema
+
+            t = pq.read_table(
                 os.path.join(self.index_dir, "segments", f"shard-{sid:05d}.parquet")
             )
+            assert_schema(t, SEGMENT, where=f"segment shard {sid}")
+            self._shards[sid] = t
         return self._shards[sid]
 
     def raw_rows(self, term: str) -> list[dict]:
