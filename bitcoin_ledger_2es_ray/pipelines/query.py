@@ -265,6 +265,21 @@ def run_queries(
     )
 
 
+def attach_doc_meta_bulk(results_ds, index_dir: str, num_partitions: int = 16):
+    """G5 at scale: hash-partitioned ``Dataset.join`` of a LARGE results
+    dataset against the forward map — when the results side is too big to
+    broadcast-filter (the small-side path below stays the default)."""
+    import ray.data as rd
+
+    fwd = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"),
+        columns=["doc_id", "repo", "path", "commit"],
+    )
+    return results_ds.join(
+        fwd, join_type="left_outer", num_partitions=num_partitions, on=("doc_id",)
+    )
+
+
 def attach_doc_meta(results: pa.Table, index_dir: str) -> pa.Table:
     """G5 forward-map join: results → (repo, path, commit).
 

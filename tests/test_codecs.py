@@ -62,3 +62,40 @@ def test_postings_roundtrip_and_blocks(n):
         np.testing.assert_array_equal(bd, docs[s:e])
         np.testing.assert_array_equal(bt, tfs[s:e])
         np.testing.assert_array_equal(bl, dls[s:e])
+
+
+# hypothesis property tests (SURVEY.md §5.1)
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=600))
+    def test_varbyte_roundtrip_hypothesis(vals):
+        arr = np.array(vals, dtype=np.uint64)
+        buf, nb = codecs.varbyte_encode(arr)
+        assert int(nb.sum()) == len(buf)
+        np.testing.assert_array_equal(codecs.varbyte_decode(buf.tobytes()), arr)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.sets(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=500),
+        st.integers(min_value=1, max_value=1000),
+    )
+    def test_postings_roundtrip_hypothesis(doc_set, tf_seed):
+        docs = np.array(sorted(doc_set), dtype=np.uint64)
+        rng = np.random.default_rng(tf_seed)
+        tfs = rng.integers(1, 2**20, size=len(docs)).astype(np.uint32)
+        dls = rng.integers(1, 2**16, size=len(docs)).astype(np.uint32)
+        db, tb, lb, meta = codecs.encode_postings(docs, tfs, dls)
+        d2, t2, l2 = codecs.decode_postings(db, tb, lb)
+        np.testing.assert_array_equal(d2, docs)
+        np.testing.assert_array_equal(t2, tfs)
+        np.testing.assert_array_equal(l2, dls)
+        for i in range(len(meta)):
+            bd, bt, bl = codecs.decode_block(db, tb, lb, meta, i)
+            s, e = i * codecs.BLOCK, min((i + 1) * codecs.BLOCK, len(docs))
+            np.testing.assert_array_equal(bd, docs[s:e])
+
+except ImportError:  # hypothesis absent → seeded tests above still cover
+    pass
