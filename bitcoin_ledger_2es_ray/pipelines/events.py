@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.bm25 import sql_round
+
 
 def _read_events(sf_dir: str, columns: list[str]):
     import ray.data as rd
@@ -65,8 +67,6 @@ def tumbling_window(sf_dir: str, window_s: int = 3600) -> pa.Table:
     )
     parts = [ray.get(r) for r in final.to_arrow_refs()]
     t = pa.concat_tables([p for p in parts if p.num_rows])
-    from ..functions.bm25 import sql_round
-
     return pa.table(
         {
             "user_id": t["user_id"].cast(pa.int64()),

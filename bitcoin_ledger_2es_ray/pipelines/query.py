@@ -28,10 +28,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.bm25 import B, K1, idf, tf_norm, topk_order
+from ..functions.bm25 import B, K1, idf, sql_round, tf_norm, topk_order
 from ..functions.codecs import decode_postings
 from ..functions.tokenize import tokenize_query
-from ..schemas import RESULTS
+from ..functions.wand import Cursor, wand_topk
+from ..schemas import RESULTS, SEGMENT, assert_schema
 
 
 class SegmentStore:
@@ -65,8 +66,6 @@ class SegmentStore:
 
     def _shard(self, sid: int) -> pa.Table:
         if sid not in self._shards:
-            from ..schemas import SEGMENT, assert_schema
-
             t = pq.read_table(
                 os.path.join(self.index_dir, "segments", f"shard-{sid:05d}.parquet")
             )
@@ -152,8 +151,6 @@ def taat_topk(
     scores = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(scores, inv, all_contrib)
     if round_decimals is not None:
-        from ..functions.bm25 import sql_round
-
         scores = sql_round(scores, round_decimals)
     order = topk_order(scores, uniq, k)
     return [(int(uniq[i]), float(scores[i])) for i in order]
@@ -191,8 +188,6 @@ def score_query_wand(
     Rank-identical to ``score_query`` by construction (functions/wand.py);
     asserted in tests/test_wand.py.
     """
-    from ..functions.wand import Cursor, wand_topk
-
     terms = sorted(set(tokenize_query(text)))
     cursors = []
     for order, term in enumerate(terms):

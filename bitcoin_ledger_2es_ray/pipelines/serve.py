@@ -27,8 +27,10 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..functions.bm25 import B, K1, idf
+from ..functions.codecs import decode_postings
 from ..functions.tokenize import tokenize_query
 from ..functions.wand import Cursor, wand_topk
+from .query import taat_topk
 
 
 def _segment_actor_cls():
@@ -166,9 +168,6 @@ class TopKService:
                 for order, w, raw in raws
             ]
             return wand_topk(cursors, k)
-
-        from ..functions.codecs import decode_postings
-        from .query import taat_topk
 
         lists = [
             (w, *decode_postings(raw["doc_ids"], raw["tfs"], raw["dls"]))

@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.bm25 import sql_round
+
 STOPWORDS_EN = {
     "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on",
     "with", "as", "at", "by", "an", "be", "or", "this", "are", "from",
@@ -73,8 +75,6 @@ def quality_scores(sf_dir: str) -> pa.Table:
             [w in STOPWORDS_EN for w in flat.to_pylist()], dtype=np.float64
         )
         stop_cnt = np.bincount(row_idx, weights=is_stop, minlength=batch.num_rows)
-        from ..functions.bm25 import sql_round
-
         stop_ratio = sql_round(stop_cnt / np.maximum(n_tokens, 1), 6)
         mean_tok = sql_round(
             (n_chars - (n_tokens - 1)) / np.maximum(n_tokens, 1), 6

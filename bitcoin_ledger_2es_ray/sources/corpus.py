@@ -31,6 +31,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..functions.hashing import fingerprint
 from ..schemas import CORPUS_WITH_SHA
 
 CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
@@ -158,8 +159,6 @@ def read_unit(unit: dict, columns: list[str] | None = None) -> pa.Table:
 def unit_fingerprint(unit: dict) -> str:
     """Lineage key of a read unit: path identity + size + row layout."""
     st = os.stat(unit["path"])
-    from ..functions.hashing import fingerprint
-
     return fingerprint(
         unit["path"],
         st.st_size,
