@@ -148,6 +148,7 @@ def build_index(cfg: BuildConfig) -> BuildResult:
     os.makedirs(cfg.out_dir, exist_ok=True)
     manifest = Manifest(cfg.out_dir)
     units = scan_corpus(cfg.corpus)
+    _prune_stale_partitions(manifest, cfg, len(units))
     _mark("scan")
 
     # ---- head-term df sketch (always: resume must reproduce the salts) ----
@@ -360,6 +361,41 @@ def build_index(cfg: BuildConfig) -> BuildResult:
         skipped_shards=len(skip_shards),
         head_terms=head_salts,
     )
+
+
+def _prune_stale_partitions(manifest: Manifest, cfg: BuildConfig, n_units: int) -> None:
+    """Invalidate manifest entries (and their part files) that no longer map
+    to a current read unit or shard.
+
+    Resume into an out_dir after the corpus SHRANK would otherwise keep ghost
+    documents: tokenize entries for parts beyond the current unit list are
+    never re-planned, yet phase B's exchange plan, the n_docs/total_dl sums
+    and the tokenize-set lineage all read ``manifest.completed("tokenize")``
+    unfiltered — so deleted docs stay queryable.  (Units whose CONTENT
+    changed are already handled by the input-fingerprint check in the phase-A
+    resume filter; only out-of-range parts need explicit pruning.)  Segment
+    entries/files beyond the current partition count are pruned for the same
+    reason when ``num_partitions`` shrinks.
+    """
+    for key in manifest.read_all("tokenize"):
+        part = int(key.split("tokenize-", 1)[1])
+        if part < n_units:
+            continue
+        manifest.remove_entry("tokenize", part)
+        for sub in ("postings", "forward_map"):
+            try:
+                os.remove(f"{cfg.out_dir}/{sub}/part-{part:06d}.parquet")
+            except FileNotFoundError:
+                pass
+    for key in manifest.read_all("segment"):
+        sid = int(key.split("segment-", 1)[1])
+        if sid < cfg.num_partitions:
+            continue
+        manifest.remove_entry("segment", sid)
+        try:
+            os.remove(f"{cfg.out_dir}/segments/shard-{sid:05d}.parquet")
+        except FileNotFoundError:
+            pass
 
 
 def _tokenize_set_key(manifest: Manifest) -> str:

@@ -71,6 +71,13 @@ class Manifest:
             if e.get("status") == "done"
         }
 
+    def remove_entry(self, kind: str, key: int | str) -> None:
+        """Drop one partition's entry (used to invalidate stale lineage)."""
+        try:
+            os.remove(self._path(kind, key))
+        except FileNotFoundError:
+            pass
+
 
 def atomic_write_parquet(table, path: str) -> int:
     """Write a parquet file atomically (tmp → rename); returns byte size."""

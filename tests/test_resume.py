@@ -94,6 +94,42 @@ def test_resume_noop_when_complete(corpus, tmp_path):
         assert seg.stat().st_mtime_ns == seg_mtime  # not rewritten
 
 
+def test_shrunk_corpus_drops_ghost_docs(corpus, tmp_path):
+    """Rebuilding into an out_dir after the corpus SHRANK must not keep ghost
+    documents from pruned read units (stale tokenize entries / part files)."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, score_query
+
+    out = tmp_path / "idx"
+    build_index(_cfg(corpus, out))
+    full_docs = build_index(_cfg(corpus, out)).n_docs  # resume no-op, read stats
+
+    # shrink: keep only the first row group's docs (same row-group layout)
+    t = pq.read_table(corpus)
+    half = t.slice(0, 128)
+    shrunk = tmp_path / "shrunk.parquet"
+    pq.write_table(half, shrunk, row_group_size=128)
+
+    res = build_index(_cfg(str(shrunk), out))
+    assert res.n_docs == 128 < full_docs
+
+    # stale artifacts are gone and the rebuilt tree is bit-identical to a
+    # fresh build of the shrunk corpus
+    fresh = tmp_path / "fresh"
+    build_index(_cfg(str(shrunk), fresh))
+    assert _tree_hashes(str(out)) == _tree_hashes(str(fresh))
+
+    # no ghost doc is queryable
+    store = SegmentStore(str(out))
+    assert store.n_docs == 128
+    for term in sorted(store.df)[:10]:
+        docs, _, _ = store.postings(term)
+        assert docs.max() < 128
+    hits = score_query(store, " ".join(sorted(store.df)[:2]), k=200)
+    assert all(d < 128 for d, _ in hits)
+
+
 def test_config_change_invalidates(corpus, tmp_path):
     out = tmp_path / "idx"
     build_index(_cfg(corpus, out))
