@@ -1,0 +1,24 @@
+"""Driver-side block-layout helpers for Ray Data inputs.
+
+``ray.data.from_arrow(table)`` yields ONE block, so a downstream
+``map_batches(..., concurrency=N)`` actor pool launches at most one task and
+starves N-1 actors (Ray warns exactly this).  ``from_arrow_blocks`` slices
+the table into ``n_blocks`` row ranges and feeds them as separate blocks so
+the pool parallelizes.  Order across blocks is preserved by Ray Data's
+deterministic block ordering; callers that need a global order sort anyway.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def from_arrow_blocks(table: pa.Table, n_blocks: int):
+    """Dataset over ``table`` split into ``n_blocks`` row-range blocks."""
+    import ray.data as rd
+
+    n = table.num_rows
+    n_blocks = max(1, min(n_blocks, n or 1))
+    per = (n + n_blocks - 1) // n_blocks
+    parts = [table.slice(i, per) for i in range(0, n, per)] or [table]
+    return rd.from_arrow(parts)

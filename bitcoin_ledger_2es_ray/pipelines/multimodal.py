@@ -139,12 +139,19 @@ def frame_sample(n_frames: int, every: int = 5) -> list[int]:
 
 
 def media_pipeline(media: pa.Table, concurrency: int = 2) -> pa.Table:
-    """media → decode (actor pool) → features (actor pool) → FEATURES table."""
-    import ray
-    import ray.data as rd
+    """media → decode (actor pool) → features (actor pool) → FEATURES table.
 
+    Input is pre-split into enough blocks that every actor in the pool gets
+    work (functions/blocks.py) — one ``from_arrow`` block would starve the
+    pool down to a single task.
+    """
+    import ray
+
+    from ..functions.blocks import from_arrow_blocks
+
+    n_blocks = max(concurrency, -(-media.num_rows // MEDIA_BATCH_SIZE))
     ds = (
-        rd.from_arrow(media)
+        from_arrow_blocks(media, n_blocks)
         .map_batches(
             MediaDecoder,
             fn_constructor_kwargs={"fake": True},

@@ -246,14 +246,19 @@ def run_queries(
     concurrency: int = 2,
     round_decimals: int | None = None,
 ):
-    """Distribute a query set over a scorer actor pool → RESULTS Dataset."""
-    import ray.data as rd
+    """Distribute a query set over a scorer actor pool → RESULTS Dataset.
 
-    ds = rd.from_arrow(queries)
+    The query table is pre-split into ``concurrency`` blocks so the actor
+    pool gets one task per actor — a single ``from_arrow`` block would
+    starve all but one actor (functions/blocks.py).
+    """
+    from ..functions.blocks import from_arrow_blocks
+
+    ds = from_arrow_blocks(queries, concurrency)
     return ds.map_batches(
         BM25Scorer,
         fn_constructor_kwargs={"index_dir": index_dir, "round_decimals": round_decimals},
-        batch_size=max(1, queries.num_rows // max(1, concurrency)),
+        batch_size=max(1, -(-queries.num_rows // max(1, concurrency))),
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
