@@ -8,14 +8,29 @@ All operate over the driver's ``documents`` table shape
                            shuffle (no all-pairs scan) — SQL-oracle checkable
 - ``minhash_lsh_pairs``    MinHash + banded LSH candidates, verified with
                            exact Jaccard (scale path; probabilistic recall)
-- ``simhash_fingerprints`` 64-bit SimHash per doc; near-dup candidate pairs
-                           via 16-bit band collisions + Hamming verify
+- ``simhash_fingerprints`` 64-bit SimHash per doc (vectorized reduceat)
 
-Scale notes (SURVEY.md §4): every pairing step shuffles by a bounded key
-(shingle, band-bucket) — never an all-pairs join; hot shingles can be
-capped (``max_shingle_df``) exactly like stop-words, at the cost of recall
-on boilerplate-heavy corpora (cap disabled where an exact SQL oracle must
-match).
+Scale notes (SURVEY.md §4):
+
+- Shingles are DISTINCT word-k-grams of the whitespace token stream in
+  document order (exactly the SQL oracle's ``string_split(text, ' ')``
+  semantics — the identifier-splitting tokenizer would reorder part-tokens
+  and change k-gram semantics, ADVICE r1).  Hashing is fully vectorized:
+  dictionary-encode the words once per batch, hash only the vocabulary,
+  combine k consecutive word hashes with a polynomial mix.
+- Candidate DISCOVERY shuffles by a bounded key (shingle / band-bucket) —
+  never an all-pairs join.  The exact path RAISES when a shingle group
+  exceeds ``max_group`` (silent dropping would violate its exactness
+  contract); the LSH path drops oversized buckets by design (a recall
+  bound, noted in the docstring).
+- Candidate VERIFICATION is distributed (r1 did it on the driver): the
+  candidate-doc set (small — docs appearing in ≥1 candidate pair) is
+  broadcast once via ``ray.put`` as a semi-join pushdown, their shingles are
+  re-exploded inside tasks, joined against a (doc → pair, side) fan-out of
+  the pair list with ``Dataset.join``, and one ``groupby(pair).map_groups``
+  computes |A∩B|, |A|, |B| and the exact Jaccard per pair.  No stage ever
+  materializes the corpus (or the full shingle table) on the driver; per-pair
+  group size is bounded by 2× the max shingles per doc.
 """
 
 from __future__ import annotations
@@ -39,51 +54,195 @@ def _read_docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
-def _doc_shingles(batch: pa.Table, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Per-batch: distinct word-k-gram shingle hashes per doc.
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant (splitmix64)
 
-    Returns (doc_ids, shingle_hash) rows — uint64 hash of each distinct
-    shingle (blake2b-8 of the joined words; collision-negligible and
-    deterministic across processes).
+
+def _word_hashes(flat_words: pa.Array) -> np.ndarray:
+    """uint64 hash per word, vectorized via dictionary-encode: the Python
+    blake2b loop runs over the (small) per-batch VOCABULARY, never the
+    token stream."""
+    if len(flat_words) == 0:
+        return np.empty(0, dtype=np.uint64)
+    dic = pc.dictionary_encode(flat_words)
+    codes = np.asarray(dic.indices)
+    vocab_h = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little")
+            for w in dic.dictionary.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(dic.dictionary),
+    )
+    return vocab_h[codes]
+
+
+def _batch_shingles(batch: pa.Table, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distinct word-k-gram hashes per doc — (doc_ids, sh, doc_starts).
+
+    Rows come back sorted by (doc, sh) with ``doc_starts`` the reduceat
+    boundaries per present doc; docs with no k-gram emit nothing.
     """
-    terms, doc_idx, dl = tokenize_flat(batch["text"].combine_chunks())
-    toks = terms.to_pylist()
-    doc_ids = np.asarray(batch["doc_id"])
-    out_doc: list[int] = []
-    out_sh: list[int] = []
-    # group tokens back per doc (order preserved within a doc by doc_idx
-    # construction: compound stream is in-document order)
-    order = np.argsort(doc_idx, kind="stable")
-    sorted_docs = doc_idx[order]
-    boundaries = np.flatnonzero(np.diff(sorted_docs)) + 1
-    starts = np.concatenate(([0], boundaries))
-    ends = np.concatenate((boundaries, [len(sorted_docs)]))
-    for s, e in zip(starts, ends):
-        d = int(doc_ids[sorted_docs[s]])
-        words = [toks[i] for i in order[s:e]]
-        seen = set()
-        for i in range(len(words) - k + 1):
-            sh = " ".join(words[i : i + k])
-            if sh not in seen:
-                seen.add(sh)
-                h = int.from_bytes(
-                    hashlib.blake2b(sh.encode("utf-8"), digest_size=8).digest(), "little"
+    text = batch["text"].combine_chunks()
+    words = pc.split_pattern(text, " ")  # oracle semantics: single-space split
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+    h = _word_hashes(pc.list_flatten(words))
+    n = len(h)
+    doc_ids_col = np.asarray(batch["doc_id"]).astype(np.uint64)
+    row_idx = np.repeat(np.arange(batch.num_rows), lens)
+    if n < k:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e, np.empty(0, dtype=np.int64)
+    # polynomial combine of k consecutive word hashes (position-sensitive):
+    # the loop is over the k offsets, never over tokens
+    m = n - k + 1
+    gram = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        gram = gram * _MIX + h[j : j + m]
+    valid = row_idx[:m] == row_idx[k - 1 :]  # all k words in the same doc
+    gram = gram[valid]
+    rows = row_idx[:m][valid]
+    # distinct per doc: sort by (row, gram), drop adjacent duplicates
+    order = np.lexsort((gram, rows))
+    rows, gram = rows[order], gram[order]
+    keep = np.empty(len(rows), dtype=bool)
+    keep[0:1] = True
+    keep[1:] = (rows[1:] != rows[:-1]) | (gram[1:] != gram[:-1])
+    rows, gram = rows[keep], gram[keep]
+    starts = np.flatnonzero(np.concatenate(([True], rows[1:] != rows[:-1])))
+    return doc_ids_col[rows], gram, starts
+
+
+def _shingle_explode(batch: pa.Table, k: int) -> pa.Table:
+    d, s, _ = _batch_shingles(batch, k)
+    return pa.table(
+        {"doc_id": pa.array(d, type=pa.uint64()), "sh": pa.array(s, type=pa.uint64())}
+    )
+
+
+def _make_pairs_fn(max_group: int, on_overflow: str):
+    """Group→pairs body.  ``on_overflow``: "raise" (exact contract) or
+    "drop" (LSH recall bound)."""
+
+    def pairs_from_group(group: pa.Table) -> pa.Table:
+        docs = np.unique(np.asarray(group["doc_id"]))
+        n = len(docs)
+        if n > max_group:
+            if on_overflow == "raise":
+                raise ValueError(
+                    f"shingle group of {n} docs exceeds max_group={max_group}: "
+                    "the exact-Jaccard contract cannot silently drop pairs — "
+                    "raise max_group or pre-filter boilerplate shingles"
                 )
-                out_doc.append(d)
-                out_sh.append(h)
-    return np.array(out_doc, dtype=np.uint64), np.array(out_sh, dtype=np.uint64)
+            n = 0  # LSH path: drop the bucket (documented recall bound)
+        if n < 2:
+            return pa.table(
+                {"a": pa.array([], type=pa.uint64()), "b": pa.array([], type=pa.uint64())}
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        return pa.table({"a": pa.array(docs[ia]), "b": pa.array(docs[ib])})
+
+    return pairs_from_group
 
 
-def _pairs_from_groups(group: pa.Table, max_group: int = 20000) -> pa.Table:
-    """All (a < b) doc pairs sharing the group key — vectorized triu."""
-    docs = np.unique(np.asarray(group["doc_id"]))
-    n = len(docs)
-    if n < 2 or n > max_group:
-        return pa.table(
-            {"a": pa.array([], type=pa.uint64()), "b": pa.array([], type=pa.uint64())}
+# ---------------------------------------------------------------------------
+# distributed exact-Jaccard verification of a candidate-pair Dataset
+
+
+def _verify_pairs_exact(sf_dir: str, cand, k: int, tau: float, num_partitions: int = 8) -> pa.Table:
+    """Exact Jaccard for every candidate pair, fully distributed.
+
+    ``cand``: Dataset with uint64 columns (a, b), already deduplicated.
+    Shape: fan the pair list out to (doc, a, b, side) rows, re-shingle ONLY
+    the candidate docs (broadcast doc-id set = semi-join pushdown), hash-join
+    shingles to sides, then one groupby((a, b)) computes intersection and
+    both set sizes from the group itself — sizes never touch the driver.
+    """
+    import ray
+
+    cand_t = pa.concat_tables([_as_table(t) for t in _collect(cand)])
+    if cand_t.num_rows == 0:
+        return _empty_pairs()
+    cand_docs = np.unique(
+        np.concatenate(
+            [np.asarray(cand_t["a"]).astype(np.uint64), np.asarray(cand_t["b"]).astype(np.uint64)]
         )
-    ia, ib = np.triu_indices(n, k=1)
-    return pa.table({"a": pa.array(docs[ia]), "b": pa.array(docs[ib])})
+    )
+    docs_ref = ray.put(cand_docs)  # sorted; broadcast once, read per task
+
+    def shingle_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(docs_ref)
+        ids = np.asarray(batch["doc_id"]).astype(np.uint64)
+        mask = wanted[np.searchsorted(wanted, ids).clip(max=len(wanted) - 1)] == ids
+        batch = batch.filter(pa.array(mask))
+        return _shingle_explode(batch, k)
+
+    import ray.data as rd
+
+    sides_t = pa.table(
+        {
+            "doc": pa.concat_arrays(
+                [cand_t["a"].combine_chunks().cast(pa.uint64()), cand_t["b"].combine_chunks().cast(pa.uint64())]
+            ),
+            "a": pa.concat_arrays([cand_t["a"].combine_chunks()] * 2),
+            "b": pa.concat_arrays([cand_t["b"].combine_chunks()] * 2),
+            "side": pa.array(
+                np.repeat(np.array([0, 1], dtype=np.int8), cand_t.num_rows)
+            ),
+        }
+    )
+    sides = rd.from_arrow(
+        [sides_t.slice(i, 65536) for i in range(0, sides_t.num_rows, 65536)] or [sides_t]
+    )
+    shingles = _read_docs(sf_dir).map_batches(
+        shingle_candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = shingles.join(
+        sides,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+        right_on=("doc",),
+    )
+
+    def jaccard_of_group(group: pa.Table) -> pa.Table:
+        sh = np.asarray(group["sh"])
+        side = np.asarray(group["side"])
+        a_set = sh[side == 0]  # distinct by construction (per-doc distinct)
+        b_set = sh[side == 1]
+        if len(a_set) == 0 or len(b_set) == 0:
+            return _empty_pairs_j()
+        inter = len(np.intersect1d(a_set, b_set, assume_unique=True))
+        j = inter / (len(a_set) + len(b_set) - inter)
+        if j < tau:  # filter UNROUNDED (matches the SQL oracle)
+            return _empty_pairs_j()
+        return pa.table(
+            {
+                "a": pa.array([int(group["a"][0].as_py())], type=pa.int64()),
+                "b": pa.array([int(group["b"][0].as_py())], type=pa.int64()),
+                "jaccard": pa.array([sql_round(j, 6)], type=pa.float64()),
+            }
+        )
+
+    out = joined.groupby(["a", "b"]).map_groups(jaccard_of_group, batch_format="pyarrow")
+    t = pa.concat_tables([_as_table(x) for x in _collect(out)] or [_empty_pairs_j()])
+    return t.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table(
+        {"a": pa.array([], type=pa.uint64()), "b": pa.array([], type=pa.uint64())}
+    )
+
+
+def _empty_pairs_j() -> pa.Table:
+    return pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -120,50 +279,28 @@ def exact_dedup(sf_dir: str) -> pa.Table:
 # exact n-gram Jaccard pairs (shingle-inverted shuffle)
 
 
-def shingle_jaccard_pairs(sf_dir: str, k: int = 3, tau: float = 0.8) -> pa.Table:
+def shingle_jaccard_pairs(
+    sf_dir: str, k: int = 3, tau: float = 0.8, max_group: int = 20000
+) -> pa.Table:
     """All doc pairs with Jaccard(word-k-gram sets) >= tau — EXACT.
 
-    Pipeline: per-batch shingle explode → groupby(shingle) pair explode →
-    groupby(pair) intersection count → join per-doc set sizes →
-    J = inter / (|A| + |B| - inter).  Only docs sharing >= 1 shingle ever
-    pair (J >= tau > 0 implies a shared shingle), so it is exact without an
-    all-pairs scan.
+    Discovery: per-batch shingle explode → groupby(shingle) pair explode
+    (RAISES if a shingle's doc group exceeds ``max_group`` — exactness over
+    silent recall loss) → pair dedup.  Verification: the shared distributed
+    exact-Jaccard kernel.  Only docs sharing ≥ 1 shingle ever pair
+    (J >= tau > 0 implies a shared shingle), so the result is exact without
+    an all-pairs scan.
     """
-    import ray.data as rd
     from ray.data.aggregate import Count
 
-    def explode(batch: pa.Table) -> pa.Table:
-        d, s = _doc_shingles(batch, k)
-        return pa.table({"doc_id": pa.array(d), "sh": pa.array(s)})
-
-    shingles = _read_docs(sf_dir).map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    sizes_ds = shingles.groupby("doc_id").aggregate(Count(alias_name="size"))
-    pairs = shingles.groupby("sh").map_groups(_pairs_from_groups, batch_format="pyarrow")
-    inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
-
-    inter_t = pa.concat_tables([_as_table(t) for t in _collect(inter)])
-    sizes_t = pa.concat_tables([_as_table(t) for t in _collect(sizes_ds)])
-    if inter_t.num_rows == 0:
-        return pa.table(
-            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
-             "jaccard": pa.array([], type=pa.float64())}
-        )
-    size = dict(zip(sizes_t["doc_id"].to_pylist(), sizes_t["size"].to_pylist()))
-    a = np.asarray(inter_t["a"]).astype(np.int64)
-    b = np.asarray(inter_t["b"]).astype(np.int64)
-    i = np.asarray(inter_t["inter"]).astype(np.float64)
-    sa = np.array([size[x] for x in a], dtype=np.float64)
-    sb = np.array([size[x] for x in b], dtype=np.float64)
-    j = i / (sa + sb - i)
-    keep = j >= tau
-    out = pa.table(
-        {
-            "a": pa.array(a[keep], type=pa.int64()),
-            "b": pa.array(b[keep], type=pa.int64()),
-            "jaccard": pa.array(sql_round(j[keep], 6), type=pa.float64()),
-        }
+    shingles = _read_docs(sf_dir).map_batches(
+        lambda b: _shingle_explode(b, k), batch_format="pyarrow", zero_copy_batch=True
     )
-    return out.sort_by([("a", "ascending"), ("b", "ascending")])
+    pairs = shingles.groupby("sh").map_groups(
+        _make_pairs_fn(max_group, "raise"), batch_format="pyarrow"
+    )
+    cand = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n")).drop_columns(["n"])
+    return _verify_pairs_exact(sf_dir, cand, k, tau)
 
 
 # ---------------------------------------------------------------------------
@@ -195,12 +332,19 @@ def minhash_lsh_pairs(
     tau: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    max_group: int = 20000,
 ) -> pa.Table:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
-    Probabilistic recall (P[detect] = 1-(1-s^r)^bands for similarity s);
-    precision is exact because candidates are verified.  Candidate
-    generation shuffles by (band, bucket) — bounded groups, no all-pairs.
+    Probabilistic recall (P[detect] = 1-(1-s^r)^bands for similarity s;
+    band buckets larger than ``max_group`` docs are dropped — a further
+    documented recall bound on boilerplate-heavy corpora); precision is
+    exact because every candidate is verified distributedly
+    (``_verify_pairs_exact`` — no driver-side corpus materialization).
+
+    Signatures are vectorized batch-wide: ONE (num_perm × n_shingles)
+    permutation evaluation + ``np.minimum.reduceat`` over per-doc segments;
+    band buckets come from a polynomial fold over each band's rows.
     """
     from ray.data.aggregate import Count
 
@@ -208,64 +352,45 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
 
     def sign(batch: pa.Table) -> pa.Table:
-        d, s = _doc_shingles(batch, k)
-        out_doc, out_band, out_bucket = [], [], []
-        for doc in np.unique(d):
-            sig = minhash_signature(s[d == doc], a_p, b_p)
-            for band in range(bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                bucket = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
-                )
-                out_doc.append(int(doc))
-                out_band.append(band)
-                out_bucket.append(bucket)
+        doc_ids, sh, starts = _batch_shingles(batch, k)
+        if len(sh) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.uint64()),
+                    "band": pa.array([], type=pa.uint16()),
+                    "bucket": pa.array([], type=pa.uint64()),
+                }
+            )
+        x = sh & np.uint64(0xFFFFFFFF)
+        vals = (a_p[:, None] * x[None, :] + b_p[:, None]) % np.uint64(_MERSENNE)
+        sig = np.minimum.reduceat(vals, starts, axis=1)  # (num_perm, n_docs)
+        n_docs = sig.shape[1]
+        # band buckets: polynomial fold of the band's rows (uint64 wraparound)
+        bucket = np.zeros((bands, n_docs), dtype=np.uint64)
+        for band in range(bands):
+            acc = np.zeros(n_docs, dtype=np.uint64)
+            for r in range(rows_per_band):
+                acc = acc * _MIX + sig[band * rows_per_band + r]
+            bucket[band] = acc
+        present_docs = doc_ids[starts]
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, type=pa.uint64()),
-                "band": pa.array(out_band, type=pa.uint16()),
-                "bucket": pa.array(out_bucket, type=pa.uint64()),
+                "doc_id": pa.array(np.tile(present_docs, bands), type=pa.uint64()),
+                "band": pa.array(
+                    np.repeat(np.arange(bands, dtype=np.uint16), n_docs), type=pa.uint16()
+                ),
+                "bucket": pa.array(bucket.reshape(-1), type=pa.uint64()),
             }
         )
 
-    docs = _read_docs(sf_dir)
-    buckets = docs.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
-    cand = buckets.groupby(["band", "bucket"]).map_groups(
-        _pairs_from_groups, batch_format="pyarrow"
+    buckets = _read_docs(sf_dir).map_batches(
+        sign, batch_format="pyarrow", batch_size=1024, zero_copy_batch=True
     )
-    cand_t = pa.concat_tables([_as_table(t) for t in _collect(cand)])
-    if cand_t.num_rows == 0:
-        return pa.table(
-            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
-             "jaccard": pa.array([], type=pa.float64())}
-        )
-    # dedupe candidates across bands, then verify exactly
-    cand_t = cand_t.group_by(["a", "b"]).aggregate([])
-    docs_t = pa.concat_tables([_as_table(t) for t in _collect(_read_docs(sf_dir))])
-    text_of = dict(zip(docs_t["doc_id"].to_pylist(), docs_t["text"].to_pylist()))
-
-    def shingle_set(text: str) -> set:
-        words = text.split()
-        return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
-
-    rows = []
-    cache: dict[int, set] = {}
-    for x, y in zip(cand_t["a"].to_pylist(), cand_t["b"].to_pylist()):
-        sx = cache.setdefault(x, shingle_set(text_of[x]))
-        sy = cache.setdefault(y, shingle_set(text_of[y]))
-        if not sx or not sy:
-            continue
-        j = len(sx & sy) / len(sx | sy)
-        if j >= tau:
-            rows.append((x, y, sql_round(j, 6)))
-    rows.sort()
-    return pa.table(
-        {
-            "a": pa.array([r[0] for r in rows], type=pa.int64()),
-            "b": pa.array([r[1] for r in rows], type=pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows], type=pa.float64()),
-        }
+    pairs = buckets.groupby(["band", "bucket"]).map_groups(
+        _make_pairs_fn(max_group, "drop"), batch_format="pyarrow"
     )
+    cand = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n")).drop_columns(["n"])
+    return _verify_pairs_exact(sf_dir, cand, k, tau)
 
 
 # ---------------------------------------------------------------------------
@@ -273,37 +398,33 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(sf_dir: str) -> pa.Table:
-    """64-bit tf-weighted SimHash per doc → (doc_id, simhash)."""
+    """64-bit tf-weighted SimHash per doc → (doc_id, simhash).
+
+    Vectorized per batch: token hashes → ±1 bit matrix → one
+    ``np.add.reduceat`` over per-doc segments (no per-row boolean-mask
+    scans); docs with no tokens get fingerprint 0.
+    """
 
     def sim(batch: pa.Table) -> pa.Table:
         terms, doc_idx, _ = tokenize_flat(batch["text"].combine_chunks())
         doc_ids = np.asarray(batch["doc_id"])
-        dic = pc.dictionary_encode(terms)
-        codes = np.asarray(dic.indices)
-        vocab = dic.dictionary.to_pylist()
-        h = np.array(
-            [
-                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-                for t in vocab
-            ],
-            dtype=np.uint64,
-        )
-        tok_h = h[codes]
-        bits = ((tok_h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        ) * 2 - 1  # ±1 per bit
-        out = []
-        for row in range(batch.num_rows):
-            m = doc_idx == row
-            if not m.any():
-                out.append(0)
-                continue
-            v = bits[m].sum(axis=0)
-            out.append(int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()))
+        out = np.zeros(batch.num_rows, dtype=np.uint64)
+        if len(terms):
+            tok_h = _tok_hashes(terms)
+            order = np.argsort(doc_idx, kind="stable")
+            rows = doc_idx[order]
+            th = tok_h[order]
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            ) * 2 - 1  # ±1 per bit
+            starts = np.flatnonzero(np.concatenate(([True], rows[1:] != rows[:-1])))
+            sums = np.add.reduceat(bits, starts, axis=0)  # (n_present_docs, 64)
+            fp = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+            out[rows[starts]] = fp
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids.astype(np.int64), type=pa.int64()),
-                "simhash": pa.array(np.array(out, dtype=np.uint64).astype(np.int64)),
+                "simhash": pa.array(out.astype(np.int64)),
             }
         )
 
@@ -311,6 +432,22 @@ def simhash_fingerprints(sf_dir: str) -> pa.Table:
         [_as_table(x) for x in _collect(_read_docs(sf_dir).map_batches(sim, batch_format="pyarrow", zero_copy_batch=True))]
     )
     return t.sort_by("doc_id")
+
+
+def _tok_hashes(terms: pa.Array) -> np.ndarray:
+    """blake2b-8 hash per token via vocabulary encoding (identical values to
+    the r1 per-vocab loop — outputs stay byte-stable)."""
+    dic = pc.dictionary_encode(terms)
+    codes = np.asarray(dic.indices)
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in dic.dictionary.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(dic.dictionary),
+    )
+    return h[codes]
 
 
 # ---------------------------------------------------------------------------

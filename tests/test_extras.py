@@ -33,10 +33,55 @@ def test_minhash_recall_vs_exact(ray_session):
     assert approx_pairs <= exact_pairs  # verified candidates → perfect precision
     recall = len(approx_pairs) / max(1, len(exact_pairs))
     assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
-    # verified jaccard values agree with the exact pipeline
-    exact_j = dict(zip(exact_pairs, exact["jaccard"].to_pylist()))
-    for pair, j in zip(approx_pairs, approx["jaccard"].to_pylist()):
-        assert abs(exact_j[pair] - j) < 1e-6
+    # verified jaccard values agree with the exact pipeline (keyed by pair —
+    # both tables are (a, b)-sorted but cover different pair sets)
+    exact_j = {
+        (a, b): j
+        for a, b, j in zip(
+            exact["a"].to_pylist(), exact["b"].to_pylist(), exact["jaccard"].to_pylist()
+        )
+    }
+    for a, b, j in zip(
+        approx["a"].to_pylist(), approx["b"].to_pylist(), approx["jaccard"].to_pylist()
+    ):
+        assert abs(exact_j[(a, b)] - j) < 1e-6
+
+
+def test_shingles_preserve_document_order():
+    """Shingles are word-k-grams of the whitespace stream IN DOCUMENT ORDER
+    (ADVICE r1: the identifier-splitting tokenizer would reorder tokens)."""
+    from bitcoin_ledger_2es_ray.pipelines.dedup import _batch_shingles
+
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": ["alpha beta gamma delta", "gamma beta alpha delta"]})
+    d, sh, starts = _batch_shingles(t, k=3)
+    # doc 1: {abg, bgd}; doc 2: {gba, bad} — order-sensitive, no overlap
+    assert list(starts) == [0, 2]
+    assert len(set(sh[:2]) & set(sh[2:])) == 0
+    # identical word sequence → identical shingle hashes
+    t2 = pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                   "text": ["alpha beta gamma delta"]})
+    _, sh2, _ = _batch_shingles(t2, k=3)
+    assert set(sh2) == set(sh[:2])
+    # k-grams never cross document boundaries
+    t3 = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                   "text": ["alpha beta", "gamma delta"]})
+    _, sh3, _ = _batch_shingles(t3, k=3)
+    assert len(sh3) == 0
+
+
+def test_exact_pairs_overflow_raises():
+    """The exact path must not SILENTLY drop oversized shingle groups
+    (ADVICE r1) — it raises; the LSH path drops by documented design."""
+    from bitcoin_ledger_2es_ray.pipelines.dedup import _make_pairs_fn
+
+    group = pa.table({"doc_id": pa.array(range(100), type=pa.uint64())})
+    with pytest.raises(ValueError, match="max_group"):
+        _make_pairs_fn(50, "raise")(group)
+    dropped = _make_pairs_fn(50, "drop")(group)
+    assert dropped.num_rows == 0
+    kept = _make_pairs_fn(200, "raise")(group)
+    assert kept.num_rows == 100 * 99 // 2
 
 
 def test_simhash_near_dups_are_close(ray_session):
