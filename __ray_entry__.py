@@ -318,6 +318,14 @@ def _q_cosine_dups(sf_dir: str) -> pa.Table:
     return cosine_dup_pairs(sf_dir, tau=0.4)
 
 
+def _q_cosine_dups_lsh(sf_dir: str) -> pa.Table:
+    # low tau → few planes per table, many tables (collision prob per table
+    # is (1-θ/π)^planes); recall vs the exact path is asserted in tests
+    from bitcoin_ledger_2es_ray.pipelines.ann import cosine_dup_pairs_lsh
+
+    return cosine_dup_pairs_lsh(sf_dir, tau=0.4, n_planes=4, n_tables=12)
+
+
 def _q_media_features(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.multimodal import media_pipeline, synthesize_media
 
@@ -369,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,  # rows-only (approximate)
         "cosine_dups": _q_cosine_dups,
+        "cosine_dups_lsh": _q_cosine_dups_lsh,  # rows-only (approximate recall)
         "media_features": _q_media_features,  # rows-only (synthetic media)
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,

@@ -154,12 +154,17 @@ def cosine_dup_pairs(sf_dir: str, tau: float = 0.99) -> pa.Table:
 def knn_lsh(
     sf_dir: str, n_queries: int = 5, k: int = 5, n_planes: int = 12, multiprobe: int = 2
 ) -> pa.Table:
-    """Approximate cosine top-k via random-hyperplane LSH buckets.
+    """Approximate cosine top-k via random-hyperplane LSH buckets —
+    DISTRIBUTED probe (r1 concatenated every bucketized embedding onto the
+    driver; now the probe runs inside ``groupby("bucket").map_groups``).
 
     Build: one pass bucketing every vector by sign(R·v) (R fixed-seed).
-    Search: scan only the query's bucket plus ``multiprobe`` single-bit
-    flips.  Output schema matches knn_bruteforce; recall is measured in
-    tests, not asserted equal.
+    Search: the per-query probe set (own bucket + ``multiprobe`` single-bit
+    flips) is a tiny driver-side map broadcast via ``ray.put``; each bucket
+    group scores ONLY the queries probing it and emits per-query partial
+    top-k rows, so the driver merge is ≤ n_queries × k × n_probes rows
+    regardless of corpus size.  Output schema matches knn_bruteforce;
+    recall is measured in tests, not asserted equal.
     """
     import ray
 
@@ -180,35 +185,65 @@ def knn_lsh(
             {"vec_id": pa.array(ids), "bucket": pa.array(bucket.astype(np.int64)), "embedding": emb}
         )
 
-    buckets = pa.concat_tables(
-        [
-            ray.get(r)
-            for r in _read_embeddings(sf_dir)
-            .map_batches(bucketize, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
-            .to_arrow_refs()
-        ]
-    )
-    by_bucket: dict[int, list[int]] = {}
-    for i, bkt in enumerate(buckets["bucket"].to_pylist()):
-        by_bucket.setdefault(bkt, []).append(i)
-    ids_all, mat_all = _batch_matrix(buckets.select(["vec_id", "embedding"]))
-    mat_all = _normalize(mat_all)
-
+    # driver-side probe plan: bucket → query indices (n_queries × (1+multiprobe)
+    # entries — tiny), broadcast once with the normalized query matrix
     q_signs = (qn @ planes.T) > 0
     q_bucket = (q_signs.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
-    rows = []
+    probe_of: dict[int, list[int]] = {}
     for qi in range(len(q_ids)):
-        probes = [int(q_bucket[qi])] + [
-            int(q_bucket[qi]) ^ (1 << bit) for bit in range(min(multiprobe, n_planes))
-        ]
-        cand = [i for p in probes for i in by_bucket.get(p, [])]
-        if not cand:
+        for p in sorted(
+            {int(q_bucket[qi])}
+            | {int(q_bucket[qi]) ^ (1 << bit) for bit in range(min(multiprobe, n_planes))}
+        ):
+            probe_of.setdefault(p, []).append(qi)
+    probe_ref = ray.put((probe_of, qn))
+
+    def probe_bucket(group: pa.Table) -> pa.Table:
+        probes, q = ray.get(probe_ref)
+        empty = pa.table(
+            {"q": pa.array([], type=pa.int64()), "vec_id": pa.array([], type=pa.int64()),
+             "sim": pa.array([], type=pa.float64())}
+        )
+        wanting = probes.get(int(group["bucket"][0].as_py()), [])
+        if not wanting:
+            return empty
+        ids, mat = _batch_matrix(group.select(["vec_id", "embedding"]))
+        sims = sql_round(q[wanting] @ _normalize(mat).T, ROUND)  # (n_wanting, n_vec)
+        rows_q, rows_v, rows_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for wi, qi in enumerate(wanting):
+            order = np.lexsort((ids, -sims[wi]))[:kk]
+            rows_q.extend([qi] * kk)
+            rows_v.extend(int(ids[i]) for i in order)
+            rows_s.extend(float(sims[wi, i]) for i in order)
+        return pa.table(
+            {
+                "q": pa.array(rows_q, type=pa.int64()),
+                "vec_id": pa.array(rows_v, type=pa.int64()),
+                "sim": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    parts_ds = (
+        _read_embeddings(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(probe_bucket, batch_format="pyarrow")
+    )
+    parts = pa.concat_tables([ray.get(r) for r in parts_ds.to_arrow_refs()])
+    # tiny driver merge: each vector lives in exactly one bucket, so partials
+    # are disjoint per query — merge is just a per-query top-k re-sort
+    rows = []
+    qcol = np.asarray(parts["q"]) if parts.num_rows else np.empty(0, dtype=np.int64)
+    vcol = np.asarray(parts["vec_id"]) if parts.num_rows else np.empty(0, dtype=np.int64)
+    scol = np.asarray(parts["sim"]) if parts.num_rows else np.empty(0, dtype=np.float64)
+    for qi in range(len(q_ids)):
+        m = qcol == qi
+        if not m.any():
             continue
-        cand = np.array(sorted(set(cand)), dtype=np.int64)
-        sims = sql_round(mat_all[cand] @ qn[qi], ROUND)
-        order = np.lexsort((ids_all[cand], -sims))[:k]
+        order = np.lexsort((vcol[m], -scol[m]))[:k]
         for rank, i in enumerate(order, start=1):
-            rows.append((int(q_ids[qi]), rank, int(ids_all[cand][i]), float(sims[i])))
+            rows.append((int(q_ids[qi]), rank, int(vcol[m][i]), float(scol[m][i])))
     return pa.table(
         {
             "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
@@ -217,3 +252,96 @@ def knn_lsh(
             "sim": pa.array([r[3] for r in rows], type=pa.float64()),
         }
     )
+
+
+def cosine_dup_pairs_lsh(
+    sf_dir: str,
+    tau: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    max_group: int = 20000,
+) -> pa.Table:
+    """Near-dup pairs (cosine >= tau) via multi-table hyperplane LSH — the
+    scale path ``cosine_dup_pairs`` documents: NO full-matrix broadcast.
+
+    Each vector is bucketed in ``n_tables`` independent sign-hash tables
+    (one vectorized pass); ``groupby((table, bucket)).map_groups`` verifies
+    all within-bucket pairs with exact cosine; a final groupby((a, b))
+    dedupes across tables.  Two vectors at angle θ collide in one table
+    with probability (1 - θ/π)^n_planes, so recall rises with ``n_tables``
+    (measured in tests against the exact path — approximate by design).
+    Buckets larger than ``max_group`` are dropped (documented recall
+    bound), keeping within-bucket work quadratic only in the bounded
+    bucket size.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    rng = np.random.default_rng(99)
+    dim = len(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, 1)[
+            "embedding"
+        ][0].as_py()
+    )
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        r = ray.get(planes_ref)
+        ids, mat = _batch_matrix(batch)
+        nm = _normalize(mat)
+        emb = batch["embedding"].combine_chunks()
+        tabs, bks, vids, embs = [], [], [], []
+        for t in range(n_tables):
+            signs = (nm @ r[t].T) > 0
+            bucket = (signs.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+            tabs.append(np.full(len(ids), t, dtype=np.int32))
+            bks.append(bucket.astype(np.int64))
+            vids.append(ids)
+            embs.append(emb)
+        return pa.table(
+            {
+                "table": pa.array(np.concatenate(tabs)),
+                "bucket": pa.array(np.concatenate(bks)),
+                "vec_id": pa.array(np.concatenate(vids)),
+                "embedding": pa.concat_arrays(embs),
+            }
+        )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+             "sim": pa.array([], type=pa.float64())}
+        )
+        if group.num_rows < 2 or group.num_rows > max_group:
+            return empty
+        ids, mat = _batch_matrix(group.select(["vec_id", "embedding"]))
+        nm = _normalize(mat)
+        raw = nm @ nm.T
+        ai, bj = np.nonzero(np.triu(raw >= tau, k=1))  # filter UNROUNDED
+        if len(ai) == 0:
+            return empty
+        a, b = ids[ai], ids[bj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table(
+            {
+                "a": pa.array(a2, type=pa.int64()),
+                "b": pa.array(b2, type=pa.int64()),
+                "sim": pa.array(sql_round(raw[ai, bj], ROUND), type=pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    out = (
+        _read_embeddings(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+        .groupby(["table", "bucket"])
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Max("sim", alias_name="sim"))  # identical sim per pair across tables
+    )
+    t = pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()])
+    return t.select(["a", "b", "sim"]).sort_by([("a", "ascending"), ("b", "ascending")])

@@ -121,6 +121,33 @@ def test_ann_lsh_recall(ray_session):
     assert exact_top1 <= approx_hits
 
 
+def test_cosine_lsh_pairs_recall(ray_session):
+    """LSH-bucketed pair path vs the exact broadcast path: perfect precision
+    (within-bucket pairs are exactly verified), measured recall, identical
+    sims for every recovered pair."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import cosine_dup_pairs, cosine_dup_pairs_lsh
+
+    exact = cosine_dup_pairs(SF, tau=0.4)
+    approx = cosine_dup_pairs_lsh(SF, tau=0.4, n_planes=4, n_tables=12)
+    exact_m = {
+        (a, b): s
+        for a, b, s in zip(
+            exact["a"].to_pylist(), exact["b"].to_pylist(), exact["sim"].to_pylist()
+        )
+    }
+    approx_m = {
+        (a, b): s
+        for a, b, s in zip(
+            approx["a"].to_pylist(), approx["b"].to_pylist(), approx["sim"].to_pylist()
+        )
+    }
+    assert set(approx_m) <= set(exact_m)  # exact verification → perfect precision
+    recall = len(approx_m) / max(1, len(exact_m))
+    assert recall >= 0.8, f"cosine-LSH recall {recall:.2f} too low"
+    for pair, s in approx_m.items():
+        assert abs(exact_m[pair] - s) < 1e-9
+
+
 def test_langid_goldens(ray_session):
     from bitcoin_ledger_2es_ray.pipelines.textstats import LangId
 
