@@ -85,14 +85,40 @@ def derive_corpus_parquet(
     return out_path
 
 
+def _scan_files(paths: list[str]) -> list[tuple[list[int], bool]]:
+    """Footer metadata of each file: (per-row-group row counts, has_sha).
+    Runs on the driver for small corpora and inside Ray tasks for large
+    ones — pure function of the files, order-preserving."""
+    out = []
+    for path in paths:
+        meta = pq.ParquetFile(path)
+        has_sha = "sha256" in meta.schema_arrow.names
+        out.append(
+            (
+                [meta.metadata.row_group(rg).num_rows for rg in range(meta.metadata.num_row_groups)],
+                has_sha,
+            )
+        )
+    return out
+
+
+# files per footer-scan task: one task per file would drown in scheduling
+# overhead (a footer read is ~ms); 512 footers ≈ 0.5-1 s of work per task
+_SCAN_FILES_PER_TASK = 512
+_SCAN_PARALLEL_MIN = 64  # below this a serial driver loop is faster
+
+
 def scan_corpus(paths: list[str] | str) -> list[dict]:
     """Footer-only scan → ordered read units with deterministic doc offsets.
 
     Returns one dict per (file, row_group):
     ``{part, path, row_group, offset, num_rows, has_sha}``, with ``offset``
-    the global docID of the unit's first row.  At 10^12-file scale this
-    metadata pass fans out as Ray tasks per file; the footer read is a few
-    KB per file regardless of file size.
+    the global docID of the unit's first row.  For many-file corpora the
+    footer reads fan out as Ray tasks (``_SCAN_FILES_PER_TASK`` files per
+    task); results come back in submission order, so units, parts and doc
+    offsets are byte-identical to the serial scan (asserted in
+    tests/test_sources.py).  The footer read is a few KB per file
+    regardless of file size.
     """
     if isinstance(paths, str):
         paths = [paths]
@@ -108,14 +134,26 @@ def scan_corpus(paths: list[str] | str) -> list[dict]:
             )
         else:
             files.append(p)
+
+    import ray
+
+    if len(files) >= _SCAN_PARALLEL_MIN and ray.is_initialized():
+        scan_task = ray.remote(num_cpus=1)(_scan_files)
+        chunks = [
+            files[i : i + _SCAN_FILES_PER_TASK]
+            for i in range(0, len(files), _SCAN_FILES_PER_TASK)
+        ]
+        metas: list[tuple[list[int], bool]] = []
+        for part_metas in ray.get([scan_task.remote(c) for c in chunks]):
+            metas.extend(part_metas)
+    else:
+        metas = _scan_files(files)
+
     units: list[dict] = []
     offset = 0
     part = 0
-    for path in files:
-        meta = pq.ParquetFile(path)
-        has_sha = "sha256" in meta.schema_arrow.names
-        for rg in range(meta.metadata.num_row_groups):
-            n = meta.metadata.row_group(rg).num_rows
+    for path, (rg_rows, has_sha) in zip(files, metas):
+        for rg, n in enumerate(rg_rows):
             if n == 0:
                 continue  # empty row group (e.g. an empty corpus file)
             units.append(

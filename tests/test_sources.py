@@ -67,3 +67,41 @@ def test_query_io_roundtrip(tmp_path):
     )
     out = write_results(results, str(tmp_path / "res.parquet"))
     assert pq.read_table(out).num_rows == 2
+
+
+def test_parallel_footer_scan_matches_serial(ray_session, tmp_path):
+    """Many-file corpora fan the footer scan out as Ray tasks; units, parts
+    and doc offsets must be byte-identical to the serial driver loop."""
+    import bitcoin_ledger_2es_ray.sources.corpus as corpus_mod
+
+    d = tmp_path / "many"
+    d.mkdir()
+    n_files = corpus_mod._SCAN_PARALLEL_MIN + 8
+    for i in range(n_files):
+        rows = 1 + i % 3
+        t = pa.table(
+            {
+                "repo": [f"r{i}"] * rows,
+                "path": [f"p{i}/{j}" for j in range(rows)],
+                "commit": ["c" * 40] * rows,
+                "lang": ["python"] * rows,
+                "content": [f"alpha beta doc {i} {j}" for j in range(rows)],
+            }
+        )
+        pq.write_table(t, d / f"f-{i:05d}.parquet", row_group_size=2)
+
+    par = scan_corpus(str(d))
+    # serial reference: force the driver loop by scanning below the threshold
+    old = corpus_mod._SCAN_PARALLEL_MIN
+    corpus_mod._SCAN_PARALLEL_MIN = 10**9
+    try:
+        ser = scan_corpus(str(d))
+    finally:
+        corpus_mod._SCAN_PARALLEL_MIN = old
+    assert par == ser
+    assert len(par) > n_files  # multi-row-group files produce >1 unit
+    # offsets are a prefix sum over units in sorted-path order
+    total = 0
+    for u in par:
+        assert u["offset"] == total
+        total += u["num_rows"]
