@@ -36,8 +36,9 @@ from ..functions.tokenize import get_tokenizer
 from ..schemas import FORMAT_VERSION, STATS, TERM_DICT
 from ..sources.corpus import read_unit, scan_corpus, unit_fingerprint
 from ..stages.ingest import ReadVerifyTokenize
-from ..stages.segment import make_segment_builder
+from ..stages.segment import BUILDER_ENTRY, TERM_DICT_ROW_GROUP, make_segment_builder
 from ..state.manifest import Manifest, atomic_write_parquet
+from ..state.termdict import write_merged_term_dict
 
 
 @dataclass
@@ -208,6 +209,20 @@ def build_index(cfg: BuildConfig) -> BuildResult:
         if e.get("build_fingerprint") == bfp and e.get("tokenize_set") == tokset
     }
     skip_shards = sorted(int(k) for k in done_seg)
+    # shards NOT skipped are about to be rebuilt (or have become empty):
+    # drop their stale artifacts so a shard that lost all postings cannot
+    # leak ghost terms through a leftover dictionary run or segment file
+    for sid in range(cfg.num_partitions):
+        if sid in done_seg or str(sid) in done_seg:
+            continue
+        for stale in (
+            f"{cfg.out_dir}/segments/shard-{sid:05d}.parquet",
+            f"{cfg.out_dir}/term_dict_parts/shard-{sid:05d}.parquet",
+        ):
+            try:
+                os.remove(stale)
+            except FileNotFoundError:
+                pass
     builder = make_segment_builder(cfg.out_dir, bfp, tokset)
     if cfg.shuffle == "fs":
         # Reduce side of the filesystem exchange: each task owns a GROUP of
@@ -269,16 +284,17 @@ def build_index(cfg: BuildConfig) -> BuildResult:
                     np.concatenate((bounds, [len(ss)])),
                 ):
                     outs.append(builder(big.take(pa.array(order[s:e]))))
-            return pa.concat_tables(outs) if outs else pa.Table.from_pylist([], schema=TERM_DICT)
+            return (
+                pa.concat_tables(outs)
+                if outs
+                else pa.Table.from_pylist([], schema=BUILDER_ENTRY)
+            )
 
         if items:
             # one block per item → every reduce task runs in parallel
-            new_dict = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+            rd.from_items(items, override_num_blocks=len(items)).map_batches(
                 reduce_shards, batch_size=1, batch_format="pyarrow", num_cpus=1
-            )
-            dict_parts = [ray.get(r) for r in new_dict.to_arrow_refs()]
-        else:
-            dict_parts = []
+            ).materialize()
     else:
         postings = rd.read_parquet(os.path.join(cfg.out_dir, "postings"))
         if skip_shards:
@@ -287,37 +303,46 @@ def build_index(cfg: BuildConfig) -> BuildResult:
                 lambda t: t.filter(pc.invert(pc.is_in(t["shard"], value_set=skip))),
                 batch_format="pyarrow",
             )
-        new_dict = postings.groupby("shard").map_groups(builder, batch_format="pyarrow")
-        dict_parts = [ray.get(r) for r in new_dict.to_arrow_refs()]
-    dict_parts = [t for t in dict_parts if t.num_rows > 0]
+        postings.groupby("shard").map_groups(builder, batch_format="pyarrow").materialize()
     _mark("phase_b")
 
-    # ---- finalize: term_dict (recover skipped shards' rows), stats --------
-    for sid in skip_shards:
-        seg = pq.read_table(
-            f"{cfg.out_dir}/segments/shard-{sid:05d}.parquet",
-            columns=["term", "salt", "df", "cf"],
-        )
-        dict_parts.append(
-            pa.table(
-                {
-                    "term": seg["term"],
-                    "salt": seg["salt"],
-                    "partition": pa.array(np.full(seg.num_rows, sid, dtype=np.uint32)),
-                    "row": pa.array(np.arange(seg.num_rows, dtype=np.uint32)),
-                    "df": seg["df"],
-                    "cf": seg["cf"],
-                },
-                schema=TERM_DICT,
-            )
-        )
-    if dict_parts:
-        term_dict = pa.concat_tables(dict_parts).sort_by(
-            [("term", "ascending"), ("salt", "ascending")]
-        )
-    else:
-        term_dict = pa.Table.from_pylist([], schema=TERM_DICT)
-    atomic_write_parquet(term_dict, os.path.join(cfg.out_dir, "term_dict.parquet"))
+    # ---- finalize: merge per-shard sorted dictionary runs, stats ----------
+    # Each built shard committed a (term, salt)-sorted dictionary run to
+    # term_dict_parts/ (stages/segment.py) — including skipped shards from
+    # the prior build, so nothing is re-derived or re-shipped.  The merge is
+    # a C++ concat+sort for small vocabularies and a bounded-memory
+    # streaming k-way run merge for large ones (state/termdict.py).
+    part_paths = []
+    for sid in range(cfg.num_partitions):
+        p = f"{cfg.out_dir}/term_dict_parts/shard-{sid:05d}.parquet"
+        if not os.path.exists(p):
+            seg_path = f"{cfg.out_dir}/segments/shard-{sid:05d}.parquet"
+            if sid in skip_shards and os.path.exists(seg_path):
+                # migration: a pre-r2 index has no dict runs — derive once
+                seg = pq.read_table(seg_path, columns=["term", "salt", "df", "cf"])
+                atomic_write_parquet(
+                    pa.table(
+                        {
+                            "term": seg["term"],
+                            "salt": seg["salt"],
+                            "partition": pa.array(np.full(seg.num_rows, sid, dtype=np.uint32)),
+                            "row": pa.array(np.arange(seg.num_rows, dtype=np.uint32)),
+                            "df": seg["df"],
+                            "cf": seg["cf"],
+                        },
+                        schema=TERM_DICT,
+                    ),
+                    p,
+                    row_group_size=TERM_DICT_ROW_GROUP,
+                )
+            else:
+                continue  # shard produced no postings
+        part_paths.append(p)
+    n_terms = write_merged_term_dict(
+        part_paths,
+        os.path.join(cfg.out_dir, "term_dict.parquet"),
+        row_group_size=TERM_DICT_ROW_GROUP,
+    )
 
     # global stats (G3): phase A's manifest entries already carry per-unit
     # row counts and total_dl — summing them here avoids re-scanning the
@@ -325,7 +350,6 @@ def build_index(cfg: BuildConfig) -> BuildResult:
     tok_entries = manifest.completed("tokenize").values()
     n_docs = sum(e["rows"] for e in tok_entries)
     total_dl = sum(e["total_dl"] for e in tok_entries)
-    n_terms = len(pc.unique(term_dict["term"]))
     stats = pa.table(
         {
             "n_docs": pa.array([n_docs], type=pa.uint64()),
@@ -392,10 +416,11 @@ def _prune_stale_partitions(manifest: Manifest, cfg: BuildConfig, n_units: int) 
         if sid < cfg.num_partitions:
             continue
         manifest.remove_entry("segment", sid)
-        try:
-            os.remove(f"{cfg.out_dir}/segments/shard-{sid:05d}.parquet")
-        except FileNotFoundError:
-            pass
+        for sub in ("segments/shard", "term_dict_parts/shard"):
+            try:
+                os.remove(f"{cfg.out_dir}/{sub}-{sid:05d}.parquet")
+            except FileNotFoundError:
+                pass
 
 
 def _tokenize_set_key(manifest: Manifest) -> str:

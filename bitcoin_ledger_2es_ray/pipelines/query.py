@@ -36,26 +36,26 @@ from ..schemas import RESULTS, SEGMENT, assert_schema
 
 
 class SegmentStore:
-    """In-memory view of a built index; shard files load lazily."""
+    """In-memory view of a built index; shard files load lazily.
 
-    def __init__(self, index_dir: str):
+    Term lookups go through ``state.termdict.TermDict``: small vocabularies
+    load eagerly into dicts, large ones binary-search the sorted
+    ``term_dict.parquet`` with row-group pruning so per-process memory is
+    bounded regardless of vocabulary size (``eager_vocab_max`` flips the
+    mode; tests assert rank identity across both).
+    """
+
+    def __init__(self, index_dir: str, eager_vocab_max: int = 1 << 19):
         self.index_dir = index_dir
         st = pq.read_table(os.path.join(index_dir, "stats.parquet"))
         self.n_docs = int(st["n_docs"][0].as_py())
         self.avgdl = float(st["avgdl"][0].as_py())
-        td = pq.read_table(os.path.join(index_dir, "term_dict.parquet"))
-        # term → [(partition, row), ...] plus exact df per term (sum of the
-        # doc-disjoint salt slices).  Python dict build is O(vocab) once.
-        self.lookup: dict[str, list[tuple[int, int]]] = {}
-        self.df: dict[str, int] = {}
-        for term, part, row, df in zip(
-            td["term"].to_pylist(),
-            td["partition"].to_pylist(),
-            td["row"].to_pylist(),
-            td["df"].to_pylist(),
-        ):
-            self.lookup.setdefault(term, []).append((part, row))
-            self.df[term] = self.df.get(term, 0) + df
+        from ..state.termdict import TermDict
+
+        self.td = TermDict(
+            os.path.join(index_dir, "term_dict.parquet"), eager_max_rows=eager_vocab_max
+        )
+        self._df_map: dict[str, int] | None = None
         self._shards: dict[int, pa.Table] = {}
         # decoded-postings cache: a query STREAM hits the same (head) terms
         # repeatedly; decoded arrays are the expensive part of TAAT.  Capped
@@ -63,6 +63,14 @@ class SegmentStore:
         # cap bounds residency.
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._decoded_cap = 1024
+
+    @property
+    def df(self) -> dict[str, int]:
+        """term → exact df dict (fixture/test convenience — materializes the
+        vocabulary; hot paths use ``td.df_of``/``td.rows_of`` instead)."""
+        if self._df_map is None:
+            self._df_map = self.td.df_map()
+        return self._df_map
 
     def _shard(self, sid: int) -> pa.Table:
         if sid not in self._shards:
@@ -76,7 +84,7 @@ class SegmentStore:
     def raw_rows(self, term: str) -> list[dict]:
         """Compressed segment rows of a term (one per salt slice) — the
         WAND/serving path consumes these without full decode."""
-        rows = self.lookup.get(term)
+        rows = self.td.rows_of(term)
         if not rows:
             return []
         out = []
@@ -101,7 +109,7 @@ class SegmentStore:
         cached = self._decoded.get(term)
         if cached is not None:
             return cached
-        rows = self.lookup.get(term)
+        rows = self.td.rows_of(term)
         if not rows:
             e = np.empty(0, dtype=np.uint64)
             return e, e.astype(np.uint32), e.astype(np.uint32)
@@ -168,7 +176,7 @@ def score_query(
     terms = sorted(set(tokenize_query(text)))
     lists = []
     for term in terms:
-        df_t = store.df.get(term, 0)
+        df_t = store.td.df_of(term)
         if df_t == 0:
             continue
         d, tf, dl = store.postings(term)
@@ -191,7 +199,7 @@ def score_query_wand(
     terms = sorted(set(tokenize_query(text)))
     cursors = []
     for order, term in enumerate(terms):
-        df_t = store.df.get(term, 0)
+        df_t = store.td.df_of(term)
         if df_t == 0:
             continue
         w = float(idf(store.n_docs, df_t))

@@ -68,28 +68,30 @@ def _segment_actor_cls():
 class TopKService:
     """Router + segment actor pool.  Create once, query many times."""
 
-    def __init__(self, index_dir: str, num_actors: int = 4, k1: float = K1, b: float = B):
+    def __init__(
+        self,
+        index_dir: str,
+        num_actors: int = 4,
+        k1: float = K1,
+        b: float = B,
+        eager_vocab_max: int = 1 << 19,
+    ):
         import ray
 
         self.k1, self.b = k1, b
         st = pq.read_table(os.path.join(index_dir, "stats.parquet"))
         self.n_docs = int(st["n_docs"][0].as_py())
         self.avgdl = float(st["avgdl"][0].as_py())
-        td = pq.read_table(os.path.join(index_dir, "term_dict.parquet"))
-        self.lookup: dict[str, list[tuple[int, int]]] = {}
-        self.df: dict[str, int] = {}
-        shard_ids = set()
-        for term, part, row, df in zip(
-            td["term"].to_pylist(),
-            td["partition"].to_pylist(),
-            td["row"].to_pylist(),
-            td["df"].to_pylist(),
-        ):
-            self.lookup.setdefault(term, []).append((part, row))
-            self.df[term] = self.df.get(term, 0) + df
-            shard_ids.add(part)
+        # router state: TermDict (eager dicts for small vocabs; row-group-
+        # pruned binary search over the sorted parquet for large ones, so the
+        # router's memory stays bounded regardless of vocabulary size)
+        from ..state.termdict import TermDict
+
+        self.td = TermDict(
+            os.path.join(index_dir, "term_dict.parquet"), eager_max_rows=eager_vocab_max
+        )
         # G6 routing: shard → owning actor (round-robin over sorted shards)
-        shards = sorted(shard_ids)
+        shards = self.td.partitions()
         num_actors = max(1, min(num_actors, len(shards) or 1))
         cls = _segment_actor_cls()
         assignment: list[list[int]] = [shards[i::num_actors] for i in range(num_actors)]
@@ -124,10 +126,10 @@ class TopKService:
         meta: list[tuple[int, float, int, str, int]] = []
         raws: list[tuple[int, float, dict] | None] = []
         for order, term in enumerate(terms):
-            rows = self.lookup.get(term)
+            rows = self.td.rows_of(term)
             if not rows:
                 continue
-            w = float(idf(self.n_docs, self.df[term]))
+            w = float(idf(self.n_docs, self.td.df_of(term)))
             cached = self._row_cache.get(term)
             for slice_i, (part, row) in enumerate(rows):
                 if cached is not None:

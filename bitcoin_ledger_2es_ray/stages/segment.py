@@ -182,15 +182,32 @@ def encode_shard(table: pa.Table) -> tuple[pa.Table, pa.Table, int]:
     return seg, dict_rows, sid
 
 
+TERM_DICT_ROW_GROUP = 65536  # term_dict row-group size — the pruned-lookup unit
+
+BUILDER_ENTRY = pa.schema([("shard", pa.uint32()), ("n_lists", pa.uint64())])
+
+
 def make_segment_builder(out_dir: str, build_fingerprint: str = "", tokenize_set: str = ""):
-    """map_groups body: encode, atomically commit, emit term_dict rows."""
+    """map_groups body: encode, atomically commit segment + per-shard
+    term-dict slice, emit a small metadata row.
+
+    The shard's dictionary rows are (term, salt)-sorted (the encode sort
+    order), so ``term_dict_parts/shard-NNNNN.parquet`` files are SORTED RUNS
+    — the finalize step merges them without re-shipping dictionary rows
+    through the object store, and a resumed build reuses skipped shards'
+    runs directly from disk (pipelines/build.py)."""
 
     def build_segment(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.Table.from_pylist([], schema=TERM_DICT)
+            return pa.Table.from_pylist([], schema=BUILDER_ENTRY)
         t0 = time.monotonic()
         seg, dict_rows, sid = encode_shard(group)
         nbytes = atomic_write_parquet(seg, f"{out_dir}/segments/shard-{sid:05d}.parquet")
+        atomic_write_parquet(
+            dict_rows,
+            f"{out_dir}/term_dict_parts/shard-{sid:05d}.parquet",
+            row_group_size=TERM_DICT_ROW_GROUP,
+        )
         Manifest(out_dir).write_entry(
             "segment",
             sid,
@@ -205,6 +222,10 @@ def make_segment_builder(out_dir: str, build_fingerprint: str = "", tokenize_set
                 "wall_s": round(time.monotonic() - t0, 4),
             },
         )
-        return dict_rows
+        return pa.table(
+            {"shard": pa.array([sid], type=pa.uint32()),
+             "n_lists": pa.array([seg.num_rows], type=pa.uint64())},
+            schema=BUILDER_ENTRY,
+        )
 
     return build_segment

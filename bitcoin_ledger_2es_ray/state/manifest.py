@@ -79,13 +79,16 @@ class Manifest:
             pass
 
 
-def atomic_write_parquet(table, path: str) -> int:
+def atomic_write_parquet(table, path: str, row_group_size: int | None = None) -> int:
     """Write a parquet file atomically (tmp → rename); returns byte size."""
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
+    if row_group_size is None:
+        pq.write_table(table, tmp)
+    else:
+        pq.write_table(table, tmp, row_group_size=row_group_size)
     size = os.path.getsize(tmp)
     os.replace(tmp, path)
     return size

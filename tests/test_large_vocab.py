@@ -106,3 +106,91 @@ def test_term_dict_sorted(big_vocab):
     td = pq.read_table(f"{res.out_dir}/term_dict.parquet", columns=["term"])
     terms = td["term"].to_pylist()
     assert terms == sorted(terms)  # FST-style globally sorted keys
+
+
+def test_pruned_term_dict_matches_eager(big_vocab):
+    """Row-group-pruned binary search over the sorted term_dict must agree
+    with the eager dict on every term, with bounded residency."""
+    from bitcoin_ledger_2es_ray.state.termdict import TermDict
+
+    res, _ = big_vocab
+    path = f"{res.out_dir}/term_dict.parquet"
+    eager = TermDict(path)  # vocab below default threshold → eager
+    pruned = TermDict(path, eager_max_rows=0, cache_rgs=2)
+    assert eager.eager and not pruned.eager
+    vocab = sorted(eager.df)
+    rng = np.random.default_rng(5)
+    sample = list(rng.choice(vocab, size=200, replace=False)) + ["zzz_not_a_term", "a"]
+    for t in sample:
+        assert pruned.rows_of(t) == eager.rows_of(t), t
+        assert pruned.df_of(t) == eager.df_of(t), t
+    assert len(pruned._cache) <= 2  # LRU stays bounded
+    assert pruned.partitions() == eager.partitions()
+
+
+def test_pruned_store_rank_identity(big_vocab):
+    """SegmentStore in pruned-dictionary mode is rank-identical to eager."""
+    res, oracle = big_vocab
+    eager = SegmentStore(res.out_dir)
+    pruned = SegmentStore(res.out_dir, eager_vocab_max=0)
+    rng = np.random.default_rng(17)
+    vocab = sorted(oracle.postings)
+    queries = [" ".join(rng.choice(vocab, size=rng.integers(1, 4), replace=False)) for _ in range(20)]
+    for text in queries:
+        assert score_query(pruned, text, 10) == score_query(eager, text, 10), text
+
+
+def test_synthetic_million_term_dict(tmp_path):
+    """A 10^6-row dictionary: pruned lookups stay correct and bounded —
+    no full-vocab Python dict is ever built."""
+    import pyarrow.parquet as pq2
+
+    from bitcoin_ledger_2es_ray.schemas import TERM_DICT
+    from bitcoin_ledger_2es_ray.state.termdict import TermDict
+
+    n = 1_000_000
+    terms = [f"t{i:08d}" for i in range(n)]  # sorted by construction
+    t = pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "salt": pa.array(np.zeros(n, dtype=np.uint16)),
+            "partition": pa.array((np.arange(n) % 64).astype(np.uint32)),
+            "row": pa.array(np.arange(n, dtype=np.uint32)),
+            "df": pa.array((1 + np.arange(n) % 1000).astype(np.uint32)),
+            "cf": pa.array((1 + np.arange(n) % 5000).astype(np.uint64)),
+        },
+        schema=TERM_DICT,
+    )
+    path = str(tmp_path / "big_dict.parquet")
+    pq2.write_table(t, path, row_group_size=65536)
+    td = TermDict(path, eager_max_rows=1000, cache_rgs=4)
+    assert not td.eager
+    rng = np.random.default_rng(9)
+    for i in rng.integers(0, n, size=300):
+        i = int(i)
+        assert td.rows_of(f"t{i:08d}") == [(i % 64, i)]
+        assert td.df_of(f"t{i:08d}") == 1 + i % 1000
+    assert td.rows_of("absent") == [] and td.df_of("absent") == 0
+    assert len(td._cache) <= 4
+
+
+def test_streaming_merge_matches_eager(big_vocab):
+    """The bounded-memory streaming run merge produces byte-identical
+    term_dict content and the same distinct-term count as the C++ sort."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from bitcoin_ledger_2es_ray.state.termdict import write_merged_term_dict
+
+    res, _ = big_vocab
+    parts = sorted(glob.glob(f"{res.out_dir}/term_dict_parts/shard-*.parquet"))
+    assert parts
+    out = f"{res.out_dir}/term_dict_streamed.parquet"
+    n_stream = write_merged_term_dict(parts, out, eager_max_rows=0, row_group_size=512)
+    ref = pq2.read_table(f"{res.out_dir}/term_dict.parquet")
+    got = pq2.read_table(out)
+    assert got.equals(ref)
+    assert n_stream == res.n_terms
+    os.remove(out)
