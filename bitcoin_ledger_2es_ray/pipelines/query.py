@@ -288,15 +288,41 @@ def attach_doc_meta_bulk(results_ds, index_dir: str, num_partitions: int = 16):
     )
 
 
-def attach_doc_meta(results: pa.Table, index_dir: str) -> pa.Table:
+BULK_JOIN_THRESHOLD = 200_000  # results rows above which the broadcast
+# semi-join stops being "small-side" and the hash-partitioned Dataset.join
+# takes over (VERDICT r1 §9)
+
+
+def attach_doc_meta(
+    results: pa.Table, index_dir: str, bulk_threshold: int = BULK_JOIN_THRESHOLD
+) -> pa.Table:
     """G5 forward-map join: results → (repo, path, commit).
 
-    Broadcast-style: the small results docID set filters the forward map
-    (semi-join pushdown), then an Arrow hash join attaches the metadata —
-    no shuffle of the big side.
+    Small results (the common top-k case): broadcast-style — the results
+    docID set filters the forward map (semi-join pushdown), then an Arrow
+    hash join attaches the metadata with no shuffle of the big side.
+    Above ``bulk_threshold`` rows the results side is no longer "small" and
+    the call routes through the hash-partitioned ``Dataset.join``
+    (``attach_doc_meta_bulk``) instead — both paths produce identical rows
+    (asserted in tests/test_build_query.py).
     """
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
+
+    if results.num_rows >= bulk_threshold:
+        from ..functions.blocks import from_arrow_blocks
+
+        ds = from_arrow_blocks(results, max(8, results.num_rows // 500_000))
+        import ray
+
+        joined = attach_doc_meta_bulk(ds, index_dir)
+        out = pa.concat_tables(
+            [_t if isinstance(_t := ray.get(r), pa.Table) else pa.Table.from_batches([_t])
+             for r in joined.to_arrow_refs()]
+        )
+        return out.select(results.column_names + ["repo", "path", "commit"]).sort_by(
+            [("query_id", "ascending"), ("rank", "ascending")]
+        )
 
     wanted = pc.unique(results["doc_id"])
     fwd = pads.dataset(os.path.join(index_dir, "forward_map")).to_table(

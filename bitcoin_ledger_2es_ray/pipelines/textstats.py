@@ -35,8 +35,9 @@ _LANG_PROFILES: dict[str, set[str]] = {
     "zh": set(),  # handled by the CJK-character ratio below
 }
 
-_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")  # compiled once per process
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"  # RE2 kernel below matches re.findall counts
 _CJK_RE = re.compile(r"[一-鿿]")
+_STOPWORDS_ARR = pa.array(sorted(STOPWORDS_EN), type=pa.string())
 
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text")):
@@ -71,9 +72,9 @@ def quality_scores(sf_dir: str) -> pa.Table:
                 pc.list_value_length(words).to_numpy(zero_copy_only=False), nan=0
             ).astype(np.int64),
         )
-        is_stop = np.array(
-            [w in STOPWORDS_EN for w in flat.to_pylist()], dtype=np.float64
-        )
+        is_stop = pc.is_in(flat, value_set=_STOPWORDS_ARR).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
         stop_cnt = np.bincount(row_idx, weights=is_stop, minlength=batch.num_rows)
         stop_ratio = sql_round(stop_cnt / np.maximum(n_tokens, 1), 6)
         mean_tok = sql_round(
@@ -100,12 +101,14 @@ def quality_scores(sf_dir: str) -> pa.Table:
 
 
 def token_count_bpe(sf_dir: str) -> pa.Table:
-    """(doc_id, n_bpe) — BPE-ish pre-token count with a compiled regex."""
+    """(doc_id, n_bpe) — BPE-ish pre-token count via the vectorized Arrow
+    RE2 kernel (no per-row Python findall)."""
 
     def count(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n = np.array([len(_BPE_RE.findall(t)) for t in texts], dtype=np.int64)
-        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()), "n_bpe": pa.array(n)})
+        n = pc.count_substring_regex(
+            batch["text"].combine_chunks(), _BPE_PATTERN
+        ).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()), "n_bpe": n})
 
     return _collect_sorted(_read_docs(sf_dir).map_batches(count, batch_format="pyarrow", zero_copy_batch=True))
 

@@ -34,9 +34,19 @@ def _slice_bytes(buf: np.ndarray, offsets: np.ndarray, starts: np.ndarray, ends:
     byte_starts = offsets[starts]
     byte_ends = offsets[ends]
     lengths = byte_ends - byte_starts
-    out_off = np.zeros(len(starts) + 1, dtype=np.int32)
-    np.cumsum(lengths, out=out_off[1:])
-    total = int(out_off[-1])
+    out_off64 = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=out_off64[1:])
+    total = int(out_off64[-1])
+    if total >= 1 << 31:
+        # pa.binary() carries int32 offsets — a silent wrap would corrupt
+        # the segment (ADVICE r1).  Fail loudly with the fix.
+        raise ValueError(
+            f"shard's encoded posting bytes ({total}) exceed the 2 GiB "
+            "int32-offset limit of the segment layout — raise "
+            "BuildConfig.num_partitions (or lower max_slice_postings) so "
+            "each shard encodes less data"
+        )
+    out_off = out_off64.astype(np.int32)
     values = np.empty(total, dtype=np.uint8)
     for i in range(len(starts)):  # loop over runs (distinct terms), not postings
         values[out_off[i] : out_off[i + 1]] = buf[byte_starts[i] : byte_ends[i]]

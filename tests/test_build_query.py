@@ -102,6 +102,10 @@ def test_forward_map_join(built):
         d = row["doc_id"]
         assert row["repo"] == f"org{d % 7}/repo{d % 20}"
         assert row["path"].endswith(f"file_{d}.py")
+    # the auto-routed bulk path (hash-partitioned Dataset.join) must produce
+    # the same rows as the broadcast semi-join (threshold forced to 0)
+    bulk = attach_doc_meta(results, res.out_dir, bulk_threshold=0)
+    assert bulk.select(joined.column_names).equals(joined)
 
 
 def test_adaptive_salting_bounds_slices(ray_session, tmp_path):
