@@ -19,6 +19,16 @@ tie behavior exactly:
   tie with the kth score is skipped — correct, because the tied candidate
   would lose the docID tie-break against the already-seated entries anyway.
 
+Performance (r2): cursors buffer a RANGE of blocks and decode the whole
+range with ONE varbyte call per stream (gaps are a global delta within a
+run, so a multi-block range decodes with a single cumsum from the previous
+block's ``last_doc``).  The range width adapts: sequential loads — the
+signature of a high-df query where no skipping is possible — double the
+span up to ``MAX_SPAN``; any skip resets it to 1 so selective queries keep
+block-granular skipping.  Block metadata converts from the Arrow
+list-of-structs to numpy ONCE per raw row (``build_block_arrays``, cached
+on the raw dict by ``Cursor.from_raw``), not per query.
+
 A salted head term yields one cursor per doc-disjoint slice sharing the
 term's idf (computed from the TOTAL df across slices) — WAND does not care
 that two cursors carry the same term.
@@ -35,14 +45,40 @@ from .codecs import varbyte_decode
 
 _SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+MAX_SPAN = 32  # widest multi-block decode range (blocks)
+
+
+def build_block_arrays(
+    block_meta: list[dict], n_doc_bytes: int, n_tf_bytes: int, n_dl_bytes: int
+) -> tuple[np.ndarray, ...]:
+    """Columnar view of a posting row's block metadata (built once, reused
+    by every Cursor over that row): (last, off_d, off_t, off_l, max_tf,
+    min_dl) with the offset arrays carrying the end sentinel."""
+    n = len(block_meta)
+    last = np.fromiter((m["last_doc"] for m in block_meta), dtype=np.uint64, count=n)
+    off_d = np.empty(n + 1, dtype=np.int64)
+    off_t = np.empty(n + 1, dtype=np.int64)
+    off_l = np.empty(n + 1, dtype=np.int64)
+    for i, m in enumerate(block_meta):
+        off_d[i] = m["off_docs"]
+        off_t[i] = m["off_tfs"]
+        off_l[i] = m["off_dls"]
+    off_d[n] = n_doc_bytes
+    off_t[n] = n_tf_bytes
+    off_l[n] = n_dl_bytes
+    max_tf = np.fromiter((m["max_tf"] for m in block_meta), dtype=np.float64, count=n)
+    min_dl = np.fromiter((m["min_dl"] for m in block_meta), dtype=np.float64, count=n)
+    return last, off_d, off_t, off_l, max_tf, min_dl
+
 
 class Cursor:
-    """One compressed posting list with lazy block decode + skip."""
+    """One compressed posting list with lazy multi-block decode + skip."""
 
     __slots__ = (
         "order", "weight", "doc_bytes", "tf_bytes", "dl_bytes",
         "block_last", "block_off_d", "block_off_t", "block_off_l", "block_ub",
-        "n_blocks", "bi", "docs", "tfs", "dls", "pos", "k1", "b", "avgdl",
+        "n_blocks", "bi_lo", "bi_hi", "span", "docs", "tfs", "dls", "pos",
+        "k1", "b", "avgdl",
     )
 
     def __init__(
@@ -52,7 +88,7 @@ class Cursor:
         doc_bytes: bytes,
         tf_bytes: bytes,
         dl_bytes: bytes,
-        block_meta: list[dict],
+        block_meta: list[dict] | tuple[np.ndarray, ...],
         avgdl: float,
         k1: float = K1,
         b: float = B,
@@ -63,52 +99,85 @@ class Cursor:
         self.tf_bytes = tf_bytes
         self.dl_bytes = dl_bytes
         self.avgdl, self.k1, self.b = avgdl, k1, b
-        self.n_blocks = len(block_meta)
-        self.block_last = np.array([m["last_doc"] for m in block_meta], dtype=np.uint64)
-        self.block_off_d = np.array(
-            [m["off_docs"] for m in block_meta] + [len(doc_bytes)], dtype=np.int64
-        )
-        self.block_off_t = np.array(
-            [m["off_tfs"] for m in block_meta] + [len(tf_bytes)], dtype=np.int64
-        )
-        self.block_off_l = np.array(
-            [m["off_dls"] for m in block_meta] + [len(dl_bytes)], dtype=np.int64
-        )
-        max_tf = np.array([m["max_tf"] for m in block_meta], dtype=np.float64)
-        min_dl = np.array([m["min_dl"] for m in block_meta], dtype=np.float64)
+        if isinstance(block_meta, tuple):
+            last, off_d, off_t, off_l, max_tf, min_dl = block_meta
+        else:
+            last, off_d, off_t, off_l, max_tf, min_dl = build_block_arrays(
+                block_meta, len(doc_bytes), len(tf_bytes), len(dl_bytes)
+            )
+        self.n_blocks = len(last)
+        self.block_last = last
+        self.block_off_d = off_d
+        self.block_off_t = off_t
+        self.block_off_l = off_l
         # vectorized per-block upper bounds (functions.bm25.block_upper_bound)
         self.block_ub = weight * (
             max_tf / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
         )
-        self.bi = -1
+        self.span = 1
+        self.bi_lo = self.bi_hi = 0
         self.docs = self.tfs = self.dls = None
         self.pos = 0
-        self._load_block(0)
+        self._load_blocks(0)
+
+    @classmethod
+    def from_raw(
+        cls,
+        order: int,
+        weight: float,
+        raw: dict,
+        avgdl: float,
+        k1: float = K1,
+        b: float = B,
+    ) -> "Cursor":
+        """Build from a raw segment row dict, caching the columnar block
+        arrays ON the dict so repeated queries skip the conversion."""
+        arrays = raw.get("_block_arrays")
+        if arrays is None:
+            arrays = build_block_arrays(
+                raw["block_meta"], len(raw["doc_ids"]), len(raw["tfs"]), len(raw["dls"])
+            )
+            raw["_block_arrays"] = arrays
+        return cls(order, weight, raw["doc_ids"], raw["tfs"], raw["dls"], arrays, avgdl, k1, b)
 
     # -- block machinery ---------------------------------------------------
-    def _load_block(self, bi: int) -> None:
+    def _load_blocks(self, bi: int) -> None:
+        """Decode blocks [bi, bi+span) into the buffer — ONE varbyte call
+        per stream.  Sequential loads widen the span (no skipping is
+        happening); a jump resets it to 1 (skipping works — stay fine)."""
         if bi >= self.n_blocks:
-            self.bi = self.n_blocks
+            self.bi_lo = self.bi_hi = self.n_blocks
             self.docs = np.array([_SENTINEL], dtype=np.uint64)
             self.tfs = np.zeros(1, dtype=np.uint32)
             self.dls = np.ones(1, dtype=np.uint32)
             self.pos = 0
             return
+        if bi == self.bi_hi and self.bi_hi > self.bi_lo:
+            self.span = min(self.span * 2, MAX_SPAN)
+        elif bi != self.bi_hi:
+            self.span = 1
+        hi = min(bi + self.span, self.n_blocks)
         base = self.block_last[bi - 1] if bi > 0 else np.uint64(0)
-        gaps = varbyte_decode(self.doc_bytes[self.block_off_d[bi] : self.block_off_d[bi + 1]])
+        gaps = varbyte_decode(self.doc_bytes[self.block_off_d[bi] : self.block_off_d[hi]])
         self.docs = base + np.cumsum(gaps, dtype=np.uint64)
-        self.tfs = varbyte_decode(self.tf_bytes[self.block_off_t[bi] : self.block_off_t[bi + 1]])
-        self.dls = varbyte_decode(self.dl_bytes[self.block_off_l[bi] : self.block_off_l[bi + 1]])
-        self.bi = bi
+        self.tfs = varbyte_decode(self.tf_bytes[self.block_off_t[bi] : self.block_off_t[hi]])
+        self.dls = varbyte_decode(self.dl_bytes[self.block_off_l[bi] : self.block_off_l[hi]])
+        self.bi_lo = bi
+        self.bi_hi = hi
         self.pos = 0
 
     @property
     def exhausted(self) -> bool:
-        return self.bi >= self.n_blocks
+        return self.bi_lo >= self.n_blocks
 
     @property
     def cur_doc(self) -> np.uint64:
         return self.docs[self.pos]
+
+    @property
+    def loaded_last(self) -> np.uint64:
+        """Last docID currently decoded in the buffer."""
+        return self.block_last[self.bi_hi - 1]
 
     def cur_block_ub(self, doc: np.uint64) -> float:
         """Upper bound of the block that would contain ``doc`` (≥ cur_doc)."""
@@ -128,15 +197,15 @@ class Cursor:
         """Advance to the first posting with doc >= target (skips blocks)."""
         if self.exhausted or self.docs[self.pos] >= target:
             return
-        if target > self.block_last[self.bi]:
+        if target > self.loaded_last:
             bi = int(np.searchsorted(self.block_last, target, side="left"))
             if bi >= self.n_blocks:
-                self._load_block(self.n_blocks)
+                self._load_blocks(self.n_blocks)
                 return
-            self._load_block(bi)
+            self._load_blocks(bi)
         self.pos = int(np.searchsorted(self.docs, target, side="left"))
         if self.pos >= len(self.docs):  # defensive; block_last guards this
-            self._load_block(self.bi + 1)
+            self._load_blocks(self.bi_hi)
 
     def score_current(self) -> float:
         tf = float(self.tfs[self.pos])
@@ -146,7 +215,7 @@ class Cursor:
     def advance(self) -> None:
         self.pos += 1
         if self.pos >= len(self.docs):
-            self._load_block(self.bi + 1)
+            self._load_blocks(self.bi_hi)
 
 
 def wand_topk(cursors: list[Cursor], k: int) -> list[tuple[int, float]]:
@@ -199,16 +268,18 @@ def wand_topk(cursors: list[Cursor], k: int) -> list[tuple[int, float]]:
             continue
 
         if active[0].cur_doc == pivot:
-            # -- full evaluation, BLOCK-AT-A-TIME: when sorted, lead cursors
+            # -- full evaluation, WINDOW-AT-A-TIME: when sorted, lead cursors
             # all sit exactly on the pivot (pivot is the max lead cur_doc).
-            # The window [pivot, win_end] ends at the earliest CURRENT-block
+            # The window [pivot, win_end] ends at the earliest LOADED-RANGE
             # boundary over ALL active cursors, so every posting any cursor
             # holds inside the window is already decoded — the whole window
             # gets complete scores in one vectorized numpy TAAT pass instead
-            # of doc-by-doc Python.  (Every active cursor's current block
-            # ends at or after its cur_doc > pivot, so win_end >= pivot and
-            # the loop always advances.)
-            win_end = min(c.block_last[c.bi] for c in active)
+            # of doc-by-doc Python.  Buffers span multiple blocks when spans
+            # have widened, so high-df queries amortize the per-window
+            # Python overhead over thousands of postings.  (Every active
+            # cursor's loaded range ends at or after its cur_doc > pivot, so
+            # win_end >= pivot and the loop always advances.)
+            win_end = min(c.loaded_last for c in active)
             docs_l, contrib_l = [], []
             for c in sorted(active, key=lambda c: c.order):  # fixed float order
                 i1 = int(np.searchsorted(c.docs, win_end, side="right"))

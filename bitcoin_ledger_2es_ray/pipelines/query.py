@@ -62,6 +62,7 @@ class SegmentStore:
         # by term count — at real scale an actor holds one partition and the
         # cap bounds residency.
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._raw: dict[str, list[dict]] = {}
         self._decoded_cap = 1024
 
     @property
@@ -83,7 +84,12 @@ class SegmentStore:
 
     def raw_rows(self, term: str) -> list[dict]:
         """Compressed segment rows of a term (one per salt slice) — the
-        WAND/serving path consumes these without full decode."""
+        WAND/serving path consumes these without full decode.  Cached per
+        store (query streams repeat head terms; Cursor.from_raw further
+        caches the columnar block arrays on these dicts)."""
+        cached = self._raw.get(term)
+        if cached is not None:
+            return cached
         rows = self.td.rows_of(term)
         if not rows:
             return []
@@ -98,6 +104,8 @@ class SegmentStore:
                     "block_meta": shard["block_meta"][row].as_py(),
                 }
             )
+        if len(self._raw) < self._decoded_cap:
+            self._raw[term] = out
         return out
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -204,19 +212,7 @@ def score_query_wand(
             continue
         w = float(idf(store.n_docs, df_t))
         for raw in store.raw_rows(term):
-            cursors.append(
-                Cursor(
-                    order,
-                    w,
-                    raw["doc_ids"],
-                    raw["tfs"],
-                    raw["dls"],
-                    raw["block_meta"],
-                    store.avgdl,
-                    k1,
-                    b,
-                )
-            )
+            cursors.append(Cursor.from_raw(order, w, raw, store.avgdl, k1, b))
     return wand_topk(cursors, k)
 
 

@@ -163,10 +163,7 @@ class TopKService:
 
         if mode == "wand":
             cursors = [
-                Cursor(
-                    order, w, raw["doc_ids"], raw["tfs"], raw["dls"],
-                    raw["block_meta"], self.avgdl, self.k1, self.b,
-                )
+                Cursor.from_raw(order, w, raw, self.avgdl, self.k1, self.b)
                 for order, w, raw in raws
             ]
             return wand_topk(cursors, k)
