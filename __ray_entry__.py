@@ -318,6 +318,12 @@ def _q_cosine_dups(sf_dir: str) -> pa.Table:
     return cosine_dup_pairs(sf_dir, tau=0.4)
 
 
+def _q_ann_ivf(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_ivf
+
+    return knn_ivf(sf_dir, n_queries=5, k=5)
+
+
 def _q_cosine_dups_lsh(sf_dir: str) -> pa.Table:
     # low tau → few planes per table, many tables (collision prob per table
     # is (1-θ/π)^planes); recall vs the exact path is asserted in tests
@@ -376,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,  # rows-only (rolling hash)
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,  # rows-only (approximate)
+        "ann_ivf": _q_ann_ivf,  # rows-only (approximate)
         "cosine_dups": _q_cosine_dups,
         "cosine_dups_lsh": _q_cosine_dups_lsh,  # rows-only (approximate recall)
         "media_features": _q_media_features,  # rows-only (synthetic media)

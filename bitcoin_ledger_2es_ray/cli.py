@@ -92,6 +92,25 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query_batch(args: argparse.Namespace) -> int:
+    """Batch query set → partitioned parquet results (the scale sink:
+    scoring, metadata join and write all stream — nothing lands on the
+    driver)."""
+    from .pipelines.query import run_queries_to_parquet
+    from .sources.queries import read_queries
+
+    _ensure_ray(args.num_cpus)
+    out = run_queries_to_parquet(
+        args.index,
+        read_queries(args.queries),
+        args.out,
+        concurrency=args.concurrency,
+        with_meta=not args.no_meta,
+    )
+    print(json.dumps({"out": out}))
+    return 0
+
+
 def cmd_serve_bench(args: argparse.Namespace) -> int:
     import pyarrow.parquet as pq
 
@@ -124,6 +143,17 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--q", required=True, help="query text")
     q.add_argument("-k", type=int, default=10)
     q.set_defaults(fn=cmd_query)
+
+    qb = sub.add_parser(
+        "query-batch", help="batch query set → partitioned parquet results (streamed)"
+    )
+    qb.add_argument("--index", required=True)
+    qb.add_argument("--queries", required=True, help="queries parquet (QUERIES schema)")
+    qb.add_argument("--out", required=True, help="results output directory")
+    qb.add_argument("--concurrency", type=int, default=8)
+    qb.add_argument("--no-meta", action="store_true", help="skip the doc-meta join")
+    qb.add_argument("--num-cpus", type=int, default=None)
+    qb.set_defaults(fn=cmd_query_batch)
 
     s = sub.add_parser("serve-bench", help="p50/p99 latency over warm serving actors")
     s.add_argument("--index", required=True)

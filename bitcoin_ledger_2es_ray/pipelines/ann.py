@@ -254,6 +254,128 @@ def knn_lsh(
     )
 
 
+def knn_ivf(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample: int = 2048,
+    iters: int = 5,
+) -> pa.Table:
+    """Approximate cosine top-k via an IVF (inverted-file) index — the
+    second scale path next to ``knn_lsh``.
+
+    Train: deterministic mini k-means (spherical) on the first ``sample``
+    vectors by vec_id — fixed seed, fixed iteration count, so centroids are
+    identical across runs and cluster sizes.  Assign: one ``map_batches``
+    pass argmax-ing each vector's centroid (centroids broadcast via
+    ``ray.put``).  Probe: each query scans only its ``n_probe`` nearest
+    centroid lists inside ``groupby("centroid").map_groups`` — the driver
+    merge is ≤ n_queries × k × n_probe rows.  Output schema matches
+    knn_bruteforce; recall is measured in tests against the brute-force
+    baseline.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    qn = _normalize(q_mat)
+
+    # -- train on a deterministic sample (head by vec_id) -------------------
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id").slice(0, sample)
+    _, train = _batch_matrix(t)
+    train = _normalize(train)
+    n_centroids = min(n_centroids, len(train))
+    rng = np.random.default_rng(7)
+    cent = train[rng.choice(len(train), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for ci in range(n_centroids):
+            m = assign == ci
+            if m.any():
+                v = train[m].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[ci] = v / n
+    cent_ref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, mat = _batch_matrix(batch)
+        ci = np.argmax(_normalize(mat) @ c.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "centroid": pa.array(ci.astype(np.int64)),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    # -- probe plan: each query's n_probe nearest centroids -----------------
+    probe_of: dict[int, list[int]] = {}
+    q_cent = np.argsort(-(qn @ cent.T), axis=1)[:, : min(n_probe, n_centroids)]
+    for qi in range(len(q_ids)):
+        for ci in q_cent[qi]:
+            probe_of.setdefault(int(ci), []).append(qi)
+    probe_ref = ray.put((probe_of, qn))
+
+    def probe_list(group: pa.Table) -> pa.Table:
+        probes, q = ray.get(probe_ref)
+        empty = pa.table(
+            {"q": pa.array([], type=pa.int64()), "vec_id": pa.array([], type=pa.int64()),
+             "sim": pa.array([], type=pa.float64())}
+        )
+        wanting = probes.get(int(group["centroid"][0].as_py()), [])
+        if not wanting:
+            return empty
+        ids, mat = _batch_matrix(group.select(["vec_id", "embedding"]))
+        sims = sql_round(q[wanting] @ _normalize(mat).T, ROUND)
+        rows_q, rows_v, rows_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for wi, qi in enumerate(wanting):
+            order = np.lexsort((ids, -sims[wi]))[:kk]
+            rows_q.extend([qi] * kk)
+            rows_v.extend(int(ids[i]) for i in order)
+            rows_s.extend(float(sims[wi, i]) for i in order)
+        return pa.table(
+            {
+                "q": pa.array(rows_q, type=pa.int64()),
+                "vec_id": pa.array(rows_v, type=pa.int64()),
+                "sim": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    parts_ds = (
+        _read_embeddings(sf_dir)
+        .map_batches(assign_batch, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+        .groupby("centroid")
+        .map_groups(probe_list, batch_format="pyarrow")
+    )
+    parts = pa.concat_tables([ray.get(r) for r in parts_ds.to_arrow_refs()])
+    rows = []
+    if parts.num_rows:
+        qcol = np.asarray(parts["q"])
+        vcol = np.asarray(parts["vec_id"])
+        scol = np.asarray(parts["sim"])
+        for qi in range(len(q_ids)):
+            m = qcol == qi
+            if not m.any():
+                continue
+            order = np.lexsort((vcol[m], -scol[m]))[:k]
+            for rank, i in enumerate(order, start=1):
+                rows.append((int(q_ids[qi]), rank, int(vcol[m][i]), float(scol[m][i])))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+            "vec_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "sim": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def cosine_dup_pairs_lsh(
     sf_dir: str,
     tau: float = 0.9,

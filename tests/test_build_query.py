@@ -108,6 +108,38 @@ def test_forward_map_join(built):
     assert bulk.select(joined.column_names).equals(joined)
 
 
+def test_results_sink_streams_to_parquet(built, tmp_path):
+    """Scale sink: score → bulk meta join → partitioned parquet, no driver
+    materialization; rows round-trip identical to the in-memory path."""
+    import pyarrow.dataset as pads
+
+    from bitcoin_ledger_2es_ray.pipelines.query import run_queries, run_queries_to_parquet
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    queries = fixture_queries(sorted(store.df), n=20, k=5)
+    out = run_queries_to_parquet(
+        res.out_dir, queries, str(tmp_path / "results"), concurrency=2, round_decimals=6
+    )
+    written = (
+        pads.dataset(out)
+        .to_table()
+        .sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    )
+    mem = pa.Table.from_pylist(
+        run_queries(res.out_dir, queries, concurrency=2, round_decimals=6).take_all()
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    assert written.num_rows == mem.num_rows
+    assert written.select(["query_id", "rank", "doc_id", "score"]).equals(
+        mem.select(["query_id", "rank", "doc_id", "score"]).cast(
+            written.select(["query_id", "rank", "doc_id", "score"]).schema
+        )
+    )
+    for row in written.slice(0, 5).to_pylist():
+        assert row["repo"].startswith("org")
+
+
 def test_adaptive_salting_bounds_slices(ray_session, tmp_path):
     """Head-term skew (SURVEY §2.4 G1): salt counts scale with estimated df
     so no reduce-side posting run exceeds ~max_slice_postings — and the

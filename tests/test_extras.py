@@ -121,6 +121,29 @@ def test_ann_lsh_recall(ray_session):
     assert exact_top1 <= approx_hits
 
 
+def test_ann_ivf_recall(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_bruteforce, knn_ivf
+
+    exact = knn_bruteforce(SF, n_queries=5, k=5)
+    approx = knn_ivf(SF, n_queries=5, k=5, n_centroids=8, n_probe=4)
+    exact_hits = set(zip(exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()))
+    approx_hits = set(zip(approx["query_id"].to_pylist(), approx["vec_id"].to_pylist()))
+    recall = len(exact_hits & approx_hits) / len(exact_hits)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+    # the query's own vector (rank 1, sim 1.0) must always be found
+    top1 = {
+        (q, v)
+        for q, r, v in zip(
+            exact["query_id"].to_pylist(), exact["rank"].to_pylist(), exact["vec_id"].to_pylist()
+        )
+        if r == 1
+    }
+    assert top1 <= approx_hits
+    # determinism: identical result on a second run
+    again = knn_ivf(SF, n_queries=5, k=5, n_centroids=8, n_probe=4)
+    assert again.equals(approx)
+
+
 def test_cosine_lsh_pairs_recall(ray_session):
     """LSH-bucketed pair path vs the exact broadcast path: perfect precision
     (within-bucket pairs are exactly verified), measured recall, identical
