@@ -115,10 +115,27 @@ def _df_sketch(units: list[dict], cfg: BuildConfig) -> dict[str, int]:
             )
         return pa.concat_tables(outs)
 
-    ds = rd.from_items(sample).map_batches(sketch, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
+    ds = rd.from_items(sample, override_num_blocks=len(sample)).map_batches(
+        sketch, batch_format="pyarrow", num_cpus=1
+    )
+    if len(sample) <= 256:
+        # small sample (the common case — stride keeps it small by design):
+        # the per-unit partials are tiny, so one driver-side Arrow hash agg
+        # replaces a whole Ray groupby job (~1s fixed cost that would
+        # otherwise be half the build at bench scale and a fixed serial
+        # term in the N→4N scaling ratio)
+        import ray as _ray
 
-    agg = ds.groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
+        parts = [t for t in (_ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+        if parts:
+            at = pa.concat_tables(parts).group_by("term").aggregate([("df", "sum")])
+            agg = pa.table({"term": at["term"], "df": at["df_sum"]}).to_pandas()
+        else:
+            agg = __import__("pandas").DataFrame({"term": [], "df": []})
+    else:
+        from ray.data.aggregate import Sum
+
+        agg = ds.groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
     sampled_docs = sum(u["num_rows"] for u in sample)
     if sampled_docs == 0:
         return {}
