@@ -212,6 +212,7 @@ def run_scaling() -> dict:
 
     effs = []
     detail = []
+    n_docs = None
     for _ in range(protocol_runs):
         # best-of-N per level: this VM's concurrent throughput is noisy
         # (hypervisor neighbors); min wall time is the least-polluted sample
@@ -221,6 +222,7 @@ def run_scaling() -> dict:
         hi = min(hi_runs, key=lambda r: r["queries"]["build"])
         eff = hi["build_files_per_sec"] / (4 * lo["build_files_per_sec"])
         effs.append(eff)
+        n_docs = lo["n_docs"]
         detail.append(
             {
                 "eff": round(eff, 3),
@@ -247,7 +249,7 @@ def run_scaling() -> dict:
         "files_per_sec_lo": best_run["files_per_sec_lo"],
         "files_per_sec_hi": best_run["files_per_sec_hi"],
         "runs": detail,
-        "n_docs": 2_000_000,
+        "n_docs": n_docs,
         "sf": os.path.basename(SF_DIR.rstrip("/")),
     }
 

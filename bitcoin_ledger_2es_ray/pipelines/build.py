@@ -66,6 +66,13 @@ class BuildConfig:
     # order-insensitive); asserted in tests/test_resume.py.
     shuffle: str = "fs"
     tokenizer: str = "code"  # Tokenizer-protocol registry name (SURVEY §2.7)
+    # fs-shuffle reduce task count (None → min(#shards, 64)).  Fixed w.r.t.
+    # CPU count by design (see phase B comment); tunable because per-task
+    # cost includes opening every postings part file.
+    reduce_tasks: int | None = None
+    # docs tokenized per sampled unit for the df sketch (the sketch needs a
+    # df RATIO, not volume — slicing keeps its cost ~constant per level)
+    sketch_docs_per_unit: int = 4096
 
 
 @dataclass
@@ -97,11 +104,13 @@ def _df_sketch(units: list[dict], cfg: BuildConfig) -> dict[str, int]:
 
     tag = cfg.tag_lang
     tok = get_tokenizer(cfg.tokenizer)
+    cap = cfg.sketch_docs_per_unit
 
     def sketch(batch: pa.Table) -> pa.Table:
         outs = []
         for unit in batch.to_pylist():
             t = read_unit(unit, columns=["content", "lang"])
+            t = t.slice(0, cap)  # df RATIO sample — volume capped per unit
             terms, doc_idx, _ = tok(
                 t["content"].combine_chunks(),
                 langs=t["lang"].combine_chunks() if tag else None,
@@ -136,7 +145,7 @@ def _df_sketch(units: list[dict], cfg: BuildConfig) -> dict[str, int]:
         from ray.data.aggregate import Sum
 
         agg = ds.groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
-    sampled_docs = sum(u["num_rows"] for u in sample)
+    sampled_docs = sum(min(u["num_rows"], cap) for u in sample)
     if sampled_docs == 0:
         return {}
     total_docs = sum(u["num_rows"] for u in units)
@@ -258,7 +267,7 @@ def build_index(cfg: BuildConfig) -> BuildResult:
         # count: the per-task cost includes opening every postings part, so
         # scaling the task count with CPUs would inflate total work and
         # destroy N→4N scaling.  64 tasks ≫ any tested CPU level.
-        n_tasks = min(len(todo_shards), 64) or 1
+        n_tasks = min(len(todo_shards), cfg.reduce_tasks or 64) or 1
         per_task = max(1, (len(todo_shards) + n_tasks - 1) // n_tasks)
         items = []
         for i in range(0, len(todo_shards), per_task):
