@@ -398,6 +398,10 @@ def build_index(cfg: BuildConfig) -> BuildResult:
             "total_dl": total_dl,
             "n_terms": n_terms,
             "head_terms": sorted(head_salts),
+            # full term→n_salt map: shard-of-slice is computable from
+            # (term, salt, num_partitions) alone, so a router can resolve
+            # any term's slice locations without the term_dict at all
+            "head_salts": {t: int(n) for t, n in sorted(head_salts.items())},
         },
     )
     return BuildResult(
