@@ -102,6 +102,9 @@ def _batch_shingles(batch: pa.Table, k: int) -> tuple[np.ndarray, np.ndarray, np
     valid = row_idx[:m] == row_idx[k - 1 :]  # all k words in the same doc
     gram = gram[valid]
     rows = row_idx[:m][valid]
+    if len(gram) == 0:  # every doc shorter than k words
+        e = np.empty(0, dtype=np.uint64)
+        return e, e, np.empty(0, dtype=np.int64)
     # distinct per doc: sort by (row, gram), drop adjacent duplicates
     order = np.lexsort((gram, rows))
     rows, gram = rows[order], gram[order]
