@@ -346,6 +346,18 @@ def _q_media_features(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_curated(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.curate import curate_corpus
+
+    return curate_corpus(sf_dir, min_tokens=20, max_mean_tok_len=8.0, langs=("en", "fr"))
+
+
+def _q_top_quality_per_lang(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.curate import top_quality_per_lang
+
+    return top_quality_per_lang(sf_dir, k=3)
+
+
 def _q_tumbling_window(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.events import tumbling_window
 
@@ -386,6 +398,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dups": _q_cosine_dups,
         "cosine_dups_lsh": _q_cosine_dups_lsh,  # rows-only (approximate recall)
         "media_features": _q_media_features,  # rows-only (synthetic media)
+        # composed curation pipelines
+        "curated_corpus": _q_curated,
+        "top_quality_per_lang": _q_top_quality_per_lang,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "sessionize": _q_sessionize,
@@ -558,6 +573,52 @@ SELECT doc_id, n_chars, n_tokens, stop_ratio, mean_tok_len,
              + 0.3 * (1 - least(mean_tok_len, 10.0) / 10.0)
              + 0.2 * stop_ratio, 6) AS quality
 FROM base ORDER BY doc_id
+""",
+        "curated_corpus": """
+WITH base AS (
+  SELECT doc_id, lang, len(text)::BIGINT AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         round(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the','and','of','a','to','in','is','it','that','for',
+                          'on','with','as','at','by','an','be','or','this','are',
+                          'from')))::DOUBLE / greatest(n_tokens, 1), 6) AS stop_ratio,
+         round((n_chars - (n_tokens - 1))::DOUBLE / greatest(n_tokens, 1), 6)
+           AS mean_tok_len
+  FROM documents),
+reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+SELECT b.doc_id, b.lang, b.n_tokens,
+       round(0.5 * least(n_tokens, 100) / 100.0
+             + 0.3 * (1 - least(mean_tok_len, 10.0) / 10.0)
+             + 0.2 * stop_ratio, 6) AS quality
+FROM base b JOIN reps USING (doc_id)
+WHERE n_tokens >= 20 AND mean_tok_len <= 8.0 AND lang IN ('en', 'fr')
+ORDER BY doc_id
+""",
+        "top_quality_per_lang": """
+WITH base AS (
+  SELECT doc_id, lang, len(text)::BIGINT AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         round(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the','and','of','a','to','in','is','it','that','for',
+                          'on','with','as','at','by','an','be','or','this','are',
+                          'from')))::DOUBLE / greatest(n_tokens, 1), 6) AS stop_ratio,
+         round((n_chars - (n_tokens - 1))::DOUBLE / greatest(n_tokens, 1), 6)
+           AS mean_tok_len
+  FROM documents),
+q AS (
+  SELECT doc_id, lang,
+         round(0.5 * least(n_tokens, 100) / 100.0
+               + 0.3 * (1 - least(mean_tok_len, 10.0) / 10.0)
+               + 0.2 * stop_ratio, 6) AS quality
+  FROM base),
+ranked AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC)
+           AS rank,
+         doc_id, quality
+  FROM q)
+SELECT lang, rank::BIGINT AS rank, doc_id, quality
+FROM ranked WHERE rank <= 3 ORDER BY lang, rank
 """,
         "token_count_bpe": r"""
 SELECT doc_id,

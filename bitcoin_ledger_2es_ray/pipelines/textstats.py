@@ -54,6 +54,47 @@ def _collect_sorted(ds, key="doc_id") -> pa.Table:
     return t.sort_by([(k, "ascending") for k in keys])
 
 
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch quality features — the reusable kernel behind
+    ``quality_scores`` and ``pipelines/curate.py``.  Extra input columns
+    beyond (doc_id, text) pass through untouched."""
+    text = batch["text"].combine_chunks()
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    words = pc.split_pattern(text, " ")
+    n_tokens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, row_idx = pc.list_flatten(words), np.repeat(
+        np.arange(batch.num_rows), np.nan_to_num(
+            pc.list_value_length(words).to_numpy(zero_copy_only=False), nan=0
+        ).astype(np.int64),
+    )
+    is_stop = pc.is_in(flat, value_set=_STOPWORDS_ARR).to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    stop_cnt = np.bincount(row_idx, weights=is_stop, minlength=batch.num_rows)
+    stop_ratio = sql_round(stop_cnt / np.maximum(n_tokens, 1), 6)
+    mean_tok = sql_round(
+        (n_chars - (n_tokens - 1)) / np.maximum(n_tokens, 1), 6
+    )  # chars minus separators over tokens
+    quality = sql_round(
+        0.5 * np.minimum(n_tokens, 100) / 100.0
+        + 0.3 * (1.0 - np.minimum(mean_tok, 10.0) / 10.0)
+        + 0.2 * stop_ratio,
+        6,
+    )
+    cols = {
+        "doc_id": batch["doc_id"].cast(pa.int64()),
+        "n_chars": pa.array(n_chars),
+        "n_tokens": pa.array(n_tokens),
+        "stop_ratio": pa.array(stop_ratio),
+        "mean_tok_len": pa.array(mean_tok),
+        "quality": pa.array(quality),
+    }
+    for name in batch.column_names:
+        if name not in ("doc_id", "text") and name not in cols:
+            cols[name] = batch[name]
+    return pa.table(cols)
+
+
 def quality_scores(sf_dir: str) -> pa.Table:
     """(doc_id, n_chars, n_tokens, stop_ratio, mean_tok_len, quality).
 
@@ -61,43 +102,11 @@ def quality_scores(sf_dir: str) -> pa.Table:
     ... )) simplified to a fixed affine blend — the exact formula is mirrored
     in the SQL oracle, so any drift fails the gate.
     """
-
-    def score(batch: pa.Table) -> pa.Table:
-        text = batch["text"].combine_chunks()
-        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
-        words = pc.split_pattern(text, " ")
-        n_tokens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat, row_idx = pc.list_flatten(words), np.repeat(
-            np.arange(batch.num_rows), np.nan_to_num(
-                pc.list_value_length(words).to_numpy(zero_copy_only=False), nan=0
-            ).astype(np.int64),
+    return _collect_sorted(
+        _read_docs(sf_dir).map_batches(
+            quality_batch, batch_format="pyarrow", zero_copy_batch=True
         )
-        is_stop = pc.is_in(flat, value_set=_STOPWORDS_ARR).to_numpy(
-            zero_copy_only=False
-        ).astype(np.float64)
-        stop_cnt = np.bincount(row_idx, weights=is_stop, minlength=batch.num_rows)
-        stop_ratio = sql_round(stop_cnt / np.maximum(n_tokens, 1), 6)
-        mean_tok = sql_round(
-            (n_chars - (n_tokens - 1)) / np.maximum(n_tokens, 1), 6
-        )  # chars minus separators over tokens
-        quality = sql_round(
-            0.5 * np.minimum(n_tokens, 100) / 100.0
-            + 0.3 * (1.0 - np.minimum(mean_tok, 10.0) / 10.0)
-            + 0.2 * stop_ratio,
-            6,
-        )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].cast(pa.int64()),
-                "n_chars": pa.array(n_chars),
-                "n_tokens": pa.array(n_tokens),
-                "stop_ratio": pa.array(stop_ratio),
-                "mean_tok_len": pa.array(mean_tok),
-                "quality": pa.array(quality),
-            }
-        )
-
-    return _collect_sorted(_read_docs(sf_dir).map_batches(score, batch_format="pyarrow", zero_copy_batch=True))
+    )
 
 
 def token_count_bpe(sf_dir: str) -> pa.Table:

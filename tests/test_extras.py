@@ -255,3 +255,26 @@ def test_event_windows(ray_session):
         assert r["end_s"] >= r["start_s"] and r["n_events"] >= 1
     # deterministic
     assert sessionize(SF, gap_s=1800).equals(s)
+
+
+def test_curation_pipeline(ray_session):
+    """Composed curation: filters + dedup-representative join; grouped top-k."""
+    from bitcoin_ledger_2es_ray.pipelines.curate import curate_corpus, top_quality_per_lang
+    from bitcoin_ledger_2es_ray.pipelines.dedup import exact_dedup
+
+    t = curate_corpus(SF, min_tokens=20, max_mean_tok_len=8.0, langs=("en", "fr"))
+    assert t.num_rows > 0
+    assert t.column_names == ["doc_id", "lang", "n_tokens", "quality"]
+    assert set(t["lang"].to_pylist()) <= {"en", "fr"}
+    assert min(t["n_tokens"].to_pylist()) >= 20
+    # every kept doc is its content's representative
+    reps = set(exact_dedup(SF)["rep_doc_id"].to_pylist())
+    assert set(t["doc_id"].to_pylist()) <= reps
+
+    top = top_quality_per_lang(SF, k=3)
+    assert top.column_names == ["lang", "rank", "doc_id", "quality"]
+    for lang in set(top["lang"].to_pylist()):
+        ranks = [r for lg, r in zip(top["lang"].to_pylist(), top["rank"].to_pylist()) if lg == lang]
+        assert ranks == list(range(1, len(ranks) + 1))
+        qs = [q for lg, q in zip(top["lang"].to_pylist(), top["quality"].to_pylist()) if lg == lang]
+        assert qs == sorted(qs, reverse=True)
