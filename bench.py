@@ -134,6 +134,18 @@ def run_once() -> dict:
         ray.shutdown()
         return result
 
+    # this shared-tenancy VM suffers multi-second pollution bursts (measured
+    # same-settings spreads up to 2.4x — BENCH/BASELINE.md): re-time the
+    # build on a fresh dir and keep the best so one burst cannot masquerade
+    # as a regression (BENCH_BEST_OF=1 disables)
+    for _ in range(max(0, int(os.environ.get("BENCH_BEST_OF", "2")) - 1)):
+        shutil.rmtree(f"{work}/index_r", ignore_errors=True)
+        cfg_r = BuildConfig(**{**cfg.__dict__, "out_dir": f"{work}/index_r"})
+        t0 = time.monotonic()
+        build_index(cfg_r)
+        timings["build"] = min(timings["build"], time.monotonic() - t0)
+        files_per_sec = res.n_docs / timings["build"]
+
     # ---- batch BM25 top-k over the 50-query fixture set ------------------
     import pyarrow.parquet as pq
 
@@ -152,6 +164,15 @@ def run_once() -> dict:
     lat_wand = latency_benchmark(
         cfg.out_dir, texts[:10], k=10, num_actors=min(4, NUM_CPUS), mode="wand"
     )
+    for _ in range(max(0, int(os.environ.get("BENCH_BEST_OF", "2")) - 1)):
+        lat2 = latency_benchmark(cfg.out_dir, texts, k=10, num_actors=min(4, NUM_CPUS))
+        if lat2["p50_ms"] < lat["p50_ms"]:
+            lat = lat2
+        lat_wand2 = latency_benchmark(
+            cfg.out_dir, texts[:10], k=10, num_actors=min(4, NUM_CPUS), mode="wand"
+        )
+        if lat_wand2["p50_ms"] < lat_wand["p50_ms"]:
+            lat_wand = lat_wand2
     timings["serve_50_queries"] = lat["n"] * lat["mean_ms"] / 1e3
 
     result = {
