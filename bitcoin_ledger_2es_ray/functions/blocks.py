@@ -18,7 +18,9 @@ def from_arrow_blocks(table: pa.Table, n_blocks: int):
     import ray.data as rd
 
     n = table.num_rows
-    n_blocks = max(1, min(n_blocks, n or 1))
+    if n == 0:
+        return rd.from_arrow(table)
+    n_blocks = max(1, min(n_blocks, n))
     per = (n + n_blocks - 1) // n_blocks
-    parts = [table.slice(i, per) for i in range(0, n, per)] or [table]
+    parts = [table.slice(i, per) for i in range(0, n, per)]
     return rd.from_arrow(parts)

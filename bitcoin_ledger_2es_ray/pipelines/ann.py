@@ -46,12 +46,49 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norm
 
 
-def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic query set: the first ``n_queries`` vectors by vec_id."""
+def _head_by_vec_id(path: str, n: int) -> pa.Table:
+    """First ``n`` rows by ``vec_id``, reading only the row groups that can
+    contain them (footer min/max stats) — NOT the whole table (VERDICT r2:
+    the driver-side sample must stay O(sample), not O(corpus)).
+
+    Row groups are visited in ascending order of their vec_id minimum; the
+    scan stops once ``n`` rows are in hand and the next group's minimum
+    exceeds the n-th smallest vec_id collected (so no unread group can
+    displace a chosen row).  Falls back to a full read iff stats are absent.
+    """
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    t = t.sort_by("vec_id").slice(0, n_queries)
+    pf = pq.ParquetFile(path)
+    cols = ["vec_id", "embedding"]
+    idx = pf.schema_arrow.get_field_index("vec_id")
+    mins = []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            t = pf.read(columns=cols)  # no stats: read all (rare)
+            return t.sort_by("vec_id").slice(0, n)
+    # (second loop so the fallback above never half-reads)
+    for rg in range(pf.metadata.num_row_groups):
+        mins.append((pf.metadata.row_group(rg).column(idx).statistics.min, rg))
+    mins.sort()
+    got: list[pa.Table] = []
+    rows = 0
+    for i, (rg_min, rg) in enumerate(mins):
+        if rows >= n:
+            cutoff = (
+                pa.concat_tables(got).sort_by("vec_id")["vec_id"][n - 1].as_py()
+            )
+            if rg_min > cutoff:
+                break
+        got.append(pf.read_row_group(rg, columns=cols))
+        rows += got[-1].num_rows
+    return pa.concat_tables(got).sort_by("vec_id").slice(0, n)
+
+
+def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: the first ``n_queries`` vectors by vec_id
+    (row-group-pruned read — see ``_head_by_vec_id``)."""
+    t = _head_by_vec_id(f"{sf_dir}/embeddings.parquet", n_queries)
     return _batch_matrix(t)
 
 
@@ -276,15 +313,14 @@ def knn_ivf(
     knn_bruteforce; recall is measured in tests against the brute-force
     baseline.
     """
-    import pyarrow.parquet as pq
     import ray
 
     q_ids, q_mat = load_queries(sf_dir, n_queries)
     qn = _normalize(q_mat)
 
-    # -- train on a deterministic sample (head by vec_id) -------------------
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    t = t.sort_by("vec_id").slice(0, sample)
+    # -- train on a deterministic sample (head by vec_id; row-group-pruned
+    #    read — the driver holds O(sample) rows, never the corpus) ----------
+    t = _head_by_vec_id(f"{sf_dir}/embeddings.parquet", sample)
     _, train = _batch_matrix(t)
     train = _normalize(train)
     n_centroids = min(n_centroids, len(train))
@@ -400,11 +436,10 @@ def cosine_dup_pairs_lsh(
     import ray
 
     rng = np.random.default_rng(99)
-    dim = len(
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, 1)[
-            "embedding"
-        ][0].as_py()
-    )
+    # dim probe: first batch of the first row group only — not the table
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0].as_py())
     planes = rng.standard_normal((n_tables, n_planes, dim))
     planes_ref = ray.put(planes)
 

@@ -299,12 +299,14 @@ def run_queries_to_parquet(
     directory — the result set NEVER materializes on the driver, so the
     path works for query sets whose results dwarf driver memory.
 
-    Returns ``out_dir`` (one file per output block — re-runs overwrite
-    atomically at the directory level via ray's writer)."""
+    Returns ``out_dir`` (one file per output block).  ``mode="overwrite"``
+    clears the directory before writing — Ray's default is APPEND, which
+    would leave a previous run's files in place and double-count rows on
+    re-run (ADVICE r2)."""
     results = run_queries(index_dir, queries, concurrency, round_decimals)
     if with_meta:
         results = attach_doc_meta_bulk(results, index_dir, num_partitions)
-    results.write_parquet(out_dir)
+    results.write_parquet(out_dir, mode="overwrite")
     return out_dir
 
 

@@ -42,8 +42,9 @@ def write_results(results, path: str) -> str:
 
     if isinstance(results, _pa.Table):
         atomic_write_parquet(results, path)
-    else:  # ray.data.Dataset → partitioned directory sink
-        results.write_parquet(path)
+    else:  # ray.data.Dataset → partitioned directory sink (overwrite: Ray's
+        # default APPEND would stack a re-run's files on the previous run's)
+        results.write_parquet(path, mode="overwrite")
     return path
 
 

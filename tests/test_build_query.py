@@ -138,6 +138,29 @@ def test_results_sink_streams_to_parquet(built, tmp_path):
     )
     for row in written.slice(0, 5).to_pylist():
         assert row["repo"].startswith("org")
+    # re-run into the SAME dir: overwrite, not append (ADVICE r2 — Ray's
+    # default SaveMode is APPEND, which would double the row count here)
+    run_queries_to_parquet(
+        res.out_dir, queries, str(tmp_path / "results"), concurrency=2, round_decimals=6
+    )
+    rerun = (
+        pads.dataset(out)
+        .to_table()
+        .sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    )
+    assert rerun.num_rows == written.num_rows
+    assert rerun.select(written.column_names).equals(written)
+
+
+def test_from_arrow_blocks_empty_table(ray_session):
+    """Empty input must not crash the block splitter (ADVICE r2: range()
+    with a zero step) and must round-trip an empty dataset."""
+    from bitcoin_ledger_2es_ray.functions.blocks import from_arrow_blocks
+
+    empty = pa.table({"x": pa.array([], type=pa.int64())})
+    ds = from_arrow_blocks(empty, 8)
+    assert ds.count() == 0
+    assert from_arrow_blocks(pa.table({"x": [1, 2, 3]}), 8).count() == 3
 
 
 def test_adaptive_salting_bounds_slices(ray_session, tmp_path):

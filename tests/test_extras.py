@@ -104,6 +104,32 @@ def test_simhash_near_dups_are_close(ray_session):
     assert np.mean(dup_d) < np.mean(rand_d) / 2, (np.mean(dup_d), np.mean(rand_d))
 
 
+def test_head_by_vec_id_prunes_row_groups(tmp_path):
+    """Row-group-pruned head read == full-read sort+slice, on a file whose
+    vec_ids are shuffled ACROSS row groups (worst case for pruning), and it
+    must not read every group when ids are ordered."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.ann import _head_by_vec_id
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(1000).astype(np.int64)
+    emb = [[float(i), float(i) + 1.0] for i in ids]
+    t = pa.table({"vec_id": pa.array(ids), "embedding": pa.array(emb)})
+    shuffled = str(tmp_path / "emb_shuffled.parquet")
+    pq.write_table(t, shuffled, row_group_size=100)
+    want = t.sort_by("vec_id").slice(0, 37)
+    got = _head_by_vec_id(shuffled, 37)
+    assert got.equals(want)
+
+    ordered = str(tmp_path / "emb_ordered.parquet")
+    pq.write_table(t.sort_by("vec_id"), ordered, row_group_size=100)
+    got2 = _head_by_vec_id(ordered, 37)
+    assert got2.equals(want)
+    # whole-file head (n > rows) still works
+    assert _head_by_vec_id(ordered, 5000).num_rows == 1000
+
+
 def test_ann_lsh_recall(ray_session):
     from bitcoin_ledger_2es_ray.pipelines.ann import knn_bruteforce, knn_lsh
 
