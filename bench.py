@@ -58,16 +58,25 @@ def run_once() -> dict:
 
     base_docs = pqm.ParquetFile(os.path.join(SF_DIR, "documents.parquet")).metadata.num_rows
     replicate = int(os.environ.get("GRAFT_REPLICATE", max(1, round(100_000 / base_docs))))
+    n_files = int(os.environ.get("GRAFT_CORPUS_FILES", "1"))  # >1: sharded
+    # corpus layout exercising the fanned footer scan (VERDICT r2 §8)
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     corpus = derive_corpus_parquet(
         SF_DIR,
-        f"/tmp/blray_bench/corpus-{sf_name}-r{replicate}.parquet",  # shared across CPU levels
-        row_group_size=16384,
+        f"/tmp/blray_bench/corpus-{sf_name}-r{replicate}-f{n_files}.parquet",  # shared across CPU levels
+        row_group_size=16384 if n_files == 1 else max(1024, 16384 // n_files),
         replicate=replicate,
+        n_files=n_files,
     )
-    with open(corpus, "rb") as f:
-        while f.read(1 << 22):
-            pass
+    paths = (
+        [corpus]
+        if os.path.isfile(corpus)
+        else [os.path.join(corpus, f) for f in sorted(os.listdir(corpus))]
+    )
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
 
     # untimed: warm the Ray worker pool (process spawn + package import) —
     # a long-lived cluster's workers are warm; we measure compute + shuffle.
@@ -138,7 +147,7 @@ def run_once() -> dict:
     # same-settings spreads up to 2.4x — BENCH/BASELINE.md): re-time the
     # build on a fresh dir and keep the best so one burst cannot masquerade
     # as a regression (BENCH_BEST_OF=1 disables)
-    for _ in range(max(0, int(os.environ.get("BENCH_BEST_OF", "2")) - 1)):
+    for _ in range(max(0, int(os.environ.get("BENCH_BEST_OF", "3")) - 1)):
         shutil.rmtree(f"{work}/index_r", ignore_errors=True)
         cfg_r = BuildConfig(**{**cfg.__dict__, "out_dir": f"{work}/index_r"})
         t0 = time.monotonic()
@@ -164,7 +173,13 @@ def run_once() -> dict:
     lat_wand = latency_benchmark(
         cfg.out_dir, texts[:10], k=10, num_actors=min(4, NUM_CPUS), mode="wand"
     )
-    for _ in range(max(0, int(os.environ.get("BENCH_BEST_OF", "2")) - 1)):
+    lat_auto = latency_benchmark(
+        cfg.out_dir, texts, k=10, num_actors=min(4, NUM_CPUS), mode="auto"
+    )
+    lat_routed = latency_benchmark(
+        cfg.out_dir, texts[:10], k=10, num_actors=min(4, NUM_CPUS), mode="routed"
+    )
+    for _ in range(max(0, int(os.environ.get("BENCH_BEST_OF", "3")) - 1)):
         lat2 = latency_benchmark(cfg.out_dir, texts, k=10, num_actors=min(4, NUM_CPUS))
         if lat2["p50_ms"] < lat["p50_ms"]:
             lat = lat2
@@ -173,6 +188,11 @@ def run_once() -> dict:
         )
         if lat_wand2["p50_ms"] < lat_wand["p50_ms"]:
             lat_wand = lat_wand2
+        lat_auto2 = latency_benchmark(
+            cfg.out_dir, texts, k=10, num_actors=min(4, NUM_CPUS), mode="auto"
+        )
+        if lat_auto2["p50_ms"] < lat_auto["p50_ms"]:
+            lat_auto = lat_auto2
     timings["serve_50_queries"] = lat["n"] * lat["mean_ms"] / 1e3
 
     result = {
@@ -189,6 +209,9 @@ def run_once() -> dict:
         "query_p50_ms": round(lat["p50_ms"], 2),
         "query_p99_ms": round(lat["p99_ms"], 2),
         "wand_p50_ms": round(lat_wand["p50_ms"], 2),
+        "auto_p50_ms": round(lat_auto["p50_ms"], 2),
+        "routed_p50_ms": round(lat_routed["p50_ms"], 2),
+        "corpus_files": n_files,
     }
     ray.shutdown()
     return result
@@ -215,6 +238,25 @@ def run_scaling() -> dict:
     )
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     protocol_runs = int(os.environ.get("BENCH_PROTOCOL_RUNS", "3"))
+    gate_ratio = float(os.environ.get("BENCH_GATE_RATIO", "1.25"))
+    gate_attempts = int(os.environ.get("BENCH_GATE_ATTEMPTS", "5"))
+
+    def _probe() -> float:
+        """Contention calibration (VERDICT r2 §1): one fixed single-thread
+        memory-bound workload, timed.  On a quiet VM this is stable to a few
+        percent; hypervisor-neighbor pollution shows up as a 1.3-4x slowdown
+        and poisons any throughput measured in the same window."""
+        import numpy as np
+
+        a = np.random.default_rng(0).integers(0, 1 << 40, 4_000_000).astype(np.uint64)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            np.argsort(a)
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    cal0 = _probe()  # session baseline (quietest observed so far)
 
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -235,10 +277,22 @@ def run_scaling() -> dict:
     detail = []
     n_docs = None
     for _ in range(protocol_runs):
+        # contention gate: don't START a protocol run in a polluted window —
+        # wait (bounded) until the calibration probe is back near baseline
+        cal = _probe()
+        cal0 = min(cal0, cal)
+        waited = 0
+        while cal > gate_ratio * cal0 and waited < gate_attempts:
+            time.sleep(10)
+            cal = _probe()
+            cal0 = min(cal0, cal)
+            waited += 1
         # best-of-N per level: this VM's concurrent throughput is noisy
         # (hypervisor neighbors); min wall time is the least-polluted sample
         lo_runs = [sub(lo_cpu) for _ in range(trials)]
         hi_runs = [sub(hi_cpu) for _ in range(trials)]
+        cal_after = _probe()
+        cal0 = min(cal0, cal_after)
         lo = min(lo_runs, key=lambda r: r["queries"]["build"])
         hi = min(hi_runs, key=lambda r: r["queries"]["build"])
         eff = hi["build_files_per_sec"] / (4 * lo["build_files_per_sec"])
@@ -251,20 +305,35 @@ def run_scaling() -> dict:
                 "files_per_sec_hi": hi["build_files_per_sec"],
                 "build_sec_lo_all": [r["queries"]["build"] for r in lo_runs],
                 "build_sec_hi_all": [r["queries"]["build"] for r in hi_runs],
+                "cal_ratio_before": round(cal / cal0, 3),
+                "cal_ratio_after": round(cal_after / cal0, 3),
             }
         )
-    effs_sorted = sorted(effs)
-    median = effs_sorted[len(effs) // 2] if len(effs) % 2 else (
-        effs_sorted[len(effs) // 2 - 1] + effs_sorted[len(effs) // 2]
-    ) / 2
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
+    # a protocol run is CLEAN iff its calibration stayed near baseline on
+    # both sides of the measurement; the headline is the clean median when
+    # at least 2 clean runs exist (all runs are still reported)
+    clean = [
+        d["eff"]
+        for d in detail
+        if d["cal_ratio_before"] <= gate_ratio and d["cal_ratio_after"] <= gate_ratio
+    ]
+    median_all = _median(effs)
+    median_clean = _median(clean) if len(clean) >= 2 else median_all
     best_run = max(detail, key=lambda d: d["eff"])
     return {
         "metric": f"scaling efficiency (build files/s, {lo_cpu} vs {hi_cpu} CPUs)",
-        "value": round(median, 3),
-        "unit": "ratio (median of protocol runs)",
+        "value": round(median_clean, 3),
+        "unit": "ratio (median of contention-clean protocol runs)",
         "cpus": [lo_cpu, hi_cpu],
         "eff_runs": [round(e, 3) for e in effs],
-        "eff_median": round(median, 3),
+        "eff_median": round(median_all, 3),
+        "eff_median_clean": round(median_clean, 3),
+        "n_clean": len(clean),
         "eff_mean": round(sum(effs) / len(effs), 3),
         "eff_best": round(max(effs), 3),
         "files_per_sec_lo": best_run["files_per_sec_lo"],

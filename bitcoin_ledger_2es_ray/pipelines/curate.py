@@ -16,14 +16,13 @@ Both are SQL-expressible and value-gated against DuckDB oracles in
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
+from ..functions.hashing import sha256_column
 from .textstats import quality_batch
 
-__all__ = ["curate_corpus", "top_quality_per_lang"]
+__all__ = ["curate_corpus", "curate_corpus_ds", "curate_corpus_to_parquet", "top_quality_per_lang"]
 
 
 def _read_docs_lang(sf_dir: str):
@@ -34,66 +33,86 @@ def _read_docs_lang(sf_dir: str):
     )
 
 
-def curate_corpus(
+def curate_corpus_ds(
     sf_dir: str,
     min_tokens: int = 20,
     max_mean_tok_len: float = 8.0,
     langs: tuple[str, ...] = ("en", "fr"),
-) -> pa.Table:
-    """Curated doc set: (doc_id, lang, n_tokens, quality), sorted by doc_id.
+):
+    """Curated doc set as a DATASET: (doc_id, lang, n_tokens, quality).
 
     Keep a doc iff it passes the length/shape/language filters AND is the
-    exact-dedup representative (min doc_id) of its content.  Features and
-    filters run in one ``map_batches`` pass (content never leaves the
-    stage); the representative set comes from the sha256 groupby and joins
-    back with a hash-partitioned ``Dataset.join`` — no driver-side set.
+    exact-dedup representative (min doc_id over the WHOLE corpus) of its
+    content.  ONE fused ``map_batches`` pass computes both the quality
+    features and the content sha256 (the corpus is read once — VERDICT r2;
+    content never leaves the stage); the narrow per-doc table is
+    materialized in the object store so the two branches (filtered
+    features / sha256 groupby → representative set) don't re-run the read,
+    then a hash-partitioned ``Dataset.join`` keeps the representatives —
+    no driver-side set anywhere.
     """
     from ray.data.aggregate import Min
 
     lang_set = set(langs)
 
-    def features(batch: pa.Table) -> pa.Table:
+    def features_and_hash(batch: pa.Table) -> pa.Table:
         q = quality_batch(batch)
         keep = (
             (np.asarray(q["n_tokens"]) >= min_tokens)
             & (np.asarray(q["mean_tok_len"]) <= max_mean_tok_len)
             & np.isin(np.asarray(batch["lang"]), list(lang_set))
         )
-        return q.select(["doc_id", "lang", "n_tokens", "quality"]).filter(
-            pa.array(keep)
-        )
+        return q.select(["doc_id", "lang", "n_tokens", "quality"]).append_column(
+            "h", sha256_column(batch["text"]).cast(pa.binary())
+        ).append_column("keep", pa.array(keep))
 
-    def content_hash(batch: pa.Table) -> pa.Table:
-        h = [
-            hashlib.sha256(t.encode("utf-8")).hexdigest()
-            for t in batch["text"].to_pylist()
-        ]
-        return pa.table(
-            {"doc_id": batch["doc_id"].cast(pa.int64()), "h": pa.array(h)}
-        )
-
-    docs = _read_docs_lang(sf_dir)
-    feats = docs.map_batches(features, batch_format="pyarrow", zero_copy_batch=True)
+    per_doc = (
+        _read_docs_lang(sf_dir)
+        .map_batches(features_and_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    feats = per_doc.filter(expr="keep").drop_columns(["h", "keep"])
     reps = (
-        docs.map_batches(content_hash, batch_format="pyarrow", zero_copy_batch=True)
+        per_doc.select_columns(["doc_id", "h"])
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="rep_doc_id"))
         .drop_columns(["h"])
     )
-    joined = feats.join(
+    return feats.join(
         reps,
         join_type="inner",
         num_partitions=8,
         on=("doc_id",),
         right_on=("rep_doc_id",),
     )
+
+
+def curate_corpus(
+    sf_dir: str,
+    min_tokens: int = 20,
+    max_mean_tok_len: float = 8.0,
+    langs: tuple[str, ...] = ("en", "fr"),
+) -> pa.Table:
+    """Driver-table wrapper over ``curate_corpus_ds`` (oracle gate); the
+    scale path is ``curate_corpus_to_parquet``."""
     import ray
 
+    joined = curate_corpus_ds(sf_dir, min_tokens, max_mean_tok_len, langs)
     t = pa.concat_tables(
         [x if isinstance(x := ray.get(r), pa.Table) else pa.Table.from_batches([x])
          for r in joined.to_arrow_refs()]
     )
     return t.select(["doc_id", "lang", "n_tokens", "quality"]).sort_by("doc_id")
+
+
+def curate_corpus_to_parquet(sf_dir: str, out_dir: str, **kw) -> str:
+    """Scale sink: the curated set streams straight to partitioned parquet —
+    the O(n_docs) output never materializes on the driver."""
+    ds = curate_corpus_ds(sf_dir, **kw)
+    ds.select_columns(["doc_id", "lang", "n_tokens", "quality"]).write_parquet(
+        out_dir, mode="overwrite"
+    )
+    return out_dir
 
 
 def top_quality_per_lang(sf_dir: str, k: int = 3) -> pa.Table:

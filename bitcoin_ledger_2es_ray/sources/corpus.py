@@ -38,7 +38,11 @@ CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
 def derive_corpus_parquet(
-    sf_dir: str, out_path: str, row_group_size: int = 512, replicate: int = 1
+    sf_dir: str,
+    out_path: str,
+    row_group_size: int = 512,
+    replicate: int = 1,
+    n_files: int = 1,
 ) -> str:
     """Write the corpus-shaped parquet derived from ``{sf_dir}/documents.parquet``.
 
@@ -49,6 +53,11 @@ def derive_corpus_parquet(
     offset by ``r * N`` — a deterministic scale-up of the driver corpus so
     throughput/scaling runs measure compute, not fixed overhead.  Content
     per doc is unchanged (vocab and avgdl invariant).
+
+    ``n_files > 1``: ``out_path`` becomes a DIRECTORY of that many
+    ``part-NNNNN.parquet`` files (row ranges in order, so doc_ids are
+    unchanged vs the single-file layout) — exercises the fanned footer
+    scan and per-file parallel read exactly like a real sharded corpus.
     """
     if os.path.exists(out_path):
         return out_path
@@ -78,8 +87,20 @@ def derive_corpus_parquet(
             )
         )
     table = pa.concat_tables(parts)
-    tmp = out_path + ".tmp"
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if n_files > 1:
+        tmp_dir = out_path + ".tmp"
+        os.makedirs(tmp_dir, exist_ok=True)
+        per = (table.num_rows + n_files - 1) // n_files
+        for fi, start in enumerate(range(0, table.num_rows, per)):
+            pq.write_table(
+                table.slice(start, per),
+                os.path.join(tmp_dir, f"part-{fi:05d}.parquet"),
+                row_group_size=row_group_size,
+            )
+        os.replace(tmp_dir, out_path)
+        return out_path
+    tmp = out_path + ".tmp"
     pq.write_table(table, tmp, row_group_size=row_group_size)
     os.replace(tmp, out_path)
     return out_path

@@ -257,6 +257,38 @@ def test_multimodal_pipeline(ray_session):
     assert frame_sample(12, every=5) == [0, 5, 10]
 
 
+def test_per_doc_sinks_match_collected(ray_session, tmp_path):
+    """Every per-doc operator's parquet sink writes EXACTLY the rows its
+    driver-table wrapper returns (VERDICT r2 §missing-2) — and a re-run
+    overwrites instead of appending."""
+    import pyarrow.dataset as pads
+
+    from bitcoin_ledger_2es_ray.pipelines import curate, dedup, textstats
+
+    cases = [
+        ("quality", textstats.quality_scores(SF),
+         textstats.quality_scores_to_parquet(SF, str(tmp_path / "q")), ["doc_id"]),
+        ("bpe", textstats.token_count_bpe(SF),
+         textstats.token_count_bpe_to_parquet(SF, str(tmp_path / "b")), ["doc_id"]),
+        ("langid", textstats.lang_id(SF),
+         textstats.lang_id_to_parquet(SF, str(tmp_path / "l")), ["doc_id"]),
+        ("fp", textstats.doc_fingerprints(SF),
+         textstats.doc_fingerprints_to_parquet(SF, str(tmp_path / "f")), ["doc_id", "fp"]),
+        ("simhash", dedup.simhash_fingerprints(SF),
+         dedup.simhash_to_parquet(SF, str(tmp_path / "s")), ["doc_id"]),
+        ("curate", curate.curate_corpus(SF),
+         curate.curate_corpus_to_parquet(SF, str(tmp_path / "c")), ["doc_id"]),
+    ]
+    for name, mem, out_dir, keys in cases:
+        order = [(k, "ascending") for k in keys]
+        written = pads.dataset(out_dir).to_table().select(mem.column_names).sort_by(order)
+        assert written.equals(mem.cast(written.schema)), name
+    # overwrite semantics: second write of the first case → same rows
+    textstats.quality_scores_to_parquet(SF, str(tmp_path / "q"))
+    again = pads.dataset(str(tmp_path / "q")).to_table()
+    assert again.num_rows == cases[0][1].num_rows
+
+
 def test_quality_monotonic_sanity(ray_session):
     from bitcoin_ledger_2es_ray.pipelines.textstats import quality_scores
 

@@ -122,8 +122,23 @@ def test_serving_pool(built):
     svc = TopKService(res.out_dir, num_actors=3)
     try:
         for text in ["dup", "batch scan", "window agg join", "nosuchterm"]:
-            got = svc.query(text, 10)
             exp = score_query(store, text, 10)
-            assert [d for d, _ in got] == [d for d, _ in exp], text
+            for mode in ("taat", "wand", "routed", "auto"):
+                got = svc.query(text, 10, mode=mode)
+                assert [d for d, _ in got] == [d for d, _ in exp], (text, mode)
+                if mode in ("taat", "routed"):  # bit-identical float sums
+                    assert got == exp, (text, mode)
+            # routed twice → exercises the scored cache, identical result
+            assert svc.query(text, 10, mode="routed") == svc.query(
+                text, 10, mode="routed"
+            )
+        # planner: single-term → taat; (rare, head) pair → wand iff the rare
+        # term is selective enough to anchor skipping
+        dfs = {t: svc.td.df_of(t) for t in store.df}
+        rare = min(dfs, key=lambda t: (dfs[t], t))
+        head = max(dfs, key=lambda t: (dfs[t], t))
+        assert svc.plan_mode(head) == "taat"
+        expected = "wand" if dfs[rare] <= 0.1 * svc.n_docs else "taat"
+        assert svc.plan_mode(f"{rare} {head}") == expected
     finally:
         svc.shutdown()
