@@ -172,6 +172,41 @@ def _q_bm25_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_bm25_topk_routed(sf_dir: str) -> pa.Table:
+    """Serving-path ROUTED scoring (segment actors decode + score their own
+    slices; the router sums partial contributions) — gated against the same
+    BM25 SQL oracle as the batch path: rank- and score-identical."""
+    from bitcoin_ledger_2es_ray.pipelines.serve import TopKService
+
+    store, res = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    svc = TopKService(res.out_dir, num_actors=2)
+    try:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, text, k in zip(
+            queries["query_id"].to_pylist(),
+            queries["text"].to_pylist(),
+            queries["k"].to_pylist(),
+        ):
+            for rank, (d, s) in enumerate(
+                svc.query(text, k, mode="routed", round_decimals=_ROUND), start=1
+            ):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(d)
+                scores.append(s)
+    finally:
+        svc.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _bool_sets(sf_dir: str):
     from bitcoin_ledger_2es_ray.sources.queries import fixture_query_terms
 
@@ -379,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": _q_term_df,
         "postings": _q_postings,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_routed": _q_bm25_topk_routed,
         "boolean_and": _q_boolean_and,
         "boolean_or": _q_boolean_or,
         "boolean_not": _q_boolean_not,
@@ -446,7 +482,7 @@ qterm AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "doc_stats": _PRELUDE
         + """
 SELECT n::BIGINT AS n_docs, (SELECT sum(dl)::BIGINT FROM dl) AS total_dl,
@@ -675,3 +711,7 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 ORDER BY a, b
 """,
     }
+    # routed serving is gated against the SAME BM25 oracle (scores and ranks
+    # are bit-identical to the batch TAAT path by construction)
+    sql["bm25_topk_routed"] = sql["bm25_topk"]
+    return sql

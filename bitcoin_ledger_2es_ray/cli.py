@@ -118,7 +118,29 @@ def cmd_serve_bench(args: argparse.Namespace) -> int:
 
     _ensure_ray(args.num_cpus)
     texts = pq.read_table(args.queries, columns=["text"])["text"].to_pylist()
-    print(json.dumps(latency_benchmark(args.index, texts, k=args.k, num_actors=args.actors)))
+    print(
+        json.dumps(
+            latency_benchmark(
+                args.index, texts, k=args.k, num_actors=args.actors, mode=args.mode
+            )
+        )
+    )
+    return 0
+
+
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Composed curation pipeline → partitioned parquet (streamed)."""
+    from .pipelines.curate import curate_corpus_to_parquet
+
+    _ensure_ray(args.num_cpus)
+    out = curate_corpus_to_parquet(
+        args.sf_dir,
+        args.out,
+        min_tokens=args.min_tokens,
+        max_mean_tok_len=args.max_mean_tok_len,
+        langs=tuple(args.langs.split(",")),
+    )
+    print(json.dumps({"out": out}))
     return 0
 
 
@@ -160,8 +182,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--queries", required=True, help="queries parquet (text column)")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--actors", type=int, default=4)
+    s.add_argument(
+        "--mode", choices=("taat", "wand", "routed", "auto"), default="auto"
+    )
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_serve_bench)
+
+    c = sub.add_parser(
+        "curate", help="quality+lang+dedup-rep curation → partitioned parquet"
+    )
+    c.add_argument("--sf-dir", required=True, help="directory with documents.parquet")
+    c.add_argument("--out", required=True, help="output directory")
+    c.add_argument("--min-tokens", type=int, default=20)
+    c.add_argument("--max-mean-tok-len", type=float, default=8.0)
+    c.add_argument("--langs", default="en,fr", help="comma-separated lang allowlist")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -130,7 +130,13 @@ class TopKService:
         # (idf is df-fixed, so contributions are query-independent)
         self._scored_cache: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
 
-    def query(self, text: str, k: int = 10, mode: str = "taat") -> list[tuple[int, float]]:
+    def query(
+        self,
+        text: str,
+        k: int = 10,
+        mode: str = "taat",
+        round_decimals: int | None = None,
+    ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score) — rank-identical across both modes.
 
         ``taat`` (default): decode the fetched lists fully and score with the
@@ -152,7 +158,7 @@ class TopKService:
         if mode == "auto":
             mode = self.plan_mode(text)
         if mode == "routed":
-            return self._query_routed(text, k)
+            return self._query_routed(text, k, round_decimals)
 
         terms = sorted(set(tokenize_query(text)))
         plan: dict[int, list[tuple[int, int]]] = defaultdict(list)  # actor → wants
@@ -205,7 +211,7 @@ class TopKService:
             (w, *decode_postings(raw["doc_ids"], raw["tfs"], raw["dls"]))
             for order, w, raw in raws  # meta order == sorted term order
         ]
-        return taat_topk(lists, self.avgdl, k, self.k1, self.b)
+        return taat_topk(lists, self.avgdl, k, self.k1, self.b, round_decimals)
 
     def plan_mode(self, text: str, selective_ratio: float = 0.1) -> str:
         """TAAT/WAND planner (VERDICT r2 §7): pick by df profile.
@@ -225,7 +231,9 @@ class TopKService:
             return "taat"
         return "wand" if min(dfs) <= selective_ratio * self.n_docs else "taat"
 
-    def _query_routed(self, text: str, k: int) -> list[tuple[int, float]]:
+    def _query_routed(
+        self, text: str, k: int, round_decimals: int | None = None
+    ) -> list[tuple[int, float]]:
         """Routed scoring: ship (doc, contribution) partials, not postings.
 
         Bit-identical to taat: each posting contributes exactly one float64
@@ -272,7 +280,7 @@ class TopKService:
                 for term, slices in new_rows.items():
                     self._scored_cache[term] = [slices[j] for j in sorted(slices)]
         return merge_contribs(
-            [e[2][0] for e in entries], [e[2][1] for e in entries], k
+            [e[2][0] for e in entries], [e[2][1] for e in entries], k, round_decimals
         )
 
     def query_batch(
