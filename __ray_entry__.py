@@ -207,6 +207,115 @@ def _q_bm25_topk_routed(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _index_pos_for(sf_dir: str):
+    """Positional index (BuildConfig.with_positions) cached beside the plain
+    one — phrase queries need per-token positions (schemas.SEGMENT_POS)."""
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+    from bitcoin_ledger_2es_ray.sources.corpus import derive_corpus_parquet
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key)
+    corpus = derive_corpus_parquet(sf_dir, os.path.join(root, "corpus.parquet"))
+    cfg = BuildConfig(
+        corpus=corpus,
+        out_dir=os.path.join(root, "index_pos"),
+        num_partitions=16,
+        head_df_ratio=0.5,
+        n_salt=2,
+        sketch_stride=4,
+        with_positions=True,
+    )
+    return build_index(cfg)
+
+
+def _phrase_queries(sf_dir: str) -> pa.Table:
+    """Deterministic 2-token phrase set (FIXTURES.md §C shape): query q takes
+    tokens [q%7, q%7+1] of document (q*17) mod n_docs — mirrored exactly by
+    the SQL oracle via list_extract over string_split."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    texts = docs["text"].to_pylist()
+    n = len(texts)
+    qids, phrases = [], []
+    for q in range(_N_QUERIES):
+        toks = texts[(q * 17) % n].split(" ")
+        off = q % 7
+        qids.append(q)
+        phrases.append(" ".join(toks[off : off + 2]))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.uint64()),
+            "text": pa.array(phrases, type=pa.string()),
+        }
+    )
+
+
+def _q_phrase_match(sf_dir: str) -> pa.Table:
+    """Positional phrase match (pipelines/phrase.py) over the distributed
+    MatchScorer pool — ES ``match_phrase`` analog."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import run_match_queries
+
+    res = _index_pos_for(sf_dir)
+    rows = run_match_queries(
+        res.out_dir, _phrase_queries(sf_dir), mode="phrase", concurrency=4
+    ).take_all()
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
+def _q_phrase_topk(sf_dir: str) -> pa.Table:
+    """BM25-scored phrase results (ES match_phrase scoring: positions filter
+    docs, the phrase's terms score them with full-corpus idf)."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import run_match_queries
+
+    res = _index_pos_for(sf_dir)
+    rows = run_match_queries(
+        res.out_dir,
+        _phrase_queries(sf_dir),
+        mode="phrase_topk",
+        concurrency=4,
+        k=_TOP_K,
+        round_decimals=_ROUND,
+    ).take_all()
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_prefix_match(sf_dir: str) -> pa.Table:
+    """Dictionary range scan (TermDict.terms_with_prefix) → posting union;
+    prefix q is the first 3 chars of vocab term (13q+7) mod |vocab| in
+    sorted order — mirrored by the SQL oracle's vocab CTE."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import prefix_match
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    qids, docs = [], []
+    for q in range(_N_QUERIES):
+        prefix = vocab[(13 * q + 7) % len(vocab)][:3]
+        hits = prefix_match(store, prefix)
+        qids.extend([q] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+
+
 def _bool_sets(sf_dir: str):
     from bitcoin_ledger_2es_ray.sources.queries import fixture_query_terms
 
@@ -418,6 +527,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and": _q_boolean_and,
         "boolean_or": _q_boolean_or,
         "boolean_not": _q_boolean_not,
+        "phrase_match": _q_phrase_match,
+        "phrase_topk": _q_phrase_topk,
+        "prefix_match": _q_prefix_match,
         "lang_counts": _q_lang_counts,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
@@ -569,6 +681,84 @@ SELECT p.query_id, p.doc_id FROM pos p
 ANTI JOIN neg n ON n.query_id = p.query_id AND n.doc_id = p.doc_id
 ORDER BY query_id, doc_id
 """,
+        # phrase queries: query q = tokens [q%7, q%7+1] of doc (q*17) mod n;
+        # the corpus is single-space bag-of-words (FIXTURES.md §A), so
+        # "phrase present" == literal ' phrase ' substring of ' text '.
+        "phrase_match": """
+WITH nd AS (SELECT count(*) AS c FROM documents),
+phq AS (
+  SELECT q AS query_id, (q * 17) % c AS sel, q % 7 AS off
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+),
+phr AS (
+  SELECT p.query_id,
+         list_extract(string_split(d.text, ' '), 1 + p.off) || ' ' ||
+         list_extract(string_split(d.text, ' '), 2 + p.off) AS phrase
+  FROM phq p JOIN documents d ON d.doc_id = p.sel
+)
+SELECT p.query_id::BIGINT AS query_id, d.doc_id::BIGINT AS doc_id
+FROM phr p
+JOIN documents d ON contains(' ' || d.text || ' ', ' ' || p.phrase || ' ')
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        "phrase_topk": _PRELUDE
+        + """
+, nd AS (SELECT count(*) AS c FROM documents),
+phq AS (
+  SELECT q AS query_id, (q * 17) % c AS sel, q % 7 AS off
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+),
+phr AS (
+  SELECT p.query_id,
+         list_extract(string_split(d.text, ' '), 1 + p.off) || ' ' ||
+         list_extract(string_split(d.text, ' '), 2 + p.off) AS phrase
+  FROM phq p JOIN documents d ON d.doc_id = p.sel
+),
+pterm AS (
+  SELECT DISTINCT query_id, unnest(string_split(phrase, ' ')) AS term FROM phr
+),
+pmatch AS (
+  SELECT p.query_id, d.doc_id
+  FROM phr p
+  JOIN documents d ON contains(' ' || d.text || ' ', ' ' || p.phrase || ' ')
+),
+scored AS (
+  SELECT pt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM pterm pt
+  JOIN df ON df.term = pt.term
+  JOIN tf ON tf.term = pt.term
+  JOIN pmatch m ON m.query_id = pt.query_id AND m.doc_id = tf.doc_id
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY pt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # prefix queries: prefix q = first 3 chars of vocab[(13q+7) mod |V|]
+        # (vocab CTE = sorted distinct terms, same order as the engine's
+        # sorted dictionary); match = any token starting with the prefix.
+        "prefix_match": _PRELUDE
+        + """
+, pf AS (
+  SELECT q AS query_id, substr(v.term, 1, 3) AS p
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (13 * q + 7) % nv.c
+)
+SELECT DISTINCT pf.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
+FROM pf JOIN tf ON starts_with(tf.term, pf.p)
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
         "lang_counts": """
 SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang ORDER BY lang
 """,

@@ -264,14 +264,27 @@ def run_scaling() -> dict:
         # mask the parallel speedup (same input at both CPU levels)
         env.setdefault("GRAFT_REPLICATE", "200")
         env.setdefault("BENCH_BUILD_ONLY", "1")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        last_err = ""
+        for attempt in range(3):
+            # a transient subprocess failure (hypervisor hiccup, OOM-killed
+            # raylet) must not abort a multi-run protocol — retry, and keep
+            # stderr so a persistent failure is diagnosable
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode == 0:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            last_err = proc.stderr[-2000:]
+            print(
+                f"# scaling sub(ncpu={ncpu}) attempt {attempt + 1} failed "
+                f"(rc={proc.returncode}); retrying",
+                file=sys.stderr,
+            )
+            time.sleep(5)
+        raise RuntimeError(f"scaling subprocess failed 3x at {ncpu} cpus:\n{last_err}")
 
     effs = []
     detail = []

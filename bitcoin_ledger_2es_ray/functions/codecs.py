@@ -82,6 +82,61 @@ def varbyte_decode(buf: np.ndarray | bytes) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
+def slice_concat_binary(
+    buf: np.ndarray, offsets: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> "pa.Array":
+    """Per-run binary slices of a shared uint8 buffer → pa.binary array.
+
+    ``offsets[i]`` is the byte offset of element i in ``buf``; run r covers
+    elements [starts[r], ends[r]).  Built directly from (offsets, values)
+    buffers — no per-run bytes copies.  Shared by the segment encoder
+    (per-term posting streams) and the positional explode (per-posting
+    position streams).
+    """
+    import pyarrow as pa
+
+    byte_starts = offsets[starts]
+    byte_ends = offsets[ends]
+    lengths = byte_ends - byte_starts
+    out_off64 = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=out_off64[1:])
+    total = int(out_off64[-1])
+    if total >= 1 << 31:
+        # pa.binary() carries int32 offsets — a silent wrap would corrupt
+        # the output (ADVICE r1).  Fail loudly with the fix.
+        raise ValueError(
+            f"concatenated binary runs ({total} bytes) exceed the 2 GiB "
+            "int32-offset limit — raise the partition count so each unit "
+            "encodes less data"
+        )
+    out_off = out_off64.astype(np.int32)
+    values = np.empty(total, dtype=np.uint8)
+    for i in range(len(starts)):  # loop over runs, not elements
+        values[out_off[i] : out_off[i + 1]] = buf[byte_starts[i] : byte_ends[i]]
+    return pa.Array.from_buffers(
+        pa.binary(), len(starts), [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(values.tobytes())]
+    )
+
+
+def segmented_positions_decode(blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode one posting list's positions stream → flat absolute positions.
+
+    ``blob`` is the concatenation of per-posting delta-varbyte position
+    streams (deltas reset at each posting boundary); posting k contributes
+    exactly ``tfs[k]`` values, so no per-posting byte lengths are stored —
+    the stream is self-delimiting.  Returns ``sum(tfs)`` absolute positions
+    (vectorized segmented cumsum).
+    """
+    vals = varbyte_decode(blob)
+    if len(vals) == 0:
+        return vals
+    tf64 = tfs.astype(np.int64, copy=False)
+    c = np.cumsum(vals, dtype=np.uint64)
+    starts = np.cumsum(tf64) - tf64
+    base = np.where(starts > 0, c[starts - 1], np.uint64(0))
+    return c - np.repeat(base, tf64)
+
+
 def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing uint64 docIDs → gaps (gap[0] = doc[0])."""
     d = doc_ids.astype(np.uint64, copy=False)

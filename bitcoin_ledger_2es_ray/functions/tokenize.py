@@ -45,32 +45,48 @@ _BOUNDARIES = (
 )
 
 
-def _flatten_list_array(arr: pa.ListArray) -> tuple[pa.Array, np.ndarray]:
-    """Flatten list<string> → (values, int64 row index per value)."""
+def _flatten_list_array(arr: pa.ListArray) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Flatten list<string> → (values, int64 row index per value, within-row
+    ordinal per value).  The ordinal is the value's index in its source list
+    — the *raw* token position before any drop filtering, which is what
+    positional postings store (phrase semantics count dropped tokens as
+    position holders, matching the SQL oracle's ``string_split`` ordinals)."""
     lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
     lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
     row_idx = np.repeat(np.arange(len(arr), dtype=np.int64), lengths)
-    return pc.list_flatten(arr), row_idx
+    within = np.arange(len(row_idx), dtype=np.int64) - np.repeat(
+        np.cumsum(lengths) - lengths, lengths
+    )
+    return pc.list_flatten(arr), row_idx, within
 
 
 def tokenize_flat(
     content: pa.Array | pa.ChunkedArray,
     langs: pa.Array | None = None,
     tag_lang: bool = False,
-) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    return_positions: bool = False,
+):
     """Tokenize a batch of documents.
 
     Returns ``(terms, doc_idx, dl)`` where ``terms`` is a flat string array of
     every emitted token, ``doc_idx[i]`` is the within-batch row of ``terms[i]``
     (int64, non-decreasing is NOT guaranteed), and ``dl`` is the per-row token
     count (uint32) — the BM25 document length.
+
+    With ``return_positions=True`` a 4th element ``pos`` (int64) is returned:
+    the token's POSITION — the ordinal of its source *identifier* in the
+    document's raw identifier stream (pre-drop, so a dropped over-long token
+    still occupies its slot, matching ``string_split`` ordinals on a
+    plain-word corpus).  Split *parts* share their identifier's position
+    (Lucene synonym-style position-increment 0), so a phrase query over
+    compounds and one over parts both see consistent adjacency.
     """
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
     n = len(content)
 
     idents_list = pc.split_pattern_regex(content, _SPLIT_IDENT)
-    idents, doc_of_ident = _flatten_list_array(idents_list)
+    idents, doc_of_ident, pos_of_ident = _flatten_list_array(idents_list)
 
     # compound tokens: lowercase, underscores removed
     compound = pc.utf8_lower(pc.replace_substring(idents, "_", ""))
@@ -94,14 +110,17 @@ def tokenize_flat(
         multi_sub = np.flatnonzero(multi_mask)
         if len(multi_sub):
             parts_list = pc.split_pattern(parts_src.take(pa.array(multi_sub)), " ")
-            part_vals, part_row = _flatten_list_array(parts_list)
+            part_vals, part_row, _ = _flatten_list_array(parts_list)
             part_doc = doc_of_ident[split_idx[multi_sub]][part_row]
+            part_pos = pos_of_ident[split_idx[multi_sub]][part_row]
     if part_vals is not None:
         terms = pa.concat_arrays([compound.cast(pa.string()), part_vals.cast(pa.string())])
         doc_idx = np.concatenate([doc_of_ident, part_doc])
+        positions = np.concatenate([pos_of_ident, part_pos])
     else:
         terms = compound.cast(pa.string())
         doc_idx = doc_of_ident
+        positions = pos_of_ident
 
     # drop empties and over-long tokens
     tok_len = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
@@ -111,6 +130,7 @@ def tokenize_flat(
         keep_idx = np.flatnonzero(keep)
         terms = terms.take(pa.array(keep_idx))
         doc_idx = doc_idx[keep_idx]
+        positions = positions[keep_idx]
 
     if tag_lang:
         if langs is None:
@@ -121,6 +141,8 @@ def tokenize_flat(
         terms = pc.binary_join_element_wise(doc_langs, terms, ":")
 
     dl = np.bincount(doc_idx, minlength=n).astype(np.uint32)
+    if return_positions:
+        return terms, doc_idx, dl, positions
     return terms, doc_idx, dl
 
 
@@ -128,14 +150,16 @@ def whitespace_tokenize_flat(
     content: pa.Array | pa.ChunkedArray,
     langs: pa.Array | None = None,
     tag_lang: bool = False,
-) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    return_positions: bool = False,
+):
     """Plain whitespace tokenizer (no identifier splits, no lowercase) —
-    the minimal Tokenizer-protocol implementation and registry example."""
+    the minimal Tokenizer-protocol implementation and registry example.
+    Positions (``return_positions=True``) are raw ``string_split`` ordinals."""
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
     n = len(content)
     toks = pc.split_pattern_regex(content, r"\s+")
-    terms, doc_idx = _flatten_list_array(toks)
+    terms, doc_idx, positions = _flatten_list_array(toks)
     tok_len = np.nan_to_num(
         pc.utf8_length(terms).to_numpy(zero_copy_only=False), nan=0
     ).astype(np.int64)
@@ -144,6 +168,7 @@ def whitespace_tokenize_flat(
         keep_idx = np.flatnonzero(keep)
         terms = terms.take(pa.array(keep_idx))
         doc_idx = doc_idx[keep_idx]
+        positions = positions[keep_idx]
     terms = terms.cast(pa.string())
     if tag_lang:
         if langs is None:
@@ -152,6 +177,8 @@ def whitespace_tokenize_flat(
             langs = langs.combine_chunks()
         terms = pc.binary_join_element_wise(langs.take(pa.array(doc_idx)), terms, ":")
     dl = np.bincount(doc_idx, minlength=n).astype(np.uint32)
+    if return_positions:
+        return terms, doc_idx, dl, positions
     return terms, doc_idx, dl
 
 
@@ -185,6 +212,74 @@ def tokenize_docs(content: pa.Array | pa.ChunkedArray) -> list[list[str]]:
 def tokenize_query(text: str) -> list[str]:
     """Tokenize one query string with the same rules as documents."""
     return tokenize_docs(pa.array([text]))[0]
+
+
+def tokenize_query_positions(text: str, tokenizer: str = "code") -> list[tuple[str, int]]:
+    """Tokenize one phrase query → unique (term, position) pairs, positions
+    normalized so the smallest is 0.  Matches the document-side positional
+    semantics of the same tokenizer (parts share identifier positions)."""
+    tok = get_tokenizer(tokenizer)
+    terms, _, _, pos = tok(pa.array([text], type=pa.string()), return_positions=True)
+    pairs = sorted(set(zip(terms.to_pylist(), pos.tolist())))
+    if not pairs:
+        return []
+    base = min(p for _, p in pairs)
+    return [(t, p - base) for t, p in pairs]
+
+
+def term_counts_positions(
+    terms: pa.Array, doc_idx: np.ndarray, positions: np.ndarray, doc_ids: np.ndarray
+) -> pa.Table:
+    """Aggregate the flat token stream to (term, doc_id, tf, positions)
+    posting rows — ``positions`` out is one delta-varbyte binary blob per
+    posting holding the token's sorted in-doc positions (count == tf, so the
+    stream needs no length prefix; functions.codecs.segmented_positions_decode
+    reverses it).  Sort-based grouping (lexsort + run boundaries) instead of
+    term_counts' hash aggregation because the per-group position lists must
+    come out sorted; everything is numpy-vectorized.
+    """
+    from .codecs import slice_concat_binary, varbyte_encode
+
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    n = len(terms)
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("doc_id", pa.uint64()),
+            ("tf", pa.uint32()),
+            ("positions", pa.binary()),
+        ]
+    )
+    if n == 0:
+        return pa.Table.from_pylist([], schema=out_schema)
+    dic = pc.dictionary_encode(terms)
+    codes = np.asarray(dic.indices).astype(np.int64)
+    order = np.lexsort((positions, doc_idx, codes))
+    c = codes[order]
+    d = doc_idx[order]
+    p = positions[order].astype(np.uint64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    tf = (ends - starts).astype(np.uint32)
+    gaps = np.diff(p, prepend=np.uint64(0))
+    gaps[starts] = p[starts]
+    buf, nb = varbyte_encode(gaps)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nb, out=off[1:])
+    blobs = slice_concat_binary(buf, off, starts, ends)
+    return pa.table(
+        {
+            "term": dic.dictionary.take(pa.array(c[starts])).cast(pa.string()),
+            "doc_id": pa.array(doc_ids[d[starts]], type=pa.uint64()),
+            "tf": pa.array(tf, type=pa.uint32()),
+            "positions": blobs,
+        },
+        schema=out_schema,
+    )
 
 
 def term_counts(

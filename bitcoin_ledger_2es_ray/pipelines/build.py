@@ -73,6 +73,12 @@ class BuildConfig:
     # docs tokenized per sampled unit for the df sketch (the sketch needs a
     # df RATIO, not volume — slicing keeps its cost ~constant per level)
     sketch_docs_per_unit: int = 4096
+    # positional index (phrase queries): postings carry each token's in-doc
+    # positions (delta-varbyte; schemas.SEGMENT_POS).  Off by default — the
+    # payload roughly doubles posting bytes and non-phrase queries never
+    # read it.  Participates in the build fingerprint, so toggling it
+    # invalidates checkpoints instead of mixing layouts.
+    with_positions: bool = False
 
 
 @dataclass
@@ -188,6 +194,7 @@ def build_index(cfg: BuildConfig) -> BuildResult:
         cfg.tag_lang,
         cfg.tokenizer,
         sorted(head_salts.items()),
+        *(["positions"] if cfg.with_positions else []),
     )
 
     # ---- resume filter for phase A (skip = no re-tokenize) ----------------
@@ -213,6 +220,7 @@ def build_index(cfg: BuildConfig) -> BuildResult:
             tag_lang=cfg.tag_lang,
             build_fingerprint=bfp,
             tokenizer=cfg.tokenizer,
+            with_positions=cfg.with_positions,
         )
         opts: dict = {}
         if cfg.concurrency:

@@ -1,0 +1,230 @@
+"""Positional + dictionary-range queries (round 3): phrase, prefix, wildcard.
+
+The reference delegates these to Lucene (`match_phrase`, `prefix`,
+`wildcard` in Elasticsearch's query DSL); the graft's analogs:
+
+- **phrase**: the positional index (``BuildConfig.with_positions``;
+  schemas.SEGMENT_POS) stores each posting's sorted in-doc token positions
+  as a delta-varbyte stream.  A phrase query decomposes into requirements
+  ``(term, offset)`` — doc D matches iff some start s has every term at
+  position s + offset.  Evaluation is fully vectorized: each requirement
+  expands to a sorted set of ``(doc << POS_BITS) | candidate_start`` keys
+  and the requirement sets intersect pairwise smallest-first (the same
+  sorted-set kernel as boolean AND).  Split *parts* share their source
+  identifier's position (Lucene synonym style), so ``getBlockHash`` as a
+  one-identifier query matches exactly the docs containing that identifier.
+- **prefix / wildcard**: the globally sorted term dictionary is range-scanned
+  (``TermDict.terms_with_prefix`` — footer-stat-pruned row groups, cost
+  proportional to the match count), wildcard patterns filter the prefix
+  range by compiled regex, and the matched terms' posting doc-sets union.
+
+Batch evaluation distributes a query *set* over a ``MatchScorer`` actor
+pool exactly like BM25's ``run_queries`` — the store loads once per actor.
+Ray is never initialised here (driver contract).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.bm25 import idf
+from ..functions.boolean import union_many
+from ..functions.tokenize import tokenize_query_positions
+from ..pipelines.query import SegmentStore, taat_topk
+from ..schemas import RESULTS
+
+POS_BITS = 25  # low bits of a requirement key hold the candidate start
+MAX_POS = (1 << POS_BITS) - 1  # ≥ 32M-token docs would need a wider key
+MAX_DOC = (1 << (64 - POS_BITS)) - 1
+
+MATCHES = pa.schema([("query_id", pa.uint64()), ("doc_id", pa.uint64())])
+
+
+def phrase_match(store: SegmentStore, text: str, tokenizer: str = "code") -> np.ndarray:
+    """Sorted unique doc_ids containing the phrase (consecutive positions).
+
+    Requires a positional index for multi-position phrases; a single-token
+    phrase degrades to a plain term match (works on any index).
+    """
+    pairs = tokenize_query_positions(text, tokenizer)
+    if not pairs:
+        return np.empty(0, dtype=np.uint64)
+    if len(pairs) == 1:
+        return np.unique(store.postings(pairs[0][0])[0])
+    qmax = max(p for _, p in pairs)
+    key_sets: list[np.ndarray] = []
+    for term, qpos in pairs:
+        docs, tfs, pos = store.postings_positions(term)
+        if len(docs) == 0:
+            return np.empty(0, dtype=np.uint64)
+        if int(docs.max()) > MAX_DOC:
+            raise ValueError(f"doc_id exceeds {64 - POS_BITS}-bit phrase-key budget")
+        if int(pos.max()) + qmax > MAX_POS:
+            raise ValueError("token position exceeds the 25-bit phrase-key budget")
+        docs_per_pos = np.repeat(docs, tfs.astype(np.int64))
+        # candidate phrase-start = pos - qpos, shifted by qmax so a token
+        # earlier than its offset (start < 0) encodes below every legal
+        # start instead of wrapping
+        adj = pos + np.uint64(qmax - qpos)
+        keys = (docs_per_pos << np.uint64(POS_BITS)) | adj
+        key_sets.append(np.unique(keys))
+    key_sets.sort(key=len)
+    acc = key_sets[0]
+    for s in key_sets[1:]:
+        if len(acc) == 0:
+            break
+        acc = acc[np.isin(acc, s, assume_unique=True)]
+    # drop starts < 0 (encoded below qmax) and project to docs
+    acc = acc[(acc & np.uint64(MAX_POS)) >= np.uint64(qmax)]
+    return np.unique(acc >> np.uint64(POS_BITS))
+
+
+def phrase_topk(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    round_decimals: int | None = None,
+    tokenizer: str = "code",
+) -> list[tuple[int, float]]:
+    """BM25 top-k restricted to phrase-matching docs (ES ``match_phrase``
+    semantics: positions filter, full-corpus idf scores the phrase's terms
+    on the surviving docs).  Rank/tie rules identical to ``score_query``."""
+    match = phrase_match(store, text, tokenizer)
+    if len(match) == 0:
+        return []
+    terms = sorted({t for t, _ in tokenize_query_positions(text, tokenizer)})
+    lists = []
+    for term in terms:
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        m = np.isin(d, match, assume_unique=True)
+        lists.append((float(idf(store.n_docs, df_t)), d[m], tf[m], dl[m]))
+    return taat_topk(lists, store.avgdl, k, round_decimals=round_decimals)
+
+
+def prefix_match(store: SegmentStore, prefix: str) -> np.ndarray:
+    """Sorted unique doc_ids containing any term starting with ``prefix``."""
+    terms = store.td.terms_with_prefix(prefix)
+    return union_many([store.postings(t)[0] for t in terms])
+
+
+def wildcard_match(store: SegmentStore, pattern: str) -> np.ndarray:
+    """Sorted unique doc_ids containing any term matching the glob pattern
+    (``*`` = any run, ``?`` = one char).  The literal prefix before the
+    first wildcard prunes the dictionary scan; a leading wildcard is
+    rejected (it would force a full-vocabulary scan — same stance Lucene
+    takes by default with ``allow_leading_wildcard: false``)."""
+    wc = min(
+        [i for i, ch in enumerate(pattern) if ch in "*?"] or [len(pattern)]
+    )
+    prefix = pattern[:wc]
+    if wc == len(pattern):  # no wildcard at all — exact term
+        return np.unique(store.postings(pattern)[0])
+    if not prefix:
+        raise ValueError("leading-wildcard patterns are not allowed (full-vocab scan)")
+    rx = re.compile(fnmatch.translate(pattern))
+    terms = [t for t in store.td.terms_with_prefix(prefix) if rx.match(t)]
+    return union_many([store.postings(t)[0] for t in terms])
+
+
+class MatchScorer:
+    """Actor-pool batch matcher: (query_id, text) rows in → MATCHES rows out.
+
+    ``mode`` picks the operator: ``phrase`` / ``phrase_topk`` / ``prefix`` /
+    ``wildcard``.  The store (term dict, lazy shards, decoded caches) loads
+    once per actor (__init__), batches stream through __call__.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        mode: str = "phrase",
+        k: int = 10,
+        round_decimals: int | None = None,
+        tokenizer: str = "code",
+    ):
+        self.store = SegmentStore(index_dir)
+        self.mode = mode
+        self.k = k
+        self.round_decimals = round_decimals
+        self.tokenizer = tokenizer
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "phrase_topk":
+            qids, ranks, docs, scores = [], [], [], []
+            for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+                top = phrase_topk(
+                    self.store, text, self.k, self.round_decimals, self.tokenizer
+                )
+                for r, (d, s) in enumerate(top, start=1):
+                    qids.append(qid)
+                    ranks.append(r)
+                    docs.append(d)
+                    scores.append(s)
+            return pa.table(
+                {
+                    "query_id": pa.array(qids, type=pa.uint64()),
+                    "rank": pa.array(ranks, type=pa.uint32()),
+                    "doc_id": pa.array(docs, type=pa.uint64()),
+                    "score": pa.array(scores, type=pa.float64()),
+                },
+                schema=RESULTS,
+            )
+        fn = {
+            "phrase": lambda t: phrase_match(self.store, t, self.tokenizer),
+            "prefix": lambda t: prefix_match(self.store, t),
+            "wildcard": lambda t: wildcard_match(self.store, t),
+        }[self.mode]
+        qids_l, docs_l = [], []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            d = fn(text)
+            if len(d):
+                qids_l.append(np.full(len(d), qid, dtype=np.uint64))
+                docs_l.append(d)
+        if not qids_l:
+            return pa.Table.from_pylist([], schema=MATCHES)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids_l), type=pa.uint64()),
+                "doc_id": pa.array(np.concatenate(docs_l), type=pa.uint64()),
+            },
+            schema=MATCHES,
+        )
+
+
+def run_match_queries(
+    index_dir: str,
+    queries: pa.Table,
+    mode: str = "phrase",
+    concurrency: int = 2,
+    k: int = 10,
+    round_decimals: int | None = None,
+    tokenizer: str = "code",
+):
+    """Distribute a (query_id, text) set over a MatchScorer pool → Dataset.
+
+    Same pre-split block layout as ``query.run_queries`` so every actor gets
+    work immediately (functions/blocks.py)."""
+    from ..functions.blocks import from_arrow_blocks
+
+    ds = from_arrow_blocks(queries, concurrency)
+    return ds.map_batches(
+        MatchScorer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "mode": mode,
+            "k": k,
+            "round_decimals": round_decimals,
+            "tokenizer": tokenizer,
+        },
+        batch_size=max(1, -(-queries.num_rows // max(1, concurrency))),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

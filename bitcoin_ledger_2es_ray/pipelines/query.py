@@ -32,7 +32,7 @@ from ..functions.bm25 import B, K1, idf, sql_round, tf_norm, topk_order
 from ..functions.codecs import decode_postings
 from ..functions.tokenize import tokenize_query
 from ..functions.wand import Cursor, wand_topk
-from ..schemas import RESULTS, SEGMENT, assert_schema
+from ..schemas import RESULTS, SEGMENT, SEGMENT_POS, assert_schema
 
 
 class SegmentStore:
@@ -78,9 +78,46 @@ class SegmentStore:
             t = pq.read_table(
                 os.path.join(self.index_dir, "segments", f"shard-{sid:05d}.parquet")
             )
-            assert_schema(t, SEGMENT, where=f"segment shard {sid}")
+            assert_schema(
+                t,
+                SEGMENT_POS if "positions" in t.column_names else SEGMENT,
+                where=f"segment shard {sid}",
+            )
             self._shards[sid] = t
         return self._shards[sid]
+
+    def postings_positions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decoded (doc_ids, tfs, flat_positions) of a positional index's
+        term — posting k owns ``flat_positions[sum(tfs[:k]) : sum(tfs[:k+1])]``
+        (sorted in-doc positions).  Salt slices concatenate doc-disjointly,
+        exactly like ``postings``.  Raises if the index was built without
+        ``with_positions``."""
+        rows = self.td.rows_of(term)
+        if not rows:
+            e = np.empty(0, dtype=np.uint64)
+            return e, e.astype(np.uint32), e
+        from ..functions.codecs import segmented_positions_decode
+
+        docs_l, tfs_l, pos_l = [], [], []
+        for part, row in rows:
+            shard = self._shard(part)
+            if "positions" not in shard.column_names:
+                raise ValueError(
+                    f"index at {self.index_dir} was built without positions "
+                    "(BuildConfig.with_positions) — phrase queries need a "
+                    "positional index"
+                )
+            d, t = decode_postings(
+                shard["doc_ids"][row].as_py(), shard["tfs"][row].as_py()
+            )
+            docs_l.append(d)
+            tfs_l.append(t)
+            pos_l.append(segmented_positions_decode(shard["positions"][row].as_py(), t))
+        return (
+            np.concatenate(docs_l),
+            np.concatenate(tfs_l),
+            np.concatenate(pos_l),
+        )
 
     def raw_rows(self, term: str) -> list[dict]:
         """Compressed segment rows of a term (one per salt slice) — the

@@ -77,6 +77,11 @@ POSTINGS_RAW = pa.schema(
     ]
 )
 
+# POSTINGS_RAW + per-posting positional payload (BuildConfig.with_positions):
+# ``positions`` is the delta-varbyte stream of the token's sorted in-doc
+# positions; its value count equals tf, so the stream needs no length prefix.
+POSTINGS_RAW_POS = POSTINGS_RAW.append(pa.field("positions", pa.binary()))
+
 # per-128-posting block metadata for block-max WAND (BASELINE.json L6).
 # (max_tf, min_dl) give a safe per-block score upper bound: tf_norm is
 # increasing in tf and decreasing in dl (functions.bm25.block_upper_bound).
@@ -110,6 +115,11 @@ SEGMENT = pa.schema(
         ("block_meta", pa.list_(BLOCK_META)),
     ]
 )
+
+# SEGMENT + positional payload: ``positions`` is the run's concatenation of
+# its postings' delta-varbyte position streams, in doc_id order (posting k
+# contributes tf[k] values — decode the whole run, then segment by tf).
+SEGMENT_POS = SEGMENT.append(pa.field("positions", pa.binary()))
 
 # globally term-sorted dictionary (FST-style sorted keys, BASELINE.json L6).
 # May hold multiple rows per term (one per salt slice of a head term);

@@ -31,8 +31,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import sha256_column, shard_and_salt
-from ..functions.tokenize import get_tokenizer, term_counts
-from ..schemas import FORWARD_MAP, POSTINGS_RAW
+from ..functions.tokenize import get_tokenizer, term_counts, term_counts_positions
+from ..schemas import FORWARD_MAP, POSTINGS_RAW, POSTINGS_RAW_POS
 from ..sources.corpus import read_unit, unit_fingerprint
 from ..state.manifest import Manifest, atomic_write_parquet
 
@@ -74,11 +74,13 @@ class ReadVerifyTokenize:
         tag_lang: bool = False,
         build_fingerprint: str = "",
         tokenizer: str = "code",
+        with_positions: bool = False,
     ):
         self.out_dir = out_dir
         self.num_partitions = num_partitions
         self.tag_lang = tag_lang
         self.tokenizer = tokenizer
+        self.with_positions = with_positions
         self.build_fingerprint = build_fingerprint
         # The head-salt table is small (head terms only), so the instance is
         # built on the driver and shipped inside the task closure — a
@@ -110,10 +112,18 @@ class ReadVerifyTokenize:
                     f"{unit['path']}#{unit['row_group']} (first local rows {rows})"
                 )
 
-        # M3–M5 — tokenize + doc length, one pass
-        terms, doc_idx, dl = get_tokenizer(self.tokenizer)(
-            content, langs=t["lang"].combine_chunks() if self.tag_lang else None, tag_lang=self.tag_lang
+        # M3–M5 — tokenize + doc length, one pass (positions only when the
+        # index is positional — the extra payload is never produced otherwise)
+        tok_kwargs = dict(
+            langs=t["lang"].combine_chunks() if self.tag_lang else None,
+            tag_lang=self.tag_lang,
         )
+        if self.with_positions:
+            terms, doc_idx, dl, tok_pos = get_tokenizer(self.tokenizer)(
+                content, return_positions=True, **tok_kwargs
+            )
+        else:
+            terms, doc_idx, dl = get_tokenizer(self.tokenizer)(content, **tok_kwargs)
         doc_ids = np.arange(unit["offset"], unit["offset"] + t.num_rows, dtype=np.uint64)
 
         # forward map side output (doc metadata leaves the pipeline here)
@@ -132,22 +142,27 @@ class ReadVerifyTokenize:
         atomic_write_parquet(fwd, f"{self.out_dir}/forward_map/part-{unit['part']:06d}.parquet")
 
         # M7 — explode to (term, doc_id, tf) + dl + shard/salt
-        postings = term_counts(terms, doc_idx, doc_ids)
+        if self.with_positions:
+            postings = term_counts_positions(terms, doc_idx, tok_pos, doc_ids)
+        else:
+            postings = term_counts(terms, doc_idx, doc_ids)
         p_doc = np.asarray(postings["doc_id"])
         p_dl = dl[(p_doc - np.uint64(unit["offset"])).astype(np.int64)]
         shard, salt = shard_and_salt(
             postings["term"], p_doc, self.num_partitions, self.head_salts
         )
+        cols = {
+            "term": postings["term"],
+            "doc_id": postings["doc_id"],
+            "tf": postings["tf"],
+            "dl": pa.array(p_dl, type=pa.uint32()),
+            "salt": pa.array(salt, type=pa.uint16()),
+            "shard": pa.array(shard, type=pa.uint32()),
+        }
+        if self.with_positions:
+            cols["positions"] = postings["positions"]
         out = pa.table(
-            {
-                "term": postings["term"],
-                "doc_id": postings["doc_id"],
-                "tf": postings["tf"],
-                "dl": pa.array(p_dl, type=pa.uint32()),
-                "salt": pa.array(salt, type=pa.uint16()),
-                "shard": pa.array(shard, type=pa.uint32()),
-            },
-            schema=POSTINGS_RAW,
+            cols, schema=POSTINGS_RAW_POS if self.with_positions else POSTINGS_RAW
         )
         # map-side hash partition: rows sorted by shard, ONE PARQUET ROW
         # GROUP PER SHARD, with the shard→row-group map recorded in the

@@ -22,8 +22,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.codecs import BLOCK, varbyte_encode
-from ..schemas import BLOCK_META, SEGMENT, TERM_DICT
+from ..schemas import BLOCK_META, SEGMENT, SEGMENT_POS, TERM_DICT
 from ..state.manifest import Manifest, atomic_write_parquet
+
+
+def _binary_np(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """View a pa.binary array as (uint8 values, int64 per-element byte
+    offsets into values) — zero-copy except the offset upcast."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    vals = np.frombuffer(bufs[2], dtype=np.uint8)
+    return vals, off
 
 
 def _slice_bytes(buf: np.ndarray, offsets: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Array:
@@ -164,19 +177,26 @@ def encode_shard(table: pa.Table) -> tuple[pa.Table, pa.Table, int]:
     cf = np.add.reduceat(tfs.astype(np.uint64), starts)
     max_tf = np.maximum.reduceat(tfs, starts).astype(np.uint32)
 
+    cols = {
+        "term": run_terms.cast(pa.string()),
+        "salt": pa.array(salt[starts], type=pa.uint16()),
+        "df": pa.array(df, type=pa.uint32()),
+        "cf": pa.array(cf, type=pa.uint64()),
+        "max_tf": pa.array(max_tf, type=pa.uint32()),
+        "doc_ids": _slice_bytes(doc_buf, doc_off, starts, ends),
+        "tfs": _slice_bytes(tf_buf, tf_off, starts, ends),
+        "dls": _slice_bytes(dl_buf, dl_off, starts, ends),
+        "block_meta": block_list,
+    }
+    if "positions" in table.column_names:
+        # positional index: concatenate the run's per-posting position
+        # streams in doc order (no block-level offsets — phrase evaluation
+        # decodes a whole run; value counts come from the tf stream)
+        posarr = table["positions"].combine_chunks().take(pa.array(order))
+        pvals, poffs = _binary_np(posarr)
+        cols["positions"] = _slice_bytes(pvals, poffs, starts, ends)
     seg = pa.table(
-        {
-            "term": run_terms.cast(pa.string()),
-            "salt": pa.array(salt[starts], type=pa.uint16()),
-            "df": pa.array(df, type=pa.uint32()),
-            "cf": pa.array(cf, type=pa.uint64()),
-            "max_tf": pa.array(max_tf, type=pa.uint32()),
-            "doc_ids": _slice_bytes(doc_buf, doc_off, starts, ends),
-            "tfs": _slice_bytes(tf_buf, tf_off, starts, ends),
-            "dls": _slice_bytes(dl_buf, dl_off, starts, ends),
-            "block_meta": block_list,
-        },
-        schema=SEGMENT,
+        cols, schema=SEGMENT_POS if "positions" in cols else SEGMENT
     )
     dict_rows = pa.table(
         {

@@ -224,6 +224,46 @@ class TermDict:
             total += int(df[s:e].sum())
         return total
 
+    def terms_with_prefix(self, prefix: str, limit: int = 1 << 20) -> list[str]:
+        """Distinct terms starting with ``prefix``, in sorted order — the
+        FST-style dictionary range scan behind prefix/wildcard queries.
+
+        Eager mode bisects a (lazily built, cached) sorted vocab list.
+        Pruned mode touches ONLY the row groups whose footer [min, max] term
+        range can intersect the prefix interval ``[prefix, prefix + maxchar)``
+        — contiguous because the file is globally sorted — so cost scales
+        with the match count, not the vocabulary.  ``limit`` guards against
+        an empty/degenerate prefix expanding to the whole dictionary.
+        """
+        if prefix == "":
+            raise ValueError("prefix must be non-empty (a bare '*' would scan the world)")
+        hi = prefix + "\U0010ffff"  # > every prefix-extension, < next sibling
+        out: list[str] = []
+        if self.eager:
+            if not hasattr(self, "_sorted_vocab"):
+                self._sorted_vocab = sorted(self.df)
+            v = self._sorted_vocab
+            s = bisect_left(v, prefix)
+            e = bisect_left(v, hi)
+            out = v[s:e]
+            if len(out) > limit:
+                raise ValueError(f"prefix {prefix!r} matches {len(out)} terms (> limit {limit})")
+            return out
+        lo_rg = bisect_left(self._rg_max, prefix)  # first group with max >= prefix
+        hi_rg = bisect_right(self._rg_min, hi)  # first group with min > hi
+        prev = None
+        for i in range(lo_rg, hi_rg):
+            terms, _, _, _ = self._row_group(i)
+            s = bisect_left(terms, prefix)
+            e = bisect_left(terms, hi)
+            for t in terms[s:e]:
+                if t != prev:  # salt slices duplicate terms — dedupe inline
+                    out.append(t)
+                    prev = t
+            if len(out) > limit:
+                raise ValueError(f"prefix {prefix!r} matches >{limit} terms")
+        return out
+
     def partitions(self) -> list[int]:
         """Distinct segment shard ids — one columnar scan, no Python dicts."""
         import pyarrow.compute as pc

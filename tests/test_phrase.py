@@ -1,0 +1,375 @@
+"""Positional index + phrase/prefix/wildcard queries (round 3).
+
+Oracle strategy: a pure-Python brute-force matcher over the same token
+stream (split + positions) checks every engine result on randomized
+corpora; determinism/bit-identity checks mirror the non-positional suite.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bitcoin_ledger_2es_ray.functions.codecs import (
+    segmented_positions_decode,
+    varbyte_encode,
+)
+from bitcoin_ledger_2es_ray.functions.tokenize import (
+    term_counts_positions,
+    tokenize_flat,
+    tokenize_query_positions,
+)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer positions
+
+
+def test_positions_plain_words():
+    terms, doc_idx, dl, pos = tokenize_flat(
+        pa.array(["a b c", "x y"]), return_positions=True
+    )
+    got = sorted(zip(doc_idx.tolist(), pos.tolist(), terms.to_pylist()))
+    assert got == [(0, 0, "a"), (0, 1, "b"), (0, 2, "c"), (1, 0, "x"), (1, 1, "y")]
+
+
+def test_positions_parts_share_identifier_slot():
+    terms, doc_idx, dl, pos = tokenize_flat(
+        pa.array(["foo getBlockHash bar"]), return_positions=True
+    )
+    by_term = {}
+    for t, p in zip(terms.to_pylist(), pos.tolist()):
+        by_term.setdefault(t, []).append(p)
+    assert by_term["foo"] == [0]
+    assert by_term["bar"] == [2]
+    # compound + its three parts all sit at the identifier's slot
+    for t in ("getblockhash", "get", "block", "hash"):
+        assert by_term[t] == [1]
+
+
+def test_positions_dropped_token_keeps_slot():
+    long = "x" * 80  # dropped (over MAX_TOKEN_LEN) but still occupies slot 1
+    terms, _, _, pos = tokenize_flat(pa.array([f"a {long} b"]), return_positions=True)
+    got = dict(zip(terms.to_pylist(), pos.tolist()))
+    assert got == {"a": 0, "b": 2}
+
+
+def test_query_positions_normalized():
+    assert tokenize_query_positions("  b c") == [("b", 0), ("c", 1)]
+    assert tokenize_query_positions("") == []
+
+
+# ---------------------------------------------------------------------------
+# positional explode + codec
+
+
+def test_segmented_positions_roundtrip_random():
+    rng = random.Random(7)
+    for _ in range(20):
+        n_postings = rng.randint(1, 30)
+        tfs = np.array([rng.randint(1, 8) for _ in range(n_postings)], dtype=np.uint32)
+        flat = []
+        for tf in tfs:
+            base = sorted(rng.sample(range(100000), int(tf)))
+            flat.extend(base)
+        flat = np.array(flat, dtype=np.uint64)
+        # encode the way term_counts_positions does: per-posting delta streams
+        gaps = flat.copy()
+        starts = np.cumsum(tfs.astype(np.int64)) - tfs
+        gaps[1:] = flat[1:] - flat[:-1]
+        gaps[starts] = flat[starts]
+        buf, _ = varbyte_encode(gaps)
+        out = segmented_positions_decode(buf.tobytes(), tfs)
+        np.testing.assert_array_equal(out, flat)
+
+
+def test_term_counts_positions_matches_bruteforce():
+    docs = ["b a b a b", "a a a", "c b a"]
+    terms, doc_idx, dl, pos = tokenize_flat(pa.array(docs), return_positions=True)
+    doc_ids = np.array([10, 20, 30], dtype=np.uint64)
+    t = term_counts_positions(terms, doc_idx, pos, doc_ids)
+    want = {}
+    for d, text in zip(doc_ids.tolist(), docs):
+        for p, tok in enumerate(text.split(" ")):
+            want.setdefault((tok, d), []).append(p)
+    assert t.num_rows == len(want)
+    for term, doc, tf, blob in zip(
+        t["term"].to_pylist(),
+        t["doc_id"].to_pylist(),
+        t["tf"].to_pylist(),
+        t["positions"].to_pylist(),
+    ):
+        exp = want[(term, doc)]
+        assert tf == len(exp)
+        got = segmented_positions_decode(blob, np.array([tf], dtype=np.uint32))
+        assert got.tolist() == exp
+
+
+# ---------------------------------------------------------------------------
+# end-to-end positional index
+
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "head"]
+
+
+def _random_corpus(rng: random.Random, n_docs: int) -> list[str]:
+    out = []
+    for _ in range(n_docs):
+        n = rng.randint(3, 12)
+        toks = [rng.choice(VOCAB) for _ in range(n)]
+        toks += ["head"] * rng.randint(0, 2)  # skew a head term
+        rng.shuffle(toks)
+        out.append(" ".join(toks))
+    return out
+
+
+def _brute_phrase(docs: list[str], phrase: list[str]) -> list[int]:
+    hits = []
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        for s in range(len(toks) - len(phrase) + 1):
+            if toks[s : s + len(phrase)] == phrase:
+                hits.append(i)
+                break
+    return hits
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, tmp_path_factory):
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    rng = random.Random(13)
+    docs = _random_corpus(rng, 120)
+    root = tmp_path_factory.mktemp("posidx")
+    corpus = str(root / "corpus.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * len(docs),
+                "path": [f"p{i}" for i in range(len(docs))],
+                "commit": ["c"] * len(docs),
+                "lang": ["en"] * len(docs),
+                "content": docs,
+            }
+        ),
+        corpus,
+        row_group_size=32,
+    )
+    cfg = BuildConfig(
+        corpus=corpus,
+        out_dir=str(root / "idx"),
+        num_partitions=4,
+        with_positions=True,
+        # force salting so a head term's slices carry positions too
+        head_df_ratio=0.3,
+        n_salt=2,
+        sketch_stride=1,
+    )
+    res = build_index(cfg)
+    assert res.head_terms, "fixture should salt at least one head term"
+    return docs, SegmentStore(res.out_dir), res
+
+
+def test_phrase_match_randomized(pos_index):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_match
+
+    docs, store, _ = pos_index
+    rng = random.Random(99)
+    n_checked = 0
+    for _ in range(40):
+        d = rng.randrange(len(docs))
+        toks = docs[d].split(" ")
+        ln = rng.randint(1, min(3, len(toks)))
+        s = rng.randrange(len(toks) - ln + 1)
+        phrase = toks[s : s + ln]
+        got = phrase_match(store, " ".join(phrase)).tolist()
+        assert got == _brute_phrase(docs, phrase)
+        n_checked += 1
+    assert n_checked == 40
+
+
+def test_phrase_match_absent_and_nonadjacent(pos_index):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_match
+
+    docs, store, _ = pos_index
+    assert phrase_match(store, "alpha zzzz").tolist() == []
+    # a phrase longer than any doc
+    assert phrase_match(store, " ".join(["alpha"] * 40)).tolist() == []
+
+
+def test_phrase_topk_scores_match_filtered_taat(pos_index):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_match, phrase_topk
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+
+    docs, store, _ = pos_index
+    # pick a phrase with several matches
+    phrase = None
+    for cand in (["head", "head"], ["alpha", "beta"], ["beta", "alpha"]):
+        if len(_brute_phrase(docs, cand)) >= 2:
+            phrase = cand
+            break
+    assert phrase is not None
+    text = " ".join(phrase)
+    match = set(phrase_match(store, text).tolist())
+    top = phrase_topk(store, text, 10)
+    assert {d for d, _ in top} <= match
+    # scores equal the full BM25 scores of the same docs for the same terms
+    full = dict(score_query(store, " ".join(sorted(set(phrase))), len(docs)))
+    for d, s in top:
+        assert s == pytest.approx(full[d], rel=0, abs=0)
+    # ranks: score desc, doc asc
+    keys = [(-s, d) for d, s in top]
+    assert keys == sorted(keys)
+
+
+def test_prefix_and_wildcard(pos_index):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import prefix_match, wildcard_match
+
+    docs, store, _ = pos_index
+    for prefix in ("al", "b", "ga", "zz"):
+        want = sorted(
+            i
+            for i, d in enumerate(docs)
+            if any(t.startswith(prefix) for t in d.split(" "))
+        )
+        assert prefix_match(store, prefix).tolist() == want
+    # wildcard: *a covers gamma/alpha/beta/delta endings
+    import fnmatch
+
+    for pat in ("a*a", "b?ta", "de*", "q*"):
+        want = sorted(
+            i
+            for i, d in enumerate(docs)
+            if any(fnmatch.fnmatchcase(t, pat) for t in d.split(" "))
+        )
+        assert wildcard_match(store, pat).tolist() == want
+    with pytest.raises(ValueError):
+        wildcard_match(store, "*tail")
+
+
+def test_batch_matcher_equals_driver_loop(pos_index):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import (
+        phrase_match,
+        run_match_queries,
+    )
+
+    docs, store, res = pos_index
+    texts = ["alpha beta", "head head", "gamma delta", "zzzz", "beta"]
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(texts)), type=pa.uint64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    got = (
+        pa.Table.from_pylist(
+            run_match_queries(res.out_dir, queries, mode="phrase", concurrency=2).take_all()
+        )
+        .sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+    )
+    want_rows = []
+    for qid, text in enumerate(texts):
+        for d in phrase_match(store, text).tolist():
+            want_rows.append({"query_id": qid, "doc_id": d})
+    assert got.to_pylist() == want_rows
+
+
+def test_positional_flag_in_fingerprint(ray_session, tmp_path_factory):
+    """Toggling with_positions on the same out_dir must REBUILD (different
+    build fingerprint), not reuse non-positional checkpoints."""
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    root = tmp_path_factory.mktemp("fpidx")
+    corpus = str(root / "corpus.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * 3,
+                "path": ["a", "b", "c"],
+                "commit": ["c"] * 3,
+                "lang": ["en"] * 3,
+                "content": ["x y z", "y z x", "z x y"],
+            }
+        ),
+        corpus,
+    )
+    kw = dict(corpus=corpus, out_dir=str(root / "idx"), num_partitions=2, sketch_stride=1)
+    build_index(BuildConfig(**kw))  # plain build
+    store = SegmentStore(str(root / "idx"))
+    with pytest.raises(ValueError, match="without positions"):
+        phrase_match(store, "x y")
+    res2 = build_index(BuildConfig(**kw, with_positions=True))  # same dir, flag on
+    assert res2.skipped_units == 0, "positional toggle must invalidate phase A"
+    store2 = SegmentStore(str(root / "idx"))
+    assert phrase_match(store2, "x y").tolist() == [0, 2]
+
+
+def test_positional_shuffle_modes_bit_identical(ray_session, tmp_path_factory):
+    """fs and raydata shuffles must produce byte-identical positional
+    segments (positions ride the shuffle; encode re-sorts on a unique key)."""
+    import os
+
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+
+    rng = random.Random(5)
+    docs = _random_corpus(rng, 60)
+    root = tmp_path_factory.mktemp("shufidx")
+    corpus = str(root / "corpus.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * len(docs),
+                "path": [f"p{i}" for i in range(len(docs))],
+                "commit": ["c"] * len(docs),
+                "lang": ["en"] * len(docs),
+                "content": docs,
+            }
+        ),
+        corpus,
+        row_group_size=16,
+    )
+    outs = {}
+    for mode in ("fs", "raydata"):
+        out = str(root / f"idx_{mode}")
+        build_index(
+            BuildConfig(
+                corpus=corpus,
+                out_dir=out,
+                num_partitions=3,
+                with_positions=True,
+                shuffle=mode,
+                sketch_stride=1,
+            )
+        )
+        outs[mode] = out
+    for sid in range(3):
+        fa = os.path.join(outs["fs"], "segments", f"shard-{sid:05d}.parquet")
+        fb = os.path.join(outs["raydata"], "segments", f"shard-{sid:05d}.parquet")
+        if not (os.path.exists(fa) or os.path.exists(fb)):
+            continue
+        ta = pq.read_table(fa)
+        tb = pq.read_table(fb)
+        assert ta.equals(tb), f"shard {sid} differs between shuffle modes"
+
+
+def test_terms_with_prefix_pruned_equals_eager(pos_index):
+    from bitcoin_ledger_2es_ray.state.termdict import TermDict
+
+    _, store, res = pos_index
+    import os
+
+    path = os.path.join(res.out_dir, "term_dict.parquet")
+    eager = TermDict(path, eager_max_rows=1 << 30)
+    pruned = TermDict(path, eager_max_rows=0)
+    assert eager.eager and not pruned.eager
+    for prefix in ("a", "al", "b", "g", "zz", "head"):
+        assert eager.terms_with_prefix(prefix) == pruned.terms_with_prefix(prefix)
+    with pytest.raises(ValueError):
+        eager.terms_with_prefix("")
