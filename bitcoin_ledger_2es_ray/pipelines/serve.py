@@ -83,8 +83,38 @@ def _segment_actor_cls():
     return SegmentActor
 
 
+def create_segment_pool(
+    index_dir: str, num_actors: int, shards: list[int] | None = None
+) -> tuple[list, dict[int, int]]:
+    """Spawn the SegmentActor pool once → (actors, shard → actor index).
+
+    Separated from TopKService so MULTIPLE routers (ServingMesh) can share
+    one pool — segment bytes load once however many routers front them."""
+    import ray
+
+    if shards is None:
+        from ..state.termdict import TermDict
+
+        shards = TermDict(os.path.join(index_dir, "term_dict.parquet")).partitions()
+    num_actors = max(1, min(num_actors, len(shards) or 1))
+    cls = _segment_actor_cls()
+    assignment: list[list[int]] = [shards[i::num_actors] for i in range(num_actors)]
+    actor_of_shard: dict[int, int] = {}
+    actors = []
+    for ai, owned in enumerate(assignment):
+        actors.append(cls.remote(index_dir, owned))
+        for sid in owned:
+            actor_of_shard[sid] = ai
+    ray.get([a.__ray_ready__.remote() for a in actors])
+    return actors, actor_of_shard
+
+
 class TopKService:
-    """Router + segment actor pool.  Create once, query many times."""
+    """Router + segment actor pool.  Create once, query many times.
+
+    Pass ``pool=(actors, actor_of_shard)`` (from ``create_segment_pool``) to
+    front an EXISTING pool — the service then shares it and ``shutdown``
+    leaves it running (ServingMesh owns the lifecycle)."""
 
     def __init__(
         self,
@@ -93,9 +123,8 @@ class TopKService:
         k1: float = K1,
         b: float = B,
         eager_vocab_max: int = 1 << 19,
+        pool: tuple[list, dict[int, int]] | None = None,
     ):
-        import ray
-
         self.k1, self.b = k1, b
         st = pq.read_table(os.path.join(index_dir, "stats.parquet"))
         self.n_docs = int(st["n_docs"][0].as_py())
@@ -109,18 +138,14 @@ class TopKService:
             os.path.join(index_dir, "term_dict.parquet"), eager_max_rows=eager_vocab_max
         )
         # G6 routing: shard → owning actor (round-robin over sorted shards)
-        shards = self.td.partitions()
-        num_actors = max(1, min(num_actors, len(shards) or 1))
-        cls = _segment_actor_cls()
-        assignment: list[list[int]] = [shards[i::num_actors] for i in range(num_actors)]
-        self.actor_of_shard = {}
-        self.actors = []
-        for ai, owned in enumerate(assignment):
-            actor = cls.remote(index_dir, owned)
-            self.actors.append(actor)
-            for sid in owned:
-                self.actor_of_shard[sid] = ai
-        ray.get([a.__ray_ready__.remote() for a in self.actors])
+        if pool is not None:
+            self.actors, self.actor_of_shard = pool
+            self._owns_pool = False
+        else:
+            self.actors, self.actor_of_shard = create_segment_pool(
+                index_dir, num_actors, self.td.partitions()
+            )
+            self._owns_pool = True
         # small router-side cache of fetched compressed rows: query streams
         # hit the same (head) terms repeatedly; compressed rows are tiny
         # relative to the index, so a few thousand terms is cheap
@@ -291,9 +316,120 @@ class TopKService:
     def shutdown(self) -> None:
         import ray
 
-        for a in self.actors:
-            ray.kill(a)
+        if getattr(self, "_owns_pool", True):
+            for a in self.actors:
+                ray.kill(a)
         self.actors = []
+
+
+def _router_actor_cls():
+    import ray
+
+    @ray.remote(num_cpus=1)
+    class RouterActor:
+        """One replicated router: its own TermDict + caches, fronting the
+        SHARED segment pool (handles passed in).  Queries are served
+        entirely inside the actor — the driver only relays futures."""
+
+        def __init__(self, index_dir: str, pool, actor_of_shard, k1, b, eager_vocab_max):
+            self.svc = TopKService(
+                index_dir,
+                k1=k1,
+                b=b,
+                eager_vocab_max=eager_vocab_max,
+                pool=(pool, actor_of_shard),
+            )
+
+        def query(self, text, k=10, mode="taat", round_decimals=None):
+            return self.svc.query(text, k, mode=mode, round_decimals=round_decimals)
+
+        def query_batch(self, texts, k=10, mode="taat", round_decimals=None):
+            return [
+                self.svc.query(t, k, mode=mode, round_decimals=round_decimals)
+                for t in texts
+            ]
+
+    return RouterActor
+
+
+class ServingMesh:
+    """Replicated routers over one shared segment pool (round 3).
+
+    The r2 design's single driver-side router serializes dictionary lookups,
+    cache updates and result merging for EVERY query — at cluster scale that
+    one process caps throughput regardless of pool size.  The mesh spawns
+    ``num_routers`` RouterActors, each with its own TermDict + row caches,
+    all fetching from the SAME SegmentActor pool (segment bytes stay loaded
+    once).  Queries round-robin across routers; ``query_many`` keeps all
+    routers busy concurrently and returns results in input order.
+
+    Routers are stateless w.r.t. each other (caches are per-router and
+    idf/df are read-only), so every router is rank-identical to a
+    single-router TopKService — asserted in tests/test_wand.py.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_routers: int = 2,
+        num_segment_actors: int = 4,
+        k1: float = K1,
+        b: float = B,
+        eager_vocab_max: int = 1 << 19,
+        router_num_cpus: float = 1.0,
+    ):
+        import ray
+
+        self.pool, self.actor_of_shard = create_segment_pool(
+            index_dir, num_segment_actors
+        )
+        # router CPU reservation is tunable (fractional is fine): a router's
+        # own compute is brief (dict lookups + contribution merge) relative
+        # to the pool's decode work, and a small test cluster must be able
+        # to co-schedule routers + pool without deadlocking on logical CPUs
+        cls = _router_actor_cls().options(num_cpus=router_num_cpus)
+        self.routers = [
+            cls.remote(index_dir, self.pool, self.actor_of_shard, k1, b, eager_vocab_max)
+            for _ in range(max(1, num_routers))
+        ]
+        ray.get([r.__ray_ready__.remote() for r in self.routers])
+        self._rr = 0
+
+    def _next(self):
+        r = self.routers[self._rr % len(self.routers)]
+        self._rr += 1
+        return r
+
+    def query(
+        self, text: str, k: int = 10, mode: str = "taat", round_decimals: int | None = None
+    ) -> list[tuple[int, float]]:
+        import ray
+
+        return ray.get(self._next().query.remote(text, k, mode, round_decimals))
+
+    def query_many(
+        self,
+        texts: list[str],
+        k: int = 10,
+        mode: str = "taat",
+        round_decimals: int | None = None,
+    ) -> list[list[tuple[int, float]]]:
+        """All routers work concurrently; results return in input order."""
+        import ray
+
+        futures = [
+            self._next().query.remote(t, k, mode, round_decimals) for t in texts
+        ]
+        return ray.get(futures)
+
+    def shutdown(self) -> None:
+        import ray
+
+        for r in self.routers:
+            ray.kill(r)
+        for a in self.pool:
+            ray.kill(a)
+        self.routers, self.pool = [], []
 
 
 def latency_benchmark(

@@ -142,3 +142,32 @@ def test_serving_pool(built):
         assert svc.plan_mode(f"{rare} {head}") == expected
     finally:
         svc.shutdown()
+
+
+def test_serving_mesh_matches_single_router(built):
+    """Replicated routers over one shared pool (round 3): every router is
+    rank- and score-identical to the single-router service; query_many
+    preserves input order and uses all routers."""
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, score_query
+    from bitcoin_ledger_2es_ray.pipelines.serve import ServingMesh
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    # fractional router CPUs: 3 routers + 2 segment actors must co-schedule
+    # inside the 4-CPU test session without deadlocking on logical CPUs
+    mesh = ServingMesh(
+        res.out_dir, num_routers=3, num_segment_actors=2, router_num_cpus=0.25
+    )
+    try:
+        texts = ["dup", "batch scan", "window agg join", "nosuchterm", "dup"]
+        exp = [score_query(store, t, 10) for t in texts]
+        # enough sequential queries that round-robin cycles every router
+        for t, e in zip(texts, exp):
+            assert mesh.query(t, 10, mode="taat") == e
+        got = mesh.query_many(texts, 10, mode="taat")
+        assert got == exp
+        for t, e in zip(texts, exp):
+            assert [d for d, _ in mesh.query(t, 10, mode="routed")] == [d for d, _ in e]
+        assert mesh._rr >= 2 * len(texts)  # all three routers exercised
+    finally:
+        mesh.shutdown()
