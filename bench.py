@@ -238,21 +238,24 @@ def run_scaling() -> dict:
     )
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     protocol_runs = int(os.environ.get("BENCH_PROTOCOL_RUNS", "3"))
-    gate_ratio = float(os.environ.get("BENCH_GATE_RATIO", "1.25"))
-    gate_attempts = int(os.environ.get("BENCH_GATE_ATTEMPTS", "5"))
+    gate_ratio = float(os.environ.get("BENCH_GATE_RATIO", "1.12"))
+    gate_attempts = int(os.environ.get("BENCH_GATE_ATTEMPTS", "12"))
+    clean_slack = float(os.environ.get("BENCH_CLEAN_SLACK", "1.25"))
 
     def _probe() -> float:
-        """Contention calibration (VERDICT r2 §1): one fixed single-thread
-        memory-bound workload, timed.  On a quiet VM this is stable to a few
-        percent; hypervisor-neighbor pollution shows up as a 1.3-4x slowdown
-        and poisons any throughput measured in the same window."""
+        """Contention calibration (VERDICT r2 §1): a fixed memory-BANDWIDTH
+        workload (streaming copy of a 128 MB array — far beyond any cache),
+        timed.  The pollution that skews this VM's ratios is neighbors
+        saturating the memory bus, which hurts 8 concurrent workers much
+        more than 2; a bandwidth-bound probe sees exactly that contention,
+        where the previous cache-sized argsort probe often missed it."""
         import numpy as np
 
-        a = np.random.default_rng(0).integers(0, 1 << 40, 4_000_000).astype(np.uint64)
+        a = np.zeros(1 << 24, dtype=np.float64)  # 128 MB
         best = float("inf")
         for _ in range(3):
             t0 = time.monotonic()
-            np.argsort(a)
+            a.copy()
             best = min(best, time.monotonic() - t0)
         return best
 
@@ -327,14 +330,23 @@ def run_scaling() -> dict:
         s = sorted(xs)
         return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
 
-    # a protocol run is CLEAN iff its calibration stayed near baseline on
-    # both sides of the measurement; the headline is the clean median when
-    # at least 2 clean runs exist (all runs are still reported)
-    clean = [
-        d["eff"]
-        for d in detail
-        if d["cal_ratio_before"] <= gate_ratio and d["cal_ratio_after"] <= gate_ratio
-    ]
+    # a protocol run is CLEAN iff (a) its calibration stayed near baseline
+    # on both sides of the measurement AND (b) the measurement itself ran at
+    # near session-best speed AT BOTH LEVELS — asymmetric pollution (one
+    # level slowed, the other not) is precisely what corrupts a ratio, and
+    # the achieved build times are the most direct pollution probe there is.
+    # The headline is the clean median when at least 2 clean runs exist;
+    # every run and its classification are still reported.
+    best_lo = min(min(d["build_sec_lo_all"]) for d in detail)
+    best_hi = min(min(d["build_sec_hi_all"]) for d in detail)
+    for d in detail:
+        d["clean"] = (
+            d["cal_ratio_before"] <= gate_ratio
+            and d["cal_ratio_after"] <= gate_ratio
+            and min(d["build_sec_lo_all"]) <= clean_slack * best_lo
+            and min(d["build_sec_hi_all"]) <= clean_slack * best_hi
+        )
+    clean = [d["eff"] for d in detail if d["clean"]]
     median_all = _median(effs)
     median_clean = _median(clean) if len(clean) >= 2 else median_all
     best_run = max(detail, key=lambda d: d["eff"])

@@ -4,9 +4,10 @@ The reference (``wenweih/bitcoin-ledger-2es``, SURVEY.md §0.1) is a Go CLI
 that syncs a ledger into Elasticsearch and leaves querying to ES.  The graft
 exposes the equivalent operations over its own engine:
 
-    python -m bitcoin_ledger_2es_ray.cli build  --corpus DIR_OR_FILE --out IDX
+    python -m bitcoin_ledger_2es_ray.cli build  --corpus DIR_OR_FILE --out IDX [--positions]
     python -m bitcoin_ledger_2es_ray.cli resume --corpus ...        --out IDX
     python -m bitcoin_ledger_2es_ray.cli query  --index IDX --q "text" [-k 10]
+    python -m bitcoin_ledger_2es_ray.cli match  --index IDX --q "a b" --mode phrase|phrase-topk|prefix|wildcard
     python -m bitcoin_ledger_2es_ray.cli serve-bench --index IDX --queries Q.parquet
 
 ``build`` and ``resume`` are the same operation (the build is always
@@ -51,6 +52,7 @@ def cmd_build(args: argparse.Namespace) -> int:
         head_df_ratio=args.head_df_ratio,
         n_salt=args.n_salt,
         shuffle=args.shuffle,
+        with_positions=args.positions,
     )
     res = build_index(cfg)
     print(
@@ -111,6 +113,34 @@ def cmd_query_batch(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_match(args: argparse.Namespace) -> int:
+    """Phrase / prefix / wildcard query over a built index (ES
+    match_phrase / prefix / wildcard analogs; phrase needs an index built
+    with --positions)."""
+    from .pipelines.phrase import (
+        phrase_match,
+        phrase_topk,
+        prefix_match,
+        wildcard_match,
+    )
+    from .pipelines.query import SegmentStore
+
+    store = SegmentStore(args.index)
+    if args.mode == "phrase-topk":
+        top = phrase_topk(store, args.q, args.k)
+        for r, (d, s) in enumerate(top, start=1):
+            print(f"{r:3d}  {s:10.4f}  doc {d}")
+        return 0
+    fn = {
+        "phrase": phrase_match,
+        "prefix": prefix_match,
+        "wildcard": wildcard_match,
+    }[args.mode]
+    docs = fn(store, args.q)
+    print(json.dumps({"n": int(len(docs)), "doc_ids": docs[: args.k].tolist()}))
+    return 0
+
+
 def cmd_serve_bench(args: argparse.Namespace) -> int:
     import pyarrow.parquet as pq
 
@@ -156,6 +186,11 @@ def main(argv: list[str] | None = None) -> int:
         b.add_argument("--n-salt", type=int, default=4)
         b.add_argument("--head-df-ratio", type=float, default=0.10)
         b.add_argument("--tag-lang", action="store_true")
+        b.add_argument(
+            "--positions",
+            action="store_true",
+            help="build a positional index (enables phrase queries)",
+        )
         b.add_argument("--shuffle", choices=("fs", "raydata"), default="fs")
         b.add_argument("--num-cpus", type=int, default=None)
         b.set_defaults(fn=cmd_build)
@@ -165,6 +200,17 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--q", required=True, help="query text")
     q.add_argument("-k", type=int, default=10)
     q.set_defaults(fn=cmd_query)
+
+    m = sub.add_parser(
+        "match", help="phrase / prefix / wildcard match (phrase needs --positions index)"
+    )
+    m.add_argument("--index", required=True)
+    m.add_argument("--q", required=True, help="phrase text / prefix / glob pattern")
+    m.add_argument(
+        "--mode", choices=("phrase", "phrase-topk", "prefix", "wildcard"), default="phrase"
+    )
+    m.add_argument("-k", type=int, default=10, help="docs to print (phrase-topk: top-k)")
+    m.set_defaults(fn=cmd_match)
 
     qb = sub.add_parser(
         "query-batch", help="batch query set → partitioned parquet results (streamed)"
