@@ -375,6 +375,107 @@ def _q_boolean_not(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_fuzzy_match(sf_dir: str) -> pa.Table:
+    """ES ``fuzzy`` analog: vectorized Levenshtein dictionary scan
+    (functions/editdist.py) → posting union.  Query q deletes character
+    (q mod len) from vocab term (11q+3) mod |V| — mirrored by the oracle's
+    substr arithmetic; match = any token within edit distance 1."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import fuzzy_match
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    qids, docs = [], []
+    for q in range(_N_QUERIES):
+        t = vocab[(11 * q + 3) % len(vocab)]
+        p = q % len(t)
+        qterm = t[:p] + t[p + 1 :] if len(t) > 1 else t
+        hits = fuzzy_match(store, qterm, max_dist=1)
+        qids.extend([q] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+
+
+def _q_terms_agg(sf_dir: str) -> pa.Table:
+    """ES ``terms`` aggregation: per-query AND-hit counts bucketed by lang —
+    partial buckets inside map_batches over the forward map, driver combine
+    bounded by #queries × #langs (pipelines/aggs.py)."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import terms_agg
+
+    _, res = _store_for(sf_dir)
+    return terms_agg(res.out_dir, _q_boolean_and(sf_dir), field="lang")
+
+
+def _q_histogram_agg(sf_dir: str) -> pa.Table:
+    """ES ``histogram`` aggregation over doc length (interval 16) on the
+    same AND-hit sets."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import histogram_agg
+
+    _, res = _store_for(sf_dir)
+    return histogram_agg(res.out_dir, _q_boolean_and(sf_dir), interval=16)
+
+
+def _q_more_like_this(sf_dir: str) -> pa.Table:
+    """ES ``more_like_this``: top-5 tf·idf terms of source doc (q·29 mod n)
+    → BM25 top-k with the source excluded, over the MltScorer actor pool."""
+    from bitcoin_ledger_2es_ray.pipelines.mlt import run_mlt_queries
+
+    store, res = _store_for(sf_dir)
+    n = store.n_docs
+    srcs = pa.table(
+        {
+            "query_id": pa.array(range(_N_QUERIES), type=pa.uint64()),
+            "src_doc": pa.array([(q * 29) % n for q in range(_N_QUERIES)], type=pa.uint64()),
+        }
+    )
+    rows = run_mlt_queries(
+        res.out_dir, srcs, n_terms=5, k=_TOP_K, concurrency=4, round_decimals=_ROUND
+    ).take_all()
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_search_after(sf_dir: str) -> pa.Table:
+    """ES ``search_after`` cursor pagination: page 2 (ranks k+1..2k) of each
+    fixture query, fetched strictly through page 1's last (score, doc_id)
+    cursor — no scroll state."""
+    from bitcoin_ledger_2es_ray.pipelines.query import search_after
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        page1 = search_after(store, text, _TOP_K, None, round_decimals=_ROUND)
+        if len(page1) < _TOP_K:
+            continue
+        cursor = page1[-1]
+        d0, s0 = cursor[0], cursor[1]
+        page2 = search_after(store, text, _TOP_K, (s0, d0), round_decimals=_ROUND)
+        for i, (d, s) in enumerate(page2):
+            qids.append(qid)
+            ranks.append(_TOP_K + 1 + i)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_lang_counts(sf_dir: str) -> pa.Table:
     """M6 language filter/projection: doc counts per lang from the engine's
     forward map, via a Ray Data groupby aggregate."""
@@ -530,6 +631,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
         "prefix_match": _q_prefix_match,
+        "fuzzy_match": _q_fuzzy_match,
+        "terms_agg": _q_terms_agg,
+        "histogram_agg": _q_histogram_agg,
+        "more_like_this": _q_more_like_this,
+        "search_after": _q_search_after,
         "lang_counts": _q_lang_counts,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
@@ -638,6 +744,32 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
+        # search_after pagination: page 2 = global ranks k+1..2k (the engine
+        # pages through page 1's last (score, doc_id) cursor; strict-after
+        # filtering over unique doc_ids equals ranks > k exactly)
+        "search_after": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank > {k} AND rank <= 2 * {k} ORDER BY query_id, rank
 """.replace("{k}", str(_TOP_K)),
         "boolean_and": _PRELUDE
         + """
@@ -759,6 +891,105 @@ SELECT DISTINCT pf.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
 FROM pf JOIN tf ON starts_with(tf.term, pf.p)
 ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # fuzzy query: qterm q = vocab[(11q+3) mod |V|] with char (q mod len)
+        # deleted; match = any indexed term within Levenshtein distance 1
+        # (DuckDB levenshtein == byte-level DP for this ASCII vocabulary).
+        "fuzzy_match": _PRELUDE
+        + """
+, fq AS (
+  SELECT q AS query_id,
+         CASE WHEN len(v.term) > 1
+              THEN substr(v.term, 1, q % len(v.term))
+                   || substr(v.term, (q % len(v.term)) + 2)
+              ELSE v.term END AS qt
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (11 * q + 3) % nv.c
+)
+SELECT DISTINCT fq.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
+FROM fq JOIN tf ON levenshtein(tf.term, fq.qt) <= 1
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # ES terms aggregation: boolean-AND hit sets bucketed by lang
+        "terms_agg": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+)
+SELECT a.query_id::BIGINT AS query_id, d.lang, count(*)::BIGINT AS doc_count
+FROM anded a JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # ES histogram aggregation: same hit sets, dl bucketed by 16
+        "histogram_agg": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+)
+SELECT a.query_id::BIGINT AS query_id,
+       (dl.dl::BIGINT // 16) * 16 AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM anded a JOIN dl USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # more-like-this: top-5 terms of doc (29q mod n) by
+        # (round(tf*idf,6) DESC, term ASC), BM25 with the source excluded
+        "more_like_this": _PRELUDE
+        + """
+, nd AS (SELECT count(*) AS c FROM documents),
+mq AS (
+  SELECT q AS query_id, (q * 29) % c AS src
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+),
+cand AS (
+  SELECT m.query_id, m.src, tf.term,
+         round(tf.tf * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)), 6) AS sel
+  FROM mq m JOIN tf ON tf.doc_id = m.src
+  JOIN df ON df.term = tf.term CROSS JOIN stats s
+),
+selt AS (
+  SELECT query_id, src, term FROM (
+    SELECT query_id, src, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY sel DESC, term ASC)
+             AS rn
+    FROM cand
+  ) WHERE rn <= 5
+),
+scored AS (
+  SELECT st.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM selt st
+  JOIN df ON df.term = st.term
+  JOIN tf ON tf.term = st.term AND tf.doc_id <> st.src
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY st.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
         "lang_counts": """
 SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang ORDER BY lang
 """,

@@ -307,7 +307,14 @@ def run_scaling() -> dict:
         # (hypervisor neighbors); min wall time is the least-polluted sample
         lo_runs = [sub(lo_cpu) for _ in range(trials)]
         hi_runs = [sub(hi_cpu) for _ in range(trials)]
+        # settle before the after-probe: the probe otherwise measures the
+        # just-finished Ray session's own teardown (page-cache writeback,
+        # raylet exit), misclassifying every run as dirty — take the best
+        # of two probes 10 s apart
+        time.sleep(10)
         cal_after = _probe()
+        time.sleep(10)
+        cal_after = min(cal_after, _probe())
         cal0 = min(cal0, cal_after)
         lo = min(lo_runs, key=lambda r: r["queries"]["build"])
         hi = min(hi_runs, key=lambda r: r["queries"]["build"])

@@ -1,0 +1,119 @@
+"""Search aggregations (ES ``aggs`` analog): facet counts over query hits.
+
+Elasticsearch computes per-shard partial buckets and merges them on the
+coordinating node; the graft's Ray-Data shape is identical:
+
+- the HIT SET (query_id, doc_id) — small relative to the corpus — is
+  broadcast once via ``ray.put``;
+- the forward map streams through ``map_batches`` with only the needed
+  columns; each batch inner-joins the broadcast hits and emits PARTIAL
+  bucket counts (pre-aggregation — the wide data never shuffles);
+- the driver combines partials, bounded by (#queries × #distinct buckets),
+  independent of corpus size.
+
+``terms_agg`` buckets by a categorical forward-map column (ES ``terms``);
+``histogram_agg`` buckets ``dl`` by a fixed interval (ES ``histogram``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+AGG_FIELDS = ("lang", "repo", "commit")  # categorical forward-map columns
+
+
+def _combine(parts: list[pa.Table], key_cols: list[str]) -> pa.Table:
+    parts = [p for p in parts if p.num_rows > 0]
+    if not parts:
+        return pa.table(
+            {c: pa.array([], type=pa.int64()) for c in [*key_cols, "doc_count"]}
+        )
+    t = pa.concat_tables(parts, promote_options="default")
+    out = t.group_by(key_cols).aggregate([("doc_count", "sum")])
+    return (
+        out.select([*key_cols, "doc_count_sum"])
+        .rename_columns([*key_cols, "doc_count"])
+        .sort_by([(c, "ascending") for c in key_cols])
+    )
+
+
+def _agg_over_forward_map(
+    index_dir: str, matches: pa.Table, columns: list[str], bucket_fn, key_name: str
+) -> pa.Table:
+    """Shared partial-aggregation plan: stream forward_map, join broadcast
+    hits per batch, bucket, count — combine small partials on the driver."""
+    import ray
+    import ray.data as rd
+
+    m = matches.select(["query_id", "doc_id"])
+    # forward-map doc_id is uint64; cast the (small) hit set once at put time
+    # so the per-batch Acero join never sees mixed key types
+    m = m.set_column(
+        m.schema.get_field_index("doc_id"), "doc_id", m["doc_id"].cast(pa.uint64())
+    )
+    m_ref = ray.put(m)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(m_ref)
+        j = batch.join(m, keys="doc_id", join_type="inner")
+        if j.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    key_name: pa.array([], type=bucket_fn(j).type),
+                    "doc_count": pa.array([], type=pa.int64()),
+                }
+            )
+        if key_name not in j.column_names:  # categorical fields pass through
+            j = j.append_column(key_name, bucket_fn(j))
+        g = j.group_by(["query_id", key_name]).aggregate([("doc_id", "count")])
+        return g.select(["query_id", key_name, "doc_id_count"]).rename_columns(
+            ["query_id", key_name, "doc_count"]
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["doc_id", *columns]
+    )
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+    ]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    out = _combine(parts, ["query_id", key_name])
+    return pa.table(
+        {
+            "query_id": out["query_id"].cast(pa.int64()),
+            key_name: out[key_name],
+            "doc_count": out["doc_count"].cast(pa.int64()),
+        }
+    )
+
+
+def terms_agg(index_dir: str, matches: pa.Table, field: str = "lang") -> pa.Table:
+    """ES ``terms`` aggregation: per query, hit counts bucketed by a
+    categorical forward-map field → (query_id, <field>, doc_count)."""
+    if field not in AGG_FIELDS:
+        raise ValueError(f"terms_agg field must be one of {AGG_FIELDS}, got {field!r}")
+    return _agg_over_forward_map(
+        index_dir, matches, [field], lambda j: j[field], field
+    )
+
+
+def histogram_agg(index_dir: str, matches: pa.Table, interval: int = 16) -> pa.Table:
+    """ES ``histogram`` aggregation over doc length: per query, hit counts in
+    fixed-width ``dl`` buckets → (query_id, bucket, doc_count) with
+    ``bucket = floor(dl / interval) * interval``."""
+    import pyarrow.compute as pc
+
+    if interval <= 0:
+        raise ValueError("interval must be positive")
+
+    def bucket(j: pa.Table) -> pa.Array:
+        dl = pc.cast(j["dl"], pa.int64())
+        return pc.multiply(pc.divide(dl, interval), interval)  # int floor-div
+
+    return _agg_over_forward_map(index_dir, matches, ["dl"], bucket, "bucket")

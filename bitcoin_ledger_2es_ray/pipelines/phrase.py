@@ -133,11 +133,22 @@ def wildcard_match(store: SegmentStore, pattern: str) -> np.ndarray:
     return union_many([store.postings(t)[0] for t in terms])
 
 
+def fuzzy_match(store: SegmentStore, term: str, max_dist: int = 1) -> np.ndarray:
+    """Sorted unique doc_ids containing any indexed term within Levenshtein
+    distance ``max_dist`` of ``term`` (ES ``fuzzy`` query analog).
+
+    Dictionary expansion via ``TermDict.terms_fuzzy`` (vectorized DP scan,
+    ``functions/editdist.py``), then the matched terms' posting doc-sets
+    union — same shape as prefix/wildcard."""
+    terms = store.td.terms_fuzzy(term, max_dist)
+    return union_many([store.postings(t)[0] for t in terms])
+
+
 class MatchScorer:
     """Actor-pool batch matcher: (query_id, text) rows in → MATCHES rows out.
 
     ``mode`` picks the operator: ``phrase`` / ``phrase_topk`` / ``prefix`` /
-    ``wildcard``.  The store (term dict, lazy shards, decoded caches) loads
+    ``wildcard`` / ``fuzzy``.  The store (term dict, lazy shards, decoded caches) loads
     once per actor (__init__), batches stream through __call__.
     """
 
@@ -180,6 +191,7 @@ class MatchScorer:
             "phrase": lambda t: phrase_match(self.store, t, self.tokenizer),
             "prefix": lambda t: prefix_match(self.store, t),
             "wildcard": lambda t: wildcard_match(self.store, t),
+            "fuzzy": lambda t: fuzzy_match(self.store, t, max_dist=1),
         }[self.mode]
         qids_l, docs_l = [], []
         for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):

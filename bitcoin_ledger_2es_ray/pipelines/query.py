@@ -267,6 +267,42 @@ def score_query_wand(
     return wand_topk(cursors, k)
 
 
+def search_after(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    after: tuple[float, int] | None = None,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """Cursor pagination (ES ``search_after``): the next ``k`` results
+    STRICTLY after cursor ``(score, doc_id)`` in (score DESC, doc_id ASC)
+    order.  Stateless and deterministic — page N+1 needs only page N's last
+    row, never a server-side scroll context, so pagination survives router
+    restarts and distributes trivially.
+
+    Scoring is the exhaustive TAAT kernel with ``k`` large enough to cover
+    the cursor's rank; at cluster scale the cursor score doubles as the
+    WAND entry threshold (every doc scoring above it is already paged out).
+    """
+    terms = sorted(set(tokenize_query(text)))
+    lists = []
+    for term in terms:
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        lists.append((float(idf(store.n_docs, df_t)), d, tf, dl))
+    # rank the full matching set (bounded by docs containing >=1 query term)
+    full = taat_topk(lists, store.avgdl, 1 << 62, round_decimals=round_decimals)
+    if after is None:
+        return full[:k]
+    s0, d0 = after
+    out = [
+        (d, s) for d, s in full if s < s0 or (s == s0 and d > d0)
+    ]
+    return out[:k]
+
+
 class BM25Scorer:
     """Actor-pool batch scorer: queries batch in → RESULTS rows out."""
 

@@ -264,6 +264,37 @@ class TermDict:
                 raise ValueError(f"prefix {prefix!r} matches >{limit} terms")
         return out
 
+    def terms_fuzzy(self, query: str, max_dist: int = 1) -> list[str]:
+        """Distinct terms within Levenshtein distance ``max_dist`` of
+        ``query``, sorted — the ES ``fuzzy`` dictionary expansion.
+
+        Lucene walks a Levenshtein automaton over the FST; the graft scans
+        the dictionary with the vectorized DP kernel
+        (``functions.editdist``), length-pruned per unit.  Eager mode runs
+        one kernel call over the cached vocab; pruned mode streams row
+        groups so residency stays O(row group) at any vocabulary size (the
+        scan is inherently full-dictionary — term sort order cannot prune
+        an edit-distance ball, only the per-unit length filter can).
+        """
+        from ..functions.editdist import fuzzy_scan_table
+
+        if self.eager:
+            if not hasattr(self, "_sorted_vocab"):
+                self._sorted_vocab = sorted(self.df)
+            v = self._sorted_vocab
+            mask = fuzzy_scan_table(pa.array(v, type=pa.string()), query, max_dist)
+            return [t for t, m in zip(v, mask) if m]
+        out: list[str] = []
+        prev = None
+        for i in range(self._pf.metadata.num_row_groups):
+            col = self._pf.read_row_group(i, columns=["term"])["term"]
+            mask = fuzzy_scan_table(col, query, max_dist)
+            for t, m in zip(col.to_pylist(), mask):
+                if m and t != prev:  # salt slices duplicate terms
+                    out.append(t)
+                    prev = t
+        return out
+
     def partitions(self) -> list[int]:
         """Distinct segment shard ids — one columnar scan, no Python dicts."""
         import pyarrow.compute as pc

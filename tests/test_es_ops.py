@@ -1,0 +1,297 @@
+"""Round-3 ES-analog operators: fuzzy queries (vectorized Levenshtein),
+terms/histogram aggregations, more-like-this, search_after pagination."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# editdist kernel
+
+
+def _lev_ref(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev = dp
+        dp = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            dp[j] = min(prev[j] + 1, dp[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+    return dp[lb]
+
+
+def test_levenshtein_leq_randomized():
+    from bitcoin_ledger_2es_ray.functions.editdist import levenshtein_leq
+
+    rng = random.Random(7)
+    alphabet = "abcx"
+    for _ in range(30):
+        q = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+        terms = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 7)))
+            for _ in range(50)
+        ]
+        for d in (0, 1, 2):
+            got = levenshtein_leq(q, terms, d)
+            want = np.array([_lev_ref(q, t) <= d for t in terms])
+            assert (got == want).all(), (q, d)
+
+
+def test_fuzzy_scan_table_prunes_and_matches():
+    from bitcoin_ledger_2es_ray.functions.editdist import fuzzy_scan_table
+
+    col = pa.array(["alpha", "alphx", "alphxy", "beta", "", "a"])
+    got = fuzzy_scan_table(col, "alpha", 1)
+    assert got.tolist() == [True, True, False, False, False, False]
+    assert fuzzy_scan_table(pa.array([], type=pa.string()), "x", 1).tolist() == []
+    # empty query: matches terms of length <= max_dist
+    assert fuzzy_scan_table(col, "", 1).tolist() == [False] * 4 + [True, True]
+
+
+# ---------------------------------------------------------------------------
+# dictionary scan + posting union (uses the session-built sf0.001 index)
+
+
+def test_terms_fuzzy_eager_equals_pruned_equals_brute(built):
+    from bitcoin_ledger_2es_ray.state.termdict import TermDict
+
+    res, _, _ = built
+    td_path = f"{res.out_dir}/term_dict.parquet"
+    eager = TermDict(td_path)
+    pruned = TermDict(td_path, eager_max_rows=0)
+    assert eager.eager and not pruned.eager
+    vocab = sorted(eager.df)
+    rng = random.Random(3)
+    for _ in range(5):
+        t = rng.choice(vocab)
+        p = rng.randrange(len(t))
+        q = t[:p] + t[p + 1 :] if len(t) > 1 else t
+        want = sorted(v for v in vocab if _lev_ref(q, v) <= 1)
+        assert eager.terms_fuzzy(q, 1) == want
+        assert pruned.terms_fuzzy(q, 1) == want
+
+
+def test_fuzzy_match_brute_force(built):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import fuzzy_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, oracle, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    vocab = sorted(store.df)
+    rng = random.Random(11)
+    for _ in range(4):
+        t = rng.choice(vocab)
+        q = t[:-1] if len(t) > 1 else t
+        got = fuzzy_match(store, q, max_dist=1).tolist()
+        want = sorted(
+            i
+            for i, d in enumerate(docs)
+            if any(_lev_ref(q, tok) <= 1 for tok in set(d.split(" ")))
+        )
+        assert got == want
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+
+
+@pytest.fixture(scope="module")
+def hitset(built):
+    """A deterministic (query_id, doc_id) hit table over the sf0.001 index."""
+    res, _, corpus = built
+    docs = pq.read_table(corpus, columns=["content", "lang"])
+    n = docs.num_rows
+    qids, dids = [], []
+    for q in range(6):
+        for d in range((q * 13) % 5, n, 3 + q % 4):
+            qids.append(q)
+            dids.append(d)
+    return (
+        pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "doc_id": pa.array(dids, type=pa.int64()),
+            }
+        ),
+        docs,
+        res,
+    )
+
+
+def test_terms_agg_matches_pandas(hitset, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import terms_agg
+
+    matches, docs, res = hitset
+    got = terms_agg(res.out_dir, matches, field="lang").to_pandas()
+    langs = docs["lang"].to_pylist()
+    want: dict[tuple[int, str], int] = {}
+    for q, d in zip(matches["query_id"].to_pylist(), matches["doc_id"].to_pylist()):
+        want[(q, langs[d])] = want.get((q, langs[d]), 0) + 1
+    got_d = {
+        (q, l): c
+        for q, l, c in zip(got["query_id"], got["lang"], got["doc_count"])
+    }
+    assert got_d == want
+    # sorted by (query_id, lang)
+    keys = list(zip(got["query_id"], got["lang"]))
+    assert keys == sorted(keys)
+
+
+def test_histogram_agg_matches_pandas(hitset, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import histogram_agg
+
+    matches, docs, res = hitset
+    got = histogram_agg(res.out_dir, matches, interval=8).to_pandas()
+    dls = [len(t.split(" ")) for t in docs["content"].to_pylist()]
+    want: dict[tuple[int, int], int] = {}
+    for q, d in zip(matches["query_id"].to_pylist(), matches["doc_id"].to_pylist()):
+        b = (dls[d] // 8) * 8
+        want[(q, b)] = want.get((q, b), 0) + 1
+    got_d = {
+        (q, b): c
+        for q, b, c in zip(got["query_id"], got["bucket"], got["doc_count"])
+    }
+    assert got_d == want
+
+
+def test_terms_agg_rejects_unknown_field(hitset, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import terms_agg
+
+    matches, _, res = hitset
+    with pytest.raises(ValueError):
+        terms_agg(res.out_dir, matches, field="dl")
+
+
+def test_agg_empty_hitset(hitset, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import histogram_agg, terms_agg
+
+    _, _, res = hitset
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+        }
+    )
+    assert terms_agg(res.out_dir, empty).num_rows == 0
+    assert histogram_agg(res.out_dir, empty).num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# more-like-this
+
+
+def _brute_mlt(docs: list[str], src: int, n_terms: int, k: int):
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+
+    split = [d.split(" ") for d in docs]
+    n = len(docs)
+    df: dict[str, int] = {}
+    for toks in split:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    avgdl = sum(len(t) for t in split) / n
+
+    def idf(t):
+        return math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+
+    src_tf: dict[str, int] = {}
+    for t in split[src]:
+        src_tf[t] = src_tf.get(t, 0) + 1
+    sel = sorted(
+        src_tf,
+        key=lambda t: (-sql_round(np.array([src_tf[t] * idf(t)]), 6)[0], t),
+    )[:n_terms]
+    scores: dict[int, float] = {}
+    for d in range(n):
+        if d == src:
+            continue
+        tf = {t: split[d].count(t) for t in sel if t in split[d]}
+        if not tf:
+            continue
+        s = sum(
+            idf(t) * f / (f + 1.2 * (1 - 0.75 + 0.75 * len(split[d]) / avgdl))
+            for t, f in tf.items()
+        )
+        scores[d] = float(sql_round(np.array([s]), 6)[0])
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return ranked
+
+
+def test_more_like_this_brute_force(built):
+    from bitcoin_ledger_2es_ray.pipelines.mlt import more_like_this
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    for src in (0, 7, 23):
+        got = more_like_this(store, res.out_dir, src, n_terms=5, k=8, round_decimals=6)
+        want = _brute_mlt(docs, src, 5, 8)
+        assert [(int(d), s) for d, s in got] == [(d, pytest.approx(s)) for d, s in want]
+        assert all(int(d) != src for d, _ in got)
+
+
+def test_mlt_actor_pool_matches_single(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.mlt import more_like_this, run_mlt_queries
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    srcs = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2], type=pa.uint64()),
+            "src_doc": pa.array([4, 9, 16], type=pa.uint64()),
+        }
+    )
+    rows = run_mlt_queries(res.out_dir, srcs, n_terms=4, k=5, concurrency=2).take_all()
+    got: dict[int, list[tuple[int, float]]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(int(r["query_id"]), []).append((int(r["doc_id"]), r["score"]))
+    for qid, src in zip([0, 1, 2], [4, 9, 16]):
+        want = [(int(d), s) for d, s in more_like_this(store, res.out_dir, src, 4, 5)]
+        assert got.get(qid, []) == want
+
+
+# ---------------------------------------------------------------------------
+# search_after pagination
+
+
+def test_search_after_pages_tile_the_full_ranking(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, search_after
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    text = " ".join(vocab[i % len(vocab)] for i in (1, 17, 33))
+    full = search_after(store, text, 10**9, None, round_decimals=6)
+    assert len(full) > 6
+    k = 3
+    pages, cursor = [], None
+    while True:
+        page = search_after(store, text, k, cursor, round_decimals=6)
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+        if len(page) < k:
+            break
+    assert pages == full
+    # cursor mid-ranking: strictly-after semantics
+    s0, d0 = full[1][1], full[1][0]
+    assert search_after(store, text, k, (s0, d0), round_decimals=6) == full[2 : 2 + k]
+
+
+def test_search_after_unknown_terms_empty(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, search_after
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    assert search_after(store, "zzzzzz qqqqqq", 5, None) == []
