@@ -476,6 +476,113 @@ def _q_search_after(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_min_should_match(sf_dir: str) -> pa.Table:
+    """ES bool ``should`` + ``minimum_should_match``: query q requires
+    m = 1 + (q mod nt) of its nt fixture terms — one unique-with-counts
+    pass over the per-term doc sets (pipelines/structured.py)."""
+    from bitcoin_ledger_2es_ray.pipelines.query import tokenize_query
+    from bitcoin_ledger_2es_ray.pipelines.structured import min_should_match
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, docs = [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        nt = len(set(tokenize_query(text)))
+        m = 1 + (qid % nt)
+        hits = min_should_match(store, text, m)
+        qids.extend([qid] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+
+
+def _q_range_topk(sf_dir: str) -> pa.Table:
+    """ES bool must-match + ``filter: {range: {dl: ...}}``: BM25 top-k with
+    the dl window [4*(q mod 6), +24] masked per posting list before the
+    taat accumulation — scores stay corpus-global (filter context)."""
+    from bitcoin_ledger_2es_ray.pipelines.structured import range_filtered_topk
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        lo = 4 * (qid % 6)
+        hi = lo + 24
+        top = range_filtered_topk(store, text, _TOP_K, lo, hi, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_sort_by_dl(sf_dir: str) -> pa.Table:
+    """ES sort-by-doc-value: OR-match set ordered by (dl DESC, doc ASC),
+    top-k — dl read inline off the posting arrays, no forward-map join."""
+    from bitcoin_ledger_2es_ray.pipelines.structured import sort_by_field_topk
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, dls = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        top = sort_by_field_topk(store, text, _TOP_K, descending=True)
+        for r, (d, dl) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            dls.append(dl)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "dl": pa.array(dls, type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_highlight(sf_dir: str) -> pa.Table:
+    """ES ``highlight`` (deterministic core): single term
+    vocab[(17q+5) mod |V|] per query; per matching doc the first occurrence
+    position + the ±3-token window, off the positional index."""
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+    from bitcoin_ledger_2es_ray.pipelines.structured import highlight_first
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    qids, docs, poss, los, his = [], [], [], [], []
+    for q in range(_N_QUERIES):
+        term = vocab[(17 * q + 5) % len(vocab)]
+        for d, p, lo, hi in highlight_first(store, term, width=3):
+            qids.append(q)
+            docs.append(d)
+            poss.append(p)
+            los.append(lo)
+            his.append(hi)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "first_pos": pa.array(poss, type=pa.int64()),
+            "snip_start": pa.array(los, type=pa.int64()),
+            "snip_end": pa.array(his, type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
 def _q_lang_counts(sf_dir: str) -> pa.Table:
     """M6 language filter/projection: doc counts per lang from the engine's
     forward map, via a Ray Data groupby aggregate."""
@@ -636,6 +743,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_agg": _q_histogram_agg,
         "more_like_this": _q_more_like_this,
         "search_after": _q_search_after,
+        "min_should_match": _q_min_should_match,
+        "range_topk": _q_range_topk,
+        "sort_by_dl": _q_sort_by_dl,
+        "highlight": _q_highlight,
         "lang_counts": _q_lang_counts,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
@@ -890,6 +1001,88 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 SELECT DISTINCT pf.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
 FROM pf JOIN tf ON starts_with(tf.term, pf.p)
 ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # minimum_should_match: query q requires m = 1 + (q mod nt) of its
+        # nt distinct fixture terms
+        "min_should_match": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS mt
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT h.query_id, h.doc_id
+FROM hits h JOIN qn USING (query_id)
+WHERE h.mt >= 1 + (h.query_id % qn.nt)
+ORDER BY query_id, doc_id
+""",
+        # range-filtered BM25: dl window [4*(q mod 6), +24] in filter
+        # context — scores unchanged, candidates pruned
+        "range_topk": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+       AND dl.dl >= 4 * (qt.query_id % 6)
+       AND dl.dl <= 4 * (qt.query_id % 6) + 24
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
+        # sort-by-doc-value: OR-match set ordered by (dl DESC, doc ASC)
+        "sort_by_dl": _PRELUDE
+        + """
+, hits AS (
+  SELECT DISTINCT qt.query_id, tf.doc_id FROM qterm qt
+  JOIN tf ON tf.term = qt.term
+),
+ranked AS (
+  SELECT h.query_id,
+         row_number() OVER (PARTITION BY h.query_id
+                            ORDER BY dl.dl DESC, h.doc_id ASC) AS rank,
+         h.doc_id, dl.dl::BIGINT AS dl
+  FROM hits h JOIN dl ON dl.doc_id = h.doc_id
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, dl
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
+        # highlight: first occurrence of term vocab[(17q+5) mod |V|] per
+        # matching doc (positions == string_split ordinals on this corpus),
+        # snippet = +-3 tokens clipped to the doc
+        "highlight": _PRELUDE
+        + """
+, hq AS (
+  SELECT q AS query_id, v.term
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (17 * q + 5) % nv.c
+),
+occ AS (
+  SELECT h.query_id, d.doc_id,
+         list_position(string_split(d.text, ' '), h.term) - 1 AS first_pos,
+         len(string_split(d.text, ' ')) AS ndl
+  FROM hq h JOIN documents d
+    ON list_position(string_split(d.text, ' '), h.term) > 0
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       first_pos::BIGINT AS first_pos,
+       greatest(first_pos - 3, 0)::BIGINT AS snip_start,
+       least(first_pos + 3, ndl - 1)::BIGINT AS snip_end
+FROM occ ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
         # fuzzy query: qterm q = vocab[(11q+3) mod |V|] with char (q mod len)
         # deleted; match = any indexed term within Levenshtein distance 1

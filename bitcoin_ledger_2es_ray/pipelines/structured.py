@@ -1,0 +1,146 @@
+"""Structured-query operators (ES bool-DSL long tail, SURVEY §2.5/§10).
+
+Four Elasticsearch query shapes the ledger repo's users reach for beyond
+plain match/phrase, each a numpy kernel over the decoded posting arrays:
+
+- ``min_should_match``    bool ``should`` with ``minimum_should_match=m``
+- ``range_filtered_topk`` bool ``must`` match + ``filter: range`` on dl
+                          (doc-values range filter; scores unchanged by
+                          the filter, exactly like ES filter context)
+- ``sort_by_field_topk``  query hits sorted by a doc value, not by score
+                          (ES ``sort: [{dl: desc}, {_doc: asc}]``)
+- ``highlight_first``     positional highlighting: first query-term
+                          occurrence per matching doc + a token window
+                          (the deterministic core of ES ``highlight``)
+
+All four run per-query over a loaded ``SegmentStore`` (the serving /
+MatchScorer shape); distribution is the standard queries-Dataset →
+actor-pool ``map_batches`` pattern used by BM25/phrase scorers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.bm25 import idf
+from .query import SegmentStore, taat_topk, tokenize_query
+
+
+def min_should_match(store: SegmentStore, text: str, m: int) -> np.ndarray:
+    """Sorted unique doc_ids containing at least ``m`` DISTINCT query terms
+    (ES bool ``should`` + ``minimum_should_match``).
+
+    One concat + unique-with-counts over the per-term doc sets — each term
+    contributes a doc at most once, so the multiplicity of a doc across the
+    concatenation IS its matched-term count.
+    """
+    terms = sorted(set(tokenize_query(text)))
+    if m <= 0:
+        raise ValueError("minimum_should_match must be >= 1")
+    sets = []
+    for t in terms:
+        d = store.postings(t)[0]
+        if len(d):
+            sets.append(d)
+    if not sets:
+        return np.empty(0, dtype=np.uint64)
+    docs, counts = np.unique(np.concatenate(sets), return_counts=True)
+    return docs[counts >= m]
+
+
+def range_filtered_topk(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    dl_lo: int,
+    dl_hi: int,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """BM25 top-k restricted to docs with ``dl_lo <= dl <= dl_hi`` (ES bool
+    ``must`` match + ``filter: {range: {dl: ...}}``).
+
+    Filter context, ES-exactly: the range prunes candidates but does not
+    touch scores — idf/avgdl stay corpus-global.  The mask applies per
+    posting list BEFORE accumulation, so the taat kernel never sees
+    filtered docs (at scale this is the cheap row-elimination the column
+    store gives for free; postings carry dl inline).
+    """
+    terms = sorted(set(tokenize_query(text)))
+    lists = []
+    for term in terms:
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        mask = (dl >= dl_lo) & (dl <= dl_hi)
+        lists.append((float(idf(store.n_docs, df_t)), d[mask], tf[mask], dl[mask]))
+    return taat_topk(lists, store.avgdl, k, round_decimals=round_decimals)
+
+
+def sort_by_field_topk(
+    store: SegmentStore, text: str, k: int, descending: bool = True
+) -> list[tuple[int, int]]:
+    """Top-k (doc_id, dl) of the OR-match set ordered by
+    (dl DESC|ASC, doc_id ASC) — ES sort-by-doc-value instead of by score.
+
+    Per-doc dl comes straight off the posting arrays (postings carry dl
+    inline), deduped with one unique pass; no forward-map read.
+    """
+    terms = sorted(set(tokenize_query(text)))
+    doc_parts, dl_parts = [], []
+    for t in terms:
+        d, _, dl = store.postings(t)
+        if len(d):
+            doc_parts.append(d)
+            dl_parts.append(dl)
+    if not doc_parts:
+        return []
+    docs = np.concatenate(doc_parts)
+    dls = np.concatenate(dl_parts)
+    docs, first = np.unique(docs, return_index=True)
+    dls = dls[first]
+    sign = -1 if descending else 1
+    order = np.lexsort((docs, sign * dls.astype(np.int64)))[:k]
+    return [(int(docs[i]), int(dls[i])) for i in order]
+
+
+def highlight_first(
+    store: SegmentStore, text: str, width: int = 3
+) -> list[tuple[int, int, int, int]]:
+    """Per matching doc: (doc_id, first_pos, snip_start, snip_end) where
+    ``first_pos`` is the earliest occurrence of ANY query term and the
+    snippet is the ``±width`` token window clipped to the doc
+    (ES ``highlight`` reduced to its deterministic core: locating the
+    fragment; markup is presentation).  Requires a positional index.
+
+    Positions decode per term (flat stream, posting k owns
+    ``flat[cum_tf[k]:cum_tf[k+1]]``); the first position of posting k is
+    simply ``flat[cum_tf[k]]`` since in-doc positions are sorted —
+    no per-doc Python loop.
+    """
+    terms = sorted(set(tokenize_query(text)))
+    doc_parts, pos_parts, dl_parts = [], [], []
+    for t in terms:
+        d, tf, flat = store.postings_positions(t)
+        if not len(d):
+            continue
+        starts = np.concatenate(([0], np.cumsum(tf.astype(np.int64))[:-1]))
+        doc_parts.append(d)
+        pos_parts.append(flat[starts].astype(np.int64))
+        dl_parts.append(store.postings(t)[2])
+    if not doc_parts:
+        return []
+    docs = np.concatenate(doc_parts)
+    firsts = np.concatenate(pos_parts)
+    dls = np.concatenate(dl_parts)
+    # min first-position per doc: sort by (doc, pos), take each doc's head
+    order = np.lexsort((firsts, docs))
+    docs, firsts, dls = docs[order], firsts[order], dls[order]
+    head = np.concatenate(([True], docs[1:] != docs[:-1]))
+    docs, firsts, dls = docs[head], firsts[head], dls[head]
+    snip_lo = np.maximum(firsts - width, 0)
+    snip_hi = np.minimum(firsts + width, dls.astype(np.int64) - 1)
+    return [
+        (int(d), int(p), int(lo), int(hi))
+        for d, p, lo, hi in zip(docs, firsts, snip_lo, snip_hi)
+    ]
