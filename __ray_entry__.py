@@ -583,6 +583,43 @@ def _q_highlight(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
 
 
+def _q_delete_query_topk(sf_dir: str) -> pa.Table:
+    """Soft-delete semantics (ES delete-by-query / Lucene live-docs): docs
+    with lang='de' tombstoned in memory, then fixture BM25 top-k — deleted
+    docs vanish from results while N/avgdl/df stay STALE (pre-delete), so
+    surviving docs keep their exact pre-delete scores.  Mirrored by the
+    oracle: full-corpus stats, hits filtered to lang <> 'de'."""
+    import pyarrow.parquet as pqm
+
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, score_query
+
+    store, res = _store_for(sf_dir)
+    fwd = pqm.read_table(
+        os.path.join(res.out_dir, "forward_map"), columns=["doc_id", "lang"]
+    )
+    import pyarrow.compute as pc
+
+    dead = fwd.filter(pc.equal(fwd["lang"], "de"))["doc_id"]
+    store.set_tombstones(np.asarray(dead.combine_chunks(), dtype=np.uint64))
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        top = score_query(store, text, _TOP_K, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_lang_counts(sf_dir: str) -> pa.Table:
     """M6 language filter/projection: doc counts per lang from the engine's
     forward map, via a Ray Data groupby aggregate."""
@@ -747,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_topk": _q_range_topk,
         "sort_by_dl": _q_sort_by_dl,
         "highlight": _q_highlight,
+        "delete_query_topk": _q_delete_query_topk,
         "lang_counts": _q_lang_counts,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
@@ -1002,6 +1040,32 @@ SELECT DISTINCT pf.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
 FROM pf JOIN tf ON starts_with(tf.term, pf.p)
 ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # soft-delete: lang='de' docs tombstoned; stats stay pre-delete
+        # (Lucene live-docs), hits filtered
+        "delete_query_topk": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang <> 'de'
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
         # minimum_should_match: query q requires m = 1 + (q mod nt) of its
         # nt distinct fixture terms
         "min_should_match": _PRELUDE

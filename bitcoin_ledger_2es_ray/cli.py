@@ -174,6 +174,41 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_delete(args: argparse.Namespace) -> int:
+    """Soft-delete by forward-map predicate (ES delete_by_query analog):
+    tombstones the matching doc_ids; queries mask them immediately, space
+    comes back at the next `compact`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.lifecycle import delete_by_query
+
+    expr = pc.field(args.field).isin(pa.array(args.value))
+    total = delete_by_query(args.index, expr)
+    print(json.dumps({"tombstones_total": total}))
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Merge tombstones away into a fresh index dir (Lucene segment-merge
+    analog): parallel per-shard rewrite + exact stats recompute."""
+    from .pipelines.lifecycle import compact_index
+
+    _ensure_ray(args.num_cpus)
+    res = compact_index(args.index, args.out, concurrency=args.concurrency)
+    print(
+        json.dumps(
+            {
+                "out": res.out_dir,
+                "n_docs": res.n_docs,
+                "n_deleted": res.n_deleted,
+                "n_terms": res.n_terms,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bitcoin_ledger_2es_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -244,6 +279,25 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--langs", default="en,fr", help="comma-separated lang allowlist")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_curate)
+
+    d = sub.add_parser(
+        "delete", help="soft-delete docs whose forward-map field matches a value"
+    )
+    d.add_argument("--index", required=True)
+    d.add_argument("--field", required=True, help="forward-map column (e.g. lang, repo)")
+    d.add_argument(
+        "--value", required=True, action="append", help="match value (repeatable → IN)"
+    )
+    d.set_defaults(fn=cmd_delete)
+
+    k = sub.add_parser(
+        "compact", help="merge tombstones away into a fresh index directory"
+    )
+    k.add_argument("--index", required=True)
+    k.add_argument("--out", required=True)
+    k.add_argument("--concurrency", type=int, default=8)
+    k.add_argument("--num-cpus", type=int, default=None)
+    k.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,247 @@
+"""Index lifecycle: delete-by-query tombstones + compaction (SURVEY §10).
+
+The reference handles chain REORGS by deleting orphaned block heights from
+Elasticsearch and re-deriving (SURVEY §0.1); ES/Lucene implement deletion
+as SOFT-DELETES — a per-segment live-docs bitset consulted at query time —
+with the actual space reclaimed later by segment merges.  The graft
+mirrors both halves:
+
+- ``delete_by_query(index_dir, expr)``: evaluate an Arrow expression over
+  the streamed forward map (Ray Data filter — never the corpus), union the
+  matching doc_ids into ``tombstones.parquet`` (atomic tmp→rename, like
+  every other index artifact).  O(deleted) state, no segment rewrite.
+- query time: ``SegmentStore`` masks tombstoned docs at posting decode —
+  one choke point covers TAAT/boolean/phrase/structured paths.  Corpus
+  stats (N, avgdl, df) stay STALE until compaction, exactly like Lucene
+  soft-deletes; the WAND block-skip path requires a compacted index (its
+  block-max metadata pre-dates the deletes), so the raw-row accessor
+  refuses under live tombstones and the planner routes to TAAT.
+- ``compact_index(index_dir, out_dir)``: Lucene's merge analog, per-shard
+  parallel Ray tasks.  Each task decodes its shard's posting runs with ONE
+  vectorized pass (concatenated varbyte streams + segmented delta reset —
+  no per-row Python decode), drops tombstoned postings, and re-encodes
+  through the build's own ``encode_shard`` (output is a pure function of
+  the row set, so a compacted shard is byte-identical to one built from
+  the filtered posting set).  The driver then rewrites the forward map,
+  recomputes exact stats, and merges the per-shard dictionary runs with
+  the build's ``write_merged_term_dict``.  Doc ids are STABLE across
+  compaction (no renumbering) so downstream references never dangle.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TOMBSTONES = pa.schema([("doc_id", pa.uint64())])
+
+
+def load_tombstones(index_dir: str) -> np.ndarray | None:
+    """Sorted unique tombstoned doc_ids, or None if the index has none."""
+    path = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(path):
+        return None
+    return np.asarray(pq.read_table(path)["doc_id"].combine_chunks(), dtype=np.uint64)
+
+
+def delete_by_query(index_dir: str, expr) -> int:
+    """Soft-delete every doc whose forward-map row matches ``expr`` (an
+    Arrow dataset expression, e.g. ``pc.field("lang") == "de"``); returns
+    the TOTAL tombstone count after the union.
+
+    The predicate pushes down into the parquet scan (row-group pruning +
+    row filtering server-side), so only matching doc_ids reach the driver
+    — bounded by the delete size, not the corpus.
+    """
+    from ..state.manifest import atomic_write_parquet
+
+    t = pq.read_table(
+        os.path.join(index_dir, "forward_map"), columns=["doc_id"], filters=expr
+    )
+    new = np.asarray(t["doc_id"].combine_chunks(), dtype=np.uint64)
+    old = load_tombstones(index_dir)
+    merged = np.unique(np.concatenate([old, new])) if old is not None else np.unique(new)
+    atomic_write_parquet(
+        pa.table({"doc_id": pa.array(merged, type=pa.uint64())}, schema=TOMBSTONES),
+        os.path.join(index_dir, "tombstones.parquet"),
+    )
+    return int(len(merged))
+
+
+# ---------------------------------------------------------------------------
+# compaction
+
+
+def _concat_binary_bytes(col: pa.ChunkedArray | pa.Array) -> tuple[bytes, np.ndarray]:
+    """(concatenated bytes, per-element byte lengths) of a pa.binary col."""
+    from ..stages.segment import _binary_np
+
+    vals, off = _binary_np(col if isinstance(col, pa.Array) else col.combine_chunks())
+    return vals.tobytes(), np.diff(off)
+
+
+def _decode_shard_flat(shard: pa.Table) -> dict[str, np.ndarray | pa.Array]:
+    """Decode ALL posting runs of a shard in one vectorized pass.
+
+    Doc ids use the same stream shape as positions (first value of each
+    run absolute, then deltas), so the segmented-cumsum decoder applies
+    with per-run value counts = df.
+    """
+    from ..functions.codecs import segmented_positions_decode, varbyte_decode
+
+    df = np.asarray(shard["df"].combine_chunks(), dtype=np.int64)
+    doc_bytes, _ = _concat_binary_bytes(shard["doc_ids"])
+    tf_bytes, _ = _concat_binary_bytes(shard["tfs"])
+    dl_bytes, _ = _concat_binary_bytes(shard["dls"])
+    docs = segmented_positions_decode(doc_bytes, df).astype(np.uint64)
+    tfs = varbyte_decode(tf_bytes).astype(np.uint32)
+    dls = varbyte_decode(dl_bytes).astype(np.uint32)
+    row_of = np.repeat(np.arange(len(df)), df)
+    out: dict[str, np.ndarray | pa.Array] = {
+        "docs": docs,
+        "tfs": tfs,
+        "dls": dls,
+        "row_of": row_of,
+    }
+    if "positions" in shard.column_names:
+        pos_bytes, _ = _concat_binary_bytes(shard["positions"])
+        buf = np.frombuffer(pos_bytes, dtype=np.uint8)
+        # varbyte value boundaries: a byte with the high bit CLEAR ends a
+        # value; posting k owns tf[k] consecutive values → contiguous byte
+        # span, sliceable zero-copy via a binary offsets vector
+        val_ends = np.flatnonzero((buf & 0x80) == 0) + 1
+        cum_tf = np.cumsum(tfs.astype(np.int64))
+        post_ends = val_ends[cum_tf - 1] if len(cum_tf) else np.zeros(0, np.int64)
+        offsets = np.concatenate(([0], post_ends)).astype(np.int32)
+        out["positions"] = pa.Array.from_buffers(
+            pa.binary(),
+            len(tfs),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+    return out
+
+
+def _compact_shard(shard_path: str, out_path: str, tombs: np.ndarray, sid: int) -> str | None:
+    """Decode → drop tombstoned postings → re-encode one shard; write the
+    segment + its sorted dictionary run atomically.  Returns the dict-run
+    path (None if the shard emptied)."""
+    from ..schemas import POSTINGS_RAW  # noqa: F401  (shape documented there)
+    from ..stages.segment import TERM_DICT_ROW_GROUP, encode_shard
+    from ..state.manifest import atomic_write_parquet
+
+    shard = pq.read_table(shard_path)
+    flat = _decode_shard_flat(shard)
+    keep = ~np.isin(flat["docs"], tombs)
+    if not keep.any():
+        return None
+    row_of = flat["row_of"][keep]
+    cols = {
+        "term": shard["term"].combine_chunks().take(pa.array(row_of)),
+        "doc_id": pa.array(flat["docs"][keep], type=pa.uint64()),
+        "tf": pa.array(flat["tfs"][keep], type=pa.uint32()),
+        "dl": pa.array(flat["dls"][keep], type=pa.uint32()),
+        "salt": shard["salt"].combine_chunks().take(pa.array(row_of)),
+        "shard": pa.array(np.full(int(keep.sum()), sid, dtype=np.uint32), type=pa.uint32()),
+    }
+    if "positions" in flat:
+        cols["positions"] = flat["positions"].filter(pa.array(keep))
+    seg, dict_rows, _ = encode_shard(pa.table(cols))
+    atomic_write_parquet(seg, out_path)
+    run_path = out_path.replace("segments/", "term_dict_parts/")
+    atomic_write_parquet(dict_rows, run_path, row_group_size=TERM_DICT_ROW_GROUP)
+    return run_path
+
+
+@dataclass
+class CompactResult:
+    out_dir: str
+    n_docs: int
+    n_deleted: int
+    n_terms: int
+
+
+def compact_index(index_dir: str, out_dir: str, concurrency: int = 8) -> CompactResult:
+    """Merge-away the tombstones into a fresh index directory (the source
+    index is untouched — Lucene merges write new segment files too).
+
+    Shards compact as parallel Ray tasks; the driver work is O(forward
+    map) + the dictionary-run merge (bounded memory, same code as the
+    build's finalize).
+    """
+    import ray
+
+    from ..schemas import STATS
+    from ..state.manifest import atomic_write_parquet
+    from ..state.termdict import write_merged_term_dict
+    from ..stages.segment import TERM_DICT_ROW_GROUP
+
+    tombs = load_tombstones(index_dir)
+    if tombs is None:
+        tombs = np.empty(0, dtype=np.uint64)
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "term_dict_parts"), exist_ok=True)
+
+    shard_files = sorted(os.listdir(os.path.join(index_dir, "segments")))
+    tombs_ref = ray.put(tombs)  # broadcast once, read per task
+
+    @ray.remote(num_cpus=1)
+    def _task(name: str) -> str | None:
+        sid = int(name.split("-")[1].split(".")[0])
+        return _compact_shard(
+            os.path.join(index_dir, "segments", name),
+            os.path.join(out_dir, "segments", name),
+            ray.get(tombs_ref),
+            sid,
+        )
+
+    # bounded in-flight submission (a 10^12-doc index has many shards)
+    pending, run_paths = [], []
+    for name in shard_files:
+        pending.append(_task.remote(name))
+        if len(pending) >= concurrency * 2:
+            done, pending = ray.wait(pending, num_returns=1)
+            run_paths.extend(ray.get(done))
+    run_paths.extend(ray.get(pending))
+    run_paths = [p for p in run_paths if p]
+
+    n_terms = write_merged_term_dict(
+        run_paths,
+        os.path.join(out_dir, "term_dict.parquet"),
+        row_group_size=TERM_DICT_ROW_GROUP,
+    )
+
+    fwd = pq.read_table(os.path.join(index_dir, "forward_map"))
+    keep = ~np.isin(
+        np.asarray(fwd["doc_id"].combine_chunks(), dtype=np.uint64), tombs
+    )
+    fwd_kept = fwd.filter(pa.array(keep))
+    atomic_write_parquet(
+        fwd_kept, os.path.join(out_dir, "forward_map", "part-00000.parquet")
+    )
+
+    n_docs = fwd_kept.num_rows
+    total_dl = int(np.asarray(fwd_kept["dl"].combine_chunks(), dtype=np.uint64).sum())
+    atomic_write_parquet(
+        pa.table(
+            {
+                "n_docs": pa.array([n_docs], type=pa.uint64()),
+                "total_dl": pa.array([total_dl], type=pa.uint64()),
+                "avgdl": pa.array(
+                    [total_dl / n_docs if n_docs else 0.0], type=pa.float64()
+                ),
+                "n_terms": pa.array([n_terms], type=pa.uint64()),
+            },
+            schema=STATS,
+        ),
+        os.path.join(out_dir, "stats.parquet"),
+    )
+    return CompactResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        n_deleted=int(len(tombs)),
+        n_terms=int(n_terms),
+    )

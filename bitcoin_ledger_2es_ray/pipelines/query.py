@@ -57,6 +57,12 @@ class SegmentStore:
         )
         self._df_map: dict[str, int] | None = None
         self._shards: dict[int, pa.Table] = {}
+        # soft-deletes (pipelines/lifecycle.py): sorted doc_ids masked at
+        # posting decode; stats/df stay stale until compaction (Lucene
+        # live-docs semantics)
+        from .lifecycle import load_tombstones
+
+        self.tombs: np.ndarray | None = load_tombstones(index_dir)
         # decoded-postings cache: a query STREAM hits the same (head) terms
         # repeatedly; decoded arrays are the expensive part of TAAT.  Capped
         # by term count — at real scale an actor holds one partition and the
@@ -113,17 +119,29 @@ class SegmentStore:
             docs_l.append(d)
             tfs_l.append(t)
             pos_l.append(segmented_positions_decode(shard["positions"][row].as_py(), t))
-        return (
-            np.concatenate(docs_l),
-            np.concatenate(tfs_l),
-            np.concatenate(pos_l),
-        )
+        d = np.concatenate(docs_l)
+        t = np.concatenate(tfs_l)
+        p = np.concatenate(pos_l)
+        if self.tombs is not None:
+            keep = ~np.isin(d, self.tombs)
+            p = p[np.repeat(keep, t.astype(np.int64))]
+            d, t = d[keep], t[keep]
+        return d, t, p
 
     def raw_rows(self, term: str) -> list[dict]:
         """Compressed segment rows of a term (one per salt slice) — the
         WAND/serving path consumes these without full decode.  Cached per
         store (query streams repeat head terms; Cursor.from_raw further
         caches the columnar block arrays on these dicts)."""
+        if self.tombs is not None:
+            # block-max metadata pre-dates the deletes — WAND skip bounds
+            # would be unsafe-looking and the blocks hold dead docs; the
+            # planner routes tombstoned stores to TAAT, compaction restores
+            # the fast path (lifecycle.py docstring)
+            raise ValueError(
+                "raw posting blocks unavailable under live tombstones — "
+                "compact the index (lifecycle.compact_index) or use TAAT"
+            )
         cached = self._raw.get(term)
         if cached is not None:
             return cached
@@ -170,9 +188,22 @@ class SegmentStore:
             tfs_l.append(t)
             dls_l.append(l)
         out = (np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(dls_l))
+        if self.tombs is not None:
+            keep = ~np.isin(out[0], self.tombs)
+            out = (out[0][keep], out[1][keep], out[2][keep])
         if len(self._decoded) < self._decoded_cap:
             self._decoded[term] = out
         return out
+
+    def set_tombstones(self, doc_ids: np.ndarray | None) -> None:
+        """Install an in-memory tombstone set (sorted unique) and drop the
+        decoded caches — used by query paths that soft-delete without
+        persisting (the persisted path is lifecycle.delete_by_query)."""
+        self.tombs = (
+            None if doc_ids is None else np.unique(doc_ids.astype(np.uint64))
+        )
+        self._decoded.clear()
+        self._raw.clear()
 
 
 def taat_topk(

@@ -1,0 +1,235 @@
+"""Delete-by-query tombstones + compaction (pipelines/lifecycle.py).
+
+The reference handles chain reorgs by deleting orphaned heights from ES and
+re-deriving; ES/Lucene implement deletion as SOFT-DELETES (a live-docs
+bitset consulted at query time) with space reclaimed by segment merges.
+These tests pin the graft's mirror of both halves:
+
+- tombstoned docs vanish from every query path while survivors keep their
+  exact pre-delete scores (stats stay stale — Lucene live-docs semantics),
+- the WAND fast path refuses under live tombstones (its block-max metadata
+  pre-dates the deletes) and returns after compaction,
+- compaction drops dead postings, recomputes exact stats, keeps doc_ids
+  stable, preserves positions, and with ZERO tombstones is byte-identical
+  to the source segments (encode is a pure function of the row set).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from bitcoin_ledger_2es_ray.pipelines.lifecycle import (
+    compact_index,
+    delete_by_query,
+    load_tombstones,
+)
+from bitcoin_ledger_2es_ray.pipelines.query import (
+    SegmentStore,
+    score_query,
+    score_query_wand,
+)
+
+
+@pytest.fixture()
+def idx_copy(built, tmp_path):
+    """Private copy of the shared session index — deletes must not pollute
+    the other tests' fixture."""
+    res, _, _ = built
+    dst = str(tmp_path / "idx")
+    shutil.copytree(res.out_dir, dst)
+    return dst
+
+
+def _seg_hashes(index_dir: str) -> dict[str, str]:
+    seg = Path(index_dir) / "segments"
+    return {
+        p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+        for p in sorted(seg.glob("*.parquet"))
+    }
+
+
+def _fixture_texts(store: SegmentStore, n: int = 12) -> list[str]:
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+    return fixture_queries(sorted(store.df), n=n, k=10)["text"].to_pylist()
+
+
+def test_delete_by_query_masks_with_stale_stats(idx_copy):
+    fwd = pq.read_table(
+        os.path.join(idx_copy, "forward_map"), columns=["doc_id", "lang"]
+    )
+    dead = set(
+        fwd.filter(pc.equal(fwd["lang"], "de"))["doc_id"].to_pylist()
+    )
+    assert dead, "sf0.001 corpus should contain lang='de' docs"
+
+    clean = SegmentStore(idx_copy)
+    texts = _fixture_texts(clean)
+    # pre-delete FULL ranking (k >> deletions) per query, for the oracle
+    pre = {t: score_query(clean, t, k=10 + len(dead)) for t in texts}
+
+    n = delete_by_query(idx_copy, pc.field("lang") == "de")
+    assert n == len(dead)
+    # idempotent union
+    assert delete_by_query(idx_copy, pc.field("lang") == "de") == len(dead)
+    assert set(load_tombstones(idx_copy).tolist()) == dead
+
+    store = SegmentStore(idx_copy)  # fresh store auto-loads tombstones
+    assert store.tombs is not None
+    # stats stay STALE (Lucene live-docs): N/avgdl unchanged
+    assert store.n_docs == clean.n_docs
+    assert store.avgdl == clean.avgdl
+
+    for t in texts:
+        got = score_query(store, t, k=10)
+        want = [(d, s) for d, s in pre[t] if d not in dead][:10]
+        assert got == want, t  # survivors keep exact pre-delete scores
+
+    # posting decode masks too
+    term = sorted(store.df)[len(store.df) // 2]
+    d0, tf0, dl0 = clean.postings(term)
+    keep = ~np.isin(d0, np.fromiter(dead, dtype=np.uint64))
+    d1, tf1, dl1 = store.postings(term)
+    assert d1.tolist() == d0[keep].tolist()
+    assert tf1.tolist() == tf0[keep].tolist()
+    assert dl1.tolist() == dl0[keep].tolist()
+
+    # WAND's raw-block path refuses under live tombstones
+    with pytest.raises(ValueError, match="tombstones"):
+        store.raw_rows(term)
+
+
+def test_delete_union_across_predicates(idx_copy):
+    n1 = delete_by_query(idx_copy, pc.field("lang") == "de")
+    n2 = delete_by_query(idx_copy, pc.field("lang") == "fr")
+    assert n2 > n1  # union grew
+    fwd = pq.read_table(os.path.join(idx_copy, "forward_map"), columns=["lang"])
+    want = pc.sum(
+        pc.is_in(fwd["lang"], value_set=__import__("pyarrow").array(["de", "fr"]))
+    ).as_py()
+    assert n2 == want
+
+
+def test_compact_drops_dead_recomputes_stats(ray_session, idx_copy, tmp_path):
+    delete_by_query(idx_copy, pc.field("lang") == "de")
+    tombs = load_tombstones(idx_copy)
+    masked = SegmentStore(idx_copy)
+
+    out = str(tmp_path / "compacted")
+    res = compact_index(idx_copy, out)
+    assert res.n_deleted == len(tombs)
+
+    store = SegmentStore(out)
+    assert store.tombs is None  # tombstones merged away
+    # stats EXACT over survivors
+    fwd = pq.read_table(os.path.join(out, "forward_map"))
+    assert res.n_docs == store.n_docs == fwd.num_rows
+    assert store.n_docs == masked.n_docs - len(tombs)
+    dls = np.asarray(fwd["dl"].combine_chunks(), dtype=np.float64)
+    assert store.avgdl == pytest.approx(dls.mean())
+    assert not np.isin(
+        np.asarray(fwd["doc_id"].combine_chunks(), dtype=np.uint64), tombs
+    ).any()
+
+    # doc_ids stable: every term's compacted postings == masked originals
+    for term in sorted(masked.df)[::7]:
+        d0, tf0, dl0 = masked.postings(term)  # tombstone-masked view
+        d1, tf1, dl1 = store.postings(term)
+        assert d1.tolist() == d0.tolist(), term
+        assert tf1.tolist() == tf0.tolist(), term
+        assert dl1.tolist() == dl0.tolist(), term
+        assert store.td.df_of(term) == len(d0)  # dictionary df updated
+
+    # WAND fast path restored, rank-identical to TAAT on the new stats
+    for t in _fixture_texts(store, n=8):
+        taat = score_query(store, t, k=10)
+        wand = score_query_wand(store, t, k=10)
+        assert [d for d, _ in wand] == [d for d, _ in taat]
+        for (_, sw), (_, st) in zip(wand, taat):
+            assert sw == pytest.approx(st, abs=1e-9)
+
+
+def test_compact_noop_is_byte_identical(ray_session, idx_copy, tmp_path):
+    out = str(tmp_path / "noop")
+    res = compact_index(idx_copy, out)  # no tombstones at all
+    assert res.n_deleted == 0
+    assert _seg_hashes(out) == _seg_hashes(idx_copy)
+    # merged dictionary identical too
+    a = pq.read_table(os.path.join(idx_copy, "term_dict.parquet"))
+    b = pq.read_table(os.path.join(out, "term_dict.parquet"))
+    assert a.equals(b)
+
+
+def test_compact_preserves_positions(ray_session, tmp_path):
+    import random
+
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_match
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30)))
+        for _ in range(90)
+    ]
+    corpus = str(tmp_path / "corpus.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * len(docs),
+                "path": [f"p{i}" for i in range(len(docs))],
+                "commit": ["c"] * len(docs),
+                "lang": ["en" if i % 3 else "de" for i in range(len(docs))],
+                "content": docs,
+            }
+        ),
+        corpus,
+        row_group_size=32,
+    )
+    cfg = BuildConfig(
+        corpus=corpus,
+        out_dir=str(tmp_path / "idx"),
+        num_partitions=4,
+        with_positions=True,
+        head_df_ratio=0.3,
+        n_salt=2,
+        sketch_stride=1,
+    )
+    built = build_index(cfg)
+
+    pre = SegmentStore(built.out_dir)
+    phrases = [" ".join(docs[i].split()[:2]) for i in (0, 7, 20) if len(docs[i].split()) >= 2]
+    pre_match = {p: set(phrase_match(pre, p).tolist()) for p in phrases}
+
+    n = delete_by_query(built.out_dir, pc.field("lang") == "de")
+    assert n == sum(1 for i in range(len(docs)) if i % 3 == 0)
+    dead = set(load_tombstones(built.out_dir).tolist())
+
+    out = str(tmp_path / "compacted")
+    compact_index(built.out_dir, out)
+    post = SegmentStore(out)
+
+    # phrase evaluation on the compacted positional index: original matches
+    # minus the deleted docs (positions survived the rewrite intact)
+    for p in phrases:
+        assert set(phrase_match(post, p).tolist()) == pre_match[p] - dead
+
+    # per-term positional streams equal the masked originals
+    for term in sorted(post.df)[::5]:
+        d0, tf0, p0 = pre.postings_positions(term)
+        keep = ~np.isin(d0, np.fromiter(dead, dtype=np.uint64))
+        pkeep = np.repeat(keep, tf0.astype(np.int64))
+        d1, tf1, p1 = post.postings_positions(term)
+        assert d1.tolist() == d0[keep].tolist(), term
+        assert tf1.tolist() == tf0[keep].tolist(), term
+        assert p1.tolist() == p0[pkeep].tolist(), term
