@@ -22,10 +22,12 @@ mirrors both halves:
   no per-row Python decode), drops tombstoned postings, and re-encodes
   through the build's own ``encode_shard`` (output is a pure function of
   the row set, so a compacted shard is byte-identical to one built from
-  the filtered posting set).  The driver then rewrites the forward map,
-  recomputes exact stats, and merges the per-shard dictionary runs with
-  the build's ``write_merged_term_dict``.  Doc ids are STABLE across
-  compaction (no renumbering) so downstream references never dangle.
+  the filtered posting set).  The forward map rewrite streams through
+  Ray Data (batch filter vs the broadcast tombstone set → partitioned
+  parquet; exact stats from a column-pruned read of the output); the
+  driver merges the per-shard dictionary runs with the build's
+  ``write_merged_term_dict``.  Doc ids are STABLE across compaction (no
+  renumbering) so downstream references never dangle.
 """
 
 from __future__ import annotations
@@ -168,9 +170,10 @@ def compact_index(index_dir: str, out_dir: str, concurrency: int = 8) -> Compact
     """Merge-away the tombstones into a fresh index directory (the source
     index is untouched — Lucene merges write new segment files too).
 
-    Shards compact as parallel Ray tasks; the driver work is O(forward
-    map) + the dictionary-run merge (bounded memory, same code as the
-    build's finalize).
+    Shards compact as parallel Ray tasks and the forward map rewrite
+    streams through Ray Data (nothing corpus-sized lands on the driver);
+    driver work is the dictionary-run merge (bounded memory, same code as
+    the build's finalize) + the shard task bookkeeping.
     """
     import ray
 
@@ -214,17 +217,37 @@ def compact_index(index_dir: str, out_dir: str, concurrency: int = 8) -> Compact
         row_group_size=TERM_DICT_ROW_GROUP,
     )
 
-    fwd = pq.read_table(os.path.join(index_dir, "forward_map"))
-    keep = ~np.isin(
-        np.asarray(fwd["doc_id"].combine_chunks(), dtype=np.uint64), tombs
-    )
-    fwd_kept = fwd.filter(pa.array(keep))
-    atomic_write_parquet(
-        fwd_kept, os.path.join(out_dir, "forward_map", "part-00000.parquet")
-    )
+    # forward map rewrite STREAMS (a 10^12-doc map never fits the driver):
+    # filter against the broadcast tombstone set per batch, write partitioned
+    # parquet, then exact stats from a column-pruned read of the output.
+    import ray.data as rd
 
-    n_docs = fwd_kept.num_rows
-    total_dl = int(np.asarray(fwd_kept["dl"].combine_chunks(), dtype=np.uint64).sum())
+    def _drop_dead(batch: pa.Table) -> pa.Table:
+        t = ray.get(tombs_ref)  # zero-copy from the local object store
+        if len(t) == 0:
+            return batch
+        keep = ~np.isin(
+            np.asarray(batch["doc_id"].combine_chunks(), dtype=np.uint64), t
+        )
+        return batch.filter(pa.array(keep))
+
+    fwd_out = os.path.join(out_dir, "forward_map")
+    rd.read_parquet(os.path.join(index_dir, "forward_map")).map_batches(
+        _drop_dead, batch_format="pyarrow"
+    ).write_parquet(fwd_out, mode="overwrite")
+    if not (os.path.isdir(fwd_out) and os.listdir(fwd_out)):
+        # every doc deleted — keep the artifact readable with an empty part
+        src = pq.ParquetDataset(os.path.join(index_dir, "forward_map")).schema
+        atomic_write_parquet(
+            pa.table(
+                {c: pa.array([], type=src.field(c).type) for c in src.names}
+            ),
+            os.path.join(fwd_out, "part-00000.parquet"),
+        )
+
+    stat = rd.read_parquet(fwd_out, columns=["dl"])
+    n_docs = int(stat.count())
+    total_dl = int(stat.sum("dl")) if n_docs else 0
     atomic_write_parquet(
         pa.table(
             {
