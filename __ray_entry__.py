@@ -637,6 +637,42 @@ def _q_lang_counts(sf_dir: str) -> pa.Table:
     ).sort_by("lang")
 
 
+def _q_update_lang_counts(sf_dir: str) -> pa.Table:
+    """ES ``update_by_query`` over forward-map metadata: retag lang
+    'de'→'und' on a throwaway copy of the index's forward map (streamed
+    Ray Data rewrite + directory swap — postings/scores untouched), then
+    the lang_counts groupby over the UPDATED map."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import update_by_query
+
+    res = _index_for(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="upd_", dir="/tmp")
+    try:
+        idx = os.path.join(tmp, "idx")
+        os.makedirs(idx)
+        shutil.copytree(
+            os.path.join(res.out_dir, "forward_map"),
+            os.path.join(idx, "forward_map"),
+        )
+        update_by_query(idx, pc.field("lang") == "de", {"lang": "und"})
+        ds = rd.read_parquet(os.path.join(idx, "forward_map"), columns=["lang"])
+        agg = ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+        parts = [ray.get(r) for r in agg.to_arrow_refs()]
+        t = pa.concat_tables([p for p in parts if p.num_rows > 0])
+        return pa.table(
+            {"lang": t["lang"], "n_docs": t["n_docs"].cast(pa.int64())}
+        ).sort_by("lang")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text analysis)
 
@@ -786,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight": _q_highlight,
         "delete_query_topk": _q_delete_query_topk,
         "lang_counts": _q_lang_counts,
+        "update_lang_counts": _q_update_lang_counts,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
         "jaccard_dups": _q_jaccard_dups,
@@ -1249,6 +1286,12 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """.replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
         "lang_counts": """
 SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang ORDER BY lang
+""",
+        # update_by_query retags lang 'de'→'und' before the same groupby
+        "update_lang_counts": """
+SELECT CASE WHEN lang = 'de' THEN 'und' ELSE lang END AS lang,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1 ORDER BY lang
 """,
         "exact_dedup": """
 SELECT min(doc_id)::BIGINT AS rep_doc_id, count(*)::BIGINT AS n_dups

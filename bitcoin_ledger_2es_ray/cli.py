@@ -189,6 +189,22 @@ def cmd_delete(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_update(args: argparse.Namespace) -> int:
+    """update_by_query over forward-map metadata: --set col=value applied
+    where --field matches --value (streamed rewrite + dir swap)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.lifecycle import update_by_query
+
+    _ensure_ray(args.num_cpus)
+    expr = pc.field(args.field).isin(pa.array(args.value))
+    sets = dict(kv.split("=", 1) for kv in args.set)
+    n = update_by_query(args.index, expr, sets)
+    print(json.dumps({"updated": n}))
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Merge tombstones away into a fresh index dir (Lucene segment-merge
     analog): parallel per-shard rewrite + exact stats recompute."""
@@ -289,6 +305,20 @@ def main(argv: list[str] | None = None) -> int:
         "--value", required=True, action="append", help="match value (repeatable → IN)"
     )
     d.set_defaults(fn=cmd_delete)
+
+    u = sub.add_parser(
+        "update", help="update forward-map metadata fields where a field matches"
+    )
+    u.add_argument("--index", required=True)
+    u.add_argument("--field", required=True, help="forward-map match column")
+    u.add_argument(
+        "--value", required=True, action="append", help="match value (repeatable → IN)"
+    )
+    u.add_argument(
+        "--set", required=True, action="append", help="col=value to apply (repeatable)"
+    )
+    u.add_argument("--num-cpus", type=int, default=None)
+    u.set_defaults(fn=cmd_update)
 
     k = sub.add_parser(
         "compact", help="merge tombstones away into a fresh index directory"

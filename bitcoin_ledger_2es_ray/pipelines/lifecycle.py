@@ -74,6 +74,57 @@ def delete_by_query(index_dir: str, expr) -> int:
     return int(len(merged))
 
 
+def update_by_query(index_dir: str, expr, set_cols: dict[str, object]) -> int:
+    """ES ``update_by_query`` for forward-map METADATA fields (repo / path /
+    commit / lang): set every column in ``set_cols`` on rows matching
+    ``expr``.  The indexed text is untouched — postings, df and scores are
+    unaffected — which is ES's fast path for partial updates to non-indexed
+    fields; content-changing updates are a delete + incremental re-build
+    instead.  ``doc_id``/``dl``/``sha256`` are identity columns and refuse
+    to be set.
+
+    The rewrite STREAMS (Ray Data batch map — the predicate evaluates as an
+    Arrow projection, the update as vectorized ``if_else`` — → partitioned
+    parquet in a sibling dir, then a directory swap).  Returns the matched
+    row count (computed by a pushdown scan, bounded by the match size).
+    """
+    import shutil
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    immutable = {"doc_id", "dl", "sha256"} & set(set_cols)
+    if immutable:
+        raise ValueError(f"refusing to update identity columns: {sorted(immutable)}")
+
+    fwd = os.path.join(index_dir, "forward_map")
+    matched = pq.read_table(fwd, columns=["doc_id"], filters=expr).num_rows
+
+    import pyarrow.compute as pc  # noqa: F401  (expr built from pc.field)
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        m = pads.dataset(batch).to_table(columns={"m": expr})["m"].combine_chunks()
+        cols = {}
+        for name in batch.column_names:
+            col = batch[name].combine_chunks()
+            if name in set_cols:
+                col = pa.compute.if_else(
+                    m, pa.scalar(set_cols[name], type=col.type), col
+                )
+            cols[name] = col
+        return pa.table(cols)
+
+    new = fwd + ".updating"
+    rd.read_parquet(fwd).map_batches(_apply, batch_format="pyarrow").write_parquet(
+        new, mode="overwrite"
+    )
+    bak = fwd + ".old"
+    os.rename(fwd, bak)
+    os.rename(new, fwd)
+    shutil.rmtree(bak)
+    return int(matched)
+
+
 # ---------------------------------------------------------------------------
 # compaction
 

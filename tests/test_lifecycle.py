@@ -233,3 +233,40 @@ def test_compact_preserves_positions(ray_session, tmp_path):
         assert d1.tolist() == d0[keep].tolist(), term
         assert tf1.tolist() == tf0[keep].tolist(), term
         assert p1.tolist() == p0[pkeep].tolist(), term
+
+
+def test_update_by_query_streams_and_swaps(ray_session, idx_copy):
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import update_by_query
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+
+    pre_store = SegmentStore(idx_copy)
+    texts = _fixture_texts(pre_store, n=6)
+    pre = {t: score_query(pre_store, t, k=10) for t in texts}
+    fwd0 = pq.read_table(os.path.join(idx_copy, "forward_map"))
+    n_de = pc.sum(pc.equal(fwd0["lang"], "de").cast(pa.int8())).as_py()
+
+    n = update_by_query(idx_copy, pc.field("lang") == "de", {"lang": "und"})
+    assert n == n_de
+
+    fwd1 = pq.read_table(os.path.join(idx_copy, "forward_map"))
+    assert fwd1.num_rows == fwd0.num_rows
+    assert pc.sum(pc.equal(fwd1["lang"], "de").cast(pa.int8())).as_py() == 0
+    assert pc.sum(pc.equal(fwd1["lang"], "und").cast(pa.int8())).as_py() == n_de
+    # identity columns untouched, row-for-row (sort both by doc_id)
+    a = fwd0.select(["doc_id", "dl", "sha256", "path"]).sort_by("doc_id")
+    b = fwd1.select(["doc_id", "dl", "sha256", "path"]).sort_by("doc_id")
+    assert a.equals(b)
+
+    # metadata update never touches postings/scores
+    post_store = SegmentStore(idx_copy)
+    for t in texts:
+        assert score_query(post_store, t, k=10) == pre[t]
+
+    # identity columns refuse updates
+    with pytest.raises(ValueError, match="identity"):
+        update_by_query(idx_copy, pc.field("lang") == "en", {"doc_id": 0})
+    # no leftover swap dirs
+    assert not os.path.exists(os.path.join(idx_copy, "forward_map.updating"))
+    assert not os.path.exists(os.path.join(idx_copy, "forward_map.old"))
