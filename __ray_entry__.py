@@ -419,6 +419,18 @@ def _q_histogram_agg(sf_dir: str) -> pa.Table:
     return histogram_agg(res.out_dir, _q_boolean_and(sf_dir), interval=16)
 
 
+def _q_sig_terms(sf_dir: str) -> pa.Table:
+    """ES ``significant_terms``: per-query AND-hit foregrounds vs the corpus
+    background, JLH-scored, top-10 positively-significant terms — the hit
+    set broadcasts, the postings artifact streams (pipelines/aggs.py)."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import significant_terms
+
+    store, res = _store_for(sf_dir)
+    return significant_terms(
+        res.out_dir, store, _q_boolean_and(sf_dir), n_top=10, round_decimals=_ROUND
+    )
+
+
 def _q_more_like_this(sf_dir: str) -> pa.Table:
     """ES ``more_like_this``: top-5 tf·idf terms of source doc (q·29 mod n)
     → BM25 top-k with the source excluded, over the MltScorer actor pool."""
@@ -814,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match": _q_fuzzy_match,
         "terms_agg": _q_terms_agg,
         "histogram_agg": _q_histogram_agg,
+        "sig_terms": _q_sig_terms,
         "more_like_this": _q_more_like_this,
         "search_after": _q_search_after,
         "min_should_match": _q_min_should_match,
@@ -1219,6 +1232,43 @@ anded AS (
 SELECT a.query_id::BIGINT AS query_id, d.lang, count(*)::BIGINT AS doc_count
 FROM anded a JOIN documents d USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # ES significant_terms: AND-hit foreground vs corpus background,
+        # JLH score on 6-dp rounding, positives only, top-10 per query
+        "sig_terms": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+),
+fg_size AS (SELECT query_id, count(*)::DOUBLE AS fgs FROM anded GROUP BY query_id),
+fg AS (
+  SELECT a.query_id, tf.term, count(*)::DOUBLE AS fg_df
+  FROM anded a JOIN tf ON tf.doc_id = a.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT f.query_id, f.term, f.fg_df, d.df AS bg_df,
+         round(((f.fg_df / s.fgs) - (d.df / st.n))
+               * ((f.fg_df / s.fgs) / (d.df / st.n)), 6) AS score
+  FROM fg f JOIN fg_size s USING (query_id)
+  JOIN df d ON d.term = f.term CROSS JOIN stats st
+),
+ranked AS (
+  SELECT query_id, term, fg_df, bg_df, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored WHERE score > 0
+)
+SELECT query_id::BIGINT AS query_id, term, fg_df::BIGINT AS fg_df,
+       bg_df::BIGINT AS bg_df, score
+FROM ranked WHERE rnk <= 10 ORDER BY query_id, term
 """,
         # ES histogram aggregation: same hit sets, dl bucketed by 16
         "histogram_agg": _PRELUDE

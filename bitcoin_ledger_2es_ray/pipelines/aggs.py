@@ -103,6 +103,120 @@ def terms_agg(index_dir: str, matches: pa.Table, field: str = "lang") -> pa.Tabl
     )
 
 
+def significant_terms(
+    index_dir: str,
+    store,
+    matches: pa.Table,
+    n_top: int = 10,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``significant_terms`` aggregation: per query, the terms whose
+    frequency in the HIT SET (foreground) most exceeds their corpus
+    (background) frequency, scored with ES's JLH heuristic
+
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct),
+        fg_pct = fg_df / |hits|,  bg_pct = df / N
+
+    keeping only positively-significant terms (fg_pct > bg_pct, exactly
+    like ES) and the top ``n_top`` per query by (rounded score DESC, term
+    ASC) — ranking on the 6-dp-rounded score so the SQL oracle agrees.
+
+    Shape: the hit set broadcasts once; the build's ``postings`` artifact
+    (one row per distinct (term, doc)) streams through ``map_batches``,
+    each batch inner-joining the hits and emitting PARTIAL (query, term)
+    doc counts; the driver combine is bounded by #queries × #terms seen in
+    hit docs.  Background df comes from the term dictionary (exact — no
+    second corpus pass).  At real scale ES bounds the combine with
+    ``shard_size`` (accepting approximation); this implementation keeps the
+    exact combine and relies on the foreground being query-hit-sized.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    m = matches.select(["query_id", "doc_id"])
+    m = m.set_column(
+        m.schema.get_field_index("doc_id"), "doc_id", m["doc_id"].cast(pa.uint64())
+    )
+    m_ref = ray.put(m)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hits = ray.get(m_ref)
+        j = batch.select(["term", "doc_id"]).join(
+            hits, keys="doc_id", join_type="inner"
+        )
+        if j.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "doc_count": pa.array([], type=pa.int64()),
+                }
+            )
+        g = j.group_by(["query_id", "term"]).aggregate([("doc_id", "count")])
+        return g.select(["query_id", "term", "doc_id_count"]).rename_columns(
+            ["query_id", "term", "doc_count"]
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "postings"), columns=["term", "doc_id"]
+    )
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+    ]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    fg = _combine(parts, ["query_id", "term"])
+    if fg.num_rows == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "fg_df": pa.array([], type=pa.int64()),
+                "bg_df": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+
+    sizes = m.group_by("query_id").aggregate([("doc_id", "count")])
+    fgs_of = dict(
+        zip(sizes["query_id"].to_pylist(), sizes["doc_id_count"].to_pylist())
+    )
+    qids = fg["query_id"].to_pylist()
+    terms = fg["term"].to_pylist()
+    fg_df = np.asarray(fg["doc_count"].combine_chunks(), dtype=np.float64)
+    bg_df = np.fromiter(
+        (store.td.df_of(t) for t in terms), dtype=np.float64, count=len(terms)
+    )
+    fgs = np.fromiter((fgs_of[q] for q in qids), dtype=np.float64, count=len(qids))
+    fg_pct = fg_df / fgs
+    bg_pct = bg_df / float(store.n_docs)
+    score = sql_round((fg_pct - bg_pct) * (fg_pct / bg_pct), round_decimals)
+
+    keep = np.flatnonzero(score > 0)
+    by_q: dict[int, list[int]] = {}
+    for i in keep:
+        by_q.setdefault(qids[i], []).append(int(i))
+    rows: list[int] = []
+    for q in sorted(by_q):
+        order = sorted(by_q[q], key=lambda i: (-score[i], terms[i]))
+        rows.extend(order[:n_top])
+    rows.sort(key=lambda i: (qids[i], terms[i]))
+    return pa.table(
+        {
+            "query_id": pa.array([qids[i] for i in rows], type=pa.int64()),
+            "term": pa.array([terms[i] for i in rows], type=pa.string()),
+            "fg_df": pa.array([int(fg_df[i]) for i in rows], type=pa.int64()),
+            "bg_df": pa.array([int(bg_df[i]) for i in rows], type=pa.int64()),
+            "score": pa.array([float(score[i]) for i in rows], type=pa.float64()),
+        }
+    )
+
+
 def histogram_agg(index_dir: str, matches: pa.Table, interval: int = 16) -> pa.Table:
     """ES ``histogram`` aggregation over doc length: per query, hit counts in
     fixed-width ``dl`` buckets → (query_id, bucket, doc_count) with

@@ -295,3 +295,69 @@ def test_search_after_unknown_terms_empty(built):
     res, _, _ = built
     store = SegmentStore(res.out_dir)
     assert search_after(store, "zzzzzz qqqqqq", 5, None) == []
+
+
+# ---------------------------------------------------------------------------
+# significant_terms
+
+
+def test_significant_terms_matches_brute_force(hitset, ray_session):
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.functions.tokenize import tokenize_query
+    from bitcoin_ledger_2es_ray.pipelines.aggs import significant_terms
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    matches, docs, res = hitset
+    store = SegmentStore(res.out_dir)
+    got = significant_terms(res.out_dir, store, matches, n_top=5).to_pandas()
+
+    # brute force: per-doc distinct term sets from the corpus content
+    doc_terms = [set(tokenize_query(t)) for t in docs["content"].to_pylist()]
+    n = float(store.n_docs)
+    bg = {}
+    for s in doc_terms:
+        for t in s:
+            bg[t] = bg.get(t, 0) + 1
+    want_rows = []
+    by_q: dict[int, list[int]] = {}
+    for q, d in zip(matches["query_id"].to_pylist(), matches["doc_id"].to_pylist()):
+        by_q.setdefault(q, []).append(d)
+    for q in sorted(by_q):
+        fgs = float(len(by_q[q]))
+        fg: dict[str, int] = {}
+        for d in by_q[q]:
+            for t in doc_terms[d]:
+                fg[t] = fg.get(t, 0) + 1
+        scored = []
+        for t, f in fg.items():
+            fp, bp = f / fgs, bg[t] / n
+            sc = float(sql_round((fp - bp) * (fp / bp), 6))
+            if sc > 0:
+                scored.append((t, f, bg[t], sc))
+        scored.sort(key=lambda r: (-r[3], r[0]))
+        want_rows.extend((q, t, f, b, sc) for t, f, b, sc in scored[:5])
+    want_rows.sort(key=lambda r: (r[0], r[1]))
+
+    got_rows = list(
+        zip(got["query_id"], got["term"], got["fg_df"], got["bg_df"], got["score"])
+    )
+    assert len(got_rows) == len(want_rows)
+    for g, w in zip(got_rows, want_rows):
+        assert (g[0], g[1], g[2], g[3]) == (w[0], w[1], w[2], w[3])
+        assert g[4] == pytest.approx(w[4], abs=1e-9)
+
+
+def test_significant_terms_empty_hitset(hitset, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import significant_terms
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    _, _, res = hitset
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+        }
+    )
+    out = significant_terms(res.out_dir, SegmentStore(res.out_dir), empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "term", "fg_df", "bg_df", "score"]
