@@ -431,6 +431,33 @@ def _q_sig_terms(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_distinct_counts(sf_dir: str) -> pa.Table:
+    """Exact distinct counts (ES ``cardinality`` agg, exact gate): one Ray
+    Data groupby per column over the events table."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import distinct_count
+
+    return distinct_count(
+        os.path.join(sf_dir, "events.parquet"), ["user_id", "event_type"]
+    )
+
+
+def _q_cardinality_hll(sf_dir: str) -> pa.Table:
+    """ES ``cardinality`` agg, the scale path: HyperLogLog sketch of
+    events.user_id — 16-KiB mergeable partials per batch, no value shuffle.
+    Rows-only (approximate by design, like ES); accuracy is pinned by
+    tests/test_sketch.py (relative error bound + merge associativity)."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import cardinality_hll
+
+    r = cardinality_hll(os.path.join(sf_dir, "events.parquet"), "user_id")
+    return pa.table(
+        {
+            "column": pa.array(["user_id"], type=pa.string()),
+            "estimate": pa.array([r["estimate"]], type=pa.float64()),
+            "p": pa.array([r["p"]], type=pa.int64()),
+        }
+    )
+
+
 def _q_more_like_this(sf_dir: str) -> pa.Table:
     """ES ``more_like_this``: top-5 tf·idf terms of source doc (q·29 mod n)
     → BM25 top-k with the source excluded, over the MltScorer actor pool."""
@@ -827,6 +854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_agg": _q_terms_agg,
         "histogram_agg": _q_histogram_agg,
         "sig_terms": _q_sig_terms,
+        "distinct_counts": _q_distinct_counts,
+        "cardinality_hll": _q_cardinality_hll,  # rows-only (HLL approximate)
         "more_like_this": _q_more_like_this,
         "search_after": _q_search_after,
         "min_should_match": _q_min_should_match,
@@ -1232,6 +1261,12 @@ anded AS (
 SELECT a.query_id::BIGINT AS query_id, d.lang, count(*)::BIGINT AS doc_count
 FROM anded a JOIN documents d USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # ES cardinality aggregation — exact gate over events
+        "distinct_counts": """
+SELECT count(DISTINCT user_id)::BIGINT AS n_distinct_user_id,
+       count(DISTINCT event_type)::BIGINT AS n_distinct_event_type
+FROM events
 """,
         # ES significant_terms: AND-hit foreground vs corpus background,
         # JLH score on 6-dp rounding, positives only, top-10 per query

@@ -1,0 +1,113 @@
+"""HyperLogLog cardinality sketch (ES ``cardinality`` aggregation analog).
+
+Elasticsearch's cardinality agg IS HyperLogLog++: each shard builds a
+fixed-size register array, the coordinator merges them by elementwise max
+— the sketch is tiny (2^p bytes), mergeable, and order-insensitive, which
+is exactly what a 100-TB distributed distinct-count needs (the exact
+answer requires a full shuffle; the sketch needs one 16 KiB array per
+block).  This is the classic Flajolet-Fuse-Gandouet-Meunier estimator
+with the small-range linear-counting correction; 64-bit hashes make the
+large-range correction unnecessary.
+
+All kernels are numpy-vectorized: integer columns hash with splitmix64
+(wrapping uint64 arithmetic), string/binary columns dictionary-encode per
+batch and hash only the DISTINCT values (blake2b-8, deterministic across
+processes — unlike Python's seeded ``hash``), then scatter through the
+codes.  Register update is one ``np.maximum.at``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_P = 14  # 2^14 registers = 16 KiB, relative error ≈ 1.04/√m ≈ 0.81%
+
+
+def new_registers(p: int = DEFAULT_P) -> np.ndarray:
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — uint64 in, uint64 out (wrapping)."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _hash_binary_dictionary(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """uint64 hashes of a string/binary column: per-batch dictionary encode,
+    blake2b-8 over DISTINCT values only, scatter through the codes."""
+    if isinstance(col, pa.Array):
+        col = pa.chunked_array([col])
+    dic = pc.dictionary_encode(col.combine_chunks())
+    vals = dic.dictionary
+    uh = np.empty(len(vals), dtype=np.uint64)
+    for i, v in enumerate(vals):
+        pv = v.as_py()
+        b = pv if isinstance(pv, bytes) else str(pv).encode()
+        uh[i] = int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "little")
+    codes = np.asarray(dic.indices, dtype=np.int64)
+    return uh[codes]
+
+
+def hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """uint64 hashes of any column (nulls dropped by the caller)."""
+    t = col.type
+    if pa.types.is_integer(t):
+        arr = np.asarray(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ).astype(np.uint64)
+        return _splitmix64(arr)
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        return _hash_binary_dictionary(col)
+    raise TypeError(f"unhashable column type for HLL: {t}")
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64 (x == 0 → 64)."""
+    x = x.astype(np.uint64, copy=True)
+    zero = x == 0
+    n = np.zeros(len(x), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x < (np.uint64(1) << np.uint64(64 - s))
+        n[m] += s
+        x[m] = x[m] << np.uint64(s)
+    n[zero] = 64
+    return n
+
+
+def hll_update(regs: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Fold a batch of 64-bit hashes into the register array (in place)."""
+    p = int(np.log2(len(regs)))
+    if hashes.size == 0:
+        return regs
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    w = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
+    rho = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Merge two sketches — elementwise max (associative, commutative)."""
+    if len(a) != len(b):
+        raise ValueError("cannot merge sketches of different precision")
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """FFGM estimator + linear counting for the small range."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    if est <= 2.5 * m:
+        zeros = float(np.count_nonzero(regs == 0))
+        if zeros > 0:
+            est = m * np.log(m / zeros)
+    return float(est)

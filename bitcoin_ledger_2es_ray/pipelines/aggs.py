@@ -103,6 +103,65 @@ def terms_agg(index_dir: str, matches: pa.Table, field: str = "lang") -> pa.Tabl
     )
 
 
+def distinct_count(parquet_path: str, columns: list[str]) -> pa.Table:
+    """EXACT distinct counts per column (the oracle-checkable side of ES's
+    ``cardinality`` agg).  One Ray Data groupby per column — an all-to-all
+    shuffle on the column's values, which is precisely the cost the HLL
+    sketch below avoids; kept exact here because the driver gate needs a
+    deterministic answer.  Returns one row: ``n_distinct_<col>`` per col.
+    """
+    import ray.data as rd
+
+    out: dict[str, pa.Array] = {}
+    for col in columns:
+        ds = rd.read_parquet(parquet_path, columns=[col])
+        n = ds.groupby(col).count().count()
+        out[f"n_distinct_{col}"] = pa.array([int(n)], type=pa.int64())
+    return pa.table(out)
+
+
+def cardinality_hll(
+    parquet_path: str, column: str, p: int = 14, batch_hint: int = 65536
+) -> dict:
+    """ES ``cardinality`` aggregation (HyperLogLog, the scale path): each
+    batch folds its hashes into a 2^p-register sketch, partials ship as
+    single 16-KiB rows, the driver merges by elementwise max — NO shuffle
+    of the values, constant driver memory, mergeable across any partition
+    of the input (functions/sketch.py).  Returns
+    ``{"estimate": float, "registers": np.ndarray, "p": int}``.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.sketch import hash_column, hll_estimate, hll_merge, hll_update, new_registers
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        regs = new_registers(p)
+        col = batch[column].combine_chunks().drop_null()
+        if len(col):
+            hll_update(regs, hash_column(col))
+        return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+    parts = (
+        rd.read_parquet(parquet_path, columns=[column])
+        .map_batches(
+            sketch_batch,
+            batch_format="pyarrow",
+            batch_size=batch_hint,
+            zero_copy_batch=True,
+        )
+        .to_arrow_refs()
+    )
+    regs = new_registers(p)
+    for r in parts:
+        t = ray.get(r)
+        t = t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for row in t["regs"].to_pylist():
+            regs = hll_merge(regs, np.frombuffer(row, dtype=np.uint8))
+    return {"estimate": hll_estimate(regs), "registers": regs, "p": p}
+
+
 def significant_terms(
     index_dir: str,
     store,
