@@ -659,6 +659,32 @@ def _q_delete_query_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_function_score_topk(sf_dir: str) -> pa.Table:
+    """ES ``function_score`` (field_value_factor, modifier ln1p on dl,
+    multiply boost_mode): fixture BM25 re-weighted by ln(1+dl), ranked on
+    the 6-dp-rounded final score."""
+    from bitcoin_ledger_2es_ray.pipelines.query import function_score_query
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        top = function_score_query(store, text, _TOP_K, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_lang_counts(sf_dir: str) -> pa.Table:
     """M6 language filter/projection: doc counts per lang from the engine's
     forward map, via a Ray Data groupby aggregate."""
@@ -828,6 +854,14 @@ def _q_tumbling_window(sf_dir: str) -> pa.Table:
     return tumbling_window(sf_dir, window_s=3600)
 
 
+def _q_date_histogram(sf_dir: str) -> pa.Table:
+    """ES ``date_histogram`` (fixed 1-day interval) + ``stats`` sub-agg on
+    value — partial (count,min,max,sum) per batch, mergeable combine."""
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    return date_histogram_stats(sf_dir, interval_s=86400)
+
+
 def _q_sessionize(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.events import sessionize
 
@@ -863,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_dl": _q_sort_by_dl,
         "highlight": _q_highlight,
         "delete_query_topk": _q_delete_query_topk,
+        "function_score_topk": _q_function_score_topk,
         "lang_counts": _q_lang_counts,
         "update_lang_counts": _q_update_lang_counts,
         # training-data operators
@@ -885,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quality_per_lang": _q_top_quality_per_lang,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
+        "date_histogram": _q_date_histogram,
         "sessionize": _q_sessionize,
     }
 
@@ -1132,6 +1168,31 @@ ORDER BY query_id, doc_id
   JOIN df ON df.term = qt.term
   JOIN tf ON tf.term = qt.term
   JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang <> 'de'
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
+        # function_score: BM25 × ln(1+dl) (field_value_factor ln1p,
+        # multiply boost_mode), ranked on the rounded final score
+        "function_score_topk": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+               * ln(1 + max(dl.dl)), 6) AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
   GROUP BY qt.query_id, tf.doc_id
@@ -1489,6 +1550,16 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 SELECT user_id, ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # ES date_histogram (1-day fixed interval) + stats sub-agg on value
+        "date_histogram": """
+SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+       count(*)::BIGINT AS doc_count,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(sum(value), 6) AS sum_value,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
 """,
         "sessionize": """
 WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events),

@@ -79,6 +79,61 @@ def tumbling_window(sf_dir: str, window_s: int = 3600) -> pa.Table:
     ).sort_by([("user_id", "ascending"), ("window_start", "ascending")])
 
 
+def date_histogram_stats(sf_dir: str, interval_s: int = 86400) -> pa.Table:
+    """ES ``date_histogram`` (fixed interval, UTC) with a ``stats``
+    sub-aggregation on ``value``: per bucket, doc_count + min/max/sum/avg.
+
+    Same pre-aggregation shape as ``tumbling_window``: per-batch partial
+    (count, min, max, sum) rows — one per bucket per batch — then a small
+    groupby combines partials (Sum/Min/Max are all mergeable); avg derives
+    from the combined sum/count on the driver.  The shuffle moves
+    O(#buckets × #blocks) partial rows, never events.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(batch["ts"].cast(pa.int64()), 1_000_000)
+        bucket = pc.multiply(pc.divide(epoch, interval_s), interval_s)  # int floor
+        t = pa.table({"bucket_s": bucket, "value": batch["value"]})
+        agg = t.group_by("bucket_s").aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max"), ("value", "sum")]
+        )
+        return pa.table(
+            {
+                "bucket_s": agg["bucket_s"],
+                "n": agg["value_count"].cast(pa.int64()),
+                "mn": agg["value_min"],
+                "mx": agg["value_max"],
+                "sm": agg["value_sum"],
+            }
+        )
+
+    ds = _read_events(sf_dir, ["ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    final = ds.groupby("bucket_s").aggregate(
+        Sum("n", alias_name="doc_count"),
+        Min("mn", alias_name="min_value"),
+        Max("mx", alias_name="max_value"),
+        Sum("sm", alias_name="sum_value"),
+    )
+    parts = [ray.get(r) for r in final.to_arrow_refs()]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    n = np.asarray(t["doc_count"], dtype=np.float64)
+    sm = np.asarray(t["sum_value"], dtype=np.float64)
+    return pa.table(
+        {
+            "bucket_s": t["bucket_s"].cast(pa.int64()),
+            "doc_count": t["doc_count"].cast(pa.int64()),
+            "min_value": pa.array(sql_round(np.asarray(t["min_value"], dtype=np.float64), 6)),
+            "max_value": pa.array(sql_round(np.asarray(t["max_value"], dtype=np.float64), 6)),
+            "sum_value": pa.array(sql_round(sm, 6)),
+            "avg_value": pa.array(sql_round(sm / n, 6)),
+        }
+    ).sort_by("bucket_s")
+
+
 def sessionize(sf_dir: str, gap_s: int = 1800) -> pa.Table:
     """(user_id, session_id, n_events, start_s, end_s): a new session starts
     when the gap to the previous event of the same user exceeds ``gap_s``."""

@@ -298,6 +298,53 @@ def score_query_wand(
     return wand_topk(cursors, k)
 
 
+def function_score_query(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``function_score`` with a ``field_value_factor`` function:
+    ``score = BM25 × ln(1 + dl)`` (modifier ``ln1p`` on the doc-length
+    field, multiply boost_mode — ES's default combine).
+
+    The field value needs no extra join: ``dl`` travels with every posting
+    (schemas.POSTINGS_RAW), so the factor is read off the decoded lists.
+    Ranking happens on the ROUNDED final score (ties doc ASC) so the SQL
+    oracle agrees, same rule as ``score_query``.
+    """
+    terms = sorted(set(tokenize_query(text)))
+    docs_l, contrib_l, dls_l = [], [], []
+    for term in terms:
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        if len(d) == 0:
+            continue
+        w = float(idf(store.n_docs, df_t))
+        contrib_l.append(w * tf_norm(tf, dl, store.avgdl, k1, b))
+        docs_l.append(d)
+        dls_l.append(dl)
+    if not docs_l:
+        return []
+    all_docs = np.concatenate(docs_l)
+    all_contrib = np.concatenate(contrib_l)
+    all_dl = np.concatenate(dls_l)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, all_contrib)
+    dl_of = np.zeros(len(uniq), dtype=np.float64)
+    dl_of[inv] = all_dl  # dl is constant per doc — any occurrence works
+    final = scores * np.log1p(dl_of)
+    if round_decimals is not None:
+        final = sql_round(final, round_decimals)
+    order = topk_order(final, uniq, k)
+    return [(int(uniq[i]), float(final[i])) for i in order]
+
+
 def search_after(
     store: SegmentStore,
     text: str,

@@ -361,3 +361,77 @@ def test_significant_terms_empty_hitset(hitset, ray_session):
     out = significant_terms(res.out_dir, SegmentStore(res.out_dir), empty)
     assert out.num_rows == 0
     assert out.column_names == ["query_id", "term", "fg_df", "bg_df", "score"]
+
+
+# ---------------------------------------------------------------------------
+# function_score + date_histogram
+
+
+def test_function_score_reweights_full_ranking(built):
+    import os
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        function_score_query,
+        score_query,
+    )
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    fwd = pq.read_table(os.path.join(res.out_dir, "forward_map"), columns=["doc_id", "dl"])
+    dl_of = dict(zip(fwd["doc_id"].to_pylist(), fwd["dl"].to_pylist()))
+
+    texts = fixture_queries(sorted(store.df), n=10, k=10)["text"].to_pylist()
+    for t in texts:
+        base = score_query(store, t, k=store.n_docs)  # full unrounded ranking
+        want = sorted(
+            (
+                (d, float(sql_round(s * math.log1p(dl_of[d]), 6)))
+                for d, s in base
+            ),
+            key=lambda r: (-r[1], r[0]),
+        )[:10]
+        got = function_score_query(store, t, 10, round_decimals=6)
+        assert got == want, t
+
+
+def test_date_histogram_stats_matches_pandas(ray_session):
+    import pandas as pd
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = date_histogram_stats(sf, interval_s=86400).to_pandas()
+
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["ts", "value"]).to_pandas()
+    sec = ev["ts"].astype("int64") // 1_000_000
+    ev["bucket_s"] = (sec // 86400) * 86400
+    want = (
+        ev.groupby("bucket_s")["value"]
+        .agg(doc_count="count", min_value="min", max_value="max", sum_value="sum")
+        .reset_index()
+        .sort_values("bucket_s")
+        .reset_index(drop=True)
+    )
+    assert got["bucket_s"].tolist() == want["bucket_s"].tolist()
+    assert got["doc_count"].tolist() == want["doc_count"].tolist()
+    for col in ("min_value", "max_value", "sum_value"):
+        np.testing.assert_allclose(
+            got[col].to_numpy(),
+            np.asarray(sql_round(want[col].to_numpy(dtype=float), 6)),
+            atol=1e-9,
+        )
+    np.testing.assert_allclose(
+        got["avg_value"].to_numpy(),
+        np.asarray(
+            sql_round(
+                want["sum_value"].to_numpy(dtype=float)
+                / want["doc_count"].to_numpy(dtype=float),
+                6,
+            )
+        ),
+        atol=1e-9,
+    )
