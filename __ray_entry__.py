@@ -431,6 +431,15 @@ def _q_sig_terms(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_percentiles(sf_dir: str) -> pa.Table:
+    """ES ``percentiles`` agg over doc length — exact value-counts plan
+    (shuffle bounded by distinct dl values), quantile_cont interpolation."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import percentiles_agg
+
+    _, res = _store_for(sf_dir)
+    return percentiles_agg(res.out_dir)
+
+
 def _q_distinct_counts(sf_dir: str) -> pa.Table:
     """Exact distinct counts (ES ``cardinality`` agg, exact gate): one Ray
     Data groupby per column over the events table."""
@@ -888,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_agg": _q_terms_agg,
         "histogram_agg": _q_histogram_agg,
         "sig_terms": _q_sig_terms,
+        "percentiles": _q_percentiles,
         "distinct_counts": _q_distinct_counts,
         "cardinality_hll": _q_cardinality_hll,  # rows-only (HLL approximate)
         "more_like_this": _q_more_like_this,
@@ -1322,6 +1332,16 @@ anded AS (
 SELECT a.query_id::BIGINT AS query_id, d.lang, count(*)::BIGINT AS doc_count
 FROM anded a JOIN documents d USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # ES percentiles agg over doc length, quantile_cont semantics
+        "percentiles": _PRELUDE
+        + """
+, ql AS (
+  SELECT quantile_cont(dl, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vs FROM dl
+)
+SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+       round(unnest(vs), 6) AS value
+FROM ql ORDER BY q
 """,
         # ES cardinality aggregation — exact gate over events
         "distinct_counts": """

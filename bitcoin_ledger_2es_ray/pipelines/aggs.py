@@ -162,6 +162,72 @@ def cardinality_hll(
     return {"estimate": hll_estimate(regs), "registers": regs, "p": p}
 
 
+def percentiles_agg(
+    index_dir: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``percentiles`` aggregation over doc length — EXACT, via the
+    value-counts plan: per-batch ``dl`` histograms stream out of the
+    forward map, a groupby combines them (shuffle bounded by #DISTINCT dl
+    values, not docs — dl is a small-cardinality uint32), and the driver
+    interpolates quantiles from the tiny combined count table with
+    ``quantile_cont`` semantics (pos = q·(n-1), linear between order
+    statistics — matches DuckDB/Postgres).
+
+    ES itself answers this with a t-digest because arbitrary double fields
+    have unbounded cardinality; over a bounded-cardinality field the exact
+    value-counts plan is the same wire shape (tiny mergeable partials) with
+    no approximation, so it is the better trade here.  Returns one row per
+    quantile: (q, value).
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.bm25 import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("dl").aggregate([("dl", "count")])
+        return pa.table(
+            {"dl": g["dl"], "n": g["dl_count"].cast(pa.int64())}
+        )
+
+    ds = (
+        rd.read_parquet(os.path.join(index_dir, "forward_map"), columns=["dl"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dl")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    vals = np.asarray(t["dl"].combine_chunks(), dtype=np.float64)
+    cnts = np.asarray(t["n"].combine_chunks(), dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+
+    def order_stat(k: int) -> float:
+        return float(vals[np.searchsorted(cum, k, side="right")])
+
+    out_q, out_v = [], []
+    for q in quantiles:
+        pos = q * (n - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        v_lo = order_stat(lo)
+        v = v_lo if hi == lo else v_lo + (pos - lo) * (order_stat(hi) - v_lo)
+        out_q.append(float(q))
+        out_v.append(float(sql_round(v, round_decimals)))
+    return pa.table(
+        {
+            "q": pa.array(out_q, type=pa.float64()),
+            "value": pa.array(out_v, type=pa.float64()),
+        }
+    )
+
+
 def significant_terms(
     index_dir: str,
     store,

@@ -435,3 +435,20 @@ def test_date_histogram_stats_matches_pandas(ray_session):
         ),
         atol=1e-9,
     )
+
+
+def test_percentiles_agg_matches_numpy_linear(built, ray_session):
+    import os
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.aggs import percentiles_agg
+
+    res, _, _ = built
+    qs = (0.1, 0.333, 0.5, 0.777, 0.95)  # odd quantiles force interpolation
+    got = percentiles_agg(res.out_dir, quantiles=qs).to_pandas()
+    dls = pq.read_table(
+        os.path.join(res.out_dir, "forward_map"), columns=["dl"]
+    )["dl"].to_numpy().astype(float)
+    want = [float(sql_round(np.percentile(dls, q * 100, method="linear"), 6)) for q in qs]
+    assert got["q"].tolist() == list(qs)
+    np.testing.assert_allclose(got["value"].to_numpy(), want, atol=1e-9)
