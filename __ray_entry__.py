@@ -694,6 +694,41 @@ def _q_function_score_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_explain(sf_dir: str) -> pa.Table:
+    """ES ``_explain`` analog: per-term BM25 breakdown of doc (q·17 mod N)
+    for each fixture query — terms absent from the doc omitted; the
+    contributions sum to the doc's exact score."""
+    from bitcoin_ledger_2es_ray.pipelines.query import explain_score
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    n = store.n_docs
+    qids, dids, terms, tfs, idfs, contribs = [], [], [], [], [], []
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round as _sr
+
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        doc = (qid * 17) % n
+        for term, w, tf, contrib in explain_score(
+            store, text, doc, round_decimals=_ROUND
+        ):
+            qids.append(qid)
+            dids.append(doc)
+            terms.append(term)
+            tfs.append(tf)
+            idfs.append(float(_sr(w, _ROUND)))
+            contribs.append(contrib)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "tf": pa.array(tfs, type=pa.int64()),
+            "idf": pa.array(idfs, type=pa.float64()),
+            "contribution": pa.array(contribs, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("term", "ascending")])
+
+
 def _q_lang_counts(sf_dir: str) -> pa.Table:
     """M6 language filter/projection: doc counts per lang from the engine's
     forward map, via a Ray Data groupby aggregate."""
@@ -908,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight": _q_highlight,
         "delete_query_topk": _q_delete_query_topk,
         "function_score_topk": _q_function_score_topk,
+        "explain": _q_explain,
         "lang_counts": _q_lang_counts,
         "update_lang_counts": _q_update_lang_counts,
         # training-data operators
@@ -1216,6 +1252,27 @@ ranked AS (
 SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """.replace("{k}", str(_TOP_K)),
+        # _explain: per-term BM25 breakdown of doc (q*17 mod N) per query
+        "explain": _PRELUDE
+        + """
+, target AS (
+  SELECT q AS query_id, (q * 17) % (SELECT n::BIGINT FROM stats) AS doc_id
+  FROM generate_series(0, {nq1}) AS t(q)
+)
+SELECT qt.query_id::BIGINT AS query_id, tg.doc_id::BIGINT AS doc_id, qt.term,
+       tf.tf::BIGINT AS tf,
+       round(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)), 6) AS idf,
+       round(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+         AS contribution
+FROM qterm qt
+JOIN target tg ON tg.query_id = qt.query_id
+JOIN df ON df.term = qt.term
+JOIN tf ON tf.term = qt.term AND tf.doc_id = tg.doc_id
+JOIN dl ON dl.doc_id = tg.doc_id
+CROSS JOIN stats s
+ORDER BY query_id, qt.term
+""".replace("{nq1}", str(_N_QUERIES - 1)),
         # minimum_should_match: query q requires m = 1 + (q mod nt) of its
         # nt distinct fixture terms
         "min_should_match": _PRELUDE

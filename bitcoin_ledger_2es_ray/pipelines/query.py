@@ -345,6 +345,39 @@ def function_score_query(
     return [(int(uniq[i]), float(final[i])) for i in order]
 
 
+def explain_score(
+    store: SegmentStore,
+    text: str,
+    doc_id: int,
+    k1: float = K1,
+    b: float = B,
+    round_decimals: int | None = None,
+) -> list[tuple[str, float, int, float]]:
+    """ES ``_explain`` analog: the per-term BM25 breakdown of one doc's
+    score for one query — [(term, idf, tf, contribution)] in sorted term
+    order, omitting terms absent from the doc.  The sum of contributions
+    is exactly the doc's ``score_query`` score (same accumulation order).
+    """
+    out = []
+    for term in sorted(set(tokenize_query(text))):
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        # salt slices concatenate doc-DISJOINTLY but not globally sorted —
+        # membership needs a scan, fine for a single-doc explain
+        hits = np.flatnonzero(d == np.uint64(doc_id))
+        if len(hits) == 0:
+            continue
+        i = int(hits[0])
+        w = float(idf(store.n_docs, df_t))
+        contrib = w * float(tf_norm(tf[i : i + 1], dl[i : i + 1], store.avgdl, k1, b)[0])
+        if round_decimals is not None:
+            contrib = float(sql_round(contrib, round_decimals))
+        out.append((term, w, int(tf[i]), contrib))
+    return out
+
+
 def search_after(
     store: SegmentStore,
     text: str,

@@ -452,3 +452,32 @@ def test_percentiles_agg_matches_numpy_linear(built, ray_session):
     want = [float(sql_round(np.percentile(dls, q * 100, method="linear"), 6)) for q in qs]
     assert got["q"].tolist() == list(qs)
     np.testing.assert_allclose(got["value"].to_numpy(), want, atol=1e-9)
+
+
+def test_explain_contributions_sum_to_score(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        explain_score,
+        score_query,
+    )
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    texts = fixture_queries(sorted(store.df), n=10, k=10)["text"].to_pylist()
+    checked = 0
+    for t in texts:
+        full = dict(score_query(store, t, k=store.n_docs))
+        for doc, want in list(full.items())[:5]:
+            parts = explain_score(store, t, doc)
+            assert sum(c for _, _, _, c in parts) == pytest.approx(want, abs=1e-12)
+            # terms are sorted and unique, idf positive, tf >= 1
+            terms = [p[0] for p in parts]
+            assert terms == sorted(set(terms))
+            assert all(p[1] > 0 and p[2] >= 1 for p in parts)
+            checked += 1
+    assert checked
+    # a doc containing none of the terms explains to an empty breakdown
+    absent = [d for d in range(store.n_docs) if d not in full][:1]
+    if absent:
+        assert explain_score(store, texts[-1], absent[0]) == []
