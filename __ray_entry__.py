@@ -172,6 +172,68 @@ def _q_bm25_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _fed_for(sf_dir: str):
+    """Two member indices over a deterministic 1/3-2/3 corpus split (cached
+    like _index_for; builds resume from their manifests)."""
+    import pyarrow.parquet as pqm
+
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+    from bitcoin_ledger_2es_ray.sources.corpus import derive_corpus_parquet
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key + "_fed")
+    os.makedirs(root, exist_ok=True)
+    whole_path = derive_corpus_parquet(sf_dir, os.path.join(root, "all.parquet"))
+    whole = pqm.read_table(whole_path)
+    cut = whole.num_rows // 3
+    outs = []
+    for name, (lo, hi) in (("a", (0, cut)), ("b", (cut, whole.num_rows))):
+        cdir = os.path.join(root, f"corpus_{name}")
+        os.makedirs(cdir, exist_ok=True)
+        part = os.path.join(cdir, f"{name}.parquet")
+        if not os.path.exists(part):
+            pqm.write_table(whole.slice(lo, hi - lo), part, row_group_size=512)
+        cfg = BuildConfig(
+            corpus=cdir,
+            out_dir=os.path.join(root, f"idx_{name}"),
+            num_partitions=8,
+            head_df_ratio=0.5,
+            n_salt=2,
+            sketch_stride=4,
+        )
+        outs.append(build_index(cfg).out_dir)
+    return outs
+
+
+def _q_bm25_topk_federated(sf_dir: str) -> pa.Table:
+    """ES cross-cluster search: the fixture query set over a FederatedStore
+    of two doc-disjoint member indices (docBase offsets + dfs-style global
+    stats, pipelines/federate.py) — gated against the SAME BM25 oracle as
+    the single-index path because federation is bit-identical to the union
+    build (tests/test_federate.py)."""
+    from bitcoin_ledger_2es_ray.pipelines.federate import FederatedStore
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+
+    fed = FederatedStore(_fed_for(sf_dir))
+    queries = _fixture_queries(fed)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        top = score_query(fed, text, _TOP_K, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_bm25_topk_routed(sf_dir: str) -> pa.Table:
     """Serving-path ROUTED scoring (segment actors decode + score their own
     slices; the router sums partial contributions) — gated against the same
@@ -922,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": _q_postings,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_routed": _q_bm25_topk_routed,
+        "bm25_topk_federated": _q_bm25_topk_federated,
         "boolean_and": _q_boolean_and,
         "boolean_or": _q_boolean_or,
         "boolean_not": _q_boolean_not,
@@ -1668,4 +1731,7 @@ ORDER BY a, b
     # routed serving is gated against the SAME BM25 oracle (scores and ranks
     # are bit-identical to the batch TAAT path by construction)
     sql["bm25_topk_routed"] = sql["bm25_topk"]
+    # federated search is bit-identical to the union index (docBase offsets
+    # + dfs-style global stats), so it shares the BM25 oracle too
+    sql["bm25_topk_federated"] = sql["bm25_topk"]
     return sql
