@@ -462,6 +462,37 @@ def _q_fuzzy_match(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_term_suggest(sf_dir: str) -> pa.Table:
+    """ES term suggester: top-3 corrections for the fuzzy_match misspellings,
+    ranked (distance ASC, df DESC, term ASC)."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import term_suggest
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    qids, poss, terms, dists, dfs = [], [], [], [], []
+    for q in range(_N_QUERIES):
+        t = vocab[(11 * q + 3) % len(vocab)]
+        p = q % len(t)
+        qterm = t[:p] + t[p + 1 :] if len(t) > 1 else t
+        for pos, (term, dist, df) in enumerate(
+            term_suggest(store, qterm, k=3, max_dist=2), start=1
+        ):
+            qids.append(q)
+            poss.append(pos)
+            terms.append(term)
+            dists.append(dist)
+            dfs.append(df)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "pos": pa.array(poss, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "distance": pa.array(dists, type=pa.int64()),
+            "df": pa.array(dfs, type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("pos", "ascending")])
+
+
 def _q_terms_agg(sf_dir: str) -> pa.Table:
     """ES ``terms`` aggregation: per-query AND-hit counts bucketed by lang —
     partial buckets inside map_batches over the forward map, driver combine
@@ -992,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": _q_phrase_topk,
         "prefix_match": _q_prefix_match,
         "fuzzy_match": _q_fuzzy_match,
+        "term_suggest": _q_term_suggest,
         "terms_agg": _q_terms_agg,
         "histogram_agg": _q_histogram_agg,
         "sig_terms": _q_sig_terms,
@@ -1435,6 +1467,32 @@ FROM occ ORDER BY query_id, doc_id
 SELECT DISTINCT fq.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
 FROM fq JOIN tf ON levenshtein(tf.term, fq.qt) <= 1
 ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # ES term suggester: top-3 corrections, (distance, df DESC, term)
+        "term_suggest": _PRELUDE
+        + """
+, fq AS (
+  SELECT q AS query_id,
+         CASE WHEN len(v.term) > 1
+              THEN substr(v.term, 1, q % len(v.term))
+                   || substr(v.term, (q % len(v.term)) + 2)
+              ELSE v.term END AS qt
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (11 * q + 3) % nv.c
+),
+cand AS (
+  SELECT fq.query_id, d.term,
+         levenshtein(d.term, fq.qt)::BIGINT AS distance, d.df::BIGINT AS df
+  FROM fq JOIN df d ON levenshtein(d.term, fq.qt) <= 2
+),
+ranked AS (
+  SELECT query_id, term, distance, df,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY distance ASC, df DESC, term ASC) AS pos
+  FROM cand
+)
+SELECT query_id::BIGINT AS query_id, pos::BIGINT AS pos, term, distance, df
+FROM ranked WHERE pos <= 3 ORDER BY query_id, pos
 """.replace("{nq1}", str(_N_QUERIES - 1)),
         # ES terms aggregation: boolean-AND hit sets bucketed by lang
         "terms_agg": _PRELUDE

@@ -144,6 +144,33 @@ def fuzzy_match(store: SegmentStore, term: str, max_dist: int = 1) -> np.ndarray
     return union_many([store.postings(t)[0] for t in terms])
 
 
+def term_suggest(
+    store: SegmentStore, term: str, k: int = 3, max_dist: int = 2
+) -> list[tuple[str, int, int]]:
+    """ES term suggester: the ``k`` dictionary terms closest to a
+    (possibly misspelled) input, ranked ES-style by
+    (edit distance ASC, df DESC, term ASC) → [(term, distance, df)].
+
+    Candidates come from the same vectorized Levenshtein dictionary scan
+    as ``fuzzy_match``; exact distances are recovered by re-running the
+    ≤d mask at each distance tier over the (small) candidate set — the
+    expensive full-dictionary pass happens once.
+    """
+    from ..functions.editdist import levenshtein_leq
+
+    cands = store.td.terms_fuzzy(term, max_dist)
+    if not cands:
+        return []
+    dist = np.full(len(cands), max_dist, dtype=np.int64)
+    for d in range(max_dist - 1, -1, -1):
+        dist[levenshtein_leq(term, cands, d)] = d
+    dfs = [store.td.df_of(t) for t in cands]
+    order = sorted(
+        range(len(cands)), key=lambda i: (dist[i], -dfs[i], cands[i])
+    )
+    return [(cands[i], int(dist[i]), int(dfs[i])) for i in order[:k]]
+
+
 class MatchScorer:
     """Actor-pool batch matcher: (query_id, text) rows in → MATCHES rows out.
 

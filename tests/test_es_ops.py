@@ -481,3 +481,30 @@ def test_explain_contributions_sum_to_score(built):
     absent = [d for d in range(store.n_docs) if d not in full][:1]
     if absent:
         assert explain_score(store, texts[-1], absent[0]) == []
+
+
+def test_term_suggest_ranks_by_distance_then_df(built):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import term_suggest
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+
+    # exact vocab term suggests itself first at distance 0
+    t = vocab[len(vocab) // 2]
+    top = term_suggest(store, t, k=3)
+    assert top[0] == (t, 0, store.df[t])
+
+    # mutated term: distance tiers are non-decreasing, df DESC within a tier
+    mut = t[:-1] + ("x" if t[-1] != "x" else "y")
+    sug = term_suggest(store, mut, k=5, max_dist=2)
+    assert sug, mut
+    dists = [d for _, d, _ in sug]
+    assert dists == sorted(dists)
+    for i in range(1, len(sug)):
+        if sug[i][1] == sug[i - 1][1]:
+            assert (-sug[i][2], sug[i][0]) >= (-sug[i - 1][2], sug[i - 1][0])
+
+    # gibberish far from every term suggests nothing
+    assert term_suggest(store, "zzqqxxyyzz", k=3, max_dist=1) == []
