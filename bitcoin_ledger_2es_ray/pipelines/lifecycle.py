@@ -74,6 +74,77 @@ def delete_by_query(index_dir: str, expr) -> int:
     return int(len(merged))
 
 
+def snapshot_index(index_dir: str, snap_dir: str) -> dict:
+    """ES snapshot analog: copy the index's parquet artifacts plus a
+    checksum manifest (``SNAPSHOT.json``) so a later restore can verify
+    integrity byte-for-byte.  Uses hardlinks when the filesystem allows
+    (snapshots of a 10^12-doc index must not duplicate segment bytes;
+    parquet artifacts are immutable-after-rename, so links are safe).
+    Returns {"files": n, "bytes": total}.
+    """
+    import hashlib
+    import json
+    import shutil
+
+    entries = {}
+    total = 0
+    src_root = os.path.abspath(index_dir)
+    for dirpath, _, names in os.walk(src_root):
+        for name in sorted(names):
+            if not name.endswith((".parquet", ".jsonl", ".json")):
+                continue
+            src = os.path.join(dirpath, name)
+            rel = os.path.relpath(src, src_root)
+            dst = os.path.join(snap_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+            h = hashlib.sha256()
+            with open(src, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            entries[rel] = {"sha256": h.hexdigest(), "bytes": os.path.getsize(src)}
+            total += entries[rel]["bytes"]
+    manifest = os.path.join(snap_dir, "SNAPSHOT.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"files": entries}, f, indent=1, sort_keys=True)
+    os.replace(tmp, manifest)
+    return {"files": len(entries), "bytes": total}
+
+
+def restore_index(snap_dir: str, dest_dir: str) -> int:
+    """Restore a snapshot into ``dest_dir``, verifying every file against
+    the snapshot's checksum manifest (corruption fails loudly BEFORE any
+    file lands in the destination).  Returns the file count.
+    """
+    import hashlib
+    import json
+    import shutil
+
+    with open(os.path.join(snap_dir, "SNAPSHOT.json")) as f:
+        entries = json.load(f)["files"]
+    for rel, meta in sorted(entries.items()):
+        src = os.path.join(snap_dir, rel)
+        h = hashlib.sha256()
+        with open(src, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != meta["sha256"]:
+            raise ValueError(f"snapshot corruption: {rel} checksum mismatch")
+    for rel in sorted(entries):
+        src = os.path.join(snap_dir, rel)
+        dst = os.path.join(dest_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+    return len(entries)
+
+
 def update_by_query(index_dir: str, expr, set_cols: dict[str, object]) -> int:
     """ES ``update_by_query`` for forward-map METADATA fields (repo / path /
     commit / lang): set every column in ``set_cols`` on rows matching

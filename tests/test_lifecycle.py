@@ -270,3 +270,36 @@ def test_update_by_query_streams_and_swaps(ray_session, idx_copy):
     # no leftover swap dirs
     assert not os.path.exists(os.path.join(idx_copy, "forward_map.updating"))
     assert not os.path.exists(os.path.join(idx_copy, "forward_map.old"))
+
+
+def test_snapshot_restore_roundtrip_and_corruption(idx_copy, tmp_path):
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import (
+        restore_index,
+        snapshot_index,
+    )
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+
+    snap = str(tmp_path / "snap")
+    info = snapshot_index(idx_copy, snap)
+    assert info["files"] > 0 and info["bytes"] > 0
+
+    dest = str(tmp_path / "restored")
+    assert restore_index(snap, dest) == info["files"]
+
+    # restored index answers queries identically
+    a, b = SegmentStore(idx_copy), SegmentStore(dest)
+    for t in _fixture_texts(a, n=5):
+        assert score_query(a, t, k=10) == score_query(b, t, k=10)
+
+    # flip a byte in the snapshot → restore refuses before writing anything
+    seg = next((Path(snap) / "segments").glob("*.parquet"))
+    raw = bytearray(seg.read_bytes())
+    raw[len(raw) // 2] ^= 0xFF
+    # hardlinked snapshots share inodes with the source — rewrite via a
+    # fresh file so the source index stays intact
+    seg.unlink()
+    seg.write_bytes(bytes(raw))
+    dest2 = str(tmp_path / "restored2")
+    with pytest.raises(ValueError, match="corruption"):
+        restore_index(snap, dest2)
+    assert not os.path.exists(os.path.join(dest2, "segments"))
