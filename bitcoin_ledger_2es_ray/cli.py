@@ -174,6 +174,48 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_suggest(args: argparse.Namespace) -> int:
+    """Term suggester: top-k corrections for a (misspelled) token."""
+    from .pipelines.phrase import term_suggest
+    from .pipelines.query import SegmentStore
+
+    store = SegmentStore(args.index)
+    out = term_suggest(store, args.q, k=args.k, max_dist=args.max_dist)
+    print(json.dumps([{"term": t, "distance": d, "df": f} for t, d, f in out]))
+    return 0
+
+
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Per-term BM25 breakdown of one doc's score for one query."""
+    from .pipelines.query import SegmentStore, explain_score
+
+    store = SegmentStore(args.index)
+    parts = explain_score(store, args.q, args.doc)
+    print(
+        json.dumps(
+            {
+                "doc_id": args.doc,
+                "score": sum(c for _, _, _, c in parts),
+                "terms": [
+                    {"term": t, "idf": w, "tf": tf, "contribution": c}
+                    for t, w, tf, c in parts
+                ],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_snapshot(args: argparse.Namespace) -> int:
+    from .pipelines.lifecycle import restore_index, snapshot_index
+
+    if args.restore:
+        print(json.dumps({"files": restore_index(args.index, args.out)}))
+    else:
+        print(json.dumps(snapshot_index(args.index, args.out)))
+    return 0
+
+
 def cmd_delete(args: argparse.Namespace) -> int:
     """Soft-delete by forward-map predicate (ES delete_by_query analog):
     tombstones the matching doc_ids; queries mask them immediately, space
@@ -295,6 +337,27 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--langs", default="en,fr", help="comma-separated lang allowlist")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_curate)
+
+    sg = sub.add_parser("suggest", help="term suggester: top-k corrections")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--q", required=True, help="(misspelled) token")
+    sg.add_argument("-k", type=int, default=3)
+    sg.add_argument("--max-dist", type=int, default=2)
+    sg.set_defaults(fn=cmd_suggest)
+
+    ex = sub.add_parser("explain", help="per-term BM25 breakdown for one doc")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--q", required=True, help="query text")
+    ex.add_argument("--doc", required=True, type=int, help="doc_id to explain")
+    ex.set_defaults(fn=cmd_explain)
+
+    sn = sub.add_parser(
+        "snapshot", help="checksum-manifested snapshot (--restore to restore)"
+    )
+    sn.add_argument("--index", required=True, help="index dir (or snapshot dir with --restore)")
+    sn.add_argument("--out", required=True)
+    sn.add_argument("--restore", action="store_true")
+    sn.set_defaults(fn=cmd_snapshot)
 
     d = sub.add_parser(
         "delete", help="soft-delete docs whose forward-map field matches a value"
