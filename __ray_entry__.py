@@ -822,6 +822,39 @@ def _q_explain(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("term", "ascending")])
 
 
+def _q_collapse_topk(sf_dir: str) -> pa.Table:
+    """ES field ``collapse`` on repo: fixture BM25 top-k with one best doc
+    per repo, groups ranked by their representative."""
+    import pyarrow.parquet as pqm
+
+    from bitcoin_ledger_2es_ray.pipelines.query import collapse_topk
+
+    store, res = _store_for(sf_dir)
+    fwd = pqm.read_table(
+        os.path.join(res.out_dir, "forward_map"), columns=["doc_id", "repo"]
+    )
+    field_of = dict(zip(fwd["doc_id"].to_pylist(), fwd["repo"].to_pylist()))
+    queries = _fixture_queries(store)
+    qids, ranks, docs, repos, scores = [], [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        top = collapse_topk(store, text, _TOP_K, field_of, round_decimals=_ROUND)
+        for r, (d, f, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            repos.append(f)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "repo": pa.array(repos, type=pa.string()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_lang_counts(sf_dir: str) -> pa.Table:
     """M6 language filter/projection: doc counts per lang from the engine's
     forward map, via a Ray Data groupby aggregate."""
@@ -1039,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_query_topk": _q_delete_query_topk,
         "function_score_topk": _q_function_score_topk,
         "explain": _q_explain,
+        "collapse_topk": _q_collapse_topk,
         "lang_counts": _q_lang_counts,
         "update_lang_counts": _q_update_lang_counts,
         # training-data operators
@@ -1368,6 +1402,39 @@ JOIN dl ON dl.doc_id = tg.doc_id
 CROSS JOIN stats s
 ORDER BY query_id, qt.term
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # field collapse on repo ('org'||d%7||'/repo'||d%20, FIXTURES §B):
+        # one best doc per repo, groups ranked by representative
+        "collapse_topk": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+collapsed AS (
+  SELECT query_id, doc_id, score,
+         'org' || (doc_id % 7) || '/repo' || (doc_id % 20) AS repo,
+         row_number() OVER (
+           PARTITION BY query_id, 'org' || (doc_id % 7) || '/repo' || (doc_id % 20)
+           ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+),
+ranked AS (
+  SELECT query_id, doc_id, repo, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM collapsed WHERE rn = 1
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, repo, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
         # minimum_should_match: query q requires m = 1 + (q mod nt) of its
         # nt distinct fixture terms
         "min_should_match": _PRELUDE

@@ -378,6 +378,36 @@ def explain_score(
     return out
 
 
+def collapse_topk(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    field_of: dict[int, str],
+    round_decimals: int | None = None,
+) -> list[tuple[int, str, float]]:
+    """ES field ``collapse``: the top-k ranking with at most ONE doc per
+    ``field`` value — each group represented by its best (score DESC,
+    doc ASC) member, groups ranked by that representative.
+
+    ``field_of`` maps doc_id → collapse-field value (read once from the
+    forward map by the caller — at scale this is the owning actor's
+    forward-map partition, not a global dict).  Returns
+    [(doc_id, field_value, score)].
+    """
+    full = score_query(store, text, k=store.n_docs, round_decimals=round_decimals)
+    seen: set[str] = set()
+    out: list[tuple[int, str, float]] = []
+    for d, s in full:
+        f = field_of[d]
+        if f in seen:
+            continue
+        seen.add(f)
+        out.append((d, f, s))
+        if len(out) == k:
+            break
+    return out
+
+
 def search_after(
     store: SegmentStore,
     text: str,

@@ -508,3 +508,40 @@ def test_term_suggest_ranks_by_distance_then_df(built):
 
     # gibberish far from every term suggests nothing
     assert term_suggest(store, "zzqqxxyyzz", k=3, max_dist=1) == []
+
+
+def test_collapse_topk_one_best_doc_per_group(built):
+    import os
+
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        collapse_topk,
+        score_query,
+    )
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    fwd = pq.read_table(
+        os.path.join(res.out_dir, "forward_map"), columns=["doc_id", "repo"]
+    )
+    field_of = dict(zip(fwd["doc_id"].to_pylist(), fwd["repo"].to_pylist()))
+
+    texts = fixture_queries(sorted(store.df), n=8, k=10)["text"].to_pylist()
+    for t in texts:
+        full = score_query(store, t, k=store.n_docs, round_decimals=6)
+        got = collapse_topk(store, t, 10, field_of, round_decimals=6)
+        repos = [f for _, f, _ in got]
+        assert len(repos) == len(set(repos))  # one doc per group
+        # each representative is its group's best-ranked member
+        rank_of = {d: i for i, (d, _) in enumerate(full)}
+        for d, f, s in got:
+            better = [
+                d2
+                for d2, _ in full[: rank_of[d]]
+                if field_of[d2] == f
+            ]
+            assert better == [], (t, d, f)
+        # representatives appear in full-ranking order
+        idxs = [rank_of[d] for d, _, _ in got]
+        assert idxs == sorted(idxs)
