@@ -524,6 +524,21 @@ def _q_sig_terms(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_composite_page2(sf_dir: str) -> pa.Table:
+    """ES ``composite`` aggregation: the SECOND 7-bucket page over
+    (lang, dl//16·16), resumed from page 1's last key — stateless
+    after-cursor, pages tile the full bucket stream."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import composite_agg
+
+    _, res = _store_for(sf_dir)
+    page1 = composite_agg(res.out_dir, interval=16, size=7)
+    after = (
+        page1["lang"][-1].as_py(),
+        page1["bucket"][-1].as_py(),
+    )
+    return composite_agg(res.out_dir, interval=16, after=after, size=7)
+
+
 def _q_percentiles(sf_dir: str) -> pa.Table:
     """ES ``percentiles`` agg over doc length — exact value-counts plan
     (shuffle bounded by distinct dl values), quantile_cont interpolation."""
@@ -1060,6 +1075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_agg": _q_terms_agg,
         "histogram_agg": _q_histogram_agg,
         "sig_terms": _q_sig_terms,
+        "composite_page2": _q_composite_page2,
         "percentiles": _q_percentiles,
         "distinct_counts": _q_distinct_counts,
         "cardinality_hll": _q_cardinality_hll,  # rows-only (HLL approximate)
@@ -1577,6 +1593,23 @@ anded AS (
 SELECT a.query_id::BIGINT AS query_id, d.lang, count(*)::BIGINT AS doc_count
 FROM anded a JOIN documents d USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # ES composite agg: 2nd 7-bucket page of (lang, dl//16*16) buckets
+        "composite_page2": _PRELUDE
+        + """
+, buckets AS (
+  SELECT d.lang, (dl.dl::BIGINT // 16) * 16 AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM dl JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, bucket, doc_count,
+         row_number() OVER (ORDER BY lang, bucket) AS rn
+  FROM buckets
+)
+SELECT lang, bucket, doc_count FROM ranked
+WHERE rn > 7 AND rn <= 14 ORDER BY lang, bucket
 """,
         # ES percentiles agg over doc length, quantile_cont semantics
         "percentiles": _PRELUDE

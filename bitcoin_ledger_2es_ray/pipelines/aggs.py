@@ -162,6 +162,72 @@ def cardinality_hll(
     return {"estimate": hll_estimate(regs), "registers": regs, "p": p}
 
 
+def composite_agg(
+    index_dir: str,
+    interval: int = 16,
+    after: tuple[str, int] | None = None,
+    size: int = 10,
+) -> pa.Table:
+    """ES ``composite`` aggregation: pageable multi-source buckets over
+    (lang, dl-histogram) in key order, resumed with an ``after`` cursor —
+    ES's scale answer to unbounded-cardinality aggregations (each page is
+    one bounded request; the cursor is the last bucket key, so pagination
+    is stateless exactly like ``search_after``).
+
+    Shape: the same partial-bucket stream as terms/histogram (per-batch
+    (lang, bucket) counts out of the forward map, mergeable combine);
+    the driver sorts the combined bucket table (bounded by #langs ×
+    #buckets) and applies the strict-after cursor.  Returns
+    (lang, bucket, doc_count) rows of ONE page.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if interval <= 0:
+        raise ValueError("interval must be positive")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dl = pc.cast(batch["dl"], pa.int64())
+        bucket = pc.multiply(pc.divide(dl, interval), interval)
+        t = pa.table({"lang": batch["lang"], "bucket": bucket})
+        g = t.group_by(["lang", "bucket"]).aggregate([("bucket", "count")])
+        return g.select(["lang", "bucket", "bucket_count"]).rename_columns(
+            ["lang", "bucket", "n"]
+        )
+
+    ds = (
+        rd.read_parquet(
+            os.path.join(index_dir, "forward_map"), columns=["lang", "dl"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "bucket"])
+        .aggregate(Sum("n", alias_name="doc_count"))
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    t = pa.concat_tables([p for p in parts if p.num_rows]).sort_by(
+        [("lang", "ascending"), ("bucket", "ascending")]
+    )
+    rows = list(
+        zip(
+            t["lang"].to_pylist(),
+            t["bucket"].to_pylist(),
+            t["doc_count"].to_pylist(),
+        )
+    )
+    if after is not None:
+        rows = [r for r in rows if (r[0], r[1]) > (after[0], after[1])]
+    rows = rows[:size]
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], type=pa.string()),
+            "bucket": pa.array([r[1] for r in rows], type=pa.int64()),
+            "doc_count": pa.array([int(r[2]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def percentiles_agg(
     index_dir: str,
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),

@@ -545,3 +545,33 @@ def test_collapse_topk_one_best_doc_per_group(built):
         # representatives appear in full-ranking order
         idxs = [rank_of[d] for d, _, _ in got]
         assert idxs == sorted(idxs)
+
+
+def test_composite_agg_pages_tile(built, ray_session):
+    import os
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import composite_agg
+
+    res, _, _ = built
+    # full bucket stream in one oversized page
+    full = composite_agg(res.out_dir, interval=16, size=10_000)
+    fwd = pq.read_table(
+        os.path.join(res.out_dir, "forward_map"), columns=["lang", "dl"]
+    ).to_pandas()
+    fwd["bucket"] = (fwd["dl"].astype("int64") // 16) * 16
+    want = (
+        fwd.groupby(["lang", "bucket"]).size().reset_index(name="doc_count")
+        .sort_values(["lang", "bucket"]).reset_index(drop=True)
+    )
+    assert full.to_pandas().values.tolist() == want.values.tolist()
+
+    # pages tile the stream exactly
+    pages, after = [], None
+    while True:
+        p = composite_agg(res.out_dir, interval=16, after=after, size=4)
+        if p.num_rows == 0:
+            break
+        pages.append(p)
+        after = (p["lang"][-1].as_py(), p["bucket"][-1].as_py())
+    tiled = pa.concat_tables(pages)
+    assert tiled.to_pandas().values.tolist() == full.to_pandas().values.tolist()
