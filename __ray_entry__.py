@@ -493,6 +493,34 @@ def _q_term_suggest(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("pos", "ascending")])
 
 
+def _q_rescore(sf_dir: str) -> pa.Table:
+    """ES ``rescore``: top-20 window of the base (phrase-terms) BM25 match
+    re-ranked by 1.0·base + 2.0·phrase_score (score_mode=total; a
+    phrase-matching doc's rescore score IS its base score), top-10 out."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import rescore_topk
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    phrases = _phrase_queries(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(phrases["query_id"].to_pylist(), phrases["text"].to_pylist()):
+        top = rescore_topk(store, text, k=_TOP_K, window=20, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_terms_agg(sf_dir: str) -> pa.Table:
     """ES ``terms`` aggregation: per-query AND-hit counts bucketed by lang —
     partial buckets inside map_batches over the forward map, driver combine
@@ -1072,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_match": _q_prefix_match,
         "fuzzy_match": _q_fuzzy_match,
         "term_suggest": _q_term_suggest,
+        "rescore": _q_rescore,
         "terms_agg": _q_terms_agg,
         "histogram_agg": _q_histogram_agg,
         "sig_terms": _q_sig_terms,
@@ -1577,6 +1606,65 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, pos::BIGINT AS pos, term, distance, df
 FROM ranked WHERE pos <= 3 ORDER BY query_id, pos
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # ES rescore: top-20 base window, combined = base·(1 + 2·[phrase])
+        "rescore": _PRELUDE
+        + """
+, nd AS (SELECT count(*) AS c FROM documents),
+phq AS (
+  SELECT q AS query_id, (q * 17) % c AS sel, q % 7 AS off
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+),
+phr AS (
+  SELECT p.query_id,
+         list_extract(string_split(d.text, ' '), 1 + p.off) || ' ' ||
+         list_extract(string_split(d.text, ' '), 2 + p.off) AS phrase
+  FROM phq p JOIN documents d ON d.doc_id = p.sel
+),
+pterm AS (
+  SELECT DISTINCT query_id, unnest(string_split(phrase, ' ')) AS term FROM phr
+),
+pmatch AS (
+  SELECT p.query_id, d.doc_id
+  FROM phr p
+  JOIN documents d ON contains(' ' || d.text || ' ', ' ' || p.phrase || ' ')
+),
+base AS (
+  SELECT pt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM pterm pt
+  JOIN df ON df.term = pt.term
+  JOIN tf ON tf.term = pt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY pt.query_id, tf.doc_id
+),
+windowed AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank_b
+  FROM base
+),
+combined AS (
+  SELECT w.query_id, w.doc_id,
+         round(w.score * (1 + 2 * (CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END)), 6)
+           AS score
+  FROM windowed w
+  LEFT JOIN pmatch m ON m.query_id = w.query_id AND m.doc_id = w.doc_id
+  WHERE w.rank_b <= 20
+),
+reranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM combined
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM reranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
         # ES terms aggregation: boolean-AND hit sets bucketed by lang
         "terms_agg": _PRELUDE
         + """

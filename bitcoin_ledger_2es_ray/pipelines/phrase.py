@@ -171,6 +171,51 @@ def term_suggest(
     return [(cands[i], int(dist[i]), int(dfs[i])) for i in order[:k]]
 
 
+def rescore_topk(
+    store: SegmentStore,
+    text: str,
+    k: int = 10,
+    window: int = 20,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    round_decimals: int = 6,
+) -> list[tuple[int, float]]:
+    """ES ``rescore``: re-rank only the top-``window`` docs of the base
+    BM25 match with a more expensive phrase rescorer (score_mode=total):
+
+        combined = query_weight·base + rescore_weight·phrase_score
+
+    where the phrase query's terms are the base query's terms, so a
+    phrase-matching doc's rescore score IS its base score — combined
+    collapses to ``base·(query_weight + rescore_weight·[phrase matches])``.
+    Docs outside the window keep their base ranking (ES semantics: the
+    expensive query runs against ``window`` docs per shard, never the full
+    hit set).  Ranking on the rounded combined score, ties doc ASC.
+    """
+    from ..functions.bm25 import sql_round
+    from ..pipelines.query import score_query
+
+    base = score_query(store, text, k=window, round_decimals=round_decimals)
+    if not base:
+        return []
+    matches = set(phrase_match(store, text).tolist())
+    rescored = [
+        (
+            d,
+            float(
+                sql_round(
+                    query_weight * s
+                    + (rescore_weight * s if d in matches else 0.0),
+                    round_decimals,
+                )
+            ),
+        )
+        for d, s in base
+    ]
+    rescored.sort(key=lambda r: (-r[1], r[0]))
+    return rescored[:k]
+
+
 class MatchScorer:
     """Actor-pool batch matcher: (query_id, text) rows in → MATCHES rows out.
 

@@ -373,3 +373,31 @@ def test_terms_with_prefix_pruned_equals_eager(pos_index):
         assert eager.terms_with_prefix(prefix) == pruned.terms_with_prefix(prefix)
     with pytest.raises(ValueError):
         eager.terms_with_prefix("")
+
+
+def test_rescore_promotes_phrase_matches_within_window(pos_index):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_match, rescore_topk
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+
+    docs, store, _ = pos_index
+    # pick a phrase that occurs in some docs
+    text = " ".join(docs[3].split()[:2])
+    matches = set(phrase_match(store, text).tolist())
+    assert matches
+
+    base = score_query(store, text, k=20, round_decimals=6)
+    got = rescore_topk(store, text, k=10, window=20, round_decimals=6)
+
+    base_doc_set = {d for d, _ in base}
+    assert all(d in base_doc_set for d, _ in got)  # window-only rescoring
+    # every phrase-matching window doc scores 3x its base; others 1x
+    base_of = dict(base)
+    for d, s in got:
+        want = base_of[d] * (3.0 if d in matches else 1.0)
+        assert s == pytest.approx(want, abs=1e-6)
+    # phrase-matching docs sort before equal-base non-matching docs
+    ranks = {d: i for i, (d, _) in enumerate(got)}
+    in_win_matches = [d for d in base_doc_set if d in matches]
+    if in_win_matches and len(got) == 10:
+        best_match = min(ranks.get(d, 99) for d in in_win_matches)
+        assert best_match < 10  # a matching doc made the page
