@@ -493,6 +493,29 @@ def _q_term_suggest(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("pos", "ascending")])
 
 
+def _q_phrase_slop(sf_dir: str) -> pa.Table:
+    """ES ``match_phrase`` with ``slop=2`` (chained-gap semantics): the
+    phrase fixture set over the positional index, adjacent-slot distance
+    in [1, 3]."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_match_slop
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    phrases = _phrase_queries(sf_dir)
+    qids, docs = [], []
+    for qid, text in zip(phrases["query_id"].to_pylist(), phrases["text"].to_pylist()):
+        hits = phrase_match_slop(store, text, slop=2)
+        qids.extend([qid] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
 def _q_rescore(sf_dir: str) -> pa.Table:
     """ES ``rescore``: top-20 window of the base (phrase-terms) BM25 match
     re-ranked by 1.0·base + 2.0·phrase_score (score_mode=total; a
@@ -1101,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match": _q_fuzzy_match,
         "term_suggest": _q_term_suggest,
         "rescore": _q_rescore,
+        "phrase_slop": _q_phrase_slop,
         "terms_agg": _q_terms_agg,
         "histogram_agg": _q_histogram_agg,
         "sig_terms": _q_sig_terms,
@@ -1605,6 +1629,32 @@ ranked AS (
 )
 SELECT query_id::BIGINT AS query_id, pos::BIGINT AS pos, term, distance, df
 FROM ranked WHERE pos <= 3 ORDER BY query_id, pos
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # match_phrase slop=2: adjacent token distance in [1, 3]
+        "phrase_slop": _PRELUDE
+        + """
+, nd AS (SELECT count(*) AS c FROM documents),
+phq AS (
+  SELECT q AS query_id, (q * 17) % c AS sel, q % 7 AS off
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+),
+phr AS (
+  SELECT p.query_id,
+         list_extract(string_split(d.text, ' '), 1 + p.off) AS t1,
+         list_extract(string_split(d.text, ' '), 2 + p.off) AS t2
+  FROM phq p JOIN documents d ON d.doc_id = p.sel
+),
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+)
+SELECT DISTINCT ph.query_id::BIGINT AS query_id, p1.doc_id::BIGINT AS doc_id
+FROM phr ph
+JOIN pos p1 ON p1.term = ph.t1
+JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = ph.t2
+WHERE p2.p - p1.p BETWEEN 1 AND 3
+ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
         # ES rescore: top-20 base window, combined = base·(1 + 2·[phrase])
         "rescore": _PRELUDE

@@ -83,6 +83,79 @@ def phrase_match(store: SegmentStore, text: str, tokenizer: str = "code") -> np.
     return np.unique(acc >> np.uint64(POS_BITS))
 
 
+def phrase_match_slop(
+    store: SegmentStore, text: str, slop: int = 0, tokenizer: str = "code"
+) -> np.ndarray:
+    """Ordered proximity phrase (ES ``match_phrase`` + ``slop``, chained-gap
+    semantics): doc D matches iff positions p₁ < p₂ < … < pₘ exist for the
+    phrase slots in order with every adjacent distance in
+    ``[Δ, Δ + slop]`` (Δ = the slots' exact offset difference), so
+    ``slop=0`` reduces EXACTLY to ``phrase_match`` (asserted in tests).
+
+    Vectorized chaining, no per-doc loop: slot j's occurrences are sorted
+    ``(doc << POS_BITS) | pos`` keys (terms sharing a slot intersect,
+    synonym-style); step j keeps occurrences whose best predecessor — the
+    largest viable key ≤ (doc, p - Δ), found with one ``searchsorted`` —
+    lands in the window and in the same doc.  Each step is O(n log n) in
+    the slot's occurrence count, exactly like the exact kernel.
+    """
+    pairs = tokenize_query_positions(text, tokenizer)
+    if not pairs:
+        return np.empty(0, dtype=np.uint64)
+    slots: dict[int, list[str]] = {}
+    for term, qpos in pairs:
+        slots.setdefault(qpos, []).append(term)
+    order = sorted(slots)
+
+    def slot_keys(terms: list[str]) -> np.ndarray:
+        sets = []
+        for term in terms:
+            docs, tfs, pos = store.postings_positions(term)
+            if len(docs) == 0:
+                return np.empty(0, dtype=np.uint64)
+            if int(docs.max()) > MAX_DOC or int(pos.max()) > MAX_POS:
+                raise ValueError("doc_id/position exceeds the phrase-key budget")
+            d = np.repeat(docs, tfs.astype(np.int64))
+            sets.append(np.unique((d << np.uint64(POS_BITS)) | pos))
+        sets.sort(key=len)
+        acc = sets[0]
+        for s in sets[1:]:
+            acc = acc[np.isin(acc, s, assume_unique=True)]
+        return acc
+
+    viable = slot_keys(slots[order[0]])
+    for j in range(1, len(order)):
+        if len(viable) == 0:
+            break
+        delta = order[j] - order[j - 1]
+        cur = slot_keys(slots[order[j]])
+        if len(cur) == 0:
+            viable = cur
+            break
+        pos_c = cur & np.uint64(MAX_POS)
+        doc_c = cur >> np.uint64(POS_BITS)
+        # target upper bound for the predecessor: (doc, p - delta); keys
+        # with p < delta can never chain
+        ok_range = pos_c >= np.uint64(delta)
+        target = (doc_c << np.uint64(POS_BITS)) | np.where(
+            ok_range, pos_c - np.uint64(delta), np.uint64(0)
+        )
+        idx = np.searchsorted(viable, target, side="right") - 1
+        has = idx >= 0
+        pred = viable[np.clip(idx, 0, None)]
+        pred_doc = pred >> np.uint64(POS_BITS)
+        pred_pos = pred & np.uint64(MAX_POS)
+        good = (
+            ok_range
+            & has
+            & (pred_doc == doc_c)
+            & (pred_pos + np.uint64(delta + slop) >= pos_c)
+            & (pred_pos < pos_c)
+        )
+        viable = cur[good]
+    return np.unique(viable >> np.uint64(POS_BITS))
+
+
 def phrase_topk(
     store: SegmentStore,
     text: str,

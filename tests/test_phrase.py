@@ -401,3 +401,53 @@ def test_rescore_promotes_phrase_matches_within_window(pos_index):
     if in_win_matches and len(got) == 10:
         best_match = min(ranks.get(d, 99) for d in in_win_matches)
         assert best_match < 10  # a matching doc made the page
+
+
+def test_phrase_slop_brute_force_and_slop0_equivalence(pos_index):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import (
+        phrase_match,
+        phrase_match_slop,
+    )
+
+    docs, store, _ = pos_index
+
+    def brute(phrase_toks, slop):
+        out = []
+        for d, text in enumerate(docs):
+            toks = text.split()
+            # chained-gap DP: viable end positions per slot
+            viable = [i for i, t in enumerate(toks) if t == phrase_toks[0]]
+            for w in phrase_toks[1:]:
+                nxt = []
+                for i, t in enumerate(toks):
+                    if t != w:
+                        continue
+                    if any(1 <= i - q <= 1 + slop for q in viable):
+                        nxt.append(i)
+                viable = nxt
+            if viable:
+                out.append(d)
+        return out
+
+    rng = random.Random(99)
+    for trial in range(25):
+        src = rng.randrange(len(docs))
+        toks = docs[src].split()
+        ln = rng.choice([2, 2, 3])
+        if len(toks) < ln:
+            continue
+        start = rng.randrange(len(toks) - ln + 1)
+        phrase = toks[start : start + ln]
+        slop = rng.choice([0, 1, 2])
+        got = phrase_match_slop(store, " ".join(phrase), slop=slop).tolist()
+        assert got == brute(phrase, slop), (phrase, slop)
+        if slop == 0:
+            assert got == phrase_match(store, " ".join(phrase)).tolist()
+
+    # widening slop only grows the match set
+    phrase = " ".join(docs[0].split()[:2])
+    prev: set[int] = set()
+    for slop in (0, 1, 3, 8):
+        cur = set(phrase_match_slop(store, phrase, slop=slop).tolist())
+        assert prev <= cur
+        prev = cur
