@@ -131,12 +131,17 @@ def cmd_match(args: argparse.Namespace) -> int:
         for r, (d, s) in enumerate(top, start=1):
             print(f"{r:3d}  {s:10.4f}  doc {d}")
         return 0
-    fn = {
-        "phrase": phrase_match,
-        "prefix": prefix_match,
-        "wildcard": wildcard_match,
-    }[args.mode]
-    docs = fn(store, args.q)
+    if args.mode == "phrase-slop":
+        from .pipelines.phrase import phrase_match_slop
+
+        docs = phrase_match_slop(store, args.q, slop=args.slop)
+    else:
+        fn = {
+            "phrase": phrase_match,
+            "prefix": prefix_match,
+            "wildcard": wildcard_match,
+        }[args.mode]
+        docs = fn(store, args.q)
     print(json.dumps({"n": int(len(docs)), "doc_ids": docs[: args.k].tolist()}))
     return 0
 
@@ -300,8 +305,11 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--index", required=True)
     m.add_argument("--q", required=True, help="phrase text / prefix / glob pattern")
     m.add_argument(
-        "--mode", choices=("phrase", "phrase-topk", "prefix", "wildcard"), default="phrase"
+        "--mode",
+        choices=("phrase", "phrase-topk", "prefix", "wildcard", "phrase-slop"),
+        default="phrase",
     )
+    m.add_argument("--slop", type=int, default=0, help="phrase-slop: max extra gap")
     m.add_argument("-k", type=int, default=10, help="docs to print (phrase-topk: top-k)")
     m.set_defaults(fn=cmd_match)
 

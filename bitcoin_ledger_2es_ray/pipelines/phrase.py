@@ -293,8 +293,9 @@ class MatchScorer:
     """Actor-pool batch matcher: (query_id, text) rows in → MATCHES rows out.
 
     ``mode`` picks the operator: ``phrase`` / ``phrase_topk`` / ``prefix`` /
-    ``wildcard`` / ``fuzzy``.  The store (term dict, lazy shards, decoded caches) loads
-    once per actor (__init__), batches stream through __call__.
+    ``wildcard`` / ``fuzzy`` / ``phrase_slop``.  The store (term dict, lazy
+    shards, decoded caches) loads once per actor (__init__), batches stream
+    through __call__.
     """
 
     def __init__(
@@ -304,12 +305,14 @@ class MatchScorer:
         k: int = 10,
         round_decimals: int | None = None,
         tokenizer: str = "code",
+        slop: int = 0,
     ):
         self.store = SegmentStore(index_dir)
         self.mode = mode
         self.k = k
         self.round_decimals = round_decimals
         self.tokenizer = tokenizer
+        self.slop = slop
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "phrase_topk":
@@ -337,6 +340,9 @@ class MatchScorer:
             "prefix": lambda t: prefix_match(self.store, t),
             "wildcard": lambda t: wildcard_match(self.store, t),
             "fuzzy": lambda t: fuzzy_match(self.store, t, max_dist=1),
+            "phrase_slop": lambda t: phrase_match_slop(
+                self.store, t, self.slop, self.tokenizer
+            ),
         }[self.mode]
         qids_l, docs_l = [], []
         for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
@@ -363,6 +369,7 @@ def run_match_queries(
     k: int = 10,
     round_decimals: int | None = None,
     tokenizer: str = "code",
+    slop: int = 0,
 ):
     """Distribute a (query_id, text) set over a MatchScorer pool → Dataset.
 
@@ -379,6 +386,7 @@ def run_match_queries(
             "k": k,
             "round_decimals": round_decimals,
             "tokenizer": tokenizer,
+            "slop": slop,
         },
         batch_size=max(1, -(-queries.num_rows // max(1, concurrency))),
         batch_format="pyarrow",
