@@ -175,15 +175,16 @@ def composite_agg(
     is stateless exactly like ``search_after``).
 
     Shape: the same partial-bucket stream as terms/histogram (per-batch
-    (lang, bucket) counts out of the forward map, mergeable combine);
-    the driver sorts the combined bucket table (bounded by #langs ×
-    #buckets) and applies the strict-after cursor.  Returns
-    (lang, bucket, doc_count) rows of ONE page.
+    (lang, bucket) counts out of the forward map, mergeable), combined on
+    the driver with one Arrow group_by — the partials are tiny (#langs ×
+    #buckets per batch), so a Ray shuffle would cost more than the data.
+    The driver sorts the combined bucket table and applies the
+    strict-after cursor.  Returns (lang, bucket, doc_count) rows of ONE
+    page.
     """
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     if interval <= 0:
         raise ValueError("interval must be positive")
@@ -197,17 +198,18 @@ def composite_agg(
             ["lang", "bucket", "n"]
         )
 
-    ds = (
-        rd.read_parquet(
-            os.path.join(index_dir, "forward_map"), columns=["lang", "dl"]
-        )
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["lang", "bucket"])
-        .aggregate(Sum("n", alias_name="doc_count"))
-    )
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["lang", "dl"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     parts = [ray.get(r) for r in ds.to_arrow_refs()]
-    t = pa.concat_tables([p for p in parts if p.num_rows]).sort_by(
-        [("lang", "ascending"), ("bucket", "ascending")]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    t = (
+        cat.group_by(["lang", "bucket"])
+        .aggregate([("n", "sum")])
+        .select(["lang", "bucket", "n_sum"])
+        .rename_columns(["lang", "bucket", "doc_count"])
+        .sort_by([("lang", "ascending"), ("bucket", "ascending")])
     )
     rows = list(
         zip(
@@ -244,13 +246,14 @@ def percentiles_agg(
     ES itself answers this with a t-digest because arbitrary double fields
     have unbounded cardinality; over a bounded-cardinality field the exact
     value-counts plan is the same wire shape (tiny mergeable partials) with
-    no approximation, so it is the better trade here.  Returns one row per
-    quantile: (q, value).
+    no approximation, so it is the better trade here.  The combine runs on
+    the driver (one Arrow group_by — partials are bounded by #distinct dl
+    per batch, far too small to justify a Ray shuffle).  Returns one row
+    per quantile: (q, value).
     """
     import numpy as np
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from ..functions.bm25 import sql_round
 
@@ -260,14 +263,18 @@ def percentiles_agg(
             {"dl": g["dl"], "n": g["dl_count"].cast(pa.int64())}
         )
 
-    ds = (
-        rd.read_parquet(os.path.join(index_dir, "forward_map"), columns=["dl"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("dl")
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["dl"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     parts = [ray.get(r) for r in ds.to_arrow_refs()]
-    t = pa.concat_tables([p for p in parts if p.num_rows])
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    t = (
+        cat.group_by("dl")
+        .aggregate([("n", "sum")])
+        .select(["dl", "n_sum"])
+        .rename_columns(["dl", "n"])
+    )
     vals = np.asarray(t["dl"].combine_chunks(), dtype=np.float64)
     cnts = np.asarray(t["n"].combine_chunks(), dtype=np.int64)
     order = np.argsort(vals)

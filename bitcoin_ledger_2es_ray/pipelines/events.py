@@ -83,14 +83,15 @@ def date_histogram_stats(sf_dir: str, interval_s: int = 86400) -> pa.Table:
     """ES ``date_histogram`` (fixed interval, UTC) with a ``stats``
     sub-aggregation on ``value``: per bucket, doc_count + min/max/sum/avg.
 
-    Same pre-aggregation shape as ``tumbling_window``: per-batch partial
-    (count, min, max, sum) rows — one per bucket per batch — then a small
-    groupby combines partials (Sum/Min/Max are all mergeable); avg derives
-    from the combined sum/count on the driver.  The shuffle moves
-    O(#buckets × #blocks) partial rows, never events.
+    Same pre-aggregation shape as ``tumbling_window``'s map side, but the
+    combine happens on the DRIVER (one Arrow group_by over the concatenated
+    partials): with O(#buckets × #blocks) tiny partial rows a Ray groupby
+    would spend more on its all-to-all machinery than the data is worth —
+    unlike tumbling_window, whose (user, window) key space is large enough
+    to need the shuffle.  Sum/Min/Max are mergeable so the combine is
+    exact; avg derives from the combined sum/count.
     """
     import ray
-    from ray.data.aggregate import Max, Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         epoch = pc.divide(batch["ts"].cast(pa.int64()), 1_000_000)
@@ -112,14 +113,15 @@ def date_histogram_stats(sf_dir: str, interval_s: int = 86400) -> pa.Table:
     ds = _read_events(sf_dir, ["ts", "value"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    final = ds.groupby("bucket_s").aggregate(
-        Sum("n", alias_name="doc_count"),
-        Min("mn", alias_name="min_value"),
-        Max("mx", alias_name="max_value"),
-        Sum("sm", alias_name="sum_value"),
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    g = cat.group_by("bucket_s").aggregate(
+        [("n", "sum"), ("mn", "min"), ("mx", "max"), ("sm", "sum")]
     )
-    parts = [ray.get(r) for r in final.to_arrow_refs()]
-    t = pa.concat_tables([p for p in parts if p.num_rows])
+    t = g.select(["bucket_s", "n_sum", "mn_min", "mx_max", "sm_sum"]).rename_columns(
+        ["bucket_s", "doc_count", "min_value", "max_value", "sum_value"]
+    )
     n = np.asarray(t["doc_count"], dtype=np.float64)
     sm = np.asarray(t["sum_value"], dtype=np.float64)
     return pa.table(
