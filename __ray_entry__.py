@@ -921,6 +921,51 @@ def _q_collapse_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_rrf_hybrid(sf_dir: str) -> pa.Table:
+    """ES 8.x hybrid retrieval with Reciprocal Rank Fusion: the BM25
+    fixture ranking (top-20) and the exact-cosine kNN ranking (query
+    vector = embedding row q, top-20) fuse as score = Σ 1/(60 + rank)
+    over the legs that ranked the doc; top-10 by (score DESC, doc ASC).
+    Lexical and vector ids share the 0..N-1 space (FIXTURES.md)."""
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round as _sr
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_bruteforce
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+
+    K_LEG, RRF_K = 20, 60
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    contrib: dict[tuple[int, int], float] = {}
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        for r, (d, _s) in enumerate(
+            score_query(store, text, K_LEG, round_decimals=_ROUND), start=1
+        ):
+            contrib[(qid, d)] = contrib.get((qid, d), 0.0) + 1.0 / (RRF_K + r)
+    knn = knn_bruteforce(sf_dir, n_queries=_N_QUERIES, k=K_LEG)
+    for q, r, v in zip(
+        knn["query_id"].to_pylist(), knn["rank"].to_pylist(), knn["vec_id"].to_pylist()
+    ):
+        contrib[(q, v)] = contrib.get((q, v), 0.0) + 1.0 / (RRF_K + r)
+    fused: dict[int, list[tuple[int, float]]] = {}
+    for (q, d), c in contrib.items():
+        fused.setdefault(q, []).append((d, float(_sr(c, _ROUND))))
+    qids, ranks, docs, scores = [], [], [], []
+    for q in sorted(fused):
+        rows = sorted(fused[q], key=lambda r: (-r[1], r[0]))[:_TOP_K]
+        for rank, (d, c) in enumerate(rows, start=1):
+            qids.append(q)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(c)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_lang_counts(sf_dir: str) -> pa.Table:
     """M6 language filter/projection: doc counts per lang from the engine's
     forward map, via a Ray Data groupby aggregate."""
@@ -1142,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_score_topk": _q_function_score_topk,
         "explain": _q_explain,
         "collapse_topk": _q_collapse_topk,
+        "rrf_hybrid": _q_rrf_hybrid,
         "lang_counts": _q_lang_counts,
         "update_lang_counts": _q_update_lang_counts,
         # training-data operators
@@ -1471,6 +1517,60 @@ JOIN dl ON dl.doc_id = tg.doc_id
 CROSS JOIN stats s
 ORDER BY query_id, qt.term
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # RRF hybrid: BM25 top-20 ∪ cosine-kNN top-20, score = Σ 1/(60+rank)
+        "rrf_hybrid": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+bmr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS r
+  FROM scored
+),
+qv AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nq}),
+ksc AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(qv.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+           AS sim
+  FROM qv CROSS JOIN embeddings e
+),
+knr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id ASC) AS r
+  FROM ksc
+),
+legs AS (
+  SELECT query_id, doc_id, 1.0 / (60 + r) AS c FROM bmr WHERE r <= 20
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + r) AS c FROM knr WHERE r <= 20
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS score
+  FROM legs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM fused
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq}", str(_N_QUERIES)).replace("{k}", str(_TOP_K)),
         # field collapse on repo ('org'||d%7||'/repo'||d%20, FIXTURES §B):
         # one best doc per repo, groups ranked by representative
         "collapse_topk": _PRELUDE

@@ -575,3 +575,30 @@ def test_composite_agg_pages_tile(built, ray_session):
         after = (p["lang"][-1].as_py(), p["bucket"][-1].as_py())
     tiled = pa.concat_tables(pages)
     assert tiled.to_pandas().values.tolist() == full.to_pandas().values.tolist()
+
+
+def test_rrf_hybrid_fuses_both_legs(ray_session):
+    """RRF sanity on the driver query at sf0.001: every fused doc's score
+    decomposes into 1/(60+r) terms from the legs that ranked it, and a doc
+    ranked by BOTH legs outranks one ranked by a single leg at equal
+    positions."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    out = e.queries()["rrf_hybrid"]("/root/testdata/sf0.001").to_pandas()
+    assert set(out.columns) == {"query_id", "rank", "doc_id", "score"}
+    assert (out.groupby("query_id")["rank"].max() <= 10).all()
+    # scores are sums of one or two reciprocal-rank terms
+    singles = {round(1.0 / (60 + r), 6) for r in range(1, 21)}
+    pair_max = round(2.0 / 61, 6)
+    for s in out["score"]:
+        assert 0 < s <= pair_max
+        one_leg = round(s, 6) in singles
+        two_leg = any(
+            abs(s - (1.0 / (60 + a) + 1.0 / (60 + b))) < 2e-6
+            for a in range(1, 21)
+            for b in range(1, 21)
+        )
+        assert one_leg or two_leg, s
