@@ -544,6 +544,33 @@ def _q_rescore(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_completion_suggest(sf_dir: str) -> pa.Table:
+    """ES completion suggester: top-5 dictionary completions of the first
+    3 chars of vocab term (11q+3) mod |V|, ranked (df DESC, term ASC)."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import completion_suggest
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    qids, poss, terms, dfs = [], [], [], []
+    for q in range(_N_QUERIES):
+        prefix = vocab[(11 * q + 3) % len(vocab)][:3]
+        for pos, (term, df) in enumerate(
+            completion_suggest(store, prefix, k=5), start=1
+        ):
+            qids.append(q)
+            poss.append(pos)
+            terms.append(term)
+            dfs.append(df)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "pos": pa.array(poss, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array(dfs, type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("pos", "ascending")])
+
+
 def _q_terms_agg(sf_dir: str) -> pa.Table:
     """ES ``terms`` aggregation: per-query AND-hit counts bucketed by lang —
     partial buckets inside map_batches over the forward map, driver combine
@@ -1168,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_match": _q_prefix_match,
         "fuzzy_match": _q_fuzzy_match,
         "term_suggest": _q_term_suggest,
+        "completion_suggest": _q_completion_suggest,
         "rescore": _q_rescore,
         "phrase_slop": _q_phrase_slop,
         "terms_agg": _q_terms_agg,
@@ -1729,6 +1757,27 @@ ranked AS (
 )
 SELECT query_id::BIGINT AS query_id, pos::BIGINT AS pos, term, distance, df
 FROM ranked WHERE pos <= 3 ORDER BY query_id, pos
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # completion suggester: top-5 prefix completions by (df DESC, term)
+        "completion_suggest": _PRELUDE
+        + """
+, cq AS (
+  SELECT q AS query_id, substr(v.term, 1, 3) AS p
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (11 * q + 3) % nv.c
+),
+cand AS (
+  SELECT cq.query_id, d.term, d.df::BIGINT AS df
+  FROM cq JOIN df d ON starts_with(d.term, cq.p)
+),
+ranked AS (
+  SELECT query_id, term, df,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY df DESC, term ASC) AS pos
+  FROM cand
+)
+SELECT query_id::BIGINT AS query_id, pos::BIGINT AS pos, term, df
+FROM ranked WHERE pos <= 5 ORDER BY query_id, pos
 """.replace("{nq1}", str(_N_QUERIES - 1)),
         # match_phrase slop=2: adjacent token distance in [1, 3]
         "phrase_slop": _PRELUDE

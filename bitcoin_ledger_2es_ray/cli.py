@@ -211,6 +211,13 @@ def cmd_explain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stats(args: argparse.Namespace) -> int:
+    from .pipelines.lifecycle import index_stats
+
+    print(json.dumps(index_stats(args.index)))
+    return 0
+
+
 def cmd_snapshot(args: argparse.Namespace) -> int:
     from .pipelines.lifecycle import restore_index, snapshot_index
 
@@ -358,6 +365,10 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--q", required=True, help="query text")
     ex.add_argument("--doc", required=True, type=int, help="doc_id to explain")
     ex.set_defaults(fn=cmd_explain)
+
+    st = sub.add_parser("stats", help="index stats: sizes, counts, tombstones")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     sn = sub.add_parser(
         "snapshot", help="checksum-manifested snapshot (--restore to restore)"

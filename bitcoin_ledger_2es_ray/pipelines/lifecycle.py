@@ -74,6 +74,42 @@ def delete_by_query(index_dir: str, expr) -> int:
     return int(len(merged))
 
 
+def index_stats(index_dir: str) -> dict:
+    """ES ``_stats``/``_segments`` analog: corpus stats + per-artifact
+    sizes and segment counts, read from the stats artifact and the
+    filesystem (no data scan)."""
+
+    def _dir_bytes(sub: str) -> tuple[int, int]:
+        d = os.path.join(index_dir, sub)
+        if not os.path.isdir(d):
+            return 0, 0
+        names = [n for n in os.listdir(d) if n.endswith(".parquet")]
+        return len(names), sum(os.path.getsize(os.path.join(d, n)) for n in names)
+
+    st = pq.read_table(os.path.join(index_dir, "stats.parquet"))
+    n_seg, seg_bytes = _dir_bytes("segments")
+    n_post, post_bytes = _dir_bytes("postings")
+    n_fwd, fwd_bytes = _dir_bytes("forward_map")
+    tombs = load_tombstones(index_dir)
+    return {
+        "n_docs": int(st["n_docs"][0].as_py()),
+        "n_terms": int(st["n_terms"][0].as_py()),
+        "avgdl": float(st["avgdl"][0].as_py()),
+        "n_segments": n_seg,
+        "segment_bytes": seg_bytes,
+        "n_posting_parts": n_post,
+        "posting_bytes": post_bytes,
+        "n_forward_parts": n_fwd,
+        "forward_bytes": fwd_bytes,
+        "n_tombstones": 0 if tombs is None else int(len(tombs)),
+        "term_dict_bytes": (
+            os.path.getsize(os.path.join(index_dir, "term_dict.parquet"))
+            if os.path.exists(os.path.join(index_dir, "term_dict.parquet"))
+            else 0
+        ),
+    }
+
+
 def snapshot_index(index_dir: str, snap_dir: str) -> dict:
     """ES snapshot analog: copy the index's parquet artifacts plus a
     checksum manifest (``SNAPSHOT.json``) so a later restore can verify

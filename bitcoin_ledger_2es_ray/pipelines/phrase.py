@@ -289,6 +289,19 @@ def rescore_topk(
     return rescored[:k]
 
 
+def completion_suggest(
+    store: SegmentStore, prefix: str, k: int = 5
+) -> list[tuple[str, int]]:
+    """ES completion suggester (simplified to the dictionary): the ``k``
+    indexed terms with the given prefix, ranked by popularity
+    (df DESC, term ASC) — the same footer-pruned dictionary range scan as
+    the prefix query, so cost tracks the match count."""
+    terms = store.td.terms_with_prefix(prefix)
+    dfs = [store.td.df_of(t) for t in terms]
+    order = sorted(range(len(terms)), key=lambda i: (-dfs[i], terms[i]))
+    return [(terms[i], int(dfs[i])) for i in order[:k]]
+
+
 class MatchScorer:
     """Actor-pool batch matcher: (query_id, text) rows in → MATCHES rows out.
 

@@ -602,3 +602,20 @@ def test_rrf_hybrid_fuses_both_legs(ray_session):
             for b in range(1, 21)
         )
         assert one_leg or two_leg, s
+
+
+def test_completion_suggest_ranks_by_df(built):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import completion_suggest
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    t = vocab[0]
+    out = completion_suggest(store, t[:2], k=10)
+    want = sorted(
+        ((u, store.df[u]) for u in vocab if u.startswith(t[:2])),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    assert out == want
+    assert completion_suggest(store, "zzzzzz", k=3) == []

@@ -303,3 +303,15 @@ def test_snapshot_restore_roundtrip_and_corruption(idx_copy, tmp_path):
     with pytest.raises(ValueError, match="corruption"):
         restore_index(snap, dest2)
     assert not os.path.exists(os.path.join(dest2, "segments"))
+
+
+def test_index_stats_reports_counts_and_tombstones(idx_copy):
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import index_stats
+
+    st = index_stats(idx_copy)
+    assert st["n_docs"] == 500 and st["n_terms"] > 0
+    assert st["n_segments"] > 0 and st["segment_bytes"] > 0
+    assert st["term_dict_bytes"] > 0
+    assert st["n_tombstones"] == 0
+    n = delete_by_query(idx_copy, pc.field("lang") == "de")
+    assert index_stats(idx_copy)["n_tombstones"] == n
