@@ -590,6 +590,15 @@ def _q_histogram_agg(sf_dir: str) -> pa.Table:
     return histogram_agg(res.out_dir, _q_boolean_and(sf_dir), interval=16)
 
 
+def _q_terms_stats_agg(sf_dir: str) -> pa.Table:
+    """ES sub-aggregation: terms bucket (lang) × stats metric (dl) over the
+    AND-hit sets — mergeable partials, driver combine."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import terms_stats_agg
+
+    _, res = _store_for(sf_dir)
+    return terms_stats_agg(res.out_dir, _q_boolean_and(sf_dir), field="lang")
+
+
 def _q_sig_terms(sf_dir: str) -> pa.Table:
     """ES ``significant_terms``: per-query AND-hit foregrounds vs the corpus
     background, JLH-scored, top-10 positively-significant terms — the hit
@@ -1201,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_agg": _q_terms_agg,
         "histogram_agg": _q_histogram_agg,
         "sig_terms": _q_sig_terms,
+        "terms_stats": _q_terms_stats_agg,
         "composite_page2": _q_composite_page2,
         "percentiles": _q_percentiles,
         "distinct_counts": _q_distinct_counts,
@@ -1879,6 +1889,30 @@ anded AS (
 )
 SELECT a.query_id::BIGINT AS query_id, d.lang, count(*)::BIGINT AS doc_count
 FROM anded a JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # terms bucket × stats(dl) sub-agg over the AND-hit sets
+        "terms_stats": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+)
+SELECT a.query_id::BIGINT AS query_id, d.lang,
+       count(*)::BIGINT AS doc_count,
+       min(dl.dl)::BIGINT AS min_dl,
+       max(dl.dl)::BIGINT AS max_dl,
+       sum(dl.dl)::BIGINT AS sum_dl,
+       round(sum(dl.dl) / count(*), 6) AS avg_dl
+FROM anded a
+JOIN documents d USING (doc_id)
+JOIN dl USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # ES composite agg: 2nd 7-bucket page of (lang, dl//16*16) buckets

@@ -162,6 +162,98 @@ def cardinality_hll(
     return {"estimate": hll_estimate(regs), "registers": regs, "p": p}
 
 
+def terms_stats_agg(
+    index_dir: str, matches: pa.Table, field: str = "lang"
+) -> pa.Table:
+    """ES sub-aggregation composition: a ``terms`` bucket (per-query hits
+    bucketed by ``field``) with a nested ``stats`` metric over doc length —
+    per (query, bucket): doc_count + min/max/sum/avg(dl).
+
+    Same wire shape as the flat aggs: broadcast hit set, per-batch partial
+    (count, min, max, sum) rows out of the streamed forward map, driver
+    Arrow combine (all four partial metrics are mergeable; avg derives
+    after the combine).  dl is integral so count/min/max/sum are EXACT —
+    only avg needs the 6-dp rounding contract.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    if field not in AGG_FIELDS:
+        raise ValueError(f"terms_stats_agg field must be one of {AGG_FIELDS}")
+
+    m = matches.select(["query_id", "doc_id"])
+    m = m.set_column(
+        m.schema.get_field_index("doc_id"), "doc_id", m["doc_id"].cast(pa.uint64())
+    )
+    m_ref = ray.put(m)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hits = ray.get(m_ref)
+        j = batch.join(hits, keys="doc_id", join_type="inner")
+        if j.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    field: pa.array([], type=batch[field].type),
+                    "n": pa.array([], type=pa.int64()),
+                    "mn": pa.array([], type=pa.int64()),
+                    "mx": pa.array([], type=pa.int64()),
+                    "sm": pa.array([], type=pa.int64()),
+                }
+            )
+        j = j.set_column(
+            j.schema.get_field_index("dl"), "dl", j["dl"].cast(pa.int64())
+        )
+        g = j.group_by(["query_id", field]).aggregate(
+            [("dl", "count"), ("dl", "min"), ("dl", "max"), ("dl", "sum")]
+        )
+        return g.select(
+            ["query_id", field, "dl_count", "dl_min", "dl_max", "dl_sum"]
+        ).rename_columns(["query_id", field, "n", "mn", "mx", "sm"])
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["doc_id", field, "dl"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                field: pa.array([], type=pa.string()),
+                "doc_count": pa.array([], type=pa.int64()),
+                "min_dl": pa.array([], type=pa.int64()),
+                "max_dl": pa.array([], type=pa.int64()),
+                "sum_dl": pa.array([], type=pa.int64()),
+                "avg_dl": pa.array([], type=pa.float64()),
+            }
+        )
+    cat = pa.concat_tables(parts, promote_options="default")
+    g = cat.group_by(["query_id", field]).aggregate(
+        [("n", "sum"), ("mn", "min"), ("mx", "max"), ("sm", "sum")]
+    )
+    g = g.select(["query_id", field, "n_sum", "mn_min", "mx_max", "sm_sum"]).sort_by(
+        [("query_id", "ascending"), (field, "ascending")]
+    )
+    n = np.asarray(g["n_sum"], dtype=np.float64)
+    sm = np.asarray(g["sm_sum"], dtype=np.float64)
+    return pa.table(
+        {
+            "query_id": g["query_id"].cast(pa.int64()),
+            field: g[field],
+            "doc_count": g["n_sum"].cast(pa.int64()),
+            "min_dl": g["mn_min"].cast(pa.int64()),
+            "max_dl": g["mx_max"].cast(pa.int64()),
+            "sum_dl": g["sm_sum"].cast(pa.int64()),
+            "avg_dl": pa.array(sql_round(sm / n, 6)),
+        }
+    )
+
+
 def composite_agg(
     index_dir: str,
     interval: int = 16,

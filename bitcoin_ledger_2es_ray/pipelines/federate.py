@@ -110,3 +110,25 @@ class FederatedStore:
             np.concatenate(tfs_l),
             np.concatenate(dls_l),
         )
+
+    def postings_positions(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Positional postings across members (docBase-shifted doc ids) —
+        phrase / slop / rescore run unchanged over a federation of
+        positional indices."""
+        docs_l, tfs_l, pos_l = [], [], []
+        for s, base in zip(self.stores, self.doc_bases):
+            d, tf, p = s.postings_positions(term)
+            if len(d):
+                docs_l.append(d + np.uint64(base))
+                tfs_l.append(tf)
+                pos_l.append(p)
+        if not docs_l:
+            e = np.empty(0, dtype=np.uint64)
+            return e, e.astype(np.uint32), e
+        return (
+            np.concatenate(docs_l),
+            np.concatenate(tfs_l),
+            np.concatenate(pos_l),
+        )

@@ -619,3 +619,28 @@ def test_completion_suggest_ranks_by_df(built):
     )[:10]
     assert out == want
     assert completion_suggest(store, "zzzzzz", k=3) == []
+
+
+def test_terms_stats_agg_matches_pandas(hitset, ray_session):
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.aggs import terms_stats_agg
+
+    matches, docs, res = hitset
+    got = terms_stats_agg(res.out_dir, matches, field="lang").to_pandas()
+    langs = docs["lang"].to_pylist()
+    dls = [len(t.split(" ")) for t in docs["content"].to_pylist()]
+    agg: dict[tuple[int, str], list[int]] = {}
+    for q, d in zip(matches["query_id"].to_pylist(), matches["doc_id"].to_pylist()):
+        agg.setdefault((q, langs[d]), []).append(dls[d])
+    got_d = {
+        (q, l): (c, mn, mx, sm, av)
+        for q, l, c, mn, mx, sm, av in zip(
+            got["query_id"], got["lang"], got["doc_count"],
+            got["min_dl"], got["max_dl"], got["sum_dl"], got["avg_dl"],
+        )
+    }
+    assert set(got_d) == set(agg)
+    for key, vals in agg.items():
+        c, mn, mx, sm, av = got_d[key]
+        assert (c, mn, mx, sm) == (len(vals), min(vals), max(vals), sum(vals))
+        assert av == pytest.approx(float(sql_round(sum(vals) / len(vals), 6)), abs=1e-9)

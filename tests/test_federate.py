@@ -108,3 +108,77 @@ def test_federation_refuses_tombstoned_members(federation, tmp_path):
     delete_by_query(dirty, pc.field("lang") == "de")
     with pytest.raises(ValueError, match="compact"):
         FederatedStore([dirty])
+
+
+def test_federated_phrase_and_slop_match_union(ray_session, tmp_path):
+    """Phrase / sloppy-phrase over a federation of POSITIONAL member
+    indices equals the union positional index."""
+    import random
+
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.pipelines.phrase import (
+        phrase_match,
+        phrase_match_slop,
+    )
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25)))
+        for _ in range(80)
+    ]
+
+    def write(dirname, lo, hi):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "repo": ["r"] * (hi - lo),
+                    "path": [f"p{i}" for i in range(lo, hi)],
+                    "commit": ["c"] * (hi - lo),
+                    "lang": ["en"] * (hi - lo),
+                    "content": docs[lo:hi],
+                }
+            ),
+            str(d / "c.parquet"),
+            row_group_size=32,
+        )
+        return str(d)
+
+    def build(corpus, out):
+        cfg = _cfg(corpus, out)
+        cfg.with_positions = True
+        return build_index(cfg)
+
+    union_dir = tmp_path / "union_corpus"
+    union_dir.mkdir()
+    a = write("ca", 0, 30)
+    b = write("cb", 30, 80)
+    import os
+
+    os.link(os.path.join(a, "c.parquet"), str(union_dir / "a.parquet"))
+    os.link(os.path.join(b, "c.parquet"), str(union_dir / "b.parquet"))
+    # NOTE: union corpus must order a's docs before b's — file names sort a<b
+
+    union = build(str(union_dir), tmp_path / "u")
+    m1 = build(a, tmp_path / "m1")
+    m2 = build(b, tmp_path / "m2")
+    single = SegmentStore(union.out_dir)
+    fed = FederatedStore([m1.out_dir, m2.out_dir])
+
+    for trial in range(15):
+        src = rng.randrange(len(docs))
+        toks = docs[src].split()
+        start = rng.randrange(max(1, len(toks) - 2))
+        phrase = " ".join(toks[start : start + 2])
+        assert (
+            phrase_match(fed, phrase).tolist()
+            == phrase_match(single, phrase).tolist()
+        ), phrase
+        for slop in (0, 2):
+            assert (
+                phrase_match_slop(fed, phrase, slop=slop).tolist()
+                == phrase_match_slop(single, phrase, slop=slop).tolist()
+            ), (phrase, slop)
