@@ -341,6 +341,7 @@ class CompactResult:
     n_docs: int
     n_deleted: int
     n_terms: int
+    skipped_shards: int = 0
 
 
 def compact_index(index_dir: str, out_dir: str, concurrency: int = 8) -> CompactResult:
@@ -351,6 +352,12 @@ def compact_index(index_dir: str, out_dir: str, concurrency: int = 8) -> Compact
     streams through Ray Data (nothing corpus-sized lands on the driver);
     driver work is the dictionary-run merge (bounded memory, same code as
     the build's finalize) + the shard task bookkeeping.
+
+    RESUMABLE: shard outputs are atomic (tmp→rename), so an interrupted
+    compaction re-run skips every shard whose segment AND dictionary run
+    already exist — same checkpoint-is-the-output discipline as the build.
+    (A shard that compacted to empty leaves no file and is re-derived —
+    idempotent and cheap.)
     """
     import ray
 
@@ -378,9 +385,17 @@ def compact_index(index_dir: str, out_dir: str, concurrency: int = 8) -> Compact
             sid,
         )
 
-    # bounded in-flight submission (a 10^12-doc index has many shards)
+    # bounded in-flight submission (a 10^12-doc index has many shards);
+    # resume: skip shards whose outputs are already committed
     pending, run_paths = [], []
+    skipped = 0
     for name in shard_files:
+        seg_out = os.path.join(out_dir, "segments", name)
+        run_out = os.path.join(out_dir, "term_dict_parts", name)
+        if os.path.exists(seg_out) and os.path.exists(run_out):
+            run_paths.append(run_out)
+            skipped += 1
+            continue
         pending.append(_task.remote(name))
         if len(pending) >= concurrency * 2:
             done, pending = ray.wait(pending, num_returns=1)
@@ -444,4 +459,5 @@ def compact_index(index_dir: str, out_dir: str, concurrency: int = 8) -> Compact
         n_docs=n_docs,
         n_deleted=int(len(tombs)),
         n_terms=int(n_terms),
+        skipped_shards=skipped,
     )

@@ -315,3 +315,36 @@ def test_index_stats_reports_counts_and_tombstones(idx_copy):
     assert st["n_tombstones"] == 0
     n = delete_by_query(idx_copy, pc.field("lang") == "de")
     assert index_stats(idx_copy)["n_tombstones"] == n
+
+
+def test_compact_resume_skips_committed_shards(ray_session, idx_copy, tmp_path):
+    import json
+
+    delete_by_query(idx_copy, pc.field("lang") == "de")
+    out = str(tmp_path / "c")
+    r1 = compact_index(idx_copy, out)
+    assert r1.skipped_shards == 0
+    before = _seg_hashes(out)
+    td_before = hashlib.sha256(
+        (Path(out) / "term_dict.parquet").read_bytes()
+    ).hexdigest()
+
+    # interrupted-run simulation: drop TWO shard outputs, re-run
+    victims = sorted((Path(out) / "segments").glob("*.parquet"))[:2]
+    for v in victims:
+        (Path(out) / "term_dict_parts" / v.name).unlink()
+        v.unlink()
+    r2 = compact_index(idx_copy, out)
+    n_shards = len(_seg_hashes(out))
+    assert r2.skipped_shards == n_shards - 2  # only the victims re-ran
+    assert _seg_hashes(out) == before  # bit-identical repair
+    td_after = hashlib.sha256(
+        (Path(out) / "term_dict.parquet").read_bytes()
+    ).hexdigest()
+    assert td_after == td_before
+    assert (r2.n_docs, r2.n_terms) == (r1.n_docs, r1.n_terms)
+
+    # full re-run: everything skips
+    r3 = compact_index(idx_copy, out)
+    assert r3.skipped_shards == n_shards
+    assert _seg_hashes(out) == before
