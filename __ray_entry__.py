@@ -866,25 +866,22 @@ def _q_delete_query_topk(sf_dir: str) -> pa.Table:
 def _q_function_score_topk(sf_dir: str) -> pa.Table:
     """ES ``function_score`` (field_value_factor, modifier ln1p on dl,
     multiply boost_mode): fixture BM25 re-weighted by ln(1+dl), ranked on
-    the 6-dp-rounded final score."""
-    from bitcoin_ledger_2es_ray.pipelines.query import function_score_query
+    the 6-dp-rounded final score — over the distributed scorer pool
+    (``run_queries(scoring="function_score")``)."""
+    from bitcoin_ledger_2es_ray.pipelines.query import run_queries
 
-    store, _ = _store_for(sf_dir)
+    store, res = _store_for(sf_dir)
     queries = _fixture_queries(store)
-    qids, ranks, docs, scores = [], [], [], []
-    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
-        top = function_score_query(store, text, _TOP_K, round_decimals=_ROUND)
-        for r, (d, s) in enumerate(top, start=1):
-            qids.append(qid)
-            ranks.append(r)
-            docs.append(d)
-            scores.append(s)
+    rows = run_queries(
+        res.out_dir, queries, concurrency=4, round_decimals=_ROUND,
+        scoring="function_score",
+    ).take_all()
     return pa.table(
         {
-            "query_id": pa.array(qids, type=pa.int64()),
-            "rank": pa.array(ranks, type=pa.int64()),
-            "doc_id": pa.array(docs, type=pa.int64()),
-            "score": pa.array(scores, type=pa.float64()),
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "score": pa.array([r["score"] for r in rows], type=pa.float64()),
         }
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 

@@ -445,17 +445,29 @@ def search_after(
 
 
 class BM25Scorer:
-    """Actor-pool batch scorer: queries batch in → RESULTS rows out."""
+    """Actor-pool batch scorer: queries batch in → RESULTS rows out.
 
-    def __init__(self, index_dir: str, round_decimals: int | None = None):
+    ``scoring="function_score"`` swaps the per-query kernel for the ES
+    ``field_value_factor`` variant (BM25 × ln(1+dl)) — same pool shape,
+    same RESULTS schema."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        round_decimals: int | None = None,
+        scoring: str = "bm25",
+    ):
         self.store = SegmentStore(index_dir)
         self.round_decimals = round_decimals
+        self._fn = {"bm25": score_query, "function_score": function_score_query}[
+            scoring
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * batch.num_rows
         for qid, text, k in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist(), ks):
-            top = score_query(self.store, text, int(k), round_decimals=self.round_decimals)
+            top = self._fn(self.store, text, int(k), round_decimals=self.round_decimals)
             for r, (d, s) in enumerate(top, start=1):
                 qids.append(qid)
                 ranks.append(r)
@@ -477,6 +489,7 @@ def run_queries(
     queries: pa.Table,
     concurrency: int = 2,
     round_decimals: int | None = None,
+    scoring: str = "bm25",
 ):
     """Distribute a query set over a scorer actor pool → RESULTS Dataset.
 
@@ -489,7 +502,11 @@ def run_queries(
     ds = from_arrow_blocks(queries, concurrency)
     return ds.map_batches(
         BM25Scorer,
-        fn_constructor_kwargs={"index_dir": index_dir, "round_decimals": round_decimals},
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "round_decimals": round_decimals,
+            "scoring": scoring,
+        },
         batch_size=max(1, -(-queries.num_rows // max(1, concurrency))),
         batch_format="pyarrow",
         concurrency=concurrency,

@@ -644,3 +644,26 @@ def test_terms_stats_agg_matches_pandas(hitset, ray_session):
         c, mn, mx, sm, av = got_d[key]
         assert (c, mn, mx, sm) == (len(vals), min(vals), max(vals), sum(vals))
         assert av == pytest.approx(float(sql_round(sum(vals) / len(vals), 6)), abs=1e-9)
+
+
+def test_function_score_pool_equals_driver_loop(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        function_score_query,
+        run_queries,
+    )
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    queries = fixture_queries(sorted(store.df), n=12, k=10)
+    rows = run_queries(
+        res.out_dir, queries, concurrency=2, round_decimals=6,
+        scoring="function_score",
+    ).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        want = function_score_query(store, text, 10, round_decimals=6)
+        assert got.get(qid, []) == want, text
