@@ -348,3 +348,24 @@ def test_compact_resume_skips_committed_shards(ray_session, idx_copy, tmp_path):
     r3 = compact_index(idx_copy, out)
     assert r3.skipped_shards == n_shards
     assert _seg_hashes(out) == before
+
+
+def test_compact_after_deleting_everything(ray_session, idx_copy, tmp_path):
+    """Pathological but legal: every doc tombstoned → compaction produces a
+    valid EMPTY index (zero stats, readable artifacts, no crash)."""
+    import pyarrow as pa
+
+    fwd = pq.read_table(os.path.join(idx_copy, "forward_map"), columns=["lang"])
+    langs = sorted(set(fwd["lang"].to_pylist()))
+    n = delete_by_query(idx_copy, pc.field("lang").isin(pa.array(langs)))
+    assert n == fwd.num_rows
+
+    out = str(tmp_path / "empty")
+    res = compact_index(idx_copy, out)
+    assert res.n_docs == 0 and res.n_deleted == n
+
+    st = pq.read_table(os.path.join(out, "stats.parquet"))
+    assert st["n_docs"][0].as_py() == 0
+    assert st["avgdl"][0].as_py() == 0.0
+    # forward map artifact stays readable (empty schema-bearing part)
+    assert pq.read_table(os.path.join(out, "forward_map")).num_rows == 0
