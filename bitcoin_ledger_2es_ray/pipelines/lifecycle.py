@@ -213,6 +213,11 @@ def update_by_query(index_dir: str, expr, set_cols: dict[str, object]) -> int:
     Arrow projection, the update as vectorized ``if_else`` — → partitioned
     parquet in a sibling dir, then a directory swap).  Returns the matched
     row count (computed by a pushdown scan, bounded by the match size).
+
+    Crash safety: both swap states are COMPLETE directories — a crash
+    between the two renames leaves ``forward_map.old`` (the untouched
+    original) and ``forward_map.updating`` (the finished rewrite) on disk;
+    recovery is renaming either back into place, never a rebuild.
     """
     import shutil
 
