@@ -1056,6 +1056,15 @@ def _q_update_lang_counts(sf_dir: str) -> pa.Table:
 # training-data pipeline operators (dedup / similarity / text analysis)
 
 
+def _q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: docs sharing any word-3-gram with the
+    benchmark subset (doc_id % 17 == 0) — broadcast benchmark shingles,
+    streamed corpus flagging (pipelines/dedup.py)."""
+    from bitcoin_ledger_2es_ray.pipelines.dedup import decontaminate
+
+    return decontaminate(sf_dir, bench_mod=17, k=3)
+
+
 def _q_exact_dedup(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.dedup import exact_dedup
 
@@ -1227,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_lang_counts": _q_update_lang_counts,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
+        "decontaminate": _q_decontaminate,
         "jaccard_dups": _q_jaccard_dups,
         "minhash_dups": _q_minhash_dups,  # rows-only (probabilistic recall)
         "simhash": _q_simhash,  # rows-only (hash function not SQL-expressible)
@@ -2058,6 +2068,20 @@ FROM documents GROUP BY 1 ORDER BY lang
         "exact_dedup": """
 SELECT min(doc_id)::BIGINT AS rep_doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY text ORDER BY rep_doc_id
+""",
+        # decontamination: any shared 3-gram with the doc_id%17==0 benchmark
+        "decontaminate": """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM words
+)
+SELECT DISTINCT c.doc_id::BIGINT AS doc_id
+FROM sh c JOIN sh b ON b.s = c.s AND b.doc_id % 17 = 0
+WHERE c.doc_id % 17 <> 0
+ORDER BY doc_id
 """,
         "jaccard_dups": """
 WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -473,3 +473,67 @@ def _collect(ds) -> list[pa.Table]:
 
 def _as_table(t) -> pa.Table:
     return t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+
+
+def decontaminate(sf_dir: str, bench_mod: int = 17, k: int = 3) -> pa.Table:
+    """Benchmark decontamination (the GPT-3/Llama training-data step):
+    flag every corpus doc sharing ANY word-``k``-gram with the benchmark
+    set — here the docs with ``doc_id % bench_mod == 0``, standing in for
+    an external eval table (the plan is identical for one).
+
+    Shape for 100 TB: the BENCHMARK side is tiny (thousands of eval docs
+    vs trillions of corpus docs), so its distinct shingle hashes build in
+    one streamed pass, combine on the driver (bounded by benchmark
+    shingles), and broadcast once via ``ray.put``; the corpus then streams
+    through ``map_batches`` flagging docs with one vectorized ``np.isin``
+    + per-doc ``reduceat`` — no shuffle, no corpus-sized state anywhere.
+    Word hashes are content-based (blake2b via ``_word_hashes``), so
+    cross-batch shingle equality is exact up to a ~2^-64 collision rate.
+    Returns the sorted flagged doc_ids (benchmark docs excluded).
+    """
+    import ray
+
+    ds = _read_docs(sf_dir)
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        # doc_id % bench_mod == 0 via truncating int divide (no pc.mod)
+        keep = pc.equal(
+            pc.subtract(
+                batch["doc_id"],
+                pc.multiply(pc.divide(batch["doc_id"], bench_mod), bench_mod),
+            ),
+            pa.scalar(0, type=batch["doc_id"].type),
+        )
+        b = batch.filter(keep)
+        _, s, _ = _batch_shingles(b, k)
+        return pa.table({"sh": pa.array(np.unique(s), type=pa.uint64())})
+
+    parts = [ray.get(r) for r in ds.map_batches(
+        bench_shingles, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    bench = np.unique(
+        np.concatenate(
+            [np.asarray(p["sh"].combine_chunks(), dtype=np.uint64) for p in parts if p.num_rows]
+            or [np.empty(0, dtype=np.uint64)]
+        )
+    )
+    bench_ref = ray.put(bench)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        d, s, starts = _batch_shingles(batch, k)
+        if len(d) == 0 or len(bset) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        hit = np.isin(s, bset)
+        any_hit = np.maximum.reduceat(hit.astype(np.uint8), starts).astype(bool)
+        docs = d[starts][any_hit]
+        docs = docs[docs % np.uint64(bench_mod) != 0]  # benchmark rows excluded
+        return pa.table({"doc_id": pa.array(docs.astype(np.int64), type=pa.int64())})
+
+    parts = [ray.get(r) for r in ds.map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    out = pa.concat_tables([p for p in parts if p.num_rows])
+    return out.sort_by("doc_id")

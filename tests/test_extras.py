@@ -336,3 +336,25 @@ def test_curation_pipeline(ray_session):
         assert ranks == list(range(1, len(ranks) + 1))
         qs = [q for lg, q in zip(top["lang"].to_pylist(), top["quality"].to_pylist()) if lg == lang]
         assert qs == sorted(qs, reverse=True)
+
+
+def test_decontaminate_brute_force(ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.dedup import decontaminate
+
+    sf = "/root/testdata/sf0.001"
+    got = decontaminate(sf, bench_mod=17, k=3)["doc_id"].to_pylist()
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    sh = {}
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        w = t.split(" ")
+        sh[d] = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    bench = set()
+    for d, s in sh.items():
+        if d % 17 == 0:
+            bench |= s
+    want = sorted(d for d, s in sh.items() if d % 17 != 0 and s & bench)
+    assert got == want
+    assert all(d % 17 != 0 for d in got)  # benchmark rows never flagged
