@@ -954,6 +954,42 @@ def _q_collapse_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_top_hits(sf_dir: str) -> pa.Table:
+    """ES ``top_hits`` sub-agg: per (query, lang) bucket, the top-2 hits
+    by BM25 (score DESC, doc ASC)."""
+    import pyarrow.parquet as pqm
+
+    from bitcoin_ledger_2es_ray.pipelines.query import top_hits_agg
+
+    store, res = _store_for(sf_dir)
+    fwd = pqm.read_table(
+        os.path.join(res.out_dir, "forward_map"), columns=["doc_id", "lang"]
+    )
+    field_of = dict(zip(fwd["doc_id"].to_pylist(), fwd["lang"].to_pylist()))
+    queries = _fixture_queries(store)
+    qids, langs, hranks, docs, scores = [], [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        for lang, hr, d, s in top_hits_agg(
+            store, text, field_of, k_per_bucket=2, round_decimals=_ROUND
+        ):
+            qids.append(qid)
+            langs.append(lang)
+            hranks.append(hr)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "lang": pa.array(langs, type=pa.string()),
+            "hit_rank": pa.array(hranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by(
+        [("query_id", "ascending"), ("lang", "ascending"), ("hit_rank", "ascending")]
+    )
+
+
 def _q_rrf_hybrid(sf_dir: str) -> pa.Table:
     """ES 8.x hybrid retrieval with Reciprocal Rank Fusion: the BM25
     fixture ranking (top-20) and the exact-cosine kNN ranking (query
@@ -1232,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain": _q_explain,
         "collapse_topk": _q_collapse_topk,
         "rrf_hybrid": _q_rrf_hybrid,
+        "top_hits": _q_top_hits,
         "lang_counts": _q_lang_counts,
         "update_lang_counts": _q_update_lang_counts,
         # training-data operators
@@ -1562,6 +1599,30 @@ JOIN dl ON dl.doc_id = tg.doc_id
 CROSS JOIN stats s
 ORDER BY query_id, qt.term
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # top_hits sub-agg: top-2 hits per (query, lang) bucket
+        "top_hits": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT sc.query_id, d.lang, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id, d.lang
+                            ORDER BY sc.score DESC, sc.doc_id ASC) AS hit_rank
+  FROM scored sc JOIN documents d USING (doc_id)
+)
+SELECT query_id, lang, hit_rank::BIGINT AS hit_rank, doc_id, score
+FROM ranked WHERE hit_rank <= 2 ORDER BY query_id, lang, hit_rank
+""",
         # RRF hybrid: BM25 top-20 ∪ cosine-kNN top-20, score = Σ 1/(60+rank)
         "rrf_hybrid": _PRELUDE
         + """

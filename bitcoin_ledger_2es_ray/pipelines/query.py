@@ -408,6 +408,31 @@ def collapse_topk(
     return out
 
 
+def top_hits_agg(
+    store: SegmentStore,
+    text: str,
+    field_of: dict[int, str],
+    k_per_bucket: int = 2,
+    round_decimals: int | None = None,
+) -> list[tuple[str, int, int, float]]:
+    """ES ``top_hits`` sub-aggregation: within each bucket (the doc's
+    ``field`` value), the top ``k_per_bucket`` hits of the query by
+    (score DESC, doc ASC) → [(bucket, hit_rank, doc_id, score)] sorted by
+    (bucket, hit_rank).  One pass down the global ranking — each bucket's
+    hits surface in global rank order, which IS per-bucket rank order."""
+    full = score_query(store, text, k=store.n_docs, round_decimals=round_decimals)
+    counts: dict[str, int] = {}
+    out: list[tuple[str, int, int, float]] = []
+    for d, s in full:
+        f = field_of[d]
+        c = counts.get(f, 0)
+        if c < k_per_bucket:
+            out.append((f, c + 1, d, s))
+            counts[f] = c + 1
+    out.sort(key=lambda r: (r[0], r[1]))
+    return out
+
+
 def search_after(
     store: SegmentStore,
     text: str,

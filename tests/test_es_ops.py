@@ -667,3 +667,32 @@ def test_function_score_pool_equals_driver_loop(built, ray_session):
     for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
         want = function_score_query(store, text, 10, round_decimals=6)
         assert got.get(qid, []) == want, text
+
+
+def test_top_hits_agg_per_bucket(built):
+    import os
+
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        score_query,
+        top_hits_agg,
+    )
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    fwd = pq.read_table(
+        os.path.join(res.out_dir, "forward_map"), columns=["doc_id", "lang"]
+    )
+    field_of = dict(zip(fwd["doc_id"].to_pylist(), fwd["lang"].to_pylist()))
+    for t in fixture_queries(sorted(store.df), n=8, k=10)["text"].to_pylist():
+        got = top_hits_agg(store, t, field_of, k_per_bucket=2, round_decimals=6)
+        full = score_query(store, t, k=store.n_docs, round_decimals=6)
+        want = {}
+        for d, s in full:
+            want.setdefault(field_of[d], []).append((d, s))
+        expect = []
+        for lang in sorted(want):
+            for hr, (d, s) in enumerate(want[lang][:2], start=1):
+                expect.append((lang, hr, d, s))
+        assert got == expect, t
