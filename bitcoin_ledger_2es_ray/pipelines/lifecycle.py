@@ -146,7 +146,16 @@ def snapshot_index(index_dir: str, snap_dir: str) -> dict:
         live = False
     if live and len(files) > 1:
         sha_task = ray.remote(num_cpus=1)(_sha)
-        digests = ray.get([sha_task.remote(p) for p in files])
+        # bounded in-flight submission (an index can have millions of files)
+        digests = []
+        window = 64
+        refs: list = []
+        for p in files:
+            refs.append(sha_task.remote(p))
+            if len(refs) >= window:
+                digests.extend(ray.get(refs[: window // 2]))
+                refs = refs[window // 2 :]
+        digests.extend(ray.get(refs))
     else:
         digests = [_sha(p) for p in files]
 
