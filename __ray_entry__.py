@@ -796,6 +796,88 @@ def _q_sort_by_dl(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_regexp_match(sf_dir: str) -> pa.Table:
+    """ES ``regexp`` query: pattern q = first char + '.*' + last char of
+    vocab[(19q+3) mod |V|], anchored full-term match over the dictionary
+    (prefix-pruned range scan), matched terms' doc-sets unioned."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import regexp_match
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    qids, docs = [], []
+    for q in range(_N_QUERIES):
+        t = vocab[(19 * q + 3) % len(vocab)]
+        pattern = t[0] + ".*" + t[-1]
+        hits = regexp_match(store, pattern)
+        qids.extend([q] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+
+
+def _q_dis_max(sf_dir: str) -> pa.Table:
+    """ES ``dis_max``: each fixture query's sorted terms split into
+    even/odd sub-queries, combined per doc as max + 0.3·(sum − max),
+    ranked on the rounded score."""
+    from bitcoin_ledger_2es_ray.pipelines.query import tokenize_query
+    from bitcoin_ledger_2es_ray.pipelines.structured import dis_max_topk
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        terms = sorted(set(tokenize_query(text)))
+        texts = [t for t in (" ".join(terms[0::2]), " ".join(terms[1::2])) if t]
+        top = dis_max_topk(store, texts, _TOP_K, tie_breaker=0.3, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_boosting(sf_dir: str) -> pa.Table:
+    """ES ``boosting`` query: positive = the fixture query, negative term =
+    vocab[(11q+2) mod |V|], negative_boost 0.5 — negative matches demoted,
+    never excluded."""
+    from bitcoin_ledger_2es_ray.pipelines.structured import boosting_topk
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    vocab = sorted(store.df)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        neg = vocab[(11 * qid + 2) % len(vocab)]
+        top = boosting_topk(
+            store, text, neg, _TOP_K, negative_boost=0.5, round_decimals=_ROUND
+        )
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_highlight(sf_dir: str) -> pa.Table:
     """ES ``highlight`` (deterministic core): single term
     vocab[(17q+5) mod |V|] per query; per matching doc the first occurrence
@@ -1263,6 +1345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_topk": _q_range_topk,
         "sort_by_dl": _q_sort_by_dl,
         "highlight": _q_highlight,
+        "regexp_match": _q_regexp_match,
+        "dis_max": _q_dis_max,
+        "boosting": _q_boosting,
         "delete_query_topk": _q_delete_query_topk,
         "function_score_topk": _q_function_score_topk,
         "explain": _q_explain,
@@ -1792,6 +1877,93 @@ SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
        least(first_pos + 3, ndl - 1)::BIGINT AS snip_end
 FROM occ ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # regexp query: pattern q = first + '.*' + last char of
+        # vocab[(19q+3) mod |V|], anchored full-term match
+        "regexp_match": _PRELUDE
+        + """
+, rq AS (
+  SELECT q AS query_id,
+         substr(v.term, 1, 1) || '.*' || substr(v.term, len(v.term), 1) AS pat
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (19 * q + 3) % nv.c
+)
+SELECT DISTINCT rq.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
+FROM rq JOIN tf ON regexp_full_match(tf.term, rq.pat)
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # dis_max: sorted query terms split even/odd into two sub-queries,
+        # per-doc score = max(sub) + 0.3*(sum(sub) - max(sub))
+        "dis_max": _PRELUDE
+        + """
+, qsub AS (
+  SELECT query_id, term,
+         (row_number() OVER (PARTITION BY query_id ORDER BY term) - 1) % 2 AS sub
+  FROM (SELECT DISTINCT query_id, term FROM qterm)
+),
+subscore AS (
+  SELECT qs.query_id, qs.sub, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM qsub qs
+  JOIN df ON df.term = qs.term
+  JOIN tf ON tf.term = qs.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qs.query_id, qs.sub, tf.doc_id
+),
+combined AS (
+  SELECT query_id, doc_id,
+         round(max(sc) + 0.3 * (sum(sc) - max(sc)), 6) AS score
+  FROM subscore GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM combined
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
+        # boosting: positive = fixture query, negative term =
+        # vocab[(11q+2) mod |V|]; negative matches multiplied by 0.5
+        "boosting": _PRELUDE
+        + """
+, posscore AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+negq AS (
+  SELECT q AS query_id, v.term AS nterm
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (11 * q + 2) % nv.c
+),
+negdocs AS (
+  SELECT DISTINCT n.query_id, tf.doc_id
+  FROM negq n JOIN tf ON tf.term = n.nterm
+),
+final AS (
+  SELECT p.query_id, p.doc_id,
+         round(CASE WHEN nd.doc_id IS NOT NULL THEN p.sc * 0.5 ELSE p.sc END, 6) AS score
+  FROM posscore p
+  LEFT JOIN negdocs nd ON nd.query_id = p.query_id AND nd.doc_id = p.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM final
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
         # fuzzy query: qterm q = vocab[(11q+3) mod |V|] with char (q mod len)
         # deleted; match = any indexed term within Levenshtein distance 1
         # (DuckDB levenshtein == byte-level DP for this ASCII vocabulary).

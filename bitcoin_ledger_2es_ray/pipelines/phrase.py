@@ -206,6 +206,32 @@ def wildcard_match(store: SegmentStore, pattern: str) -> np.ndarray:
     return union_many([store.postings(t)[0] for t in terms])
 
 
+def regexp_match(store: SegmentStore, pattern: str) -> np.ndarray:
+    """Sorted unique doc_ids containing any term that FULLY matches the
+    regex (ES ``regexp`` query semantics: the pattern is anchored to the
+    whole term, not a substring search).
+
+    The literal prefix before the first regex metacharacter prunes the
+    dictionary range scan exactly like ``wildcard_match``; a pattern with
+    no literal prefix falls back to streaming the full dictionary through
+    ``TermDict.vocab()`` — O(vocabulary) compute but O(row group) memory,
+    the same stance Lucene takes when the regexp automaton has no common
+    prefix.  Patterns stay in the RE2-compatible subset (no backrefs) so
+    the DuckDB oracle (``regexp_full_match``) agrees.
+    """
+    meta = set(".?*+()[]{}|\\^$")
+    wc = min([i for i, ch in enumerate(pattern) if ch in meta] or [len(pattern)])
+    prefix = pattern[:wc]
+    if wc == len(pattern):  # no metacharacter — exact term
+        return np.unique(store.postings(pattern)[0])
+    rx = re.compile(pattern)
+    if prefix:
+        terms = [t for t in store.td.terms_with_prefix(prefix) if rx.fullmatch(t)]
+    else:
+        terms = [t for t in store.td.vocab() if rx.fullmatch(t)]
+    return union_many([store.postings(t)[0] for t in terms])
+
+
 def fuzzy_match(store: SegmentStore, term: str, max_dist: int = 1) -> np.ndarray:
     """Sorted unique doc_ids containing any indexed term within Levenshtein
     distance ``max_dist`` of ``term`` (ES ``fuzzy`` query analog).
@@ -352,6 +378,7 @@ class MatchScorer:
             "phrase": lambda t: phrase_match(self.store, t, self.tokenizer),
             "prefix": lambda t: prefix_match(self.store, t),
             "wildcard": lambda t: wildcard_match(self.store, t),
+            "regexp": lambda t: regexp_match(self.store, t),
             "fuzzy": lambda t: fuzzy_match(self.store, t, max_dist=1),
             "phrase_slop": lambda t: phrase_match_slop(
                 self.store, t, self.slop, self.tokenizer

@@ -104,6 +104,111 @@ def sort_by_field_topk(
     return [(int(docs[i]), int(dls[i])) for i in order]
 
 
+def _score_map(store: SegmentStore, text: str) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted unique doc_ids, UNROUNDED BM25 scores) of every doc matching
+    any term of ``text`` — the full score surface one bool sub-query
+    contributes.  Same accumulation order as ``taat_topk`` (sorted terms,
+    np.add.at) so compositions stay bit-stable."""
+    terms = sorted(set(tokenize_query(text)))
+    docs_l, contrib_l = [], []
+    for term in terms:
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        if len(d) == 0:
+            continue
+        from ..functions.bm25 import tf_norm
+
+        docs_l.append(d)
+        contrib_l.append(
+            float(idf(store.n_docs, df_t)) * tf_norm(tf, dl, store.avgdl)
+        )
+    if not docs_l:
+        e = np.empty(0, dtype=np.uint64)
+        return e, np.empty(0, dtype=np.float64)
+    all_docs = np.concatenate(docs_l)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, np.concatenate(contrib_l))
+    return uniq, scores
+
+
+def dis_max_topk(
+    store: SegmentStore,
+    texts: list[str],
+    k: int,
+    tie_breaker: float = 0.0,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``dis_max`` query: per doc, the BEST sub-query score wins, plus
+    ``tie_breaker`` × the sum of the others:
+
+        score = max_i s_i + tie_breaker · (Σ_i s_i − max_i s_i)
+
+    (tie_breaker=0 is pure disjunction-max, 1 degrades to bool should.)
+    Each sub-query contributes its full BM25 score surface (``_score_map``);
+    the combine is one vectorized segmented max/sum over the concatenated
+    (doc, score) pairs.  Ranked on the ROUNDED final score, ties doc ASC.
+    """
+    from ..functions.bm25 import sql_round
+    from .query import topk_order
+
+    doc_parts, score_parts = [], []
+    for text in texts:
+        d, s = _score_map(store, text)
+        if len(d):
+            doc_parts.append(d)
+            score_parts.append(s)
+    if not doc_parts:
+        return []
+    docs = np.concatenate(doc_parts)
+    scores = np.concatenate(score_parts)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    mx = np.zeros(len(uniq), dtype=np.float64)
+    np.maximum.at(mx, inv, scores)
+    sm = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(sm, inv, scores)
+    final = mx + tie_breaker * (sm - mx)
+    if round_decimals is not None:
+        final = sql_round(final, round_decimals)
+    order = topk_order(final, uniq, k)
+    return [(int(uniq[i]), float(final[i])) for i in order]
+
+
+def boosting_topk(
+    store: SegmentStore,
+    positive: str,
+    negative: str,
+    k: int,
+    negative_boost: float = 0.5,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``boosting`` query: docs matching the positive query keep their
+    BM25 score, demoted by ``negative_boost`` when they ALSO match the
+    negative query (ES semantics: the negative leg never excludes, it only
+    multiplies the score down).  Ranked on the rounded final score."""
+    from ..functions.bm25 import sql_round
+    from .query import topk_order
+
+    uniq, scores = _score_map(store, positive)
+    if len(uniq) == 0:
+        return []
+    neg_docs: list[np.ndarray] = []
+    for t in sorted(set(tokenize_query(negative))):
+        d = store.postings(t)[0]
+        if len(d):
+            neg_docs.append(d)
+    if neg_docs:
+        neg = np.unique(np.concatenate(neg_docs))
+        demote = np.isin(uniq, neg)
+        scores = np.where(demote, scores * negative_boost, scores)
+    if round_decimals is not None:
+        scores = sql_round(scores, round_decimals)
+    order = topk_order(scores, uniq, k)
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
 def highlight_first(
     store: SegmentStore, text: str, width: int = 3
 ) -> list[tuple[int, int, int, int]]:

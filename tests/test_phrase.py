@@ -252,6 +252,23 @@ def test_prefix_and_wildcard(pos_index):
         wildcard_match(store, "*tail")
 
 
+def test_regexp_match_brute(pos_index):
+    import re
+
+    from bitcoin_ledger_2es_ray.pipelines.phrase import regexp_match
+
+    docs, store, _ = pos_index
+    # prefix-pruned, full-scan (no literal prefix), and exact-literal paths
+    for pat in ("a.*a", "b[ae]ta", "(al|ga).*", ".*ta", "head", "q.*"):
+        rx = re.compile(pat)
+        want = sorted(
+            i
+            for i, d in enumerate(docs)
+            if any(rx.fullmatch(t) for t in d.split(" "))
+        )
+        assert regexp_match(store, pat).tolist() == want, pat
+
+
 def test_batch_matcher_equals_driver_loop(pos_index):
     from bitcoin_ledger_2es_ray.pipelines.phrase import (
         phrase_match,

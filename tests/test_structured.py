@@ -80,6 +80,54 @@ def test_sort_by_field_topk(corpus_store):
     assert sort_by_field_topk(store, "zzzznone", 5) == []
 
 
+def test_dis_max_combines_subquery_score_maps(corpus_store):
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+    from bitcoin_ledger_2es_ray.pipelines.structured import dis_max_topk
+
+    docs, store = corpus_store
+    terms = sorted(set(_pick_terms(store, 4)))
+    texts = [" ".join(terms[0::2]), " ".join(terms[1::2])]
+    tb = 0.3
+    got = dis_max_topk(store, texts, 10, tie_breaker=tb, round_decimals=6)
+    sub_maps = [dict(score_query(store, t, len(docs))) for t in texts]
+    want = {}
+    for d in set().union(*sub_maps):
+        ss = [m[d] for m in sub_maps if d in m]
+        want[d] = float(sql_round(max(ss) + tb * (sum(ss) - max(ss)), 6))
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == expect
+
+    # tie_breaker=1 degrades to bool should (sum of all contributions) —
+    # the sub-queries partition the terms, so sums must agree to 6 dp
+    full = dict(score_query(store, " ".join(terms), len(docs), round_decimals=6))
+    for d, s in dis_max_topk(store, texts, 10, tie_breaker=1.0, round_decimals=6):
+        assert abs(full[d] - s) < 2e-6
+
+
+def test_boosting_demotes_negative_matches(corpus_store):
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+    from bitcoin_ledger_2es_ray.pipelines.structured import boosting_topk
+
+    docs, store = corpus_store
+    terms = sorted(set(_pick_terms(store, 3)))
+    pos, neg = " ".join(terms[:2]), terms[2]
+    nb = 0.5
+    got = boosting_topk(store, pos, neg, 10, negative_boost=nb, round_decimals=6)
+    base = dict(score_query(store, pos, len(docs)))
+    neg_docs = {i for i, d in enumerate(docs) if neg in d.split(" ")}
+    want = {
+        d: float(sql_round(s * nb if d in neg_docs else s, 6))
+        for d, s in base.items()
+    }
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == expect
+    # the negative leg never excludes — hit set is exactly the positive's
+    assert {d for d, _ in got} <= set(base)
+    assert boosting_topk(store, "zzzznone", neg, 5) == []
+
+
 @pytest.fixture(scope="module")
 def pos_store(built, ray_session, tmp_path_factory):
     """Positional rebuild of the same sf0.001 corpus."""
