@@ -590,6 +590,53 @@ def _q_histogram_agg(sf_dir: str) -> pa.Table:
     return histogram_agg(res.out_dir, _q_boolean_and(sf_dir), interval=16)
 
 
+def _q_range_agg(sf_dir: str) -> pa.Table:
+    """ES ``range`` aggregation over doc length (cut at 16/48, ES
+    from-inclusive/to-exclusive, ``*-16``-style labels) on the AND-hit
+    sets — same partial-bucket plan as histogram."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import range_agg
+
+    _, res = _store_for(sf_dir)
+    return range_agg(res.out_dir, _q_boolean_and(sf_dir), edges=(16, 48))
+
+
+def _q_adjacency_matrix(sf_dir: str) -> pa.Table:
+    """ES ``adjacency_matrix``: each fixture query's distinct terms as
+    named filters — per-filter doc counts plus every non-empty pairwise
+    intersection, keyed ``a`` / ``a&b``."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import adjacency_matrix_agg
+    from bitcoin_ledger_2es_ray.pipelines.query import tokenize_query
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    mt = [
+        (qid, sorted(set(tokenize_query(text))))
+        for qid, text in zip(
+            queries["query_id"].to_pylist(), queries["text"].to_pylist()
+        )
+    ]
+    return adjacency_matrix_agg(store, mt)
+
+
+def _q_extended_stats(sf_dir: str) -> pa.Table:
+    """ES ``extended_stats`` over doc length: exact int64 moment partials
+    (n, min, max, sum, sum_sq) streamed off the forward map, population
+    variance/std derived on the driver."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import extended_stats_agg
+
+    _, res = _store_for(sf_dir)
+    return extended_stats_agg(res.out_dir, round_decimals=_ROUND)
+
+
+def _q_matrix_stats(sf_dir: str) -> pa.Table:
+    """ES ``matrix_stats`` over (value, user_id) on the events table:
+    per-batch co-moment partials (n, Σx, Σy, Σxx, Σyy, Σxy) merged by
+    summation on the driver — covariance/correlation with no shuffle."""
+    from bitcoin_ledger_2es_ray.pipelines.events import matrix_stats
+
+    return matrix_stats(sf_dir, fields=("value", "user_id"), round_decimals=_ROUND)
+
+
 def _q_terms_stats_agg(sf_dir: str) -> pa.Table:
     """ES sub-aggregation: terms bucket (lang) × stats metric (dl) over the
     AND-hit sets — mergeable partials, driver combine."""
@@ -1333,6 +1380,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_slop": _q_phrase_slop,
         "terms_agg": _q_terms_agg,
         "histogram_agg": _q_histogram_agg,
+        "range_agg": _q_range_agg,
+        "adjacency_matrix": _q_adjacency_matrix,
+        "extended_stats": _q_extended_stats,
+        "matrix_stats": _q_matrix_stats,
         "sig_terms": _q_sig_terms,
         "terms_stats": _q_terms_stats_agg,
         "composite_page2": _q_composite_page2,
@@ -2243,6 +2294,78 @@ SELECT a.query_id::BIGINT AS query_id,
        count(*)::BIGINT AS doc_count
 FROM anded a JOIN dl USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # range agg: AND-hit counts in dl ranges [*,16) [16,48) [48,*)
+        "range_agg": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+)
+SELECT a.query_id::BIGINT AS query_id,
+       CASE WHEN dl.dl < 16 THEN '*-16'
+            WHEN dl.dl < 48 THEN '16-48'
+            ELSE '48-*' END AS "range",
+       count(*)::BIGINT AS doc_count
+FROM anded a JOIN dl USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # adjacency_matrix: per-query term filters — singles + non-empty
+        # pairwise intersections, keys 'a' / 'a&b' (names sorted)
+        "adjacency_matrix": _PRELUDE
+        + """
+, f AS (SELECT DISTINCT query_id, term FROM qterm),
+sets AS (
+  SELECT f.query_id, f.term, tf.doc_id FROM f JOIN tf ON tf.term = f.term
+),
+singles AS (
+  SELECT query_id, term AS k, count(DISTINCT doc_id)::BIGINT AS doc_count
+  FROM sets GROUP BY query_id, term
+),
+pairs AS (
+  SELECT a.query_id, a.term || '&' || b.term AS k,
+         count(DISTINCT a.doc_id)::BIGINT AS doc_count
+  FROM sets a
+  JOIN sets b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+             AND a.term < b.term
+  GROUP BY a.query_id, a.term, b.term
+)
+SELECT query_id::BIGINT AS query_id, k AS "key", doc_count
+FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+ORDER BY query_id, k
+""",
+        # extended_stats over dl: exact integral moments + population var/std
+        "extended_stats": _PRELUDE
+        + """
+SELECT count(*)::BIGINT AS doc_count,
+       min(dl)::BIGINT AS min_dl, max(dl)::BIGINT AS max_dl,
+       sum(dl)::BIGINT AS sum_dl, sum(dl * dl)::BIGINT AS sum_sq,
+       round(avg(dl), 6) AS avg_dl,
+       round(var_pop(dl), 6) AS variance,
+       round(stddev_pop(dl), 6) AS std_dev
+FROM dl
+""",
+        # matrix_stats over events (value, user_id): population co-moments
+        "matrix_stats": """
+WITH s AS (SELECT value AS x, user_id::DOUBLE AS y FROM events)
+SELECT * FROM (
+  SELECT 'user_id' AS field_a, 'user_id' AS field_b,
+         count(*)::BIGINT AS doc_count, round(avg(y), 6) AS mean_a,
+         round(var_pop(y), 6) AS covariance, 1.0 AS correlation FROM s
+  UNION ALL
+  SELECT 'user_id', 'value', count(*)::BIGINT, round(avg(y), 6),
+         round(covar_pop(x, y), 6), round(corr(x, y), 6) FROM s
+  UNION ALL
+  SELECT 'value', 'value', count(*)::BIGINT, round(avg(x), 6),
+         round(var_pop(x), 6), 1.0 FROM s
+)
+ORDER BY field_a, field_b
 """,
         # more-like-this: top-5 terms of doc (29q mod n) by
         # (round(tf*idf,6) DESC, term ASC), BM25 with the source excluded

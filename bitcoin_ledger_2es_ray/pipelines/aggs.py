@@ -507,6 +507,140 @@ def significant_terms(
     )
 
 
+def range_agg(
+    index_dir: str,
+    matches: pa.Table,
+    edges: tuple[int, ...] = (16, 48),
+) -> pa.Table:
+    """ES ``range`` aggregation over doc length: per query, hit counts in
+    the half-open ranges cut at ``edges`` (ES convention: ``from``
+    inclusive, ``to`` exclusive), labeled ES-style ``*-16`` / ``16-48`` /
+    ``48-*`` → (query_id, range, doc_count).  Same partial-bucket plan as
+    terms/histogram; empty ranges are omitted (ES keeps them, but the
+    driver gate compares against SQL which has no row to emit — documented
+    divergence)."""
+    import numpy as np
+
+    if list(edges) != sorted(set(edges)) or not edges:
+        raise ValueError("edges must be non-empty strictly increasing")
+    bounds = [None, *edges, None]
+    labels = [
+        f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    ]
+
+    def bucket(j: pa.Table) -> pa.Array:
+        dl = np.asarray(j["dl"].combine_chunks(), dtype=np.int64)
+        idx = np.searchsorted(np.asarray(edges, dtype=np.int64), dl, side="right")
+        return pa.array(np.asarray(labels, dtype=object)[idx], type=pa.string())
+
+    out = _agg_over_forward_map(index_dir, matches, ["dl"], bucket, "range")
+    return out
+
+
+def adjacency_matrix_agg(store, matches_terms: list[tuple[int, list[str]]]) -> pa.Table:
+    """ES ``adjacency_matrix`` aggregation: for each query's named filters
+    (here: its distinct terms), the doc count of every filter and of every
+    pairwise intersection, keyed ES-style ``a`` / ``a&b`` (``&`` joins the
+    two filter names, sorted) → (query_id, key, doc_count).
+
+    Doc sets come off the decoded posting lists (sorted-unique per term);
+    intersections are one ``np.isin`` per pair — #filters is ES-bounded
+    (default 100 filters ⇒ ≤4950 pairs), so this is driver-side small
+    compute over already-distributed artifacts.  Empty intersection
+    buckets are omitted, exactly like ES."""
+    import numpy as np
+
+    qids, keys, counts = [], [], []
+    for qid, terms in matches_terms:
+        names = sorted(set(terms))
+        sets = {t: np.unique(store.postings(t)[0]) for t in names}
+        for t in names:
+            if len(sets[t]):
+                qids.append(qid)
+                keys.append(t)
+                counts.append(len(sets[t]))
+        for i, a in enumerate(names):
+            for b in names[i + 1 :]:
+                inter = int(np.isin(sets[a], sets[b], assume_unique=True).sum())
+                if inter:
+                    qids.append(qid)
+                    keys.append(f"{a}&{b}")
+                    counts.append(inter)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "key": pa.array(keys, type=pa.string()),
+            "doc_count": pa.array(counts, type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("key", "ascending")])
+
+
+def extended_stats_agg(index_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``extended_stats`` aggregation over doc length: count / min /
+    max / sum / sum_of_squares / avg / variance / std_deviation in ONE
+    streamed pass over the forward map.
+
+    Per-batch partials are (n, min, max, sum, sum_sq) with the sums in
+    int64 (dl is integral, so count/min/max/sum/sum_sq are EXACT at any
+    scale — dl ≤ 2^16 keeps sum_sq under int64 even at 10^12 docs); the
+    driver combine is a 5-number fold per partial row.  Population
+    variance/std derive at the end (ES uses population semantics), rounded
+    to the 6-dp contract."""
+    import math
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dl = np.asarray(batch["dl"].combine_chunks(), dtype=np.int64)
+        if len(dl) == 0:
+            return pa.table(
+                {c: pa.array([], type=pa.int64()) for c in ("n", "mn", "mx", "s", "ss")}
+            )
+        return pa.table(
+            {
+                "n": pa.array([len(dl)], type=pa.int64()),
+                "mn": pa.array([int(dl.min())], type=pa.int64()),
+                "mx": pa.array([int(dl.max())], type=pa.int64()),
+                "s": pa.array([int(dl.sum())], type=pa.int64()),
+                "ss": pa.array([int((dl * dl).sum())], type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["dl"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    n = sum(cat["n"].to_pylist())
+    s = sum(cat["s"].to_pylist())
+    ss = sum(cat["ss"].to_pylist())
+    mn = min(cat["mn"].to_pylist())
+    mx = max(cat["mx"].to_pylist())
+    avg = s / n
+    var = ss / n - avg * avg
+    return pa.table(
+        {
+            "doc_count": pa.array([n], type=pa.int64()),
+            "min_dl": pa.array([mn], type=pa.int64()),
+            "max_dl": pa.array([mx], type=pa.int64()),
+            "sum_dl": pa.array([s], type=pa.int64()),
+            "sum_sq": pa.array([ss], type=pa.int64()),
+            "avg_dl": pa.array([float(sql_round(avg, round_decimals))], type=pa.float64()),
+            "variance": pa.array([float(sql_round(var, round_decimals))], type=pa.float64()),
+            "std_dev": pa.array(
+                [float(sql_round(math.sqrt(var), round_decimals))], type=pa.float64()
+            ),
+        }
+    )
+
+
 def histogram_agg(index_dir: str, matches: pa.Table, interval: int = 16) -> pa.Table:
     """ES ``histogram`` aggregation over doc length: per query, hit counts in
     fixed-width ``dl`` buckets → (query_id, bucket, doc_count) with

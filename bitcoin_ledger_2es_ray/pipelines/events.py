@@ -136,6 +136,80 @@ def date_histogram_stats(sf_dir: str, interval_s: int = 86400) -> pa.Table:
     ).sort_by("bucket_s")
 
 
+def matrix_stats(
+    sf_dir: str,
+    fields: tuple[str, str] = ("value", "user_id"),
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``matrix_stats`` aggregation over two numeric event fields:
+    per ordered field pair (a ≤ b), count + mean_a + population
+    covariance + Pearson correlation (a==b rows carry variance and
+    correlation 1) → (field_a, field_b, doc_count, mean_a, covariance,
+    correlation).
+
+    One streamed pass emits per-batch CO-MOMENT partials
+    (n, Σx, Σy, Σxx, Σyy, Σxy) — six float64 numbers per batch, mergeable
+    by plain summation, so the driver combine is O(#blocks) and nothing
+    shuffles.  ES computes the same sums shard-side and merges on the
+    coordinator; skewness/kurtosis (which ES also reports) would need the
+    3rd/4th moments — omitted, the driver gate has no stable oracle for
+    their bias corrections.
+    """
+    import ray
+
+    fa, fb = fields
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[fa].combine_chunks(), dtype=np.float64)
+        y = np.asarray(batch[fb].combine_chunks(), dtype=np.float64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([float(x.sum())], type=pa.float64()),
+                "sy": pa.array([float(y.sum())], type=pa.float64()),
+                "sxx": pa.array([float((x * x).sum())], type=pa.float64()),
+                "syy": pa.array([float((y * y).sum())], type=pa.float64()),
+                "sxy": pa.array([float((x * y).sum())], type=pa.float64()),
+            }
+        )
+
+    ds = _read_events(sf_dir, list(fields)).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    n = sum(cat["n"].to_pylist())
+    sx, sy, sxx, syy, sxy = (sum(cat[c].to_pylist()) for c in ("sx", "sy", "sxx", "syy", "sxy"))
+    mx, my = sx / n, sy / n
+    var_x = sxx / n - mx * mx
+    var_y = syy / n - my * my
+    cov = sxy / n - mx * my
+    corr = cov / np.sqrt(var_x * var_y)
+    rows = [
+        (fa, fa, n, mx, var_x, 1.0),
+        (fb, fb, n, my, var_y, 1.0),
+        *( [(fa, fb, n, mx, cov, corr)] if fa <= fb else [(fb, fa, n, my, cov, corr)] ),
+    ]
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pa.table(
+        {
+            "field_a": pa.array([r[0] for r in rows], type=pa.string()),
+            "field_b": pa.array([r[1] for r in rows], type=pa.string()),
+            "doc_count": pa.array([r[2] for r in rows], type=pa.int64()),
+            "mean_a": pa.array(
+                [float(sql_round(r[3], round_decimals)) for r in rows], type=pa.float64()
+            ),
+            "covariance": pa.array(
+                [float(sql_round(r[4], round_decimals)) for r in rows], type=pa.float64()
+            ),
+            "correlation": pa.array(
+                [float(sql_round(r[5], round_decimals)) for r in rows], type=pa.float64()
+            ),
+        }
+    )
+
+
 def sessionize(sf_dir: str, gap_s: int = 1800) -> pa.Table:
     """(user_id, session_id, n_events, start_s, end_s): a new session starts
     when the gap to the previous event of the same user exceeds ``gap_s``."""

@@ -696,3 +696,95 @@ def test_top_hits_agg_per_bucket(built):
             for hr, (d, s) in enumerate(want[lang][:2], start=1):
                 expect.append((lang, hr, d, s))
         assert got == expect, t
+
+
+def test_range_agg_matches_pandas(hitset, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import range_agg
+
+    matches, docs, res = hitset
+    got = range_agg(res.out_dir, matches, edges=(10, 30)).to_pandas()
+    dls = [len(t.split(" ")) for t in docs["content"].to_pylist()]
+
+    def label(dl):
+        return "*-10" if dl < 10 else ("10-30" if dl < 30 else "30-*")
+
+    want: dict[tuple[int, str], int] = {}
+    for q, d in zip(matches["query_id"].to_pylist(), matches["doc_id"].to_pylist()):
+        k = (q, label(dls[d]))
+        want[k] = want.get(k, 0) + 1
+    got_d = {
+        (q, r): c for q, r, c in zip(got["query_id"], got["range"], got["doc_count"])
+    }
+    assert got_d == want
+    with pytest.raises(ValueError):
+        range_agg(res.out_dir, matches, edges=())
+    with pytest.raises(ValueError):
+        range_agg(res.out_dir, matches, edges=(30, 10))
+
+
+def test_adjacency_matrix_brute(built):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import adjacency_matrix_agg
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = [d.split(" ") for d in pq.read_table(corpus, columns=["content"])["content"].to_pylist()]
+    vocab = sorted(store.df)
+    terms = sorted({vocab[1], vocab[5 % len(vocab)], vocab[9 % len(vocab)]})
+    got = adjacency_matrix_agg(store, [(0, terms)])
+    want: dict[str, int] = {}
+    sets = {t: {i for i, d in enumerate(docs) if t in d} for t in terms}
+    for t in terms:
+        if sets[t]:
+            want[t] = len(sets[t])
+    for i, a in enumerate(terms):
+        for b in terms[i + 1 :]:
+            n = len(sets[a] & sets[b])
+            if n:
+                want[f"{a}&{b}"] = n
+    got_d = dict(zip(got["key"].to_pylist(), got["doc_count"].to_pylist()))
+    assert got_d == want
+    assert got["query_id"].to_pylist() == [0] * len(want)
+
+
+def test_extended_stats_matches_numpy(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import extended_stats_agg
+
+    res, _, corpus = built
+    dls = np.array(
+        [len(t.split(" ")) for t in pq.read_table(corpus, columns=["content"])["content"].to_pylist()],
+        dtype=np.int64,
+    )
+    got = extended_stats_agg(res.out_dir).to_pandas().iloc[0]
+    assert got["doc_count"] == len(dls)
+    assert got["min_dl"] == dls.min()
+    assert got["max_dl"] == dls.max()
+    assert got["sum_dl"] == dls.sum()
+    assert got["sum_sq"] == (dls * dls).sum()
+    assert got["avg_dl"] == pytest.approx(dls.mean(), abs=1e-6)
+    assert got["variance"] == pytest.approx(dls.var(), abs=1e-6)
+    assert got["std_dev"] == pytest.approx(dls.std(), abs=1e-6)
+
+
+def test_matrix_stats_matches_numpy(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.events import matrix_stats
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["value", "user_id"])
+    x = np.asarray(ev["value"], dtype=np.float64)
+    y = np.asarray(ev["user_id"], dtype=np.float64)
+    got = matrix_stats(sf, fields=("value", "user_id")).to_pandas()
+    assert list(zip(got["field_a"], got["field_b"])) == [
+        ("user_id", "user_id"),
+        ("user_id", "value"),
+        ("value", "value"),
+    ]
+    rows = {(a, b): r for (a, b), (_, r) in zip(zip(got["field_a"], got["field_b"]), got.iterrows())}
+    assert rows[("value", "value")]["covariance"] == pytest.approx(x.var(), abs=1e-6)
+    assert rows[("user_id", "user_id")]["covariance"] == pytest.approx(y.var(), abs=1e-6)
+    cov = ((x - x.mean()) * (y - y.mean())).mean()
+    corr = cov / (x.std() * y.std())
+    pair = rows[("user_id", "value")]
+    assert pair["covariance"] == pytest.approx(cov, abs=1e-6)
+    assert pair["correlation"] == pytest.approx(corr, abs=1e-6)
+    assert pair["mean_a"] == pytest.approx(y.mean(), abs=1e-6)
