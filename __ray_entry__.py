@@ -1278,6 +1278,31 @@ def _q_fingerprints(sf_dir: str) -> pa.Table:
     return doc_fingerprints(sf_dir)
 
 
+def _q_redact_pii(sf_dir: str) -> pa.Table:
+    """Regex redaction (PII scrubbing shape): two RE2 patterns applied in
+    order via the vectorized Arrow kernels; output carries the match count
+    + redacted length + sha256(redacted) per doc."""
+    from bitcoin_ledger_2es_ray.pipelines.textstats import redact_pii
+
+    return redact_pii(sf_dir, patterns=("va[a-z]+", "[a-z]*ab[a-z]*"))
+
+
+def _q_repetition_stats(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition signals: per doc token count, distinct
+    count, duplicate-token fraction and top-token fraction."""
+    from bitcoin_ledger_2es_ray.pipelines.textstats import repetition_stats
+
+    return repetition_stats(sf_dir)
+
+
+def _q_hash_split(sf_dir: str) -> pa.Table:
+    """Deterministic leakage-safe train/val/test split: first sha256 byte
+    against 0xcc/0xe6 cuts — pure function of the content bytes."""
+    from bitcoin_ledger_2es_ray.pipelines.curate import hash_split
+
+    return hash_split(sf_dir)
+
+
 def _q_ann_topk(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.ann import knn_bruteforce
 
@@ -1417,6 +1442,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": _q_bpe,
         "lang_id": _q_lang_id,  # rows-only (heuristic model)
         "doc_fingerprints": _q_fingerprints,  # rows-only (rolling hash)
+        "redact_pii": _q_redact_pii,
+        "repetition_stats": _q_repetition_stats,
+        "hash_split": _q_hash_split,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,  # rows-only (approximate)
         "ann_ivf": _q_ann_ivf,  # rows-only (approximate)
@@ -2523,6 +2551,49 @@ FROM ranked WHERE rank <= 3 ORDER BY lang, rank
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))::BIGINT
          AS n_bpe
+FROM documents ORDER BY doc_id
+""",
+        # regex redaction pipeline: pattern k counts+replaces on the output
+        # of pattern k-1; verified via count + length + sha256(redacted)
+        "redact_pii": """
+WITH r1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, 'va[a-z]+')) AS c1,
+         regexp_replace(text, 'va[a-z]+', '<PII>', 'g') AS t1
+  FROM documents
+),
+r2 AS (
+  SELECT doc_id,
+         c1 + len(regexp_extract_all(t1, '[a-z]*ab[a-z]*')) AS n_redacted,
+         regexp_replace(t1, '[a-z]*ab[a-z]*', '<PII>', 'g') AS t2
+  FROM r1
+)
+SELECT doc_id, n_redacted::BIGINT AS n_redacted,
+       length(t2)::BIGINT AS red_len, sha256(t2) AS red_sha
+FROM r2 ORDER BY doc_id
+""",
+        # Gopher-style repetition signals over whitespace tokens
+        "repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+agg AS (
+  SELECT doc_id, count(*) AS n_distinct, max(c) AS top, sum(c) AS n_tokens
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_distinct::BIGINT AS n_distinct,
+       round(1.0 - n_distinct / n_tokens::DOUBLE, 6) AS dup_frac,
+       round(top / n_tokens::DOUBLE, 6) AS top_frac
+FROM agg ORDER BY doc_id
+""",
+        # content-hash split: equal-length lowercase hex compares numerically,
+        # so the hex-string thresholds are exactly the engine's byte cuts
+        "hash_split": """
+SELECT doc_id,
+       CASE WHEN substr(sha256(text), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(sha256(text), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
 FROM documents ORDER BY doc_id
 """,
         "ann_topk": """

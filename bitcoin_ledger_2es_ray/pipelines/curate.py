@@ -22,7 +22,15 @@ import pyarrow as pa
 from ..functions.hashing import sha256_column
 from .textstats import quality_batch
 
-__all__ = ["curate_corpus", "curate_corpus_ds", "curate_corpus_to_parquet", "top_quality_per_lang"]
+__all__ = [
+    "curate_corpus",
+    "curate_corpus_ds",
+    "curate_corpus_to_parquet",
+    "hash_split",
+    "hash_split_ds",
+    "hash_split_to_parquet",
+    "top_quality_per_lang",
+]
 
 
 def _read_docs_lang(sf_dir: str):
@@ -112,6 +120,66 @@ def curate_corpus_to_parquet(sf_dir: str, out_dir: str, **kw) -> str:
     ds.select_columns(["doc_id", "lang", "n_tokens", "quality"]).write_parquet(
         out_dir, mode="overwrite"
     )
+    return out_dir
+
+
+# train/val/test cut points over the first sha256 byte: <0xcc (204/256 ≈
+# 79.7%) train, <0xe6 (26/256 ≈ 10.2%) val, rest test.  Byte thresholds keep
+# the SQL oracle exact: equal-length lowercase hex strings compare in numeric
+# order, so DuckDB's substr(sha256(text),1,2) < 'cc' is the same predicate.
+SPLIT_CUTS: tuple[tuple[str, int], ...] = (("train", 0xCC), ("val", 0xE6))
+
+
+def hash_split_ds(sf_dir: str, cuts: tuple[tuple[str, int], ...] = SPLIT_CUTS):
+    """Deterministic train/val/test assignment as a streaming Dataset:
+    split = first byte of sha256(content) against the ``cuts`` thresholds.
+
+    Content-hash splitting is the standard leakage-safe scheme for
+    training corpora: the assignment is a pure function of the BYTES, so
+    exact duplicates land in the same split on any machine, any cluster
+    size, any shard order — no RNG state to coordinate, nothing to
+    shuffle.  One streamed pass, the hash reuses the buffer-level
+    ``sha256_column`` kernel."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        digests = sha256_column(batch["text"])
+        first = np.frombuffer(
+            digests.buffers()[1], dtype=np.uint8
+        ).reshape(-1, 32)[:, 0]
+        split = np.full(len(first), "test", dtype=object)
+        for name, hi in reversed(cuts):
+            split[first < hi] = name
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_split(sf_dir: str, cuts: tuple[tuple[str, int], ...] = SPLIT_CUTS) -> pa.Table:
+    """(doc_id, split) — see ``hash_split_ds``."""
+    import ray
+
+    ds = hash_split_ds(sf_dir, cuts)
+    t = pa.concat_tables(
+        [x if isinstance(x := ray.get(r), pa.Table) else pa.Table.from_batches([x])
+         for r in ds.to_arrow_refs()]
+    )
+    return t.sort_by("doc_id")
+
+
+def hash_split_to_parquet(
+    sf_dir: str, out_dir: str, cuts: tuple[tuple[str, int], ...] = SPLIT_CUTS
+) -> str:
+    """Scale sink: the assignment streams to partitioned parquet."""
+    hash_split_ds(sf_dir, cuts).write_parquet(out_dir, mode="overwrite")
     return out_dir
 
 

@@ -196,6 +196,116 @@ def lang_id_to_parquet(sf_dir: str, out_dir: str, concurrency: int = 2) -> str:
     return write_dataset(lang_id_ds(sf_dir, concurrency), out_dir)
 
 
+# PII-shaped default patterns (email, IPv4, long digit runs) — RE2-compatible
+# on BOTH sides of the gate (Arrow's replace/count kernels and DuckDB are RE2)
+PII_PATTERNS: tuple[str, ...] = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    r"\b\d{6,}\b",
+)
+
+
+def redact_pii_ds(
+    sf_dir: str,
+    patterns: tuple[str, ...] = PII_PATTERNS,
+    replacement: str = "<PII>",
+):
+    """PII scrubbing as a streaming Dataset: each pattern applies IN ORDER
+    (a redaction pipeline — pattern k sees the output of pattern k-1, and
+    its match count is measured on that intermediate), all via the
+    vectorized Arrow RE2 kernels; the per-doc output row carries the match
+    count, the redacted length, and sha256(redacted) so the full redacted
+    text never needs to ship for verification."""
+    from ..functions.hashing import sha256_column
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        n = np.zeros(batch.num_rows, dtype=np.int64)
+        for pat in patterns:
+            n += np.asarray(
+                pc.count_substring_regex(text, pat), dtype=np.int64
+            )
+            text = pc.replace_substring_regex(text, pat, replacement)
+        sha_hex = pa.array(
+            [v.hex() for v in sha256_column(text).to_pylist()], type=pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_redacted": pa.array(n),
+                "red_len": pc.utf8_length(text).cast(pa.int64()),
+                "red_sha": sha_hex,
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact_pii(
+    sf_dir: str,
+    patterns: tuple[str, ...] = PII_PATTERNS,
+    replacement: str = "<PII>",
+) -> pa.Table:
+    """(doc_id, n_redacted, red_len, red_sha) — see ``redact_pii_ds``."""
+    return _collect_sorted(redact_pii_ds(sf_dir, patterns, replacement))
+
+
+def redact_pii_to_parquet(
+    sf_dir: str,
+    out_dir: str,
+    patterns: tuple[str, ...] = PII_PATTERNS,
+    replacement: str = "<PII>",
+) -> str:
+    return write_dataset(redact_pii_ds(sf_dir, patterns, replacement), out_dir)
+
+
+def repetition_stats_ds(sf_dir: str):
+    """Gopher-style repetition quality signals, vectorized: per doc the
+    token count, distinct-token count, duplicate-token fraction
+    (1 − distinct/total) and top-token fraction (most frequent token's
+    share).  Gopher's repetition filters use the same shape over lines and
+    n-grams; this corpus is single-line bag-of-words, so tokens are the
+    meaningful unit.  One flatten + two Arrow group_bys per batch — no
+    per-row Python."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+        row_idx = np.repeat(np.arange(batch.num_rows), lens)
+        flat = pc.list_flatten(words)
+        t = pa.table({"row": pa.array(row_idx, type=pa.int64()), "w": flat})
+        per_word = t.group_by(["row", "w"]).aggregate([("w", "count")])
+        g = per_word.group_by("row").aggregate(
+            [("w_count", "count"), ("w_count", "max"), ("w_count", "sum")]
+        )
+        rows = np.asarray(g["row"].combine_chunks(), dtype=np.int64)
+        n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
+        top = np.zeros(batch.num_rows, dtype=np.int64)
+        n_distinct[rows] = np.asarray(g["w_count_count"], dtype=np.int64)
+        top[rows] = np.asarray(g["w_count_max"], dtype=np.int64)
+        denom = np.maximum(lens, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(lens),
+                "n_distinct": pa.array(n_distinct),
+                "dup_frac": pa.array(sql_round(1.0 - n_distinct / denom, 6)),
+                "top_frac": pa.array(sql_round(top / denom, 6)),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_stats(sf_dir: str) -> pa.Table:
+    return _collect_sorted(repetition_stats_ds(sf_dir))
+
+
+def repetition_stats_to_parquet(sf_dir: str, out_dir: str) -> str:
+    return write_dataset(repetition_stats_ds(sf_dir), out_dir)
+
+
 _FP_BASE = np.uint64(1315423911)
 _FP_WINDOW = 16
 

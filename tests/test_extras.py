@@ -278,6 +278,12 @@ def test_per_doc_sinks_match_collected(ray_session, tmp_path):
          dedup.simhash_to_parquet(SF, str(tmp_path / "s")), ["doc_id"]),
         ("curate", curate.curate_corpus(SF),
          curate.curate_corpus_to_parquet(SF, str(tmp_path / "c")), ["doc_id"]),
+        ("redact", textstats.redact_pii(SF),
+         textstats.redact_pii_to_parquet(SF, str(tmp_path / "r")), ["doc_id"]),
+        ("repstats", textstats.repetition_stats(SF),
+         textstats.repetition_stats_to_parquet(SF, str(tmp_path / "rs")), ["doc_id"]),
+        ("split", curate.hash_split(SF),
+         curate.hash_split_to_parquet(SF, str(tmp_path / "hs")), ["doc_id"]),
     ]
     for name, mem, out_dir, keys in cases:
         order = [(k, "ascending") for k in keys]
@@ -287,6 +293,78 @@ def test_per_doc_sinks_match_collected(ray_session, tmp_path):
     textstats.quality_scores_to_parquet(SF, str(tmp_path / "q"))
     again = pads.dataset(str(tmp_path / "q")).to_table()
     assert again.num_rows == cases[0][1].num_rows
+
+
+def test_redact_pii_brute(ray_session):
+    import re
+
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.textstats import redact_pii
+
+    pats = ("va[a-z]+", "[a-z]*ab[a-z]*")
+    got = redact_pii(SF, patterns=pats)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    by_doc = dict(zip(got["doc_id"].to_pylist(), zip(
+        got["n_redacted"].to_pylist(), got["red_len"].to_pylist(), got["red_sha"].to_pylist()
+    )))
+    import hashlib
+
+    fired = 0
+    for d, t in zip(docs["doc_id"].to_pylist()[:50], docs["text"].to_pylist()[:50]):
+        n = 0
+        for p in pats:
+            n += len(re.findall(p, t))
+            t = re.sub(p, "<PII>", t)
+        want = (n, len(t), hashlib.sha256(t.encode()).hexdigest())
+        assert by_doc[d] == want, d
+        fired += n
+    assert fired > 0  # the patterns actually match this corpus
+
+
+def test_repetition_stats_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.textstats import repetition_stats
+
+    got = repetition_stats(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in got.to_pylist()}
+    from collections import Counter
+
+    for d, t in zip(docs["doc_id"].to_pylist()[:60], docs["text"].to_pylist()[:60]):
+        c = Counter(t.split(" "))
+        n = sum(c.values())
+        r = rows[d]
+        assert r["n_tokens"] == n
+        assert r["n_distinct"] == len(c)
+        assert r["dup_frac"] == pytest.approx(1 - len(c) / n, abs=1e-6)
+        assert r["top_frac"] == pytest.approx(max(c.values()) / n, abs=1e-6)
+
+
+def test_hash_split_deterministic_and_proportional(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.curate import hash_split
+
+    from collections import Counter
+
+    got = hash_split(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    split_of = dict(zip(got["doc_id"].to_pylist(), got["split"].to_pylist()))
+    for d, t in zip(docs["doc_id"].to_pylist()[:80], docs["text"].to_pylist()[:80]):
+        b = hashlib.sha256(t.encode()).digest()[0]
+        want = "train" if b < 0xCC else ("val" if b < 0xE6 else "test")
+        assert split_of[d] == want
+    counts = Counter(got["split"].to_pylist())
+    n = got.num_rows
+    # loose proportion sanity at n=500: ~79.7/10.2/10.2%
+    assert 0.70 < counts["train"] / n < 0.88
+    assert counts["val"] > 0 and counts["test"] > 0
+    # determinism: second run identical
+    assert hash_split(SF).equals(got)
 
 
 def test_quality_monotonic_sanity(ray_session):
