@@ -218,6 +218,19 @@ def cmd_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_alias(args: argparse.Namespace) -> int:
+    from .pipelines.lifecycle import resolve_alias, update_aliases
+
+    if args.set:
+        out = update_aliases(args.registry, [("add", args.alias, args.set)])
+    elif args.remove:
+        out = update_aliases(args.registry, [("remove", args.alias, None)])
+    else:
+        out = {args.alias: resolve_alias(args.registry, args.alias)}
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def cmd_snapshot(args: argparse.Namespace) -> int:
     from .pipelines.lifecycle import restore_index, snapshot_index
 
@@ -410,6 +423,15 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--concurrency", type=int, default=8)
     k.add_argument("--num-cpus", type=int, default=None)
     k.set_defaults(fn=cmd_compact)
+
+    al = sub.add_parser(
+        "alias", help="resolve / atomically repoint / remove an index alias"
+    )
+    al.add_argument("--registry", required=True, help="alias registry dir")
+    al.add_argument("--alias", required=True)
+    al.add_argument("--set", default=None, help="index dir to point the alias at")
+    al.add_argument("--remove", action="store_true")
+    al.set_defaults(fn=cmd_alias)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -475,3 +475,69 @@ def compact_index(index_dir: str, out_dir: str, concurrency: int = 8) -> Compact
         n_terms=int(n_terms),
         skipped_shards=skipped,
     )
+
+
+# ---------------------------------------------------------------------------
+# aliases + reindex (ES `_aliases` / `_reindex`): the zero-downtime swap
+
+
+def update_aliases(registry_dir: str, actions: list[tuple[str, str, str | None]]) -> dict:
+    """ES ``_aliases`` API analog: apply ``[("add", alias, index_dir)]`` /
+    ``[("remove", alias, None)]`` actions ATOMICALLY — all of them land in
+    one ``os.replace`` of the registry file, so a concurrent reader sees
+    either the old mapping or the new one, never a mix.  This is exactly
+    ES's remove+add-in-one-call zero-downtime pattern: serving code
+    resolves the alias per request and re-opens stores only when the
+    target changes.  Returns the post-update mapping.
+
+    The registry is one tiny JSON file; writers are last-write-wins (the
+    single-driver ownership model every other index artifact here uses).
+    """
+    import json
+
+    os.makedirs(registry_dir, exist_ok=True)
+    path = os.path.join(registry_dir, "aliases.json")
+    aliases: dict[str, str] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            aliases = json.load(f)
+    for op, alias, target in actions:
+        if op == "add":
+            if target is None or not os.path.isdir(target):
+                raise ValueError(f"alias {alias!r} target is not an index dir: {target!r}")
+            aliases[alias] = target
+        elif op == "remove":
+            aliases.pop(alias, None)
+        else:
+            raise ValueError(f"unknown alias action {op!r}")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(aliases, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return aliases
+
+
+def resolve_alias(registry_dir: str, alias: str) -> str:
+    """Index dir an alias points at (KeyError if unset) — callers open a
+    ``SegmentStore`` on the result, exactly like querying an ES alias."""
+    import json
+
+    path = os.path.join(registry_dir, "aliases.json")
+    if not os.path.exists(path):
+        raise KeyError(alias)
+    with open(path) as f:
+        return json.load(f)[alias]
+
+
+def reindex(cfg, registry_dir: str, alias: str):
+    """ES ``_reindex`` + alias-swap: build a fresh index with the new
+    configuration (different tokenizer / positional layout / partitioning
+    — the reasons one reindexes in ES), then atomically repoint ``alias``
+    at it.  The old index directory is untouched (rollback = one more
+    swap); readers holding the old resolution keep a consistent index.
+    Returns the new index's BuildResult."""
+    from .build import build_index
+
+    res = build_index(cfg)
+    update_aliases(registry_dir, [("add", alias, res.out_dir)])
+    return res

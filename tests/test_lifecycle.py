@@ -369,3 +369,54 @@ def test_compact_after_deleting_everything(ray_session, idx_copy, tmp_path):
     assert st["avgdl"][0].as_py() == 0.0
     # forward map artifact stays readable (empty schema-bearing part)
     assert pq.read_table(os.path.join(out, "forward_map")).num_rows == 0
+
+
+def test_alias_swap_and_reindex(ray_session, built, tmp_path):
+    """ES _aliases/_reindex analog: atomic alias swap; reindex builds a
+    positional index from the same corpus and repoints the alias — phrase
+    queries start working through the SAME alias, the old index is
+    untouched, rollback is one more swap."""
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import (
+        reindex,
+        resolve_alias,
+        update_aliases,
+    )
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_match
+
+    res, _, corpus = built
+    reg = str(tmp_path / "registry")
+    update_aliases(reg, [("add", "main", res.out_dir)])
+    assert resolve_alias(reg, "main") == res.out_dir
+    s1 = SegmentStore(resolve_alias(reg, "main"))
+    texts = _fixture_texts(s1, 6)
+    before = [score_query(s1, t, 10, round_decimals=6) for t in texts]
+    old_hashes = _seg_hashes(res.out_dir)
+
+    cfg = BuildConfig(
+        corpus=corpus,
+        out_dir=str(tmp_path / "idx_v2"),
+        num_partitions=4,
+        with_positions=True,
+    )
+    res2 = reindex(cfg, reg, "main")
+    assert resolve_alias(reg, "main") == res2.out_dir
+    s2 = SegmentStore(resolve_alias(reg, "main"))
+    # scores identical through the swapped alias (same corpus, same BM25)
+    after = [score_query(s2, t, 10, round_decimals=6) for t in texts]
+    assert after == before
+    # the new index serves positional queries; the old is byte-untouched
+    docs = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    two = docs[0].split(" ")[:2]
+    assert len(phrase_match(s2, " ".join(two))) >= 1
+    assert _seg_hashes(res.out_dir) == old_hashes
+    # rollback + removal semantics
+    update_aliases(reg, [("add", "main", res.out_dir), ("add", "v2", res2.out_dir)])
+    assert resolve_alias(reg, "main") == res.out_dir
+    update_aliases(reg, [("remove", "v2", None)])
+    with pytest.raises(KeyError):
+        resolve_alias(reg, "v2")
+    with pytest.raises(ValueError):
+        update_aliases(reg, [("add", "bad", str(tmp_path / "missing"))])
+    with pytest.raises(ValueError):
+        update_aliases(reg, [("frobnicate", "main", None)])
