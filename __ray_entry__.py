@@ -925,6 +925,64 @@ def _q_boosting(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _path_store_for(sf_dir: str):
+    """Second-field (path) index: field-swapped corpus + standard build,
+    cached beside the content index; docIDs align by construction
+    (pipelines/fields.py)."""
+    from bitcoin_ledger_2es_ray.pipelines.fields import build_field_index
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+    from bitcoin_ledger_2es_ray.sources.corpus import derive_corpus_parquet
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key)
+    corpus = derive_corpus_parquet(sf_dir, os.path.join(root, "corpus.parquet"))
+    res = build_field_index(
+        corpus,
+        "path",
+        os.path.join(root, "fields"),
+        num_partitions=8,
+        head_df_ratio=0.5,
+        n_salt=2,
+        sketch_stride=4,
+    )
+    return SegmentStore(res.out_dir)
+
+
+def _q_multi_match(sf_dir: str) -> pa.Table:
+    """ES ``multi_match`` (most_fields) over content¹·⁰ + path²·⁰: query q
+    = the fixture text plus the digit token (17q mod N) — the path leg
+    scores it against the path index's own df/avgdl, the content leg
+    ignores it (df 0), and the boosted per-field scores sum per doc."""
+    from bitcoin_ledger_2es_ray.pipelines.fields import multi_match_topk
+
+    store, _ = _store_for(sf_dir)
+    path_store = _path_store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        text2 = f"{text} {(qid * 17) % store.n_docs}"
+        top = multi_match_topk(
+            [(store, 1.0), (path_store, 2.0)],
+            text2,
+            _TOP_K,
+            mode="most_fields",
+            round_decimals=_ROUND,
+        )
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_highlight(sf_dir: str) -> pa.Table:
     """ES ``highlight`` (deterministic core): single term
     vocab[(17q+5) mod |V|] per query; per matching doc the first occurrence
@@ -1424,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_match": _q_regexp_match,
         "dis_max": _q_dis_max,
         "boosting": _q_boosting,
+        "multi_match": _q_multi_match,
         "delete_query_topk": _q_delete_query_topk,
         "function_score_topk": _q_function_score_topk,
         "explain": _q_explain,
@@ -2039,6 +2098,68 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
          doc_id, score
   FROM final
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # multi_match most_fields over content^1.0 + path^2.0: the path
+        # field src/<source>/file_<id>.py tokenizes (code tokenizer:
+        # compounds + split parts) into exactly the 8-token multiset the
+        # pdoc CTE enumerates; each leg scores with its own field stats
+        "multi_match": _PRELUDE
+        + """
+, nd AS (SELECT count(*) AS c FROM documents),
+pdoc AS (
+  SELECT doc_id, ['src', source, 'file' || doc_id::VARCHAR, 'py',
+                  'src', substr(source, 4), 'file', doc_id::VARCHAR] AS toks
+  FROM documents
+),
+ptoks AS (SELECT doc_id, unnest(toks) AS term FROM pdoc),
+ptf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ptoks GROUP BY doc_id, term),
+pdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ptoks GROUP BY doc_id),
+pstats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM pdl),
+pdf AS (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY term),
+qt2 AS (
+  SELECT query_id, term FROM qterm
+  UNION ALL
+  SELECT q, ((q * 17) % c)::VARCHAR FROM generate_series(0, {nq1}) t(q), nd
+),
+cscore AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM qt2 qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+pscore AS (
+  SELECT qt.query_id, ptf.doc_id,
+         sum( ln(1 + (ps.n - pdf.df + 0.5) / (pdf.df + 0.5))
+              * ptf.tf / (ptf.tf + 1.2 * (1 - 0.75 + 0.75 * pdl.dl / ps.avgdl)) ) AS sc
+  FROM qt2 qt
+  JOIN pdf ON pdf.term = qt.term
+  JOIN ptf ON ptf.term = qt.term
+  JOIN pdl ON pdl.doc_id = ptf.doc_id
+  CROSS JOIN pstats ps
+  GROUP BY qt.query_id, ptf.doc_id
+),
+contrib AS (
+  SELECT query_id, doc_id, sc FROM cscore
+  UNION ALL
+  SELECT query_id, doc_id, 2.0 * sc FROM pscore
+),
+combined AS (
+  SELECT query_id, doc_id, round(sum(sc), 6) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM combined
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank

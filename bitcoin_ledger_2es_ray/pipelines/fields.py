@@ -1,0 +1,147 @@
+"""Multi-field search (ES ``multi_match``): a second inverted index per
+searchable FIELD, query-time score combination across fields.
+
+Elasticsearch analyzes every mapped text field into its own Lucene
+inverted structure (own df/avgdl/postings) inside the same index; the
+graft's analog keeps one index DIRECTORY per field, built by the standard
+build pipeline over a field-swapped view of the corpus:
+
+- ``derive_field_corpus``  rewrite the corpus with ``content := <field>``
+  (same files, same row order → the footer-offset docIDs align across
+  fields by construction, which is what makes query-time combination a
+  pure per-doc score sum).  One Ray task per input file, each writing the
+  same-named output file — streams at corpus scale, nothing driver-sized.
+- ``multi_match_topk``     per-field BM25 score surfaces (each field's own
+  df/avgdl — exactly ES per-field analysis) combined as
+  ``most_fields`` (Σ boost_f · score_f, ES's sum semantics) or
+  ``best_fields`` (dis_max: best field wins + tie_breaker · rest).
+
+The fixture's ``path`` field (``src/<source>/file_<id>.py``) tokenizes
+under the code tokenizer into compounds + split parts, so the DuckDB
+oracle can enumerate the token multiset exactly (__ray_entry__).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+
+from .query import SegmentStore
+from .structured import _score_map
+
+_FIELD_COLS = ("repo", "path", "commit", "lang")
+
+
+def derive_field_corpus(corpus: str, field: str, out_dir: str) -> str:
+    """Field-swapped corpus: same layout, ``content``/``sha256`` replaced by
+    the field's text.  ``corpus`` may be a file or a directory of parts;
+    every input file maps to ONE same-named output file (row order and
+    file-name order preserved ⇒ identical docIDs).  Cached: existing
+    outputs are kept.  Parallel Ray tasks per file at many-file scale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..schemas import CORPUS_WITH_SHA
+
+    if field not in _FIELD_COLS:
+        raise ValueError(f"field must be one of {_FIELD_COLS}, got {field!r}")
+
+    def _swap_file(src: str, dst: str) -> None:
+        t = pq.read_table(src)
+        text = t[field].cast(pa.string())
+        sha = [hashlib.sha256(v.encode("utf-8")).digest() for v in text.to_pylist()]
+        out = pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "commit": t["commit"],
+                "lang": t["lang"],
+                "content": text,
+                "sha256": pa.array(sha, type=pa.binary(32)),
+            },
+            schema=CORPUS_WITH_SHA,
+        )
+        tmp = f"{dst}.tmp.{os.getpid()}"
+        pq.write_table(out, tmp, row_group_size=512)
+        os.replace(tmp, dst)
+
+    if os.path.isdir(corpus):
+        names = sorted(
+            f for f in os.listdir(corpus) if f.endswith(".parquet")
+        )
+        pairs = [(os.path.join(corpus, f), os.path.join(out_dir, f)) for f in names]
+    else:
+        pairs = [(corpus, os.path.join(out_dir, os.path.basename(corpus)))]
+    os.makedirs(out_dir, exist_ok=True)
+    todo = [(s, d) for s, d in pairs if not os.path.exists(d)]
+    if len(todo) > 8:
+        import ray
+
+        swap = ray.remote(num_cpus=1)(_swap_file)
+        ray.get([swap.remote(s, d) for s, d in todo])
+    else:
+        for s, d in todo:
+            _swap_file(s, d)
+    return out_dir
+
+
+def build_field_index(corpus: str, field: str, root: str, **cfg_kw):
+    """Derive the field corpus and build its index under ``root`` —
+    resumable like any build (the manifest is the checkpoint)."""
+    from .build import BuildConfig, build_index
+
+    fc = derive_field_corpus(corpus, field, os.path.join(root, f"corpus_{field}"))
+    cfg = BuildConfig(corpus=fc, out_dir=os.path.join(root, f"idx_{field}"), **cfg_kw)
+    return build_index(cfg)
+
+
+def multi_match_topk(
+    legs: list[tuple[SegmentStore, float]],
+    text: str,
+    k: int,
+    mode: str = "most_fields",
+    tie_breaker: float = 0.0,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``multi_match`` over ``legs = [(field_store, boost)]``:
+
+    - ``most_fields``: score = Σ_f boost_f · BM25_f(doc) — fields vote
+      together (ES sums the per-field query scores).
+    - ``best_fields``: dis_max across fields — the best field's boosted
+      score + tie_breaker · the rest.
+
+    Each leg scores with its OWN corpus stats (df/avgdl of that field's
+    index — per-field analysis, ES-exactly); docIDs align by construction
+    (``derive_field_corpus``).  Ranked on the rounded combined score,
+    ties doc ASC."""
+    from ..functions.bm25 import sql_round
+    from .query import topk_order
+
+    doc_parts, score_parts = [], []
+    for store, boost in legs:
+        d, s = _score_map(store, text)
+        if len(d):
+            doc_parts.append(d)
+            score_parts.append(boost * s)
+    if not doc_parts:
+        return []
+    docs = np.concatenate(doc_parts)
+    scores = np.concatenate(score_parts)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    if mode == "most_fields":
+        final = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(final, inv, scores)
+    elif mode == "best_fields":
+        mx = np.zeros(len(uniq), dtype=np.float64)
+        np.maximum.at(mx, inv, scores)
+        sm = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sm, inv, scores)
+        final = mx + tie_breaker * (sm - mx)
+    else:
+        raise ValueError(f"unknown multi_match mode {mode!r}")
+    if round_decimals is not None:
+        final = sql_round(final, round_decimals)
+    order = topk_order(final, uniq, k)
+    return [(int(uniq[i]), float(final[i])) for i in order]
