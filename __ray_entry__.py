@@ -1013,6 +1013,101 @@ def _q_highlight(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
 
 
+def _q_span_first(sf_dir: str) -> pa.Table:
+    """ES ``span_first``: term vocab[(23q+1) mod |V|] within the first
+    1 + (q mod 8) positions — off the positional index."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import span_first_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    qids, docs = [], []
+    for q in range(_N_QUERIES):
+        term = vocab[(23 * q + 1) % len(vocab)]
+        end = 1 + q % 8
+        hits = span_first_match(store, term, end)
+        qids.extend([q] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+
+
+def _q_phrase_prefix(sf_dir: str) -> pa.Table:
+    """ES ``match_phrase_prefix``: two consecutive tokens of doc
+    (23q mod n) at offset (q mod 5), followed by any term starting with
+    the next token's first two chars — dictionary-expanded last slot over
+    the positional index."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_prefix_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    import pyarrow.parquet as pqm
+
+    key = sf_dir.strip("/").replace("/", "_")
+    corpus_path = os.path.join(_CACHE_ROOT, key, "corpus.parquet")
+    texts = pqm.read_table(corpus_path, columns=["content"])["content"].to_pylist()
+    n = len(texts)
+    qids, docs = [], []
+    for q in range(_N_QUERIES):
+        toks = texts[(q * 23) % n].split(" ")
+        off = q % 5
+        phrase = " ".join(toks[off : off + 2])
+        prefix = toks[off + 2][:2]
+        hits = phrase_prefix_match(store, phrase, prefix, max_expansions=1000)
+        qids.extend([q] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+
+
+def _q_decay_topk(sf_dir: str) -> pa.Table:
+    """ES ``function_score`` + gauss decay on doc length: origin
+    10 + 8·(q mod 5), scale 16, decay 0.5 — BM25 × exp(dist²·ln½/scale²)."""
+    from bitcoin_ledger_2es_ray.pipelines.query import decay_score_query
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        origin = 10 + 8 * (qid % 5)
+        top = decay_score_query(
+            store, text, _TOP_K, origin=origin, scale=16.0, decay=0.5, round_decimals=_ROUND
+        )
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_sampler_agg(sf_dir: str) -> pa.Table:
+    """ES ``random_sampler`` made deterministic: avg dl over the ~10%
+    content-hash sample (first sha byte < 0x1a) — sha streams off the
+    forward map, one (n, Σdl) partial per batch."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import sampler_agg
+
+    _, res = _store_for(sf_dir)
+    return sampler_agg(res.out_dir, cut=0x1A, round_decimals=_ROUND)
+
+
 def _q_delete_query_topk(sf_dir: str) -> pa.Table:
     """Soft-delete semantics (ES delete-by-query / Lucene live-docs): docs
     with lang='de' tombstoned in memory, then fixture BM25 top-k — deleted
@@ -1367,6 +1462,15 @@ def _q_ann_topk(sf_dir: str) -> pa.Table:
     return knn_bruteforce(sf_dir, n_queries=5, k=5)
 
 
+def _q_ann_filtered(sf_dir: str) -> pa.Table:
+    """ES 8 filtered kNN: exact cosine top-k with the label predicate
+    pushed into the parquet scan — the filter restricts candidates, the
+    queries stay unfiltered."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_bruteforce
+
+    return knn_bruteforce(sf_dir, n_queries=5, k=5, label=3)
+
+
 def _q_ann_lsh(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.ann import knn_lsh
 
@@ -1455,6 +1559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_not": _q_boolean_not,
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
+        "span_first": _q_span_first,
+        "phrase_prefix": _q_phrase_prefix,
+        "decay_topk": _q_decay_topk,
         "prefix_match": _q_prefix_match,
         "fuzzy_match": _q_fuzzy_match,
         "term_suggest": _q_term_suggest,
@@ -1465,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_agg": _q_histogram_agg,
         "range_agg": _q_range_agg,
         "adjacency_matrix": _q_adjacency_matrix,
+        "sampler_agg": _q_sampler_agg,
         "extended_stats": _q_extended_stats,
         "matrix_stats": _q_matrix_stats,
         "sig_terms": _q_sig_terms,
@@ -1505,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "hash_split": _q_hash_split,
         "ann_topk": _q_ann_topk,
+        "ann_filtered": _q_ann_filtered,
         "ann_lsh": _q_ann_lsh,  # rows-only (approximate)
         "ann_ivf": _q_ann_ivf,  # rows-only (approximate)
         "cosine_dups": _q_cosine_dups,
@@ -2015,6 +2124,81 @@ SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
        least(first_pos + 3, ndl - 1)::BIGINT AS snip_end
 FROM occ ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # span_first: term within the first 1+(q mod 8) positions
+        "span_first": _PRELUDE
+        + """
+, sq AS (
+  SELECT q AS query_id, v.term, 1 + q % 8 AS e
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (23 * q + 1) % nv.c
+)
+SELECT s.query_id::BIGINT AS query_id, d.doc_id::BIGINT AS doc_id
+FROM sq s JOIN documents d
+  ON list_position(string_split(d.text, ' '), s.term) BETWEEN 1 AND s.e
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # match_phrase_prefix: w1 w2 then any token starting with pf
+        "phrase_prefix": """
+WITH nd AS (SELECT count(*) AS c FROM documents),
+ppq AS (
+  SELECT q AS query_id, (q * 23) % c AS sel, q % 5 AS off
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+),
+pw AS (
+  SELECT p.query_id,
+         list_extract(string_split(d.text, ' '), 1 + p.off) AS w1,
+         list_extract(string_split(d.text, ' '), 2 + p.off) AS w2,
+         substr(list_extract(string_split(d.text, ' '), 3 + p.off), 1, 2) AS pf
+  FROM ppq p JOIN documents d ON d.doc_id = p.sel
+),
+tp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+)
+SELECT DISTINCT pw.query_id::BIGINT AS query_id, a.doc_id::BIGINT AS doc_id
+FROM pw
+JOIN tp a ON a.w = pw.w1
+JOIN tp b ON b.doc_id = a.doc_id AND b.i = a.i + 1 AND b.w = pw.w2
+JOIN tp c ON c.doc_id = a.doc_id AND c.i = a.i + 2 AND starts_with(c.w, pw.pf)
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # gauss decay function_score: BM25 * exp(dist^2 * ln(0.5) / 256)
+        "decay_topk": _PRELUDE
+        + """
+, oq AS (
+  SELECT q AS query_id, (10 + 8 * (q % 5))::DOUBLE AS origin
+  FROM generate_series(0, {nq1}) t(q)
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+               * exp( (dl.dl - oq.origin) * (dl.dl - oq.origin) * ln(0.5) / 256.0 ),
+               6) AS score
+  FROM qterm qt
+  JOIN oq ON oq.query_id = qt.query_id
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id, dl.dl, oq.origin
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # deterministic sampler: ~10% content-hash sample, avg dl over it
+        "sampler_agg": """
+SELECT count(*)::BIGINT AS sample_count,
+       round(avg(len(string_split(text, ' '))), 6) AS avg_dl
+FROM documents WHERE substr(sha256(text), 1, 2) < '1a'
+""",
         # regexp query: pattern q = first + '.*' + last char of
         # vocab[(19q+3) mod |V|], anchored full-term match
         "regexp_match": _PRELUDE
@@ -2716,6 +2900,24 @@ SELECT doc_id,
             WHEN substr(sha256(text), 1, 2) < 'e6' THEN 'val'
             ELSE 'test' END AS split
 FROM documents ORDER BY doc_id
+""",
+        # filtered kNN: candidates restricted to label 3, queries unfiltered
+        "ann_filtered": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+           AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.label = 3
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank,
+         vec_id, sim
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """,
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -641,6 +641,60 @@ def extended_stats_agg(index_dir: str, round_decimals: int = 6) -> pa.Table:
     )
 
 
+def sampler_agg(index_dir: str, cut: int = 0x1A, round_decimals: int = 6) -> pa.Table:
+    """ES ``random_sampler`` aggregation, made DETERMINISTIC: the sample is
+    every doc whose first sha256(content) byte is < ``cut`` (cut/256 ≈ the
+    sampling probability — 0x1a ≈ 10.2%), and the metric (avg doc length)
+    computes over the sample only.
+
+    ES's random_sampler exists so an expensive agg touches a fraction of
+    the shard; hash-gating gives the same cost profile with a reproducible
+    sample (same docs on every run, every cluster size — the property
+    ``curate.hash_split`` uses).  The sha256 already lives in the forward
+    map, so the one streamed pass reads two columns and emits (n, Σdl)
+    partials; no corpus scan, no shuffle."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    if not 0 < cut <= 256:
+        raise ValueError("cut must be in (0, 256]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sha = batch["sha256"].combine_chunks()
+        first = np.frombuffer(sha.buffers()[1], dtype=np.uint8).reshape(-1, 32)[:, 0]
+        dl = np.asarray(batch["dl"].combine_chunks(), dtype=np.int64)
+        m = first < cut
+        return pa.table(
+            {
+                "n": pa.array([int(m.sum())], type=pa.int64()),
+                "s": pa.array([int(dl[m].sum())], type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["sha256", "dl"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    n = sum(cat["n"].to_pylist())
+    s = sum(cat["s"].to_pylist())
+    return pa.table(
+        {
+            "sample_count": pa.array([n], type=pa.int64()),
+            "avg_dl": pa.array(
+                [float(sql_round(s / n, round_decimals)) if n else 0.0],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
 def histogram_agg(index_dir: str, matches: pa.Table, interval: int = 16) -> pa.Table:
     """ES ``histogram`` aggregation over doc length: per query, hit counts in
     fixed-width ``dl`` buckets → (query_id, bucket, doc_count) with

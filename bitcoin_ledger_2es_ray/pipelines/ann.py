@@ -26,10 +26,18 @@ from ..functions.bm25 import sql_round
 ROUND = 6
 
 
-def _read_embeddings(sf_dir: str):
+def _read_embeddings(sf_dir: str, label: int | None = None):
+    """Embeddings scan; with ``label`` the predicate pushes down into the
+    parquet read (row-group pruning + server-side filtering) so only the
+    candidate subset leaves storage — ES 8 filtered-kNN semantics, where
+    the filter restricts candidates, never the queries."""
+    import pyarrow.dataset as pads
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    kw = {"columns": ["vec_id", "embedding"]}
+    if label is not None:
+        kw["filter"] = pads.field("label") == label
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", **kw)
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -92,14 +100,28 @@ def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     return _batch_matrix(t)
 
 
-def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 5) -> pa.Table:
-    """Exact cosine top-k: (query_id, rank, vec_id, sim)."""
+def knn_bruteforce(
+    sf_dir: str, n_queries: int = 5, k: int = 5, label: int | None = None
+) -> pa.Table:
+    """Exact cosine top-k: (query_id, rank, vec_id, sim).
+
+    ``label`` = ES 8 filtered kNN: the metadata predicate restricts the
+    CANDIDATE set (pushed into the parquet scan), queries stay unfiltered.
+    """
     import ray
 
     q_ids, q_mat = load_queries(sf_dir, n_queries)
     q_ref = ray.put(_normalize(q_mat))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # fully filtered-out block (label pushdown)
+            return pa.table(
+                {
+                    "q": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
         q = ray.get(q_ref)  # zero-copy from local object store
         ids, mat = _batch_matrix(batch)
         sims = q @ _normalize(mat).T  # (n_queries, batch)
@@ -122,7 +144,7 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 5) -> pa.Table:
     parts = pa.concat_tables(
         [
             ray.get(r)
-            for r in _read_embeddings(sf_dir)
+            for r in _read_embeddings(sf_dir, label=label)
             .map_batches(partial_topk, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
             .to_arrow_refs()
         ]

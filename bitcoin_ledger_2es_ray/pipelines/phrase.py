@@ -156,6 +156,72 @@ def phrase_match_slop(
     return np.unique(viable >> np.uint64(POS_BITS))
 
 
+def span_first_match(store: SegmentStore, term: str, end: int) -> np.ndarray:
+    """ES ``span_first``: sorted unique doc_ids where ``term`` occurs within
+    the first ``end`` positions (a single-term span matches iff some
+    occurrence has position < end; occurrences are sorted per posting, so
+    the FIRST position — ``flat[cum_tf[k]]`` — decides).  Requires a
+    positional index."""
+    if end <= 0:
+        raise ValueError("end must be >= 1")
+    docs, tfs, flat = store.postings_positions(term)
+    if len(docs) == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))[:-1]))
+    first = flat[starts]
+    return np.unique(docs[first < np.uint64(end)])
+
+
+def phrase_prefix_match(
+    store: SegmentStore,
+    text: str,
+    prefix: str,
+    max_expansions: int = 50,
+    tokenizer: str = "code",
+) -> np.ndarray:
+    """ES ``match_phrase_prefix``: the phrase ``text`` immediately followed
+    by ANY term starting with ``prefix`` — Lucene expands the prefix
+    against the term dictionary (first ``max_expansions`` in dictionary
+    order, ES-exactly) and the last phrase slot becomes the UNION of the
+    expansions' occurrence key sets; everything else is the exact phrase
+    kernel."""
+    pairs = tokenize_query_positions(text, tokenizer)
+    exp = store.td.terms_with_prefix(prefix)[:max_expansions]
+    if not exp:
+        return np.empty(0, dtype=np.uint64)
+    qmax = (max(p for _, p in pairs) + 1) if pairs else 0
+    key_sets: list[np.ndarray] = []
+    for term, qpos in pairs:
+        docs, tfs, pos = store.postings_positions(term)
+        if len(docs) == 0:
+            return np.empty(0, dtype=np.uint64)
+        if int(docs.max()) > MAX_DOC or int(pos.max()) + qmax > MAX_POS:
+            raise ValueError("doc_id/position exceeds the phrase-key budget")
+        docs_per_pos = np.repeat(docs, tfs.astype(np.int64))
+        adj = pos + np.uint64(qmax - qpos)
+        key_sets.append(np.unique((docs_per_pos << np.uint64(POS_BITS)) | adj))
+    union_sets: list[np.ndarray] = []
+    for t in exp:  # the prefix slot sits at offset qmax → shift 0
+        docs, tfs, pos = store.postings_positions(t)
+        if len(docs) == 0:
+            continue
+        if int(docs.max()) > MAX_DOC or int(pos.max()) > MAX_POS:
+            raise ValueError("doc_id/position exceeds the phrase-key budget")
+        d = np.repeat(docs, tfs.astype(np.int64))
+        union_sets.append((d << np.uint64(POS_BITS)) | pos)
+    if not union_sets:
+        return np.empty(0, dtype=np.uint64)
+    key_sets.append(np.unique(np.concatenate(union_sets)))
+    key_sets.sort(key=len)
+    acc = key_sets[0]
+    for s in key_sets[1:]:
+        if len(acc) == 0:
+            break
+        acc = acc[np.isin(acc, s, assume_unique=True)]
+    acc = acc[(acc & np.uint64(MAX_POS)) >= np.uint64(qmax)]
+    return np.unique(acc >> np.uint64(POS_BITS))
+
+
 def phrase_topk(
     store: SegmentStore,
     text: str,

@@ -345,6 +345,55 @@ def function_score_query(
     return [(int(uniq[i]), float(final[i])) for i in order]
 
 
+def decay_score_query(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+    k1: float = K1,
+    b: float = B,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``function_score`` with a ``gauss`` decay on doc length:
+
+        score = BM25 × exp( (dl − origin)² · ln(decay) / scale² )
+
+    (ES's gauss with offset 0: σ² = −scale²/(2·ln decay), so the factor is
+    ``decay`` exactly at distance ``scale`` from ``origin``.)  Like
+    ``function_score_query``, dl rides every posting so no join is needed;
+    ranked on the rounded final score, ties doc ASC."""
+    if not (0.0 < decay < 1.0) or scale <= 0:
+        raise ValueError("need 0 < decay < 1 and scale > 0")
+    terms = sorted(set(tokenize_query(text)))
+    docs_l, contrib_l, dls_l = [], [], []
+    for term in terms:
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        if len(d) == 0:
+            continue
+        docs_l.append(d)
+        contrib_l.append(float(idf(store.n_docs, df_t)) * tf_norm(tf, dl, store.avgdl, k1, b))
+        dls_l.append(dl)
+    if not docs_l:
+        return []
+    all_docs = np.concatenate(docs_l)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, np.concatenate(contrib_l))
+    dl_of = np.zeros(len(uniq), dtype=np.float64)
+    dl_of[inv] = np.concatenate(dls_l)
+    dist = dl_of - origin
+    final = scores * np.exp(dist * dist * np.log(decay) / (scale * scale))
+    if round_decimals is not None:
+        final = sql_round(final, round_decimals)
+    order = topk_order(final, uniq, k)
+    return [(int(uniq[i]), float(final[i])) for i in order]
+
+
 def explain_score(
     store: SegmentStore,
     text: str,

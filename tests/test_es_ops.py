@@ -788,3 +788,83 @@ def test_matrix_stats_matches_numpy(ray_session):
     assert pair["covariance"] == pytest.approx(cov, abs=1e-6)
     assert pair["correlation"] == pytest.approx(corr, abs=1e-6)
     assert pair["mean_a"] == pytest.approx(y.mean(), abs=1e-6)
+
+
+def test_decay_score_reweights_full_ranking(built):
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        decay_score_query,
+        score_query,
+    )
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    dls = [len(d.split(" ")) for d in docs]
+    vocab = sorted(store.df)
+    text = " ".join(sorted({vocab[2], vocab[9 % len(vocab)]}))
+    origin, scale, decay = 20.0, 12.0, 0.5
+    got = decay_score_query(store, text, 10, origin, scale, decay, round_decimals=6)
+    base = dict(score_query(store, text, len(docs)))
+    want = {
+        d: float(sql_round(s * math.exp((dls[d] - origin) ** 2 * math.log(decay) / scale**2), 6))
+        for d, s in base.items()
+    }
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == expect
+    # at dl == origin the factor is 1; at |dl-origin| == scale it is decay
+    assert math.exp(scale**2 * math.log(decay) / scale**2) == pytest.approx(decay)
+    with pytest.raises(ValueError):
+        decay_score_query(store, text, 5, origin, -1.0)
+
+
+def test_sampler_agg_matches_direct(built, ray_session):
+    import hashlib
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import sampler_agg
+
+    res, _, corpus = built
+    texts = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    cut = 0x40  # bigger cut so the small fixture surely samples something
+    sample = [len(t.split(" ")) for t in texts if hashlib.sha256(t.encode()).digest()[0] < cut]
+    got = sampler_agg(res.out_dir, cut=cut).to_pandas().iloc[0]
+    assert got["sample_count"] == len(sample)
+    assert got["avg_dl"] == pytest.approx(sum(sample) / len(sample), abs=1e-6)
+    with pytest.raises(ValueError):
+        sampler_agg(res.out_dir, cut=0)
+
+
+def test_knn_filtered_restricts_candidates(ray_session):
+    import pyarrow.parquet as pqm
+
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_bruteforce
+
+    sf = "/root/testdata/sf0.001"
+    lab = dict(
+        zip(
+            pqm.read_table(f"{sf}/embeddings.parquet", columns=["vec_id"])["vec_id"].to_pylist(),
+            pqm.read_table(f"{sf}/embeddings.parquet", columns=["label"])["label"].to_pylist(),
+        )
+    )
+    got = knn_bruteforce(sf, n_queries=3, k=4, label=2)
+    assert got.num_rows > 0
+    assert all(lab[v] == 2 for v in got["vec_id"].to_pylist())
+    # unfiltered results on the label subset agree where they overlap
+    full = knn_bruteforce(sf, n_queries=3, k=len(lab))
+    for q in set(got["query_id"].to_pylist()):
+        f_rows = [
+            (v, s)
+            for qq, v, s in zip(
+                full["query_id"].to_pylist(), full["vec_id"].to_pylist(), full["sim"].to_pylist()
+            )
+            if qq == q and lab[v] == 2
+        ][:4]
+        g_rows = [
+            (v, s)
+            for qq, v, s in zip(
+                got["query_id"].to_pylist(), got["vec_id"].to_pylist(), got["sim"].to_pylist()
+            )
+            if qq == q
+        ]
+        assert g_rows == f_rows

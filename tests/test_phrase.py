@@ -252,6 +252,51 @@ def test_prefix_and_wildcard(pos_index):
         wildcard_match(store, "*tail")
 
 
+def test_span_first_brute(pos_index):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import span_first_match
+
+    docs, store, _ = pos_index
+    vocab = sorted(store.df)
+    for term in (vocab[0], vocab[7 % len(vocab)], "zzzznone"):
+        for end in (1, 2, 5):
+            want = sorted(
+                i
+                for i, d in enumerate(docs)
+                if term in d.split(" ") and d.split(" ").index(term) < end
+            )
+            assert span_first_match(store, term, end).tolist() == want, (term, end)
+    with pytest.raises(ValueError):
+        span_first_match(store, vocab[0], 0)
+
+
+def test_phrase_prefix_brute(pos_index):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_prefix_match
+
+    docs, store, _ = pos_index
+    checked = 0
+    for qi in range(30):
+        toks = docs[(qi * 7) % len(docs)].split(" ")
+        if len(toks) < 4:
+            continue
+        off = qi % 2
+        w1, w2, pf = toks[off], toks[off + 1], toks[off + 2][:2]
+        got = phrase_prefix_match(store, f"{w1} {w2}", pf).tolist()
+        want = sorted(
+            i
+            for i, d in enumerate(docs)
+            if any(
+                t[j] == w1 and t[j + 1] == w2 and t[j + 2].startswith(pf)
+                for t in [d.split(" ")]
+                for j in range(len(t) - 2)
+            )
+        )
+        assert got == want, (w1, w2, pf)
+        checked += 1
+    assert checked >= 20
+    # unknown prefix → empty; max_expansions truncates the dictionary range
+    assert phrase_prefix_match(store, "alpha", "zz").tolist() == []
+
+
 def test_regexp_match_brute(pos_index):
     import re
 
