@@ -1523,6 +1523,59 @@ def _q_top_quality_per_lang(sf_dir: str) -> pa.Table:
     return top_quality_per_lang(sf_dir, k=3)
 
 
+def _q_pack_sequences(sf_dir: str) -> pa.Table:
+    """LLM sequence packing: global token offset per doc (two-phase
+    distributed prefix sum over row groups) + 256-token chunk id."""
+    from bitcoin_ledger_2es_ray.pipelines.curate import pack_sequences
+
+    return pack_sequences(sf_dir, budget=256)
+
+
+def _q_match_count(sf_dir: str) -> pa.Table:
+    """ES ``_count``: OR-match doc count per fixture query — single-term
+    queries answer from the dictionary df without touching postings."""
+    from bitcoin_ledger_2es_ray.pipelines.query import match_count
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, counts = [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        qids.append(qid)
+        counts.append(match_count(store, text))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "n_matches": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def _q_mget(sf_dir: str) -> pa.Table:
+    """ES ``_mget``: metadata for ids (31q mod N) via the forward map with
+    the id set pushed into the parquet scan."""
+    from bitcoin_ledger_2es_ray.pipelines.query import mget
+
+    store, res = _store_for(sf_dir)
+    ids = sorted({(q * 31) % store.n_docs for q in range(_N_QUERIES)})
+    t = mget(res.out_dir, ids, columns=["lang", "dl"])
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "lang": t["lang"],
+            "dl": t["dl"].cast(pa.int64()),
+        }
+    )
+
+
+def _q_percentile_ranks(sf_dir: str) -> pa.Table:
+    """ES ``percentile_ranks`` over doc length (exact value-counts plan):
+    % of docs with dl ≤ v for v ∈ {8,16,32,64}."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import percentile_ranks_agg
+
+    _, res = _store_for(sf_dir)
+    return percentile_ranks_agg(res.out_dir, values=(8, 16, 32, 64), round_decimals=_ROUND)
+
+
 def _q_tumbling_window(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.events import tumbling_window
 
@@ -1579,6 +1632,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_stats": _q_terms_stats_agg,
         "composite_page2": _q_composite_page2,
         "percentiles": _q_percentiles,
+        "percentile_ranks": _q_percentile_ranks,
+        "match_count": _q_match_count,
+        "mget": _q_mget,
+        "pack_sequences": _q_pack_sequences,
         "distinct_counts": _q_distinct_counts,
         "cardinality_hll": _q_cardinality_hll,  # rows-only (HLL approximate)
         "more_like_this": _q_more_like_this,
@@ -2857,6 +2914,46 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))::BIGINT
          AS n_bpe
 FROM documents ORDER BY doc_id
+""",
+        # _count API: OR-match doc count per query
+        "match_count": _PRELUDE
+        + """
+SELECT qt.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matches
+FROM qterm qt JOIN tf ON tf.term = qt.term
+GROUP BY qt.query_id ORDER BY query_id
+""",
+        # _mget: metadata for ids (31q mod N)
+        "mget": """
+WITH nd AS (SELECT count(*) AS c FROM documents),
+ids AS (
+  SELECT DISTINCT (q * 31) % c AS doc_id
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+)
+SELECT d.doc_id, d.lang, len(string_split(d.text, ' '))::BIGINT AS dl
+FROM documents d JOIN ids USING (doc_id) ORDER BY doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # percentile_ranks: % of docs with dl <= v (exact)
+        "percentile_ranks": """
+WITH d AS (SELECT len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+nn AS (SELECT count(*)::DOUBLE AS n FROM d),
+vs AS (SELECT unnest([8, 16, 32, 64]) AS value)
+SELECT vs.value::BIGINT AS value,
+       round(100.0 * (SELECT count(*) FROM d WHERE d.dl <= vs.value) / nn.n, 6) AS pct
+FROM vs, nn ORDER BY value
+""",
+        # sequence packing: exclusive prefix sum of dl in doc_id order
+        "pack_sequences": """
+WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+o AS (
+  SELECT doc_id,
+         coalesce(sum(dl) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tok_offset
+  FROM d
+)
+SELECT doc_id, tok_offset::BIGINT AS tok_offset,
+       (tok_offset // 256)::BIGINT AS chunk_id
+FROM o ORDER BY doc_id
 """,
         # regex redaction pipeline: pattern k counts+replaces on the output
         # of pattern k-1; verified via count + length + sha256(redacted)

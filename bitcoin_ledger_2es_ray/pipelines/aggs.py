@@ -393,6 +393,55 @@ def percentiles_agg(
     )
 
 
+def percentile_ranks_agg(
+    index_dir: str,
+    values: tuple[int, ...] = (8, 16, 32, 64),
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``percentile_ranks`` over doc length, EXACT: for each probe
+    value v, the percentage of docs with dl ≤ v → (value, pct).
+
+    Same value-counts plan as ``percentiles_agg`` (per-batch dl
+    histograms, combine bounded by #distinct dl); the rank is a
+    searchsorted over the tiny combined table.  ES answers from the same
+    t-digest as percentiles — exact here for the same bounded-cardinality
+    reason."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("dl").aggregate([("dl", "count")])
+        return pa.table({"dl": g["dl"], "n": g["dl_count"].cast(pa.int64())})
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["dl"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    t = cat.group_by("dl").aggregate([("n", "sum")])
+    vals = np.asarray(t["dl"].combine_chunks(), dtype=np.int64)
+    cnts = np.asarray(t["n_sum"].combine_chunks(), dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_v, out_p = [], []
+    for v in values:
+        le = int(cum[np.searchsorted(vals, v, side="right") - 1]) if np.searchsorted(vals, v, side="right") > 0 else 0
+        out_v.append(int(v))
+        out_p.append(float(sql_round(100.0 * le / n, round_decimals)) if n else 0.0)
+    return pa.table(
+        {
+            "value": pa.array(out_v, type=pa.int64()),
+            "pct": pa.array(out_p, type=pa.float64()),
+        }
+    )
+
+
 def significant_terms(
     index_dir: str,
     store,

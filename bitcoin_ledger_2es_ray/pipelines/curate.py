@@ -183,6 +183,75 @@ def hash_split_to_parquet(
     return out_dir
 
 
+def pack_sequences(sf_dir: str, budget: int = 256) -> pa.Table:
+    """LLM training-data sequence packing: concatenate the corpus in
+    doc_id order and cut fixed ``budget``-token chunks — each doc gets its
+    global token offset and the chunk its first token lands in →
+    (doc_id, tok_offset, chunk_id).
+
+    A global prefix sum does not fit one pass, so this is the classic
+    TWO-PHASE scan: phase 1 tokenize-counts each parquet row group in a
+    parallel Ray task (emitting the per-group (doc_id, dl) arrays into
+    the object store — never the text); the driver exclusive-scans the
+    per-group totals (O(#row groups), tiny); phase 2 tasks add each
+    group's base offset to its within-group exclusive cumsum.  Work is
+    proportional to corpus size, driver state to row-group count.  Chunk
+    boundaries may split a doc — GPT-2-style packing concatenates and
+    slices, it does not pad per doc.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    path = f"{sf_dir}/documents.parquet"
+
+    @ray.remote(num_cpus=1)
+    def count_rg(rg: int) -> pa.Table:
+        t = pq.ParquetFile(path).read_row_group(rg, columns=["doc_id", "text"])
+        dl = pc.add(pc.count_substring(t["text"], " "), 1).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()), "dl": dl})
+
+    @ray.remote(num_cpus=1)
+    def summarize(part: pa.Table) -> tuple[int, int, int]:
+        dl = part["dl"]
+        ids = part["doc_id"]
+        s = int(pc.sum(dl).as_py() or 0)
+        return s, int(pc.min(ids).as_py()), int(pc.max(ids).as_py())
+
+    n_rgs = pq.ParquetFile(path).metadata.num_row_groups
+    refs = [count_rg.remote(rg) for rg in range(n_rgs)]
+    # driver sees only (total, min_id, max_id) per group — the per-doc
+    # arrays stay in the object store for phase 2
+    sums = ray.get([summarize.remote(r) for r in refs])
+    prev_max = -1
+    for s, lo, hi in sums:  # the file must be doc_id-ordered (it is — the
+        if lo <= prev_max:  # corpus writer emits rows in id order)
+            raise ValueError("documents.parquet is not doc_id-ordered by row group")
+        prev_max = hi
+    totals = [s for s, _, _ in sums]
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1])).astype(np.int64)
+
+    @ray.remote(num_cpus=1)
+    def assign(part: pa.Table, base: int) -> pa.Table:
+        dl = np.asarray(part["dl"], dtype=np.int64)
+        ids = np.asarray(part["doc_id"], dtype=np.int64)
+        if len(ids) > 1 and np.any(np.diff(ids) <= 0):
+            raise ValueError("row group not doc_id-ordered")
+        off = base + np.concatenate(([0], np.cumsum(dl)[:-1]))
+        return pa.table(
+            {
+                "doc_id": part["doc_id"],
+                "tok_offset": pa.array(off),
+                "chunk_id": pa.array(off // budget),
+            }
+        )
+
+    out = [assign.remote(r, int(b)) for r, b in zip(refs, bases)]
+    return pa.concat_tables(ray.get(out)).sort_by("doc_id")
+
+
 def top_quality_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
     """Per-language top-k docs by (quality DESC, doc_id ASC):
     (lang, rank, doc_id, quality) — grouped top-k via map_groups."""

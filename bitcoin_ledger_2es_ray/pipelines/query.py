@@ -427,6 +427,39 @@ def explain_score(
     return out
 
 
+def match_count(store: SegmentStore, text: str) -> int:
+    """ES ``_count`` API: the OR-match doc count for a query.
+
+    Single-distinct-term queries answer straight from the dictionary's df
+    (no posting decode at all — the fast path Lucene's count API takes);
+    multi-term queries union the decoded doc sets."""
+    terms = sorted(set(tokenize_query(text)))
+    live = [t for t in terms if store.td.df_of(t) > 0]
+    if not live:
+        return 0
+    if len(live) == 1 and store.tombs is None:
+        return store.td.df_of(live[0])
+    from ..functions.boolean import union_many
+
+    return int(len(union_many([store.postings(t)[0] for t in live])))
+
+
+def mget(index_dir: str, doc_ids: list[int], columns: list[str] = ("lang", "dl")) -> pa.Table:
+    """ES ``_mget``: fetch per-doc metadata for an explicit id list, with
+    the id predicate pushed into the forward-map parquet scan (row-group
+    pruning + server-side filtering — only requested rows leave storage).
+    Returns (doc_id, *columns) sorted by doc_id; missing ids are absent,
+    exactly like ES's per-doc found=false."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(os.path.join(index_dir, "forward_map"))
+    ids = pa.array(sorted({int(d) for d in doc_ids}), type=pa.uint64())
+    t = ds.to_table(
+        columns=["doc_id", *columns], filter=pads.field("doc_id").isin(ids)
+    )
+    return t.sort_by("doc_id")
+
+
 def collapse_topk(
     store: SegmentStore,
     text: str,

@@ -868,3 +868,48 @@ def test_knn_filtered_restricts_candidates(ray_session):
             if qq == q
         ]
         assert g_rows == f_rows
+
+
+def test_match_count_matches_union(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, match_count
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = [d.split(" ") for d in pq.read_table(corpus, columns=["content"])["content"].to_pylist()]
+    vocab = sorted(store.df)
+    # single-term fast path == df == brute count
+    t = vocab[4 % len(vocab)]
+    assert match_count(store, t) == store.td.df_of(t) == sum(t in d for d in docs)
+    # multi-term == union size; unknown terms ignored; all-unknown → 0
+    text = f"{vocab[0]} {vocab[9 % len(vocab)]} zzzznone"
+    want = sum(any(w in d for w in (vocab[0], vocab[9 % len(vocab)])) for d in docs)
+    assert match_count(store, text) == want
+    assert match_count(store, "zzzznone") == 0
+
+
+def test_mget_pushdown_matches_direct(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import mget
+
+    res, _, corpus = built
+    t = pq.read_table(corpus, columns=["content", "lang"])
+    n = t.num_rows
+    ids = [0, 5, n - 1, n + 100]  # includes a missing id
+    got = mget(res.out_dir, ids, columns=["lang", "dl"])
+    assert got["doc_id"].to_pylist() == [0, 5, n - 1]  # missing id absent
+    langs = t["lang"].to_pylist()
+    dls = [len(c.split(" ")) for c in t["content"].to_pylist()]
+    for d, l, dl in zip(got["doc_id"].to_pylist(), got["lang"].to_pylist(), got["dl"].to_pylist()):
+        assert (l, dl) == (langs[d], dls[d])
+
+
+def test_percentile_ranks_matches_numpy(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import percentile_ranks_agg
+
+    res, _, corpus = built
+    dls = np.array(
+        [len(c.split(" ")) for c in pq.read_table(corpus, columns=["content"])["content"].to_pylist()]
+    )
+    got = percentile_ranks_agg(res.out_dir, values=(1, 16, 32, 1000)).to_pandas()
+    for v, p in zip(got["value"], got["pct"]):
+        assert p == pytest.approx(100.0 * (dls <= v).mean(), abs=1e-6)
+    assert got["pct"].iloc[-1] == 100.0  # v beyond max dl covers everything

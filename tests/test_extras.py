@@ -436,3 +436,23 @@ def test_decontaminate_brute_force(ray_session):
     want = sorted(d for d, s in sh.items() if d % 17 != 0 and s & bench)
     assert got == want
     assert all(d % 17 != 0 for d in got)  # benchmark rows never flagged
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.curate import pack_sequences
+
+    got = pack_sequences(SF, budget=100)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    dls = {d: len(t.split(" ")) for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())}
+    off = 0
+    rows = dict(zip(got["doc_id"].to_pylist(), zip(got["tok_offset"].to_pylist(), got["chunk_id"].to_pylist())))
+    for d in sorted(dls):
+        assert rows[d] == (off, off // 100), d
+        off += dls[d]
+    # chunk ids are non-decreasing in doc order and start at 0
+    chunks = [rows[d][1] for d in sorted(dls)]
+    assert chunks[0] == 0 and all(a <= b for a, b in zip(chunks, chunks[1:]))
+    with pytest.raises(ValueError):
+        pack_sequences(SF, budget=0)
