@@ -1576,6 +1576,27 @@ def _q_percentile_ranks(sf_dir: str) -> pa.Table:
     return percentile_ranks_agg(res.out_dir, values=(8, 16, 32, 64), round_decimals=_ROUND)
 
 
+def _q_percolate(sf_dir: str) -> pa.Table:
+    """ES percolator: the 50 fixture queries are REGISTERED and the doc
+    stream percolates against the broadcast query set — (doc, query)
+    pairs where the doc contains ALL the query's terms.  Result equals
+    boolean_and transposed; the plan is the reverse direction (the doc
+    stream never touches the inverted index)."""
+    from bitcoin_ledger_2es_ray.pipelines.percolate import percolate
+
+    store, _ = _store_for(sf_dir)
+    return percolate(sf_dir, _fixture_queries(store))
+
+
+def _q_rank_eval(sf_dir: str) -> pa.Table:
+    """ES ``_rank_eval``: precision@10 / recall@10 / MRR of the BM25
+    ranking against the conjunctive AND-match qrels."""
+    from bitcoin_ledger_2es_ray.pipelines.query import rank_eval
+
+    store, _ = _store_for(sf_dir)
+    return rank_eval(store, _fixture_queries(store), k=_TOP_K, round_decimals=_ROUND)
+
+
 def _q_tumbling_window(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.events import tumbling_window
 
@@ -1635,6 +1656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_ranks": _q_percentile_ranks,
         "match_count": _q_match_count,
         "mget": _q_mget,
+        "percolate": _q_percolate,
+        "rank_eval": _q_rank_eval,
         "pack_sequences": _q_pack_sequences,
         "distinct_counts": _q_distinct_counts,
         "cardinality_hll": _q_cardinality_hll,  # rows-only (HLL approximate)
@@ -2915,6 +2938,70 @@ SELECT doc_id,
          AS n_bpe
 FROM documents ORDER BY doc_id
 """,
+        # percolator: boolean_and transposed (the engine computes it by
+        # streaming DOCS against broadcast queries — reverse plan)
+        "percolate": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT h.doc_id, h.query_id
+FROM hits h JOIN qn USING (query_id) WHERE h.m = qn.nt
+ORDER BY doc_id, query_id
+""",
+        # _rank_eval: precision@k / recall@k / MRR vs AND-match qrels
+        "rank_eval": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id
+  FROM scored
+),
+qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+),
+relc AS (SELECT query_id, count(*)::DOUBLE AS nrel FROM anded GROUP BY query_id),
+hitk AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ranked r
+  LEFT JOIN anded a ON a.query_id = r.query_id AND a.doc_id = r.doc_id
+  WHERE r.rank <= {k}
+),
+agg AS (
+  SELECT query_id, sum(rel) AS nhit,
+         min(CASE WHEN rel = 1 THEN rank END) AS first
+  FROM hitk GROUP BY query_id
+)
+SELECT a.query_id,
+       round(a.nhit / {k}.0, 6) AS precision_k,
+       round(a.nhit / relc.nrel, 6) AS recall_k,
+       round(coalesce(1.0 / a.first, 0), 6) AS mrr
+FROM agg a JOIN relc USING (query_id) ORDER BY query_id
+""".replace("{k}", str(_TOP_K)),
         # _count API: OR-match doc count per query
         "match_count": _PRELUDE
         + """

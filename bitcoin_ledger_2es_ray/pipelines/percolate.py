@@ -1,0 +1,108 @@
+"""Percolator (ES ``percolate`` query): REVERSE search — queries are
+registered, documents stream in, and each doc reports which registered
+queries it matches.
+
+Elasticsearch indexes the registered queries and percolates each incoming
+doc against them (alerting / saved-search / routing workloads).  The graft
+keeps the same inversion with Ray Data machinery:
+
+- the registered query set (query_id → distinct terms) is tiny next to
+  the doc stream → broadcast once via ``ray.put`` as a (query_id, term)
+  table + per-query term counts;
+- documents stream through ``map_batches``; each batch tokenizes with the
+  standard code tokenizer, inner-joins its distinct (doc, term) pairs
+  against the broadcast query terms, and a doc matches query q iff the
+  join recovers ALL of q's terms (count-distinct == nt — conjunctive
+  percolation, the ES default for term queries);
+- output is the (doc_id, query_id) match pairs — one partial table per
+  batch, nothing corpus-sized on the driver until the caller collects.
+
+The result set equals ``boolean_and`` transposed, which is exactly what
+makes it oracle-checkable — but the PLAN is the reverse direction: the
+doc stream never touches the inverted index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.tokenize import tokenize_flat
+from .query import tokenize_query
+
+
+def compile_queries(queries: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """(query_id, term) pairs + (query_id, nt) counts from a
+    (query_id, text) table — the broadcastable registration state."""
+    qids, terms = [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        for t in sorted(set(tokenize_query(text))):
+            qids.append(qid)
+            terms.append(t)
+    pairs = pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+        }
+    )
+    nt = pairs.group_by("query_id").aggregate([("term", "count")])
+    nt = nt.select(["query_id", "term_count"]).rename_columns(["query_id", "nt"])
+    return pairs, nt
+
+
+def percolate(sf_dir: str, queries: pa.Table) -> pa.Table:
+    """(doc_id, query_id) for every registered query whose terms ALL occur
+    in the doc — the doc stream percolates against the broadcast query
+    set; see module docstring for the plan."""
+    import ray
+    import ray.data as rd
+
+    pairs, nt = compile_queries(queries)
+    pairs_ref = ray.put(pairs)
+    nt_of = dict(zip(nt["query_id"].to_pylist(), nt["nt"].to_pylist()))
+    nt_ref = ray.put(nt)
+
+    def match_batch(batch: pa.Table) -> pa.Table:
+        terms, doc_idx, _ = tokenize_flat(batch["text"])
+        doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)[doc_idx]
+        dt = pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "term": terms,
+            }
+        ).group_by(["doc_id", "term"]).aggregate([])  # distinct (doc, term)
+        j = dt.join(ray.get(pairs_ref), keys="term", join_type="inner")
+        if j.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "query_id": pa.array([], type=pa.int64()),
+                }
+            )
+        g = j.group_by(["doc_id", "query_id"]).aggregate([("term", "count")])
+        full = g.join(ray.get(nt_ref), keys="query_id", join_type="inner")
+        keep = pa.compute.equal(full["term_count"], full["nt"])
+        out = full.filter(keep)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"].cast(pa.int64()),
+                "query_id": out["query_id"].cast(pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(match_batch, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "query_id": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by(
+        [("doc_id", "ascending"), ("query_id", "ascending")]
+    )

@@ -427,6 +427,52 @@ def explain_score(
     return out
 
 
+def rank_eval(
+    store: SegmentStore,
+    queries: pa.Table,
+    k: int = 10,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``_rank_eval`` API: score the BM25 top-``k`` ranking of each
+    query against a relevance set, reporting precision@k, recall@k and
+    MRR → (query_id, precision_k, recall_k, mrr).
+
+    The relevance judgments here are DERIVED, not hand-labeled: a doc is
+    relevant iff it contains ALL the query's terms (the conjunctive
+    AND-match) — a deterministic qrel the SQL oracle reproduces exactly,
+    so the metric arithmetic itself is what the gate verifies.  Queries
+    with an empty relevant set are skipped (ES omits unjudged requests).
+    """
+    from ..functions.boolean import intersect_many
+
+    qids, precs, recs, mrrs = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        terms = sorted(set(tokenize_query(text)))
+        sets = [np.unique(store.postings(t)[0]) for t in terms if store.td.df_of(t) > 0]
+        if len(sets) < len(terms) or not sets:
+            continue
+        rel = intersect_many(sets)
+        if len(rel) == 0:
+            continue
+        top = score_query(store, text, k, round_decimals=round_decimals)
+        hit = np.isin(
+            np.array([d for d, _ in top], dtype=np.uint64), rel, assume_unique=True
+        )
+        first = int(np.argmax(hit)) + 1 if hit.any() else 0
+        qids.append(qid)
+        precs.append(float(sql_round(hit.sum() / k, round_decimals)))
+        recs.append(float(sql_round(hit.sum() / len(rel), round_decimals)))
+        mrrs.append(float(sql_round(1.0 / first, round_decimals)) if first else 0.0)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "precision_k": pa.array(precs, type=pa.float64()),
+            "recall_k": pa.array(recs, type=pa.float64()),
+            "mrr": pa.array(mrrs, type=pa.float64()),
+        }
+    )
+
+
 def match_count(store: SegmentStore, text: str) -> int:
     """ES ``_count`` API: the OR-match doc count for a query.
 

@@ -913,3 +913,72 @@ def test_percentile_ranks_matches_numpy(built, ray_session):
     for v, p in zip(got["value"], got["pct"]):
         assert p == pytest.approx(100.0 * (dls <= v).mean(), abs=1e-6)
     assert got["pct"].iloc[-1] == 100.0  # v beyond max dl covers everything
+
+
+def test_percolate_matches_transposed_and(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.percolate import percolate
+
+    res, _, corpus = built
+    sf_dir = "/root/testdata/sf0.001"
+    docs = [d.split(" ") for d in pq.read_table(corpus, columns=["content"])["content"].to_pylist()]
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    texts = [
+        f"{vocab[0]}",
+        f"{vocab[1]} {vocab[5 % len(vocab)]}",
+        "zzzznone",
+        f"{vocab[2]} zzzznone",
+    ]
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    got = percolate(sf_dir, queries)
+    pairs = set(zip(got["doc_id"].to_pylist(), got["query_id"].to_pylist()))
+    want = set()
+    for qid, text in enumerate(texts):
+        terms = {t for t in text.split(" ")}
+        for i, d in enumerate(docs):
+            if all(t in d for t in terms):
+                want.add((i, qid))
+    assert pairs == want
+    # queries with an unknown term never match (conjunctive semantics)
+    assert not any(q in (2, 3) for _, q in pairs)
+
+
+def test_rank_eval_metrics_brute(built):
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        rank_eval,
+        score_query,
+    )
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = [d.split(" ") for d in pq.read_table(corpus, columns=["content"])["content"].to_pylist()]
+    vocab = sorted(store.df)
+    texts = [vocab[0], f"{vocab[1]} {vocab[7 % len(vocab)]}", "zzzznone"]
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    got = rank_eval(store, queries, k=5)
+    rows = {r["query_id"]: r for r in got.to_pylist()}
+    assert 2 not in rows  # unknown-term query skipped (unjudged request)
+    for qid, text in enumerate(texts[:2]):
+        terms = set(text.split(" "))
+        rel = {i for i, d in enumerate(docs) if all(t in d for t in terms)}
+        top = [d for d, _ in score_query(store, text, 5, round_decimals=6)]
+        hits = [d in rel for d in top]
+        first = hits.index(True) + 1 if any(hits) else 0
+        r = rows[qid]
+        assert r["precision_k"] == pytest.approx(sum(hits) / 5, abs=1e-6)
+        assert r["recall_k"] == pytest.approx(sum(hits) / len(rel), abs=1e-6)
+        assert r["mrr"] == pytest.approx(1.0 / first if first else 0.0, abs=1e-6)
