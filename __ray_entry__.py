@@ -983,6 +983,82 @@ def _q_multi_match(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_multi_match_cross(sf_dir: str) -> pa.Table:
+    """ES ``multi_match`` cross_fields (term-centric): each term counts
+    once at its strongest (boosted) field; per-term maxima sum per doc."""
+    from bitcoin_ledger_2es_ray.pipelines.fields import multi_match_topk
+
+    store, _ = _store_for(sf_dir)
+    path_store = _path_store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        text2 = f"{text} {(qid * 17) % store.n_docs}"
+        top = multi_match_topk(
+            [(store, 1.0), (path_store, 2.0)],
+            text2,
+            _TOP_K,
+            mode="cross_fields",
+            round_decimals=_ROUND,
+        )
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_bool_query(sf_dir: str) -> pa.Table:
+    """The full ES ``bool`` query: first fixture term must, the rest
+    should (msm = q mod 2 when any), must_not = vocab[(7q+1) mod |V|]
+    unless it collides with the query's own terms, filter dl ∈ [6, 48]."""
+    from bitcoin_ledger_2es_ray.pipelines.query import tokenize_query
+    from bitcoin_ledger_2es_ray.pipelines.structured import bool_topk
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    vocab = sorted(store.df)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        ts = sorted(set(tokenize_query(text)))
+        must, should = (ts[0],), tuple(ts[1:])
+        msm = qid % 2 if should else 0
+        neg = vocab[(7 * qid + 1) % len(vocab)]
+        must_not = () if neg in ts else (neg,)
+        top = bool_topk(
+            store,
+            must=must,
+            should=should,
+            must_not=must_not,
+            k=_TOP_K,
+            dl_lo=6,
+            dl_hi=48,
+            minimum_should_match=msm,
+            round_decimals=_ROUND,
+        )
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_highlight(sf_dir: str) -> pa.Table:
     """ES ``highlight`` (deterministic core): single term
     vocab[(17q+5) mod |V|] per query; per matching doc the first occurrence
@@ -1671,6 +1747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max": _q_dis_max,
         "boosting": _q_boosting,
         "multi_match": _q_multi_match,
+        "multi_match_cross": _q_multi_match_cross,
+        "bool_query": _q_bool_query,
         "delete_query_topk": _q_delete_query_topk,
         "function_score_topk": _q_function_score_topk,
         "explain": _q_explain,
@@ -2424,6 +2502,130 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
          doc_id, score
   FROM combined
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # multi_match cross_fields: per-(term,doc) max over boosted field
+        # contributions, then sum over terms
+        "multi_match_cross": _PRELUDE
+        + """
+, nd AS (SELECT count(*) AS c FROM documents),
+pdoc AS (
+  SELECT doc_id, ['src', source, 'file' || doc_id::VARCHAR, 'py',
+                  'src', substr(source, 4), 'file', doc_id::VARCHAR] AS toks
+  FROM documents
+),
+ptoks AS (SELECT doc_id, unnest(toks) AS term FROM pdoc),
+ptf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ptoks GROUP BY doc_id, term),
+pdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ptoks GROUP BY doc_id),
+pstats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM pdl),
+pdf AS (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY term),
+qt2 AS (
+  SELECT query_id, term FROM qterm
+  UNION ALL
+  SELECT q, ((q * 17) % c)::VARCHAR FROM generate_series(0, {nq1}) t(q), nd
+),
+tc AS (
+  SELECT qt.query_id, qt.term, tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM qt2 qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+pc AS (
+  SELECT qt.query_id, qt.term, ptf.doc_id,
+         2.0 * ln(1 + (ps.n - pdf.df + 0.5) / (pdf.df + 0.5))
+           * ptf.tf / (ptf.tf + 1.2 * (1 - 0.75 + 0.75 * pdl.dl / ps.avgdl)) AS c
+  FROM qt2 qt
+  JOIN pdf ON pdf.term = qt.term
+  JOIN ptf ON ptf.term = qt.term
+  JOIN pdl ON pdl.doc_id = ptf.doc_id
+  CROSS JOIN pstats ps
+),
+m AS (
+  SELECT query_id, term, doc_id, max(c) AS c
+  FROM (SELECT * FROM tc UNION ALL SELECT * FROM pc)
+  GROUP BY query_id, term, doc_id
+),
+combined AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS score
+  FROM m GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM combined
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # full bool query: must=first term, should=rest (msm=q%2 when any),
+        # must_not=vocab[(7q+1)%|V|] unless it collides, filter dl in [6,48]
+        "bool_query": _PRELUDE
+        + """
+, qts AS (
+  SELECT query_id, term,
+         row_number() OVER (PARTITION BY query_id ORDER BY term) AS rn
+  FROM (SELECT DISTINCT query_id, term FROM qterm)
+),
+mustq AS (SELECT query_id, term FROM qts WHERE rn = 1),
+shouldq AS (SELECT query_id, term FROM qts WHERE rn > 1),
+negq AS (
+  SELECT q AS query_id, v.term
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (7 * q + 1) % nv.c
+  WHERE v.term NOT IN (SELECT term FROM qts WHERE query_id = q)
+),
+msm AS (
+  SELECT query_id,
+         CASE WHEN EXISTS (SELECT 1 FROM shouldq s WHERE s.query_id = d.query_id)
+              THEN query_id % 2 ELSE 0 END AS m
+  FROM (SELECT DISTINCT query_id FROM qts) d
+),
+mdocs AS (SELECT m.query_id, tf.doc_id FROM mustq m JOIN tf ON tf.term = m.term),
+scount AS (
+  SELECT s.query_id, tf.doc_id, count(DISTINCT s.term) AS ns
+  FROM shouldq s JOIN tf ON tf.term = s.term GROUP BY s.query_id, tf.doc_id
+),
+cand0 AS (
+  SELECT md.query_id, md.doc_id
+  FROM mdocs md
+  JOIN msm ON msm.query_id = md.query_id
+  LEFT JOIN scount sc ON sc.query_id = md.query_id AND sc.doc_id = md.doc_id
+  WHERE coalesce(sc.ns, 0) >= msm.m
+),
+cand1 AS (
+  SELECT c.* FROM cand0 c
+  ANTI JOIN (SELECT n.query_id, tf.doc_id FROM negq n JOIN tf ON tf.term = n.term) x
+    ON x.query_id = c.query_id AND x.doc_id = c.doc_id
+),
+cand AS (
+  SELECT c.* FROM cand1 c JOIN dl ON dl.doc_id = c.doc_id
+  WHERE dl.dl BETWEEN 6 AND 48
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM (SELECT query_id, term FROM mustq UNION ALL SELECT query_id, term FROM shouldq) qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN cand ON cand.query_id = qt.query_id AND cand.doc_id = tf.doc_id
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank

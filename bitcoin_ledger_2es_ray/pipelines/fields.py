@@ -119,6 +119,8 @@ def multi_match_topk(
     from ..functions.bm25 import sql_round
     from .query import topk_order
 
+    if mode == "cross_fields":
+        return _cross_fields_topk(legs, text, k, round_decimals)
     doc_parts, score_parts = [], []
     for store, boost in legs:
         d, s = _score_map(store, text)
@@ -141,6 +143,63 @@ def multi_match_topk(
         final = mx + tie_breaker * (sm - mx)
     else:
         raise ValueError(f"unknown multi_match mode {mode!r}")
+    if round_decimals is not None:
+        final = sql_round(final, round_decimals)
+    order = topk_order(final, uniq, k)
+    return [(int(uniq[i]), float(final[i])) for i in order]
+
+
+def _cross_fields_topk(
+    legs: list[tuple[SegmentStore, float]],
+    text: str,
+    k: int,
+    round_decimals: int | None,
+) -> list[tuple[int, float]]:
+    """``cross_fields``: TERM-centric — each query term contributes the
+    best (boosted) per-field BM25 contribution for a doc, and the per-term
+    maxima sum across terms:
+
+        score(d) = Σ_t max_f boost_f · contrib_{f,t}(d)
+
+    This is Lucene's blended-term shape with max blending: a term that
+    lives in any one field counts once at its strongest field, so an
+    entity split across fields ("first name" in one, "last name" in
+    another) matches as if the fields were one.  (ES additionally blends
+    df across fields; the max form is deterministic and documented.)"""
+    from ..functions.bm25 import idf, sql_round, tf_norm
+    from .query import tokenize_query, topk_order
+
+    terms = sorted(set(tokenize_query(text)))
+    acc_docs: list[np.ndarray] = []
+    acc_scores: list[np.ndarray] = []
+    for t in terms:
+        doc_parts, contrib_parts = [], []
+        for store, boost in legs:
+            df_t = store.td.df_of(t)
+            if df_t == 0:
+                continue
+            d, tf, dl = store.postings(t)
+            if len(d) == 0:
+                continue
+            doc_parts.append(d)
+            contrib_parts.append(
+                boost * float(idf(store.n_docs, df_t)) * tf_norm(tf, dl, store.avgdl)
+            )
+        if not doc_parts:
+            continue
+        docs = np.concatenate(doc_parts)
+        contribs = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        mx = np.zeros(len(uniq), dtype=np.float64)
+        np.maximum.at(mx, inv, contribs)
+        acc_docs.append(uniq)
+        acc_scores.append(mx)
+    if not acc_docs:
+        return []
+    docs = np.concatenate(acc_docs)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    final = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(final, inv, np.concatenate(acc_scores))
     if round_decimals is not None:
         final = sql_round(final, round_decimals)
     order = topk_order(final, uniq, k)

@@ -104,6 +104,90 @@ def sort_by_field_topk(
     return [(int(docs[i]), int(dls[i])) for i in order]
 
 
+def bool_topk(
+    store: SegmentStore,
+    must: tuple[str, ...] = (),
+    should: tuple[str, ...] = (),
+    must_not: tuple[str, ...] = (),
+    k: int = 10,
+    dl_lo: int | None = None,
+    dl_hi: int | None = None,
+    minimum_should_match: int = 0,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """The full ES ``bool`` query in one combinator:
+
+    - ``must``       every term required; contributes to the score
+    - ``should``     optional terms; contribute when present; with no
+                     ``must`` clauses at least max(1, msm) are required
+                     (ES's implicit minimum_should_match), otherwise
+                     ``minimum_should_match`` applies as given
+    - ``must_not``   excludes, never scores
+    - ``dl_lo/hi``   filter context on doc length: prunes candidates,
+                     leaves scores corpus-global (like ES ``filter``)
+
+    Score = BM25 sum over the doc's matching must+should terms (standard
+    taat accumulation, sorted term order), ranked on the rounded value.
+    ``must`` and ``should`` clauses must be disjoint (a term in both would
+    be two clauses scoring twice — refused for determinism)."""
+    from ..functions.boolean import difference, intersect_many, union_many
+
+    must_t = sorted(set(must))
+    should_t = sorted(set(should))
+    if set(must_t) & set(should_t):
+        raise ValueError("must and should clauses must be disjoint")
+    must_sets = [np.unique(store.postings(t)[0]) for t in must_t]
+    if must_t and any(len(s) == 0 for s in must_sets):
+        return []
+    cand = intersect_many(must_sets) if must_t else None
+    s_sets = [np.unique(store.postings(t)[0]) for t in should_t]
+    s_sets = [s for s in s_sets if len(s)]
+    msm = minimum_should_match if must_t else max(1, minimum_should_match)
+    if should_t and msm > 0:
+        if not s_sets:
+            return []
+        docs, counts = np.unique(np.concatenate(s_sets), return_counts=True)
+        ok = docs[counts >= msm]
+        cand = ok if cand is None else cand[np.isin(cand, ok, assume_unique=True)]
+    elif cand is None:
+        cand = union_many(s_sets)
+    if cand is None or len(cand) == 0:
+        return []
+    for t in sorted(set(must_not)):
+        d = store.postings(t)[0]
+        if len(d):
+            cand = difference(cand, np.unique(d))
+    if len(cand) == 0:
+        return []
+    scored_terms = sorted(set(must_t) | set(should_t))
+    if dl_lo is not None or dl_hi is not None:
+        lo = -1 if dl_lo is None else dl_lo
+        hi = np.iinfo(np.int64).max if dl_hi is None else dl_hi
+        doc_parts, dl_parts = [], []
+        for t in scored_terms:
+            d, _, dl = store.postings(t)
+            if len(d):
+                doc_parts.append(d)
+                dl_parts.append(dl)
+        docs = np.concatenate(doc_parts)
+        dls = np.concatenate(dl_parts)
+        docs, first = np.unique(docs, return_index=True)
+        dls = dls[first].astype(np.int64)
+        ok = docs[(dls >= lo) & (dls <= hi)]
+        cand = cand[np.isin(cand, ok, assume_unique=True)]
+        if len(cand) == 0:
+            return []
+    lists = []
+    for t in scored_terms:
+        df_t = store.td.df_of(t)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(t)
+        m = np.isin(d, cand, assume_unique=True)
+        lists.append((float(idf(store.n_docs, df_t)), d[m], tf[m], dl[m]))
+    return taat_topk(lists, store.avgdl, k, round_decimals=round_decimals)
+
+
 def _score_map(store: SegmentStore, text: str) -> tuple[np.ndarray, np.ndarray]:
     """(sorted unique doc_ids, UNROUNDED BM25 scores) of every doc matching
     any term of ``text`` — the full score surface one bool sub-query

@@ -92,3 +92,35 @@ def test_multi_match_best_fields_is_dis_max(field_stores):
     assert got == expect
     with pytest.raises(ValueError):
         multi_match_topk([(content_store, 1.0)], text, 5, mode="cross_fields")
+
+
+def test_multi_match_cross_fields_term_centric(field_stores):
+    from bitcoin_ledger_2es_ray.functions.bm25 import idf, sql_round, tf_norm
+    from bitcoin_ledger_2es_ray.pipelines.fields import multi_match_topk
+
+    content_store, path_store, _ = field_stores
+    vocab = sorted(content_store.df)
+    text = f"{vocab[2]} {vocab[13 % len(vocab)]} 3"
+    legs = [(content_store, 1.0), (path_store, 2.0)]
+    got = multi_match_topk(legs, text, 10, mode="cross_fields", round_decimals=6)
+
+    import numpy as np
+
+    want: dict[int, float] = {}
+    for t in sorted(set(text.split(" "))):
+        per_doc: dict[int, float] = {}
+        for store, boost in legs:
+            df_t = store.td.df_of(t)
+            if df_t == 0:
+                continue
+            d, tf, dl = store.postings(t)
+            c = boost * float(idf(store.n_docs, df_t)) * tf_norm(tf, dl, store.avgdl)
+            for dd, cc in zip(d.tolist(), c.tolist()):
+                per_doc[dd] = max(per_doc.get(dd, -1e18), cc)
+        for dd, cc in per_doc.items():
+            want[dd] = want.get(dd, 0.0) + cc
+    expect = sorted(
+        ((d, float(sql_round(s, 6))) for d, s in want.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert got == expect

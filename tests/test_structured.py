@@ -179,3 +179,49 @@ def test_highlight_multi_term_takes_earliest(pos_store):
             assert got[i] == min(pos)
         else:
             assert i not in got
+
+
+def test_bool_topk_composes_clauses(corpus_store):
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+    from bitcoin_ledger_2es_ray.pipelines.structured import bool_topk
+
+    docs, store = corpus_store
+    toks = [d.split(" ") for d in docs]
+    dls = [len(t) for t in toks]
+    terms = sorted(set(_pick_terms(store, 4)))
+    must, should, neg = (terms[0],), tuple(terms[1:3]), terms[3]
+    for msm, lo, hi in ((0, None, None), (1, 8, 40), (2, None, 60)):
+        got = bool_topk(
+            store, must=must, should=should, must_not=(neg,), k=10,
+            dl_lo=lo, dl_hi=hi, minimum_should_match=msm, round_decimals=6,
+        )
+        cand = [
+            i for i, t in enumerate(toks)
+            if must[0] in t
+            and sum(s in t for s in should) >= msm
+            and neg not in t
+            and (lo is None or dls[i] >= lo)
+            and (hi is None or dls[i] <= hi)
+        ]
+        # score = full BM25 over must+should restricted to candidates
+        full = dict(
+            score_query(store, " ".join(sorted(set(must) | set(should))), len(docs))
+        )
+        want = sorted(
+            ((d, float(sql_round(full[d], 6))) for d in cand),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        assert got == want, (msm, lo, hi)
+    # pure-should bool: implicit minimum_should_match = 1 (ES)
+    got = bool_topk(store, should=should, k=10, round_decimals=6)
+    cand = [i for i, t in enumerate(toks) if any(s in t for s in should)]
+    full = dict(score_query(store, " ".join(should), len(docs)))
+    want = sorted(
+        ((d, float(sql_round(full[d], 6))) for d in cand),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert got == want
+    with pytest.raises(ValueError):
+        bool_topk(store, must=(terms[0],), should=(terms[0],))
+    assert bool_topk(store, must=("zzzznone",), should=should) == []
