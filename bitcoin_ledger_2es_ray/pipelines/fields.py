@@ -23,7 +23,6 @@ oracle can enumerate the token multiset exactly (__ray_entry__).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -49,9 +48,10 @@ def derive_field_corpus(corpus: str, field: str, out_dir: str) -> str:
         raise ValueError(f"field must be one of {_FIELD_COLS}, got {field!r}")
 
     def _swap_file(src: str, dst: str) -> None:
+        from ..functions.hashing import sha256_column
+
         t = pq.read_table(src)
         text = t[field].cast(pa.string())
-        sha = [hashlib.sha256(v.encode("utf-8")).digest() for v in text.to_pylist()]
         out = pa.table(
             {
                 "repo": t["repo"],
@@ -59,7 +59,7 @@ def derive_field_corpus(corpus: str, field: str, out_dir: str) -> str:
                 "commit": t["commit"],
                 "lang": t["lang"],
                 "content": text,
-                "sha256": pa.array(sha, type=pa.binary(32)),
+                "sha256": sha256_column(text).cast(pa.binary(32)),
             },
             schema=CORPUS_WITH_SHA,
         )

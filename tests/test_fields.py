@@ -91,7 +91,7 @@ def test_multi_match_best_fields_is_dis_max(field_stores):
     expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == expect
     with pytest.raises(ValueError):
-        multi_match_topk([(content_store, 1.0)], text, 5, mode="cross_fields")
+        multi_match_topk([(content_store, 1.0)], text, 5, mode="phrase_fields")
 
 
 def test_multi_match_cross_fields_term_centric(field_stores):
