@@ -136,10 +136,14 @@ def cmd_match(args: argparse.Namespace) -> int:
 
         docs = phrase_match_slop(store, args.q, slop=args.slop)
     else:
+        from .pipelines.phrase import fuzzy_match, regexp_match
+
         fn = {
             "phrase": phrase_match,
             "prefix": prefix_match,
             "wildcard": wildcard_match,
+            "regexp": regexp_match,
+            "fuzzy": fuzzy_match,
         }[args.mode]
         docs = fn(store, args.q)
     print(json.dumps({"n": int(len(docs)), "doc_ids": docs[: args.k].tolist()}))
@@ -326,7 +330,7 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--q", required=True, help="phrase text / prefix / glob pattern")
     m.add_argument(
         "--mode",
-        choices=("phrase", "phrase-topk", "prefix", "wildcard", "phrase-slop"),
+        choices=("phrase", "phrase-topk", "prefix", "wildcard", "phrase-slop", "regexp", "fuzzy"),
         default="phrase",
     )
     m.add_argument("--slop", type=int, default=0, help="phrase-slop: max extra gap")
