@@ -1599,6 +1599,14 @@ def _q_top_quality_per_lang(sf_dir: str) -> pa.Table:
     return top_quality_per_lang(sf_dir, k=3)
 
 
+def _q_shuffle_order(sf_dir: str) -> pa.Table:
+    """Deterministic global training-order shuffle: distributed sort on
+    sha256(doc_id ':' seed) + two-phase rank enumeration."""
+    from bitcoin_ledger_2es_ray.pipelines.curate import shuffle_order
+
+    return shuffle_order(sf_dir, seed="s0")
+
+
 def _q_pack_sequences(sf_dir: str) -> pa.Table:
     """LLM sequence packing: global token offset per doc (two-phase
     distributed prefix sum over row groups) + 256-token chunk id."""
@@ -1735,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _q_percolate,
         "rank_eval": _q_rank_eval,
         "pack_sequences": _q_pack_sequences,
+        "shuffle_order": _q_shuffle_order,
         "distinct_counts": _q_distinct_counts,
         "cardinality_hll": _q_cardinality_hll,  # rows-only (HLL approximate)
         "more_like_this": _q_more_like_this,
@@ -3243,6 +3252,13 @@ o AS (
 SELECT doc_id, tok_offset::BIGINT AS tok_offset,
        (tok_offset // 256)::BIGINT AS chunk_id
 FROM o ORDER BY doc_id
+""",
+        # deterministic global shuffle: rank by sha256(doc_id ':' seed)
+        "shuffle_order": """
+SELECT doc_id,
+       (row_number() OVER (ORDER BY sha256(doc_id::VARCHAR || ':s0'), doc_id) - 1)::BIGINT
+         AS shuffle_rank
+FROM documents ORDER BY doc_id
 """,
         # regex redaction pipeline: pattern k counts+replaces on the output
         # of pattern k-1; verified via count + length + sha256(redacted)

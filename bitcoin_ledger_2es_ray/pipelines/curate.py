@@ -252,6 +252,60 @@ def pack_sequences(sf_dir: str, budget: int = 256) -> pa.Table:
     return pa.concat_tables(ray.get(out)).sort_by("doc_id")
 
 
+def shuffle_order(sf_dir: str, seed: str = "s0") -> pa.Table:
+    """Deterministic global training-order shuffle: rank every doc by
+    ``sha256(doc_id ':' seed)`` → (doc_id, shuffle_rank).
+
+    Training runs need a reproducible corpus permutation that any worker
+    can recompute — hash-ordering gives one with no RNG state: change the
+    seed string, get an independent permutation.  The plan is the
+    distributed sort + ENUMERATE shape: per-batch key computation, a Ray
+    Data ``sort`` on the key (all-to-all by design — a global permutation
+    IS a shuffle), then ranks assigned per sorted block with driver-side
+    base offsets (O(#blocks) driver state, same two-phase scan as
+    ``pack_sequences``).  Keys are lowercase hex so engine order matches
+    the SQL oracle's string order exactly."""
+    import hashlib
+
+    import ray
+    import ray.data as rd
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.sha256(f"{d}:{seed}".encode()).hexdigest()
+            for d in batch["doc_id"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "key": pa.array(keys, type=pa.string()),
+            }
+        )
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("key")
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    out, base = [], 0
+    for p in parts:  # blocks come back in global sort order
+        out.append(
+            pa.table(
+                {
+                    "doc_id": p["doc_id"],
+                    "shuffle_rank": pa.array(
+                        np.arange(base, base + p.num_rows, dtype=np.int64)
+                    ),
+                }
+            )
+        )
+        base += p.num_rows
+    return pa.concat_tables(out).sort_by("doc_id")
+
+
 def top_quality_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
     """Per-language top-k docs by (quality DESC, doc_id ASC):
     (lang, rank, doc_id, quality) — grouped top-k via map_groups."""

@@ -456,3 +456,24 @@ def test_pack_sequences_prefix_sum(ray_session):
     assert chunks[0] == 0 and all(a <= b for a, b in zip(chunks, chunks[1:]))
     with pytest.raises(ValueError):
         pack_sequences(SF, budget=0)
+
+
+def test_shuffle_order_is_permutation_and_seeded(ray_session):
+    import hashlib
+
+    from bitcoin_ledger_2es_ray.pipelines.curate import shuffle_order
+
+    a = shuffle_order(SF, seed="s0")
+    ranks = sorted(a["shuffle_rank"].to_pylist())
+    assert ranks == list(range(a.num_rows))  # a true permutation
+    # matches the hash order exactly
+    keys = {
+        d: hashlib.sha256(f"{d}:s0".encode()).hexdigest()
+        for d in a["doc_id"].to_pylist()
+    }
+    by_rank = sorted(zip(a["shuffle_rank"].to_pylist(), a["doc_id"].to_pylist()))
+    assert [d for _, d in by_rank] == sorted(keys, key=lambda d: (keys[d], d))
+    # a different seed yields a different permutation; same seed identical
+    b = shuffle_order(SF, seed="s1")
+    assert b["shuffle_rank"].to_pylist() != a["shuffle_rank"].to_pylist()
+    assert shuffle_order(SF, seed="s0").equals(a)
