@@ -1059,6 +1059,39 @@ def _q_bool_query(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_synonym_topk(sf_dir: str) -> pa.Table:
+    """Lucene SynonymQuery: term i of query q expands with synonym
+    vocab[(13q+5+3i) mod |V|]; each group scores as one pseudo-term
+    (tf summed, df = max member df)."""
+    from bitcoin_ledger_2es_ray.pipelines.query import tokenize_query
+    from bitcoin_ledger_2es_ray.pipelines.structured import synonym_topk
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    vocab = sorted(store.df)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        ts = sorted(set(tokenize_query(text)))
+        groups = [
+            [t, vocab[(13 * qid + 5 + 3 * i) % len(vocab)]]
+            for i, t in enumerate(ts)
+        ]
+        top = synonym_topk(store, groups, _TOP_K, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_highlight(sf_dir: str) -> pa.Table:
     """ES ``highlight`` (deterministic core): single term
     vocab[(17q+5) mod |V|] per query; per matching doc the first occurrence
@@ -1758,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_match": _q_multi_match,
         "multi_match_cross": _q_multi_match_cross,
         "bool_query": _q_bool_query,
+        "synonym_topk": _q_synonym_topk,
         "delete_query_topk": _q_delete_query_topk,
         "function_score_topk": _q_function_score_topk,
         "explain": _q_explain,
@@ -2639,6 +2673,54 @@ ranked AS (
 SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """.replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # Lucene SynonymQuery: group = {term_i, vocab[(13q+5+3i) mod |V|]},
+        # tf summed per doc, df = max member df
+        "synonym_topk": _PRELUDE
+        + """
+, qti AS (
+  SELECT query_id, term,
+         row_number() OVER (PARTITION BY query_id ORDER BY term) - 1 AS i
+  FROM (SELECT DISTINCT query_id, term FROM qterm)
+),
+syn AS (
+  SELECT qti.query_id, qti.term AS base, v.term AS syn
+  FROM qti CROSS JOIN nv
+  JOIN vocab v ON v.idx = (13 * qti.query_id + 5 + 3 * qti.i) % nv.c
+),
+members AS (
+  SELECT query_id, base AS grp, base AS term FROM syn
+  UNION
+  SELECT query_id, base AS grp, syn AS term FROM syn
+),
+gdf AS (
+  SELECT m.query_id, m.grp, max(df.df) AS df
+  FROM members m JOIN df ON df.term = m.term GROUP BY m.query_id, m.grp
+),
+gtf AS (
+  SELECT m.query_id, m.grp, tf.doc_id, sum(tf.tf) AS tf
+  FROM members m JOIN tf ON tf.term = m.term
+  GROUP BY m.query_id, m.grp, tf.doc_id
+),
+scored AS (
+  SELECT g.query_id, g.doc_id,
+         round(sum( ln(1 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+                    * g.tf / (g.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM gtf g
+  JOIN gdf ON gdf.query_id = g.query_id AND gdf.grp = g.grp
+  JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN stats s
+  GROUP BY g.query_id, g.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
         # fuzzy query: qterm q = vocab[(11q+3) mod |V|] with char (q mod len)
         # deleted; match = any indexed term within Levenshtein distance 1
         # (DuckDB levenshtein == byte-level DP for this ASCII vocabulary).

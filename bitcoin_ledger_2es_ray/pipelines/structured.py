@@ -188,6 +188,69 @@ def bool_topk(
     return taat_topk(lists, store.avgdl, k, round_decimals=round_decimals)
 
 
+def synonym_topk(
+    store: SegmentStore,
+    groups: list[list[str]],
+    k: int,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """Lucene ``SynonymQuery`` (what ES's query-time ``synonym`` filter
+    produces): each GROUP of terms scores as ONE pseudo-term —
+
+        tf  = Σ member tf per doc (a doc matching two members counts both)
+        df  = max member df       (Lucene's blended document frequency)
+
+    so synonyms never inflate idf the way a bool-should of the members
+    would.  Per group: concatenate the members' postings, sum tf per doc
+    (one ``np.add.at``), score with idf(max df); groups then accumulate
+    exactly like independent query terms (sorted by their first member —
+    deterministic taat order).  Ranked on the rounded score, ties doc ASC.
+    """
+    from ..functions.bm25 import sql_round, tf_norm
+    from .query import topk_order
+
+    norm_groups = []
+    for g in groups:
+        members = sorted(set(g))
+        if members:
+            norm_groups.append(members)
+    norm_groups.sort(key=lambda g: g[0])
+    docs_l, contrib_l = [], []
+    for members in norm_groups:
+        dfs = [store.td.df_of(t) for t in members]
+        df_g = max(dfs)
+        if df_g == 0:
+            continue
+        d_parts, tf_parts, dl_parts = [], [], []
+        for t in members:
+            d, tf, dl = store.postings(t)
+            if len(d):
+                d_parts.append(d)
+                tf_parts.append(tf.astype(np.float64))
+                dl_parts.append(dl)
+        docs = np.concatenate(d_parts)
+        tfs = np.concatenate(tf_parts)
+        dls = np.concatenate(dl_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        tf_sum = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(tf_sum, inv, tfs)
+        dl_of = np.zeros(len(uniq), dtype=np.float64)
+        dl_of[inv] = dls  # dl constant per doc
+        w = float(idf(store.n_docs, df_g))
+        docs_l.append(uniq)
+        contrib_l.append(w * tf_norm(tf_sum, dl_of, store.avgdl))
+    if not docs_l:
+        return []
+    all_docs = np.concatenate(docs_l)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, np.concatenate(contrib_l))
+    if round_decimals is not None:
+        scores = sql_round(scores, round_decimals)
+    order = topk_order(scores, uniq, k)
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
 def _score_map(store: SegmentStore, text: str) -> tuple[np.ndarray, np.ndarray]:
     """(sorted unique doc_ids, UNROUNDED BM25 scores) of every doc matching
     any term of ``text`` — the full score surface one bool sub-query

@@ -225,3 +225,43 @@ def test_bool_topk_composes_clauses(corpus_store):
     with pytest.raises(ValueError):
         bool_topk(store, must=(terms[0],), should=(terms[0],))
     assert bool_topk(store, must=("zzzznone",), should=should) == []
+
+
+def test_synonym_topk_blends_like_one_pseudo_term(corpus_store):
+    from bitcoin_ledger_2es_ray.functions.bm25 import idf, sql_round, tf_norm
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+    from bitcoin_ledger_2es_ray.pipelines.structured import synonym_topk
+
+    docs, store = corpus_store
+    toks = [d.split(" ") for d in docs]
+    dls = [len(t) for t in toks]
+    terms = sorted(set(_pick_terms(store, 4)))
+    groups = [[terms[0], terms[1]], [terms[2]]]
+    got = synonym_topk(store, groups, 10, round_decimals=6)
+    want: dict[int, float] = {}
+    for members in groups:
+        df_g = max(sum(1 for t in toks if m in t) for m in members)
+        w = float(idf(store.n_docs, df_g))
+        for i, t in enumerate(toks):
+            tf_sum = sum(t.count(m) for m in set(members))
+            if tf_sum:
+                import numpy as np
+
+                c = w * float(
+                    tf_norm(
+                        np.array([float(tf_sum)]),
+                        np.array([float(dls[i])]),
+                        store.avgdl,
+                    )[0]
+                )
+                want[i] = want.get(i, 0.0) + c
+    expect = sorted(
+        ((d, float(sql_round(s, 6))) for d, s in want.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert got == expect
+    # a singleton group degrades exactly to the plain term query
+    single = synonym_topk(store, [[terms[2]]], 10, round_decimals=6)
+    assert single == score_query(store, terms[2], 10, round_decimals=6)
+    # unknown-only group contributes nothing
+    assert synonym_topk(store, [["zzzznone"]], 5) == []
