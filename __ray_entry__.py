@@ -1693,6 +1693,38 @@ def _q_percentile_ranks(sf_dir: str) -> pa.Table:
     return percentile_ranks_agg(res.out_dir, values=(8, 16, 32, 64), round_decimals=_ROUND)
 
 
+def _q_date_histogram_pipeline(sf_dir: str) -> pa.Table:
+    """ES pipeline aggregations (derivative / cumulative_sum /
+    moving_avg, window 3) over the daily date_histogram doc counts —
+    coordinator-side over the reduced buckets, exactly like ES."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import pipeline_aggs
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    buckets = date_histogram_stats(sf_dir, interval_s=86400).select(
+        ["bucket_s", "doc_count"]
+    )
+    return pipeline_aggs(buckets, key="bucket_s", metric="doc_count", window=3)
+
+
+def _q_bucket_selector(sf_dir: str) -> pa.Table:
+    """ES ``bucket_selector`` (aggregation HAVING): lang buckets of the
+    AND-hit terms agg kept only when doc_count ≥ 3."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import bucket_selector, terms_agg
+
+    _, res = _store_for(sf_dir)
+    buckets = terms_agg(res.out_dir, _q_boolean_and(sf_dir), field="lang")
+    return bucket_selector(buckets, metric="doc_count", min_value=3)
+
+
+def _q_unigram_logprob(sf_dir: str) -> pa.Table:
+    """CCNet-style unigram-LM quality score computed FROM the index: per
+    doc, avg token ln(cf/C) — the term dictionary's cf stats are the LM."""
+    from bitcoin_ledger_2es_ray.pipelines.textstats import unigram_logprob
+
+    _, res = _store_for(sf_dir)
+    return unigram_logprob(res.out_dir, round_decimals=_ROUND)
+
+
 def _q_percolate(sf_dir: str) -> pa.Table:
     """ES percolator: the 50 fixture queries are REGISTERED and the doc
     stream percolates against the broadcast query set — (doc, query)
@@ -1775,6 +1807,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mget": _q_mget,
         "percolate": _q_percolate,
         "rank_eval": _q_rank_eval,
+        "date_histogram_pipeline": _q_date_histogram_pipeline,
+        "bucket_selector": _q_bucket_selector,
+        "unigram_logprob": _q_unigram_logprob,
         "pack_sequences": _q_pack_sequences,
         "shuffle_order": _q_shuffle_order,
         "distinct_counts": _q_distinct_counts,
@@ -3230,6 +3265,50 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))::BIGINT
          AS n_bpe
 FROM documents ORDER BY doc_id
+""",
+        # pipeline aggs over the daily doc-count histogram
+        "date_histogram_pipeline": """
+WITH e AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT bucket_s, doc_count,
+       round(doc_count - lag(doc_count) OVER (ORDER BY bucket_s), 6) AS derivative,
+       round(sum(doc_count) OVER (ORDER BY bucket_s), 6) AS cumulative_sum,
+       round(avg(doc_count) OVER (ORDER BY bucket_s
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg
+FROM e ORDER BY bucket_s
+""",
+        # bucket_selector: terms-agg buckets HAVING doc_count >= 3
+        "bucket_selector": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+)
+SELECT a.query_id::BIGINT AS query_id, d.lang, count(*)::BIGINT AS doc_count
+FROM anded a JOIN documents d USING (doc_id)
+GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2
+""",
+        # unigram LM score: avg token ln(cf/C) per doc, from corpus stats
+        "unigram_logprob": _PRELUDE
+        + """
+, c AS (SELECT sum(cf) AS total FROM df)
+SELECT tf.doc_id,
+       round(sum(tf.tf * ln(df.cf / c.total)) / dl.dl, 6) AS logprob
+FROM tf
+JOIN df ON df.term = tf.term
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN c
+GROUP BY tf.doc_id, dl.dl ORDER BY tf.doc_id
 """,
         # percolator: boolean_and transposed (the engine computes it by
         # streaming DOCS against broadcast queries — reverse plan)

@@ -690,6 +690,59 @@ def extended_stats_agg(index_dir: str, round_decimals: int = 6) -> pa.Table:
     )
 
 
+def pipeline_aggs(
+    buckets: pa.Table,
+    key: str,
+    metric: str,
+    window: int = 3,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES PIPELINE aggregations over an already-reduced bucket table
+    (sorted by ``key``): ``derivative``, ``cumulative_sum`` and
+    ``moving_avg`` (simple model, trailing window incl. current) of
+    ``metric`` in one pass.
+
+    ES runs pipeline aggs on the COORDINATOR over the final buckets —
+    they never touch shards — so a driver-side numpy pass over the tiny
+    bucket table is the faithful (and correctly-scaled) plan; the parent
+    aggregation already did the distributed work.  First-bucket derivative
+    is null, exactly like ES."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    t = buckets.sort_by(key)
+    v = np.asarray(t[metric], dtype=np.float64)
+    deriv = np.concatenate(([np.nan], np.diff(v)))
+    cum = np.cumsum(v)
+    mov = np.convolve(v, np.ones(window), mode="full")[: len(v)]
+    counts = np.minimum(np.arange(1, len(v) + 1), window)
+    mov = mov / counts
+    return pa.table(
+        {
+            key: t[key],
+            metric: t[metric],
+            "derivative": pa.array(
+                [None if np.isnan(x) else float(sql_round(x, round_decimals)) for x in deriv],
+                type=pa.float64(),
+            ),
+            "cumulative_sum": pa.array(sql_round(cum, round_decimals), type=pa.float64()),
+            "moving_avg": pa.array(sql_round(mov, round_decimals), type=pa.float64()),
+        }
+    )
+
+
+def bucket_selector(
+    buckets: pa.Table, metric: str, min_value: float
+) -> pa.Table:
+    """ES ``bucket_selector`` (the aggregation HAVING clause): keep only
+    buckets whose ``metric`` passes the predicate — coordinator-side over
+    the reduced buckets, like every pipeline agg."""
+    import pyarrow.compute as pc
+
+    return buckets.filter(pc.greater_equal(buckets[metric], min_value))
+
+
 def sampler_agg(index_dir: str, cut: int = 0x1A, round_decimals: int = 6) -> pa.Table:
     """ES ``random_sampler`` aggregation, made DETERMINISTIC: the sample is
     every doc whose first sha256(content) byte is < ``cut`` (cut/256 ≈ the

@@ -306,6 +306,77 @@ def repetition_stats_to_parquet(sf_dir: str, out_dir: str) -> str:
     return write_dataset(repetition_stats_ds(sf_dir), out_dir)
 
 
+def unigram_logprob(index_dir: str, round_decimals: int = 6) -> pa.Table:
+    """CCNet-style language-model quality score where the inverted INDEX
+    is the LM: per doc, the average token log-probability under the
+    corpus unigram model
+
+        logprob(d) = Σ_t tf_t · ln(cf_t / C) / dl,   C = Σ dl
+
+    (CCNet filters training data by LM perplexity; the unigram model's
+    sufficient statistics — cf per term, total token count — are exactly
+    what the term dictionary already stores, so no extra corpus pass
+    exists anywhere in this operator.)
+
+    Plan: broadcast the (term, lp) table once (vocabulary-sized — the
+    same small side every agg broadcasts); the POSTINGS artifact streams
+    through ``map_batches`` joining lp and emitting per-doc partial
+    (Σ tf·lp, Σ tf) rows; a Ray groupby over doc_id combines partials
+    (Σ tf == dl, so no forward-map join is needed).  Returns
+    (doc_id, logprob) sorted by doc.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    td = pq.read_table(
+        os.path.join(index_dir, "term_dict.parquet"), columns=["term", "cf"]
+    )
+    agg = td.group_by("term").aggregate([("cf", "sum")])
+    cf = np.asarray(agg["cf_sum"], dtype=np.float64)
+    total = float(cf.sum())
+    lp_tbl = pa.table(
+        {"term": agg["term"], "lp": pa.array(np.log(cf / total))}
+    )
+    lp_ref = ray.put(lp_tbl)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        j = batch.select(["term", "doc_id", "tf"]).join(
+            ray.get(lp_ref), keys="term", join_type="inner"
+        )
+        tfv = np.asarray(j["tf"], dtype=np.float64)
+        contrib = tfv * np.asarray(j["lp"], dtype=np.float64)
+        t = pa.table(
+            {
+                "doc_id": j["doc_id"].cast(pa.int64()),
+                "c": pa.array(contrib),
+                "n": pa.array(tfv),
+            }
+        )
+        g = t.group_by("doc_id").aggregate([("c", "sum"), ("n", "sum")])
+        return g.rename_columns(["doc_id", "c", "n"])
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "postings"), columns=["term", "doc_id", "tf"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("doc_id").aggregate(Sum("c", alias_name="c"), Sum("n", alias_name="n"))
+    import ray as _ray
+
+    parts = [_ray.get(r) for r in out.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    lpv = np.asarray(t["c"], dtype=np.float64) / np.asarray(t["n"], dtype=np.float64)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "logprob": pa.array(sql_round(lpv, round_decimals)),
+        }
+    ).sort_by("doc_id")
+
+
 _FP_BASE = np.uint64(1315423911)
 _FP_WINDOW = 16
 

@@ -982,3 +982,42 @@ def test_rank_eval_metrics_brute(built):
         assert r["precision_k"] == pytest.approx(sum(hits) / 5, abs=1e-6)
         assert r["recall_k"] == pytest.approx(sum(hits) / len(rel), abs=1e-6)
         assert r["mrr"] == pytest.approx(1.0 / first if first else 0.0, abs=1e-6)
+
+
+def test_pipeline_aggs_numpy_identity():
+    from bitcoin_ledger_2es_ray.pipelines.aggs import bucket_selector, pipeline_aggs
+
+    buckets = pa.table(
+        {
+            "b": pa.array([30, 10, 20, 40], type=pa.int64()),
+            "n": pa.array([7, 3, 5, 4], type=pa.int64()),
+        }
+    )
+    got = pipeline_aggs(buckets, key="b", metric="n", window=2)
+    assert got["b"].to_pylist() == [10, 20, 30, 40]  # sorted by key
+    assert got["n"].to_pylist() == [3, 5, 7, 4]
+    assert got["derivative"].to_pylist() == [None, 2.0, 2.0, -3.0]
+    assert got["cumulative_sum"].to_pylist() == [3.0, 8.0, 15.0, 19.0]
+    assert got["moving_avg"].to_pylist() == [3.0, 4.0, 6.0, 5.5]
+    kept = bucket_selector(buckets, metric="n", min_value=5)
+    assert sorted(kept["n"].to_pylist()) == [5, 7]
+
+
+def test_unigram_logprob_brute(built, ray_session):
+    import math
+    from collections import Counter
+
+    from bitcoin_ledger_2es_ray.pipelines.textstats import unigram_logprob
+
+    res, _, corpus = built
+    docs = [d.split(" ") for d in pq.read_table(corpus, columns=["content"])["content"].to_pylist()]
+    cf = Counter(t for d in docs for t in d)
+    total = sum(cf.values())
+    got = unigram_logprob(res.out_dir)
+    rows = dict(zip(got["doc_id"].to_pylist(), got["logprob"].to_pylist()))
+    assert len(rows) == len(docs)
+    for i in (0, 7, len(docs) - 1):
+        want = sum(math.log(cf[t] / total) for t in docs[i]) / len(docs[i])
+        assert rows[i] == pytest.approx(want, abs=1e-6)
+    # every logprob is negative (probabilities < 1)
+    assert all(v < 0 for v in rows.values())
