@@ -421,7 +421,15 @@ def percentile_ranks_agg(
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     parts = [ray.get(r) for r in ds.to_arrow_refs()]
     parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
-    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    parts = [p for p in parts if p.num_rows]
+    if not parts:  # empty forward map: every rank is 0% of zero docs
+        return pa.table(
+            {
+                "value": pa.array([int(v) for v in values], type=pa.int64()),
+                "pct": pa.array([0.0] * len(values), type=pa.float64()),
+            }
+        )
+    cat = pa.concat_tables(parts)
     t = cat.group_by("dl").aggregate([("n", "sum")])
     vals = np.asarray(t["dl"].combine_chunks(), dtype=np.int64)
     cnts = np.asarray(t["n_sum"].combine_chunks(), dtype=np.int64)
@@ -666,7 +674,21 @@ def extended_stats_agg(index_dir: str, round_decimals: int = 6) -> pa.Table:
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     parts = [ray.get(r) for r in ds.to_arrow_refs()]
     parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
-    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    parts = [p for p in parts if p.num_rows]
+    if not parts:  # empty forward map (e.g. compacted after delete-all)
+        return pa.table(
+            {
+                "doc_count": pa.array([0], type=pa.int64()),
+                "min_dl": pa.array([None], type=pa.int64()),
+                "max_dl": pa.array([None], type=pa.int64()),
+                "sum_dl": pa.array([0], type=pa.int64()),
+                "sum_sq": pa.array([0], type=pa.int64()),
+                "avg_dl": pa.array([None], type=pa.float64()),
+                "variance": pa.array([None], type=pa.float64()),
+                "std_dev": pa.array([None], type=pa.float64()),
+            }
+        )
+    cat = pa.concat_tables(parts)
     n = sum(cat["n"].to_pylist())
     s = sum(cat["s"].to_pylist())
     ss = sum(cat["ss"].to_pylist())

@@ -265,20 +265,20 @@ def shuffle_order(sf_dir: str, seed: str = "s0") -> pa.Table:
     base offsets (O(#blocks) driver state, same two-phase scan as
     ``pack_sequences``).  Keys are lowercase hex so engine order matches
     the SQL oracle's string order exactly."""
-    import hashlib
-
+    import pyarrow.compute as pc
     import ray
     import ray.data as rd
 
     def add_key(batch: pa.Table) -> pa.Table:
-        keys = [
-            hashlib.sha256(f"{d}:{seed}".encode()).hexdigest()
-            for d in batch["doc_id"].to_pylist()
-        ]
+        # build "doc_id:seed" with Arrow kernels, hash with the buffer-level
+        # sha256 kernel; sorting on the binary digest orders identically to
+        # the hex string the SQL oracle sorts by
+        ids = pc.cast(batch["doc_id"].combine_chunks(), pa.string())
+        s = pc.binary_join_element_wise(ids, f":{seed}", "")
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
-                "key": pa.array(keys, type=pa.string()),
+                "key": sha256_column(s).cast(pa.binary()),
             }
         )
 

@@ -59,7 +59,6 @@ def percolate(sf_dir: str, queries: pa.Table) -> pa.Table:
 
     pairs, nt = compile_queries(queries)
     pairs_ref = ray.put(pairs)
-    nt_of = dict(zip(nt["query_id"].to_pylist(), nt["nt"].to_pylist()))
     nt_ref = ray.put(nt)
 
     def match_batch(batch: pa.Table) -> pa.Table:

@@ -287,9 +287,17 @@ def regexp_match(store: SegmentStore, pattern: str) -> np.ndarray:
     """
     meta = set(".?*+()[]{}|\\^$")
     wc = min([i for i, ch in enumerate(pattern) if ch in meta] or [len(pattern)])
-    prefix = pattern[:wc]
     if wc == len(pattern):  # no metacharacter — exact term
         return np.unique(store.postings(pattern)[0])
+    prefix = pattern[:wc]
+    # a quantifier modifies the PRECEDING atom, so that char is optional /
+    # repeatable and cannot be part of a sound literal prefix ('ga*' matches
+    # 'g'); an alternation anywhere outside the prefix can restart the match
+    # from position 0 ('al|ga'), so no prefix is sound at all then
+    if pattern[wc] in "?*+{":
+        prefix = prefix[:-1]
+    if "|" in pattern:
+        prefix = ""
     rx = re.compile(pattern)
     if prefix:
         terms = [t for t in store.td.terms_with_prefix(prefix) if rx.fullmatch(t)]

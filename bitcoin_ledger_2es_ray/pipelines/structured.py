@@ -160,12 +160,15 @@ def bool_topk(
     if len(cand) == 0:
         return []
     scored_terms = sorted(set(must_t) | set(should_t))
+    # one decode per scored term — the dl filter and the taat loop below
+    # both read from this cache
+    triples = {t: store.postings(t) for t in scored_terms}
     if dl_lo is not None or dl_hi is not None:
         lo = -1 if dl_lo is None else dl_lo
         hi = np.iinfo(np.int64).max if dl_hi is None else dl_hi
         doc_parts, dl_parts = [], []
         for t in scored_terms:
-            d, _, dl = store.postings(t)
+            d, _, dl = triples[t]
             if len(d):
                 doc_parts.append(d)
                 dl_parts.append(dl)
@@ -182,7 +185,7 @@ def bool_topk(
         df_t = store.td.df_of(t)
         if df_t == 0:
             continue
-        d, tf, dl = store.postings(t)
+        d, tf, dl = triples[t]
         m = np.isin(d, cand, assume_unique=True)
         lists.append((float(idf(store.n_docs, df_t)), d[m], tf[m], dl[m]))
     return taat_topk(lists, store.avgdl, k, round_decimals=round_decimals)
@@ -228,6 +231,8 @@ def synonym_topk(
                 d_parts.append(d)
                 tf_parts.append(tf.astype(np.float64))
                 dl_parts.append(dl)
+        if not d_parts:  # df > 0 in the dictionary but every live posting
+            continue  # tombstoned — the group contributes nothing
         docs = np.concatenate(d_parts)
         tfs = np.concatenate(tf_parts)
         dls = np.concatenate(dl_parts)

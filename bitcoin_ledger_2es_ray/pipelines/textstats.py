@@ -277,7 +277,7 @@ def repetition_stats_ds(sf_dir: str):
         t = pa.table({"row": pa.array(row_idx, type=pa.int64()), "w": flat})
         per_word = t.group_by(["row", "w"]).aggregate([("w", "count")])
         g = per_word.group_by("row").aggregate(
-            [("w_count", "count"), ("w_count", "max"), ("w_count", "sum")]
+            [("w_count", "count"), ("w_count", "max")]
         )
         rows = np.asarray(g["row"].combine_chunks(), dtype=np.int64)
         n_distinct = np.zeros(batch.num_rows, dtype=np.int64)

@@ -369,6 +369,16 @@ def test_compact_after_deleting_everything(ray_session, idx_copy, tmp_path):
     assert st["avgdl"][0].as_py() == 0.0
     # forward map artifact stays readable (empty schema-bearing part)
     assert pq.read_table(os.path.join(out, "forward_map")).num_rows == 0
+    # stats-family aggregations survive the empty index (no crash):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import (
+        extended_stats_agg,
+        percentile_ranks_agg,
+    )
+
+    es = extended_stats_agg(out).to_pylist()[0]
+    assert es["doc_count"] == 0 and es["min_dl"] is None
+    pr = percentile_ranks_agg(out, values=(8, 16))
+    assert pr["pct"].to_pylist() == [0.0, 0.0]
 
 
 def test_alias_swap_and_reindex(ray_session, built, tmp_path):

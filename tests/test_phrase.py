@@ -303,8 +303,13 @@ def test_regexp_match_brute(pos_index):
     from bitcoin_ledger_2es_ray.pipelines.phrase import regexp_match
 
     docs, store, _ = pos_index
-    # prefix-pruned, full-scan (no literal prefix), and exact-literal paths
-    for pat in ("a.*a", "b[ae]ta", "(al|ga).*", ".*ta", "head", "q.*"):
+    # prefix-pruned, full-scan (no literal prefix), exact-literal, and the
+    # quantifier/alternation cases where naive prefix extraction is unsound
+    # ('ga*' matches 'g'; 'al|ga' restarts at position 0)
+    for pat in (
+        "a.*a", "b[ae]ta", "(al|ga).*", ".*ta", "head", "q.*",
+        "ga*", "heads?", "al.?.?a|gamma", "bet+a", "b{0,2}eta",
+    ):
         rx = re.compile(pat)
         want = sorted(
             i
