@@ -843,6 +843,37 @@ def _q_sort_by_dl(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_wildcard_match(sf_dir: str) -> pa.Table:
+    """ES ``wildcard`` query: pattern q = first two chars + '*' + last char
+    of vocab[(17q+5) mod |V|] — dictionary prefix-range scan filtered by the
+    compiled pattern, matched terms' doc-sets unioned, distributed over the
+    MatchScorer pool."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import run_match_queries
+
+    store, res = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    qids, pats = [], []
+    for q in range(_N_QUERIES):
+        t = vocab[(17 * q + 5) % len(vocab)]
+        qids.append(q)
+        pats.append(t[:2] + "*" + t[-1])
+    queries = pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.uint64()),
+            "text": pa.array(pats, type=pa.string()),
+        }
+    )
+    rows = run_match_queries(
+        res.out_dir, queries, mode="wildcard", concurrency=4
+    ).take_all()
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
 def _q_regexp_match(sf_dir: str) -> pa.Table:
     """ES ``regexp`` query: pattern q = first char + '.*' + last char of
     vocab[(19q+3) mod |V|], anchored full-term match over the dictionary
@@ -1144,6 +1175,63 @@ def _q_span_first(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(docs, type=pa.int64()),
         }
     )
+
+
+def _span_pair_queries(sf_dir: str) -> pa.Table:
+    """Deterministic two-term span fixture: query q pairs vocab[(5q+1) mod V]
+    with vocab[(11q+7) mod V] (bumped by one when the indices collide) —
+    mirrored exactly by the SQL oracle."""
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    v = len(vocab)
+    qids, texts = [], []
+    for q in range(_N_QUERIES):
+        i1 = (5 * q + 1) % v
+        i2 = (11 * q + 7) % v
+        if i2 == i1:
+            i2 = (i2 + 1) % v
+        qids.append(q)
+        texts.append(f"{vocab[i1]} {vocab[i2]}")
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.uint64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+def _q_span_near(sf_dir: str) -> pa.Table:
+    """ES ``span_near`` (unordered, slop=2): the span fixture pair within a
+    |Δpos| ≤ 3 window, distributed over the MatchScorer pool."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import run_match_queries
+
+    res = _index_pos_for(sf_dir)
+    rows = run_match_queries(
+        res.out_dir, _span_pair_queries(sf_dir), mode="span_near", slop=2, concurrency=4
+    ).take_all()
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
+def _q_span_not(sf_dir: str) -> pa.Table:
+    """ES ``span_not`` (pre=post=1): docs with a t1 occurrence having no t2
+    occurrence in the ±1 window, distributed over the MatchScorer pool."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import run_match_queries
+
+    res = _index_pos_for(sf_dir)
+    rows = run_match_queries(
+        res.out_dir, _span_pair_queries(sf_dir), mode="span_not", slop=1, concurrency=4
+    ).take_all()
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
 
 
 def _q_phrase_prefix(sf_dir: str) -> pa.Table:
@@ -1783,6 +1871,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
         "span_first": _q_span_first,
+        "span_near": _q_span_near,
+        "span_not": _q_span_not,
         "phrase_prefix": _q_phrase_prefix,
         "decay_topk": _q_decay_topk,
         "prefix_match": _q_prefix_match,
@@ -1821,6 +1911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_dl": _q_sort_by_dl,
         "highlight": _q_highlight,
         "regexp_match": _q_regexp_match,
+        "wildcard_match": _q_wildcard_match,
         "dis_max": _q_dis_max,
         "boosting": _q_boosting,
         "multi_match": _q_multi_match,
@@ -2373,6 +2464,63 @@ FROM sq s JOIN documents d
   ON list_position(string_split(d.text, ' '), s.term) BETWEEN 1 AND s.e
 ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # span_near unordered slop=2: partner within |Δpos| in [1, 3]
+        "span_near": _PRELUDE
+        + """
+, pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+),
+sq AS (
+  SELECT q AS query_id,
+         (5 * q + 1) % c AS i1,
+         CASE WHEN (11 * q + 7) % c = (5 * q + 1) % c
+              THEN ((11 * q + 7) % c + 1) % c
+              ELSE (11 * q + 7) % c END AS i2
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+),
+sterm AS (
+  SELECT s.query_id, v1.term AS t1, v2.term AS t2
+  FROM sq s JOIN vocab v1 ON v1.idx = s.i1 JOIN vocab v2 ON v2.idx = s.i2
+)
+SELECT DISTINCT st.query_id::BIGINT AS query_id, p1.doc_id::BIGINT AS doc_id
+FROM sterm st
+JOIN pos p1 ON p1.term = st.t1
+JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = st.t2
+WHERE abs(p2.p - p1.p) BETWEEN 1 AND 3
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # span_not pre=post=1: a t1 occurrence with no t2 within ±1
+        "span_not": _PRELUDE
+        + """
+, pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+),
+sq AS (
+  SELECT q AS query_id,
+         (5 * q + 1) % c AS i1,
+         CASE WHEN (11 * q + 7) % c = (5 * q + 1) % c
+              THEN ((11 * q + 7) % c + 1) % c
+              ELSE (11 * q + 7) % c END AS i2
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+),
+sterm AS (
+  SELECT s.query_id, v1.term AS t1, v2.term AS t2
+  FROM sq s JOIN vocab v1 ON v1.idx = s.i1 JOIN vocab v2 ON v2.idx = s.i2
+)
+SELECT DISTINCT st.query_id::BIGINT AS query_id, p1.doc_id::BIGINT AS doc_id
+FROM sterm st
+JOIN pos p1 ON p1.term = st.t1
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos p2
+  WHERE p2.doc_id = p1.doc_id AND p2.term = st.t2
+    AND p2.p BETWEEN p1.p - 1 AND p1.p + 1
+)
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
         # match_phrase_prefix: w1 w2 then any token starting with pf
         "phrase_prefix": """
 WITH nd AS (SELECT count(*) AS c FROM documents),
@@ -2447,6 +2595,19 @@ FROM documents WHERE substr(sha256(text), 1, 2) < '1a'
 )
 SELECT DISTINCT rq.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
 FROM rq JOIN tf ON regexp_full_match(tf.term, rq.pat)
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # wildcard: 'ab*c'-shaped pattern over the dictionary → LIKE 'ab%c'
+        "wildcard_match": _PRELUDE
+        + """
+, wq AS (
+  SELECT q AS query_id,
+         substr(v.term, 1, 2) || '%' || substr(v.term, len(v.term), 1) AS pat
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (17 * q + 5) % nv.c
+)
+SELECT DISTINCT wq.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
+FROM wq JOIN tf ON tf.term LIKE wq.pat
 ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
         # dis_max: sorted query terms split even/odd into two sub-queries,

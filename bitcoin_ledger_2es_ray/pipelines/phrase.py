@@ -172,6 +172,92 @@ def span_first_match(store: SegmentStore, term: str, end: int) -> np.ndarray:
     return np.unique(docs[first < np.uint64(end)])
 
 
+def _term_keys(store: SegmentStore, term: str) -> np.ndarray:
+    """Sorted unique ``(doc << POS_BITS) | pos`` occurrence keys of a term."""
+    docs, tfs, pos = store.postings_positions(term)
+    if len(docs) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if int(docs.max()) > MAX_DOC or int(pos.max()) > MAX_POS:
+        raise ValueError("doc_id/position exceeds the phrase-key budget")
+    d = np.repeat(docs, tfs.astype(np.int64))
+    return np.unique((d << np.uint64(POS_BITS)) | pos)
+
+
+def span_near_match(
+    store: SegmentStore, t1: str, t2: str, slop: int = 0, in_order: bool = False
+) -> np.ndarray:
+    """ES ``span_near`` with two single-term clauses: sorted unique doc_ids
+    where occurrences p₁ (of ``t1``) and p₂ (of ``t2``) exist with
+    ``1 <= p2 - p1 <= slop + 1`` (``in_order=True``) or
+    ``1 <= |p2 - p1| <= slop + 1`` (unordered) — Lucene's slop counts the
+    positions *between* the spans, so adjacency is slop 0.
+
+    Vectorized: both occurrence sets become sorted (doc, pos) keys; for
+    every ``t2`` occurrence one ``searchsorted`` window over the ``t1``
+    keys decides whether a partner exists (no per-doc loop).  The same-doc
+    constraint is free — the doc id lives in the key's high bits, so the
+    window bounds carry it.
+    """
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    k1 = _term_keys(store, t1)
+    k2 = _term_keys(store, t2)
+    if len(k1) == 0 or len(k2) == 0:
+        return np.empty(0, dtype=np.uint64)
+    win = np.uint64(slop + 1)
+    doc2 = k2 >> np.uint64(POS_BITS)
+    p2 = k2 & np.uint64(MAX_POS)
+    lo_pos = np.where(p2 > win, p2 - win, np.uint64(0))
+    lo = (doc2 << np.uint64(POS_BITS)) | lo_pos
+    if in_order:
+        # partner strictly before: p1 in [p2 - win, p2 - 1]
+        hi = k2  # exclusive upper bound at (doc, p2)
+        cnt = np.searchsorted(k1, hi, side="left") - np.searchsorted(k1, lo, side="left")
+    else:
+        hi_pos = np.minimum(p2 + win, np.uint64(MAX_POS))
+        hi = (doc2 << np.uint64(POS_BITS)) | hi_pos
+        cnt = np.searchsorted(k1, hi, side="right") - np.searchsorted(
+            k1, lo, side="left"
+        )
+        # a t1 occurrence AT p2 (possible only when t1 == t2) is not a span
+        # partner — drop it from the window count
+        self_hit = k1[
+            np.clip(np.searchsorted(k1, k2, side="left"), 0, len(k1) - 1)
+        ] == k2
+        cnt = cnt - self_hit.astype(cnt.dtype)
+    return np.unique(doc2[cnt > 0])
+
+
+def span_not_match(
+    store: SegmentStore, include: str, exclude: str, pre: int = 0, post: int = 0
+) -> np.ndarray:
+    """ES ``span_not`` (single-term spans): sorted unique doc_ids with an
+    ``include`` occurrence at p such that NO ``exclude`` occurrence lies in
+    ``[p - pre, p + post]`` — ``pre``/``post`` widen the forbidden window
+    exactly like Lucene's ``span_not.pre/post``.
+
+    Same searchsorted-window kernel as ``span_near_match``, inverted: an
+    include occurrence survives iff its window over the exclude keys is
+    empty, and a doc matches iff any occurrence survives."""
+    if pre < 0 or post < 0:
+        raise ValueError("pre/post must be >= 0")
+    ki = _term_keys(store, include)
+    if len(ki) == 0:
+        return np.empty(0, dtype=np.uint64)
+    ke = _term_keys(store, exclude)
+    doci = ki >> np.uint64(POS_BITS)
+    if len(ke) == 0:
+        return np.unique(doci)
+    pi = ki & np.uint64(MAX_POS)
+    upre, upost = np.uint64(pre), np.uint64(post)
+    lo_pos = np.where(pi > upre, pi - upre, np.uint64(0))
+    hi_pos = np.minimum(pi + upost, np.uint64(MAX_POS))
+    lo = (doci << np.uint64(POS_BITS)) | lo_pos
+    hi = (doci << np.uint64(POS_BITS)) | hi_pos
+    cnt = np.searchsorted(ke, hi, side="right") - np.searchsorted(ke, lo, side="left")
+    return np.unique(doci[cnt == 0])
+
+
 def phrase_prefix_match(
     store: SegmentStore,
     text: str,
@@ -456,6 +542,18 @@ class MatchScorer:
             "fuzzy": lambda t: fuzzy_match(self.store, t, max_dist=1),
             "phrase_slop": lambda t: phrase_match_slop(
                 self.store, t, self.slop, self.tokenizer
+            ),
+            # span modes take "t1 t2" query texts (two single-term clauses);
+            # span_not reuses ``slop`` as the symmetric pre=post window
+            "span_near": lambda t: span_near_match(
+                self.store, t.split(" ")[0], t.split(" ")[1], slop=self.slop
+            ),
+            "span_not": lambda t: span_not_match(
+                self.store,
+                t.split(" ")[0],
+                t.split(" ")[1],
+                pre=self.slop,
+                post=self.slop,
             ),
         }[self.mode]
         qids_l, docs_l = [], []

@@ -518,3 +518,85 @@ def test_phrase_slop_brute_force_and_slop0_equivalence(pos_index):
         cur = set(phrase_match_slop(store, phrase, slop=slop).tolist())
         assert prev <= cur
         prev = cur
+
+
+def test_span_near_brute(pos_index):
+    """span_near vs a positional brute force: unordered and in_order, with
+    the same-term self-pair exclusion."""
+    import random
+
+    from bitcoin_ledger_2es_ray.pipelines.phrase import span_near_match
+
+    docs, store, _ = pos_index
+    vocab = sorted(store.df)
+
+    def brute(t1, t2, slop, in_order):
+        out = []
+        for i, d in enumerate(docs):
+            toks = d.split(" ")
+            p1s = [p for p, t in enumerate(toks) if t == t1]
+            p2s = [p for p, t in enumerate(toks) if t == t2]
+            hit = any(
+                (0 < p2 - p1 <= slop + 1)
+                if in_order
+                else (1 <= abs(p2 - p1) <= slop + 1)
+                for p1 in p1s
+                for p2 in p2s
+            )
+            if hit:
+                out.append(i)
+        return out
+
+    rng = random.Random(7)
+    for _ in range(30):
+        t1 = vocab[rng.randrange(len(vocab))]
+        t2 = vocab[rng.randrange(len(vocab))]
+        slop = rng.choice([0, 1, 2, 4])
+        for in_order in (False, True):
+            got = span_near_match(store, t1, t2, slop=slop, in_order=in_order)
+            assert got.tolist() == brute(t1, t2, slop, in_order), (
+                t1, t2, slop, in_order,
+            )
+    # same-term query: a position never pairs with itself
+    t = vocab[0]
+    assert span_near_match(store, t, t, slop=0).tolist() == brute(t, t, 0, False)
+    # missing term matches nothing
+    assert span_near_match(store, "zzzznone", vocab[0], slop=3).tolist() == []
+    with pytest.raises(ValueError):
+        span_near_match(store, t, t, slop=-1)
+
+
+def test_span_not_brute(pos_index):
+    import random
+
+    from bitcoin_ledger_2es_ray.pipelines.phrase import span_not_match
+
+    docs, store, _ = pos_index
+    vocab = sorted(store.df)
+
+    def brute(inc, exc, pre, post):
+        out = []
+        for i, d in enumerate(docs):
+            toks = d.split(" ")
+            pis = [p for p, t in enumerate(toks) if t == inc]
+            pes = {p for p, t in enumerate(toks) if t == exc}
+            if any(
+                not any(p - pre <= q <= p + post for q in pes) for p in pis
+            ):
+                out.append(i)
+        return out
+
+    rng = random.Random(11)
+    for _ in range(30):
+        inc = vocab[rng.randrange(len(vocab))]
+        exc = vocab[rng.randrange(len(vocab))]
+        pre = rng.choice([0, 1, 2])
+        post = rng.choice([0, 1, 2])
+        got = span_not_match(store, inc, exc, pre=pre, post=post)
+        assert got.tolist() == brute(inc, exc, pre, post), (inc, exc, pre, post)
+    # absent exclude term: include's doc set verbatim
+    t = vocab[3 % len(vocab)]
+    assert span_not_match(store, t, "zzzznone").tolist() == brute(t, "zzzznone", 0, 0)
+    assert span_not_match(store, "zzzznone", t).tolist() == []
+    with pytest.raises(ValueError):
+        span_not_match(store, t, t, pre=-1)
