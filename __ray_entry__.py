@@ -590,6 +590,43 @@ def _q_histogram_agg(sf_dir: str) -> pa.Table:
     return histogram_agg(res.out_dir, _q_boolean_and(sf_dir), interval=16)
 
 
+def _q_rare_terms(sf_dir: str) -> pa.Table:
+    """ES ``rare_terms`` aggregation: the df ≤ 100 long tail of the term
+    dictionary — a vocabulary-bounded Ray groupby, never a corpus scan (the
+    synthetic corpus plants one genuinely rare term; 100 keeps the gate
+    non-empty at sf0.01 where the common terms sit at df ≈ 380)."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import rare_terms_agg
+
+    _, res = _store_for(sf_dir)
+    return rare_terms_agg(res.out_dir, max_doc_count=100)
+
+
+def _q_multi_terms(sf_dir: str) -> pa.Table:
+    """ES ``multi_terms`` aggregation: AND-hit counts bucketed by the
+    composite (lang, repo) key — broadcast hits, streamed forward map."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import multi_terms_agg
+
+    _, res = _store_for(sf_dir)
+    return multi_terms_agg(res.out_dir, _q_boolean_and(sf_dir), fields=("lang", "repo"))
+
+
+def _q_weighted_avg(sf_dir: str) -> pa.Table:
+    """ES ``weighted_avg``: per-lang n_chars weighted by token count —
+    shuffle-free (lang, Σvw, Σw) combiner partials."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import weighted_avg_agg
+
+    return weighted_avg_agg(sf_dir, round_decimals=_ROUND)
+
+
+def _q_mad_dl(sf_dir: str) -> pa.Table:
+    """ES ``median_absolute_deviation`` over doc length per lang, EXACT via
+    the (lang, dl) value-counts plan."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import mad_agg
+
+    _, res = _store_for(sf_dir)
+    return mad_agg(res.out_dir, round_decimals=_ROUND)
+
+
 def _q_range_agg(sf_dir: str) -> pa.Table:
     """ES ``range`` aggregation over doc length (cut at 16/48, ES
     from-inclusive/to-exclusive, ``*-16``-style labels) on the AND-hit
@@ -1882,6 +1919,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rescore": _q_rescore,
         "phrase_slop": _q_phrase_slop,
         "terms_agg": _q_terms_agg,
+        "rare_terms": _q_rare_terms,
+        "multi_terms": _q_multi_terms,
+        "weighted_avg": _q_weighted_avg,
+        "mad_dl": _q_mad_dl,
         "histogram_agg": _q_histogram_agg,
         "range_agg": _q_range_agg,
         "adjacency_matrix": _q_adjacency_matrix,
@@ -3083,6 +3124,43 @@ anded AS (
 SELECT a.query_id::BIGINT AS query_id, d.lang, count(*)::BIGINT AS doc_count
 FROM anded a JOIN documents d USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # rare_terms: the df <= 100 tail of the vocabulary
+        "rare_terms": _PRELUDE
+        + """
+SELECT term, df::BIGINT AS doc_count FROM df WHERE df <= 100 ORDER BY term
+""",
+        # multi_terms: AND-hit counts by the composite (lang, repo) key;
+        # repo mirrors the corpus derivation 'org{d%7}/repo{d%20}'
+        "multi_terms": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+)
+SELECT a.query_id::BIGINT AS query_id, d.lang,
+       'org' || (d.doc_id % 7) || '/repo' || (d.doc_id % 20) AS repo,
+       count(*)::BIGINT AS doc_count
+FROM anded a JOIN documents d USING (doc_id)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+        # weighted_avg: per-lang n_chars weighted by token count
+        "weighted_avg": """
+SELECT lang,
+       round(sum(n_chars * len(string_split(text, ' ')))::DOUBLE
+             / sum(len(string_split(text, ' '))), 6) AS wavg
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        # median_absolute_deviation of token count per lang
+        "mad_dl": """
+SELECT lang, round(mad(len(string_split(text, ' '))::DOUBLE), 6) AS mad
+FROM documents GROUP BY lang ORDER BY lang
 """,
         # terms bucket × stats(dl) sub-agg over the AND-hit sets
         "terms_stats": _PRELUDE

@@ -833,3 +833,200 @@ def histogram_agg(index_dir: str, matches: pa.Table, interval: int = 16) -> pa.T
         return pc.multiply(pc.divide(dl, interval), interval)  # int floor-div
 
     return _agg_over_forward_map(index_dir, matches, ["dl"], bucket, "bucket")
+
+
+def rare_terms_agg(index_dir: str, max_doc_count: int = 2) -> pa.Table:
+    """ES ``rare_terms`` aggregation: the long-tail terms whose document
+    frequency is ≤ ``max_doc_count`` → (term, doc_count) sorted by term.
+
+    The term dictionary already holds per-(partition, salt-slice) df
+    partials, so this is one Ray Data groupby over (term, df) — a shuffle
+    bounded by VOCABULARY size, never corpus size — followed by the
+    selective filter.  Only the rare tail (the result) reaches the driver;
+    ES answers the same question with a per-shard df merge on the
+    coordinator, which this mirrors."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    ds = (
+        rd.read_parquet(os.path.join(index_dir, "term_dict.parquet"), columns=["term", "df"])
+        .groupby("term")
+        .sum("df")
+        .map_batches(
+            lambda b: b.filter(pc.less_equal(b["sum(df)"], max_doc_count)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    t = pa.Table.from_pylist(ds.take_all())
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "doc_count": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.table(
+        {"term": t["term"], "doc_count": t["sum(df)"].cast(pa.int64())}
+    ).sort_by("term")
+
+
+def multi_terms_agg(
+    index_dir: str, matches: pa.Table, fields: tuple[str, ...] = ("lang", "repo")
+) -> pa.Table:
+    """ES ``multi_terms`` aggregation: per query, hit counts bucketed by a
+    COMPOSITE key of categorical forward-map fields →
+    (query_id, <f1>, <f2>, …, doc_count).
+
+    Same broadcast-hits + streamed-forward-map partial plan as
+    ``terms_agg`` (the wide data never shuffles); the driver combine is
+    bounded by #queries × the composite-key cardinality."""
+    import ray
+    import ray.data as rd
+
+    for f in fields:
+        if f not in AGG_FIELDS:
+            raise ValueError(f"multi_terms fields must be in {AGG_FIELDS}, got {f!r}")
+    key_cols = ["query_id", *fields]
+    m = matches.select(["query_id", "doc_id"])
+    m = m.set_column(
+        m.schema.get_field_index("doc_id"), "doc_id", m["doc_id"].cast(pa.uint64())
+    )
+    m_ref = ray.put(m)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        j = batch.join(ray.get(m_ref), keys="doc_id", join_type="inner")
+        if j.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    **{f: pa.array([], type=pa.string()) for f in fields},
+                    "doc_count": pa.array([], type=pa.int64()),
+                }
+            )
+        g = j.group_by(key_cols).aggregate([("doc_id", "count")])
+        return g.select([*key_cols, "doc_id_count"]).rename_columns(
+            [*key_cols, "doc_count"]
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["doc_id", *fields]
+    )
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+    ]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    out = _combine(parts, key_cols)
+    return pa.table(
+        {
+            "query_id": out["query_id"].cast(pa.int64()),
+            **{f: out[f] for f in fields},
+            "doc_count": out["doc_count"].cast(pa.int64()),
+        }
+    )
+
+
+def weighted_avg_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``weighted_avg`` aggregation: per language, the average of
+    ``n_chars`` weighted by token count → (lang, wavg).
+
+    Streamed pre-aggregation over the documents table: each batch emits one
+    (lang, Σ n_chars·w, Σ w) partial — the shuffle-free combiner pattern —
+    and the driver merges partials bounded by #languages."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ntok = pc.add(pc.count_substring(batch["text"], " "), 1).cast(pa.int64())
+        w = pc.multiply(batch["n_chars"].cast(pa.int64()), ntok)
+        t = pa.table({"lang": batch["lang"], "vw": w, "w": ntok})
+        g = t.group_by("lang").aggregate([("vw", "sum"), ("w", "sum")])
+        return g.rename_columns(["lang", "vw", "w"])
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "text", "n_chars"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    g = cat.group_by("lang").aggregate([("vw", "sum"), ("w", "sum")]).sort_by("lang")
+    wavg = [
+        float(sql_round(v / w, round_decimals))
+        for v, w in zip(g["vw_sum"].to_pylist(), g["w_sum"].to_pylist())
+    ]
+    return pa.table({"lang": g["lang"], "wavg": pa.array(wavg, type=pa.float64())})
+
+
+def _weighted_median(vals, cnts) -> float:
+    """quantile_cont(0.5) over a (value, count) histogram — linear
+    interpolation between order statistics, matching DuckDB ``median``."""
+    import numpy as np
+
+    order = np.argsort(vals)
+    vals, cnts = np.asarray(vals, dtype=np.float64)[order], np.asarray(cnts)[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    pos = 0.5 * (n - 1)
+    lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+    v_lo = float(vals[np.searchsorted(cum, lo, side="right")])
+    if hi == lo:
+        return v_lo
+    v_hi = float(vals[np.searchsorted(cum, hi, side="right")])
+    return v_lo + (pos - lo) * (v_hi - v_lo)
+
+
+def mad_agg(index_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``median_absolute_deviation`` aggregation, EXACT, per language:
+    median(|dl − median(dl)|) → (lang, mad).
+
+    The same value-counts plan as ``percentiles_agg``, keyed by lang:
+    per-batch (lang, dl, n) histograms stream out of the forward map, the
+    driver combines partials bounded by #langs × #distinct dl, and both
+    medians interpolate quantile_cont-style from the combined counts — the
+    second median reuses the SAME histogram with re-keyed values, so the
+    forward map is read exactly once.  ES uses a t-digest here; over a
+    bounded-cardinality field exact is the better trade (same wire shape,
+    no approximation)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "dl"]).aggregate([("dl", "count")])
+        return g.rename_columns(["lang", "dl", "n"])
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["lang", "dl"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    t = (
+        cat.group_by(["lang", "dl"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["lang", "dl", "n"])
+    )
+    langs = sorted(set(t["lang"].to_pylist()))
+    out_l, out_m = [], []
+    for lang in langs:
+        sub = t.filter(pa.compute.equal(t["lang"], lang))
+        vals = np.asarray(sub["dl"].combine_chunks(), dtype=np.float64)
+        cnts = np.asarray(sub["n"].combine_chunks(), dtype=np.int64)
+        med = _weighted_median(vals, cnts)
+        dev = np.abs(vals - med)
+        out_l.append(lang)
+        out_m.append(float(sql_round(_weighted_median(dev, cnts), round_decimals)))
+    return pa.table(
+        {"lang": pa.array(out_l, type=pa.string()), "mad": pa.array(out_m, type=pa.float64())}
+    )

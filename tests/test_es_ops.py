@@ -1021,3 +1021,87 @@ def test_unigram_logprob_brute(built, ray_session):
         assert rows[i] == pytest.approx(want, abs=1e-6)
     # every logprob is negative (probabilities < 1)
     assert all(v < 0 for v in rows.values())
+
+
+def test_rare_terms_agg_matches_brute(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import rare_terms_agg
+
+    res, _, corpus = built
+    docs = pq.read_table(corpus, columns=["content"])
+    df: dict[str, int] = {}
+    for t in docs["content"].to_pylist():
+        for term in set(t.split(" ")):
+            df[term] = df.get(term, 0) + 1
+    for cutoff in (1, min(df.values()), 10**9):
+        got = rare_terms_agg(res.out_dir, max_doc_count=cutoff)
+        want = sorted((t, c) for t, c in df.items() if c <= cutoff)
+        assert list(zip(got["term"].to_pylist(), got["doc_count"].to_pylist())) == want
+    with pytest.raises(ValueError):
+        rare_terms_agg(res.out_dir, max_doc_count=0)
+
+
+def test_multi_terms_agg_matches_pandas(hitset, ray_session):
+    import pyarrow.dataset as pads
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import multi_terms_agg
+
+    matches, docs, res = hitset
+    got = multi_terms_agg(res.out_dir, matches, fields=("lang", "repo")).to_pandas()
+    import os
+
+    fm = pads.dataset(os.path.join(res.out_dir, "forward_map")).to_table(
+        columns=["doc_id", "lang", "repo"]
+    )
+    meta = {
+        d: (l, r)
+        for d, l, r in zip(
+            fm["doc_id"].to_pylist(), fm["lang"].to_pylist(), fm["repo"].to_pylist()
+        )
+    }
+    want: dict[tuple, int] = {}
+    for q, d in zip(matches["query_id"].to_pylist(), matches["doc_id"].to_pylist()):
+        key = (q, *meta[d])
+        want[key] = want.get(key, 0) + 1
+    got_d = {
+        (q, l, r): c
+        for q, l, r, c in zip(
+            got["query_id"], got["lang"], got["repo"], got["doc_count"]
+        )
+    }
+    assert got_d == want
+    keys = list(zip(got["query_id"], got["lang"], got["repo"]))
+    assert keys == sorted(keys)
+    with pytest.raises(ValueError):
+        multi_terms_agg(res.out_dir, matches, fields=("lang", "dl"))
+
+
+def test_weighted_avg_agg_matches_pandas(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import weighted_avg_agg
+
+    sf = "/root/testdata/sf0.001"
+    got = weighted_avg_agg(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    docs["w"] = docs["text"].str.split(" ").str.len()
+    want = (
+        docs.assign(vw=docs["n_chars"] * docs["w"])
+        .groupby("lang")[["vw", "w"]]
+        .sum()
+    )
+    want = (want["vw"] / want["w"]).round(6).sort_index()
+    assert got["lang"].tolist() == want.index.tolist()
+    np.testing.assert_allclose(got["wavg"].to_numpy(), want.to_numpy(), atol=1e-9)
+
+
+def test_mad_agg_matches_duckdb(built, ray_session):
+    import duckdb
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import mad_agg
+
+    res, _, corpus = built
+    got = mad_agg(res.out_dir).to_pandas()
+    want = duckdb.sql(
+        f"""SELECT lang, round(mad(len(string_split(content, ' '))::DOUBLE), 6) AS mad
+            FROM read_parquet('{corpus}') GROUP BY lang ORDER BY lang"""
+    ).df()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    np.testing.assert_allclose(got["mad"].to_numpy(), want["mad"].to_numpy(), atol=1e-9)
