@@ -590,6 +590,51 @@ def _q_histogram_agg(sf_dir: str) -> pa.Table:
     return histogram_agg(res.out_dir, _q_boolean_and(sf_dir), interval=16)
 
 
+def _q_analyze(sf_dir: str) -> pa.Table:
+    """ES ``_analyze`` API: the indexed token stream (pos, token) for the
+    text of document (29q mod n) — the same tokenizer the build uses, so the
+    oracle's whitespace split IS the parity check."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.apis import analyze_texts
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    texts = docs["text"].to_pylist()
+    n = len(texts)
+    queries = pa.table(
+        {
+            "query_id": pa.array(list(range(_N_QUERIES)), type=pa.uint64()),
+            "text": pa.array([texts[(29 * q) % n] for q in range(_N_QUERIES)]),
+        }
+    )
+    out = analyze_texts(queries)
+    return pa.table(
+        {
+            "query_id": out["query_id"].cast(pa.int64()),
+            "pos": out["pos"],
+            "token": out["token"],
+        }
+    )
+
+
+def _q_term_vectors(sf_dir: str) -> pa.Table:
+    """ES ``_termvectors`` (term_statistics=true) for docs (31q+2) mod n:
+    tf by row-group-pruned re-analysis, df from the pruned dictionary."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import term_vectors
+    from bitcoin_ledger_2es_ray.sources.corpus import derive_corpus_parquet
+
+    store, res = _store_for(sf_dir)
+    key = sf_dir.strip("/").replace("/", "_")
+    corpus = derive_corpus_parquet(
+        sf_dir, os.path.join(_CACHE_ROOT, key, "corpus.parquet")
+    )
+    n = res.n_docs
+    ids = sorted({(31 * q + 2) % n for q in range(_N_QUERIES)})
+    return term_vectors(store, corpus, ids)
+
+
 def _q_rare_terms(sf_dir: str) -> pa.Table:
     """ES ``rare_terms`` aggregation: the df ≤ 100 long tail of the term
     dictionary — a vocabulary-bounded Ray groupby, never a corpus scan (the
@@ -1918,6 +1963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "completion_suggest": _q_completion_suggest,
         "rescore": _q_rescore,
         "phrase_slop": _q_phrase_slop,
+        "analyze": _q_analyze,
+        "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,
         "multi_terms": _q_multi_terms,
@@ -3125,6 +3172,32 @@ SELECT a.query_id::BIGINT AS query_id, d.lang, count(*)::BIGINT AS doc_count
 FROM anded a JOIN documents d USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
+        # _analyze: the indexed token stream of document (29q mod n)
+        "analyze": """
+WITH nd AS (SELECT count(*) AS c FROM documents),
+aq AS (
+  SELECT q AS query_id, (29 * q) % c AS sel
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+)
+SELECT a.query_id::BIGINT AS query_id,
+       (generate_subscripts(string_split(d.text, ' '), 1) - 1)::BIGINT AS pos,
+       unnest(string_split(d.text, ' ')) AS token
+FROM aq a JOIN documents d ON d.doc_id = a.sel
+ORDER BY 1, 2, 3
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # _termvectors with term_statistics for docs (31q+2) mod n
+        "term_vectors": _PRELUDE
+        + """
+, nd AS (SELECT count(*) AS c FROM documents),
+sel AS (
+  SELECT DISTINCT (31 * q + 2) % c AS doc_id
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+)
+SELECT tf.doc_id::BIGINT AS doc_id, tf.term, tf.tf::BIGINT AS tf,
+       df.df::BIGINT AS df
+FROM tf JOIN sel USING (doc_id) JOIN df USING (term)
+ORDER BY 1, 2
+""".replace("{nq1}", str(_N_QUERIES - 1)),
         # rare_terms: the df <= 100 tail of the vocabulary
         "rare_terms": _PRELUDE
         + """

@@ -1,0 +1,119 @@
+"""Document-level ES REST-API analogs: ``_analyze`` and ``_termvectors``.
+
+Elasticsearch exposes the analyzer chain (`POST /_analyze`) and per-document
+term statistics (`GET /<index>/_termvectors/<id>`) as first-class APIs; the
+graft's equivalents run the SAME tokenizer the index build uses, so what
+``analyze`` returns is — by construction — exactly what was indexed.
+
+- ``analyze_batch`` is a pure batch transform: (query_id, text) rows in →
+  (query_id, pos, token) rows out, vectorized through the registered
+  tokenizer (one Arrow call per batch, no per-row re-entry).  Distributable
+  verbatim via ``map_batches``; the driver-gate helper ``analyze_texts``
+  applies it to a small fixture table in-process.
+- ``term_vectors`` re-analyzes the selected documents (ES's
+  ``term_statistics=true`` path for non-stored vectors): the corpus read is
+  row-filter pushed down to the selected doc_ids, tf comes from the
+  re-analysis, df from the already-built term dictionary — no postings scan,
+  no corpus-wide work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.tokenize import get_tokenizer, term_counts
+
+
+def analyze_batch(batch: pa.Table, tokenizer: str = "code") -> pa.Table:
+    """(query_id, text) → (query_id, pos, token) token stream, ES ``_analyze``.
+
+    Positions are the document-side positional semantics of the tokenizer
+    (split parts share their source identifier's position, 0-based).
+    """
+    tok = get_tokenizer(tokenizer)
+    terms, row_idx, _, pos = tok(
+        batch["text"].combine_chunks()
+        if isinstance(batch["text"], pa.ChunkedArray)
+        else batch["text"],
+        return_positions=True,
+    )
+    qids = np.asarray(batch["query_id"], dtype=np.uint64)[row_idx]
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.uint64()),
+            "pos": pa.array(pos.astype(np.int64), type=pa.int64()),
+            "token": terms,
+        }
+    )
+
+
+def analyze_texts(
+    queries: pa.Table, tokenizer: str = "code"
+) -> pa.Table:
+    """ES ``_analyze`` over a query table, sorted (query_id, pos, token)."""
+    out = analyze_batch(queries, tokenizer)
+    return out.sort_by(
+        [("query_id", "ascending"), ("pos", "ascending"), ("token", "ascending")]
+    )
+
+
+def term_vectors(
+    store, corpus_path: str, doc_ids: list[int], tokenizer: str = "code"
+) -> pa.Table:
+    """ES ``_termvectors`` with ``term_statistics=true`` for a set of docs:
+    (doc_id, term, tf, df) — tf by re-analysis of exactly the selected rows
+    (parquet row filter pushdown), df from the term dictionary.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    wanted = sorted(set(int(d) for d in doc_ids))
+    # the corpus carries no doc_id column — docIDs are row offsets (the
+    # footer-offset scheme), so "row filter pushdown" here means row-GROUP
+    # pruning: read only the groups whose offset range covers a wanted id
+    if os.path.isdir(corpus_path):
+        files = sorted(
+            os.path.join(corpus_path, f)
+            for f in os.listdir(corpus_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [corpus_path]
+    chunks: list[pa.Table] = []
+    base = 0
+    remaining = list(wanted)
+    for path in files:
+        pf = pq.ParquetFile(path)
+        off = base
+        for rg in range(pf.metadata.num_row_groups):
+            n = pf.metadata.row_group(rg).num_rows
+            local = [d - off for d in remaining if off <= d < off + n]
+            if local:
+                chunks.append(
+                    pf.read_row_group(rg, columns=["content"]).take(
+                        pa.array(local, type=pa.int64())
+                    )
+                )
+            off += n
+        base = off
+    if sum(c.num_rows for c in chunks) != len(wanted):
+        raise ValueError("doc_id out of range")
+    sel = pa.concat_tables(chunks)
+    tok = get_tokenizer(tokenizer)
+    terms, row_idx, _ = tok(sel["content"].combine_chunks())
+    posting = term_counts(
+        terms, row_idx, np.asarray(wanted, dtype=np.uint64)
+    )
+    # pruned dictionary lookups — never materializes the vocabulary
+    dfs = [int(store.td.df_of(t)) for t in posting["term"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": posting["doc_id"].cast(pa.int64()),
+            "term": posting["term"],
+            "tf": posting["tf"].cast(pa.int64()),
+            "df": pa.array(dfs, type=pa.int64()),
+        }
+    ).sort_by([("doc_id", "ascending"), ("term", "ascending")])

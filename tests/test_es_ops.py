@@ -1105,3 +1105,76 @@ def test_mad_agg_matches_duckdb(built, ray_session):
     ).df()
     assert got["lang"].tolist() == want["lang"].tolist()
     np.testing.assert_allclose(got["mad"].to_numpy(), want["mad"].to_numpy(), atol=1e-9)
+
+
+def test_analyze_batch_matches_tokenizer_goldens():
+    from bitcoin_ledger_2es_ray.pipelines.apis import analyze_texts
+
+    q = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2], type=pa.uint64()),
+            "text": pa.array(["getBlockHash foo", "", "x y x"]),
+        }
+    )
+    out = analyze_texts(q)
+    rows = list(
+        zip(out["query_id"].to_pylist(), out["pos"].to_pylist(), out["token"].to_pylist())
+    )
+    # code tokenizer: camelCase parts share the identifier's position
+    assert (0, 0, "get") in rows and (0, 0, "block") in rows and (0, 0, "hash") in rows
+    assert (0, 0, "getblockhash") in rows
+    assert (0, 1, "foo") in rows
+    assert all(r[0] != 1 for r in rows)  # empty text yields nothing
+    assert [(r[1], r[2]) for r in rows if r[0] == 2] == [(0, "x"), (1, "y"), (2, "x")]
+
+
+def test_term_vectors_brute_and_row_group_pruning(built, tmp_path):
+    from bitcoin_ledger_2es_ray.pipelines.apis import term_vectors
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    ids = [3, 17, 17, 41]
+    got = term_vectors(store, corpus, ids)
+    want = []
+    for d in sorted(set(ids)):
+        toks = docs[d].split(" ")
+        for term in sorted(set(toks)):
+            want.append((d, term, toks.count(term), store.df[term]))
+    assert (
+        list(
+            zip(
+                got["doc_id"].to_pylist(),
+                got["term"].to_pylist(),
+                got["tf"].to_pylist(),
+                got["df"].to_pylist(),
+            )
+        )
+        == want
+    )
+    with pytest.raises(ValueError):
+        term_vectors(store, corpus, [len(docs)])
+
+    # multi-row-group corpus: pruning must pick the right rows
+    small = str(tmp_path / "rg.parquet")
+    pq.write_table(
+        pa.table(
+            {"content": pa.array([f"tok{'a' * (i + 1)} common" for i in range(40)])}
+        ),
+        small,
+        row_group_size=8,
+    )
+
+    class StubTd:
+        def df_of(self, term):
+            return 40 if term == "common" else 1
+
+    class StubStore:
+        td = StubTd()
+
+    got = term_vectors(StubStore(), small, [0, 9, 39])
+    assert got["doc_id"].to_pylist() == [0, 0, 9, 9, 39, 39]
+    assert got["term"].to_pylist() == [
+        "common", "toka", "common", "tok" + "a" * 10, "common", "tok" + "a" * 40,
+    ]
