@@ -1895,6 +1895,40 @@ def _q_unigram_logprob(sf_dir: str) -> pa.Table:
     return unigram_logprob(res.out_dir, round_decimals=_ROUND)
 
 
+def _q_chunk_documents(sf_dir: str) -> pa.Table:
+    """Training-data chunking: fixed 32-token windows with stride 24 over
+    every document — the context-window preparation step for embedding /
+    LM-training pipelines.  Per-doc boundaries ⇒ embarrassingly parallel,
+    no shuffle at any scale."""
+    from bitcoin_ledger_2es_ray.pipelines.chunking import chunk_documents
+
+    return chunk_documents(sf_dir, window=32, stride=24)
+
+
+def _q_pmi_collocations(sf_dir: str) -> pa.Table:
+    """PMI collocations (Church & Hanks 1990): adjacent-bigram pointwise
+    mutual information, unigram LM straight from the term dictionary's cf
+    stats (no second corpus pass); bigram counts are one streamed pass of
+    Arrow hash-agg partials."""
+    from bitcoin_ledger_2es_ray.pipelines.ngrams import pmi_collocations
+
+    _, res = _store_for(sf_dir)
+    return pmi_collocations(
+        sf_dir, res.out_dir, res.total_dl, res.n_docs,
+        min_count=5, round_decimals=_ROUND,
+    )
+
+
+def _q_tfidf_top_terms(sf_dir: str) -> pa.Table:
+    """Per-document top-3 terms by tf·idf (idf = ln(N/df)) — keyword
+    extraction off the postings artifact: broadcast idf lookup inside
+    map_batches, one doc-keyed groupby for the tiny per-group top-k."""
+    from bitcoin_ledger_2es_ray.pipelines.ngrams import tfidf_top_terms
+
+    _, res = _store_for(sf_dir)
+    return tfidf_top_terms(res.out_dir, res.n_docs, k=3, round_decimals=_ROUND)
+
+
 def _q_percolate(sf_dir: str) -> pa.Table:
     """ES percolator: the 50 fixture queries are REGISTERED and the doc
     stream percolates against the broadcast query set — (doc, query)
@@ -1988,6 +2022,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "bucket_selector": _q_bucket_selector,
         "unigram_logprob": _q_unigram_logprob,
+        "chunk_documents": _q_chunk_documents,
+        "pmi_collocations": _q_pmi_collocations,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "pack_sequences": _q_pack_sequences,
         "shuffle_order": _q_shuffle_order,
         "distinct_counts": _q_distinct_counts,
@@ -3621,6 +3658,64 @@ JOIN df ON df.term = tf.term
 JOIN dl ON dl.doc_id = tf.doc_id
 CROSS JOIN c
 GROUP BY tf.doc_id, dl.dl ORDER BY tf.doc_id
+""",
+        # token-window chunking: window=32 stride=24; DuckDB 1-based
+        # inclusive list slicing t[s+1 : min(s+32, dl)] mirrors the
+        # engine's [s, min(s+32, dl)) 0-based half-open window
+        "chunk_documents": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, c::BIGINT AS chunk_id,
+       (c*24)::BIGINT AS start,
+       (least(c*24+32, dl) - c*24)::BIGINT AS n_tokens,
+       array_to_string(t[c*24+1 : least(c*24+32, dl)], ' ') AS chunk
+FROM d, unnest(range(((dl-1)//24)+1)) AS u(c)
+ORDER BY doc_id, chunk_id
+""",
+        # PMI collocations: p(a,b) over B = Σdl − n_docs adjacent slots,
+        # p(·) over T = Σdl tokens — cf comes from the SAME tokenization
+        # both sides (string_split == index tokenizer on this corpus)
+        "pmi_collocations": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(t) AS term FROM d),
+cf AS (SELECT term, count(*)::DOUBLE AS cf FROM toks GROUP BY term),
+s AS (SELECT (SELECT sum(dl)::DOUBLE FROM d) AS t_tot,
+             (SELECT count(*)::DOUBLE FROM d) AS nd),
+bi AS (
+  SELECT t[i+1] AS a, t[i+2] AS b, count(*)::BIGINT AS pair_count
+  FROM d, unnest(range(dl-1)) AS u(i)
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT a, b, pair_count,
+       round(ln((pair_count / (t_tot - nd)) /
+                ((ca.cf/t_tot)*(cb.cf/t_tot))), 6) AS pmi
+FROM bi CROSS JOIN s
+JOIN cf ca ON ca.term = bi.a JOIN cf cb ON cb.term = bi.b
+ORDER BY a, b
+""",
+        # per-doc top-3 tf·idf keywords, ranked on the 6-dp-ROUNDED score
+        # (ties → term ascending) exactly as the engine ranks
+        "tfidf_top_terms": _PRELUDE
+        + """
+, scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * ln(stats.n / df.df), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank, term, score
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """,
         # percolator: boolean_and transposed (the engine computes it by
         # streaming DOCS against broadcast queries — reverse plan)

@@ -1,0 +1,176 @@
+"""Corpus n-gram statistics for training-data pipelines.
+
+- ``pmi_collocations``: pointwise mutual information over adjacent token
+  bigrams — the classic collocation detector (Church & Hanks 1990).  The
+  bigram counts come from ONE streamed pass over the corpus (per-batch
+  Arrow hash-agg partials, combine bounded by |observed bigrams|, never by
+  corpus size); the unigram model is NOT recomputed — the already-built
+  term dictionary's collection frequencies ARE the unigram LM, exactly as
+  in ``textstats.unigram_logprob``.
+- ``tfidf_top_terms``: per-document top-k terms by tf·idf — the engine's
+  postings artifact already holds (term, doc_id, tf), so this is a
+  broadcast idf lookup inside ``map_batches`` plus one doc-keyed
+  ``groupby().map_groups`` top-k (the shuffle is keyed by doc_id, the
+  partitioning key every other per-doc stage reuses).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.bm25 import sql_round
+
+
+def bigram_counts_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → partial (a, b, n) adjacent-bigram counts."""
+    toks = pc.split_pattern(batch["text"], " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    dl = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    flat = toks.flatten()
+    total = len(flat)
+    if total == 0 or (dl <= 1).all():
+        return pa.table(
+            {
+                "a": pa.array([], type=pa.string()),
+                "b": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    # a position is a LEFT bigram slot unless it is the last token of a doc
+    is_left = np.ones(total, dtype=bool)
+    is_left[np.cumsum(dl)[dl > 0] - 1] = False
+    li = np.flatnonzero(is_left)
+    pairs = pa.table(
+        {
+            "a": flat.take(pa.array(li, type=pa.int64())),
+            "b": flat.take(pa.array(li + 1, type=pa.int64())),
+        }
+    )
+    g = pairs.group_by(["a", "b"]).aggregate([("b", "count")])
+    return pa.table({"a": g["a"], "b": g["b"], "n": g["b_count"].cast(pa.int64())})
+
+
+def pmi_collocations(
+    sf_dir: str,
+    index_dir: str,
+    total_dl: int,
+    n_docs: int,
+    min_count: int = 5,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """(a, b, pair_count, pmi) for every adjacent bigram seen ≥ min_count
+    times: pmi = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) over the corpus's
+    B = total_dl − n_docs bigram slots and p(·) over its T = total_dl
+    tokens.  Sorted (a, b)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(bigram_counts_batch, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    c2 = (
+        cat.group_by(["a", "b"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["a", "b", "n"])
+    )
+    c2 = c2.filter(pc.greater_equal(c2["n"], min_count))
+    # unigram LM straight from the term dictionary (cf summed over slices)
+    td = pq.read_table(
+        os.path.join(index_dir, "term_dict.parquet"), columns=["term", "cf"]
+    )
+    cf_t = td.group_by("term").aggregate([("cf", "sum")])
+    vocab = cf_t["term"].combine_chunks()
+    cf = np.asarray(cf_t["cf_sum"], dtype=np.float64)
+    t_tot = float(total_dl)
+    b_tot = float(total_dl - n_docs)
+    # vectorized cf lookup: index_in against the vocabulary (every bigram
+    # token is in the dictionary — same tokenizer built both)
+    ia = np.asarray(pc.index_in(c2["a"], value_set=vocab), dtype=np.int64)
+    ib = np.asarray(pc.index_in(c2["b"], value_set=vocab), dtype=np.int64)
+    n_v = np.asarray(c2["n"], dtype=np.float64)
+    pmi = sql_round(
+        np.log((n_v / b_tot) / ((cf[ia] / t_tot) * (cf[ib] / t_tot))),
+        round_decimals,
+    )
+    return pa.table(
+        {
+            "a": c2["a"],
+            "b": c2["b"],
+            "pair_count": c2["n"].cast(pa.int64()),
+            "pmi": pa.array(pmi, type=pa.float64()),
+        }
+    ).sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def tfidf_top_terms(
+    index_dir: str, n_docs: int, k: int = 3, round_decimals: int = 6
+) -> pa.Table:
+    """Per-document top-k terms by tf·idf, idf = ln(N/df) →
+    (doc_id, rank, term, score); ranking uses the ROUNDED score (ties →
+    term ascending) so it is reproducible against a 6-dp SQL oracle.
+
+    The df map is broadcast once (``ray.put``); scores attach inside
+    ``map_batches`` via dictionary-encoded lookup (one numpy gather per
+    batch); the only shuffle is the doc-keyed groupby feeding the tiny
+    per-group top-k.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    td = pq.read_table(
+        os.path.join(index_dir, "term_dict.parquet"), columns=["term", "df"]
+    )
+    df_t = td.group_by("term").aggregate([("df", "sum")])
+    df_map = dict(zip(df_t["term"].to_pylist(), df_t["df_sum"].to_pylist()))
+    df_ref = ray.put(df_map)
+    n = float(n_docs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        terms = batch["term"].combine_chunks()
+        dic = terms.dictionary_encode()
+        uniq = dic.dictionary.to_pylist()
+        idf = np.log(n / np.array([dfm[t] for t in uniq], dtype=np.float64))
+        tf = np.asarray(batch["tf"], dtype=np.float64)
+        s = tf * idf[np.asarray(dic.indices)]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "term": terms,
+                "score": pa.array(sql_round(s, round_decimals), type=pa.float64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("score", "descending"), ("term", "ascending")]).slice(0, k)
+        return g.append_column(
+            "rank", pa.array(np.arange(1, g.num_rows + 1), type=pa.int64())
+        )
+
+    ds = (
+        rd.read_parquet(
+            os.path.join(index_dir, "postings"), columns=["term", "doc_id", "tf"]
+        )
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    out = pa.concat_tables([p for p in parts if p.num_rows])
+    return out.select(["doc_id", "rank", "term", "score"]).sort_by(
+        [("doc_id", "ascending"), ("rank", "ascending")]
+    )
