@@ -1950,6 +1950,25 @@ def _q_rank_eval(sf_dir: str) -> pa.Table:
     return rank_eval(store, _fixture_queries(store), k=_TOP_K, round_decimals=_ROUND)
 
 
+def _q_has_child(sf_dir: str) -> pa.Table:
+    """ES ``has_child`` (join field): orders with ≥1 lineitem of quantity
+    ≥ 48 — child predicate pushed into the scan, per-batch partials reduce
+    children before the shuffle, parents attach via hash-partitioned
+    Dataset.join (the Ray analog of ES parent routing)."""
+    from bitcoin_ledger_2es_ray.pipelines.joins import has_child_orders
+
+    return has_child_orders(sf_dir, min_quantity=48.0, round_decimals=_ROUND)
+
+
+def _q_has_parent(sf_dir: str) -> pa.Table:
+    """ES ``has_parent``: lineitems whose parent order is 1-URGENT —
+    parent filter pruned at the read, matching key set broadcast once,
+    children stream through one vectorized is_in mask."""
+    from bitcoin_ledger_2es_ray.pipelines.joins import has_parent_lineitems
+
+    return has_parent_lineitems(sf_dir, priority="1-URGENT")
+
+
 def _q_tumbling_window(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.events import tumbling_window
 
@@ -2074,6 +2093,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed curation pipelines
         "curated_corpus": _q_curated,
         "top_quality_per_lang": _q_top_quality_per_lang,
+        # parent-child join queries over orders/lineitem
+        "has_child": _q_has_child,
+        "has_parent": _q_has_parent,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -3905,6 +3927,24 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, vec_id, sim
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        # ES has_child: parents with ≥1 matching child, score_mode
+        # count/max/sum over the matching children
+        "has_child": """
+SELECT o.o_orderkey, o.o_orderpriority,
+       count(*)::BIGINT AS n_matches,
+       max(l.l_quantity) AS max_qty,
+       round(sum(l.l_quantity), 6) AS sum_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity >= 48
+GROUP BY 1, 2 ORDER BY 1
+""",
+        # ES has_parent: children whose parent matches the filter
+        "has_parent": """
+SELECT l.l_orderkey, l.l_linenumber::BIGINT AS l_linenumber, l.l_quantity
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+ORDER BY 1, 2
 """,
         "tumbling_window": """
 SELECT user_id, ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,

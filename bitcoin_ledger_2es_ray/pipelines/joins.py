@@ -1,0 +1,201 @@
+"""ES parent-child (join field) query analogs — `has_child` / `has_parent`.
+
+Elasticsearch models parent-child with a `join` field and answers
+`has_child` ("parents with a matching child, scored by score_mode over the
+children") and `has_parent` ("children whose parent matches") by keeping
+parent and child docs in the SAME shard (routing by parent id).  The
+Ray-Data-first equivalent of that co-location is a hash-partitioned
+`Dataset.join` keyed by the parent key — both relations shuffle once by
+the same key, which is exactly what ES's routing buys at index time.
+
+Plans (100-TB shape):
+- `has_child_orders`: the child predicate is pushed into the parquet scan
+  (column pruning + row filter — only matching children leave storage);
+  per-batch Arrow hash-agg partials reduce children to per-parent
+  (count, max, sum) BEFORE the shuffle, so the groupby moves one row per
+  (parent × batch), never one per child; the parent attach is the
+  hash-partitioned `Dataset.join`.
+- `has_parent_lineitems`: the parent filter prunes at the read; the
+  matching-parent key set is the SMALL side by selectivity (one priority
+  bucket), broadcast once via `ray.put`, children stream through one
+  vectorized `pc.is_in` mask — no shuffle.  `method="join"` is the
+  fallback when the parent hit set is too big to broadcast: the same
+  hash-partitioned `Dataset.join`, verified identical in tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.bm25 import sql_round
+
+
+def has_child_orders(
+    sf_dir: str,
+    min_quantity: float = 48.0,
+    num_partitions: int = 8,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``has_child``: orders with ≥1 lineitem of quantity ≥ threshold →
+    (o_orderkey, o_orderpriority, n_matches, max_qty, sum_qty), sorted by
+    order key.  n/max/sum are the ES score_mode family (count/max/sum)
+    computed in one pass."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    kids = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+        filter=pc.field("l_quantity") >= min_quantity,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_orderkey").aggregate(
+            [("l_quantity", "count"), ("l_quantity", "max"), ("l_quantity", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderkey": g["l_orderkey"].cast(pa.int64()),
+                "n": g["l_quantity_count"].cast(pa.int64()),
+                "mx": g["l_quantity_max"],
+                "sm": g["l_quantity_sum"],
+            }
+        )
+
+    agg = (
+        kids.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderkey")
+        .aggregate(
+            Sum("n", alias_name="n_matches"),
+            Max("mx", alias_name="max_qty"),
+            Sum("sm", alias_name="sum_qty"),
+        )
+    )
+    # Materialized blocks feed the join directly (agg executes exactly once);
+    # the emptiness guard exists because Ray's hash-shuffle join cannot
+    # finalize a zero-block side.
+    agg = agg.materialize()
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "o_orderpriority": pa.array([], type=pa.string()),
+            "n_matches": pa.array([], type=pa.int64()),
+            "max_qty": pa.array([], type=pa.float64()),
+            "sum_qty": pa.array([], type=pa.float64()),
+        }
+    )
+    if agg.count() == 0:
+        return empty
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = agg.join(
+        orders, join_type="inner", num_partitions=num_partitions, on=("o_orderkey",)
+    )
+    parts = [ray.get(r) for r in joined.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "o_orderpriority": t["o_orderpriority"],
+            "n_matches": t["n_matches"].cast(pa.int64()),
+            "max_qty": t["max_qty"].cast(pa.float64()),
+            "sum_qty": pa.array(
+                sql_round(np.asarray(t["sum_qty"], dtype=np.float64), round_decimals),
+                type=pa.float64(),
+            ),
+        }
+    ).sort_by("o_orderkey")
+
+
+def has_parent_lineitems(
+    sf_dir: str,
+    priority: str = "1-URGENT",
+    method: str = "broadcast",
+    num_partitions: int = 8,
+) -> pa.Table:
+    """ES ``has_parent``: lineitems whose parent order has the given
+    priority → (l_orderkey, l_linenumber, l_quantity), sorted.
+
+    ``method="broadcast"`` (default): the filtered parent key set ships
+    once via ``ray.put`` and children stream through ``pc.is_in`` — right
+    whenever one priority bucket ≪ corpus.  ``method="join"``: the
+    hash-partitioned ``Dataset.join`` for a non-selective parent filter.
+    """
+    import ray
+    import ray.data as rd
+
+    parents = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == priority,
+    ).select_columns(["o_orderkey"])
+    kids = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+    if method == "join":
+        kids = kids.map_batches(
+            lambda b: b.append_column("o_orderkey", b["l_orderkey"].cast(pa.int64())),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = kids.join(
+            parents, join_type="inner", num_partitions=num_partitions, on=("o_orderkey",)
+        )
+        cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+        out = joined.select_columns(cols)
+    elif method == "broadcast":
+        blocks = [ray.get(r) for r in parents.to_arrow_refs()]
+        blocks = [
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in blocks
+        ]
+        # A fully-pruned scan can yield placeholder blocks without the
+        # projected column — keep only real, non-empty blocks.
+        blocks = [b for b in blocks if b.num_rows and "o_orderkey" in b.column_names]
+        if blocks:
+            keys = pa.concat_tables(blocks)["o_orderkey"].combine_chunks()
+        else:
+            keys = pa.array([], type=pa.int64())
+        key_ref = ray.put(keys)
+
+        def mask(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch["l_orderkey"], value_set=ray.get(key_ref))
+            )
+
+        out = kids.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    parts = [ray.get(r) for r in out.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "l_linenumber": pa.array([], type=pa.int64()),
+                "l_quantity": pa.array([], type=pa.float64()),
+            }
+        )
+    t = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "l_linenumber": t["l_linenumber"].cast(pa.int64()),
+            "l_quantity": t["l_quantity"].cast(pa.float64()),
+        }
+    ).sort_by([("l_orderkey", "ascending"), ("l_linenumber", "ascending")])

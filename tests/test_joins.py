@@ -1,0 +1,83 @@
+"""Parent-child join analogs (ES `has_child` / `has_parent`)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from bitcoin_ledger_2es_ray.pipelines.joins import has_child_orders, has_parent_lineitems
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def test_has_child_matches_duckdb(ray_session, con):
+    mine = _norm(has_child_orders(SF_DIR, min_quantity=40.0).to_pandas())
+    orc = _norm(
+        con.sql(
+            """
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   count(*)::BIGINT AS n_matches,
+                   max(l.l_quantity) AS max_qty,
+                   round(sum(l.l_quantity), 6) AS sum_qty
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity >= 40 GROUP BY 1, 2
+            """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False, atol=1e-9, rtol=0)
+    assert len(mine) > 0
+
+
+def test_has_child_no_matches_is_empty(ray_session):
+    out = has_child_orders(SF_DIR, min_quantity=1e9)
+    assert out.num_rows == 0
+    assert out.column_names == [
+        "o_orderkey", "o_orderpriority", "n_matches", "max_qty", "sum_qty",
+    ]
+
+
+def test_has_parent_broadcast_matches_duckdb(ray_session, con):
+    mine = _norm(has_parent_lineitems(SF_DIR, priority="1-URGENT").to_pandas())
+    orc = _norm(
+        con.sql(
+            """
+            SELECT l.l_orderkey, l.l_linenumber::BIGINT AS l_linenumber, l.l_quantity
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False, atol=1e-9, rtol=0)
+    assert len(mine) > 0
+
+
+def test_has_parent_join_identical_to_broadcast(ray_session):
+    a = has_parent_lineitems(SF_DIR, priority="2-HIGH", method="broadcast")
+    b = has_parent_lineitems(SF_DIR, priority="2-HIGH", method="join")
+    assert a.schema == b.schema
+    pd.testing.assert_frame_equal(_norm(a.to_pandas()), _norm(b.to_pandas()))
+
+
+def test_has_parent_empty_parent_set(ray_session):
+    out = has_parent_lineitems(SF_DIR, priority="NO-SUCH-PRIORITY")
+    assert out.num_rows == 0
+    assert out.column_names == ["l_orderkey", "l_linenumber", "l_quantity"]
+
+
+def test_has_parent_unknown_method_raises(ray_session):
+    with pytest.raises(ValueError):
+        has_parent_lineitems(SF_DIR, method="nope")
