@@ -1969,6 +1969,34 @@ def _q_has_parent(sf_dir: str) -> pa.Table:
     return has_parent_lineitems(sf_dir, priority="1-URGENT")
 
 
+def _q_geo_distance(sf_dir: str) -> pa.Table:
+    """ES ``geo_distance`` query over the derived customer geo_point —
+    map-side haversine filter, no shuffle."""
+    from bitcoin_ledger_2es_ray.pipelines.geo import geo_distance
+
+    return geo_distance(sf_dir, lat0=0.0, lon0=0.0, radius_km=3000.0, round_decimals=_ROUND)
+
+
+def _q_geo_bbox(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.geo import geo_bounding_box
+
+    return geo_bounding_box(sf_dir, top=50.0, left=-60.0, bottom=-50.0, right=60.0)
+
+
+def _q_geo_centroid(sf_dir: str) -> pa.Table:
+    """ES ``geo_centroid`` agg per market segment — per-batch (Σlat, Σlon, n)
+    partials, shuffle moves one row per segment per batch."""
+    from bitcoin_ledger_2es_ray.pipelines.geo import geo_centroid
+
+    return geo_centroid(sf_dir, round_decimals=_ROUND)
+
+
+def _q_geotile_grid(sf_dir: str) -> pa.Table:
+    from bitcoin_ledger_2es_ray.pipelines.geo import geotile_grid
+
+    return geotile_grid(sf_dir, zoom=3)
+
+
 def _q_tumbling_window(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.events import tumbling_window
 
@@ -2096,6 +2124,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parent-child join queries over orders/lineitem
         "has_child": _q_has_child,
         "has_parent": _q_has_parent,
+        # geo queries / aggs over the derived customer geo_point
+        "geo_distance": _q_geo_distance,
+        "geo_bbox": _q_geo_bbox,
+        "geo_centroid": _q_geo_centroid,
+        "geotile_grid": _q_geotile_grid,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -2139,6 +2172,17 @@ qterm AS (
   SELECT q AS query_id, v.term FROM qidx JOIN vocab v ON v.idx = qidx.idx
 )
 """.replace("{nq1}", str(_N_QUERIES - 1))
+
+# deterministic synthetic geo_point — mirrors pipelines/geo.derive_coords
+_GEO_PTS = """
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon,
+         c_mktsegment
+  FROM customer
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3945,6 +3989,50 @@ SELECT l.l_orderkey, l.l_linenumber::BIGINT AS l_linenumber, l.l_quantity
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 ORDER BY 1, 2
+""",
+        # geo family over the derived deterministic geo_point
+        # (int64 arithmetic identical on both sides; see pipelines/geo.py)
+        "geo_distance": _GEO_PTS
+        + """
+, d AS (
+  SELECT c_custkey,
+         2.0 * 6371.0 * asin(sqrt(
+           sin(radians(lat) / 2.0) * sin(radians(lat) / 2.0)
+           + cos(radians(lat))
+             * sin(radians(lon) / 2.0) * sin(radians(lon) / 2.0)
+         )) AS dist
+  FROM pts
+)
+SELECT c_custkey, round(dist, 6) AS dist_km
+FROM d WHERE dist <= 3000.0 ORDER BY c_custkey
+""",
+        "geo_bbox": _GEO_PTS
+        + """
+SELECT c_custkey, lat, lon FROM pts
+WHERE lat >= -50.0 AND lat <= 50.0 AND lon >= -60.0 AND lon <= 60.0
+ORDER BY c_custkey
+""",
+        "geo_centroid": _GEO_PTS
+        + """
+SELECT c_mktsegment, count(*)::BIGINT AS n,
+       round(sum(lat) / count(*), 6) AS lat_centroid,
+       round(sum(lon) / count(*), 6) AS lon_centroid
+FROM pts GROUP BY 1 ORDER BY 1
+""",
+        "geotile_grid": _GEO_PTS
+        + """
+, latc AS (
+  SELECT least(greatest(lat, -85.05112877980659), 85.05112877980659) AS latc, lon
+  FROM pts
+),
+tiles AS (
+  SELECT least(greatest(floor((lon + 180.0) / 360.0 * 8.0), 0), 7)::BIGINT AS x,
+         least(greatest(floor((1.0 - ln(tan(radians(latc))
+                + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 8.0), 0), 7)::BIGINT AS y
+  FROM latc
+)
+SELECT ('3/' || x || '/' || y) AS tile, count(*)::BIGINT AS n
+FROM tiles GROUP BY 1 ORDER BY n DESC, tile ASC
 """,
         "tumbling_window": """
 SELECT user_id, ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,

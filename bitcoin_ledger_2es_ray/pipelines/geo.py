@@ -1,0 +1,244 @@
+"""ES geo queries / aggregations over derived customer coordinates.
+
+Elasticsearch's geo family (`geo_distance` / `geo_bounding_box` queries,
+`geo_centroid` / `geotile_grid` aggregations) operates on an indexed
+`geo_point` field.  The test tables carry no coordinates, so a
+deterministic synthetic `geo_point` is DERIVED from `c_custkey` with pure
+int64 arithmetic that a DuckDB oracle mirrors exactly:
+
+    lat = ((c_custkey * 7919)   % 18000) / 100.0 -  90.0
+    lon = ((c_custkey * 104729) % 36000) / 100.0 - 180.0
+
+Integer multiply/modulo are exact; the division/subtraction are the same
+IEEE-754 double ops on both sides, so the derived coordinates are
+bit-identical between the Ray pipeline and the SQL oracle.
+
+Plans (100-TB shape): every operator is a single streamed scan of the
+customer table with only the needed columns leaving storage; per-batch
+Arrow/numpy partials reduce to (bucket, partial) rows BEFORE any shuffle
+(`geo_centroid`, `geotile_grid`), and the filters (`geo_distance`,
+`geo_bounding_box`) are embarrassingly parallel map_batches masks — no
+shuffle at all.  The driver-side combine is bounded by the bucket count
+(market segments / 4^zoom tiles), never the row count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.bm25 import sql_round
+
+EARTH_RADIUS_KM = 6371.0
+# Web-Mercator latitude clamp (ES geotile_grid uses the same bound).
+MAX_MERCATOR_LAT = 85.05112877980659
+
+
+def derive_coords(custkey: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The deterministic synthetic geo_point (see module docstring)."""
+    k = custkey.astype(np.int64)
+    lat = ((k * 7919) % 18000) / 100.0 - 90.0
+    lon = ((k * 104729) % 36000) / 100.0 - 180.0
+    return lat, lon
+
+
+def _read_customers(sf_dir: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/customer.parquet", columns=columns)
+
+
+def _collect(ds) -> list[pa.Table]:
+    import ray
+
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    return [p for p in parts if p.num_rows]
+
+
+def haversine_km(
+    lat: np.ndarray, lon: np.ndarray, lat0: float, lon0: float
+) -> np.ndarray:
+    """Great-circle distance; op order mirrored verbatim in the SQL oracle."""
+    rlat, rlon = np.radians(lat), np.radians(lon)
+    rlat0, rlon0 = np.radians(lat0), np.radians(lon0)
+    a = (
+        np.sin((rlat - rlat0) / 2.0) ** 2
+        + np.cos(rlat0) * np.cos(rlat) * np.sin((rlon - rlon0) / 2.0) ** 2
+    )
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+
+
+def geo_distance(
+    sf_dir: str,
+    lat0: float = 0.0,
+    lon0: float = 0.0,
+    radius_km: float = 3000.0,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``geo_distance`` query: customers within ``radius_km`` of the
+    origin → (c_custkey, dist_km), sorted by key.  Pure map-side filter —
+    streams at any scale."""
+
+    def within(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_coords(key)
+        d = haversine_km(lat, lon, lat0, lon0)
+        m = d <= radius_km
+        return pa.table(
+            {
+                "c_custkey": pa.array(key[m]),
+                "dist_km": pa.array(sql_round(d[m], round_decimals)),
+            }
+        )
+
+    ds = _read_customers(sf_dir, ["c_custkey"]).map_batches(
+        within, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = _collect(ds)
+    if not parts:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], type=pa.int64()),
+                "dist_km": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by("c_custkey")
+
+
+def geo_bounding_box(
+    sf_dir: str,
+    top: float = 50.0,
+    left: float = -60.0,
+    bottom: float = -50.0,
+    right: float = 60.0,
+) -> pa.Table:
+    """ES ``geo_bounding_box`` query (edges inclusive, ES semantics) →
+    (c_custkey, lat, lon), sorted by key."""
+
+    def inside(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_coords(key)
+        m = (lat >= bottom) & (lat <= top) & (lon >= left) & (lon <= right)
+        return pa.table(
+            {
+                "c_custkey": pa.array(key[m]),
+                "lat": pa.array(lat[m]),
+                "lon": pa.array(lon[m]),
+            }
+        )
+
+    ds = _read_customers(sf_dir, ["c_custkey"]).map_batches(
+        inside, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = _collect(ds)
+    if not parts:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], type=pa.int64()),
+                "lat": pa.array([], type=pa.float64()),
+                "lon": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by("c_custkey")
+
+
+def geo_centroid(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``geo_centroid`` agg bucketed by market segment →
+    (c_mktsegment, n, lat_centroid, lon_centroid).  Per-batch (Σlat, Σlon,
+    n) partials; the shuffle moves one row per (segment × batch)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_coords(key)
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+            }
+        )
+        g = t.group_by("c_mktsegment").aggregate(
+            [("lat", "sum"), ("lon", "sum"), ("lat", "count")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "slat": g["lat_sum"],
+                "slon": g["lon_sum"],
+                "n": g["lat_count"].cast(pa.int64()),
+            }
+        )
+
+    ds = (
+        _read_customers(sf_dir, ["c_custkey", "c_mktsegment"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("slat", alias_name="slat"),
+            Sum("slon", alias_name="slon"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    t = pa.concat_tables(_collect(ds))
+    n = np.asarray(t["n"], dtype=np.float64)
+    return pa.table(
+        {
+            "c_mktsegment": t["c_mktsegment"],
+            "n": t["n"].cast(pa.int64()),
+            "lat_centroid": pa.array(
+                sql_round(np.asarray(t["slat"], dtype=np.float64) / n, round_decimals)
+            ),
+            "lon_centroid": pa.array(
+                sql_round(np.asarray(t["slon"], dtype=np.float64) / n, round_decimals)
+            ),
+        }
+    ).sort_by("c_mktsegment")
+
+
+def geotile_xy(
+    lat: np.ndarray, lon: np.ndarray, zoom: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Web-Mercator tile coordinates (the ES ``geotile_grid`` key scheme)."""
+    n = float(1 << zoom)
+    x = np.floor((lon + 180.0) / 360.0 * n)
+    latc = np.clip(lat, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT)
+    r = np.radians(latc)
+    y = np.floor((1.0 - np.log(np.tan(r) + 1.0 / np.cos(r)) / np.pi) / 2.0 * n)
+    lim = (1 << zoom) - 1
+    return (
+        np.clip(x, 0, lim).astype(np.int64),
+        np.clip(y, 0, lim).astype(np.int64),
+    )
+
+
+def geotile_grid(sf_dir: str, zoom: int = 3) -> pa.Table:
+    """ES ``geotile_grid`` agg → ("z/x/y" tile key, doc count), count DESC
+    then key ASC (ES bucket order).  Per-batch tile-count partials; the
+    shuffle is bounded by 4^zoom buckets."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_coords(key)
+        x, y = geotile_xy(lat, lon, zoom)
+        t = pa.table({"x": pa.array(x), "y": pa.array(y)})
+        g = t.group_by(["x", "y"]).aggregate([("x", "count")])
+        return pa.table(
+            {"x": g["x"], "y": g["y"], "n": g["x_count"].cast(pa.int64())}
+        )
+
+    ds = (
+        _read_customers(sf_dir, ["c_custkey"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["x", "y"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    t = pa.concat_tables(_collect(ds))
+    keys = [
+        f"{zoom}/{x}/{y}"
+        for x, y in zip(t["x"].to_pylist(), t["y"].to_pylist())
+    ]
+    out = pa.table({"tile": pa.array(keys, type=pa.string()), "n": t["n"].cast(pa.int64())})
+    return out.sort_by([("n", "descending"), ("tile", "ascending")])

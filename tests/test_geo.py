@@ -1,0 +1,98 @@
+"""Geo queries/aggs (ES geo_distance / geo_bounding_box / geo_centroid /
+geotile_grid) over the derived deterministic customer geo_point."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from bitcoin_ledger_2es_ray.pipelines.geo import (
+    MAX_MERCATOR_LAT,
+    derive_coords,
+    geo_bounding_box,
+    geo_centroid,
+    geo_distance,
+    geotile_grid,
+    geotile_xy,
+    haversine_km,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _custkeys() -> np.ndarray:
+    t = pq.read_table(f"{SF_DIR}/customer.parquet", columns=["c_custkey"])
+    return np.asarray(t["c_custkey"], dtype=np.int64)
+
+
+def test_derive_coords_in_range():
+    lat, lon = derive_coords(_custkeys())
+    assert lat.min() >= -90 and lat.max() < 90
+    assert lon.min() >= -180 and lon.max() < 180
+
+
+def test_haversine_known_values():
+    # identical points → 0; antipodal on the equator → half circumference
+    assert haversine_km(np.array([10.0]), np.array([20.0]), 10.0, 20.0)[0] == 0.0
+    half = haversine_km(np.array([0.0]), np.array([180.0]), 0.0, 0.0)[0]
+    assert abs(half - math.pi * 6371.0) < 1e-6
+
+
+def test_geo_distance_matches_bruteforce(ray_session):
+    out = geo_distance(SF_DIR, lat0=10.0, lon0=20.0, radius_km=4000.0)
+    keys = _custkeys()
+    lat, lon = derive_coords(keys)
+    d = haversine_km(lat, lon, 10.0, 20.0)
+    want = np.sort(keys[d <= 4000.0])
+    got = np.asarray(out["c_custkey"], dtype=np.int64)
+    assert np.array_equal(got, want)
+    assert float(out["dist_km"].to_pandas().max()) <= 4000.0
+
+
+def test_geo_distance_empty(ray_session):
+    out = geo_distance(SF_DIR, radius_km=-1.0)
+    assert out.num_rows == 0
+    assert out.column_names == ["c_custkey", "dist_km"]
+
+
+def test_geo_bbox_matches_bruteforce(ray_session):
+    out = geo_bounding_box(SF_DIR, top=30.0, left=-40.0, bottom=-30.0, right=40.0)
+    keys = _custkeys()
+    lat, lon = derive_coords(keys)
+    m = (lat >= -30.0) & (lat <= 30.0) & (lon >= -40.0) & (lon <= 40.0)
+    assert np.array_equal(np.asarray(out["c_custkey"], dtype=np.int64), np.sort(keys[m]))
+
+
+def test_geo_centroid_matches_bruteforce(ray_session):
+    import pandas as pd
+
+    out = geo_centroid(SF_DIR).to_pandas().set_index("c_mktsegment")
+    t = pq.read_table(f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    df = t.to_pandas()
+    lat, lon = derive_coords(df["c_custkey"].to_numpy())
+    df["lat"], df["lon"] = lat, lon
+    g = df.groupby("c_mktsegment")
+    want = pd.DataFrame(
+        {"n": g.size(), "lat_centroid": g["lat"].mean(), "lon_centroid": g["lon"].mean()}
+    )
+    assert (out["n"] == want["n"]).all()
+    assert np.allclose(out["lat_centroid"], want["lat_centroid"], atol=1e-6)
+    assert np.allclose(out["lon_centroid"], want["lon_centroid"], atol=1e-6)
+
+
+def test_geotile_xy_clamps_poles():
+    x, y = geotile_xy(np.array([89.9, -89.9]), np.array([0.0, 0.0]), zoom=3)
+    assert y[0] == 0 and y[1] == 7  # clamped to the mercator band edges
+    assert (x == 4).all()
+
+
+@pytest.mark.parametrize("zoom", [0, 2])
+def test_geotile_grid_total_and_keys(ray_session, zoom):
+    out = geotile_grid(SF_DIR, zoom=zoom)
+    assert int(out["n"].to_pandas().sum()) == len(_custkeys())
+    for k in out["tile"].to_pylist():
+        z, x, y = (int(p) for p in k.split("/"))
+        assert z == zoom and 0 <= x < (1 << zoom) and 0 <= y < (1 << zoom)
