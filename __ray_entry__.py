@@ -1876,6 +1876,42 @@ def _q_date_histogram_pipeline(sf_dir: str) -> pa.Table:
     return pipeline_aggs(buckets, key="bucket_s", metric="doc_count", window=3)
 
 
+def _q_sibling_bucket_stats(sf_dir: str) -> pa.Table:
+    """ES sibling pipeline aggs (avg/min/max/sum/stats_bucket) over the
+    daily date_histogram doc counts — coordinator-side like ES."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import sibling_bucket_stats
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    buckets = date_histogram_stats(sf_dir, interval_s=86400).select(
+        ["bucket_s", "doc_count"]
+    )
+    return sibling_bucket_stats(buckets, metric="doc_count", round_decimals=_ROUND)
+
+
+def _q_serial_diff(sf_dir: str) -> pa.Table:
+    """ES ``serial_diff`` (lag 7 — week-over-week) over the daily doc
+    counts."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import serial_diff
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    buckets = date_histogram_stats(sf_dir, interval_s=86400).select(
+        ["bucket_s", "doc_count"]
+    )
+    return serial_diff(buckets, key="bucket_s", metric="doc_count", lag=7)
+
+
+def _q_bucket_sort(sf_dir: str) -> pa.Table:
+    """ES ``bucket_sort`` (from=2, size=5 by doc_count DESC) over the daily
+    doc counts — coordinator-side truncation."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import bucket_sort
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    buckets = date_histogram_stats(sf_dir, interval_s=86400).select(
+        ["bucket_s", "doc_count"]
+    )
+    return bucket_sort(buckets, metric="doc_count", size=5, from_=2, tiebreak="bucket_s")
+
+
 def _q_bucket_selector(sf_dir: str) -> pa.Table:
     """ES ``bucket_selector`` (aggregation HAVING): lang buckets of the
     AND-hit terms agg kept only when doc_count ≥ 3."""
@@ -2068,6 +2104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval": _q_rank_eval,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "bucket_selector": _q_bucket_selector,
+        "sibling_bucket_stats": _q_sibling_bucket_stats,
+        "serial_diff": _q_serial_diff,
+        "bucket_sort": _q_bucket_sort,
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
         "pmi_collocations": _q_pmi_collocations,
@@ -3695,6 +3734,40 @@ SELECT bucket_s, doc_count,
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
          AS moving_avg
 FROM e ORDER BY bucket_s
+""",
+        # sibling pipeline aggs over the daily doc-count buckets
+        "sibling_bucket_stats": """
+WITH e AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_buckets,
+       round(avg(doc_count), 6) AS avg_bucket,
+       min(doc_count)::DOUBLE AS min_bucket,
+       max(doc_count)::DOUBLE AS max_bucket,
+       round(sum(doc_count), 6) AS sum_bucket
+FROM e
+""",
+        "serial_diff": """
+WITH e AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT bucket_s, doc_count,
+       (doc_count - lag(doc_count, 7) OVER (ORDER BY bucket_s))::DOUBLE
+         AS serial_diff
+FROM e ORDER BY bucket_s
+""",
+        "bucket_sort": """
+WITH e AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT bucket_s, doc_count FROM e
+ORDER BY doc_count DESC, bucket_s ASC LIMIT 5 OFFSET 2
 """,
         # bucket_selector: terms-agg buckets HAVING doc_count >= 3
         "bucket_selector": _PRELUDE

@@ -1030,3 +1030,66 @@ def mad_agg(index_dir: str, round_decimals: int = 6) -> pa.Table:
     return pa.table(
         {"lang": pa.array(out_l, type=pa.string()), "mad": pa.array(out_m, type=pa.float64())}
     )
+
+
+def sibling_bucket_stats(
+    buckets: pa.Table, metric: str, round_decimals: int = 6
+) -> pa.Table:
+    """ES SIBLING pipeline aggregations — ``avg_bucket`` / ``min_bucket`` /
+    ``max_bucket`` / ``sum_bucket`` / ``stats_bucket`` — reduced to one row
+    over an already-reduced bucket table.
+
+    Like every pipeline agg, ES computes these on the coordinator over the
+    parent aggregation's final buckets; the driver-side pass over the tiny
+    bucket table IS the faithful scale plan."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    v = np.asarray(buckets[metric], dtype=np.float64)
+    if len(v) == 0:
+        raise ValueError("sibling_bucket_stats needs >= 1 bucket")
+    return pa.table(
+        {
+            "n_buckets": pa.array([len(v)], type=pa.int64()),
+            "avg_bucket": pa.array([float(sql_round(v.sum() / len(v), round_decimals))]),
+            "min_bucket": pa.array([float(v.min())]),
+            "max_bucket": pa.array([float(v.max())]),
+            "sum_bucket": pa.array([float(sql_round(v.sum(), round_decimals))]),
+        }
+    )
+
+
+def serial_diff(
+    buckets: pa.Table, key: str, metric: str, lag: int = 1
+) -> pa.Table:
+    """ES ``serial_diff`` pipeline agg: metric minus its value ``lag``
+    buckets earlier (null for the first ``lag`` buckets, like ES) —
+    coordinator-side over the reduced, key-sorted buckets."""
+    import numpy as np
+
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    t = buckets.sort_by(key)
+    v = np.asarray(t[metric], dtype=np.float64)
+    diff = [None] * min(lag, len(v)) + [float(x) for x in (v[lag:] - v[:-lag])]
+    return pa.table(
+        {key: t[key], metric: t[metric], "serial_diff": pa.array(diff, type=pa.float64())}
+    )
+
+
+def bucket_sort(
+    buckets: pa.Table,
+    metric: str,
+    size: int,
+    from_: int = 0,
+    descending: bool = True,
+    tiebreak: str | None = None,
+) -> pa.Table:
+    """ES ``bucket_sort`` pipeline agg: order parent buckets by ``metric``
+    (ties broken by ``tiebreak`` ASC for determinism), skip ``from_``, keep
+    ``size`` — coordinator-side truncation of the reduced buckets."""
+    order = [(metric, "descending" if descending else "ascending")]
+    if tiebreak is not None:
+        order.append((tiebreak, "ascending"))
+    return buckets.sort_by(order).slice(from_, size)

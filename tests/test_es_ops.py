@@ -1178,3 +1178,60 @@ def test_term_vectors_brute_and_row_group_pruning(built, tmp_path):
     assert got["term"].to_pylist() == [
         "common", "toka", "common", "tok" + "a" * 10, "common", "tok" + "a" * 40,
     ]
+
+
+# ---------------------------------------------------------------------------
+# sibling pipeline aggs / serial_diff / bucket_sort
+
+
+def _toy_buckets():
+    import pyarrow as pa
+
+    return pa.table(
+        {"k": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+         "m": pa.array([5, 3, 9, 9, 1], type=pa.int64())}
+    )
+
+
+def test_sibling_bucket_stats_identity():
+    from bitcoin_ledger_2es_ray.pipelines.aggs import sibling_bucket_stats
+
+    out = sibling_bucket_stats(_toy_buckets(), metric="m")
+    row = out.to_pylist()[0]
+    assert row == {
+        "n_buckets": 5, "avg_bucket": 5.4, "min_bucket": 1.0,
+        "max_bucket": 9.0, "sum_bucket": 27.0,
+    }
+
+
+def test_sibling_bucket_stats_empty_raises():
+    import pytest as _pytest
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import sibling_bucket_stats
+
+    with _pytest.raises(ValueError):
+        sibling_bucket_stats(_toy_buckets().slice(0, 0), metric="m")
+
+
+def test_serial_diff_lags_and_nulls():
+    import pytest as _pytest
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import serial_diff
+
+    out = serial_diff(_toy_buckets(), key="k", metric="m", lag=2)
+    assert out["serial_diff"].to_pylist() == [None, None, 4.0, 6.0, -8.0]
+    # lag >= n: all null, no crash
+    out = serial_diff(_toy_buckets(), key="k", metric="m", lag=9)
+    assert out["serial_diff"].to_pylist() == [None] * 5
+    with _pytest.raises(ValueError):
+        serial_diff(_toy_buckets(), key="k", metric="m", lag=0)
+
+
+def test_bucket_sort_from_size_ties():
+    from bitcoin_ledger_2es_ray.pipelines.aggs import bucket_sort
+
+    out = bucket_sort(_toy_buckets(), metric="m", size=2, from_=1, tiebreak="k")
+    # order by m DESC, k ASC: (2,9),(3,9),(0,5),(1,3),(4,1) → skip 1, take 2
+    assert out["k"].to_pylist() == [3, 0]
+    # from past the end → empty
+    assert bucket_sort(_toy_buckets(), metric="m", size=3, from_=10).num_rows == 0
