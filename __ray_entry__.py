@@ -437,6 +437,39 @@ def _q_boolean_not(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_terms_set(sf_dir: str) -> pa.Table:
+    """ES ``terms_set`` with ``minimum_should_match_field``: docs matching
+    ≥ M of the query's distinct terms, M = min(N, 1 + n_chars % N) off the
+    per-doc n_chars field."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.structured import terms_set_match
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_query_terms
+
+    store, _ = _store_for(sf_dir)
+    dv = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).sort_by("doc_id")
+    doc_ids = np.asarray(dv["doc_id"], dtype=np.int64)
+    nchars = np.asarray(dv["n_chars"], dtype=np.int64)
+    qterms = fixture_query_terms(sorted(store.df), n=_N_QUERIES)
+    qids, docs, matched, req = [], [], [], []
+    for qid, terms in enumerate(qterms):
+        d, m, r = terms_set_match(store, terms, doc_ids, nchars)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+        matched.extend(m.tolist())
+        req.extend(r.tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "n_matched": pa.array(matched, type=pa.int64()),
+            "required": pa.array(req, type=pa.int64()),
+        }
+    )
+
+
 def _q_fuzzy_match(sf_dir: str) -> pa.Table:
     """ES ``fuzzy`` analog: vectorized Levenshtein dictionary scan
     (functions/editdist.py) → posting union.  Query q deletes character
@@ -1876,6 +1909,25 @@ def _q_date_histogram_pipeline(sf_dir: str) -> pa.Table:
     return pipeline_aggs(buckets, key="bucket_s", metric="doc_count", window=3)
 
 
+def _q_top_metrics(sf_dir: str) -> pa.Table:
+    """ES ``top_metrics`` per lang bucket: metrics of the top-3 docs by
+    (n_chars DESC, doc_id ASC) — per-batch partial top-N, driver combine
+    bounded by langs × batches × N."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import top_metrics_agg
+
+    return top_metrics_agg(sf_dir, size=3)
+
+
+def _q_diversified_sampler(sf_dir: str) -> pa.Table:
+    """ES ``diversified_sampler`` made deterministic: docs in sha256 order,
+    ≤ 10 per lang, first 40 — greedy-equivalent closed form off the
+    forward map's stored sha."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import diversified_sampler_agg
+
+    _, res = _store_for(sf_dir)
+    return diversified_sampler_agg(res.out_dir, max_docs_per_lang=10, shard_size=40)
+
+
 def _q_sibling_bucket_stats(sf_dir: str) -> pa.Table:
     """ES sibling pipeline aggs (avg/min/max/sum/stats_bucket) over the
     daily date_histogram doc counts — coordinator-side like ES."""
@@ -2107,6 +2159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sibling_bucket_stats": _q_sibling_bucket_stats,
         "serial_diff": _q_serial_diff,
         "bucket_sort": _q_bucket_sort,
+        "terms_set": _q_terms_set,
+        "top_metrics": _q_top_metrics,
+        "diversified_sampler": _q_diversified_sampler,
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
         "pmi_collocations": _q_pmi_collocations,
@@ -3734,6 +3789,44 @@ SELECT bucket_s, doc_count,
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
          AS moving_avg
 FROM e ORDER BY bucket_s
+""",
+        # terms_set: >= M of N distinct terms, M from the per-doc field
+        "terms_set": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(DISTINCT term) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT h.query_id, h.doc_id, h.m::BIGINT AS n_matched,
+       least(qn.nt, 1 + d.n_chars % qn.nt)::BIGINT AS required
+FROM hits h JOIN qn USING (query_id) JOIN documents d ON d.doc_id = h.doc_id
+WHERE h.m >= least(qn.nt, 1 + d.n_chars % qn.nt)
+ORDER BY h.query_id, h.doc_id
+""",
+        # top_metrics: top-3 docs per lang by (n_chars DESC, doc_id ASC)
+        "top_metrics": """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+SELECT lang, rank::BIGINT AS rank, doc_id, n_chars
+FROM r WHERE rank <= 3 ORDER BY lang, rank
+""",
+        # diversified_sampler: sha-ordered greedy sample, <= 10 per lang,
+        # first 40 overall
+        "diversified_sampler": """
+WITH s AS (SELECT doc_id, lang, sha256(text) AS sha FROM documents),
+r AS (
+  SELECT doc_id, lang, sha,
+         row_number() OVER (PARTITION BY lang ORDER BY sha) AS rn
+  FROM s
+),
+p AS (SELECT doc_id, lang, sha FROM r WHERE rn <= 10 ORDER BY sha LIMIT 40)
+SELECT doc_id, lang, sha FROM p ORDER BY doc_id
 """,
         # sibling pipeline aggs over the daily doc-count buckets
         "sibling_bucket_stats": """

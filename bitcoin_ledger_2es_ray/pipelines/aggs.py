@@ -1093,3 +1093,120 @@ def bucket_sort(
     if tiebreak is not None:
         order.append((tiebreak, "ascending"))
     return buckets.sort_by(order).slice(from_, size)
+
+
+def _per_group_rank(keys: "np.ndarray", already_sorted_by_key: bool = True) -> "np.ndarray":
+    """0-based rank within each run of equal keys (keys grouped/sorted)."""
+    import numpy as np
+
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, n)))
+
+
+def top_metrics_agg(sf_dir: str, size: int = 3) -> pa.Table:
+    """ES ``top_metrics`` aggregation bucketed by ``lang``: the metrics
+    (doc_id, n_chars) of the top ``size`` docs per bucket by
+    (n_chars DESC, doc_id ASC) → (lang, rank, doc_id, n_chars).
+
+    Per-batch partial top-``size`` per lang (sort + run-rank, pure numpy);
+    the driver combine is bounded by langs × batches × size, never rows."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    if size < 1:
+        raise ValueError("size must be >= 1")
+
+    def _topn(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("lang", "ascending"), ("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        langs = np.asarray(t["lang"].cast(pa.string()).to_pandas())
+        rank = _per_group_rank(langs)
+        return t.filter(pa.array(rank < size)).append_column(
+            "rank", pa.array((rank[rank < size] + 1).astype(np.int64))
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(
+        lambda b: _topn(b).drop_columns(["rank"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "lang": pa.array([], type=pa.string()),
+                "rank": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        )
+    top = _topn(pa.concat_tables(parts))
+    return pa.table(
+        {
+            "lang": top["lang"],
+            "rank": top["rank"],
+            "doc_id": top["doc_id"].cast(pa.int64()),
+            "n_chars": top["n_chars"].cast(pa.int64()),
+        }
+    ).sort_by([("lang", "ascending"), ("rank", "ascending")])
+
+
+def diversified_sampler_agg(
+    index_dir: str, max_docs_per_lang: int = 10, shard_size: int = 40
+) -> pa.Table:
+    """ES ``diversified_sampler`` aggregation, made DETERMINISTIC: walk the
+    docs in sha256(content) order (the reproducible stand-in for score
+    order), keep at most ``max_docs_per_lang`` per lang value, stop after
+    ``shard_size`` — greedy-equivalent closed form: per-lang sha-rank ≤
+    cap, then global sha order LIMIT shard_size.
+
+    The sha already lives in the forward map (one two-column streamed
+    read); per-batch partials keep the ``cap`` smallest shas per lang, so
+    the driver combine is bounded by langs × batches × cap."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    if max_docs_per_lang < 1 or shard_size < 1:
+        raise ValueError("max_docs_per_lang and shard_size must be >= 1")
+
+    def _keep_cap(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("lang", "ascending"), ("sha", "ascending")])
+        langs = np.asarray(t["lang"].cast(pa.string()).to_pandas())
+        rank = _per_group_rank(langs)
+        return t.filter(pa.array(rank < max_docs_per_lang))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sha = pa.array(
+            [v.hex() for v in batch["sha256"].to_pylist()], type=pa.string()
+        )
+        t = pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.int64()), "lang": batch["lang"], "sha": sha}
+        )
+        return _keep_cap(t)
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["doc_id", "lang", "sha256"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+                "sha": pa.array([], type=pa.string()),
+            }
+        )
+    picked = _keep_cap(pa.concat_tables(parts)).sort_by("sha").slice(0, shard_size)
+    return picked.sort_by("doc_id")

@@ -401,3 +401,42 @@ def highlight_first(
         (int(d), int(p), int(lo), int(hi))
         for d, p, lo, hi in zip(docs, firsts, snip_lo, snip_hi)
     ]
+
+
+def terms_set_match(
+    store: SegmentStore,
+    terms: list[str],
+    doc_ids_sorted: np.ndarray,
+    n_chars: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ES ``terms_set`` query with ``minimum_should_match_field``: a doc
+    matches when it contains at least M of the N distinct query terms,
+    where M comes from a per-DOC field — here
+    ``M = min(N, 1 + n_chars % N)`` off the documents' ``n_chars`` column.
+
+    Returns (doc_id, n_matched, required) for matching docs, doc ASC.
+
+    Kernel: each term's posting list has unique docs, so one
+    ``np.unique(concat, return_counts)`` IS the per-doc distinct-match
+    count; M is a vectorized searchsorted gather off the doc-values
+    column.  Scale plan: the doc-values side is the forward map — at
+    corpus scale the gather runs inside the scorer partition (candidate
+    doc set ≪ corpus), never a full-table read per query.
+    """
+    terms = sorted(set(terms))
+    nt = len(terms)
+    if nt == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    alld = np.concatenate([np.sort(store.postings(t)[0]) for t in terms])
+    docs, counts = np.unique(alld, return_counts=True)
+    idx = np.searchsorted(doc_ids_sorted, docs)
+    if len(doc_ids_sorted) == 0 or (doc_ids_sorted[idx.clip(max=len(doc_ids_sorted) - 1)] != docs).any():
+        raise KeyError("terms_set: posting doc absent from the doc-values column")
+    req = np.minimum(nt, 1 + n_chars[idx] % nt).astype(np.int64)
+    keep = counts >= req
+    return (
+        docs[keep].astype(np.int64),
+        counts[keep].astype(np.int64),
+        req[keep],
+    )

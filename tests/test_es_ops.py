@@ -1235,3 +1235,110 @@ def test_bucket_sort_from_size_ties():
     assert out["k"].to_pylist() == [3, 0]
     # from past the end → empty
     assert bucket_sort(_toy_buckets(), metric="m", size=3, from_=10).num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# terms_set / top_metrics / diversified_sampler
+
+
+def test_terms_set_bruteforce(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+    from bitcoin_ledger_2es_ray.pipelines.structured import terms_set_match
+
+    res, oracle, _ = built
+    store = SegmentStore(res.out_dir)
+    docs_t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "n_chars", "text"]
+    ).sort_by("doc_id")
+    doc_ids = np.asarray(docs_t["doc_id"], dtype=np.int64)
+    nchars = np.asarray(docs_t["n_chars"], dtype=np.int64)
+    texts = docs_t["text"].to_pylist()
+    vocab = sorted(store.df)
+    for seed in range(5):
+        terms = sorted({vocab[(7 * seed + i * 13) % len(vocab)] for i in range(3)})
+        nt = len(terms)
+        d, m, r = terms_set_match(store, terms, doc_ids, nchars)
+        got = dict(zip(d.tolist(), m.tolist()))
+        want = {}
+        for did, nch, text in zip(doc_ids.tolist(), nchars.tolist(), texts):
+            toks = set(text.split())
+            cnt = sum(t in toks for t in terms)
+            req = min(nt, 1 + nch % nt)
+            if cnt >= req:
+                want[did] = cnt
+        assert got == want, (seed, terms)
+        # required column consistent
+        for did, rq in zip(d.tolist(), r.tolist()):
+            nch = int(nchars[np.searchsorted(doc_ids, did)])
+            assert rq == min(nt, 1 + nch % nt)
+
+
+def test_terms_set_empty_terms(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+    from bitcoin_ledger_2es_ray.pipelines.structured import terms_set_match
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    d, m, r = terms_set_match(store, [], np.array([1], dtype=np.int64), np.array([5]))
+    assert len(d) == len(m) == len(r) == 0
+
+
+def test_top_metrics_pandas_identity(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import top_metrics_agg
+
+    out = top_metrics_agg("/root/testdata/sf0.001", size=2).to_pandas()
+    df = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pandas()
+    df = df.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+    want = df.groupby("lang").head(2).reset_index(drop=True)
+    want["rank"] = want.groupby("lang").cumcount() + 1
+    got = out.sort_values(["lang", "rank"]).reset_index(drop=True)
+    want = want[["lang", "rank", "doc_id", "n_chars"]].sort_values(["lang", "rank"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_diversified_sampler_properties(built, ray_session):
+    import collections
+    import hashlib
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import diversified_sampler_agg
+
+    res, _, _ = built
+    cap, size = 3, 10
+    out = diversified_sampler_agg(res.out_dir, max_docs_per_lang=cap, shard_size=size)
+    assert out.num_rows <= size
+    counts = collections.Counter(out["lang"].to_pylist())
+    assert all(v <= cap for v in counts.values())
+    # greedy brute-force equivalence over the raw documents table
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    rows = sorted(
+        (hashlib.sha256(t.encode()).hexdigest(), d, l)
+        for d, l, t in zip(
+            docs["doc_id"].to_pylist(), docs["lang"].to_pylist(), docs["text"].to_pylist()
+        )
+    )
+    seen, want = collections.Counter(), []
+    for sha, did, lang in rows:
+        if len(want) == size:
+            break
+        if seen[lang] < cap:
+            seen[lang] += 1
+            want.append((did, lang, sha))
+    want.sort()
+    got = list(zip(out["doc_id"].to_pylist(), out["lang"].to_pylist(), out["sha"].to_pylist()))
+    assert got == want
+
+
+def test_diversified_sampler_bad_params(built):
+    import pytest as _pytest
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import diversified_sampler_agg
+
+    res, _, _ = built
+    with _pytest.raises(ValueError):
+        diversified_sampler_agg(res.out_dir, max_docs_per_lang=0)
