@@ -526,6 +526,25 @@ def _q_term_suggest(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("pos", "ascending")])
 
 
+def _q_phrase_suggest(sf_dir: str) -> pa.Table:
+    """ES phrase suggester: two-slot phrases (w1 clean, w2 corrupted by the
+    term-suggest deletion scheme), top-3 corrections ranked (Σ edit ASC,
+    bigram count DESC, cf product DESC, phrase ASC)."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_suggest
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    nv = len(vocab)
+    qs = []
+    for q in range(_N_QUERIES):
+        w1 = vocab[(11 * q + 3) % nv]
+        t = vocab[(17 * q + 5) % nv]
+        p = q % len(t)
+        w2 = t[:p] + t[p + 1 :] if len(t) > 1 else t
+        qs.append((q, w1, w2))
+    return phrase_suggest(store, sf_dir, qs, k=3, max_dist=1)
+
+
 def _q_phrase_slop(sf_dir: str) -> pa.Table:
     """ES ``match_phrase`` with ``slop=2`` (chained-gap semantics): the
     phrase fixture set over the positional index, adjacent-slot distance
@@ -2162,6 +2181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_set": _q_terms_set,
         "top_metrics": _q_top_metrics,
         "diversified_sampler": _q_diversified_sampler,
+        "phrase_suggest": _q_phrase_suggest,
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
         "pmi_collocations": _q_pmi_collocations,
@@ -3805,6 +3825,63 @@ FROM hits h JOIN qn USING (query_id) JOIN documents d ON d.doc_id = h.doc_id
 WHERE h.m >= least(qn.nt, 1 + d.n_chars % qn.nt)
 ORDER BY h.query_id, h.doc_id
 """,
+        # phrase suggester: per-slot levenshtein candidates ranked by
+        # (sum edit, bigram count, cf product, phrase)
+        "phrase_suggest": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+toks AS (SELECT unnest(t) AS term FROM d),
+cf AS (SELECT term, count(*)::DOUBLE AS cf FROM toks GROUP BY term),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS idx
+  FROM (SELECT DISTINCT term FROM toks)
+),
+nv AS (SELECT count(*) AS c FROM vocab),
+bi AS (
+  SELECT t[i+1] AS a, t[i+2] AS b, count(*)::BIGINT AS n
+  FROM d, unnest(range(dl-1)) AS u(i)
+  GROUP BY 1, 2
+),
+fq AS (
+  SELECT q AS query_id, v1.term AS w1,
+         CASE WHEN len(v2.term) > 1
+              THEN substr(v2.term, 1, q % len(v2.term))
+                   || substr(v2.term, (q % len(v2.term)) + 2)
+              ELSE v2.term END AS w2
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v1 ON v1.idx = (11 * q + 3) % nv.c
+  JOIN vocab v2 ON v2.idx = (17 * q + 5) % nv.c
+),
+c1 AS (
+  SELECT fq.query_id, c.term AS t1,
+         levenshtein(c.term, fq.w1)::BIGINT AS e1, c.cf AS cf1
+  FROM fq JOIN cf c ON levenshtein(c.term, fq.w1) <= 1
+),
+c2 AS (
+  SELECT fq.query_id, c.term AS t2,
+         levenshtein(c.term, fq.w2)::BIGINT AS e2, c.cf AS cf2
+  FROM fq JOIN cf c ON levenshtein(c.term, fq.w2) <= 1
+),
+cand AS (
+  SELECT c1.query_id, t1, t2, e1 + e2 AS dist,
+         coalesce(bi.n, 0) AS pair_count, cf1 * cf2 AS cfp
+  FROM c1 JOIN c2 USING (query_id)
+  LEFT JOIN bi ON bi.a = c1.t1 AND bi.b = c2.t2
+),
+ranked AS (
+  SELECT query_id, t1, t2, dist, pair_count,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, pair_count DESC, cfp DESC,
+                                     t1 ASC, t2 ASC) AS pos
+  FROM cand
+)
+SELECT query_id::BIGINT AS query_id, pos::BIGINT AS pos, t1, t2,
+       dist::BIGINT AS dist, pair_count::BIGINT AS pair_count
+FROM ranked WHERE pos <= 3 ORDER BY query_id, pos
+""".replace("{nq1}", str(_N_QUERIES - 1)),
         # top_metrics: top-3 docs per lang by (n_chars DESC, doc_id ASC)
         "top_metrics": """
 WITH r AS (

@@ -174,3 +174,48 @@ def tfidf_top_terms(
     return out.select(["doc_id", "rank", "term", "score"]).sort_by(
         [("doc_id", "ascending"), ("rank", "ascending")]
     )
+
+
+def bigram_pair_counts(
+    sf_dir: str, left_terms: list[str], right_terms: list[str]
+) -> dict[tuple[str, str], int]:
+    """Corpus counts of adjacent bigrams restricted to
+    ``left_terms × right_terms`` — the candidate-bounded read behind the
+    phrase suggester.
+
+    The restriction is BROADCAST into the batch transform (two `pc.is_in`
+    masks before the partial agg), so the shuffle and the driver-side dict
+    are bounded by the observed candidate pairs, never the corpus bigram
+    table."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if not left_terms or not right_terms:
+        return {}
+    lv = pa.array(sorted(set(left_terms)), type=pa.string())
+    rv = pa.array(sorted(set(right_terms)), type=pa.string())
+    l_ref, r_ref = ray.put(lv), ray.put(rv)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = bigram_counts_batch(batch)
+        m = pc.and_(
+            pc.is_in(t["a"], value_set=ray.get(l_ref)),
+            pc.is_in(t["b"], value_set=ray.get(r_ref)),
+        )
+        return t.filter(m)
+
+    ds = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    out: dict[tuple[str, str], int] = {}
+    for p in parts:
+        for a, b, n in zip(p["a"].to_pylist(), p["b"].to_pylist(), p["n"].to_pylist()):
+            out[(a, b)] = int(n)
+    return out

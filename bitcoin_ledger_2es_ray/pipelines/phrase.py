@@ -605,3 +605,79 @@ def run_match_queries(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def phrase_suggest(
+    store: SegmentStore,
+    sf_dir: str,
+    queries: list[tuple[int, str, str]],
+    k: int = 3,
+    max_dist: int = 1,
+) -> pa.Table:
+    """ES PHRASE suggester (deterministic scoring model): per (query_id,
+    w1, w2) input phrase, the top-``k`` corrected phrases.
+
+    Candidate generation is the term suggester's dictionary scan per slot
+    (Levenshtein ≤ ``max_dist``); candidate PHRASES rank by
+    (Σ edit distance ASC, corpus bigram count DESC, cf(t1)·cf(t2) DESC,
+    t1 ASC, t2 ASC) — the deterministic stand-in for ES's shard n-gram
+    LM + StupidBackoff (documented divergence: a rank, not a smoothed
+    probability).
+
+    Scale plan: the bigram counts come from ONE corpus pass restricted to
+    the broadcast candidate sets (`ngrams.bigram_pair_counts`); the cf
+    lookup reads the term dictionary for the candidate union only; the
+    per-query cross join is tiny (|cand| ≈ edit-ball size).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.editdist import levenshtein_leq
+    from .ngrams import bigram_pair_counts
+
+    def _cands(w: str) -> list[tuple[str, int]]:
+        terms = store.td.terms_fuzzy(w, max_dist)
+        if not terms:
+            return []
+        dist = np.full(len(terms), max_dist, dtype=np.int64)
+        for d in range(max_dist - 1, -1, -1):
+            dist[levenshtein_leq(w, terms, d)] = d
+        return list(zip(terms, dist.tolist()))
+
+    per_q = [(qid, _cands(w1), _cands(w2)) for qid, w1, w2 in queries]
+    left = sorted({t for _, c1, _ in per_q for t, _ in c1})
+    right = sorted({t for _, _, c2 in per_q for t, _ in c2})
+    pair_n = bigram_pair_counts(sf_dir, left, right)
+
+    td = pq.read_table(
+        os.path.join(store.index_dir, "term_dict.parquet"), columns=["term", "cf"]
+    )
+    cf_t = td.group_by("term").aggregate([("cf", "sum")])
+    cf = dict(zip(cf_t["term"].to_pylist(), (float(x) for x in cf_t["cf_sum"].to_pylist())))
+
+    qids, poss, t1s, t2s, dists, pcs = [], [], [], [], [], []
+    for qid, c1, c2 in per_q:
+        rows = []
+        for t1, e1 in c1:
+            for t2, e2 in c2:
+                n = pair_n.get((t1, t2), 0)
+                rows.append((e1 + e2, -n, -(cf[t1] * cf[t2]), t1, t2, n))
+        rows.sort()
+        for pos, (dist, _, _, t1, t2, n) in enumerate(rows[:k], start=1):
+            qids.append(qid)
+            poss.append(pos)
+            t1s.append(t1)
+            t2s.append(t2)
+            dists.append(dist)
+            pcs.append(n)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "pos": pa.array(poss, type=pa.int64()),
+            "t1": pa.array(t1s, type=pa.string()),
+            "t2": pa.array(t2s, type=pa.string()),
+            "dist": pa.array(dists, type=pa.int64()),
+            "pair_count": pa.array(pcs, type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("pos", "ascending")])

@@ -600,3 +600,73 @@ def test_span_not_brute(pos_index):
     assert span_not_match(store, "zzzznone", t).tolist() == []
     with pytest.raises(ValueError):
         span_not_match(store, t, t, pre=-1)
+
+
+# ---------------------------------------------------------------------------
+# phrase suggester
+
+
+def _lev(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev = dp
+        dp = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            dp[j] = min(prev[j] + 1, dp[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+    return dp[lb]
+
+
+def test_phrase_suggest_bruteforce(built):
+    import collections
+
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_suggest
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    sf = "/root/testdata/sf0.001"
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist()
+    cf: collections.Counter = collections.Counter()
+    bi: collections.Counter = collections.Counter()
+    for d in docs:
+        toks = d.split(" ")
+        cf.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    vocab = sorted(cf)
+
+    queries = []
+    for q in range(6):
+        w1 = vocab[(3 * q + 1) % len(vocab)]
+        t = vocab[(5 * q + 2) % len(vocab)]
+        p = q % len(t)
+        w2 = t[:p] + t[p + 1 :] if len(t) > 1 else t
+        queries.append((q, w1, w2))
+
+    out = phrase_suggest(store, sf, queries, k=3, max_dist=1)
+    got = collections.defaultdict(list)
+    for r in out.to_pylist():
+        got[r["query_id"]].append((r["t1"], r["t2"], r["dist"], r["pair_count"]))
+
+    for qid, w1, w2 in queries:
+        c1 = [(t, _lev(t, w1)) for t in vocab if _lev(t, w1) <= 1]
+        c2 = [(t, _lev(t, w2)) for t in vocab if _lev(t, w2) <= 1]
+        rows = sorted(
+            (e1 + e2, -bi.get((t1, t2), 0), -(cf[t1] * cf[t2]), t1, t2)
+            for t1, e1 in c1
+            for t2, e2 in c2
+        )
+        want = [(t1, t2, d, -negn) for d, negn, _, t1, t2 in rows[:3]]
+        assert got[qid] == want, (qid, w1, w2)
+
+
+def test_phrase_suggest_no_candidates(built):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_suggest
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    out = phrase_suggest(
+        store, "/root/testdata/sf0.001", [(0, "zzzzzzzzzzzz", "qqqqqqqqqqqq")], k=3
+    )
+    assert out.num_rows == 0
