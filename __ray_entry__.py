@@ -1947,6 +1947,15 @@ def _q_diversified_sampler(sf_dir: str) -> pa.Table:
     return diversified_sampler_agg(res.out_dir, max_docs_per_lang=10, shard_size=40)
 
 
+def _q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Stratified per-lang sample, exact ceil(0.2·|stratum|) allocation by
+    smallest sha256 — deterministic, leakage-safe (pure function of
+    bytes)."""
+    from bitcoin_ledger_2es_ray.pipelines.curate import stratified_sample
+
+    return stratified_sample(sf_dir, frac=0.2)
+
+
 def _q_sibling_bucket_stats(sf_dir: str) -> pa.Table:
     """ES sibling pipeline aggs (avg/min/max/sum/stats_bucket) over the
     daily date_histogram doc counts — coordinator-side like ES."""
@@ -2182,6 +2191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_metrics": _q_top_metrics,
         "diversified_sampler": _q_diversified_sampler,
         "phrase_suggest": _q_phrase_suggest,
+        "stratified_sample": _q_stratified_sample,
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
         "pmi_collocations": _q_pmi_collocations,
@@ -3904,6 +3914,17 @@ r AS (
 ),
 p AS (SELECT doc_id, lang, sha FROM r WHERE rn <= 10 ORDER BY sha LIMIT 40)
 SELECT doc_id, lang, sha FROM p ORDER BY doc_id
+""",
+        # stratified per-lang sample: smallest ceil(0.2 n) shas per lang
+        "stratified_sample": """
+WITH s AS (SELECT doc_id, lang, sha256(text) AS sha FROM documents),
+r AS (
+  SELECT doc_id, lang, sha,
+         row_number() OVER (PARTITION BY lang ORDER BY sha) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM s
+)
+SELECT doc_id, lang FROM r WHERE rn <= ceil(0.2 * n) ORDER BY doc_id
 """,
         # sibling pipeline aggs over the daily doc-count buckets
         "sibling_bucket_stats": """

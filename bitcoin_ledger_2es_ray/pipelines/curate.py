@@ -357,3 +357,54 @@ def top_quality_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
     return pa.concat_tables(tabs).sort_by(
         [("lang", "ascending"), ("rank", "ascending")]
     )
+
+
+def stratified_sample(sf_dir: str, frac: float = 0.2) -> pa.Table:
+    """Stratified per-language sample with EXACT proportional allocation:
+    from each lang stratum, the ceil(frac × |stratum|) docs with the
+    smallest sha256(content) — deterministic (pure function of bytes, like
+    ``hash_split``) but exact per-stratum, where the hash-threshold split
+    is only exact in expectation.
+
+    Plan: one streamed pass computes (doc_id, lang, sha) per batch; the
+    per-stratum rank runs in ``groupby(lang).map_groups`` — the same
+    partitioning key and assumption as ``top_quality_per_lang`` (one lang's
+    rows fit one group; salt a hot lang if a real corpus breaks that).
+    Returns (doc_id, lang) sorted by doc_id."""
+    import ray
+
+    if not 0.0 < frac <= 1.0:
+        raise ValueError("frac must be in (0, 1]")
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        digests = sha256_column(batch["text"])
+        sha = pa.array([v.hex() for v in digests.to_pylist()], type=pa.string())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "lang": batch["lang"],
+                "sha": sha,
+            }
+        )
+
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+
+    def head(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        n_keep = int(np.ceil(frac * group.num_rows))
+        g = group.sort_by("sha").slice(0, n_keep)
+        return g.select(["doc_id", "lang"]).cast(schema)
+
+    ds = (
+        _read_docs_lang(sf_dir)
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(head, batch_format="pyarrow")
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.Table.from_pylist([], schema=schema)
+    return pa.concat_tables(parts).sort_by("doc_id")

@@ -477,3 +477,43 @@ def test_shuffle_order_is_permutation_and_seeded(ray_session):
     b = shuffle_order(SF, seed="s1")
     assert b["shuffle_rank"].to_pylist() != a["shuffle_rank"].to_pylist()
     assert shuffle_order(SF, seed="s0").equals(a)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+
+
+def test_stratified_sample_exact_allocation(ray_session):
+    import collections
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.curate import stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang", "text"])
+    by_lang = collections.defaultdict(list)
+    for d, l, t in zip(
+        docs["doc_id"].to_pylist(), docs["lang"].to_pylist(), docs["text"].to_pylist()
+    ):
+        by_lang[l].append((hashlib.sha256(t.encode()).hexdigest(), d))
+    for frac in (0.1, 0.5, 1.0):
+        out = stratified_sample(sf, frac=frac)
+        got = collections.defaultdict(set)
+        for r in out.to_pylist():
+            got[r["lang"]].add(r["doc_id"])
+        for lang, rows in by_lang.items():
+            k = math.ceil(frac * len(rows))
+            want = {d for _, d in sorted(rows)[:k]}
+            assert got[lang] == want, (frac, lang)
+
+
+def test_stratified_sample_bad_frac(ray_session):
+    import pytest as _pytest
+
+    from bitcoin_ledger_2es_ray.pipelines.curate import stratified_sample
+
+    with _pytest.raises(ValueError):
+        stratified_sample("/root/testdata/sf0.001", frac=0.0)
