@@ -1947,6 +1947,103 @@ def _q_diversified_sampler(sf_dir: str) -> pa.Table:
     return diversified_sampler_agg(res.out_dir, max_docs_per_lang=10, shard_size=40)
 
 
+def _q_auto_date_histogram(sf_dir: str) -> pa.Table:
+    """ES ``auto_date_histogram`` (target ≤ 35 buckets): one pass at the
+    finest ladder interval, driver re-buckets to the chosen one."""
+    from bitcoin_ledger_2es_ray.pipelines.events import auto_date_histogram
+
+    return auto_date_histogram(sf_dir, target_buckets=35)
+
+
+def _q_cumulative_cardinality(sf_dir: str) -> pa.Table:
+    """ES ``cumulative_cardinality`` (exact): first-seen day per user via
+    one user-keyed shuffle, then the bucket cumsum on the driver."""
+    from bitcoin_ledger_2es_ray.pipelines.events import cumulative_cardinality
+
+    return cumulative_cardinality(sf_dir, interval_s=86400)
+
+
+def _q_normalize_agg(sf_dir: str) -> pa.Table:
+    """ES ``normalize`` pipeline agg (percent_of_sum) over the lang
+    doc-count buckets."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import normalize_agg
+
+    return normalize_agg(
+        _q_lang_counts(sf_dir), key="lang", metric="n_docs", round_decimals=_ROUND
+    )
+
+
+def _q_geo_rings(sf_dir: str) -> pa.Table:
+    """ES ``geo_distance`` aggregation: distance rings from the origin with
+    avg acctbal sub-metric."""
+    from bitcoin_ledger_2es_ray.pipelines.geo import geo_distance_agg
+
+    return geo_distance_agg(sf_dir, lat0=0.0, lon0=0.0, round_decimals=_ROUND)
+
+
+def _q_rank_feature(sf_dir: str) -> pa.Table:
+    """ES ``rank_feature`` (saturation) in a bool should: BM25 +
+    1.5·x/(x+256) with x = n_chars, top-10 per fixture query."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.structured import rank_feature_topk
+
+    store, _ = _store_for(sf_dir)
+    dv = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).sort_by("doc_id")
+    doc_ids = np.asarray(dv["doc_id"], dtype=np.int64)
+    nchars = np.asarray(dv["n_chars"], dtype=np.float64)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        rows = rank_feature_topk(
+            store, text, doc_ids, nchars, k=_TOP_K, boost=1.5, pivot=256.0,
+            round_decimals=_ROUND,
+        )
+        for rank, (d, s) in enumerate(rows, start=1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_scroll(sf_dir: str) -> pa.Table:
+    """ES ``scroll``/PIT deep pagination: the first 10 fixture queries
+    drained completely in 25-row pages through the stateless cursor loop."""
+    from bitcoin_ledger_2es_ray.pipelines.query import scroll_all
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, pages, ranks, docs, scores = [], [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        if qid >= 10:
+            continue
+        for page, rank, d, s in scroll_all(store, text, page_size=25, round_decimals=_ROUND):
+            qids.append(qid)
+            pages.append(page)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "page": pa.array(pages, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_stratified_sample(sf_dir: str) -> pa.Table:
     """Stratified per-lang sample, exact ceil(0.2·|stratum|) allocation by
     smallest sha256 — deterministic, leakage-safe (pure function of
@@ -2192,6 +2289,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversified_sampler": _q_diversified_sampler,
         "phrase_suggest": _q_phrase_suggest,
         "stratified_sample": _q_stratified_sample,
+        "auto_date_histogram": _q_auto_date_histogram,
+        "cumulative_cardinality": _q_cumulative_cardinality,
+        "normalize_agg": _q_normalize_agg,
+        "geo_rings": _q_geo_rings,
+        "rank_feature": _q_rank_feature,
+        "scroll": _q_scroll,
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
         "pmi_collocations": _q_pmi_collocations,
@@ -2303,7 +2406,7 @@ WITH pts AS (
   SELECT c_custkey,
          ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
          ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon,
-         c_mktsegment
+         c_mktsegment, c_acctbal
   FROM customer
 )
 """
@@ -3914,6 +4017,123 @@ r AS (
 ),
 p AS (SELECT doc_id, lang, sha FROM r WHERE rn <= 10 ORDER BY sha LIMIT 40)
 SELECT doc_id, lang, sha FROM p ORDER BY doc_id
+""",
+        # auto_date_histogram: smallest ladder interval with <= 35 buckets
+        "auto_date_histogram": """
+WITH e AS (SELECT epoch_us(ts) // 1000000 AS ep FROM events),
+mm AS (SELECT min(ep) AS mn, max(ep) AS mx FROM e),
+iv AS (
+  SELECT CASE
+    WHEN mx // 60 - mn // 60 + 1 <= 35 THEN 60
+    WHEN mx // 300 - mn // 300 + 1 <= 35 THEN 300
+    WHEN mx // 600 - mn // 600 + 1 <= 35 THEN 600
+    WHEN mx // 1800 - mn // 1800 + 1 <= 35 THEN 1800
+    WHEN mx // 3600 - mn // 3600 + 1 <= 35 THEN 3600
+    WHEN mx // 10800 - mn // 10800 + 1 <= 35 THEN 10800
+    WHEN mx // 43200 - mn // 43200 + 1 <= 35 THEN 43200
+    WHEN mx // 86400 - mn // 86400 + 1 <= 35 THEN 86400
+    ELSE 604800 END AS interval_s
+  FROM mm
+)
+SELECT iv.interval_s::BIGINT AS interval_s,
+       (ep // iv.interval_s) * iv.interval_s AS bucket_s,
+       count(*)::BIGINT AS doc_count
+FROM e CROSS JOIN iv GROUP BY 1, 2 ORDER BY bucket_s
+""",
+        # cumulative_cardinality: exact first-seen-day cumsum
+        "cumulative_cardinality": """
+WITH f AS (
+  SELECT user_id,
+         min(((epoch_us(ts) // 1000000) // 86400) * 86400) AS d
+  FROM events GROUP BY user_id
+),
+n AS (SELECT d AS bucket_s, count(*)::BIGINT AS new_users FROM f GROUP BY 1)
+SELECT bucket_s, new_users,
+       sum(new_users) OVER (ORDER BY bucket_s)::BIGINT AS cumulative_users
+FROM n ORDER BY bucket_s
+""",
+        # normalize pipeline agg (percent_of_sum) over lang doc counts
+        "normalize_agg": """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang)
+SELECT lang, n_docs,
+       round(n_docs / sum(n_docs) OVER () * 100.0, 6) AS normalized
+FROM c ORDER BY lang
+""",
+        # geo_distance aggregation: distance rings + avg acctbal
+        "geo_rings": _GEO_PTS
+        + """
+, d AS (
+  SELECT c_acctbal,
+         2.0 * 6371.0 * asin(sqrt(
+           sin(radians(lat) / 2.0) * sin(radians(lat) / 2.0)
+           + cos(radians(lat))
+             * sin(radians(lon) / 2.0) * sin(radians(lon) / 2.0)
+         )) AS dist
+  FROM pts
+)
+SELECT CASE WHEN dist < 2500.0 THEN '*-2500'
+            WHEN dist < 5000.0 THEN '2500-5000'
+            WHEN dist < 10000.0 THEN '5000-10000'
+            ELSE '10000-*' END AS ring,
+       count(*)::BIGINT AS doc_count,
+       round(sum(c_acctbal) / count(*), 6) AS avg_acctbal
+FROM d GROUP BY 1 ORDER BY min(dist)
+""",
+        # rank_feature: BM25 + 1.5 * x/(x+256) saturation on n_chars
+        "rank_feature": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+           AS bs
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+comb AS (
+  SELECT sc.query_id, sc.doc_id,
+         round(sc.bs + 1.5 * (d.n_chars / (d.n_chars + 256.0)), 6) AS score
+  FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM comb
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        # scroll / PIT deep pagination: full drain in 25-row pages
+        "scroll": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE qt.query_id < 10
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id,
+       ((rank - 1) // 25 + 1)::BIGINT AS page,
+       rank::BIGINT AS rank, doc_id, score
+FROM ranked ORDER BY query_id, rank
 """,
         # stratified per-lang sample: smallest ceil(0.2 n) shas per lang
         "stratified_sample": """

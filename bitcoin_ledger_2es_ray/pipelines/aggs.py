@@ -1210,3 +1210,31 @@ def diversified_sampler_agg(
         )
     picked = _keep_cap(pa.concat_tables(parts)).sort_by("sha").slice(0, shard_size)
     return picked.sort_by("doc_id")
+
+
+def normalize_agg(
+    buckets: pa.Table, key: str, metric: str, method: str = "percent_of_sum",
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``normalize`` pipeline agg over reduced buckets: rescale
+    ``metric`` by ``percent_of_sum`` (×100) or ``proportion_of_sum`` —
+    coordinator-side like every pipeline agg."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    if method not in ("percent_of_sum", "proportion_of_sum"):
+        raise ValueError(f"unknown method {method!r}")
+    tot = np.asarray(buckets[metric], dtype=np.float64).sum()
+    if tot == 0:
+        raise ValueError("normalize_agg: metric sums to zero")
+    t = buckets.sort_by(key)
+    v_sorted = np.asarray(t[metric], dtype=np.float64)
+    scaled = v_sorted / tot * (100.0 if method == "percent_of_sum" else 1.0)
+    return pa.table(
+        {
+            key: t[key],
+            metric: t[metric],
+            "normalized": pa.array(sql_round(scaled, round_decimals), type=pa.float64()),
+        }
+    )

@@ -260,3 +260,98 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> pa.Table:
             "end_s": t["end_s"].cast(pa.int64()),
         }
     ).sort_by([("user_id", "ascending"), ("session_id", "ascending")])
+
+
+AUTO_LADDER = (60, 300, 600, 1800, 3600, 10800, 43200, 86400, 604800)
+
+
+def auto_date_histogram(sf_dir: str, target_buckets: int = 35) -> pa.Table:
+    """ES ``auto_date_histogram``: pick the smallest ladder interval that
+    yields ≤ ``target_buckets`` buckets, then histogram at it →
+    (interval_s, bucket_s, doc_count).
+
+    ONE streamed pass, exactly like ES shards: per-batch counts at the
+    FINEST ladder interval (60 s); the driver merge re-buckets those
+    partials to the chosen interval (every ladder step is a multiple of
+    60, so floor-of-floor is exact).  Driver state is bounded by
+    time-span/60, never the event count."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(batch["ts"].cast(pa.int64()), 1_000_000)
+        b60 = pc.multiply(pc.divide(epoch, 60), 60)
+        g = pa.table({"b": b60}).group_by("b").aggregate([("b", "count")])
+        return pa.table({"b": g["b"], "n": g["b_count"].cast(pa.int64())})
+
+    ds = _read_events(sf_dir, ["ts"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    g = cat.group_by("b").aggregate([("n", "sum")])
+    b60 = np.asarray(g["b"], dtype=np.int64)
+    n60 = np.asarray(g["n_sum"], dtype=np.int64)
+    mn, mx = int(b60.min()), int(b60.max())
+    interval = AUTO_LADDER[-1]
+    for iv in AUTO_LADDER:
+        if mx // iv - mn // iv + 1 <= target_buckets:
+            interval = iv
+            break
+    bucket = (b60 // interval) * interval
+    out = (
+        pa.table({"bucket_s": pa.array(bucket), "n": pa.array(n60)})
+        .group_by("bucket_s")
+        .aggregate([("n", "sum")])
+    )
+    return pa.table(
+        {
+            "interval_s": pa.array([interval] * out.num_rows, type=pa.int64()),
+            "bucket_s": out["bucket_s"].cast(pa.int64()),
+            "doc_count": out["n_sum"].cast(pa.int64()),
+        }
+    ).sort_by("bucket_s")
+
+
+def cumulative_cardinality(sf_dir: str, interval_s: int = 86400) -> pa.Table:
+    """ES ``cumulative_cardinality`` pipeline agg, EXACT: per interval
+    bucket, the number of users first seen in it and the running distinct
+    total → (bucket_s, new_users, cumulative_users).
+
+    Plan: per-batch (user_id, min bucket) partials, one Ray groupby(user)
+    Min (the only shuffle — keyed on the high-cardinality user axis), then
+    the bucket histogram + cumsum on the driver, bounded by bucket count.
+    ES needs HLL sketches for this; an exact first-seen pass is the batch
+    equivalent."""
+    import ray
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(batch["ts"].cast(pa.int64()), 1_000_000)
+        bucket = pc.multiply(pc.divide(epoch, interval_s), interval_s)
+        g = (
+            pa.table({"user_id": batch["user_id"], "b": bucket})
+            .group_by("user_id")
+            .aggregate([("b", "min")])
+        )
+        return pa.table({"user_id": g["user_id"], "b": g["b_min"]})
+
+    ds = (
+        _read_events(sf_dir, ["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("b", alias_name="first_b"))
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    g = cat.group_by("first_b").aggregate([("first_b", "count")])
+    t = g.sort_by("first_b")
+    new = np.asarray(t["first_b_count"], dtype=np.int64)
+    return pa.table(
+        {
+            "bucket_s": t["first_b"].cast(pa.int64()),
+            "new_users": pa.array(new),
+            "cumulative_users": pa.array(np.cumsum(new)),
+        }
+    )

@@ -242,3 +242,59 @@ def geotile_grid(sf_dir: str, zoom: int = 3) -> pa.Table:
     ]
     out = pa.table({"tile": pa.array(keys, type=pa.string()), "n": t["n"].cast(pa.int64())})
     return out.sort_by([("n", "descending"), ("tile", "ascending")])
+
+
+def geo_distance_agg(
+    sf_dir: str,
+    lat0: float = 0.0,
+    lon0: float = 0.0,
+    edges: tuple[float, ...] = (2500.0, 5000.0, 10000.0),
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``geo_distance`` aggregation: distance-ring buckets from the
+    origin (from-inclusive / to-exclusive, ES range semantics, `*-2500`
+    style labels) with doc_count and an avg(c_acctbal) sub-metric.
+
+    Per-batch partials (bucket, n, Σacctbal) — the combine is bounded by
+    len(edges)+1 rings, never customers."""
+    from ray.data.aggregate import Sum
+
+    cuts = np.asarray(sorted(edges), dtype=np.float64)
+
+    def _label(i: int) -> str:
+        lo = "*" if i == 0 else f"{cuts[i - 1]:g}"
+        hi = "*" if i == len(cuts) else f"{cuts[i]:g}"
+        return f"{lo}-{hi}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_coords(key)
+        d = haversine_km(lat, lon, lat0, lon0)
+        ring = np.searchsorted(cuts, d, side="right")
+        bal = np.asarray(batch["c_acctbal"], dtype=np.float64)
+        t = pa.table({"ring": pa.array(ring.astype(np.int64)), "bal": pa.array(bal)})
+        g = t.group_by("ring").aggregate([("bal", "count"), ("bal", "sum")])
+        return pa.table(
+            {
+                "ring": g["ring"],
+                "n": g["bal_count"].cast(pa.int64()),
+                "s": g["bal_sum"],
+            }
+        )
+
+    ds = (
+        _read_customers(sf_dir, ["c_custkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ring")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+    t = pa.concat_tables(_collect(ds)).sort_by("ring")
+    n = np.asarray(t["n"], dtype=np.float64)
+    s = np.asarray(t["s"], dtype=np.float64)
+    return pa.table(
+        {
+            "ring": pa.array([_label(int(i)) for i in t["ring"].to_pylist()], type=pa.string()),
+            "doc_count": t["n"].cast(pa.int64()),
+            "avg_acctbal": pa.array(sql_round(s / n, round_decimals), type=pa.float64()),
+        }
+    )

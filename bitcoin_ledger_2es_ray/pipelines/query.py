@@ -752,3 +752,36 @@ def attach_doc_meta(
     return results.join(fwd, keys="doc_id", join_type="left outer").sort_by(
         [("query_id", "ascending"), ("rank", "ascending")]
     )
+
+
+def scroll_all(
+    store: SegmentStore,
+    text: str,
+    page_size: int,
+    round_decimals: int | None = None,
+    max_pages: int = 10_000,
+) -> list[tuple[int, int, int, float]]:
+    """ES ``scroll`` / point-in-time deep pagination: drain the ENTIRE
+    match set in ``page_size`` pages → [(page, rank, doc_id, score)].
+
+    Each page is fetched strictly through the previous page's last
+    (score, doc_id) cursor — the stateless ``search_after`` loop that
+    replaces ES's server-side scroll context.  The segment snapshot the
+    store holds IS the point-in-time: a concurrent reindex cannot shift
+    pages mid-drain."""
+    if page_size < 1:
+        raise ValueError("page_size must be >= 1")
+    out: list[tuple[int, int, int, float]] = []
+    cursor: tuple[float, int] | None = None
+    rank = 0
+    for page in range(1, max_pages + 1):
+        rows = search_after(store, text, page_size, cursor, round_decimals)
+        for d, s in rows:
+            rank += 1
+            out.append((page, rank, d, s))
+        if len(rows) < page_size:
+            break
+        cursor = (rows[-1][1], rows[-1][0])
+    else:
+        raise RuntimeError("scroll_all: max_pages exhausted")
+    return out

@@ -440,3 +440,38 @@ def terms_set_match(
         counts[keep].astype(np.int64),
         req[keep],
     )
+
+
+def rank_feature_topk(
+    store: SegmentStore,
+    text: str,
+    doc_ids_sorted: np.ndarray,
+    feature: np.ndarray,
+    k: int,
+    boost: float = 1.5,
+    pivot: float = 256.0,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``rank_feature`` query (saturation function) inside a bool
+    should: score = BM25(text) + boost·x/(x + pivot) with x a per-doc
+    numeric feature (doc-values column) — top-k on the rounded combined
+    score, ties doc ASC.
+
+    The feature gather is a vectorized searchsorted over the doc-values
+    column restricted to the BM25 candidate set (candidates ≪ corpus at
+    any scale)."""
+    from ..functions.bm25 import sql_round
+    from .query import topk_order
+
+    docs, scores = _score_map(store, text)
+    if len(docs) == 0:
+        return []
+    idx = np.searchsorted(doc_ids_sorted, docs)
+    if (doc_ids_sorted[idx.clip(max=len(doc_ids_sorted) - 1)] != docs).any():
+        raise KeyError("rank_feature: candidate doc missing from the feature column")
+    x = feature[idx].astype(np.float64)
+    combined = scores + boost * (x / (x + pivot))
+    if round_decimals is not None:
+        combined = sql_round(combined, round_decimals)
+    order = topk_order(combined, docs, k)
+    return [(int(docs[i]), float(combined[i])) for i in order]

@@ -1342,3 +1342,140 @@ def test_diversified_sampler_bad_params(built):
     res, _, _ = built
     with _pytest.raises(ValueError):
         diversified_sampler_agg(res.out_dir, max_docs_per_lang=0)
+
+
+# ---------------------------------------------------------------------------
+# auto_date_histogram / cumulative_cardinality / normalize / geo rings /
+# rank_feature / scroll
+
+
+def test_auto_date_histogram_ladder_and_totals(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.events import AUTO_LADDER, auto_date_histogram
+
+    sf = "/root/testdata/sf0.001"
+    n_events = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    # huge target -> finest interval; tiny target -> coarsest fallback
+    fine = auto_date_histogram(sf, target_buckets=10**9)
+    assert fine["interval_s"][0].as_py() == AUTO_LADDER[0]
+    coarse = auto_date_histogram(sf, target_buckets=1)
+    assert coarse["interval_s"][0].as_py() == AUTO_LADDER[-1]
+    for out in (fine, coarse):
+        assert int(out["doc_count"].to_pandas().sum()) == n_events
+    mid = auto_date_histogram(sf, target_buckets=35)
+    assert mid.num_rows <= 35
+
+
+def test_cumulative_cardinality_bruteforce(ray_session):
+    import collections
+
+    from bitcoin_ledger_2es_ray.pipelines.events import cumulative_cardinality
+
+    sf = "/root/testdata/sf0.001"
+    out = cumulative_cardinality(sf, interval_s=3600)
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["ts", "user_id"]).to_pandas()
+    ev["b"] = (ev["ts"].astype("int64") // 10**6 // 3600) * 3600
+    first = ev.groupby("user_id")["b"].min()
+    want = collections.Counter(first)
+    got = dict(zip(out["bucket_s"].to_pylist(), out["new_users"].to_pylist()))
+    assert got == dict(want)
+    cum = out["cumulative_users"].to_pylist()
+    assert cum == list(np.cumsum(out["new_users"].to_pylist()))
+    assert cum[-1] == ev["user_id"].nunique()
+
+
+def test_normalize_agg_identity_and_errors():
+    import pytest as _pytest
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import normalize_agg
+
+    b = pa.table({"k": ["a", "b"], "m": pa.array([1, 3], type=pa.int64())})
+    out = normalize_agg(b, key="k", metric="m")
+    assert out["normalized"].to_pylist() == [25.0, 75.0]
+    prop = normalize_agg(b, key="k", metric="m", method="proportion_of_sum")
+    assert prop["normalized"].to_pylist() == [0.25, 0.75]
+    with _pytest.raises(ValueError):
+        normalize_agg(b, key="k", metric="m", method="nope")
+    zero = pa.table({"k": ["a"], "m": pa.array([0], type=pa.int64())})
+    with _pytest.raises(ValueError):
+        normalize_agg(zero, key="k", metric="m")
+
+
+def test_geo_distance_agg_bruteforce(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.geo import (
+        derive_coords,
+        geo_distance_agg,
+        haversine_km,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = geo_distance_agg(sf, lat0=10.0, lon0=-20.0, edges=(3000.0, 8000.0))
+    t = pq.read_table(f"{sf}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+    keys = np.asarray(t["c_custkey"], dtype=np.int64)
+    bal = np.asarray(t["c_acctbal"], dtype=np.float64)
+    lat, lon = derive_coords(keys)
+    d = haversine_km(lat, lon, 10.0, -20.0)
+    ring = np.searchsorted(np.array([3000.0, 8000.0]), d, side="right")
+    labels = ["*-3000", "3000-8000", "8000-*"]
+    got = {r["ring"]: (r["doc_count"], r["avg_acctbal"]) for r in out.to_pylist()}
+    for i, lbl in enumerate(labels):
+        m = ring == i
+        if not m.any():
+            assert lbl not in got
+            continue
+        n, avg = got[lbl]
+        assert n == int(m.sum())
+        assert abs(avg - bal[m].sum() / m.sum()) < 1e-6
+
+
+def test_rank_feature_boost_and_bruteforce(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+    from bitcoin_ledger_2es_ray.pipelines.structured import (
+        _score_map,
+        rank_feature_topk,
+    )
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    sf = "/root/testdata/sf0.001"
+    dv = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"]).sort_by(
+        "doc_id"
+    )
+    ids = np.asarray(dv["doc_id"], dtype=np.int64)
+    x = np.asarray(dv["n_chars"], dtype=np.float64)
+    term = sorted(store.df)[7]
+    out = rank_feature_topk(store, term, ids, x, k=5, boost=2.0, pivot=100.0,
+                            round_decimals=6)
+    docs, scores = _score_map(store, term)
+    idx = np.searchsorted(ids, docs.astype(np.int64))
+    comb = scores + 2.0 * (x[idx] / (x[idx] + 100.0))
+    want_order = np.lexsort((docs, -np.round(comb, 6)))[:5]
+    want = [(int(docs[i]), round(float(np.round(comb[i], 6)), 6)) for i in want_order]
+    assert [(d, round(s, 6)) for d, s in out] == want
+    # zero boost degrades to plain BM25 ranking
+    plain = rank_feature_topk(store, term, ids, x, k=5, boost=0.0, round_decimals=6)
+    bm_order = np.lexsort((docs, -np.round(scores, 6)))[:5]
+    assert [d for d, _ in plain] == [int(docs[i]) for i in bm_order]
+
+
+def test_scroll_all_equals_full_ranking(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, scroll_all, search_after
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    text = " ".join(sorted(store.df)[:3])
+    full = search_after(store, text, 1 << 30, None, round_decimals=6)
+    for size in (1, 7, 1000):
+        rows = scroll_all(store, text, page_size=size, round_decimals=6)
+        assert [(d, s) for _, _, d, s in rows] == full
+        assert [r for _, r, _, _ in rows] == list(range(1, len(full) + 1))
+        assert all(p == (r - 1) // size + 1 for p, r, _, _ in rows)
+
+
+def test_scroll_all_bad_page_size(built):
+    import pytest as _pytest
+
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, scroll_all
+
+    res, _, _ = built
+    with _pytest.raises(ValueError):
+        scroll_all(SegmentStore(res.out_dir), "x", page_size=0)
