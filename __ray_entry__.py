@@ -1148,6 +1148,44 @@ def _q_multi_match(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_combined_fields(sf_dir: str) -> pa.Table:
+    """ES ``combined_fields`` (Lucene CombinedFieldQuery / BM25F): content¹·⁰
+    + path²·⁰ merged into one pseudo-field — weighted tf/dl sums, max df,
+    one BM25 pass."""
+    from bitcoin_ledger_2es_ray.pipelines.fields import combined_fields_topk
+
+    store, _ = _store_for(sf_dir)
+    path_store = _path_store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        text2 = f"{text} {(qid * 17) % store.n_docs}"
+        top = combined_fields_topk(
+            [(store, 1.0), (path_store, 2.0)], text2, _TOP_K, round_decimals=_ROUND
+        )
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_dup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup connected components over the exact-Jaccard pair graph:
+    (doc_id, cluster_id = component min) for every doc in ≥ 1 pair."""
+    from bitcoin_ledger_2es_ray.pipelines.dedup import dup_clusters
+
+    return dup_clusters(sf_dir, k=3, tau=0.8)
+
+
 def _q_multi_match_cross(sf_dir: str) -> pa.Table:
     """ES ``multi_match`` cross_fields (term-centric): each term counts
     once at its strongest (boosted) field; per-term maxima sum per doc."""
@@ -2315,6 +2353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosting": _q_boosting,
         "multi_match": _q_multi_match,
         "multi_match_cross": _q_multi_match_cross,
+        "combined_fields": _q_combined_fields,
+        "dup_clusters": _q_dup_clusters,
         "bool_query": _q_bool_query,
         "synonym_topk": _q_synonym_topk,
         "delete_query_topk": _q_delete_query_topk,
@@ -3163,6 +3203,89 @@ ranked AS (
 SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """.replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # combined_fields (BM25F): weighted tf/dl merge, max df, one BM25
+        "combined_fields": _PRELUDE
+        + """
+, nd AS (SELECT count(*) AS c FROM documents),
+pdoc AS (
+  SELECT doc_id, ['src', source, 'file' || doc_id::VARCHAR, 'py',
+                  'src', substr(source, 4), 'file', doc_id::VARCHAR] AS toks
+  FROM documents
+),
+ptoks AS (SELECT doc_id, unnest(toks) AS term FROM pdoc),
+ptf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ptoks GROUP BY doc_id, term),
+pdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ptoks GROUP BY doc_id),
+pdf AS (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY term),
+qt2 AS (
+  SELECT query_id, term FROM qterm
+  UNION ALL
+  SELECT q, ((q * 17) % c)::VARCHAR FROM generate_series(0, {nq1}) t(q), nd
+),
+utf AS (
+  SELECT doc_id, term, sum(w * tf) AS tf
+  FROM (SELECT doc_id, term, 1.0 AS w, tf FROM tf
+        UNION ALL SELECT doc_id, term, 2.0 AS w, tf FROM ptf)
+  GROUP BY doc_id, term
+),
+udl AS (
+  SELECT dl.doc_id, 1.0 * dl.dl + 2.0 * pdl.dl AS dl
+  FROM dl JOIN pdl ON pdl.doc_id = dl.doc_id
+),
+ustats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM udl),
+udf AS (
+  SELECT term, max(df) AS df
+  FROM (SELECT term, df FROM df UNION ALL SELECT term, df FROM pdf)
+  GROUP BY term
+),
+scored AS (
+  SELECT qt.query_id, utf.doc_id,
+         round(sum( ln(1 + (s.n - udf.df + 0.5) / (udf.df + 0.5))
+                    * utf.tf / (utf.tf + 1.2 * (1 - 0.75 + 0.75 * udl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qt2 qt
+  JOIN udf ON udf.term = qt.term
+  JOIN utf ON utf.term = qt.term
+  JOIN udl ON udl.doc_id = utf.doc_id
+  CROSS JOIN ustats s
+  GROUP BY qt.query_id, utf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # near-dup connected components over the exact-Jaccard pair graph
+        "dup_clusters": """
+WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM words WHERE len(w) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.8
+),
+sym AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach AS (
+  SELECT a AS src, b AS dst FROM sym
+  UNION
+  SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON s.a = r.dst
+)
+SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+""",
         # multi_match cross_fields: per-(term,doc) max over boosted field
         # contributions, then sum over terms
         "multi_match_cross": _PRELUDE

@@ -537,3 +537,42 @@ def decontaminate(sf_dir: str, bench_mod: int = 17, k: int = 3) -> pa.Table:
     parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
     out = pa.concat_tables([p for p in parts if p.num_rows])
     return out.sort_by("doc_id")
+
+
+def dup_clusters(sf_dir: str, k: int = 3, tau: float = 0.8) -> pa.Table:
+    """Near-duplicate CLUSTERS: connected components over the exact-Jaccard
+    dup-pair graph → (doc_id, cluster_id) for every doc in ≥ 1 pair, where
+    cluster_id is the component's smallest doc_id (the canonical
+    representative a keep-one-per-cluster dedup retains).
+
+    The pair discovery is the fully-distributed `shingle_jaccard_pairs`
+    pipeline; the component labeling is driver-side union-find with
+    path compression, bounded by the PAIR count (the same bound as the
+    operator's own output — pairs ≪ corpus by construction).  A corpus
+    whose dup graph itself exceeds driver memory needs the iterative
+    hash-min label-propagation variant (each round one edge-label join +
+    groupby-min); the pair bound makes that unnecessary here."""
+    pairs = shingle_jaccard_pairs(sf_dir, k=k, tau=tau)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # attach the larger root under the smaller: roots stay minimal
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted({int(x) for col in ("a", "b") for x in pairs[col].to_pylist()})
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, type=pa.int64()),
+            "cluster_id": pa.array([find(n) for n in nodes], type=pa.int64()),
+        }
+    )

@@ -204,3 +204,86 @@ def _cross_fields_topk(
         final = sql_round(final, round_decimals)
     order = topk_order(final, uniq, k)
     return [(int(uniq[i]), float(final[i])) for i in order]
+
+
+def combined_fields_topk(
+    legs: list[tuple[SegmentStore, float]],
+    text: str,
+    k: int,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``combined_fields`` query (Lucene ``CombinedFieldQuery``, the
+    principled BM25F): score the fields as if merged into ONE field —
+
+        tf'(t,d)  = Σ_f w_f · tf_f(t,d)
+        dl'(d)    = Σ_f w_f · dl_f(d)
+        df'(t)    = max_f df_f(t)      (Lucene's merged docFreq)
+        avgdl'    = mean_d dl'(d)
+
+    then standard BM25 over the pseudo-field.  docIDs align across legs by
+    construction (``derive_field_corpus``).
+
+    The dl' doc-values vector comes from the legs' forward maps (one
+    two-column read per field; at corpus scale this gather runs inside the
+    scorer partition restricted to candidates, like every doc-values
+    lookup in this repo)."""
+    import pyarrow.dataset as pads
+
+    from ..functions.bm25 import idf, sql_round, tf_norm
+    from .query import tokenize_query, topk_order
+
+    # combined per-doc length over ALL docs (term-independent)
+    dl_ids: np.ndarray | None = None
+    dl_comb: np.ndarray | None = None
+    for store, w in legs:
+        fm = (
+            pads.dataset(os.path.join(store.index_dir, "forward_map"))
+            .to_table(columns=["doc_id", "dl"])
+            .sort_by("doc_id")
+        )
+        ids = np.asarray(fm["doc_id"]).astype(np.int64)
+        dl = np.asarray(fm["dl"], dtype=np.float64) * w
+        if dl_ids is None:
+            dl_ids, dl_comb = ids, dl
+        else:
+            if not np.array_equal(dl_ids, ids):
+                raise ValueError("combined_fields legs index different doc sets")
+            dl_comb = dl_comb + dl
+    if dl_ids is None or len(dl_ids) == 0:
+        return []
+    avgdl = float(np.mean(dl_comb))
+    n_docs = len(dl_ids)
+
+    terms = sorted(set(tokenize_query(text)))
+    acc_docs, acc_scores = [], []
+    for t in terms:
+        doc_parts, tf_parts = [], []
+        df_t = 0
+        for store, w in legs:
+            df_f = store.td.df_of(t)
+            df_t = max(df_t, df_f)
+            if df_f == 0:
+                continue
+            d, tf, _ = store.postings(t)
+            if len(d):
+                doc_parts.append(d.astype(np.int64))
+                tf_parts.append(w * tf.astype(np.float64))
+        if not doc_parts:
+            continue
+        docs = np.concatenate(doc_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        tfc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(tfc, inv, np.concatenate(tf_parts))
+        dli = dl_comb[np.searchsorted(dl_ids, uniq)]
+        acc_docs.append(uniq)
+        acc_scores.append(float(idf(n_docs, df_t)) * tf_norm(tfc, dli, avgdl))
+    if not acc_docs:
+        return []
+    docs = np.concatenate(acc_docs)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    final = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(final, inv, np.concatenate(acc_scores))
+    if round_decimals is not None:
+        final = sql_round(final, round_decimals)
+    order = topk_order(final, uniq, k)
+    return [(int(uniq[i]), float(final[i])) for i in order]

@@ -517,3 +517,34 @@ def test_stratified_sample_bad_frac(ray_session):
 
     with _pytest.raises(ValueError):
         stratified_sample("/root/testdata/sf0.001", frac=0.0)
+
+
+def test_dup_clusters_are_connected_components(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.dedup import dup_clusters, shingle_jaccard_pairs
+
+    pairs = shingle_jaccard_pairs(SF, tau=0.8)
+    got = dup_clusters(SF, tau=0.8)
+    # brute-force components via BFS
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    seen: set[int] = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            comp.append(x)
+            stack.extend(adj[x] - seen)
+        rep = min(comp)
+        for x in comp:
+            want[x] = rep
+    got_map = dict(zip(got["doc_id"].to_pylist(), got["cluster_id"].to_pylist()))
+    assert got_map == want
+    assert got["doc_id"].to_pylist() == sorted(got_map)

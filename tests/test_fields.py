@@ -124,3 +124,50 @@ def test_multi_match_cross_fields_term_centric(field_stores):
         key=lambda kv: (-kv[1], kv[0]),
     )[:10]
     assert got == expect
+
+
+def test_combined_fields_matches_bruteforce_bm25f(field_stores):
+    """combined_fields == BM25 over the merged pseudo-field: tf' = Σ w·tf,
+    dl' = Σ w·dl, df' = max over fields, avgdl' over combined lengths."""
+    from bitcoin_ledger_2es_ray.functions.bm25 import idf, sql_round, tf_norm
+    from bitcoin_ledger_2es_ray.pipelines.fields import combined_fields_topk
+
+    content_store, path_store, _ = field_stores
+    vocab = sorted(content_store.df)
+    text = f"{vocab[2]} {vocab[13 % len(vocab)]} 3 py"
+    legs = [(content_store, 1.0), (path_store, 2.0)]
+    got = combined_fields_topk(legs, text, 10, round_decimals=6)
+
+    n = content_store.n_docs
+    # brute-force pseudo-field stats: build tf'/dl' by walking every term
+    dl_comb = np.zeros(n)
+    tfc: dict[str, dict[int, float]] = {}
+    dl_maps = []
+    for store, w in legs:
+        per_doc_dl: dict[int, float] = {}
+        for t in sorted(store.df):
+            d, tf, dl = store.postings(t)
+            m = tfc.setdefault(t, {})
+            for dd, tt, ll in zip(d.tolist(), tf.tolist(), dl.tolist()):
+                m[dd] = m.get(dd, 0.0) + w * tt
+                per_doc_dl[dd] = w * ll
+        dl_maps.append(per_doc_dl)
+    for per_doc_dl in dl_maps:
+        for dd, ll in per_doc_dl.items():
+            dl_comb[dd] += ll
+    avgdl = float(np.mean(dl_comb))
+    want: dict[int, float] = {}
+    for t in sorted(set(text.split(" "))):
+        df_t = max(store.td.df_of(t) for store, _ in legs)
+        if df_t == 0 or t not in tfc:
+            continue
+        w_idf = float(idf(n, df_t))
+        for dd, tt in tfc[t].items():
+            want[dd] = want.get(dd, 0.0) + w_idf * float(
+                tf_norm(np.array([tt]), np.array([dl_comb[dd]]), avgdl)[0]
+            )
+    expect = sorted(
+        ((d, float(sql_round(s, 6))) for d, s in want.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert got == expect
