@@ -2268,6 +2268,104 @@ def _q_sessionize(sf_dir: str) -> pa.Table:
     return sessionize(sf_dir, gap_s=1800)
 
 
+def _q_boxplot(sf_dir: str) -> pa.Table:
+    """ES ``boxplot`` over doc length — exact value-counts plan (same wire
+    shape as percentiles), quantile_cont interpolation on the driver."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import boxplot_agg
+
+    _, res = _store_for(sf_dir)
+    return boxplot_agg(res.out_dir, round_decimals=_ROUND)
+
+
+def _q_string_stats(sf_dir: str) -> pa.Table:
+    """ES ``string_stats`` (count / min / max / avg length + character
+    Shannon entropy, base 2) over documents.text — one streamed pass,
+    partials bounded by the alphabet."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import string_stats_agg
+
+    return string_stats_agg(sf_dir, field="text", round_decimals=_ROUND)
+
+
+def _q_t_test(sf_dir: str) -> pa.Table:
+    """ES ``t_test`` (Welch, the ES default) on value: purchase vs error
+    events — exact moment partials, driver fold."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import t_test_agg
+
+    return t_test_agg(sf_dir, type_a="purchase", type_b="error", round_decimals=_ROUND)
+
+
+def _q_moving_fn(sf_dir: str) -> pa.Table:
+    """ES ``moving_fn`` min/max/sum (window 3, shift 0 — the window is
+    the 3 buckets BEFORE current) over daily doc counts."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import moving_fn_agg
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    buckets = date_histogram_stats(sf_dir, interval_s=86400).select(
+        ["bucket_s", "doc_count"]
+    )
+    return moving_fn_agg(buckets, key="bucket_s", metric="doc_count", window=3)
+
+
+def _q_filters_agg(sf_dir: str) -> pa.Table:
+    """ES ``filters`` aggregation: named term buckets (vocab terms at
+    sorted index 1/5/11 — mirrored by the oracle's vocab CTE) plus a
+    dl ≥ 32 doc-values bucket, each with doc_count + avg(dl)."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import filters_agg
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    terms = [vocab[1 % len(vocab)], vocab[5 % len(vocab)], vocab[11 % len(vocab)]]
+    return filters_agg(
+        store,
+        [(f"term_{t}", t) for t in terms],
+        dl_gte=("dl_gte_32", 32),
+        round_decimals=_ROUND,
+    )
+
+
+def _q_date_range(sf_dir: str) -> pa.Table:
+    """ES ``date_range`` over events: open-ended head/tail + one middle
+    bucket at epoch edges 2024-01-08 / 2024-01-15."""
+    from bitcoin_ledger_2es_ray.pipelines.events import date_range_agg
+
+    return date_range_agg(sf_dir, edges_s=(1704672000, 1705276800), round_decimals=_ROUND)
+
+
+def _q_rate_agg(sf_dir: str) -> pa.Table:
+    """ES ``rate`` agg: per-day buckets expressed per-hour (sum and
+    value_count modes)."""
+    from bitcoin_ledger_2es_ray.pipelines.events import rate_agg
+
+    return rate_agg(sf_dir, bucket_s=86400, unit_s=3600, round_decimals=_ROUND)
+
+
+def _q_bucket_script(sf_dir: str) -> pa.Table:
+    """ES ``bucket_script``: per-day purchase revenue ÷ click count,
+    null where the denominator bucket is empty."""
+    from bitcoin_ledger_2es_ray.pipelines.events import bucket_script_ratio
+
+    return bucket_script_ratio(
+        sf_dir, num_type="purchase", den_type="click", bucket_s=86400, round_decimals=_ROUND
+    )
+
+
+def _q_geo_bounds(sf_dir: str) -> pa.Table:
+    """ES ``geo_bounds`` per market segment over the derived geo_point
+    (wrap_longitude=false semantics)."""
+    from bitcoin_ledger_2es_ray.pipelines.geo import geo_bounds_agg
+
+    return geo_bounds_agg(sf_dir, round_decimals=_ROUND)
+
+
+def _q_eql_funnel(sf_dir: str) -> pa.Table:
+    """EQL ``sequence by user_id with maxspan=7d [signup][purchase][error]``
+    — first-completion (funnel) semantics; per-user scan after one
+    user-keyed shuffle."""
+    from bitcoin_ledger_2es_ray.pipelines.events import eql_funnel
+
+    return eql_funnel(sf_dir, steps=("signup", "purchase", "error"), maxspan_s=7 * 86400)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core engine (SURVEY.md §2)
@@ -2308,6 +2406,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampler_agg": _q_sampler_agg,
         "extended_stats": _q_extended_stats,
         "matrix_stats": _q_matrix_stats,
+        "boxplot": _q_boxplot,
+        "string_stats": _q_string_stats,
+        "t_test": _q_t_test,
+        "moving_fn": _q_moving_fn,
+        "filters_agg": _q_filters_agg,
+        "date_range": _q_date_range,
+        "rate_agg": _q_rate_agg,
+        "bucket_script": _q_bucket_script,
+        "geo_bounds": _q_geo_bounds,
+        "eql_funnel": _q_eql_funnel,
         "sig_terms": _q_sig_terms,
         "terms_stats": _q_terms_stats_agg,
         "composite_page2": _q_composite_page2,
@@ -3857,6 +3965,116 @@ SELECT count(*)::BIGINT AS doc_count,
        round(stddev_pop(dl), 6) AS std_dev
 FROM dl
 """,
+        # boxplot over dl: exact min/q1/q2/q3/max (quantile_cont semantics)
+        "boxplot": _PRELUDE
+        + """
+SELECT round(min(dl), 6) AS min_dl,
+       round(quantile_cont(dl, 0.25), 6) AS q1,
+       round(quantile_cont(dl, 0.5), 6) AS q2,
+       round(quantile_cont(dl, 0.75), 6) AS q3,
+       round(max(dl), 6) AS max_dl
+FROM dl
+""",
+        # string_stats over documents.text: lengths + char Shannon entropy
+        "string_stats": """
+WITH ch AS (SELECT unnest(split(text, '')) AS c FROM documents),
+l AS (SELECT len(text) AS l FROM documents)
+SELECT count(*)::BIGINT AS count, min(l)::BIGINT AS min_length,
+       max(l)::BIGINT AS max_length, round(avg(l), 6) AS avg_length,
+       (SELECT round(entropy(c), 6) FROM ch) AS entropy
+FROM l
+""",
+        # t_test (Welch): purchase vs error event values
+        "t_test": """
+WITH a AS (SELECT count(*)::BIGINT n, avg(value) m, var_samp(value) v
+           FROM events WHERE event_type = 'purchase'),
+b AS (SELECT count(*)::BIGINT n, avg(value) m, var_samp(value) v
+      FROM events WHERE event_type = 'error')
+SELECT a.n AS n_a, b.n AS n_b, round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_value
+FROM a, b
+""",
+        # moving_fn min/max/sum, window = 3 buckets BEFORE current (shift 0)
+        "moving_fn": """
+WITH buckets AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT bucket_s, doc_count,
+       round(min(doc_count) OVER w, 6) AS moving_min,
+       round(max(doc_count) OVER w, 6) AS moving_max,
+       round(sum(doc_count) OVER w, 6) AS moving_sum
+FROM buckets
+WINDOW w AS (ORDER BY bucket_s ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+ORDER BY bucket_s
+""",
+        # filters agg: named term buckets (vocab idx 1/5/11) + dl >= 32
+        "filters_agg": _PRELUDE
+        + """
+, names AS (
+  SELECT 'term_' || v.term AS filter_name, v.term
+  FROM vocab v CROSS JOIN nv
+  WHERE v.idx IN (1 % nv.c, 5 % nv.c, 11 % nv.c)
+),
+tbuckets AS (
+  SELECT n.filter_name, count(*)::BIGINT AS doc_count,
+         round(avg(dl.dl), 6) AS avg_dl
+  FROM names n JOIN tf ON tf.term = n.term JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY 1
+),
+dlbucket AS (
+  SELECT 'dl_gte_32' AS filter_name, count(*)::BIGINT AS doc_count,
+         round(avg(dl), 6) AS avg_dl
+  FROM dl WHERE dl >= 32
+)
+SELECT * FROM tbuckets UNION ALL SELECT * FROM dlbucket ORDER BY filter_name
+""",
+        # date_range: open head/tail + middle bucket, ES from-to keys
+        "date_range": """
+WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, value FROM events),
+b AS (
+  SELECT CASE WHEN sec < 1704672000 THEN '*-1704672000'
+              WHEN sec < 1705276800 THEN '1704672000-1705276800'
+              ELSE '1705276800-*' END AS key, value
+  FROM e
+),
+keys AS (SELECT unnest(['*-1704672000', '1704672000-1705276800', '1705276800-*']) AS key)
+SELECT k.key, count(b.value)::BIGINT AS doc_count,
+       round(coalesce(sum(b.value), 0), 6) AS sum_value
+FROM keys k LEFT JOIN b ON b.key = k.key GROUP BY k.key ORDER BY k.key
+""",
+        # rate agg: per-day bucket at hour unit (sum + value_count modes)
+        "rate_agg": """
+SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+       count(*)::BIGINT AS doc_count,
+       round(sum(value) / 24, 6) AS rate_sum,
+       round(count(*) / 24.0, 6) AS rate_count
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        # bucket_script: daily purchase revenue / click count (null if 0 clicks)
+        "bucket_script": """
+SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 6) AS num_sum,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS den_count,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+             / nullif(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0), 6)
+         AS ratio
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        # eql funnel: earliest signup -> purchase -> error per user, maxspan 7d
+        "eql_funnel": """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type FROM events),
+s1 AS (SELECT user_id, min(sec) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT s1.user_id, t1, min(sec) AS t2
+       FROM s1 JOIN e ON e.user_id = s1.user_id AND e.event_type = 'purchase' AND e.sec > s1.t1
+       GROUP BY 1, 2),
+s3 AS (SELECT s2.user_id, t1, t2, min(sec) AS t3
+       FROM s2 JOIN e ON e.user_id = s2.user_id AND e.event_type = 'error' AND e.sec > s2.t2
+       GROUP BY 1, 2, 3)
+SELECT user_id, t1 AS t1_s, t2 AS t2_s, t3 AS t3_s, (t3 - t1)::BIGINT AS span_s
+FROM s3 WHERE t3 - t1 <= 604800 ORDER BY user_id
+""",
         # matrix_stats over events (value, user_id): population co-moments
         "matrix_stats": """
 WITH s AS (SELECT value AS x, user_id::DOUBLE AS y FROM events)
@@ -4624,6 +4842,13 @@ ORDER BY c_custkey
 SELECT c_mktsegment, count(*)::BIGINT AS n,
        round(sum(lat) / count(*), 6) AS lat_centroid,
        round(sum(lon) / count(*), 6) AS lon_centroid
+FROM pts GROUP BY 1 ORDER BY 1
+""",
+        # geo_bounds per segment: min/max box, wrap_longitude=false
+        "geo_bounds": _GEO_PTS
+        + """
+SELECT c_mktsegment, round(max(lat), 6) AS top, round(min(lat), 6) AS bottom,
+       round(min(lon), 6) AS "left", round(max(lon), 6) AS "right"
 FROM pts GROUP BY 1 ORDER BY 1
 """,
         "geotile_grid": _GEO_PTS

@@ -1238,3 +1238,347 @@ def normalize_agg(
             "normalized": pa.array(sql_round(scaled, round_decimals), type=pa.float64()),
         }
     )
+
+
+def boxplot_agg(index_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``boxplot`` aggregation over doc length — EXACT, via the same
+    value-counts plan as ``percentiles_agg``: per-batch ``dl`` histograms
+    stream off the forward map (shuffle bounded by #distinct dl, not
+    docs), the driver interpolates q1/q2/q3 with ``quantile_cont``
+    semantics from the tiny combined count table and reads min/max off its
+    ends.  ES answers boxplot with TDigest; over a bounded-cardinality
+    field the exact plan has the same mergeable-partial wire shape with no
+    approximation.  One row: (min, q1, q2, q3, max)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("dl").aggregate([("dl", "count")])
+        return pa.table({"dl": g["dl"], "n": g["dl_count"].cast(pa.int64())})
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["dl"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        raise ValueError("boxplot_agg: empty forward map")
+    cat = pa.concat_tables(parts)
+    t = (
+        cat.group_by("dl")
+        .aggregate([("n", "sum")])
+        .select(["dl", "n_sum"])
+        .rename_columns(["dl", "n"])
+    )
+    vals = np.asarray(t["dl"].combine_chunks(), dtype=np.float64)
+    cnts = np.asarray(t["n"].combine_chunks(), dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+
+    def order_stat(k: int) -> float:
+        return float(vals[np.searchsorted(cum, k, side="right")])
+
+    def quantile(q: float) -> float:
+        pos = q * (n - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        v_lo = order_stat(lo)
+        return v_lo if hi == lo else v_lo + (pos - lo) * (order_stat(hi) - v_lo)
+
+    out = {
+        "min_dl": float(vals[0]),
+        "q1": quantile(0.25),
+        "q2": quantile(0.5),
+        "q3": quantile(0.75),
+        "max_dl": float(vals[-1]),
+    }
+    return pa.table(
+        {
+            k: pa.array([float(sql_round(v, round_decimals))], type=pa.float64())
+            for k, v in out.items()
+        }
+    )
+
+
+def string_stats_agg(
+    sf_dir: str, field: str = "text", round_decimals: int = 6
+) -> pa.Table:
+    """ES ``string_stats`` aggregation (with ``show_distribution``-grade
+    exactness) over a documents column: count, min/max/avg length
+    (Unicode code points, like Lucene) and the Shannon entropy (base 2)
+    of the CHARACTER distribution.
+
+    One streamed pass: each batch emits (a) a 1-row length partial
+    (n, min, max, sum — exact int64) and (b) a per-codepoint count
+    histogram (bounded by the alphabet, not the text).  The driver merges
+    histograms with one Arrow group_by and derives the entropy — the same
+    mergeable-partial wire shape ES uses for its shard responses."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[field].combine_chunks()
+        lens = pc.utf8_length(col)
+        # codepoint histogram: one utf-32 decode of the whole batch, then
+        # a vectorized unique — no per-row loop
+        joined = "".join(col.to_pylist())
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        u, c = np.unique(codes, return_counts=True)
+        n = len(col)
+        return pa.table(
+            {
+                "char": np.concatenate(([-1], u.astype(np.int64))),
+                "cnt": np.concatenate(([0], c.astype(np.int64))),
+                "n": pa.array([n] + [0] * len(u), type=pa.int64()),
+                "mn": pa.array(
+                    [int(pc.min(lens).as_py()) if n else 0] + [0] * len(u),
+                    type=pa.int64(),
+                ),
+                "mx": pa.array(
+                    [int(pc.max(lens).as_py()) if n else 0] + [0] * len(u),
+                    type=pa.int64(),
+                ),
+                "s": pa.array(
+                    [int(pc.sum(lens).as_py()) if n else 0] + [0] * len(u),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=[field]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        raise ValueError("string_stats_agg: empty documents table")
+    cat = pa.concat_tables(parts)
+    import pyarrow.compute as pc
+
+    stats = cat.filter(pc.equal(cat["char"], -1))
+    n = sum(stats["n"].to_pylist())
+    if n == 0:
+        raise ValueError("string_stats_agg: no values")
+    mn = min(stats["mn"].to_pylist())
+    mx = max(stats["mx"].to_pylist())
+    s = sum(stats["s"].to_pylist())
+    hist = (
+        cat.filter(pc.not_equal(cat["char"], -1))
+        .group_by("char")
+        .aggregate([("cnt", "sum")])
+    )
+    c = np.asarray(hist["cnt_sum"].combine_chunks(), dtype=np.float64)
+    p = c / c.sum()
+    entropy = float(-(p * np.log2(p)).sum())
+    return pa.table(
+        {
+            "count": pa.array([n], type=pa.int64()),
+            "min_length": pa.array([mn], type=pa.int64()),
+            "max_length": pa.array([mx], type=pa.int64()),
+            "avg_length": pa.array(
+                [float(sql_round(s / n, round_decimals))], type=pa.float64()
+            ),
+            "entropy": pa.array(
+                [float(sql_round(entropy, round_decimals))], type=pa.float64()
+            ),
+        }
+    )
+
+
+def t_test_agg(
+    sf_dir: str,
+    type_a: str = "purchase",
+    type_b: str = "error",
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch, the ES
+    default) comparing ``value`` between two event populations selected
+    by ``event_type``.
+
+    One streamed pass over events: per-batch moment partials
+    (n, Σv, Σv²) per side — the exact mergeable shape ES ships from
+    shards — then the driver folds them and derives Welch's t with
+    SAMPLE variance (ES/commons-math semantics).  Returns one row:
+    (n_a, n_b, mean_a, mean_b, t_value)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rows = {"side": [], "n": [], "s": [], "ss": []}
+        for side, etype in (("a", type_a), ("b", type_b)):
+            v = np.asarray(
+                batch.filter(pc.equal(batch["event_type"], etype))["value"],
+                dtype=np.float64,
+            )
+            if len(v):
+                rows["side"].append(side)
+                rows["n"].append(len(v))
+                rows["s"].append(float(v.sum()))
+                rows["ss"].append(float((v * v).sum()))
+        return pa.table(
+            {
+                "side": pa.array(rows["side"], type=pa.string()),
+                "n": pa.array(rows["n"], type=pa.int64()),
+                "s": pa.array(rows["s"], type=pa.float64()),
+                "ss": pa.array(rows["ss"], type=pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        raise ValueError("t_test_agg: no events")
+    cat = pa.concat_tables(parts)
+    import pyarrow.compute as pc
+
+    out: dict[str, tuple[int, float, float]] = {}
+    for side in ("a", "b"):
+        t = cat.filter(pc.equal(cat["side"], side))
+        n = sum(t["n"].to_pylist())
+        if n < 2:
+            raise ValueError(f"t_test_agg: side {side!r} has < 2 observations")
+        out[side] = (n, sum(t["s"].to_pylist()), sum(t["ss"].to_pylist()))
+    (na, sa, ssa), (nb, sb, ssb) = out["a"], out["b"]
+    ma, mb = sa / na, sb / nb
+    va = (ssa - na * ma * ma) / (na - 1)  # sample variance
+    vb = (ssb - nb * mb * mb) / (nb - 1)
+    tval = (ma - mb) / float(np.sqrt(va / na + vb / nb))
+    r = lambda x: float(sql_round(x, round_decimals))  # noqa: E731
+    return pa.table(
+        {
+            "n_a": pa.array([na], type=pa.int64()),
+            "n_b": pa.array([nb], type=pa.int64()),
+            "mean_a": pa.array([r(ma)], type=pa.float64()),
+            "mean_b": pa.array([r(mb)], type=pa.float64()),
+            "t_value": pa.array([r(tval)], type=pa.float64()),
+        }
+    )
+
+
+def moving_fn_agg(
+    buckets: pa.Table,
+    key: str,
+    metric: str,
+    window: int = 3,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``moving_fn`` pipeline aggregation with the built-in
+    ``MovingFunctions`` min/max/sum over the DEFAULT window placement:
+    the ``window`` buckets strictly BEFORE the current one (shift = 0 —
+    unlike ``moving_avg``'s trailing-inclusive model in
+    ``pipeline_aggs``).  Buckets with an empty window (the first) yield
+    null, exactly like ES's NaN→null serialization.  Coordinator-side
+    over reduced buckets, like every pipeline agg."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    t = buckets.sort_by(key)
+    v = np.asarray(t[metric], dtype=np.float64)
+    n = len(v)
+    mins, maxs, sums = [], [], []
+    cum = np.concatenate(([0.0], np.cumsum(v)))
+    for i in range(n):
+        lo = max(0, i - window)
+        if lo == i:  # empty window
+            mins.append(None)
+            maxs.append(None)
+            sums.append(None)
+            continue
+        w = v[lo:i]
+        mins.append(float(sql_round(w.min(), round_decimals)))
+        maxs.append(float(sql_round(w.max(), round_decimals)))
+        sums.append(float(sql_round(cum[i] - cum[lo], round_decimals)))
+    return pa.table(
+        {
+            key: t[key],
+            metric: t[metric],
+            "moving_min": pa.array(mins, type=pa.float64()),
+            "moving_max": pa.array(maxs, type=pa.float64()),
+            "moving_sum": pa.array(sums, type=pa.float64()),
+        }
+    )
+
+
+def filters_agg(
+    store,
+    term_filters: list[tuple[str, str]],
+    dl_gte: tuple[str, int] | None = None,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``filters`` aggregation: NAMED buckets, one per filter, each
+    with doc_count and an ``avg`` sub-agg over doc length.
+
+    Term buckets read the term's posting slice (docs are unique per term
+    by construction; dl rides along in the posting columns) — the same
+    "filter = query, bucket = its hit stats" plan ES runs.  The optional
+    ``dl_gte`` bucket is a predicate on a doc-values column, answered by
+    one streamed partial pass over the forward map (n, Σdl per batch —
+    never the rows)."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    names, counts, avgs = [], [], []
+    for name, term in term_filters:
+        d, _tf, dl = store.postings(term)
+        names.append(name)
+        counts.append(int(len(d)))
+        avgs.append(
+            float(sql_round(float(np.mean(dl)), round_decimals)) if len(d) else None
+        )
+    if dl_gte is not None:
+        name, threshold = dl_gte
+        import ray
+        import ray.data as rd
+
+        def partial(batch: pa.Table) -> pa.Table:
+            dl = np.asarray(batch["dl"].combine_chunks(), dtype=np.int64)
+            keep = dl[dl >= threshold]
+            return pa.table(
+                {
+                    "n": pa.array([len(keep)], type=pa.int64()),
+                    "s": pa.array([int(keep.sum())], type=pa.int64()),
+                }
+            )
+
+        ds = rd.read_parquet(
+            os.path.join(store.index_dir, "forward_map"), columns=["dl"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        parts = [ray.get(r) for r in ds.to_arrow_refs()]
+        parts = [
+            p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts
+        ]
+        cat = pa.concat_tables([p for p in parts if p.num_rows])
+        n = sum(cat["n"].to_pylist())
+        s = sum(cat["s"].to_pylist())
+        names.append(name)
+        counts.append(int(n))
+        avgs.append(float(sql_round(s / n, round_decimals)) if n else None)
+    return pa.table(
+        {
+            "filter_name": pa.array(names, type=pa.string()),
+            "doc_count": pa.array(counts, type=pa.int64()),
+            "avg_dl": pa.array(avgs, type=pa.float64()),
+        }
+    ).sort_by("filter_name")

@@ -355,3 +355,268 @@ def cumulative_cardinality(sf_dir: str, interval_s: int = 86400) -> pa.Table:
             "cumulative_users": pa.array(np.cumsum(new)),
         }
     )
+
+
+def date_range_agg(
+    sf_dir: str, edges_s: tuple[int, ...], round_decimals: int = 6
+) -> pa.Table:
+    """ES ``date_range`` aggregation over events: half-open buckets
+    [from, to) from the sorted epoch-second ``edges_s``, plus the
+    unbounded head (*-first) and tail (last-*) buckets, each with
+    doc_count and sum(value).  Keys use the ES ``from-to`` label scheme
+    with ``*`` for the open ends.
+
+    Per-batch searchsorted bucket assignment → (bucket, n, Σv) partials;
+    the driver combine is bounded by the bucket count."""
+    import ray
+    import ray.data as rd
+
+    edges = np.asarray(sorted(edges_s), dtype=np.int64)
+    labels = []
+    bounds = [None, *edges.tolist(), None]
+    for i in range(len(bounds) - 1):
+        lo = "*" if bounds[i] is None else str(bounds[i])
+        hi = "*" if bounds[i + 1] is None else str(bounds[i + 1])
+        labels.append(f"{lo}-{hi}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sec = np.asarray(
+            pc.divide(batch["ts"].cast(pa.int64()), 1_000_000).combine_chunks(),
+            dtype=np.int64,
+        )
+        v = np.asarray(batch["value"].combine_chunks(), dtype=np.float64)
+        idx = np.searchsorted(edges, sec, side="right")
+        t = pa.table({"b": idx.astype(np.int64), "v": v})
+        g = t.group_by("b").aggregate([("v", "count"), ("v", "sum")])
+        return pa.table(
+            {
+                "b": g["b"],
+                "n": g["v_count"].cast(pa.int64()),
+                "s": g["v_sum"],
+            }
+        )
+
+    ds = _read_events(sf_dir, ["ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    import ray
+
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    g = cat.group_by("b").aggregate([("n", "sum"), ("s", "sum")])
+    got = {
+        int(b): (int(n), float(s))
+        for b, n, s in zip(
+            g["b"].to_pylist(), g["n_sum"].to_pylist(), g["s_sum"].to_pylist()
+        )
+    }
+    counts = [got.get(i, (0, 0.0))[0] for i in range(len(labels))]
+    sums = [
+        float(sql_round(got.get(i, (0, 0.0))[1], round_decimals))
+        for i in range(len(labels))
+    ]
+    return pa.table(
+        {
+            "key": pa.array(labels, type=pa.string()),
+            "doc_count": pa.array(counts, type=pa.int64()),
+            "sum_value": pa.array(sums, type=pa.float64()),
+        }
+    )
+
+
+def rate_agg(
+    sf_dir: str,
+    bucket_s: int = 86400,
+    unit_s: int = 3600,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``rate`` aggregation inside a fixed-interval date_histogram:
+    per bucket, ``rate_sum = Σvalue / units`` and ``rate_count =
+    doc_count / units`` where units = bucket_s / unit_s (day bucket at
+    hour unit → ÷24) — ES's value_count/sum rate modes.  Same
+    pre-aggregated partial plan as ``date_histogram_stats``."""
+    units = bucket_s / unit_s
+
+    base = date_histogram_stats(sf_dir, interval_s=bucket_s)
+    n = np.asarray(base["doc_count"], dtype=np.float64)
+    # re-derive the exact bucket sums (base rounds them for its own
+    # contract): avg*count would re-round; recompute from raw partials
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sec = np.asarray(
+            pc.divide(batch["ts"].cast(pa.int64()), 1_000_000).combine_chunks(),
+            dtype=np.int64,
+        )
+        b = (sec // bucket_s) * bucket_s
+        t = pa.table(
+            {"b": b.astype(np.int64), "v": np.asarray(batch["value"], dtype=np.float64)}
+        )
+        g = t.group_by("b").aggregate([("v", "sum")])
+        return pa.table({"b": g["b"], "s": g["v_sum"]})
+
+    ds = _read_events(sf_dir, ["ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    g = cat.group_by("b").aggregate([("s", "sum")]).sort_by("b")
+    assert g["b"].to_pylist() == base["bucket_s"].to_pylist()
+    s = np.asarray(g["s_sum"], dtype=np.float64)
+    return pa.table(
+        {
+            "bucket_s": base["bucket_s"],
+            "doc_count": base["doc_count"],
+            "rate_sum": pa.array(sql_round(s / units, round_decimals), type=pa.float64()),
+            "rate_count": pa.array(
+                sql_round(n / units, round_decimals), type=pa.float64()
+            ),
+        }
+    )
+
+
+def bucket_script_ratio(
+    sf_dir: str,
+    num_type: str = "purchase",
+    den_type: str = "click",
+    bucket_s: int = 86400,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``bucket_script`` pipeline agg: per date_histogram bucket, a
+    script over two sibling metrics — here ``sum(value) where
+    event_type=num`` ÷ ``count(*) where event_type=den`` (revenue per
+    click).  Buckets where the denominator is 0 yield null (ES skips the
+    script there).  ONE partial pass carries both filter sub-aggs."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sec = np.asarray(
+            pc.divide(batch["ts"].cast(pa.int64()), 1_000_000).combine_chunks(),
+            dtype=np.int64,
+        )
+        b = (sec // bucket_s) * bucket_s
+        et = np.asarray(batch["event_type"].combine_chunks().cast(pa.string()))
+        v = np.asarray(batch["value"].combine_chunks(), dtype=np.float64)
+        t = pa.table(
+            {
+                "b": b.astype(np.int64),
+                "nv": np.where(et == num_type, v, 0.0),
+                "dn": (et == den_type).astype(np.int64),
+            }
+        )
+        g = t.group_by("b").aggregate([("nv", "sum"), ("dn", "sum")])
+        return pa.table(
+            {"b": g["b"], "nv": g["nv_sum"], "dn": g["dn_sum"].cast(pa.int64())}
+        )
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    g = cat.group_by("b").aggregate([("nv", "sum"), ("dn", "sum")]).sort_by("b")
+    nv = np.asarray(g["nv_sum"], dtype=np.float64)
+    dn = np.asarray(g["dn_sum"], dtype=np.int64)
+    ratio = [
+        None if d == 0 else float(sql_round(x / d, round_decimals))
+        for x, d in zip(nv.tolist(), dn.tolist())
+    ]
+    return pa.table(
+        {
+            "bucket_s": g["b"].cast(pa.int64()),
+            "num_sum": pa.array(sql_round(nv, round_decimals), type=pa.float64()),
+            "den_count": pa.array(dn, type=pa.int64()),
+            "ratio": pa.array(ratio, type=pa.float64()),
+        }
+    )
+
+
+def eql_funnel(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("signup", "purchase", "error"),
+    maxspan_s: int = 7 * 86400,
+) -> pa.Table:
+    """EQL-style ``sequence by user_id with maxspan`` over the events log
+    (ES EQL runs against the same Lucene index as _search) — with
+    FIRST-COMPLETION (funnel) semantics, the deterministic fragment that
+    a SQL oracle can mirror: step 1 anchors at the user's EARLIEST
+    matching event, each later step at the earliest matching event
+    strictly after the previous step, and the sequence survives iff
+    last - first ≤ maxspan.  (Full EQL emits every non-overlapped match
+    from a per-key state machine; the divergence is documented here.)
+
+    Plan: filter to the step types at the read (predicate pushdown),
+    hash-shuffle by user_id once, per-user vectorized scan in
+    ``map_groups`` — the same one-user-per-group partitioning assumption
+    as ``sessionize``."""
+    import pyarrow.dataset as pads
+    import ray
+
+    expr = pads.field("event_type").isin(list(steps))
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=expr,
+    )
+
+    def funnel_of_user(group: pa.Table) -> pa.Table:
+        sec = np.asarray(
+            pc.divide(group["ts"].cast(pa.int64()), 1_000_000).combine_chunks(),
+            dtype=np.int64,
+        )
+        et = np.asarray(group["event_type"].combine_chunks().cast(pa.string()))
+        order = np.argsort(sec, kind="stable")
+        sec, et = sec[order], et[order]
+        times = []
+        prev = -1
+        for step in steps:
+            cand = sec[(et == step) & (sec > prev)]
+            if len(cand) == 0:
+                return pa.table(
+                    {
+                        "user_id": pa.array([], type=pa.int64()),
+                        **{f"t{i+1}_s": pa.array([], type=pa.int64()) for i in range(len(steps))},
+                        "span_s": pa.array([], type=pa.int64()),
+                    }
+                )
+            prev = int(cand[0])
+            times.append(prev)
+        span = times[-1] - times[0]
+        if span > maxspan_s:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    **{f"t{i+1}_s": pa.array([], type=pa.int64()) for i in range(len(steps))},
+                    "span_s": pa.array([], type=pa.int64()),
+                }
+            )
+        uid = int(group["user_id"][0].as_py())
+        return pa.table(
+            {
+                "user_id": pa.array([uid], type=pa.int64()),
+                **{
+                    f"t{i+1}_s": pa.array([t], type=pa.int64())
+                    for i, t in enumerate(times)
+                },
+                "span_s": pa.array([span], type=pa.int64()),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(funnel_of_user, batch_format="pyarrow")
+    parts = [ray.get(r) for r in out.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                **{f"t{i+1}_s": pa.array([], type=pa.int64()) for i in range(len(steps))},
+                "span_s": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by("user_id")

@@ -298,3 +298,62 @@ def geo_distance_agg(
             "avg_acctbal": pa.array(sql_round(s / n, round_decimals), type=pa.float64()),
         }
     )
+
+
+def geo_bounds_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``geo_bounds`` aggregation bucketed by market segment: the
+    smallest lat/lon box containing every point — (segment, top [max
+    lat], bottom [min lat], left [min lon], right [max lon]),
+    ``wrap_longitude=false`` semantics (plain min/max, no dateline
+    wrapping).  Per-batch (min, max) partials per segment; the shuffle
+    moves 4 numbers per (segment × batch)."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_coords(key)
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+            }
+        )
+        g = t.group_by("c_mktsegment").aggregate(
+            [("lat", "min"), ("lat", "max"), ("lon", "min"), ("lon", "max")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "lat_mn": g["lat_min"],
+                "lat_mx": g["lat_max"],
+                "lon_mn": g["lon_min"],
+                "lon_mx": g["lon_max"],
+            }
+        )
+
+    ds = (
+        _read_customers(sf_dir, ["c_custkey", "c_mktsegment"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Min("lat_mn", alias_name="lat_mn"),
+            Max("lat_mx", alias_name="lat_mx"),
+            Min("lon_mn", alias_name="lon_mn"),
+            Max("lon_mx", alias_name="lon_mx"),
+        )
+    )
+    t = pa.concat_tables(_collect(ds))
+    r = lambda col: pa.array(  # noqa: E731
+        sql_round(np.asarray(t[col], dtype=np.float64), round_decimals),
+        type=pa.float64(),
+    )
+    return pa.table(
+        {
+            "c_mktsegment": t["c_mktsegment"],
+            "top": r("lat_mx"),
+            "bottom": r("lat_mn"),
+            "left": r("lon_mn"),
+            "right": r("lon_mx"),
+        }
+    ).sort_by("c_mktsegment")

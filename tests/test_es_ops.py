@@ -1479,3 +1479,192 @@ def test_scroll_all_bad_page_size(built):
     res, _, _ = built
     with _pytest.raises(ValueError):
         scroll_all(SegmentStore(res.out_dir), "x", page_size=0)
+
+
+# ---------------------------------------------------------------------------
+# round-3 continuation 2: boxplot / string_stats / t_test / moving_fn /
+# filters / date_range / rate / bucket_script / geo_bounds / eql_funnel
+
+SF_EVENTS = "/root/testdata/sf0.001"
+
+
+def test_boxplot_matches_numpy(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import boxplot_agg
+
+    res, _, corpus = built
+    t = boxplot_agg(res.out_dir)
+    dl = pq.read_table(f"{res.out_dir}/forward_map", columns=["dl"])["dl"].to_numpy()
+    assert t["min_dl"][0].as_py() == float(dl.min())
+    assert t["max_dl"][0].as_py() == float(dl.max())
+    for col, q in (("q1", 25), ("q2", 50), ("q3", 75)):
+        assert t[col][0].as_py() == pytest.approx(
+            round(float(np.percentile(dl, q)), 6), abs=1e-9
+        )
+
+
+def test_string_stats_entropy_bruteforce(ray_session):
+    import collections
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import string_stats_agg
+
+    t = string_stats_agg(SF_EVENTS)
+    texts = pq.read_table(f"{SF_EVENTS}/documents.parquet", columns=["text"])["text"].to_pylist()
+    lens = [len(s) for s in texts]
+    counts = collections.Counter("".join(texts))
+    tot = sum(counts.values())
+    ent = -sum((c / tot) * math.log2(c / tot) for c in counts.values())
+    assert t["count"][0].as_py() == len(texts)
+    assert t["min_length"][0].as_py() == min(lens)
+    assert t["max_length"][0].as_py() == max(lens)
+    assert t["avg_length"][0].as_py() == pytest.approx(sum(lens) / len(lens), abs=1e-6)
+    assert t["entropy"][0].as_py() == pytest.approx(ent, abs=1e-6)
+
+
+def test_t_test_welch_bruteforce(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import t_test_agg
+
+    t = t_test_agg(SF_EVENTS, type_a="purchase", type_b="error")
+    ev = pq.read_table(f"{SF_EVENTS}/events.parquet", columns=["event_type", "value"])
+    et = np.asarray(ev["event_type"].cast(pa.string()))
+    v = np.asarray(ev["value"], dtype=np.float64)
+    a, b = v[et == "purchase"], v[et == "error"]
+    want = (a.mean() - b.mean()) / math.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    assert t["n_a"][0].as_py() == len(a) and t["n_b"][0].as_py() == len(b)
+    assert t["t_value"][0].as_py() == pytest.approx(want, abs=1e-6)
+
+
+def test_moving_fn_window_excludes_current():
+    from bitcoin_ledger_2es_ray.pipelines.aggs import moving_fn_agg
+
+    buckets = pa.table({"k": [0, 1, 2, 3, 4], "m": [5.0, 1.0, 4.0, 2.0, 3.0]})
+    t = moving_fn_agg(buckets, key="k", metric="m", window=3)
+    assert t["moving_min"].to_pylist() == [None, 5.0, 1.0, 1.0, 1.0]
+    assert t["moving_max"].to_pylist() == [None, 5.0, 5.0, 5.0, 4.0]
+    assert t["moving_sum"].to_pylist() == [None, 5.0, 6.0, 10.0, 7.0]
+
+
+def test_filters_agg_bruteforce(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import filters_agg
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    term = sorted(store.df)[1]
+    t = filters_agg(store, [(f"term_{term}", term)], dl_gte=("dl_gte_32", 32))
+    d, _tf, dl = store.postings(term)
+    fm = pq.read_table(f"{res.out_dir}/forward_map", columns=["dl"])["dl"].to_numpy()
+    big = fm[fm >= 32]
+    rows = {n: (c, a) for n, c, a in zip(
+        t["filter_name"].to_pylist(), t["doc_count"].to_pylist(), t["avg_dl"].to_pylist()
+    )}
+    assert rows[f"term_{term}"][0] == len(d)
+    assert rows[f"term_{term}"][1] == pytest.approx(float(np.mean(dl)), abs=1e-6)
+    assert rows["dl_gte_32"][0] == len(big)
+    if len(big):
+        assert rows["dl_gte_32"][1] == pytest.approx(float(big.mean()), abs=1e-6)
+
+
+def test_date_range_buckets_cover_all_events(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.events import date_range_agg
+
+    edges = (1704672000, 1705276800)
+    t = date_range_agg(SF_EVENTS, edges_s=edges)
+    ev = pq.read_table(f"{SF_EVENTS}/events.parquet", columns=["ts", "value"])
+    sec = np.asarray(ev["ts"].cast(pa.int64()), dtype=np.int64) // 1_000_000
+    v = np.asarray(ev["value"], dtype=np.float64)
+    assert t["key"].to_pylist() == [
+        "*-1704672000", "1704672000-1705276800", "1705276800-*",
+    ]
+    masks = [sec < edges[0], (sec >= edges[0]) & (sec < edges[1]), sec >= edges[1]]
+    assert t["doc_count"].to_pylist() == [int(m.sum()) for m in masks]
+    for got, m in zip(t["sum_value"].to_pylist(), masks):
+        assert got == pytest.approx(float(v[m].sum()), abs=1e-5)
+
+
+def test_rate_and_bucket_script_bruteforce(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.events import bucket_script_ratio, rate_agg
+
+    ev = pq.read_table(
+        f"{SF_EVENTS}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    sec = np.asarray(ev["ts"].cast(pa.int64()), dtype=np.int64) // 1_000_000
+    day = (sec // 86400) * 86400
+    et = np.asarray(ev["event_type"].cast(pa.string()))
+    v = np.asarray(ev["value"], dtype=np.float64)
+
+    r = rate_agg(SF_EVENTS)
+    for b, rs, rc in zip(
+        r["bucket_s"].to_pylist(), r["rate_sum"].to_pylist(), r["rate_count"].to_pylist()
+    ):
+        m = day == b
+        assert rs == pytest.approx(v[m].sum() / 24, abs=1e-5)
+        assert rc == pytest.approx(m.sum() / 24, abs=1e-6)  # engine rounds to 6dp
+
+    bs = bucket_script_ratio(SF_EVENTS)
+    for b, ratio in zip(bs["bucket_s"].to_pylist(), bs["ratio"].to_pylist()):
+        m = day == b
+        p = v[m & (et == "purchase")].sum()
+        c = int((m & (et == "click")).sum())
+        if c == 0:
+            assert ratio is None
+        else:
+            assert ratio == pytest.approx(p / c, abs=1e-5)
+
+
+def test_geo_bounds_bruteforce(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.geo import derive_coords, geo_bounds_agg
+
+    t = geo_bounds_agg(SF_EVENTS)
+    cust = pq.read_table(
+        f"{SF_EVENTS}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lat, lon = derive_coords(np.asarray(cust["c_custkey"], dtype=np.int64))
+    seg = np.asarray(cust["c_mktsegment"].cast(pa.string()))
+    for s, top, bot, left, right in zip(
+        t["c_mktsegment"].to_pylist(), t["top"].to_pylist(), t["bottom"].to_pylist(),
+        t["left"].to_pylist(), t["right"].to_pylist(),
+    ):
+        m = seg == s
+        assert top == pytest.approx(lat[m].max(), abs=1e-6)
+        assert bot == pytest.approx(lat[m].min(), abs=1e-6)
+        assert left == pytest.approx(lon[m].min(), abs=1e-6)
+        assert right == pytest.approx(lon[m].max(), abs=1e-6)
+
+
+def test_eql_funnel_bruteforce(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.events import eql_funnel
+
+    steps = ("signup", "purchase", "error")
+    maxspan = 7 * 86400
+    t = eql_funnel(SF_EVENTS, steps=steps, maxspan_s=maxspan)
+    ev = pq.read_table(
+        f"{SF_EVENTS}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    sec = np.asarray(ev["ts"].cast(pa.int64()), dtype=np.int64) // 1_000_000
+    uid = np.asarray(ev["user_id"], dtype=np.int64)
+    et = np.asarray(ev["event_type"].cast(pa.string()))
+    want = {}
+    for u in np.unique(uid):
+        m = uid == u
+        s, e = sec[m], et[m]
+        order = np.argsort(s, kind="stable")
+        s, e = s[order], e[order]
+        prev, times = -1, []
+        ok = True
+        for step in steps:
+            cand = s[(e == step) & (s > prev)]
+            if len(cand) == 0:
+                ok = False
+                break
+            prev = int(cand[0])
+            times.append(prev)
+        if ok and times[-1] - times[0] <= maxspan:
+            want[int(u)] = tuple(times)
+    got = {
+        u: (t1, t2, t3)
+        for u, t1, t2, t3 in zip(
+            t["user_id"].to_pylist(), t["t1_s"].to_pylist(),
+            t["t2_s"].to_pylist(), t["t3_s"].to_pylist(),
+        )
+    }
+    assert got == want
