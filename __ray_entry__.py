@@ -2366,6 +2366,126 @@ def _q_eql_funnel(sf_dir: str) -> pa.Table:
     return eql_funnel(sf_dir, steps=("signup", "purchase", "error"), maxspan_s=7 * 86400)
 
 
+def _q_match_bool_prefix(sf_dir: str) -> pa.Table:
+    """ES ``match_bool_prefix``: fixture terms as scoring term queries +
+    a prefix clause (first 2 chars of vocab term (17q+5) mod |V|) under
+    the constant-score rewrite (+1.0 per matching doc)."""
+    from bitcoin_ledger_2es_ray.pipelines.structured import match_bool_prefix_topk
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    vocab = sorted(store.df)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        prefix = vocab[(17 * qid + 5) % len(vocab)][:2]
+        top = match_bool_prefix_topk(
+            store, f"{text} {prefix}", _TOP_K, round_decimals=_ROUND
+        )
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_constant_score(sf_dir: str) -> pa.Table:
+    """ES ``constant_score``: filter = vocab term (3q+2) mod |V| with
+    dl ∈ [8, 40]; every hit scores exactly boost 1.5."""
+    from bitcoin_ledger_2es_ray.pipelines.structured import constant_score_topk
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    qids, ranks, docs, scores = [], [], [], []
+    for q in range(_N_QUERIES):
+        term = vocab[(3 * q + 2) % len(vocab)]
+        top = constant_score_topk(store, term, boost=1.5, k=_TOP_K, dl_lo=8, dl_hi=40)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(q)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_pinned(sf_dir: str) -> pa.Table:
+    """ES ``pinned`` query: docs (3q) mod N and (3q+7) mod N pinned in
+    order (scores PIN_BASE − slot), organic BM25 fixture hits follow
+    with pinned ids removed."""
+    from bitcoin_ledger_2es_ray.pipelines.structured import pinned_topk
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    n = store.n_docs
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        pins = [(3 * qid) % n, (3 * qid + 7) % n]
+        top = pinned_topk(store, text, pins, _TOP_K, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_simple_query_string(sf_dir: str) -> pa.Table:
+    """ES ``simple_query_string``: the parsed string
+    ``v[q%c] +v[(7q+3)%c] -v[(13q+11)%c]`` → bool(must, should,
+    must_not) through the real parser."""
+    from bitcoin_ledger_2es_ray.pipelines.structured import simple_query_string_topk
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    c = len(vocab)
+    qids, ranks, docs, scores = [], [], [], []
+    for q in range(_N_QUERIES):
+        qstr = f"{vocab[q % c]} +{vocab[(7 * q + 3) % c]} -{vocab[(13 * q + 11) % c]}"
+        top = simple_query_string_topk(store, qstr, _TOP_K, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(q)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_field_caps(sf_dir: str) -> pa.Table:
+    """ES ``_field_caps`` over the documents table: schema-driven types,
+    text-vs-keyword inferred from a streamed whitespace scan."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import field_caps
+
+    return field_caps(sf_dir, table="documents")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core engine (SURVEY.md §2)
@@ -2463,6 +2583,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_match_cross": _q_multi_match_cross,
         "combined_fields": _q_combined_fields,
         "dup_clusters": _q_dup_clusters,
+        "match_bool_prefix": _q_match_bool_prefix,
+        "constant_score": _q_constant_score,
+        "pinned": _q_pinned,
+        "simple_query_string": _q_simple_query_string,
+        "field_caps": _q_field_caps,
         "bool_query": _q_bool_query,
         "synonym_topk": _q_synonym_topk,
         "delete_query_topk": _q_delete_query_topk,
@@ -3393,6 +3518,188 @@ reach AS (
 )
 SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id
+""",
+        # match_bool_prefix: scoring terms + constant-score prefix clause
+        "match_bool_prefix": _PRELUDE
+        + """
+, pf AS (
+  SELECT q AS query_id, substr(v.term, 1, 2) AS p
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (17 * q + 5) % nv.c
+),
+lead_sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS s
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+pdocs AS (
+  SELECT DISTINCT pf.query_id, tf.doc_id
+  FROM pf JOIN tf ON starts_with(tf.term, pf.p)
+),
+unioned AS (
+  SELECT coalesce(l.query_id, p.query_id) AS query_id,
+         coalesce(l.doc_id, p.doc_id) AS doc_id,
+         round(coalesce(l.s, 0) + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0 END, 6)
+           AS score
+  FROM lead_sc l FULL JOIN pdocs p
+    ON p.query_id = l.query_id AND p.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM unioned
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # constant_score: term filter + dl range, every hit scores boost
+        "constant_score": _PRELUDE
+        + """
+, q1 AS (
+  SELECT q AS query_id, v.term
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (3 * q + 2) % nv.c
+),
+hits AS (
+  SELECT q1.query_id, tf.doc_id
+  FROM q1 JOIN tf ON tf.term = q1.term JOIN dl ON dl.doc_id = tf.doc_id
+  WHERE dl.dl BETWEEN 8 AND 40
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS rank,
+         doc_id
+  FROM hits
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, 1.5 AS score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # pinned: fixed ids first (PIN_BASE - slot), organic BM25 follows
+        "pinned": _PRELUDE
+        + """
+, ndocs AS (SELECT count(*) AS n FROM documents),
+pins AS (
+  SELECT q AS query_id, 0 AS slot, (3 * q) % n AS doc_id
+  FROM generate_series(0, {nq1}) t(q), ndocs
+  UNION ALL
+  SELECT q, 1, (3 * q + 7) % n FROM generate_series(0, {nq1}) t(q), ndocs
+),
+organic AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+org2 AS (
+  SELECT o.query_id, o.doc_id, o.score FROM organic o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pins p WHERE p.query_id = o.query_id AND p.doc_id = o.doc_id
+  )
+),
+allrows AS (
+  SELECT query_id, doc_id, 1000000000.0 - slot AS score,
+         0 AS grp, slot::DOUBLE AS ord_a FROM pins
+  UNION ALL
+  SELECT query_id, doc_id, score, 1, -score FROM org2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY grp, ord_a, doc_id) AS rank
+  FROM allrows
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # simple_query_string "v1 +v2 -v3" -> bool(must v2, should v1, not v3)
+        "simple_query_string": _PRELUDE
+        + """
+, q3 AS (
+  SELECT q AS query_id, v1.term AS t1, v2.term AS t2, v3.term AS t3
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v1 ON v1.idx = q % nv.c
+  JOIN vocab v2 ON v2.idx = (7 * q + 3) % nv.c
+  JOIN vocab v3 ON v3.idx = (13 * q + 11) % nv.c
+),
+cand AS (
+  SELECT q3.query_id, tf.doc_id, q3.t1, q3.t2, q3.t3
+  FROM q3 JOIN tf ON tf.term = q3.t2
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tf x WHERE x.doc_id = tf.doc_id AND x.term = q3.t3
+  )
+),
+sterm AS (
+  SELECT query_id, t2 AS term FROM q3
+  UNION
+  SELECT query_id, t1 FROM q3
+),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM cand c
+  JOIN sterm st ON st.query_id = c.query_id
+  JOIN df ON df.term = st.term
+  JOIN tf ON tf.term = st.term AND tf.doc_id = c.doc_id
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # field_caps: schema-driven types; text-vs-keyword by whitespace scan
+        "field_caps": """
+WITH cols AS (
+  SELECT column_name AS field, column_type
+  FROM (DESCRIBE SELECT * FROM documents)
+),
+sp AS (
+  SELECT max(CASE WHEN contains(text, ' ') THEN 1 ELSE 0 END) AS sp_text,
+         max(CASE WHEN contains(lang, ' ') THEN 1 ELSE 0 END) AS sp_lang,
+         max(CASE WHEN contains(source, ' ') THEN 1 ELSE 0 END) AS sp_source
+  FROM documents
+),
+typed AS (
+  SELECT field,
+         CASE
+           WHEN column_type IN ('BIGINT','INTEGER','SMALLINT','TINYINT','HUGEINT',
+                                'UBIGINT','UINTEGER','USMALLINT','UTINYINT') THEN 'long'
+           WHEN column_type IN ('DOUBLE','FLOAT','REAL') THEN 'double'
+           WHEN column_type LIKE 'TIMESTAMP%' THEN 'date'
+           WHEN column_type = 'BOOLEAN' THEN 'boolean'
+           WHEN column_type = 'VARCHAR' THEN
+             CASE field
+               WHEN 'text' THEN CASE WHEN (SELECT sp_text FROM sp) = 1 THEN 'text' ELSE 'keyword' END
+               WHEN 'lang' THEN CASE WHEN (SELECT sp_lang FROM sp) = 1 THEN 'text' ELSE 'keyword' END
+               WHEN 'source' THEN CASE WHEN (SELECT sp_source FROM sp) = 1 THEN 'text' ELSE 'keyword' END
+               ELSE 'keyword'
+             END
+           ELSE 'object'
+         END AS es_type
+  FROM cols
+)
+SELECT field, es_type, true AS searchable, (es_type <> 'text') AS aggregatable
+FROM typed ORDER BY field
 """,
         # multi_match cross_fields: per-(term,doc) max over boosted field
         # contributions, then sum over terms

@@ -117,3 +117,84 @@ def term_vectors(
             "df": pa.array(dfs, type=pa.int64()),
         }
     ).sort_by([("doc_id", "ascending"), ("term", "ascending")])
+
+
+def field_caps(sf_dir: str, table: str = "documents") -> pa.Table:
+    """ES ``_field_caps``: per field — the ES type, searchable and
+    aggregatable flags.
+
+    Type mapping is schema-driven (int → ``long``, float → ``double``,
+    timestamp → ``date``) except strings, where ES's text-vs-keyword
+    distinction is INFERRED from the data the way a mapping-less index
+    template would: a string field whose values ever contain whitespace
+    analyzes into multiple tokens → ``text`` (searchable, NOT
+    aggregatable — no doc_values); single-token strings → ``keyword``.
+    The inference is one streamed pass emitting a per-batch boolean
+    partial per string column — the corpus never leaves the workers."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    schema = pq.read_schema(f"{sf_dir}/{table}.parquet")
+    str_cols = [
+        f.name
+        for f in schema
+        if pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
+    ]
+
+    has_space: dict[str, bool] = dict.fromkeys(str_cols, False)
+    if str_cols:
+
+        def partial(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    c: pa.array(
+                        [
+                            bool(
+                                pc.any(
+                                    pc.match_substring(batch[c], " ")
+                                ).as_py()
+                                or False
+                            )
+                        ]
+                    )
+                    for c in str_cols
+                }
+            )
+
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=str_cols).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        parts = [ray.get(r) for r in ds.to_arrow_refs()]
+        parts = [
+            p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts
+        ]
+        for p in parts:
+            for c in str_cols:
+                if p.num_rows and any(v for v in p[c].to_pylist()):
+                    has_space[c] = True
+
+    fields, types = [], []
+    for f in schema:
+        if pa.types.is_integer(f.type):
+            es = "long"
+        elif pa.types.is_floating(f.type):
+            es = "double"
+        elif pa.types.is_timestamp(f.type):
+            es = "date"
+        elif pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+            es = "text" if has_space[f.name] else "keyword"
+        elif pa.types.is_boolean(f.type):
+            es = "boolean"
+        else:
+            es = "object"
+        fields.append(f.name)
+        types.append(es)
+    return pa.table(
+        {
+            "field": pa.array(fields, type=pa.string()),
+            "es_type": pa.array(types, type=pa.string()),
+            "searchable": pa.array([True] * len(fields)),
+            "aggregatable": pa.array([t != "text" for t in types]),
+        }
+    ).sort_by("field")

@@ -475,3 +475,146 @@ def rank_feature_topk(
         combined = sql_round(combined, round_decimals)
     order = topk_order(combined, docs, k)
     return [(int(docs[i]), float(combined[i])) for i in order]
+
+
+def match_bool_prefix_topk(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``match_bool_prefix``: the analyzed tokens become a bool
+    ``should`` — every token but the last as a scoring term query, the
+    LAST as a ``prefix`` query under Lucene's constant-score multi-term
+    rewrite (each matching doc gets +1.0, df of the expansion never
+    enters the score).  A doc matches if it holds any leading term OR any
+    prefix expansion (pure should, msm 1)."""
+    from ..functions.bm25 import sql_round, topk_order
+    from .phrase import prefix_match
+
+    toks = tokenize_query(text)
+    if not toks:
+        return []
+    lead, prefix = toks[:-1], toks[-1]
+    docs, scores = _score_map(store, " ".join(lead)) if lead else (
+        np.empty(0, dtype=np.uint64),
+        np.empty(0, dtype=np.float64),
+    )
+    pdocs = prefix_match(store, prefix).astype(np.uint64)
+    uniq = np.union1d(docs.astype(np.int64), pdocs.astype(np.int64))
+    if len(uniq) == 0:
+        return []
+    final = np.zeros(len(uniq), dtype=np.float64)
+    if len(docs):
+        final[np.searchsorted(uniq, docs.astype(np.int64))] += scores
+    if len(pdocs):
+        final[np.searchsorted(uniq, pdocs.astype(np.int64))] += 1.0
+    if round_decimals is not None:
+        final = sql_round(final, round_decimals)
+    order = topk_order(final, uniq.astype(np.uint64), k)
+    return [(int(uniq[i]), float(final[i])) for i in order]
+
+
+def constant_score_topk(
+    store: SegmentStore,
+    term: str,
+    boost: float,
+    k: int,
+    dl_lo: int | None = None,
+    dl_hi: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``constant_score``: a filter context (term, optional dl range)
+    whose every hit scores exactly ``boost`` — no BM25, no per-doc
+    variation; ties resolve doc ASC like every ranking here."""
+    d, _tf, dl = store.postings(term)
+    docs = d.astype(np.int64)
+    dls = dl.astype(np.int64)
+    if dl_lo is not None:
+        keep = dls >= dl_lo
+        docs, dls = docs[keep], dls[keep]
+    if dl_hi is not None:
+        keep = dls <= dl_hi
+        docs, dls = docs[keep], dls[keep]
+    docs = np.sort(docs)
+    return [(int(dd), float(boost)) for dd in docs[:k]]
+
+
+PIN_BASE = 1.0e9  # ES uses float32-max-region scores; a finite stand-in
+
+
+def pinned_topk(
+    store: SegmentStore,
+    text: str,
+    pinned_ids: list[int],
+    k: int,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``pinned`` query: the given doc ids rank first IN ORDER
+    (scores descending from ``PIN_BASE``, mirroring ES's float32-max
+    ladder — the finite base is the documented divergence), organic BM25
+    hits follow with pinned ids removed.  Pinned ids that don't exist in
+    the index are skipped, duplicates keep their first slot (ES
+    semantics)."""
+    from ..functions.bm25 import sql_round
+
+    seen: set[int] = set()
+    pins: list[int] = []
+    for p in pinned_ids:
+        p = int(p)
+        if 0 <= p < store.n_docs and p not in seen:
+            seen.add(p)
+            pins.append(p)
+    out = [(p, PIN_BASE - i) for i, p in enumerate(pins)]
+    if len(out) < k:
+        d, s = _score_map(store, text)
+        if round_decimals is not None:
+            s = sql_round(s, round_decimals)
+        from ..functions.bm25 import topk_order
+
+        order = topk_order(s, d, k + len(pins))
+        for i in order:
+            doc = int(d[i])
+            if doc in seen:
+                continue
+            out.append((doc, float(s[i])))
+            if len(out) >= k:
+                break
+    return out[:k]
+
+
+def simple_query_string_topk(
+    store: SegmentStore,
+    qstr: str,
+    k: int,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``simple_query_string`` (flags ``AND|NOT|OR``, the +/-/plain
+    token subset): ``+tok`` → must, ``-tok`` → must_not, plain → should —
+    then the standard bool combinator (with must present, should terms
+    are optional scorers; duplicate clauses collapse, a term both must
+    and should keeps only must).  Unsupported syntax (quotes, ``*``,
+    ``|``, parentheses) raises rather than mis-parsing."""
+    must: list[str] = []
+    should: list[str] = []
+    must_not: list[str] = []
+    for raw in qstr.split():
+        if any(c in raw for c in '"*|()'):
+            raise ValueError(f"unsupported simple_query_string syntax: {raw!r}")
+        if raw in ("+", "-"):
+            raise ValueError(f"dangling operator: {raw!r}")
+        if raw.startswith("+"):
+            must.extend(tokenize_query(raw[1:]))
+        elif raw.startswith("-"):
+            must_not.extend(tokenize_query(raw[1:]))
+        else:
+            should.extend(tokenize_query(raw))
+    should = [t for t in should if t not in set(must)]
+    return bool_topk(
+        store,
+        must=tuple(must),
+        should=tuple(should),
+        must_not=tuple(must_not),
+        k=k,
+        minimum_should_match=0,
+        round_decimals=round_decimals,
+    )

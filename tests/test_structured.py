@@ -265,3 +265,109 @@ def test_synonym_topk_blends_like_one_pseudo_term(corpus_store):
     assert single == score_query(store, terms[2], 10, round_decimals=6)
     # unknown-only group contributes nothing
     assert synonym_topk(store, [["zzzznone"]], 5) == []
+
+
+# ---------------------------------------------------------------------------
+# match_bool_prefix / constant_score / pinned / simple_query_string
+
+
+def _bm25_map(store, text):
+    from bitcoin_ledger_2es_ray.functions.bm25 import idf, tf_norm
+    from bitcoin_ledger_2es_ray.pipelines.query import tokenize_query
+
+    want = {}
+    for t in sorted(set(tokenize_query(text))):
+        df_t = store.td.df_of(t)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(t)
+        c = float(idf(store.n_docs, df_t)) * tf_norm(tf, dl, store.avgdl)
+        for dd, cc in zip(d.tolist(), c.tolist()):
+            want[dd] = want.get(dd, 0.0) + cc
+    return want
+
+
+def test_match_bool_prefix_bruteforce(corpus_store):
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.structured import match_bool_prefix_topk
+
+    docs, store = corpus_store
+    vocab = sorted(store.df)
+    lead = f"{vocab[2]} {vocab[9 % len(vocab)]}"
+    prefix = vocab[5 % len(vocab)][:2]
+    got = match_bool_prefix_topk(store, f"{lead} {prefix}", 10, round_decimals=6)
+    want = _bm25_map(store, lead)
+    for i, text in enumerate(docs):
+        if any(tok.startswith(prefix) for tok in text.split()):
+            want[i] = want.get(i, 0.0) + 1.0
+    expect = sorted(
+        ((d, float(sql_round(s, 6))) for d, s in want.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert got == expect
+
+
+def test_constant_score_filter_and_boost(corpus_store):
+    from bitcoin_ledger_2es_ray.pipelines.structured import constant_score_topk
+
+    docs, store = corpus_store
+    term = sorted(store.df)[3]
+    got = constant_score_topk(store, term, boost=2.5, k=5, dl_lo=4, dl_hi=60)
+    d, _tf, dl = store.postings(term)
+    keep = sorted(int(x) for x, l in zip(d, dl) if 4 <= l <= 60)[:5]
+    assert got == [(x, 2.5) for x in keep]
+
+
+def test_pinned_order_and_exclusion(corpus_store):
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.structured import PIN_BASE, pinned_topk
+
+    docs, store = corpus_store
+    vocab = sorted(store.df)
+    text = f"{vocab[0]} {vocab[4 % len(vocab)]}"
+    organic = sorted(
+        ((d, float(sql_round(s, 6))) for d, s in _bm25_map(store, text).items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    pins = [organic[0][0], 9999999, organic[0][0], 1]  # dup + missing id
+    got = pinned_topk(store, text, pins, 6, round_decimals=6)
+    assert got[0] == (organic[0][0], PIN_BASE)
+    assert got[1] == (1, PIN_BASE - 1)
+    rest = [x for x in organic if x[0] not in (organic[0][0], 1)][:4]
+    assert got[2:] == rest
+
+
+def test_simple_query_string_parser(corpus_store):
+    from bitcoin_ledger_2es_ray.pipelines.structured import (
+        bool_topk,
+        simple_query_string_topk,
+    )
+
+    docs, store = corpus_store
+    v = sorted(store.df)
+    qstr = f"{v[0]} +{v[3]} -{v[7 % len(v)]}"
+    got = simple_query_string_topk(store, qstr, 10, round_decimals=6)
+    want = bool_topk(
+        store, must=(v[3],), should=(v[0],), must_not=(v[7 % len(v)],),
+        k=10, minimum_should_match=0, round_decimals=6,
+    )
+    assert got == want
+    # duplicate must/should collapses instead of raising
+    assert simple_query_string_topk(store, f"{v[3]} +{v[3]}", 5, round_decimals=6)
+    with pytest.raises(ValueError):
+        simple_query_string_topk(store, 'a "quoted phrase"', 5)
+    with pytest.raises(ValueError):
+        simple_query_string_topk(store, "a + b", 5)
+
+
+def test_field_caps_types(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.apis import field_caps
+
+    t = field_caps("/root/testdata/sf0.001", table="documents")
+    m = {f: ty for f, ty in zip(t["field"].to_pylist(), t["es_type"].to_pylist())}
+    assert m == {
+        "doc_id": "long", "text": "text", "lang": "keyword",
+        "source": "keyword", "n_chars": "long",
+    }
+    agg = dict(zip(t["field"].to_pylist(), t["aggregatable"].to_pylist()))
+    assert agg["text"] is False and agg["lang"] is True
