@@ -2366,6 +2366,14 @@ def _q_eql_funnel(sf_dir: str) -> pa.Table:
     return eql_funnel(sf_dir, steps=("signup", "purchase", "error"), maxspan_s=7 * 86400)
 
 
+def _q_duplicate_spans(sf_dir: str) -> pa.Table:
+    """Lee-et-al-2022 exact substring dedup: maximal token spans whose
+    every 5-gram window occurs ≥ 2× in the corpus."""
+    from bitcoin_ledger_2es_ray.pipelines.dedup import duplicate_spans
+
+    return duplicate_spans(sf_dir, k=5)
+
+
 def _q_match_bool_prefix(sf_dir: str) -> pa.Table:
     """ES ``match_bool_prefix``: fixture terms as scoring term queries +
     a prefix clause (first 2 chars of vocab term (17q+5) mod |V|) under
@@ -2583,6 +2591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_match_cross": _q_multi_match_cross,
         "combined_fields": _q_combined_fields,
         "dup_clusters": _q_dup_clusters,
+        "duplicate_spans": _q_duplicate_spans,
         "match_bool_prefix": _q_match_bool_prefix,
         "constant_score": _q_constant_score,
         "pinned": _q_pinned,
@@ -3518,6 +3527,25 @@ reach AS (
 )
 SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id
+""",
+        # duplicate token spans: k=5-gram occurrences seen >= 2x, islands merge
+        "duplicate_spans": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(w, i, i + 4), ' ') AS g
+  FROM toks, unnest(generate_series(1, len(w) - 4)) t(i)
+  WHERE len(w) >= 5
+),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+marked AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked
+)
+SELECT doc_id, min(pos) AS start_tok, max(pos) + 5 AS end_tok,
+       (max(pos) + 5 - min(pos))::BIGINT AS n_tokens
+FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_tok
 """,
         # match_bool_prefix: scoring terms + constant-score prefix clause
         "match_bool_prefix": _PRELUDE

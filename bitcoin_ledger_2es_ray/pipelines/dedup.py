@@ -576,3 +576,113 @@ def dup_clusters(sf_dir: str, k: int = 3, tau: float = 0.8) -> pa.Table:
             "cluster_id": pa.array([find(n) for n in nodes], type=pa.int64()),
         }
     )
+
+
+def _batch_grams_positional(batch: pa.Table, k: int) -> pa.Table:
+    """EVERY word-k-gram occurrence with its in-doc token position —
+    (doc_id, pos, g) where g is the literal space-joined gram (exact
+    keys; the hash+verify variant is the 100-TB path, see
+    ``duplicate_spans``).  Gram strings are built with ONE vectorized
+    ``binary_join_element_wise`` over k shifted slices of the flattened
+    token array — the only loop is over the k offsets."""
+    text = batch["text"].combine_chunks()
+    words = pc.split_pattern(text, " ")
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+    flat = pc.list_flatten(words)
+    n = len(flat)
+    if n < k:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.uint64()),
+                "pos": pa.array([], type=pa.int64()),
+                "g": pa.array([], type=pa.string()),
+            }
+        )
+    doc_ids_col = np.asarray(batch["doc_id"]).astype(np.uint64)
+    row_idx = np.repeat(np.arange(batch.num_rows), lens)
+    row_first = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos_in_doc = np.arange(n) - np.repeat(row_first, lens)
+    m = n - k + 1
+    parts = [flat.slice(j, m) for j in range(k)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    valid = row_idx[:m] == row_idx[k - 1 :]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids_col[row_idx[:m][valid]], type=pa.uint64()),
+            "pos": pa.array(pos_in_doc[:m][valid], type=pa.int64()),
+            "g": grams.filter(pa.array(valid)),
+        }
+    )
+
+
+def duplicate_spans(sf_dir: str, k: int = 5) -> pa.Table:
+    """Exact substring-duplication spans, the token-level dedup of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every MAXIMAL token span whose every length-k window
+    occurs ≥ 2 times in the corpus (any doc, any position — within-doc
+    repeats count).  Returns (doc_id, start_tok, end_tok, n_tokens),
+    end exclusive, n_tokens = end - start ≥ k.
+
+    Plan: positional k-gram explode (vectorized) → gram-keyed shuffle →
+    groups of size ≥ 2 fan their (doc, pos) occurrences back out →
+    doc-keyed shuffle → per-doc gaps-and-islands merge of consecutive
+    duplicated window starts.  Keys here are literal gram strings so the
+    result is exact against the SQL oracle; at 100 TB the gram key
+    becomes (hash, verify-inside-group) exactly like
+    ``shingle_jaccard_pairs`` — the shuffle then moves 8-byte keys."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    grams = ds.map_batches(
+        lambda b: _batch_grams_positional(b, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def dup_occurrences(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.uint64()),
+                    "pos": pa.array([], type=pa.int64()),
+                }
+            )
+        return group.select(["doc_id", "pos"])
+
+    marked = grams.groupby("g").map_groups(dup_occurrences, batch_format="pyarrow")
+
+    def islands(group: pa.Table) -> pa.Table:
+        pos = np.sort(np.asarray(group["pos"], dtype=np.int64))
+        breaks = np.flatnonzero(np.diff(pos) > 1)
+        starts = np.concatenate(([0], breaks + 1))
+        ends = np.concatenate((breaks, [len(pos) - 1]))
+        doc = int(group["doc_id"][0].as_py())
+        s = pos[starts]
+        e = pos[ends] + k
+        return pa.table(
+            {
+                "doc_id": pa.array([doc] * len(s), type=pa.int64()),
+                "start_tok": pa.array(s, type=pa.int64()),
+                "end_tok": pa.array(e, type=pa.int64()),
+                "n_tokens": pa.array(e - s, type=pa.int64()),
+            }
+        )
+
+    spans = marked.groupby("doc_id").map_groups(islands, batch_format="pyarrow")
+    parts = [ray.get(r) for r in spans.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "start_tok": pa.array([], type=pa.int64()),
+                "end_tok": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by(
+        [("doc_id", "ascending"), ("start_tok", "ascending")]
+    )

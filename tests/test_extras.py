@@ -548,3 +548,43 @@ def test_dup_clusters_are_connected_components(ray_session):
     got_map = dict(zip(got["doc_id"].to_pylist(), got["cluster_id"].to_pylist()))
     assert got_map == want
     assert got["doc_id"].to_pylist() == sorted(got_map)
+
+
+def test_duplicate_spans_bruteforce(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.dedup import duplicate_spans
+
+    k = 4
+    t = duplicate_spans(SF, k=k)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    occ = collections.Counter()
+    per_doc = {}
+    for d, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        w = txt.split(" ")
+        grams = [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+        per_doc[d] = grams
+        occ.update(grams)
+    want = []
+    for d, grams in sorted(per_doc.items()):
+        marked = [i for i, g in enumerate(grams) if occ[g] >= 2]
+        run = []
+        for i in marked:
+            if run and i == run[-1] + 1:
+                run.append(i)
+            else:
+                if run:
+                    want.append((d, run[0], run[-1] + k, run[-1] + k - run[0]))
+                run = [i]
+        if run:
+            want.append((d, run[0], run[-1] + k, run[-1] + k - run[0]))
+    got = list(
+        zip(
+            t["doc_id"].to_pylist(), t["start_tok"].to_pylist(),
+            t["end_tok"].to_pylist(), t["n_tokens"].to_pylist(),
+        )
+    )
+    assert got == sorted(want)
+    assert all(n >= k for *_xs, n in got)
