@@ -2366,6 +2366,48 @@ def _q_eql_funnel(sf_dir: str) -> pa.Table:
     return eql_funnel(sf_dir, steps=("signup", "purchase", "error"), maxspan_s=7 * 86400)
 
 
+def _q_geohash_grid(sf_dir: str) -> pa.Table:
+    """ES ``geohash_grid`` (precision 2) over the derived geo_point —
+    closed-form integer interleave, base-32 render."""
+    from bitcoin_ledger_2es_ray.pipelines.geo import geohash_grid
+
+    return geohash_grid(sf_dir, precision=2)
+
+
+def _q_random_score(sf_dir: str) -> pa.Table:
+    """ES ``function_score`` random_score (seeded, deterministic),
+    boost_mode replace, filter = vocab term (5q+1) mod |V|, seed = q."""
+    from bitcoin_ledger_2es_ray.pipelines.structured import random_score_topk
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    qids, ranks, docs, scores = [], [], [], []
+    for q in range(_N_QUERIES):
+        term = vocab[(5 * q + 1) % len(vocab)]
+        top = random_score_topk(store, term, seed=q, k=_TOP_K, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(q)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_runtime_field(sf_dir: str) -> pa.Table:
+    """ES runtime field (`chars_per_word` scripted from stored fields) +
+    sort on it — per-batch partial top-k, driver merge of ≤ k×batches."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import runtime_field_sort
+
+    return runtime_field_sort(sf_dir, k=20, round_decimals=_ROUND)
+
+
 def _q_duplicate_spans(sf_dir: str) -> pa.Table:
     """Lee-et-al-2022 exact substring dedup: maximal token spans whose
     every 5-gram window occurs ≥ 2× in the corpus."""
@@ -2592,6 +2634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "combined_fields": _q_combined_fields,
         "dup_clusters": _q_dup_clusters,
         "duplicate_spans": _q_duplicate_spans,
+        "geohash_grid": _q_geohash_grid,
+        "random_score": _q_random_score,
+        "runtime_field": _q_runtime_field,
         "match_bool_prefix": _q_match_bool_prefix,
         "constant_score": _q_constant_score,
         "pinned": _q_pinned,
@@ -3527,6 +3572,66 @@ reach AS (
 )
 SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id
+""",
+        # geohash_grid precision 2: integer interleave + base32 render
+        "geohash_grid": _GEO_PTS
+        + """
+, cells AS (
+  SELECT least(floor((lon + 180.0) / 360.0 * 32), 31)::BIGINT AS x,
+         least(floor((lat + 90.0) / 180.0 * 32), 31)::BIGINT AS y
+  FROM pts
+),
+vals AS (
+  SELECT ((x // 16) % 2) * 512 + ((y // 16) % 2) * 256
+       + ((x // 8) % 2) * 128 + ((y // 8) % 2) * 64
+       + ((x // 4) % 2) * 32 + ((y // 4) % 2) * 16
+       + ((x // 2) % 2) * 8 + ((y // 2) % 2) * 4
+       + (x % 2) * 2 + (y % 2) AS v
+  FROM cells
+),
+gh AS (
+  SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', (v // 32)::INT + 1, 1) ||
+         substr('0123456789bcdefghjkmnpqrstuvwxyz', (v % 32)::INT + 1, 1) AS geohash
+  FROM vals
+)
+SELECT geohash, count(*)::BIGINT AS doc_count FROM gh GROUP BY 1 ORDER BY 1
+""",
+        # random_score (seeded multiplicative hash), boost_mode replace
+        "random_score": _PRELUDE
+        + """
+, q1 AS (
+  SELECT q AS query_id, v.term
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (5 * q + 1) % nv.c
+),
+hits AS (
+  SELECT q1.query_id, tf.doc_id,
+         round((((tf.doc_id + q1.query_id) * 2654435761) % 2147483648)
+               / 2147483648.0, 6) AS score
+  FROM q1 JOIN tf ON tf.term = q1.term
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM hits
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # runtime field chars_per_word + sort on it
+        "runtime_field": """
+WITH r AS (
+  SELECT doc_id, round(n_chars / len(string_split(text, ' ')), 6) AS chars_per_word
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, chars_per_word,
+         row_number() OVER (ORDER BY chars_per_word DESC, doc_id ASC) AS rank
+  FROM r
+)
+SELECT doc_id, chars_per_word, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 20 ORDER BY rank
 """,
         # duplicate token spans: k=5-gram occurrences seen >= 2x, islands merge
         "duplicate_spans": """

@@ -198,3 +198,51 @@ def field_caps(sf_dir: str, table: str = "documents") -> pa.Table:
             "aggregatable": pa.array([t != "text" for t in types]),
         }
     ).sort_by("field")
+
+
+def runtime_field_sort(sf_dir: str, k: int = 20, round_decimals: int = 6) -> pa.Table:
+    """ES runtime fields (``runtime_mappings`` + ``sort`` on the scripted
+    field): ``chars_per_word = n_chars / word_count`` computed at query
+    time from stored fields, top-k docs by (chars_per_word DESC, doc_id
+    ASC).
+
+    Per-batch: ONE vectorized split/length + divide, then a partial
+    top-k (sort + head) — each batch ships at most k rows to the driver
+    merge, never the corpus."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        nw = np.asarray(words, dtype=np.float64)
+        nc = np.asarray(batch["n_chars"], dtype=np.float64)
+        r = sql_round(nc / nw, round_decimals)
+        d = np.asarray(batch["doc_id"], dtype=np.int64)
+        order = np.lexsort((d, -r))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[order], type=pa.int64()),
+                "chars_per_word": pa.array(r[order], type=pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    r = np.asarray(cat["chars_per_word"], dtype=np.float64)
+    d = np.asarray(cat["doc_id"], dtype=np.int64)
+    order = np.lexsort((d, -r))[:k]
+    out = pa.table(
+        {
+            "doc_id": pa.array(d[order], type=pa.int64()),
+            "chars_per_word": pa.array(r[order], type=pa.float64()),
+        }
+    )
+    return out.append_column(
+        "rank", pa.array(np.arange(1, len(order) + 1), type=pa.int64())
+    )

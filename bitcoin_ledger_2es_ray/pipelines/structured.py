@@ -618,3 +618,33 @@ def simple_query_string_topk(
         minimum_should_match=0,
         round_decimals=round_decimals,
     )
+
+
+_RANDOM_MULT = 2654435761  # Knuth multiplicative hash constant
+_RANDOM_MOD = 1 << 31
+
+
+def random_score_topk(
+    store: SegmentStore,
+    term: str,
+    seed: int,
+    k: int,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``function_score`` with ``random_score`` (seeded on a field →
+    DETERMINISTIC, like ES's seed+field mode), boost_mode ``replace``:
+    every doc matching the term filter scores
+    ``(((doc_id + seed)·2654435761) mod 2³¹) / 2³¹`` — a documented
+    multiplicative-hash stand-in for Lucene's murmur3 (the seed feeds
+    the multiplier so adjacent seeds give unrelated permutations; exact
+    integer arithmetic, mirrored by the SQL oracle bit-for-bit)."""
+    from ..functions.bm25 import sql_round, topk_order
+
+    d = np.unique(store.postings(term)[0]).astype(np.int64)
+    if len(d) == 0:
+        return []
+    score = (((d + seed) * _RANDOM_MULT) % _RANDOM_MOD) / float(_RANDOM_MOD)
+    if round_decimals is not None:
+        score = sql_round(score, round_decimals)
+    order = topk_order(score, d.astype(np.uint64), k)
+    return [(int(d[i]), float(score[i])) for i in order]

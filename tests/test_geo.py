@@ -96,3 +96,51 @@ def test_geotile_grid_total_and_keys(ray_session, zoom):
     for k in out["tile"].to_pylist():
         z, x, y = (int(p) for p in k.split("/"))
         assert z == zoom and 0 <= x < (1 << zoom) and 0 <= y < (1 << zoom)
+
+
+def test_geohash_grid_reference_encoder(ray_session):
+    """Engine geohash cells match a per-point reference geohash encoder."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.geo import derive_coords, geohash_grid
+
+    sf = "/root/testdata/sf0.001"
+    t = geohash_grid(sf, precision=2)
+
+    def ref_geohash(lat, lon, precision=2):
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+        bits, even, ch, out = 0, True, 0, ""
+        while len(out) < precision:
+            if even:
+                mid = (lon_rng[0] + lon_rng[1]) / 2
+                if lon >= mid:
+                    ch = (ch << 1) | 1
+                    lon_rng[0] = mid
+                else:
+                    ch <<= 1
+                    lon_rng[1] = mid
+            else:
+                mid = (lat_rng[0] + lat_rng[1]) / 2
+                if lat >= mid:
+                    ch = (ch << 1) | 1
+                    lat_rng[0] = mid
+                else:
+                    ch <<= 1
+                    lat_rng[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out += b32[ch]
+                bits, ch = 0, 0
+        return out
+
+    cust = pq.read_table(f"{sf}/customer.parquet", columns=["c_custkey"])
+    lat, lon = derive_coords(np.asarray(cust["c_custkey"], dtype=np.int64))
+    import collections
+
+    want = collections.Counter(
+        ref_geohash(la, lo) for la, lo in zip(lat.tolist(), lon.tolist())
+    )
+    got = dict(zip(t["geohash"].to_pylist(), t["doc_count"].to_pylist()))
+    assert got == dict(want)

@@ -371,3 +371,40 @@ def test_field_caps_types(ray_session):
     }
     agg = dict(zip(t["field"].to_pylist(), t["aggregatable"].to_pylist()))
     assert agg["text"] is False and agg["lang"] is True
+
+
+def test_random_score_deterministic_and_uniform(corpus_store):
+    from bitcoin_ledger_2es_ray.pipelines.structured import (
+        _RANDOM_MOD,
+        _RANDOM_MULT,
+        random_score_topk,
+    )
+
+    docs, store = corpus_store
+    term = sorted(store.df)[0]
+    a = random_score_topk(store, term, seed=7, k=5, round_decimals=6)
+    b = random_score_topk(store, term, seed=7, k=5, round_decimals=6)
+    assert a == b and len(a) == 5
+    c = random_score_topk(store, term, seed=8, k=5, round_decimals=6)
+    assert a != c  # seed changes the permutation
+    d0 = a[0][0]
+    want = round((((d0 + 7) * _RANDOM_MULT) % _RANDOM_MOD) / _RANDOM_MOD, 6)
+    assert a[0][1] == pytest.approx(want, abs=1e-9)
+
+
+def test_runtime_field_sort_bruteforce(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.apis import runtime_field_sort
+
+    sf = "/root/testdata/sf0.001"
+    t = runtime_field_sort(sf, k=10)
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text", "n_chars"])
+    rows = [
+        (d, round(nc / len(txt.split(" ")), 6))
+        for d, txt, nc in zip(
+            docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["n_chars"].to_pylist()
+        )
+    ]
+    want = sorted(rows, key=lambda r: (-r[1], r[0]))[:10]
+    got = list(zip(t["doc_id"].to_pylist(), t["chars_per_word"].to_pylist()))
+    assert got == want
+    assert t["rank"].to_pylist() == list(range(1, 11))
