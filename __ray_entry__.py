@@ -2366,6 +2366,35 @@ def _q_eql_funnel(sf_dir: str) -> pa.Table:
     return eql_funnel(sf_dir, steps=("signup", "purchase", "error"), maxspan_s=7 * 86400)
 
 
+def _q_hybrid_linear(sf_dir: str) -> pa.Table:
+    """ES 8.16 ``linear`` retriever: minmax-normalized BM25 (w=0.7) +
+    exact-cosine kNN (w=0.3) legs, top-20 each, fused top-10."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import hybrid_linear
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    return hybrid_linear(
+        sf_dir, store, queries, k=_TOP_K, k_leg=20, w_lex=0.7, w_vec=0.3,
+        round_decimals=_ROUND,
+    )
+
+
+def _q_dedup_keep_best(sf_dir: str) -> pa.Table:
+    """Quality-aware near-dup resolution: keep max-n_chars doc per
+    exact-Jaccard cluster (tie → min doc_id)."""
+    from bitcoin_ledger_2es_ray.pipelines.dedup import dedup_keep_best
+
+    return dedup_keep_best(sf_dir, k=3, tau=0.8)
+
+
+def _q_mixing_weights(sf_dir: str) -> pa.Table:
+    """Training-mixture weights per source: weight ∝ n_tokens^0.5,
+    one streamed partial pass."""
+    from bitcoin_ledger_2es_ray.pipelines.curate import mixing_weights
+
+    return mixing_weights(sf_dir, alpha=0.5, round_decimals=_ROUND)
+
+
 def _q_geohash_grid(sf_dir: str) -> pa.Table:
     """ES ``geohash_grid`` (precision 2) over the derived geo_point —
     closed-form integer interleave, base-32 render."""
@@ -2637,6 +2666,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_grid": _q_geohash_grid,
         "random_score": _q_random_score,
         "runtime_field": _q_runtime_field,
+        "hybrid_linear": _q_hybrid_linear,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "mixing_weights": _q_mixing_weights,
         "match_bool_prefix": _q_match_bool_prefix,
         "constant_score": _q_constant_score,
         "pinned": _q_pinned,
@@ -3572,6 +3604,122 @@ reach AS (
 )
 SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id
+""",
+        # hybrid linear retriever: minmax-normalized BM25 + kNN legs
+        "hybrid_linear": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+bml AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS r
+  FROM scored
+),
+bmt AS (SELECT query_id, doc_id, score FROM bml WHERE r <= 20),
+bmn AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER w = min(score) OVER w THEN 1.0
+              ELSE (score - min(score) OVER w)
+                   / (max(score) OVER w - min(score) OVER w) END AS nsc
+  FROM bmt WINDOW w AS (PARTITION BY query_id)
+),
+qv AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nq}),
+ksc AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(qv.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+           AS sim
+  FROM qv CROSS JOIN embeddings e
+),
+knr AS (
+  SELECT query_id, doc_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id ASC) AS r
+  FROM ksc
+),
+knt AS (SELECT query_id, doc_id, sim FROM knr WHERE r <= 20),
+knn AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(sim) OVER w = min(sim) OVER w THEN 1.0
+              ELSE (sim - min(sim) OVER w)
+                   / (max(sim) OVER w - min(sim) OVER w) END AS nsc
+  FROM knt WINDOW w AS (PARTITION BY query_id)
+),
+legs AS (
+  SELECT query_id, doc_id, 0.7 * nsc AS c FROM bmn
+  UNION ALL
+  SELECT query_id, doc_id, 0.3 * nsc FROM knn
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS score FROM legs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM fused
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq}", str(_N_QUERIES)).replace("{k}", str(_TOP_K)),
+        # keep best (max n_chars, tie min doc) per exact-Jaccard dup cluster
+        "dedup_keep_best": """
+WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM words WHERE len(w) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.8
+),
+sym AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach AS (
+  SELECT a AS src, b AS dst FROM sym
+  UNION
+  SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON s.a = r.dst
+),
+cl AS (
+  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
+  FROM reach GROUP BY src
+),
+best AS (
+  SELECT cl.doc_id, cl.cluster_id,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+  FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+)
+SELECT doc_id, cluster_id, (rn = 1) AS kept FROM best ORDER BY doc_id
+""",
+        # per-source mixture weights: weight ~ tokens^0.5
+        "mixing_weights": """
+WITH s AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER (), 6) AS weight
+FROM s ORDER BY source
 """,
         # geohash_grid precision 2: integer interleave + base32 render
         "geohash_grid": _GEO_PTS

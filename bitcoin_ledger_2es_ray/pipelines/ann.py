@@ -524,3 +524,73 @@ def cosine_dup_pairs_lsh(
     )
     t = pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()])
     return t.select(["a", "b", "sim"]).sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def _minmax_norm(scores: np.ndarray) -> np.ndarray:
+    """ES linear-retriever ``minmax`` normalizer over one leg's top-k:
+    (s - min)/(max - min); a degenerate leg (max == min) maps to 1.0."""
+    lo, hi = float(scores.min()), float(scores.max())
+    if hi == lo:
+        return np.ones_like(scores)
+    return (scores - lo) / (hi - lo)
+
+
+def hybrid_linear(
+    sf_dir: str,
+    store,
+    queries_tbl: pa.Table,
+    k: int = 10,
+    k_leg: int = 20,
+    w_lex: float = 0.7,
+    w_vec: float = 0.3,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES 8.16 ``linear`` retriever: BM25 top-``k_leg`` and exact-cosine
+    kNN top-``k_leg`` each minmax-normalized WITHIN the leg, fused as
+    ``w_lex·norm_lex + w_vec·norm_vec`` over the union (a missing leg
+    contributes 0), top-k by (score DESC, doc ASC).  Lexical docIDs and
+    vector ids share the 0..N-1 space (FIXTURES.md).  Legs reuse the
+    distributed scorers; the fuse is bounded by queries × 2·k_leg."""
+    from ..functions.bm25 import sql_round
+    from .query import score_query
+
+    n_queries = queries_tbl.num_rows
+    contrib: dict[tuple[int, int], float] = {}
+    for qid, text in zip(
+        queries_tbl["query_id"].to_pylist(), queries_tbl["text"].to_pylist()
+    ):
+        top = score_query(store, text, k_leg, round_decimals=round_decimals)
+        if top:
+            s = _minmax_norm(np.array([x[1] for x in top], dtype=np.float64))
+            for (d, _), ns in zip(top, s.tolist()):
+                contrib[(qid, d)] = contrib.get((qid, d), 0.0) + w_lex * ns
+    knn = knn_bruteforce(sf_dir, n_queries=n_queries, k=k_leg)
+    for q in range(n_queries):
+        import pyarrow.compute as pc
+
+        leg = knn.filter(pc.equal(knn["query_id"], q))
+        if leg.num_rows == 0:
+            continue
+        sims = np.asarray(leg["sim"], dtype=np.float64)
+        ns = _minmax_norm(sims)
+        for v, x in zip(leg["vec_id"].to_pylist(), ns.tolist()):
+            contrib[(q, int(v))] = contrib.get((q, int(v)), 0.0) + w_vec * x
+    qids, ranks, docs, scores = [], [], [], []
+    fused: dict[int, list[tuple[int, float]]] = {}
+    for (q, d), c in contrib.items():
+        fused.setdefault(q, []).append((d, float(sql_round(c, round_decimals))))
+    for q in sorted(fused):
+        rows = sorted(fused[q], key=lambda r: (-r[1], r[0]))[:k]
+        for rank, (d, c) in enumerate(rows, start=1):
+            qids.append(q)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(c)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )

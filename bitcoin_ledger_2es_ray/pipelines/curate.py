@@ -408,3 +408,48 @@ def stratified_sample(sf_dir: str, frac: float = 0.2) -> pa.Table:
     if not parts:
         return pa.Table.from_pylist([], schema=schema)
     return pa.concat_tables(parts).sort_by("doc_id")
+
+
+def mixing_weights(sf_dir: str, alpha: float = 0.5, round_decimals: int = 6) -> pa.Table:
+    """Training-mixture sampling weights per source: weight ∝ n_tokensᵅ
+    (the sub-linear up/down-sampling rule LLM data recipes use to keep
+    large sources from dominating).  One streamed pass emits per-batch
+    (source, n_docs, n_tokens) partials; the driver fold is bounded by
+    the source count.  Returns (source, n_docs, n_tokens, weight),
+    Σweight = 1."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        t = pa.table({"source": batch["source"], "tok": toks.cast(pa.int64())})
+        g = t.group_by("source").aggregate([("tok", "sum"), ("tok", "count")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "tok": g["tok_sum"].cast(pa.int64()),
+                "n": g["tok_count"].cast(pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    g = cat.group_by("source").aggregate([("tok", "sum"), ("n", "sum")]).sort_by("source")
+    tok = np.asarray(g["tok_sum"], dtype=np.float64)
+    w = tok**alpha
+    w = w / w.sum()
+    return pa.table(
+        {
+            "source": g["source"],
+            "n_docs": g["n_sum"].cast(pa.int64()),
+            "n_tokens": g["tok_sum"].cast(pa.int64()),
+            "weight": pa.array(sql_round(w, round_decimals), type=pa.float64()),
+        }
+    )

@@ -686,3 +686,46 @@ def duplicate_spans(sf_dir: str, k: int = 5) -> pa.Table:
     return pa.concat_tables(parts).sort_by(
         [("doc_id", "ascending"), ("start_tok", "ascending")]
     )
+
+
+def dedup_keep_best(sf_dir: str, k: int = 3, tau: float = 0.8) -> pa.Table:
+    """Quality-aware near-dup resolution: within each exact-Jaccard dup
+    cluster (``dup_clusters``), KEEP the doc with the most characters
+    (tie → smallest doc_id) — the "keep best, drop rest" policy real
+    training-data pipelines apply after clustering (vs. keep-first).
+    Returns (doc_id, cluster_id, kept) for every clustered doc.
+
+    The n_chars gather is a two-column projection read joined against
+    the cluster table (bounded by clustered docs, ≪ corpus)."""
+    import pyarrow.parquet as pq
+
+    clusters = dup_clusters(sf_dir, k=k, tau=tau)
+    if clusters.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "cluster_id": pa.array([], type=pa.int64()),
+                "kept": pa.array([], type=pa.bool_()),
+            }
+        )
+    meta = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).sort_by("doc_id")
+    ids = np.asarray(meta["doc_id"], dtype=np.int64)
+    nch = np.asarray(meta["n_chars"], dtype=np.int64)
+    d = np.asarray(clusters["doc_id"], dtype=np.int64)
+    c = np.asarray(clusters["cluster_id"], dtype=np.int64)
+    chars = nch[np.searchsorted(ids, d)]
+    # per cluster: argmax n_chars, tie -> min doc_id (lexsort keys reversed)
+    order = np.lexsort((d, -chars, c))
+    first = np.flatnonzero(
+        np.concatenate(([True], c[order][1:] != c[order][:-1]))
+    )
+    best = set(d[order][first].tolist())
+    return pa.table(
+        {
+            "doc_id": pa.array(d, type=pa.int64()),
+            "cluster_id": pa.array(c, type=pa.int64()),
+            "kept": pa.array([int(x) in best for x in d.tolist()], type=pa.bool_()),
+        }
+    ).sort_by("doc_id")

@@ -588,3 +588,68 @@ def test_duplicate_spans_bruteforce(ray_session):
     )
     assert got == sorted(want)
     assert all(n >= k for *_xs, n in got)
+
+
+def test_hybrid_linear_normalization(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.ann import _minmax_norm, hybrid_linear
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, _corpus = built
+    store = SegmentStore(res.out_dir)
+    q = pa.table({"query_id": [0], "text": [sorted(store.df)[0]]})
+    t = hybrid_linear(SF, store, q, k=5, k_leg=10, w_lex=1.0, w_vec=0.0)
+    # pure-lexical weights: top doc's normalized score is exactly 1.0
+    assert t["score"][0].as_py() == 1.0
+    assert t["rank"].to_pylist() == list(range(1, t.num_rows + 1))
+    # degenerate leg normalizes to all-ones
+    assert _minmax_norm(np.array([3.0, 3.0])).tolist() == [1.0, 1.0]
+    both = hybrid_linear(SF, store, q, k=5, k_leg=10, w_lex=0.7, w_vec=0.3)
+    assert all(0.0 <= s <= 1.0 + 1e-9 for s in both["score"].to_pylist())
+
+
+def test_dedup_keep_best_policy(ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.dedup import dedup_keep_best, dup_clusters
+
+    t = dedup_keep_best(SF, tau=0.8)
+    cl = dup_clusters(SF, tau=0.8)
+    assert t["doc_id"].to_pylist() == cl["doc_id"].to_pylist()
+    meta = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    nch = dict(zip(meta["doc_id"].to_pylist(), meta["n_chars"].to_pylist()))
+    import collections
+
+    groups = collections.defaultdict(list)
+    for d, c, kept in zip(
+        t["doc_id"].to_pylist(), t["cluster_id"].to_pylist(), t["kept"].to_pylist()
+    ):
+        groups[c].append((d, kept))
+    for c, members in groups.items():
+        kept = [d for d, k in members if k]
+        assert len(kept) == 1
+        best = sorted(members, key=lambda m: (-nch[m[0]], m[0]))[0][0]
+        assert kept[0] == best
+
+
+def test_mixing_weights_sublinear(ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.curate import mixing_weights
+
+    t = mixing_weights(SF, alpha=0.5)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+    import collections
+
+    toks = collections.Counter()
+    nd = collections.Counter()
+    for s, txt in zip(docs["source"].to_pylist(), docs["text"].to_pylist()):
+        toks[s] += len(txt.split(" "))
+        nd[s] += 1
+    tot = sum(np.sqrt(v) for v in toks.values())
+    for s, n, ntok, w in zip(
+        t["source"].to_pylist(), t["n_docs"].to_pylist(),
+        t["n_tokens"].to_pylist(), t["weight"].to_pylist(),
+    ):
+        assert n == nd[s] and ntok == toks[s]
+        assert w == pytest.approx(np.sqrt(toks[s]) / tot, abs=1e-6)
+    assert sum(t["weight"].to_pylist()) == pytest.approx(1.0, abs=1e-4)
