@@ -2366,6 +2366,71 @@ def _q_eql_funnel(sf_dir: str) -> pa.Table:
     return eql_funnel(sf_dir, steps=("signup", "purchase", "error"), maxspan_s=7 * 86400)
 
 
+def _q_intervals(sf_dir: str) -> pa.Table:
+    """ES ``intervals`` (match rule, 3 distinct terms, max_gaps = 2+q%3,
+    ordered on odd q) over the positional index."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import intervals_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    c = len(vocab)
+    qids, docs = [], []
+    for q in range(_N_QUERIES):
+        i1 = q % c
+        i2 = (7 * q + 3) % c
+        if i2 == i1:
+            i2 = (i2 + 1) % c
+        i3 = (13 * q + 11) % c
+        if i3 in (i1, i2):
+            i3 = (i3 + 1) % c
+        if i3 in (i1, i2):
+            i3 = (i3 + 1) % c
+        terms = [vocab[i1], vocab[i2], vocab[i3]]
+        hits = intervals_match(
+            store, terms, max_gaps=2 + q % 3, ordered=bool(q % 2)
+        )
+        qids.extend([q] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
+def _q_percentiles_bucket(sf_dir: str) -> pa.Table:
+    """ES ``percentiles_bucket`` over daily doc counts — exact
+    quantile_cont interpolation on the coordinator."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import percentiles_bucket
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    buckets = date_histogram_stats(sf_dir, interval_s=86400)
+    return percentiles_bucket(buckets, metric="doc_count", round_decimals=_ROUND)
+
+
+def _q_bucket_correlation(sf_dir: str) -> pa.Table:
+    """ES ``bucket_correlation`` (Pearson) between daily purchase revenue
+    and click count series."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import bucket_correlation
+    from bitcoin_ledger_2es_ray.pipelines.events import bucket_script_ratio
+
+    buckets = bucket_script_ratio(sf_dir, num_type="purchase", den_type="click")
+    return bucket_correlation(
+        buckets, metric_a="num_sum", metric_b="den_count", round_decimals=_ROUND
+    )
+
+
+def _q_geo_line(sf_dir: str) -> pa.Table:
+    """ES ``geo_line`` per market segment: top-5 customers by acctbal,
+    path string of their derived geo_points."""
+    from bitcoin_ledger_2es_ray.pipelines.geo import geo_line_agg
+
+    return geo_line_agg(sf_dir, size=5, round_decimals=_ROUND)
+
+
 def _q_hybrid_linear(sf_dir: str) -> pa.Table:
     """ES 8.16 ``linear`` retriever: minmax-normalized BM25 (w=0.7) +
     exact-cosine kNN (w=0.3) legs, top-20 each, fused top-10."""
@@ -2669,6 +2734,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_linear": _q_hybrid_linear,
         "dedup_keep_best": _q_dedup_keep_best,
         "mixing_weights": _q_mixing_weights,
+        "intervals": _q_intervals,
+        "percentiles_bucket": _q_percentiles_bucket,
+        "bucket_correlation": _q_bucket_correlation,
+        "geo_line": _q_geo_line,
         "match_bool_prefix": _q_match_bool_prefix,
         "constant_score": _q_constant_score,
         "pinned": _q_pinned,
@@ -3604,6 +3673,96 @@ reach AS (
 )
 SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id
+""",
+        # intervals (3 terms, max_gaps, ordered on odd q) over positions
+        "intervals": _PRELUDE
+        + """
+, pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+),
+iq AS (
+  SELECT q AS query_id, q % c AS i1,
+         CASE WHEN (7 * q + 3) % c = q % c THEN ((7 * q + 3) % c + 1) % c
+              ELSE (7 * q + 3) % c END AS i2,
+         (13 * q + 11) % c AS r3,
+         2 + q % 3 AS g, (q % 2 = 1) AS ord
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+),
+iq2 AS (
+  SELECT query_id, i1, i2,
+         CASE WHEN r3 IN (i1, i2) THEN (r3 + 1) % c ELSE r3 END AS r3b,
+         g, ord, c
+  FROM iq CROSS JOIN nv
+),
+iq3 AS (
+  SELECT query_id, i1, i2,
+         CASE WHEN r3b IN (i1, i2) THEN (r3b + 1) % c ELSE r3b END AS i3,
+         g, ord
+  FROM iq2
+),
+sterm AS (
+  SELECT s.query_id, v1.term AS t1, v2.term AS t2, v3.term AS t3, s.g, s.ord
+  FROM iq3 s
+  JOIN vocab v1 ON v1.idx = s.i1
+  JOIN vocab v2 ON v2.idx = s.i2
+  JOIN vocab v3 ON v3.idx = s.i3
+)
+, m1 AS (
+  SELECT st.query_id, st.g, st.ord, p.doc_id, p.p
+  FROM sterm st JOIN pos p ON p.term = st.t1
+),
+m2 AS (SELECT st.query_id, p.doc_id, p.p FROM sterm st JOIN pos p ON p.term = st.t2),
+m3 AS (SELECT st.query_id, p.doc_id, p.p FROM sterm st JOIN pos p ON p.term = st.t3)
+SELECT DISTINCT m1.query_id::BIGINT AS query_id, m1.doc_id::BIGINT AS doc_id
+FROM m1
+JOIN m2 ON m2.query_id = m1.query_id AND m2.doc_id = m1.doc_id
+JOIN m3 ON m3.query_id = m1.query_id AND m3.doc_id = m1.doc_id
+WHERE (m1.ord AND m1.p < m2.p AND m2.p < m3.p AND m3.p - m1.p - 2 <= m1.g)
+   OR ((NOT m1.ord)
+       AND greatest(m1.p, m2.p, m3.p) - least(m1.p, m2.p, m3.p) - 2 <= m1.g)
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # percentiles_bucket over daily doc counts (quantile_cont exact)
+        "percentiles_bucket": """
+WITH buckets AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT 0.25 AS q, round(quantile_cont(doc_count, 0.25), 6) AS value FROM buckets
+UNION ALL
+SELECT 0.5, round(quantile_cont(doc_count, 0.5), 6) FROM buckets
+UNION ALL
+SELECT 0.75, round(quantile_cont(doc_count, 0.75), 6) FROM buckets
+UNION ALL
+SELECT 0.99, round(quantile_cont(doc_count, 0.99), 6) FROM buckets
+ORDER BY q
+""",
+        # bucket_correlation: Pearson between two daily bucket series
+        "bucket_correlation": """
+WITH b AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 6) AS a,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM events GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_buckets, round(corr(a, c), 6) AS correlation FROM b
+""",
+        # geo_line: top-5 by acctbal per segment, "lat,lon ..." path
+        "geo_line": _GEO_PTS
+        + """
+, ranked AS (
+  SELECT c_mktsegment, lat, lon,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM pts
+)
+SELECT c_mktsegment, count(*)::BIGINT AS n_points,
+       string_agg(round(lat, 6)::VARCHAR || ',' || round(lon, 6)::VARCHAR,
+                  ' ' ORDER BY rn) AS line
+FROM ranked WHERE rn <= 5 GROUP BY 1 ORDER BY 1
 """,
         # hybrid linear retriever: minmax-normalized BM25 + kNN legs
         "hybrid_linear": _PRELUDE

@@ -1582,3 +1582,66 @@ def filters_agg(
             "avg_dl": pa.array(avgs, type=pa.float64()),
         }
     ).sort_by("filter_name")
+
+
+def percentiles_bucket(
+    buckets: pa.Table,
+    metric: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99),
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``percentiles_bucket`` sibling pipeline agg: exact percentiles
+    (``quantile_cont`` interpolation) of a metric across the parent agg's
+    reduced buckets — coordinator-side like every pipeline agg.  One row
+    per quantile: (q, value)."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    v = np.sort(np.asarray(buckets[metric], dtype=np.float64))
+    if len(v) == 0:
+        raise ValueError("percentiles_bucket: no buckets")
+    out_q, out_v = [], []
+    n = len(v)
+    for q in quantiles:
+        pos = q * (n - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        val = v[lo] if hi == lo else v[lo] + (pos - lo) * (v[hi] - v[lo])
+        out_q.append(float(q))
+        out_v.append(float(sql_round(val, round_decimals)))
+    return pa.table(
+        {
+            "q": pa.array(out_q, type=pa.float64()),
+            "value": pa.array(out_v, type=pa.float64()),
+        }
+    )
+
+
+def bucket_correlation(
+    buckets: pa.Table, metric_a: str, metric_b: str, round_decimals: int = 6
+) -> pa.Table:
+    """ES ``bucket_correlation`` pipeline agg (Pearson, the ``count_
+    correlation``-adjacent x-pack sibling): correlation between two
+    metric series across the reduced buckets — coordinator-side.  One
+    row: (n_buckets, correlation)."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    a = np.asarray(buckets[metric_a], dtype=np.float64)
+    b = np.asarray(buckets[metric_b], dtype=np.float64)
+    if len(a) < 2:
+        raise ValueError("bucket_correlation: needs >= 2 buckets")
+    am, bm = a - a.mean(), b - b.mean()
+    denom = float(np.sqrt((am * am).sum() * (bm * bm).sum()))
+    if denom == 0:
+        raise ValueError("bucket_correlation: zero variance series")
+    corr = float((am * bm).sum()) / denom
+    return pa.table(
+        {
+            "n_buckets": pa.array([len(a)], type=pa.int64()),
+            "correlation": pa.array(
+                [float(sql_round(corr, round_decimals))], type=pa.float64()
+            ),
+        }
+    )

@@ -418,3 +418,71 @@ def geohash_grid(sf_dir: str, precision: int = 2) -> pa.Table:
     return pa.table(
         {"geohash": g["geohash"], "doc_count": g["n_sum"].cast(pa.int64())}
     ).sort_by("geohash")
+
+
+def geo_line_agg(sf_dir: str, size: int = 5, round_decimals: int = 6) -> pa.Table:
+    """ES ``geo_line`` aggregation bucketed by market segment: the
+    geo_points of the top-``size`` customers by (acctbal DESC, custkey
+    ASC) joined into a LineString-style ``"lat,lon lat,lon ..."`` path
+    (deterministic text stand-in for the geojson payload).  Per-batch
+    partial top-``size`` per segment (sort + run-rank), driver merge
+    bounded by segments × batches × size."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seg = np.asarray(batch["c_mktsegment"].combine_chunks().cast(pa.string()))
+        key = np.asarray(batch["c_custkey"], dtype=np.int64)
+        bal = np.asarray(batch["c_acctbal"], dtype=np.float64)
+        order = np.lexsort((key, -bal, seg))
+        seg_s, key_s, bal_s = seg[order], key[order], bal[order]
+        # per-segment run rank over the (seg, -bal, key)-sorted rows
+        new = np.concatenate(([True], seg_s[1:] != seg_s[:-1]))
+        run_start = np.maximum.accumulate(np.where(new, np.arange(len(seg_s)), 0))
+        rank = np.arange(len(seg_s)) - run_start
+        keep = rank < size
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(seg_s[keep], type=pa.string()),
+                "c_custkey": pa.array(key_s[keep], type=pa.int64()),
+                "c_acctbal": pa.array(bal_s[keep], type=pa.float64()),
+            }
+        )
+
+    ds = _read_customers(sf_dir, ["c_custkey", "c_mktsegment", "c_acctbal"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cat = pa.concat_tables(_collect(ds))
+    seg = np.asarray(cat["c_mktsegment"].combine_chunks().cast(pa.string()))
+    key = np.asarray(cat["c_custkey"], dtype=np.int64)
+    bal = np.asarray(cat["c_acctbal"], dtype=np.float64)
+    order = np.lexsort((key, -bal, seg))
+    seg, key = seg[order], key[order]
+    new = np.concatenate(([True], seg[1:] != seg[:-1]))
+    run_start = np.maximum.accumulate(np.where(new, np.arange(len(seg)), 0))
+    rank = np.arange(len(seg)) - run_start
+    keep = rank < size
+    seg, key = seg[keep], key[keep]
+    lat, lon = derive_coords(key)
+    lat = sql_round(lat, round_decimals)
+    lon = sql_round(lon, round_decimals)
+    segments, lines, npts = [], [], []
+    # the per-segment join loop runs over segments x size rows (tiny)
+    cur, parts = None, []
+    for s, la, lo in zip(seg.tolist(), lat.tolist(), lon.tolist()):
+        if s != cur:
+            if cur is not None:
+                segments.append(cur)
+                lines.append(" ".join(parts))
+                npts.append(len(parts))
+            cur, parts = s, []
+        parts.append(f"{la},{lo}")
+    if cur is not None:
+        segments.append(cur)
+        lines.append(" ".join(parts))
+        npts.append(len(parts))
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(segments, type=pa.string()),
+            "n_points": pa.array(npts, type=pa.int64()),
+            "line": pa.array(lines, type=pa.string()),
+        }
+    ).sort_by("c_mktsegment")

@@ -681,3 +681,86 @@ def phrase_suggest(
             "pair_count": pa.array(pcs, type=pa.int64()),
         }
     ).sort_by([("query_id", "ascending"), ("pos", "ascending")])
+
+
+def intervals_match(
+    store: SegmentStore,
+    terms: list[str],
+    max_gaps: int,
+    ordered: bool = False,
+) -> np.ndarray:
+    """ES ``intervals`` query (``match`` rule with ``max_gaps`` /
+    ``ordered``) over single-position term clauses: sorted unique doc_ids
+    holding one occurrence per term whose covering window has total gaps
+    ``(max_pos - min_pos) - (n-1) <= max_gaps``; ``ordered`` additionally
+    requires the occurrences in term order.  Terms must be DISTINCT
+    (duplicate clauses would need Lucene's minimal-interval de-overlap).
+
+    Vectorized sliding-window over the merged occurrence stream: all
+    occurrences become sorted ``(doc << POS_BITS) | pos`` keys with a term
+    label; one ``np.maximum.accumulate`` per label forward-fills the
+    latest occurrence of that label (chained through the term sequence
+    for ``ordered``), so each candidate window closes in O(1) — no
+    per-doc loop.  Key order makes the fills doc-safe: a window whose
+    filled starts fall in an earlier doc fails the same-doc check."""
+    n = len(terms)
+    if n < 2:
+        raise ValueError("intervals_match needs >= 2 terms")
+    if len(set(terms)) != n:
+        raise ValueError("intervals_match terms must be distinct")
+    if max_gaps < 0:
+        raise ValueError("max_gaps must be >= 0")
+    keys_l, labels_l = [], []
+    for i, t in enumerate(terms):
+        k = _term_keys(store, t)
+        if len(k) == 0:
+            return np.empty(0, dtype=np.uint64)
+        keys_l.append(k)
+        labels_l.append(np.full(len(k), i, dtype=np.int64))
+    keys = np.concatenate(keys_l)
+    labels = np.concatenate(labels_l)
+    order = np.argsort(keys, kind="stable")
+    keys, labels = keys[order], labels[order]
+    NONE = np.uint64(0)  # sentinel: no occurrence seen yet (valid keys > 0
+    # never matter: a 0-key window start still fails only via doc/gap checks,
+    # so mask explicitly instead)
+    seen = np.zeros((n, len(keys)), dtype=np.uint64)
+    valid = np.zeros((n, len(keys)), dtype=bool)
+    if ordered:
+        # chain fill: latest occurrence of term i that EXTENDS a chain
+        # t0 < t1 < ... < t(i-1) < pos; carry the chain's START key
+        chain_start = np.where(labels == 0, keys, NONE)
+        chain_ok = labels == 0
+        start_fill = np.maximum.accumulate(np.where(chain_ok, chain_start, NONE))
+        ok_fill = np.maximum.accumulate(chain_ok.astype(np.int64)) > 0
+        for i in range(1, n):
+            at_i = labels == i
+            # the chain reaching term i at this occurrence starts where the
+            # best (latest-starting) chain of length i ended... the start
+            # carried forward is the max chain start among chains of length
+            # i that END before this occurrence
+            chain_start = np.where(at_i & ok_fill, start_fill, NONE)
+            chain_ok = at_i & ok_fill
+            if i < n - 1:
+                start_fill = np.maximum.accumulate(np.where(chain_ok, chain_start, NONE))
+                ok_fill = np.maximum.accumulate(chain_ok.astype(np.int64)) > 0
+        end_keys = keys[chain_ok]
+        start_keys = chain_start[chain_ok]
+    else:
+        for i in range(n):
+            at_i = labels == i
+            seen[i] = np.maximum.accumulate(np.where(at_i, keys, NONE))
+            valid[i] = np.maximum.accumulate(at_i.astype(np.int64)) > 0
+        all_seen = valid.all(axis=0)
+        if not all_seen.any():
+            return np.empty(0, dtype=np.uint64)
+        start_keys = seen[:, all_seen].min(axis=0)
+        end_keys = keys[all_seen]
+    if len(end_keys) == 0:
+        return np.empty(0, dtype=np.uint64)
+    doc_s = start_keys >> np.uint64(POS_BITS)
+    doc_e = end_keys >> np.uint64(POS_BITS)
+    p_s = (start_keys & np.uint64(MAX_POS)).astype(np.int64)
+    p_e = (end_keys & np.uint64(MAX_POS)).astype(np.int64)
+    hit = (doc_s == doc_e) & ((p_e - p_s) - (n - 1) <= max_gaps)
+    return np.unique(doc_e[hit])

@@ -1668,3 +1668,57 @@ def test_eql_funnel_bruteforce(ray_session):
         )
     }
     assert got == want
+
+
+def test_percentiles_bucket_and_correlation():
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import (
+        bucket_correlation,
+        percentiles_bucket,
+    )
+
+    buckets = pa.table({"k": [0, 1, 2, 3], "m": [10.0, 20.0, 40.0, 30.0]})
+    t = percentiles_bucket(buckets, "m", quantiles=(0.5,))
+    assert t["value"][0].as_py() == 25.0  # median of 10,20,30,40
+    b2 = pa.table({"k": [0, 1, 2], "a": [1.0, 2.0, 3.0], "b": [2.0, 4.0, 6.0]})
+    c = bucket_correlation(b2, "a", "b")
+    assert c["correlation"][0].as_py() == 1.0
+    with pytest.raises(ValueError):
+        percentiles_bucket(pa.table({"m": pa.array([], type=pa.float64())}), "m")
+    with pytest.raises(ValueError):
+        bucket_correlation(pa.table({"a": [1.0], "b": [1.0]}), "a", "b")
+    with pytest.raises(ValueError):
+        bucket_correlation(pa.table({"a": [1.0, 1.0], "b": [1.0, 2.0]}), "a", "b")
+
+
+def test_geo_line_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.geo import derive_coords, geo_line_agg
+
+    sf = "/root/testdata/sf0.001"
+    t = geo_line_agg(sf, size=3)
+    cust = pq.read_table(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+    rows = list(
+        zip(
+            cust["c_mktsegment"].to_pylist(), cust["c_acctbal"].to_pylist(),
+            cust["c_custkey"].to_pylist(),
+        )
+    )
+    import collections
+
+    by_seg = collections.defaultdict(list)
+    for s, bal, key in rows:
+        by_seg[s].append((-bal, key))
+    for seg, npts, line in zip(
+        t["c_mktsegment"].to_pylist(), t["n_points"].to_pylist(), t["line"].to_pylist()
+    ):
+        top = sorted(by_seg[seg])[:3]
+        keys = np.array([k for _, k in top], dtype=np.int64)
+        lat, lon = derive_coords(keys)
+        want = " ".join(f"{round(la,6)},{round(lo,6)}" for la, lo in zip(lat, lon))
+        assert npts == len(top)
+        assert line == want, seg

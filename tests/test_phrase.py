@@ -670,3 +670,49 @@ def test_phrase_suggest_no_candidates(built):
         store, "/root/testdata/sf0.001", [(0, "zzzzzzzzzzzz", "qqqqqqqqqqqq")], k=3
     )
     assert out.num_rows == 0
+
+
+def test_intervals_match_brute(pos_index):
+    """intervals (3 terms, ordered/unordered, max_gaps) vs positional
+    brute force over every doc."""
+    import itertools
+    import random
+
+    from bitcoin_ledger_2es_ray.pipelines.phrase import intervals_match
+
+    docs, store, _ = pos_index
+    vocab = sorted(store.df)
+
+    def brute(terms, g, ordered):
+        out = []
+        for i, d in enumerate(docs):
+            toks = d.split(" ")
+            plists = [[p for p, t in enumerate(toks) if t == term] for term in terms]
+            if any(not pl for pl in plists):
+                continue
+            hit = False
+            for combo in itertools.product(*plists):
+                if ordered and not all(
+                    combo[j] < combo[j + 1] for j in range(len(combo) - 1)
+                ):
+                    continue
+                if max(combo) - min(combo) - (len(terms) - 1) <= g:
+                    hit = True
+                    break
+            if hit:
+                out.append(i)
+        return out
+
+    rng = random.Random(11)
+    for _ in range(20):
+        terms = rng.sample(vocab, 3)
+        g = rng.choice([0, 1, 2, 5])
+        for ordered in (False, True):
+            got = intervals_match(store, terms, max_gaps=g, ordered=ordered)
+            assert got.tolist() == brute(terms, g, ordered), (terms, g, ordered)
+    with pytest.raises(ValueError):
+        intervals_match(store, [vocab[0], vocab[0]], max_gaps=1)
+    with pytest.raises(ValueError):
+        intervals_match(store, [vocab[0]], max_gaps=1)
+    with pytest.raises(ValueError):
+        intervals_match(store, [vocab[0], vocab[1]], max_gaps=-1)
