@@ -2366,6 +2366,49 @@ def _q_eql_funnel(sf_dir: str) -> pa.Table:
     return eql_funnel(sf_dir, steps=("signup", "purchase", "error"), maxspan_s=7 * 86400)
 
 
+def _q_sparse_vector(sf_dir: str) -> pa.Table:
+    """ES ``sparse_vector`` / rank_features dot product: fixture terms
+    with query weight 1 + q mod 3, doc feature tf/dl."""
+    from bitcoin_ledger_2es_ray.pipelines.query import tokenize_query
+    from bitcoin_ledger_2es_ray.pipelines.structured import sparse_vector_topk
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        w = 1.0 + qid % 3
+        weights = {t: w for t in set(tokenize_query(text))}
+        top = sparse_vector_topk(store, weights, _TOP_K, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_bigram_logprob(sf_dir: str) -> pa.Table:
+    """Bigram-LM quality score (add-1 smoothed), docs with ≥ 2 tokens."""
+    from bitcoin_ledger_2es_ray.pipelines.ngrams import bigram_logprob
+
+    return bigram_logprob(sf_dir, round_decimals=_ROUND)
+
+
+def _q_hopping_window(sf_dir: str) -> pa.Table:
+    """Hopping windows (size 1h, hop 30m): count + sum per overlapping
+    window."""
+    from bitcoin_ledger_2es_ray.pipelines.events import hopping_window
+
+    return hopping_window(sf_dir, size_s=3600, hop_s=1800, round_decimals=_ROUND)
+
+
 def _q_intervals(sf_dir: str) -> pa.Table:
     """ES ``intervals`` (match rule, 3 distinct terms, max_gaps = 2+q%3,
     ordered on odd q) over the positional index."""
@@ -2735,6 +2778,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "mixing_weights": _q_mixing_weights,
         "intervals": _q_intervals,
+        "sparse_vector": _q_sparse_vector,
+        "bigram_logprob": _q_bigram_logprob,
+        "hopping_window": _q_hopping_window,
         "percentiles_bucket": _q_percentiles_bucket,
         "bucket_correlation": _q_bucket_correlation,
         "geo_line": _q_geo_line,
@@ -3724,6 +3770,60 @@ WHERE (m1.ord AND m1.p < m2.p AND m2.p < m3.p AND m3.p - m1.p - 2 <= m1.g)
        AND greatest(m1.p, m2.p, m3.p) - least(m1.p, m2.p, m3.p) - 2 <= m1.g)
 ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # sparse_vector: query weight (1 + q%3) x doc feature tf/dl
+        "sparse_vector": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum((1.0 + qt.query_id % 3) * tf.tf / dl.dl), 6) AS score
+  FROM qterm qt
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
+        # bigram LM logprob: add-1 smoothing over corpus bigram counts
+        "bigram_logprob": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+),
+v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM toks),
+pairs AS (
+  SELECT t1.doc_id, t1.w AS a, t2.w AS b
+  FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.p = t1.p + 1
+),
+bc AS (SELECT a, b, count(*)::DOUBLE AS n FROM pairs GROUP BY 1, 2),
+lc AS (SELECT a, sum(n) AS n FROM bc GROUP BY a),
+sc AS (
+  SELECT p.doc_id, ln((bc.n + 1) / (lc.n + v.v)) AS lp
+  FROM pairs p
+  JOIN bc ON bc.a = p.a AND bc.b = p.b
+  JOIN lc ON lc.a = p.a
+  CROSS JOIN v
+)
+SELECT doc_id, round(avg(lp), 6) AS logprob FROM sc GROUP BY doc_id ORDER BY doc_id
+""",
+        # hopping windows: size 1h, hop 30m -> every event in 2 windows
+        "hopping_window": """
+WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, value FROM events),
+rep AS (
+  SELECT ((sec // 1800) - j) * 1800 AS window_start, value
+  FROM e, unnest([0, 1]) t(j)
+)
+SELECT window_start, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM rep GROUP BY 1 ORDER BY 1
+""",
         # percentiles_bucket over daily doc counts (quantile_cont exact)
         "percentiles_bucket": """
 WITH buckets AS (

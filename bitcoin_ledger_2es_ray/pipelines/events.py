@@ -620,3 +620,64 @@ def eql_funnel(
             }
         )
     return pa.concat_tables(parts).sort_by("user_id")
+
+
+def hopping_window(
+    sf_dir: str, size_s: int = 3600, hop_s: int = 1800, round_decimals: int = 6
+) -> pa.Table:
+    """Hopping (sliding) windows over the event stream: every window of
+    length ``size_s`` starting on a ``hop_s`` boundary; each event lands
+    in ``size_s / hop_s`` overlapping windows.  (The overlap factor is
+    the replication cost — the streaming-SQL HOP operator's shape.)
+    Returns (window_start, n_events, sum_value) per window.
+
+    Per-batch: the replicate-and-assign is vectorized (one tile per hop
+    offset), partials pre-aggregate per (window × batch) before the
+    shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if size_s % hop_s != 0:
+        raise ValueError("size_s must be a multiple of hop_s")
+    reps = size_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sec = np.asarray(
+            pc.divide(batch["ts"].cast(pa.int64()), 1_000_000).combine_chunks(),
+            dtype=np.int64,
+        )
+        v = np.asarray(batch["value"].combine_chunks(), dtype=np.float64)
+        base = (sec // hop_s) * hop_s
+        ws, vs = [], []
+        for j in range(reps):
+            ws.append(base - j * hop_s)
+            vs.append(v)
+        t = pa.table({"w": np.concatenate(ws), "v": np.concatenate(vs)})
+        g = t.group_by("w").aggregate([("v", "count"), ("v", "sum")])
+        return pa.table(
+            {
+                "w": g["w"],
+                "n": g["v_count"].cast(pa.int64()),
+                "s": g["v_sum"],
+            }
+        )
+
+    ds = (
+        _read_events(sf_dir, ["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    t = pa.concat_tables([p for p in parts if p.num_rows]).sort_by("w")
+    return pa.table(
+        {
+            "window_start": t["w"].cast(pa.int64()),
+            "n_events": t["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(
+                sql_round(np.asarray(t["sum_value"], dtype=np.float64), round_decimals),
+                type=pa.float64(),
+            ),
+        }
+    )

@@ -219,3 +219,127 @@ def bigram_pair_counts(
         for a, b, n in zip(p["a"].to_pylist(), p["b"].to_pylist(), p["n"].to_pylist()):
             out[(a, b)] = int(n)
     return out
+
+
+def bigram_logprob(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """Bigram-LM quality score (the KenLM-style upgrade of
+    ``unigram_logprob``): per doc, the mean add-1-smoothed bigram token
+    log-probability
+
+        lp(d) = mean over adjacent pairs (a,b) of ln( (c(a,b)+1) / (c(a,·)+V) )
+
+    with c(·) corpus bigram counts and V the corpus vocabulary size.
+    Docs with fewer than 2 tokens have no bigram slots and are omitted.
+
+    Plan: ONE distributed pass builds the corpus bigram table (per-batch
+    partial counts → (a,b) groupby); left-slot totals derive from it; a
+    SECOND pass re-streams the corpus, scoring each batch's bigram
+    occurrences vectorized against the broadcast count table (sorted-key
+    searchsorted — no per-row dict lookups).  The broadcast is bounded by
+    the OBSERVED bigram vocabulary; at 100-TB text that table itself is
+    large, and the scoring join becomes a (a,b)-keyed Dataset join
+    instead of a broadcast — documented divergence point."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.bm25 import sql_round
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    counts = (
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(bigram_counts_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    parts = [ray.get(r) for r in counts.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    bt = pa.concat_tables([p for p in parts if p.num_rows])
+    if bt.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "logprob": pa.array([], type=pa.float64()),
+            }
+        )
+    a_arr = np.asarray(bt["a"].combine_chunks().cast(pa.string())).astype(str)
+    b_arr = np.asarray(bt["b"].combine_chunks().cast(pa.string())).astype(str)
+    n_arr = np.asarray(bt["n"], dtype=np.float64)
+    pair_keys = np.char.add(np.char.add(a_arr, "\x00"), b_arr)
+    po = np.argsort(pair_keys)
+    pair_keys, pair_n = pair_keys[po], n_arr[po]
+    # left-slot totals c(a,·)
+    la, linv = np.unique(a_arr, return_inverse=True)
+    ln = np.zeros(len(la), dtype=np.float64)
+    np.add.at(ln, linv, n_arr)
+
+    # corpus vocabulary size (distinct tokens, incl. single-token docs)
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = toks.combine_chunks().flatten() if isinstance(toks, pa.ChunkedArray) else toks.flatten()
+        return pa.table({"w": pc.unique(flat)})
+
+    vparts = [
+        ray.get(r)
+        for r in rd.read_parquet(docs_path, columns=["text"])
+        .map_batches(vocab_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ]
+    vparts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in vparts]
+    vv = pa.concat_tables([p for p in vparts if p.num_rows])
+    V = float(len(pc.unique(vv["w"])))
+
+    pk_ref = ray.put((pair_keys, pair_n))
+    lc_ref = ray.put((la, ln))
+
+    def score(batch: pa.Table) -> pa.Table:
+        pk, pn = ray.get(pk_ref)
+        lav, lnv = ray.get(lc_ref)
+        toks = pc.split_pattern(batch["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        dl = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = np.asarray(toks.flatten().cast(pa.string())).astype(str)
+        total = len(flat)
+        doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        if total == 0 or (dl <= 1).all():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "logprob": pa.array([], type=pa.float64()),
+                }
+            )
+        is_left = np.ones(total, dtype=bool)
+        is_left[np.cumsum(dl)[dl > 0] - 1] = False
+        li = np.flatnonzero(is_left)
+        a = flat[li]
+        b = flat[li + 1]
+        keys = np.char.add(np.char.add(a, "\x00"), b)
+        pi = np.searchsorted(pk, keys)
+        pi = np.clip(pi, 0, len(pk) - 1)
+        cn = np.where(pk[pi] == keys, pn[pi], 0.0)
+        lj = np.searchsorted(lav, a)
+        lj = np.clip(lj, 0, len(lav) - 1)
+        cl = np.where(lav[lj] == a, lnv[lj], 0.0)
+        lp = np.log((cn + 1.0) / (cl + V))
+        row_idx = np.repeat(np.arange(len(dl)), dl)[li]
+        sums = np.zeros(len(dl), dtype=np.float64)
+        np.add.at(sums, row_idx, lp)
+        slots = np.maximum(dl - 1, 0)
+        keep = slots > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep], type=pa.int64()),
+                "logprob": pa.array(
+                    sql_round(sums[keep] / slots[keep], round_decimals),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    out = rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = [ray.get(r) for r in out.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts).sort_by("doc_id")

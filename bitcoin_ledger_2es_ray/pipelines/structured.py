@@ -648,3 +648,37 @@ def random_score_topk(
         score = sql_round(score, round_decimals)
     order = topk_order(score, d.astype(np.uint64), k)
     return [(int(d[i]), float(score[i])) for i in order]
+
+
+def sparse_vector_topk(
+    store: SegmentStore,
+    weights: dict[str, float],
+    k: int,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``sparse_vector`` query (the rank_features / learned-sparse
+    retrieval shape, ELSER-style): per-doc stored feature weights dotted
+    with query term weights.  The deterministic doc-side feature is
+    ``tf(t,d) / dl(d)`` — the normalized term frequency the index already
+    holds — so score(d) = Σ_t w_t · tf_td / dl_d.  No idf, no length
+    saturation: pure dot product, like Lucene's rank_features scorer."""
+    from ..functions.bm25 import sql_round, topk_order
+
+    doc_parts, score_parts = [], []
+    for t in sorted(weights):
+        w = float(weights[t])
+        d, tf, dl = store.postings(t)
+        if len(d) == 0:
+            continue
+        doc_parts.append(d)
+        score_parts.append(w * tf.astype(np.float64) / dl.astype(np.float64))
+    if not doc_parts:
+        return []
+    docs = np.concatenate(doc_parts)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    final = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(final, inv, np.concatenate(score_parts))
+    if round_decimals is not None:
+        final = sql_round(final, round_decimals)
+    order = topk_order(final, uniq, k)
+    return [(int(uniq[i]), float(final[i])) for i in order]

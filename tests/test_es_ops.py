@@ -1722,3 +1722,28 @@ def test_geo_line_bruteforce(ray_session):
         want = " ".join(f"{round(la,6)},{round(lo,6)}" for la, lo in zip(lat, lon))
         assert npts == len(top)
         assert line == want, seg
+
+
+def test_hopping_window_replication(ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.events import hopping_window
+
+    t = hopping_window(SF_EVENTS, size_s=3600, hop_s=1800)
+    ev = pq.read_table(f"{SF_EVENTS}/events.parquet", columns=["ts", "value"])
+    sec = np.asarray(ev["ts"].cast(pa.int64()), dtype=np.int64) // 1_000_000
+    v = np.asarray(ev["value"], dtype=np.float64)
+    import collections
+
+    n = collections.Counter()
+    s = collections.Counter()
+    for x, val in zip(sec.tolist(), v.tolist()):
+        for j in (0, 1):
+            w = ((x // 1800) - j) * 1800
+            n[w] += 1
+            s[w] += val
+    assert dict(zip(t["window_start"].to_pylist(), t["n_events"].to_pylist())) == dict(n)
+    # every event counted exactly twice
+    assert sum(t["n_events"].to_pylist()) == 2 * len(sec)
+    with pytest.raises(ValueError):
+        hopping_window(SF_EVENTS, size_s=3600, hop_s=1000)

@@ -222,3 +222,41 @@ def test_tfidf_k_validation(built):
     res, _, _ = built
     with pytest.raises(ValueError):
         tfidf_top_terms(res.out_dir, res.n_docs, k=0)
+
+
+def test_bigram_logprob_bruteforce(ray_session):
+    import collections
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.ngrams import bigram_logprob
+
+    sf = "/root/testdata/sf0.001"
+    t = bigram_logprob(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    bc = collections.Counter()
+    lc = collections.Counter()
+    vocab = set()
+    toks = {}
+    for d, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        w = txt.split(" ")
+        toks[d] = w
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            bc[(a, b)] += 1
+            lc[a] += 1
+    V = len(vocab)
+    want = {}
+    for d, w in toks.items():
+        if len(w) < 2:
+            continue
+        lps = [
+            math.log((bc[(a, b)] + 1) / (lc[a] + V)) for a, b in zip(w, w[1:])
+        ]
+        want[d] = round(sum(lps) / len(lps), 6)
+    got = dict(zip(t["doc_id"].to_pylist(), t["logprob"].to_pylist()))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9), d

@@ -408,3 +408,21 @@ def test_runtime_field_sort_bruteforce(ray_session):
     got = list(zip(t["doc_id"].to_pylist(), t["chars_per_word"].to_pylist()))
     assert got == want
     assert t["rank"].to_pylist() == list(range(1, 11))
+
+
+def test_sparse_vector_dot_product(corpus_store):
+    from bitcoin_ledger_2es_ray.pipelines.structured import sparse_vector_topk
+
+    docs, store = corpus_store
+    v = sorted(store.df)
+    weights = {v[0]: 2.0, v[4 % len(v)]: 0.5}
+    got = sparse_vector_topk(store, weights, 10, round_decimals=6)
+    want = {}
+    for t, w in weights.items():
+        d, tf, dl = store.postings(t)
+        for dd, tt, ll in zip(d.tolist(), tf.tolist(), dl.tolist()):
+            want[dd] = want.get(dd, 0.0) + w * tt / ll
+    expect = sorted(
+        ((d, round(s, 6)) for d, s in want.items()), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    assert [(d, round(s, 6)) for d, s in got] == expect
