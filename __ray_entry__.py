@@ -2366,6 +2366,61 @@ def _q_eql_funnel(sf_dir: str) -> pa.Table:
     return eql_funnel(sf_dir, steps=("signup", "purchase", "error"), maxspan_s=7 * 86400)
 
 
+def _q_completion_fuzzy(sf_dir: str) -> pa.Table:
+    """ES completion suggester with fuzziness 1: typed text = 3-char
+    vocab prefix with its 2nd char corrupted to 'z'."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import completion_fuzzy
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    qids, ranks, suggs, dfs = [], [], [], []
+    for q in range(_N_QUERIES):
+        t = vocab[(19 * q + 2) % len(vocab)]
+        typed = t[:1] + "z" + t[2:3]
+        for r, (s, df) in enumerate(completion_fuzzy(store, typed, k=5), start=1):
+            qids.append(q)
+            ranks.append(r)
+            suggs.append(s)
+            dfs.append(df)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "suggestion": pa.array(suggs, type=pa.string()),
+            "df": pa.array(dfs, type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_zipf_fit(sf_dir: str) -> pa.Table:
+    """Zipf fit (ln cf ~ ln rank least squares) over the term dictionary."""
+    from bitcoin_ledger_2es_ray.pipelines.textstats import zipf_fit
+
+    _, res = _store_for(sf_dir)
+    return zipf_fit(res.out_dir, round_decimals=_ROUND)
+
+
+def _q_model_rerank(sf_dir: str) -> pa.Table:
+    """LTR-style rescore: BM25 top-50 window → model actor pool
+    (deterministic stand-in) → top-10 by base + model."""
+    from bitcoin_ledger_2es_ray.pipelines.query import model_rerank
+
+    store, res = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    return model_rerank(
+        res.out_dir, queries, k=_TOP_K, window=50, concurrency=2,
+        round_decimals=_ROUND,
+    )
+
+
+def _q_knn_int8(sf_dir: str) -> pa.Table:
+    """int8 scalar-quantized kNN with exact rescore of the quantized
+    shortlist (approximate — recall pytest-asserted, rows-only gate)."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_int8
+
+    return knn_int8(sf_dir, n_queries=5, k=5, oversample=4, round_decimals=_ROUND)
+
+
 def _q_sparse_vector(sf_dir: str) -> pa.Table:
     """ES ``sparse_vector`` / rank_features dot product: fixture terms
     with query weight 1 + q mod 3, doc feature tf/dl."""
@@ -2781,6 +2836,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparse_vector": _q_sparse_vector,
         "bigram_logprob": _q_bigram_logprob,
         "hopping_window": _q_hopping_window,
+        "completion_fuzzy": _q_completion_fuzzy,
+        "zipf_fit": _q_zipf_fit,
+        "model_rerank": _q_model_rerank,
+        "knn_int8": _q_knn_int8,
         "percentiles_bucket": _q_percentiles_bucket,
         "bucket_correlation": _q_bucket_correlation,
         "geo_line": _q_geo_line,
@@ -3770,6 +3829,79 @@ WHERE (m1.ord AND m1.p < m2.p AND m2.p < m3.p AND m3.p - m1.p - 2 <= m1.g)
        AND greatest(m1.p, m2.p, m3.p) - least(m1.p, m2.p, m3.p) - 2 <= m1.g)
 ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # completion suggester with fuzziness 1 over corrupted prefixes
+        "completion_fuzzy": _PRELUDE
+        + """
+, typed AS (
+  SELECT q AS query_id,
+         substr(v.term, 1, 1) || 'z' || substr(v.term, 3, 1) AS p
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (19 * q + 2) % nv.c
+),
+cand AS (
+  SELECT ty.query_id, v.term AS suggestion, df.df::BIGINT AS df
+  FROM typed ty
+  JOIN vocab v ON levenshtein(substr(v.term, 1, len(ty.p)), ty.p) <= 1
+  JOIN df ON df.term = v.term
+),
+ranked AS (
+  SELECT query_id, suggestion, df,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY df DESC, suggestion ASC) AS rank
+  FROM cand
+)
+SELECT query_id, rank::BIGINT AS rank, suggestion, df
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # zipf fit: ln(cf) ~ ln(rank), rank by (cf DESC, term ASC)
+        "zipf_fit": _PRELUDE
+        + """
+, cfr AS (
+  SELECT cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rnk FROM df
+)
+SELECT count(*)::BIGINT AS n_terms,
+       round(regr_slope(ln(cf), ln(rnk)), 6) AS slope,
+       round(regr_intercept(ln(cf), ln(rnk)), 6) AS intercept,
+       round(regr_r2(ln(cf), ln(rnk)), 6) AS r2
+FROM cfr
+""",
+        # LTR rescore: BM25 top-50 window + deterministic model score
+        "model_rerank": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS base
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT query_id, doc_id, base,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY base DESC, doc_id ASC) AS r
+  FROM scored
+),
+rescored AS (
+  SELECT query_id, doc_id,
+         round(base + (((doc_id + query_id) * 2654435761) % 1000) / 1000.0, 6)
+           AS score
+  FROM win WHERE r <= 50
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM rescored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
         # sparse_vector: query weight (1 + q%3) x doc feature tf/dl
         "sparse_vector": _PRELUDE
         + """

@@ -594,3 +594,132 @@ def hybrid_linear(
             "score": pa.array(scores, type=pa.float64()),
         }
     )
+
+
+def knn_int8(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    oversample: int = 4,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``int8_hnsw``-style scalar-quantized kNN (the quantization +
+    rescore halves, without HNSW — the scan is the brute-force baseline):
+
+    1. one streamed stats pass finds per-dimension min/max (mergeable
+       partials — 2·dim numbers per batch);
+    2. NORMALIZED vectors quantize linearly to uint8 (4× memory — the
+       ES int8 deal is memory/IO, the scoring scan stays float);
+    3. the scan DEQUANTIZES each uint8 batch on the fly (per-dim affine
+       reconstruction) and ranks by approximate dot with the normalized
+       query, keeping an ``oversample``·k shortlist per (query, batch) —
+       exact float cosine is computed ONLY for shortlisted rows (ES's
+       rescore);
+    4. the driver takes the global shortlist by approximate score, then
+       re-ranks it by the exact cosine → top-k.
+
+    Quantization error can evict a true neighbor from the shortlist, so
+    results are approximate (no SQL oracle; recall vs the exact scan is
+    pytest-asserted)."""
+    import ray
+    import ray.data as rd
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    qn = _normalize(q_mat)
+
+    # pass 1: per-dim min/max partials over NORMALIZED vectors
+    def stats(batch: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(batch)
+        mat = _normalize(mat)
+        return pa.table(
+            {
+                "mn": pa.array([mat.min(axis=0).tolist()]),
+                "mx": pa.array([mat.max(axis=0).tolist()]),
+            }
+        )
+
+    sparts = [
+        ray.get(r)
+        for r in rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ]
+    sparts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in sparts]
+    st = pa.concat_tables([p for p in sparts if p.num_rows])
+    mn = np.array(st["mn"].to_pylist(), dtype=np.float64).min(axis=0)
+    mx = np.array(st["mx"].to_pylist(), dtype=np.float64).max(axis=0)
+    span = np.where(mx > mn, mx - mn, 1.0)
+
+    def quantize(mat: np.ndarray) -> np.ndarray:
+        return np.clip(
+            np.round((mat - mn) / span * 255.0), 0, 255
+        ).astype(np.int32)
+
+    shortlist = oversample * k
+    q_ref = ray.put((qn, q_ids))
+    scale = (span / 255.0).astype(np.float64)
+
+    def dequantize(u: np.ndarray) -> np.ndarray:
+        return mn + u.astype(np.float64) * scale
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qnm, qid = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        norm = _normalize(mat)
+        di = quantize(norm).astype(np.uint8)  # what the int8 index stores
+        raw = dequantize(di) @ qnm.T  # approximate dot after dequantize
+        sims = norm @ qnm.T  # exact — used only for kept rows
+        out_q, out_v, out_i, out_s = [], [], [], []
+        m = min(shortlist, raw.shape[0])
+        for j in range(raw.shape[1]):
+            col = raw[:, j]
+            top = np.argpartition(-col, m - 1)[:m] if raw.shape[0] > m else np.arange(raw.shape[0])
+            out_q.append(np.full(len(top), qid[j], dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_i.append(col[top])
+            out_s.append(sql_round(sims[top, j], round_decimals))
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "iscore": np.concatenate(out_i),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    q = np.asarray(t["query_id"], dtype=np.int64)
+    v = np.asarray(t["vec_id"], dtype=np.int64)
+    isc = np.asarray(t["iscore"], dtype=np.float64)
+    sim = np.asarray(t["sim"], dtype=np.float64)
+    qids, ranks, vids, sims = [], [], [], []
+    for qi in np.unique(q):
+        m = q == qi
+        vv, ii, ss = v[m], isc[m], sim[m]
+        order = np.lexsort((vv, -ii))[:shortlist]  # quantized shortlist
+        vv, ss = vv[order], ss[order]
+        rr = np.lexsort((vv, -ss))[:k]  # exact re-rank
+        for rank, j in enumerate(rr, start=1):
+            qids.append(int(qi))
+            ranks.append(rank)
+            vids.append(int(vv[j]))
+            sims.append(float(ss[j]))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "vec_id": pa.array(vids, type=pa.int64()),
+            "sim": pa.array(sims, type=pa.float64()),
+        }
+    )

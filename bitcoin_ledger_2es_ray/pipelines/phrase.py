@@ -764,3 +764,23 @@ def intervals_match(
     p_e = (end_keys & np.uint64(MAX_POS)).astype(np.int64)
     hit = (doc_s == doc_e) & ((p_e - p_s) - (n - 1) <= max_gaps)
     return np.unique(doc_e[hit])
+
+
+def completion_fuzzy(
+    store: SegmentStore, q: str, k: int = 5
+) -> list[tuple[str, int]]:
+    """ES completion suggester with ``fuzzy`` (fuzziness 1, simplified to
+    the dictionary): terms whose prefix OF THE QUERY'S LENGTH is within
+    Levenshtein distance 1 of the typed text, ranked (df DESC, term ASC).
+    The candidate scan is the vectorized banded Levenshtein kernel over
+    the dictionary — the same fuzzy machinery as the fuzzy query, applied
+    to prefixes."""
+    from ..functions.editdist import levenshtein_leq
+
+    terms = sorted(store.df)
+    prefixes = [t[: len(q)] for t in terms]
+    ok = levenshtein_leq(q, prefixes, 1)
+    cands = [t for t, o in zip(terms, ok) if o]
+    dfs = [store.td.df_of(t) for t in cands]
+    order = sorted(range(len(cands)), key=lambda i: (-dfs[i], cands[i]))
+    return [(cands[i], int(dfs[i])) for i in order[:k]]

@@ -785,3 +785,111 @@ def scroll_all(
     else:
         raise RuntimeError("scroll_all: max_pages exhausted")
     return out
+
+
+class ModelReranker:
+    """Actor-pool ML-rerank stage (the LTR / cross-encoder plumbing):
+    the "model" loads ONCE per actor in ``__init__`` and scores candidate
+    batches in ``__call__`` — exactly where a real ONNX/torch session
+    would sit.  The container ships no inference libs, so the model is a
+    DETERMINISTIC stand-in (the seeded multiplicative hash of
+    (doc, query) scaled to [0,1)) — the Ray-side plumbing (per-actor
+    state, batched scoring, schema) is the real, tested part.
+
+    final = base_score + model_score (ES rescore score_mode=total)."""
+
+    MULT = 2654435761
+    MOD = 1000
+
+    def __init__(self):
+        # stand-in for model deserialization — once per actor
+        self._mult = np.int64(self.MULT)
+        self._mod = np.int64(self.MOD)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], dtype=np.int64)
+        q = np.asarray(batch["query_id"], dtype=np.int64)
+        model = (((d + q) * self._mult) % self._mod) / float(self.MOD)
+        out = batch.append_column("model_score", pa.array(model, type=pa.float64()))
+        return out
+
+
+def model_rerank(
+    index_dir: str,
+    queries: pa.Table,
+    k: int = 10,
+    window: int = 50,
+    concurrency: int = 2,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES LTR-style rescore with a model actor pool: BM25 top-``window``
+    candidates per query fan into ``map_batches(ModelReranker,
+    concurrency=N)`` (stateful actors — the model loads once each), the
+    reranked top-``k`` per query comes back as
+    (query_id, rank, doc_id, score) with score = base + model.
+
+    The candidate set is queries × window rows — the only data the model
+    stage ever sees (never the corpus)."""
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    store = SegmentStore(index_dir)
+    qids_l, docs_l, base_l = [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        top = score_query(store, text, window, round_decimals=round_decimals)
+        for d, s in top:
+            qids_l.append(qid)
+            docs_l.append(d)
+            base_l.append(s)
+    cand = pa.table(
+        {
+            "query_id": pa.array(qids_l, type=pa.int64()),
+            "doc_id": pa.array(docs_l, type=pa.int64()),
+            "base_score": pa.array(base_l, type=pa.float64()),
+        }
+    )
+    if cand.num_rows == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    from ..functions.blocks import from_arrow_blocks
+
+    ds = from_arrow_blocks(cand, concurrency).map_batches(
+        ModelReranker,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=max(1, -(-cand.num_rows // max(1, concurrency))),
+        concurrency=concurrency,
+    )
+    import ray
+
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    q = np.asarray(t["query_id"], dtype=np.int64)
+    d = np.asarray(t["doc_id"], dtype=np.int64)
+    s = sql_round(
+        np.asarray(t["base_score"], dtype=np.float64)
+        + np.asarray(t["model_score"], dtype=np.float64),
+        round_decimals,
+    )
+    order = np.lexsort((d, -s, q))
+    q, d, s = q[order], d[order], s[order]
+    new = np.concatenate(([True], q[1:] != q[:-1]))
+    run_start = np.maximum.accumulate(np.where(new, np.arange(len(q)), 0))
+    rank = np.arange(len(q)) - run_start + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "query_id": pa.array(q[keep], type=pa.int64()),
+            "rank": pa.array(rank[keep], type=pa.int64()),
+            "doc_id": pa.array(d[keep], type=pa.int64()),
+            "score": pa.array(s[keep], type=pa.float64()),
+        }
+    )

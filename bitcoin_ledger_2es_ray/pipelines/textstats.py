@@ -421,3 +421,48 @@ def doc_fingerprints_to_parquet(
     sf_dir: str, out_dir: str, window: int = _FP_WINDOW, keep: int = 4
 ) -> str:
     return write_dataset(doc_fingerprints_ds(sf_dir, window, keep), out_dir)
+
+
+def zipf_fit(index_dir: str, round_decimals: int = 6) -> pa.Table:
+    """Zipf-law fit of the corpus term distribution — least-squares slope
+    and R² of ln(cf) against ln(rank) with rank by (cf DESC, term ASC) —
+    the standard sanity statistic for tokenizer/corpus health in
+    training-data pipelines.  The sufficient statistics live in the term
+    dictionary (one vocabulary-sized read; the regression is a closed
+    form over ≤ |V| points on the driver).  One row:
+    (n_terms, slope, intercept, r2)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.bm25 import sql_round
+
+    td = pq.read_table(
+        os.path.join(index_dir, "term_dict.parquet"), columns=["term", "cf"]
+    )
+    agg = td.group_by("term").aggregate([("cf", "sum")])
+    terms = np.asarray(agg["term"].combine_chunks().cast(pa.string())).astype(str)
+    cf = np.asarray(agg["cf_sum"], dtype=np.float64)
+    order = np.lexsort((terms, -cf))
+    cf = cf[order]
+    n = len(cf)
+    if n < 2:
+        raise ValueError("zipf_fit: needs >= 2 terms")
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(cf)
+    xm, ym = x.mean(), y.mean()
+    sxx = ((x - xm) ** 2).sum()
+    sxy = ((x - xm) * (y - ym)).sum()
+    syy = ((y - ym) ** 2).sum()
+    slope = sxy / sxx
+    intercept = ym - slope * xm
+    r2 = (sxy * sxy) / (sxx * syy) if syy > 0 else 1.0
+    r = lambda v: float(sql_round(v, round_decimals))  # noqa: E731
+    return pa.table(
+        {
+            "n_terms": pa.array([n], type=pa.int64()),
+            "slope": pa.array([r(slope)], type=pa.float64()),
+            "intercept": pa.array([r(intercept)], type=pa.float64()),
+            "r2": pa.array([r(r2)], type=pa.float64()),
+        }
+    )

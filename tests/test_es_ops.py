@@ -1747,3 +1747,52 @@ def test_hopping_window_replication(ray_session):
     assert sum(t["n_events"].to_pylist()) == 2 * len(sec)
     with pytest.raises(ValueError):
         hopping_window(SF_EVENTS, size_s=3600, hop_s=1000)
+
+
+def test_zipf_fit_polyfit_identity(built, ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.textstats import zipf_fit
+
+    res, _, _corpus = built
+    t = zipf_fit(res.out_dir)
+    td = pq.read_table(f"{res.out_dir}/term_dict.parquet", columns=["term", "cf"])
+    agg = td.group_by("term").aggregate([("cf", "sum")])
+    terms = np.array(agg["term"].to_pylist())
+    cf = np.asarray(agg["cf_sum"], dtype=np.float64)
+    order = np.lexsort((terms, -cf))
+    y = np.log(cf[order])
+    x = np.log(np.arange(1, len(y) + 1, dtype=np.float64))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert t["n_terms"][0].as_py() == len(y)
+    assert t["slope"][0].as_py() == pytest.approx(slope, abs=1e-6)
+    assert t["intercept"][0].as_py() == pytest.approx(intercept, abs=1e-6)
+    assert 0.0 <= t["r2"][0].as_py() <= 1.0
+
+
+def test_model_rerank_actor_pool(built, ray_session):
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        ModelReranker,
+        model_rerank,
+        score_query,
+        SegmentStore,
+    )
+
+    res, _, _corpus = built
+    store = SegmentStore(res.out_dir)
+    text = sorted(store.df)[0]
+    q = pa.table({"query_id": [3], "text": [text]})
+    t = model_rerank(res.out_dir, q, k=5, window=10, concurrency=2)
+    base = score_query(store, text, 10, round_decimals=6)
+    want = sorted(
+        (
+            (d, round(s + (((d + 3) * 2654435761) % 1000) / 1000.0, 6))
+            for d, s in base
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    got = list(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+    assert got == want
+    assert t["rank"].to_pylist() == list(range(1, len(want) + 1))

@@ -653,3 +653,33 @@ def test_mixing_weights_sublinear(ray_session):
         assert n == nd[s] and ntok == toks[s]
         assert w == pytest.approx(np.sqrt(toks[s]) / tot, abs=1e-6)
     assert sum(t["weight"].to_pylist()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_knn_int8_recall_vs_exact(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_bruteforce, knn_int8
+
+    exact = knn_bruteforce(SF, n_queries=5, k=5)
+    quant = knn_int8(SF, n_queries=5, k=5, oversample=4)
+    ex = {}
+    for q, v in zip(exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()):
+        ex.setdefault(q, set()).add(v)
+    got = {}
+    for q, v in zip(quant["query_id"].to_pylist(), quant["vec_id"].to_pylist()):
+        got.setdefault(q, set()).add(v)
+    hits = sum(len(ex[q] & got.get(q, set())) for q in ex)
+    total = sum(len(s) for s in ex.values())
+    assert hits / total >= 0.9, f"int8 recall {hits/total:.2f}"
+    # sims on agreeing rows are the EXACT cosine (rescore semantics)
+    exact_sim = {
+        (q, v): s
+        for q, v, s in zip(
+            exact["query_id"].to_pylist(), exact["vec_id"].to_pylist(),
+            exact["sim"].to_pylist(),
+        )
+    }
+    for q, v, s in zip(
+        quant["query_id"].to_pylist(), quant["vec_id"].to_pylist(),
+        quant["sim"].to_pylist(),
+    ):
+        if (q, v) in exact_sim:
+            assert s == pytest.approx(exact_sim[(q, v)], abs=1e-9)

@@ -716,3 +716,25 @@ def test_intervals_match_brute(pos_index):
         intervals_match(store, [vocab[0]], max_gaps=1)
     with pytest.raises(ValueError):
         intervals_match(store, [vocab[0], vocab[1]], max_gaps=-1)
+
+
+def test_completion_fuzzy_bruteforce(pos_index):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import completion_fuzzy
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp = dp, [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1, prev[j - 1] + (ca != cb))
+        return dp[-1]
+
+    docs, store, _ = pos_index
+    vocab = sorted(store.df)
+    for q in [vocab[0][:3], vocab[1][:1] + "z" + vocab[1][2:3], "zzz"]:
+        got = completion_fuzzy(store, q, k=5)
+        cands = [t for t in vocab if lev(t[: len(q)], q) <= 1]
+        want = sorted(
+            ((t, store.td.df_of(t)) for t in cands), key=lambda x: (-x[1], x[0])
+        )[:5]
+        assert got == want, q
