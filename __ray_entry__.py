@@ -2366,6 +2366,18 @@ def _q_eql_funnel(sf_dir: str) -> pa.Table:
     return eql_funnel(sf_dir, steps=("signup", "purchase", "error"), maxspan_s=7 * 86400)
 
 
+def _q_max_passage(sf_dir: str) -> pa.Table:
+    """Max-passage retrieval: overlapping 32/24 token chunks, BM25 over
+    chunk-level stats, doc = best passage (index-free 2-pass stream)."""
+    from bitcoin_ledger_2es_ray.pipelines.chunking import max_passage_topk
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    return max_passage_topk(
+        sf_dir, queries, window=32, stride=24, k=_TOP_K, round_decimals=_ROUND
+    )
+
+
 def _q_completion_fuzzy(sf_dir: str) -> pa.Table:
     """ES completion suggester with fuzziness 1: typed text = 3-char
     vocab prefix with its 2nd char corrupted to 'z'."""
@@ -2836,6 +2848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparse_vector": _q_sparse_vector,
         "bigram_logprob": _q_bigram_logprob,
         "hopping_window": _q_hopping_window,
+        "max_passage": _q_max_passage,
         "completion_fuzzy": _q_completion_fuzzy,
         "zipf_fit": _q_zipf_fit,
         "model_rerank": _q_model_rerank,
@@ -3829,6 +3842,53 @@ WHERE (m1.ord AND m1.p < m2.p AND m2.p < m3.p AND m3.p - m1.p - 2 <= m1.g)
        AND greatest(m1.p, m2.p, m3.p) - least(m1.p, m2.p, m3.p) - 2 <= m1.g)
 ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # max-passage: BM25 over 32/24 chunks, doc = best passage
+        "max_passage": _PRELUDE
+        + """
+, d2 AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS dlen
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, c AS chunk_id,
+         t[c*24+1 : least(c*24+32, dlen)] AS ctoks,
+         (least(c*24+32, dlen) - c*24)::DOUBLE AS cl
+  FROM d2, unnest(range(((dlen-1)//24)+1)) AS u(c)
+),
+cstats AS (SELECT count(*)::DOUBLE AS nc, avg(cl) AS avgcl FROM chunks),
+ctoks AS (
+  SELECT doc_id, chunk_id, cl, unnest(ctoks) AS term FROM chunks
+),
+ctf AS (
+  SELECT doc_id, chunk_id, any_value(cl) AS cl, term, count(*)::DOUBLE AS tf
+  FROM ctoks GROUP BY doc_id, chunk_id, term
+),
+cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+cscored AS (
+  SELECT qt.query_id, ctf.doc_id, ctf.chunk_id,
+         sum( ln(1 + (s.nc - cdf.df + 0.5) / (cdf.df + 0.5))
+              * ctf.tf / (ctf.tf + 1.2 * (1 - 0.75 + 0.75 * ctf.cl / s.avgcl)) )
+           AS cs
+  FROM qterm qt
+  JOIN cdf ON cdf.term = qt.term
+  JOIN ctf ON ctf.term = qt.term
+  CROSS JOIN cstats s
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT query_id, doc_id, round(max(cs), 6) AS score
+  FROM cscored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM best
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
         # completion suggester with fuzziness 1 over corrupted prefixes
         "completion_fuzzy": _PRELUDE
         + """

@@ -113,3 +113,164 @@ def chunk_documents_to_parquet(
         out_dir, mode="overwrite"
     )
     return out_dir
+
+
+def max_passage_topk(
+    sf_dir: str,
+    queries: pa.Table,
+    window: int = 32,
+    stride: int = 24,
+    k: int = 10,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """Max-passage retrieval (the `semantic_text`-era chunked-document
+    ranking): documents are split into overlapping token windows, each
+    PASSAGE is BM25-scored against the query over chunk-level statistics
+    (chunk df / chunk length / chunk avgdl), and a document scores as its
+    BEST passage — long documents stop winning on length alone.
+
+    Index-free two-pass streaming plan over the chunk stream (all
+    queries in one scan):
+      A. per-batch partials of chunk-level df for the query-term union +
+         (n_chunks, Σlen) — driver fold is bounded by |query vocab|;
+      B. per-batch scoring of every (chunk × query) restricted to query
+         terms, reduced per (query, doc) by MAX before leaving the
+         batch; the driver combine is bounded by queries × docs-hit.
+    Returns (query_id, rank, doc_id, score)."""
+    import ray
+
+    from ..functions.bm25 import idf, sql_round, tf_norm
+    from .query import tokenize_query
+
+    qids_list = queries["query_id"].to_pylist()
+    qterms = {
+        int(q): sorted(set(tokenize_query(t)))
+        for q, t in zip(qids_list, queries["text"].to_pylist())
+    }
+    vocab = sorted({t for ts in qterms.values() for t in ts})
+    if not vocab:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    v_arr = np.array(vocab)
+    v_ref = ray.put(v_arr)
+
+    def _chunk_term_matrix(batch: pa.Table):
+        """(doc_ids, chunk_len, tf[chunk, vocab_term]) for one chunk batch."""
+        va = ray.get(v_ref)
+        toks = pc.split_pattern(batch["chunk"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        cl = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = np.asarray(toks.flatten().cast(pa.string())).astype(str)
+        row = np.repeat(np.arange(len(cl)), cl)
+        ti = np.searchsorted(va, flat)
+        ti = np.clip(ti, 0, len(va) - 1)
+        hit = va[ti] == flat
+        tf = np.zeros((len(cl), len(va)), dtype=np.float64)
+        np.add.at(tf, (row[hit], ti[hit]), 1.0)
+        return np.asarray(batch["doc_id"], dtype=np.int64), cl, tf
+
+    ds = chunk_documents_ds(sf_dir, window, stride)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        _, cl, tf = _chunk_term_matrix(batch)
+        return pa.table(
+            {
+                "cdf": pa.array([(tf > 0).sum(axis=0).tolist()]),
+                "n": pa.array([len(cl)], type=pa.int64()),
+                "s": pa.array([int(cl.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(
+            stats_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+    ]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    st = pa.concat_tables([p for p in parts if p.num_rows])
+    cdf = np.array(st["cdf"].to_pylist(), dtype=np.float64).sum(axis=0)
+    n_chunks = sum(st["n"].to_pylist())
+    avgdl = sum(st["s"].to_pylist()) / n_chunks
+    w_idf = np.array([float(idf(n_chunks, d)) if d > 0 else 0.0 for d in cdf])
+    # per-query boolean mask over the vocab
+    qmask = {
+        q: np.isin(v_arr, np.array(ts)) if ts else np.zeros(len(v_arr), dtype=bool)
+        for q, ts in qterms.items()
+    }
+    m_ref = ray.put((w_idf, qmask, avgdl))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        widf, qm, av = ray.get(m_ref)
+        doc, cl, tf = _chunk_term_matrix(batch)
+        contrib = widf * tf_norm(tf, cl[:, None], av)  # [chunk, term]
+        out_q, out_d, out_s = [], [], []
+        uniq_docs, dinv = np.unique(doc, return_inverse=True)
+        for q, mask in qm.items():
+            if not mask.any():
+                continue
+            cs = contrib[:, mask].sum(axis=1)  # chunk score for query q
+            best = np.zeros(len(uniq_docs), dtype=np.float64)
+            np.maximum.at(best, dinv, cs)
+            nz = best > 0
+            out_q.append(np.full(nz.sum(), q, dtype=np.int64))
+            out_d.append(uniq_docs[nz])
+            out_s.append(best[nz])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "s": np.concatenate(out_s),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(
+            score_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+    ]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    cat = pa.concat_tables(parts)
+    g = cat.group_by(["query_id", "doc_id"]).aggregate([("s", "max")])
+    q = np.asarray(g["query_id"], dtype=np.int64)
+    d = np.asarray(g["doc_id"], dtype=np.int64)
+    s = sql_round(np.asarray(g["s_max"], dtype=np.float64), round_decimals)
+    order = np.lexsort((d, -s, q))
+    q, d, s = q[order], d[order], s[order]
+    new = np.concatenate(([True], q[1:] != q[:-1]))
+    run_start = np.maximum.accumulate(np.where(new, np.arange(len(q)), 0))
+    rank = np.arange(len(q)) - run_start + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "query_id": pa.array(q[keep], type=pa.int64()),
+            "rank": pa.array(rank[keep], type=pa.int64()),
+            "doc_id": pa.array(d[keep], type=pa.int64()),
+            "score": pa.array(s[keep], type=pa.float64()),
+        }
+    )

@@ -1796,3 +1796,46 @@ def test_model_rerank_actor_pool(built, ray_session):
     got = list(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
     assert got == want
     assert t["rank"].to_pylist() == list(range(1, len(want) + 1))
+
+
+def test_max_passage_bruteforce(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.chunking import max_passage_topk
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    # brute force: chunk every doc, chunk-level BM25, max per doc
+    W, S = 16, 8
+    chunks = []
+    for d, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        w = txt.split(" ")
+        for c in range((len(w) - 1) // S + 1):
+            chunks.append((d, w[c * S : c * S + W]))
+    nc = len(chunks)
+    avgcl = sum(len(c) for _, c in chunks) / nc
+    cdf = collections.Counter()
+    for _, c in chunks:
+        for t in set(c):
+            cdf[t] += 1
+    text = chunks[0][1][0] + " " + chunks[3][1][-1]
+    q = pa.table({"query_id": [0], "text": [text]})
+    got = max_passage_topk(sf, q, window=W, stride=S, k=5)
+    best = {}
+    for d, c in chunks:
+        s = 0.0
+        cnt = collections.Counter(c)
+        for t in set(text.split(" ")):
+            if cnt[t] == 0 or cdf[t] == 0:
+                continue
+            idf = math.log(1 + (nc - cdf[t] + 0.5) / (cdf[t] + 0.5))
+            tf = cnt[t]
+            s += idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * len(c) / avgcl))
+        if s > 0:
+            best[d] = max(best.get(d, 0.0), s)
+    want = sorted(
+        ((d, round(s, 6)) for d, s in best.items()), key=lambda kv: (-kv[1], kv[0])
+    )[:5]
+    assert list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist())) == want
