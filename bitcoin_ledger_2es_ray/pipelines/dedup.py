@@ -616,7 +616,7 @@ def _batch_grams_positional(batch: pa.Table, k: int) -> pa.Table:
     )
 
 
-def duplicate_spans(sf_dir: str, k: int = 5) -> pa.Table:
+def duplicate_spans_ds(sf_dir: str, k: int = 5):
     """Exact substring-duplication spans, the token-level dedup of Lee et
     al. 2022 ("Deduplicating Training Data Makes Language Models
     Better"): every MAXIMAL token span whose every length-k window
@@ -670,7 +670,15 @@ def duplicate_spans(sf_dir: str, k: int = 5) -> pa.Table:
             }
         )
 
-    spans = marked.groupby("doc_id").map_groups(islands, batch_format="pyarrow")
+    return marked.groupby("doc_id").map_groups(islands, batch_format="pyarrow")
+
+
+def duplicate_spans(sf_dir: str, k: int = 5) -> pa.Table:
+    """Driver-gate variant of ``duplicate_spans_ds``: the collected,
+    (doc, start)-sorted span table."""
+    import ray
+
+    spans = duplicate_spans_ds(sf_dir, k)
     parts = [ray.get(r) for r in spans.to_arrow_refs()]
     parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
     parts = [p for p in parts if p.num_rows]
@@ -729,3 +737,10 @@ def dedup_keep_best(sf_dir: str, k: int = 3, tau: float = 0.8) -> pa.Table:
             "kept": pa.array([int(x) in best for x in d.tolist()], type=pa.bool_()),
         }
     ).sort_by("doc_id")
+
+
+def duplicate_spans_to_parquet(sf_dir: str, out_dir: str, k: int = 5) -> str:
+    """Scale sink: stream duplicated spans to partitioned parquet."""
+    from .textstats import write_dataset
+
+    return write_dataset(duplicate_spans_ds(sf_dir, k), out_dir)

@@ -221,7 +221,7 @@ def bigram_pair_counts(
     return out
 
 
-def bigram_logprob(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+def bigram_logprob_ds(sf_dir: str, round_decimals: int = 6):
     """Bigram-LM quality score (the KenLM-style upgrade of
     ``unigram_logprob``): per doc, the mean add-1-smoothed bigram token
     log-probability
@@ -336,10 +336,30 @@ def bigram_logprob(sf_dir: str, round_decimals: int = 6) -> pa.Table:
             }
         )
 
-    out = rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+    return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def bigram_logprob(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """Driver-gate variant of ``bigram_logprob_ds``: collected and
+    doc-sorted."""
+    import ray
+
+    out = bigram_logprob_ds(sf_dir, round_decimals)
+    if isinstance(out, pa.Table):  # empty-corpus short-circuit
+        return out
     parts = [ray.get(r) for r in out.to_arrow_refs()]
     parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
     parts = [p for p in parts if p.num_rows]
     return pa.concat_tables(parts).sort_by("doc_id")
+
+
+def bigram_logprob_to_parquet(sf_dir: str, out_dir: str) -> str:
+    """Scale sink: stream per-doc bigram logprobs to partitioned parquet."""
+    from .textstats import write_dataset
+
+    out = bigram_logprob_ds(sf_dir)
+    if isinstance(out, pa.Table):  # empty corpus: nothing to write
+        raise ValueError("bigram_logprob_to_parquet: empty corpus")
+    return write_dataset(out, out_dir)

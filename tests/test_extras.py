@@ -683,3 +683,28 @@ def test_knn_int8_recall_vs_exact(ray_session):
     ):
         if (q, v) in exact_sim:
             assert s == pytest.approx(exact_sim[(q, v)], abs=1e-9)
+
+
+def test_duplicate_spans_and_bigram_sinks_match_tables(ray_session, tmp_path):
+    import pyarrow.dataset as pads
+
+    from bitcoin_ledger_2es_ray.pipelines.dedup import (
+        duplicate_spans,
+        duplicate_spans_to_parquet,
+    )
+    from bitcoin_ledger_2es_ray.pipelines.ngrams import (
+        bigram_logprob,
+        bigram_logprob_to_parquet,
+    )
+
+    t = duplicate_spans(SF, k=4)
+    out = duplicate_spans_to_parquet(SF, str(tmp_path / "spans"), k=4)
+    got = pads.dataset(out).to_table().sort_by(
+        [("doc_id", "ascending"), ("start_tok", "ascending")]
+    )
+    assert got.equals(t)
+
+    t2 = bigram_logprob(SF)
+    out2 = bigram_logprob_to_parquet(SF, str(tmp_path / "lp"))
+    got2 = pads.dataset(out2).to_table().sort_by("doc_id")
+    assert got2.equals(t2)
