@@ -1152,16 +1152,21 @@ def _q_combined_fields(sf_dir: str) -> pa.Table:
     """ES ``combined_fields`` (Lucene CombinedFieldQuery / BM25F): content¹·⁰
     + path²·⁰ merged into one pseudo-field — weighted tf/dl sums, max df,
     one BM25 pass."""
-    from bitcoin_ledger_2es_ray.pipelines.fields import combined_fields_topk
+    from bitcoin_ledger_2es_ray.pipelines.fields import (
+        combined_dl,
+        combined_fields_topk,
+    )
 
     store, _ = _store_for(sf_dir)
     path_store = _path_store_for(sf_dir)
     queries = _fixture_queries(store)
+    legs = [(store, 1.0), (path_store, 2.0)]
+    cache = combined_dl(legs)  # query-independent: one forward-map read
     qids, ranks, docs, scores = [], [], [], []
     for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
         text2 = f"{text} {(qid * 17) % store.n_docs}"
         top = combined_fields_topk(
-            [(store, 1.0), (path_store, 2.0)], text2, _TOP_K, round_decimals=_ROUND
+            legs, text2, _TOP_K, round_decimals=_ROUND, dl_cache=cache
         )
         for r, (d, s) in enumerate(top, start=1):
             qids.append(qid)

@@ -24,3 +24,21 @@ def from_arrow_blocks(table: pa.Table, n_blocks: int):
     per = (n + n_blocks - 1) // n_blocks
     parts = [table.slice(i, per) for i in range(0, n, per)]
     return rd.from_arrow(parts)
+
+
+def collect_tables(ds, on_empty: str | None = None) -> list[pa.Table]:
+    """Materialize a (small, already-reduced) Dataset as a list of
+    non-empty Arrow tables — the shared driver-side collect idiom.
+
+    ``on_empty``: if every block is empty, raise ValueError with this
+    message instead of returning []."""
+    import ray
+
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [
+        p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts and on_empty is not None:
+        raise ValueError(on_empty)
+    return parts

@@ -1259,15 +1259,14 @@ def boxplot_agg(index_dir: str, round_decimals: int = 6) -> pa.Table:
         g = batch.group_by("dl").aggregate([("dl", "count")])
         return pa.table({"dl": g["dl"], "n": g["dl_count"].cast(pa.int64())})
 
+    from ..functions.blocks import collect_tables
+
     ds = rd.read_parquet(
         os.path.join(index_dir, "forward_map"), columns=["dl"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    parts = [ray.get(r) for r in ds.to_arrow_refs()]
-    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
-    parts = [p for p in parts if p.num_rows]
-    if not parts:
-        raise ValueError("boxplot_agg: empty forward map")
-    cat = pa.concat_tables(parts)
+    cat = pa.concat_tables(
+        collect_tables(ds, on_empty="boxplot_agg: empty forward map")
+    )
     t = (
         cat.group_by("dl")
         .aggregate([("n", "sum")])
@@ -1328,6 +1327,11 @@ def string_stats_agg(
         import pyarrow.compute as pc
 
         col = batch[field].combine_chunks()
+        if len(col) == 0:  # empty block: no placeholder row (min fold safety)
+            return pa.table(
+                {c: pa.array([], type=pa.int64())
+                 for c in ("char", "cnt", "n", "mn", "mx", "s")}
+            )
         lens = pc.utf8_length(col)
         # codepoint histogram: one utf-32 decode of the whole batch, then
         # a vectorized unique — no per-row loop
@@ -1355,15 +1359,14 @@ def string_stats_agg(
             }
         )
 
+    from ..functions.blocks import collect_tables
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=[field]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    parts = [ray.get(r) for r in ds.to_arrow_refs()]
-    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
-    parts = [p for p in parts if p.num_rows]
-    if not parts:
-        raise ValueError("string_stats_agg: empty documents table")
-    cat = pa.concat_tables(parts)
+    cat = pa.concat_tables(
+        collect_tables(ds, on_empty="string_stats_agg: empty documents table")
+    )
     import pyarrow.compute as pc
 
     stats = cat.filter(pc.equal(cat["char"], -1))
@@ -1440,15 +1443,12 @@ def t_test_agg(
             }
         )
 
+    from ..functions.blocks import collect_tables
+
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    parts = [ray.get(r) for r in ds.to_arrow_refs()]
-    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
-    parts = [p for p in parts if p.num_rows]
-    if not parts:
-        raise ValueError("t_test_agg: no events")
-    cat = pa.concat_tables(parts)
+    cat = pa.concat_tables(collect_tables(ds, on_empty="t_test_agg: no events"))
     import pyarrow.compute as pc
 
     out: dict[str, tuple[int, float, float]] = {}
@@ -1562,14 +1562,14 @@ def filters_agg(
                 }
             )
 
+        from ..functions.blocks import collect_tables
+
         ds = rd.read_parquet(
             os.path.join(store.index_dir, "forward_map"), columns=["dl"]
         ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        parts = [ray.get(r) for r in ds.to_arrow_refs()]
-        parts = [
-            p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts
-        ]
-        cat = pa.concat_tables([p for p in parts if p.num_rows])
+        cat = pa.concat_tables(
+            collect_tables(ds, on_empty="filters_agg: empty forward map")
+        )
         n = sum(cat["n"].to_pylist())
         s = sum(cat["s"].to_pylist())
         names.append(name)

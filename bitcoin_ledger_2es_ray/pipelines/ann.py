@@ -564,17 +564,21 @@ def hybrid_linear(
             s = _minmax_norm(np.array([x[1] for x in top], dtype=np.float64))
             for (d, _), ns in zip(top, s.tolist()):
                 contrib[(qid, d)] = contrib.get((qid, d), 0.0) + w_lex * ns
-    knn = knn_bruteforce(sf_dir, n_queries=n_queries, k=k_leg)
-    for q in range(n_queries):
-        import pyarrow.compute as pc
-
-        leg = knn.filter(pc.equal(knn["query_id"], q))
-        if leg.num_rows == 0:
-            continue
-        sims = np.asarray(leg["sim"], dtype=np.float64)
-        ns = _minmax_norm(sims)
-        for v, x in zip(leg["vec_id"].to_pylist(), ns.tolist()):
-            contrib[(q, int(v))] = contrib.get((q, int(v)), 0.0) + w_vec * x
+    knn = knn_bruteforce(sf_dir, n_queries=n_queries, k=k_leg).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )
+    kq = np.asarray(knn["query_id"], dtype=np.int64)
+    kv = np.asarray(knn["vec_id"], dtype=np.int64)
+    ks = np.asarray(knn["sim"], dtype=np.float64)
+    # one pass over the sorted leg: normalize each query's contiguous slice
+    for lo in np.flatnonzero(np.concatenate(([True], kq[1:] != kq[:-1]))):
+        hi = lo
+        while hi < len(kq) and kq[hi] == kq[lo]:
+            hi += 1
+        ns = _minmax_norm(ks[lo:hi])
+        q = int(kq[lo])
+        for v, x in zip(kv[lo:hi].tolist(), ns.tolist()):
+            contrib[(q, v)] = contrib.get((q, v), 0.0) + w_vec * x
     qids, ranks, docs, scores = [], [], [], []
     fused: dict[int, list[tuple[int, float]]] = {}
     for (q, d), c in contrib.items():
@@ -670,16 +674,17 @@ def knn_int8(
         norm = _normalize(mat)
         di = quantize(norm).astype(np.uint8)  # what the int8 index stores
         raw = dequantize(di) @ qnm.T  # approximate dot after dequantize
-        sims = norm @ qnm.T  # exact — used only for kept rows
         out_q, out_v, out_i, out_s = [], [], [], []
         m = min(shortlist, raw.shape[0])
         for j in range(raw.shape[1]):
             col = raw[:, j]
             top = np.argpartition(-col, m - 1)[:m] if raw.shape[0] > m else np.arange(raw.shape[0])
+            # exact cosine ONLY for the shortlisted rows (the rescore)
+            sims = norm[top] @ qnm[j]
             out_q.append(np.full(len(top), qid[j], dtype=np.int64))
             out_v.append(ids[top].astype(np.int64))
             out_i.append(col[top])
-            out_s.append(sql_round(sims[top, j], round_decimals))
+            out_s.append(sql_round(sims, round_decimals))
         return pa.table(
             {
                 "query_id": np.concatenate(out_q),

@@ -396,14 +396,12 @@ def date_range_agg(
             }
         )
 
+    from ..functions.blocks import collect_tables
+
     ds = _read_events(sf_dir, ["ts", "value"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    import ray
-
-    parts = [ray.get(r) for r in ds.to_arrow_refs()]
-    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
-    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    cat = pa.concat_tables(collect_tables(ds, on_empty="date_range_agg: no events"))
     g = cat.group_by("b").aggregate([("n", "sum"), ("s", "sum")])
     got = {
         int(b): (int(n), float(s))
@@ -456,14 +454,15 @@ def rate_agg(
         g = t.group_by("b").aggregate([("v", "sum")])
         return pa.table({"b": g["b"], "s": g["v_sum"]})
 
+    from ..functions.blocks import collect_tables
+
     ds = _read_events(sf_dir, ["ts", "value"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    parts = [ray.get(r) for r in ds.to_arrow_refs()]
-    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
-    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    cat = pa.concat_tables(collect_tables(ds, on_empty="rate_agg: no events"))
     g = cat.group_by("b").aggregate([("s", "sum")]).sort_by("b")
-    assert g["b"].to_pylist() == base["bucket_s"].to_pylist()
+    if g["b"].to_pylist() != base["bucket_s"].to_pylist():
+        raise ValueError("rate_agg: bucket sets diverged between passes")
     s = np.asarray(g["s_sum"], dtype=np.float64)
     return pa.table(
         {
@@ -511,12 +510,14 @@ def bucket_script_ratio(
             {"b": g["b"], "nv": g["nv_sum"], "dn": g["dn_sum"].cast(pa.int64())}
         )
 
+    from ..functions.blocks import collect_tables
+
     ds = _read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    parts = [ray.get(r) for r in ds.to_arrow_refs()]
-    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
-    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    cat = pa.concat_tables(
+        collect_tables(ds, on_empty="bucket_script_ratio: no events")
+    )
     g = cat.group_by("b").aggregate([("nv", "sum"), ("dn", "sum")]).sort_by("b")
     nv = np.asarray(g["nv_sum"], dtype=np.float64)
     dn = np.asarray(g["dn_sum"], dtype=np.int64)
@@ -607,10 +608,10 @@ def eql_funnel(
             }
         )
 
+    from ..functions.blocks import collect_tables
+
     out = ds.groupby("user_id").map_groups(funnel_of_user, batch_format="pyarrow")
-    parts = [ray.get(r) for r in out.to_arrow_refs()]
-    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
-    parts = [p for p in parts if p.num_rows]
+    parts = collect_tables(out)
     if not parts:
         return pa.table(
             {
@@ -668,9 +669,11 @@ def hopping_window(
         .groupby("w")
         .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
     )
-    parts = [ray.get(r) for r in ds.to_arrow_refs()]
-    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
-    t = pa.concat_tables([p for p in parts if p.num_rows]).sort_by("w")
+    from ..functions.blocks import collect_tables
+
+    t = pa.concat_tables(
+        collect_tables(ds, on_empty="hopping_window: no events")
+    ).sort_by("w")
     return pa.table(
         {
             "window_start": t["w"].cast(pa.int64()),

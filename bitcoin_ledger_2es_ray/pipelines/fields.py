@@ -206,33 +206,13 @@ def _cross_fields_topk(
     return [(int(uniq[i]), float(final[i])) for i in order]
 
 
-def combined_fields_topk(
+def combined_dl(
     legs: list[tuple[SegmentStore, float]],
-    text: str,
-    k: int,
-    round_decimals: int | None = None,
-) -> list[tuple[int, float]]:
-    """ES ``combined_fields`` query (Lucene ``CombinedFieldQuery``, the
-    principled BM25F): score the fields as if merged into ONE field —
-
-        tf'(t,d)  = Σ_f w_f · tf_f(t,d)
-        dl'(d)    = Σ_f w_f · dl_f(d)
-        df'(t)    = max_f df_f(t)      (Lucene's merged docFreq)
-        avgdl'    = mean_d dl'(d)
-
-    then standard BM25 over the pseudo-field.  docIDs align across legs by
-    construction (``derive_field_corpus``).
-
-    The dl' doc-values vector comes from the legs' forward maps (one
-    two-column read per field; at corpus scale this gather runs inside the
-    scorer partition restricted to candidates, like every doc-values
-    lookup in this repo)."""
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """(sorted doc_ids, combined weighted dl', avgdl') for a BM25F leg
+    set — term- and query-independent, compute ONCE per leg list."""
     import pyarrow.dataset as pads
 
-    from ..functions.bm25 import idf, sql_round, tf_norm
-    from .query import tokenize_query, topk_order
-
-    # combined per-doc length over ALL docs (term-independent)
     dl_ids: np.ndarray | None = None
     dl_comb: np.ndarray | None = None
     for store, w in legs:
@@ -250,8 +230,42 @@ def combined_fields_topk(
                 raise ValueError("combined_fields legs index different doc sets")
             dl_comb = dl_comb + dl
     if dl_ids is None or len(dl_ids) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float64), 0.0
+    return dl_ids, dl_comb, float(np.mean(dl_comb))
+
+
+def combined_fields_topk(
+    legs: list[tuple[SegmentStore, float]],
+    text: str,
+    k: int,
+    round_decimals: int | None = None,
+    dl_cache: tuple[np.ndarray, np.ndarray, float] | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``combined_fields`` query (Lucene ``CombinedFieldQuery``, the
+    principled BM25F): score the fields as if merged into ONE field —
+
+        tf'(t,d)  = Σ_f w_f · tf_f(t,d)
+        dl'(d)    = Σ_f w_f · dl_f(d)
+        df'(t)    = max_f df_f(t)      (Lucene's merged docFreq)
+        avgdl'    = mean_d dl'(d)
+
+    then standard BM25 over the pseudo-field.  docIDs align across legs by
+    construction (``derive_field_corpus``).
+
+    The dl' doc-values vector comes from the legs' forward maps (one
+    two-column read per field — query-INDEPENDENT, so batch callers
+    compute it once via ``combined_dl`` and pass ``dl_cache``; at corpus
+    scale this gather runs inside the scorer partition restricted to
+    candidates, like every doc-values lookup in this repo)."""
+    from ..functions.bm25 import idf, sql_round, tf_norm
+    from .query import tokenize_query, topk_order
+
+    if dl_cache is None:
+        dl_cache = combined_dl(legs)
+    dl_ids, dl_comb, avgdl = dl_cache
+    if len(dl_ids) == 0:
         return []
-    avgdl = float(np.mean(dl_comb))
     n_docs = len(dl_ids)
 
     terms = sorted(set(tokenize_query(text)))

@@ -724,8 +724,6 @@ def intervals_match(
     NONE = np.uint64(0)  # sentinel: no occurrence seen yet (valid keys > 0
     # never matter: a 0-key window start still fails only via doc/gap checks,
     # so mask explicitly instead)
-    seen = np.zeros((n, len(keys)), dtype=np.uint64)
-    valid = np.zeros((n, len(keys)), dtype=bool)
     if ordered:
         # chain fill: latest occurrence of term i that EXTENDS a chain
         # t0 < t1 < ... < t(i-1) < pos; carry the chain's START key
@@ -747,6 +745,8 @@ def intervals_match(
         end_keys = keys[chain_ok]
         start_keys = chain_start[chain_ok]
     else:
+        seen = np.zeros((n, len(keys)), dtype=np.uint64)
+        valid = np.zeros((n, len(keys)), dtype=bool)
         for i in range(n):
             at_i = labels == i
             seen[i] = np.maximum.accumulate(np.where(at_i, keys, NONE))

@@ -635,9 +635,12 @@ def random_score_topk(
     DETERMINISTIC, like ES's seed+field mode), boost_mode ``replace``:
     every doc matching the term filter scores
     ``(((doc_id + seed)·2654435761) mod 2³¹) / 2³¹`` — a documented
-    multiplicative-hash stand-in for Lucene's murmur3 (the seed feeds
-    the multiplier so adjacent seeds give unrelated permutations; exact
-    integer arithmetic, mirrored by the SQL oracle bit-for-bit)."""
+    multiplicative-hash stand-in for Lucene's murmur3.  The seed offsets
+    the hash input, so seed s+1 assigns doc d the score seed s gave
+    d+1 — per-seed rankings are distinct shifted assignments, NOT
+    independent permutations (Weyl-sequence-grade randomness is all the
+    deterministic oracle contract needs).  Exact integer arithmetic,
+    mirrored by the SQL oracle bit-for-bit."""
     from ..functions.bm25 import sql_round, topk_order
 
     d = np.unique(store.postings(term)[0]).astype(np.int64)
