@@ -2371,6 +2371,51 @@ def _q_eql_funnel(sf_dir: str) -> pa.Table:
     return eql_funnel(sf_dir, steps=("signup", "purchase", "error"), maxspan_s=7 * 86400)
 
 
+def _q_terms_partitioned(sf_dir: str) -> pa.Table:
+    """ES terms agg with include.partition (1 of 3, md5-hash routed) —
+    the huge-cardinality paging pattern."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import terms_agg_partitioned
+
+    _, res = _store_for(sf_dir)
+    return terms_agg_partitioned(res.out_dir, partition=1, num_partitions=3)
+
+
+def _q_geo_polygon(sf_dir: str) -> pa.Table:
+    """ES geo_polygon (convex CCW triangle) — half-plane mask filter."""
+    from bitcoin_ledger_2es_ray.pipelines.geo import geo_polygon
+
+    return geo_polygon(sf_dir, [(-70.0, -100.0), (60.0, 20.0), (50.0, -140.0)])
+
+
+def _q_suffix_match(sf_dir: str) -> pa.Table:
+    """Leading wildcard *suffix via the reversed-dictionary trick."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import suffix_match
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    qids, docs = [], []
+    for q in range(_N_QUERIES):
+        sfx = vocab[(11 * q + 3) % len(vocab)][-2:]
+        hits = suffix_match(store, sfx)
+        qids.extend([q] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
+def _q_cat_segments(sf_dir: str) -> pa.Table:
+    """ES _cat/segments analog: per-shard term/posting/byte stats from
+    footers (rows-only — engine-internal artifact layout)."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import cat_segments
+
+    _, res = _store_for(sf_dir)
+    return cat_segments(res.out_dir)
+
+
 def _q_max_passage(sf_dir: str) -> pa.Table:
     """Max-passage retrieval: overlapping 32/24 token chunks, BM25 over
     chunk-level stats, doc = best passage (index-free 2-pass stream)."""
@@ -2854,6 +2899,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": _q_bigram_logprob,
         "hopping_window": _q_hopping_window,
         "max_passage": _q_max_passage,
+        "terms_partitioned": _q_terms_partitioned,
+        "geo_polygon": _q_geo_polygon,
+        "suffix_match": _q_suffix_match,
+        "cat_segments": _q_cat_segments,
         "completion_fuzzy": _q_completion_fuzzy,
         "zipf_fit": _q_zipf_fit,
         "model_rerank": _q_model_rerank,
@@ -3845,6 +3894,35 @@ JOIN m3 ON m3.query_id = m1.query_id AND m3.doc_id = m1.doc_id
 WHERE (m1.ord AND m1.p < m2.p AND m2.p < m3.p AND m3.p - m1.p - 2 <= m1.g)
    OR ((NOT m1.ord)
        AND greatest(m1.p, m2.p, m3.p) - least(m1.p, m2.p, m3.p) - 2 <= m1.g)
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # terms agg partition 1 of 3 via md5_number_upper routing
+        "terms_partitioned": _PRELUDE
+        + """
+SELECT term, df::BIGINT AS doc_count, cf::BIGINT AS cf
+FROM df WHERE md5_number_upper(term) % 3 = 1 ORDER BY term
+""",
+        # geo_polygon: convex CCW triangle via three half-plane tests
+        "geo_polygon": _GEO_PTS
+        + """
+SELECT c_custkey, lat, lon FROM pts
+WHERE 120.0 * (lat - -70.0) - 130.0 * (lon - -100.0) >= 0
+  AND -160.0 * (lat - 60.0) - -10.0 * (lon - 20.0) >= 0
+  AND 40.0 * (lat - 50.0) - -120.0 * (lon - -140.0) >= 0
+ORDER BY c_custkey
+""",
+        # leading wildcard *suffix (reversed-dictionary trick)
+        "suffix_match": _PRELUDE
+        + """
+, sq AS (
+  SELECT q AS query_id,
+         CASE WHEN len(v.term) >= 2
+              THEN substr(v.term, len(v.term) - 1, 2) ELSE v.term END AS sfx
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (11 * q + 3) % nv.c
+)
+SELECT DISTINCT sq.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
+FROM sq JOIN tf ON ends_with(tf.term, sq.sfx)
 ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
         # max-passage: BM25 over 32/24 chunks, doc = best passage

@@ -1645,3 +1645,49 @@ def bucket_correlation(
             ),
         }
     )
+
+
+def terms_agg_partitioned(
+    index_dir: str,
+    partition: int,
+    num_partitions: int,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``terms`` aggregation with ``include.partition`` — the pattern
+    for paging through a HUGE-cardinality key space: only terms whose
+    deterministic hash lands in this partition are bucketed, so P
+    successive requests cover the space with bounded per-request state.
+
+    The partition hash is the little-endian uint64 of md5(term)'s first
+    8 bytes, mod num_partitions (DuckDB's ``md5_number_upper`` — exactly
+    mirrorable in SQL); buckets report doc_count (df)
+    and collection count (cf) straight off the term dictionary — the
+    vocabulary-sized artifact, never the postings."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if not 0 <= partition < num_partitions:
+        raise ValueError("partition out of range")
+    td = pq.read_table(
+        os.path.join(index_dir, "term_dict.parquet"), columns=["term", "df", "cf"]
+    )
+    agg = td.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+    terms = [str(t) for t in agg["term"].to_pylist()]
+    keep = [
+        i
+        for i, t in enumerate(terms)
+        if int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+        % num_partitions
+        == partition
+    ]
+    kept = agg.take(pa.array(keep, type=pa.int64()))
+    return pa.table(
+        {
+            "term": kept["term"],
+            "doc_count": kept["df_sum"].cast(pa.int64()),
+            "cf": kept["cf_sum"].cast(pa.int64()),
+        }
+    ).sort_by("term")

@@ -246,3 +246,35 @@ def runtime_field_sort(sf_dir: str, k: int = 20, round_decimals: int = 6) -> pa.
     return out.append_column(
         "rank", pa.array(np.arange(1, len(order) + 1), type=pa.int64())
     )
+
+
+def cat_segments(index_dir: str) -> pa.Table:
+    """ES ``_cat/segments`` analog: per segment shard — term count,
+    posting count (Σdf), compressed payload bytes, and file size.  Pure
+    footer/metadata reads (parquet statistics + file sizes) — no posting
+    decode, the same cheap introspection path `_cat` takes."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for path in sorted(glob.glob(os.path.join(index_dir, "segments", "*.parquet"))):
+        pf = pq.ParquetFile(path)
+        n_terms = pf.metadata.num_rows
+        t = pq.read_table(path, columns=["df", "doc_ids", "tfs", "dls"])
+        n_postings = int(sum(t["df"].to_pylist()))
+        payload = sum(
+            sum(len(b) if b is not None else 0 for b in t[c].to_pylist())
+            for c in ("doc_ids", "tfs", "dls")
+        )
+        rows.append(
+            {
+                "segment": os.path.basename(path),
+                "n_terms": n_terms,
+                "n_postings": n_postings,
+                "payload_bytes": payload,
+                "file_bytes": os.path.getsize(path),
+            }
+        )
+    return pa.Table.from_pylist(rows).sort_by("segment")

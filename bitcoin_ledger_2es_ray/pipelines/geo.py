@@ -486,3 +486,44 @@ def geo_line_agg(sf_dir: str, size: int = 5, round_decimals: int = 6) -> pa.Tabl
             "line": pa.array(lines, type=pa.string()),
         }
     ).sort_by("c_mktsegment")
+
+
+def geo_polygon(
+    sf_dir: str, polygon: list[tuple[float, float]]
+) -> pa.Table:
+    """ES ``geo_polygon`` query (CONVEX polygons, counter-clockwise
+    vertex order): customers whose derived point lies inside — every
+    edge's cross product ≥ 0 (boundary inclusive).  Pure map-side filter
+    (half-plane tests, one vectorized pass per edge); the same sign
+    arithmetic is mirrored by the SQL oracle."""
+    if len(polygon) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+
+    def inside(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_coords(key)
+        m = np.ones(len(key), dtype=bool)
+        for (lat1, lon1), (lat2, lon2) in zip(polygon, polygon[1:] + polygon[:1]):
+            cross = (lon2 - lon1) * (lat - lat1) - (lat2 - lat1) * (lon - lon1)
+            m &= cross >= 0.0
+        return pa.table(
+            {
+                "c_custkey": pa.array(key[m]),
+                "lat": pa.array(lat[m]),
+                "lon": pa.array(lon[m]),
+            }
+        )
+
+    ds = _read_customers(sf_dir, ["c_custkey"]).map_batches(
+        inside, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = _collect(ds)
+    if not parts:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], type=pa.int64()),
+                "lat": pa.array([], type=pa.float64()),
+                "lon": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by("c_custkey")

@@ -784,3 +784,29 @@ def completion_fuzzy(
     dfs = [store.td.df_of(t) for t in cands]
     order = sorted(range(len(cands)), key=lambda i: (-dfs[i], cands[i]))
     return [(cands[i], int(dfs[i])) for i in order[:k]]
+
+
+def suffix_match(store: SegmentStore, suffix: str) -> np.ndarray:
+    """Leading-wildcard search (``*suffix``) via the REVERSED-term trick
+    Lucene uses (``reverse`` token filter + prefix query): scan the
+    reversed dictionary for ``reversed(suffix)`` prefixes and union the
+    matching terms' postings.  The reversed dictionary here derives from
+    the in-memory vocab (vocabulary-sized work, cached per store); at
+    index scale it is a second sorted term column written at build time —
+    the documented scale path."""
+    rev = getattr(store, "_reversed_vocab", None)
+    if rev is None:
+        rev = sorted((t[::-1], t) for t in store.df)
+        store._reversed_vocab = rev
+    import bisect
+
+    key = suffix[::-1]
+    lo = bisect.bisect_left(rev, (key,))
+    hits = []
+    for i in range(lo, len(rev)):
+        if not rev[i][0].startswith(key):
+            break
+        hits.append(rev[i][1])
+    from ..functions.boolean import union_many
+
+    return union_many([store.postings(t)[0] for t in hits])

@@ -1839,3 +1839,64 @@ def test_max_passage_bruteforce(ray_session):
         ((d, round(s, 6)) for d, s in best.items()), key=lambda kv: (-kv[1], kv[0])
     )[:5]
     assert list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist())) == want
+
+
+def test_terms_partitioned_covers_vocab(built, ray_session):
+    import hashlib
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import terms_agg_partitioned
+
+    res, _, _corpus = built
+    P = 3
+    parts = [terms_agg_partitioned(res.out_dir, p, P) for p in range(P)]
+    all_terms = sorted(t for p in parts for t in p["term"].to_pylist())
+    import pyarrow.parquet as pq
+
+    td = pq.read_table(f"{res.out_dir}/term_dict.parquet", columns=["term"])
+    assert all_terms == sorted(set(td["term"].to_pylist()))  # exact cover
+    for p_idx, p in enumerate(parts):
+        for t in p["term"].to_pylist():
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            assert h % P == p_idx
+    with pytest.raises(ValueError):
+        terms_agg_partitioned(res.out_dir, 3, 3)
+
+
+def test_geo_polygon_halfplanes(ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.geo import derive_coords, geo_polygon
+
+    sf = "/root/testdata/sf0.001"
+    poly = [(-70.0, -100.0), (60.0, 20.0), (50.0, -140.0)]
+    t = geo_polygon(sf, poly)
+    cust = pq.read_table(f"{sf}/customer.parquet", columns=["c_custkey"])
+    lat, lon = derive_coords(np.asarray(cust["c_custkey"], dtype=np.int64))
+    want = []
+    for key, la, lo in zip(cust["c_custkey"].to_pylist(), lat, lon):
+        ok = True
+        for (a1, o1), (a2, o2) in zip(poly, poly[1:] + poly[:1]):
+            if (o2 - o1) * (la - a1) - (a2 - a1) * (lo - o1) < 0:
+                ok = False
+                break
+        if ok:
+            want.append(key)
+    assert t["c_custkey"].to_pylist() == sorted(want)
+    with pytest.raises(ValueError):
+        geo_polygon(sf, poly[:2])
+
+
+def test_cat_segments_consistency(built, ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.apis import cat_segments
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, _corpus = built
+    t = cat_segments(res.out_dir)
+    assert t.num_rows >= 1
+    store = SegmentStore(res.out_dir)
+    # total postings across shards == sum of df over the term dict
+    td = pq.read_table(f"{res.out_dir}/term_dict.parquet", columns=["df"])
+    assert sum(t["n_postings"].to_pylist()) == sum(td["df"].to_pylist())
+    assert all(b > 0 for b in t["file_bytes"].to_pylist())

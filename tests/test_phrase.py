@@ -738,3 +738,20 @@ def test_completion_fuzzy_bruteforce(pos_index):
             ((t, store.td.df_of(t)) for t in cands), key=lambda x: (-x[1], x[0])
         )[:5]
         assert got == want, q
+
+
+def test_suffix_match_bruteforce(pos_index):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import suffix_match
+
+    docs, store, _ = pos_index
+    vocab = sorted(store.df)
+    for sfx in [vocab[0][-2:], vocab[3][-1:], "zz"]:
+        got = suffix_match(store, sfx)
+        want = sorted(
+            {
+                i
+                for i, d in enumerate(docs)
+                if any(tok.endswith(sfx) for tok in d.split(" "))
+            }
+        )
+        assert got.tolist() == want, sfx
