@@ -148,6 +148,46 @@ def _make_pairs_fn(max_group: int, on_overflow: str):
     return pairs_from_group
 
 
+def _prefix_pairs_fn(max_group: int, tau: float):
+    """Prefix-group → candidate pairs with PPJoin's LENGTH and POSITIONAL
+    filters (both exactness-preserving):
+
+    - length: J >= tau forces min(|A|,|B|) >= tau·max(|A|,|B|);
+    - positional: for the pair's FIRST shared canonical shingle at prefix
+      positions (pA, pB), |A ∩ B| <= min(|A|-pA, |B|-pB); a true pair needs
+      |A ∩ B| >= ceil(tau/(1+tau)·(|A|+|B|)).  Later shared shingles may
+      fail the bound — the first-match group still emits the pair."""
+
+    def pairs_from_group(group: pa.Table) -> pa.Table:
+        docs = np.asarray(group["doc_id"]).astype(np.uint64)
+        n = len(docs)
+        if n > max_group:
+            raise ValueError(
+                f"prefix-shingle group of {n} docs exceeds max_group={max_group}"
+            )
+        if n < 2:
+            return pa.table(
+                {"a": pa.array([], type=pa.uint64()), "b": pa.array([], type=pa.uint64())}
+            )
+        L = np.asarray(group["len"], dtype=np.int64)
+        P = np.asarray(group["pos"], dtype=np.int64)
+        ia, ib = np.triu_indices(n, k=1)
+        la, lb = L[ia], L[ib]
+        ok = np.minimum(la, lb) >= tau * np.maximum(la, lb)
+        alpha = np.ceil(tau / (1.0 + tau) * (la + lb))
+        ok &= np.minimum(la - P[ia], lb - P[ib]) >= alpha
+        a = docs[ia][ok]
+        b = docs[ib][ok]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        return pa.table(
+            {"a": pa.array(lo[keep]), "b": pa.array(hi[keep])}
+        )
+
+    return pairs_from_group
+
+
 # ---------------------------------------------------------------------------
 # distributed exact-Jaccard verification of a candidate-pair Dataset
 
@@ -205,6 +245,11 @@ def _verify_pairs_exact(sf_dir: str, cand, k: int, tau: float, num_partitions: i
         right_on=("doc",),
     )
 
+    # One (a, b)-keyed shuffle, then a vectorized exact Jaccard per pair
+    # group.  Candidate counts are prefix/length/position-filtered upstream
+    # (shingle_jaccard_pairs) or band-bounded (minhash), so groups are few
+    # and tiny; keys are doc ids (int64-safe — a uint64 SHINGLE key here
+    # would hit Ray's pickled-object hash fallback, measured 40x slower).
     def jaccard_of_group(group: pa.Table) -> pa.Table:
         sh = np.asarray(group["sh"])
         side = np.asarray(group["side"])
@@ -296,11 +341,82 @@ def shingle_jaccard_pairs(
     """
     from ray.data.aggregate import Count
 
-    shingles = _read_docs(sf_dir).map_batches(
-        lambda b: _shingle_explode(b, k), batch_format="pyarrow", zero_copy_batch=True
+    # PPJoin-style PREFIX FILTERING (exact): under ANY fixed global order,
+    # J(A,B) >= tau implies the first |A| - ceil(tau*|A|) + 1 shingles of A
+    # and the corresponding prefix of B share an element — so only PREFIX
+    # shingles need to generate candidates.  Canonical order = rarest-first
+    # (global df ASC, shingle ASC), which steers candidates through RARE
+    # shingles and cuts the pair explosion by orders of magnitude.  The
+    # (shingle -> rank) table is vocabulary-sized and broadcast once; at
+    # 100-TB shingle vocabularies it becomes a Dataset join instead.
+    import ray
+
+    # global shingle df: per-batch (sh, count) partials (uint64 keys fall
+    # back to pickled objects in Ray's hash agg, so the vocab-bounded
+    # combine runs on the driver — same bound as the broadcast below)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, sh, _ = _batch_shingles(batch, k)
+        u, c = np.unique(sh, return_counts=True)
+        return pa.table(
+            {"sh": pa.array(u, type=pa.uint64()), "n": pa.array(c, type=pa.int64())}
+        )
+
+    df_parts = _collect(
+        _read_docs(sf_dir).map_batches(
+            df_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
-    pairs = shingles.groupby("sh").map_groups(
-        _make_pairs_fn(max_group, "raise"), batch_format="pyarrow"
+    df_t = pa.concat_tables([_as_table(x) for x in df_parts])
+    all_sh = np.asarray(df_t["sh"], dtype=np.uint64)
+    all_n = np.asarray(df_t["n"], dtype=np.int64)
+    sh_vals, inv = np.unique(all_sh, return_inverse=True)
+    sh_n = np.zeros(len(sh_vals), dtype=np.int64)
+    np.add.at(sh_n, inv, all_n)
+    rank_by_value = np.empty(len(sh_vals), dtype=np.int64)
+    rank_by_value[np.lexsort((sh_vals, sh_n))] = np.arange(len(sh_vals))
+    rank_ref = ray.put((sh_vals, rank_by_value))
+
+    def prefix_explode(batch: pa.Table) -> pa.Table:
+        vals, ranks = ray.get(rank_ref)
+        d, sh, starts = _batch_shingles(batch, k)
+        if len(sh) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.uint64()),
+                    "sh": pa.array([], type=pa.uint64()),
+                    "len": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                }
+            )
+        rows = np.zeros(len(sh), dtype=np.int64)
+        rows[starts[1:]] = 1
+        rows = np.cumsum(rows)
+        r = ranks[np.searchsorted(vals, sh)]
+        order = np.lexsort((r, rows))
+        rows_s = rows[order]
+        run_start = np.maximum.accumulate(
+            np.where(np.concatenate(([True], rows_s[1:] != rows_s[:-1])),
+                     np.arange(len(rows_s)), 0)
+        )
+        pos = np.arange(len(rows_s)) - run_start
+        lens = np.diff(np.concatenate((starts, [len(sh)])))
+        keep_len = lens - np.ceil(tau * lens).astype(np.int64) + 1
+        keep = pos < keep_len[rows_s]
+        sel = order[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[sel], type=pa.uint64()),
+                "sh": pa.array(sh[sel], type=pa.uint64()),
+                "len": pa.array(lens[rows_s[keep]], type=pa.int64()),
+                "pos": pa.array(pos[keep], type=pa.int64()),
+            }
+        )
+
+    prefixes = _read_docs(sf_dir).map_batches(
+        prefix_explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = prefixes.groupby("sh").map_groups(
+        _prefix_pairs_fn(max_group, tau), batch_format="pyarrow"
     )
     cand = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n")).drop_columns(["n"])
     return _verify_pairs_exact(sf_dir, cand, k, tau)

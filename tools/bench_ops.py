@@ -49,6 +49,19 @@ def main() -> int:
         "bm25_topk_federated",
         "rescore",
         "phrase_slop",
+        # session-3 additions: the heavier new pipelines
+        "combined_fields",
+        "intervals",
+        "duplicate_spans",
+        "dup_clusters",
+        "max_passage",
+        "hybrid_linear",
+        "eql_funnel",
+        "bigram_logprob",
+        "knn_int8",
+        "string_stats",
+        "geohash_grid",
+        "hopping_window",
     ]
     # warm the index caches so timings measure the operator, not the build
     qs["lang_counts"](sf_dir)
