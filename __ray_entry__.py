@@ -2371,6 +2371,24 @@ def _q_eql_funnel(sf_dir: str) -> pa.Table:
     return eql_funnel(sf_dir, steps=("signup", "purchase", "error"), maxspan_s=7 * 86400)
 
 
+def _q_var_width_histogram(sf_dir: str) -> pa.Table:
+    """ES variable_width_histogram (deterministic agglomerative variant
+    over exact dl value-counts) — rows-only: the clustering is iterative,
+    not SQL-expressible; pytest brute-forces the merge sequence."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import variable_width_histogram
+
+    _, res = _store_for(sf_dir)
+    return variable_width_histogram(res.out_dir, buckets=6)
+
+
+def _q_frequent_item_sets(sf_dir: str) -> pa.Table:
+    """ES frequent_item_sets (pair core): token pairs co-occurring in
+    ≥ 50 docs via per-batch incidence-matrix matmul partials."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import frequent_item_sets
+
+    return frequent_item_sets(sf_dir, min_support=50)
+
+
 def _q_terms_partitioned(sf_dir: str) -> pa.Table:
     """ES terms agg with include.partition (1 of 3, md5-hash routed) —
     the huge-cardinality paging pattern."""
@@ -2900,6 +2918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _q_hopping_window,
         "max_passage": _q_max_passage,
         "terms_partitioned": _q_terms_partitioned,
+        "var_width_histogram": _q_var_width_histogram,
+        "frequent_item_sets": _q_frequent_item_sets,
         "geo_polygon": _q_geo_polygon,
         "suffix_match": _q_suffix_match,
         "cat_segments": _q_cat_segments,
@@ -3896,6 +3916,14 @@ WHERE (m1.ord AND m1.p < m2.p AND m2.p < m3.p AND m3.p - m1.p - 2 <= m1.g)
        AND greatest(m1.p, m2.p, m3.p) - least(m1.p, m2.p, m3.p) - 2 <= m1.g)
 ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
+        # frequent co-occurring token pairs with min support
+        "frequent_item_sets": _PRELUDE
+        + """
+, dt AS (SELECT DISTINCT doc_id, term FROM tf)
+SELECT x.term AS item_a, y.term AS item_b, count(*)::BIGINT AS support
+FROM dt x JOIN dt y ON y.doc_id = x.doc_id AND y.term > x.term
+GROUP BY 1, 2 HAVING count(*) >= 50 ORDER BY item_a, item_b
+""",
         # terms agg partition 1 of 3 via md5_number_upper routing
         "terms_partitioned": _PRELUDE
         + """

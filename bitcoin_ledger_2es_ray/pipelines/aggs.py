@@ -1691,3 +1691,143 @@ def terms_agg_partitioned(
             "cf": kept["cf_sum"].cast(pa.int64()),
         }
     ).sort_by("term")
+
+
+def variable_width_histogram(
+    index_dir: str, buckets: int = 6, round_decimals: int = 6
+) -> pa.Table:
+    """ES ``variable_width_histogram`` made DETERMINISTIC: agglomerative
+    1-D clustering over the exact dl value-counts (ES's streaming sketch
+    is replaced by the exact plan every bounded-cardinality agg here
+    uses): start from the distinct values, repeatedly merge the ADJACENT
+    pair with the smallest centroid gap (tie → leftmost) until ``buckets``
+    clusters remain.  Returns (key [centroid], min, max, doc_count) per
+    bucket, like ES.  Partials stream as (dl, n) histograms; the driver
+    merge is bounded by #distinct dl."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..functions.blocks import collect_tables
+    from ..functions.bm25 import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("dl").aggregate([("dl", "count")])
+        return pa.table({"dl": g["dl"], "n": g["dl_count"].cast(pa.int64())})
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["dl"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    cat = pa.concat_tables(
+        collect_tables(ds, on_empty="variable_width_histogram: empty forward map")
+    )
+    t = (
+        cat.group_by("dl")
+        .aggregate([("n", "sum")])
+        .select(["dl", "n_sum"])
+        .rename_columns(["dl", "n"])
+    )
+    vals = np.asarray(t["dl"].combine_chunks(), dtype=np.float64)
+    cnts = np.asarray(t["n"].combine_chunks(), dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = list(vals[order]), list(cnts[order])
+    # clusters as (sum, n, min, max); adjacency preserved by value order
+    cl = [(v * c, int(c), v, v) for v, c in zip(vals, cnts)]
+    while len(cl) > buckets:
+        cents = [s / n for s, n, _, _ in cl]
+        gaps = [cents[i + 1] - cents[i] for i in range(len(cl) - 1)]
+        i = int(np.argmin(gaps))  # leftmost minimal gap (np.argmin tie rule)
+        s1, n1, mn1, mx1 = cl[i]
+        s2, n2, mn2, mx2 = cl[i + 1]
+        cl[i : i + 2] = [(s1 + s2, n1 + n2, mn1, mx2)]
+    return pa.table(
+        {
+            "key": pa.array(
+                [float(sql_round(s / n, round_decimals)) for s, n, _, _ in cl],
+                type=pa.float64(),
+            ),
+            "min_dl": pa.array([mn for _, _, mn, _ in cl], type=pa.float64()),
+            "max_dl": pa.array([mx for _, _, _, mx in cl], type=pa.float64()),
+            "doc_count": pa.array([n for _, n, _, _ in cl], type=pa.int64()),
+        }
+    )
+
+
+def frequent_item_sets(
+    sf_dir: str, min_support: int = 50
+) -> pa.Table:
+    """ES ``frequent_item_sets`` aggregation restricted to PAIRS (the
+    market-basket core): unordered pairs of distinct tokens co-occurring
+    in ≥ ``min_support`` documents, with their support counts.
+
+    Per-batch the co-occurrence is ONE matmul: the boolean doc×vocab
+    incidence matrix Mᵀ·M — the partial is a |V|×|V| int matrix (vocab is
+    bounded), merged by summation on the driver; no pair explosion ever
+    materializes.  (For open vocabularies the incidence columns shard by
+    term hash and the matmul tiles — documented scale path.)"""
+    import numpy as np
+    import ray.data as rd
+
+    from ..functions.blocks import collect_tables
+
+    # global vocab (sorted) from one distinct pass
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        return pa.table({"w": pc.unique(flat)})
+
+    import pyarrow.compute as pc
+
+    vparts = collect_tables(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]).map_batches(
+            vocab_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        on_empty="frequent_item_sets: empty corpus",
+    )
+    vocab = np.asarray(
+        pc.unique(pa.concat_tables(vparts)["w"].combine_chunks()).cast(pa.string())
+    ).astype(str)
+    vocab.sort()
+    import ray
+
+    v_ref = ray.put(vocab)
+
+    def cooc_partial(batch: pa.Table) -> pa.Table:
+        va = ray.get(v_ref)
+        toks = pc.split_pattern(batch["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = np.asarray(toks.flatten().cast(pa.string())).astype(str)
+        row = np.repeat(np.arange(len(lens)), lens)
+        ti = np.searchsorted(va, flat)
+        m = np.zeros((len(lens), len(va)), dtype=np.float32)
+        m[row, ti] = 1.0
+        cooc = (m.T @ m).astype(np.int64)
+        return pa.table({"cooc": pa.array([cooc.ravel().tolist()])})
+
+    parts = collect_tables(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        ).map_batches(cooc_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    V = len(vocab)
+    total = np.zeros(V * V, dtype=np.int64)
+    for p in parts:
+        for rowv in p["cooc"].to_pylist():
+            total += np.asarray(rowv, dtype=np.int64)
+    cooc = total.reshape(V, V)
+    ia, ib = np.triu_indices(V, k=1)
+    sup = cooc[ia, ib]
+    keep = sup >= min_support
+    return pa.table(
+        {
+            "item_a": pa.array(vocab[ia[keep]], type=pa.string()),
+            "item_b": pa.array(vocab[ib[keep]], type=pa.string()),
+            "support": pa.array(sup[keep], type=pa.int64()),
+        }
+    ).sort_by([("item_a", "ascending"), ("item_b", "ascending")])

@@ -1900,3 +1900,54 @@ def test_cat_segments_consistency(built, ray_session):
     td = pq.read_table(f"{res.out_dir}/term_dict.parquet", columns=["df"])
     assert sum(t["n_postings"].to_pylist()) == sum(td["df"].to_pylist())
     assert all(b > 0 for b in t["file_bytes"].to_pylist())
+
+
+def test_variable_width_histogram_bruteforce(built, ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import variable_width_histogram
+
+    res, _, _corpus = built
+    B = 4
+    t = variable_width_histogram(res.out_dir, buckets=B)
+    dl = pq.read_table(f"{res.out_dir}/forward_map", columns=["dl"])["dl"].to_numpy()
+    import collections
+
+    cnt = collections.Counter(dl.tolist())
+    cl = [(v * c, c, v, v) for v, c in sorted(cnt.items())]
+    while len(cl) > B:
+        cents = [s / n for s, n, _, _ in cl]
+        gaps = [cents[i + 1] - cents[i] for i in range(len(cl) - 1)]
+        i = min(range(len(gaps)), key=lambda j: (gaps[j], j))
+        s1, n1, mn1, _ = cl[i]
+        s2, n2, _, mx2 = cl[i + 1]
+        cl[i : i + 2] = [(s1 + s2, n1 + n2, mn1, mx2)]
+    assert t["doc_count"].to_pylist() == [n for _, n, _, _ in cl]
+    assert t["min_dl"].to_pylist() == [float(mn) for _, _, mn, _ in cl]
+    assert t["max_dl"].to_pylist() == [float(mx) for _, _, _, mx in cl]
+    for got, (s, n, _, _) in zip(t["key"].to_pylist(), cl):
+        assert got == pytest.approx(s / n, abs=1e-6)
+    assert sum(t["doc_count"].to_pylist()) == len(dl)
+
+
+def test_frequent_item_sets_bruteforce(ray_session):
+    import collections
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import frequent_item_sets
+
+    sf = "/root/testdata/sf0.001"
+    minsup = 5
+    t = frequent_item_sets(sf, min_support=minsup)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist()
+    sup = collections.Counter()
+    for txt in docs:
+        for a, b in itertools.combinations(sorted(set(txt.split(" "))), 2):
+            sup[(a, b)] += 1
+    want = sorted((a, b, c) for (a, b), c in sup.items() if c >= minsup)
+    got = list(
+        zip(t["item_a"].to_pylist(), t["item_b"].to_pylist(), t["support"].to_pylist())
+    )
+    assert got == want
