@@ -708,3 +708,67 @@ def test_duplicate_spans_and_bigram_sinks_match_tables(ray_session, tmp_path):
     out2 = bigram_logprob_to_parquet(SF, str(tmp_path / "lp"))
     got2 = pads.dataset(out2).to_table().sort_by("doc_id")
     assert got2.equals(t2)
+
+
+def test_shingle_jaccard_prefix_filter_identity_randomized(ray_session, tmp_path):
+    """PPJoin prefix/length/positional filtering must lose NO pair:
+    randomized corpora vs an all-pairs brute force."""
+    import itertools
+    import random
+
+    import pyarrow.parquet as pq
+
+    rng = random.Random(23)
+    words = [f"w{i}" for i in range(12)]
+    k, tau = 2, 0.6
+    for trial in range(3):
+        n_docs = 40
+        texts = []
+        for d in range(n_docs):
+            L = rng.randint(2, 14)
+            base = [rng.choice(words) for _ in range(L)]
+            texts.append(" ".join(base))
+            # plant near-dups: copy with a small mutation
+            if rng.random() < 0.4:
+                mut = list(base)
+                if len(mut) > 3 and rng.random() < 0.5:
+                    mut[rng.randrange(len(mut))] = rng.choice(words)
+                texts.append(" ".join(mut))
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["py"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+            }
+        )
+        d = tmp_path / f"corpus{trial}"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+
+        from bitcoin_ledger_2es_ray.pipelines.dedup import shingle_jaccard_pairs
+
+        got = shingle_jaccard_pairs(str(d), k=k, tau=tau)
+        got_pairs = {
+            (a, b): j
+            for a, b, j in zip(
+                got["a"].to_pylist(), got["b"].to_pylist(), got["jaccard"].to_pylist()
+            )
+        }
+
+        def shingles(txt):
+            w = txt.split(" ")
+            return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+        want = {}
+        sets = [shingles(x) for x in texts]
+        for i, j_ in itertools.combinations(range(len(texts)), 2):
+            A, B = sets[i], sets[j_]
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            jac = inter / len(A | B)
+            if jac >= tau:
+                want[(i, j_)] = round(jac, 6)
+        assert got_pairs == want, f"trial {trial}"
