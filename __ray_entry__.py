@@ -2808,6 +2808,162 @@ def _q_field_caps(sf_dir: str) -> pa.Table:
     return field_caps(sf_dir, table="documents")
 
 
+def _q_global_hits(sf_dir: str) -> pa.Table:
+    """ES ``global`` aggregation: per query, the filter-ignoring corpus
+    bucket next to the AND-hit bucket — one streamed forward-map pass
+    computes both (pipelines/aggs.global_agg)."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import global_agg
+
+    _, res = _store_for(sf_dir)
+    return global_agg(
+        res.out_dir, _q_boolean_and(sf_dir), query_ids=list(range(_N_QUERIES))
+    )
+
+
+def _q_field_presence(sf_dir: str) -> pa.Table:
+    """ES ``missing`` agg + ``exists``/``value_count`` counts over runtime
+    nullable views (NULLIF(field, sentinel)) of forward-map fields."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import field_presence_agg
+
+    _, res = _store_for(sf_dir)
+    return field_presence_agg(
+        res.out_dir, {"lang": "en", "repo": "org0/repo0"}
+    )
+
+
+def _q_exists_docs(sf_dir: str) -> pa.Table:
+    """ES ``exists`` query over the runtime nullable lang view — predicate
+    pushed into the forward-map parquet scan."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import exists_docs
+
+    _, res = _store_for(sf_dir)
+    return exists_docs(res.out_dir, "lang", "en")
+
+
+def _q_scripted_metric(sf_dir: str) -> pa.Table:
+    """ES ``scripted_metric``: exact per-event_type population variance of
+    ``value`` via user map/combine/reduce scripts — the map partial stores
+    EXACT integer cent moments (n, Σc, Σc²), so the combine is associative
+    and the result bit-deterministic at any batch split."""
+    import pyarrow.compute as pc
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import scripted_metric_agg
+
+    def map_script(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch["value"], 100.0)).cast(pa.int64())
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_c": cents,
+                "sum_c2": pc.multiply(cents, cents),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("sum_c", "sum"), ("sum_c2", "sum")]
+        )
+        return g.select(["event_type", "n_sum", "sum_c_sum", "sum_c2_sum"]).rename_columns(
+            ["event_type", "n", "sum_c", "sum_c2"]
+        )
+
+    def reduce_script(state: pa.Table) -> pa.Table:
+        from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+
+        ns = state["n"].to_pylist()
+        scs = state["sum_c"].to_pylist()
+        sc2s = state["sum_c2"].to_pylist()
+        var = [
+            sql_round((n * s2 - s * s) / (n * n) / 10000.0, _ROUND)
+            for n, s, s2 in zip(ns, scs, sc2s)
+        ]
+        return pa.table(
+            {
+                "event_type": state["event_type"],
+                "n": pa.array(ns, type=pa.int64()),
+                "var_value": pa.array(var, type=pa.float64()),
+            }
+        )
+
+    return scripted_metric_agg(
+        f"{sf_dir}/events.parquet",
+        key="event_type",
+        map_script=map_script,
+        reduce_script=reduce_script,
+        columns=["event_type", "value"],
+    )
+
+
+def _q_categorize_text(sf_dir: str) -> pa.Table:
+    """ES ``categorize_text``: deterministic template clustering (digits →
+    ``#``, first-4-token key) over the document stream."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import categorize_text_agg
+
+    return categorize_text_agg(sf_dir, n_tokens=4)
+
+
+def _q_msearch(sf_dir: str) -> pa.Table:
+    """ES ``_msearch``: one call multiplexing a 2-term match, a 2-token
+    adjacent phrase (from doc 17 mod n), and a constant-score term filter."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.apis import msearch
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    c = len(vocab)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n = docs.num_rows
+    sel = 17 % n
+    text = docs.filter(
+        __import__("pyarrow.compute", fromlist=["equal"]).equal(docs["doc_id"], sel)
+    )["text"][0].as_py()
+    w = text.split(" ")
+    requests = [
+        {"kind": "match", "text": f"{vocab[0 % c]} {vocab[5 % c]}"},
+        {"kind": "phrase", "text": f"{w[0]} {w[1]}"},
+        {"kind": "filter", "term": vocab[7 % c]},
+    ]
+    return msearch(store, requests, k=_TOP_K, round_decimals=_ROUND)
+
+
+def _q_search_template(sf_dir: str) -> pa.Table:
+    """ES ``search_template``: mustache-rendered 2-term match query."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import search_template
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    c = len(vocab)
+    return search_template(
+        store,
+        "{{a}} {{b}}",
+        {"a": vocab[2 % c], "b": vocab[9 % c]},
+        k=_TOP_K,
+        round_decimals=_ROUND,
+    )
+
+
+_VALIDATE_FIXTURE = [
+    "alpha beta beta",
+    "",
+    "  ",
+    "*lead trail",
+    "?x y",
+    "good one two",
+]
+
+
+def _q_validate(sf_dir: str) -> pa.Table:
+    """ES ``_validate/query``: static tokenize + rejection rules over a
+    fixed query-string fixture (no execution, like the API)."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import validate_query
+
+    return validate_query(_VALIDATE_FIXTURE)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core engine (SURVEY.md §2)
@@ -2935,6 +3091,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pinned": _q_pinned,
         "simple_query_string": _q_simple_query_string,
         "field_caps": _q_field_caps,
+        "global_hits": _q_global_hits,
+        "field_presence": _q_field_presence,
+        "exists_docs": _q_exists_docs,
+        "scripted_metric": _q_scripted_metric,
+        "categorize_text": _q_categorize_text,
+        "msearch": _q_msearch,
+        "search_template": _q_search_template,
+        "validate_query": _q_validate,
         "bool_query": _q_bool_query,
         "synonym_topk": _q_synonym_topk,
         "delete_query_topk": _q_delete_query_topk,
@@ -6056,6 +6220,186 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 ORDER BY a, b
+""",
+        # global agg: per query a filter-ignoring corpus bucket + the AND-hit
+        # bucket; zero-hit queries keep an explicit (0, 0) hits row like ES
+        "global_hits": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+),
+g AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM dl),
+qids AS (SELECT DISTINCT query_id FROM qterm),
+h AS (
+  SELECT a.query_id, count(*)::BIGINT AS nn, sum(d.dl)::BIGINT AS ss
+  FROM anded a JOIN dl d USING (doc_id) GROUP BY a.query_id
+)
+SELECT q.query_id::BIGINT AS query_id, 'global' AS scope,
+       g.n AS doc_count, g.s AS sum_dl
+FROM qids q CROSS JOIN g
+UNION ALL
+SELECT q.query_id::BIGINT, 'hits', coalesce(h.nn, 0), coalesce(h.ss, 0)
+FROM qids q LEFT JOIN h USING (query_id)
+ORDER BY query_id, scope
+""",
+        # missing/exists/value_count over runtime NULLIF views; repo is the
+        # deterministic derived field org{d%7}/repo{d%20} (FIXTURES.md §B)
+        "field_presence": """
+SELECT 'lang' AS field,
+       (count(*) FILTER (lang <> 'en'))::BIGINT AS exists_count,
+       (count(*) FILTER (lang = 'en'))::BIGINT AS missing_count,
+       (count(*) FILTER (lang <> 'en'))::BIGINT AS value_count
+FROM documents
+UNION ALL
+SELECT 'repo',
+       (count(*) FILTER (r <> 'org0/repo0'))::BIGINT,
+       (count(*) FILTER (r = 'org0/repo0'))::BIGINT,
+       (count(*) FILTER (r <> 'org0/repo0'))::BIGINT
+FROM (SELECT 'org' || (doc_id % 7) || '/repo' || (doc_id % 20) AS r
+      FROM documents)
+ORDER BY field
+""",
+        "exists_docs": """
+SELECT doc_id FROM documents WHERE lang <> 'en' ORDER BY doc_id
+""",
+        # scripted_metric: exact integer cent moments -> population variance
+        "scripted_metric": """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+s AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(cents) AS sc,
+         sum(cents * cents) AS sc2
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n,
+       round((n * sc2 - sc * sc) / (1.0 * n * n) / 10000, 6) AS var_value
+FROM s ORDER BY event_type
+""",
+        "categorize_text": """
+SELECT array_to_string(
+         list_slice(
+           string_split(regexp_replace(text, '[0-9]+', '#', 'g'), ' '),
+           1, 4),
+         ' ') AS category,
+       count(*)::BIGINT AS doc_count
+FROM documents GROUP BY 1 ORDER BY 1
+""",
+        # _msearch: match + phrase + constant-score filter legs in one call
+        "msearch": _PRELUDE
+        + """
+, nd AS (SELECT count(*) AS c FROM documents),
+m_t AS (SELECT term FROM vocab WHERE idx IN (0, 5)),
+m_scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM m_t JOIN df ON df.term = m_t.term
+  JOIN tf ON tf.term = m_t.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+m_ranked AS (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM m_scored
+),
+ph AS (
+  SELECT list_extract(string_split(d.text, ' '), 1) || ' ' ||
+         list_extract(string_split(d.text, ' '), 2) AS phrase
+  FROM documents d CROSS JOIN nd WHERE d.doc_id = 17 % nd.c
+),
+p_term AS (SELECT DISTINCT unnest(string_split(phrase, ' ')) AS term FROM ph),
+p_match AS (
+  SELECT d.doc_id FROM ph p
+  JOIN documents d ON contains(' ' || d.text || ' ', ' ' || p.phrase || ' ')
+),
+p_scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM p_term pt JOIN df ON df.term = pt.term
+  JOIN tf ON tf.term = pt.term
+  JOIN p_match m ON m.doc_id = tf.doc_id
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+p_ranked AS (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM p_scored
+),
+f_docs AS (
+  SELECT DISTINCT tf.doc_id FROM tf
+  JOIN (SELECT term FROM vocab WHERE idx = 7) ft ON ft.term = tf.term
+  ORDER BY doc_id LIMIT {k}
+)
+SELECT 0::BIGINT AS slot, 'match' AS kind, rank::BIGINT AS rank, doc_id, score
+FROM m_ranked WHERE rank <= {k}
+UNION ALL
+SELECT 1::BIGINT, 'phrase', rank::BIGINT, doc_id, score
+FROM p_ranked WHERE rank <= {k}
+UNION ALL
+SELECT 2::BIGINT, 'filter', row_number() OVER (ORDER BY doc_id)::BIGINT,
+       doc_id, 1.0
+FROM f_docs
+ORDER BY slot, rank
+""".replace("{k}", str(_TOP_K)),
+        "search_template": _PRELUDE
+        + """
+, st AS (SELECT term FROM vocab WHERE idx IN (2, 9)),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM st JOIN df ON df.term = st.term
+  JOIN tf ON tf.term = st.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT rank::BIGINT AS rank, doc_id, score FROM ranked
+WHERE rank <= {k} ORDER BY rank
+""".replace("{k}", str(_TOP_K)),
+        # _validate/query: static analysis only — same tokenize + rules
+        "validate_query": """
+WITH qs(query) AS (
+  VALUES ('alpha beta beta'), (''), ('  '), ('*lead trail'), ('?x y'),
+         ('good one two')
+),
+t AS (
+  SELECT query,
+         list_filter(string_split(trim(query), ' '), x -> x <> '') AS toks
+  FROM qs
+)
+SELECT query,
+  CASE WHEN len(toks) = 0 THEN false
+       WHEN len(list_filter(toks,
+                x -> starts_with(x, '*') OR starts_with(x, '?'))) > 0 THEN false
+       ELSE true END AS valid,
+  CASE WHEN len(toks) = 0 THEN 'error:empty'
+       WHEN len(list_filter(toks,
+                x -> starts_with(x, '*') OR starts_with(x, '?'))) > 0
+         THEN 'error:leading_wildcard'
+       ELSE 'ok:' || CAST(len(list_distinct(toks)) AS VARCHAR) END AS explanation
+FROM t ORDER BY query
 """,
     }
     # routed serving is gated against the SAME BM25 oracle (scores and ranks

@@ -1831,3 +1831,221 @@ def frequent_item_sets(
             "support": pa.array(sup[keep], type=pa.int64()),
         }
     ).sort_by([("item_a", "ascending"), ("item_b", "ascending")])
+
+
+def global_agg(
+    index_dir: str, matches: pa.Table, query_ids: list[int]
+) -> pa.Table:
+    """ES ``global`` aggregation: a bucket that IGNORES the search filter,
+    reported next to the filtered hits — per query two rows,
+    ``scope='global'`` (whole-corpus doc_count / Σdl, identical for every
+    query — that is the point of the bucket) and ``scope='hits'`` (the
+    query's AND-hit doc_count / Σdl).
+
+    One streamed pass computes both: each forward-map batch emits its
+    unconditional (count, Σdl) partial AND the per-query join partials;
+    the driver combine is bounded by #queries, the corpus never reships.
+    """
+    import ray
+    import ray.data as rd
+
+    m = matches.select(["query_id", "doc_id"])
+    m = m.set_column(
+        m.schema.get_field_index("doc_id"), "doc_id", m["doc_id"].cast(pa.uint64())
+    )
+    m_ref = ray.put(m)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mm = ray.get(m_ref)
+        qs = [-1]
+        ns = [batch.num_rows]
+        ss = [pc.sum(batch["dl"]).as_py() or 0]
+        j = batch.join(mm, keys="doc_id", join_type="inner")
+        if j.num_rows:
+            g = j.group_by("query_id").aggregate([("doc_id", "count"), ("dl", "sum")])
+            qs += g["query_id"].to_pylist()
+            ns += g["doc_id_count"].to_pylist()
+            ss += [int(x) for x in g["dl_sum"].to_pylist()]
+        return pa.table(
+            {
+                "query_id": pa.array(qs, type=pa.int64()),
+                "doc_count": pa.array(ns, type=pa.int64()),
+                "sum_dl": pa.array(ss, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=["doc_id", "dl"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ..functions.blocks import collect_tables
+
+    t = pa.concat_tables(collect_tables(ds, on_empty="global_agg: empty forward map"))
+    g = t.group_by("query_id").aggregate([("doc_count", "sum"), ("sum_dl", "sum")])
+    by_q = {
+        int(q): (int(n), int(s))
+        for q, n, s in zip(
+            g["query_id"].to_pylist(),
+            g["doc_count_sum"].to_pylist(),
+            g["sum_dl_sum"].to_pylist(),
+        )
+    }
+    gn, gs = by_q[-1]
+    rows_q, rows_scope, rows_n, rows_s = [], [], [], []
+    for q in sorted(query_ids):
+        hn, hs = by_q.get(int(q), (0, 0))
+        rows_q += [int(q), int(q)]
+        rows_scope += ["global", "hits"]
+        rows_n += [gn, hn]
+        rows_s += [gs, hs]
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, type=pa.int64()),
+            "scope": pa.array(rows_scope, type=pa.string()),
+            "doc_count": pa.array(rows_n, type=pa.int64()),
+            "sum_dl": pa.array(rows_s, type=pa.int64()),
+        }
+    )
+
+
+def field_presence_agg(
+    index_dir: str, sentinels: dict[str, str]
+) -> pa.Table:
+    """ES ``missing`` aggregation + ``exists`` query counts + ``value_count``
+    in one pass.  The forward-map fields are all-populated by construction,
+    so a RUNTIME nullable view supplies the null semantics the agg exists
+    for: ``NULLIF(field, sentinel)`` — exactly how ES users probe sparse
+    fields through runtime mappings.  Per field: ``exists_count`` (non-null
+    docs = the ``exists`` query's hit count), ``missing_count`` (the
+    ``missing`` bucket), ``value_count`` (non-null VALUES — equals
+    exists_count for these single-valued fields, kept as the API's own
+    column).  Streamed partials; driver combine bounded by #fields."""
+    import ray.data as rd
+
+    cols = sorted(sentinels)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fs, ex, ms = [], [], []
+        for c in cols:
+            miss = pc.sum(pc.equal(batch[c], sentinels[c])).as_py() or 0
+            fs.append(c)
+            ms.append(int(miss))
+            ex.append(batch.num_rows - int(miss))
+        return pa.table(
+            {
+                "field": pa.array(fs, type=pa.string()),
+                "exists_count": pa.array(ex, type=pa.int64()),
+                "missing_count": pa.array(ms, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "forward_map"), columns=cols
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ..functions.blocks import collect_tables
+
+    t = pa.concat_tables(
+        collect_tables(ds, on_empty="field_presence_agg: empty forward map")
+    )
+    g = t.group_by("field").aggregate(
+        [("exists_count", "sum"), ("missing_count", "sum")]
+    )
+    out = g.select(["field", "exists_count_sum", "missing_count_sum"]).rename_columns(
+        ["field", "exists_count", "missing_count"]
+    )
+    out = out.append_column("value_count", out["exists_count"])
+    return pa.table(
+        {
+            "field": out["field"],
+            "exists_count": out["exists_count"].cast(pa.int64()),
+            "missing_count": out["missing_count"].cast(pa.int64()),
+            "value_count": out["value_count"].cast(pa.int64()),
+        }
+    ).sort_by("field")
+
+
+def scripted_metric_agg(
+    parquet_path: str,
+    key: str,
+    map_script,
+    reduce_script,
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """ES ``scripted_metric`` aggregation, honest distributed shape:
+    ``map_script`` runs per shard batch and emits a PARTIAL STATE table
+    keyed by ``key`` whose non-key columns are summable (ES's map+combine
+    fused — a batch is a shard slice); partials merge by group-sum (ES's
+    cross-shard combine); ``reduce_script`` turns the combined state into
+    the final metric on the coordinator.  State must be associative —
+    exactly ES's contract for the user scripts."""
+    import ray.data as rd
+
+    from ..functions.blocks import collect_tables
+
+    ds = rd.read_parquet(parquet_path, columns=columns).map_batches(
+        map_script, batch_format="pyarrow", zero_copy_batch=True
+    )
+    t = pa.concat_tables(
+        collect_tables(ds, on_empty="scripted_metric_agg: empty input")
+    )
+    state_cols = [c for c in t.column_names if c != key]
+    g = t.group_by(key).aggregate([(c, "sum") for c in state_cols])
+    combined = g.select([key, *[f"{c}_sum" for c in state_cols]]).rename_columns(
+        [key, *state_cols]
+    )
+    return reduce_script(combined.sort_by(key))
+
+
+def categorize_text_agg(
+    sf_dir: str, n_tokens: int = 4, min_doc_count: int = 1
+) -> pa.Table:
+    """ES ``categorize_text`` aggregation, deterministic analog: cluster
+    documents by message TEMPLATE — digit runs collapse to ``#`` and the
+    first ``n_tokens`` tokens of the normalized text form the category key
+    (ES's ML tokenizer + Drain-style tree replaced by an exact, vectorized
+    rule so the result is oracle-checkable).  Per-batch Arrow kernels
+    (regex replace → split → slice → join) emit (category, count) partials;
+    the driver combine is bounded by template cardinality — the entire
+    point of log categorization."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        norm = pc.replace_substring_regex(batch["text"], r"[0-9]+", "#")
+        toks = pc.split_pattern(norm, " ")
+        head = pc.list_slice(toks, 0, n_tokens)
+        cat = pc.binary_join(head.cast(pa.list_(pa.string())), " ")
+        g = pa.table({"category": cat}).group_by("category").aggregate(
+            [("category", "count")]
+        )
+        return pa.table(
+            {
+                "category": g["category"],
+                "doc_count": g["category_count"].cast(pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ..functions.blocks import collect_tables
+
+    t = pa.concat_tables(
+        collect_tables(ds, on_empty="categorize_text_agg: empty corpus")
+    )
+    g = t.group_by("category").aggregate([("doc_count", "sum")])
+    out = (
+        g.select(["category", "doc_count_sum"])
+        .rename_columns(["category", "doc_count"])
+        .filter(pa.compute.field("doc_count") >= min_doc_count)
+    )
+    return pa.table(
+        {
+            "category": out["category"],
+            "doc_count": out["doc_count"].cast(pa.int64()),
+        }
+    ).sort_by("category")

@@ -278,3 +278,148 @@ def cat_segments(index_dir: str) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows).sort_by("segment")
+
+
+def msearch(
+    store,
+    requests: list[dict],
+    k: int = 10,
+    round_decimals: int | None = 6,
+) -> pa.Table:
+    """ES ``_msearch``: heterogeneous search requests answered in one call.
+    Each request dict is ``{"kind": "match"|"phrase"|"filter", ...}`` —
+    ``match`` runs the BM25 taat kernel, ``phrase`` the positional phrase
+    kernel, ``filter`` a constant-score term filter (score 1.0, ES
+    ``constant_score`` semantics).  Output rows (slot, kind, rank, doc_id,
+    score) in request order.
+
+    The per-request kernels are the engine's existing vectorized paths;
+    the API's job is multiplexing, exactly like ES's coordinating node
+    (batch-scale fan-out stays with ``run_queries``' scorer pool)."""
+    import numpy as np
+
+    from .phrase import phrase_topk
+    from .query import score_query
+
+    slots, kinds, ranks, docs, scores = [], [], [], [], []
+    for slot, req in enumerate(requests):
+        kind = req["kind"]
+        if kind == "match":
+            hits = score_query(store, req["text"], k, round_decimals=round_decimals)
+        elif kind == "phrase":
+            hits = phrase_topk(store, req["text"], k, round_decimals=round_decimals)
+        elif kind == "filter":
+            d, _, _ = store.postings(req["term"])
+            hits = [(int(x), 1.0) for x in np.sort(d)[:k]]
+        else:
+            raise ValueError(f"msearch: unknown request kind {kind!r}")
+        for r, (d, s) in enumerate(hits, start=1):
+            slots.append(slot)
+            kinds.append(kind)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(float(s))
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "slot": pa.array(slots, type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+_TEMPLATE_VAR = None  # compiled lazily (module import stays light)
+
+
+def render_template(template: str, params: dict[str, str]) -> str:
+    """ES ``search_template`` (mustache subset): substitute ``{{name}}``
+    placeholders; unknown placeholder → error, exactly like ES's render
+    endpoint.  Values are plain terms (no nested templates)."""
+    import re
+
+    global _TEMPLATE_VAR
+    if _TEMPLATE_VAR is None:
+        _TEMPLATE_VAR = re.compile(r"\{\{\s*([a-zA-Z0-9_]+)\s*\}\}")
+
+    def sub(m):
+        name = m.group(1)
+        if name not in params:
+            raise KeyError(f"search_template: unbound parameter {{{{{name}}}}}")
+        return str(params[name])
+
+    return _TEMPLATE_VAR.sub(sub, template)
+
+
+def search_template(
+    store,
+    template: str,
+    params: dict[str, str],
+    k: int = 10,
+    round_decimals: int | None = 6,
+) -> "pa.Table":
+    """Render the template, then run the resulting match query through the
+    standard BM25 kernel — (rank, doc_id, score)."""
+    import pyarrow as pa
+
+    from .query import score_query
+
+    text = render_template(template, params)
+    hits = score_query(store, text, k, round_decimals=round_decimals)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(hits) + 1), type=pa.int64()),
+            "doc_id": pa.array([d for d, _ in hits], type=pa.int64()),
+            "score": pa.array([s for _, s in hits], type=pa.float64()),
+        }
+    )
+
+
+def validate_query(query_strings: list[str]) -> "pa.Table":
+    """ES ``_validate/query``: static analysis without execution — each
+    query string is tokenized by the WHITESPACE rule the oracle shares and
+    checked against the engine's own rejection rules (empty query; leading
+    wildcard, Lucene ``allow_leading_wildcard:false``).  Returns
+    (query, valid, explanation); the explanation of a valid query reports
+    its distinct-term count, so the result is data-derived on both sides."""
+    import pyarrow as pa
+
+    qs, valids, expls = [], [], []
+    for q in query_strings:
+        toks = [t for t in q.strip().split(" ") if t]
+        if not toks:
+            valid, expl = False, "error:empty"
+        elif any(t.startswith("*") or t.startswith("?") for t in toks):
+            valid, expl = False, "error:leading_wildcard"
+        else:
+            valid, expl = True, f"ok:{len(set(toks))}"
+        qs.append(q)
+        valids.append(valid)
+        expls.append(expl)
+    return pa.table(
+        {
+            "query": pa.array(qs, type=pa.string()),
+            "valid": pa.array(valids, type=pa.bool_()),
+            "explanation": pa.array(expls, type=pa.string()),
+        }
+    )
+
+
+def exists_docs(index_dir: str, field: str, sentinel: str) -> "pa.Table":
+    """ES ``exists`` query over a runtime nullable view of ``field``
+    (``NULLIF(field, sentinel)`` — see ``field_presence_agg``): doc_ids
+    whose field is non-null, with the predicate pushed into the parquet
+    scan so only matching rows leave storage."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(os.path.join(index_dir, "forward_map"))
+    t = ds.to_table(
+        columns=["doc_id"], filter=pads.field(field) != sentinel
+    )
+    return pa.table({"doc_id": t["doc_id"].cast(pa.int64())}).sort_by("doc_id")

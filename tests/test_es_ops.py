@@ -1951,3 +1951,215 @@ def test_frequent_item_sets_bruteforce(ray_session):
         zip(t["item_a"].to_pylist(), t["item_b"].to_pylist(), t["support"].to_pylist())
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# global / missing / value_count / scripted_metric / categorize_text /
+# msearch / search_template / validate
+
+
+def test_global_agg_bruteforce(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import global_agg
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    docs = pq.read_table(f"/root/testdata/sf0.001/documents.parquet")
+    dl = {
+        int(d): len(t.split(" "))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    terms = sorted(store.df)[:2]
+    d0, _, _ = store.postings(terms[0])
+    hits = pa.table(
+        {
+            "query_id": pa.array([0] * len(d0), type=pa.int64()),
+            "doc_id": pa.array(d0.astype("int64")),
+        }
+    )
+    out = global_agg(res.out_dir, hits, query_ids=[0, 1])
+    rows = {
+        (int(q), s): (int(n), int(sd))
+        for q, s, n, sd in zip(
+            out["query_id"].to_pylist(),
+            out["scope"].to_pylist(),
+            out["doc_count"].to_pylist(),
+            out["sum_dl"].to_pylist(),
+        )
+    }
+    tot = (len(dl), sum(dl.values()))
+    assert rows[(0, "global")] == tot and rows[(1, "global")] == tot
+    assert rows[(0, "hits")] == (len(d0), sum(dl[int(d)] for d in d0))
+    assert rows[(1, "hits")] == (0, 0)  # zero-hit query keeps an explicit row
+
+
+def test_field_presence_and_exists(built, ray_session):
+    import pyarrow.dataset as pads
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import field_presence_agg
+    from bitcoin_ledger_2es_ray.pipelines.apis import exists_docs
+
+    res, _, _ = built
+    fm = pads.dataset(f"{res.out_dir}/forward_map").to_table(
+        columns=["doc_id", "lang"]
+    )
+    langs = fm["lang"].to_pylist()
+    n_en = sum(1 for x in langs if x == "en")
+    out = field_presence_agg(res.out_dir, {"lang": "en"})
+    assert out["field"].to_pylist() == ["lang"]
+    assert out["missing_count"][0].as_py() == n_en
+    assert out["exists_count"][0].as_py() == len(langs) - n_en
+    assert out["value_count"][0].as_py() == len(langs) - n_en
+
+    ex = exists_docs(res.out_dir, "lang", "en")
+    want = sorted(
+        int(d) for d, l in zip(fm["doc_id"].to_pylist(), langs) if l != "en"
+    )
+    assert ex["doc_id"].to_pylist() == want
+
+
+def test_scripted_metric_batch_split_invariance(ray_session):
+    """The cent-moment state must combine associatively: the metric is
+    identical whatever the batch split (here vs one whole-table pass)."""
+    import pyarrow.compute as pc
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.aggs import scripted_metric_agg
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"])
+
+    def map_script(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch["value"], 100.0)).cast(pa.int64())
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_c": cents,
+                "sum_c2": pc.multiply(cents, cents),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("sum_c", "sum"), ("sum_c2", "sum")]
+        )
+        return g.select(
+            ["event_type", "n_sum", "sum_c_sum", "sum_c2_sum"]
+        ).rename_columns(["event_type", "n", "sum_c", "sum_c2"])
+
+    def reduce_script(state: pa.Table) -> pa.Table:
+        var = [
+            sql_round((n * s2 - s * s) / (n * n) / 10000.0, 6)
+            for n, s, s2 in zip(
+                state["n"].to_pylist(),
+                state["sum_c"].to_pylist(),
+                state["sum_c2"].to_pylist(),
+            )
+        ]
+        return pa.table(
+            {"event_type": state["event_type"], "var_value": pa.array(var)}
+        )
+
+    got = scripted_metric_agg(
+        f"{sf}/events.parquet", "event_type", map_script, reduce_script,
+        columns=["event_type", "value"],
+    )
+    # brute force with exact integer moments per group
+    cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    types = np.asarray(ev["event_type"].to_pylist())
+    want = {}
+    for et in sorted(set(types.tolist())):
+        c = cents[types == et].tolist()
+        n, s, s2 = len(c), sum(c), sum(x * x for x in c)
+        want[et] = sql_round((n * s2 - s * s) / (n * n) / 10000.0, 6)
+    assert {
+        et: v
+        for et, v in zip(got["event_type"].to_pylist(), got["var_value"].to_pylist())
+    } == want
+
+
+def test_categorize_text_bruteforce(ray_session):
+    import re
+    from collections import Counter
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import categorize_text_agg
+
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    want = Counter(
+        " ".join(re.sub(r"[0-9]+", "#", t).split(" ")[:4]) for t in texts
+    )
+    got = categorize_text_agg(sf, n_tokens=4)
+    assert {
+        c: n
+        for c, n in zip(got["category"].to_pylist(), got["doc_count"].to_pylist())
+    } == dict(want)
+    # categories sorted, counts positive
+    cats = got["category"].to_pylist()
+    assert cats == sorted(cats)
+
+
+def test_msearch_legs_equal_kernels(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.apis import msearch
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, score_query
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    terms = sorted(store.df)
+    reqs = [
+        {"kind": "match", "text": f"{terms[0]} {terms[3]}"},
+        {"kind": "filter", "term": terms[1]},
+    ]
+    out = msearch(store, reqs, k=5, round_decimals=6)
+    m = out.filter(pa.compute.equal(out["slot"], 0))
+    want = score_query(store, f"{terms[0]} {terms[3]}", 5, round_decimals=6)
+    assert list(zip(m["doc_id"].to_pylist(), m["score"].to_pylist())) == [
+        (int(d), float(s)) for d, s in want
+    ]
+    f = out.filter(pa.compute.equal(out["slot"], 1))
+    d, _, _ = store.postings(terms[1])
+    assert f["doc_id"].to_pylist() == sorted(int(x) for x in d)[:5]
+    assert set(f["score"].to_pylist()) == {1.0}
+    with pytest.raises(ValueError):
+        msearch(store, [{"kind": "nope"}], k=5)
+
+
+def test_search_template_render_and_errors(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.apis import (
+        render_template,
+        search_template,
+    )
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, score_query
+
+    assert render_template("{{a}} x {{ b }}", {"a": "1", "b": "2"}) == "1 x 2"
+    with pytest.raises(KeyError):
+        render_template("{{missing}}", {})
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    terms = sorted(store.df)
+    out = search_template(store, "{{q}}", {"q": terms[0]}, k=4, round_decimals=6)
+    want = score_query(store, terms[0], 4, round_decimals=6)
+    assert out["doc_id"].to_pylist() == [int(d) for d, _ in want]
+    assert out["rank"].to_pylist() == list(range(1, len(want) + 1))
+
+
+def test_validate_query_rules():
+    from bitcoin_ledger_2es_ray.pipelines.apis import validate_query
+
+    out = validate_query(["a b a", "", "   ", "*x", "y ?z", "ok"])
+    rows = {
+        q: (v, e)
+        for q, v, e in zip(
+            out["query"].to_pylist(),
+            out["valid"].to_pylist(),
+            out["explanation"].to_pylist(),
+        )
+    }
+    assert rows["a b a"] == (True, "ok:2")
+    assert rows[""] == (False, "error:empty")
+    assert rows["   "] == (False, "error:empty")
+    assert rows["*x"] == (False, "error:leading_wildcard")
+    assert rows["y ?z"] == (False, "error:leading_wildcard")
+    assert rows["ok"] == (True, "ok:1")
