@@ -1354,6 +1354,96 @@ def _q_span_first(sf_dir: str) -> pa.Table:
     )
 
 
+def _span_triples(sf_dir: str) -> list[tuple[int, str, str, str]]:
+    """Deterministic span triples: query q takes doc (23q mod n), offset
+    q mod 5 — big clause = tokens [off, off+2] (ordered, gap ≤ 3), little =
+    token off+1 (guaranteed inside, so every query has ≥1 hit).  Mirrored
+    exactly by the SQL oracles; min doc length is 10 tokens so off+2 ≤ 6
+    is always in range."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    texts = docs["text"].to_pylist()
+    n = len(texts)
+    out = []
+    for q in range(_N_QUERIES):
+        w = texts[(23 * q) % n].split(" ")
+        off = q % 5
+        out.append((q, w[off], w[off + 2], w[off + 1]))
+    return out
+
+
+def _q_span_containing(sf_dir: str) -> pa.Table:
+    """ES ``span_containing``: big = ordered [t1 … t2] within gap 3, little
+    = t3; per doc the count of distinct containing big spans."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import span_containing_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    qids, docs, ns = [], [], []
+    for q, t1, t2, t3 in _span_triples(sf_dir):
+        t = span_containing_match(store, t1, t2, t3, gap=3)
+        qids.extend([q] * t.num_rows)
+        docs.extend(t["doc_id"].to_pylist())
+        ns.extend(t["n"].to_pylist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "n": pa.array(ns, type=pa.int64()),
+        }
+    )
+
+
+def _q_span_within(sf_dir: str) -> pa.Table:
+    """ES ``span_within``: same big/little fixture, but the LITTLE spans
+    are the output — per doc the count of distinct covered little
+    positions (differs from span_containing exactly when spans overlap)."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import span_within_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    qids, docs, ns = [], [], []
+    for q, t1, t2, t3 in _span_triples(sf_dir):
+        t = span_within_match(store, t1, t2, t3, gap=3)
+        qids.extend([q] * t.num_rows)
+        docs.extend(t["doc_id"].to_pylist())
+        ns.extend(t["n"].to_pylist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "n": pa.array(ns, type=pa.int64()),
+        }
+    )
+
+
+def _q_span_or(sf_dir: str) -> pa.Table:
+    """ES ``span_or`` inside ``span_near``: (t_off OR t_off+1) within the
+    unordered slop-2 window of t_off+2 — the OR clause is a key-set union
+    feeding the unchanged window kernel."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import span_or_near_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    qids, docs = [], []
+    for q, t1, t2, t3 in _span_triples(sf_dir):
+        hits = span_or_near_match(store, [t1, t3], t2, slop=2)
+        qids.extend([q] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+
+
 def _span_pair_queries(sf_dir: str) -> pa.Table:
     """Deterministic two-term span fixture: query q pairs vocab[(5q+1) mod V]
     with vocab[(11q+7) mod V] (bumped by one when the indices collide) —
@@ -2982,6 +3072,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": _q_phrase_topk,
         "span_first": _q_span_first,
         "span_near": _q_span_near,
+        "span_containing": _q_span_containing,
+        "span_within": _q_span_within,
+        "span_or": _q_span_or,
         "span_not": _q_span_not,
         "phrase_prefix": _q_phrase_prefix,
         "decay_topk": _q_decay_topk,
@@ -6221,6 +6314,99 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 ORDER BY a, b
 """,
+        # span_containing: distinct big spans [t1..t2] (ordered, gap<=3)
+        # containing a little (t3) occurrence; 1-based SQL positions cancel
+        "span_containing": """
+WITH nd AS (SELECT count(*) AS c FROM documents),
+sq AS (
+  SELECT q AS query_id, (23 * q) % c AS sel, q % 5 AS off
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+),
+trip AS (
+  SELECT s.query_id,
+         list_extract(string_split(d.text, ' '), 1 + s.off) AS t1,
+         list_extract(string_split(d.text, ' '), 3 + s.off) AS t2,
+         list_extract(string_split(d.text, ' '), 2 + s.off) AS t3
+  FROM sq s JOIN documents d ON d.doc_id = s.sel
+),
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+),
+big AS (
+  SELECT tr.query_id, p1.doc_id, p1.p AS a, p2.p AS b, tr.t3
+  FROM trip tr
+  JOIN pos p1 ON p1.term = tr.t1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = tr.t2
+  WHERE p2.p - p1.p BETWEEN 1 AND 3
+)
+SELECT b.query_id::BIGINT AS query_id, b.doc_id::BIGINT AS doc_id,
+       count(*)::BIGINT AS n
+FROM big b
+WHERE EXISTS (SELECT 1 FROM pos p3 WHERE p3.doc_id = b.doc_id
+              AND p3.term = b.t3 AND p3.p BETWEEN b.a AND b.b)
+GROUP BY 1, 2 ORDER BY 1, 2
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # span_within: distinct little positions covered by >=1 big span
+        "span_within": """
+WITH nd AS (SELECT count(*) AS c FROM documents),
+sq AS (
+  SELECT q AS query_id, (23 * q) % c AS sel, q % 5 AS off
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+),
+trip AS (
+  SELECT s.query_id,
+         list_extract(string_split(d.text, ' '), 1 + s.off) AS t1,
+         list_extract(string_split(d.text, ' '), 3 + s.off) AS t2,
+         list_extract(string_split(d.text, ' '), 2 + s.off) AS t3
+  FROM sq s JOIN documents d ON d.doc_id = s.sel
+),
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+),
+big AS (
+  SELECT tr.query_id, p1.doc_id, p1.p AS a, p2.p AS b, tr.t3
+  FROM trip tr
+  JOIN pos p1 ON p1.term = tr.t1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = tr.t2
+  WHERE p2.p - p1.p BETWEEN 1 AND 3
+)
+SELECT b.query_id::BIGINT AS query_id, b.doc_id::BIGINT AS doc_id,
+       count(DISTINCT p3.p)::BIGINT AS n
+FROM big b
+JOIN pos p3 ON p3.doc_id = b.doc_id AND p3.term = b.t3
+           AND p3.p BETWEEN b.a AND b.b
+GROUP BY 1, 2 ORDER BY 1, 2
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # span_or in span_near: (t1 OR t3) within unordered slop-2 of t2
+        "span_or": """
+WITH nd AS (SELECT count(*) AS c FROM documents),
+sq AS (
+  SELECT q AS query_id, (23 * q) % c AS sel, q % 5 AS off
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+),
+trip AS (
+  SELECT s.query_id,
+         list_extract(string_split(d.text, ' '), 1 + s.off) AS t1a,
+         list_extract(string_split(d.text, ' '), 2 + s.off) AS t1b,
+         list_extract(string_split(d.text, ' '), 3 + s.off) AS t2
+  FROM sq s JOIN documents d ON d.doc_id = s.sel
+),
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+)
+SELECT DISTINCT tr.query_id::BIGINT AS query_id, p1.doc_id::BIGINT AS doc_id
+FROM trip tr
+JOIN pos p1 ON p1.term IN (tr.t1a, tr.t1b)
+JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = tr.t2
+WHERE abs(p2.p - p1.p) BETWEEN 1 AND 3
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
         # global agg: per query a filter-ignoring corpus bucket + the AND-hit
         # bucket; zero-hit queries keep an explicit (0, 0) hits row like ES
         "global_hits": _PRELUDE

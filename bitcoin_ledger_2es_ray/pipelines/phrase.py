@@ -810,3 +810,144 @@ def suffix_match(store: SegmentStore, suffix: str) -> np.ndarray:
     from ..functions.boolean import union_many
 
     return union_many([store.postings(t)[0] for t in hits])
+
+
+def _big_spans(
+    store: SegmentStore, t1: str, t2: str, gap: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Enumerate ORDERED two-term spans: (doc, p1, p2) with ``t1`` at p1,
+    ``t2`` at p2 and ``1 <= p2 - p1 <= gap`` — the 'big' clause of
+    span_containing / span_within.  Output arrays are distinct spans (the
+    occurrence key sets are unique) sorted by (doc, p2, p1).
+
+    Vectorized: per t2 occurrence one searchsorted window over the t1 keys
+    yields its partner RANGE; ranges expand with repeat/arange — the span
+    count is bounded by |t2 occurrences| × gap, never |t1|×|t2|."""
+    k1 = _term_keys(store, t1)
+    k2 = _term_keys(store, t2)
+    if len(k1) == 0 or len(k2) == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e, e
+    win = np.uint64(gap)
+    doc2 = k2 >> np.uint64(POS_BITS)
+    p2 = k2 & np.uint64(MAX_POS)
+    lo_pos = np.where(p2 > win, p2 - win, np.uint64(0))
+    lo = np.searchsorted(k1, (doc2 << np.uint64(POS_BITS)) | lo_pos, side="left")
+    hi = np.searchsorted(k1, k2, side="left")  # strictly before p2, same doc
+    cnt = (hi - lo).astype(np.int64)
+    m = cnt > 0
+    if not m.any():
+        e = np.empty(0, dtype=np.uint64)
+        return e, e, e
+    # expand each t2 occurrence's partner range into explicit (p1, p2) pairs
+    reps = cnt[m]
+    idx = np.repeat(lo[m], reps) + (
+        np.arange(int(reps.sum()), dtype=np.int64)
+        - np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+    )
+    p1 = k1[idx] & np.uint64(MAX_POS)
+    d = np.repeat(doc2[m], reps)
+    pp2 = np.repeat(p2[m], reps)
+    return d, p1, pp2
+
+
+def span_containing_match(
+    store: SegmentStore, t1: str, t2: str, little: str, gap: int = 3
+) -> pa.Table:
+    """ES/Lucene ``span_containing``: big spans (ordered ``t1``…``t2``
+    within ``gap``) that CONTAIN a ``little`` occurrence.  Returns
+    (doc_id, n) — n = number of distinct containing big spans per doc
+    (the spans Lucene would emit for further composition)."""
+    d, p1, p2 = _big_spans(store, t1, t2, gap)
+    if len(d) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+        )
+    k3 = _term_keys(store, little)
+    lo = np.searchsorted(k3, (d << np.uint64(POS_BITS)) | p1, side="left")
+    hi = np.searchsorted(k3, (d << np.uint64(POS_BITS)) | p2, side="right")
+    keep = hi > lo
+    if not keep.any():
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+        )
+    dd = d[keep]
+    docs, counts = np.unique(dd, return_counts=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs.astype(np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def span_within_match(
+    store: SegmentStore, t1: str, t2: str, little: str, gap: int = 3
+) -> pa.Table:
+    """ES/Lucene ``span_within``: ``little`` occurrences that lie WITHIN a
+    big span — same match condition as span_containing but the LITTLE
+    spans are the output.  Returns (doc_id, n) — n = number of distinct
+    covered little positions per doc (coverage via a difference array over
+    the sorted little keys, no per-span loop)."""
+    k3 = _term_keys(store, little)
+    if len(k3) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+        )
+    d, p1, p2 = _big_spans(store, t1, t2, gap)
+    if len(d) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+        )
+    lo = np.searchsorted(k3, (d << np.uint64(POS_BITS)) | p1, side="left")
+    hi = np.searchsorted(k3, (d << np.uint64(POS_BITS)) | p2, side="right")
+    delta = np.zeros(len(k3) + 1, dtype=np.int64)
+    np.add.at(delta, lo, 1)
+    np.add.at(delta, hi, -1)
+    covered = np.cumsum(delta[:-1]) > 0
+    if not covered.any():
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+        )
+    cd = (k3[covered] >> np.uint64(POS_BITS)).astype(np.int64)
+    docs, counts = np.unique(cd, return_counts=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def span_or_near_match(
+    store: SegmentStore, alts: list[str], t2: str, slop: int = 0
+) -> np.ndarray:
+    """ES ``span_or`` inside ``span_near``: docs where ANY of ``alts``
+    occurs within the unordered slop window of ``t2`` — the OR clause is
+    the union of the alternatives' occurrence-key sets, then the standard
+    span_near window kernel runs unchanged."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    keys = [_term_keys(store, a) for a in alts]
+    keys = [k for k in keys if len(k)]
+    if not keys:
+        return np.empty(0, dtype=np.uint64)
+    k1 = keys[0]
+    for k in keys[1:]:
+        k1 = np.union1d(k1, k)
+    k2 = _term_keys(store, t2)
+    if len(k2) == 0:
+        return np.empty(0, dtype=np.uint64)
+    win = np.uint64(slop + 1)
+    doc2 = k2 >> np.uint64(POS_BITS)
+    p2 = k2 & np.uint64(MAX_POS)
+    lo_pos = np.where(p2 > win, p2 - win, np.uint64(0))
+    lo = (doc2 << np.uint64(POS_BITS)) | lo_pos
+    hi_pos = np.minimum(p2 + win, np.uint64(MAX_POS))
+    hi = (doc2 << np.uint64(POS_BITS)) | hi_pos
+    cnt = np.searchsorted(k1, hi, side="right") - np.searchsorted(k1, lo, side="left")
+    self_hit = k1[
+        np.clip(np.searchsorted(k1, k2, side="left"), 0, len(k1) - 1)
+    ] == k2
+    cnt = cnt - self_hit.astype(cnt.dtype)
+    return np.unique(doc2[cnt > 0])

@@ -755,3 +755,103 @@ def test_suffix_match_bruteforce(pos_index):
             }
         )
         assert got.tolist() == want, sfx
+
+
+def test_span_containing_within_brute(pos_index):
+    """span_containing / span_within vs positional brute force: big =
+    ordered [t1..t2] within gap, little = t3; containing counts distinct
+    big spans with a little inside, within counts distinct covered little
+    positions — randomized over the shared fixture vocab."""
+    import random
+
+    from bitcoin_ledger_2es_ray.pipelines.phrase import (
+        span_containing_match,
+        span_within_match,
+    )
+
+    docs, store, _ = pos_index
+    vocab = sorted(store.df)
+
+    def brute(t1, t2, t3, gap):
+        cont, within = {}, {}
+        for i, d in enumerate(docs):
+            toks = d.split(" ")
+            p1s = [p for p, t in enumerate(toks) if t == t1]
+            p2s = [p for p, t in enumerate(toks) if t == t2]
+            p3s = [p for p, t in enumerate(toks) if t == t3]
+            spans = [
+                (a, b) for a in p1s for b in p2s if 1 <= b - a <= gap
+            ]
+            nc = sum(1 for a, b in spans if any(a <= p <= b for p in p3s))
+            nw = sum(1 for p in p3s if any(a <= p <= b for a, b in spans))
+            if nc:
+                cont[i] = nc
+            if nw:
+                within[i] = nw
+        return cont, within
+
+    rng = random.Random(11)
+    checked_diff = False
+    for _ in range(25):
+        t1 = vocab[rng.randrange(len(vocab))]
+        t2 = vocab[rng.randrange(len(vocab))]
+        t3 = vocab[rng.randrange(len(vocab))]
+        gap = rng.choice([1, 2, 3, 5])
+        want_c, want_w = brute(t1, t2, t3, gap)
+        got_c = span_containing_match(store, t1, t2, t3, gap=gap)
+        got_w = span_within_match(store, t1, t2, t3, gap=gap)
+        assert {
+            int(d): int(n)
+            for d, n in zip(got_c["doc_id"].to_pylist(), got_c["n"].to_pylist())
+        } == want_c, (t1, t2, t3, gap, "containing")
+        assert {
+            int(d): int(n)
+            for d, n in zip(got_w["doc_id"].to_pylist(), got_w["n"].to_pylist())
+        } == want_w, (t1, t2, t3, gap, "within")
+        if want_c and want_c != want_w:
+            checked_diff = True
+    # the two operators matched at least one case where their counts differ
+    # (overlapping spans / multiple littles) — they are not the same op
+    assert checked_diff
+    # missing terms
+    assert span_containing_match(store, "zzz", vocab[0], vocab[1]).num_rows == 0
+    assert span_within_match(store, vocab[0], "zzz", vocab[1]).num_rows == 0
+
+
+def test_span_or_near_brute(pos_index):
+    """span_or (union of alternatives) feeding span_near vs brute force."""
+    import random
+
+    from bitcoin_ledger_2es_ray.pipelines.phrase import (
+        span_near_match,
+        span_or_near_match,
+    )
+
+    docs, store, _ = pos_index
+    vocab = sorted(store.df)
+
+    def brute(alts, t2, slop):
+        out = []
+        for i, d in enumerate(docs):
+            toks = d.split(" ")
+            p1s = [p for p, t in enumerate(toks) if t in alts]
+            p2s = [p for p, t in enumerate(toks) if t == t2]
+            if any(1 <= abs(b - a) <= slop + 1 for a in p1s for b in p2s):
+                out.append(i)
+        return out
+
+    rng = random.Random(5)
+    for _ in range(20):
+        alts = [vocab[rng.randrange(len(vocab))] for _ in range(rng.choice([1, 2, 3]))]
+        t2 = vocab[rng.randrange(len(vocab))]
+        slop = rng.choice([0, 1, 3])
+        got = span_or_near_match(store, alts, t2, slop=slop)
+        assert got.tolist() == brute(alts, t2, slop), (alts, t2, slop)
+    # single alternative degenerates to plain unordered span_near
+    a, b = vocab[2 % len(vocab)], vocab[9 % len(vocab)]
+    assert (
+        span_or_near_match(store, [a], b, slop=2).tolist()
+        == span_near_match(store, a, b, slop=2, in_order=False).tolist()
+    )
+    # no alternatives present -> empty
+    assert span_or_near_match(store, ["zzznope"], b, slop=2).tolist() == []
