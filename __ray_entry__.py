@@ -495,6 +495,35 @@ def _q_fuzzy_match(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_fuzzy_transpositions(sf_dir: str) -> pa.Table:
+    """ES ``fuzzy`` with fuzzy_transpositions (the ES default): true
+    Damerau-Levenshtein dictionary scan.  Query q SWAPS adjacent characters
+    (p, p+1), p = q mod (len-1), of vocab term (11q+3) mod |V| — distance 1
+    under Damerau but 2 under plain Levenshtein whenever the swapped
+    characters differ, so this query discriminates the kernels."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import fuzzy_match
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    qids, docs = [], []
+    for q in range(_N_QUERIES):
+        t = vocab[(11 * q + 3) % len(vocab)]
+        if len(t) > 1:
+            p = q % (len(t) - 1)
+            qterm = t[:p] + t[p + 1] + t[p] + t[p + 2 :]
+        else:
+            qterm = t
+        hits = fuzzy_match(store, qterm, max_dist=1, transpositions=True)
+        qids.extend([q] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+
+
 def _q_term_suggest(sf_dir: str) -> pa.Table:
     """ES term suggester: top-3 corrections for the fuzzy_match misspellings,
     ranked (distance ASC, df DESC, term ASC)."""
@@ -3080,6 +3109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decay_topk": _q_decay_topk,
         "prefix_match": _q_prefix_match,
         "fuzzy_match": _q_fuzzy_match,
+        "fuzzy_transpositions": _q_fuzzy_transpositions,
         "term_suggest": _q_term_suggest,
         "completion_suggest": _q_completion_suggest,
         "rescore": _q_rescore,
@@ -4989,6 +5019,28 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 )
 SELECT DISTINCT fq.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
 FROM fq JOIN tf ON levenshtein(tf.term, fq.qt) <= 1
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # fuzzy with transpositions: qterm q = vocab[(11q+3) mod |V|] with
+        # adjacent chars (p, p+1) swapped, p = q mod (len-1); match = any
+        # indexed term within TRUE Damerau-Levenshtein distance 1 (DuckDB's
+        # damerau_levenshtein is the unrestricted Lowrance-Wagner variant,
+        # same as Lucene's transpositions automaton — d('CA','ABC') = 2).
+        "fuzzy_transpositions": _PRELUDE
+        + """
+, fq AS (
+  SELECT q AS query_id,
+         CASE WHEN len(v.term) > 1
+              THEN substr(v.term, 1, q % (len(v.term) - 1))
+                   || substr(v.term, (q % (len(v.term) - 1)) + 2, 1)
+                   || substr(v.term, (q % (len(v.term) - 1)) + 1, 1)
+                   || substr(v.term, (q % (len(v.term) - 1)) + 3)
+              ELSE v.term END AS qt
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (11 * q + 3) % nv.c
+)
+SELECT DISTINCT fq.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
+FROM fq JOIN tf ON damerau_levenshtein(tf.term, fq.qt) <= 1
 ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
         # ES term suggester: top-3 corrections, (distance, df DESC, term)

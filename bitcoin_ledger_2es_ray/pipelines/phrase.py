@@ -392,14 +392,21 @@ def regexp_match(store: SegmentStore, pattern: str) -> np.ndarray:
     return union_many([store.postings(t)[0] for t in terms])
 
 
-def fuzzy_match(store: SegmentStore, term: str, max_dist: int = 1) -> np.ndarray:
+def fuzzy_match(
+    store: SegmentStore,
+    term: str,
+    max_dist: int = 1,
+    transpositions: bool = False,
+) -> np.ndarray:
     """Sorted unique doc_ids containing any indexed term within Levenshtein
     distance ``max_dist`` of ``term`` (ES ``fuzzy`` query analog).
+    ``transpositions=True`` = ES fuzzy_transpositions (the ES default):
+    true Damerau-Levenshtein, adjacent swap costs 1.
 
     Dictionary expansion via ``TermDict.terms_fuzzy`` (vectorized DP scan,
     ``functions/editdist.py``), then the matched terms' posting doc-sets
     union — same shape as prefix/wildcard."""
-    terms = store.td.terms_fuzzy(term, max_dist)
+    terms = store.td.terms_fuzzy(term, max_dist, transpositions)
     return union_many([store.postings(t)[0] for t in terms])
 
 

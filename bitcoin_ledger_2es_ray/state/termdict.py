@@ -264,7 +264,9 @@ class TermDict:
                 raise ValueError(f"prefix {prefix!r} matches >{limit} terms")
         return out
 
-    def terms_fuzzy(self, query: str, max_dist: int = 1) -> list[str]:
+    def terms_fuzzy(
+        self, query: str, max_dist: int = 1, transpositions: bool = False
+    ) -> list[str]:
         """Distinct terms within Levenshtein distance ``max_dist`` of
         ``query``, sorted — the ES ``fuzzy`` dictionary expansion.
 
@@ -282,13 +284,15 @@ class TermDict:
             if not hasattr(self, "_sorted_vocab"):
                 self._sorted_vocab = sorted(self.df)
             v = self._sorted_vocab
-            mask = fuzzy_scan_table(pa.array(v, type=pa.string()), query, max_dist)
+            mask = fuzzy_scan_table(
+                pa.array(v, type=pa.string()), query, max_dist, transpositions
+            )
             return [t for t, m in zip(v, mask) if m]
         out: list[str] = []
         prev = None
         for i in range(self._pf.metadata.num_row_groups):
             col = self._pf.read_row_group(i, columns=["term"])["term"]
-            mask = fuzzy_scan_table(col, query, max_dist)
+            mask = fuzzy_scan_table(col, query, max_dist, transpositions)
             for t, m in zip(col.to_pylist(), mask):
                 if m and t != prev:  # salt slices duplicate terms
                     out.append(t)

@@ -44,6 +44,83 @@ def test_levenshtein_leq_randomized():
             assert (got == want).all(), (q, d)
 
 
+def _dl_ref(a: str, b: str) -> int:
+    """Reference TRUE Damerau-Levenshtein (Lowrance–Wagner), O(n·m·alphabet)."""
+    la, lb = len(a), len(b)
+    inf = la + lb
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k, l = da.get(b[j - 1], 0), db
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            if cost == 0:
+                db = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost, d[i + 1][j] + 1, d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def test_damerau_leq_randomized():
+    from bitcoin_ledger_2es_ray.functions.editdist import damerau_leq
+
+    rng = random.Random(13)
+    alphabet = "abcx"
+    for _ in range(25):
+        q = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+        terms = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 7)))
+            for _ in range(50)
+        ]
+        for d in (0, 1, 2):
+            got = damerau_leq(q, terms, d)
+            want = np.array([_dl_ref(q, t) <= d for t in terms])
+            assert (got == want).all(), (q, d)
+
+
+def test_damerau_unrestricted_not_osa():
+    # the classic discriminator: OSA('CA','ABC') = 3, true DL = 2
+    from bitcoin_ledger_2es_ray.functions.editdist import damerau_leq
+
+    assert damerau_leq("CA", ["ABC"], 2).tolist() == [True]
+    assert damerau_leq("CA", ["ABC"], 1).tolist() == [False]
+    # plain swap is distance 1; a swap is 2 under plain Levenshtein
+    assert damerau_leq("ab", ["ba"], 1).tolist() == [True]
+
+
+def test_fuzzy_match_transpositions(built):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import fuzzy_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    vocab = sorted(store.df)
+    rng = random.Random(17)
+    for _ in range(4):
+        t = rng.choice(vocab)
+        if len(t) > 1:
+            p = rng.randrange(len(t) - 1)
+            q = t[:p] + t[p + 1] + t[p] + t[p + 2 :]
+        else:
+            q = t
+        got = fuzzy_match(store, q, max_dist=1, transpositions=True).tolist()
+        want = sorted(
+            i
+            for i, d in enumerate(docs)
+            if any(_dl_ref(q, tok) <= 1 for tok in set(d.split(" ")))
+        )
+        assert got == want
+
+
 def test_fuzzy_scan_table_prunes_and_matches():
     from bitcoin_ledger_2es_ray.functions.editdist import fuzzy_scan_table
 
