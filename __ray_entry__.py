@@ -290,6 +290,30 @@ def _index_pos_for(sf_dir: str):
     return build_index(cfg)
 
 
+def _index_masked_for(sf_dir: str):
+    """Positional index over the token-REVERSED view of the corpus (the
+    field_masking_span masked field) — position-aligned with the primary
+    text field by construction (fields.derive_masked_corpus)."""
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+    from bitcoin_ledger_2es_ray.pipelines.fields import derive_masked_corpus
+    from bitcoin_ledger_2es_ray.sources.corpus import derive_corpus_parquet
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key)
+    corpus = derive_corpus_parquet(sf_dir, os.path.join(root, "corpus.parquet"))
+    masked = derive_masked_corpus(corpus, os.path.join(root, "corpus_masked"))
+    cfg = BuildConfig(
+        corpus=masked,
+        out_dir=os.path.join(root, "index_masked_pos"),
+        num_partitions=16,
+        head_df_ratio=0.5,
+        n_salt=2,
+        sketch_stride=4,
+        with_positions=True,
+    )
+    return build_index(cfg)
+
+
 def _phrase_queries(sf_dir: str) -> pa.Table:
     """Deterministic 2-token phrase set (FIXTURES.md §C shape): query q takes
     tokens [q%7, q%7+1] of document (q*17) mod n_docs — mirrored exactly by
@@ -1463,6 +1487,31 @@ def _q_span_or(sf_dir: str) -> pa.Table:
     qids, docs = [], []
     for q, t1, t2, t3 in _span_triples(sf_dir):
         hits = span_or_near_match(store, [t1, t3], t2, slop=2)
+        qids.extend([q] * len(hits))
+        docs.extend(hits.astype(np.int64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+
+
+def _q_field_masking_span(sf_dir: str) -> pa.Table:
+    """ES ``field_masking_span``: t1 from the text field within the
+    unordered slop-2 window of t2 from the MASKED field (token-reversed
+    view, position-aligned by construction).  t2 is the reversed spelling
+    of the doc's off+2 token, so only the masked index can resolve it."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import span_field_masking_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    res_m = _index_masked_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    masked = SegmentStore(res_m.out_dir)
+    qids, docs = [], []
+    for q, t1, t2, _t3 in _span_triples(sf_dir):
+        hits = span_field_masking_match(store, masked, t1, t2[::-1], slop=2)
         qids.extend([q] * len(hits))
         docs.extend(hits.astype(np.int64).tolist())
     return pa.table(
@@ -3102,6 +3151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_first": _q_span_first,
         "span_near": _q_span_near,
         "span_containing": _q_span_containing,
+        "field_masking_span": _q_field_masking_span,
         "span_within": _q_span_within,
         "span_or": _q_span_or,
         "span_not": _q_span_not,
@@ -6455,6 +6505,34 @@ pos AS (
 SELECT DISTINCT tr.query_id::BIGINT AS query_id, p1.doc_id::BIGINT AS doc_id
 FROM trip tr
 JOIN pos p1 ON p1.term IN (tr.t1a, tr.t1b)
+JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = tr.t2
+WHERE abs(p2.p - p1.p) BETWEEN 1 AND 3
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
+        # field_masking_span: t1 (text field) within the unordered slop-2
+        # window of t2 (masked token-reversed field).  The masked token at
+        # position i is reverse(text token i), so the oracle resolves the
+        # reversed query term back to the text token at the same position.
+        "field_masking_span": """
+WITH nd AS (SELECT count(*) AS c FROM documents),
+sq AS (
+  SELECT q AS query_id, (23 * q) % c AS sel, q % 5 AS off
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+),
+trip AS (
+  SELECT s.query_id,
+         list_extract(string_split(d.text, ' '), 1 + s.off) AS t1,
+         list_extract(string_split(d.text, ' '), 3 + s.off) AS t2
+  FROM sq s JOIN documents d ON d.doc_id = s.sel
+),
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+)
+SELECT DISTINCT tr.query_id::BIGINT AS query_id, p1.doc_id::BIGINT AS doc_id
+FROM trip tr
+JOIN pos p1 ON p1.term = tr.t1
 JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = tr.t2
 WHERE abs(p2.p - p1.p) BETWEEN 1 AND 3
 ORDER BY query_id, doc_id

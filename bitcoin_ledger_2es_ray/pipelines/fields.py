@@ -87,6 +87,64 @@ def derive_field_corpus(corpus: str, field: str, out_dir: str) -> str:
     return out_dir
 
 
+def derive_masked_corpus(corpus: str, out_dir: str) -> str:
+    """Position-aligned alternate analysis of ``content`` (the
+    field_masking_span fixture): every whitespace token reversed IN PLACE,
+    so token i of the masked field sits at exactly position i of the text
+    field — the alignment ES's ``field_masking_span`` exploits when one
+    field is the same text under a different analyzer (stemmed vs exact).
+
+    All-Arrow rewrite: split → ``utf8_reverse`` on the flattened values →
+    rebuild the list on the same offsets → join.  Same file layout and row
+    order as the input ⇒ identical footer-offset docIDs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..schemas import CORPUS_WITH_SHA
+
+    def _mask_file(src: str, dst: str) -> None:
+        from ..functions.hashing import sha256_column
+
+        t = pq.read_table(src)
+        ls = pc.split_pattern(t["content"].cast(pa.string()), " ").combine_chunks()
+        rev = pc.utf8_reverse(ls.values)
+        masked = pc.binary_join(
+            pa.ListArray.from_arrays(ls.offsets, rev), " "
+        )
+        out = pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "commit": t["commit"],
+                "lang": t["lang"],
+                "content": masked,
+                "sha256": sha256_column(masked).cast(pa.binary(32)),
+            },
+            schema=CORPUS_WITH_SHA,
+        )
+        tmp = f"{dst}.tmp.{os.getpid()}"
+        pq.write_table(out, tmp, row_group_size=512)
+        os.replace(tmp, dst)
+
+    if os.path.isdir(corpus):
+        names = sorted(f for f in os.listdir(corpus) if f.endswith(".parquet"))
+        pairs = [(os.path.join(corpus, f), os.path.join(out_dir, f)) for f in names]
+    else:
+        pairs = [(corpus, os.path.join(out_dir, os.path.basename(corpus)))]
+    os.makedirs(out_dir, exist_ok=True)
+    todo = [(s, d) for s, d in pairs if not os.path.exists(d)]
+    if len(todo) > 8:
+        import ray
+
+        mask = ray.remote(num_cpus=1)(_mask_file)
+        ray.get([mask.remote(s, d) for s, d in todo])
+    else:
+        for s, d in todo:
+            _mask_file(s, d)
+    return out_dir
+
+
 def build_field_index(corpus: str, field: str, root: str, **cfg_kw):
     """Derive the field corpus and build its index under ``root`` —
     resumable like any build (the manifest is the checkpoint)."""

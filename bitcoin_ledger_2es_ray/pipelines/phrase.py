@@ -926,6 +926,46 @@ def span_within_match(
     )
 
 
+def span_field_masking_match(
+    store: SegmentStore,
+    masked_store: SegmentStore,
+    t1: str,
+    t2: str,
+    slop: int = 0,
+) -> np.ndarray:
+    """ES ``field_masking_span``: a span clause evaluated against ANOTHER
+    field's positional index but composed as if its positions came from
+    the primary field — ``t1`` from ``store`` (the primary field) within
+    the unordered slop window of ``t2`` from ``masked_store`` (the masked
+    field).  Sound exactly when the two fields are position-aligned
+    analyses of the same text (ES's documented use: stemmed vs exact
+    sub-fields), which ``derive_masked_corpus`` guarantees by construction.
+
+    Same searchsorted-window kernel as ``span_near_match`` unordered —
+    the key arrays just come from different indexes; the same-position
+    exclusion carries over (two spans at one position overlap, not near).
+    """
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    k1 = _term_keys(store, t1)
+    k2 = _term_keys(masked_store, t2)
+    if len(k1) == 0 or len(k2) == 0:
+        return np.empty(0, dtype=np.uint64)
+    win = np.uint64(slop + 1)
+    doc2 = k2 >> np.uint64(POS_BITS)
+    p2 = k2 & np.uint64(MAX_POS)
+    lo_pos = np.where(p2 > win, p2 - win, np.uint64(0))
+    lo = (doc2 << np.uint64(POS_BITS)) | lo_pos
+    hi_pos = np.minimum(p2 + win, np.uint64(MAX_POS))
+    hi = (doc2 << np.uint64(POS_BITS)) | hi_pos
+    cnt = np.searchsorted(k1, hi, side="right") - np.searchsorted(k1, lo, side="left")
+    self_hit = k1[
+        np.clip(np.searchsorted(k1, k2, side="left"), 0, len(k1) - 1)
+    ] == k2
+    cnt = cnt - self_hit.astype(cnt.dtype)
+    return np.unique(doc2[cnt > 0])
+
+
 def span_or_near_match(
     store: SegmentStore, alts: list[str], t2: str, slop: int = 0
 ) -> np.ndarray:

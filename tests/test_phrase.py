@@ -855,3 +855,56 @@ def test_span_or_near_brute(pos_index):
     )
     # no alternatives present -> empty
     assert span_or_near_match(store, ["zzznope"], b, slop=2).tolist() == []
+
+
+def test_span_field_masking_brute(pos_index, tmp_path_factory):
+    """field_masking_span vs brute force: t1 from the text field, t2 from
+    the token-reversed masked field — masked token i == reverse(text token
+    i) by construction, so a brute matcher over the primary tokens with
+    reversed t2 is the exact oracle."""
+    import random
+
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+    from bitcoin_ledger_2es_ray.pipelines.fields import derive_masked_corpus
+    from bitcoin_ledger_2es_ray.pipelines.phrase import span_field_masking_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    import os
+
+    docs, store, res = pos_index
+    root = tmp_path_factory.mktemp("maskidx")
+    corpus = os.path.join(os.path.dirname(res.out_dir), "corpus.parquet")
+    masked_dir = derive_masked_corpus(corpus, str(root / "corpus_m"))
+    mres = build_index(
+        BuildConfig(
+            corpus=masked_dir,
+            out_dir=str(root / "idx_m"),
+            num_partitions=4,
+            with_positions=True,
+            head_df_ratio=0.3,
+            n_salt=2,
+            sketch_stride=1,
+        )
+    )
+    mstore = SegmentStore(mres.out_dir)
+
+    def brute(t1, t2rev, slop):
+        out = []
+        for i, d in enumerate(docs):
+            toks = d.split(" ")
+            p1s = [p for p, t in enumerate(toks) if t == t1]
+            p2s = [p for p, t in enumerate(toks) if t[::-1] == t2rev]
+            if any(1 <= abs(b - a) <= slop + 1 for a in p1s for b in p2s):
+                out.append(i)
+        return out
+
+    vocab = sorted(store.df)
+    rng = random.Random(23)
+    for _ in range(15):
+        t1 = vocab[rng.randrange(len(vocab))]
+        t2 = vocab[rng.randrange(len(vocab))][::-1]
+        slop = rng.choice([0, 1, 3])
+        got = span_field_masking_match(store, mstore, t1, t2, slop=slop)
+        assert got.tolist() == brute(t1, t2, slop), (t1, t2, slop)
+    # unknown masked term -> empty
+    assert span_field_masking_match(store, mstore, vocab[0], "zz", slop=2).tolist() == []
