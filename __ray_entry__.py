@@ -2100,6 +2100,27 @@ def _q_match_count(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_index_sorted_topk(sf_dir: str) -> pa.Table:
+    """ES index sorting (``index.sort``): range-bucketed sorted view of the
+    forward map on dl, then the top-50 shortest docs via early-terminated
+    bucket reads (pipelines/sortindex.py) — the sorted-query analog of
+    Lucene's sorted-segment early termination."""
+    from bitcoin_ledger_2es_ray.pipelines.sortindex import (
+        build_sorted_view,
+        sorted_topk,
+    )
+
+    _, res = _store_for(sf_dir)
+    view = build_sorted_view(res.out_dir, field="dl")
+    t, _read = sorted_topk(view, k=50)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "dl": t["dl"].cast(pa.int64()),
+        }
+    )
+
+
 def _q_mget(sf_dir: str) -> pa.Table:
     """ES ``_mget``: metadata for ids (31q mod N) via the forward map with
     the id set pushed into the parquet scan."""
@@ -3193,6 +3214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles": _q_percentiles,
         "percentile_ranks": _q_percentile_ranks,
         "match_count": _q_match_count,
+        "index_sorted_topk": _q_index_sorted_topk,
         "mget": _q_mget,
         "percolate": _q_percolate,
         "rank_eval": _q_rank_eval,
@@ -3383,6 +3405,12 @@ FROM documents ORDER BY doc_id
 """,
         "ingest_sha": """
 SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id
+""",
+        # index sorting: top-50 by (dl ASC, doc_id ASC) — dl is the
+        # whitespace token count on this corpus (token_counts oracle)
+        "index_sorted_topk": """
+SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+FROM documents ORDER BY dl, doc_id LIMIT 50
 """,
         "term_df": _PRELUDE
         + """

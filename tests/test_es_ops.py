@@ -2240,3 +2240,44 @@ def test_validate_query_rules():
     assert rows["*x"] == (False, "error:leading_wildcard")
     assert rows["y ?z"] == (False, "error:leading_wildcard")
     assert rows["ok"] == (True, "ok:1")
+
+
+# ---------------------------------------------------------------------------
+# index sorting (sorted view + early-terminated sorted top-k)
+
+
+def test_sorted_view_topk(built, tmp_path_factory):
+    import json
+    import os
+
+    from bitcoin_ledger_2es_ray.pipelines.sortindex import (
+        build_sorted_view,
+        sorted_topk,
+    )
+
+    res, _, corpus = built
+    out = str(tmp_path_factory.mktemp("sv") / "sorted_dl")
+    view = build_sorted_view(res.out_dir, field="dl", out_dir=out, num_buckets=8)
+    fm = pq.read_table(os.path.join(res.out_dir, "forward_map"), columns=["doc_id", "dl"])
+    want = sorted(zip(fm["dl"].to_pylist(), fm["doc_id"].to_pylist()))
+
+    # full-read equivalence (k = n)
+    t, _ = sorted_topk(view, k=fm.num_rows)
+    got = list(zip(t["dl"].to_pylist(), t["doc_id"].to_pylist()))
+    assert got == want
+
+    # early termination: small k touches a strict subset of buckets
+    t, read = sorted_topk(view, k=10)
+    got = list(zip(t["dl"].to_pylist(), t["doc_id"].to_pylist()))
+    assert got == want[:10]
+    with open(os.path.join(view, "sorted_view.json")) as f:
+        man = json.load(f)
+    assert read < len(man["buckets"])
+    # manifest rows cover every doc exactly once
+    assert sum(b["n_rows"] for b in man["buckets"]) == fm.num_rows
+    # bucket key ranges are disjoint and ordered
+    for a, b in zip(man["buckets"], man["buckets"][1:]):
+        assert a["key_max"] <= b["key_min"]
+
+    # idempotent: second call short-circuits on the manifest
+    assert build_sorted_view(res.out_dir, field="dl", out_dir=out) == view
