@@ -2025,6 +2025,16 @@ def _q_cosine_dups(sf_dir: str) -> pa.Table:
     return cosine_dup_pairs(sf_dir, tau=0.4)
 
 
+def _q_sem_dedup(sf_dir: str) -> pa.Table:
+    """SemDedup (k-means + within-cluster cosine screen) over the
+    embeddings table — per-vector kept/dup_of verdicts.  Clustering is not
+    SQL-expressible (rows-only); exactness vs a pure-numpy replay is
+    asserted in tests/test_extras.py."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import sem_dedup
+
+    return sem_dedup(sf_dir, tau=0.4, n_centroids=8)
+
+
 def _q_ann_ivf(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.ann import knn_ivf
 
@@ -3321,6 +3331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered": _q_ann_filtered,
         "ann_lsh": _q_ann_lsh,  # rows-only (approximate)
         "ann_ivf": _q_ann_ivf,  # rows-only (approximate)
+        "sem_dedup": _q_sem_dedup,  # rows-only (k-means not SQL-expressible)
         "cosine_dups": _q_cosine_dups,
         "cosine_dups_lsh": _q_cosine_dups_lsh,  # rows-only (approximate recall)
         "media_features": _q_media_features,  # rows-only (synthetic media)

@@ -342,21 +342,8 @@ def knn_ivf(
 
     # -- train on a deterministic sample (head by vec_id; row-group-pruned
     #    read — the driver holds O(sample) rows, never the corpus) ----------
-    t = _head_by_vec_id(f"{sf_dir}/embeddings.parquet", sample)
-    _, train = _batch_matrix(t)
-    train = _normalize(train)
-    n_centroids = min(n_centroids, len(train))
-    rng = np.random.default_rng(7)
-    cent = train[rng.choice(len(train), size=n_centroids, replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(train @ cent.T, axis=1)
-        for ci in range(n_centroids):
-            m = assign == ci
-            if m.any():
-                v = train[m].sum(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cent[ci] = v / n
+    cent = _train_centroids(sf_dir, n_centroids, sample, iters)
+    n_centroids = len(cent)
     cent_ref = ray.put(cent)
 
     def assign_batch(batch: pa.Table) -> pa.Table:
@@ -728,3 +715,120 @@ def knn_int8(
             "sim": pa.array(sims, type=pa.float64()),
         }
     )
+
+
+def _train_centroids(
+    sf_dir: str, n_centroids: int, sample: int = 2048, iters: int = 5
+) -> np.ndarray:
+    """Deterministic spherical mini k-means on the first ``sample`` vectors
+    by vec_id (row-group-pruned read) — shared by knn_ivf and sem_dedup."""
+    t = _head_by_vec_id(f"{sf_dir}/embeddings.parquet", sample)
+    _, train = _batch_matrix(t)
+    train = _normalize(train)
+    n_centroids = min(n_centroids, len(train))
+    rng = np.random.default_rng(7)
+    cent = train[rng.choice(len(train), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for ci in range(n_centroids):
+            m = assign == ci
+            if m.any():
+                v = train[m].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[ci] = v / n
+    return cent
+
+
+def sem_dedup(
+    sf_dir: str,
+    tau: float = 0.95,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    max_cluster: int = 200_000,
+) -> pa.Table:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via k-means clustering + within-cluster cosine screening.
+
+    1. Train deterministic spherical k-means centroids on a bounded
+       vec_id-ordered sample (same trainer as knn_ivf — O(sample) driver
+       memory, row-group-pruned read).
+    2. Assign every vector to its nearest centroid in one ``map_batches``
+       pass (centroids broadcast once via ``ray.put``).
+    3. Within each cluster (``groupby("centroid").map_groups`` — each
+       cluster an independent task), order members by (distance to
+       centroid ASC, vec_id ASC) and mark a vector a DUPLICATE iff its
+       cosine to some EARLIER member is ≥ ``tau``; record the earliest
+       max-similarity member as ``dup_of``.  ``tau`` must be positive.
+
+    The within-cluster screen is the paper's O(c²) pairwise pass — bounded
+    by the cluster size, which n_centroids controls (at 100 TB, size
+    n_centroids ~ n/50k so each cluster fits one task; ``max_cluster``
+    raises rather than silently OOMing).  Returns
+    (vec_id, centroid, kept, dup_of) for every vector, sorted by vec_id —
+    kept=false rows are the semantic duplicates SemDedup would drop.
+    """
+    import ray
+
+    if tau <= 0:
+        raise ValueError("tau must be > 0")
+    cent = _train_centroids(sf_dir, n_centroids, sample)
+    cent_ref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, mat = _batch_matrix(batch)
+        nm = _normalize(mat)
+        sims = nm @ c.T
+        ci = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "centroid": pa.array(ci.astype(np.int64)),
+                "cdist": pa.array(1.0 - sims[np.arange(len(ids)), ci]),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def screen_cluster(group: pa.Table) -> pa.Table:
+        if group.num_rows > max_cluster:
+            raise ValueError(
+                f"cluster {group['centroid'][0].as_py()} has "
+                f"{group.num_rows} > max_cluster={max_cluster} members; "
+                "raise n_centroids"
+            )
+        ids, mat = _batch_matrix(group.select(["vec_id", "embedding"]))
+        cd = np.asarray(group["cdist"], dtype=np.float64)
+        order = np.lexsort((ids, cd))  # (cdist ASC, vec_id ASC)
+        nm = _normalize(mat)[order]
+        oids = ids[order]
+        # for member j: max sim over earlier members i<j (tril zeros are
+        # harmless — tau > 0 by contract, so a zeroed slot never fires)
+        dup = np.zeros(len(oids), dtype=bool)
+        dup_of = np.full(len(oids), -1, dtype=np.int64)
+        if len(oids) > 1:
+            low = np.tril(nm @ nm.T, k=-1)  # row j, cols i<j
+            best = low.argmax(axis=1)
+            bmax = low[np.arange(len(oids)), best]
+            hit = bmax >= tau
+            dup[1:] = hit[1:]
+            dup_of[1:] = np.where(hit[1:], oids[best[1:]], -1)
+        c0 = int(group["centroid"][0].as_py())
+        return pa.table(
+            {
+                "vec_id": pa.array(oids),
+                "centroid": pa.array(np.full(len(oids), c0, dtype=np.int64)),
+                "kept": pa.array(~dup),
+                "dup_of": pa.array(dup_of),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir)
+    out = (
+        ds.map_batches(assign_batch, batch_format="pyarrow")
+        .groupby("centroid")
+        .map_groups(screen_cluster, batch_format="pyarrow")
+    )
+    from ..functions.blocks import collect_tables
+
+    return pa.concat_tables(collect_tables(out)).sort_by("vec_id")

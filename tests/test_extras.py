@@ -772,3 +772,91 @@ def test_shingle_jaccard_prefix_filter_identity_randomized(ray_session, tmp_path
             if jac >= tau:
                 want[(i, j_)] = round(jac, 6)
         assert got_pairs == want, f"trial {trial}"
+
+
+def test_sem_dedup_matches_numpy_replay(ray_session):
+    """sem_dedup == a pure-numpy replay of the same deterministic k-means +
+    within-cluster screen (exact identity — trainer and screen are both
+    deterministic), plus structural invariants."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.ann import (
+        _normalize,
+        _train_centroids,
+        sem_dedup,
+    )
+
+    tau, k = 0.8, 8
+    got = sem_dedup(SF, tau=tau, n_centroids=k)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"]).astype(np.int64)
+    mat = np.asarray(t["embedding"].combine_chunks().values, dtype=np.float64)
+    mat = _normalize(mat.reshape(len(ids), -1))
+    cent = _train_centroids(SF, k)
+    sims = mat @ cent.T
+    ci = np.argmax(sims, axis=1)
+    cd = 1.0 - sims[np.arange(len(ids)), ci]
+
+    want = {}
+    for c in np.unique(ci):
+        m = np.flatnonzero(ci == c)
+        order = m[np.lexsort((ids[m], cd[m]))]
+        nm = mat[order]
+        oids = ids[order]
+        for j in range(len(order)):
+            if j == 0:
+                want[int(oids[j])] = (int(c), True, -1)
+                continue
+            s = nm[:j] @ nm[j]
+            b = int(np.argmax(s))
+            if s[b] >= tau:
+                want[int(oids[j])] = (int(c), False, int(oids[b]))
+            else:
+                want[int(oids[j])] = (int(c), True, -1)
+
+    assert got.num_rows == len(ids)
+    for vid, c, kept, dof in zip(
+        got["vec_id"].to_pylist(),
+        got["centroid"].to_pylist(),
+        got["kept"].to_pylist(),
+        got["dup_of"].to_pylist(),
+    ):
+        assert want[vid] == (c, kept, dof), vid
+    # every dropped vector's dup_of is a kept-or-earlier member of the same cluster
+    by_id = {v: (c, kp, d) for v, (c, kp, d) in want.items()}
+    for v, (c, kp, d) in by_id.items():
+        if not kp:
+            assert by_id[d][0] == c
+
+
+def test_sem_dedup_flags_injected_duplicates(ray_session, tmp_path):
+    """A corpus with two exact-duplicate vectors and one orthogonal vector:
+    the duplicate pair collapses to one kept row regardless of clustering."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.ann import sem_dedup
+
+    d = 8
+    v = np.zeros((4, d), dtype=np.float32)
+    v[0, 0] = 1.0
+    v[1, 0] = 1.0  # exact duplicate of v0
+    v[2, 1] = 1.0  # orthogonal
+    v[3, 2] = 1.0  # orthogonal
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "embedding": pa.array(v.tolist(), type=pa.list_(pa.float32())),
+                "label": pa.array([0, 0, 0, 0], type=pa.int32()),
+            }
+        ),
+        str(sf / "embeddings.parquet"),
+    )
+    t = sem_dedup(str(sf), tau=0.99, n_centroids=2, sample=4)
+    info = dict(zip(t["vec_id"].to_pylist(), zip(t["kept"].to_pylist(), t["dup_of"].to_pylist())))
+    assert info[0] == (True, -1)
+    assert info[1] == (False, 0)
+    assert info[2][0] and info[3][0]
