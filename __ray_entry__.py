@@ -1710,6 +1710,28 @@ def _q_function_score_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_script_score(sf_dir: str) -> pa.Table:
+    """ES ``script_score``: BM25 replaced by the saturation script
+    ``_score / (1 + dl/avgdl)`` — over the same distributed scorer pool
+    (``run_queries(scoring="script_score")``)."""
+    from bitcoin_ledger_2es_ray.pipelines.query import run_queries
+
+    store, res = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    rows = run_queries(
+        res.out_dir, queries, concurrency=4, round_decimals=_ROUND,
+        scoring="script_score",
+    ).take_all()
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_explain(sf_dir: str) -> pa.Table:
     """ES ``_explain`` analog: per-term BM25 breakdown of doc (q·17 mod N)
     for each fixture query — terms absent from the doc omitted; the
@@ -3308,6 +3330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_topk": _q_synonym_topk,
         "delete_query_topk": _q_delete_query_topk,
         "function_score_topk": _q_function_score_topk,
+        "script_score_topk": _q_script_score,
         "explain": _q_explain,
         "collapse_topk": _q_collapse_topk,
         "rrf_hybrid": _q_rrf_hybrid,
@@ -3635,6 +3658,31 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
          round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
                * ln(1 + max(dl.dl)), 6) AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
+        # script_score: BM25 / (1 + dl/avgdl) (saturation script over
+        # _score and the dl field), ranked on the rounded final score
+        "script_score_topk": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+               / (1 + max(dl.dl) / max(s.avgdl)), 6) AS score
   FROM qterm qt
   JOIN df ON df.term = qt.term
   JOIN tf ON tf.term = qt.term

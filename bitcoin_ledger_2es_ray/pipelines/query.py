@@ -345,6 +345,51 @@ def function_score_query(
     return [(int(uniq[i]), float(final[i])) for i in order]
 
 
+def script_score_query(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``script_score``: the query score replaced by a script over
+    ``_score`` and doc fields — here the saturation-style
+    ``_score / (1 + dl / avgdl)`` (shorter docs boosted, the inverse shape
+    of function_score's ln1p factor).  Same vectorized accumulation as
+    ``function_score_query``; dl rides along with every posting so the
+    script needs no extra join.  Ranks on the ROUNDED score (ties doc
+    ASC), matching the SQL oracle."""
+    terms = sorted(set(tokenize_query(text)))
+    docs_l, contrib_l, dls_l = [], [], []
+    for term in terms:
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        if len(d) == 0:
+            continue
+        w = float(idf(store.n_docs, df_t))
+        contrib_l.append(w * tf_norm(tf, dl, store.avgdl, k1, b))
+        docs_l.append(d)
+        dls_l.append(dl)
+    if not docs_l:
+        return []
+    all_docs = np.concatenate(docs_l)
+    all_contrib = np.concatenate(contrib_l)
+    all_dl = np.concatenate(dls_l)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, all_contrib)
+    dl_of = np.zeros(len(uniq), dtype=np.float64)
+    dl_of[inv] = all_dl
+    final = scores / (1.0 + dl_of / store.avgdl)
+    if round_decimals is not None:
+        final = sql_round(final, round_decimals)
+    order = topk_order(final, uniq, k)
+    return [(int(uniq[i]), float(final[i])) for i in order]
+
+
 def decay_score_query(
     store: SegmentStore,
     text: str,
@@ -612,9 +657,11 @@ class BM25Scorer:
     ):
         self.store = SegmentStore(index_dir)
         self.round_decimals = round_decimals
-        self._fn = {"bm25": score_query, "function_score": function_score_query}[
-            scoring
-        ]
+        self._fn = {
+            "bm25": score_query,
+            "function_score": function_score_query,
+            "script_score": script_score_query,
+        }[scoring]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []

@@ -746,6 +746,36 @@ def test_function_score_pool_equals_driver_loop(built, ray_session):
         assert got.get(qid, []) == want, text
 
 
+def test_script_score_rescales_by_doc_length(built):
+    import os
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        score_query,
+        script_score_query,
+    )
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    fwd = pq.read_table(os.path.join(res.out_dir, "forward_map"), columns=["doc_id", "dl"])
+    dl_of = dict(zip(fwd["doc_id"].to_pylist(), fwd["dl"].to_pylist()))
+
+    texts = fixture_queries(sorted(store.df), n=10, k=10)["text"].to_pylist()
+    for t in texts:
+        base = score_query(store, t, k=store.n_docs)  # full unrounded ranking
+        want = sorted(
+            (
+                (d, float(sql_round(s / (1.0 + dl_of[d] / store.avgdl), 6)))
+                for d, s in base
+            ),
+            key=lambda r: (-r[1], r[0]),
+        )[:10]
+        got = script_score_query(store, t, 10, round_decimals=6)
+        assert got == want, t
+
+
 def test_top_hits_agg_per_bucket(built):
     import os
 
