@@ -1320,6 +1320,51 @@ def _q_bool_query(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_wrapper(sf_dir: str) -> pa.Table:
+    """ES ``wrapper`` query: the bool fixture of `_q_bool_query` (with
+    msm = (q+1) mod 2 and filter dl ∈ [4, 40]) serialized to JSON,
+    base64-encoded, and executed through the decode-and-dispatch path
+    (`structured.wrapper_query`)."""
+    import base64
+    import json
+
+    from bitcoin_ledger_2es_ray.pipelines.query import tokenize_query
+    from bitcoin_ledger_2es_ray.pipelines.structured import wrapper_query
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    vocab = sorted(store.df)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        ts = sorted(set(tokenize_query(text)))
+        must, should = ts[:1], ts[1:]
+        neg = vocab[(7 * qid + 1) % len(vocab)]
+        body = {
+            "bool": {
+                "must": [{"term": {"text": t}} for t in must],
+                "should": [{"term": {"text": t}} for t in should],
+                "must_not": [] if neg in ts else [{"term": {"text": neg}}],
+                "minimum_should_match": (qid + 1) % 2 if should else 0,
+                "filter": [{"range": {"dl": {"gte": 4, "lte": 40}}}],
+            }
+        }
+        enc = base64.b64encode(json.dumps(body).encode("utf-8")).decode("ascii")
+        top = wrapper_query(store, enc, k=_TOP_K, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_synonym_topk(sf_dir: str) -> pa.Table:
     """Lucene SynonymQuery: term i of query q expands with synonym
     vocab[(13q+5+3i) mod |V|]; each group scores as one pseudo-term
@@ -3327,6 +3372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_template": _q_search_template,
         "validate_query": _q_validate,
         "bool_query": _q_bool_query,
+        "wrapper_topk": _q_wrapper,
         "synonym_topk": _q_synonym_topk,
         "delete_query_topk": _q_delete_query_topk,
         "function_score_topk": _q_function_score_topk,
@@ -5069,6 +5115,72 @@ cand1 AS (
 cand AS (
   SELECT c.* FROM cand1 c JOIN dl ON dl.doc_id = c.doc_id
   WHERE dl.dl BETWEEN 6 AND 48
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM (SELECT query_id, term FROM mustq UNION ALL SELECT query_id, term FROM shouldq) qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN cand ON cand.query_id = qt.query_id AND cand.doc_id = tf.doc_id
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # wrapper query: the bool plan above, re-derived from the decoded
+        # JSON — msm = (q+1) mod 2, filter dl BETWEEN 4 AND 40
+        "wrapper_topk": _PRELUDE
+        + """
+, qts AS (
+  SELECT query_id, term,
+         row_number() OVER (PARTITION BY query_id ORDER BY term) AS rn
+  FROM (SELECT DISTINCT query_id, term FROM qterm)
+),
+mustq AS (SELECT query_id, term FROM qts WHERE rn = 1),
+shouldq AS (SELECT query_id, term FROM qts WHERE rn > 1),
+negq AS (
+  SELECT q AS query_id, v.term
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (7 * q + 1) % nv.c
+  WHERE v.term NOT IN (SELECT term FROM qts WHERE query_id = q)
+),
+msm AS (
+  SELECT query_id,
+         CASE WHEN EXISTS (SELECT 1 FROM shouldq s WHERE s.query_id = d.query_id)
+              THEN (query_id + 1) % 2 ELSE 0 END AS m
+  FROM (SELECT DISTINCT query_id FROM qts) d
+),
+mdocs AS (SELECT m.query_id, tf.doc_id FROM mustq m JOIN tf ON tf.term = m.term),
+scount AS (
+  SELECT s.query_id, tf.doc_id, count(DISTINCT s.term) AS ns
+  FROM shouldq s JOIN tf ON tf.term = s.term GROUP BY s.query_id, tf.doc_id
+),
+cand0 AS (
+  SELECT md.query_id, md.doc_id
+  FROM mdocs md
+  JOIN msm ON msm.query_id = md.query_id
+  LEFT JOIN scount sc ON sc.query_id = md.query_id AND sc.doc_id = md.doc_id
+  WHERE coalesce(sc.ns, 0) >= msm.m
+),
+cand1 AS (
+  SELECT c.* FROM cand0 c
+  ANTI JOIN (SELECT n.query_id, tf.doc_id FROM negq n JOIN tf ON tf.term = n.term) x
+    ON x.query_id = c.query_id AND x.doc_id = c.doc_id
+),
+cand AS (
+  SELECT c.* FROM cand1 c JOIN dl ON dl.doc_id = c.doc_id
+  WHERE dl.dl BETWEEN 4 AND 40
 ),
 scored AS (
   SELECT qt.query_id, tf.doc_id,

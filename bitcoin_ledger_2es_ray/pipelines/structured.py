@@ -191,6 +191,69 @@ def bool_topk(
     return taat_topk(lists, store.avgdl, k, round_decimals=round_decimals)
 
 
+def wrapper_query(
+    store: SegmentStore,
+    encoded: str,
+    k: int = 10,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``wrapper`` query: a base64-encoded JSON query, decoded at search
+    time and dispatched to the native kernels.  The supported JSON subset
+    mirrors the clauses the engine already implements —
+
+    - ``{"bool": {"must"/"should"/"must_not": [clause...],
+                  "minimum_should_match": n,
+                  "filter": [{"range": {"dl": {"gte": lo, "lte": hi}}}]}}``
+      → :func:`bool_topk`
+    - ``{"match": {"text": "..."}}`` (top level or as a clause; analyzed
+      with the index tokenizer) and ``{"term": {"text": "t"}}`` (verbatim)
+
+    A top-level ``match`` is the ES default-operator-OR match query, i.e.
+    a bool of analyzed should terms with the implicit msm of 1 — exactly
+    ``bool_topk(should=tokens)``.  Unsupported clause kinds raise, like
+    ES's parse errors."""
+    import base64
+    import json
+
+    obj = json.loads(base64.b64decode(encoded.encode("ascii")).decode("utf-8"))
+
+    def clause_terms(clauses) -> tuple[str, ...]:
+        out: list[str] = []
+        for c in clauses if isinstance(clauses, list) else [clauses]:
+            if "term" in c:
+                out.append(c["term"]["text"])
+            elif "match" in c:
+                out.extend(tokenize_query(c["match"]["text"]))
+            else:
+                raise ValueError(f"wrapper: unsupported clause {sorted(c)}")
+        return tuple(sorted(set(out)))
+
+    if "match" in obj or "term" in obj:
+        return bool_topk(
+            store, should=clause_terms(obj), k=k, round_decimals=round_decimals
+        )
+    if "bool" not in obj:
+        raise ValueError(f"wrapper: unsupported query {sorted(obj)}")
+    b = obj["bool"]
+    dl_lo = dl_hi = None
+    for f in b.get("filter", []):
+        rng = f.get("range", {}).get("dl")
+        if rng is None:
+            raise ValueError(f"wrapper: unsupported filter {sorted(f)}")
+        dl_lo, dl_hi = rng.get("gte"), rng.get("lte")
+    return bool_topk(
+        store,
+        must=clause_terms(b.get("must", [])),
+        should=clause_terms(b.get("should", [])),
+        must_not=clause_terms(b.get("must_not", [])),
+        k=k,
+        dl_lo=dl_lo,
+        dl_hi=dl_hi,
+        minimum_should_match=int(b.get("minimum_should_match", 0)),
+        round_decimals=round_decimals,
+    )
+
+
 def synonym_topk(
     store: SegmentStore,
     groups: list[list[str]],

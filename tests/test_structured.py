@@ -227,6 +227,48 @@ def test_bool_topk_composes_clauses(corpus_store):
     assert bool_topk(store, must=("zzzznone",), should=should) == []
 
 
+def test_wrapper_query_decodes_and_dispatches(corpus_store):
+    import base64
+    import json
+
+    from bitcoin_ledger_2es_ray.pipelines.structured import bool_topk, wrapper_query
+
+    docs, store = corpus_store
+    terms = sorted(set(_pick_terms(store, 4)))
+
+    def enc(obj) -> str:
+        return base64.b64encode(json.dumps(obj).encode()).decode()
+
+    body = {
+        "bool": {
+            "must": [{"term": {"text": terms[0]}}],
+            "should": [{"term": {"text": t}} for t in terms[1:3]],
+            "must_not": [{"term": {"text": terms[3]}}],
+            "minimum_should_match": 1,
+            "filter": [{"range": {"dl": {"gte": 8, "lte": 40}}}],
+        }
+    }
+    assert wrapper_query(store, enc(body), k=10, round_decimals=6) == bool_topk(
+        store, must=(terms[0],), should=tuple(terms[1:3]), must_not=(terms[3],),
+        k=10, dl_lo=8, dl_hi=40, minimum_should_match=1, round_decimals=6,
+    )
+    # top-level match = analyzed OR of the tokens (implicit msm 1)
+    assert wrapper_query(
+        store, enc({"match": {"text": f"{terms[1]} {terms[2]}"}}), k=10,
+        round_decimals=6,
+    ) == bool_topk(store, should=tuple(terms[1:3]), k=10, round_decimals=6)
+    # match CLAUSES analyze their text too
+    assert wrapper_query(
+        store,
+        enc({"bool": {"should": [{"match": {"text": f"{terms[1]} {terms[2]}"}}]}}),
+        k=10, round_decimals=6,
+    ) == bool_topk(store, should=tuple(terms[1:3]), k=10, round_decimals=6)
+    with pytest.raises(ValueError):
+        wrapper_query(store, enc({"fuzzy": {"text": terms[0]}}))
+    with pytest.raises(ValueError):
+        wrapper_query(store, enc({"bool": {"must": [{"exists": {"field": "x"}}]}}))
+
+
 def test_synonym_topk_blends_like_one_pseudo_term(corpus_store):
     from bitcoin_ledger_2es_ray.functions.bm25 import idf, sql_round, tf_norm
     from bitcoin_ledger_2es_ray.pipelines.query import score_query
