@@ -922,6 +922,27 @@ def _q_more_like_this(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_terms_lookup(sf_dir: str) -> pa.Table:
+    """ES ``terms`` query with terms lookup: term list = the 5 RAREST
+    (df ASC, term ASC) terms of lookup doc (q·23+3 mod n); hits = docs
+    containing any (constant-score filter context → (query_id, doc_id))."""
+    from bitcoin_ledger_2es_ray.pipelines.mlt import terms_lookup_match
+
+    store, res = _store_for(sf_dir)
+    n = store.n_docs
+    qids, docs = [], []
+    for q in range(_N_QUERIES):
+        _, hits = terms_lookup_match(store, res.out_dir, (q * 23 + 3) % n, n_terms=5)
+        qids.extend([q] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
 def _q_search_after(sf_dir: str) -> pa.Table:
     """ES ``search_after`` cursor pagination: page 2 (ranks k+1..2k) of each
     fixture query, fetched strictly through page 1's last (score, doc_id)
@@ -3320,6 +3341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_counts": _q_distinct_counts,
         "cardinality_hll": _q_cardinality_hll,  # rows-only (HLL approximate)
         "more_like_this": _q_more_like_this,
+        "terms_lookup": _q_terms_lookup,
         "search_after": _q_search_after,
         "min_should_match": _q_min_should_match,
         "range_topk": _q_range_topk,
@@ -5844,6 +5866,28 @@ SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
        doc_id::BIGINT AS doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """.replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # terms lookup: 5 rarest (df ASC, term ASC) terms of doc (23q+3 mod n)
+        # → distinct docs containing any (constant-score filter)
+        "terms_lookup": _PRELUDE
+        + """
+, nd AS (SELECT count(*) AS c FROM documents),
+lk AS (
+  SELECT q AS query_id, (q * 23 + 3) % c AS src
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+),
+lterms AS (
+  SELECT query_id, term FROM (
+    SELECT lk.query_id, tf.term,
+           row_number() OVER (PARTITION BY lk.query_id
+                              ORDER BY df.df ASC, tf.term ASC) AS rn
+    FROM lk JOIN tf ON tf.doc_id = lk.src
+    JOIN df ON df.term = tf.term
+  ) WHERE rn <= 5
+)
+SELECT DISTINCT lt.query_id::BIGINT AS query_id, tf.doc_id::BIGINT AS doc_id
+FROM lterms lt JOIN tf ON tf.term = lt.term
+ORDER BY query_id, doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
         "lang_counts": """
 SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang ORDER BY lang
 """,

@@ -142,3 +142,37 @@ def run_mlt_queries(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def terms_lookup_match(
+    store: SegmentStore,
+    index_dir: str,
+    lookup_doc: int,
+    n_terms: int = 5,
+) -> tuple[list[str], np.ndarray]:
+    """ES ``terms`` query with *terms lookup*: the term list is fetched
+    from another indexed document (``index``/``id``/``path``) instead of
+    being sent inline, then evaluated as a constant-score filter — docs
+    containing ANY of the looked-up terms match (the lookup document
+    itself included when it does).
+
+    The lookup path here is the doc's term vector (same postings-artifact
+    read as ``more_like_this``), capped to its ``n_terms`` RAREST terms
+    (df ASC, term ASC) — ES caps lookups at 65k terms; the rarest-k cap is
+    this engine's deterministic, oracle-expressible bound on the fan-out.
+
+    Returns (selected terms sorted, matching doc ids ascending)."""
+    from ..functions.boolean import union_many
+
+    dt = doc_terms(index_dir, lookup_doc)
+    terms = dt["term"].to_pylist()
+    if not terms:
+        return [], np.empty(0, dtype=np.uint64)
+    df = [store.td.df_of(t) for t in terms]
+    order = sorted(range(len(terms)), key=lambda i: (df[i], terms[i]))[:n_terms]
+    sel = sorted(terms[i] for i in order)
+    sets = [np.unique(store.postings(t)[0]) for t in sel]
+    sets = [s for s in sets if len(s)]
+    if not sets:
+        return sel, np.empty(0, dtype=np.uint64)
+    return sel, union_many(sets)

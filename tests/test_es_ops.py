@@ -316,6 +316,31 @@ def test_more_like_this_brute_force(built):
         assert all(int(d) != src for d, _ in got)
 
 
+def test_terms_lookup_matches_brute_force(built):
+    from bitcoin_ledger_2es_ray.pipelines.mlt import terms_lookup_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    split = [d.split(" ") for d in docs]
+    df = {}
+    for toks in split:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    for src in (0, 5, 19):
+        sel, hits = terms_lookup_match(store, res.out_dir, src, n_terms=3)
+        want_sel = sorted(
+            sorted(set(split[src]), key=lambda t: (df[t], t))[:3]
+        )
+        assert sel == want_sel
+        want_hits = sorted(
+            i for i, toks in enumerate(split) if any(t in toks for t in sel)
+        )
+        assert [int(d) for d in hits] == want_hits
+        assert src in want_hits  # the lookup doc contains its own terms
+
+
 def test_mlt_actor_pool_matches_single(built, ray_session):
     from bitcoin_ledger_2es_ray.pipelines.mlt import more_like_this, run_mlt_queries
     from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
