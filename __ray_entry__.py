@@ -2374,6 +2374,41 @@ def _q_scroll(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_sliced_scroll(sf_dir: str) -> pa.Table:
+    """ES sliced scroll: the first 10 fixture queries drained as 3
+    independent slices (field-based slice = doc_id mod 3), 25-row pages,
+    per-slice rank/page numbering."""
+    from bitcoin_ledger_2es_ray.pipelines.query import scroll_sliced
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, slices, pages, ranks, docs, scores = [], [], [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        if qid >= 10:
+            continue
+        for sl, page, rank, d, s in scroll_sliced(
+            store, text, n_slices=3, page_size=25, round_decimals=_ROUND
+        ):
+            qids.append(qid)
+            slices.append(sl)
+            pages.append(page)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "slice_id": pa.array(slices, type=pa.int64()),
+            "page": pa.array(pages, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by(
+        [("query_id", "ascending"), ("slice_id", "ascending"), ("rank", "ascending")]
+    )
+
+
 def _q_stratified_sample(sf_dir: str) -> pa.Table:
     """Stratified per-lang sample, exact ceil(0.2·|stratum|) allocation by
     smallest sha256 — deterministic, leakage-safe (pure function of
@@ -3332,6 +3367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_rings": _q_geo_rings,
         "rank_feature": _q_rank_feature,
         "scroll": _q_scroll,
+        "sliced_scroll": _q_sliced_scroll,
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
         "pmi_collocations": _q_pmi_collocations,
@@ -6227,6 +6263,33 @@ SELECT query_id::BIGINT AS query_id,
        ((rank - 1) // 25 + 1)::BIGINT AS page,
        rank::BIGINT AS rank, doc_id, score
 FROM ranked ORDER BY query_id, rank
+""",
+        # sliced scroll: slice = doc_id mod 3, per-slice rank/page from 1
+        "sliced_scroll": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE qt.query_id < 10
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id % 3 AS slice_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id, doc_id % 3
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, slice_id::BIGINT AS slice_id,
+       ((rank - 1) // 25 + 1)::BIGINT AS page,
+       rank::BIGINT AS rank, doc_id, score
+FROM ranked ORDER BY query_id, slice_id, rank
 """,
         # stratified per-lang sample: smallest ceil(0.2 n) shas per lang
         "stratified_sample": """

@@ -834,6 +834,42 @@ def scroll_all(
     return out
 
 
+def scroll_sliced(
+    store: SegmentStore,
+    text: str,
+    n_slices: int,
+    page_size: int,
+    round_decimals: int | None = None,
+) -> list[tuple[int, int, int, int, float]]:
+    """ES *sliced scroll*: ``"slice": {"id": i, "max": m}`` splits one
+    scroll into ``m`` independent drains that clients consume in parallel;
+    each slice sees a disjoint subset of the hit set and numbers its own
+    ranks/pages from 1.  Slice membership here is field-based slicing on
+    the doc id — ``doc_id mod m`` (ES's ``floorMod`` on a numeric
+    doc-values field; the ``_id``-hash default is the same idea with a
+    murmur3 in front).
+
+    One vectorized scoring pass serves every slice (the slices partition
+    the SAME point-in-time hit set, so scoring per slice would repeat
+    identical work m times); per-slice rank/page numbering is then a
+    partitioned renumbering of that ranking — byte-identical to m
+    independent cursor drains, which test_es_ops asserts against
+    ``scroll_all``.  Returns [(slice_id, page, rank, doc_id, score)],
+    slices in id order."""
+    if n_slices < 1 or page_size < 1:
+        raise ValueError("n_slices and page_size must be >= 1")
+    full = score_query(store, text, k=store.n_docs, round_decimals=round_decimals)
+    out: list[tuple[int, int, int, int, float]] = []
+    ranks = [0] * n_slices
+    for d, s in full:
+        sl = int(d) % n_slices
+        ranks[sl] += 1
+        page = (ranks[sl] - 1) // page_size + 1
+        out.append((sl, page, ranks[sl], int(d), float(s)))
+    out.sort(key=lambda r: (r[0], r[2]))
+    return out
+
+
 class ModelReranker:
     """Actor-pool ML-rerank stage (the LTR / cross-encoder plumbing):
     the "model" loads ONCE per actor in ``__init__`` and scores candidate

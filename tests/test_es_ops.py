@@ -1603,6 +1603,37 @@ def test_scroll_all_equals_full_ranking(built):
         assert all(p == (r - 1) // size + 1 for p, r, _, _ in rows)
 
 
+def test_sliced_scroll_partitions_the_drain(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        scroll_all,
+        scroll_sliced,
+    )
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    text = " ".join(sorted(store.df)[:3])
+    full = scroll_all(store, text, page_size=7, round_decimals=6)
+    for m in (1, 3, 4):
+        rows = scroll_sliced(store, text, n_slices=m, page_size=7, round_decimals=6)
+        # disjoint union = the unsliced drain, global order preserved per slice
+        assert sorted(d for _, _, _, d, _ in rows) == sorted(d for _, _, d, _ in full)
+        by_slice: dict[int, list] = {}
+        for sl, page, rank, d, s in rows:
+            assert d % m == sl
+            by_slice.setdefault(sl, []).append((page, rank, d, s))
+        order = {d: i for i, (_, _, d, _) in enumerate(full)}
+        for sl, seq in by_slice.items():
+            assert [r for _, r, _, _ in seq] == list(range(1, len(seq) + 1))
+            assert all(p == (r - 1) // 7 + 1 for p, r, _, _ in seq)
+            idx = [order[d] for _, _, d, _ in seq]
+            assert idx == sorted(idx)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        scroll_sliced(store, text, n_slices=0, page_size=7)
+
+
 def test_scroll_all_bad_page_size(built):
     import pytest as _pytest
 
