@@ -2013,6 +2013,15 @@ def _q_decontaminate(sf_dir: str) -> pa.Table:
     return decontaminate(sf_dir, bench_mod=17, k=3)
 
 
+def _q_dsir(sf_dir: str) -> pa.Table:
+    """DSIR importance resampling (Xie et al. 2023): top-200 docs by
+    add-1-smoothed unigram log-likelihood ratio toward the lang='en'
+    target distribution (deterministic temperature→0 variant)."""
+    from bitcoin_ledger_2es_ray.pipelines.dsir import dsir_select
+
+    return dsir_select(sf_dir, target_lang="en", n_select=200, round_decimals=_ROUND)
+
+
 def _q_exact_dedup(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.dedup import exact_dedup
 
@@ -3443,6 +3452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_lang_counts": _q_update_lang_counts,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
+        "dsir_select": _q_dsir,
         "decontaminate": _q_decontaminate,
         "jaccard_dups": _q_jaccard_dups,
         "minhash_dups": _q_minhash_dups,  # rows-only (probabilistic recall)
@@ -5932,6 +5942,36 @@ SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang ORDER BY la
 SELECT CASE WHEN lang = 'de' THEN 'und' ELSE lang END AS lang,
        count(*)::BIGINT AS n_docs
 FROM documents GROUP BY 1 ORDER BY lang
+""",
+        # DSIR: top-200 docs by smoothed unigram LLR toward lang='en'
+        "dsir_select": _PRELUDE
+        + """
+, tcf AS (
+  SELECT tf.term, sum(tf.tf) AS cf
+  FROM tf JOIN documents d ON d.doc_id = tf.doc_id AND d.lang = 'en'
+  GROUP BY tf.term
+),
+tot AS (
+  SELECT (SELECT coalesce(sum(cf), 0) FROM tcf) AS t_total,
+         (SELECT sum(cf) FROM df) AS s_total,
+         (SELECT c FROM nv) AS v
+),
+lp AS (
+  SELECT df.term,
+         ln((coalesce(tcf.cf, 0) + 1) / (tot.t_total + tot.v))
+       - ln((df.cf + 1) / (tot.s_total + tot.v)) AS llr
+  FROM df LEFT JOIN tcf ON tcf.term = df.term CROSS JOIN tot
+),
+w AS (
+  SELECT tf.doc_id, round(sum(tf.tf * lp.llr), 6) AS logw
+  FROM tf JOIN lp ON lp.term = tf.term GROUP BY tf.doc_id
+),
+sel AS (
+  SELECT doc_id, logw,
+         row_number() OVER (ORDER BY logw DESC, doc_id ASC) AS rn
+  FROM w
+)
+SELECT doc_id::BIGINT AS doc_id, logw FROM sel WHERE rn <= 200 ORDER BY doc_id
 """,
         "exact_dedup": """
 SELECT min(doc_id)::BIGINT AS rep_doc_id, count(*)::BIGINT AS n_dups

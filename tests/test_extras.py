@@ -860,3 +860,48 @@ def test_sem_dedup_flags_injected_duplicates(ray_session, tmp_path):
     assert info[0] == (True, -1)
     assert info[1] == (False, 0)
     assert info[2][0] and info[3][0]
+
+
+def test_dsir_select_matches_brute_force(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.dsir import dsir_select
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    cf_s: dict[str, int] = {}
+    cf_t: dict[str, int] = {}
+    toks_of = {}
+    for d, text, lang in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
+    ):
+        toks = text.split(" ")
+        toks_of[d] = toks
+        for t in toks:
+            cf_s[t] = cf_s.get(t, 0) + 1
+            if lang == "en":
+                cf_t[t] = cf_t.get(t, 0) + 1
+    v = len(cf_s)
+    t_tot, s_tot = sum(cf_t.values()), sum(cf_s.values())
+    llr = {
+        t: math.log((cf_t.get(t, 0) + 1) / (t_tot + v))
+        - math.log((cf_s[t] + 1) / (s_tot + v))
+        for t in cf_s
+    }
+    w = {
+        d: float(sql_round(np.array([sum(llr[t] for t in toks)]), 6)[0])
+        for d, toks in toks_of.items()
+    }
+    want = sorted(sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:50])
+    got = dsir_select(SF, target_lang="en", n_select=50)
+    assert list(zip(got["doc_id"].to_pylist(), got["logw"].to_pylist())) == [
+        (d, pytest.approx(s, abs=1e-9)) for d, s in want
+    ]
+    # selected docs skew toward the target model by construction: every
+    # weight is a sum of per-token LLRs, so the top selection's mean weight
+    # must exceed the corpus mean
+    assert np.mean([s for _, s in want]) > np.mean(list(w.values()))
