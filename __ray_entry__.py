@@ -2132,6 +2132,16 @@ def _q_sem_dedup(sf_dir: str) -> pa.Table:
     return sem_dedup(sf_dir, tau=0.4, n_centroids=8)
 
 
+def _q_cluster_sample(sf_dir: str) -> pa.Table:
+    """Cluster-balanced sampling: k-means assignment + per-cluster quota of
+    the most prototypical members (cdist ASC, vec_id ASC).  Rows-only
+    (k-means not SQL-expressible); exactness vs a numpy replay is asserted
+    in tests/test_extras.py."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import cluster_sample
+
+    return cluster_sample(sf_dir, n_centroids=8, per_cluster=8)
+
+
 def _q_ann_ivf(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.ann import knn_ivf
 
@@ -3469,6 +3479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,  # rows-only (approximate)
         "ann_ivf": _q_ann_ivf,  # rows-only (approximate)
         "sem_dedup": _q_sem_dedup,  # rows-only (k-means not SQL-expressible)
+        "cluster_sample": _q_cluster_sample,  # rows-only (k-means)
         "cosine_dups": _q_cosine_dups,
         "cosine_dups_lsh": _q_cosine_dups_lsh,  # rows-only (approximate recall)
         "media_features": _q_media_features,  # rows-only (synthetic media)

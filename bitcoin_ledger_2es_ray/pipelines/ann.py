@@ -832,3 +832,73 @@ def sem_dedup(
     from ..functions.blocks import collect_tables
 
     return pa.concat_tables(collect_tables(out)).sort_by("vec_id")
+
+
+def cluster_sample(
+    sf_dir: str,
+    n_centroids: int = 16,
+    per_cluster: int = 8,
+    sample: int = 2048,
+) -> pa.Table:
+    """Cluster-balanced sampling for curation (the SSL/SemDeDup-family
+    recipe: cluster the embedding space, then draw a per-cluster quota so
+    the sample covers every mode instead of the head of the density):
+
+    1. the same deterministic spherical k-means as knn_ivf/sem_dedup
+       (bounded sample, row-group-pruned read);
+    2. one ``map_batches`` assignment pass (centroids broadcast once);
+    3. per cluster, keep the ``per_cluster`` members CLOSEST to the
+       centroid (cdist ASC, vec_id ASC — the deterministic stand-in for
+       the usual uniform draw; "most prototypical per mode") via
+       ``groupby("centroid").map_groups``.
+
+    Output is bounded by n_centroids × per_cluster; rows-only at the
+    driver gate (k-means is not SQL-expressible).  Returns
+    (vec_id, centroid, rank_in_cluster, cdist) sorted by (centroid, rank).
+    """
+    import ray
+
+    cent = _train_centroids(sf_dir, n_centroids, sample)
+    cent_ref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, mat = _batch_matrix(batch)
+        nm = _normalize(mat)
+        sims = nm @ c.T
+        ci = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "centroid": pa.array(ci.astype(np.int64)),
+                "cdist": pa.array(1.0 - sims[np.arange(len(ids)), ci]),
+            }
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["vec_id"], dtype=np.int64)
+        cd = np.asarray(group["cdist"], dtype=np.float64)
+        order = np.lexsort((ids, cd))[:per_cluster]
+        c0 = int(group["centroid"][0].as_py())
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order]),
+                "centroid": pa.array(np.full(len(order), c0, dtype=np.int64)),
+                "rank_in_cluster": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)
+                ),
+                "cdist": pa.array(cd[order]),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir)
+    out = (
+        ds.map_batches(assign_batch, batch_format="pyarrow")
+        .groupby("centroid")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+    from ..functions.blocks import collect_tables
+
+    return pa.concat_tables(collect_tables(out)).sort_by(
+        [("centroid", "ascending"), ("rank_in_cluster", "ascending")]
+    )

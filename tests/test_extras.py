@@ -905,3 +905,52 @@ def test_dsir_select_matches_brute_force(ray_session):
     # weight is a sum of per-token LLRs, so the top selection's mean weight
     # must exceed the corpus mean
     assert np.mean([s for _, s in want]) > np.mean(list(w.values()))
+
+
+def test_cluster_sample_matches_numpy_replay(ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.ann import (
+        _normalize,
+        _train_centroids,
+        cluster_sample,
+    )
+
+    k, per = 8, 5
+    got = cluster_sample(SF, n_centroids=k, per_cluster=per)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"]).astype(np.int64)
+    mat = np.asarray(t["embedding"].combine_chunks().values, dtype=np.float64)
+    mat = _normalize(mat.reshape(len(ids), -1))
+    cent = _train_centroids(SF, k)
+    sims = mat @ cent.T
+    ci = np.argmax(sims, axis=1)
+    cd = 1.0 - sims[np.arange(len(ids)), ci]
+
+    rows = []
+    for c in np.unique(ci):
+        m = np.flatnonzero(ci == c)
+        order = m[np.lexsort((ids[m], cd[m]))][:per]
+        for r, j in enumerate(order, start=1):
+            rows.append((int(ids[j]), int(c), r, cd[j]))
+    want = sorted(rows, key=lambda r: (r[1], r[2]))
+    assert [
+        (v, c, r) for v, c, r, _ in want
+    ] == list(
+        zip(
+            got["vec_id"].to_pylist(),
+            got["centroid"].to_pylist(),
+            got["rank_in_cluster"].to_pylist(),
+        )
+    )
+    np.testing.assert_allclose(
+        got["cdist"].to_pylist(), [d for _, _, _, d in want], atol=1e-12
+    )
+    # balance: every non-empty cluster contributes min(per, members)
+    from collections import Counter
+
+    sizes = Counter(ci.tolist())
+    contrib = Counter(got["centroid"].to_pylist())
+    for c, n in sizes.items():
+        assert contrib[c] == min(per, n)
