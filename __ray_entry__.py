@@ -3113,6 +3113,52 @@ def _q_pinned(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_rule_query(sf_dir: str) -> pa.Table:
+    """ES query rules: a 3-rule ruleset per query — a `contains` rule
+    pinning doc (31q+5) mod n, a never-matching `exact` rule (criteria
+    gating exercised), and an `always` rule excluding doc (13q+2) mod n
+    from the organic tail."""
+    from bitcoin_ledger_2es_ray.pipelines.query import tokenize_query
+    from bitcoin_ledger_2es_ray.pipelines.structured import rule_query
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    n = store.n_docs
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        first = sorted(set(tokenize_query(text)))[0]
+        ruleset = [
+            {
+                "criteria": [
+                    {"type": "contains", "metadata": "query_string", "values": [first]}
+                ],
+                "pinned": [(31 * qid + 5) % n],
+            },
+            {
+                "criteria": [{"type": "exact", "values": ["__never__"]}],
+                "pinned": [(qid + 1) % n],
+            },
+            {
+                "criteria": [{"type": "always"}],
+                "excluded": [(13 * qid + 2) % n],
+            },
+        ]
+        top = rule_query(store, text, ruleset, _TOP_K, round_decimals=_ROUND)
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_simple_query_string(sf_dir: str) -> pa.Table:
     """ES ``simple_query_string``: the parsed string
     ``v[q%c] +v[(7q+3)%c] -v[(13q+11)%c]`` → bool(must, should,
@@ -3438,6 +3484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_bool_prefix": _q_match_bool_prefix,
         "constant_score": _q_constant_score,
         "pinned": _q_pinned,
+        "rule_query": _q_rule_query,
         "simple_query_string": _q_simple_query_string,
         "field_caps": _q_field_caps,
         "global_hits": _q_global_hits,
@@ -4999,6 +5046,54 @@ org2 AS (
   SELECT o.query_id, o.doc_id, o.score FROM organic o
   WHERE NOT EXISTS (
     SELECT 1 FROM pins p WHERE p.query_id = o.query_id AND p.doc_id = o.doc_id
+  )
+),
+allrows AS (
+  SELECT query_id, doc_id, 1000000000.0 - slot AS score,
+         0 AS grp, slot::DOUBLE AS ord_a FROM pins
+  UNION ALL
+  SELECT query_id, doc_id, score, 1, -score FROM org2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY grp, ord_a, doc_id) AS rank
+  FROM allrows
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # query rules: pin (31q+5) mod n (contains rule), exclude
+        # (13q+2) mod n (always rule); the never-matching rule is inert
+        "rule_query": _PRELUDE
+        + """
+, ndocs AS (SELECT count(*) AS n FROM documents),
+pins AS (
+  SELECT q AS query_id, 0 AS slot, (31 * q + 5) % n AS doc_id
+  FROM generate_series(0, {nq1}) t(q), ndocs
+),
+exc AS (
+  SELECT q AS query_id, (13 * q + 2) % n AS doc_id
+  FROM generate_series(0, {nq1}) t(q), ndocs
+),
+organic AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+org2 AS (
+  SELECT o.query_id, o.doc_id, o.score FROM organic o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pins p WHERE p.query_id = o.query_id AND p.doc_id = o.doc_id
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM exc e WHERE e.query_id = o.query_id AND e.doc_id = o.doc_id
   )
 ),
 allrows AS (

@@ -645,6 +645,76 @@ def pinned_topk(
     return out[:k]
 
 
+def rule_query(
+    store: SegmentStore,
+    text: str,
+    ruleset: list[dict],
+    k: int,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES *query rules* (`PUT _query_rules/<ruleset>` + the ``rule``
+    retriever): each rule carries CRITERIA over the query metadata and an
+    action — ``pinned`` ids promoted to the top in rule order, or
+    ``excluded`` ids dropped from the organic ranking.
+
+    A rule applies when ALL its criteria match the metadata (here
+    ``{"query_string": text}``); supported criterion types are ES's
+    ``always`` / ``exact`` / ``contains`` / ``prefix``.  Matched pins use
+    the same descending ``PIN_BASE`` ladder as :func:`pinned_topk`
+    (first rule's pins first, duplicates keep their first slot); matched
+    exclusions remove docs from the organic BM25 tail.  A doc both pinned
+    and excluded stays pinned — the pin action is the more specific rule,
+    matching ES's pinned-wins behavior.  Unknown criterion types raise
+    like ES's ruleset validation."""
+    from ..functions.bm25 import sql_round, topk_order
+
+    meta = {"query_string": text}
+    pins: list[int] = []
+    seen: set[int] = set()
+    excl: set[int] = set()
+    for rule in ruleset:
+        ok = True
+        for c in rule.get("criteria", []):
+            ctype = c.get("type", "always")
+            mv = meta.get(c.get("metadata", "query_string"), "")
+            vals = c.get("values", [])
+            if ctype == "always":
+                continue
+            if ctype == "exact":
+                ok = mv in vals
+            elif ctype == "contains":
+                ok = any(v in mv for v in vals)
+            elif ctype == "prefix":
+                ok = any(mv.startswith(v) for v in vals)
+            else:
+                raise ValueError(f"rule_query: unknown criterion type {ctype!r}")
+            if not ok:
+                break
+        if not ok:
+            continue
+        for p in rule.get("pinned", []):
+            p = int(p)
+            if 0 <= p < store.n_docs and p not in seen:
+                seen.add(p)
+                pins.append(p)
+        excl.update(int(x) for x in rule.get("excluded", []))
+    excl -= seen  # pinned wins over excluded
+    out = [(p, PIN_BASE - i) for i, p in enumerate(pins)]
+    if len(out) < k:
+        d, s = _score_map(store, text)
+        if round_decimals is not None:
+            s = sql_round(s, round_decimals)
+        order = topk_order(s, d, k + len(pins) + len(excl))
+        for i in order:
+            doc = int(d[i])
+            if doc in seen or doc in excl:
+                continue
+            out.append((doc, float(s[i])))
+            if len(out) >= k:
+                break
+    return out[:k]
+
+
 def simple_query_string_topk(
     store: SegmentStore,
     qstr: str,

@@ -379,6 +379,41 @@ def test_pinned_order_and_exclusion(corpus_store):
     assert got[2:] == rest
 
 
+def test_rule_query_applies_matched_rules_only(corpus_store):
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.structured import PIN_BASE, rule_query
+
+    docs, store = corpus_store
+    vocab = sorted(store.df)
+    text = f"{vocab[0]} {vocab[4 % len(vocab)]}"
+    organic = sorted(
+        ((d, float(sql_round(s, 6))) for d, s in _bm25_map(store, text).items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    top_doc = organic[0][0]
+    second = organic[1][0]
+    ruleset = [
+        # matches (query contains vocab[0]) → pin doc 2
+        {"criteria": [{"type": "contains", "values": [vocab[0]]}], "pinned": [2]},
+        # never matches → its pin must NOT appear
+        {"criteria": [{"type": "exact", "values": ["nope"]}], "pinned": [0]},
+        # matches (prefix) → exclude the top organic doc
+        {"criteria": [{"type": "prefix", "values": [vocab[0][:2]]}],
+         "excluded": [top_doc]},
+        # always → exclude doc 2 as well, but it is pinned: pin wins
+        {"criteria": [{"type": "always"}], "excluded": [2]},
+    ]
+    got = rule_query(store, text, ruleset, 5, round_decimals=6)
+    assert got[0] == (2, PIN_BASE)
+    assert all(d != top_doc for d, _ in got)
+    assert all(d != 0 or s < PIN_BASE - 10 for d, s in got)  # inert rule
+    rest = [x for x in organic if x[0] not in (2, top_doc)][:4]
+    assert got[1:] == rest
+    assert second in [d for d, _ in got]
+    with pytest.raises(ValueError):
+        rule_query(store, text, [{"criteria": [{"type": "fuzzy"}]}], 5)
+
+
 def test_simple_query_string_parser(corpus_store):
     from bitcoin_ledger_2es_ray.pipelines.structured import (
         bool_topk,
