@@ -1947,6 +1947,15 @@ def _q_rrf_hybrid(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_enrich(sf_dir: str) -> pa.Table:
+    """ES enrich: execute the nation▸region match policy into a lookup
+    index (dimension-sized), broadcast it once, decorate the customer
+    stream inside map_batches — no shuffle."""
+    from bitcoin_ledger_2es_ray.pipelines.enrich import enrich_customers
+
+    return enrich_customers(sf_dir)
+
+
 def _q_lang_counts(sf_dir: str) -> pa.Table:
     """M6 language filter/projection: doc counts per lang from the engine's
     forward map, via a Ray Data groupby aggregate."""
@@ -3507,6 +3516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits": _q_top_hits,
         "lang_counts": _q_lang_counts,
         "update_lang_counts": _q_update_lang_counts,
+        "enrich_customers": _q_enrich,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
         "dsir_select": _q_dsir,
@@ -6042,6 +6052,14 @@ ORDER BY query_id, doc_id
 """.replace("{nq1}", str(_N_QUERIES - 1)),
         "lang_counts": """
 SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang ORDER BY lang
+""",
+        # enrich processor: nation|>region policy decorates the customer stream
+        "enrich_customers": """
+SELECT c.c_custkey::BIGINT AS c_custkey, c.c_mktsegment, n.n_name, r.r_name
+FROM customer c
+LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+ORDER BY c_custkey
 """,
         # update_by_query retags lang 'de'→'und' before the same groupby
         "update_lang_counts": """

@@ -81,3 +81,59 @@ def test_has_parent_empty_parent_set(ray_session):
 def test_has_parent_unknown_method_raises(ray_session):
     with pytest.raises(ValueError):
         has_parent_lineitems(SF_DIR, method="nope")
+
+
+def test_enrich_customers_decorates_and_keeps_unmatched(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.enrich import (
+        enrich_customers,
+        execute_enrich_policy,
+    )
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], type=pa.int64()),
+                "n_name": ["ALPHA", "BETA"],
+                "n_regionkey": pa.array([0, 9], type=pa.int64()),  # 9 unmatched
+            }
+        ),
+        f"{sf}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0], type=pa.int64()),
+                "r_name": ["R0"],
+            }
+        ),
+        f"{sf}/region.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+                "c_name": ["a", "b", "c"],
+                "c_nationkey": pa.array([0, 1, 7], type=pa.int64()),  # 7 unmatched
+                "c_acctbal": [1.0, 2.0, 3.0],
+                "c_mktsegment": ["X", "Y", "Z"],
+            }
+        ),
+        f"{sf}/customer.parquet",
+    )
+    pol = execute_enrich_policy(sf)
+    assert pol.to_pydict() == {
+        "n_nationkey": [0, 1],
+        "n_name": ["ALPHA", "BETA"],
+        "r_name": ["R0", None],  # nation with no region still enrichable
+    }
+    got = enrich_customers(sf)
+    assert got.to_pydict() == {
+        "c_custkey": [1, 2, 3],
+        "c_mktsegment": ["X", "Y", "Z"],
+        "n_name": ["ALPHA", "BETA", None],
+        "r_name": ["R0", None, None],  # unmatched keys keep the doc, null fields
+    }
