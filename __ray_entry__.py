@@ -1947,6 +1947,20 @@ def _q_rrf_hybrid(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_rollup(sf_dir: str) -> pa.Table:
+    """ES rollup: run the hourly (bucket × event_type) rollup job into a
+    scratch rollup index, then answer the DAILY date_histogram + stats
+    from the rollup alone — lossless for count/sum/min/max/avg."""
+    import os
+    import tempfile
+
+    from bitcoin_ledger_2es_ray.pipelines.rollup import rollup_events, rollup_search
+
+    out = os.path.join(tempfile.mkdtemp(prefix="rollup_"), "rollup.parquet")
+    rollup_events(sf_dir, out, interval_s=3600)
+    return rollup_search(out, interval_s=86400, round_decimals=_ROUND)
+
+
 def _q_enrich(sf_dir: str) -> pa.Table:
     """ES enrich: execute the nation▸region match policy into a lookup
     index (dimension-sized), broadcast it once, decorate the customer
@@ -3517,6 +3531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "update_lang_counts": _q_update_lang_counts,
         "enrich_customers": _q_enrich,
+        "rollup_search": _q_rollup,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
         "dsir_select": _q_dsir,
@@ -6851,6 +6866,16 @@ SELECT user_id, ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # ES date_histogram (1-day fixed interval) + stats sub-agg on value
+        # rollup_search daily-from-hourly == direct daily agg on raw events
+        "rollup_search": """
+SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s, event_type,
+       count(*)::BIGINT AS doc_count,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(sum(value), 6) AS sum_value,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "date_histogram": """
 SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
        count(*)::BIGINT AS doc_count,

@@ -954,3 +954,48 @@ def test_cluster_sample_matches_numpy_replay(ray_session):
     contrib = Counter(got["centroid"].to_pylist())
     for c, n in sizes.items():
         assert contrib[c] == min(per, n)
+
+
+def test_rollup_search_is_lossless_for_mergeable_metrics(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.rollup import rollup_events, rollup_search
+
+    out = str(tmp_path / "rollup.parquet")
+    rollup_events(SF, out, interval_s=3600)
+    got = rollup_search(out, interval_s=86400)
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+    sec = np.asarray(ev["ts"].cast(pa.int64())) // 1_000_000
+    day = (sec // 86400) * 86400
+    et = ev["event_type"].to_pylist()
+    val = np.asarray(ev["value"], dtype=np.float64)
+    want: dict[tuple[int, str], list[float]] = {}
+    for b, t, v in zip(day.tolist(), et, val.tolist()):
+        want.setdefault((b, t), []).append(v)
+    rows = {
+        (b, t): (
+            len(vs),
+            float(sql_round(np.array([min(vs)]), 6)[0]),
+            float(sql_round(np.array([max(vs)]), 6)[0]),
+            float(sql_round(np.array([sum(vs)]), 6)[0]),
+        )
+        for (b, t), vs in want.items()
+    }
+    assert got.num_rows == len(rows)
+    for b, t, n, mn, mx, sm in zip(
+        got["bucket_s"].to_pylist(),
+        got["event_type"].to_pylist(),
+        got["doc_count"].to_pylist(),
+        got["min_value"].to_pylist(),
+        got["max_value"].to_pylist(),
+        got["sum_value"].to_pylist(),
+    ):
+        wn, wmn, wmx, wsm = rows[(b, t)]
+        assert (n, mn, mx) == (wn, wmn, wmx)
+        assert sm == pytest.approx(wsm, abs=1e-6)
+    # re-running the job replaces the rollup index (overwrite semantics)
+    rollup_events(SF, out, interval_s=3600)
+    again = rollup_search(out, interval_s=86400)
+    assert again.equals(got)
