@@ -1947,6 +1947,19 @@ def _q_rrf_hybrid(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_transform(sf_dir: str) -> pa.Table:
+    """ES transform (pivot, continuous mode): one checkpoint run pivoting
+    events by user_id into a scratch dest index; incremental merge
+    semantics are asserted in tests/test_extras.py."""
+    import tempfile
+
+    from bitcoin_ledger_2es_ray.pipelines.transform import read_pivot, run_transform
+
+    dest = tempfile.mkdtemp(prefix="transform_")
+    run_transform(sf_dir, dest)
+    return read_pivot(dest, round_decimals=_ROUND)
+
+
 def _q_rollup(sf_dir: str) -> pa.Table:
     """ES rollup: run the hourly (bucket × event_type) rollup job into a
     scratch rollup index, then answer the DAILY date_histogram + stats
@@ -3532,6 +3545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_lang_counts": _q_update_lang_counts,
         "enrich_customers": _q_enrich,
         "rollup_search": _q_rollup,
+        "transform_pivot": _q_transform,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
         "dsir_select": _q_dsir,
@@ -6866,6 +6880,14 @@ SELECT user_id, ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # ES date_histogram (1-day fixed interval) + stats sub-agg on value
+        # transform pivot: entity-centric user aggregates
+        "transform_pivot": """
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(round(sum(value), 6) / count(*), 6) AS avg_value,
+       (max(epoch_us(ts)) // 1000000)::BIGINT AS last_ts_s
+FROM events GROUP BY user_id ORDER BY user_id
+""",
         # rollup_search daily-from-hourly == direct daily agg on raw events
         "rollup_search": """
 SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s, event_type,

@@ -999,3 +999,41 @@ def test_rollup_search_is_lossless_for_mergeable_metrics(ray_session, tmp_path):
     rollup_events(SF, out, interval_s=3600)
     again = rollup_search(out, interval_s=86400)
     assert again.equals(got)
+
+
+def test_transform_incremental_merge_equals_full_recompute(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.transform import (
+        checkpoint_of,
+        read_pivot,
+        run_transform,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet").sort_by("ts")
+    cut = int(ev.num_rows * 0.6)
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(ev.slice(0, cut), str(src / "events.parquet"))
+
+    dest = str(tmp_path / "dest")
+    c1 = run_transform(str(src), dest)
+    partial_pivot = read_pivot(dest)
+
+    # new events arrive (full file replaces the truncated one)
+    pq.write_table(ev, str(src / "events.parquet"))
+    c2 = run_transform(str(src), dest)
+    assert c2 > c1
+    assert checkpoint_of(dest) == c2
+    got = read_pivot(dest)
+
+    # fresh full run == incremental merge
+    dest_full = str(tmp_path / "dest_full")
+    run_transform(str(src), dest_full)
+    want = read_pivot(dest_full)
+    assert got.equals(want)
+    assert partial_pivot.num_rows <= got.num_rows
+    # third run with nothing new is a no-op on the pivot and checkpoint
+    c3 = run_transform(str(src), dest)
+    assert c3 == c2
+    assert read_pivot(dest).equals(got)
