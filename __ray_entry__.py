@@ -2497,6 +2497,43 @@ def _q_serial_diff(sf_dir: str) -> pa.Table:
     return serial_diff(buckets, key="bucket_s", metric="doc_count", lag=7)
 
 
+def _q_derivative(sf_dir: str) -> pa.Table:
+    """ES ``derivative`` (+ ``unit``-normalized value, per hour) over the
+    daily doc counts."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import derivative_agg
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    buckets = date_histogram_stats(sf_dir, interval_s=86400).select(
+        ["bucket_s", "doc_count"]
+    )
+    return derivative_agg(buckets, key="bucket_s", metric="doc_count", unit_s=3600.0)
+
+
+def _q_cumulative_sum(sf_dir: str) -> pa.Table:
+    """ES ``cumulative_sum`` pipeline agg over the daily doc counts."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import cumulative_sum_agg
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    buckets = date_histogram_stats(sf_dir, interval_s=86400).select(
+        ["bucket_s", "doc_count"]
+    )
+    return cumulative_sum_agg(buckets, key="bucket_s", metric="doc_count")
+
+
+def _q_moving_percentiles(sf_dir: str) -> pa.Table:
+    """ES ``moving_percentiles`` (window 5 before current, shift 0) over
+    the daily doc counts."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import moving_percentiles_agg
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    buckets = date_histogram_stats(sf_dir, interval_s=86400).select(
+        ["bucket_s", "doc_count"]
+    )
+    return moving_percentiles_agg(
+        buckets, key="bucket_s", metric="doc_count", window=5
+    )
+
+
 def _q_bucket_sort(sf_dir: str) -> pa.Table:
     """ES ``bucket_sort`` (from=2, size=5 by doc_count DESC) over the daily
     doc counts — coordinator-side truncation."""
@@ -3456,6 +3493,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_selector": _q_bucket_selector,
         "sibling_bucket_stats": _q_sibling_bucket_stats,
         "serial_diff": _q_serial_diff,
+        "derivative": _q_derivative,
+        "cumulative_sum": _q_cumulative_sum,
+        "moving_percentiles": _q_moving_percentiles,
         "bucket_sort": _q_bucket_sort,
         "terms_set": _q_terms_set,
         "top_metrics": _q_top_metrics,
@@ -6519,6 +6559,44 @@ SELECT bucket_s, doc_count,
        (doc_count - lag(doc_count, 7) OVER (ORDER BY bucket_s))::DOUBLE
          AS serial_diff
 FROM e ORDER BY bucket_s
+""",
+        # derivative + unit-normalized (per hour): Δvalue and Δvalue/Δkey*3600
+        "derivative": """
+WITH e AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT bucket_s, doc_count,
+       round(doc_count - lag(doc_count) OVER w, 6) AS derivative,
+       round((doc_count - lag(doc_count) OVER w)
+             / (bucket_s - lag(bucket_s) OVER w) * 3600.0, 6)
+         AS normalized_value
+FROM e WINDOW w AS (ORDER BY bucket_s) ORDER BY bucket_s
+""",
+        "cumulative_sum": """
+WITH e AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT bucket_s, doc_count,
+       round(sum(doc_count) OVER (ORDER BY bucket_s), 6) AS cumulative_sum
+FROM e ORDER BY bucket_s
+""",
+        # moving_percentiles: window = 5 buckets BEFORE current (shift 0)
+        "moving_percentiles": """
+WITH e AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT bucket_s, doc_count,
+       round(quantile_cont(doc_count, 0.25) OVER w, 6) AS p25,
+       round(quantile_cont(doc_count, 0.50) OVER w, 6) AS p50,
+       round(quantile_cont(doc_count, 0.75) OVER w, 6) AS p75
+FROM e WINDOW w AS (ORDER BY bucket_s ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+ORDER BY bucket_s
 """,
         "bucket_sort": """
 WITH e AS (

@@ -1078,6 +1078,107 @@ def serial_diff(
     )
 
 
+def derivative_agg(
+    buckets: pa.Table,
+    key: str,
+    metric: str,
+    unit_s: float | None = None,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``derivative`` pipeline agg: first-order difference vs the
+    previous bucket (null for the first bucket, like ES), plus the
+    x-normalized ``normalized_value`` when ``unit_s`` is given (value
+    delta / key delta × unit — ES's ``unit`` option, robust to gapped
+    histograms).  Coordinator-side over the reduced, key-sorted buckets,
+    which is where ES itself computes every pipeline agg."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    t = buckets.sort_by(key)
+    v = np.asarray(t[metric], dtype=np.float64)
+    deriv = [None] + [
+        float(sql_round(d, round_decimals)) for d in (v[1:] - v[:-1])
+    ]
+    cols = {
+        key: t[key],
+        metric: t[metric],
+        "derivative": pa.array(deriv, type=pa.float64()),
+    }
+    if unit_s is not None:
+        kv = np.asarray(t[key], dtype=np.float64)
+        norm = [None] + [
+            float(sql_round(dv / dk * unit_s, round_decimals))
+            for dv, dk in zip(v[1:] - v[:-1], kv[1:] - kv[:-1])
+        ]
+        cols["normalized_value"] = pa.array(norm, type=pa.float64())
+    return pa.table(cols)
+
+
+def cumulative_sum_agg(
+    buckets: pa.Table, key: str, metric: str, round_decimals: int = 6
+) -> pa.Table:
+    """ES ``cumulative_sum`` pipeline agg: running sum of ``metric`` in
+    ``key`` order — coordinator-side over the reduced buckets."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    t = buckets.sort_by(key)
+    cs = np.cumsum(np.asarray(t[metric], dtype=np.float64))
+    return pa.table(
+        {
+            key: t[key],
+            metric: t[metric],
+            "cumulative_sum": pa.array(
+                [float(sql_round(x, round_decimals)) for x in cs],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def moving_percentiles_agg(
+    buckets: pa.Table,
+    key: str,
+    metric: str,
+    window: int = 3,
+    percents: tuple[float, ...] = (25.0, 50.0, 75.0),
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``moving_percentiles`` pipeline agg over the same default window
+    placement as ``moving_fn`` (the ``window`` buckets strictly BEFORE the
+    current one — shift 0): per-bucket percentiles of the windowed metric
+    with linear interpolation (``quantile_cont`` semantics, matching the
+    DuckDB windowed oracle; ES's own t-digest is exact at these window
+    sizes).  Buckets with an empty window (the first) yield null."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    t = buckets.sort_by(key)
+    v = np.asarray(t[metric], dtype=np.float64)
+    n = len(v)
+    out: dict[float, list] = {p: [] for p in percents}
+    for i in range(n):
+        lo = max(0, i - window)
+        if lo == i:  # empty window
+            for p in percents:
+                out[p].append(None)
+            continue
+        w = np.sort(v[lo:i])
+        for p in percents:
+            pos = (len(w) - 1) * p / 100.0
+            f = int(np.floor(pos))
+            c = min(f + 1, len(w) - 1)
+            val = w[f] + (pos - f) * (w[c] - w[f])
+            out[p].append(float(sql_round(val, round_decimals)))
+    cols = {key: t[key], metric: t[metric]}
+    for p in percents:
+        cols[f"p{int(p)}"] = pa.array(out[p], type=pa.float64())
+    return pa.table(cols)
+
+
 def bucket_sort(
     buckets: pa.Table,
     metric: str,

@@ -1345,6 +1345,34 @@ def test_sibling_bucket_stats_empty_raises():
         sibling_bucket_stats(_toy_buckets().slice(0, 0), metric="m")
 
 
+def test_derivative_and_normalized():
+    from bitcoin_ledger_2es_ray.pipelines.aggs import derivative_agg
+
+    out = derivative_agg(_toy_buckets(), key="k", metric="m")
+    assert out["derivative"].to_pylist() == [None, -2.0, 6.0, 0.0, -8.0]
+    assert "normalized_value" not in out.column_names
+    # key spacing 1, unit 2 => normalized = 2 * derivative
+    out = derivative_agg(_toy_buckets(), key="k", metric="m", unit_s=2.0)
+    assert out["normalized_value"].to_pylist() == [None, -4.0, 12.0, 0.0, -16.0]
+
+
+def test_cumulative_sum_running_total():
+    from bitcoin_ledger_2es_ray.pipelines.aggs import cumulative_sum_agg
+
+    out = cumulative_sum_agg(_toy_buckets(), key="k", metric="m")
+    assert out["cumulative_sum"].to_pylist() == [5.0, 8.0, 17.0, 26.0, 27.0]
+
+
+def test_moving_percentiles_window_before_current():
+    from bitcoin_ledger_2es_ray.pipelines.aggs import moving_percentiles_agg
+
+    out = moving_percentiles_agg(
+        _toy_buckets(), key="k", metric="m", window=2, percents=(50.0,)
+    )
+    # windows: [], [5], [5,3], [3,9], [9,9]
+    assert out["p50"].to_pylist() == [None, 5.0, 4.0, 6.0, 9.0]
+
+
 def test_serial_diff_lags_and_nulls():
     import pytest as _pytest
 
