@@ -1706,6 +1706,35 @@ def _q_decay_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_distance_feature(sf_dir: str) -> pa.Table:
+    """ES ``distance_feature`` in a bool should: BM25 + 2·16/(16+|dl−origin|)
+    with origin 10 + 8·(q mod 5) — only boosts docs the query matched."""
+    from bitcoin_ledger_2es_ray.pipelines.query import distance_feature_query
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        origin = 10 + 8 * (qid % 5)
+        top = distance_feature_query(
+            store, text, _TOP_K, origin=origin, pivot=16.0, boost=2.0,
+            round_decimals=_ROUND,
+        )
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_sampler_agg(sf_dir: str) -> pa.Table:
     """ES ``random_sampler`` made deterministic: avg dl over the ~10%
     content-hash sample (first sha byte < 0x1a) — sha streams off the
@@ -3449,6 +3478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_not": _q_span_not,
         "phrase_prefix": _q_phrase_prefix,
         "decay_topk": _q_decay_topk,
+        "distance_feature": _q_distance_feature,
         "prefix_match": _q_prefix_match,
         "fuzzy_match": _q_fuzzy_match,
         "fuzzy_transpositions": _q_fuzzy_transpositions,
@@ -4272,6 +4302,36 @@ scored AS (
          round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
                * exp( (dl.dl - oq.origin) * (dl.dl - oq.origin) * ln(0.5) / 256.0 ),
+               6) AS score
+  FROM qterm qt
+  JOIN oq ON oq.query_id = qt.query_id
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id, dl.dl, oq.origin
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K)),
+        # distance_feature in a bool should: BM25 + boost·pivot/(pivot+|dl−origin|)
+        "distance_feature": _PRELUDE
+        + """
+, oq AS (
+  SELECT q AS query_id, (10 + 8 * (q % 5))::DOUBLE AS origin
+  FROM generate_series(0, {nq1}) t(q)
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+               + 2.0 * 16.0 / (16.0 + abs(dl.dl - oq.origin)),
                6) AS score
   FROM qterm qt
   JOIN oq ON oq.query_id = qt.query_id

@@ -439,6 +439,58 @@ def decay_score_query(
     return [(int(uniq[i]), float(final[i])) for i in order]
 
 
+def distance_feature_query(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    k1: float = K1,
+    b: float = B,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``distance_feature`` query (numeric/date flavor) in a bool
+    ``should`` clause:
+
+        score = BM25 + boost · pivot / (pivot + |dl − origin|)
+
+    — the documented ES scoring shape: the feature contributes exactly
+    ``boost/2`` at distance ``pivot`` and at most ``boost`` at the origin,
+    and (unlike ``function_score`` decay) is WAND-friendly because the
+    contribution is bounded by ``boost``.  It only boosts docs the query
+    already matched, like ES (distance_feature in ``should`` never
+    introduces hits).  dl rides every posting, so no join; ranked on the
+    rounded final score, ties doc ASC."""
+    if pivot <= 0:
+        raise ValueError("pivot must be > 0")
+    terms = sorted(set(tokenize_query(text)))
+    docs_l, contrib_l, dls_l = [], [], []
+    for term in terms:
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        if len(d) == 0:
+            continue
+        docs_l.append(d)
+        contrib_l.append(float(idf(store.n_docs, df_t)) * tf_norm(tf, dl, store.avgdl, k1, b))
+        dls_l.append(dl)
+    if not docs_l:
+        return []
+    all_docs = np.concatenate(docs_l)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, np.concatenate(contrib_l))
+    dl_of = np.zeros(len(uniq), dtype=np.float64)
+    dl_of[inv] = np.concatenate(dls_l)
+    final = scores + boost * pivot / (pivot + np.abs(dl_of - origin))
+    if round_decimals is not None:
+        final = sql_round(final, round_decimals)
+    order = topk_order(final, uniq, k)
+    return [(int(uniq[i]), float(final[i])) for i in order]
+
+
 def explain_score(
     store: SegmentStore,
     text: str,

@@ -951,6 +951,39 @@ def test_decay_score_reweights_full_ranking(built):
         decay_score_query(store, text, 5, origin, -1.0)
 
 
+def test_distance_feature_boosts_matched_docs(built):
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        distance_feature_query,
+        score_query,
+    )
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    dls = [len(d.split(" ")) for d in docs]
+    vocab = sorted(store.df)
+    text = " ".join(sorted({vocab[2], vocab[9 % len(vocab)]}))
+    origin, pivot, boost = 20.0, 16.0, 2.0
+    got = distance_feature_query(
+        store, text, 10, origin=origin, pivot=pivot, boost=boost, round_decimals=6
+    )
+    base = dict(score_query(store, text, len(docs)))
+    want = {
+        d: float(sql_round(s + boost * pivot / (pivot + abs(dls[d] - origin)), 6))
+        for d, s in base.items()
+    }
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == expect
+    # feature is bounded by boost (max at origin) and equals boost/2 at pivot
+    assert boost * pivot / (pivot + pivot) == pytest.approx(boost / 2)
+    # it never introduces hits: same doc set as plain BM25
+    assert {d for d, _ in got} <= set(base)
+    with pytest.raises(ValueError):
+        distance_feature_query(store, text, 5, origin, pivot=0.0)
+
+
 def test_sampler_agg_matches_direct(built, ray_session):
     import hashlib
 
