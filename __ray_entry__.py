@@ -649,6 +649,34 @@ def _q_rescore(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_terms_enum(sf_dir: str) -> pa.Table:
+    """ES ``_terms_enum`` API: every vocab term with the 1-char prefix of
+    vocab term 20 mod |V|, drained in pages of 4 via the search_after
+    cursor — (page, term) rows prove the pages tile the full match set."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import terms_enum
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    prefix = vocab[20 % len(vocab)][:1]
+    pages, terms = [], []
+    after, page = None, 0
+    while True:
+        batch = terms_enum(store, prefix, size=4, search_after=after)
+        for t in batch:
+            pages.append(page)
+            terms.append(t)
+        if len(batch) < 4:
+            break
+        after = batch[-1]
+        page += 1
+    return pa.table(
+        {
+            "page": pa.array(pages, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+        }
+    )
+
+
 def _q_completion_suggest(sf_dir: str) -> pa.Table:
     """ES completion suggester: top-5 dictionary completions of the first
     3 chars of vocab term (11q+3) mod |V|, ranked (df DESC, term ASC)."""
@@ -3484,6 +3512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_transpositions": _q_fuzzy_transpositions,
         "term_suggest": _q_term_suggest,
         "completion_suggest": _q_completion_suggest,
+        "terms_enum": _q_terms_enum,
         "rescore": _q_rescore,
         "phrase_slop": _q_phrase_slop,
         "analyze": _q_analyze,
@@ -5632,6 +5661,19 @@ SELECT query_id::BIGINT AS query_id, pos::BIGINT AS pos, term, distance, df
 FROM ranked WHERE pos <= 3 ORDER BY query_id, pos
 """.replace("{nq1}", str(_N_QUERIES - 1)),
         # completion suggester: top-5 prefix completions by (df DESC, term)
+        # _terms_enum: prefix-matched vocab drained in search_after pages of 4
+        "terms_enum": _PRELUDE
+        + """
+, p AS (
+  SELECT substr(v.term, 1, 1) AS pf FROM vocab v CROSS JOIN nv
+  WHERE v.idx = 20 % nv.c
+),
+m AS (
+  SELECT v.term, row_number() OVER (ORDER BY v.term) - 1 AS rn
+  FROM vocab v, p WHERE starts_with(v.term, p.pf)
+)
+SELECT (rn // 4)::BIGINT AS page, term FROM m ORDER BY term
+""",
         "completion_suggest": _PRELUDE
         + """
 , cq AS (

@@ -423,3 +423,31 @@ def exists_docs(index_dir: str, field: str, sentinel: str) -> "pa.Table":
         columns=["doc_id"], filter=pads.field(field) != sentinel
     )
     return pa.table({"doc_id": t["doc_id"].cast(pa.int64())}).sort_by("doc_id")
+
+
+def terms_enum(
+    store,
+    string: str,
+    size: int = 10,
+    search_after: str | None = None,
+    case_insensitive: bool = True,
+) -> list[str]:
+    """ES ``_terms_enum`` API: up to ``size`` indexed terms starting with
+    ``string``, lexicographically ascending, resuming strictly AFTER the
+    ``search_after`` cursor — the stateless pagination contract ES uses so
+    autocomplete pages survive coordinator restarts.
+
+    Rides the same footer-pruned dictionary range scan as the prefix query
+    (TermDict.terms_with_prefix), so cost tracks the match count at any
+    vocabulary size; the index is lowercased at tokenize time, so
+    ``case_insensitive`` just folds the request string (ES's behavior on a
+    lowercase-normalized field)."""
+    from bisect import bisect_right
+
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    p = string.lower() if case_insensitive else string
+    terms = store.td.terms_with_prefix(p)
+    if search_after is not None:
+        terms = terms[bisect_right(terms, search_after):]
+    return terms[:size]

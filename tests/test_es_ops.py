@@ -723,6 +723,31 @@ def test_completion_suggest_ranks_by_df(built):
     assert completion_suggest(store, "zzzzzz", k=3) == []
 
 
+def test_terms_enum_pages_tile_match_set(built):
+    from bitcoin_ledger_2es_ray.pipelines.apis import terms_enum
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    prefix = vocab[0][:1]
+    want = [t for t in vocab if t.startswith(prefix)]
+    # drain in pages of 2 via search_after; pages concatenate to the full set
+    got, after = [], None
+    while True:
+        page = terms_enum(store, prefix, size=2, search_after=after)
+        got.extend(page)
+        if len(page) < 2:
+            break
+        after = page[-1]
+    assert got == want
+    # case folding: uppercase request hits the lowercased dictionary
+    assert terms_enum(store, prefix.upper(), size=100) == want[:100]
+    assert terms_enum(store, "zzzzzz", size=3) == []
+    with pytest.raises(ValueError):
+        terms_enum(store, prefix, size=0)
+
+
 def test_terms_stats_agg_matches_pandas(hitset, ray_session):
     from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
     from bitcoin_ledger_2es_ray.pipelines.aggs import terms_stats_agg
