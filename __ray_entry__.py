@@ -172,6 +172,31 @@ def _q_bm25_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_reshard_topk(sf_dir: str) -> pa.Table:
+    """ES ``_split``/``_shrink``: the cached P=16 index resharded to P=11
+    WITHOUT re-tokenizing (segments decode → re-place by
+    (h(term)+salt·G) mod 11 → re-encode), then the fixture BM25 batch runs
+    against the resharded index — identical ranking proves the reshard
+    (shares the bm25_topk oracle)."""
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import reshard_index
+    from bitcoin_ledger_2es_ray.pipelines.query import run_queries
+
+    store, res = _store_for(sf_dir)
+    out_dir = os.path.join(os.path.dirname(res.out_dir), "index_resharded")
+    if not os.path.exists(os.path.join(out_dir, "stats.parquet")):
+        reshard_index(res.out_dir, out_dir, new_partitions=11)
+    queries = _fixture_queries(store)
+    rows = run_queries(out_dir, queries, concurrency=4, round_decimals=_ROUND).take_all()
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _fed_for(sf_dir: str):
     """Two member indices over a deterministic 1/3-2/3 corpus split (cached
     like _index_for; builds resume from their manifests)."""
@@ -3492,6 +3517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_routed": _q_bm25_topk_routed,
         "bm25_topk_federated": _q_bm25_topk_federated,
+        "reshard_topk": _q_reshard_topk,
         "boolean_and": _q_boolean_and,
         "boolean_or": _q_boolean_or,
         "boolean_not": _q_boolean_not,
@@ -7421,4 +7447,5 @@ FROM t ORDER BY query
     # federated search is bit-identical to the union index (docBase offsets
     # + dfs-style global stats), so it shares the BM25 oracle too
     sql["bm25_topk_federated"] = sql["bm25_topk"]
+    sql["reshard_topk"] = sql["bm25_topk"]
     return sql

@@ -296,6 +296,27 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_reshard(args: argparse.Namespace) -> int:
+    """ES _split/_shrink: change the shard count without re-tokenizing —
+    byte-identical to a fresh build at the new partition count."""
+    from .pipelines.lifecycle import reshard_index
+
+    _ensure_ray(args.num_cpus)
+    res = reshard_index(args.index, args.out, new_partitions=args.partitions)
+    print(
+        json.dumps(
+            {
+                "out": res.out_dir,
+                "old_partitions": res.old_partitions,
+                "new_partitions": res.new_partitions,
+                "n_terms": res.n_terms,
+                "n_postings": res.n_postings,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bitcoin_ledger_2es_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -427,6 +448,15 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--concurrency", type=int, default=8)
     k.add_argument("--num-cpus", type=int, default=None)
     k.set_defaults(fn=cmd_compact)
+
+    rs = sub.add_parser(
+        "reshard", help="split/shrink: change shard count without re-tokenizing"
+    )
+    rs.add_argument("--index", required=True)
+    rs.add_argument("--out", required=True)
+    rs.add_argument("--partitions", type=int, required=True)
+    rs.add_argument("--num-cpus", type=int, default=None)
+    rs.set_defaults(fn=cmd_reshard)
 
     al = sub.add_parser(
         "alias", help="resolve / atomically repoint / remove an index alias"

@@ -85,6 +85,25 @@ def shard_and_salt(
     return shard, salt.astype(np.uint16)
 
 
+def shard_of_terms(
+    terms: pa.Array | pa.ChunkedArray,
+    salts: np.ndarray,
+    num_partitions: int,
+) -> np.ndarray:
+    """Shard of each (term, salt) row under a given partition count — the
+    same placement function as ``shard_and_salt`` with the salt ALREADY
+    assigned.  Salt assignment is partition-count-independent (head_salts
+    derives from the df sketch, never from P), so re-placing existing
+    rows under a new P — resharding — reuses this exact function."""
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    dic = pc.dictionary_encode(terms)
+    codes = np.asarray(dic.indices)
+    h = term_hash64(dic.dictionary.to_pylist())[codes]
+    h = h + salts.astype(np.uint64) * _GOLDEN
+    return (h % np.uint64(num_partitions)).astype(np.uint32)
+
+
 def fingerprint(*parts: object) -> str:
     """Short stable fingerprint of arbitrary metadata (lineage keys)."""
     h = hashlib.blake2b(digest_size=16)

@@ -477,6 +477,157 @@ def compact_index(index_dir: str, out_dir: str, concurrency: int = 8) -> Compact
     )
 
 
+@dataclass
+class ReshardResult:
+    out_dir: str
+    old_partitions: int
+    new_partitions: int
+    n_terms: int
+    n_postings: int
+
+
+def reshard_index(index_dir: str, out_dir: str, new_partitions: int) -> ReshardResult:
+    """ES ``_split`` / ``_shrink`` analog: change the shard count of a
+    built index WITHOUT re-reading or re-tokenizing the corpus — at
+    10^12 files the tokenize pass is the expensive one, and growing a
+    cluster must not require repeating it.
+
+    Why this is byte-identical to a fresh build at the new P: salt
+    assignment is partition-count-INDEPENDENT (head_salts derives from
+    the df sketch and ``max_slice_postings``, never from P — see
+    ``shard_and_salt``), so the (term, salt, doc_id, tf, dl[, positions])
+    row set is the same at any P; only the placement function
+    ``(h(term) + salt·G) mod P`` changes.  ``encode_shard`` is a pure
+    function of its row set, so regrouping + re-encoding reproduces a
+    fresh build's segments byte-for-byte (asserted in tests).
+
+    Plan, Ray-Data end to end: one decode task per SOURCE shard
+    (vectorized segmented-cumsum decode, same kernel as compaction)
+    emits POSTINGS_RAW rows carrying the NEW shard id, then the build's
+    own phase-B reducer (``groupby("shard").map_groups(builder)``)
+    encodes and atomically commits each destination shard + its sorted
+    dictionary run.  The forward map and stats are doc-level artifacts
+    — untouched by resharding — and hardlink over like a snapshot.
+
+    Refuses under live tombstones (compact first): ES likewise requires
+    a read-only, fully-merged index for ``_split``/``_shrink``.
+    """
+    import shutil
+
+    import ray.data as rd
+
+    from ..functions.hashing import shard_of_terms
+    from ..stages.segment import TERM_DICT_ROW_GROUP, make_segment_builder
+    from ..state.manifest import Manifest, atomic_write_parquet
+    from ..state.termdict import write_merged_term_dict
+
+    if new_partitions < 1:
+        raise ValueError("new_partitions must be >= 1")
+    if load_tombstones(index_dir) is not None:
+        raise ValueError(
+            "reshard requires a tombstone-free index — run compact_index first"
+        )
+    seg_dir = os.path.join(index_dir, "segments")
+    shard_files = sorted(os.listdir(seg_dir))
+    old_partitions = len(shard_files)
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "term_dict_parts"), exist_ok=True)
+
+    def decode_to_postings(batch: pa.Table) -> pa.Table:
+        outs = []
+        for name in batch["name"].to_pylist():
+            shard = pq.read_table(os.path.join(seg_dir, name))
+            flat = _decode_shard_flat(shard)
+            row_of = flat["row_of"]
+            terms = shard["term"].combine_chunks().take(pa.array(row_of))
+            salts = np.asarray(shard["salt"].combine_chunks(), dtype=np.uint64)[row_of]
+            cols = {
+                "term": terms,
+                "doc_id": pa.array(flat["docs"], type=pa.uint64()),
+                "tf": pa.array(flat["tfs"], type=pa.uint32()),
+                "dl": pa.array(flat["dls"], type=pa.uint32()),
+                "salt": pa.array(salts.astype(np.uint16), type=pa.uint16()),
+                "shard": pa.array(
+                    shard_of_terms(terms, salts, new_partitions), type=pa.uint32()
+                ),
+            }
+            if "positions" in flat:
+                cols["positions"] = flat["positions"]
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs) if outs else pa.table({})
+
+    builder = make_segment_builder(out_dir)
+    (
+        rd.from_items(
+            [{"name": n} for n in shard_files],
+            override_num_blocks=max(1, len(shard_files)),
+        )
+        .map_batches(decode_to_postings, batch_format="pyarrow", num_cpus=1)
+        .groupby("shard")
+        .map_groups(builder, batch_format="pyarrow")
+        .materialize()
+    )
+
+    run_paths = [
+        os.path.join(out_dir, "term_dict_parts", n)
+        for n in sorted(os.listdir(os.path.join(out_dir, "term_dict_parts")))
+    ]
+    n_terms = write_merged_term_dict(
+        run_paths,
+        os.path.join(out_dir, "term_dict.parquet"),
+        row_group_size=TERM_DICT_ROW_GROUP,
+    )
+
+    # doc-level artifacts are reshard-invariant: hardlink, don't copy bytes
+    fwd_src = os.path.join(index_dir, "forward_map")
+    fwd_dst = os.path.join(out_dir, "forward_map")
+    os.makedirs(fwd_dst, exist_ok=True)
+    for name in sorted(os.listdir(fwd_src)):
+        dst = os.path.join(fwd_dst, name)
+        if not os.path.exists(dst):
+            try:
+                os.link(os.path.join(fwd_src, name), dst)
+            except OSError:
+                shutil.copy2(os.path.join(fwd_src, name), dst)
+    st = pq.read_table(os.path.join(index_dir, "stats.parquet"))
+    atomic_write_parquet(
+        st.set_column(
+            st.schema.get_field_index("n_terms"),
+            "n_terms",
+            pa.array([n_terms], type=pa.uint64()),
+        ),
+        os.path.join(out_dir, "stats.parquet"),
+    )
+
+    out_manifest = Manifest(out_dir)
+    n_postings = sum(
+        e.get("n_postings", 0) for e in out_manifest.completed("segment").values()
+    )
+    src_final = Manifest(index_dir).completed("final").get("index", {})
+    out_manifest.write_entry(
+        "final",
+        "index",
+        {
+            "status": "done",
+            "resharded_from": index_dir,
+            "old_partitions": old_partitions,
+            "new_partitions": new_partitions,
+            "n_terms": int(n_terms),
+            "n_postings": int(n_postings),
+            # placement is computable from (term, salt, P) alone, so the
+            # source's head-salt map stays valid under the new P
+            "head_salts": src_final.get("head_salts", {}),
+        },
+    )
+    return ReshardResult(
+        out_dir=out_dir,
+        old_partitions=old_partitions,
+        new_partitions=new_partitions,
+        n_terms=int(n_terms),
+        n_postings=int(n_postings),
+    )
+
+
 # ---------------------------------------------------------------------------
 # aliases + reindex (ES `_aliases` / `_reindex`): the zero-downtime swap
 

@@ -430,3 +430,105 @@ def test_alias_swap_and_reindex(ray_session, built, tmp_path):
         update_aliases(reg, [("add", "bad", str(tmp_path / "missing"))])
     with pytest.raises(ValueError):
         update_aliases(reg, [("frobnicate", "main", None)])
+
+
+# ---------------------------------------------------------------------------
+# reshard (ES _split / _shrink): shard-count change without re-tokenize
+
+
+def _file_hashes(index_dir: str) -> dict[str, str]:
+    out = _seg_hashes(index_dir)
+    td = Path(index_dir) / "term_dict.parquet"
+    out["term_dict.parquet"] = hashlib.sha256(td.read_bytes()).hexdigest()
+    return out
+
+
+@pytest.fixture(scope="module")
+def reshard_corpus(ray_session, tmp_path_factory):
+    """Small positional + salted corpus built fresh at P=4 and P=7 —
+    the two fresh builds are the byte-identity references for split and
+    shrink."""
+    import random
+
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+
+    rng = random.Random(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = []
+    for _ in range(90):
+        n = rng.randint(3, 10)
+        toks = [rng.choice(vocab) for _ in range(n)] + ["head"] * rng.randint(1, 2)
+        rng.shuffle(toks)
+        docs.append(" ".join(toks))
+    root = tmp_path_factory.mktemp("reshard")
+    corpus = str(root / "corpus.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * len(docs),
+                "path": [f"p{i}" for i in range(len(docs))],
+                "commit": ["c"] * len(docs),
+                "lang": ["en"] * len(docs),
+                "content": docs,
+            }
+        ),
+        corpus,
+        row_group_size=32,
+    )
+
+    def fresh(p: int, name: str):
+        return build_index(
+            BuildConfig(
+                corpus=corpus,
+                out_dir=str(root / name),
+                num_partitions=p,
+                with_positions=True,
+                head_df_ratio=0.3,
+                n_salt=2,
+                sketch_stride=1,
+            )
+        )
+
+    res4, res7 = fresh(4, "idx4"), fresh(7, "idx7")
+    assert res4.head_terms, "fixture should salt at least one head term"
+    return root, res4, res7
+
+
+def test_reshard_split_byte_identical(reshard_corpus):
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import reshard_index
+
+    root, res4, res7 = reshard_corpus
+    out = str(root / "split47")
+    r = reshard_index(res4.out_dir, out, new_partitions=7)
+    assert (r.old_partitions, r.new_partitions) == (4, 7)
+    assert _file_hashes(out) == _file_hashes(res7.out_dir)
+
+
+def test_reshard_shrink_byte_identical_and_serves(reshard_corpus):
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import reshard_index
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_match
+
+    root, res4, res7 = reshard_corpus
+    out = str(root / "shrink74")
+    r = reshard_index(res7.out_dir, out, new_partitions=4)
+    assert _file_hashes(out) == _file_hashes(res4.out_dir)
+    assert r.n_postings > 0
+    # the resharded index serves identically (scores + positional queries)
+    s_old, s_new = SegmentStore(res7.out_dir), SegmentStore(out)
+    for t in _fixture_texts(s_old, n=8):
+        assert score_query(s_new, t, 10) == score_query(s_old, t, 10)
+    assert list(phrase_match(s_new, "head head")) == list(phrase_match(s_old, "head head"))
+
+
+def test_reshard_refuses_tombstones(reshard_corpus, tmp_path):
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import reshard_index
+
+    root, res4, _ = reshard_corpus
+    dst = str(tmp_path / "tombed")
+    shutil.copytree(res4.out_dir, dst)
+    n = delete_by_query(dst, pc.field("path") == "p0")
+    assert n == 1
+    with pytest.raises(ValueError, match="tombstone"):
+        reshard_index(dst, str(tmp_path / "out"), new_partitions=2)
