@@ -2616,6 +2616,18 @@ def _q_moving_percentiles(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_change_point(sf_dir: str) -> pa.Table:
+    """ES ``change_point`` (step-change): the split of the daily doc-count
+    series maximizing the standardized mean shift."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import change_point_agg
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    buckets = date_histogram_stats(sf_dir, interval_s=86400).select(
+        ["bucket_s", "doc_count"]
+    )
+    return change_point_agg(buckets, key="bucket_s", metric="doc_count")
+
+
 def _q_bucket_sort(sf_dir: str) -> pa.Table:
     """ES ``bucket_sort`` (from=2, size=5 by doc_count DESC) over the daily
     doc counts — coordinator-side truncation."""
@@ -3581,6 +3593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "derivative": _q_derivative,
         "cumulative_sum": _q_cumulative_sum,
         "moving_percentiles": _q_moving_percentiles,
+        "change_point": _q_change_point,
         "bucket_sort": _q_bucket_sort,
         "terms_set": _q_terms_set,
         "top_metrics": _q_top_metrics,
@@ -6725,6 +6738,33 @@ SELECT bucket_s, doc_count,
        round(quantile_cont(doc_count, 0.75) OVER w, 6) AS p75
 FROM e WINDOW w AS (ORDER BY bucket_s ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
 ORDER BY bucket_s
+""",
+        # change_point: argmax over splits of |Δmean|·sqrt(s(n-s)/n)
+        "change_point": """
+WITH e AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT bucket_s, doc_count,
+         row_number() OVER (ORDER BY bucket_s) AS rn,
+         sum(doc_count) OVER (ORDER BY bucket_s) AS cum,
+         count(*) OVER () AS n,
+         sum(doc_count) OVER () AS tot,
+         lead(bucket_s) OVER (ORDER BY bucket_s) AS next_key
+  FROM e
+),
+st AS (
+  SELECT next_key AS bucket_s,
+         round(abs(cum / rn - (tot - cum) / (n - rn))
+               * sqrt(rn * (n - rn) / n::DOUBLE), 6) AS stat,
+         round(cum / rn, 6) AS mean_before,
+         round((tot - cum) / (n - rn), 6) AS mean_after
+  FROM o WHERE rn < n
+)
+SELECT bucket_s, stat, mean_before, mean_after
+FROM st ORDER BY stat DESC, bucket_s ASC LIMIT 1
 """,
         "bucket_sort": """
 WITH e AS (

@@ -1179,6 +1179,51 @@ def moving_percentiles_agg(
     return pa.table(cols)
 
 
+def change_point_agg(
+    buckets: pa.Table, key: str, metric: str, round_decimals: int = 6
+) -> pa.Table:
+    """ES ``change_point`` aggregation (step-change flavor): the split of
+    the key-ordered bucket series that maximizes the standardized mean
+    shift
+
+        stat(s) = |mean(v[:s]) − mean(v[s:])| · sqrt(s·(n−s)/n)
+
+    — binary segmentation's first step, the same two-sample statistic ES's
+    detector ranks candidate change points by.  Deterministic: the stat is
+    ROUNDED before the argmax and ties break to the earliest bucket, so
+    the SQL oracle (windowed cumulative sums) agrees bit-for-bit.
+    Coordinator-side over reduced buckets, like every pipeline agg."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    t = buckets.sort_by(key)
+    v = np.asarray(t[metric], dtype=np.float64)
+    n = len(v)
+    if n < 2:
+        raise ValueError("change_point needs >= 2 buckets")
+    cum = np.cumsum(v)
+    s = np.arange(1, n, dtype=np.float64)
+    mean_l = cum[:-1] / s
+    mean_r = (cum[-1] - cum[:-1]) / (n - s)
+    stat = sql_round(
+        np.abs(mean_l - mean_r) * np.sqrt(s * (n - s) / n), round_decimals
+    )
+    best = int(np.argmax(stat))  # first max — earliest bucket on ties
+    return pa.table(
+        {
+            key: t[key].take(pa.array([best + 1])),
+            "stat": pa.array([float(stat[best])], type=pa.float64()),
+            "mean_before": pa.array(
+                [float(sql_round(mean_l[best], round_decimals))], type=pa.float64()
+            ),
+            "mean_after": pa.array(
+                [float(sql_round(mean_r[best], round_decimals))], type=pa.float64()
+            ),
+        }
+    )
+
+
 def bucket_sort(
     buckets: pa.Table,
     metric: str,

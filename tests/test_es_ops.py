@@ -1431,6 +1431,24 @@ def test_moving_percentiles_window_before_current():
     assert out["p50"].to_pylist() == [None, 5.0, 4.0, 6.0, 9.0]
 
 
+def test_change_point_finds_planted_step():
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import change_point_agg
+
+    # flat 10s then flat 50s: the change point is the first 50-bucket
+    t = pa.table(
+        {"k": pa.array(list(range(8)), type=pa.int64()),
+         "m": pa.array([10, 10, 10, 10, 50, 50, 50, 50], type=pa.int64())}
+    )
+    out = change_point_agg(t, key="k", metric="m").to_pylist()[0]
+    assert out["k"] == 4
+    assert out["mean_before"] == 10.0 and out["mean_after"] == 50.0
+    assert out["stat"] == pytest.approx(40.0 * (4 * 4 / 8) ** 0.5, abs=1e-6)
+    with pytest.raises(ValueError):
+        change_point_agg(t.slice(0, 1), key="k", metric="m")
+
+
 def test_serial_diff_lags_and_nulls():
     import pytest as _pytest
 
