@@ -2714,6 +2714,23 @@ def _q_rank_eval(sf_dir: str) -> pa.Table:
     return rank_eval(store, _fixture_queries(store), k=_TOP_K, round_decimals=_ROUND)
 
 
+def _q_nested_query(sf_dir: str) -> pa.Table:
+    """ES ``nested`` query: orders where ONE lineitem has quantity ≥ 45
+    AND discount ≤ 0.01 — the per-object conjunction flattened fields
+    cannot express."""
+    from bitcoin_ledger_2es_ray.pipelines.joins import nested_query_orders
+
+    return nested_query_orders(sf_dir, qty_min=45.0, disc_max=0.01)
+
+
+def _q_reverse_nested(sf_dir: str) -> pa.Table:
+    """ES ``reverse_nested``: lineitem buckets by l_returnflag stepped back
+    to the parent level — distinct orders per bucket next to child count."""
+    from bitcoin_ledger_2es_ray.pipelines.joins import reverse_nested_agg
+
+    return reverse_nested_agg(sf_dir)
+
+
 def _q_has_child(sf_dir: str) -> pa.Table:
     """ES ``has_child`` (join field): orders with ≥1 lineitem of quantity
     ≥ 48 — child predicate pushed into the scan, per-batch partials reduce
@@ -3712,6 +3729,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quality_per_lang": _q_top_quality_per_lang,
         # parent-child join queries over orders/lineitem
         "has_child": _q_has_child,
+        "nested_query": _q_nested_query,
+        "reverse_nested": _q_reverse_nested,
         "has_parent": _q_has_parent,
         # geo queries / aggs over the derived customer geo_point
         "geo_distance": _q_geo_distance,
@@ -7061,6 +7080,20 @@ SELECT o.o_orderkey, o.o_orderpriority,
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_quantity >= 48
 GROUP BY 1, 2 ORDER BY 1
+""",
+        # ES nested: one lineitem satisfies ALL inner conditions (per-object AND)
+        "nested_query": """
+SELECT o.o_orderkey, o.o_orderpriority, count(*)::BIGINT AS n_matching
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity >= 45 AND l.l_discount <= 0.01
+GROUP BY 1, 2 ORDER BY 1
+""",
+        # ES reverse_nested: child buckets stepped back to distinct parents
+        "reverse_nested": """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey)::BIGINT AS n_parents,
+       count(*)::BIGINT AS n_children
+FROM lineitem GROUP BY 1 ORDER BY 1
 """,
         # ES has_parent: children whose parent matches the filter
         "has_parent": """

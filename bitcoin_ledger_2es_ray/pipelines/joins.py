@@ -96,7 +96,10 @@ def has_child_orders(
         columns=["o_orderkey", "o_orderpriority"],
     )
     joined = agg.join(
-        orders, join_type="inner", num_partitions=num_partitions, on=("o_orderkey",)
+        orders,
+        join_type="inner",
+        num_partitions=min(num_partitions, max(1, agg.count())),
+        on=("o_orderkey",),
     )
     parts = [ray.get(r) for r in joined.to_arrow_refs()]
     parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
@@ -199,3 +202,135 @@ def has_parent_lineitems(
             "l_quantity": t["l_quantity"].cast(pa.float64()),
         }
     ).sort_by([("l_orderkey", "ascending"), ("l_linenumber", "ascending")])
+
+
+def nested_query_orders(
+    sf_dir: str,
+    qty_min: float = 45.0,
+    disc_max: float = 0.01,
+    num_partitions: int = 8,
+) -> pa.Table:
+    """ES ``nested`` query: parents (orders) where AT LEAST ONE nested
+    object (lineitem) satisfies ALL inner conditions — the per-OBJECT
+    conjunction that distinguishes nested from flattened fields (flattened
+    would match an order whose quantity and discount conditions hold on
+    DIFFERENT lineitems; nested must not).
+
+    The conjunction evaluates on the lineitem ROW and is pushed into the
+    parquet scan (only per-object matches leave storage); per-batch
+    per-parent count partials pre-aggregate before the shuffle; the parent
+    attach is the hash-partitioned ``Dataset.join`` — the same co-location
+    ES's nested mapping buys by storing nested docs in the parent's block.
+    Returns (o_orderkey, o_orderpriority, n_matching) sorted by key, with
+    n_matching = ES ``score_mode: "sum"`` over matches_count."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    kids = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_discount"],
+        filter=(pc.field("l_quantity") >= qty_min) & (pc.field("l_discount") <= disc_max),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_orderkey").aggregate([("l_quantity", "count")])
+        return pa.table(
+            {
+                "o_orderkey": g["l_orderkey"].cast(pa.int64()),
+                "n": g["l_quantity_count"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        kids.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderkey")
+        .aggregate(Sum("n", alias_name="n_matching"))
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "o_orderpriority": pa.array([], type=pa.string()),
+            "n_matching": pa.array([], type=pa.int64()),
+        }
+    )
+    if agg.count() == 0:
+        return empty
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = agg.join(
+        orders,
+        join_type="inner",
+        # a near-empty partition set trips Ray 2.49's hash-join finalize on
+        # empty-schema blocks — never use more partitions than keys
+        num_partitions=min(num_partitions, max(1, agg.count())),
+        on=("o_orderkey",),
+    )
+    parts = [ray.get(r) for r in joined.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "o_orderpriority": t["o_orderpriority"],
+            "n_matching": t["n_matching"].cast(pa.int64()),
+        }
+    ).sort_by("o_orderkey")
+
+
+def reverse_nested_agg(sf_dir: str) -> pa.Table:
+    """ES ``reverse_nested`` inside a nested ``terms`` agg: bucket the
+    NESTED docs (lineitems by l_returnflag), then step back out to the
+    parent level — per bucket, the count of DISTINCT parent orders next to
+    the raw child count.
+
+    Exact-distinct plan: one Ray groupby on (flag, parent) collapses pairs
+    (the only corpus-sized shuffle, keyed by the pair), then per-batch
+    partials over the collapsed rows reduce to #flags rows on the driver —
+    bucket cardinality is bounded, so the combine is O(flags)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    kids = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_orderkey"],
+    )
+    pairs = (
+        kids.groupby(["l_returnflag", "l_orderkey"])
+        .aggregate(Count(alias_name="n_children"))
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_returnflag").aggregate(
+            [("l_orderkey", "count"), ("n_children", "sum")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "p": g["l_orderkey_count"].cast(pa.int64()),
+                "c": g["n_children_sum"].cast(pa.int64()),
+            }
+        )
+
+    reduced = (
+        pairs.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("p", alias_name="n_parents"), Sum("c", alias_name="n_children"))
+    )
+    parts = [ray.get(r) for r in reduced.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    t = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "l_returnflag": t["l_returnflag"],
+            "n_parents": t["n_parents"].cast(pa.int64()),
+            "n_children": t["n_children"].cast(pa.int64()),
+        }
+    ).sort_by("l_returnflag")

@@ -137,3 +137,79 @@ def test_enrich_customers_decorates_and_keeps_unmatched(ray_session, tmp_path):
         "n_name": ["ALPHA", "BETA", None],
         "r_name": ["R0", None, None],  # unmatched keys keep the doc, null fields
     }
+
+
+# ---------------------------------------------------------------------------
+# nested / reverse_nested
+
+
+def test_nested_query_per_object_conjunction(ray_session, tmp_path):
+    """The defining nested-vs-flattened case: an order whose quantity and
+    discount conditions hold on DIFFERENT lineitems must NOT match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.joins import nested_query_orders
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+            }
+        ),
+        f"{sf}/orders.parquet",
+    )
+    # order 1: both conditions on ONE line (match, twice)
+    # order 2: qty on line A, discount on line B only (cross-object — no match)
+    # order 3: neither
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+                "l_quantity": pa.array([50.0, 49.0, 50.0, 10.0, 10.0]),
+                "l_discount": pa.array([0.0, 0.01, 0.05, 0.0, 0.0]),
+            }
+        ),
+        f"{sf}/lineitem.parquet",
+    )
+    out = nested_query_orders(sf, qty_min=45.0, disc_max=0.01).to_pylist()
+    assert out == [
+        {"o_orderkey": 1, "o_orderpriority": "1-URGENT", "n_matching": 2}
+    ]
+
+
+def test_nested_query_matches_duckdb(ray_session, con):
+    from bitcoin_ledger_2es_ray.pipelines.joins import nested_query_orders
+
+    mine = _norm(nested_query_orders(SF_DIR, qty_min=45.0, disc_max=0.02).to_pandas())
+    orc = _norm(
+        con.sql(
+            """
+            SELECT o.o_orderkey, o.o_orderpriority, count(*)::BIGINT AS n_matching
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity >= 45 AND l.l_discount <= 0.02 GROUP BY 1, 2
+            """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False, atol=1e-9, rtol=0)
+    assert len(mine) > 0
+
+
+def test_reverse_nested_matches_duckdb(ray_session, con):
+    from bitcoin_ledger_2es_ray.pipelines.joins import reverse_nested_agg
+
+    mine = _norm(reverse_nested_agg(SF_DIR).to_pandas())
+    orc = _norm(
+        con.sql(
+            """
+            SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS n_parents,
+                   count(*)::BIGINT AS n_children
+            FROM lineitem GROUP BY 1
+            """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False, atol=1e-9, rtol=0)
+    # parents never exceed children
+    assert (mine["n_parents"] <= mine["n_children"]).all()
