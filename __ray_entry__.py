@@ -2714,6 +2714,15 @@ def _q_rank_eval(sf_dir: str) -> pa.Table:
     return rank_eval(store, _fixture_queries(store), k=_TOP_K, round_decimals=_ROUND)
 
 
+def _q_hard_negatives(sf_dir: str) -> pa.Table:
+    """Hard-negative mining (DPR-style retrieval training data): top-10
+    BM25 docs per query EXCLUDING the conjunctive AND-match relevant set."""
+    from bitcoin_ledger_2es_ray.pipelines.query import hard_negatives
+
+    store, _ = _store_for(sf_dir)
+    return hard_negatives(store, _fixture_queries(store), k=_TOP_K, round_decimals=_ROUND)
+
+
 def _q_nested_query(sf_dir: str) -> pa.Table:
     """ES ``nested`` query: orders where ONE lineitem has quantity ≥ 45
     AND discount ≤ 0.01 — the per-object conjunction flattened fields
@@ -3603,6 +3612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mget": _q_mget,
         "percolate": _q_percolate,
         "rank_eval": _q_rank_eval,
+        "hard_negatives": _q_hard_negatives,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "bucket_selector": _q_bucket_selector,
         "sibling_bucket_stats": _q_sibling_bucket_stats,
@@ -6944,6 +6954,45 @@ SELECT a.query_id,
        round(a.nhit / relc.nrel, 6) AS recall_k,
        round(coalesce(1.0 / a.first, 0), 6) AS mrr
 FROM agg a JOIN relc USING (query_id) ORDER BY query_id
+""".replace("{k}", str(_TOP_K)),
+        # hard negatives: BM25 ranking anti-joined against the AND-match qrels
+        "hard_negatives": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+),
+negs AS (
+  SELECT s.query_id, s.doc_id, s.score FROM scored s
+  ANTI JOIN anded a ON a.query_id = s.query_id AND a.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM negs
+)
+SELECT r.query_id, r.rank::BIGINT AS rank, r.doc_id, r.score
+FROM ranked r JOIN (SELECT DISTINCT query_id FROM anded) q USING (query_id)
+WHERE r.rank <= {k} ORDER BY query_id, rank
 """.replace("{k}", str(_TOP_K)),
         # _count API: OR-match doc count per query
         "match_count": _PRELUDE

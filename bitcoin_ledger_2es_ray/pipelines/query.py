@@ -570,6 +570,56 @@ def rank_eval(
     )
 
 
+def hard_negatives(
+    store: SegmentStore,
+    queries: pa.Table,
+    k: int = 10,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """Hard-negative mining for retrieval training data: per query, the
+    top-``k`` BM25 docs EXCLUDING the relevant set — the standard
+    BM25-negatives recipe for training dense retrievers (DPR-style
+    in-batch negatives come from exactly this pool).
+
+    Relevance reuses ``rank_eval``'s deterministic qrel (a doc is relevant
+    iff it contains ALL query terms), so the SQL oracle can anti-join the
+    same set.  Queries with an empty relevant set are skipped (nothing to
+    contrast against).  Ranks are over the negatives only."""
+    from ..functions.boolean import intersect_many
+
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        terms = sorted(set(tokenize_query(text)))
+        sets = [np.unique(store.postings(t)[0]) for t in terms if store.td.df_of(t) > 0]
+        if len(sets) < len(terms) or not sets:
+            continue
+        rel = intersect_many(sets)
+        if len(rel) == 0:
+            continue
+        # k + |rel| candidates always leave >= k negatives after removal
+        top = score_query(store, text, k + len(rel), round_decimals=round_decimals)
+        r = 0
+        rel_set = set(int(d) for d in rel)
+        for d, s in top:
+            if d in rel_set:
+                continue
+            r += 1
+            if r > k:
+                break
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def match_count(store: SegmentStore, text: str) -> int:
     """ES ``_count`` API: the OR-match doc count for a query.
 

@@ -1140,6 +1140,45 @@ def test_percolate_matches_transposed_and(built, ray_session):
     assert not any(q in (2, 3) for _, q in pairs)
 
 
+def test_hard_negatives_disjoint_from_qrels(built):
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.functions.boolean import intersect_many
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        hard_negatives,
+        score_query,
+    )
+    from bitcoin_ledger_2es_ray.functions.tokenize import tokenize_query
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    texts = [vocab[1], " ".join(sorted({vocab[0], vocab[3]})), "zzznope"]
+    queries = pa.table(
+        {"query_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    out = hard_negatives(store, queries, k=5, round_decimals=6)
+    rows = out.to_pylist()
+    assert rows, "fixture queries should yield negatives"
+    # the unknown-term query is skipped (empty relevant set)
+    assert 2 not in {r["query_id"] for r in rows}
+    for qid, text in enumerate(texts[:2]):
+        terms = sorted(set(tokenize_query(text)))
+        rel = set(
+            int(d) for d in intersect_many(
+                [np.unique(store.postings(t)[0]) for t in terms]
+            )
+        )
+        mine = [r for r in rows if r["query_id"] == qid]
+        # disjoint from qrels, ranked 1..n, and matching the filtered full ranking
+        assert all(r["doc_id"] not in rel for r in mine)
+        assert [r["rank"] for r in mine] == list(range(1, len(mine) + 1))
+        full = score_query(store, text, store.n_docs, round_decimals=6)
+        want = [(d, s) for d, s in full if d not in rel][:5]
+        assert [(r["doc_id"], r["score"]) for r in mine] == want
+
+
 def test_rank_eval_metrics_brute(built):
     from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
     from bitcoin_ledger_2es_ray.pipelines.query import (
