@@ -2714,6 +2714,54 @@ def _q_rank_eval(sf_dir: str) -> pa.Table:
     return rank_eval(store, _fixture_queries(store), k=_TOP_K, round_decimals=_ROUND)
 
 
+def _q_pit_search(sf_dir: str) -> pa.Table:
+    """ES point-in-time search: a PIT opened BEFORE a delete_by_query keeps
+    serving the pre-delete ranking (shares the bm25_topk oracle) while the
+    live index masks the deleted docs."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import delete_by_query, open_pit
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, score_query
+
+    store, res = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    work = tempfile.mkdtemp(prefix="pit_")
+    try:
+        live_dir = os.path.join(work, "live")
+        shutil.copytree(res.out_dir, live_dir)
+        pit = open_pit(live_dir, os.path.join(work, "pit"))
+        n = delete_by_query(live_dir, pc.field("lang") == "de")
+        live = SegmentStore(live_dir)
+        qids, ranks, docs, scores = [], [], [], []
+        diverged = False
+        for qid, text in zip(
+            queries["query_id"].to_pylist(), queries["text"].to_pylist()
+        ):
+            top = score_query(pit, text, _TOP_K, round_decimals=_ROUND)
+            if n and not diverged:
+                diverged = top != score_query(live, text, _TOP_K, round_decimals=_ROUND)
+            for r, (d, s) in enumerate(top, start=1):
+                qids.append(qid)
+                ranks.append(r)
+                docs.append(d)
+                scores.append(s)
+        if n and not diverged:
+            raise AssertionError("PIT should diverge from the live post-delete view")
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_hard_negatives(sf_dir: str) -> pa.Table:
     """Hard-negative mining (DPR-style retrieval training data): top-10
     BM25 docs per query EXCLUDING the conjunctive AND-match relevant set."""
@@ -3556,6 +3604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_routed": _q_bm25_topk_routed,
         "bm25_topk_federated": _q_bm25_topk_federated,
         "reshard_topk": _q_reshard_topk,
+        "pit_search": _q_pit_search,
         "boolean_and": _q_boolean_and,
         "boolean_or": _q_boolean_or,
         "boolean_not": _q_boolean_not,
@@ -7570,4 +7619,5 @@ FROM t ORDER BY query
     # + dfs-style global stats), so it shares the BM25 oracle too
     sql["bm25_topk_federated"] = sql["bm25_topk"]
     sql["reshard_topk"] = sql["bm25_topk"]
+    sql["pit_search"] = sql["bm25_topk"]
     return sql

@@ -477,6 +477,25 @@ def compact_index(index_dir: str, out_dir: str, concurrency: int = 8) -> Compact
     )
 
 
+def open_pit(index_dir: str, pit_dir: str):
+    """ES point-in-time (``_pit``) open: a frozen reader over the index's
+    CURRENT state that later writes (delete_by_query, update_by_query,
+    compaction output swaps) can never disturb.
+
+    Lucene gets this for free from immutable segment files + a pinned
+    commit point; the graft's artifacts are likewise immutable-after-rename
+    (every writer goes through atomic tmp→rename or ``os.replace``), so a
+    PIT is just a HARDLINKED snapshot — no segment bytes are copied, and a
+    subsequent ``os.replace`` of e.g. ``tombstones.parquet`` on the live
+    index creates a new inode while the PIT's link keeps the old content.
+    Returns a ``SegmentStore`` over the frozen view; the ``pit_dir`` path
+    is the PIT id (closing = deleting the directory)."""
+    from .query import SegmentStore
+
+    snapshot_index(index_dir, pit_dir)
+    return SegmentStore(pit_dir)
+
+
 @dataclass
 class ReshardResult:
     out_dir: str

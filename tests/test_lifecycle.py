@@ -532,3 +532,33 @@ def test_reshard_refuses_tombstones(reshard_corpus, tmp_path):
     assert n == 1
     with pytest.raises(ValueError, match="tombstone"):
         reshard_index(dst, str(tmp_path / "out"), new_partitions=2)
+
+
+def test_pit_survives_delete_and_compaction_swap(idx_copy, tmp_path):
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import open_pit
+
+    live0 = SegmentStore(idx_copy)
+    texts = _fixture_texts(live0, n=6)
+    before = {t: score_query(live0, t, 10, round_decimals=6) for t in texts}
+
+    pit = open_pit(idx_copy, str(tmp_path / "pit1"))
+    n = delete_by_query(idx_copy, pc.field("lang") == "de")
+    assert n > 0
+    live = SegmentStore(idx_copy)
+
+    diverged = False
+    for t in texts:
+        # the PIT view is frozen at open time...
+        assert score_query(pit, t, 10, round_decimals=6) == before[t]
+        # ...while the live view masks the deleted docs
+        if score_query(live, t, 10, round_decimals=6) != before[t]:
+            diverged = True
+    assert diverged, "deleting a whole language should change some top-10"
+    # tombstones written AFTER the open are invisible to the PIT
+    assert pit.tombs is None and load_tombstones(idx_copy) is not None
+    # a second PIT opened NOW freezes the post-delete state instead
+    pit2 = open_pit(idx_copy, str(tmp_path / "pit2"))
+    for t in texts:
+        assert score_query(pit2, t, 10, round_decimals=6) == score_query(
+            live, t, 10, round_decimals=6
+        )
