@@ -2762,6 +2762,17 @@ def _q_pit_search(sf_dir: str) -> pa.Table:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_bpe_merges(sf_dir: str) -> pa.Table:
+    """BPE tokenizer training (Sennrich 2016) over the indexed corpus: 20
+    merges learned from the term dictionary's cf column (the
+    word-frequency table — zero extra corpus passes).  Iterative algorithm
+    → rows-only check; pytest pins driver == distributed == reference."""
+    from bitcoin_ledger_2es_ray.pipelines.bpe import bpe_train, word_freq_from_dict
+
+    _, res = _store_for(sf_dir)
+    return bpe_train(word_freq_from_dict(res.out_dir), n_merges=20)
+
+
 def _q_hard_negatives(sf_dir: str) -> pa.Table:
     """Hard-negative mining (DPR-style retrieval training data): top-10
     BM25 docs per query EXCLUDING the conjunctive AND-match relevant set."""
@@ -3662,6 +3673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _q_percolate,
         "rank_eval": _q_rank_eval,
         "hard_negatives": _q_hard_negatives,
+        "bpe_merges": _q_bpe_merges,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "bucket_selector": _q_bucket_selector,
         "sibling_bucket_stats": _q_sibling_bucket_stats,
