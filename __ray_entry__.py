@@ -898,6 +898,23 @@ def _q_sig_terms(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_significant_text(sf_dir: str) -> pa.Table:
+    """ES ``significant_text``: JLH-significant terms from RE-ANALYZED hit
+    doc text with filter_duplicate_text (exact dupes collapse before
+    counting) — foreground never touches the index."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import significant_text
+    from bitcoin_ledger_2es_ray.sources.corpus import derive_corpus_parquet
+
+    store, res = _store_for(sf_dir)
+    key = sf_dir.strip("/").replace("/", "_")
+    corpus = derive_corpus_parquet(
+        sf_dir, os.path.join(_CACHE_ROOT, key, "corpus.parquet")
+    )
+    return significant_text(
+        corpus, store, _q_boolean_and(sf_dir), n_top=10, round_decimals=_ROUND
+    )
+
+
 def _q_composite_page2(sf_dir: str) -> pa.Table:
     """ES ``composite`` aggregation: the SECOND 7-bucket page over
     (lang, dl//16·16), resumed from page 1's last key — stateless
@@ -3663,6 +3680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bounds": _q_geo_bounds,
         "eql_funnel": _q_eql_funnel,
         "sig_terms": _q_sig_terms,
+        "significant_text": _q_significant_text,
         "terms_stats": _q_terms_stats_agg,
         "composite_page2": _q_composite_page2,
         "percentiles": _q_percentiles,
@@ -6063,6 +6081,48 @@ fg_size AS (SELECT query_id, count(*)::DOUBLE AS fgs FROM anded GROUP BY query_i
 fg AS (
   SELECT a.query_id, tf.term, count(*)::DOUBLE AS fg_df
   FROM anded a JOIN tf ON tf.doc_id = a.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT f.query_id, f.term, f.fg_df, d.df AS bg_df,
+         round(((f.fg_df / s.fgs) - (d.df / st.n))
+               * ((f.fg_df / s.fgs) / (d.df / st.n)), 6) AS score
+  FROM fg f JOIN fg_size s USING (query_id)
+  JOIN df d ON d.term = f.term CROSS JOIN stats st
+),
+ranked AS (
+  SELECT query_id, term, fg_df, bg_df, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored WHERE score > 0
+)
+SELECT query_id::BIGINT AS query_id, term, fg_df::BIGINT AS fg_df,
+       bg_df::BIGINT AS bg_df, score
+FROM ranked WHERE rnk <= 10 ORDER BY query_id, term
+""",
+        # significant_text: fg from re-analyzed hit text, exact dupes
+        # collapsed to min doc_id (filter_duplicate_text) before counting
+        "significant_text": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+),
+dedup AS (
+  SELECT a.query_id, min(a.doc_id) AS doc_id
+  FROM anded a JOIN documents d ON d.doc_id = a.doc_id
+  GROUP BY a.query_id, d.text
+),
+fg_size AS (SELECT query_id, count(*)::DOUBLE AS fgs FROM dedup GROUP BY query_id),
+fg AS (
+  SELECT u.query_id, tf.term, count(*)::DOUBLE AS fg_df
+  FROM dedup u JOIN tf ON tf.doc_id = u.doc_id
   GROUP BY 1, 2
 ),
 scored AS (

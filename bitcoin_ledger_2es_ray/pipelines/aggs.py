@@ -1078,6 +1078,180 @@ def serial_diff(
     )
 
 
+def significant_text(
+    corpus_path: str,
+    store,
+    matches: pa.Table,
+    n_top: int = 10,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``significant_text``: ``significant_terms`` for a free-text field
+    — foreground stats come from RE-ANALYZING the hit documents' source
+    text (never the index), with ES's ``filter_duplicate_text`` semantics:
+    exact-duplicate hit docs collapse to one (min doc_id per content hash)
+    BEFORE counting, so boilerplate/mirror pages cannot fake significance.
+    Background df stays exact from the term dictionary (no second corpus
+    pass), and the JLH score/ranking matches ``significant_terms``.
+
+    Shape: the hit set broadcasts once; the CORPUS streams through
+    ``map_batches`` reading only (doc_id, content), masks to hit rows with
+    one vectorized ``pc.is_in``, tokenizes just those, and emits
+    per-(query, doc) distinct-term rows + a content hash; the driver
+    dedups by (query, hash) and scores — the combine is bounded by
+    hit-doc vocabulary, the same contract as ``significant_terms`` (ES
+    bounds this with sampling at scale; hit sets here are query-sized).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+    from ..functions.tokenize import tokenize_flat
+
+    m = matches.select(["query_id", "doc_id"])
+    m = m.set_column(
+        m.schema.get_field_index("doc_id"), "doc_id", m["doc_id"].cast(pa.uint64())
+    )
+    m_ref = ray.put(m)
+    hit_ids_ref = ray.put(pc.unique(m["doc_id"]))
+
+    def partial(units: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        from ..sources.corpus import read_unit
+
+        tabs = [read_unit(u, columns=["content"]) for u in units.to_pylist()]
+        batch = pa.concat_tables(tabs)
+        ids = batch["doc_id"].combine_chunks().cast(pa.uint64())
+        mask = _pc.is_in(ids, value_set=ray.get(hit_ids_ref))
+        sub = batch.filter(mask)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.uint64()),
+                "h": pa.array([], type=pa.binary()),
+                "term": pa.array([], type=pa.string()),
+            }
+        )
+        if sub.num_rows == 0:
+            return empty
+        terms, doc_idx, _ = tokenize_flat(sub["content"].combine_chunks())
+        sub_ids = np.asarray(sub["doc_id"].combine_chunks(), dtype=np.uint64)
+        hashes = [
+            hashlib.blake2b(v.as_buffer(), digest_size=16).digest()
+            for v in sub["content"].combine_chunks().cast(pa.binary())
+        ]
+        per_doc = pa.table(
+            {
+                "doc_id": pa.array(sub_ids[doc_idx], type=pa.uint64()),
+                "term": terms,
+            }
+        ).group_by(["doc_id", "term"]).aggregate([])  # distinct per (doc, term)
+        hmap = pa.table(
+            {
+                "doc_id": pa.array(sub_ids, type=pa.uint64()),
+                "h": pa.array(hashes, type=pa.binary()),
+            }
+        )
+        rows = per_doc.join(hmap, keys="doc_id", join_type="inner").join(
+            ray.get(m_ref), keys="doc_id", join_type="inner"
+        )
+        return pa.table(
+            {
+                "query_id": rows["query_id"].cast(pa.int64()),
+                "doc_id": rows["doc_id"],
+                "h": rows["h"],
+                "term": rows["term"],
+            }
+        )
+
+    from ..sources.corpus import scan_corpus
+
+    units = scan_corpus(corpus_path)
+    parts = [
+        ray.get(r)
+        for r in rd.from_items(units, override_num_blocks=max(1, len(units)))
+        .map_batches(partial, batch_format="pyarrow", num_cpus=1)
+        .to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "fg_df": pa.array([], type=pa.int64()),
+                "bg_df": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    t = pa.concat_tables(parts)
+
+    # filter_duplicate_text: keep min doc_id per (query, content hash)
+    keep = (
+        t.select(["query_id", "h", "doc_id"])
+        .group_by(["query_id", "h"])
+        .aggregate([("doc_id", "min")])
+    )
+    kept = t.join(
+        keep.rename_columns(["query_id", "h", "doc_id"]),
+        keys=["query_id", "h", "doc_id"],
+        join_type="inner",
+    )
+    fg = (
+        kept.select(["query_id", "term", "doc_id"])
+        .group_by(["query_id", "term"])
+        .aggregate([("doc_id", "count_distinct")])
+    )
+    fg_size = (
+        kept.select(["query_id", "doc_id"])
+        .group_by("query_id")
+        .aggregate([("doc_id", "count_distinct")])
+    )
+    fgs_of = dict(
+        zip(fg_size["query_id"].to_pylist(), fg_size["doc_id_count_distinct"].to_pylist())
+    )
+    n = float(store.n_docs)
+    qids, terms_o, fgdf_o, bgdf_o, score_o = [], [], [], [], []
+    rows = sorted(
+        zip(
+            fg["query_id"].to_pylist(),
+            fg["term"].to_pylist(),
+            fg["doc_id_count_distinct"].to_pylist(),
+        )
+    )
+    scored: dict[int, list] = {}
+    for qid, term, fg_df in rows:
+        bg_df = store.td.df_of(term)
+        if bg_df == 0:
+            continue
+        fgs = float(fgs_of[qid])
+        fg_pct, bg_pct = fg_df / fgs, bg_df / n
+        score = float(sql_round((fg_pct - bg_pct) * (fg_pct / bg_pct), round_decimals))
+        if score > 0:
+            scored.setdefault(qid, []).append((term, int(fg_df), int(bg_df), score))
+    for qid in sorted(scored):
+        top = sorted(scored[qid], key=lambda r: (-r[3], r[0]))[:n_top]
+        for term, fg_df, bg_df, score in sorted(top):
+            qids.append(qid)
+            terms_o.append(term)
+            fgdf_o.append(fg_df)
+            bgdf_o.append(bg_df)
+            score_o.append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "term": pa.array(terms_o, type=pa.string()),
+            "fg_df": pa.array(fgdf_o, type=pa.int64()),
+            "bg_df": pa.array(bgdf_o, type=pa.int64()),
+            "score": pa.array(score_o, type=pa.float64()),
+        }
+    )
+
+
 def derivative_agg(
     buckets: pa.Table,
     key: str,

@@ -449,6 +449,63 @@ def test_significant_terms_matches_brute_force(hitset, ray_session):
         assert g[4] == pytest.approx(w[4], abs=1e-9)
 
 
+def test_significant_text_dedups_exact_duplicates(ray_session, tmp_path):
+    """filter_duplicate_text: mirrored docs collapse to one before fg
+    counting — the boilerplate term loses its fake significance."""
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.aggs import significant_terms, significant_text
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    # doc 0..2 identical boilerplate; 3-5 distinct; 6-9 background
+    docs = (
+        ["spam spam boiler"] * 3
+        + ["alpha beta", "alpha gamma", "alpha delta"]
+        + ["noise one", "noise two", "noise three", "noise four"]
+    )
+    corpus = str(tmp_path / "corpus.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * len(docs),
+                "path": [f"p{i}" for i in range(len(docs))],
+                "commit": ["c"] * len(docs),
+                "lang": ["en"] * len(docs),
+                "content": docs,
+            }
+        ),
+        corpus,
+        row_group_size=4,
+    )
+    res = build_index(
+        BuildConfig(corpus=corpus, out_dir=str(tmp_path / "idx"), num_partitions=3)
+    )
+    store = SegmentStore(res.out_dir)
+    # one query hitting the three mirrors + the three alpha docs
+    matches = pa.table(
+        {
+            "query_id": pa.array([0] * 6, type=pa.int64()),
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+        }
+    )
+    got = significant_text(corpus, store, matches, n_top=10).to_pandas()
+    by_term = {r["term"]: r for _, r in got.iterrows()}
+    # deduped foreground = {mirror, alpha×3} → 4 docs; alpha fg_df 3
+    assert by_term["alpha"]["fg_df"] == 3
+    n, fgs = float(store.n_docs), 4.0
+    fp, bp = 3 / fgs, 3 / n
+    assert by_term["alpha"]["score"] == pytest.approx(
+        float(sql_round((fp - bp) * (fp / bp), 6)), abs=1e-9
+    )
+    # the boilerplate terms fall OUT entirely: deduped fg_pct (1/4) drops
+    # below bg_pct (3/10), so they are no longer positively significant
+    assert "spam" not in by_term and "boiler" not in by_term
+    # while index-side significant_terms (no dedup) still promotes them
+    st = significant_terms(res.out_dir, store, matches, n_top=10).to_pandas()
+    st_by_term = {r["term"]: r for _, r in st.iterrows()}
+    assert st_by_term["spam"]["fg_df"] == 3 and st_by_term["spam"]["score"] > 0
+
+
 def test_significant_terms_empty_hitset(hitset, ray_session):
     from bitcoin_ledger_2es_ray.pipelines.aggs import significant_terms
     from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
