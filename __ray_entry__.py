@@ -2187,6 +2187,22 @@ def _q_quality(sf_dir: str) -> pa.Table:
     return quality_scores(sf_dir)
 
 
+def _q_tokenizer_stats(sf_dir: str) -> pa.Table:
+    """Tokenizer fertility per language: docs, tokens, avg dl and
+    chars/token — per-batch partials, driver combine bounded by #langs."""
+    from bitcoin_ledger_2es_ray.pipelines.textstats import tokenizer_stats
+
+    return tokenizer_stats(sf_dir, round_decimals=_ROUND)
+
+
+def _q_quality_classifier(sf_dir: str) -> pa.Table:
+    """fastText-style logistic quality filter with fixed deterministic
+    weights: (doc_id, prob, keep) at threshold 0.5."""
+    from bitcoin_ledger_2es_ray.pipelines.textstats import quality_classifier
+
+    return quality_classifier(sf_dir, threshold=0.5)
+
+
 def _q_bpe(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.textstats import token_count_bpe
 
@@ -3798,6 +3814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dups": _q_minhash_dups,  # rows-only (probabilistic recall)
         "simhash": _q_simhash,  # rows-only (hash function not SQL-expressible)
         "quality_scores": _q_quality,
+        "tokenizer_stats": _q_tokenizer_stats,
+        "quality_classifier": _q_quality_classifier,
         "token_count_bpe": _q_bpe,
         "lang_id": _q_lang_id,  # rows-only (heuristic model)
         "doc_fingerprints": _q_fingerprints,  # rows-only (rolling hash)
@@ -6508,6 +6526,35 @@ SELECT doc_id, n_chars, n_tokens, stop_ratio, mean_tok_len,
              + 0.3 * (1 - least(mean_tok_len, 10.0) / 10.0)
              + 0.2 * stop_ratio, 6) AS quality
 FROM base ORDER BY doc_id
+""",
+        # tokenizer fertility per language
+        "tokenizer_stats": """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+       round(sum(len(string_split(text, ' ')))::DOUBLE / count(*), 6) AS avg_dl,
+       round(sum(len(text))::DOUBLE / sum(len(string_split(text, ' '))), 6)
+         AS chars_per_token
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        # fixed-weight logistic quality classifier (threshold on rounded p)
+        "quality_classifier": """
+WITH base AS (
+  SELECT doc_id, len(text)::BIGINT AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         round(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the','and','of','a','to','in','is','it','that','for',
+                          'on','with','as','at','by','an','be','or','this','are',
+                          'from')))::DOUBLE / greatest(n_tokens, 1), 6) AS stop_ratio,
+         round((n_chars - (n_tokens - 1))::DOUBLE / greatest(n_tokens, 1), 6)
+           AS mean_tok_len
+  FROM documents),
+z AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(3.0 * stop_ratio - 0.4 * mean_tok_len
+               + 2.0 * least(n_tokens, 100) / 100.0 + 0.5))), 6) AS prob
+  FROM base)
+SELECT doc_id, prob, (prob >= 0.5)::BIGINT AS keep
+FROM z ORDER BY doc_id
 """,
         "curated_corpus": """
 WITH base AS (

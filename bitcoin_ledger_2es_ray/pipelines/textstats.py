@@ -466,3 +466,92 @@ def zipf_fit(index_dir: str, round_decimals: int = 6) -> pa.Table:
             "r2": pa.array([r(r2)], type=pa.float64()),
         }
     )
+
+
+def tokenizer_stats(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """Tokenizer fertility report per language: doc count, total tokens,
+    average document length and chars/token — the per-language numbers a
+    tokenizer-selection pipeline compares across candidate tokenizers
+    (high chars/token = the tokenizer compresses that language well).
+
+    Shape: per-batch (lang, n, Σtokens, Σchars) partials — the wide text
+    never shuffles; the driver combine is bounded by #languages."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tokens = (
+            pc.list_value_length(pc.split_pattern(text, " "))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "tok": pa.array(n_tokens),
+                "ch": pa.array(n_chars),
+            }
+        )
+        return t.group_by("lang").aggregate(
+            [("one", "sum"), ("tok", "sum"), ("ch", "sum")]
+        )
+
+    ds = _read_docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = [p for p in (ray.get(r) for r in ds.to_arrow_refs()) if p.num_rows]
+    t = pa.concat_tables(parts).group_by("lang").aggregate(
+        [("one_sum", "sum"), ("tok_sum", "sum"), ("ch_sum", "sum")]
+    )
+    n = np.asarray(t["one_sum_sum"], dtype=np.float64)
+    tok = np.asarray(t["tok_sum_sum"], dtype=np.float64)
+    ch = np.asarray(t["ch_sum_sum"], dtype=np.float64)
+    return pa.table(
+        {
+            "lang": t["lang"],
+            "n_docs": pa.array(n.astype(np.int64)),
+            "total_tokens": pa.array(tok.astype(np.int64)),
+            "avg_dl": pa.array(sql_round(tok / n, round_decimals)),
+            "chars_per_token": pa.array(sql_round(ch / tok, round_decimals)),
+        }
+    ).sort_by("lang")
+
+
+def quality_classifier_ds(sf_dir: str, threshold: float = 0.5):
+    """fastText-style quality-classifier filtering as a streaming Dataset:
+    a fixed-weight logistic model over the quality features (the shape a
+    learned classifier slots into — weights here are deterministic so the
+    SQL oracle can replay the exact arithmetic):
+
+        z = 3·stop_ratio − 0.4·mean_tok_len + 2·min(n_tokens,100)/100 + 0.5
+        p = 1 / (1 + exp(−z)),   keep = round(p, 6) ≥ threshold
+
+    One pass over the text; features reuse ``quality_batch``."""
+    def classify(batch: pa.Table) -> pa.Table:
+        f = quality_batch(batch)
+        stop = np.asarray(f["stop_ratio"], dtype=np.float64)
+        mtl = np.asarray(f["mean_tok_len"], dtype=np.float64)
+        ntk = np.asarray(f["n_tokens"], dtype=np.float64)
+        z = 3.0 * stop - 0.4 * mtl + 2.0 * np.minimum(ntk, 100.0) / 100.0 + 0.5
+        p = sql_round(1.0 / (1.0 + np.exp(-z)), 6)
+        return pa.table(
+            {
+                "doc_id": f["doc_id"],
+                "prob": pa.array(p),
+                "keep": pa.array((p >= threshold).astype(np.int64)),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def quality_classifier(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    return _collect_sorted(quality_classifier_ds(sf_dir, threshold))
+
+
+def quality_classifier_to_parquet(sf_dir: str, out_dir: str, threshold: float = 0.5) -> str:
+    return write_dataset(quality_classifier_ds(sf_dir, threshold), out_dir)

@@ -284,6 +284,8 @@ def test_per_doc_sinks_match_collected(ray_session, tmp_path):
          textstats.repetition_stats_to_parquet(SF, str(tmp_path / "rs")), ["doc_id"]),
         ("split", curate.hash_split(SF),
          curate.hash_split_to_parquet(SF, str(tmp_path / "hs")), ["doc_id"]),
+        ("qclf", textstats.quality_classifier(SF),
+         textstats.quality_classifier_to_parquet(SF, str(tmp_path / "qc")), ["doc_id"]),
     ]
     for name, mem, out_dir, keys in cases:
         order = [(k, "ascending") for k in keys]
@@ -1037,3 +1039,34 @@ def test_transform_incremental_merge_equals_full_recompute(ray_session, tmp_path
     c3 = run_transform(str(src), dest)
     assert c3 == c2
     assert read_pivot(dest).equals(got)
+
+
+def test_tokenizer_stats_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.textstats import tokenizer_stats
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text", "lang"])
+    want: dict[str, list] = {}
+    for text, lang in zip(docs["text"].to_pylist(), docs["lang"].to_pylist()):
+        e = want.setdefault(lang, [0, 0, 0])
+        e[0] += 1
+        e[1] += len(text.split(" "))
+        e[2] += len(text)
+    got = tokenizer_stats(SF).to_pylist()
+    assert [r["lang"] for r in got] == sorted(want)
+    for r in got:
+        n, tok, ch = want[r["lang"]]
+        assert r["n_docs"] == n and r["total_tokens"] == tok
+        assert r["avg_dl"] == pytest.approx(tok / n, abs=1e-6)
+        assert r["chars_per_token"] == pytest.approx(ch / tok, abs=1e-6)
+
+
+def test_quality_classifier_threshold_on_rounded_prob(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.textstats import quality_classifier
+
+    out = quality_classifier(SF, threshold=0.5)
+    probs = out["prob"].to_pylist()
+    keeps = out["keep"].to_pylist()
+    assert all(k == int(p >= 0.5) for p, k in zip(probs, keeps))
+    assert 0 < sum(keeps) < len(keeps)  # the threshold actually separates
