@@ -2046,6 +2046,24 @@ def _q_rrf_hybrid(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_mmr_rerank(sf_dir: str) -> pa.Table:
+    """MMR diversity re-ranking (λ=0.7) of the BM25 top-20 against the doc
+    embeddings — greedy, deterministic; rows-only (iterative algorithm),
+    pinned by a brute-force pytest."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import mmr_rerank
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    rankings = {
+        int(qid): score_query(store, text, 20, round_decimals=_ROUND)
+        for qid, text in zip(
+            queries["query_id"].to_pylist(), queries["text"].to_pylist()
+        )
+    }
+    return mmr_rerank(sf_dir, rankings, lam=0.7, k=_TOP_K, round_decimals=_ROUND)
+
+
 def _q_transform(sf_dir: str) -> pa.Table:
     """ES transform (pivot, continuous mode): one checkpoint run pivoting
     events by user_id into a scratch dest index; incremental merge
@@ -3800,6 +3818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain": _q_explain,
         "collapse_topk": _q_collapse_topk,
         "rrf_hybrid": _q_rrf_hybrid,
+        "mmr_rerank": _q_mmr_rerank,
         "top_hits": _q_top_hits,
         "lang_counts": _q_lang_counts,
         "update_lang_counts": _q_update_lang_counts,

@@ -902,3 +902,88 @@ def cluster_sample(
     return pa.concat_tables(collect_tables(out)).sort_by(
         [("centroid", "ascending"), ("rank_in_cluster", "ascending")]
     )
+
+
+def mmr_rerank(
+    sf_dir: str,
+    rankings: dict[int, list[tuple[int, float]]],
+    lam: float = 0.7,
+    k: int = 10,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """Maximal Marginal Relevance diversity re-ranking (Carbonell &
+    Goldstein '98) — the training-data / RAG-retrieval step that trades
+    relevance against redundancy when picking contexts:
+
+        pick argmax_d  λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)
+
+    over the candidate list, greedily, until ``k`` are chosen.  rel is the
+    per-query min-max-normalized base score (same leg normalization as
+    ``hybrid_linear``); the objective is ROUNDED before each argmax and
+    ties break to the lower doc id, so the greedy sequence is fully
+    deterministic.  The first pick is always the most relevant doc.
+
+    Shape: candidate embeddings are fetched with ONE predicate-pushdown
+    scan over the union of candidate ids (candidates ≪ corpus — only they
+    leave storage); the greedy loop runs per query over ≤ |candidates|
+    vectors, never over the corpus.
+    """
+    import os
+
+    import pyarrow.dataset as pads
+
+    from ..functions.bm25 import sql_round
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    all_ids = sorted({d for r in rankings.values() for d, _ in r})
+    ds = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+    t = ds.to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(all_ids),
+    )
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    mat = _normalize(
+        np.array(t["embedding"].to_pylist(), dtype=np.float64).reshape(len(ids), -1)
+    )
+    row_of = {int(i): r for r, i in enumerate(ids)}
+
+    qids, ranks, docs, objs = [], [], [], []
+    for qid in sorted(rankings):
+        cand = [(d, s) for d, s in rankings[qid] if d in row_of]
+        if not cand:
+            continue
+        c_ids = np.array([d for d, _ in cand], dtype=np.int64)
+        rel = np.array([s for _, s in cand], dtype=np.float64)
+        lo, hi = rel.min(), rel.max()
+        rel = (rel - lo) / (hi - lo) if hi > lo else np.ones_like(rel)
+        vecs = mat[[row_of[int(d)] for d in c_ids]]
+        chosen: list[int] = []
+        max_sim = np.full(len(cand), -1.0)
+        alive = np.ones(len(cand), dtype=bool)
+        for rank in range(1, min(k, len(cand)) + 1):
+            if chosen:
+                obj = lam * rel - (1.0 - lam) * max_sim
+            else:
+                obj = lam * rel  # empty selected set: pure relevance
+            obj = sql_round(obj, round_decimals)
+            obj_masked = np.where(alive, obj, -np.inf)
+            best = int(
+                np.lexsort((c_ids, -obj_masked))[0]
+            )  # max obj, ties → lower doc id
+            chosen.append(best)
+            alive[best] = False
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(int(c_ids[best]))
+            objs.append(float(obj[best]))
+            sim = vecs @ vecs[best]
+            max_sim = np.maximum(max_sim, sim)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "mmr": pa.array(objs, type=pa.float64()),
+        }
+    )

@@ -1070,3 +1070,64 @@ def test_quality_classifier_threshold_on_rounded_prob(ray_session):
     keeps = out["keep"].to_pylist()
     assert all(k == int(p >= 0.5) for p, k in zip(probs, keeps))
     assert 0 < sum(keeps) < len(keeps)  # the threshold actually separates
+
+
+def test_mmr_rerank_brute(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.ann import mmr_rerank
+
+    # planted geometry: docs 0/1 near-identical, 2 orthogonal, 3 diagonal
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.999, 0.045, 0.0],
+        2: [0.0, 1.0, 0.0],
+        3: [0.7071, 0.7071, 0.0],
+        4: [0.0, 0.0, 1.0],
+    }
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(sorted(vecs), type=pa.int64()),
+                "embedding": pa.array([vecs[i] for i in sorted(vecs)],
+                                      type=pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), type=pa.int32()),
+            }
+        ),
+        f"{sf}/embeddings.parquet",
+    )
+    ranking = {7: [(0, 10.0), (1, 9.5), (2, 5.0), (3, 7.0), (4, 1.0)]}
+    lam = 0.6
+    out = mmr_rerank(sf, ranking, lam=lam, k=4).to_pylist()
+
+    # brute-force greedy reference
+    import numpy as np
+
+    ids = sorted(vecs)
+    m = np.array([vecs[i] for i in ids], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rel_raw = np.array([10.0, 9.5, 5.0, 7.0, 1.0])
+    rel = (rel_raw - rel_raw.min()) / (rel_raw.max() - rel_raw.min())
+    chosen, max_sim = [], np.full(5, -1.0)
+    want = []
+    for rank in range(1, 5):
+        obj = lam * rel - (0 if not chosen else (1 - lam) * max_sim)
+        obj = np.array([float(sql_round(x, 6)) for x in obj])
+        cand = [(i, obj[i]) for i in range(5) if i not in chosen]
+        best = sorted(cand, key=lambda t: (-t[1], ids[t[0]]))[0][0]
+        want.append((rank, ids[best], float(obj[best])))
+        chosen.append(best)
+        max_sim = np.maximum(max_sim, m @ m[best])
+    assert [(r["rank"], r["doc_id"], r["mmr"]) for r in out] == want
+    # rank 1 is pure relevance; the near-duplicate of doc 0 is demoted
+    # below the far-less-relevant but orthogonal doc 2
+    assert out[0]["doc_id"] == 0
+    order = [r["doc_id"] for r in out]
+    assert order.index(2) < order.index(1)
+    # lam=1.0 degenerates to the relevance order
+    pure = mmr_rerank(sf, ranking, lam=1.0, k=5).to_pylist()
+    assert [r["doc_id"] for r in pure] == [0, 1, 3, 2, 4]
+    with pytest.raises(ValueError):
+        mmr_rerank(sf, ranking, lam=1.5)
