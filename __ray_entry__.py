@@ -2046,6 +2046,43 @@ def _q_rrf_hybrid(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_async_search(sf_dir: str) -> pa.Table:
+    """ES ``_async_search``: every fixture query submitted up-front (all in
+    flight), statuses polled, finals fetched — the final rankings are
+    bit-identical to synchronous scoring (shares the bm25_topk oracle)."""
+    from bitcoin_ledger_2es_ray.pipelines.serve import AsyncSearch, TopKService
+
+    store, res = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    svc = TopKService(res.out_dir, num_actors=2)
+    try:
+        a = AsyncSearch(svc)
+        texts = queries["text"].to_pylist()
+        ks = queries["k"].to_pylist()
+        jobs = [
+            a.submit(t, int(k), round_decimals=_ROUND) for t, k in zip(texts, ks)
+        ]
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, j in zip(queries["query_id"].to_pylist(), jobs):
+            st = a.status(j)  # poll path exercised; partial is a valid ranking
+            assert st["done_shards"] <= st["total_shards"]
+            for rank, (d, s) in enumerate(a.get(j), start=1):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(d)
+                scores.append(s)
+    finally:
+        svc.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_mmr_rerank(sf_dir: str) -> pa.Table:
     """MMR diversity re-ranking (λ=0.7) of the BM25 top-20 against the doc
     embeddings — greedy, deterministic; rows-only (iterative algorithm),
@@ -3819,6 +3856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": _q_collapse_topk,
         "rrf_hybrid": _q_rrf_hybrid,
         "mmr_rerank": _q_mmr_rerank,
+        "async_search": _q_async_search,
         "top_hits": _q_top_hits,
         "lang_counts": _q_lang_counts,
         "update_lang_counts": _q_update_lang_counts,
@@ -7758,4 +7796,5 @@ FROM t ORDER BY query
     sql["bm25_topk_federated"] = sql["bm25_topk"]
     sql["reshard_topk"] = sql["bm25_topk"]
     sql["pit_search"] = sql["bm25_topk"]
+    sql["async_search"] = sql["bm25_topk"]
     return sql

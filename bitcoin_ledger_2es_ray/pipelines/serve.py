@@ -455,3 +455,99 @@ def latency_benchmark(
         }
     finally:
         svc.shutdown()
+
+
+class AsyncSearch:
+    """ES ``_async_search`` analog over the serving pool.
+
+    ``submit`` returns an id immediately; ``status`` reports per-actor
+    progress plus a PARTIAL ranking over the shard responses that have
+    already arrived (exactly what ES streams back while shards trickle
+    in); ``get`` blocks for the final ranking, which is bit-identical to
+    the synchronous routed/taat result (same merge_contribs entry order).
+
+    Ray-native: the per-owning-actor ``score_rows`` futures ARE the async
+    state — ``ray.wait(timeout=0)`` is the poll, no bookkeeping actor, no
+    scroll context; an abandoned search is garbage-collected with its
+    futures.
+    """
+
+    def __init__(self, service: TopKService):
+        self.svc = service
+        self._jobs: dict[str, dict] = {}
+        self._next_id = 0
+
+    def submit(self, text: str, k: int = 10, round_decimals: int | None = None) -> str:
+        import ray
+
+        svc = self.svc
+        terms = sorted(set(tokenize_query(text)))
+        plan: dict[int, list[tuple[int, int, float]]] = defaultdict(list)
+        entries: list[tuple[str, int, int]] = []  # (term, slice_i, actor)
+        for term in terms:
+            rows = svc.td.rows_of(term)
+            if not rows:
+                continue
+            w = float(idf(svc.n_docs, svc.td.df_of(term)))
+            for slice_i, (part, row) in enumerate(rows):
+                ai = svc.actor_of_shard[part]
+                plan[ai].append((part, row, w))
+                entries.append((term, slice_i, ai))
+        futures = {
+            ai: svc.actors[ai].score_rows.remote(wants, svc.avgdl, svc.k1, svc.b)
+            for ai, wants in plan.items()
+        }
+        job_id = f"async-{self._next_id}"
+        self._next_id += 1
+        self._jobs[job_id] = {
+            "k": k,
+            "round_decimals": round_decimals,
+            "entries": entries,
+            "futures": futures,
+            "done": {},
+        }
+        return job_id
+
+    def _drain(self, job: dict, timeout: float | None) -> None:
+        import ray
+
+        pending = {ai: f for ai, f in job["futures"].items() if ai not in job["done"]}
+        if not pending:
+            return
+        if timeout is None:
+            for ai, f in pending.items():
+                job["done"][ai] = ray.get(f)
+            return
+        ready, _ = ray.wait(list(pending.values()), num_returns=len(pending), timeout=timeout)
+        ready_set = set(ready)
+        for ai, f in pending.items():
+            if f in ready_set:
+                job["done"][ai] = ray.get(f)
+
+    def _merge(self, job: dict, actors: set[int]) -> list[tuple[int, float]]:
+        taken = {ai: 0 for ai in actors}
+        docs_l, contrib_l = [], []
+        for term, slice_i, ai in job["entries"]:
+            if ai not in actors:
+                continue
+            d, c = job["done"][ai][taken[ai]]
+            taken[ai] += 1
+            docs_l.append(d)
+            contrib_l.append(c)
+        return merge_contribs(docs_l, contrib_l, job["k"], job["round_decimals"])
+
+    def status(self, job_id: str) -> dict:
+        job = self._jobs[job_id]
+        self._drain(job, timeout=0)
+        done = set(job["done"])
+        return {
+            "is_running": len(done) < len(job["futures"]),
+            "total_shards": len(job["futures"]),
+            "done_shards": len(done),
+            "partial": self._merge(job, done),
+        }
+
+    def get(self, job_id: str) -> list[tuple[int, float]]:
+        job = self._jobs.pop(job_id)
+        self._drain(job, timeout=None)
+        return self._merge(job, set(job["futures"]))

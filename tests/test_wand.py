@@ -171,3 +171,46 @@ def test_serving_mesh_matches_single_router(built):
         assert mesh._rr >= 2 * len(texts)  # all three routers exercised
     finally:
         mesh.shutdown()
+
+
+def test_async_search(built):
+    import time
+
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, score_query
+    from bitcoin_ledger_2es_ray.pipelines.serve import AsyncSearch, TopKService
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    svc = TopKService(res.out_dir, num_actors=3)
+    asearch = AsyncSearch(svc)
+    try:
+        texts = ["dup", "batch scan", "window agg join"]
+        jobs = [asearch.submit(t, k=10) for t in texts]  # all in flight at once
+        # poll: done_shards is monotone and partial is always a valid ranking
+        seen = {j: -1 for j in jobs}
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            states = {j: asearch.status(j) for j in jobs}
+            for j, st in states.items():
+                assert st["done_shards"] >= seen[j]
+                assert st["done_shards"] <= st["total_shards"]
+                seen[j] = st["done_shards"]
+                scores = [s for _, s in st["partial"]]
+                assert scores == sorted(scores, reverse=True)
+            if all(not st["is_running"] for st in states.values()):
+                break
+            time.sleep(0.05)
+        # final == synchronous scoring, bit-identical
+        for j, t in zip(jobs, texts):
+            assert asearch.get(j) == score_query(store, t, 10)
+        # an id is consumed by get()
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            asearch.get(jobs[0])
+        # unknown-terms query completes with an empty ranking
+        j = asearch.submit("zzznope", k=5)
+        assert asearch.status(j)["total_shards"] == 0
+        assert asearch.get(j) == []
+    finally:
+        svc.shutdown()
