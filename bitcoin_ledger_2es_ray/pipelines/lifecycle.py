@@ -648,6 +648,123 @@ def reshard_index(index_dir: str, out_dir: str, new_partitions: int) -> ReshardR
 
 
 # ---------------------------------------------------------------------------
+# ILM (ES index lifecycle management): phase planner + action application
+
+ILM_PHASES = ("hot", "warm", "cold", "delete")
+
+
+def ilm_plan(indices: list[dict], policy: dict, now_s: int) -> pa.Table:
+    """ES ``_ilm/explain`` analog: given per-index metadata
+    ``{"name", "created_s", "n_docs"}`` and a policy
+
+        {"hot":    {"rollover": {"max_docs": N, "max_age_s": A}},
+         "warm":   {"min_age_s": ..., "actions": ["shrink", "forcemerge"]},
+         "cold":   {"min_age_s": ...},
+         "delete": {"min_age_s": ...}}
+
+    return each index's current phase (the DEEPEST phase whose ``min_age_s``
+    has passed — ES's phase-entry rule) and the actions now due.  ``now_s``
+    is an explicit argument, never wall-clock, so plans are deterministic
+    and testable; applying the plan is ``ilm_apply``'s job.
+
+    Scale note: this is coordinator work over index METADATA (one row per
+    index), exactly where ES runs its ILM loop — no data is touched until
+    an action executes.
+    """
+    names, ages, phases, actions_out = [], [], [], []
+    for meta in sorted(indices, key=lambda m: m["name"]):
+        age = int(now_s) - int(meta["created_s"])
+        if age < 0:
+            raise ValueError(f"index {meta['name']!r} created in the future")
+        phase = "hot"
+        for p in ILM_PHASES[1:]:
+            if p in policy and age >= int(policy[p]["min_age_s"]):
+                phase = p
+        due: list[str] = []
+        if phase == "hot":
+            ro = policy.get("hot", {}).get("rollover", {})
+            if ("max_docs" in ro and meta["n_docs"] >= ro["max_docs"]) or (
+                "max_age_s" in ro and age >= ro["max_age_s"]
+            ):
+                due.append("rollover")
+        elif phase == "delete":
+            due.append("delete")
+        else:
+            due.extend(policy.get(phase, {}).get("actions", []))
+        names.append(meta["name"])
+        ages.append(age)
+        phases.append(phase)
+        actions_out.append(",".join(due))
+    return pa.table(
+        {
+            "index": pa.array(names, type=pa.string()),
+            "age_s": pa.array(ages, type=pa.int64()),
+            "phase": pa.array(phases, type=pa.string()),
+            "actions": pa.array(actions_out, type=pa.string()),
+        }
+    )
+
+
+def ilm_apply(
+    plan: pa.Table,
+    index_dirs: dict[str, str],
+    registry_dir: str | None = None,
+    alias_of: dict[str, str] | None = None,
+    shrink_to: int = 2,
+) -> dict[str, list[str]]:
+    """Execute a plan's due actions with the engine's REAL operators:
+
+    - ``shrink``    → ``reshard_index`` to ``shrink_to`` partitions into
+      ``<dir>_shrunk`` (ES shrink reduces shard count on warm data);
+    - ``forcemerge``→ ``compact_index`` into ``<dir>_merged`` (tombstones
+      reclaimed — ES forcemerge);
+    - ``rollover``  → repoint the index's alias at a FRESH empty slot name
+      (the caller builds into it); recorded, alias swapped if a registry
+      is given;
+    - ``delete``    → the index directory is removed.
+
+    Returns {index: [applied actions]}.  Every action is either atomic
+    (alias swap, tmp→rename artifacts) or writes to a NEW directory, so a
+    crash mid-apply never corrupts a serving index.
+    """
+    import shutil
+
+    applied: dict[str, list[str]] = {}
+    for name, actions in zip(plan["index"].to_pylist(), plan["actions"].to_pylist()):
+        done: list[str] = []
+        src = index_dirs[name]
+        for act in [a for a in actions.split(",") if a]:
+            if act == "shrink":
+                out = src.rstrip("/") + "_shrunk"
+                if not os.path.exists(os.path.join(out, "stats.parquet")):
+                    reshard_index(src, out, new_partitions=shrink_to)
+                if registry_dir and alias_of and name in alias_of:
+                    update_aliases(registry_dir, [("add", alias_of[name], out)])
+            elif act == "forcemerge":
+                out = src.rstrip("/") + "_merged"
+                if not os.path.exists(os.path.join(out, "stats.parquet")):
+                    compact_index(src, out)
+                if registry_dir and alias_of and name in alias_of:
+                    update_aliases(registry_dir, [("add", alias_of[name], out)])
+            elif act == "rollover":
+                if registry_dir and alias_of and name in alias_of:
+                    # ES rollover: the WRITE alias moves to a new index; the
+                    # old one stays searchable under its own name
+                    new_dir = src.rstrip("/") + "_rollover"
+                    os.makedirs(new_dir, exist_ok=True)
+                    update_aliases(registry_dir, [("add", alias_of[name], new_dir)])
+            elif act == "delete":
+                shutil.rmtree(src, ignore_errors=True)
+                if registry_dir and alias_of and name in alias_of:
+                    update_aliases(registry_dir, [("remove", alias_of[name], None)])
+            else:
+                raise ValueError(f"unknown ILM action {act!r}")
+            done.append(act)
+        applied[name] = done
+    return applied
+
+
+# ---------------------------------------------------------------------------
 # aliases + reindex (ES `_aliases` / `_reindex`): the zero-downtime swap
 
 

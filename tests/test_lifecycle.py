@@ -562,3 +562,92 @@ def test_pit_survives_delete_and_compaction_swap(idx_copy, tmp_path):
         assert score_query(pit2, t, 10, round_decimals=6) == score_query(
             live, t, 10, round_decimals=6
         )
+
+
+# ---------------------------------------------------------------------------
+# ILM: phase planner + action application
+
+
+def test_ilm_plan_phases_and_rollover():
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import ilm_plan
+
+    policy = {
+        "hot": {"rollover": {"max_docs": 1000, "max_age_s": 3600}},
+        "warm": {"min_age_s": 86400, "actions": ["shrink", "forcemerge"]},
+        "cold": {"min_age_s": 7 * 86400},
+        "delete": {"min_age_s": 30 * 86400},
+    }
+    now = 1_000_000_000
+    indices = [
+        {"name": "i-fresh", "created_s": now - 100, "n_docs": 10},
+        {"name": "i-bigdocs", "created_s": now - 100, "n_docs": 5000},
+        {"name": "i-agedhot", "created_s": now - 7200, "n_docs": 10},
+        {"name": "i-warm", "created_s": now - 2 * 86400, "n_docs": 10},
+        {"name": "i-cold", "created_s": now - 8 * 86400, "n_docs": 10},
+        {"name": "i-dead", "created_s": now - 40 * 86400, "n_docs": 10},
+    ]
+    plan = ilm_plan(indices, policy, now_s=now)
+    rows = {r["index"]: r for r in plan.to_pylist()}
+    assert rows["i-fresh"]["phase"] == "hot" and rows["i-fresh"]["actions"] == ""
+    assert rows["i-bigdocs"]["actions"] == "rollover"  # max_docs crossed
+    assert rows["i-agedhot"]["actions"] == "rollover"  # max_age crossed
+    assert rows["i-warm"]["phase"] == "warm"
+    assert rows["i-warm"]["actions"] == "shrink,forcemerge"
+    assert rows["i-cold"]["phase"] == "cold" and rows["i-cold"]["actions"] == ""
+    assert rows["i-dead"]["phase"] == "delete" and rows["i-dead"]["actions"] == "delete"
+    # deterministic: same inputs, same table
+    assert plan.equals(ilm_plan(indices, policy, now_s=now))
+    with pytest.raises(ValueError):
+        ilm_plan([{"name": "x", "created_s": now + 5, "n_docs": 0}], policy, now)
+
+
+def test_ilm_apply_shrink_rollover_delete(reshard_corpus, tmp_path):
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import (
+        ilm_apply,
+        ilm_plan,
+        resolve_alias,
+        update_aliases,
+    )
+
+    root, res4, _ = reshard_corpus
+    # private copies: apply mutates/deletes
+    warm_dir = str(tmp_path / "warm_idx")
+    dead_dir = str(tmp_path / "dead_idx")
+    shutil.copytree(res4.out_dir, warm_dir)
+    shutil.copytree(res4.out_dir, dead_dir)
+    reg = str(tmp_path / "registry")
+    update_aliases(reg, [("add", "warm-alias", warm_dir), ("add", "dead-alias", dead_dir)])
+
+    now = 1_000_000_000
+    policy = {
+        "warm": {"min_age_s": 86400, "actions": ["shrink"]},
+        "delete": {"min_age_s": 30 * 86400},
+    }
+    indices = [
+        {"name": "warm_idx", "created_s": now - 2 * 86400, "n_docs": 90},
+        {"name": "dead_idx", "created_s": now - 31 * 86400, "n_docs": 90},
+    ]
+    plan = ilm_plan(indices, policy, now_s=now)
+    applied = ilm_apply(
+        plan,
+        {"warm_idx": warm_dir, "dead_idx": dead_dir},
+        registry_dir=reg,
+        alias_of={"warm_idx": "warm-alias", "dead_idx": "dead-alias"},
+        shrink_to=2,
+    )
+    assert applied == {"warm_idx": ["shrink"], "dead_idx": ["delete"]}
+    # shrink produced a 2-shard index, alias repointed, scores identical
+    shrunk = resolve_alias(reg, "warm-alias")
+    assert shrunk.endswith("_shrunk")
+    assert len(os.listdir(os.path.join(shrunk, "segments"))) == 2
+    s_old, s_new = SegmentStore(warm_dir), SegmentStore(shrunk)
+    for t in _fixture_texts(s_old, n=5):
+        assert score_query(s_new, t, 10) == score_query(s_old, t, 10)
+    # delete removed the index and its alias
+    assert not os.path.exists(dead_dir)
+    with pytest.raises(KeyError):
+        resolve_alias(reg, "dead-alias")
+    # idempotent re-apply of the shrink (already-done check short-circuits)
+    ilm_apply(plan.filter(__import__("pyarrow").compute.equal(plan["index"], "warm_idx")),
+              {"warm_idx": warm_dir}, registry_dir=reg,
+              alias_of={"warm_idx": "warm-alias"}, shrink_to=2)
