@@ -2850,6 +2850,17 @@ def _q_pit_search(sf_dir: str) -> pa.Table:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_dpr_triples(sf_dir: str) -> pa.Table:
+    """DPR contrastive triples: 2 lowest-id qrel positives × 3 hardest
+    BM25 negatives per query — the (q, pos, neg) training format."""
+    from bitcoin_ledger_2es_ray.pipelines.query import dpr_triples
+
+    store, _ = _store_for(sf_dir)
+    return dpr_triples(
+        store, _fixture_queries(store), n_pos=2, n_neg=3, round_decimals=_ROUND
+    )
+
+
 def _q_bpe_merges(sf_dir: str) -> pa.Table:
     """BPE tokenizer training (Sennrich 2016) over the indexed corpus: 20
     merges learned from the term dictionary's cf column (the
@@ -3763,6 +3774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval": _q_rank_eval,
         "hard_negatives": _q_hard_negatives,
         "bpe_merges": _q_bpe_merges,
+        "dpr_triples": _q_dpr_triples,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "bucket_selector": _q_bucket_selector,
         "sibling_bucket_stats": _q_sibling_bucket_stats,
@@ -7219,6 +7231,52 @@ SELECT r.query_id, r.rank::BIGINT AS rank, r.doc_id, r.score
 FROM ranked r JOIN (SELECT DISTINCT query_id FROM anded) q USING (query_id)
 WHERE r.rank <= {k} ORDER BY query_id, rank
 """.replace("{k}", str(_TOP_K)),
+        # DPR triples: 2 lowest-id positives × 3 hardest negatives per query
+        "dpr_triples": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+),
+pos AS (
+  SELECT query_id, doc_id AS pos_doc,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS pr
+  FROM anded
+),
+negs AS (
+  SELECT s.query_id, s.doc_id, s.score FROM scored s
+  ANTI JOIN anded a ON a.query_id = s.query_id AND a.doc_id = s.doc_id
+),
+nranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+           AS neg_rank,
+         doc_id AS neg_doc
+  FROM negs
+)
+SELECT p.query_id, p.pos_doc, n.neg_doc, n.neg_rank::BIGINT AS neg_rank
+FROM pos p JOIN nranked n USING (query_id)
+WHERE p.pr <= 2 AND n.neg_rank <= 3
+ORDER BY query_id, pos_doc, neg_rank
+""",
         # _count API: OR-match doc count per query
         "match_count": _PRELUDE
         + """

@@ -620,6 +620,55 @@ def hard_negatives(
     )
 
 
+def dpr_triples(
+    store: SegmentStore,
+    queries: pa.Table,
+    n_pos: int = 2,
+    n_neg: int = 3,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """Contrastive training triples for dense-retriever training (DPR):
+    per query, the cross product of the ``n_pos`` lowest-id relevant docs
+    (the conjunctive AND-match qrels) × the ``n_neg`` hardest BM25
+    negatives — the exact (question, positive, hard-negative) triple
+    format Karpukhin et al. 2020 train on.
+
+    Both legs are the already-gated kernels (rank_eval's qrels,
+    hard_negatives' ranking), so the SQL oracle composes their CTEs.
+    Returns (query_id, pos_doc, neg_doc, neg_rank) sorted."""
+    from ..functions.boolean import intersect_many
+
+    qids, pos_o, neg_o, nrank_o = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        terms = sorted(set(tokenize_query(text)))
+        sets = [np.unique(store.postings(t)[0]) for t in terms if store.td.df_of(t) > 0]
+        if len(sets) < len(terms) or not sets:
+            continue
+        rel = intersect_many(sets)
+        if len(rel) == 0:
+            continue
+        pos = [int(d) for d in rel[:n_pos]]  # lowest doc ids — deterministic
+        rel_set = set(int(d) for d in rel)
+        top = score_query(store, text, n_neg + len(rel), round_decimals=round_decimals)
+        negs = [(r + 1, d) for r, (d, _s) in enumerate(
+            [t for t in top if t[0] not in rel_set][:n_neg]
+        )]
+        for p in pos:
+            for nr, nd in negs:
+                qids.append(qid)
+                pos_o.append(p)
+                neg_o.append(nd)
+                nrank_o.append(nr)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "pos_doc": pa.array(pos_o, type=pa.int64()),
+            "neg_doc": pa.array(neg_o, type=pa.int64()),
+            "neg_rank": pa.array(nrank_o, type=pa.int64()),
+        }
+    )
+
+
 def match_count(store: SegmentStore, text: str) -> int:
     """ES ``_count`` API: the OR-match doc count for a query.
 

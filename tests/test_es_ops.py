@@ -1236,6 +1236,44 @@ def test_hard_negatives_disjoint_from_qrels(built):
         assert [(r["doc_id"], r["score"]) for r in mine] == want
 
 
+def test_dpr_triples_structure(built):
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.functions.boolean import intersect_many
+    from bitcoin_ledger_2es_ray.functions.tokenize import tokenize_query
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        dpr_triples,
+        hard_negatives,
+    )
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    texts = [vocab[1], " ".join(sorted({vocab[0], vocab[3]}))]
+    queries = pa.table(
+        {"query_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    out = dpr_triples(store, queries, n_pos=2, n_neg=3, round_decimals=6).to_pylist()
+    assert out
+    negs = hard_negatives(store, queries, k=3, round_decimals=6).to_pylist()
+    neg_of = {}
+    for r in negs:
+        neg_of.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    for qid, text in enumerate(texts):
+        terms = sorted(set(tokenize_query(text)))
+        rel = intersect_many([np.unique(store.postings(t)[0]) for t in terms])
+        pos_want = [int(d) for d in rel[:2]]
+        rows = [r for r in out if r["query_id"] == qid]
+        # exact cross product: positives × the hard_negatives top-3
+        want = [
+            (p, nd, nr) for p in pos_want for nr, nd in sorted(neg_of[qid])
+        ]
+        assert [(r["pos_doc"], r["neg_doc"], r["neg_rank"]) for r in rows] == want
+        # positives and negatives never overlap
+        assert not ({r["pos_doc"] for r in rows} & {r["neg_doc"] for r in rows})
+
+
 def test_rank_eval_metrics_brute(built):
     from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
     from bitcoin_ledger_2es_ray.pipelines.query import (
