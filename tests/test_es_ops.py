@@ -1250,14 +1250,17 @@ def test_dpr_triples_structure(built):
     res, _, _ = built
     store = SegmentStore(res.out_dir)
     vocab = sorted(store.df)
-    texts = [vocab[1], " ".join(sorted({vocab[0], vocab[3]}))]
+    texts = [
+        " ".join(sorted({vocab[0], vocab[3]})),
+        " ".join(sorted({vocab[2], vocab[5]})),
+    ]
     queries = pa.table(
         {"query_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
     )
     out = dpr_triples(store, queries, n_pos=2, n_neg=3, round_decimals=6).to_pylist()
     assert out
     negs = hard_negatives(store, queries, k=3, round_decimals=6).to_pylist()
-    neg_of = {}
+    neg_of: dict[int, list] = {}
     for r in negs:
         neg_of.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
     for qid, text in enumerate(texts):
@@ -1267,11 +1270,16 @@ def test_dpr_triples_structure(built):
         rows = [r for r in out if r["query_id"] == qid]
         # exact cross product: positives × the hard_negatives top-3
         want = [
-            (p, nd, nr) for p in pos_want for nr, nd in sorted(neg_of[qid])
+            (p, nd, nr) for p in pos_want for nr, nd in sorted(neg_of.get(qid, []))
         ]
         assert [(r["pos_doc"], r["neg_doc"], r["neg_rank"]) for r in rows] == want
         # positives and negatives never overlap
         assert not ({r["pos_doc"] for r in rows} & {r["neg_doc"] for r in rows})
+    # a query whose every match is relevant (single term) yields no triples
+    one = pa.table(
+        {"query_id": pa.array([9], type=pa.int64()), "text": [vocab[1]]}
+    )
+    assert dpr_triples(store, one, n_pos=2, n_neg=3).num_rows == 0
 
 
 def test_rank_eval_metrics_brute(built):
