@@ -317,6 +317,17 @@ def cmd_reshard(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_check(args: argparse.Namespace) -> int:
+    """Lucene CheckIndex analog: verify segment/dictionary/stats
+    invariants; exit 1 on any issue."""
+    from .pipelines.lifecycle import check_index
+
+    _ensure_ray(args.num_cpus)
+    rep = check_index(args.index)
+    print(json.dumps(rep))
+    return 0 if rep["ok"] else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bitcoin_ledger_2es_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -448,6 +459,13 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--concurrency", type=int, default=8)
     k.add_argument("--num-cpus", type=int, default=None)
     k.set_defaults(fn=cmd_compact)
+
+    ck = sub.add_parser(
+        "check", help="verify index integrity (CheckIndex analog)"
+    )
+    ck.add_argument("--index", required=True)
+    ck.add_argument("--num-cpus", type=int, default=None)
+    ck.set_defaults(fn=cmd_check)
 
     rs = sub.add_parser(
         "reshard", help="split/shrink: change shard count without re-tokenizing"

@@ -647,6 +647,134 @@ def reshard_index(index_dir: str, out_dir: str, new_partitions: int) -> ReshardR
     )
 
 
+def _check_shard(index_dir: str, name: str, n_docs: int) -> dict:
+    """Verify one segment shard's internal invariants (CheckIndex body)."""
+    sid = int(name.split("-")[1].split(".")[0])
+    issues: list[str] = []
+    shard = pq.read_table(os.path.join(index_dir, "segments", name))
+    flat = _decode_shard_flat(shard)
+    df = np.asarray(shard["df"].combine_chunks(), dtype=np.int64)
+    cf = np.asarray(shard["cf"].combine_chunks(), dtype=np.int64)
+    max_tf = np.asarray(shard["max_tf"].combine_chunks(), dtype=np.int64)
+    docs, tfs = flat["docs"].astype(np.int64), flat["tfs"].astype(np.int64)
+    ends = np.cumsum(df)
+    starts = np.concatenate(([0], ends[:-1]))
+    # doc ids strictly increasing within a run; in [0, n_docs); cf == Σtf;
+    # max_tf is the run's true max
+    run_of = np.repeat(np.arange(len(df)), df)
+    if len(docs):
+        inner = np.ones(len(docs), dtype=bool)
+        inner[starts[df > 0]] = False  # run firsts exempt from the diff check
+        bad = inner & (np.diff(docs, prepend=docs[0] if len(docs) else 0) <= 0)
+        if bad.any():
+            issues.append(f"shard {sid}: non-increasing doc_ids in {int(bad.sum())} postings")
+        if docs.min() < 0 or docs.max() >= n_docs:
+            issues.append(f"shard {sid}: doc_id out of range [0, {n_docs})")
+    cf_got = np.zeros(len(df), dtype=np.int64)
+    np.add.at(cf_got, run_of, tfs)
+    if not np.array_equal(cf_got, cf):
+        issues.append(f"shard {sid}: cf != sum(tf) for {int((cf_got != cf).sum())} runs")
+    mt_got = np.zeros(len(df), dtype=np.int64)
+    np.maximum.at(mt_got, run_of, tfs)
+    if not np.array_equal(mt_got, max_tf):
+        issues.append(f"shard {sid}: max_tf mismatch in {int((mt_got != max_tf).sum())} runs")
+    # block metadata: last block's last_doc == the run's final doc
+    bm = shard["block_meta"].to_pylist()
+    for i in range(len(df)):
+        if df[i] and bm[i]:
+            if int(bm[i][-1]["last_doc"]) != int(docs[ends[i] - 1]):
+                issues.append(f"shard {sid}: block_meta last_doc mismatch at row {i}")
+                break
+    # (term, salt) sorted — the encode order every reader relies on
+    keys = list(zip(shard["term"].to_pylist(), shard["salt"].to_pylist()))
+    if keys != sorted(keys):
+        issues.append(f"shard {sid}: rows not (term, salt)-sorted")
+    return {"shard": sid, "n_lists": shard.num_rows, "issues": issues}
+
+
+def check_index(index_dir: str) -> dict:
+    """Lucene ``CheckIndex`` analog: verify every integrity invariant the
+    query paths rely on, without trusting any of them —
+
+    - per shard (parallel Ray tasks): doc ids strictly increasing per run
+      and within [0, N); cf == Σtf and max_tf == max(tf) per run;
+      block-max metadata closes each run; rows (term, salt)-sorted;
+    - dictionary ↔ segments: every term_dict row points at a real
+      (partition, row) whose df/cf match, and the dictionary is globally
+      (term, salt)-sorted;
+    - stats ↔ forward map: n_docs/total_dl/avgdl recomputed from a
+      column-pruned scan must equal stats.parquet (unless tombstones are
+      live, which legitimately staleness them — reported, not failed).
+
+    Returns {"ok", "shards_checked", "dict_rows_checked", "issues": [...]}
+    — report, don't raise, so operators can triage (ES `_shard_stores`
+    style).  Cost: one decode pass per shard, dictionary-merge-sized
+    driver work; no corpus access.
+    """
+    import ray
+
+    st = pq.read_table(os.path.join(index_dir, "stats.parquet"))
+    n_docs = int(st["n_docs"][0].as_py())
+    total_dl = int(st["total_dl"][0].as_py())
+    shard_files = sorted(os.listdir(os.path.join(index_dir, "segments")))
+
+    task = ray.remote(num_cpus=1)(_check_shard)
+    reports = ray.get([task.remote(index_dir, n, n_docs) for n in shard_files])
+    issues: list[str] = [i for r in reports for i in r["issues"]]
+
+    # dictionary ↔ segment cross-check (dictionary is vocab-sized)
+    td = pq.read_table(os.path.join(index_dir, "term_dict.parquet"))
+    keys = list(zip(td["term"].to_pylist(), td["salt"].to_pylist()))
+    if keys != sorted(keys):
+        issues.append("term_dict not globally (term, salt)-sorted")
+    seg_cache: dict[int, pa.Table] = {}
+    for term, salt, part, row, ddf, dcf in zip(
+        td["term"].to_pylist(), td["salt"].to_pylist(), td["partition"].to_pylist(),
+        td["row"].to_pylist(), td["df"].to_pylist(), td["cf"].to_pylist(),
+    ):
+        if part not in seg_cache:
+            p = os.path.join(index_dir, "segments", f"shard-{part:05d}.parquet")
+            if not os.path.exists(p):
+                issues.append(f"term_dict points at missing shard {part}")
+                seg_cache[part] = pa.table({})
+                continue
+            seg_cache[part] = pq.read_table(
+                p, columns=["term", "salt", "df", "cf"]
+            )
+        seg = seg_cache[part]
+        if seg.num_rows == 0:
+            continue
+        if row >= seg.num_rows:
+            issues.append(f"term_dict row {row} out of range for shard {part}")
+            continue
+        if (
+            seg["term"][row].as_py() != term
+            or seg["salt"][row].as_py() != salt
+            or seg["df"][row].as_py() != ddf
+            or seg["cf"][row].as_py() != dcf
+        ):
+            issues.append(f"term_dict/segment mismatch at ({term!r}, salt {salt})")
+
+    # stats ↔ forward map
+    fwd = pq.ParquetDataset(os.path.join(index_dir, "forward_map")).read(
+        columns=["dl"]
+    )
+    got_docs, got_dl = fwd.num_rows, int(pa.compute.sum(fwd["dl"]).as_py() or 0)
+    tombs = load_tombstones(index_dir)
+    if tombs is None and (got_docs != n_docs or got_dl != total_dl):
+        issues.append(
+            f"stats mismatch: stats say ({n_docs}, {total_dl}), "
+            f"forward map has ({got_docs}, {got_dl})"
+        )
+    return {
+        "ok": not issues,
+        "shards_checked": len(shard_files),
+        "dict_rows_checked": td.num_rows,
+        "live_tombstones": 0 if tombs is None else int(len(tombs)),
+        "issues": issues,
+    }
+
+
 # ---------------------------------------------------------------------------
 # ILM (ES index lifecycle management): phase planner + action application
 

@@ -651,3 +651,33 @@ def test_ilm_apply_shrink_rollover_delete(reshard_corpus, tmp_path):
     ilm_apply(plan.filter(__import__("pyarrow").compute.equal(plan["index"], "warm_idx")),
               {"warm_idx": warm_dir}, registry_dir=reg,
               alias_of={"warm_idx": "warm-alias"}, shrink_to=2)
+
+
+def test_check_index_clean_and_tampered(idx_copy, tmp_path):
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import check_index
+
+    rep = check_index(idx_copy)
+    assert rep["ok"], rep["issues"]
+    assert rep["shards_checked"] > 0 and rep["dict_rows_checked"] > 0
+
+    # live tombstones legitimately staleness the stats — reported, not failed
+    delete_by_query(idx_copy, pc.field("lang") == "de")
+    rep2 = check_index(idx_copy)
+    assert rep2["ok"] and rep2["live_tombstones"] > 0
+
+    # tamper: inflate one run's cf in a segment → flagged
+    seg_dir = Path(idx_copy) / "segments"
+    victim = sorted(p for p in seg_dir.glob("*.parquet") if pq.read_table(p).num_rows)[0]
+    t = pq.read_table(victim)
+    cf = t["cf"].to_pylist()
+    cf[0] += 1
+    t = t.set_column(t.schema.get_field_index("cf"), "cf",
+                     pa.array(cf, type=pa.uint64()))
+    pq.write_table(t, victim)
+    rep3 = check_index(idx_copy)
+    assert not rep3["ok"]
+    assert any("cf != sum(tf)" in i for i in rep3["issues"])
+    # the same tamper breaks the dict ↔ segment cross-check too
+    assert any("term_dict/segment mismatch" in i for i in rep3["issues"])
