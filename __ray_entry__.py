@@ -2083,6 +2083,14 @@ def _q_async_search(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_knn_similarity(sf_dir: str) -> pa.Table:
+    """ES ``knn.similarity`` threshold: exact-cosine top-10 keeping only
+    matches with sim ≥ 0.3 — queries may return fewer than k."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_bruteforce
+
+    return knn_bruteforce(sf_dir, n_queries=5, k=10, similarity=0.3)
+
+
 def _q_mmr_rerank(sf_dir: str) -> pa.Table:
     """MMR diversity re-ranking (λ=0.7) of the BM25 top-20 against the doc
     embeddings — greedy, deterministic; rows-only (iterative algorithm),
@@ -3868,6 +3876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": _q_collapse_topk,
         "rrf_hybrid": _q_rrf_hybrid,
         "mmr_rerank": _q_mmr_rerank,
+        "knn_similarity": _q_knn_similarity,
         "async_search": _q_async_search,
         "top_hits": _q_top_hits,
         "lang_counts": _q_lang_counts,
@@ -7401,6 +7410,24 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, vec_id, sim
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        # ES knn.similarity: threshold on the rounded cosine, may return < k
+        "knn_similarity": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+           AS sim
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank,
+         vec_id, sim
+  FROM scored WHERE sim >= 0.3
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """,
         # ES has_child: parents with ≥1 matching child, score_mode
         # count/max/sum over the matching children

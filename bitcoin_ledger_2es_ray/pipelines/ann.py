@@ -101,12 +101,19 @@ def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def knn_bruteforce(
-    sf_dir: str, n_queries: int = 5, k: int = 5, label: int | None = None
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    label: int | None = None,
+    similarity: float | None = None,
 ) -> pa.Table:
     """Exact cosine top-k: (query_id, rank, vec_id, sim).
 
     ``label`` = ES 8 filtered kNN: the metadata predicate restricts the
     CANDIDATE set (pushed into the parquet scan), queries stay unfiltered.
+    ``similarity`` = ES ``knn.similarity``: the minimum cosine a vector
+    needs to count as a match — applied INSIDE each batch partial (below-
+    threshold vectors never leave the task), so a query may return < k.
     """
     import ray
 
@@ -132,6 +139,8 @@ def knn_bruteforce(
             # partial top-k within the batch (ties: sim DESC, vec_id ASC)
             order = np.lexsort((ids, -sims[qi]))[:kk]
             for i in order:
+                if similarity is not None and sims[qi, i] < similarity:
+                    continue
                 rows.append((qi, int(ids[i]), float(sims[qi, i])))
         return pa.table(
             {
