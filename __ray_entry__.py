@@ -2083,6 +2083,41 @@ def _q_async_search(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_profile(sf_dir: str) -> pa.Table:
+    """ES ``_profile`` (deterministic counters): per fixture query, the
+    distinct live terms, postings to decode (Σ df) and OR-candidate count
+    — n_lists (salt slices) is engine-internal and tested in pytest."""
+    from bitcoin_ledger_2es_ray.pipelines.query import profile_query
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, nt, np_, nc = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        p = profile_query(store, text)
+        qids.append(qid)
+        nt.append(p["n_terms"])
+        np_.append(p["n_postings"])
+        nc.append(p["n_candidates"])
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "n_terms": pa.array(nt, type=pa.int64()),
+            "n_postings": pa.array(np_, type=pa.int64()),
+            "n_candidates": pa.array(nc, type=pa.int64()),
+        }
+    )
+
+
+def _q_disk_usage(sf_dir: str) -> pa.Table:
+    """ES ``_disk_usage``: per-(artifact, column) compressed/uncompressed
+    bytes off the parquet footers — analyze-only, engine-internal layout
+    (rows-only)."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import disk_usage
+
+    _, res = _store_for(sf_dir)
+    return disk_usage(res.out_dir)
+
+
 def _q_knn_similarity(sf_dir: str) -> pa.Table:
     """ES ``knn.similarity`` threshold: exact-cosine top-10 keeping only
     matches with sim ≥ 0.3 — queries may return fewer than k."""
@@ -3877,6 +3912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_hybrid": _q_rrf_hybrid,
         "mmr_rerank": _q_mmr_rerank,
         "knn_similarity": _q_knn_similarity,
+        "profile": _q_profile,
+        "disk_usage": _q_disk_usage,
         "async_search": _q_async_search,
         "top_hits": _q_top_hits,
         "lang_counts": _q_lang_counts,
@@ -7285,6 +7322,18 @@ SELECT p.query_id, p.pos_doc, n.neg_doc, n.neg_rank::BIGINT AS neg_rank
 FROM pos p JOIN nranked n USING (query_id)
 WHERE p.pr <= 2 AND n.neg_rank <= 3
 ORDER BY query_id, pos_doc, neg_rank
+""",
+        # _profile counters: live terms, Σ df, OR-candidate count per query
+        "profile": _PRELUDE
+        + """
+SELECT qt.query_id,
+       count(DISTINCT qt.term)::BIGINT AS n_terms,
+       sum(df.df)::BIGINT AS n_postings,
+       (SELECT count(DISTINCT tf.doc_id) FROM tf
+         JOIN qterm q2 ON q2.term = tf.term WHERE q2.query_id = qt.query_id)
+         AS n_candidates
+FROM qterm qt JOIN df ON df.term = qt.term
+GROUP BY qt.query_id ORDER BY query_id
 """,
         # _count API: OR-match doc count per query
         "match_count": _PRELUDE

@@ -451,3 +451,52 @@ def terms_enum(
     if search_after is not None:
         terms = terms[bisect_right(terms, search_after):]
     return terms[:size]
+
+
+def disk_usage(index_dir: str) -> pa.Table:
+    """ES ``_disk_usage`` API analog: per (artifact, column) compressed and
+    uncompressed byte totals, straight off the parquet FOOTERS of every
+    index artifact (segments, forward_map, term_dict, postings exchange if
+    kept) — no data pages are read, the same analyze-only contract as ES.
+
+    The per-field breakdown answers the sizing questions ES users run
+    _disk_usage for: how much of the index is posting payloads vs terms vs
+    metadata, and what a column costs before/after compression."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    groups = {
+        "segments": sorted(glob.glob(os.path.join(index_dir, "segments", "*.parquet"))),
+        "forward_map": sorted(
+            glob.glob(os.path.join(index_dir, "forward_map", "*.parquet"))
+        ),
+        "term_dict": [
+            p
+            for p in [os.path.join(index_dir, "term_dict.parquet")]
+            if os.path.exists(p)
+        ],
+    }
+    agg: dict[tuple[str, str], list[int]] = {}
+    for artifact, paths in groups.items():
+        for path in paths:
+            md = pq.ParquetFile(path).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema.split(".")[0]
+                    e = agg.setdefault((artifact, name), [0, 0])
+                    e[0] += col.total_compressed_size
+                    e[1] += col.total_uncompressed_size
+    rows = [
+        {
+            "artifact": a,
+            "column": c,
+            "compressed_bytes": comp,
+            "uncompressed_bytes": unc,
+        }
+        for (a, c), (comp, unc) in sorted(agg.items())
+    ]
+    return pa.Table.from_pylist(rows)

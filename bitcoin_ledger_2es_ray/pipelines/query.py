@@ -669,6 +669,34 @@ def dpr_triples(
     )
 
 
+def profile_query(store: SegmentStore, text: str) -> dict:
+    """ES ``_profile`` analog, the DETERMINISTIC half: the work a query
+    costs, as exact counters rather than wall times (times vary run to
+    run; counters are reproducible and gate-able) —
+
+    - n_terms: distinct live query terms,
+    - n_lists: posting runs touched (salt slices count separately),
+    - n_postings: postings decoded = Σ df (the TAAT decode volume),
+    - n_candidates: distinct docs scored (the OR-match set size).
+
+    This is exactly the breakdown a query planner needs (the TAAT/WAND
+    planner reads the same df profile)."""
+    terms = sorted(set(tokenize_query(text)))
+    live = [t for t in terms if store.td.df_of(t) > 0]
+    n_lists = sum(len(store.td.rows_of(t)) for t in live)
+    n_postings = sum(store.td.df_of(t) for t in live)
+    cand: np.ndarray | None = None
+    for t in live:
+        d = np.unique(store.postings(t)[0])
+        cand = d if cand is None else np.union1d(cand, d)
+    return {
+        "n_terms": len(live),
+        "n_lists": int(n_lists),
+        "n_postings": int(n_postings),
+        "n_candidates": 0 if cand is None else int(len(cand)),
+    }
+
+
 def match_count(store: SegmentStore, text: str) -> int:
     """ES ``_count`` API: the OR-match doc count for a query.
 

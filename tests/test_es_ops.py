@@ -2613,3 +2613,53 @@ def test_sorted_view_topk(built, tmp_path_factory):
 
     # idempotent: second call short-circuits on the manifest
     assert build_sorted_view(res.out_dir, field="dl", out_dir=out) == view
+
+
+def test_disk_usage_footer_only(built):
+    from bitcoin_ledger_2es_ray.pipelines.apis import disk_usage
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, _ = built
+    out = disk_usage(res.out_dir)
+    rows = {(r["artifact"], r["column"]): r for r in out.to_pylist()}
+    # every SEGMENT schema column accounted for
+    for col in ("term", "salt", "df", "cf", "max_tf", "doc_ids", "tfs", "dls"):
+        assert ("segments", col) in rows, col
+    for col in ("doc_id", "repo", "path", "lang", "dl"):
+        assert ("forward_map", col) in rows, col
+    assert ("term_dict", "term") in rows
+    for r in rows.values():
+        assert 0 < r["compressed_bytes"]
+        assert r["compressed_bytes"] <= r["uncompressed_bytes"] * 2  # headers ok
+    # posting payloads dominate the segment bytes on a real index
+    seg_total = sum(
+        r["compressed_bytes"] for (a, _), r in rows.items() if a == "segments"
+    )
+    payload = sum(
+        rows[("segments", c)]["compressed_bytes"] for c in ("doc_ids", "tfs", "dls")
+    )
+    assert payload > 0.3 * seg_total
+    # deterministic
+    assert disk_usage(res.out_dir).equals(out)
+
+
+def test_profile_counters_brute(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, profile_query
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    vocab = sorted(store.df)
+    text = " ".join(sorted({vocab[0], vocab[4], "zzznope"}))
+    p = profile_query(store, text)
+    terms = {vocab[0], vocab[4]}
+    doc_sets = [
+        {i for i, d in enumerate(docs) if t in d.split(" ")} for t in terms
+    ]
+    assert p["n_terms"] == 2  # the unknown term is not live
+    assert p["n_postings"] == sum(len(s) for s in doc_sets)
+    assert p["n_candidates"] == len(set().union(*doc_sets))
+    assert p["n_lists"] >= p["n_terms"]  # salt slices only add lists
+    assert profile_query(store, "zzznope") == {
+        "n_terms": 0, "n_lists": 0, "n_postings": 0, "n_candidates": 0,
+    }
