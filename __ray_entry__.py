@@ -2108,6 +2108,14 @@ def _q_profile(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_curriculum(sf_dir: str) -> pa.Table:
+    """Curriculum ordering: global (quality ASC, doc_id ASC) rank cut into
+    4 ntile stages — distributed sort + per-block rank enumeration."""
+    from bitcoin_ledger_2es_ray.pipelines.curate import curriculum_stages
+
+    return curriculum_stages(sf_dir, n_stages=4)
+
+
 def _q_disk_usage(sf_dir: str) -> pa.Table:
     """ES ``_disk_usage``: per-(artifact, column) compressed/uncompressed
     bytes off the parquet footers — analyze-only, engine-internal layout
@@ -3914,6 +3922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_similarity": _q_knn_similarity,
         "profile": _q_profile,
         "disk_usage": _q_disk_usage,
+        "curriculum": _q_curriculum,
         "async_search": _q_async_search,
         "top_hits": _q_top_hits,
         "lang_counts": _q_lang_counts,
@@ -6670,6 +6679,28 @@ z AS (
   FROM base)
 SELECT doc_id, prob, (prob >= 0.5)::BIGINT AS keep
 FROM z ORDER BY doc_id
+""",
+        # curriculum: ntile(4) over (quality ASC, doc_id ASC)
+        "curriculum": """
+WITH base AS (
+  SELECT doc_id, len(text)::BIGINT AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         round(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the','and','of','a','to','in','is','it','that','for',
+                          'on','with','as','at','by','an','be','or','this','are',
+                          'from')))::DOUBLE / greatest(n_tokens, 1), 6) AS stop_ratio,
+         round((n_chars - (n_tokens - 1))::DOUBLE / greatest(n_tokens, 1), 6)
+           AS mean_tok_len
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         round(0.5 * least(n_tokens, 100) / 100.0
+               + 0.3 * (1 - least(mean_tok_len, 10.0) / 10.0)
+               + 0.2 * stop_ratio, 6) AS quality
+  FROM base)
+SELECT doc_id, quality,
+       ntile(4) OVER (ORDER BY quality ASC, doc_id ASC)::BIGINT AS stage
+FROM q ORDER BY doc_id
 """,
         "curated_corpus": """
 WITH base AS (

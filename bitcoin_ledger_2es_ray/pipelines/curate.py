@@ -453,3 +453,61 @@ def mixing_weights(sf_dir: str, alpha: float = 0.5, round_decimals: int = 6) -> 
             "weight": pa.array(sql_round(w, round_decimals), type=pa.float64()),
         }
     )
+
+
+def curriculum_stages(sf_dir: str, n_stages: int = 4) -> pa.Table:
+    """Curriculum ordering for staged training: rank every doc by
+    (quality ASC, doc_id ASC) — easy/low-quality-signal docs first is one
+    convention; the SORT is the operator, the direction is policy — and
+    cut the ranking into ``n_stages`` equal stages (SQL ``ntile``
+    semantics: the first ``N mod n_stages`` stages get the extra row).
+
+    Plan: one streamed quality pass (``textstats.quality_batch``), a Ray
+    Data global sort on (quality, doc_id) — a curriculum IS a global
+    order, so the all-to-all is inherent — then per-block rank enumeration
+    with O(#blocks) driver state, the same distributed-sort + ENUMERATE
+    shape as ``shuffle_order``.  Returns (doc_id, quality, stage)."""
+    import ray
+    import ray.data as rd
+
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+
+    def features(batch: pa.Table) -> pa.Table:
+        f = quality_batch(batch)
+        return f.select(["doc_id", "quality"])
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(features, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["quality", "doc_id"])
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    n_total = sum(p.num_rows for p in parts)
+    out, base = [], 0
+    for p in parts:  # blocks come back in global sort order
+        ranks = np.arange(base, base + p.num_rows, dtype=np.int64)
+        # ntile: first (n_total mod s) stages are ceil-sized
+        s = n_stages
+        big = n_total % s
+        size_big = -(-n_total // s)
+        size_small = n_total // s
+        cut = big * size_big
+        stage = np.where(
+            ranks < cut,
+            ranks // max(size_big, 1),
+            big + (ranks - cut) // max(size_small, 1),
+        ).astype(np.int64) + 1
+        out.append(
+            pa.table(
+                {
+                    "doc_id": p["doc_id"].combine_chunks().cast(pa.int64()),
+                    "quality": p["quality"],
+                    "stage": pa.array(stage),
+                }
+            )
+        )
+        base += p.num_rows
+    return pa.concat_tables(out).sort_by("doc_id")

@@ -1131,3 +1131,28 @@ def test_mmr_rerank_brute(ray_session, tmp_path):
     assert [r["doc_id"] for r in pure] == [0, 1, 3, 2, 4]
     with pytest.raises(ValueError):
         mmr_rerank(sf, ranking, lam=1.5)
+
+
+def test_curriculum_stages_ntile(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.curate import curriculum_stages
+
+    out = curriculum_stages(SF, n_stages=3)
+    stages = out["stage"].to_pylist()
+    quality = out["quality"].to_pylist()
+    n = len(stages)
+    # ntile sizes: first (n mod 3) stages ceil-sized
+    from collections import Counter
+
+    sizes = Counter(stages)
+    big, small = -(-n // 3), n // 3
+    assert sorted(sizes.values(), reverse=True)[: n % 3] == [big] * (n % 3)
+    assert all(v in (big, small) for v in sizes.values())
+    # stage order respects quality order: max quality of stage s <= min of s+1
+    # (modulo ties at the boundary)
+    by_stage = {}
+    for s, q in zip(stages, quality):
+        by_stage.setdefault(s, []).append(q)
+    for s in range(1, 3):
+        assert max(by_stage[s]) <= min(by_stage[s + 1]) + 1e-12
+    with pytest.raises(ValueError):
+        curriculum_stages(SF, n_stages=0)
