@@ -2108,6 +2108,45 @@ def _q_profile(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_filtered_alias(sf_dir: str) -> pa.Table:
+    """ES FILTERED alias (document-level multi-tenancy): fixture queries
+    through an alias carrying lang='en' — hits gated, scores untouched
+    (filters are non-scoring; df/N/avgdl stay index-wide)."""
+    import tempfile
+
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import (
+        add_filtered_alias,
+        alias_allowed_docs,
+        resolve_alias_full,
+    )
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query_filtered
+
+    store, res = _store_for(sf_dir)
+    reg = tempfile.mkdtemp(prefix="aliasreg_")
+    add_filtered_alias(reg, "tenant-en", res.out_dir, field="lang", value="en")
+    idx, filt = resolve_alias_full(reg, "tenant-en")
+    allowed = alias_allowed_docs(idx, filt)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        for r, (d, s) in enumerate(
+            score_query_filtered(store, text, _TOP_K, allowed, round_decimals=_ROUND),
+            start=1,
+        ):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_curriculum(sf_dir: str) -> pa.Table:
     """Curriculum ordering: global (quality ASC, doc_id ASC) rank cut into
     4 ntile stages — distributed sort + per-block rank enumeration."""
@@ -3923,6 +3962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile": _q_profile,
         "disk_usage": _q_disk_usage,
         "curriculum": _q_curriculum,
+        "filtered_alias": _q_filtered_alias,
         "async_search": _q_async_search,
         "top_hits": _q_top_hits,
         "lang_counts": _q_lang_counts,
@@ -7354,6 +7394,32 @@ FROM pos p JOIN nranked n USING (query_id)
 WHERE p.pr <= 2 AND n.neg_rank <= 3
 ORDER BY query_id, pos_doc, neg_rank
 """,
+        # filtered alias: lang='en' gate on hits, index-wide stats on scores
+        "filtered_alias": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT sc.query_id,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score DESC, sc.doc_id ASC) AS rank,
+         sc.doc_id, sc.score
+  FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+  WHERE d.lang = 'en'
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
         # _profile counters: live terms, Σ df, OR-candidate count per query
         "profile": _PRELUDE
         + """

@@ -941,7 +941,57 @@ def resolve_alias(registry_dir: str, alias: str) -> str:
     if not os.path.exists(path):
         raise KeyError(alias)
     with open(path) as f:
-        return json.load(f)[alias]
+        entry = json.load(f)[alias]
+    return entry["dir"] if isinstance(entry, dict) else entry
+
+
+def add_filtered_alias(
+    registry_dir: str, alias: str, index_dir: str, field: str, value: str
+) -> None:
+    """ES FILTERED alias: the alias carries a filter clause every search
+    through it applies — ES's document-level multi-tenancy primitive (one
+    index, one alias per tenant).  Stored next to the plain mapping in the
+    same registry file; the swap stays one atomic ``os.replace``."""
+    import json
+
+    update_aliases(registry_dir, [("add", alias, index_dir)])  # validates dir
+    path = os.path.join(registry_dir, "aliases.json")
+    with open(path) as f:
+        aliases = json.load(f)
+    aliases[alias] = {"dir": index_dir, "filter": {"field": field, "value": value}}
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(aliases, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def resolve_alias_full(registry_dir: str, alias: str) -> tuple[str, dict | None]:
+    """(index dir, filter spec or None) — the full alias resolution;
+    ``resolve_alias`` keeps returning just the dir for plain callers."""
+    import json
+
+    path = os.path.join(registry_dir, "aliases.json")
+    if not os.path.exists(path):
+        raise KeyError(alias)
+    with open(path) as f:
+        entry = json.load(f)[alias]
+    if isinstance(entry, dict):
+        return entry["dir"], entry.get("filter")
+    return entry, None
+
+
+def alias_allowed_docs(index_dir: str, filt: dict) -> np.ndarray:
+    """doc_ids matching a filtered alias's clause — predicate pushed into
+    the forward-map parquet scan (only matching ids leave storage), sorted
+    for the query-side ``np.isin``.  Tenant-sized, broadcast once per
+    store like every small side."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(os.path.join(index_dir, "forward_map"))
+    t = ds.to_table(
+        columns=["doc_id"], filter=pads.field(filt["field"]) == filt["value"]
+    )
+    return np.sort(np.asarray(t["doc_id"].combine_chunks(), dtype=np.uint64))
 
 
 def reindex(cfg, registry_dir: str, alias: str):

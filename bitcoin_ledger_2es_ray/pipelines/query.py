@@ -669,6 +669,47 @@ def dpr_triples(
     )
 
 
+def score_query_filtered(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    allowed: np.ndarray,
+    k1: float = K1,
+    b: float = B,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """BM25 top-k restricted to an ``allowed`` doc set — ES FILTER-clause
+    semantics: the filter gates which docs can be hits but NEVER changes
+    scores (df/N/avgdl stay index-wide; Lucene filters are non-scoring).
+    ``allowed`` is sorted (``alias_allowed_docs``); the mask is one
+    vectorized ``np.isin`` over the candidate set."""
+    terms = sorted(set(tokenize_query(text)))
+    docs_l, contrib_l = [], []
+    for term in terms:
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        if len(d) == 0:
+            continue
+        docs_l.append(d)
+        contrib_l.append(float(idf(store.n_docs, df_t)) * tf_norm(tf, dl, store.avgdl, k1, b))
+    if not docs_l:
+        return []
+    all_docs = np.concatenate(docs_l)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, np.concatenate(contrib_l))
+    keep = np.isin(uniq, allowed, assume_unique=False)
+    uniq, scores = uniq[keep], scores[keep]
+    if len(uniq) == 0:
+        return []
+    if round_decimals is not None:
+        scores = sql_round(scores, round_decimals)
+    order = topk_order(scores, uniq, k)
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
 def profile_query(store: SegmentStore, text: str) -> dict:
     """ES ``_profile`` analog, the DETERMINISTIC half: the work a query
     costs, as exact counters rather than wall times (times vary run to

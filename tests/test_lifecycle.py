@@ -681,3 +681,37 @@ def test_check_index_clean_and_tampered(idx_copy, tmp_path):
     assert any("cf != sum(tf)" in i for i in rep3["issues"])
     # the same tamper breaks the dict ↔ segment cross-check too
     assert any("term_dict/segment mismatch" in i for i in rep3["issues"])
+
+
+def test_filtered_alias_gates_hits_not_scores(built, tmp_path):
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import (
+        add_filtered_alias,
+        alias_allowed_docs,
+        resolve_alias,
+        resolve_alias_full,
+    )
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query, score_query_filtered
+
+    res, _, _ = built
+    reg = str(tmp_path / "reg")
+    add_filtered_alias(reg, "t-de", res.out_dir, field="lang", value="de")
+    # plain resolution still works on a filtered entry
+    assert resolve_alias(reg, "t-de") == res.out_dir
+    idx, filt = resolve_alias_full(reg, "t-de")
+    allowed = alias_allowed_docs(idx, filt)
+    fwd = pq.read_table(os.path.join(res.out_dir, "forward_map"),
+                        columns=["doc_id", "lang"])
+    want_allowed = sorted(
+        fwd.filter(pc.equal(fwd["lang"], "de"))["doc_id"].to_pylist()
+    )
+    assert allowed.tolist() == want_allowed
+
+    store = SegmentStore(res.out_dir)
+    allowed_set = set(want_allowed)
+    for t in _fixture_texts(store, n=8):
+        full = score_query(store, t, k=store.n_docs, round_decimals=6)
+        got = score_query_filtered(store, t, 10, allowed, round_decimals=6)
+        # exactly the full ranking restricted to the tenant's docs — scores
+        # identical (filters are non-scoring in Lucene)
+        want = [(d, s) for d, s in full if d in allowed_set][:10]
+        assert got == want
