@@ -2165,6 +2165,16 @@ def _q_disk_usage(sf_dir: str) -> pa.Table:
     return disk_usage(res.out_dir)
 
 
+def _q_ann_hnsw(sf_dir: str) -> pa.Table:
+    """HNSW kNN in Lucene's per-segment-graph architecture: one
+    deterministic graph per block built inside its Ray task, every block
+    answers all queries, driver merge bounded by queries × k × blocks.
+    Rows-only (approximate by nature); recall pinned in pytest."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_hnsw
+
+    return knn_hnsw(sf_dir, n_queries=5, k=5)
+
+
 def _q_knn_similarity(sf_dir: str) -> pa.Table:
     """ES ``knn.similarity`` threshold: exact-cosine top-10 keeping only
     matches with sim ≥ 0.3 — queries may return fewer than k."""
@@ -3959,6 +3969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_hybrid": _q_rrf_hybrid,
         "mmr_rerank": _q_mmr_rerank,
         "knn_similarity": _q_knn_similarity,
+        "ann_hnsw": _q_ann_hnsw,
         "profile": _q_profile,
         "disk_usage": _q_disk_usage,
         "curriculum": _q_curriculum,

@@ -996,3 +996,190 @@ def mmr_rerank(
             "mmr": pa.array(objs, type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# HNSW (Malkov & Yashunin 2016) — ES's dense_vector index structure.
+# Lucene builds ONE GRAPH PER SEGMENT and a search probes every segment's
+# graph, merging the per-segment top-k; that per-segment independence is
+# exactly what makes the build parallel here: one Ray task per block builds
+# its graph and answers all queries against it, the driver merge is bounded
+# by queries × k × blocks.  Determinism: no RNG anywhere — a node's level
+# comes from its id's blake2b hash, insertion order is id-ascending, and
+# every neighbor choice tie-breaks (sim DESC, id ASC).
+
+
+def _hnsw_level(vec_id: int, m_l: float) -> int:
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.blake2b(str(vec_id).encode(), digest_size=8).digest(), "little"
+    )
+    u = (h + 1) / 2.0**64  # (0, 1]
+    return int(-np.log(u) * m_l)
+
+
+def _hnsw_search_layer(q, entry_points, ef, adj, vecs):
+    """Best-first search on one layer → [(sim, node)] best-ef, sim DESC."""
+    import heapq
+
+    visited = set(entry_points)
+    cand = []  # max-heap by sim: (-sim, id)
+    result = []  # min-heap by sim: (sim, -id) — evict worst first
+    for e in entry_points:
+        s = float(vecs[e] @ q)
+        heapq.heappush(cand, (-s, e))
+        heapq.heappush(result, (s, -e))
+    while cand:
+        neg_s, c = heapq.heappop(cand)
+        if len(result) >= ef and -neg_s < result[0][0]:
+            break
+        for nb in adj.get(c, ()):
+            if nb in visited:
+                continue
+            visited.add(nb)
+            s = float(vecs[nb] @ q)
+            if len(result) < ef or s > result[0][0]:
+                heapq.heappush(cand, (-s, nb))
+                heapq.heappush(result, (s, -nb))
+                if len(result) > ef:
+                    heapq.heappop(result)
+    out = sorted(((s, -nid) for s, nid in result), key=lambda t: (-t[0], t[1]))
+    return out
+
+
+def hnsw_build(ids: np.ndarray, mat: np.ndarray, m: int = 8, ef_construction: int = 64):
+    """Deterministic HNSW graph over NORMALIZED vectors (local indices).
+
+    Returns (layers, top_level, entry_point): ``layers[l][node]`` is the
+    node's neighbor list at layer ``l``.  M_max = m (upper layers) / 2m
+    (layer 0), neighbor selection = closest-m (the paper's simple
+    heuristic), links bidirectional with pruning."""
+    n = len(ids)
+    m_l = 1.0 / np.log(m)
+    levels = [_hnsw_level(int(ids[i]), m_l) for i in range(n)]
+    layers: list[dict[int, list[int]]] = [
+        {} for _ in range(max(levels, default=0) + 1)
+    ]
+    entry, top = 0, levels[0] if n else 0
+    for i in range(n):
+        li = levels[i]
+        for l in range(li + 1):
+            layers[l].setdefault(i, [])
+        if i == 0:
+            continue
+        ep = [entry]
+        for l in range(top, li, -1):
+            best = _hnsw_search_layer(mat[i], ep, 1, layers[l], mat)
+            ep = [best[0][1]]
+        for l in range(min(top, li), -1, -1):
+            m_max = 2 * m if l == 0 else m
+            found = _hnsw_search_layer(mat[i], ep, ef_construction, layers[l], mat)
+            neigh = [nid for _, nid in found[:m]]
+            layers[l][i] = list(neigh)
+            for nb in neigh:
+                lst = layers[l][nb]
+                lst.append(i)
+                if len(lst) > m_max:
+                    sims = mat[lst] @ mat[nb]
+                    order = np.lexsort((lst, -sims))[:m_max]
+                    layers[l][nb] = [lst[j] for j in order]
+            ep = [nid for _, nid in found]
+        if li > top:
+            entry, top = i, li
+    return layers, top, entry
+
+
+def hnsw_search(q, layers, top, entry, vecs, k: int, ef_search: int = 64):
+    """Top-k (sim, local index) for one query against one graph."""
+    if not layers or not layers[0]:
+        return []
+    ep = [entry]
+    for l in range(top, 0, -1):
+        best = _hnsw_search_layer(q, ep, 1, layers[l], vecs)
+        ep = [best[0][1]]
+    found = _hnsw_search_layer(q, ep, max(ef_search, k), layers[0], vecs)
+    return found[:k]
+
+
+def knn_hnsw(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    m: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 64,
+    block_rows: int = 128,
+) -> pa.Table:
+    """ES/Lucene-architecture HNSW kNN: (query_id, rank, vec_id, sim).
+
+    One graph per BLOCK (Lucene: per segment), built inside the Ray task
+    that owns the block — the build parallelizes across blocks with no
+    coordination, which is exactly why Lucene tolerates HNSW's sequential
+    insert loop.  Every block answers all queries (ES fans a kNN search
+    to every segment), the driver merge is queries × k × blocks rows.
+    Fully deterministic (hash levels, id-ordered inserts, total
+    tie-breaks): the same corpus gives the same graph at any parallelism
+    because blocks are row ranges of the id-sorted file."""
+    import ray
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    q_ref = ray.put(_normalize(q_mat))
+
+    def block_search(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "q": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        ids, mat = _batch_matrix(batch)
+        mat = _normalize(mat)
+        layers, topl, entry = hnsw_build(ids, mat, m=m, ef_construction=ef_construction)
+        q = ray.get(q_ref)
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(q.shape[0]):
+            for s, li in hnsw_search(q[qi], layers, topl, entry, mat, k, ef_search):
+                rows_q.append(qi)
+                rows_v.append(int(ids[li]))
+                rows_s.append(float(sql_round(s, ROUND)))
+        return pa.table(
+            {
+                "q": pa.array(rows_q, type=pa.int64()),
+                "vec_id": pa.array(rows_v, type=pa.int64()),
+                "sim": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in _read_embeddings(sf_dir)
+            .map_batches(
+                block_search,
+                batch_format="pyarrow",
+                batch_size=block_rows,
+                zero_copy_batch=True,
+            )
+            .to_arrow_refs()
+        ]
+    )
+    out_rows = []
+    qcol = np.asarray(parts["q"]) if parts.num_rows else np.empty(0, np.int64)
+    vcol = np.asarray(parts["vec_id"]) if parts.num_rows else np.empty(0, np.int64)
+    scol = np.asarray(parts["sim"]) if parts.num_rows else np.empty(0, np.float64)
+    for qi in range(len(q_ids)):
+        msk = qcol == qi
+        order = np.lexsort((vcol[msk], -scol[msk]))[:k]
+        for rank, i in enumerate(order, start=1):
+            out_rows.append((int(q_ids[qi]), rank, int(vcol[msk][i]), float(scol[msk][i])))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
+            "vec_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
+            "sim": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )

@@ -1156,3 +1156,57 @@ def test_curriculum_stages_ntile(ray_session):
         assert max(by_stage[s]) <= min(by_stage[s + 1]) + 1e-12
     with pytest.raises(ValueError):
         curriculum_stages(SF, n_stages=0)
+
+
+def test_hnsw_recall_and_determinism(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_bruteforce, knn_hnsw
+
+    exact = knn_bruteforce(SF, n_queries=5, k=5)
+    h = knn_hnsw(SF, n_queries=5, k=5, block_rows=128)
+    eh = set(zip(exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()))
+    hh = set(zip(h["query_id"].to_pylist(), h["vec_id"].to_pylist()))
+    recall = len(eh & hh) / len(eh)
+    assert recall >= 0.8, f"HNSW recall {recall:.2f} too low"
+    # the query's own vector (rank 1, sim 1.0) must be found
+    top1 = {
+        (q, v)
+        for q, r, v in zip(
+            exact["query_id"].to_pylist(), exact["rank"].to_pylist(),
+            exact["vec_id"].to_pylist(),
+        )
+        if r == 1
+    }
+    assert top1 <= hh
+    # hash levels + id-ordered inserts + total tie-breaks → deterministic
+    assert knn_hnsw(SF, n_queries=5, k=5, block_rows=128).equals(h)
+    # block size changes the graphs but keeps quality (per-segment search)
+    h2 = knn_hnsw(SF, n_queries=5, k=5, block_rows=256)
+    hh2 = set(zip(h2["query_id"].to_pylist(), h2["vec_id"].to_pylist()))
+    assert len(eh & hh2) / len(eh) >= 0.8
+
+
+def test_hnsw_graph_invariants():
+    from bitcoin_ledger_2es_ray.pipelines.ann import (
+        _normalize,
+        hnsw_build,
+        hnsw_search,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = _normalize(rng.normal(size=(200, 16)))
+    ids = np.arange(200, dtype=np.int64)
+    layers, top, entry = hnsw_build(ids, mat, m=6, ef_construction=48)
+    # degree bounds: <= 2m at layer 0, <= m above (post-pruning)
+    assert all(len(v) <= 12 for v in layers[0].values())
+    for l in range(1, len(layers)):
+        assert all(len(v) <= 6 + 6 for v in layers[l].values())  # pre-prune slack
+    # layer populations shrink geometrically-ish
+    assert len(layers[0]) == 200
+    if len(layers) > 1:
+        assert len(layers[1]) < 200
+    # brute-force top-1 found for most corpus vectors used as queries
+    hit = 0
+    for i in range(0, 200, 10):
+        got = hnsw_search(mat[i], layers, top, entry, mat, k=1, ef_search=48)
+        hit += got and got[0][1] == i
+    assert hit >= 18  # >= 90% self-recall
