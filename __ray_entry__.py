@@ -2342,6 +2342,14 @@ def _q_quality(sf_dir: str) -> pa.Table:
     return quality_scores(sf_dir)
 
 
+def _q_mlm_examples(sf_dir: str) -> pa.Table:
+    """MLM example generation: deterministic (pos+doc) mod 7 masking —
+    reproducible across runs/workers; one all-Arrow pass."""
+    from bitcoin_ledger_2es_ray.pipelines.textstats import mlm_examples
+
+    return mlm_examples(sf_dir, stride=7)
+
+
 def _q_tokenizer_stats(sf_dir: str) -> pa.Table:
     """Tokenizer fertility per language: docs, tokens, avg dl and
     chars/token — per-batch partials, driver combine bounded by #langs."""
@@ -3990,6 +3998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,  # rows-only (hash function not SQL-expressible)
         "quality_scores": _q_quality,
         "tokenizer_stats": _q_tokenizer_stats,
+        "mlm_examples": _q_mlm_examples,
         "quality_classifier": _q_quality_classifier,
         "token_count_bpe": _q_bpe,
         "lang_id": _q_lang_id,  # rows-only (heuristic model)
@@ -6710,6 +6719,20 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        round(sum(len(text))::DOUBLE / sum(len(string_split(text, ' '))), 6)
          AS chars_per_token
 FROM documents GROUP BY lang ORDER BY lang
+""",
+        # MLM masking: (pos + doc_id) mod 7 == 0 → [MASK] (0-based pos)
+        "mlm_examples": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT doc_id,
+       string_agg(CASE WHEN (pos - 1 + doc_id) % 7 = 0 THEN '[MASK]' ELSE tok END,
+                  ' ' ORDER BY pos) AS masked,
+       count(*) FILTER ((pos - 1 + doc_id) % 7 = 0)::BIGINT AS n_masked
+FROM tok GROUP BY doc_id ORDER BY doc_id
 """,
         # fixed-weight logistic quality classifier (threshold on rounded p)
         "quality_classifier": """

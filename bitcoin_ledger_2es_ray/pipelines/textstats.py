@@ -555,3 +555,49 @@ def quality_classifier(sf_dir: str, threshold: float = 0.5) -> pa.Table:
 
 def quality_classifier_to_parquet(sf_dir: str, out_dir: str, threshold: float = 0.5) -> str:
     return write_dataset(quality_classifier_ds(sf_dir, threshold), out_dir)
+
+
+def mlm_examples_ds(sf_dir: str, stride: int = 7, mask_token: str = "[MASK]"):
+    """MLM training-example generation as a streaming Dataset: every token
+    whose (position + doc_id) ≡ 0 (mod ``stride``) is replaced by
+    ``mask_token`` (~1/stride masking rate — BERT's 15% at stride 7).
+
+    DETERMINISTIC masking (position+doc keyed, no RNG) so examples are
+    reproducible across runs/workers and the SQL oracle can replay them —
+    a real pipeline swaps in a seeded hash without touching the plan.
+    One pass, all-Arrow: split → flat mask → list rebuild → join."""
+    def mask(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        lengths = pc.list_value_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        toks = flat.flatten()
+        doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        pos = np.arange(len(toks), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+        doc_of = np.repeat(doc_ids, lengths)
+        hit = (pos + doc_of) % stride == 0
+        masked = pc.if_else(pa.array(hit), pa.scalar(mask_token), toks)
+        rebuilt = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), masked)
+        joined = pc.binary_join(rebuilt, " ")
+        n_masked = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(n_masked, np.repeat(np.arange(batch.num_rows), lengths), hit.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "masked": joined,
+                "n_masked": pa.array(n_masked),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(
+        mask, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def mlm_examples(sf_dir: str, stride: int = 7) -> pa.Table:
+    return _collect_sorted(mlm_examples_ds(sf_dir, stride))
+
+
+def mlm_examples_to_parquet(sf_dir: str, out_dir: str, stride: int = 7) -> str:
+    return write_dataset(mlm_examples_ds(sf_dir, stride), out_dir)

@@ -1210,3 +1210,29 @@ def test_hnsw_graph_invariants():
         got = hnsw_search(mat[i], layers, top, entry, mat, k=1, ef_search=48)
         hit += got and got[0][1] == i
     assert hit >= 18  # >= 90% self-recall
+
+
+def test_mlm_examples_brute(ray_session, tmp_path):
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.textstats import (
+        mlm_examples,
+        mlm_examples_to_parquet,
+    )
+
+    out = mlm_examples(SF, stride=5)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        toks = t.split(" ")
+        masked = [
+            "[MASK]" if (i + d) % 5 == 0 else w for i, w in enumerate(toks)
+        ]
+        want[d] = (" ".join(masked), sum((i + d) % 5 == 0 for i in range(len(toks))))
+    for r in out.to_pylist():
+        assert (r["masked"], r["n_masked"]) == want[r["doc_id"]]
+    # sink matches the collected table
+    sink = mlm_examples_to_parquet(SF, str(tmp_path / "mlm"), stride=5)
+    written = pads.dataset(sink).to_table().sort_by("doc_id")
+    assert written.equals(out.cast(written.schema))
