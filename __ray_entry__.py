@@ -2901,6 +2901,22 @@ def _q_percolate(sf_dir: str) -> pa.Table:
     return percolate(sf_dir, _fixture_queries(store))
 
 
+def _q_percolate_phrase(sf_dir: str) -> pa.Table:
+    """Percolator over match_phrase queries: the fixture PHRASES register
+    and the doc stream percolates with the phrase-key kernel over freshly
+    tokenized positions — shares phrase_match's oracle (same phrase set,
+    transposed plan, no index)."""
+    from bitcoin_ledger_2es_ray.pipelines.percolate import percolate_phrases
+
+    out = percolate_phrases(sf_dir, _phrase_queries(sf_dir))
+    return pa.table(
+        {
+            "query_id": out["query_id"],
+            "doc_id": out["doc_id"],
+        }
+    ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
 def _q_rank_eval(sf_dir: str) -> pa.Table:
     """ES ``_rank_eval``: precision@10 / recall@10 / MRR of the BM25
     ranking against the conjunctive AND-match qrels."""
@@ -3879,6 +3895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_sorted_topk": _q_index_sorted_topk,
         "mget": _q_mget,
         "percolate": _q_percolate,
+        "percolate_phrase": _q_percolate_phrase,
         "rank_eval": _q_rank_eval,
         "hard_negatives": _q_hard_negatives,
         "bpe_merges": _q_bpe_merges,
@@ -8062,4 +8079,5 @@ FROM t ORDER BY query
     sql["reshard_topk"] = sql["bm25_topk"]
     sql["pit_search"] = sql["bm25_topk"]
     sql["async_search"] = sql["bm25_topk"]
+    sql["percolate_phrase"] = sql["phrase_match"]
     return sql

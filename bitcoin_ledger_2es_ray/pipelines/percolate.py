@@ -105,3 +105,86 @@ def percolate(sf_dir: str, queries: pa.Table) -> pa.Table:
     return pa.concat_tables(parts).sort_by(
         [("doc_id", "ascending"), ("query_id", "ascending")]
     )
+
+
+def percolate_phrases(sf_dir: str, phrases: pa.Table) -> pa.Table:
+    """Percolator over ``match_phrase`` queries: (doc_id, query_id) for
+    every registered PHRASE occurring contiguously in the doc.
+
+    ES percolation accepts any query, positional ones included; the graft
+    runs the same phrase-key kernel the forward (index-side) phrase query
+    uses — ``(doc << 25) | (pos − j)`` candidate-start sets per
+    (term, offset) requirement, intersected smallest-first — but over the
+    BATCH's freshly tokenized positions instead of the positional index,
+    so the doc stream still never touches an index.  Phrase set broadcast
+    once; per-batch work is vectorized per registered phrase (#phrases ≪
+    stream, the percolator's standing assumption)."""
+    import ray
+    import ray.data as rd
+
+    compiled = []
+    for qid, text in zip(phrases["query_id"].to_pylist(), phrases["text"].to_pylist()):
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            raise ValueError(f"empty phrase for query {qid}")
+        compiled.append((int(qid), toks))
+    comp_ref = ray.put(compiled)
+    SHIFT = 25
+
+    def match_batch(batch: pa.Table) -> pa.Table:
+        terms, doc_idx, _dl, pos = tokenize_flat(batch["text"], return_positions=True)
+        doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)[doc_idx]
+        pos = np.asarray(pos, dtype=np.int64)
+        term_np = np.asarray(terms)
+        out_d, out_q = [], []
+        for qid, toks in ray.get(comp_ref):
+            keysets = []
+            ok = True
+            for j, t in enumerate(toks):
+                occ = term_np == t.lower()
+                if not occ.any():
+                    ok = False
+                    break
+                start = pos[occ] - j
+                good = start >= 0
+                keys = (doc_ids[occ][good] << SHIFT) | start[good]
+                if len(keys) == 0:
+                    ok = False
+                    break
+                keysets.append(np.unique(keys))
+            if not ok:
+                continue
+            keysets.sort(key=len)
+            cur = keysets[0]
+            for ks in keysets[1:]:
+                cur = cur[np.isin(cur, ks, assume_unique=True)]
+                if len(cur) == 0:
+                    break
+            if len(cur) == 0:
+                continue
+            for d in np.unique(cur >> SHIFT):
+                out_d.append(int(d))
+                out_q.append(qid)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "query_id": pa.array(out_q, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(match_batch, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "query_id": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by(
+        [("doc_id", "ascending"), ("query_id", "ascending")]
+    )

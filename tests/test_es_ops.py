@@ -1162,6 +1162,45 @@ def test_percentile_ranks_matches_numpy(built, ray_session):
     assert got["pct"].iloc[-1] == 100.0  # v beyond max dl covers everything
 
 
+def test_percolate_phrases_brute(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from bitcoin_ledger_2es_ray.pipelines.percolate import percolate_phrases
+
+    docs = [
+        "alpha beta gamma",
+        "beta alpha gamma beta alpha",
+        "gamma gamma alpha beta",
+        "beta gamma",
+    ]
+    sf = str(tmp_path)
+    _pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": docs}),
+        f"{sf}/documents.parquet",
+    )
+    phrases = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": ["alpha beta", "gamma beta alpha", "beta zeta"],
+        }
+    )
+    out = percolate_phrases(sf, phrases).to_pylist()
+    got = {(r["doc_id"], r["query_id"]) for r in out}
+    want = set()
+    for qid, p in enumerate(["alpha beta", "gamma beta alpha", "beta zeta"]):
+        toks = p.split(" ")
+        for d, t in enumerate(docs):
+            dt = t.split(" ")
+            if any(dt[s : s + len(toks)] == toks for s in range(len(dt) - len(toks) + 1)):
+                want.add((d, qid))
+    assert got == want and (1, 1) in got and not any(q == 2 for _, q in got)
+    with pytest.raises(ValueError):
+        percolate_phrases(sf, pa.table(
+            {"query_id": pa.array([0], type=pa.int64()), "text": [""]}))
+
+
 def test_percolate_matches_transposed_and(built, ray_session):
     from bitcoin_ledger_2es_ray.pipelines.percolate import percolate
 
