@@ -2917,6 +2917,35 @@ def _q_percolate_phrase(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
 
 
+def _q_prf_expand(sf_dir: str) -> pa.Table:
+    """Rocchio pseudo-relevance feedback: top-3 feedback docs → top-3
+    summed-tf·idf expansion terms (query terms excluded) → BM25 re-run
+    with expansion contributions at weight 0.5."""
+    from bitcoin_ledger_2es_ray.pipelines.mlt import prf_expand_topk
+
+    store, res = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        top = prf_expand_topk(
+            store, res.out_dir, text, k=_TOP_K, n_feedback=3, n_expand=3,
+            expand_weight=0.5, round_decimals=_ROUND,
+        )
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_rank_eval(sf_dir: str) -> pa.Table:
     """ES ``_rank_eval``: precision@10 / recall@10 / MRR of the BM25
     ranking against the conjunctive AND-match qrels."""
@@ -3896,6 +3925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mget": _q_mget,
         "percolate": _q_percolate,
         "percolate_phrase": _q_percolate_phrase,
+        "prf_expand": _q_prf_expand,
         "rank_eval": _q_rank_eval,
         "hard_negatives": _q_hard_negatives,
         "bpe_merges": _q_bpe_merges,
@@ -7398,6 +7428,74 @@ ranked AS (
 SELECT r.query_id, r.rank::BIGINT AS rank, r.doc_id, r.score
 FROM ranked r JOIN (SELECT DISTINCT query_id FROM anded) q USING (query_id)
 WHERE r.rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
+        # Rocchio PRF: fb top-3 → 3 expansion terms (Σtf·idf) → weighted rerun
+        "prf_expand": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= 3
+),
+cand AS (
+  SELECT f.query_id, tf.term, sum(tf.tf) AS sum_tf
+  FROM fb f JOIN tf ON tf.doc_id = f.doc_id
+  GROUP BY 1, 2
+),
+expn AS (
+  SELECT query_id, term FROM (
+    SELECT c.query_id, c.term,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY round(c.sum_tf * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)), 6)
+                        DESC,
+                      c.term ASC) AS rnk
+    FROM cand c
+    JOIN df d ON d.term = c.term
+    CROSS JOIN stats st
+    ANTI JOIN qterm q ON q.query_id = c.query_id AND q.term = c.term
+  ) WHERE rnk <= 3
+),
+wterms AS (
+  SELECT query_id, term, 1.0 AS w FROM qterm
+  UNION ALL
+  SELECT query_id, term, 0.5 AS w FROM expn
+),
+final AS (
+  SELECT wt.query_id, tf.doc_id,
+         round(sum( wt.w * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM wterms wt
+  JOIN df ON df.term = wt.term
+  JOIN tf ON tf.term = wt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY wt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM final
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """.replace("{k}", str(_TOP_K)),
         # DPR triples: 2 lowest-id positives × 3 hardest negatives per query
         "dpr_triples": _PRELUDE

