@@ -2342,6 +2342,31 @@ def _q_quality(sf_dir: str) -> pa.Table:
     return quality_scores(sf_dir)
 
 
+def _q_simulate_pipeline(sf_dir: str) -> pa.Table:
+    """ES ``_ingest/pipeline/_simulate``: gsub (vowel→'_') ▸ uppercase ▸
+    set tag ▸ fingerprint(text|lang) over the doc stream, in order."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import simulate_pipeline
+
+    out = simulate_pipeline(
+        sf_dir,
+        [
+            {"type": "gsub", "field": "text", "pattern": "[aeiou]", "replacement": "_"},
+            {"type": "uppercase", "field": "text"},
+            {"type": "set", "field": "tag", "value": "simulated"},
+            {"type": "fingerprint", "fields": ["text", "lang"], "target": "fp"},
+        ],
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].combine_chunks().cast(pa.int64()),
+            "text": out["text"],
+            "lang": out["lang"],
+            "tag": out["tag"],
+            "fp": out["fp"],
+        }
+    )
+
+
 def _q_mlm_examples(sf_dir: str) -> pa.Table:
     """MLM example generation: deterministic (pos+doc) mod 7 masking —
     reproducible across runs/workers; one all-Arrow pass."""
@@ -4046,6 +4071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "tokenizer_stats": _q_tokenizer_stats,
         "mlm_examples": _q_mlm_examples,
+        "simulate_pipeline": _q_simulate_pipeline,
         "quality_classifier": _q_quality_classifier,
         "token_count_bpe": _q_bpe,
         "lang_id": _q_lang_id,  # rows-only (heuristic model)
@@ -6766,6 +6792,17 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        round(sum(len(text))::DOUBLE / sum(len(string_split(text, ' '))), 6)
          AS chars_per_token
 FROM documents GROUP BY lang ORDER BY lang
+""",
+        # ingest-pipeline simulate: gsub ▸ uppercase ▸ set ▸ fingerprint
+        "simulate_pipeline": """
+WITH s AS (
+  SELECT doc_id,
+         upper(regexp_replace(text, '[aeiou]', '_', 'g')) AS text,
+         lang
+  FROM documents)
+SELECT doc_id, text, lang, 'simulated' AS tag,
+       sha256(text || '|' || lang) AS fp
+FROM s ORDER BY doc_id
 """,
         # MLM masking: (pos + doc_id) mod 7 == 0 → [MASK] (0-based pos)
         "mlm_examples": """

@@ -500,3 +500,74 @@ def disk_usage(index_dir: str) -> pa.Table:
         for (a, c), (comp, unc) in sorted(agg.items())
     ]
     return pa.Table.from_pylist(rows)
+
+
+def simulate_pipeline(sf_dir: str, processors: list[dict]) -> "pa.Table":
+    """ES ``_ingest/pipeline/_simulate``: run an ordered processor chain
+    over the document stream and return the transformed docs — the
+    try-before-you-ingest API.  Supported processors (each one vectorized
+    Arrow, applied in list order exactly like ES):
+
+    - ``{"type": "lowercase", "field": f}``
+    - ``{"type": "uppercase", "field": f}``
+    - ``{"type": "gsub", "field": f, "pattern": p, "replacement": r}``
+      (RE2 semantics — the same engine the redaction pipeline uses)
+    - ``{"type": "set", "field": f, "value": v}``  (constant column)
+    - ``{"type": "trim", "field": f}``
+    - ``{"type": "fingerprint", "fields": [f, ...], "target": t}``
+      (sha256 hex of the '|'-joined fields — ES's fingerprint processor
+      with its default separator)
+
+    Unknown processor types raise up front (ES rejects the pipeline at
+    registration, not per doc)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    KNOWN = {"lowercase", "uppercase", "gsub", "set", "trim", "fingerprint"}
+    for p in processors:
+        if p.get("type") not in KNOWN:
+            raise ValueError(f"unknown processor type {p.get('type')!r}")
+
+    def apply(batch: pa.Table) -> pa.Table:
+        cols = {name: batch[name].combine_chunks() for name in batch.column_names}
+        for p in processors:
+            t = p["type"]
+            if t == "lowercase":
+                cols[p["field"]] = pc.utf8_lower(cols[p["field"]])
+            elif t == "uppercase":
+                cols[p["field"]] = pc.utf8_upper(cols[p["field"]])
+            elif t == "gsub":
+                cols[p["field"]] = pc.replace_substring_regex(
+                    cols[p["field"]], p["pattern"], p["replacement"]
+                )
+            elif t == "set":
+                cols[p["field"]] = pa.array(
+                    [p["value"]] * batch.num_rows, type=pa.string()
+                )
+            elif t == "trim":
+                cols[p["field"]] = pc.utf8_trim_whitespace(cols[p["field"]])
+            elif t == "fingerprint":
+                joined = cols[p["fields"][0]].cast(pa.string())
+                for f in p["fields"][1:]:
+                    joined = pc.binary_join_element_wise(
+                        joined, cols[f].cast(pa.string()), "|"
+                    )
+                cols[p["target"]] = pa.array(
+                    [
+                        hashlib.sha256(v.as_py().encode()).hexdigest()
+                        for v in joined
+                    ],
+                    type=pa.string(),
+                )
+        return pa.table(cols)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts).sort_by("doc_id")

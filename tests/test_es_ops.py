@@ -2767,3 +2767,42 @@ def test_prf_expand_brute(built):
         assert got == want, text
         # expansion changed the ranking vs plain BM25 for at least one query
     assert prf_expand_topk(store, res.out_dir, "zzznope", k=5) == []
+
+
+def test_simulate_pipeline_order_and_errors(ray_session, tmp_path):
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    from bitcoin_ledger_2es_ray.pipelines.apis import simulate_pipeline
+
+    sf = str(tmp_path)
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": ["  Hello World  ", "abc DEF"],
+                "lang": ["en", "de"],
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    out = simulate_pipeline(
+        sf,
+        [
+            {"type": "trim", "field": "text"},
+            {"type": "lowercase", "field": "text"},
+            {"type": "gsub", "field": "text", "pattern": "o", "replacement": "0"},
+            {"type": "fingerprint", "fields": ["text", "lang"], "target": "fp"},
+        ],
+    ).to_pylist()
+    # ORDER matters: trim then lowercase then gsub
+    assert out[0]["text"] == "hell0 w0rld"
+    assert out[1]["text"] == "abc def"
+    for r in out:
+        assert r["fp"] == hashlib.sha256(
+            f"{r['text']}|{r['lang']}".encode()
+        ).hexdigest()
+    # unknown processor rejected at registration (pipeline-level, like ES)
+    with pytest.raises(ValueError, match="unknown processor"):
+        simulate_pipeline(sf, [{"type": "frobnicate", "field": "text"}])
