@@ -3880,6 +3880,91 @@ def _q_validate(sf_dir: str) -> pa.Table:
     return validate_query(_VALIDATE_FIXTURE)
 
 
+def _lang_of(res) -> dict[int, str]:
+    """Doc-values lang column off the forward map (same pattern as
+    collapse's repo lookup)."""
+    import pyarrow.parquet as pqm
+
+    fwd = pqm.read_table(
+        os.path.join(res.out_dir, "forward_map"), columns=["doc_id", "lang"]
+    )
+    return dict(zip(fwd["doc_id"].to_pylist(), fwd["lang"].to_pylist()))
+
+
+def _post_filter_both(sf_dir: str):
+    from bitcoin_ledger_2es_ray.pipelines.structured import post_filter_search
+
+    store, res = _store_for(sf_dir)
+    lang_of = _lang_of(res)
+    queries = _fixture_queries(store)
+    hits_rows, agg_rows = [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        hits, aggs = post_filter_search(
+            store, text, _TOP_K, lang_of, "en", round_decimals=_ROUND
+        )
+        for r, (d, s, tot) in enumerate(hits, start=1):
+            hits_rows.append((qid, r, d, s, tot))
+        for lang, c in aggs:
+            agg_rows.append((qid, lang, c))
+    return hits_rows, agg_rows
+
+
+def _q_post_filter_hits(sf_dir: str) -> pa.Table:
+    """ES ``post_filter`` hit list: match query, hits filtered to lang='en'
+    AFTER aggs, ``track_total_hits`` = post-filtered match count."""
+    hits_rows, _ = _post_filter_both(sf_dir)
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in hits_rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in hits_rows], type=pa.int64()),
+            "doc_id": pa.array([r[2] for r in hits_rows], type=pa.int64()),
+            "score": pa.array([r[3] for r in hits_rows], type=pa.float64()),
+            "total_hits": pa.array([r[4] for r in hits_rows], type=pa.int64()),
+        }
+    )
+
+
+def _q_post_filter_aggs(sf_dir: str) -> pa.Table:
+    """ES ``post_filter`` agg side: the lang facet counts EVERY matching
+    doc (the post_filter never reaches the aggregations)."""
+    _, agg_rows = _post_filter_both(sf_dir)
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in agg_rows], type=pa.int64()),
+            "lang": pa.array([r[1] for r in agg_rows], type=pa.string()),
+            "doc_count": pa.array([r[2] for r in agg_rows], type=pa.int64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("lang", "ascending")])
+
+
+_MIN_SCORE = 0.5
+
+
+def _q_named_queries(sf_dir: str) -> pa.Table:
+    """ES named queries + ``min_score``: per-hit matched_queries (clause
+    name = the term), hits below the rounded min_score dropped."""
+    from bitcoin_ledger_2es_ray.pipelines.structured import named_queries_topk
+
+    store, _res = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    rows = []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        top = named_queries_topk(
+            store, text, _TOP_K, min_score=_MIN_SCORE, round_decimals=_ROUND
+        )
+        for r, (d, s, m) in enumerate(top, start=1):
+            rows.append((qid, r, d, s, m))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "score": pa.array([r[3] for r in rows], type=pa.float64()),
+            "matched": pa.array([r[4] for r in rows], type=pa.string()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core engine (SURVEY.md §2)
@@ -4046,6 +4131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_score_topk": _q_script_score,
         "explain": _q_explain,
         "collapse_topk": _q_collapse_topk,
+        "post_filter_hits": _q_post_filter_hits,
+        "post_filter_aggs": _q_post_filter_aggs,
+        "named_queries": _q_named_queries,
         "rrf_hybrid": _q_rrf_hybrid,
         "mmr_rerank": _q_mmr_rerank,
         "knn_similarity": _q_knn_similarity,
@@ -4563,6 +4651,76 @@ ranked AS (
 SELECT query_id, rank::BIGINT AS rank, doc_id, repo, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """.replace("{k}", str(_TOP_K)),
+        # post_filter: hits filtered to lang='en' AFTER aggs; hits.total
+        # counts the post-filtered matches (track_total_hits)
+        "post_filter_hits": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+enriched AS (
+  SELECT sc.query_id, sc.doc_id, sc.score, d.lang
+  FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+filt AS (
+  SELECT query_id, doc_id, score,
+         count(*) OVER (PARTITION BY query_id) AS total_hits,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM enriched WHERE lang = 'en'
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score,
+       total_hits::BIGINT AS total_hits
+FROM filt WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
+        # post_filter agg side: the lang facet sees EVERY matching doc
+        "post_filter_aggs": _PRELUDE
+        + """
+, scored AS (
+  SELECT DISTINCT qt.query_id, tf.doc_id
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+)
+SELECT sc.query_id, d.lang, count(*)::BIGINT AS doc_count
+FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+GROUP BY 1, 2 ORDER BY query_id, lang
+""",
+        # named queries + min_score: matched_queries = sorted clause names
+        # (clause name = the term), rounded score >= min_score
+        "named_queries": _PRELUDE
+        + """
+, per AS (
+  SELECT qt.query_id, tf.doc_id, qt.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS contrib
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id, round(sum(contrib), 6) AS score,
+         string_agg(term, ',' ORDER BY term) AS matched
+  FROM per GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score, matched,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg WHERE score >= {ms}
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score, matched
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)).replace("{ms}", str(_MIN_SCORE)),
         # minimum_should_match: query q requires m = 1 + (q mod nt) of its
         # nt distinct fixture terms
         "min_should_match": _PRELUDE

@@ -818,3 +818,105 @@ def sparse_vector_topk(
         final = sql_round(final, round_decimals)
     order = topk_order(final, uniq, k)
     return [(int(uniq[i]), float(final[i])) for i in order]
+
+
+def post_filter_search(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    lang_of: dict[int, str],
+    filter_lang: str,
+    round_decimals: int | None = None,
+) -> tuple[list[tuple[int, float, int]], list[tuple[str, int]]]:
+    """ES ``post_filter`` + ``track_total_hits`` (the faceted-search
+    contract): the match query drives BOTH the hits and the aggregations,
+    but ``post_filter`` applies to the HITS ONLY — the lang facet keeps
+    counting every matching doc so all filter options stay visible while
+    the hit list shows one lang.  ``hits.total`` counts the POST-filtered
+    matches (the filter is part of what the user sees as "hits").
+
+    Returns ``(hits, aggs)``: hits = top-k ``(doc_id, score, total_hits)``
+    among matches with ``lang_of[doc] == filter_lang``, ranked on the
+    rounded score; aggs = ``(lang, doc_count)`` over the UNFILTERED
+    matches, sorted by lang.
+
+    ``lang_of`` is the doc-values column (forward-map lang, read once per
+    store — the per-actor analog of the dl array the postings already
+    carry; at cluster scale it rides the owning actor's partition).
+    """
+    from ..functions.bm25 import sql_round, topk_order
+
+    uniq, scores = _score_map(store, text)
+    if len(uniq) == 0:
+        return [], []
+    langs = np.array([lang_of[int(d)] for d in uniq])
+    agg_langs, agg_counts = np.unique(langs, return_counts=True)
+    aggs = [(str(l), int(c)) for l, c in zip(agg_langs, agg_counts)]
+    mask = langs == filter_lang
+    f_docs, f_scores = uniq[mask], scores[mask]
+    total = int(mask.sum())
+    if round_decimals is not None:
+        f_scores = sql_round(f_scores, round_decimals)
+    order = topk_order(f_scores, f_docs, k)
+    hits = [(int(f_docs[i]), float(f_scores[i]), total) for i in order]
+    return hits, aggs
+
+
+def named_queries_topk(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    min_score: float = 0.0,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float, str]]:
+    """ES named queries + ``min_score``: each query term is a named
+    ``should`` clause (``_name`` = the term itself); every hit reports
+    ``matched_queries`` — the comma-joined sorted names of the clauses
+    that matched it — and hits whose ROUNDED score falls below
+    ``min_score`` are dropped before ranking (ES applies min_score to the
+    final hit score, after boosting, before pagination).
+
+    One pass over the per-term posting arrays: the concatenated doc/term
+    stream sorted by (doc, term) yields both the score accumulation and
+    the matched-name runs without a per-doc Python loop over postings.
+    """
+    from ..functions.bm25 import sql_round, tf_norm, topk_order
+
+    terms = sorted(set(tokenize_query(text)))
+    doc_parts, contrib_parts, term_idx_parts = [], [], []
+    kept_terms: list[str] = []
+    for term in terms:
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        if len(d) == 0:
+            continue
+        ti = len(kept_terms)
+        kept_terms.append(term)
+        doc_parts.append(d)
+        contrib_parts.append(
+            float(idf(store.n_docs, df_t)) * tf_norm(tf, dl, store.avgdl)
+        )
+        term_idx_parts.append(np.full(len(d), ti, dtype=np.int64))
+    if not doc_parts:
+        return []
+    docs = np.concatenate(doc_parts)
+    contribs = np.concatenate(contrib_parts)
+    tidx = np.concatenate(term_idx_parts)
+    # sort by (doc, term index): scores sum per run, names join per run
+    order = np.lexsort((tidx, docs))
+    docs, contribs, tidx = docs[order], contribs[order], tidx[order]
+    head = np.concatenate(([True], docs[1:] != docs[:-1]))
+    starts = np.flatnonzero(head)
+    uniq = docs[starts]
+    scores = np.add.reduceat(contribs, starts)
+    name_runs = np.split(tidx, starts[1:])
+    matched = [",".join(kept_terms[i] for i in run) for run in name_runs]
+    if round_decimals is not None:
+        scores = sql_round(scores, round_decimals)
+    keep = scores >= min_score
+    uniq, scores = uniq[keep], scores[keep]
+    matched = [m for m, kp in zip(matched, keep) if kp]
+    top = topk_order(scores, uniq, k)
+    return [(int(uniq[i]), float(scores[i]), matched[i]) for i in top]

@@ -503,3 +503,65 @@ def test_sparse_vector_dot_product(corpus_store):
         ((d, round(s, 6)) for d, s in want.items()), key=lambda kv: (-kv[1], kv[0])
     )[:10]
     assert [(d, round(s, 6)) for d, s in got] == expect
+
+
+def test_post_filter_hits_vs_brute(corpus_store, built):
+    """post_filter: aggs over ALL matches, hits/total over the filtered set."""
+    from bitcoin_ledger_2es_ray.pipelines.structured import (
+        _score_map,
+        post_filter_search,
+    )
+
+    res, _, _ = built
+    fwd = pq.read_table(res.out_dir + "/forward_map", columns=["doc_id", "lang"])
+    lang_of = dict(zip(fwd["doc_id"].to_pylist(), fwd["lang"].to_pylist()))
+    docs, store = corpus_store
+    text = " ".join(_pick_terms(store, 3))
+    for lang in ("en", "zh"):
+        hits, aggs = post_filter_search(store, text, 5, lang_of, lang, round_decimals=6)
+        uniq, scores = _score_map(store, text)
+        scores = np.round(scores, 6)
+        # aggs ignore the filter: per-lang counts over every match
+        import collections
+
+        want_aggs = sorted(
+            collections.Counter(lang_of[int(d)] for d in uniq).items()
+        )
+        assert aggs == [(l, c) for l, c in want_aggs]
+        # hits: filtered, ranked (score DESC, doc ASC), total = filtered count
+        filt = [(int(d), float(s)) for d, s in zip(uniq, scores) if lang_of[int(d)] == lang]
+        filt.sort(key=lambda t: (-t[1], t[0]))
+        assert [(d, s) for d, s, _ in hits] == filt[:5]
+        assert all(tot == len(filt) for _, _, tot in hits)
+
+
+def test_named_queries_matched_and_min_score(corpus_store):
+    """matched_queries = sorted matching clause names; min_score drops
+    rounded-below hits before ranking."""
+    from bitcoin_ledger_2es_ray.functions.bm25 import idf, tf_norm
+    from bitcoin_ledger_2es_ray.pipelines.structured import named_queries_topk
+
+    docs, store = corpus_store
+    terms = sorted(set(_pick_terms(store, 3)))
+    text = " ".join(terms)
+    # brute force: per-doc score + matched set from the raw postings
+    per_doc: dict[int, float] = {}
+    matched: dict[int, list[str]] = {}
+    for t in terms:
+        d, tf, dl = store.postings(t)
+        contribs = float(idf(store.n_docs, store.td.df_of(t))) * tf_norm(
+            tf, dl, store.avgdl
+        )
+        for di, c in zip(d.tolist(), contribs.tolist()):
+            per_doc[di] = per_doc.get(di, 0.0) + c
+            matched.setdefault(di, []).append(t)
+    rows = sorted(
+        ((d, round(s, 6), ",".join(sorted(matched[d]))) for d, s in per_doc.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+    for ms in (0.0, 0.5, 2.0):
+        want = [r for r in rows if r[1] >= ms][:10]
+        got = named_queries_topk(store, text, 10, min_score=ms, round_decimals=6)
+        assert got == want
+    # a min_score above every score returns nothing
+    assert named_queries_topk(store, text, 10, min_score=1e9, round_decimals=6) == []
