@@ -3965,6 +3965,46 @@ def _q_named_queries(sf_dir: str) -> pa.Table:
     )
 
 
+# ES|QL (`POST /_query`) pipes — parsed and compiled onto Ray Data by
+# pipelines/esql.py; fixed sources so the DuckDB oracles are exact mirrors.
+_ESQL_STATS = (
+    'FROM documents | WHERE n_chars >= 100 '
+    '| STATS cnt = COUNT(*), avg_chars = AVG(n_chars), max_chars = MAX(n_chars) '
+    'BY lang | SORT lang'
+)
+_ESQL_TOPN = (
+    'FROM events | WHERE event_type == "click" '
+    '| EVAL v2 = ROUND(value * 2, 6) '
+    '| SORT v2 DESC, event_id ASC | LIMIT 20 | KEEP event_id, v2'
+)
+_ESQL_EVAL = (
+    'FROM documents | EVAL half = ROUND(LENGTH(text) / 2, 6) '
+    '| WHERE half > 150 AND lang == "en" '
+    '| KEEP doc_id, n_chars, half | SORT doc_id ASC | LIMIT 50'
+)
+
+
+def _q_esql_stats(sf_dir: str) -> pa.Table:
+    """ES|QL STATS..BY pipe: mergeable per-batch partials + driver combine."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_STATS, sf_dir)
+
+
+def _q_esql_topn(sf_dir: str) -> pa.Table:
+    """ES|QL EVAL + SORT/LIMIT pipe: per-batch partial top-k, driver merge."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_TOPN, sf_dir)
+
+
+def _q_esql_eval(sf_dir: str) -> pa.Table:
+    """ES|QL EVAL with functions (LENGTH, ROUND) + WHERE + KEEP projection."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_EVAL, sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core engine (SURVEY.md §2)
@@ -4189,6 +4229,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox": _q_geo_bbox,
         "geo_centroid": _q_geo_centroid,
         "geotile_grid": _q_geotile_grid,
+        # ES|QL pipes (`POST /_query`)
+        "esql_stats": _q_esql_stats,
+        "esql_topn": _q_esql_topn,
+        "esql_eval": _q_esql_eval,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -8006,6 +8050,23 @@ FROM tiles GROUP BY 1 ORDER BY n DESC, tile ASC
 SELECT user_id, ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # ES|QL pipes: the oracle is the pipe's literal SQL transliteration
+        "esql_stats": """
+SELECT lang, count(*)::BIGINT AS cnt, round(avg(n_chars), 6) AS avg_chars,
+       max(n_chars) AS max_chars
+FROM documents WHERE n_chars >= 100 GROUP BY lang ORDER BY lang
+""",
+        "esql_topn": """
+SELECT event_id, round(value * 2, 6) AS v2
+FROM events WHERE event_type = 'click'
+ORDER BY v2 DESC, event_id ASC LIMIT 20
+""",
+        "esql_eval": """
+SELECT doc_id, n_chars, half FROM (
+  SELECT doc_id, n_chars, round(length(text) / 2, 6) AS half, lang
+  FROM documents
+) WHERE half > 150 AND lang = 'en' ORDER BY doc_id ASC LIMIT 50
 """,
         # ES date_histogram (1-day fixed interval) + stats sub-agg on value
         # transform pivot: entity-centric user aggregates

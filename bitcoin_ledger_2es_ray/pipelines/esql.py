@@ -1,0 +1,563 @@
+"""ES|QL: Elasticsearch's piped query language compiled onto Ray Data.
+
+Elasticsearch 8.11+ ships ES|QL (``POST /_query``): a pipe-syntax language
+(``FROM idx | WHERE ... | EVAL ... | STATS ... BY ... | SORT ... | LIMIT n``)
+whose engine computes each command as a streaming transform with mergeable
+per-node partial aggregates reduced on the coordinator.  The graft compiles
+the same surface onto the same physical shapes this repo already uses
+everywhere:
+
+- ``FROM`` → ``ray.data.read_parquet`` with the column set PRUNED to exactly
+  the columns the rest of the pipe references (a pipe that keeps 2 columns
+  reads 2 columns).
+- ``WHERE`` / ``EVAL`` / ``KEEP`` / ``DROP`` → ONE fused ``map_batches``
+  stage evaluating the expression AST with vectorized ``pyarrow.compute``
+  kernels (no per-row Python).
+- ``STATS ... BY`` → per-batch mergeable partials (count/sum/min/max; avg =
+  sum/count after the combine) + a driver Arrow combine bounded by #groups ×
+  #blocks — never a Ray all-to-all for bounded-cardinality buckets (the
+  repo's measured terms_agg/date_histogram pattern).
+- ``SORT ... | LIMIT k`` without STATS → per-batch partial top-k, driver
+  merge bounded by k × #blocks.  A bare LIMIT without a total-ordering SORT
+  is REJECTED (nondeterministic under parallel execution — ES|QL itself
+  warns results are arbitrary; the graft refuses instead).
+
+Expression language: ``== != > >= < <=``, ``AND OR NOT``, ``+ - * /``,
+``ROUND(x, d)`` (the repo's half-away-from-zero ``sql_round``, so float
+outputs meet the 6-dp oracle contract), ``ABS(x)``, ``LENGTH(s)``,
+string/numeric literals, and ``COUNT(*) / COUNT / SUM / MIN / MAX / AVG``
+in STATS.  Unsupported commands (DISSECT, GROK, ENRICH — the last exists
+as ``pipelines/enrich.py``) raise a parse error, mirroring ES|QL's
+verification phase.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.bm25 import sql_round
+
+# ---------------------------------------------------------------- lexer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<num>\d+\.\d+|\d+)
+  | (?P<op>==|!=|>=|<=|>|<|\+|-|\*|/|,|\(|\)|\|)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.*]*)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "FROM",
+    "WHERE",
+    "EVAL",
+    "STATS",
+    "BY",
+    "SORT",
+    "LIMIT",
+    "KEEP",
+    "DROP",
+    "AND",
+    "OR",
+    "NOT",
+    "ASC",
+    "DESC",
+}
+
+_UNSUPPORTED = {"DISSECT", "GROK", "ENRICH", "MV_EXPAND", "RENAME", "ROW", "SHOW"}
+
+
+def tokenize_esql(src: str) -> list[tuple[str, str]]:
+    """Lex an ES|QL source string into (kind, text) tokens."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            raise ValueError(f"esql: cannot lex at offset {pos}: {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "ident" and text.upper() in _KEYWORDS | _UNSUPPORTED:
+            out.append(("kw", text.upper()))
+        else:
+            out.append((kind, text))
+    return out
+
+
+# ---------------------------------------------------------------- parser
+#
+# Expression AST: ("col", name) | ("lit", value) | ("bin", op, l, r)
+#               | ("not", e) | ("func", NAME, [args])
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None):
+        t = self.next()
+        if t[0] != kind or (text is not None and t[1] != text):
+            raise ValueError(f"esql: expected {text or kind}, got {t}")
+        return t
+
+    # precedence: OR < AND < NOT < comparison < additive < multiplicative
+    def expr(self):
+        return self._or()
+
+    def _or(self):
+        left = self._and()
+        while self.peek() == ("kw", "OR"):
+            self.next()
+            left = ("bin", "or", left, self._and())
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self.peek() == ("kw", "AND"):
+            self.next()
+            left = ("bin", "and", left, self._not())
+        return left
+
+    def _not(self):
+        if self.peek() == ("kw", "NOT"):
+            self.next()
+            return ("not", self._not())
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._add()
+        if self.peek()[0] == "op" and self.peek()[1] in ("==", "!=", ">", ">=", "<", "<="):
+            op = self.next()[1]
+            return ("bin", op, left, self._add())
+        return left
+
+    def _add(self):
+        left = self._mul()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            left = ("bin", op, left, self._mul())
+        return left
+
+    def _mul(self):
+        left = self._atom()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            left = ("bin", op, left, self._atom())
+        return left
+
+    def _atom(self):
+        kind, text = self.next()
+        if kind == "num":
+            return ("lit", float(text) if "." in text else int(text))
+        if kind == "str":
+            return ("lit", text[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+        if kind == "op" and text == "(":
+            e = self.expr()
+            self.expect("op", ")")
+            return e
+        if kind == "op" and text == "-":
+            inner = self._atom()
+            if inner[0] == "lit":
+                return ("lit", -inner[1])
+            return ("bin", "-", ("lit", 0), inner)
+        if kind == "ident":
+            if self.peek() == ("op", "("):
+                self.next()
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.expr())
+                    while self.peek() == ("op", ","):
+                        self.next()
+                        args.append(self.expr())
+                self.expect("op", ")")
+                return ("func", text.upper(), args)
+            return ("col", text)
+        raise ValueError(f"esql: unexpected token {(kind, text)}")
+
+
+_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+
+
+@dataclass
+class EsqlPlan:
+    table: str
+    # row ops in PIPE ORDER (a WHERE may reference an earlier EVAL's column):
+    # ("where", expr) | ("eval", name, expr)
+    ops: list[tuple] = field(default_factory=list)
+    stats: list[tuple[str, str, str | None]] = field(default_factory=list)  # (out, fn, col)
+    by: list[str] = field(default_factory=list)
+    sort: list[tuple[str, bool]] = field(default_factory=list)  # (col, descending)
+    limit: int | None = None
+    keep: list[str] | None = None
+    drop: list[str] = field(default_factory=list)
+
+
+def parse_esql(src: str) -> EsqlPlan:
+    """Parse one ES|QL pipe into an :class:`EsqlPlan` (verification included)."""
+    toks = tokenize_esql(src)
+    p = _Parser(toks)
+    p.expect("kw", "FROM")
+    table = p.expect("ident")[1]
+    plan = EsqlPlan(table=table)
+    while p.peek() != ("eof", ""):
+        p.expect("op", "|")
+        kind, cmd = p.next()
+        if kind != "kw":
+            raise ValueError(f"esql: expected a command after '|', got {cmd!r}")
+        if cmd in _UNSUPPORTED:
+            raise ValueError(f"esql: unsupported command {cmd}")
+        if cmd == "WHERE":
+            plan.ops.append(("where", p.expr()))
+        elif cmd == "EVAL":
+            while True:
+                name = p.expect("ident")[1]
+                p.expect("op", "==")  # lexer folds '=' ... see below
+                plan.ops.append(("eval", name, p.expr()))
+                if p.peek() != ("op", ","):
+                    break
+                p.next()
+        elif cmd == "STATS":
+            if plan.stats:
+                raise ValueError("esql: only one STATS command per pipe")
+            while True:
+                name = p.expect("ident")[1]
+                p.expect("op", "==")
+                fn = p.expect("ident")[1].upper()
+                if fn not in _AGG_FUNCS:
+                    raise ValueError(f"esql: unknown aggregate {fn}")
+                p.expect("op", "(")
+                col: str | None = None
+                if p.peek() != ("op", ")"):
+                    t = p.next()
+                    if t == ("ident", "*") or t[1] == "*":
+                        col = None
+                    else:
+                        col = t[1]
+                p.expect("op", ")")
+                if fn != "COUNT" and col is None:
+                    raise ValueError(f"esql: {fn} needs a column argument")
+                plan.stats.append((name, fn, col))
+                if p.peek() != ("op", ","):
+                    break
+                p.next()
+            if p.peek() == ("kw", "BY"):
+                p.next()
+                while True:
+                    plan.by.append(p.expect("ident")[1])
+                    if p.peek() != ("op", ","):
+                        break
+                    p.next()
+        elif cmd == "SORT":
+            while True:
+                col = p.expect("ident")[1]
+                desc = False
+                if p.peek() in (("kw", "ASC"), ("kw", "DESC")):
+                    desc = p.next()[1] == "DESC"
+                plan.sort.append((col, desc))
+                if p.peek() != ("op", ","):
+                    break
+                p.next()
+        elif cmd == "LIMIT":
+            plan.limit = int(p.expect("num")[1])
+        elif cmd == "KEEP":
+            cols = []
+            while True:
+                cols.append(p.expect("ident")[1])
+                if p.peek() != ("op", ","):
+                    break
+                p.next()
+            plan.keep = cols
+        elif cmd == "DROP":
+            while True:
+                plan.drop.append(p.expect("ident")[1])
+                if p.peek() != ("op", ","):
+                    break
+                p.next()
+        else:
+            raise ValueError(f"esql: command {cmd} not valid mid-pipe")
+    if plan.limit is not None and not plan.stats and not plan.sort:
+        raise ValueError(
+            "esql: LIMIT without SORT is nondeterministic under parallel "
+            "execution — add a total-ordering SORT"
+        )
+    return plan
+
+
+# ES|QL uses a single '=' in EVAL/STATS; the lexer has no '=' token, so map
+# it to '==' before lexing (unambiguous: '==' stays '==').
+def _normalize_assign(src: str) -> str:
+    parts = re.split(r'("(?:[^"\\]|\\.)*")', src)  # leave string literals alone
+    return "".join(
+        p if i % 2 else re.sub(r"(?<![=!<>])=(?!=)", "==", p)
+        for i, p in enumerate(parts)
+    )
+
+
+# ------------------------------------------------------------- evaluator
+
+
+def _eval_expr(node: tuple, batch: pa.Table):
+    """Evaluate an expression AST against one Arrow batch → Array/scalar."""
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "col":
+        col = batch[node[1]]
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if kind == "not":
+        return pc.invert(_eval_expr(node[1], batch))
+    if kind == "func":
+        name, args = node[1], node[2]
+        vals = [_eval_expr(a, batch) for a in args]
+        if name == "ROUND":
+            x = vals[0]
+            d = int(vals[1]) if len(vals) > 1 else 0
+            arr = np.asarray(
+                x.cast(pa.float64()) if isinstance(x, pa.Array) else x,
+                dtype=np.float64,
+            )
+            return pa.array(sql_round(arr, d), type=pa.float64())
+        if name == "ABS":
+            return pc.abs(vals[0])
+        if name == "LENGTH":
+            return pc.utf8_length(vals[0])
+        raise ValueError(f"esql: unknown function {name}")
+    op = node[1]
+    left = _eval_expr(node[2], batch)
+    right = _eval_expr(node[3], batch)
+    fns = {
+        "==": pc.equal,
+        "!=": pc.not_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        "and": pc.and_kleene,
+        "or": pc.or_kleene,
+        "+": pc.add,
+        "-": pc.subtract,
+        "*": pc.multiply,
+        "/": pc.divide,
+    }
+    if op == "/":
+        # ES|QL integer division truncates; the oracle contract wants float —
+        # promote to float64 like DuckDB's '/'
+        if isinstance(left, pa.Array) and pa.types.is_integer(left.type):
+            left = left.cast(pa.float64())
+        if isinstance(right, pa.Array) and pa.types.is_integer(right.type):
+            right = right.cast(pa.float64())
+    return fns[op](left, right)
+
+
+def _referenced_cols(node: tuple | None, acc: set[str]) -> None:
+    if node is None:
+        return
+    kind = node[0]
+    if kind == "col":
+        acc.add(node[1])
+    elif kind == "not":
+        _referenced_cols(node[1], acc)
+    elif kind == "func":
+        for a in node[2]:
+            _referenced_cols(a, acc)
+    elif kind == "bin":
+        _referenced_cols(node[2], acc)
+        _referenced_cols(node[3], acc)
+
+
+def _plan_columns(plan: EsqlPlan, schema_names: list[str]) -> list[str]:
+    """Exact read column set: everything the pipe references downstream."""
+    eval_names = {op[1] for op in plan.ops if op[0] == "eval"}
+    need: set[str] = set()
+    for op in plan.ops:
+        _referenced_cols(op[-1], need)
+    for _, _, col in plan.stats:
+        if col is not None:
+            need.add(col)
+    need.update(plan.by)
+    for col, _ in plan.sort:
+        need.add(col)
+    if plan.keep is not None:
+        need.update(plan.keep)
+    elif not plan.stats:
+        need.update(schema_names)  # bare SELECT * shape
+    # eval outputs aren't read columns — unless they SHADOW a schema column
+    # (e.g. ``EVAL v = v + 1``), which must still be read
+    need -= eval_names - set(schema_names)
+    unknown = need - set(schema_names)
+    if unknown:
+        raise ValueError(f"esql: unknown columns {sorted(unknown)}")
+    return [c for c in schema_names if c in need]
+
+
+# -------------------------------------------------------------- executor
+
+# mergeable partial per aggregate: (partial column suffixes, batch aggs)
+_PARTIAL = {
+    "COUNT": [("count", "n")],
+    "SUM": [("sum", "s")],
+    "MIN": [("min", "mn")],
+    "MAX": [("max", "mx")],
+    "AVG": [("sum", "s"), ("count", "n")],
+}
+_COMBINE = {"n": "sum", "s": "sum", "mn": "min", "mx": "max"}
+
+
+def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
+    """Parse + execute one ES|QL pipe over the ``sf_dir`` parquet tables.
+
+    One streamed Ray Data pass; driver residency is bounded by #groups
+    (STATS) or limit × #blocks (SORT/LIMIT) — never the input row count.
+    """
+    import ray.data as rd
+
+    plan = parse_esql(_normalize_assign(src))
+    path = os.path.join(sf_dir, f"{plan.table}.parquet")
+    if not os.path.exists(path):
+        raise ValueError(f"esql: unknown index {plan.table}")
+    import pyarrow.parquet as pq
+
+    schema_names = pq.read_schema(path).names
+    cols = _plan_columns(plan, schema_names)
+    ds = rd.read_parquet(path, columns=cols)
+
+    stats = list(plan.stats)
+    by = list(plan.by)
+
+    def transform(batch: pa.Table) -> pa.Table:
+        for op in plan.ops:
+            if op[0] == "where":
+                mask = _eval_expr(op[1], batch)
+                batch = batch.filter(pc.fill_null(mask, False))
+            else:
+                name, e = op[1], op[2]
+                val = _eval_expr(e, batch)
+                if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+                    val = pa.array([val] * batch.num_rows)
+                if name in batch.column_names:
+                    batch = batch.set_column(
+                        batch.schema.get_field_index(name), name, val
+                    )
+                else:
+                    batch = batch.append_column(name, val)
+        if not stats:
+            # partial top-k (or full pass-through when no limit)
+            out_cols = plan.keep or [
+                c for c in batch.column_names if c not in plan.drop
+            ]
+            batch = batch.select(out_cols)
+            if plan.sort and plan.limit is not None:
+                batch = batch.sort_by(
+                    [(c, "descending" if d else "ascending") for c, d in plan.sort]
+                ).slice(0, plan.limit)
+            return batch
+        # STATS partials: one Arrow hash-agg per batch, mergeable outputs
+        aggs, out_names = [], []
+        for out, fn, col in stats:
+            for batch_agg, suffix in _PARTIAL[fn]:
+                src_col = col
+                if src_col is None:  # COUNT(*): count a constant marker
+                    if "__one" not in batch.column_names:
+                        batch = batch.append_column(
+                            "__one", pa.array(np.ones(batch.num_rows, np.int64))
+                        )
+                    src_col = "__one"
+                aggs.append((src_col, batch_agg))
+                out_names.append(f"{out}__{suffix}")
+        # empty batches still emit a schema-correct partial (group_by([]) on
+        # an empty table yields one all-null/0 row — mergeable as-is)
+        g = batch.group_by(by).aggregate(aggs)
+        # pyarrow names duplicate agg outputs identically; select by position
+        sel = pa.table(
+            {
+                **{b: g[b] for b in by},
+                **{
+                    out_names[i]: g.column(len(by) + i)
+                    for i in range(len(out_names))
+                },
+            }
+        )
+        return sel
+
+    import ray
+
+    mapped = ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)
+    if not stats and plan.limit is None and not plan.sort:
+        # streaming projection — return the full (small at gate scale) result
+        parts = [ray.get(r) for r in mapped.to_arrow_refs()]
+        parts = [
+            p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+            for p in parts
+        ]
+        return pa.concat_tables(parts, promote_options="default")
+    parts = [ray.get(r) for r in mapped.to_arrow_refs()]
+    parts = [
+        p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts
+    ]
+    if not stats:
+        cat = pa.concat_tables(parts, promote_options="default")
+        if plan.sort:
+            cat = cat.sort_by(
+                [(c, "descending" if d else "ascending") for c, d in plan.sort]
+            )
+        if plan.limit is not None:
+            cat = cat.slice(0, plan.limit)
+        return cat
+    # combine mergeable partials on the driver (bounded by #groups × #blocks)
+    cat = pa.concat_tables(parts, promote_options="default")
+    comb = [
+        (c, _COMBINE[c.rsplit("__", 1)[1]])
+        for c in cat.column_names
+        if c not in by
+    ]
+    g = cat.group_by(by).aggregate(comb) if by else cat.group_by([]).aggregate(comb)
+    final: dict[str, pa.Array] = {b: g[b] for b in by}
+    for out, fn, _col in stats:
+        if fn == "AVG":
+            s = np.asarray(g[f"{out}__s_sum"], dtype=np.float64)
+            n = np.asarray(g[f"{out}__n_sum"], dtype=np.float64)
+            final[out] = pa.array(sql_round(s / n, round_decimals), type=pa.float64())
+        elif fn == "COUNT":
+            final[out] = g[f"{out}__n_sum"].cast(pa.int64())
+        elif fn == "SUM":
+            col = g[f"{out}__s_sum"]
+            final[out] = (
+                col.cast(pa.int64()) if pa.types.is_integer(col.type) else col
+            )
+        elif fn == "MIN":
+            final[out] = g[f"{out}__mn_min"]
+        elif fn == "MAX":
+            final[out] = g[f"{out}__mx_max"]
+    res = pa.table(final)
+    if plan.keep is not None:
+        res = res.select(plan.keep)
+    if plan.sort:
+        res = res.sort_by(
+            [(c, "descending" if d else "ascending") for c, d in plan.sort]
+        )
+    elif by:
+        res = res.sort_by([(b, "ascending") for b in by])
+    if plan.limit is not None:
+        res = res.slice(0, plan.limit)
+    return res

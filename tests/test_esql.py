@@ -1,0 +1,173 @@
+"""ES|QL: parser verification, expression evaluation, and plan-vs-DuckDB
+identity of the three gate pipes (pipelines/esql.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from bitcoin_ledger_2es_ray.pipelines.esql import (
+    _normalize_assign,
+    _plan_columns,
+    parse_esql,
+    run_esql,
+)
+
+from conftest import SF_DIR
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.execute(sql).arrow()
+
+
+def _assert_tables_equal(a: pa.Table, b: pa.Table):
+    assert a.column_names == b.column_names
+    assert a.num_rows == b.num_rows
+    for name in a.column_names:
+        ca, cb = a[name].to_pylist(), b[name].to_pylist()
+        if ca and isinstance(ca[0], float):
+            assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cb)), name
+        else:
+            assert ca == cb, name
+
+
+# ------------------------------------------------------------------ parser
+
+
+def test_parse_shape():
+    p = parse_esql(_normalize_assign(
+        'FROM documents | WHERE lang == "en" AND n_chars > 10 '
+        "| EVAL x = n_chars * 2 | STATS c = COUNT(*), m = AVG(x) BY lang "
+        "| SORT m DESC | LIMIT 3"
+    ))
+    assert p.table == "documents"
+    assert [op[0] for op in p.ops] == ["where", "eval"]
+    assert p.stats == [("c", "COUNT", None), ("m", "AVG", "x")]
+    assert p.by == ["lang"] and p.sort == [("m", True)] and p.limit == 3
+
+
+def test_parse_rejections():
+    with pytest.raises(ValueError, match="nondeterministic"):
+        parse_esql("FROM documents | LIMIT 5")
+    with pytest.raises(ValueError, match="unsupported command"):
+        parse_esql('FROM documents | GROK text "%{WORD}"')
+    with pytest.raises(ValueError, match="one STATS"):
+        parse_esql(_normalize_assign(
+            "FROM documents | STATS c = COUNT(*) | STATS d = COUNT(*)"
+        ))
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        parse_esql(_normalize_assign("FROM documents | STATS c = MEDIAN(n_chars)"))
+
+
+def test_normalize_assign_leaves_strings_alone():
+    s = _normalize_assign('FROM t | EVAL x = 1 | WHERE a == "p=q"')
+    assert 'p=q' in s and "x == 1" in s
+
+
+def test_column_pruning_exact():
+    p = parse_esql(_normalize_assign(
+        "FROM documents | WHERE n_chars > 10 | STATS c = COUNT(*) BY lang"
+    ))
+    cols = _plan_columns(p, ["doc_id", "text", "lang", "source", "n_chars"])
+    assert cols == ["lang", "n_chars"]  # text/doc_id/source never read
+    with pytest.raises(ValueError, match="unknown columns"):
+        _plan_columns(
+            parse_esql("FROM documents | WHERE nope > 1 | SORT doc_id"),
+            ["doc_id"],
+        )
+
+
+def test_shadowing_eval_keeps_source_column():
+    p = parse_esql(_normalize_assign("FROM events | EVAL value = value * 2 | SORT value DESC, event_id ASC | LIMIT 3"))
+    cols = _plan_columns(p, ["event_id", "value"])
+    assert "value" in cols
+
+
+# --------------------------------------------------------------- execution
+
+
+def test_esql_stats_matches_duckdb(ray_session):
+    got = run_esql(
+        "FROM documents | WHERE n_chars >= 100 "
+        "| STATS cnt = COUNT(*), avg_chars = AVG(n_chars), mx = MAX(n_chars), "
+        "mn = MIN(n_chars), total = SUM(n_chars) BY lang | SORT lang",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT lang, count(*)::BIGINT cnt, round(avg(n_chars),6) avg_chars, "
+        "max(n_chars) mx, min(n_chars) mn, sum(n_chars)::BIGINT total "
+        "FROM documents WHERE n_chars >= 100 GROUP BY lang ORDER BY lang"
+    )
+    _assert_tables_equal(got, want)
+
+
+def test_esql_global_stats(ray_session):
+    got = run_esql("FROM documents | STATS n = COUNT(*), avg_c = AVG(n_chars)", SF_DIR)
+    want = _duck(
+        "SELECT count(*)::BIGINT n, round(avg(n_chars),6) avg_c FROM documents"
+    )
+    _assert_tables_equal(got, want)
+
+
+def test_esql_eval_then_where_order(ray_session):
+    # WHERE referencing the EVAL'd column — command order must hold
+    got = run_esql(
+        'FROM documents | EVAL half = ROUND(LENGTH(text) / 2, 6) '
+        '| WHERE half > 150 AND lang == "en" '
+        "| KEEP doc_id, half | SORT doc_id ASC | LIMIT 50",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT doc_id, half FROM (SELECT doc_id, lang, "
+        "round(length(text)/2, 6) half FROM documents) "
+        "WHERE half > 150 AND lang = 'en' ORDER BY doc_id LIMIT 50"
+    )
+    _assert_tables_equal(got, want)
+
+
+def test_esql_sort_limit_partial_topk(ray_session):
+    got = run_esql(
+        'FROM events | WHERE event_type == "click" '
+        "| EVAL v2 = ROUND(value * 2, 6) "
+        "| SORT v2 DESC, event_id ASC | LIMIT 20 | KEEP event_id, v2",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT event_id, round(value*2,6) v2 FROM events "
+        "WHERE event_type = 'click' ORDER BY v2 DESC, event_id LIMIT 20"
+    )
+    _assert_tables_equal(got, want)
+
+
+def test_esql_empty_match_preserves_schema(ray_session):
+    got = run_esql(
+        'FROM documents | WHERE lang == "klingon" '
+        "| KEEP doc_id, n_chars | SORT doc_id | LIMIT 5",
+        SF_DIR,
+    )
+    assert got.num_rows == 0
+    assert got.column_names == ["doc_id", "n_chars"]
+    agg = run_esql(
+        'FROM documents | WHERE lang == "klingon" | STATS n = COUNT(*) BY lang',
+        SF_DIR,
+    )
+    assert agg.num_rows == 0 and agg.column_names == ["lang", "n"]
+
+
+def test_esql_not_and_arithmetic(ray_session):
+    got = run_esql(
+        'FROM documents | WHERE NOT (lang == "en") AND n_chars + 10 > 500 '
+        "| KEEP doc_id | SORT doc_id",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT doc_id FROM documents "
+        "WHERE NOT lang = 'en' AND n_chars + 10 > 500 ORDER BY doc_id"
+    )
+    _assert_tables_equal(got, want)
