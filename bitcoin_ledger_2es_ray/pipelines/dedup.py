@@ -270,7 +270,11 @@ def _verify_pairs_exact(sf_dir: str, cand, k: int, tau: float, num_partitions: i
         )
 
     out = joined.groupby(["a", "b"]).map_groups(jaccard_of_group, batch_format="pyarrow")
-    t = pa.concat_tables([_as_table(x) for x in _collect(out)] or [_empty_pairs_j()])
+    # drop empty blocks BEFORE concat: an empty map_groups output block can
+    # carry the upstream join schema (doc_id/sh/side/...) instead of the
+    # kernel's (a, b, jaccard) — concat across them raises ArrowInvalid
+    parts = [p for p in (_as_table(x) for x in _collect(out)) if p.num_rows]
+    t = pa.concat_tables(parts or [_empty_pairs_j()])
     return t.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
