@@ -197,6 +197,55 @@ def _q_reshard_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_stemmed_topk(sf_dir: str) -> pa.Table:
+    """Analyzer-chain search (ES ``stemmer: minimal_english``): a fresh
+    index built with the ``code_stem`` chain over the INFLECTED corpus
+    (every alternate token deterministically pluralized —
+    ``sources/corpus.derive_inflected_corpus_parquet``) ranks the fixture
+    queries IDENTICALLY to the plain index over the raw corpus: the stemmer
+    collapses the inflection, so postings, stats and BM25 scores are
+    bit-equal and this shares the ``bm25_topk`` oracle."""
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, run_queries
+    from bitcoin_ledger_2es_ray.sources.corpus import derive_inflected_corpus_parquet
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key)
+    corpus = derive_inflected_corpus_parquet(
+        sf_dir, os.path.join(root, "corpus_inflected.parquet")
+    )
+    cfg = BuildConfig(
+        corpus=corpus,
+        out_dir=os.path.join(root, "index_stem"),
+        num_partitions=16,
+        head_df_ratio=0.5,
+        n_salt=2,
+        sketch_stride=4,
+        tokenizer="code_stem",
+    )
+    res = build_index(cfg)
+    store = SegmentStore(res.out_dir)
+    queries = _fixture_queries(store)
+    rows = run_queries(res.out_dir, queries, concurrency=4, round_decimals=_ROUND).take_all()
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_analyze_stem(sf_dir: str) -> pa.Table:
+    """ES ``_analyze`` through the ``[whitespace, minimal_english stemmer]``
+    chain over the deterministically inflected doc stream — every stemmer
+    rule class fires and the oracle mirrors the full rule table."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import analyze_stemmed
+
+    return analyze_stemmed(sf_dir)
+
+
 def _fed_for(sf_dir: str):
     """Two member indices over a deterministic 1/3-2/3 corpus split (cached
     like _index_for; builds resume from their manifests)."""
@@ -4042,6 +4091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rescore": _q_rescore,
         "phrase_slop": _q_phrase_slop,
         "analyze": _q_analyze,
+        "analyze_stem": _q_analyze_stem,
+        "stemmed_topk": _q_stemmed_topk,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,
@@ -8426,6 +8477,36 @@ FROM t ORDER BY query
     }
     # routed serving is gated against the SAME BM25 oracle (scores and ranks
     # are bit-identical to the batch TAAT path by construction)
+    # _analyze through [whitespace, minimal_english stemmer] over the
+    # inflected stream — suffix formula and rule table mirrored exactly
+    sql["analyze_stem"] = """
+WITH toks AS (
+  SELECT doc_id,
+         (generate_subscripts(string_split(text, ' '), 1) - 1)::BIGINT AS pos,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+infl AS (
+  SELECT doc_id, pos,
+         term || (['', 's', 'es', 'ies'])[1 + ((doc_id + pos) % 4)] AS t
+  FROM toks
+)
+SELECT doc_id, pos,
+  CASE
+    WHEN t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'
+         AND length(t) > 3 THEN substr(t, 1, length(t) - 3) || 'y'
+    WHEN t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees'
+         AND t NOT LIKE '%oes' AND length(t) > 2 THEN substr(t, 1, length(t) - 1)
+    WHEN t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
+         AND length(t) > 1 THEN substr(t, 1, length(t) - 1)
+    ELSE t
+  END AS token
+FROM infl
+ORDER BY doc_id, pos
+"""
+    # stemmed index over the inflected corpus collapses back to the plain
+    # index — rank/score identity means it shares the bm25 oracle
+    sql["stemmed_topk"] = sql["bm25_topk"]
     sql["bm25_topk_routed"] = sql["bm25_topk"]
     # federated search is bit-identical to the union index (docBase offsets
     # + dfs-style global stats), so it shares the BM25 oracle too

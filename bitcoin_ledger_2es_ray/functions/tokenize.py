@@ -186,9 +186,27 @@ def whitespace_tokenize_flat(
 # (content, langs=None, tag_lang=False) -> (terms, doc_idx, dl).  Build
 # pipelines select by name (BuildConfig.tokenizer); the name participates in
 # the build fingerprint so switching tokenizers invalidates checkpoints.
+def _stemmed_lazy(base):
+    # late import: stem.py is a leaf module, but keep tokenize importable
+    # without it at module-load time (registry entries resolve on first call)
+    def tok(content, langs=None, tag_lang=False, return_positions=False):
+        from .stem import stemmed
+
+        return stemmed(base)(
+            content, langs=langs, tag_lang=tag_lang, return_positions=return_positions
+        )
+
+    return tok
+
+
 TOKENIZERS: dict[str, object] = {
     "code": tokenize_flat,
     "whitespace": whitespace_tokenize_flat,
+    # analyzer chains: base tokenizer + S-stemmer token filter (ES
+    # `stemmer: minimal_english`); participate in the build fingerprint
+    # like any tokenizer, so switching chains invalidates checkpoints
+    "code_stem": _stemmed_lazy(tokenize_flat),
+    "whitespace_stem": _stemmed_lazy(whitespace_tokenize_flat),
 }
 
 

@@ -59,6 +59,50 @@ def analyze_texts(
     )
 
 
+def analyze_stemmed(sf_dir: str) -> pa.Table:
+    """ES ``_analyze`` with an analyzer chain ``[whitespace, stemmer
+    (minimal_english)]`` → (doc_id, pos, token), sorted.
+
+    The test corpus is morphologically flat (no plural forms), so the doc
+    stream is first INFLECTED deterministically — the token at position
+    ``p`` of doc ``d`` gains suffix ``["", "s", "es", "ies"][(d + p) % 4]``
+    — and the S-stemmer (``functions/stem.py``) then runs over the inflected
+    stream.  Both steps are single vectorized Arrow passes per batch and the
+    DuckDB oracle mirrors the suffix formula and the full rule table, so
+    every stemmer rule class is exercised and value-hashed.  Output is
+    corpus-token-sized: fine for the sf oracle gate; the Dataset half
+    (everything before the driver sort) is the scale path."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.stem import s_stem
+    from ..functions.tokenize import _flatten_list_array
+
+    suffixes = pa.array(["", "s", "es", "ies"], type=pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        terms, row_idx, pos = _flatten_list_array(toks)
+        d = np.asarray(batch["doc_id"], dtype=np.int64)[row_idx]
+        suf = suffixes.take(pa.array((d + pos) % 4, type=pa.int64()))
+        inflected = pc.binary_join_element_wise(terms.cast(pa.string()), suf, "")
+        return pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                "pos": pa.array(pos, type=pa.int64()),
+                "token": s_stem(inflected),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    return cat.sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+
+
 def term_vectors(
     store, corpus_path: str, doc_ids: list[int], tokenizer: str = "code"
 ) -> pa.Table:

@@ -106,6 +106,49 @@ def derive_corpus_parquet(
     return out_path
 
 
+def derive_inflected_corpus_parquet(
+    sf_dir: str, out_path: str, row_group_size: int = 512
+) -> str:
+    """Corpus-shaped parquet whose token stream is the documents text with a
+    deterministic plural inflection: the token at position ``p`` of doc ``d``
+    gains a trailing ``'s'`` when ``(d + p) % 2 == 1``.
+
+    Every token of this corpus stems back to its base form under the
+    S-stemmer (``functions/stem.py``; asserted in tests), so an index built
+    with a ``*_stem`` analyzer chain over THIS corpus has identical postings,
+    stats and BM25 ranking to the plain index over the raw corpus — the
+    collapse property ``stemmed_topk`` gates on.  Deterministic; cached."""
+    if os.path.exists(out_path):
+        return out_path
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang", "source"]
+    )
+    text = [
+        " ".join(
+            t + ("s" if (d + i) % 2 else "") for i, t in enumerate(raw.split(" "))
+        )
+        for d, raw in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    ]
+    doc_id = docs["doc_id"].to_pylist()
+    source = docs["source"].to_pylist()
+    table = pa.table(
+        {
+            "repo": [f"org{d % 7}/repo{d % 20}" for d in doc_id],
+            "path": [f"src/{s}/file_{d}.py" for d, s in zip(doc_id, source)],
+            "commit": [hashlib.sha256(f"commit:{d}".encode()).hexdigest()[:40] for d in doc_id],
+            "lang": docs["lang"],
+            "content": text,
+            "sha256": [hashlib.sha256(t.encode("utf-8")).digest() for t in text],
+        },
+        schema=CORPUS_WITH_SHA,
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = out_path + ".tmp"
+    pq.write_table(table, tmp, row_group_size=row_group_size)
+    os.replace(tmp, out_path)
+    return out_path
+
+
 def _scan_files(paths: list[str]) -> list[tuple[list[int], bool]]:
     """Footer metadata of each file: (per-row-group row counts, has_sha).
     Runs on the driver for small corpora and inside Ray tasks for large
