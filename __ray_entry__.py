@@ -237,6 +237,23 @@ def _q_stemmed_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_histogram_field(sf_dir: str) -> pa.Table:
+    """ES ``histogram`` field type, build side: distributed pre-agg of the
+    event stream into per-user histograms (exploded rows — the list-typed
+    wire shape is pinned in tests)."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import histogram_field
+
+    return histogram_field(sf_dir, width=25.0)
+
+
+def _q_histogram_percentiles(sf_dir: str) -> pa.Table:
+    """ES ``percentiles`` over a histogram field: quantiles from the
+    pre-aggregated histograms alone — raw events never re-read."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import histogram_percentiles
+
+    return histogram_percentiles(sf_dir, width=25.0)
+
+
 def _q_analyze_stem(sf_dir: str) -> pa.Table:
     """ES ``_analyze`` through the ``[whitespace, minimal_english stemmer]``
     chain over the deterministically inflected doc stream — every stemmer
@@ -4093,6 +4110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze": _q_analyze,
         "analyze_stem": _q_analyze_stem,
         "stemmed_topk": _q_stemmed_topk,
+        "histogram_field": _q_histogram_field,
+        "histogram_percentiles": _q_histogram_percentiles,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,
@@ -8503,6 +8522,24 @@ SELECT doc_id, pos,
   END AS token
 FROM infl
 ORDER BY doc_id, pos
+"""
+    # histogram field: integer-cent binning mirrored exactly
+    sql["histogram_field"] = """
+SELECT user_id,
+       ((CAST(round(value * 100) AS BIGINT) // 2500) * 2500) / 100.0 AS hbin,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    sql["histogram_percentiles"] = """
+WITH b AS (
+  SELECT (CAST(round(value * 100) AS BIGINT) // 2500) * 2500 AS c FROM events
+),
+qq AS (
+  SELECT unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS q,
+         unnest(quantile_cont(c, [0.25, 0.5, 0.75, 0.95])) AS v
+  FROM b
+)
+SELECT q, round(v / 100.0, 6) AS value FROM qq ORDER BY q
 """
     # stemmed index over the inflected corpus collapses back to the plain
     # index — rank/score identity means it shares the bm25 oracle

@@ -966,22 +966,141 @@ def weighted_avg_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
     return pa.table({"lang": g["lang"], "wavg": pa.array(wavg, type=pa.float64())})
 
 
-def _weighted_median(vals, cnts) -> float:
-    """quantile_cont(0.5) over a (value, count) histogram — linear
-    interpolation between order statistics, matching DuckDB ``median``."""
+def histogram_field(sf_dir: str, width: float = 25.0) -> pa.Table:
+    """ES ``histogram`` FIELD TYPE, build side: pre-aggregate the raw event
+    stream into per-entity (user) histograms → exploded rows
+    (user_id, hbin, n), sorted.
+
+    In ES the histogram field arrives pre-aggregated from the client and the
+    raw values never reach the index; here the distributed pre-agg IS the
+    build: one ``map_batches`` pass emits per-batch (user, bin) count
+    partials and the driver combines them — bounded by #users × #bins, never
+    the event count.  Binning runs on exact integer CENTS
+    (``(round(value·100) // width·100) · width·100``), so the bucket edge
+    arithmetic is integer-exact and the DuckDB oracle mirrors it verbatim.
+    ``histogram_field_lists`` assembles the list-typed field; metric aggs
+    (``histogram_percentiles``) consume histograms WITHOUT re-reading raw
+    events — the whole point of the field type at scale."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    wc = int(round(width * 100))
+    if wc <= 0:
+        raise ValueError("width must be positive")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(batch["value"], dtype=np.float64) * 100).astype(np.int64)
+        hbin = (cents // wc) * wc
+        t = pa.table(
+            {"user_id": batch["user_id"], "c": pa.array(hbin, type=pa.int64())}
+        )
+        g = t.group_by(["user_id", "c"]).aggregate([("c", "count")])
+        return g.rename_columns(["user_id", "c", "n"])
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    g = (
+        cat.group_by(["user_id", "c"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["user_id", "c", "n"])
+        .sort_by([("user_id", "ascending"), ("c", "ascending")])
+    )
+    import numpy as _np
+
+    return pa.table(
+        {
+            "user_id": g["user_id"].cast(pa.int64()),
+            "hbin": pa.array(
+                _np.asarray(g["c"], dtype=_np.float64) / 100.0, type=pa.float64()
+            ),
+            "n": g["n"].cast(pa.int64()),
+        }
+    )
+
+
+def histogram_field_lists(field: pa.Table) -> pa.Table:
+    """The list-typed histogram field itself: (user_id, values list<double>,
+    counts list<int64>) — ES's wire shape, assembled from the exploded build
+    (which arrives sorted by (user_id, hbin))."""
+    import numpy as np
+
+    u = np.asarray(field["user_id"], dtype=np.int64)
+    uniq, starts = np.unique(u, return_index=True)
+    offsets = np.append(starts, len(u)).astype(np.int32)
+    return pa.table(
+        {
+            "user_id": pa.array(uniq, type=pa.int64()),
+            "values": pa.ListArray.from_arrays(
+                pa.array(offsets), field["hbin"].combine_chunks()
+            ),
+            "counts": pa.ListArray.from_arrays(
+                pa.array(offsets), field["n"].combine_chunks()
+            ),
+        }
+    )
+
+
+def histogram_percentiles(
+    sf_dir: str,
+    width: float = 25.0,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``percentiles`` aggregation OVER a histogram field: quantiles of
+    the corpus-wide value distribution computed from the pre-aggregated
+    histograms alone (bin value weighted by count) — raw events are never
+    re-read.  quantile_cont interpolation on the combined (bin, count)
+    histogram; exact because binning already quantized the values."""
+    import numpy as np
+
+    field = histogram_field(sf_dir, width)
+    from ..functions.bm25 import sql_round
+
+    cents = np.rint(np.asarray(field["hbin"], dtype=np.float64) * 100).astype(np.int64)
+    cnts = np.asarray(field["n"], dtype=np.int64)
+    # combine across users: the metric agg sees one global histogram
+    uniq, inv = np.unique(cents, return_inverse=True)
+    total = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(total, inv, cnts)
+    vals = [
+        float(sql_round(_weighted_quantile(uniq, total, q) / 100.0, round_decimals))
+        for q in qs
+    ]
+    return pa.table(
+        {
+            "q": pa.array(list(qs), type=pa.float64()),
+            "value": pa.array(vals, type=pa.float64()),
+        }
+    )
+
+
+def _weighted_quantile(vals, cnts, q: float) -> float:
+    """quantile_cont(q) over a (value, count) histogram — linear
+    interpolation between order statistics, matching DuckDB."""
     import numpy as np
 
     order = np.argsort(vals)
     vals, cnts = np.asarray(vals, dtype=np.float64)[order], np.asarray(cnts)[order]
     cum = np.cumsum(cnts)
     n = int(cum[-1])
-    pos = 0.5 * (n - 1)
+    pos = q * (n - 1)
     lo, hi = int(np.floor(pos)), int(np.ceil(pos))
     v_lo = float(vals[np.searchsorted(cum, lo, side="right")])
     if hi == lo:
         return v_lo
     v_hi = float(vals[np.searchsorted(cum, hi, side="right")])
     return v_lo + (pos - lo) * (v_hi - v_lo)
+
+
+def _weighted_median(vals, cnts) -> float:
+    """quantile_cont(0.5) over a (value, count) histogram — linear
+    interpolation between order statistics, matching DuckDB ``median``."""
+    return _weighted_quantile(vals, cnts, 0.5)
 
 
 def mad_agg(index_dir: str, round_decimals: int = 6) -> pa.Table:

@@ -2806,3 +2806,63 @@ def test_simulate_pipeline_order_and_errors(ray_session, tmp_path):
     # unknown processor rejected at registration (pipeline-level, like ES)
     with pytest.raises(ValueError, match="unknown processor"):
         simulate_pipeline(sf, [{"type": "frobnicate", "field": "text"}])
+
+
+# ---------------------------------------------------------------------------
+# histogram field type (pre-aggregated histograms + metric aggs over them)
+
+
+def test_histogram_field_brute_force(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import (
+        histogram_field,
+        histogram_field_lists,
+        histogram_percentiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["user_id", "value"])
+    u = np.asarray(ev["user_id"], dtype=np.int64)
+    cents = np.rint(np.asarray(ev["value"], dtype=np.float64) * 100).astype(np.int64)
+    hbin = (cents // 2500) * 2500
+
+    field = histogram_field(sf, width=25.0)
+    # brute force: every (user, bin) count matches
+    from collections import Counter
+
+    want = Counter(zip(u.tolist(), hbin.tolist()))
+    got = Counter(
+        zip(
+            field["user_id"].to_pylist(),
+            (np.rint(np.asarray(field["hbin"]) * 100).astype(np.int64)).tolist(),
+        )
+    )
+    counts = dict(
+        zip(
+            zip(
+                field["user_id"].to_pylist(),
+                np.rint(np.asarray(field["hbin"]) * 100).astype(np.int64).tolist(),
+            ),
+            field["n"].to_pylist(),
+        )
+    )
+    assert set(got) == set(want)
+    assert counts == dict(want)
+    # sorted exploded layout
+    assert field["user_id"].to_pylist() == sorted(field["user_id"].to_pylist())
+
+    # list-typed wire shape: per-user lists align and re-explode losslessly
+    lists = histogram_field_lists(field)
+    assert lists.num_rows == len(set(u.tolist()))
+    for row in range(min(5, lists.num_rows)):
+        vals = lists["values"][row].as_py()
+        cnts = lists["counts"][row].as_py()
+        assert vals == sorted(vals) and len(vals) == len(cnts)
+
+    # percentiles over the histogram field == numpy quantile_cont over the
+    # BINNED raw values (binning is exactly what the field stored)
+    pct = histogram_percentiles(sf, width=25.0)
+    expanded = hbin / 100.0
+    for q, v in zip(pct["q"].to_pylist(), pct["value"].to_pylist()):
+        assert v == pytest.approx(
+            float(np.quantile(expanded, q, method="linear")), abs=1e-6
+        )
