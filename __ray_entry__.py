@@ -254,6 +254,45 @@ def _q_histogram_percentiles(sf_dir: str) -> pa.Table:
     return histogram_percentiles(sf_dir, width=25.0)
 
 
+def _q_search_as_you_type(sf_dir: str) -> pa.Table:
+    """ES ``search_as_you_type``: mid-typing queries (two consecutive tokens
+    of doc (13q+7) mod n + the 2-char prefix of the next token) through
+    multi_match bool_prefix over [field, field._2gram] — the _2gram shingle
+    subfield derives from the positional index, no second index built."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.phrase import search_as_you_type_topk
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    store = SegmentStore(_index_pos_for(sf_dir).out_dir)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    texts = docs["text"].to_pylist()
+    n = len(texts)
+    qid, rank, did, sc = [], [], [], []
+    for q in range(_N_QUERIES):
+        toks = texts[(13 * q + 7) % n].split(" ")
+        j = q % (len(toks) - 2)
+        w1, w2, p = toks[j], toks[j + 1], toks[j + 2][:2]
+        hits = search_as_you_type_topk(
+            store, f"{w1} {w2}", p, _TOP_K, round_decimals=_ROUND
+        )
+        for r, (d, s) in enumerate(hits, 1):
+            qid.append(q)
+            rank.append(r)
+            did.append(d)
+            sc.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qid, type=pa.int64()),
+            "rank": pa.array(rank, type=pa.int64()),
+            "doc_id": pa.array(did, type=pa.int64()),
+            "score": pa.array(sc, type=pa.float64()),
+        }
+    )
+
+
 def _q_analyze_stem(sf_dir: str) -> pa.Table:
     """ES ``_analyze`` through the ``[whitespace, minimal_english stemmer]``
     chain over the deterministically inflected doc stream — every stemmer
@@ -4112,6 +4151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stemmed_topk": _q_stemmed_topk,
         "histogram_field": _q_histogram_field,
         "histogram_percentiles": _q_histogram_percentiles,
+        "search_as_you_type": _q_search_as_you_type,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,
@@ -8523,6 +8563,100 @@ SELECT doc_id, pos,
 FROM infl
 ORDER BY doc_id, pos
 """
+    # search_as_you_type: main-field bool_prefix + _2gram shingle subfield
+    # (bigram stats from positional adjacency, length stats dl-1/avgdl-1)
+    sql["search_as_you_type"] = """
+WITH toks AS (
+  SELECT doc_id,
+         (generate_subscripts(string_split(text, ' '), 1) - 1)::BIGINT AS pos,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS c FROM documents),
+sel AS (
+  SELECT q AS query_id, (13 * q + 7) % c AS doc_id
+  FROM generate_series(0, {nq1}) t(q), nd
+),
+seltok AS (
+  SELECT s.query_id, string_split(d.text, ' ') AS arr
+  FROM sel s JOIN documents d ON d.doc_id = s.doc_id
+),
+satq AS (
+  SELECT query_id,
+         arr[1 + (query_id % (len(arr) - 2))] AS w1,
+         arr[2 + (query_id % (len(arr) - 2))] AS w2,
+         substr(arr[3 + (query_id % (len(arr) - 2))], 1, 2) AS p
+  FROM seltok
+),
+lead_terms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, w1 AS term FROM satq
+    UNION ALL SELECT query_id, w2 FROM satq)
+),
+lead_sc AS (
+  SELECT lt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS sc
+  FROM lead_terms lt JOIN df USING (term) JOIN tf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+pdocs AS (
+  SELECT DISTINCT q.query_id, tf.doc_id
+  FROM satq q JOIN tf ON starts_with(tf.term, q.p)
+),
+big AS (
+  SELECT a.doc_id, a.term AS t1, b.term AS t2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+btf AS (
+  SELECT q.query_id, g.doc_id, count(*)::DOUBLE AS tf
+  FROM satq q JOIN big g ON g.t1 = q.w1 AND g.t2 = q.w2
+  GROUP BY 1, 2
+),
+bdf AS (SELECT query_id, count(*)::DOUBLE AS df FROM btf GROUP BY query_id),
+big_sc AS (
+  SELECT b.query_id, b.doc_id,
+         ln(1 + (s.n - bdf.df + 0.5) / (bdf.df + 0.5))
+         * b.tf / (b.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl - 1) / (s.avgdl - 1))) AS sc
+  FROM btf b JOIN bdf USING (query_id)
+  JOIN dl ON dl.doc_id = b.doc_id CROSS JOIN stats s
+),
+bpdocs AS (
+  SELECT DISTINCT q.query_id, g.doc_id
+  FROM satq q JOIN big g ON g.t1 = q.w2 AND starts_with(g.t2, q.p)
+),
+all_docs AS (
+  SELECT query_id, doc_id FROM lead_sc
+  UNION SELECT query_id, doc_id FROM pdocs
+  UNION SELECT query_id, doc_id FROM big_sc
+  UNION SELECT query_id, doc_id FROM bpdocs
+),
+unioned AS (
+  SELECT a.query_id, a.doc_id,
+         round(coalesce(l.sc, 0)
+               + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0 END
+               + coalesce(g.sc, 0)
+               + CASE WHEN bp.doc_id IS NOT NULL THEN 1.0 ELSE 0 END, 6) AS score
+  FROM all_docs a
+  LEFT JOIN lead_sc l ON l.query_id = a.query_id AND l.doc_id = a.doc_id
+  LEFT JOIN pdocs p ON p.query_id = a.query_id AND p.doc_id = a.doc_id
+  LEFT JOIN big_sc g ON g.query_id = a.query_id AND g.doc_id = a.doc_id
+  LEFT JOIN bpdocs bp ON bp.query_id = a.query_id AND bp.doc_id = a.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM unioned
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq1}", str(_N_QUERIES - 1)).replace("{k}", str(_TOP_K))
     # histogram field: integer-cent binning mirrored exactly
     sql["histogram_field"] = """
 SELECT user_id,

@@ -998,3 +998,102 @@ def span_or_near_match(
     ] == k2
     cnt = cnt - self_hit.astype(cnt.dtype)
     return np.unique(doc2[cnt > 0])
+
+
+def search_as_you_type_topk(
+    store: SegmentStore,
+    text: str,
+    prefix: str,
+    k: int,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``search_as_you_type`` field queried with ``multi_match
+    type=bool_prefix`` over ``[field, field._2gram]`` — the mid-typing
+    query: ``text`` holds the completed tokens, ``prefix`` the partial one.
+
+    Subfield semantics (ES's shingle subfields; ``_3gram`` is the same
+    shape one slot wider and intentionally not duplicated):
+
+    - **main field** — ``match_bool_prefix``: every completed token scores
+      as a BM25 term query, the partial as a constant-score (+1) prefix
+      expansion (Lucene's multi-term rewrite; expansion df never enters).
+    - **``_2gram``** — the word-shingle subfield.  No second index is ever
+      materialized: bigram postings (per-doc tf, df) derive on the fly from
+      the POSITIONAL index by intersecting adjacent occurrence keys, and
+      the subfield's length stats are exactly ``dl−1`` per doc and
+      ``avgdl−1`` (one fewer bigram slot than tokens, every doc).  Each
+      completed consecutive bigram scores BM25 under those stats; the
+      trailing ``(last_token, partial·)`` bigram is a constant-score (+1)
+      prefix over the dictionary expansions.
+    - ``type=bool_prefix`` sums the per-field scores (ES most-fields
+      combining for this type); rank (score DESC, doc ASC).
+    """
+    from ..functions.bm25 import sql_round, tf_norm, topk_order
+    from ..functions.tokenize import tokenize_query
+    from .structured import _score_map
+
+    toks = tokenize_query(text)
+    if not toks:
+        return []
+
+    # main field: BM25 over the completed tokens + prefix expansion docs
+    docs_m, scores_m = _score_map(store, text)
+    pdocs = prefix_match(store, prefix).astype(np.int64)
+
+    # _2gram: BM25 per distinct completed bigram under (dl-1, avgdl-1)
+    big_docs: list[np.ndarray] = []
+    big_contrib: list[np.ndarray] = []
+    avgdl2 = store.avgdl - 1.0
+    for w1, w2 in sorted(set(zip(toks, toks[1:]))):
+        k1 = _term_keys(store, w1)
+        k2 = _term_keys(store, w2)
+        if len(k1) == 0 or len(k2) == 0:
+            continue
+        match = np.intersect1d(k1 + np.uint64(1), k2, assume_unique=True)
+        if len(match) == 0:
+            continue
+        bdocs, btf = np.unique(match >> np.uint64(POS_BITS), return_counts=True)
+        df2 = float(len(bdocs))
+        d1, _tf1, dl1 = store.postings(w1)
+        # postings arrive per-salted-slice sorted, not globally — order first
+        order1 = np.argsort(d1, kind="stable")
+        dl2 = dl1[order1][np.searchsorted(d1[order1], bdocs)].astype(np.float64) - 1.0
+        big_docs.append(bdocs.astype(np.int64))
+        big_contrib.append(
+            float(idf(store.n_docs, df2))
+            * tf_norm(btf.astype(np.float64), dl2, avgdl2)
+        )
+
+    # _2gram prefix: last completed token immediately followed by any
+    # dictionary expansion of the partial
+    k_last = _term_keys(store, toks[-1])
+    exp_keys = [
+        _term_keys(store, t) for t in store.td.terms_with_prefix(prefix)
+    ]
+    exp_keys = [e for e in exp_keys if len(e)]
+    if len(k_last) and exp_keys:
+        union = exp_keys[0]
+        for e in exp_keys[1:]:
+            union = np.union1d(union, e)
+        bp = np.intersect1d(k_last + np.uint64(1), union, assume_unique=True)
+        bpdocs = np.unique(bp >> np.uint64(POS_BITS)).astype(np.int64)
+    else:
+        bpdocs = np.empty(0, dtype=np.int64)
+
+    legs_docs = [docs_m.astype(np.int64), pdocs, bpdocs] + big_docs
+    uniq = np.unique(np.concatenate([d for d in legs_docs if len(d)] or [np.empty(0, dtype=np.int64)]))
+    if len(uniq) == 0:
+        return []
+    final = np.zeros(len(uniq), dtype=np.float64)
+    if len(docs_m):
+        final[np.searchsorted(uniq, docs_m.astype(np.int64))] += scores_m
+    if len(pdocs):
+        final[np.searchsorted(uniq, pdocs)] += 1.0
+    for bdocs, contrib in zip(big_docs, big_contrib):
+        final[np.searchsorted(uniq, bdocs)] += contrib
+    if len(bpdocs):
+        final[np.searchsorted(uniq, bpdocs)] += 1.0
+    if round_decimals is not None:
+        final = sql_round(final, round_decimals)
+    order = topk_order(final, uniq.astype(np.uint64), k)
+    return [(int(uniq[i]), float(final[i])) for i in order]

@@ -908,3 +908,73 @@ def test_span_field_masking_brute(pos_index, tmp_path_factory):
         assert got.tolist() == brute(t1, t2, slop), (t1, t2, slop)
     # unknown masked term -> empty
     assert span_field_masking_match(store, mstore, vocab[0], "zz", slop=2).tolist() == []
+
+
+# ---------------------------------------------------------------------------
+# search_as_you_type (main bool_prefix + _2gram shingle subfield)
+
+
+def _brute_sayt(docs: list[str], w1: str, w2: str, p: str, k: int):
+    import math
+
+    tokdocs = [d.split(" ") for d in docs]
+    dls = [len(t) for t in tokdocs]
+    n = len(docs)
+    avgdl = sum(dls) / n
+
+    def idf(df):
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    scores: dict[int, float] = {}
+    for t in sorted({w1, w2}):
+        df = sum(1 for td in tokdocs if t in td)
+        if df == 0:
+            continue
+        for i, td in enumerate(tokdocs):
+            tf = td.count(t)
+            if tf:
+                scores[i] = scores.get(i, 0.0) + idf(df) * tf / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avgdl)
+                )
+    for i, td in enumerate(tokdocs):
+        if any(t.startswith(p) for t in td):
+            scores[i] = scores.get(i, 0.0) + 1.0
+    btf = {
+        i: sum(1 for a, b in zip(td, td[1:]) if a == w1 and b == w2)
+        for i, td in enumerate(tokdocs)
+    }
+    bd = sorted(i for i, c in btf.items() if c)
+    if bd:
+        df2, avgdl2 = len(bd), avgdl - 1.0
+        for i in bd:
+            c = btf[i]
+            scores[i] = scores.get(i, 0.0) + idf(df2) * c / (
+                c + 1.2 * (1 - 0.75 + 0.75 * (dls[i] - 1) / avgdl2)
+            )
+    for i, td in enumerate(tokdocs):
+        if any(a == w2 and b.startswith(p) for a, b in zip(td, td[1:])):
+            scores[i] = scores.get(i, 0.0) + 1.0
+    ranked = sorted(((round(s, 6), i) for i, s in scores.items()), key=lambda x: (-x[0], x[1]))
+    return [(i, s) for s, i in ranked[:k]]
+
+
+def test_search_as_you_type_brute_force(pos_index):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import search_as_you_type_topk
+
+    docs, store, _ = pos_index
+    rng = random.Random(1234)
+    checked = 0
+    for _ in range(30):
+        d = rng.randrange(len(docs))
+        toks = docs[d].split(" ")
+        if len(toks) < 3:
+            continue
+        j = rng.randrange(len(toks) - 2)
+        w1, w2, p = toks[j], toks[j + 1], toks[j + 2][:1]
+        got = search_as_you_type_topk(store, f"{w1} {w2}", p, 10, round_decimals=6)
+        want = _brute_sayt(docs, w1, w2, p, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], (w1, w2, p)
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=2e-6)
+        checked += 1
+    assert checked >= 20
