@@ -254,6 +254,14 @@ def _q_histogram_percentiles(sf_dir: str) -> pa.Table:
     return histogram_percentiles(sf_dir, width=25.0)
 
 
+def _q_nested_inner_hits(sf_dir: str) -> pa.Table:
+    """ES nested query + inner_hits: per matching parent order, the top-3
+    matching lineitems by (quantity DESC, linenumber ASC)."""
+    from bitcoin_ledger_2es_ray.pipelines.joins import nested_inner_hits
+
+    return nested_inner_hits(sf_dir)
+
+
 def _q_search_as_you_type(sf_dir: str) -> pa.Table:
     """ES ``search_as_you_type``: mid-typing queries (two consecutive tokens
     of doc (13q+7) mod n + the 2-char prefix of the next token) through
@@ -4152,6 +4160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_field": _q_histogram_field,
         "histogram_percentiles": _q_histogram_percentiles,
         "search_as_you_type": _q_search_as_you_type,
+        "nested_inner_hits": _q_nested_inner_hits,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,
@@ -8562,6 +8571,19 @@ SELECT doc_id, pos,
   END AS token
 FROM infl
 ORDER BY doc_id, pos
+"""
+    # nested inner_hits: per-parent top-3 matching nested objects
+    sql["nested_inner_hits"] = """
+WITH m AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_quantity DESC, l_linenumber ASC) AS r
+  FROM lineitem WHERE l_quantity >= 45.0 AND l_discount <= 0.01
+)
+SELECT l_orderkey AS o_orderkey, r::BIGINT AS hit_rank,
+       l_linenumber::BIGINT AS l_linenumber, l_quantity
+FROM m WHERE r <= 3 ORDER BY o_orderkey, hit_rank
 """
     # search_as_you_type: main-field bool_prefix + _2gram shingle subfield
     # (bigram stats from positional adjacency, length stats dl-1/avgdl-1)

@@ -284,6 +284,87 @@ def nested_query_orders(
     ).sort_by("o_orderkey")
 
 
+def nested_inner_hits(
+    sf_dir: str,
+    qty_min: float = 45.0,
+    disc_max: float = 0.01,
+    size: int = 3,
+) -> pa.Table:
+    """ES ``nested`` query with ``inner_hits``: for every matching parent,
+    the top-``size`` MATCHING nested objects themselves, ranked inside the
+    parent by (l_quantity DESC, l_linenumber ASC) — what ES returns in the
+    ``inner_hits`` section next to each hit.
+
+    Same pushed-down per-object conjunction as ``nested_query_orders``; the
+    per-parent top-``size`` is a per-BATCH vectorized partial (lexsort +
+    per-parent rank mask), so at most ``size × parents_in_batch`` rows ever
+    leave a task, then one bounded driver merge re-ranks across batches —
+    inner hits are size-bounded per parent by construction, never
+    lineitem-count-sized.  Returns (o_orderkey, hit_rank, l_linenumber,
+    l_quantity), sorted."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    kids = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+        filter=(pc.field("l_quantity") >= qty_min) & (pc.field("l_discount") <= disc_max),
+    )
+
+    def topk_in_parent(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        ln = np.asarray(batch["l_linenumber"], dtype=np.int64)
+        qty = np.asarray(batch["l_quantity"], dtype=np.float64)
+        order = np.lexsort((ln, -qty, ok))
+        ok_s = ok[order]
+        # rank within parent: position minus the parent run's start
+        starts = np.flatnonzero(np.r_[True, ok_s[1:] != ok_s[:-1]])
+        runs = np.diff(np.r_[starts, len(ok_s)])
+        rank = np.arange(len(ok_s)) - np.repeat(starts, runs)
+        keep = order[rank < size]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[keep], type=pa.int64()),
+                "l_linenumber": pa.array(ln[keep], type=pa.int64()),
+                "l_quantity": pa.array(qty[keep], type=pa.float64()),
+            }
+        )
+
+    ds = kids.map_batches(topk_in_parent, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "hit_rank": pa.array([], type=pa.int64()),
+                "l_linenumber": pa.array([], type=pa.int64()),
+                "l_quantity": pa.array([], type=pa.float64()),
+            }
+        )
+    cat = pa.concat_tables(parts)
+    ok = np.asarray(cat["o_orderkey"], dtype=np.int64)
+    ln = np.asarray(cat["l_linenumber"], dtype=np.int64)
+    qty = np.asarray(cat["l_quantity"], dtype=np.float64)
+    order = np.lexsort((ln, -qty, ok))
+    ok_s = ok[order]
+    starts = np.flatnonzero(np.r_[True, ok_s[1:] != ok_s[:-1]])
+    runs = np.diff(np.r_[starts, len(ok_s)])
+    rank = np.arange(len(ok_s)) - np.repeat(starts, runs)
+    keep = order[rank < size]
+    final_rank = (rank[rank < size] + 1).astype(np.int64)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(ok[keep], type=pa.int64()),
+            "hit_rank": pa.array(final_rank, type=pa.int64()),
+            "l_linenumber": pa.array(ln[keep], type=pa.int64()),
+            "l_quantity": pa.array(qty[keep], type=pa.float64()),
+        }
+    )
+
+
 def reverse_nested_agg(sf_dir: str) -> pa.Table:
     """ES ``reverse_nested`` inside a nested ``terms`` agg: bucket the
     NESTED docs (lineitems by l_returnflag), then step back out to the

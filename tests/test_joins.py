@@ -213,3 +213,36 @@ def test_reverse_nested_matches_duckdb(ray_session, con):
     pd.testing.assert_frame_equal(mine, orc, check_dtype=False, atol=1e-9, rtol=0)
     # parents never exceed children
     assert (mine["n_parents"] <= mine["n_children"]).all()
+
+
+def test_nested_inner_hits_brute_force(ray_session):
+    """inner_hits: per-parent top-3 matching nested objects, batch-split
+    invariant (partial top-k per batch merges to the global answer)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.joins import nested_inner_hits
+
+    sf = "/root/testdata/sf0.001"
+    out = nested_inner_hits(sf, qty_min=45.0, disc_max=0.01, size=3)
+
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+    ).to_pandas()
+    m = li[(li.l_quantity >= 45.0) & (li.l_discount <= 0.01)].copy()
+    m = m.sort_values(
+        ["l_orderkey", "l_quantity", "l_linenumber"], ascending=[True, False, True]
+    )
+    m["hit_rank"] = m.groupby("l_orderkey").cumcount() + 1
+    want = m[m.hit_rank <= 3][
+        ["l_orderkey", "hit_rank", "l_linenumber", "l_quantity"]
+    ].reset_index(drop=True)
+
+    got = out.to_pandas()
+    assert got["o_orderkey"].tolist() == want["l_orderkey"].tolist()
+    assert got["hit_rank"].tolist() == want["hit_rank"].tolist()
+    assert got["l_linenumber"].tolist() == want["l_linenumber"].tolist()
+    assert np.allclose(got["l_quantity"], want["l_quantity"])
+    # every parent has at most `size` inner hits
+    assert got.groupby("o_orderkey").size().max() <= 3
