@@ -262,6 +262,15 @@ def _q_nested_inner_hits(sf_dir: str) -> pa.Table:
     return nested_inner_hits(sf_dir)
 
 
+def _q_mixture_select(sf_dir: str) -> pa.Table:
+    """Token-budgeted mixture execution: per-source budgets from the
+    mixing_weights rule, longest-first fill-until-budget selection via the
+    threshold plan (no per-source sort of the raw docs)."""
+    from bitcoin_ledger_2es_ray.pipelines.curate import mixture_select
+
+    return mixture_select(sf_dir, budget_total=25_000, alpha=0.5)
+
+
 def _q_search_as_you_type(sf_dir: str) -> pa.Table:
     """ES ``search_as_you_type``: mid-typing queries (two consecutive tokens
     of doc (13q+7) mod n + the 2-char prefix of the next token) through
@@ -4161,6 +4170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_percentiles": _q_histogram_percentiles,
         "search_as_you_type": _q_search_as_you_type,
         "nested_inner_hits": _q_nested_inner_hits,
+        "mixture_select": _q_mixture_select,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,
@@ -8571,6 +8581,31 @@ SELECT doc_id, pos,
   END AS token
 FROM infl
 ORDER BY doc_id, pos
+"""
+    # mixture execution: fill-until-budget in (dl DESC, doc ASC) order,
+    # budgets = floor(weight * B), weight ∝ tokens^0.5
+    sql["mixture_select"] = """
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS dl
+  FROM documents
+),
+tot AS (SELECT source, sum(dl)::DOUBLE AS tok FROM d GROUP BY source),
+w AS (
+  SELECT source, pow(tok, 0.5) / (SELECT sum(pow(tok, 0.5)) FROM tot) AS w
+  FROM tot
+),
+b AS (SELECT source, floor(w * 25000)::BIGINT AS budget FROM w),
+r AS (
+  SELECT d.*,
+         sum(dl) OVER (
+           PARTITION BY source ORDER BY dl DESC, doc_id ASC
+           ROWS UNBOUNDED PRECEDING) - dl AS cum_before
+  FROM d
+)
+SELECT r.doc_id, r.source, r.dl
+FROM r JOIN b USING (source)
+WHERE cum_before < budget
+ORDER BY doc_id
 """
     # nested inner_hits: per-parent top-3 matching nested objects
     sql["nested_inner_hits"] = """

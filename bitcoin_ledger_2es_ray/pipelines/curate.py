@@ -455,6 +455,146 @@ def mixing_weights(sf_dir: str, alpha: float = 0.5, round_decimals: int = 6) -> 
     )
 
 
+def mixture_select(
+    sf_dir: str,
+    budget_total: int = 25_000,
+    alpha: float = 0.5,
+) -> pa.Table:
+    """EXECUTE the training mixture: per-source token-budgeted selection.
+
+    Budgets derive from the ``mixing_weights`` rule (weight ∝ n_tokensᵅ,
+    budget_s = ⌊weight_s · budget_total⌋); within a source, docs are taken
+    longest-first — (dl DESC, doc_id ASC), the packing-friendly order — and
+    a doc is selected iff the tokens of all docs before it are still under
+    the source's budget (fill-until-budget, deterministic, no RNG).
+
+    Scale plan (no per-source global sort): selection in (dl DESC, doc ASC)
+    order is a THRESHOLD — all docs with dl above a per-source cut dl*, plus
+    the first k ties at dl* by doc_id.  Pass 1 streams (source, dl)
+    value-count partials (driver combine bounded by #sources × #distinct
+    dl) and derives every cut; pass 2 streams ONLY the tie docs (bounded by
+    tie counts) to fix each doc_id cutoff; pass 3 emits the selection with
+    one broadcast map-side filter.  Raw docs never sort, never shuffle.
+    Returns (doc_id, source, dl), doc_id ASC."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern(batch["text"], " ")).cast(pa.int64())
+        t = pa.table({"source": batch["source"], "dl": toks})
+        g = t.group_by(["source", "dl"]).aggregate([("dl", "count")])
+        return g.rename_columns(["source", "dl", "n"])
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(docs_path, columns=["source", "text"]).map_batches(
+        hist_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    hist = (
+        cat.group_by(["source", "dl"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["source", "dl", "n"])
+        .sort_by([("source", "ascending"), ("dl", "descending")])
+    )
+
+    src = np.asarray(hist["source"])
+    dls = np.asarray(hist["dl"], dtype=np.int64)
+    cnt = np.asarray(hist["n"], dtype=np.int64)
+    sources = sorted(set(src.tolist()))
+    tok_by_src = {s: int((dls[src == s] * cnt[src == s]).sum()) for s in sources}
+    w = np.array([tok_by_src[s] for s in sources], dtype=np.float64) ** alpha
+    w = w / w.sum()
+    budgets = {s: int(np.floor(wi * budget_total)) for s, wi in zip(sources, w)}
+
+    # per-source cut: dl* level and how many ties (k) fit under the budget
+    cuts: dict[str, tuple[int, int]] = {}  # source -> (dl_star, k_ties); dl_star=-1 -> all
+    for s in sources:
+        m = src == s
+        lv, ln = dls[m], cnt[m]  # already dl DESC within the source
+        b = budgets[s]
+        cum = 0
+        cut = None
+        for level, n_l in zip(lv.tolist(), ln.tolist()):
+            if cum + level * n_l >= b:
+                k = max(0, -(-(b - cum) // level)) if level > 0 else n_l
+                cut = (level, min(k, n_l))
+                break
+            cum += level * n_l
+        cuts[s] = cut if cut is not None else (-1, 0)
+
+    # pass 2: doc_id cutoff among the tie level (bounded by tie counts)
+    tie_levels = {s: c[0] for s, c in cuts.items() if c[0] >= 0 and c[1] > 0}
+    tie_ref = ray.put(tie_levels)
+
+    def tie_partial(batch: pa.Table) -> pa.Table:
+        # vectorized: per-row work is numpy; the only loop is over the
+        # batch's DISTINCT sources (bounded by the source count)
+        levels = ray.get(tie_ref)
+        toks = pc.list_value_length(pc.split_pattern(batch["text"], " ")).cast(pa.int64())
+        d = np.asarray(batch["doc_id"], dtype=np.int64)
+        s_np = np.asarray(batch["source"].to_pylist())
+        t_arr = np.asarray(toks)
+        u_src, inv = np.unique(s_np, return_inverse=True)
+        lvl = np.array([levels.get(s, -2) for s in u_src.tolist()], dtype=np.int64)[inv]
+        keep = np.flatnonzero(t_arr == lvl)
+        return pa.table(
+            {
+                "source": pa.array(s_np[keep], type=pa.string()),
+                "doc_id": pa.array(d[keep], type=pa.int64()),
+            }
+        )
+
+    cutoff_id: dict[str, int] = {}
+    if tie_levels:
+        tds = rd.read_parquet(docs_path, columns=["doc_id", "source", "text"]).map_batches(
+            tie_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        tparts = [ray.get(r) for r in tds.to_arrow_refs()]
+        tparts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in tparts]
+        tcat = pa.concat_tables([p for p in tparts if p.num_rows])
+        ts = np.asarray(tcat["source"])
+        td = np.asarray(tcat["doc_id"], dtype=np.int64)
+        for s in tie_levels:
+            ids = np.sort(td[ts == s])
+            k = cuts[s][1]
+            cutoff_id[s] = int(ids[min(k, len(ids)) - 1]) if k > 0 and len(ids) else -1
+
+    rule_ref = ray.put(
+        {s: (cuts[s][0], cutoff_id.get(s, -1)) for s in sources}
+    )
+
+    def select_partial(batch: pa.Table) -> pa.Table:
+        rules = ray.get(rule_ref)
+        toks = pc.list_value_length(pc.split_pattern(batch["text"], " ")).cast(pa.int64())
+        d = np.asarray(batch["doc_id"], dtype=np.int64)
+        s_np = np.asarray(batch["source"].to_pylist())
+        t_arr = np.asarray(toks)
+        u_src, inv = np.unique(s_np, return_inverse=True)
+        dl_star = np.array([rules[s][0] for s in u_src.tolist()], dtype=np.int64)[inv]
+        cut_doc = np.array([rules[s][1] for s in u_src.tolist()], dtype=np.int64)[inv]
+        keep = np.flatnonzero(
+            (dl_star < 0) | (t_arr > dl_star) | ((t_arr == dl_star) & (d <= cut_doc))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep], type=pa.int64()),
+                "source": pa.array(s_np[keep], type=pa.string()),
+                "dl": pa.array(t_arr[keep], type=pa.int64()),
+            }
+        )
+
+    sds = rd.read_parquet(docs_path, columns=["doc_id", "source", "text"]).map_batches(
+        select_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sparts = [ray.get(r) for r in sds.to_arrow_refs()]
+    sparts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in sparts]
+    scat = pa.concat_tables([p for p in sparts if p.num_rows])
+    return scat.sort_by("doc_id")
+
+
 def curriculum_stages(sf_dir: str, n_stages: int = 4) -> pa.Table:
     """Curriculum ordering for staged training: rank every doc by
     (quality ASC, doc_id ASC) — easy/low-quality-signal docs first is one

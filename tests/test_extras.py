@@ -1236,3 +1236,42 @@ def test_mlm_examples_brute(ray_session, tmp_path):
     sink = mlm_examples_to_parquet(SF, str(tmp_path / "mlm"), stride=5)
     written = pads.dataset(sink).to_table().sort_by("doc_id")
     assert written.equals(out.cast(written.schema))
+
+
+def test_mixture_select_brute_force(ray_session):
+    """Threshold-plan mixture execution equals the direct per-source
+    longest-first fill-until-budget selection."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.curate import mixture_select
+
+    sf = "/root/testdata/sf0.001"
+    B = 4_000
+    out = mixture_select(sf, budget_total=B, alpha=0.5)
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "source", "text"])
+    d = docs.to_pandas()
+    d["dl"] = d["text"].str.split(" ").str.len()
+    tok = d.groupby("source")["dl"].sum().astype(float)
+    w = tok**0.5
+    w = w / w.sum()
+    budgets = np.floor(w * B).astype(int)
+
+    want = []
+    for s, grp in d.groupby("source"):
+        g = grp.sort_values(["dl", "doc_id"], ascending=[False, True])
+        cum = 0
+        for _, row in g.iterrows():
+            if cum < budgets[s]:
+                want.append(int(row.doc_id))
+            cum += int(row.dl)
+    want = sorted(want)
+    assert out["doc_id"].to_pylist() == want
+    # per-source token totals end within one doc of the budget
+    got = out.to_pandas()
+    for s, grp in got.groupby("source"):
+        assert grp["dl"].sum() >= budgets[s]  # filled
+        # removing the last (shortest, highest-doc_id) selected doc drops under budget
+        last = grp.sort_values(["dl", "doc_id"], ascending=[False, True]).iloc[-1]
+        assert grp["dl"].sum() - last.dl < budgets[s]
