@@ -271,6 +271,14 @@ def _q_mixture_select(sf_dir: str) -> pa.Table:
     return mixture_select(sf_dir, budget_total=25_000, alpha=0.5)
 
 
+def _q_fim_examples(sf_dir: str) -> pa.Table:
+    """FIM (fill-in-the-middle) code-LLM examples: deterministic token-level
+    prefix/middle/suffix cuts, PSM/SPM 50/50 by doc parity."""
+    from bitcoin_ledger_2es_ray.pipelines.textstats import fim_examples
+
+    return fim_examples(sf_dir)
+
+
 def _q_search_as_you_type(sf_dir: str) -> pa.Table:
     """ES ``search_as_you_type``: mid-typing queries (two consecutive tokens
     of doc (13q+7) mod n + the 2-char prefix of the next token) through
@@ -4171,6 +4179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_as_you_type": _q_search_as_you_type,
         "nested_inner_hits": _q_nested_inner_hits,
         "mixture_select": _q_mixture_select,
+        "fim_examples": _q_fim_examples,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,
@@ -8581,6 +8590,33 @@ SELECT doc_id, pos,
   END AS token
 FROM infl
 ORDER BY doc_id, pos
+"""
+    # FIM examples: cut-point formulas and PSM/SPM layouts mirrored
+    sql["fim_examples"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS arr,
+         len(string_split(text, ' '))::BIGINT AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, arr, n,
+         (7 * doc_id + 3) % (n + 1) AS a,
+         (7 * doc_id + 3) % (n + 1)
+           + ((11 * doc_id + 5) % (n - ((7 * doc_id + 3) % (n + 1)) + 1)) AS b
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+       a AS n_prefix, (b - a) AS n_middle, (n - b) AS n_suffix,
+       CASE WHEN doc_id % 2 = 0
+         THEN '<PRE>' || coalesce(array_to_string(arr[1:a], ' '), '')
+              || '<SUF>' || coalesce(array_to_string(arr[b+1:n], ' '), '')
+              || '<MID>' || coalesce(array_to_string(arr[a+1:b], ' '), '')
+         ELSE '<SUF>' || coalesce(array_to_string(arr[b+1:n], ' '), '')
+              || '<PRE>' || coalesce(array_to_string(arr[1:a], ' '), '')
+              || '<MID>' || coalesce(array_to_string(arr[a+1:b], ' '), '')
+       END AS fim
+FROM c ORDER BY doc_id
 """
     # mixture execution: fill-until-budget in (dl DESC, doc ASC) order,
     # budgets = floor(weight * B), weight ∝ tokens^0.5

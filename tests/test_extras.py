@@ -1275,3 +1275,39 @@ def test_mixture_select_brute_force(ray_session):
         # removing the last (shortest, highest-doc_id) selected doc drops under budget
         last = grp.sort_values(["dl", "doc_id"], ascending=[False, True]).iloc[-1]
         assert grp["dl"].sum() - last.dl < budgets[s]
+
+
+def test_fim_examples_brute_force(ray_session):
+    """FIM generation: reconstructs the doc exactly (p+m+s partition), cut
+    formulas honored, PSM/SPM layouts by parity, sink == collected table."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.textstats import (
+        fim_examples,
+        fim_examples_to_parquet,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = fim_examples(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).sort_by(
+        "doc_id"
+    )
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    assert out.num_rows == len(texts)
+    for row in out.to_pylist():
+        toks = texts[row["doc_id"]].split(" ")
+        n = len(toks)
+        a = (7 * row["doc_id"] + 3) % (n + 1)
+        b = a + (11 * row["doc_id"] + 5) % (n - a + 1)
+        assert (row["n_prefix"], row["n_middle"], row["n_suffix"]) == (a, b - a, n - b)
+        p, m, s = " ".join(toks[:a]), " ".join(toks[a:b]), " ".join(toks[b:])
+        if row["doc_id"] % 2 == 0:
+            assert row["mode"] == "psm"
+            assert row["fim"] == f"<PRE>{p}<SUF>{s}<MID>{m}"
+        else:
+            assert row["mode"] == "spm"
+            assert row["fim"] == f"<SUF>{s}<PRE>{p}<MID>{m}"
+
+    out_dir = fim_examples_to_parquet(sf, "/tmp/blray_test_fim")
+    sunk = pq.read_table(out_dir).sort_by("doc_id")
+    assert sunk.equals(out)
