@@ -279,6 +279,14 @@ def _q_fim_examples(sf_dir: str) -> pa.Table:
     return fim_examples(sf_dir)
 
 
+def _q_repo_pack(sf_dir: str) -> pa.Table:
+    """Repo-context packing: per-repo path-ordered concatenation units,
+    hash-compared via sha256 of the joined bytes."""
+    from bitcoin_ledger_2es_ray.pipelines.curate import repo_pack
+
+    return repo_pack(sf_dir)
+
+
 def _q_search_as_you_type(sf_dir: str) -> pa.Table:
     """ES ``search_as_you_type``: mid-typing queries (two consecutive tokens
     of doc (13q+7) mod n + the 2-char prefix of the next token) through
@@ -4180,6 +4188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_inner_hits": _q_nested_inner_hits,
         "mixture_select": _q_mixture_select,
         "fim_examples": _q_fim_examples,
+        "repo_pack": _q_repo_pack,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,
@@ -8590,6 +8599,18 @@ SELECT doc_id, pos,
   END AS token
 FROM infl
 ORDER BY doc_id, pos
+"""
+    # repo packing: derivation + path-ordered string_agg + sha mirrored
+    sql["repo_pack"] = """
+WITH d AS (
+  SELECT 'org' || (doc_id % 7) || '/repo' || (doc_id % 20) AS repo,
+         'src/' || source || '/file_' || doc_id || '.py' AS path,
+         text, len(string_split(text, ' '))::BIGINT AS dl
+  FROM documents
+)
+SELECT repo, count(*)::BIGINT AS n_files, sum(dl)::BIGINT AS n_tokens,
+       sha256(string_agg(text, chr(10) ORDER BY path)) AS sha
+FROM d GROUP BY repo ORDER BY repo
 """
     # FIM examples: cut-point formulas and PSM/SPM layouts mirrored
     sql["fim_examples"] = """

@@ -595,6 +595,71 @@ def mixture_select(
     return scat.sort_by("doc_id")
 
 
+def repo_pack(sf_dir: str, num_partitions: int = 8) -> pa.Table:
+    """Repo-context training units (the StarCoder-style code-LLM step):
+    every file of a repository concatenated in PATH order into one unit →
+    (repo, n_files, n_tokens, sha) with sha = sha256 of the newline-joined
+    concatenation (units hash-compare without shipping their bytes).
+
+    Repo/path derive from doc_id exactly like the corpus derivation
+    (``org{d%7}/repo{d%20}``, ``src/{source}/file_{d}.py`` — mirrored in
+    the SQL oracle).  The plan is ONE ``groupby(repo).map_groups`` —
+    packing inherently co-locates a repo's files, so the shuffle moves
+    each file's bytes exactly once; groups are repo-sized, never
+    corpus-sized."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].cast(pa.int64())
+        repo = pc.binary_join_element_wise(
+            pa.scalar("org"),
+            pa.array((np.asarray(d) % 7).astype(str), type=pa.string()),
+            pa.scalar("/repo"),
+            pa.array((np.asarray(d) % 20).astype(str), type=pa.string()),
+            "",
+        )
+        path = pc.binary_join_element_wise(
+            pa.scalar("src/"),
+            batch["source"],
+            pa.scalar("/file_"),
+            pc.cast(d, pa.string()),
+            pa.scalar(".py"),
+            "",
+        )
+        dl = pc.list_value_length(pc.split_pattern(batch["text"], " ")).cast(pa.int64())
+        return pa.table({"repo": repo, "path": path, "text": batch["text"], "dl": dl})
+
+    def pack(group: pa.Table) -> pa.Table:
+        g = group.sort_by("path")
+        joined = "\n".join(g["text"].to_pylist())
+        return pa.table(
+            {
+                "repo": pa.array([g["repo"][0].as_py()], type=pa.string()),
+                "n_files": pa.array([g.num_rows], type=pa.int64()),
+                "n_tokens": pa.array([int(pc.sum(g["dl"]).as_py())], type=pa.int64()),
+                "sha": pa.array(
+                    [hashlib.sha256(joined.encode("utf-8")).hexdigest()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+        .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("repo")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts).sort_by("repo")
+
+
 def curriculum_stages(sf_dir: str, n_stages: int = 4) -> pa.Table:
     """Curriculum ordering for staged training: rank every doc by
     (quality ASC, doc_id ASC) — easy/low-quality-signal docs first is one

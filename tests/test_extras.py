@@ -1311,3 +1311,35 @@ def test_fim_examples_brute_force(ray_session):
     out_dir = fim_examples_to_parquet(sf, "/tmp/blray_test_fim")
     sunk = pq.read_table(out_dir).sort_by("doc_id")
     assert sunk.equals(out)
+
+
+def test_repo_pack_brute_force(ray_session):
+    """Repo packing: unit shas equal a direct per-repo path-ordered join."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.curate import repo_pack
+
+    sf = "/root/testdata/sf0.001"
+    out = repo_pack(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "source", "text"])
+    rows = {}
+    for d, s, t in zip(
+        docs["doc_id"].to_pylist(), docs["source"].to_pylist(), docs["text"].to_pylist()
+    ):
+        repo = f"org{d % 7}/repo{d % 20}"
+        rows.setdefault(repo, []).append((f"src/{s}/file_{d}.py", t))
+    want = {}
+    for repo, files in rows.items():
+        files.sort()
+        joined = "\n".join(t for _, t in files)
+        want[repo] = (
+            len(files),
+            sum(len(t.split(" ")) for _, t in files),
+            hashlib.sha256(joined.encode()).hexdigest(),
+        )
+    assert out.num_rows == len(want)
+    for row in out.to_pylist():
+        nf, ntok, sha = want[row["repo"]]
+        assert (row["n_files"], row["n_tokens"], row["sha"]) == (nf, ntok, sha)
