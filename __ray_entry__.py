@@ -287,6 +287,14 @@ def _q_repo_pack(sf_dir: str) -> pa.Table:
     return repo_pack(sf_dir)
 
 
+def _q_ip_range(sf_dir: str) -> pa.Table:
+    """ES ``ip_range``: event + distinct-client counts per /2 quarter of the
+    IPv4 space, client IP hash-derived from user_id."""
+    from bitcoin_ledger_2es_ray.pipelines.events import ip_range_agg
+
+    return ip_range_agg(sf_dir)
+
+
 def _q_search_as_you_type(sf_dir: str) -> pa.Table:
     """ES ``search_as_you_type``: mid-typing queries (two consecutive tokens
     of doc (13q+7) mod n + the 2-char prefix of the next token) through
@@ -4189,6 +4197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_select": _q_mixture_select,
         "fim_examples": _q_fim_examples,
         "repo_pack": _q_repo_pack,
+        "ip_range": _q_ip_range,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,
@@ -8599,6 +8608,28 @@ SELECT doc_id, pos,
   END AS token
 FROM infl
 ORDER BY doc_id, pos
+"""
+    # ip_range: multiplicative-hash IP derivation + /2 quarters mirrored
+    sql["ip_range"] = """
+WITH ip AS (
+  SELECT user_id, (user_id * 2654435761) % 4294967296 AS ip FROM events
+),
+b AS (
+  SELECT user_id, least(ip // 1073741824, 3)::BIGINT AS b FROM ip
+),
+agg AS (
+  SELECT b, count(*)::BIGINT AS doc_count,
+         count(DISTINCT user_id)::BIGINT AS unique_users
+  FROM b GROUP BY b
+),
+keys AS (
+  SELECT unnest([0, 1, 2, 3]) AS b,
+         unnest(['*-64.0.0.0', '64.0.0.0-128.0.0.0',
+                 '128.0.0.0-192.0.0.0', '192.0.0.0-*']) AS key
+)
+SELECT k.key, coalesce(a.doc_count, 0) AS doc_count,
+       coalesce(a.unique_users, 0) AS unique_users
+FROM keys k LEFT JOIN agg a USING (b) ORDER BY k.b
 """
     # repo packing: derivation + path-ordered string_agg + sha mirrored
     sql["repo_pack"] = """

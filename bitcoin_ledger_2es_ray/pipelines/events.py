@@ -357,6 +357,68 @@ def cumulative_cardinality(sf_dir: str, interval_s: int = 86400) -> pa.Table:
     )
 
 
+def ip_range_agg(sf_dir: str) -> pa.Table:
+    """ES ``ip_range`` aggregation: event counts and distinct clients per
+    IPv4 range.  The events table carries no IP column, so the client IP
+    derives deterministically from the user — ``ip = (user_id ·
+    2654435761) mod 2³²`` (Knuth's multiplicative hash, mirrored exactly in
+    the SQL oracle) — and the buckets are the four /2 quarters of the
+    address space, keyed ES-style ``from-to`` in dotted-quad with ``*`` at
+    the open ends.
+
+    Per-batch (bucket, n, user-set partial) via integer compare — the
+    combine is bounded by 4 buckets × #users, never the event count."""
+    import ray
+    import ray.data as rd
+
+    q = np.int64(1) << np.int64(30)
+    labels = [
+        "*-64.0.0.0",
+        "64.0.0.0-128.0.0.0",
+        "128.0.0.0-192.0.0.0",
+        "192.0.0.0-*",
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        ip = (u * np.int64(2654435761)) % (np.int64(1) << np.int64(32))
+        b = np.minimum(ip // q, 3).astype(np.int64)
+        t = pa.table({"b": pa.array(b), "user_id": pa.array(u)})
+        g = t.group_by(["b", "user_id"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["b", "user_id", "n"])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    g = (
+        cat.group_by(["b", "user_id"])
+        .aggregate([("n", "sum")])
+        .group_by("b")
+        .aggregate([("n_sum", "sum"), ("user_id", "count")])
+        .sort_by("b")
+    )
+    bmap = dict(
+        zip(
+            np.asarray(g["b"], dtype=np.int64).tolist(),
+            zip(g["n_sum_sum"].to_pylist(), g["user_id_count"].to_pylist()),
+        )
+    )
+    return pa.table(
+        {
+            "key": pa.array(labels, type=pa.string()),
+            "doc_count": pa.array(
+                [int(bmap.get(i, (0, 0))[0]) for i in range(4)], type=pa.int64()
+            ),
+            "unique_users": pa.array(
+                [int(bmap.get(i, (0, 0))[1]) for i in range(4)], type=pa.int64()
+            ),
+        }
+    )
+
+
 def date_range_agg(
     sf_dir: str, edges_s: tuple[int, ...], round_decimals: int = 6
 ) -> pa.Table:

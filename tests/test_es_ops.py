@@ -2866,3 +2866,20 @@ def test_histogram_field_brute_force(ray_session):
         assert v == pytest.approx(
             float(np.quantile(expanded, q, method="linear")), abs=1e-6
         )
+
+
+def test_ip_range_agg_brute_force(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.events import ip_range_agg
+
+    sf = "/root/testdata/sf0.001"
+    out = ip_range_agg(sf)
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["user_id"])
+    u = np.asarray(ev["user_id"], dtype=np.int64)
+    ip = (u * 2654435761) % (1 << 32)
+    b = np.minimum(ip // (1 << 30), 3)
+    assert out["doc_count"].to_pylist() == [int((b == i).sum()) for i in range(4)]
+    assert out["unique_users"].to_pylist() == [
+        len(set(u[b == i].tolist())) for i in range(4)
+    ]
+    assert out["key"].to_pylist()[0] == "*-64.0.0.0"
+    assert sum(out["doc_count"].to_pylist()) == len(u)
