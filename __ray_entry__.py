@@ -295,6 +295,13 @@ def _q_ip_range(sf_dir: str) -> pa.Table:
     return ip_range_agg(sf_dir)
 
 
+def _q_colbert_maxsim(sf_dir: str) -> pa.Table:
+    """Late-interaction MaxSim retrieval over chunk-derived token vectors."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import colbert_maxsim
+
+    return colbert_maxsim(sf_dir, n_queries=5, k=5, n_chunks=4)
+
+
 def _q_search_as_you_type(sf_dir: str) -> pa.Table:
     """ES ``search_as_you_type``: mid-typing queries (two consecutive tokens
     of doc (13q+7) mod n + the 2-char prefix of the next token) through
@@ -4198,6 +4205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fim_examples": _q_fim_examples,
         "repo_pack": _q_repo_pack,
         "ip_range": _q_ip_range,
+        "colbert_maxsim": _q_colbert_maxsim,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,
@@ -8608,6 +8616,51 @@ SELECT doc_id, pos,
   END AS token
 FROM infl
 ORDER BY doc_id, pos
+"""
+    # ColBERT MaxSim: chunk-slice token vectors, cos rounded pre-reduction
+    sql["colbert_maxsim"] = """
+WITH dim AS (SELECT len(embedding) // 4 AS c FROM embeddings LIMIT 1),
+qs AS (
+  SELECT vec_id AS qid, embedding FROM embeddings ORDER BY vec_id LIMIT 5
+),
+qc AS (
+  SELECT qid, t, list_slice(embedding, 1 + t * c, (t + 1) * c) AS ch
+  FROM qs, dim, range(4) r(t)
+),
+dc AS (
+  SELECT vec_id, t AS s, list_slice(embedding, 1 + t * c, (t + 1) * c) AS ch
+  FROM embeddings, dim, range(4) r(t)
+),
+qu AS (
+  SELECT qid, t, generate_subscripts(ch, 1) AS i, unnest(ch)::DOUBLE AS x
+  FROM qc
+),
+du AS (
+  SELECT vec_id, s, generate_subscripts(ch, 1) AS i, unnest(ch)::DOUBLE AS x
+  FROM dc
+),
+-- cosine in DOUBLE (list_cosine_similarity accumulates in float32, which
+-- diverges from the engine's float64 einsum at the 6-dp boundary)
+cos AS (
+  SELECT qid, vec_id, t,
+         max(round(sim, 6)) AS m
+  FROM (
+    SELECT qu.qid, qu.t, du.vec_id, du.s,
+           sum(qu.x * du.x) / sqrt(sum(qu.x * qu.x) * sum(du.x * du.x)) AS sim
+    FROM qu JOIN du ON du.i = qu.i
+    GROUP BY 1, 2, 3, 4
+  )
+  GROUP BY 1, 2, 3
+),
+sc AS (SELECT qid, vec_id, round(sum(m), 6) AS score FROM cos GROUP BY 1, 2),
+ranked AS (
+  SELECT qid AS query_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank,
+         vec_id, score
+  FROM sc
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, score
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
     # ip_range: multiplicative-hash IP derivation + /2 quarters mirrored
     sql["ip_range"] = """

@@ -1183,3 +1183,97 @@ def knn_hnsw(
             "sim": pa.array([r[3] for r in out_rows], type=pa.float64()),
         }
     )
+
+
+def colbert_maxsim(
+    sf_dir: str, n_queries: int = 5, k: int = 5, n_chunks: int = 4
+) -> pa.Table:
+    """Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia 2020):
+    score(q, d) = Σ_qt max_dt cos(qt, dt) over per-"token" vectors, top-k.
+
+    The embeddings table holds one vector per doc, so token vectors derive
+    deterministically as the ``n_chunks`` contiguous SLICES of each
+    embedding (chunk = D/n_chunks dims, normalized per chunk) — the exact
+    derivation the DuckDB oracle replays with ``list_slice``.  Each cosine
+    rounds to 6 dp BEFORE the max/sum (both engines see identical values,
+    so the reduction is order-free), the final score rounds again.
+
+    Plan shape = ``knn_bruteforce``: the query chunk tensor broadcasts once
+    (``ray.put``), every batch computes one einsum over (query-chunk ×
+    doc-chunk), reduces max-then-sum in-register, and ships a per-batch
+    top-k partial — the driver merge is bounded by queries × k × blocks,
+    never the corpus."""
+    import ray
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    d_full = q_mat.shape[1]
+    if d_full % n_chunks:
+        raise ValueError(f"dim {d_full} not divisible into {n_chunks} chunks")
+    c = d_full // n_chunks
+
+    def chunk_norm(mat: np.ndarray) -> np.ndarray:
+        t = mat.reshape(mat.shape[0], n_chunks, c)
+        norm = np.linalg.norm(t, axis=2, keepdims=True)
+        norm[norm == 0] = 1.0
+        return t / norm
+
+    q_ref = ray.put(chunk_norm(q_mat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "q": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        qc = ray.get(q_ref)  # (nq, T, c)
+        ids, mat = _batch_matrix(batch)
+        dc = chunk_norm(mat)  # (B, T, c)
+        sims = np.einsum("qtc,bsc->qtbs", qc, dc)
+        sims = sql_round(sims, ROUND)
+        score = sql_round(sims.max(axis=3).sum(axis=1), ROUND)  # (nq, B)
+        rows = []
+        kk = min(k, score.shape[1])
+        for qi in range(score.shape[0]):
+            order = np.lexsort((ids, -score[qi]))[:kk]
+            rows.extend((qi, int(ids[i]), float(score[qi, i])) for i in order)
+        return pa.table(
+            {
+                "q": pa.array([r[0] for r in rows], type=pa.int64()),
+                "vec_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "score": pa.array([r[2] for r in rows], type=pa.float64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in _read_embeddings(sf_dir)
+            .map_batches(
+                partial_topk, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+            )
+            .to_arrow_refs()
+        ]
+    )
+    out_rows = []
+    qcol = np.asarray(parts["q"])
+    vcol = np.asarray(parts["vec_id"])
+    scol = np.asarray(parts["score"])
+    for qi in range(len(q_ids)):
+        m = qcol == qi
+        order = np.lexsort((vcol[m], -scol[m]))[:k]
+        out_rows.extend(
+            (int(q_ids[qi]), rank, int(vcol[m][i]), float(scol[m][i]))
+            for rank, i in enumerate(order, start=1)
+        )
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
+            "vec_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
+            "score": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )

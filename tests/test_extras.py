@@ -1343,3 +1343,45 @@ def test_repo_pack_brute_force(ray_session):
     for row in out.to_pylist():
         nf, ntok, sha = want[row["repo"]]
         assert (row["n_files"], row["n_tokens"], row["sha"]) == (nf, ntok, sha)
+
+
+def test_colbert_maxsim(ray_session):
+    """MaxSim: numpy replay identity; n_chunks=1 degenerates to plain
+    cosine kNN (same ranking and scores)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.ann import colbert_maxsim, knn_bruteforce
+
+    sf = "/root/testdata/sf0.001"
+    out = colbert_maxsim(sf, n_queries=4, k=5, n_chunks=4)
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    ids = np.asarray(emb["vec_id"], dtype=np.int64)
+    mat = np.asarray(emb["embedding"].combine_chunks().values, dtype=np.float64).reshape(
+        len(ids), -1
+    )
+    T = 4
+    c = mat.shape[1] // T
+
+    def chunks(m):
+        t = m.reshape(m.shape[0], T, c)
+        n = np.linalg.norm(t, axis=2, keepdims=True)
+        n[n == 0] = 1
+        return t / n
+
+    dc = chunks(mat)
+    qc = dc[:4]
+    sims = np.round(np.einsum("qtc,bsc->qtbs", qc, dc), 6)
+    score = np.round(sims.max(axis=3).sum(axis=1), 6)
+    for qi in range(4):
+        order = np.lexsort((ids, -score[qi]))[:5]
+        got = [r for r in out.to_pylist() if r["query_id"] == qi]
+        assert [g["vec_id"] for g in got] == ids[order].tolist()
+        assert [g["score"] for g in got] == score[qi][order].tolist()
+
+    # degenerate: one chunk == whole-vector cosine == knn_bruteforce
+    one = colbert_maxsim(sf, n_queries=3, k=5, n_chunks=1)
+    knn = knn_bruteforce(sf, n_queries=3, k=5)
+    assert one["vec_id"].to_pylist() == knn["vec_id"].to_pylist()
+    assert one["score"].to_pylist() == knn["sim"].to_pylist()
