@@ -302,6 +302,13 @@ def _q_colbert_maxsim(sf_dir: str) -> pa.Table:
     return colbert_maxsim(sf_dir, n_queries=5, k=5, n_chunks=4)
 
 
+def _q_terms_shard_error(sf_dir: str) -> pa.Table:
+    """ES terms agg with shard_size truncation + doc_count_error_upper_bound."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import terms_shard_error_agg
+
+    return terms_shard_error_agg(sf_dir, n_shards=4, shard_size=5, size=10)
+
+
 def _q_search_as_you_type(sf_dir: str) -> pa.Table:
     """ES ``search_as_you_type``: mid-typing queries (two consecutive tokens
     of doc (13q+7) mod n + the 2-char prefix of the next token) through
@@ -4206,6 +4213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_pack": _q_repo_pack,
         "ip_range": _q_ip_range,
         "colbert_maxsim": _q_colbert_maxsim,
+        "terms_shard_error": _q_terms_shard_error,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,
@@ -8616,6 +8624,38 @@ SELECT doc_id, pos,
   END AS token
 FROM infl
 ORDER BY doc_id, pos
+"""
+    # terms agg with shard truncation: ES's error-bound mechanism mirrored
+    sql["terms_shard_error"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+sdf AS (
+  SELECT doc_id % 4 AS shard, term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM toks GROUP BY 1, 2
+),
+ranked AS (
+  SELECT shard, term, df,
+         row_number() OVER (PARTITION BY shard ORDER BY df DESC, term ASC) AS r
+  FROM sdf
+),
+kept AS (SELECT shard, term, df FROM ranked WHERE r <= 5),
+last_of AS (SELECT shard, min(df) AS b FROM kept GROUP BY shard),
+summed AS (SELECT term, sum(df)::BIGINT AS doc_count FROM kept GROUP BY term),
+err AS (
+  SELECT s.term,
+         coalesce((SELECT sum(l.b) FROM last_of l
+                   WHERE l.shard NOT IN (SELECT k.shard FROM kept k
+                                         WHERE k.term = s.term)), 0)::BIGINT
+           AS error_bound
+  FROM summed s
+),
+fin AS (
+  SELECT s.term, s.doc_count, e.error_bound,
+         row_number() OVER (ORDER BY s.doc_count DESC, s.term ASC) AS r
+  FROM summed s JOIN err e USING (term)
+)
+SELECT term, doc_count, error_bound FROM fin WHERE r <= 10 ORDER BY r
 """
     # ColBERT MaxSim: chunk-slice token vectors, cos rounded pre-reduction
     sql["colbert_maxsim"] = """

@@ -966,6 +966,104 @@ def weighted_avg_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
     return pa.table({"lang": g["lang"], "wavg": pa.array(wavg, type=pa.float64())})
 
 
+def terms_shard_error_agg(
+    sf_dir: str, n_shards: int = 4, shard_size: int = 5, size: int = 10
+) -> pa.Table:
+    """ES ``terms`` aggregation WITH the shard-truncation semantics: each
+    shard returns only its local top-``shard_size`` terms (by per-shard doc
+    count, ties term ASC), the coordinator sums what survived and reports,
+    per final bucket, ES's ``doc_count_error_upper_bound`` — the worst-case
+    undercount = Σ over the shards that did NOT return the term of that
+    shard's LAST returned doc count.  This is the exact mechanism behind
+    ES's approximate terms aggregation at scale; buckets rank (summed count
+    DESC, term ASC), top ``size``.
+
+    Shards = ``doc_id mod n_shards`` (mirrored in SQL).  Distributed plan:
+    per-batch (shard, term, distinct-doc) partials (each doc lives in one
+    batch, so per-batch distinct counts sum exactly), one Ray groupby sums
+    them, the per-shard truncation is a ``groupby(shard).map_groups``
+    top-``shard_size``, and the coordinator fold is bounded by
+    n_shards × shard_size rows — never vocabulary-sized."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lengths = pc.list_value_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = flat.flatten()
+        d = np.asarray(batch["doc_id"], dtype=np.int64)
+        doc_of = np.repeat(d, lengths)
+        shard_of = doc_of % n_shards
+        t = pa.table(
+            {
+                "shard": pa.array(shard_of, type=pa.int64()),
+                "term": terms,
+                "doc": pa.array(doc_of, type=pa.int64()),
+            }
+        )
+        # distinct (shard, term, doc) then count docs per (shard, term)
+        g = (
+            t.group_by(["shard", "term", "doc"])
+            .aggregate([])
+            .group_by(["shard", "term"])
+            .aggregate([("term", "count")])
+        )
+        return g.rename_columns(["shard", "term", "n"])
+
+    ds = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["shard", "term"])
+        .aggregate(Sum("n", alias_name="df"))
+    )
+
+    def shard_top(group: pa.Table) -> pa.Table:
+        n = np.asarray(group["df"], dtype=np.int64)
+        terms = np.asarray(group["term"])
+        order = np.lexsort((terms, -n))[:shard_size]
+        return pa.table(
+            {
+                "shard": group["shard"].take(pa.array(order)),
+                "term": pa.array(terms[order]),
+                "df": pa.array(n[order], type=pa.int64()),
+            }
+        )
+
+    truncated = ds.groupby("shard").map_groups(shard_top, batch_format="pyarrow")
+    parts = [ray.get(r) for r in truncated.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+
+    shard = np.asarray(cat["shard"], dtype=np.int64)
+    term = np.asarray(cat["term"])
+    df = np.asarray(cat["df"], dtype=np.int64)
+    # per shard: the LAST returned doc count = the truncation bound
+    last_of = {
+        int(s): int(df[shard == s].min()) for s in np.unique(shard)
+    }
+    out: dict[str, tuple[int, int]] = {}
+    all_terms = np.unique(term)
+    for t_ in all_terms.tolist():
+        m = term == t_
+        got_shards = set(shard[m].tolist())
+        count = int(df[m].sum())
+        err = sum(b for s, b in last_of.items() if s not in got_shards)
+        out[t_] = (count, err)
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1][0], kv[0]))[:size]
+    return pa.table(
+        {
+            "term": pa.array([t_ for t_, _ in ranked], type=pa.string()),
+            "doc_count": pa.array([v[0] for _, v in ranked], type=pa.int64()),
+            "error_bound": pa.array([v[1] for _, v in ranked], type=pa.int64()),
+        }
+    )
+
+
 def histogram_field(sf_dir: str, width: float = 25.0) -> pa.Table:
     """ES ``histogram`` FIELD TYPE, build side: pre-aggregate the raw event
     stream into per-entity (user) histograms → exploded rows

@@ -2883,3 +2883,33 @@ def test_ip_range_agg_brute_force(ray_session):
     ]
     assert out["key"].to_pylist()[0] == "*-64.0.0.0"
     assert sum(out["doc_count"].to_pylist()) == len(u)
+
+
+def test_terms_shard_error_bounds(ray_session):
+    """Shard-truncated terms agg: counts never exceed exact df, undercount
+    is bounded by the reported error, un-truncated shards give zero error."""
+    from collections import Counter
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import terms_shard_error_agg
+
+    sf = "/root/testdata/sf0.001"
+    out = terms_shard_error_agg(sf, n_shards=4, shard_size=5, size=10)
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    exact = Counter()
+    shard_df = {}
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        for term in set(t.split(" ")):
+            exact[term] += 1
+            shard_df.setdefault(d % 4, Counter())[term] += 1
+
+    for row in out.to_pylist():
+        true_df = exact[row["term"]]
+        assert row["doc_count"] <= true_df  # truncation only undercounts
+        assert true_df - row["doc_count"] <= row["error_bound"]  # ES bound
+
+    # shard_size >= vocab: truncation is a no-op, counts exact, errors zero
+    full = terms_shard_error_agg(sf, n_shards=4, shard_size=10_000, size=10)
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["term"], r["doc_count"]) for r in full.to_pylist()] == want
+    assert all(r["error_bound"] == 0 for r in full.to_pylist())
