@@ -309,6 +309,15 @@ def _q_terms_shard_error(sf_dir: str) -> pa.Table:
     return terms_shard_error_agg(sf_dir, n_shards=4, shard_size=5, size=10)
 
 
+def _q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Mergeable Misra-Gries heavy-hitters summary over the token stream —
+    rows-only at the gate (estimates depend on the batch split; the
+    guarantee invariants are pinned in pytest)."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import heavy_hitters
+
+    return heavy_hitters(sf_dir, k=8)
+
+
 def _q_search_as_you_type(sf_dir: str) -> pa.Table:
     """ES ``search_as_you_type``: mid-typing queries (two consecutive tokens
     of doc (13q+7) mod n + the 2-char prefix of the next token) through
@@ -4214,6 +4223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ip_range": _q_ip_range,
         "colbert_maxsim": _q_colbert_maxsim,
         "terms_shard_error": _q_terms_shard_error,
+        "heavy_hitters": _q_heavy_hitters,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,

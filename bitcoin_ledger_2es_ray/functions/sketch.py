@@ -111,3 +111,38 @@ def hll_estimate(regs: np.ndarray) -> float:
         if zeros > 0:
             est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / SpaceSaving heavy-hitters summary (mergeable form of
+# Agarwal et al., "Mergeable Summaries", PODS 2012).  A summary is a dict
+# term -> count plus the total decrement D it has absorbed; estimates are
+# UNDERcounts with  true_count - est <= D  and  D <= N/(k+1), so every term
+# with true frequency > N/(k+1) is guaranteed present.  Merging sums the
+# counters (and D), then compresses back to k by subtracting the (k+1)-th
+# largest counter from all — exactly the paper's one-shot merge.
+
+
+def mg_compress(counts: dict, k: int) -> tuple[dict, int]:
+    """Compress a term->count dict to at most ``k`` counters; returns the
+    compressed dict and the decrement applied (0 if already small)."""
+    if len(counts) <= k:
+        return dict(counts), 0
+    vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))
+    dec = int(vals[len(vals) - k - 1])  # the (k+1)-th largest
+    out = {t: c - dec for t, c in counts.items() if c > dec}
+    return out, dec
+
+
+def mg_from_counts(terms: np.ndarray, counts: np.ndarray, k: int) -> tuple[dict, int]:
+    """Build a k-counter summary from exact per-batch (term, count) pairs."""
+    return mg_compress(dict(zip(terms.tolist(), counts.tolist())), k)
+
+
+def mg_merge(a: tuple[dict, int], b: tuple[dict, int], k: int) -> tuple[dict, int]:
+    """Merge two summaries: sum counters, sum decrements, re-compress."""
+    merged = dict(a[0])
+    for t, c in b[0].items():
+        merged[t] = merged.get(t, 0) + c
+    out, dec = mg_compress(merged, k)
+    return out, a[1] + b[1] + dec

@@ -162,6 +162,62 @@ def cardinality_hll(
     return {"estimate": hll_estimate(regs), "registers": regs, "p": p}
 
 
+def heavy_hitters(sf_dir: str, k: int = 8) -> pa.Table:
+    """Streaming heavy hitters over the corpus token stream via the
+    MERGEABLE Misra-Gries summary (Agarwal et al. 2012; the SpaceSaving /
+    `frequent` sketch family ES leans on for approximate top-terms at
+    scale).  Each batch compresses its exact token counts to k counters
+    (one tiny dict leaves the task); the driver folds summaries pairwise —
+    no shuffle, constant memory, any partition of the input.
+
+    Returns (term, est_count, max_count) for the summary's survivors,
+    ranked (est DESC, term ASC): ``est_count`` never overcounts,
+    ``max_count = est + total decrement`` never undercounts, and every
+    term with true frequency > N/(k+1) is guaranteed present — the
+    invariants the tests pin (the estimates themselves depend on the batch
+    split, which is why this is rows-only at the driver gate)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.sketch import mg_from_counts, mg_merge
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        terms = flat.flatten()
+        u, c = np.unique(np.asarray(terms), return_counts=True)
+        summary, dec = mg_from_counts(u, c.astype(np.int64), k)
+        return pa.table(
+            {
+                "terms": pa.array([list(summary.keys())], type=pa.list_(pa.string())),
+                "counts": pa.array([list(summary.values())], type=pa.list_(pa.int64())),
+                "dec": pa.array([dec], type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]).map_batches(
+        summarize, batch_format="pyarrow", zero_copy_batch=True
+    )
+    acc: tuple[dict, int] = ({}, 0)
+    for r in ds.to_arrow_refs():
+        t = ray.get(r)
+        t = t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for row in t.to_pylist():
+            acc = mg_merge(acc, (dict(zip(row["terms"], row["counts"])), row["dec"]), k)
+    summary, dec = acc
+    ranked = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.table(
+        {
+            "term": pa.array([t_ for t_, _ in ranked], type=pa.string()),
+            "est_count": pa.array([c for _, c in ranked], type=pa.int64()),
+            "max_count": pa.array([c + dec for _, c in ranked], type=pa.int64()),
+        }
+    )
+
+
 def terms_stats_agg(
     index_dir: str, matches: pa.Table, field: str = "lang"
 ) -> pa.Table:

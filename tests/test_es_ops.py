@@ -2913,3 +2913,34 @@ def test_terms_shard_error_bounds(ray_session):
     want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [(r["term"], r["doc_count"]) for r in full.to_pylist()] == want
     assert all(r["error_bound"] == 0 for r in full.to_pylist())
+
+
+def test_heavy_hitters_mg_guarantees(ray_session):
+    """Misra-Gries invariants: no overcount, bounded undercount, every
+    true heavy hitter (> N/(k+1)) present; k >= vocab is exact."""
+    from collections import Counter
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    k = 8
+    out = heavy_hitters(sf, k=k)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+    exact = Counter()
+    for t in docs["text"].to_pylist():
+        exact.update(t.split(" "))
+    n_total = sum(exact.values())
+
+    got = {r["term"]: (r["est_count"], r["max_count"]) for r in out.to_pylist()}
+    assert 0 < len(got) <= k
+    for term, (est, mx) in got.items():
+        assert est <= exact[term] <= mx
+    thresh = n_total / (k + 1)
+    for term, cnt in exact.items():
+        if cnt > thresh:
+            assert term in got, (term, cnt, thresh)
+
+    big = heavy_hitters(sf, k=10_000)
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r["term"], r["est_count"]) for r in big.to_pylist()] == want
+    assert all(r["max_count"] == r["est_count"] for r in big.to_pylist())
