@@ -318,6 +318,22 @@ def _q_heavy_hitters(sf_dir: str) -> pa.Table:
     return heavy_hitters(sf_dir, k=8)
 
 
+def _q_latest_event(sf_dir: str) -> pa.Table:
+    """ES ``latest`` transform: most recent event per user, mergeable
+    per-batch argmax partials."""
+    from bitcoin_ledger_2es_ray.pipelines.transform import latest_transform
+
+    return latest_transform(sf_dir)
+
+
+def _q_graph_explore(sf_dir: str) -> pa.Table:
+    """ES x-pack _graph/explore, one hop: seed vocab terms → hit docs →
+    strongest co-occurring vertices + seed→vertex edge weights."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import graph_explore
+
+    return graph_explore(sf_dir, seed_ranks=(1, 7), size=8)
+
+
 def _q_search_as_you_type(sf_dir: str) -> pa.Table:
     """ES ``search_as_you_type``: mid-typing queries (two consecutive tokens
     of doc (13q+7) mod n + the 2-char prefix of the next token) through
@@ -4224,6 +4240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "colbert_maxsim": _q_colbert_maxsim,
         "terms_shard_error": _q_terms_shard_error,
         "heavy_hitters": _q_heavy_hitters,
+        "latest_event": _q_latest_event,
+        "graph_explore": _q_graph_explore,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
         "rare_terms": _q_rare_terms,
@@ -8634,6 +8652,51 @@ SELECT doc_id, pos,
   END AS token
 FROM infl
 ORDER BY doc_id, pos
+"""
+    # graph explore: seed derivation, vertex cut and edge weights mirrored
+    sql["graph_explore"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS idx
+  FROM (SELECT DISTINCT term FROM toks)
+),
+nv AS (SELECT count(*) AS c FROM vocab),
+seeds AS (
+  SELECT v.term AS seed FROM vocab v, nv WHERE v.idx IN (1 % nv.c, 7 % nv.c)
+),
+hits AS (
+  SELECT DISTINCT t.doc_id, t.term AS seed
+  FROM toks t JOIN seeds s ON t.term = s.seed
+),
+hitdocs AS (SELECT DISTINCT doc_id FROM hits),
+fg AS (
+  SELECT t.term, count(*)::BIGINT AS fg_df
+  FROM toks t JOIN hitdocs USING (doc_id)
+  WHERE t.term NOT IN (SELECT seed FROM seeds)
+  GROUP BY t.term
+),
+kept AS (SELECT term FROM fg ORDER BY fg_df DESC, term LIMIT 8),
+edges AS (
+  SELECT h.seed, t.term, count(DISTINCT t.doc_id)::BIGINT AS co_doc_count
+  FROM hits h JOIN toks t ON t.doc_id = h.doc_id
+  JOIN kept k ON k.term = t.term
+  GROUP BY 1, 2
+)
+SELECT seed, term, co_doc_count FROM edges ORDER BY seed, term
+"""
+    # latest transform: window argmax by (ts DESC, event_id DESC)
+    sql["latest_event"] = """
+WITH r AS (
+  SELECT user_id,
+         (epoch_us(ts) // 1000000)::BIGINT AS ts_s,
+         event_type, round(value, 6) AS value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts_s, event_type, value FROM r WHERE rn = 1 ORDER BY user_id
 """
     # terms agg with shard truncation: ES's error-bound mechanism mirrored
     sql["terms_shard_error"] = """

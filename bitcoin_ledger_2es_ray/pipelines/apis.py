@@ -615,3 +615,107 @@ def simulate_pipeline(sf_dir: str, processors: list[dict]) -> "pa.Table":
     parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
     parts = [p for p in parts if p.num_rows]
     return pa.concat_tables(parts).sort_by("doc_id")
+
+
+def graph_explore(sf_dir: str, seed_ranks: tuple[int, ...] = (1, 7), size: int = 8) -> pa.Table:
+    """ES x-pack ``_graph/explore`` (one hop): seed terms → the documents
+    containing them → the strongest co-occurring vertex terms, plus the
+    seed→vertex connections weighted by co-occurrence doc count →
+    (seed, term, co_doc_count), sorted.
+
+    Seeds are the vocabulary terms at the given sorted ranks (derived in
+    BOTH engines, so the oracle needs no parameter plumbing).  Vertices
+    keep the top ``size`` non-seed terms by foreground df (ties term ASC)
+    — ES's default ``vertices.size`` cut with its doc-count significance.
+
+    Two streamed passes, both with bounded combines: pass A collects the
+    vocabulary (partials bounded by vocab); pass B emits, per batch, the
+    foreground df partials of hit docs AND the (seed, term) co-occurrence
+    partials — bounded by vocab × (n_seeds + 1), never doc count."""
+    import ray
+    import ray.data as rd
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        u = np.unique(np.asarray(flat.flatten()))
+        return pa.table({"term": pa.array(u, type=pa.string())})
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    vds = rd.read_parquet(docs_path, columns=["text"]).map_batches(
+        vocab_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    vparts = [ray.get(r) for r in vds.to_arrow_refs()]
+    vparts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in vparts]
+    vocab = sorted(
+        set(pa.concat_tables([p for p in vparts if p.num_rows])["term"].to_pylist())
+    )
+    seeds = [vocab[r % len(vocab)] for r in seed_ranks]
+    seeds_ref = ray.put(sorted(set(seeds)))
+
+    def hop_partial(batch: pa.Table) -> pa.Table:
+        sds = ray.get(seeds_ref)
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lengths = pc.list_value_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = np.asarray(flat.flatten())
+        rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lengths)
+        # distinct (row, term) on integer keys: dictionary-encode the terms
+        # once, then one int64 unique (no per-element string concat)
+        tvals, tcodes = np.unique(terms, return_inverse=True)
+        key = np.unique(rows * np.int64(len(tvals)) + tcodes)
+        rows_d = key // len(tvals)
+        terms_d = tvals[key % len(tvals)]
+        is_seed = np.isin(terms_d, sds)
+        hit_rows = np.unique(rows_d[is_seed])
+        in_hit = np.isin(rows_d, hit_rows)
+        rows_h, terms_h = rows_d[in_hit], terms_d[in_hit]
+        # fg df partials over hit docs
+        fg_u, fg_n = np.unique(terms_h, return_counts=True)
+        # (seed, term) co-occurrence partials: for each seed, the terms of
+        # the docs that contain THAT seed
+        pair_seed, pair_term, pair_n = [], [], []
+        for s in sds:
+            s_rows = np.unique(rows_h[terms_h == s])
+            m = np.isin(rows_h, s_rows)
+            u, c = np.unique(terms_h[m], return_counts=True)
+            pair_seed.extend([s] * len(u))
+            pair_term.extend(u.tolist())
+            pair_n.extend(c.tolist())
+        return pa.table(
+            {
+                "seed": pa.array([""] * len(fg_u) + pair_seed, type=pa.string()),
+                "term": pa.array(fg_u.tolist() + pair_term, type=pa.string()),
+                "n": pa.array(fg_n.tolist() + pair_n, type=pa.int64()),
+            }
+        )
+
+    hds = rd.read_parquet(docs_path, columns=["text"]).map_batches(
+        hop_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hparts = [ray.get(r) for r in hds.to_arrow_refs()]
+    hparts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in hparts]
+    cat = pa.concat_tables([p for p in hparts if p.num_rows])
+    g = (
+        cat.group_by(["seed", "term"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["seed", "term", "n"])
+    )
+    seed_col = np.asarray(g["seed"])
+    term_col = np.asarray(g["term"])
+    n_col = np.asarray(g["n"], dtype=np.int64)
+    fg_mask = seed_col == ""
+    fg_terms, fg_n = term_col[fg_mask], n_col[fg_mask]
+    keep = ~np.isin(fg_terms, seeds)
+    fg_terms, fg_n = fg_terms[keep], fg_n[keep]
+    order = np.lexsort((fg_terms, -fg_n))[:size]
+    kept = set(fg_terms[order].tolist())
+    em = ~fg_mask & np.isin(term_col, list(kept))
+    out = pa.table(
+        {
+            "seed": pa.array(seed_col[em], type=pa.string()),
+            "term": pa.array(term_col[em], type=pa.string()),
+            "co_doc_count": pa.array(n_col[em], type=pa.int64()),
+        }
+    )
+    return out.sort_by([("seed", "ascending"), ("term", "ascending")])

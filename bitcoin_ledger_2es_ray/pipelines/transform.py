@@ -148,3 +148,61 @@ def read_pivot(dest_dir: str, round_decimals: int = 6) -> pa.Table:
             ),
         }
     ).sort_by("user_id")
+
+
+def latest_transform(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``latest`` transform: the most recent event per entity (user) —
+    (user_id, ts_s, event_type, value), ordered by user.
+
+    The per-entity argmax is MERGEABLE: each batch keeps one row per user
+    (max by (ts, event_id) — event_id breaks timestamp ties exactly like
+    ES's sort tiebreaker), the driver folds the partials with the same
+    rule, bounded by #users × #blocks.  Nothing shuffles; raw events never
+    leave their task."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        ts = np.asarray(batch["ts"].cast(pa.int64())) // 1_000_000
+        eid = np.asarray(batch["event_id"], dtype=np.int64)
+        order = np.lexsort((-eid, -ts, u))  # per user: latest first
+        u_s = u[order]
+        first = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        keep = order[first]
+        return pa.table(
+            {
+                "user_id": pa.array(u[keep], type=pa.int64()),
+                "ts_s": pa.array(ts[keep], type=pa.int64()),
+                "event_id": pa.array(eid[keep], type=pa.int64()),
+                "event_type": batch["event_type"].take(pa.array(keep)),
+                "value": batch["value"].take(pa.array(keep)),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    u = np.asarray(cat["user_id"], dtype=np.int64)
+    ts = np.asarray(cat["ts_s"], dtype=np.int64)
+    eid = np.asarray(cat["event_id"], dtype=np.int64)
+    order = np.lexsort((-eid, -ts, u))
+    u_s = u[order]
+    first = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+    keep = order[first]
+    val = np.asarray(cat["value"], dtype=np.float64)[keep]
+    return pa.table(
+        {
+            "user_id": pa.array(u[keep], type=pa.int64()),
+            "ts_s": pa.array(ts[keep], type=pa.int64()),
+            "event_type": cat["event_type"].take(pa.array(keep)),
+            "value": pa.array(sql_round(val, round_decimals), type=pa.float64()),
+        }
+    )

@@ -2944,3 +2944,31 @@ def test_heavy_hitters_mg_guarantees(ray_session):
     want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
     assert [(r["term"], r["est_count"]) for r in big.to_pylist()] == want
     assert all(r["max_count"] == r["est_count"] for r in big.to_pylist())
+
+
+def test_graph_explore_brute_force(ray_session):
+    from collections import Counter
+
+    from bitcoin_ledger_2es_ray.pipelines.apis import graph_explore
+
+    sf = "/root/testdata/sf0.001"
+    out = graph_explore(sf, seed_ranks=(1, 7), size=8)
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+    docsets = [set(t.split(" ")) for t in docs["text"].to_pylist()]
+    vocab = sorted(set().union(*docsets))
+    seeds = [vocab[1 % len(vocab)], vocab[7 % len(vocab)]]
+    hitdocs = [s_ for s_ in docsets if s_ & set(seeds)]
+    fg = Counter()
+    for d in hitdocs:
+        fg.update(t for t in d if t not in seeds)
+    kept = [t for t, _ in sorted(fg.items(), key=lambda kv: (-kv[1], kv[0]))[:8]]
+    want = []
+    for s in sorted(set(seeds)):
+        for t in kept:
+            co = sum(1 for d in hitdocs if s in d and t in d)
+            if co:
+                want.append((s, t, co))
+    want.sort()
+    got = [(r["seed"], r["term"], r["co_doc_count"]) for r in out.to_pylist()]
+    assert got == want

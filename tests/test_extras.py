@@ -1385,3 +1385,29 @@ def test_colbert_maxsim(ray_session):
     knn = knn_bruteforce(sf, n_queries=3, k=5)
     assert one["vec_id"].to_pylist() == knn["vec_id"].to_pylist()
     assert one["score"].to_pylist() == knn["sim"].to_pylist()
+
+
+def test_latest_transform_brute_force(ray_session):
+    """ES `latest` transform: per-user argmax by (ts DESC, event_id DESC),
+    merge of per-batch partials equals the direct computation."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.transform import latest_transform
+
+    sf = "/root/testdata/sf0.001"
+    out = latest_transform(sf)
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["user_id", "ts", "event_id", "event_type", "value"]
+    ).to_pandas()
+    ev["ts_s"] = ev["ts"].astype("int64") // 1_000_000
+    want = (
+        ev.sort_values(["user_id", "ts", "event_id"], ascending=[True, False, False])
+        .groupby("user_id", as_index=False)
+        .first()
+        .sort_values("user_id")
+    )
+    got = out.to_pandas()
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["ts_s"].tolist() == want["ts_s"].tolist()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["value"].tolist() == [round(v, 6) for v in want["value"].tolist()]
