@@ -295,6 +295,22 @@ def _q_ip_range(sf_dir: str) -> pa.Table:
     return ip_range_agg(sf_dir)
 
 
+def _q_ip_prefix(sf_dir: str) -> pa.Table:
+    """ES ``ip_prefix`` (8.x): event + distinct-client counts per /4
+    network prefix of the hash-derived client IPv4."""
+    from bitcoin_ledger_2es_ray.pipelines.events import ip_prefix_agg
+
+    return ip_prefix_agg(sf_dir, prefix_length=4)
+
+
+def _q_parent_id(sf_dir: str) -> pa.Table:
+    """ES ``parent_id`` query: the lineitems of the 8th-smallest order key
+    (bounded partial top-k derivation + predicate-pushdown child fetch)."""
+    from bitcoin_ledger_2es_ray.pipelines.joins import parent_id_query
+
+    return parent_id_query(sf_dir, parent_rank=8)
+
+
 def _q_colbert_maxsim(sf_dir: str) -> pa.Table:
     """Late-interaction MaxSim retrieval over chunk-derived token vectors."""
     from bitcoin_ledger_2es_ray.pipelines.ann import colbert_maxsim
@@ -4237,6 +4253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fim_examples": _q_fim_examples,
         "repo_pack": _q_repo_pack,
         "ip_range": _q_ip_range,
+        "ip_prefix": _q_ip_prefix,
+        "parent_id": _q_parent_id,
         "colbert_maxsim": _q_colbert_maxsim,
         "terms_shard_error": _q_terms_shard_error,
         "heavy_hitters": _q_heavy_hitters,
@@ -8796,6 +8814,32 @@ keys AS (
 SELECT k.key, coalesce(a.doc_count, 0) AS doc_count,
        coalesce(a.unique_users, 0) AS unique_users
 FROM keys k LEFT JOIN agg a USING (b) ORDER BY k.b
+"""
+    # ip_prefix: same derived IP, /4 network buckets, empty omitted
+    sql["ip_prefix"] = """
+WITH ip AS (
+  SELECT user_id, (user_id * 2654435761) % 4294967296 AS ip FROM events
+),
+b AS (
+  SELECT user_id, (ip // 268435456) * 268435456 AS net FROM ip
+)
+SELECT (net // 16777216)::BIGINT || '.' || ((net // 65536) % 256)::BIGINT
+         || '.' || ((net // 256) % 256)::BIGINT || '.' || (net % 256)::BIGINT
+         AS key,
+       4::BIGINT AS prefix_length,
+       count(*)::BIGINT AS doc_count,
+       count(DISTINCT user_id)::BIGINT AS unique_users
+FROM b GROUP BY net ORDER BY net
+"""
+    # parent_id: 8th-smallest order key's lineitems
+    sql["parent_id"] = """
+WITH p AS (
+  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 8
+)
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+       l_quantity::DOUBLE AS l_quantity
+FROM lineitem WHERE l_orderkey = (SELECT max(o_orderkey) FROM p)
+ORDER BY l_linenumber
 """
     # repo packing: derivation + path-ordered string_agg + sha mirrored
     sql["repo_pack"] = """

@@ -419,6 +419,59 @@ def ip_range_agg(sf_dir: str) -> pa.Table:
     )
 
 
+def ip_prefix_agg(sf_dir: str, prefix_length: int = 4) -> pa.Table:
+    """ES ``ip_prefix`` aggregation (8.x): event counts and distinct
+    clients per network prefix of the given length.  The client IPv4
+    derives from the user exactly as in ``ip_range_agg`` (Knuth
+    multiplicative hash, mirrored in the SQL oracle); the bucket key is
+    the ES wire shape — the network address in dotted-quad (host bits
+    zeroed) — plus the echoed ``prefix_length``, and empty prefixes are
+    omitted (ES ``min_doc_count`` defaults to 1 here).
+
+    Per-batch (network, n, user-set partial) via one shift; the combine
+    is bounded by 2^prefix_length buckets × #users, never event count."""
+    import ray
+    import ray.data as rd
+
+    if not 0 < prefix_length <= 32:
+        raise ValueError("prefix_length must be in (0, 32]")
+    shift = np.int64(32 - prefix_length)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        ip = (u * np.int64(2654435761)) % (np.int64(1) << np.int64(32))
+        net = (ip >> shift) << shift
+        t = pa.table({"net": pa.array(net), "user_id": pa.array(u)})
+        g = t.group_by(["net", "user_id"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["net", "user_id", "n"])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ..functions.blocks import collect_tables
+
+    cat = pa.concat_tables(collect_tables(ds))
+    g = (
+        cat.group_by(["net", "user_id"])
+        .aggregate([("n", "sum")])
+        .group_by("net")
+        .aggregate([("n_sum", "sum"), ("user_id", "count")])
+        .sort_by("net")
+    )
+    net = np.asarray(g["net"], dtype=np.int64)
+    quads = [
+        f"{a >> 24}.{(a >> 16) & 255}.{(a >> 8) & 255}.{a & 255}" for a in net.tolist()
+    ]
+    return pa.table(
+        {
+            "key": pa.array(quads, type=pa.string()),
+            "prefix_length": pa.array([prefix_length] * len(net), type=pa.int64()),
+            "doc_count": g["n_sum_sum"].cast(pa.int64()),
+            "unique_users": g["user_id_count"].cast(pa.int64()),
+        }
+    )
+
+
 def date_range_agg(
     sf_dir: str, edges_s: tuple[int, ...], round_decimals: int = 6
 ) -> pa.Table:

@@ -415,3 +415,59 @@ def reverse_nested_agg(sf_dir: str) -> pa.Table:
             "n_children": t["n_children"].cast(pa.int64()),
         }
     ).sort_by("l_returnflag")
+
+
+def parent_id_query(sf_dir: str, parent_rank: int = 8) -> pa.Table:
+    """ES ``parent_id`` query: the child docs of ONE given parent →
+    (l_orderkey, l_linenumber, l_quantity), sorted by line number.
+
+    The parent id is derived in both engines (no parameter plumbing): the
+    ``parent_rank``-th smallest ``o_orderkey``.  Finding it is NOT a
+    global sort — each batch keeps its ``parent_rank`` smallest keys
+    (bounded partial top-k), the driver folds partials bounded by
+    rank × #blocks.  The child fetch then pushes ``l_orderkey == parent``
+    into the parquet scan, so only that order's lines leave storage —
+    exactly the shard-routed point lookup ES's join field buys."""
+    import ray.data as rd
+
+    from ..functions.blocks import collect_tables
+
+    if parent_rank < 1:
+        raise ValueError("parent_rank must be >= 1")
+
+    def smallest(batch: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(batch["o_orderkey"], dtype=np.int64))[:parent_rank]
+        return pa.table({"o_orderkey": pa.array(k, type=pa.int64())})
+
+    heads = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"]
+    ).map_batches(smallest, batch_format="pyarrow", zero_copy_batch=True)
+    keys = np.unique(
+        np.asarray(pa.concat_tables(collect_tables(heads))["o_orderkey"], dtype=np.int64)
+    )
+    if len(keys) < parent_rank:
+        raise ValueError("fewer orders than parent_rank")
+    parent = int(keys[parent_rank - 1])
+
+    kids = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        filter=pc.field("l_orderkey") == parent,
+    )
+    parts = collect_tables(kids)
+    if not parts:
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "l_linenumber": pa.array([], type=pa.int64()),
+                "l_quantity": pa.array([], type=pa.float64()),
+            }
+        )
+    t = pa.concat_tables(parts).sort_by("l_linenumber")
+    return pa.table(
+        {
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "l_linenumber": t["l_linenumber"].cast(pa.int64()),
+            "l_quantity": pc.cast(t["l_quantity"], pa.float64()),
+        }
+    )

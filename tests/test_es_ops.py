@@ -2972,3 +2972,29 @@ def test_graph_explore_brute_force(ray_session):
     want.sort()
     got = [(r["seed"], r["term"], r["co_doc_count"]) for r in out.to_pylist()]
     assert got == want
+
+
+def test_ip_prefix_brute_force(ray_session):
+    from collections import defaultdict
+
+    from bitcoin_ledger_2es_ray.pipelines.events import ip_prefix_agg
+
+    sf = "/root/testdata/sf0.001"
+    out = ip_prefix_agg(sf, prefix_length=4)
+
+    users = pq.read_table(f"{sf}/events.parquet", columns=["user_id"])["user_id"].to_pylist()
+    nets = defaultdict(lambda: [0, set()])
+    for u in users:
+        ip = (u * 2654435761) % (1 << 32)
+        net = (ip >> 28) << 28
+        nets[net][0] += 1
+        nets[net][1].add(u)
+    want = sorted(nets.items())
+    assert out["key"].to_pylist() == [
+        f"{a >> 24}.{(a >> 16) & 255}.{(a >> 8) & 255}.{a & 255}" for a, _ in want
+    ]
+    assert out["doc_count"].to_pylist() == [n for _, (n, _) in want]
+    assert out["unique_users"].to_pylist() == [len(s) for _, (_, s) in want]
+    assert set(out["prefix_length"].to_pylist()) == {4}
+    # every bucket present is non-empty (ES min_doc_count=1 semantics)
+    assert min(out["doc_count"].to_pylist()) >= 1

@@ -246,3 +246,28 @@ def test_nested_inner_hits_brute_force(ray_session):
     assert np.allclose(got["l_quantity"], want["l_quantity"])
     # every parent has at most `size` inner hits
     assert got.groupby("o_orderkey").size().max() <= 3
+
+
+def test_parent_id_query_brute_force(ray_session):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.joins import parent_id_query
+
+    sf = "/root/testdata/sf0.001"
+    out = parent_id_query(sf, parent_rank=8)
+
+    orders = sorted(
+        pq.read_table(f"{sf}/orders.parquet", columns=["o_orderkey"])["o_orderkey"].to_pylist()
+    )
+    parent = orders[7]
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    ).to_pandas()
+    want = li[li.l_orderkey == parent].sort_values("l_linenumber")
+    assert out["l_orderkey"].to_pylist() == want["l_orderkey"].tolist()
+    assert out["l_linenumber"].to_pylist() == want["l_linenumber"].tolist()
+    assert out["l_quantity"].to_pylist() == want["l_quantity"].tolist()
+
+    with pytest.raises(ValueError):
+        parent_id_query(sf, parent_rank=0)
