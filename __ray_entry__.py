@@ -295,6 +295,14 @@ def _q_ip_range(sf_dir: str) -> pa.Table:
     return ip_range_agg(sf_dir)
 
 
+def _q_bulk_apply(sf_dir: str) -> pa.Table:
+    """ES ``_bulk`` op-type replay (index/create/update/delete with
+    version conflicts) over the deterministic event-derived op log."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import bulk_apply
+
+    return bulk_apply(sf_dir)
+
+
 def _q_ip_prefix(sf_dir: str) -> pa.Table:
     """ES ``ip_prefix`` (8.x): event + distinct-client counts per /4
     network prefix of the hash-derived client IPv4."""
@@ -4254,6 +4262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_pack": _q_repo_pack,
         "ip_range": _q_ip_range,
         "ip_prefix": _q_ip_prefix,
+        "bulk_apply": _q_bulk_apply,
         "parent_id": _q_parent_id,
         "colbert_maxsim": _q_colbert_maxsim,
         "terms_shard_error": _q_terms_shard_error,
@@ -8830,6 +8839,50 @@ SELECT (net // 16777216)::BIGINT || '.' || ((net // 65536) % 256)::BIGINT
        count(*)::BIGINT AS doc_count,
        count(DISTINCT user_id)::BIGINT AS unique_users
 FROM b GROUP BY net ORDER BY net
+"""
+    # bulk replay: presence from the previous definitive op (create always
+    # leaves the doc present, so no recursion), success flags per op type,
+    # final value = last successful set + later successful update increments
+    sql["bulk_apply"] = """
+WITH ops AS (
+  SELECT user_id, value, event_id, (event_id % 4)::BIGINT AS opc,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+d AS (
+  SELECT *, CASE WHEN opc <> 2 THEN rn END AS def_rn FROM ops
+),
+w AS (
+  SELECT *, max(def_rn) OVER (
+      PARTITION BY user_id ORDER BY rn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_def_rn
+  FROM d
+),
+s AS (
+  SELECT w.*, coalesce(p.opc IN (0, 1), false) AS present_before,
+         CASE w.opc WHEN 0 THEN true
+                    WHEN 1 THEN NOT coalesce(p.opc IN (0, 1), false)
+                    ELSE coalesce(p.opc IN (0, 1), false) END AS ok
+  FROM w LEFT JOIN d p ON p.user_id = w.user_id AND p.rn = w.prev_def_rn
+),
+fin AS (
+  SELECT user_id,
+         max(CASE WHEN opc <> 2 THEN rn END) AS last_def_rn,
+         sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS version,
+         sum(CASE WHEN NOT ok THEN 1 ELSE 0 END)::BIGINT AS n_errors,
+         max(CASE WHEN opc = 0 OR (opc = 1 AND ok) THEN rn END) AS last_set_rn
+  FROM s GROUP BY user_id
+)
+SELECT f.user_id,
+       round(ls.value + coalesce((SELECT sum(u.value) FROM s u
+                WHERE u.user_id = f.user_id AND u.opc = 2 AND u.ok
+                  AND u.rn > f.last_set_rn), 0), 6) AS value,
+       f.version, f.n_errors
+FROM fin f
+JOIN s ld ON ld.user_id = f.user_id AND ld.rn = f.last_def_rn
+JOIN s ls ON ls.user_id = f.user_id AND ls.rn = f.last_set_rn
+WHERE ld.opc IN (0, 1)
+ORDER BY f.user_id
 """
     # parent_id: 8th-smallest order key's lineitems
     sql["parent_id"] = """

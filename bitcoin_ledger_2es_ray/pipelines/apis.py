@@ -719,3 +719,105 @@ def graph_explore(sf_dir: str, seed_ranks: tuple[int, ...] = (1, 7), size: int =
         }
     )
     return out.sort_by([("seed", "ascending"), ("term", "ascending")])
+
+
+def bulk_apply(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``_bulk`` op-type semantics with optimistic concurrency: replay a
+    deterministic op log (events table: doc = ``user_id``, op =
+    ``event_id % 4`` → index / create / update / delete, applied per doc in
+    (ts, event_id) order) and return the surviving docs →
+    (user_id, value, version, n_errors), sorted by doc.
+
+    Semantics (ES's): ``index`` upserts unconditionally; ``create`` fails
+    with version_conflict if the doc exists; ``update`` (scripted
+    ``value += v``) fails with document_missing if it doesn't; ``delete``
+    of a missing doc is not_found.  ``version`` counts successful ops on
+    the doc across its whole history (bumped by deletes too, ES-style);
+    ``n_errors`` counts the failures.
+
+    The fold is recursion-free because ``create`` leaves the doc PRESENT
+    whether it succeeds (absent→created) or conflicts (was already
+    present) — so presence before any op is decided by the PREVIOUS
+    index/create/delete op alone, and the whole replay vectorizes:
+    one ``groupby(doc).map_groups`` (ES routes all ops for an id to one
+    shard for exactly this reason), numpy accumulate/select in-group, no
+    per-op Python.  Output is bounded by #docs; raw ops never leave their
+    group."""
+    import ray.data as rd
+
+    from ..functions.bm25 import sql_round
+
+    def replay(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        val = g["value"].to_numpy(dtype=np.float64)
+        op = eid % 4  # 0=index 1=create 2=update 3=delete
+        n = len(op)
+        idx = np.arange(n, dtype=np.int64)
+        # index of the last definitive (index/create/delete) op at-or-before i
+        last_def_incl = np.maximum.accumulate(np.where(op != 2, idx, -1))
+        prev_def = np.r_[np.int64(-1), last_def_incl[:-1]]
+        present_before = (prev_def >= 0) & (op[np.maximum(prev_def, 0)] <= 1)
+        ok = np.select(
+            [op == 0, op == 1], [np.ones(n, bool), ~present_before], present_before
+        )
+        last_def = last_def_incl[-1] if n else -1
+        if last_def < 0 or op[last_def] > 1:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "value": pd.Series([], dtype="float64"),
+                    "version": pd.Series([], dtype="int64"),
+                    "n_errors": pd.Series([], dtype="int64"),
+                }
+            )
+        set_mask = (op == 0) | ((op == 1) & ok)
+        last_set = int(np.flatnonzero(set_mask)[-1])
+        value = float(
+            val[last_set] + val[(op == 2) & ok & (idx > last_set)].sum()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "value": [float(sql_round(value, round_decimals))],
+                "version": [int(ok.sum())],
+                "n_errors": [int(n - ok.sum())],
+            }
+        )
+
+    import ray
+
+    ds = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        .groupby("user_id")
+        .map_groups(replay, batch_format="pandas")
+    )
+    parts = []
+    for p in (ray.get(r) for r in ds.to_arrow_refs()):
+        if not isinstance(p, pa.Table):
+            p = pa.Table.from_pandas(p, preserve_index=False)
+        if p.num_rows:
+            parts.append(p)
+    if not parts:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "value": pa.array([], type=pa.float64()),
+                "version": pa.array([], type=pa.int64()),
+                "n_errors": pa.array([], type=pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "value": pc.cast(t["value"], pa.float64()),
+            "version": t["version"].cast(pa.int64()),
+            "n_errors": t["n_errors"].cast(pa.int64()),
+        }
+    ).sort_by("user_id")

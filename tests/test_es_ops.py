@@ -2998,3 +2998,49 @@ def test_ip_prefix_brute_force(ray_session):
     assert set(out["prefix_length"].to_pylist()) == {4}
     # every bucket present is non-empty (ES min_doc_count=1 semantics)
     assert min(out["doc_count"].to_pylist()) >= 1
+
+
+def test_bulk_apply_sequential_simulation(ray_session):
+    """The vectorized recursion-free fold equals a literal sequential
+    replay of ES bulk semantics (index/create/update/delete, version
+    bumps on success only)."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import bulk_apply
+
+    sf = "/root/testdata/sf0.001"
+    out = bulk_apply(sf)
+
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    ).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    docs, version, errors = {}, {}, {}
+    for u, eid, v in zip(ev["user_id"], ev["event_id"], ev["value"]):
+        op = eid % 4
+        version.setdefault(u, 0)
+        errors.setdefault(u, 0)
+        if op == 0:  # index: unconditional upsert
+            docs[u] = v
+            version[u] += 1
+        elif op == 1:  # create: conflict if present
+            if u in docs:
+                errors[u] += 1
+            else:
+                docs[u] = v
+                version[u] += 1
+        elif op == 2:  # update: scripted increment, missing → error
+            if u in docs:
+                docs[u] += v
+                version[u] += 1
+            else:
+                errors[u] += 1
+        else:  # delete: not_found if absent
+            if u in docs:
+                del docs[u]
+                version[u] += 1
+            else:
+                errors[u] += 1
+    want = sorted(docs.items())
+    assert out["user_id"].to_pylist() == [u for u, _ in want]
+    assert out["value"].to_pylist() == [round(v, 6) for _, v in want]
+    assert out["version"].to_pylist() == [version[u] for u, _ in want]
+    assert out["n_errors"].to_pylist() == [errors[u] for u, _ in want]
