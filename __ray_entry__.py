@@ -4191,6 +4191,14 @@ _ESQL_EVAL = (
     '| WHERE half > 150 AND lang == "en" '
     '| KEEP doc_id, n_chars, half | SORT doc_id ASC | LIMIT 50'
 )
+_ESQL_GROK = (
+    r'FROM events | GROK props "\\{\"k\": %{INT:k:int}\\}" '
+    '| STATS n = COUNT(*), s = SUM(k) BY event_type | SORT event_type'
+)
+_ESQL_DISSECT = (
+    'FROM events | DISSECT props "{\\"k\\": %{k}}" '
+    '| STATS n = COUNT(*) BY k | SORT n DESC, k ASC | LIMIT 10'
+)
 
 
 def _q_esql_stats(sf_dir: str) -> pa.Table:
@@ -4198,6 +4206,22 @@ def _q_esql_stats(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_STATS, sf_dir)
+
+
+def _q_esql_grok(sf_dir: str) -> pa.Table:
+    """ES|QL GROK pipe: typed field extraction (one RE2 ``extract_regex``
+    per batch) feeding mergeable STATS partials."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_GROK, sf_dir)
+
+
+def _q_esql_dissect(sf_dir: str) -> pa.Table:
+    """ES|QL DISSECT pipe: literal-separator field extraction feeding a
+    grouped count with top-n."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_DISSECT, sf_dir)
 
 
 def _q_esql_topn(sf_dir: str) -> pa.Table:
@@ -4460,6 +4484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_stats": _q_esql_stats,
         "esql_topn": _q_esql_topn,
         "esql_eval": _q_esql_eval,
+        "esql_grok": _q_esql_grok,
+        "esql_dissect": _q_esql_dissect,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -8294,6 +8320,16 @@ SELECT doc_id, n_chars, half FROM (
   SELECT doc_id, n_chars, round(length(text) / 2, 6) AS half, lang
   FROM documents
 ) WHERE half > 150 AND lang = 'en' ORDER BY doc_id ASC LIMIT 50
+""",
+        "esql_grok": """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(regexp_extract(props, '^\\{"k": ([+-]?\\d+)\\}$', 1) AS BIGINT)) AS s
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "esql_dissect": """
+SELECT regexp_extract(props, '^\\{"k": (.*)\\}$', 1) AS k,
+       count(*)::BIGINT AS n
+FROM events GROUP BY k ORDER BY n DESC, k ASC LIMIT 10
 """,
         # ES date_histogram (1-day fixed interval) + stats sub-agg on value
         # transform pivot: entity-centric user aggregates

@@ -26,9 +26,12 @@ Expression language: ``== != > >= < <=``, ``AND OR NOT``, ``+ - * /``,
 ``ROUND(x, d)`` (the repo's half-away-from-zero ``sql_round``, so float
 outputs meet the 6-dp oracle contract), ``ABS(x)``, ``LENGTH(s)``,
 string/numeric literals, and ``COUNT(*) / COUNT / SUM / MIN / MAX / AVG``
-in STATS.  Unsupported commands (DISSECT, GROK, ENRICH — the last exists
-as ``pipelines/enrich.py``) raise a parse error, mirroring ES|QL's
-verification phase.
+in STATS.  ``DISSECT`` / ``GROK`` parse a string column into new columns
+via ONE vectorized ``pc.extract_regex`` per batch (patterns compile to RE2
+named-group regexes at PARSE time, once — never per batch); non-matching
+rows keep the row with null fields, ES|QL's semantics.  Unsupported
+commands (ENRICH — exists as ``pipelines/enrich.py`` — MV_EXPAND, RENAME,
+ROW, SHOW) raise a parse error, mirroring ES|QL's verification phase.
 """
 
 from __future__ import annotations
@@ -66,6 +69,8 @@ _KEYWORDS = {
     "LIMIT",
     "KEEP",
     "DROP",
+    "DISSECT",
+    "GROK",
     "AND",
     "OR",
     "NOT",
@@ -73,7 +78,88 @@ _KEYWORDS = {
     "DESC",
 }
 
-_UNSUPPORTED = {"DISSECT", "GROK", "ENRICH", "MV_EXPAND", "RENAME", "ROW", "SHOW"}
+_UNSUPPORTED = {"ENRICH", "MV_EXPAND", "RENAME", "ROW", "SHOW"}
+
+# ---------------------------------------------------- dissect / grok
+
+# the grok pattern library subset the graft ships (Logstash core names)
+_GROK_LIB = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "LOGLEVEL": r"(?:DEBUG|INFO|WARN|ERROR|FATAL)",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(int|float))?\}")
+
+
+def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str]]]:
+    """Grok pattern → (RE2 regex with named groups, [(field, type)]).
+
+    Text outside ``%{...}`` is regex (Logstash semantics); ``%{NAME}``
+    without a field name matches without extracting; ``:int``/``:float``
+    request the ES|QL typed conversions."""
+    fields: list[tuple[str, str]] = []
+    out = ["^"]
+    pos = 0
+    for m in _GROK_REF.finditer(pattern):
+        out.append(pattern[pos : m.start()])
+        name, field, typ = m.groups()
+        if name not in _GROK_LIB:
+            raise ValueError(f"esql: unknown grok pattern %{{{name}}}")
+        if field is None:
+            out.append(f"(?:{_GROK_LIB[name]})")
+        else:
+            if any(f == field for f, _ in fields):
+                raise ValueError(f"esql: duplicate grok field {field}")
+            fields.append((field, typ or "str"))
+            out.append(f"(?P<{field}>{_GROK_LIB[name]})")
+        pos = m.end()
+    out.append(pattern[pos:])
+    out.append("$")
+    if not fields:
+        raise ValueError("esql: grok pattern extracts no fields")
+    return "".join(out), fields
+
+
+def compile_dissect(pattern: str) -> tuple[str, list[tuple[str, str]]]:
+    """Dissect pattern → (RE2 regex, [(field, 'str')]).
+
+    Text outside ``%{...}`` is LITERAL (dissect semantics); each field
+    matches up to the next literal separator (the last one consumes the
+    rest); ``%{}`` / ``%{?skip}`` match without extracting."""
+    fields: list[tuple[str, str]] = []
+    segs: list[tuple[str, str | None]] = []  # (regex piece, field or None)
+    pos = 0
+    for m in re.finditer(r"%\{([^}]*)\}", pattern):
+        segs.append((re.escape(pattern[pos : m.start()]), None))
+        key = m.group(1)
+        if key == "" or key.startswith("?"):
+            segs.append((r".*?", None))
+        else:
+            if any(f == key for f, _ in fields):
+                raise ValueError(f"esql: duplicate dissect field {key}")
+            fields.append((key, "str"))
+            segs.append((f"(?P<{key}>.*?)", key))
+        pos = m.end()
+    segs.append((re.escape(pattern[pos:]), None))
+    if not fields:
+        raise ValueError("esql: dissect pattern extracts no fields")
+    # a trailing field (no literal after it) consumes the rest: greedy
+    tail = [s for s in segs if s[0]]
+    if tail and tail[-1][1] is not None:
+        last_key = tail[-1][1]
+        segs = [
+            (f"(?P<{last_key}>.*)", last_key) if k == last_key else (r_, k)
+            for r_, k in segs
+        ]
+    return "^" + "".join(r_ for r_, _ in segs) + "$", fields
 
 
 def tokenize_esql(src: str) -> list[tuple[str, str]]:
@@ -237,6 +323,14 @@ def parse_esql(src: str) -> EsqlPlan:
                 if p.peek() != ("op", ","):
                     break
                 p.next()
+        elif cmd in ("DISSECT", "GROK"):
+            src_col = p.expect("ident")[1]
+            raw = p.expect("str")[1]
+            pat = re.sub(r"\\(.)", r"\1", raw[1:-1])
+            regex, fields = (
+                compile_dissect(pat) if cmd == "DISSECT" else compile_grok(pat)
+            )
+            plan.ops.append(("parse", src_col, regex, fields))
         elif cmd == "STATS":
             if plan.stats:
                 raise ValueError("esql: only one STATS command per pipe")
@@ -389,9 +483,15 @@ def _referenced_cols(node: tuple | None, acc: set[str]) -> None:
 def _plan_columns(plan: EsqlPlan, schema_names: list[str]) -> list[str]:
     """Exact read column set: everything the pipe references downstream."""
     eval_names = {op[1] for op in plan.ops if op[0] == "eval"}
+    eval_names |= {
+        name for op in plan.ops if op[0] == "parse" for name, _ in op[3]
+    }
     need: set[str] = set()
     for op in plan.ops:
-        _referenced_cols(op[-1], need)
+        if op[0] == "parse":
+            need.add(op[1])
+        else:
+            _referenced_cols(op[-1], need)
     for _, _, col in plan.stats:
         if col is not None:
             need.add(col)
@@ -402,9 +502,9 @@ def _plan_columns(plan: EsqlPlan, schema_names: list[str]) -> list[str]:
         need.update(plan.keep)
     elif not plan.stats:
         need.update(schema_names)  # bare SELECT * shape
-    # eval outputs aren't read columns — unless they SHADOW a schema column
-    # (e.g. ``EVAL v = v + 1``), which must still be read
-    need -= eval_names - set(schema_names)
+    # eval/parse/stats outputs aren't read columns — unless they SHADOW a
+    # schema column (e.g. ``EVAL v = v + 1``), which must still be read
+    need -= (eval_names | {out for out, _, _ in plan.stats}) - set(schema_names)
     unknown = need - set(schema_names)
     if unknown:
         raise ValueError(f"esql: unknown columns {sorted(unknown)}")
@@ -450,6 +550,23 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
             if op[0] == "where":
                 mask = _eval_expr(op[1], batch)
                 batch = batch.filter(pc.fill_null(mask, False))
+            elif op[0] == "parse":
+                src_arr = batch[op[1]]
+                if isinstance(src_arr, pa.ChunkedArray):
+                    src_arr = src_arr.combine_chunks()
+                st = pc.extract_regex(src_arr, op[2])
+                for name, typ in op[3]:
+                    v = pc.struct_field(st, name)
+                    if typ == "int":
+                        v = pc.cast(v, pa.int64())
+                    elif typ == "float":
+                        v = pc.cast(v, pa.float64())
+                    if name in batch.column_names:
+                        batch = batch.set_column(
+                            batch.schema.get_field_index(name), name, v
+                        )
+                    else:
+                        batch = batch.append_column(name, v)
             else:
                 name, e = op[1], op[2]
                 val = _eval_expr(e, batch)

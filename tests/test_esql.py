@@ -3,8 +3,11 @@ identity of the three gate pipes (pipelines/esql.py)."""
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 from bitcoin_ledger_2es_ray.pipelines.esql import (
@@ -56,7 +59,13 @@ def test_parse_rejections():
     with pytest.raises(ValueError, match="nondeterministic"):
         parse_esql("FROM documents | LIMIT 5")
     with pytest.raises(ValueError, match="unsupported command"):
+        parse_esql('FROM documents | MV_EXPAND tags')
+    with pytest.raises(ValueError, match="extracts no fields"):
         parse_esql('FROM documents | GROK text "%{WORD}"')
+    with pytest.raises(ValueError, match="unknown grok pattern"):
+        parse_esql('FROM documents | GROK text "%{NOPE:x}"')
+    with pytest.raises(ValueError, match="duplicate grok field"):
+        parse_esql('FROM documents | GROK text "%{WORD:x} %{WORD:x}"')
     with pytest.raises(ValueError, match="one STATS"):
         parse_esql(_normalize_assign(
             "FROM documents | STATS c = COUNT(*) | STATS d = COUNT(*)"
@@ -171,3 +180,62 @@ def test_esql_not_and_arithmetic(ray_session):
         "WHERE NOT lang = 'en' AND n_chars + 10 > 500 ORDER BY doc_id"
     )
     _assert_tables_equal(got, want)
+
+
+# ------------------------------------------------------- dissect / grok
+
+
+def test_compile_dissect_shapes():
+    from bitcoin_ledger_2es_ray.pipelines.esql import compile_dissect
+
+    rx, fields = compile_dissect("%{a}-%{b} %{?skip} %{c}")
+    assert fields == [("a", "str"), ("b", "str"), ("c", "str")]
+    m = re.match(rx, "x-y z rest of line")
+    assert m and m.group("a") == "x" and m.group("b") == "y"
+    # trailing field is greedy: consumes the rest
+    assert m.group("c") == "rest of line"
+
+
+def test_esql_grok_typed_extraction(ray_session):
+    """GROK %{INT:k:int} over props == direct JSON-ish parse, summed."""
+    sf = "/root/testdata/sf0.001"
+    out = run_esql(
+        r'FROM events | GROK props "\\{\"k\": %{INT:k:int}\\}" '
+        "| STATS n = COUNT(*), s = SUM(k) BY event_type | SORT event_type",
+        sf,
+    )
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_type", "props"]
+    ).to_pandas()
+    ev["k"] = ev["props"].str.extract(r'\{"k": (\d+)\}')[0].astype("int64")
+    want = (
+        ev.groupby("event_type")
+        .agg(n=("k", "size"), s=("k", "sum"))
+        .reset_index()
+        .sort_values("event_type")
+    )
+    assert out["event_type"].to_pylist() == want["event_type"].tolist()
+    assert out["n"].to_pylist() == want["n"].tolist()
+    assert out["s"].to_pylist() == want["s"].tolist()
+
+
+def test_esql_dissect_string_fields_and_nulls(ray_session):
+    """DISSECT keeps non-matching rows with null fields (ES|QL semantics);
+    a WHERE on the parsed field then drops the nulls."""
+    sf = "/root/testdata/sf0.001"
+    out = run_esql(
+        'FROM events | DISSECT props "{\\"k\\": %{k}}" '
+        "| STATS n = COUNT(*) BY k | SORT n DESC, k ASC | LIMIT 5",
+        sf,
+    )
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["props"]).to_pandas()
+    ks = ev["props"].str.extract(r'^\{"k": (.*)\}$')[0]
+    want = (
+        ks.value_counts()
+        .rename_axis("k")
+        .reset_index(name="n")
+        .sort_values(["n", "k"], ascending=[False, True])
+        .head(5)
+    )
+    assert out["k"].to_pylist() == want["k"].tolist()
+    assert out["n"].to_pylist() == want["n"].tolist()
