@@ -295,6 +295,46 @@ def _q_ip_range(sf_dir: str) -> pa.Table:
     return ip_range_agg(sf_dir)
 
 
+def _q_query_string(sf_dir: str) -> pa.Table:
+    """Full Lucene ``query_string`` syntax over 30 derived queries cycling
+    four shapes: default-OR juxtaposition, +must with a boosted should,
+    parenthesized OR with AND NOT, and an AND-ed dl range filter."""
+    from bitcoin_ledger_2es_ray.pipelines.lucene import query_string_topk
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    c = len(vocab)
+    qid, rank, doc, score = [], [], [], []
+    for q in range(30):
+        t1 = vocab[(3 * q + 1) % c]
+        t2 = vocab[(11 * q + 5) % c]
+        t3 = vocab[(17 * q + 2) % c]
+        cls = q % 4
+        if cls == 0:
+            qs = f"{t1} {t2}"
+        elif cls == 1:
+            qs = f"+{t1} {t2}^2.5"
+        elif cls == 2:
+            qs = f"({t1} OR {t2}) AND NOT {t3}"
+        else:
+            qs = f"{t1} AND dl:[6 TO 48]"
+        for r, (d, s) in enumerate(
+            query_string_topk(store, qs, k=10, round_decimals=_ROUND), 1
+        ):
+            qid.append(q)
+            rank.append(r)
+            doc.append(d)
+            score.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qid, type=pa.int64()),
+            "rank": pa.array(rank, type=pa.int64()),
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "score": pa.array(score, type=pa.float64()),
+        }
+    )
+
+
 def _q_bulk_apply(sf_dir: str) -> pa.Table:
     """ES ``_bulk`` op-type replay (index/create/update/delete with
     version conflicts) over the deterministic event-derived op log."""
@@ -4287,6 +4327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ip_range": _q_ip_range,
         "ip_prefix": _q_ip_prefix,
         "bulk_apply": _q_bulk_apply,
+        "query_string": _q_query_string,
         "parent_id": _q_parent_id,
         "colbert_maxsim": _q_colbert_maxsim,
         "terms_shard_error": _q_terms_shard_error,
@@ -8875,6 +8916,67 @@ SELECT (net // 16777216)::BIGINT || '.' || ((net // 65536) % 256)::BIGINT
        count(*)::BIGINT AS doc_count,
        count(DISTINCT user_id)::BIGINT AS unique_users
 FROM b GROUP BY net ORDER BY net
+"""
+    # query_string: the four query shapes mirrored — per-CLAUSE-instance
+    # BM25 contributions (duplicate terms score twice, like Lucene clauses),
+    # candidates per class, range = filter context
+    sql["query_string"] = _PRELUDE + """
+, qdef AS (
+  SELECT q, q % 4 AS cls FROM generate_series(0, 29) t(q)
+),
+clause AS (
+  SELECT qd.q, qd.cls, 'a' AS role, 1.0 AS boost, v.term
+  FROM qdef qd CROSS JOIN nv JOIN vocab v ON v.idx = (3*qd.q+1) % nv.c
+  UNION ALL
+  SELECT qd.q, qd.cls, 'b', CASE WHEN qd.cls = 1 THEN 2.5 ELSE 1.0 END, v.term
+  FROM qdef qd CROSS JOIN nv JOIN vocab v ON v.idx = (11*qd.q+5) % nv.c
+  WHERE qd.cls IN (0, 1, 2)
+  UNION ALL
+  SELECT qd.q, qd.cls, 'n', 1.0, v.term
+  FROM qdef qd CROSS JOIN nv JOIN vocab v ON v.idx = (17*qd.q+2) % nv.c
+  WHERE qd.cls = 2
+),
+contrib AS (
+  SELECT c.q, c.cls, c.role, tf.doc_id,
+         c.boost * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sc
+  FROM clause c
+  JOIN df ON df.term = c.term
+  JOIN tf ON tf.term = c.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE c.role IN ('a', 'b')
+),
+cand AS (
+  SELECT DISTINCT q, doc_id FROM contrib WHERE cls = 0
+  UNION ALL
+  SELECT DISTINCT q, doc_id FROM contrib WHERE cls = 1 AND role = 'a'
+  UNION ALL
+  SELECT q, doc_id FROM (
+    SELECT DISTINCT co.q, co.doc_id FROM contrib co WHERE co.cls = 2
+  ) x ANTI JOIN (
+    SELECT cl.q, tf.doc_id FROM clause cl JOIN tf ON tf.term = cl.term
+    WHERE cl.role = 'n'
+  ) nx USING (q, doc_id)
+  UNION ALL
+  SELECT DISTINCT co.q, co.doc_id FROM contrib co
+  JOIN dl ON dl.doc_id = co.doc_id
+  WHERE co.cls = 3 AND co.role = 'a' AND dl.dl BETWEEN 6 AND 48
+),
+scored AS (
+  SELECT ca.q AS query_id, ca.doc_id, round(sum(co.sc), 6) AS score
+  FROM cand ca JOIN contrib co ON co.q = ca.q AND co.doc_id = ca.doc_id
+  GROUP BY ca.q, ca.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
     # bulk replay: presence from the previous definitive op (create always
     # leaves the doc present, so no recursion), success flags per op type,
