@@ -3620,6 +3620,14 @@ def _q_knn_int8(sf_dir: str) -> pa.Table:
     return knn_int8(sf_dir, n_queries=5, k=5, oversample=4, round_decimals=_ROUND)
 
 
+def _q_knn_bbq(sf_dir: str) -> pa.Table:
+    """Binary-quantized kNN (1 bit/dim, Hamming scan + exact rescore of a
+    deep shortlist — approximate, recall pytest-asserted, rows-only)."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_bbq
+
+    return knn_bbq(sf_dir, n_queries=5, k=5, oversample=24, round_decimals=_ROUND)
+
+
 def _q_sparse_vector(sf_dir: str) -> pa.Table:
     """ES ``sparse_vector`` / rank_features dot product: fixture terms
     with query weight 1 + q mod 3, doc feature tf/dl."""
@@ -4438,6 +4446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": _q_zipf_fit,
         "model_rerank": _q_model_rerank,
         "knn_int8": _q_knn_int8,
+        "knn_bbq": _q_knn_bbq,
         "percentiles_bucket": _q_percentiles_bucket,
         "bucket_correlation": _q_bucket_correlation,
         "geo_line": _q_geo_line,

@@ -726,6 +726,136 @@ def knn_int8(
     )
 
 
+def knn_bbq(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    oversample: int = 24,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES 8.16 ``bbq_hnsw``-style binary-quantized kNN (the quantization +
+    rescore halves without HNSW — the scan is the brute-force baseline):
+
+    1. one streamed pass computes the per-dimension MEAN of the normalized
+       vectors (mergeable (Σ, n) partials — the centering threshold; BBQ
+       centers on the centroid for the same reason);
+    2. each vector quantizes to ONE BIT per dimension (sign vs the mean),
+       bit-packed 8 dims/byte — 32× less memory than float32, the whole
+       BBQ deal;
+    3. the scan ranks by NEGATED Hamming distance between packed codes
+       (XOR + popcount, fully vectorized via ``np.bitwise_xor`` +
+       ``unpackbits``), keeps an ``oversample``·k shortlist per
+       (query, batch), and computes exact float cosine ONLY for
+       shortlisted rows (the rescore);
+    4. the driver takes the global shortlist by code score, then re-ranks
+       by exact cosine → top-k.
+
+    One bit per dim is aggressive, so recall needs a deeper oversample
+    than int8 (approximate — no SQL oracle; recall pytest-asserted)."""
+    import ray
+    import ray.data as rd
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    qn = _normalize(q_mat)
+
+    # pass 1: per-dim (Σ, n) partials over normalized vectors
+    def stats(batch: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(batch)
+        mat = _normalize(mat)
+        return pa.table(
+            {
+                "s": pa.array([mat.sum(axis=0).tolist()]),
+                "n": pa.array([mat.shape[0]], type=pa.int64()),
+            }
+        )
+
+    sparts = [
+        ray.get(r)
+        for r in rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ]
+    sparts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in sparts]
+    st = pa.concat_tables([p for p in sparts if p.num_rows])
+    mean = np.array(st["s"].to_pylist(), dtype=np.float64).sum(axis=0) / float(
+        sum(st["n"].to_pylist())
+    )
+
+    def pack(mat: np.ndarray) -> np.ndarray:
+        return np.packbits(mat > mean, axis=1)
+
+    q_codes = pack(qn)
+    shortlist = oversample * k
+    q_ref = ray.put((qn, q_codes, q_ids))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qnm, qc, qid = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        norm = _normalize(mat)
+        codes = pack(norm)  # what the bbq index stores: 1 bit/dim
+        out_q, out_v, out_i, out_s = [], [], [], []
+        m = min(shortlist, codes.shape[0])
+        for j in range(len(qid)):
+            ham = np.unpackbits(codes ^ qc[j], axis=1).sum(axis=1)
+            neg = -ham.astype(np.float64)
+            top = (
+                np.argpartition(-neg, m - 1)[:m]
+                if codes.shape[0] > m
+                else np.arange(codes.shape[0])
+            )
+            # exact cosine ONLY for the shortlisted rows (the rescore)
+            sims = norm[top] @ qnm[j]
+            out_q.append(np.full(len(top), qid[j], dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_i.append(neg[top])
+            out_s.append(sql_round(sims, round_decimals))
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "iscore": np.concatenate(out_i),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    q = np.asarray(t["query_id"], dtype=np.int64)
+    v = np.asarray(t["vec_id"], dtype=np.int64)
+    isc = np.asarray(t["iscore"], dtype=np.float64)
+    sim = np.asarray(t["sim"], dtype=np.float64)
+    qids, ranks, vids, sims = [], [], [], []
+    for qi in np.unique(q):
+        m = q == qi
+        vv, ii, ss = v[m], isc[m], sim[m]
+        order = np.lexsort((vv, -ii))[:shortlist]  # code-score shortlist
+        vv, ss = vv[order], ss[order]
+        rr = np.lexsort((vv, -ss))[:k]  # exact re-rank
+        for rank, j in enumerate(rr, start=1):
+            qids.append(int(qi))
+            ranks.append(rank)
+            vids.append(int(vv[j]))
+            sims.append(float(ss[j]))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "vec_id": pa.array(vids, type=pa.int64()),
+            "sim": pa.array(sims, type=pa.float64()),
+        }
+    )
+
+
 def _train_centroids(
     sf_dir: str, n_centroids: int, sample: int = 2048, iters: int = 5
 ) -> np.ndarray:

@@ -1411,3 +1411,38 @@ def test_latest_transform_brute_force(ray_session):
     assert got["ts_s"].tolist() == want["ts_s"].tolist()
     assert got["event_type"].tolist() == want["event_type"].tolist()
     assert got["value"].tolist() == [round(v, 6) for v in want["value"].tolist()]
+
+
+def test_knn_bbq_recall_and_rescore(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_bbq, knn_bruteforce
+
+    exact = knn_bruteforce(SF, n_queries=5, k=5)
+    bbq = knn_bbq(SF, n_queries=5, k=5, oversample=24)
+    ex = {}
+    for q, v in zip(exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()):
+        ex.setdefault(q, set()).add(v)
+    got = {}
+    for q, v in zip(bbq["query_id"].to_pylist(), bbq["vec_id"].to_pylist()):
+        got.setdefault(q, set()).add(v)
+    hits = sum(len(ex[q] & got.get(q, set())) for q in ex)
+    total = sum(len(s) for s in ex.values())
+    assert hits / total >= 0.85, f"bbq recall {hits/total:.2f}"
+    # sims on agreeing rows are the EXACT cosine (rescore semantics)
+    exact_sim = {
+        (q, v): s
+        for q, v, s in zip(
+            exact["query_id"].to_pylist(), exact["vec_id"].to_pylist(),
+            exact["sim"].to_pylist(),
+        )
+    }
+    for q, v, s in zip(
+        bbq["query_id"].to_pylist(), bbq["vec_id"].to_pylist(),
+        bbq["sim"].to_pylist(),
+    ):
+        if (q, v) in exact_sim:
+            assert s == pytest.approx(exact_sim[(q, v)], abs=1e-9)
+    # a deep-enough shortlist IS the exact scan (degeneracy check)
+    full = knn_bbq(SF, n_queries=3, k=5, oversample=1000)
+    ex3 = knn_bruteforce(SF, n_queries=3, k=5)
+    assert full["vec_id"].to_pylist() == ex3["vec_id"].to_pylist()
+    assert full["sim"].to_pylist() == ex3["sim"].to_pylist()
