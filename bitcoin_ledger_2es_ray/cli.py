@@ -245,6 +245,25 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_repo(args: argparse.Namespace) -> int:
+    """Incremental snapshot repository (ES _snapshot analog): create
+    dedupes against the content-addressed blob store, delete GCs blobs no
+    other snapshot references."""
+    from .pipelines.lifecycle import (
+        snapshot_create,
+        snapshot_delete,
+        snapshot_restore,
+    )
+
+    if args.action == "create":
+        print(json.dumps(snapshot_create(args.index, args.repo, args.name)))
+    elif args.action == "restore":
+        print(json.dumps({"files": snapshot_restore(args.repo, args.name, args.out)}))
+    else:
+        print(json.dumps(snapshot_delete(args.repo, args.name)))
+    return 0
+
+
 def cmd_delete(args: argparse.Namespace) -> int:
     """Soft-delete by forward-map predicate (ES delete_by_query analog):
     tombstones the matching doc_ids; queries mask them immediately, space
@@ -426,6 +445,16 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--out", required=True)
     sn.add_argument("--restore", action="store_true")
     sn.set_defaults(fn=cmd_snapshot)
+
+    rp = sub.add_parser(
+        "repo", help="incremental snapshot repository: create/restore/delete"
+    )
+    rp.add_argument("action", choices=["create", "restore", "delete"])
+    rp.add_argument("--repo", required=True, help="repository dir")
+    rp.add_argument("--name", required=True, help="snapshot name")
+    rp.add_argument("--index", help="index dir (create)")
+    rp.add_argument("--out", help="destination dir (restore)")
+    rp.set_defaults(fn=cmd_repo)
 
     d = sub.add_parser(
         "delete", help="soft-delete docs whose forward-map field matches a value"

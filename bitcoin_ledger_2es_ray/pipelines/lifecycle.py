@@ -120,44 +120,12 @@ def snapshot_index(index_dir: str, snap_dir: str) -> dict:
     index hashes at cluster speed, not driver speed) and falls back to
     in-process hashing otherwise.  Returns {"files": n, "bytes": total}.
     """
-    import hashlib
     import json
     import shutil
 
-    def _sha(path: str) -> str:
-        h = hashlib.sha256()
-        with open(path, "rb") as f:
-            for chunk in iter(lambda: f.read(1 << 20), b""):
-                h.update(chunk)
-        return h.hexdigest()
-
     src_root = os.path.abspath(index_dir)
-    files: list[str] = []
-    for dirpath, _, names in os.walk(src_root):
-        for name in sorted(names):
-            if name.endswith((".parquet", ".jsonl", ".json")):
-                files.append(os.path.join(dirpath, name))
-
-    try:
-        import ray
-
-        live = ray.is_initialized()
-    except Exception:  # pragma: no cover - ray is a hard dep in practice
-        live = False
-    if live and len(files) > 1:
-        sha_task = ray.remote(num_cpus=1)(_sha)
-        # bounded in-flight submission (an index can have millions of files)
-        digests = []
-        window = 64
-        refs: list = []
-        for p in files:
-            refs.append(sha_task.remote(p))
-            if len(refs) >= window:
-                digests.extend(ray.get(refs[: window // 2]))
-                refs = refs[window // 2 :]
-        digests.extend(ray.get(refs))
-    else:
-        digests = [_sha(p) for p in files]
+    files = _index_files(src_root)
+    digests = _hash_files(files)
 
     entries = {}
     total = 0
@@ -207,6 +175,160 @@ def restore_index(snap_dir: str, dest_dir: str) -> int:
         except OSError:
             shutil.copy2(src, dst)
     return len(entries)
+
+
+def _hash_files(files: list[str]) -> list[str]:
+    """sha256 of each file — Ray tasks when a session is live (cluster-speed
+    hashing), in-process otherwise; bounded in-flight submission."""
+    import hashlib
+
+    def _sha(path: str) -> str:
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    try:
+        import ray
+
+        live = ray.is_initialized()
+    except Exception:  # pragma: no cover
+        live = False
+    if not live or len(files) <= 1:
+        return [_sha(p) for p in files]
+    sha_task = ray.remote(num_cpus=1)(_sha)
+    digests: list[str] = []
+    window = 64
+    refs: list = []
+    for p in files:
+        refs.append(sha_task.remote(p))
+        if len(refs) >= window:
+            digests.extend(ray.get(refs[: window // 2]))
+            refs = refs[window // 2 :]
+    digests.extend(ray.get(refs))
+    return digests
+
+
+def _index_files(root: str) -> list[str]:
+    out: list[str] = []
+    for dirpath, _, names in os.walk(root):
+        for name in sorted(names):
+            if name.endswith((".parquet", ".jsonl", ".json")):
+                out.append(os.path.join(dirpath, name))
+    return out
+
+
+def snapshot_create(index_dir: str, repo_dir: str, name: str) -> dict:
+    """ES INCREMENTAL snapshot into a repository: content-addressed blob
+    store (``blobs/<sha256>``) + a per-snapshot manifest
+    (``snapshots/<name>.json``).  A file whose hash already sits in the
+    repo is NOT copied again — exactly ES's segment-level incrementality
+    (an unchanged segment costs zero bytes in every later snapshot).
+    Blobs land via hardlink when the filesystem allows, manifests commit
+    atomically (tmp→rename).  Returns
+    {"files", "bytes", "new_files", "new_bytes", "reused_files"}."""
+    import json
+    import shutil
+
+    src_root = os.path.abspath(index_dir)
+    blob_root = os.path.join(repo_dir, "blobs")
+    manifest_path = os.path.join(repo_dir, "snapshots", f"{name}.json")
+    if os.path.exists(manifest_path):
+        raise ValueError(f"snapshot {name!r} already exists in the repository")
+    os.makedirs(blob_root, exist_ok=True)
+    os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
+
+    files = _index_files(src_root)
+    digests = _hash_files(files)
+    entries: dict[str, dict] = {}
+    total = new_files = new_bytes = 0
+    for src, digest in zip(files, digests):
+        rel = os.path.relpath(src, src_root)
+        size = os.path.getsize(src)
+        entries[rel] = {"sha256": digest, "bytes": size}
+        total += size
+        blob = os.path.join(blob_root, digest)
+        if not os.path.exists(blob):
+            tmp = blob + ".tmp"
+            try:
+                os.link(src, tmp)
+            except OSError:
+                shutil.copy2(src, tmp)
+            os.replace(tmp, blob)
+            new_files += 1
+            new_bytes += size
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"index": os.path.basename(src_root), "files": entries}, f,
+                  indent=1, sort_keys=True)
+    os.replace(tmp, manifest_path)
+    return {
+        "files": len(entries),
+        "bytes": total,
+        "new_files": new_files,
+        "new_bytes": new_bytes,
+        "reused_files": len(entries) - new_files,
+    }
+
+
+def snapshot_restore(repo_dir: str, name: str, dest_dir: str) -> int:
+    """Restore one repository snapshot into ``dest_dir``, verifying every
+    blob against its manifest hash BEFORE any file lands (corruption fails
+    loudly).  Returns the file count."""
+    import hashlib
+    import json
+    import shutil
+
+    with open(os.path.join(repo_dir, "snapshots", f"{name}.json")) as f:
+        entries = json.load(f)["files"]
+    blob_root = os.path.join(repo_dir, "blobs")
+    for rel, meta in sorted(entries.items()):
+        blob = os.path.join(blob_root, meta["sha256"])
+        h = hashlib.sha256()
+        with open(blob, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != meta["sha256"]:
+            raise ValueError(f"snapshot corruption: {rel} checksum mismatch")
+    for rel, meta in sorted(entries.items()):
+        blob = os.path.join(blob_root, meta["sha256"])
+        dst = os.path.join(dest_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(blob, dst)
+        except OSError:
+            shutil.copy2(blob, dst)
+    return len(entries)
+
+
+def snapshot_delete(repo_dir: str, name: str) -> dict:
+    """Delete one snapshot from the repository and garbage-collect blobs no
+    other snapshot references — ES's incremental-deletion semantics (a
+    shared segment survives until its LAST referencing snapshot goes).
+    Returns {"deleted_blobs": n, "kept_blobs": m}."""
+    import json
+
+    manifest_path = os.path.join(repo_dir, "snapshots", f"{name}.json")
+    if not os.path.exists(manifest_path):
+        raise ValueError(f"unknown snapshot {name!r}")
+    os.remove(manifest_path)
+    snap_root = os.path.join(repo_dir, "snapshots")
+    referenced: set[str] = set()
+    for other in os.listdir(snap_root):
+        if other.endswith(".json"):
+            with open(os.path.join(snap_root, other)) as f:
+                referenced |= {
+                    m["sha256"] for m in json.load(f)["files"].values()
+                }
+    blob_root = os.path.join(repo_dir, "blobs")
+    deleted = 0
+    for blob in os.listdir(blob_root):
+        if blob.endswith(".tmp") or blob in referenced:
+            continue
+        os.remove(os.path.join(blob_root, blob))
+        deleted += 1
+    return {"deleted_blobs": deleted, "kept_blobs": len(referenced)}
 
 
 def update_by_query(index_dir: str, expr, set_cols: dict[str, object]) -> int:

@@ -715,3 +715,57 @@ def test_filtered_alias_gates_hits_not_scores(built, tmp_path):
         # identical (filters are non-scoring in Lucene)
         want = [(d, s) for d, s in full if d in allowed_set][:10]
         assert got == want
+
+
+def test_snapshot_repository_incremental(idx_copy, tmp_path):
+    """Content-addressed repository: a second snapshot of an unchanged
+    index stores ZERO new blobs; a tombstone-only change stores exactly
+    one; deleting a snapshot keeps every blob other snapshots reference."""
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import (
+        snapshot_create,
+        snapshot_delete,
+        snapshot_restore,
+    )
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+
+    repo = str(tmp_path / "repo")
+    s1 = snapshot_create(idx_copy, repo, "s1")
+    assert s1["files"] > 0 and s1["new_files"] == s1["files"]
+
+    # unchanged index → full reuse
+    s2 = snapshot_create(idx_copy, repo, "s2")
+    assert s2["new_files"] == 0 and s2["reused_files"] == s1["files"]
+
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_create(idx_copy, repo, "s1")
+
+    # restore s1 into a work tree, delete some docs there (adds ONE file:
+    # tombstones.parquet), snapshot again → exactly one new blob
+    work = str(tmp_path / "work")
+    assert snapshot_restore(repo, "s1", work) == s1["files"]
+    n_del = delete_by_query(work, pc.field("lang") == "de")
+    assert n_del > 0
+    s3 = snapshot_create(work, repo, "s3")
+    assert s3["files"] == s1["files"] + 1
+    assert s3["new_files"] == 1 and s3["reused_files"] == s1["files"]
+
+    # GC: dropping s1 keeps every blob s2/s3 still reference
+    info = snapshot_delete(repo, "s1")
+    assert info["deleted_blobs"] == 0  # all s1 blobs shared with s2
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        snapshot_delete(repo, "s1")
+
+    r2 = str(tmp_path / "r2")
+    snapshot_restore(repo, "s2", r2)
+    a, b = SegmentStore(idx_copy), SegmentStore(r2)
+    for t in _fixture_texts(a, n=5):
+        assert score_query(a, t, k=10) == score_query(b, t, k=10)
+
+    # the tombstoned restore masks the deleted docs (state came back)
+    r3 = str(tmp_path / "r3")
+    snapshot_restore(repo, "s3", r3)
+    assert load_tombstones(r3) is not None and len(load_tombstones(r3)) == n_del
+
+    # dropping s3 GCs its now-unreferenced tombstone blob
+    info3 = snapshot_delete(repo, "s3")
+    assert info3["deleted_blobs"] == 1
