@@ -3728,6 +3728,16 @@ def _q_bucket_correlation(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_bucket_ks_test(sf_dir: str) -> pa.Table:
+    """ES ``bucket_count_ks_test``: KS distances of the daily click-count
+    distribution vs uniform fractions."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import bucket_count_ks_test
+    from bitcoin_ledger_2es_ray.pipelines.events import bucket_script_ratio
+
+    buckets = bucket_script_ratio(sf_dir, num_type="purchase", den_type="click")
+    return bucket_count_ks_test(buckets, count_col="den_count", round_decimals=_ROUND)
+
+
 def _q_geo_line(sf_dir: str) -> pa.Table:
     """ES ``geo_line`` per market segment: top-5 customers by acctbal,
     path string of their derived geo_points."""
@@ -4449,6 +4459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bbq": _q_knn_bbq,
         "percentiles_bucket": _q_percentiles_bucket,
         "bucket_correlation": _q_bucket_correlation,
+        "bucket_ks_test": _q_bucket_ks_test,
         "geo_line": _q_geo_line,
         "match_bool_prefix": _q_match_bool_prefix,
         "constant_score": _q_constant_score,
@@ -5843,6 +5854,27 @@ WITH b AS (
   FROM events GROUP BY 1
 )
 SELECT count(*)::BIGINT AS n_buckets, round(corr(a, c), 6) AS correlation FROM b
+""",
+        # KS test: empirical click-count CDF across ordered day buckets vs
+        # the uniform expected CDF — the exact distances, mirrored
+        "bucket_ks_test": """
+WITH b AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS c
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT bucket_s,
+         sum(c) OVER (ORDER BY bucket_s) / (SELECT sum(c) FROM b) AS femp,
+         row_number() OVER (ORDER BY bucket_s)
+           / (SELECT count(*)::DOUBLE FROM b) AS fexp
+  FROM b
+)
+SELECT (SELECT count(*) FROM b)::BIGINT AS n_buckets,
+       round(max(femp - fexp), 6) AS d_plus,
+       round(max(fexp - femp), 6) AS d_minus,
+       round(greatest(max(femp - fexp), max(fexp - femp)), 6) AS d
+FROM w
 """,
         # geo_line: top-5 by acctbal per segment, "lat,lon ..." path
         "geo_line": _GEO_PTS

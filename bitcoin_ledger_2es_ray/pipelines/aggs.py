@@ -2240,6 +2240,62 @@ def bucket_correlation(
     )
 
 
+def bucket_count_ks_test(
+    buckets: pa.Table,
+    count_col: str,
+    fractions: list[float] | None = None,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``bucket_count_ks_test`` pipeline agg (x-pack, ``bucket_
+    correlation``'s sibling): one-sample Kolmogorov–Smirnov comparison of
+    the bucket doc-count distribution against expected ``fractions``
+    (default uniform, ES's default) — coordinator-side over the already-
+    reduced buckets, in their given (bucket-key) order.
+
+    ES reports Monte-Carlo-approximated p-values for the ``less`` /
+    ``greater`` / ``two_sided`` alternatives; the deterministic graft
+    reports the exact KS distances those p-values are computed FROM:
+    ``d_plus`` = max(F_emp − F_exp) (the ``greater`` statistic),
+    ``d_minus`` = max(F_exp − F_emp) (``less``), and ``d`` = max of the
+    two (``two_sided``)."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    c = np.asarray(buckets[count_col], dtype=np.float64)
+    n = len(c)
+    if n < 2:
+        raise ValueError("bucket_count_ks_test: needs >= 2 buckets")
+    total = float(c.sum())
+    if total == 0:
+        raise ValueError("bucket_count_ks_test: zero total count")
+    if fractions is None:
+        fexp = np.arange(1, n + 1, dtype=np.float64) / n
+    else:
+        f = np.asarray(fractions, dtype=np.float64)
+        if len(f) != n or f.sum() <= 0:
+            raise ValueError("bucket_count_ks_test: bad fractions")
+        fexp = np.cumsum(f / f.sum())
+    femp = np.cumsum(c) / total
+    d_plus = float((femp - fexp).max())
+    d_minus = float((fexp - femp).max())
+    return pa.table(
+        {
+            "n_buckets": pa.array([n], type=pa.int64()),
+            "d_plus": pa.array(
+                [float(sql_round(d_plus, round_decimals))], type=pa.float64()
+            ),
+            "d_minus": pa.array(
+                [float(sql_round(d_minus, round_decimals))], type=pa.float64()
+            ),
+            "d": pa.array(
+                [float(sql_round(max(d_plus, d_minus), round_decimals))],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
 def terms_agg_partitioned(
     index_dir: str,
     partition: int,

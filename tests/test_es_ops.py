@@ -3044,3 +3044,33 @@ def test_bulk_apply_sequential_simulation(ray_session):
     assert out["value"].to_pylist() == [round(v, 6) for _, v in want]
     assert out["version"].to_pylist() == [version[u] for u, _ in want]
     assert out["n_errors"].to_pylist() == [errors[u] for u, _ in want]
+
+
+def test_bucket_ks_test_brute_force(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import bucket_count_ks_test
+    from bitcoin_ledger_2es_ray.pipelines.events import bucket_script_ratio
+
+    sf = "/root/testdata/sf0.001"
+    buckets = bucket_script_ratio(sf, num_type="purchase", den_type="click")
+    out = bucket_count_ks_test(buckets, count_col="den_count")
+
+    c = np.asarray(buckets["den_count"], dtype=np.float64)
+    femp = np.cumsum(c) / c.sum()
+    fexp = np.arange(1, len(c) + 1) / len(c)
+    assert out["n_buckets"][0].as_py() == len(c)
+    assert out["d_plus"][0].as_py() == round(float((femp - fexp).max()), 6)
+    assert out["d_minus"][0].as_py() == round(float((fexp - femp).max()), 6)
+    assert out["d"][0].as_py() == max(
+        out["d_plus"][0].as_py(), out["d_minus"][0].as_py()
+    )
+    # a distribution that exactly matches its fractions scores d == 0
+    import pyarrow as pa
+
+    flat = pa.table({"n": pa.array([5, 5, 5, 5], type=pa.int64())})
+    z = bucket_count_ks_test(flat, "n")
+    assert z["d"][0].as_py() == 0.0
+    # fractions shift the expectation
+    skew = bucket_count_ks_test(flat, "n", fractions=[0.7, 0.1, 0.1, 0.1])
+    assert skew["d"][0].as_py() > 0.0
+    with pytest.raises(ValueError, match="bad fractions"):
+        bucket_count_ks_test(flat, "n", fractions=[1.0])
