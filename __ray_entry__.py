@@ -1860,6 +1860,28 @@ def _q_span_within(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_span_multi(sf_dir: str) -> pa.Table:
+    """ES ``span_multi``: the 3-char-prefix wildcard of t_off, dictionary-
+    rewritten into a span_or clause within the unordered slop-2 window of
+    t_off+1."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import span_multi_near_match
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    qids, docs = [], []
+    for q, t1, _t3, t2 in _span_triples(sf_dir):
+        hits = span_multi_near_match(store, t1[:3] + "*", t2, slop=2)
+        qids.extend([q] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+
+
 def _q_span_or(sf_dir: str) -> pa.Table:
     """ES ``span_or`` inside ``span_near``: (t_off OR t_off+1) within the
     unordered slop-2 window of t_off+2 — the OR clause is a key-set union
@@ -4320,6 +4342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_masking_span": _q_field_masking_span,
         "span_within": _q_span_within,
         "span_or": _q_span_or,
+        "span_multi": _q_span_multi,
         "span_not": _q_span_not,
         "phrase_prefix": _q_phrase_prefix,
         "decay_topk": _q_decay_topk,
@@ -8535,6 +8558,31 @@ JOIN pos p3 ON p3.doc_id = b.doc_id AND p3.term = b.t3
 GROUP BY 1, 2 ORDER BY 1, 2
 """.replace("{nq1}", str(_N_QUERIES - 1)),
         # span_or in span_near: (t1 OR t3) within unordered slop-2 of t2
+        # span_multi: 3-char-prefix dictionary rewrite as the OR clause
+        "span_multi": """
+WITH nd AS (SELECT count(*) AS c FROM documents),
+sq AS (
+  SELECT q AS query_id, (23 * q) % c AS sel, q % 5 AS off
+  FROM generate_series(0, 49) t(q) CROSS JOIN nd
+),
+trip AS (
+  SELECT s.query_id,
+         left(list_extract(string_split(d.text, ' '), 1 + s.off), 3) AS pre,
+         list_extract(string_split(d.text, ' '), 2 + s.off) AS t2
+  FROM sq s JOIN documents d ON d.doc_id = s.sel
+),
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+)
+SELECT DISTINCT tr.query_id::BIGINT AS query_id, p1.doc_id::BIGINT AS doc_id
+FROM trip tr
+JOIN pos p1 ON starts_with(p1.term, tr.pre)
+JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = tr.t2
+WHERE abs(p2.p - p1.p) BETWEEN 1 AND 3
+ORDER BY query_id, doc_id
+""",
         "span_or": """
 WITH nd AS (SELECT count(*) AS c FROM documents),
 sq AS (

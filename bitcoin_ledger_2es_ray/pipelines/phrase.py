@@ -1097,3 +1097,43 @@ def search_as_you_type_topk(
         final = sql_round(final, round_decimals)
     order = topk_order(final, uniq.astype(np.uint64), k)
     return [(int(uniq[i]), float(final[i])) for i in order]
+
+
+def span_multi_near_match(
+    store: SegmentStore,
+    pattern: str,
+    t2: str,
+    slop: int = 0,
+    max_expansions: int = 128,
+) -> np.ndarray:
+    """ES ``span_multi`` (Lucene SpanMultiTermQueryWrapper) inside
+    ``span_near``: a prefix/wildcard/fuzzy clause rewrites against the
+    term DICTIONARY into its matching terms, which then act as one
+    ``span_or`` clause in the unordered slop window of ``t2``.
+
+    Lucene caps the rewrite (``top_terms_*``) because an unbounded
+    expansion multiplies the span merge; the graft raises past
+    ``max_expansions`` instead of silently truncating (truncation changes
+    results — a loud cap beats a wrong answer).  Pattern forms: trailing
+    ``~d`` → fuzzy (Damerau, like the ``fuzzy`` query), ``*``/``?`` →
+    wildcard with the literal-prefix dictionary prune, else exact term."""
+    fm = re.fullmatch(r"(.+?)~(\d+)", pattern)
+    if fm:
+        terms = list(store.td.terms_fuzzy(fm.group(1), int(fm.group(2)), True))
+    elif "*" in pattern or "?" in pattern:
+        wc = min(i for i, ch in enumerate(pattern) if ch in "*?")
+        prefix = pattern[:wc]
+        if not prefix:
+            raise ValueError("span_multi: leading-wildcard pattern")
+        rx = re.compile(fnmatch.translate(pattern))
+        terms = [t for t in store.td.terms_with_prefix(prefix) if rx.match(t)]
+    else:
+        terms = [pattern]
+    if len(terms) > max_expansions:
+        raise ValueError(
+            f"span_multi: {len(terms)} expansions exceed max_expansions="
+            f"{max_expansions}"
+        )
+    if not terms:
+        return np.empty(0, dtype=np.uint64)
+    return span_or_near_match(store, terms, t2, slop)

@@ -978,3 +978,38 @@ def test_search_as_you_type_brute_force(pos_index):
             assert gs == pytest.approx(ws, abs=2e-6)
         checked += 1
     assert checked >= 20
+
+
+def test_span_multi_expansion_brute_force(pos_index):
+    """span_multi: prefix rewrite == brute-force window scan over every
+    dictionary term sharing the prefix; the cap raises loudly."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import span_multi_near_match
+
+    docs, store, _ = pos_index
+    rng = random.Random(7)
+    checked = 0
+    for _ in range(30):
+        words = docs[rng.randrange(len(docs))].split(" ")
+        i = rng.randrange(len(words) - 1)
+        pre, t2 = words[i][:2], words[i + 1]
+        got = span_multi_near_match(store, pre + "*", t2, slop=2).tolist()
+        want = set()
+        for d_i, text in enumerate(docs):
+            ws = text.split(" ")
+            for a, wa in enumerate(ws):
+                if not wa.startswith(pre):
+                    continue
+                for b, wb in enumerate(ws):
+                    if wb == t2 and 1 <= abs(b - a) <= 3:
+                        want.add(d_i)
+        assert got == sorted(want), (pre, t2)
+        checked += len(want)
+    assert checked > 0
+    # fuzzy form routes through the dictionary's DL scan
+    w0 = docs[0].split(" ")[0]
+    fz = span_multi_near_match(store, f"{w0}~1", docs[0].split(" ")[1], slop=2)
+    assert len(fz) > 0
+    with pytest.raises(ValueError, match="max_expansions"):
+        span_multi_near_match(store, "a*", "b", slop=1, max_expansions=0)
+    with pytest.raises(ValueError, match="leading-wildcard"):
+        span_multi_near_match(store, "*ab", "b")
