@@ -3546,6 +3546,14 @@ def _q_geo_polygon(sf_dir: str) -> pa.Table:
     return geo_polygon(sf_dir, [(-70.0, -100.0), (60.0, 20.0), (50.0, -140.0)])
 
 
+def _q_geo_shape(sf_dir: str) -> pa.Table:
+    """ES geo_shape over derived envelopes: intersects/disjoint/within/
+    contains counts + exact membership checksums vs a fixed query box."""
+    from bitcoin_ledger_2es_ray.pipelines.geo import geo_shape_envelope
+
+    return geo_shape_envelope(sf_dir)
+
+
 def _q_suffix_match(sf_dir: str) -> pa.Table:
     """Leading wildcard *suffix via the reversed-dictionary trick."""
     from bitcoin_ledger_2es_ray.pipelines.phrase import suffix_match
@@ -4473,6 +4481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "var_width_histogram": _q_var_width_histogram,
         "frequent_item_sets": _q_frequent_item_sets,
         "geo_polygon": _q_geo_polygon,
+        "geo_shape": _q_geo_shape,
         "suffix_match": _q_suffix_match,
         "cat_segments": _q_cat_segments,
         "completion_fuzzy": _q_completion_fuzzy,
@@ -5663,6 +5672,43 @@ WHERE 120.0 * (lat - -70.0) - 130.0 * (lon - -100.0) >= 0
   AND -160.0 * (lat - 60.0) - -10.0 * (lon - 20.0) >= 0
   AND 40.0 * (lat - 50.0) - -120.0 * (lon - -140.0) >= 0
 ORDER BY c_custkey
+""",
+        # geo_shape envelopes: interval arithmetic per relation, int64
+        # membership checksums
+        "geo_shape": """
+WITH env AS (
+  SELECT c_custkey,
+         ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon,
+         ((c_custkey * 31) % 500) / 100.0 AS dlat,
+         ((c_custkey * 53) % 1000) / 100.0 AS dlon
+  FROM customer
+),
+r AS (
+  SELECT c_custkey,
+         lat - dlat AS a_lo, lat + dlat AS a_hi,
+         lon - dlon AS o_lo, lon + dlon AS o_hi
+  FROM env
+),
+flags AS (
+  SELECT c_custkey,
+         (a_lo <= 40.0 AND a_hi >= -30.0 AND o_lo <= 80.0 AND o_hi >= -60.0)
+           AS inter,
+         (a_lo >= -30.0 AND a_hi <= 40.0 AND o_lo >= -60.0 AND o_hi <= 80.0)
+           AS within,
+         (a_lo <= -30.0 AND a_hi >= 40.0 AND o_lo <= -60.0 AND o_hi >= 80.0)
+           AS contains
+  FROM r
+)
+SELECT rel AS relation, count(*) FILTER (m)::BIGINT AS doc_count,
+       coalesce(sum(c_custkey) FILTER (m), 0)::BIGINT AS custkey_sum
+FROM (
+  SELECT c_custkey, 'intersects' AS rel, inter AS m FROM flags
+  UNION ALL SELECT c_custkey, 'disjoint', NOT inter FROM flags
+  UNION ALL SELECT c_custkey, 'within', within FROM flags
+  UNION ALL SELECT c_custkey, 'contains', contains FROM flags
+)
+GROUP BY rel ORDER BY rel
 """,
         # leading wildcard *suffix (reversed-dictionary trick)
         "suffix_match": _PRELUDE

@@ -527,3 +527,82 @@ def geo_polygon(
             }
         )
     return pa.concat_tables(parts).sort_by("c_custkey")
+
+
+def geo_shape_envelope(
+    sf_dir: str,
+    box: tuple[float, float, float, float] = (-30.0, 40.0, -60.0, 80.0),
+) -> pa.Table:
+    """ES ``geo_shape`` query over indexed envelope shapes, all four
+    spatial relations at once: each customer carries a derived RECTANGLE
+    (center = the synthetic geo_point, half-extents from more exact int64
+    arithmetic so the oracle mirrors bit-for-bit), and the query box
+    evaluates ``intersects`` / ``disjoint`` / ``within`` / ``contains``
+    with pure interval arithmetic → (relation, doc_count, custkey_sum).
+
+    ``custkey_sum`` is the exact int64 membership checksum — the gate
+    verifies WHICH shapes matched, not just how many.  Envelopes here
+    don't wrap the dateline (ES's do; the corpus derivation never crosses
+    it, so the simplification is exact for this data).  One streamed scan,
+    per-batch (relation, n, Σkey) partials, no shuffle."""
+    import ray
+
+    lat_lo, lat_hi, lon_lo, lon_hi = box
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_coords(k)
+        dlat = ((k * 31) % 500) / 100.0
+        dlon = ((k * 53) % 1000) / 100.0
+        r_lat_lo, r_lat_hi = lat - dlat, lat + dlat
+        r_lon_lo, r_lon_hi = lon - dlon, lon + dlon
+        inter = (
+            (r_lat_lo <= lat_hi)
+            & (r_lat_hi >= lat_lo)
+            & (r_lon_lo <= lon_hi)
+            & (r_lon_hi >= lon_lo)
+        )
+        within = (
+            (r_lat_lo >= lat_lo)
+            & (r_lat_hi <= lat_hi)
+            & (r_lon_lo >= lon_lo)
+            & (r_lon_hi <= lon_hi)
+        )
+        contains = (
+            (r_lat_lo <= lat_lo)
+            & (r_lat_hi >= lat_hi)
+            & (r_lon_lo <= lon_lo)
+            & (r_lon_hi >= lon_hi)
+        )
+        rel = {
+            "contains": contains,
+            "disjoint": ~inter,
+            "intersects": inter,
+            "within": within,
+        }
+        return pa.table(
+            {
+                "relation": pa.array(list(rel), type=pa.string()),
+                "n": pa.array([int(m.sum()) for m in rel.values()], type=pa.int64()),
+                "s": pa.array(
+                    [int(k[m].sum()) for m in rel.values()], type=pa.int64()
+                ),
+            }
+        )
+
+    ds = _read_customers(sf_dir, ["c_custkey"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cat = pa.concat_tables(_collect(ds))
+    g = (
+        cat.group_by("relation")
+        .aggregate([("n", "sum"), ("s", "sum")])
+        .sort_by("relation")
+    )
+    return pa.table(
+        {
+            "relation": g["relation"],
+            "doc_count": g["n_sum"].cast(pa.int64()),
+            "custkey_sum": g["s_sum"].cast(pa.int64()),
+        }
+    )

@@ -3074,3 +3074,47 @@ def test_bucket_ks_test_brute_force(ray_session):
     assert skew["d"][0].as_py() > 0.0
     with pytest.raises(ValueError, match="bad fractions"):
         bucket_count_ks_test(flat, "n", fractions=[1.0])
+
+
+def test_geo_shape_envelope_brute_force(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.geo import geo_shape_envelope
+
+    sf = "/root/testdata/sf0.001"
+    box = (-30.0, 40.0, -60.0, 80.0)
+    out = geo_shape_envelope(sf, box=box)
+
+    ck = pq.read_table(f"{sf}/customer.parquet", columns=["c_custkey"])[
+        "c_custkey"
+    ].to_pylist()
+    want = {r: [0, 0] for r in ("contains", "disjoint", "intersects", "within")}
+    for k in ck:
+        lat = ((k * 7919) % 18000) / 100.0 - 90.0
+        lon = ((k * 104729) % 36000) / 100.0 - 180.0
+        dlat = ((k * 31) % 500) / 100.0
+        dlon = ((k * 53) % 1000) / 100.0
+        alo, ahi, olo, ohi = lat - dlat, lat + dlat, lon - dlon, lon + dlon
+        inter = alo <= box[1] and ahi >= box[0] and olo <= box[3] and ohi >= box[2]
+        within = alo >= box[0] and ahi <= box[1] and olo >= box[2] and ohi <= box[3]
+        contains = alo <= box[0] and ahi >= box[1] and olo <= box[2] and ohi >= box[3]
+        for rel, m in (
+            ("intersects", inter),
+            ("disjoint", not inter),
+            ("within", within),
+            ("contains", contains),
+        ):
+            if m:
+                want[rel][0] += 1
+                want[rel][1] += k
+    rows = {
+        r: (n, s)
+        for r, n, s in zip(
+            out["relation"].to_pylist(),
+            out["doc_count"].to_pylist(),
+            out["custkey_sum"].to_pylist(),
+        )
+    }
+    assert rows == {r: tuple(v) for r, v in want.items()}
+    # the partition property: intersects + disjoint == corpus
+    assert rows["intersects"][0] + rows["disjoint"][0] == len(ck)
+    # within ⊆ intersects
+    assert rows["within"][0] <= rows["intersects"][0]
