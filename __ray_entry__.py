@@ -4287,6 +4287,12 @@ _ESQL_DISSECT = (
     'FROM events | DISSECT props "{\\"k\\": %{k}}" '
     '| STATS n = COUNT(*) BY k | SORT n DESC, k ASC | LIMIT 10'
 )
+_ESQL_LOOKUP = (
+    "FROM events | EVAL cents = ROUND(value * 100, 0) "
+    "| RENAME user_id AS c_custkey | LOOKUP JOIN customer ON c_custkey "
+    "| STATS n = COUNT(*), cents_sum = SUM(cents) BY c_mktsegment "
+    "| SORT c_mktsegment"
+)
 
 
 def _q_esql_stats(sf_dir: str) -> pa.Table:
@@ -4310,6 +4316,15 @@ def _q_esql_dissect(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_DISSECT, sf_dir)
+
+
+def _q_esql_lookup(sf_dir: str) -> pa.Table:
+    """ES|QL RENAME + LOOKUP JOIN pipe: broadcast right side, one Arrow
+    join per batch, mergeable STATS over the joined stream (integer-cent
+    sums stay order-exact)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_LOOKUP, sf_dir)
 
 
 def _q_esql_topn(sf_dir: str) -> pa.Table:
@@ -4579,6 +4594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_eval": _q_esql_eval,
         "esql_grok": _q_esql_grok,
         "esql_dissect": _q_esql_dissect,
+        "esql_lookup": _q_esql_lookup,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -8481,6 +8497,12 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT regexp_extract(props, '^\\{"k": (.*)\\}$', 1) AS k,
        count(*)::BIGINT AS n
 FROM events GROUP BY k ORDER BY n DESC, k ASC LIMIT 10
+""",
+        "esql_lookup": """
+SELECT c.c_mktsegment, count(*)::BIGINT AS n,
+       sum(round(e.value * 100, 0)) AS cents_sum
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """,
         # ES date_histogram (1-day fixed interval) + stats sub-agg on value
         # transform pivot: entity-centric user aggregates

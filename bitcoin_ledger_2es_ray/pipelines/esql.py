@@ -29,9 +29,14 @@ string/numeric literals, and ``COUNT(*) / COUNT / SUM / MIN / MAX / AVG``
 in STATS.  ``DISSECT`` / ``GROK`` parse a string column into new columns
 via ONE vectorized ``pc.extract_regex`` per batch (patterns compile to RE2
 named-group regexes at PARSE time, once — never per batch); non-matching
-rows keep the row with null fields, ES|QL's semantics.  Unsupported
-commands (ENRICH — exists as ``pipelines/enrich.py`` — MV_EXPAND, RENAME,
-ROW, SHOW) raise a parse error, mirroring ES|QL's verification phase.
+rows keep the row with null fields, ES|QL's semantics.  ``RENAME old AS
+new`` is a zero-copy schema rewrite; ``LOOKUP JOIN idx ON key`` (8.18)
+reads the lookup table ONCE, broadcasts it via ``ray.put``, and runs one
+order-pinned Arrow left join per batch — the fact stream never shuffles
+(lookup indices are small replicated tables by definition).  Row commands
+after STATS raise (the pipe aggregates once, at the end).  Unsupported
+commands (ENRICH — exists as ``pipelines/enrich.py`` — MV_EXPAND, ROW,
+SHOW) raise a parse error, mirroring ES|QL's verification phase.
 """
 
 from __future__ import annotations
@@ -71,6 +76,11 @@ _KEYWORDS = {
     "DROP",
     "DISSECT",
     "GROK",
+    "RENAME",
+    "LOOKUP",
+    "JOIN",
+    "ON",
+    "AS",
     "AND",
     "OR",
     "NOT",
@@ -78,7 +88,7 @@ _KEYWORDS = {
     "DESC",
 }
 
-_UNSUPPORTED = {"ENRICH", "MV_EXPAND", "RENAME", "ROW", "SHOW"}
+_UNSUPPORTED = {"ENRICH", "MV_EXPAND", "ROW", "SHOW"}
 
 # ---------------------------------------------------- dissect / grok
 
@@ -313,6 +323,12 @@ def parse_esql(src: str) -> EsqlPlan:
             raise ValueError(f"esql: expected a command after '|', got {cmd!r}")
         if cmd in _UNSUPPORTED:
             raise ValueError(f"esql: unsupported command {cmd}")
+        if plan.stats and cmd in ("WHERE", "EVAL", "DISSECT", "GROK", "RENAME",
+                                  "LOOKUP"):
+            raise ValueError(
+                f"esql: {cmd} after STATS is not supported (row commands run "
+                "before the aggregation)"
+            )
         if cmd == "WHERE":
             plan.ops.append(("where", p.expr()))
         elif cmd == "EVAL":
@@ -323,6 +339,21 @@ def parse_esql(src: str) -> EsqlPlan:
                 if p.peek() != ("op", ","):
                     break
                 p.next()
+        elif cmd == "RENAME":
+            while True:
+                old = p.expect("ident")[1]
+                p.expect("kw", "AS")
+                new = p.expect("ident")[1]
+                plan.ops.append(("rename", old, new))
+                if p.peek() != ("op", ","):
+                    break
+                p.next()
+        elif cmd == "LOOKUP":
+            p.expect("kw", "JOIN")
+            table = p.expect("ident")[1]
+            p.expect("kw", "ON")
+            key = p.expect("ident")[1]
+            plan.ops.append(("lookup", table, key))
         elif cmd in ("DISSECT", "GROK"):
             src_col = p.expect("ident")[1]
             raw = p.expect("str")[1]
@@ -480,16 +511,29 @@ def _referenced_cols(node: tuple | None, acc: set[str]) -> None:
         _referenced_cols(node[3], acc)
 
 
-def _plan_columns(plan: EsqlPlan, schema_names: list[str]) -> list[str]:
-    """Exact read column set: everything the pipe references downstream."""
+def _plan_columns(
+    plan: EsqlPlan,
+    schema_names: list[str],
+    extra_produced: set[str] | None = None,
+) -> list[str]:
+    """Exact read column set: everything the pipe references downstream.
+
+    ``extra_produced``: columns materialized mid-pipe from elsewhere than
+    the source table (LOOKUP JOIN right-side columns)."""
     eval_names = {op[1] for op in plan.ops if op[0] == "eval"}
     eval_names |= {
         name for op in plan.ops if op[0] == "parse" for name, _ in op[3]
     }
+    eval_names |= {op[2] for op in plan.ops if op[0] == "rename"}
+    eval_names |= extra_produced or set()
     need: set[str] = set()
     for op in plan.ops:
         if op[0] == "parse":
             need.add(op[1])
+        elif op[0] == "rename":
+            need.add(op[1])
+        elif op[0] == "lookup":
+            need.add(op[2])
         else:
             _referenced_cols(op[-1], need)
     for _, _, col in plan.stats:
@@ -539,7 +583,27 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     import pyarrow.parquet as pq
 
     schema_names = pq.read_schema(path).names
-    cols = _plan_columns(plan, schema_names)
+
+    # LOOKUP JOIN right sides: ES|QL lookup indices are small replicated
+    # tables by definition — read once, broadcast once via ray.put, one
+    # vectorized Arrow join per batch (the enrich-processor pattern)
+    import ray
+
+    look_refs: dict[str, object] = {}
+    extra_produced: set[str] = set()
+    for op in plan.ops:
+        if op[0] != "lookup":
+            continue
+        lpath = os.path.join(sf_dir, f"{op[1]}.parquet")
+        if not os.path.exists(lpath):
+            raise ValueError(f"esql: unknown lookup index {op[1]}")
+        lt = pq.read_table(lpath)
+        look_refs[op[1]] = ray.put(lt)
+        extra_produced |= set(lt.column_names)
+
+    cols = _plan_columns(
+        plan, schema_names, extra_produced=extra_produced - set(schema_names)
+    )
     ds = rd.read_parquet(path, columns=cols)
 
     stats = list(plan.stats)
@@ -550,6 +614,26 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
             if op[0] == "where":
                 mask = _eval_expr(op[1], batch)
                 batch = batch.filter(pc.fill_null(mask, False))
+            elif op[0] == "rename":
+                old, new = op[1], op[2]
+                if old not in batch.column_names:
+                    raise ValueError(f"esql: RENAME of unknown column {old}")
+                batch = batch.rename_columns(
+                    [new if c == old else c for c in batch.column_names]
+                )
+            elif op[0] == "lookup":
+                import ray as _ray
+
+                lt = _ray.get(look_refs[op[1]])
+                key = op[2]
+                if key not in batch.column_names:
+                    raise ValueError(f"esql: LOOKUP key {key} not in the pipe")
+                # Arrow joins don't preserve order — pin it with a row index
+                b2 = batch.append_column(
+                    "__row", pa.array(np.arange(batch.num_rows, dtype=np.int64))
+                )
+                joined = b2.join(lt, keys=[key], join_type="left outer")
+                batch = joined.sort_by("__row").drop_columns(["__row"])
             elif op[0] == "parse":
                 src_arr = batch[op[1]]
                 if isinstance(src_arr, pa.ChunkedArray):

@@ -239,3 +239,64 @@ def test_esql_dissect_string_fields_and_nulls(ray_session):
     )
     assert out["k"].to_pylist() == want["k"].tolist()
     assert out["n"].to_pylist() == want["n"].tolist()
+
+
+# ------------------------------------------------- rename / lookup join
+
+
+def test_esql_rename_then_where(ray_session):
+    got = run_esql(
+        "FROM documents | RENAME n_chars AS size | WHERE size > 400 "
+        "| KEEP doc_id, size | SORT doc_id",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT doc_id, n_chars AS size FROM documents WHERE n_chars > 400 "
+        "ORDER BY doc_id"
+    )
+    _assert_tables_equal(got, want)
+
+
+def test_esql_lookup_join_matches_duckdb(ray_session):
+    got = run_esql(
+        "FROM events | EVAL cents = ROUND(value * 100, 0) "
+        "| RENAME user_id AS c_custkey | LOOKUP JOIN customer ON c_custkey "
+        "| STATS n = COUNT(*), cents_sum = SUM(cents) BY c_mktsegment "
+        "| SORT c_mktsegment",
+        SF_DIR,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF_DIR}/customer.parquet'"
+    )
+    want = con.execute(
+        "SELECT c.c_mktsegment, count(*)::BIGINT n, "
+        "sum(round(e.value * 100, 0)) cents_sum "
+        "FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id "
+        "GROUP BY 1 ORDER BY 1"
+    ).arrow()
+    _assert_tables_equal(got, want)
+
+
+def test_esql_post_stats_row_command_rejected():
+    with pytest.raises(ValueError, match="after STATS"):
+        parse_esql(_normalize_assign(
+            "FROM events | STATS n = COUNT(*) BY user_id | WHERE n > 5"
+        ))
+    with pytest.raises(ValueError, match="after STATS"):
+        parse_esql(_normalize_assign(
+            "FROM events | STATS n = COUNT(*) BY user_id "
+            "| RENAME user_id AS u"
+        ))
+
+
+def test_esql_lookup_unknown_index(ray_session):
+    with pytest.raises(ValueError, match="unknown lookup index"):
+        run_esql(
+            "FROM events | LOOKUP JOIN nope ON user_id "
+            "| STATS n = COUNT(*)",
+            SF_DIR,
+        )
