@@ -271,6 +271,14 @@ def _q_mixture_select(sf_dir: str) -> pa.Table:
     return mixture_select(sf_dir, budget_total=25_000, alpha=0.5)
 
 
+def _q_t5_spans(sf_dir: str) -> pa.Table:
+    """T5 span-corruption examples: deterministic sentinel spans, input +
+    target re-serialization fully vectorized."""
+    from bitcoin_ledger_2es_ray.pipelines.textstats import t5_span_corruption
+
+    return t5_span_corruption(sf_dir)
+
+
 def _q_fim_examples(sf_dir: str) -> pa.Table:
     """FIM (fill-in-the-middle) code-LLM examples: deterministic token-level
     prefix/middle/suffix cuts, PSM/SPM 50/50 by doc parity."""
@@ -4387,6 +4395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_inner_hits": _q_nested_inner_hits,
         "mixture_select": _q_mixture_select,
         "fim_examples": _q_fim_examples,
+        "t5_spans": _q_t5_spans,
         "repo_pack": _q_repo_pack,
         "ip_range": _q_ip_range,
         "ip_prefix": _q_ip_prefix,
@@ -9202,6 +9211,48 @@ SELECT repo, count(*)::BIGINT AS n_files, sum(dl)::BIGINT AS n_tokens,
 FROM d GROUP BY repo ORDER BY repo
 """
     # FIM examples: cut-point formulas and PSM/SPM layouts mirrored
+    # t5 span corruption: per-token span arithmetic + ordered filtered
+    # string_agg reassembly, final sentinel appended
+    sql["t5_spans"] = """
+WITH pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p,
+         len(string_split(text, ' '))::BIGINT AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, term, p, n, p - (doc_id % 20) AS rel FROM pos
+),
+g AS (
+  SELECT doc_id, term, p, n,
+         (rel >= 0 AND rel % 20 < 3) AS in_span,
+         (rel >= 0 AND rel % 20 = 0) AS first,
+         rel // 20 AS span_id
+  FROM f
+),
+agg AS (
+  SELECT doc_id, any_value(n) AS n,
+         string_agg(
+           CASE WHEN first THEN '<extra_id_' || span_id || '>' ELSE term END,
+           ' ' ORDER BY p) FILTER (NOT in_span OR first) AS input,
+         string_agg(
+           CASE WHEN first THEN '<extra_id_' || span_id || '> ' || term
+                ELSE term END,
+           ' ' ORDER BY p) FILTER (in_span) AS body
+  FROM g GROUP BY doc_id
+)
+SELECT doc_id, input,
+       CASE WHEN body IS NULL
+            THEN '<extra_id_' || ns || '>'
+            ELSE body || ' <extra_id_' || ns || '>' END AS target,
+       ns AS n_spans
+FROM (
+  SELECT *, CASE WHEN n > doc_id % 20
+                 THEN (n - doc_id % 20 + 19) // 20 ELSE 0 END AS ns
+  FROM agg
+)
+ORDER BY doc_id
+"""
     sql["fim_examples"] = """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS arr,

@@ -1446,3 +1446,45 @@ def test_knn_bbq_recall_and_rescore(ray_session):
     ex3 = knn_bruteforce(SF, n_queries=3, k=5)
     assert full["vec_id"].to_pylist() == ex3["vec_id"].to_pylist()
     assert full["sim"].to_pylist() == ex3["sim"].to_pylist()
+
+
+def test_t5_span_corruption_reconstruction(ray_session, tmp_path):
+    """Inputs and targets reassemble the original doc exactly: replacing
+    each input sentinel with its target span round-trips the text; the
+    sink streams the identical table."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import re as _re
+
+    from bitcoin_ledger_2es_ray.pipelines.textstats import (
+        t5_span_corruption,
+        t5_span_corruption_to_parquet,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = t5_span_corruption(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).sort_by("doc_id")
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    assert out.num_rows == len(texts)
+    checked_spans = 0
+    for r in out.to_pylist():
+        # parse target into span_id -> tokens
+        parts = _re.split(r"<extra_id_(\d+)>", r["target"])
+        spans = {}
+        ids = parts[1::2]
+        bodies = parts[2::2]
+        for sid, body in zip(ids[:-1], bodies[:-1] if len(bodies) == len(ids) else bodies):
+            spans[int(sid)] = body.strip()
+        assert int(ids[-1]) == r["n_spans"]  # closing sentinel
+        rebuilt = _re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], r["input"]
+        )
+        rebuilt = " ".join(rebuilt.split())
+        assert rebuilt == texts[r["doc_id"]], r["doc_id"]
+        checked_spans += r["n_spans"]
+    assert checked_spans > 0
+    # sink equals the collected table byte-for-byte
+    out_dir = str(tmp_path / "t5")
+    t5_span_corruption_to_parquet(sf, out_dir)
+    sunk = pads.dataset(out_dir).to_table().sort_by("doc_id")
+    assert sunk.equals(out)
