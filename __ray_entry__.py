@@ -2325,6 +2325,34 @@ def _q_rrf_hybrid(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_retriever_tree(sf_dir: str) -> pa.Table:
+    """ES retriever tree: rescorer( rrf( standard, knn ) ) — rank fusion of
+    the BM25 and exact-cosine legs, then a distance_feature-shaped second
+    stage over the fused top-10."""
+    from bitcoin_ledger_2es_ray.pipelines.retriever import retriever_search
+
+    store, res = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    spec = {
+        "rescorer": {
+            "retriever": {
+                "rrf": {
+                    "retrievers": [{"standard": {}}, {"knn": {}}],
+                    "rank_constant": 60,
+                    "rank_window_size": 20,
+                }
+            },
+            "window_size": 10,
+            "boost": 0.1,
+            "pivot": 10.0,
+            "origin": 32.0,
+        }
+    }
+    return retriever_search(
+        sf_dir, store, res.out_dir, queries, spec, k=10, round_decimals=_ROUND
+    )
+
+
 def _q_async_search(sf_dir: str) -> pa.Table:
     """ES ``_async_search``: every fixture query submitted up-front (all in
     flight), statuses polled, finals fetched — the final rankings are
@@ -4543,6 +4571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "post_filter_aggs": _q_post_filter_aggs,
         "named_queries": _q_named_queries,
         "rrf_hybrid": _q_rrf_hybrid,
+        "retriever_tree": _q_retriever_tree,
         "mmr_rerank": _q_mmr_rerank,
         "knn_similarity": _q_knn_similarity,
         "ann_hnsw": _q_ann_hnsw,
@@ -5033,6 +5062,74 @@ SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
        doc_id::BIGINT AS doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """.replace("{nq}", str(_N_QUERIES)).replace("{k}", str(_TOP_K)),
+        # retriever tree: the rrf plan's fused top-10, second-staged by the
+        # distance_feature-shaped rescorer, re-ranked
+        "retriever_tree": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+bmr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS r
+  FROM scored
+),
+qv AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nq}),
+ksc AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(qv.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+           AS sim
+  FROM qv CROSS JOIN embeddings e
+),
+knr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id ASC) AS r
+  FROM ksc
+),
+legs AS (
+  SELECT query_id, doc_id, 1.0 / (60 + r) AS c FROM bmr WHERE r <= 20
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + r) AS c FROM knr WHERE r <= 20
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS score
+  FROM legs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM fused
+),
+resc AS (
+  SELECT f.query_id, f.doc_id,
+         round(f.score + 0.1 * 10.0 / (10.0 + abs(dl.dl - 32.0)), 6) AS score
+  FROM ranked f JOIN dl ON dl.doc_id = f.doc_id
+  WHERE f.rank <= 10
+),
+final AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM resc
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM final ORDER BY query_id, rank
+""".replace("{nq}", str(_N_QUERIES)),
         # field collapse on repo ('org'||d%7||'/repo'||d%20, FIXTURES §B):
         # one best doc per repo, groups ranked by representative
         "collapse_topk": _PRELUDE
