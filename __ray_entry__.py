@@ -4323,6 +4323,10 @@ _ESQL_DISSECT = (
     'FROM events | DISSECT props "{\\"k\\": %{k}}" '
     '| STATS n = COUNT(*) BY k | SORT n DESC, k ASC | LIMIT 10'
 )
+_ESQL_MVEXPAND = (
+    'FROM documents | EVAL w = SPLIT(text, " ") | MV_EXPAND w '
+    "| STATS n = COUNT(*) BY w | SORT n DESC, w ASC | LIMIT 15"
+)
 _ESQL_LOOKUP = (
     "FROM events | EVAL cents = ROUND(value * 100, 0) "
     "| RENAME user_id AS c_custkey | LOOKUP JOIN customer ON c_custkey "
@@ -4352,6 +4356,14 @@ def _q_esql_dissect(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_DISSECT, sf_dir)
+
+
+def _q_esql_mv_expand(sf_dir: str) -> pa.Table:
+    """ES|QL SPLIT + MV_EXPAND pipe: list column exploded per batch
+    (flat_map), term frequencies via pure ES|QL."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_MVEXPAND, sf_dir)
 
 
 def _q_esql_lookup(sf_dir: str) -> pa.Table:
@@ -4633,6 +4645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_grok": _q_esql_grok,
         "esql_dissect": _q_esql_dissect,
         "esql_lookup": _q_esql_lookup,
+        "esql_mv_expand": _q_esql_mv_expand,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -8609,6 +8622,11 @@ SELECT c.c_mktsegment, count(*)::BIGINT AS n,
        sum(round(e.value * 100, 0)) AS cents_sum
 FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""",
+        "esql_mv_expand": """
+SELECT w, count(*)::BIGINT AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY n DESC, w ASC LIMIT 15
 """,
         # ES date_histogram (1-day fixed interval) + stats sub-agg on value
         # transform pivot: entity-centric user aggregates

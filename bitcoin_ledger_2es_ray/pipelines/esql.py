@@ -33,10 +33,13 @@ rows keep the row with null fields, ES|QL's semantics.  ``RENAME old AS
 new`` is a zero-copy schema rewrite; ``LOOKUP JOIN idx ON key`` (8.18)
 reads the lookup table ONCE, broadcasts it via ``ray.put``, and runs one
 order-pinned Arrow left join per batch — the fact stream never shuffles
-(lookup indices are small replicated tables by definition).  Row commands
-after STATS raise (the pipe aggregates once, at the end).  Unsupported
-commands (ENRICH — exists as ``pipelines/enrich.py`` — MV_EXPAND, ROW,
-SHOW) raise a parse error, mirroring ES|QL's verification phase.
+(lookup indices are small replicated tables by definition).  ``SPLIT(s,
+"sep")`` in EVAL makes a multi-value (list) column and ``MV_EXPAND col``
+explodes it — one vectorized take+flatten per batch (rows with null/empty
+lists drop, the flat_map convention).  Row commands after STATS raise
+(the pipe aggregates once, at the end).  Unsupported commands (ENRICH —
+exists as ``pipelines/enrich.py`` — ROW, SHOW) raise a parse error,
+mirroring ES|QL's verification phase.
 """
 
 from __future__ import annotations
@@ -81,6 +84,7 @@ _KEYWORDS = {
     "JOIN",
     "ON",
     "AS",
+    "MV_EXPAND",
     "AND",
     "OR",
     "NOT",
@@ -88,7 +92,7 @@ _KEYWORDS = {
     "DESC",
 }
 
-_UNSUPPORTED = {"ENRICH", "MV_EXPAND", "ROW", "SHOW"}
+_UNSUPPORTED = {"ENRICH", "ROW", "SHOW"}
 
 # ---------------------------------------------------- dissect / grok
 
@@ -324,7 +328,7 @@ def parse_esql(src: str) -> EsqlPlan:
         if cmd in _UNSUPPORTED:
             raise ValueError(f"esql: unsupported command {cmd}")
         if plan.stats and cmd in ("WHERE", "EVAL", "DISSECT", "GROK", "RENAME",
-                                  "LOOKUP"):
+                                  "LOOKUP", "MV_EXPAND"):
             raise ValueError(
                 f"esql: {cmd} after STATS is not supported (row commands run "
                 "before the aggregation)"
@@ -354,6 +358,8 @@ def parse_esql(src: str) -> EsqlPlan:
             p.expect("kw", "ON")
             key = p.expect("ident")[1]
             plan.ops.append(("lookup", table, key))
+        elif cmd == "MV_EXPAND":
+            plan.ops.append(("mvexpand", p.expect("ident")[1]))
         elif cmd in ("DISSECT", "GROK"):
             src_col = p.expect("ident")[1]
             raw = p.expect("str")[1]
@@ -467,6 +473,10 @@ def _eval_expr(node: tuple, batch: pa.Table):
             return pc.abs(vals[0])
         if name == "LENGTH":
             return pc.utf8_length(vals[0])
+        if name == "SPLIT":
+            if len(vals) != 2 or not isinstance(vals[1], str):
+                raise ValueError("esql: SPLIT needs (column, \"separator\")")
+            return pc.split_pattern(vals[0], vals[1])
         raise ValueError(f"esql: unknown function {name}")
     op = node[1]
     left = _eval_expr(node[2], batch)
@@ -531,6 +541,8 @@ def _plan_columns(
         if op[0] == "parse":
             need.add(op[1])
         elif op[0] == "rename":
+            need.add(op[1])
+        elif op[0] == "mvexpand":
             need.add(op[1])
         elif op[0] == "lookup":
             need.add(op[2])
@@ -614,6 +626,26 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
             if op[0] == "where":
                 mask = _eval_expr(op[1], batch)
                 batch = batch.filter(pc.fill_null(mask, False))
+            elif op[0] == "mvexpand":
+                name = op[1]
+                col = batch[name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if not pa.types.is_list(col.type):
+                    raise ValueError(
+                        "esql: MV_EXPAND needs a multi-value (list) column"
+                    )
+                lengths = pc.list_value_length(col).to_numpy(
+                    zero_copy_only=False
+                )
+                lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+                idx = pa.array(
+                    np.repeat(np.arange(batch.num_rows, dtype=np.int64), lengths)
+                )
+                flat = col.flatten()
+                batch = batch.take(idx).set_column(
+                    batch.schema.get_field_index(name), name, flat
+                )
             elif op[0] == "rename":
                 old, new = op[1], op[2]
                 if old not in batch.column_names:

@@ -59,7 +59,7 @@ def test_parse_rejections():
     with pytest.raises(ValueError, match="nondeterministic"):
         parse_esql("FROM documents | LIMIT 5")
     with pytest.raises(ValueError, match="unsupported command"):
-        parse_esql('FROM documents | MV_EXPAND tags')
+        parse_esql('FROM documents | SHOW info')
     with pytest.raises(ValueError, match="extracts no fields"):
         parse_esql('FROM documents | GROK text "%{WORD}"')
     with pytest.raises(ValueError, match="unknown grok pattern"):
@@ -298,5 +298,25 @@ def test_esql_lookup_unknown_index(ray_session):
         run_esql(
             "FROM events | LOOKUP JOIN nope ON user_id "
             "| STATS n = COUNT(*)",
+            SF_DIR,
+        )
+
+
+def test_esql_mv_expand_matches_duckdb(ray_session):
+    got = run_esql(
+        'FROM documents | EVAL w = SPLIT(text, " ") | MV_EXPAND w '
+        "| STATS n = COUNT(*) BY w | SORT n DESC, w ASC | LIMIT 15",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT w, count(*)::BIGINT n FROM "
+        "(SELECT unnest(string_split(text, ' ')) w FROM documents) "
+        "GROUP BY w ORDER BY n DESC, w LIMIT 15"
+    )
+    _assert_tables_equal(got, want)
+    # MV_EXPAND of a scalar column is a loud (task-side) error
+    with pytest.raises(Exception, match="multi-value"):
+        run_esql(
+            "FROM documents | MV_EXPAND lang | STATS n = COUNT(*) BY lang",
             SF_DIR,
         )
