@@ -2325,6 +2325,15 @@ def _q_rrf_hybrid(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_ltr_features(sf_dir: str) -> pa.Table:
+    """LTR feature logging: per (query, BM25-top-10 doc) the deterministic
+    ranking-feature vector (bm25, dl, qlen, n_matched, sum_tf, max_idf)."""
+    from bitcoin_ledger_2es_ray.pipelines.query import ltr_features
+
+    store, _ = _store_for(sf_dir)
+    return ltr_features(store, _fixture_queries(store), k=10, round_decimals=_ROUND)
+
+
 def _q_retriever_tree(sf_dir: str) -> pa.Table:
     """ES retriever tree: rescorer( rrf( standard, knn ) ) — rank fusion of
     the BM25 and exact-cosine legs, then a distance_feature-shaped second
@@ -4584,6 +4593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "named_queries": _q_named_queries,
         "rrf_hybrid": _q_rrf_hybrid,
         "retriever_tree": _q_retriever_tree,
+        "ltr_features": _q_ltr_features,
         "mmr_rerank": _q_mmr_rerank,
         "knn_similarity": _q_knn_similarity,
         "ann_hnsw": _q_ann_hnsw,
@@ -5075,6 +5085,49 @@ SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
        doc_id::BIGINT AS doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """.replace("{nq}", str(_N_QUERIES)).replace("{k}", str(_TOP_K)),
+        # LTR feature logging: features joined onto the BM25 top-10
+        "ltr_features": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+qd AS (SELECT query_id, count(DISTINCT term)::BIGINT AS qlen FROM qterm GROUP BY 1),
+feat AS (
+  SELECT t.query_id, t.rank, t.doc_id, t.score AS bm25,
+         any_value(dl.dl)::BIGINT AS dl,
+         count(*)::BIGINT AS n_matched,
+         sum(tf.tf)::BIGINT AS sum_tf,
+         round(max(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))), 6) AS max_idf
+  FROM topk t
+  JOIN qterm q ON q.query_id = t.query_id
+  JOIN tf ON tf.term = q.term AND tf.doc_id = t.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.query_id, t.rank, t.doc_id, t.score
+)
+SELECT f.query_id::BIGINT AS query_id, f.rank::BIGINT AS rank,
+       f.doc_id::BIGINT AS doc_id, f.bm25, f.dl, qd.qlen, f.n_matched,
+       f.sum_tf, f.max_idf
+FROM feat f JOIN qd USING (query_id) ORDER BY query_id, rank
+""",
         # retriever tree: the rrf plan's fused top-10, second-staged by the
         # distance_feature-shaped rescorer, re-ranked
         "retriever_tree": _PRELUDE

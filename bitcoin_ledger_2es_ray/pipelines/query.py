@@ -1196,3 +1196,79 @@ def model_rerank(
             "score": pa.array(s[keep], type=pa.float64()),
         }
     )
+
+
+def ltr_features(
+    store: SegmentStore,
+    queries_tbl: "pa.Table",
+    k: int = 10,
+    round_decimals: int = 6,
+) -> "pa.Table":
+    """ES learning-to-rank feature logging (the LTR plugin's ``_ltr``
+    feature-set extraction): for each query's BM25 top-``k`` docs, the
+    per-(query, doc) feature vector a ranking model trains on —
+    (bm25, dl, qlen, n_matched, sum_tf, max_idf).
+
+    One postings decode per query term; every feature accumulates on the
+    k-sized candidate array (bounded by k × query terms, never corpus
+    size).  Deterministic and SQL-mirrored, so logged features are
+    byte-reproducible across runs — the property feature stores exist
+    for."""
+    import pyarrow as pa
+
+    qids_o, ranks_o, docs_o = [], [], []
+    bm25_o, dl_o, qlen_o, nm_o, stf_o, mi_o = [], [], [], [], [], []
+    for qid, text in zip(
+        queries_tbl["query_id"].to_pylist(), queries_tbl["text"].to_pylist()
+    ):
+        top = score_query(store, text, k, round_decimals=round_decimals)
+        if not top:
+            continue
+        docs = np.array([d for d, _ in top], dtype=np.uint64)
+        pos = {int(x): i for i, x in enumerate(docs.tolist())}
+        terms = sorted(set(tokenize_query(text)))
+        n_matched = np.zeros(len(docs), np.int64)
+        sum_tf = np.zeros(len(docs), np.int64)
+        max_idf = np.zeros(len(docs), np.float64)
+        dl_arr = np.zeros(len(docs), np.int64)
+        for t in terms:
+            df_t = store.td.df_of(t)
+            if df_t == 0:
+                continue
+            d, tf, dl = store.postings(t)
+            m = np.isin(d, docs)
+            if not m.any():
+                continue
+            idxs = np.array(
+                [pos[int(x)] for x in d[m].tolist()], dtype=np.int64
+            )
+            n_matched[idxs] += 1
+            sum_tf[idxs] += tf[m].astype(np.int64)
+            np.maximum.at(
+                max_idf, idxs, float(idf(store.n_docs, df_t))
+            )
+            dl_arr[idxs] = dl[m].astype(np.int64)
+        for r, (d_, s_) in enumerate(top, start=1):
+            i = pos[d_]
+            qids_o.append(int(qid))
+            ranks_o.append(r)
+            docs_o.append(int(d_))
+            bm25_o.append(float(s_))
+            dl_o.append(int(dl_arr[i]))
+            qlen_o.append(len(terms))
+            nm_o.append(int(n_matched[i]))
+            stf_o.append(int(sum_tf[i]))
+            mi_o.append(float(sql_round(max_idf[i], round_decimals)))
+    return pa.table(
+        {
+            "query_id": pa.array(qids_o, type=pa.int64()),
+            "rank": pa.array(ranks_o, type=pa.int64()),
+            "doc_id": pa.array(docs_o, type=pa.int64()),
+            "bm25": pa.array(bm25_o, type=pa.float64()),
+            "dl": pa.array(dl_o, type=pa.int64()),
+            "qlen": pa.array(qlen_o, type=pa.int64()),
+            "n_matched": pa.array(nm_o, type=pa.int64()),
+            "sum_tf": pa.array(stf_o, type=pa.int64()),
+            "max_idf": pa.array(mi_o, type=pa.float64()),
+        }
+    )

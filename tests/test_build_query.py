@@ -207,3 +207,53 @@ def test_sha256_corruption_fails_build(ray_session, tmp_path):
         build_index(
             BuildConfig(corpus=bad_path, out_dir=str(tmp_path / "bad_idx"), num_partitions=4)
         )
+
+
+def test_ltr_features_brute_force(built, ray_session):
+    """LTR feature vectors equal a direct recompute from the corpus text
+    for the top-10 of a few fixture queries."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        ltr_features,
+        score_query,
+    )
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    queries = fixture_queries(sorted(store.df), n=8, k=10)
+    out = ltr_features(store, queries, k=10)
+
+    docs = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    split = [d.split(" ") for d in docs]
+    n_docs = len(docs)
+    rows = {
+        (q, d): (r, b)
+        for q, r, d, b in zip(
+            out["query_id"].to_pylist(), out["rank"].to_pylist(),
+            out["doc_id"].to_pylist(), out["bm25"].to_pylist(),
+        )
+    }
+    checked = 0
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        terms = sorted(set(text.split(" ")))
+        for d, s in score_query(store, text, 10, round_decimals=6):
+            assert rows[(qid, d)][1] == s
+            words = split[d]
+            matched = [t for t in terms if t in words]
+            i = out.to_pandas().query("query_id == @qid and doc_id == @d").iloc[0]
+            assert i["dl"] == len(words)
+            assert i["qlen"] == len(terms)
+            assert i["n_matched"] == len(matched)
+            assert i["sum_tf"] == sum(words.count(t) for t in matched)
+            dfs = [sum(1 for w in split if t in w) for t in matched]
+            want_idf = max(
+                np.log(1 + (n_docs - df + 0.5) / (df + 0.5)) for df in dfs
+            )
+            assert i["max_idf"] == float(sql_round(want_idf, 6))
+            checked += 1
+    assert checked > 0
