@@ -172,6 +172,37 @@ def _q_bm25_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_indices_boost(sf_dir: str) -> pa.Table:
+    """ES ``indices_boost`` over the two-member federation: member A (the
+    first third of the corpus) boosted 1.5, member B 0.5; global stats
+    untouched, per-doc scores scaled before the ranking."""
+    from bitcoin_ledger_2es_ray.pipelines.federate import (
+        FederatedStore,
+        indices_boost_topk,
+    )
+
+    fed = FederatedStore(_fed_for(sf_dir))
+    queries = _fixture_queries(fed)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        top = indices_boost_topk(
+            fed, text, _TOP_K, boosts=[1.5, 0.5], round_decimals=_ROUND
+        )
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def _q_reshard_topk(sf_dir: str) -> pa.Table:
     """ES ``_split``/``_shrink``: the cached P=16 index resharded to P=11
     WITHOUT re-tokenizing (segments decode → re-place by
@@ -4409,6 +4440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_routed": _q_bm25_topk_routed,
         "bm25_topk_federated": _q_bm25_topk_federated,
+        "indices_boost": _q_indices_boost,
         "reshard_topk": _q_reshard_topk,
         "pit_search": _q_pit_search,
         "boolean_and": _q_boolean_and,
@@ -5085,6 +5117,40 @@ SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
        doc_id::BIGINT AS doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """.replace("{nq}", str(_N_QUERIES)).replace("{k}", str(_TOP_K)),
+        # indices_boost: per-member multiplier on the UNROUNDED sum, global
+        # stats untouched (A = first third of the corpus)
+        "indices_boost": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+           AS raw
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+cut AS (SELECT count(*) // 3 AS c FROM documents),
+boosted AS (
+  SELECT query_id, doc_id,
+         round(raw * CASE WHEN doc_id < cut.c THEN 1.5 ELSE 0.5 END, 6)
+           AS score
+  FROM scored CROSS JOIN cut
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM boosted
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
         # LTR feature logging: features joined onto the BM25 top-10
         "ltr_features": _PRELUDE
         + """

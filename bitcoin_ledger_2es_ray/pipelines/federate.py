@@ -132,3 +132,35 @@ class FederatedStore:
             np.concatenate(tfs_l),
             np.concatenate(pos_l),
         )
+
+
+def indices_boost_topk(
+    fed: FederatedStore,
+    text: str,
+    k: int,
+    boosts: list[float],
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``indices_boost``: each hit's BM25 score multiplied by its member
+    index's boost before the global ranking (cross-cluster relevance
+    tilting — fresh index up, archive down).  Stats stay GLOBAL (the
+    federation's dfs phase); only the final per-doc score scales, exactly
+    ES's semantics.  Member-of(doc) is one searchsorted against the
+    docBase table; ranked (rounded boosted score DESC, doc ASC)."""
+    from ..functions.bm25 import sql_round
+    from .query import score_query
+
+    if len(boosts) != len(fed.stores):
+        raise ValueError("indices_boost: one boost per member index")
+    full = score_query(fed, text, k=fed.n_docs, round_decimals=None)
+    if not full:
+        return []
+    docs = np.array([d for d, _ in full], dtype=np.int64)
+    scores = np.array([s for _, s in full], dtype=np.float64)
+    bases = np.array(fed.doc_bases, dtype=np.int64)
+    member = np.searchsorted(bases, docs, side="right") - 1
+    boosted = scores * np.asarray(boosts, dtype=np.float64)[member]
+    if round_decimals is not None:
+        boosted = sql_round(boosted, round_decimals)
+    order = np.lexsort((docs, -boosted))[:k]
+    return [(int(docs[i]), float(boosted[i])) for i in order]

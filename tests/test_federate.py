@@ -182,3 +182,32 @@ def test_federated_phrase_and_slop_match_union(ray_session, tmp_path):
                 phrase_match_slop(fed, phrase, slop=slop).tolist()
                 == phrase_match_slop(single, phrase, slop=slop).tolist()
             ), (phrase, slop)
+
+
+def test_indices_boost_scales_members(federation):
+    """indices_boost: boost 1.0/1.0 is the plain federated ranking; a
+    member's boost scales exactly its docs' scores."""
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.federate import indices_boost_topk
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+
+    _single, fed, _ = federation
+    vocab = sorted(fed.df)
+    text = " ".join(vocab[i % len(vocab)] for i in (3, 11))
+    plain = indices_boost_topk(fed, text, 10, boosts=[1.0, 1.0], round_decimals=6)
+    assert plain == score_query(fed, text, 10, round_decimals=6)
+
+    cut = fed.doc_bases[1]
+    full = score_query(fed, text, fed.n_docs, round_decimals=None)
+    want = sorted(
+        (
+            (d, float(sql_round(s * (1.5 if d < cut else 0.5), 6)))
+            for d, s in full
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = indices_boost_topk(fed, text, 10, boosts=[1.5, 0.5], round_decimals=6)
+    assert got == want
+
+    with pytest.raises(ValueError, match="one boost per member"):
+        indices_boost_topk(fed, text, 10, boosts=[1.0])
