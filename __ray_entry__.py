@@ -4363,6 +4363,11 @@ _ESQL_DISSECT = (
     'FROM events | DISSECT props "{\\"k\\": %{k}}" '
     '| STATS n = COUNT(*) BY k | SORT n DESC, k ASC | LIMIT 10'
 )
+_ESQL_STRINGS = (
+    'FROM documents | EVAL k = CONCAT(TO_UPPER(SUBSTRING(lang, 1, 1)), "-", source) '
+    '| WHERE text LIKE "*spark*" AND STARTS_WITH(source, "src") '
+    "| STATS n = COUNT(*) BY k | SORT k"
+)
 _ESQL_MVEXPAND = (
     'FROM documents | EVAL w = SPLIT(text, " ") | MV_EXPAND w '
     "| STATS n = COUNT(*) BY w | SORT n DESC, w ASC | LIMIT 15"
@@ -4396,6 +4401,15 @@ def _q_esql_dissect(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_DISSECT, sf_dir)
+
+
+def _q_esql_strings(sf_dir: str) -> pa.Table:
+    """ES|QL string function library: CONCAT/SUBSTRING/TO_UPPER/
+    STARTS_WITH in EVAL plus a LIKE wildcard predicate, all Arrow
+    kernels."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_STRINGS, sf_dir)
 
 
 def _q_esql_mv_expand(sf_dir: str) -> pa.Table:
@@ -4688,6 +4702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_dissect": _q_esql_dissect,
         "esql_lookup": _q_esql_lookup,
         "esql_mv_expand": _q_esql_mv_expand,
+        "esql_strings": _q_esql_strings,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -8746,6 +8761,13 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 SELECT w, count(*)::BIGINT AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
 GROUP BY w ORDER BY n DESC, w ASC LIMIT 15
+""",
+        "esql_strings": """
+SELECT upper(substring(lang, 1, 1)) || '-' || source AS k,
+       count(*)::BIGINT AS n
+FROM documents
+WHERE text LIKE '%spark%' AND starts_with(source, 'src')
+GROUP BY k ORDER BY k
 """,
         # ES date_histogram (1-day fixed interval) + stats sub-agg on value
         # transform pivot: entity-centric user aggregates

@@ -85,6 +85,8 @@ _KEYWORDS = {
     "ON",
     "AS",
     "MV_EXPAND",
+    "LIKE",
+    "RLIKE",
     "AND",
     "OR",
     "NOT",
@@ -249,6 +251,9 @@ class _Parser:
         left = self._add()
         if self.peek()[0] == "op" and self.peek()[1] in ("==", "!=", ">", ">=", "<", "<="):
             op = self.next()[1]
+            return ("bin", op, left, self._add())
+        if self.peek() in (("kw", "LIKE"), ("kw", "RLIKE")):
+            op = self.next()[1].lower()
             return ("bin", op, left, self._add())
         return left
 
@@ -477,10 +482,47 @@ def _eval_expr(node: tuple, batch: pa.Table):
             if len(vals) != 2 or not isinstance(vals[1], str):
                 raise ValueError("esql: SPLIT needs (column, \"separator\")")
             return pc.split_pattern(vals[0], vals[1])
+        if name == "CONCAT":
+            parts = [pa.scalar(v) if isinstance(v, str) else v for v in vals]
+            return pc.binary_join_element_wise(*parts, "")
+        if name == "SUBSTRING":
+            # ES|QL 1-based (start, length); the negative-start form is
+            # not supported here — raise rather than mis-slice
+            start = int(vals[1])
+            if start < 1:
+                raise ValueError("esql: SUBSTRING start is 1-based positive")
+            length = int(vals[2]) if len(vals) > 2 else None
+            stop = None if length is None else start - 1 + length
+            return pc.utf8_slice_codeunits(vals[0], start - 1, stop)
+        if name == "TO_LOWER":
+            return pc.utf8_lower(vals[0])
+        if name == "TO_UPPER":
+            return pc.utf8_upper(vals[0])
+        if name == "STARTS_WITH":
+            return pc.starts_with(vals[0], pattern=vals[1])
+        if name == "COALESCE":
+            return pc.coalesce(*vals)
         raise ValueError(f"esql: unknown function {name}")
     op = node[1]
     left = _eval_expr(node[2], batch)
     right = _eval_expr(node[3], batch)
+    if op in ("like", "rlike"):
+        if not isinstance(right, str):
+            raise ValueError(f"esql: {op.upper()} needs a string literal pattern")
+        if op == "like":
+            # ES|QL LIKE wildcards: * = any run, ? = one char
+            out = []
+            for ch in right:
+                if ch == "*":
+                    out.append(".*")
+                elif ch == "?":
+                    out.append(".")
+                else:
+                    out.append(re.escape(ch))
+            pat = "^" + "".join(out) + "$"
+        else:
+            pat = "^(?:" + right + ")$"
+        return pc.match_substring_regex(left, pat)
     fns = {
         "==": pc.equal,
         "!=": pc.not_equal,

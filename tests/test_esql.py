@@ -320,3 +320,44 @@ def test_esql_mv_expand_matches_duckdb(ray_session):
             "FROM documents | MV_EXPAND lang | STATS n = COUNT(*) BY lang",
             SF_DIR,
         )
+
+
+def test_esql_string_functions_match_duckdb(ray_session):
+    got = run_esql(
+        'FROM documents | EVAL k = CONCAT(TO_UPPER(SUBSTRING(lang, 1, 1)), "-", source) '
+        '| WHERE text LIKE "*spark*" AND STARTS_WITH(source, "src") '
+        "| STATS n = COUNT(*) BY k | SORT k",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT upper(substring(lang, 1, 1)) || '-' || source k, "
+        "count(*)::BIGINT n FROM documents "
+        "WHERE text LIKE '%spark%' AND starts_with(source, 'src') "
+        "GROUP BY k ORDER BY k"
+    )
+    _assert_tables_equal(got, want)
+
+
+def test_esql_rlike_and_coalesce(ray_session):
+    got = run_esql(
+        'FROM documents | WHERE lang RLIKE "e." '
+        "| EVAL l = COALESCE(lang, \"??\") "
+        "| STATS n = COUNT(*) BY l | SORT l",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT lang l, count(*)::BIGINT n FROM documents "
+        "WHERE regexp_full_match(lang, 'e.') GROUP BY l ORDER BY l"
+    )
+    _assert_tables_equal(got, want)
+    # ? in LIKE means exactly one char
+    one = run_esql(
+        'FROM documents | WHERE lang LIKE "e?" | STATS n = COUNT(*) BY lang | SORT lang',
+        SF_DIR,
+    )
+    assert set(one["lang"].to_pylist()) <= {"en", "es"}
+    with pytest.raises(Exception, match="string literal pattern"):
+        run_esql(
+            "FROM documents | WHERE lang LIKE source | STATS n = COUNT(*)",
+            SF_DIR,
+        )
