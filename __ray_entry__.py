@@ -2356,6 +2356,17 @@ def _q_rrf_hybrid(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_rank_eval_graded(sf_dir: str) -> pa.Table:
+    """ES _rank_eval graded metrics (dcg / ndcg / expected reciprocal
+    rank) over derived term-overlap grades."""
+    from bitcoin_ledger_2es_ray.pipelines.query import rank_eval_graded
+
+    store, _ = _store_for(sf_dir)
+    return rank_eval_graded(
+        store, _fixture_queries(store), k=10, round_decimals=_ROUND
+    )
+
+
 def _q_ltr_features(sf_dir: str) -> pa.Table:
     """LTR feature logging: per (query, BM25-top-10 doc) the deterministic
     ranking-feature vector (bm25, dl, qlen, n_matched, sum_tf, max_idf)."""
@@ -4640,6 +4651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_hybrid": _q_rrf_hybrid,
         "retriever_tree": _q_retriever_tree,
         "ltr_features": _q_ltr_features,
+        "rank_eval_graded": _q_rank_eval_graded,
         "mmr_rerank": _q_mmr_rerank,
         "knn_similarity": _q_knn_similarity,
         "ann_hnsw": _q_ann_hnsw,
@@ -5132,6 +5144,73 @@ SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
        doc_id::BIGINT AS doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """.replace("{nq}", str(_N_QUERIES)).replace("{k}", str(_TOP_K)),
+        # graded rank_eval: term-overlap grades, DCG/IDCG windows, ERR via
+        # a windowed product aggregate
+        "rank_eval_graded": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+grades AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term)::DOUBLE AS g
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY 1, tf.doc_id
+),
+tg AS (
+  SELECT t.query_id, t.rank, coalesce(g.g, 0) AS g,
+         (pow(2, coalesce(g.g, 0)) - 1) / 8.0 AS r_prob
+  FROM topk t LEFT JOIN grades g
+    ON g.query_id = t.query_id AND g.doc_id = t.doc_id
+),
+dcg AS (
+  SELECT query_id,
+         sum((pow(2, g) - 1) / log2(rank + 1)) AS dcg
+  FROM tg GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id, sum((pow(2, g) - 1) / log2(irank + 1)) AS idcg
+  FROM (
+    SELECT query_id, g,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY g DESC, doc_id ASC) AS irank
+    FROM grades
+  ) WHERE irank <= 10 GROUP BY query_id
+),
+err AS (
+  SELECT query_id,
+         sum(r_prob / rank * coalesce(stop, 1.0)) AS err
+  FROM (
+    SELECT query_id, rank, r_prob,
+           product(1 - r_prob) OVER (
+             PARTITION BY query_id ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS stop
+    FROM tg
+  ) GROUP BY query_id
+)
+SELECT d.query_id::BIGINT AS query_id,
+       round(d.dcg, 6) AS dcg_k,
+       round(d.dcg / i.idcg, 6) AS ndcg_k,
+       round(e.err, 6) AS err_k
+FROM dcg d JOIN ideal i USING (query_id) JOIN err e USING (query_id)
+ORDER BY query_id
+""",
         # indices_boost: per-member multiplier on the UNROUNDED sum, global
         # stats untouched (A = first third of the corpus)
         "indices_boost": _PRELUDE

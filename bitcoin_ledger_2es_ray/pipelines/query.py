@@ -1272,3 +1272,64 @@ def ltr_features(
             "max_idf": pa.array(mi_o, type=pa.float64()),
         }
     )
+
+
+def rank_eval_graded(
+    store: SegmentStore,
+    queries: "pa.Table",
+    k: int = 10,
+    max_relevance: int = 3,
+    round_decimals: int = 6,
+) -> "pa.Table":
+    """ES ``_rank_eval``'s graded metrics — ``dcg`` (+ normalized form)
+    and ``expected_reciprocal_rank`` → (query_id, dcg_k, ndcg_k, err_k).
+
+    Graded relevance is DERIVED (like ``rank_eval``'s binary qrels): a
+    doc's grade = how many of the query's distinct terms it contains, so
+    the SQL oracle reproduces the judgments and the gate verifies the
+    metric arithmetic itself:
+
+        DCG@k  = Σ_r (2^g − 1) / log2(r + 1)          (ES's default gain)
+        IDCG@k = DCG of the ideal ordering (grade DESC, doc ASC)
+        ERR@k  = Σ_r (R_r / r) · Π_{i<r} (1 − R_i),  R = (2^g − 1)/2^max
+
+    Queries whose every grade is 0 are skipped (unjudged, ES-style)."""
+    import pyarrow as pa
+
+    qids, dcgs, ndcgs, errs = [], [], [], []
+    denom = float(1 << max_relevance)
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        terms = sorted(set(tokenize_query(text)))
+        sets = [
+            np.unique(store.postings(t)[0])
+            for t in terms
+            if store.td.df_of(t) > 0
+        ]
+        sets = [s for s in sets if len(s)]
+        if not sets:
+            continue
+        all_docs, counts = np.unique(np.concatenate(sets), return_counts=True)
+        grade_of = dict(zip(all_docs.tolist(), counts.tolist()))
+        top = score_query(store, text, k, round_decimals=round_decimals)
+        g = np.array([grade_of.get(d, 0) for d, _ in top], dtype=np.float64)
+        ranks = np.arange(1, len(g) + 1, dtype=np.float64)
+        gains = (np.power(2.0, g) - 1.0) / np.log2(ranks + 1.0)
+        dcg = float(gains.sum())
+        ideal = np.sort(counts)[::-1][:k].astype(np.float64)
+        iranks = np.arange(1, len(ideal) + 1, dtype=np.float64)
+        idcg = float(((np.power(2.0, ideal) - 1.0) / np.log2(iranks + 1.0)).sum())
+        r_prob = (np.power(2.0, g) - 1.0) / denom
+        stop = np.concatenate(([1.0], np.cumprod(1.0 - r_prob)[:-1]))
+        err = float((r_prob / ranks * stop).sum())
+        qids.append(int(qid))
+        dcgs.append(float(sql_round(dcg, round_decimals)))
+        ndcgs.append(float(sql_round(dcg / idcg, round_decimals)) if idcg else 0.0)
+        errs.append(float(sql_round(err, round_decimals)))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "dcg_k": pa.array(dcgs, type=pa.float64()),
+            "ndcg_k": pa.array(ndcgs, type=pa.float64()),
+            "err_k": pa.array(errs, type=pa.float64()),
+        }
+    )

@@ -257,3 +257,60 @@ def test_ltr_features_brute_force(built, ray_session):
             assert i["max_idf"] == float(sql_round(want_idf, 6))
             checked += 1
     assert checked > 0
+
+
+def test_rank_eval_graded_brute_force(built, ray_session):
+    """DCG/NDCG/ERR equal a direct text-derived recompute; perfect-grade
+    top ranking scores ndcg == 1."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        rank_eval_graded,
+        score_query,
+    )
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_queries
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    queries = fixture_queries(sorted(store.df), n=10, k=10)
+    out = rank_eval_graded(store, queries, k=10)
+    rows = {
+        q: (a, b, c)
+        for q, a, b, c in zip(
+            out["query_id"].to_pylist(), out["dcg_k"].to_pylist(),
+            out["ndcg_k"].to_pylist(), out["err_k"].to_pylist(),
+        )
+    }
+    split = [
+        set(d.split(" "))
+        for d in pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    ]
+    checked = 0
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        terms = sorted(set(text.split(" ")))
+        grades = {
+            i: sum(t in s for t in terms)
+            for i, s in enumerate(split)
+            if any(t in s for t in terms)
+        }
+        if not grades:
+            assert qid not in rows
+            continue
+        top = score_query(store, text, 10, round_decimals=6)
+        g = np.array([grades.get(d, 0) for d, _ in top], dtype=float)
+        r = np.arange(1, len(g) + 1)
+        dcg = ((2.0**g - 1) / np.log2(r + 1)).sum()
+        ig = np.sort(np.array(list(grades.values()), dtype=float))[::-1][:10]
+        idcg = ((2.0**ig - 1) / np.log2(np.arange(1, len(ig) + 1) + 1)).sum()
+        rp = (2.0**g - 1) / 8.0
+        stop = np.concatenate(([1.0], np.cumprod(1 - rp)[:-1]))
+        err = (rp / r * stop).sum()
+        assert rows[qid][0] == float(sql_round(dcg, 6))
+        assert rows[qid][1] == float(sql_round(dcg / idcg, 6))
+        assert rows[qid][2] == float(sql_round(err, 6))
+        assert 0.0 < rows[qid][1] <= 1.0
+        checked += 1
+    assert checked > 0
