@@ -1186,6 +1186,18 @@ def _q_sig_terms(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_sig_terms_chi2(sf_dir: str) -> pa.Table:
+    """significant_terms with ES's chi_square heuristic over the same
+    AND-hit foregrounds (include_negatives=false)."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import significant_terms
+
+    store, res = _store_for(sf_dir)
+    return significant_terms(
+        res.out_dir, store, _q_boolean_and(sf_dir), n_top=10,
+        round_decimals=_ROUND, heuristic="chi_square",
+    )
+
+
 def _q_significant_text(sf_dir: str) -> pa.Table:
     """ES ``significant_text``: JLH-significant terms from RE-ANALYZED hit
     doc text with filter_duplicate_text (exact dupes collapse before
@@ -4536,6 +4548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bounds": _q_geo_bounds,
         "eql_funnel": _q_eql_funnel,
         "sig_terms": _q_sig_terms,
+        "sig_terms_chi2": _q_sig_terms_chi2,
         "significant_text": _q_significant_text,
         "terms_stats": _q_terms_stats_agg,
         "composite_page2": _q_composite_page2,
@@ -7294,6 +7307,46 @@ FROM events
 """,
         # ES significant_terms: AND-hit foreground vs corpus background,
         # JLH score on 6-dp rounding, positives only, top-10 per query
+        # chi_square heuristic over the same foregrounds: 2x2 contingency
+        # with the include_negatives=false filter
+        "sig_terms_chi2": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+),
+fg_size AS (SELECT query_id, count(*)::DOUBLE AS fgs FROM anded GROUP BY query_id),
+fg AS (
+  SELECT a.query_id, tf.term, count(*)::DOUBLE AS fg_df
+  FROM anded a JOIN tf ON tf.doc_id = a.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT f.query_id, f.term, f.fg_df, d.df AS bg_df,
+         round( st.n * pow(f.fg_df * (st.n - s.fgs - (d.df - f.fg_df))
+                           - (s.fgs - f.fg_df) * (d.df - f.fg_df), 2)
+                / (s.fgs * (st.n - s.fgs) * d.df * (st.n - d.df)), 6)
+           AS score,
+         (f.fg_df / s.fgs) > (d.df / st.n) AS pos
+  FROM fg f JOIN fg_size s USING (query_id)
+  JOIN df d ON d.term = f.term CROSS JOIN stats st
+),
+ranked AS (
+  SELECT query_id, term, fg_df, bg_df, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored WHERE pos AND score > 0
+)
+SELECT query_id::BIGINT AS query_id, term, fg_df::BIGINT AS fg_df,
+       bg_df::BIGINT AS bg_df, score
+FROM ranked WHERE rnk <= 10 ORDER BY query_id, term
+""",
         "sig_terms": _PRELUDE
         + """
 , qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),

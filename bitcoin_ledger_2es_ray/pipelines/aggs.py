@@ -512,6 +512,7 @@ def significant_terms(
     matches: pa.Table,
     n_top: int = 10,
     round_decimals: int = 6,
+    heuristic: str = "jlh",
 ) -> pa.Table:
     """ES ``significant_terms`` aggregation: per query, the terms whose
     frequency in the HIT SET (foreground) most exceeds their corpus
@@ -523,6 +524,14 @@ def significant_terms(
     keeping only positively-significant terms (fg_pct > bg_pct, exactly
     like ES) and the top ``n_top`` per query by (rounded score DESC, term
     ASC) — ranking on the 6-dp-rounded score so the SQL oracle agrees.
+
+    ``heuristic`` selects ES's significance scorer over the standard 2×2
+    contingency (a = fg_df, b = fgs − a, c = bg_df − a, d = N − fgs − c —
+    ES's background_is_superset accounting): ``jlh`` (default, above),
+    ``chi_square`` = N·(ad − bc)² / (fgs·(N−fgs)·B·(N−B)), or
+    ``mutual_information`` = Σ_cells p(x,y)·log2(p(x,y)/(p(x)p(y)))
+    (zero cells contribute 0).  All keep ES's include_negatives=false
+    filter.
 
     Shape: the hit set broadcasts once; the build's ``postings`` artifact
     (one row per distinct (term, doc)) streams through ``map_batches``,
@@ -598,9 +607,39 @@ def significant_terms(
     fgs = np.fromiter((fgs_of[q] for q in qids), dtype=np.float64, count=len(qids))
     fg_pct = fg_df / fgs
     bg_pct = bg_df / float(store.n_docs)
-    score = sql_round((fg_pct - bg_pct) * (fg_pct / bg_pct), round_decimals)
+    n = float(store.n_docs)
+    a, b = fg_df, fgs - fg_df
+    c = bg_df - fg_df
+    d = n - fgs - c
+    if heuristic == "jlh":
+        raw = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    elif heuristic == "chi_square":
+        denom = fgs * (n - fgs) * bg_df * (n - bg_df)
+        raw = np.where(
+            denom > 0,
+            n * (a * d - b * c) ** 2 / np.where(denom > 0, denom, 1.0),
+            0.0,
+        )
+    elif heuristic == "mutual_information":
+        p_term = bg_df / n
+        p_fg = fgs / n
 
-    keep = np.flatnonzero(score > 0)
+        def cell(nxy: np.ndarray, px, py) -> np.ndarray:
+            p = nxy / n
+            safe = np.where(nxy > 0, p, 1.0)
+            return np.where(nxy > 0, p * np.log2(safe / (px * py)), 0.0)
+
+        raw = (
+            cell(a, p_term, p_fg)
+            + cell(b, 1.0 - p_term, p_fg)
+            + cell(c, p_term, 1.0 - p_fg)
+            + cell(d, 1.0 - p_term, 1.0 - p_fg)
+        )
+    else:
+        raise ValueError(f"significant_terms: unknown heuristic {heuristic!r}")
+    score = sql_round(raw, round_decimals)
+
+    keep = np.flatnonzero((fg_pct > bg_pct) & (score > 0))
     by_q: dict[int, list[int]] = {}
     for i in keep:
         by_q.setdefault(qids[i], []).append(int(i))

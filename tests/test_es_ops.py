@@ -3118,3 +3118,58 @@ def test_geo_shape_envelope_brute_force(ray_session):
     assert rows["intersects"][0] + rows["disjoint"][0] == len(ck)
     # within ⊆ intersects
     assert rows["within"][0] <= rows["intersects"][0]
+
+
+def test_significant_terms_heuristics(ray_session, built):
+    """chi_square and mutual_information equal direct 2x2 recomputes; the
+    positive filter holds; unknown heuristic raises."""
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.aggs import significant_terms
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    docs = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    split = [set(d.split(" ")) for d in docs]
+    vocab = sorted(store.df)
+    t0 = vocab[3 % len(vocab)]
+    hits = [i for i, s in enumerate(split) if t0 in s]
+    matches = pa.table(
+        {
+            "query_id": pa.array([0] * len(hits), type=pa.int64()),
+            "doc_id": pa.array(hits, type=pa.int64()),
+        }
+    )
+    n = len(docs)
+    fgs = len(hits)
+    for heur in ("chi_square", "mutual_information"):
+        out = significant_terms(
+            res.out_dir, store, matches, n_top=5, heuristic=heur
+        )
+        assert out.num_rows > 0
+        for r in out.to_pylist():
+            a = r["fg_df"]
+            B = r["bg_df"]
+            b = fgs - a
+            c = B - a
+            d = n - fgs - c
+            assert a / fgs > B / n  # include_negatives=false
+            if heur == "chi_square":
+                want = n * (a * d - b * c) ** 2 / (
+                    fgs * (n - fgs) * B * (n - B)
+                )
+            else:
+                want = 0.0
+                for nxy, px, py in (
+                    (a, B / n, fgs / n),
+                    (b, 1 - B / n, fgs / n),
+                    (c, B / n, 1 - fgs / n),
+                    (d, 1 - B / n, 1 - fgs / n),
+                ):
+                    if nxy > 0:
+                        want += (nxy / n) * np.log2((nxy / n) / (px * py))
+            assert r["score"] == float(sql_round(want, 6)), (heur, r)
+    with pytest.raises(ValueError, match="unknown heuristic"):
+        significant_terms(res.out_dir, store, matches, heuristic="gnd")
