@@ -4386,6 +4386,16 @@ _ESQL_DISSECT = (
     'FROM events | DISSECT props "{\\"k\\": %{k}}" '
     '| STATS n = COUNT(*) BY k | SORT n DESC, k ASC | LIMIT 10'
 )
+_SQL_GROUP = (
+    "SELECT lang AS l, COUNT(*) AS n, SUM(n_chars) AS total, "
+    "MIN(n_chars) AS mn, MAX(n_chars) AS mx "
+    "FROM documents WHERE n_chars >= 100 AND source LIKE 'src1%' "
+    "GROUP BY lang ORDER BY l"
+)
+_SQL_SELECT = (
+    "SELECT doc_id, n_chars AS size FROM documents "
+    "WHERE lang = 'en' AND NOT (n_chars < 400) ORDER BY doc_id LIMIT 40"
+)
 _ESQL_STRINGS = (
     'FROM documents | EVAL k = CONCAT(TO_UPPER(SUBSTRING(lang, 1, 1)), "-", source) '
     '| WHERE text LIKE "*spark*" AND STARTS_WITH(source, "src") '
@@ -4424,6 +4434,21 @@ def _q_esql_dissect(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_DISSECT, sf_dir)
+
+
+def _q_sql_group(sf_dir: str) -> pa.Table:
+    """ES _sql endpoint: SQL aggregate SELECT translated to the ES|QL pipe
+    and executed there — the oracle runs the LITERAL same SQL text."""
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import run_sql
+
+    return run_sql(_SQL_GROUP, sf_dir)
+
+
+def _q_sql_select(sf_dir: str) -> pa.Table:
+    """ES _sql endpoint: projection SELECT with alias, NOT and LIMIT."""
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import run_sql
+
+    return run_sql(_SQL_SELECT, sf_dir)
 
 
 def _q_esql_strings(sf_dir: str) -> pa.Table:
@@ -4728,6 +4753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_lookup": _q_esql_lookup,
         "esql_mv_expand": _q_esql_mv_expand,
         "esql_strings": _q_esql_strings,
+        "sql_group": _q_sql_group,
+        "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -8901,6 +8928,15 @@ FROM documents
 WHERE text LIKE '%spark%' AND starts_with(source, 'src')
 GROUP BY k ORDER BY k
 """,
+        # _sql endpoint: the oracle is the LITERAL query text the engine
+        # translated (count cast for the schema contract)
+        "sql_group": """
+SELECT lang AS l, count(*)::BIGINT AS n, SUM(n_chars)::BIGINT AS total,
+       MIN(n_chars) AS mn, MAX(n_chars) AS mx
+FROM documents WHERE n_chars >= 100 AND source LIKE 'src1%'
+GROUP BY lang ORDER BY l
+""",
+        "sql_select": _SQL_SELECT,
         # ES date_histogram (1-day fixed interval) + stats sub-agg on value
         # transform pivot: entity-centric user aggregates
         "transform_pivot": """

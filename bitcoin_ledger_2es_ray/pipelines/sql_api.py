@@ -1,0 +1,262 @@
+"""ES SQL endpoint (``POST /_sql``) as a source-to-source translation.
+
+Elasticsearch's SQL API compiles SQL onto the same execution engine its
+other query languages use — modern ES literally rewrites SQL to ES|QL.
+The graft does exactly that: ``sql_to_esql`` translates a SQL SELECT into
+an ES|QL pipe string and ``run_sql`` executes it through
+``pipelines/esql.run_esql`` — one translator, zero new physical plans,
+every scale property (column-pruned read, fused row stage, mergeable
+STATS partials, partial top-k) inherited.
+
+Supported surface (ES SQL's core SELECT):
+
+    SELECT col | agg(col) [AS alias], ...
+    FROM table
+    [WHERE predicate]          =, <>, !=, <,<=,>,>=, AND/OR/NOT, LIKE
+    [GROUP BY cols]
+    [ORDER BY col [ASC|DESC], ...]
+    [LIMIT n]
+
+Translation rules: ``=`` → ``==``, ``<>`` → ``!=``, single-quoted string
+literals → double-quoted, SQL LIKE wildcards ``%``/``_`` → ES|QL
+``*``/``?``; aggregates become ``STATS alias = AGG(col) BY group-cols``
+(each non-aggregate select item must appear in GROUP BY — validated like
+any SQL engine); a trailing ``KEEP`` restores the SELECT's column order.
+``AVG`` inherits the ES|QL contract (rounded to 6 dp).  Unsupported
+constructs (joins, subqueries, DISTINCT, HAVING, ``*`` projection) raise
+a parse error rather than mis-translating.
+"""
+
+from __future__ import annotations
+
+import re
+
+_SQL_TOKEN = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<num>\d+\.\d+|\d+)
+  | (?P<op><>|!=|>=|<=|=|>|<|\+|-|\*|/|,|\(|\))
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+_KW = {
+    "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "BY", "LIMIT",
+    "AS", "AND", "OR", "NOT", "ASC", "DESC", "LIKE",
+}
+_REJECT = {"JOIN", "HAVING", "DISTINCT", "UNION", "OFFSET"}
+
+
+def _lex(src: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(src):
+        m = _SQL_TOKEN.match(src, pos)
+        if m is None:
+            raise ValueError(f"sql: cannot lex at {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "ident" and text.upper() in _KW | _REJECT | _AGGS:
+            out.append(("kw", text.upper()))
+        else:
+            out.append((kind, text))
+    out.append(("eof", ""))
+    return out
+
+
+class _T:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None):
+        t = self.next()
+        if t[0] != kind or (text is not None and t[1] != text):
+            raise ValueError(f"sql: expected {text or kind}, got {t}")
+        return t
+
+
+def _esql_str(sql_literal: str) -> str:
+    inner = sql_literal[1:-1].replace("''", "'")
+    return '"' + inner.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _like_pattern(sql_literal: str) -> str:
+    inner = sql_literal[1:-1].replace("''", "'")
+    trans = inner.replace("%", "*").replace("_", "?")
+    return '"' + trans.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _predicate(t: _T) -> str:
+    """Re-emit the WHERE predicate token-by-token in ES|QL spelling."""
+    out: list[str] = []
+    depth = 0
+    while True:
+        kind, text = t.peek()
+        if kind == "eof":
+            break
+        if kind == "kw" and text in ("GROUP", "ORDER", "LIMIT") and depth == 0:
+            break
+        if kind == "kw" and text in _REJECT:
+            raise ValueError(f"sql: unsupported construct {text}")
+        t.next()
+        if kind == "op":
+            if text == "(":
+                depth += 1
+            elif text == ")":
+                depth -= 1
+            out.append("==" if text == "=" else "!=" if text == "<>" else text)
+        elif kind == "kw" and text == "LIKE":
+            out.append("LIKE")
+            nk, nv = t.next()
+            if nk != "str":
+                raise ValueError("sql: LIKE needs a string literal")
+            out.append(_like_pattern(nv))
+        elif kind == "str":
+            out.append(_esql_str(text))
+        else:
+            out.append(text)
+    if not out:
+        raise ValueError("sql: empty WHERE predicate")
+    return " ".join(out)
+
+
+def sql_to_esql(sql: str) -> str:
+    """Translate one SQL SELECT into the equivalent ES|QL pipe string."""
+    t = _T(_lex(sql.strip().rstrip(";")))
+    t.expect("kw", "SELECT")
+
+    # select list: (kind, esql_fragment, output_name)
+    items: list[tuple[str, str, str]] = []
+    while True:
+        kind, text = t.next()
+        if kind == "kw" and text in _AGGS:
+            t.expect("op", "(")
+            if text == "COUNT" and t.peek() == ("op", "*"):
+                t.next()
+                frag = "COUNT(*)"
+            else:
+                col = t.expect("ident")[1]
+                frag = f"{text}({col})"
+            t.expect("op", ")")
+            if t.peek() != ("kw", "AS"):
+                raise ValueError("sql: aggregate select items need AS alias")
+            t.next()
+            alias = t.expect("ident")[1]
+            items.append(("agg", frag, alias))
+        elif kind == "ident":
+            name = text
+            if t.peek() == ("kw", "AS"):
+                t.next()
+                alias = t.expect("ident")[1]
+                items.append(("rename", name, alias))
+            else:
+                items.append(("col", name, name))
+        elif kind == "op" and text == "*":
+            raise ValueError("sql: SELECT * is not supported — name columns")
+        else:
+            raise ValueError(f"sql: bad select item at {text!r}")
+        if t.peek() == ("op", ","):
+            t.next()
+            continue
+        break
+
+    t.expect("kw", "FROM")
+    table = t.expect("ident")[1]
+    if t.peek()[0] == "kw" and t.peek()[1] in _REJECT:
+        raise ValueError(f"sql: unsupported construct {t.peek()[1]}")
+
+    where = None
+    if t.peek() == ("kw", "WHERE"):
+        t.next()
+        where = _predicate(t)
+
+    group: list[str] = []
+    if t.peek() == ("kw", "GROUP"):
+        t.next()
+        t.expect("kw", "BY")
+        while True:
+            group.append(t.expect("ident")[1])
+            if t.peek() == ("op", ","):
+                t.next()
+                continue
+            break
+
+    order: list[str] = []
+    if t.peek() == ("kw", "ORDER"):
+        t.next()
+        t.expect("kw", "BY")
+        while True:
+            col = t.expect("ident")[1]
+            d = ""
+            if t.peek() in (("kw", "ASC"), ("kw", "DESC")):
+                d = " " + t.next()[1]
+            order.append(col + d)
+            if t.peek() == ("op", ","):
+                t.next()
+                continue
+            break
+
+    limit = None
+    if t.peek() == ("kw", "LIMIT"):
+        t.next()
+        limit = t.expect("num")[1]
+    if t.peek()[0] != "eof":
+        raise ValueError(f"sql: trailing tokens at {t.peek()[1]!r}")
+
+    aggs = [(f, a) for k, f, a in items if k == "agg"]
+    plain = [(f, a) for k, f, a in items if k != "agg"]
+    pipe = [f"FROM {table}"]
+    if where:
+        pipe.append(f"WHERE {where}")
+    if aggs:
+        missing = [f for f, _ in plain if f not in group]
+        if missing:
+            raise ValueError(
+                f"sql: non-aggregate select items {missing} must appear in "
+                "GROUP BY"
+            )
+        # group-column aliases must rename BEFORE the aggregation (the
+        # pipe refuses row commands after STATS), so BY uses the alias
+        renames = [(f, a) for k, f, a in items if k == "rename"]
+        for f, a in renames:
+            pipe.append(f"RENAME {f} AS {a}")
+        alias_of = dict(renames)
+        stats = ", ".join(f"{a} = {f}" for f, a in aggs)
+        by_cols = [alias_of.get(g, g) for g in group]
+        by = f" BY {', '.join(by_cols)}" if by_cols else ""
+        pipe.append(f"STATS {stats}{by}")
+        pipe.append("KEEP " + ", ".join(a for _, _, a in items))
+    else:
+        if group:
+            raise ValueError("sql: GROUP BY without aggregates")
+        for f, a in plain:
+            if f != a:
+                pipe.append(f"RENAME {f} AS {a}")
+        pipe.append("KEEP " + ", ".join(a for _, _, a in items))
+    if order:
+        pipe.append("SORT " + ", ".join(order))
+    if limit is not None:
+        pipe.append(f"LIMIT {limit}")
+    return " | ".join(pipe)
+
+
+def run_sql(sql: str, sf_dir: str):
+    """Translate + execute one SQL SELECT over the ``sf_dir`` tables."""
+    from .esql import run_esql
+
+    return run_esql(sql_to_esql(sql), sf_dir)

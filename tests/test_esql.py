@@ -361,3 +361,48 @@ def test_esql_rlike_and_coalesce(ray_session):
             "FROM documents | WHERE lang LIKE source | STATS n = COUNT(*)",
             SF_DIR,
         )
+
+
+# --------------------------------------------------------- _sql endpoint
+
+
+def test_sql_translation_shapes():
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import sql_to_esql
+
+    assert sql_to_esql(
+        "SELECT a, COUNT(*) AS n FROM t WHERE x = 1 GROUP BY a ORDER BY a"
+    ) == "FROM t | WHERE x == 1 | STATS n = COUNT(*) BY a | KEEP a, n | SORT a"
+    assert sql_to_esql(
+        "SELECT b AS c FROM t WHERE s LIKE 'a%_b' ORDER BY c DESC LIMIT 3;"
+    ) == 'FROM t | WHERE s LIKE "a*?b" | RENAME b AS c | KEEP c | SORT c DESC | LIMIT 3'
+    with pytest.raises(ValueError, match="SELECT \\*"):
+        sql_to_esql("SELECT * FROM t")
+    with pytest.raises(ValueError, match="must appear in"):
+        sql_to_esql("SELECT a, COUNT(*) AS n FROM t GROUP BY b")
+    with pytest.raises(ValueError, match="GROUP BY without aggregates"):
+        sql_to_esql("SELECT a FROM t GROUP BY a")
+    with pytest.raises(ValueError, match="unsupported construct"):
+        sql_to_esql("SELECT a FROM t JOIN u")
+    with pytest.raises(ValueError, match="AS alias"):
+        sql_to_esql("SELECT COUNT(*) FROM t")
+
+
+def test_sql_endpoint_matches_duckdb_literally(ray_session):
+    """run_sql(s) == DuckDB executing the SAME SQL text s."""
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import run_sql
+
+    cases = [
+        "SELECT lang AS l, COUNT(*) AS n, SUM(n_chars) AS total "
+        "FROM documents WHERE n_chars >= 100 GROUP BY lang ORDER BY l",
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE lang = 'en' AND n_chars > 400 ORDER BY doc_id LIMIT 10",
+        "SELECT source, MAX(n_chars) AS mx FROM documents "
+        "WHERE source LIKE 'src1%' GROUP BY source ORDER BY mx DESC, source LIMIT 5",
+    ]
+    for sql in cases:
+        got = run_sql(sql, SF_DIR)
+        want = _duck(sql)
+        # integer-typed aggregate columns may differ in width only
+        assert got.column_names == want.column_names
+        for c in got.column_names:
+            assert got[c].to_pylist() == want[c].to_pylist(), (sql, c)
