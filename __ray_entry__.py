@@ -421,6 +421,14 @@ def _q_heavy_hitters(sf_dir: str) -> pa.Table:
     return heavy_hitters(sf_dir, k=8)
 
 
+def _q_watcher_alerts(sf_dir: str) -> pa.Table:
+    """ES Watcher: daily error-count watch, condition doc_count > 10 —
+    every bucket with its trigger flag (the watch history)."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import watcher_check
+
+    return watcher_check(sf_dir, event_type="error", threshold=10)
+
+
 def _q_latest_event(sf_dir: str) -> pa.Table:
     """ES ``latest`` transform: most recent event per user, mergeable
     per-batch argmax partials."""
@@ -4549,6 +4557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_shard_error": _q_terms_shard_error,
         "heavy_hitters": _q_heavy_hitters,
         "latest_event": _q_latest_event,
+        "watcher_alerts": _q_watcher_alerts,
         "graph_explore": _q_graph_explore,
         "term_vectors": _q_term_vectors,
         "terms_agg": _q_terms_agg,
@@ -9379,6 +9388,15 @@ edges AS (
   GROUP BY 1, 2
 )
 SELECT seed, term, co_doc_count FROM edges ORDER BY seed, term
+"""
+    # watcher: daily error-count watch history with the trigger flag
+    sql["watcher_alerts"] = """
+SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+         AS doc_count,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 10
+         AS triggered
+FROM events GROUP BY 1 ORDER BY 1
 """
     # latest transform: window argmax by (ts DESC, event_id DESC)
     sql["latest_event"] = """

@@ -821,3 +821,49 @@ def bulk_apply(sf_dir: str, round_decimals: int = 6) -> pa.Table:
             "n_errors": t["n_errors"].cast(pa.int64()),
         }
     ).sort_by("user_id")
+
+
+def watcher_check(
+    sf_dir: str,
+    event_type: str = "error",
+    threshold: int = 10,
+    window_s: int = 86400,
+) -> pa.Table:
+    """ES Watcher (x-pack alerting), one deterministic evaluation: input =
+    a date_histogram count of ``event_type`` events per window, condition
+    = ``doc_count > threshold``, action = the alert row.  Returns EVERY
+    bucket with its trigger flag (the watch history ES records), sorted by
+    bucket → (bucket_s, doc_count, triggered).
+
+    Same pre-aggregation shape as every date_histogram here: per-batch
+    (bucket, n) partials, combine bounded by bucket count."""
+    import ray.data as rd
+
+    from ..functions.blocks import collect_tables
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sec = np.asarray(batch["ts"].cast(pa.int64())) // 1_000_000
+        et = np.asarray(batch["event_type"].combine_chunks().cast(pa.string()))
+        b = (sec // window_s) * window_s
+        t = pa.table(
+            {
+                "b": pa.array(b, type=pa.int64()),
+                "n": pa.array((et == event_type).astype(np.int64)),
+            }
+        )
+        g = t.group_by("b").aggregate([("n", "sum")])
+        return g.rename_columns(["b", "n"])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    cat = pa.concat_tables(collect_tables(ds, on_empty="watcher: no events"))
+    g = cat.group_by("b").aggregate([("n", "sum")]).sort_by("b")
+    n = np.asarray(g["n_sum"], dtype=np.int64)
+    return pa.table(
+        {
+            "bucket_s": g["b"].cast(pa.int64()),
+            "doc_count": pa.array(n, type=pa.int64()),
+            "triggered": pa.array(n > threshold),
+        }
+    )

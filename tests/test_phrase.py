@@ -1013,3 +1013,28 @@ def test_span_multi_expansion_brute_force(pos_index):
         span_multi_near_match(store, "a*", "b", slop=1, max_expansions=0)
     with pytest.raises(ValueError, match="leading-wildcard"):
         span_multi_near_match(store, "*ab", "b")
+
+
+def test_fuzzy_auto_ladder(pos_index):
+    """fuzziness AUTO: 0 edits under 3 chars, 1 for 3-5, 2 above."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import fuzzy_match
+
+    docs, store, _ = pos_index
+    vocab = sorted(store.df)
+    short = next((t for t in vocab if len(t) < 3), None)
+    mid = next((t for t in vocab if 3 <= len(t) <= 5), None)
+    long = next((t for t in vocab if len(t) > 5), None)
+    if short is not None:
+        assert fuzzy_match(store, short, "AUTO").tolist() == fuzzy_match(
+            store, short, 0
+        ).tolist()
+    if mid is not None:
+        assert fuzzy_match(store, mid, "AUTO").tolist() == fuzzy_match(
+            store, mid, 1
+        ).tolist()
+    if long is not None:
+        assert fuzzy_match(store, long, "AUTO").tolist() == fuzzy_match(
+            store, long, 2
+        ).tolist()
+    with pytest.raises(ValueError, match="bad fuzziness"):
+        fuzzy_match(store, "abc", "SOMETIMES")
