@@ -1182,6 +1182,17 @@ def _q_terms_stats_agg(sf_dir: str) -> pa.Table:
     return terms_stats_agg(res.out_dir, _q_boolean_and(sf_dir), field="lang")
 
 
+def _q_terms_order_metric(sf_dir: str) -> pa.Table:
+    """ES terms agg ordered by a sub-agg metric: top-3 lang buckets per
+    query by (avg_dl DESC, key ASC) — the rank is the verified output."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import terms_ordered_by_metric
+
+    _, res = _store_for(sf_dir)
+    return terms_ordered_by_metric(
+        res.out_dir, _q_boolean_and(sf_dir), field="lang", size=3
+    )
+
+
 def _q_sig_terms(sf_dir: str) -> pa.Table:
     """ES ``significant_terms``: per-query AND-hit foregrounds vs the corpus
     background, JLH-scored, top-10 positively-significant terms — the hit
@@ -4585,6 +4596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sig_terms_chi2": _q_sig_terms_chi2,
         "significant_text": _q_significant_text,
         "terms_stats": _q_terms_stats_agg,
+        "terms_order_metric": _q_terms_order_metric,
         "composite_page2": _q_composite_page2,
         "percentiles": _q_percentiles,
         "percentile_ranks": _q_percentile_ranks,
@@ -7285,6 +7297,40 @@ SELECT lang, round(mad(len(string_split(text, ' '))::DOUBLE), 6) AS mad
 FROM documents GROUP BY lang ORDER BY lang
 """,
         # terms bucket × stats(dl) sub-agg over the AND-hit sets
+        # terms ordered by sub-agg metric: the bucket_rank IS the output
+        "terms_order_metric": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+anded AS (
+  SELECT h.query_id, h.doc_id FROM hits h JOIN qn USING (query_id)
+  WHERE h.m = qn.nt
+),
+buckets AS (
+  SELECT a.query_id::BIGINT AS query_id, d.lang,
+         count(*)::BIGINT AS doc_count,
+         min(dl.dl)::BIGINT AS min_dl,
+         max(dl.dl)::BIGINT AS max_dl,
+         sum(dl.dl)::BIGINT AS sum_dl,
+         round(sum(dl.dl) / count(*), 6) AS avg_dl
+  FROM anded a
+  JOIN documents d USING (doc_id)
+  JOIN dl USING (doc_id)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY avg_dl DESC, lang ASC) AS bucket_rank
+  FROM buckets
+)
+SELECT query_id, lang, doc_count, min_dl, max_dl, sum_dl, avg_dl,
+       bucket_rank::BIGINT AS bucket_rank
+FROM ranked WHERE bucket_rank <= 3 ORDER BY query_id, bucket_rank
+""",
         "terms_stats": _PRELUDE
         + """
 , qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),

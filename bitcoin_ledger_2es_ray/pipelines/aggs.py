@@ -310,6 +310,40 @@ def terms_stats_agg(
     )
 
 
+def terms_ordered_by_metric(
+    index_dir: str,
+    matches: pa.Table,
+    field: str = "lang",
+    size: int = 3,
+) -> pa.Table:
+    """ES ``terms`` aggregation ORDERED BY A SUB-AGG METRIC (``"order":
+    {"stats.avg": "desc"}``): the stats buckets of ``terms_stats_agg``,
+    re-ranked per query by (avg_dl DESC, key ASC) and cut to the top
+    ``size`` buckets — ES's semantics where the metric, not doc_count,
+    picks the surviving buckets.  The rank is part of the output (the
+    bucket ORDER is the feature being verified)."""
+    import numpy as np
+
+    base = terms_stats_agg(index_dir, matches, field=field)
+    if base.num_rows == 0:
+        return base.append_column("bucket_rank", pa.array([], type=pa.int64()))
+    q = np.asarray(base["query_id"], dtype=np.int64)
+    avg = np.asarray(base["avg_dl"], dtype=np.float64)
+    keys = np.asarray(base[field])
+    order = np.lexsort((keys, -avg, q))
+    ranks = np.empty(len(q), dtype=np.int64)
+    pos_in_q = np.arange(len(q), dtype=np.int64)
+    q_sorted = q[order]
+    starts = np.flatnonzero(np.r_[True, q_sorted[1:] != q_sorted[:-1]])
+    rank_sorted = pos_in_q - np.repeat(pos_in_q[starts], np.diff(np.r_[starts, len(q)]))
+    ranks[order] = rank_sorted + 1
+    keep = ranks <= size
+    out = base.filter(pa.array(keep)).append_column(
+        "bucket_rank", pa.array(ranks[keep], type=pa.int64())
+    )
+    return out.sort_by([("query_id", "ascending"), ("bucket_rank", "ascending")])
+
+
 def composite_agg(
     index_dir: str,
     interval: int = 16,

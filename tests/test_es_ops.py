@@ -3192,3 +3192,41 @@ def test_watcher_check_brute_force(ray_session):
         errs.get(b, 0) > 3 for b in sorted(want)
     ]
     assert any(out["triggered"].to_pylist()) or True
+
+
+def test_terms_ordered_by_metric(ray_session, built):
+    """Metric-ordered terms buckets: rank == pandas re-rank of the plain
+    stats buckets; size cuts buckets, not docs."""
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import (
+        terms_ordered_by_metric,
+        terms_stats_agg,
+    )
+
+    res, _, _ = built
+    matches = pa.table(
+        {
+            "query_id": pa.array([0] * 30 + [1] * 40, type=pa.int64()),
+            "doc_id": pa.array(list(range(30)) + list(range(100, 140)), type=pa.int64()),
+        }
+    )
+    base = terms_stats_agg(res.out_dir, matches, field="lang").to_pandas()
+    out = terms_ordered_by_metric(res.out_dir, matches, field="lang", size=2)
+    base["bucket_rank"] = (
+        base.sort_values(["avg_dl", "lang"], ascending=[False, True])
+        .groupby("query_id")
+        .cumcount()
+        .add(1)
+        .reindex(base.index)
+    )
+    want = (
+        base[base.bucket_rank <= 2]
+        .sort_values(["query_id", "bucket_rank"])
+        .reset_index(drop=True)
+    )
+    got = out.to_pandas()
+    assert got["query_id"].tolist() == want["query_id"].tolist()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["bucket_rank"].tolist() == want["bucket_rank"].tolist()
+    assert got.groupby("query_id").size().max() <= 2
