@@ -1285,6 +1285,38 @@ def _q_cardinality_hll(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_mlt_unlike(sf_dir: str) -> pa.Table:
+    """more_like_this with an `unlike` negative example: its terms drop
+    from the candidate set before the tf·idf cutoff, both docs excluded."""
+    from bitcoin_ledger_2es_ray.pipelines.mlt import more_like_this_unlike
+
+    store, res = _store_for(sf_dir)
+    n = store.n_docs
+    qids, ranks, docs, scores = [], [], [], []
+    for q in range(_N_QUERIES):
+        src = (q * 29) % n
+        unlike = (q * 31 + 1) % n
+        if unlike == src:
+            unlike = (unlike + 1) % n
+        top = more_like_this_unlike(
+            store, res.out_dir, src, unlike, n_terms=5, k=_TOP_K,
+            round_decimals=_ROUND,
+        )
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(q)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def _q_more_like_this(sf_dir: str) -> pa.Table:
     """ES ``more_like_this``: top-5 tf·idf terms of source doc (q·29 mod n)
     → BM25 top-k with the source excluded, over the MltScorer actor pool."""
@@ -4640,6 +4672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_counts": _q_distinct_counts,
         "cardinality_hll": _q_cardinality_hll,  # rows-only (HLL approximate)
         "more_like_this": _q_more_like_this,
+        "mlt_unlike": _q_mlt_unlike,
         "terms_lookup": _q_terms_lookup,
         "search_after": _q_search_after,
         "min_should_match": _q_min_should_match,
@@ -7709,6 +7742,57 @@ ORDER BY field_a, field_b
 """,
         # more-like-this: top-5 terms of doc (29q mod n) by
         # (round(tf*idf,6) DESC, term ASC), BM25 with the source excluded
+        # mlt with unlike: the negative doc's terms leave the candidate
+        # set BEFORE the cutoff; both input docs excluded from results
+        "mlt_unlike": _PRELUDE
+        + """
+, nd AS (SELECT count(*) AS c FROM documents),
+mq AS (
+  SELECT q AS query_id, (q * 29) % c AS src,
+         CASE WHEN (q * 31 + 1) % c = (q * 29) % c
+              THEN ((q * 31 + 1) % c + 1) % c
+              ELSE (q * 31 + 1) % c END AS unl
+  FROM generate_series(0, 49) t(q) CROSS JOIN nd
+),
+cand AS (
+  SELECT m.query_id, m.src, m.unl, tf.term,
+         round(tf.tf * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)), 6) AS sel
+  FROM mq m JOIN tf ON tf.doc_id = m.src
+  JOIN df ON df.term = tf.term CROSS JOIN stats s
+  WHERE tf.term NOT IN (
+    SELECT t2.term FROM tf t2 WHERE t2.doc_id = m.unl
+  )
+),
+selt AS (
+  SELECT query_id, src, unl, term FROM (
+    SELECT query_id, src, unl, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY sel DESC, term ASC)
+             AS rn
+    FROM cand
+  ) WHERE rn <= 5
+),
+scored AS (
+  SELECT st.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM selt st
+  JOIN df ON df.term = st.term
+  JOIN tf ON tf.term = st.term AND tf.doc_id <> st.src AND tf.doc_id <> st.unl
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY st.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
         "more_like_this": _PRELUDE
         + """
 , nd AS (SELECT count(*) AS c FROM documents),

@@ -241,3 +241,37 @@ def prf_expand_topk(
         d, tf, dl = store.postings(term)
         lists.append((w * float(idf(store.n_docs, df_t)), d, tf, dl))
     return taat_topk(lists, store.avgdl, k, round_decimals=round_decimals)
+
+
+def more_like_this_unlike(
+    store: SegmentStore,
+    index_dir: str,
+    src_doc: int,
+    unlike_doc: int,
+    n_terms: int = 5,
+    k: int = 10,
+    round_decimals: int | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``more_like_this`` with ``unlike``: the negative example doc's
+    terms are removed from the candidate set BEFORE the tf·idf cutoff
+    (ES demotes unlike-doc terms when building the interesting set), and
+    both input docs are excluded from the results.  Everything else —
+    selection rule, BM25 scoring, rank/ties — matches
+    ``more_like_this``."""
+    import pyarrow.compute as pc
+
+    like = doc_terms(index_dir, src_doc)
+    bad = doc_terms(index_dir, unlike_doc)["term"]
+    if len(bad):
+        keep = pc.invert(pc.is_in(like["term"], value_set=bad.combine_chunks()))
+        like = like.filter(keep)
+    sel = sorted(select_mlt_terms(store, like, n_terms))
+    lists = []
+    for term in sel:
+        df_t = store.td.df_of(term)
+        if df_t == 0:
+            continue
+        d, tf, dl = store.postings(term)
+        m = (d != np.uint64(src_doc)) & (d != np.uint64(unlike_doc))
+        lists.append((float(idf(store.n_docs, df_t)), d[m], tf[m], dl[m]))
+    return taat_topk(lists, store.avgdl, k, round_decimals=round_decimals)

@@ -3230,3 +3230,40 @@ def test_terms_ordered_by_metric(ray_session, built):
     assert got["lang"].tolist() == want["lang"].tolist()
     assert got["bucket_rank"].tolist() == want["bucket_rank"].tolist()
     assert got.groupby("query_id").size().max() <= 2
+
+
+def test_mlt_unlike_excludes_negative_terms(ray_session, built):
+    from bitcoin_ledger_2es_ray.pipelines.mlt import (
+        doc_terms,
+        more_like_this,
+        more_like_this_unlike,
+        select_mlt_terms,
+    )
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    src, unlike = 7, 19
+    out = more_like_this_unlike(store, res.out_dir, src, unlike, n_terms=5, k=10,
+                                round_decimals=6)
+    # no selected term may appear in the unlike doc, and neither input
+    # doc may be in the results
+    bad = set(doc_terms(res.out_dir, unlike)["term"].to_pylist())
+    like = doc_terms(res.out_dir, src)
+    filt = like.to_pandas()
+    filt = filt[~filt.term.isin(bad)]
+    import pyarrow as pa
+
+    sel = select_mlt_terms(
+        store, pa.Table.from_pandas(filt, preserve_index=False), 5
+    )
+    assert not (set(sel) & bad)
+    docs = [d for d, _ in out]
+    assert src not in docs and unlike not in docs
+    # with an unlike doc sharing no terms, results equal plain MLT minus
+    # the unlike doc itself
+    lone = more_like_this(store, res.out_dir, src, n_terms=5, k=store.n_docs,
+                          round_decimals=6)
+    if not (set(doc_terms(res.out_dir, src)["term"].to_pylist()) & bad):
+        want = [(d, s) for d, s in lone if d != unlike][:10]
+        assert out == want
