@@ -2305,6 +2305,42 @@ def _q_explain(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("term", "ascending")])
 
 
+def _q_collapse_inner(sf_dir: str) -> pa.Table:
+    """ES collapse + inner_hits: top-5 repo groups per query, each with
+    its top-3 members in rank order."""
+    import pyarrow.parquet as pqm
+
+    from bitcoin_ledger_2es_ray.pipelines.query import collapse_inner_hits
+
+    store, res = _store_for(sf_dir)
+    fwd = pqm.read_table(
+        os.path.join(res.out_dir, "forward_map"), columns=["doc_id", "repo"]
+    )
+    field_of = dict(zip(fwd["doc_id"].to_pylist(), fwd["repo"].to_pylist()))
+    queries = _fixture_queries(store)
+    qids, g_ranks, repos, h_ranks, docs, scores = [], [], [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        for gr, f, hr, d, s in collapse_inner_hits(
+            store, text, 5, 3, field_of, round_decimals=_ROUND
+        ):
+            qids.append(qid)
+            g_ranks.append(gr)
+            repos.append(f)
+            h_ranks.append(hr)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "group_rank": pa.array(g_ranks, type=pa.int64()),
+            "repo": pa.array(repos, type=pa.string()),
+            "hit_rank": pa.array(h_ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def _q_collapse_topk(sf_dir: str) -> pa.Table:
     """ES field ``collapse`` on repo: fixture BM25 top-k with one best doc
     per repo, groups ranked by their representative."""
@@ -4737,6 +4773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_score_topk": _q_script_score,
         "explain": _q_explain,
         "collapse_topk": _q_collapse_topk,
+        "collapse_inner": _q_collapse_inner,
         "post_filter_hits": _q_post_filter_hits,
         "post_filter_aggs": _q_post_filter_aggs,
         "named_queries": _q_named_queries,
@@ -5450,6 +5487,43 @@ SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
        doc_id::BIGINT AS doc_id, score
 FROM final ORDER BY query_id, rank
 """.replace("{nq}", str(_N_QUERIES)),
+        # collapse + inner_hits: group order by representative, members in
+        # per-group rank order
+        "collapse_inner": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+collapsed AS (
+  SELECT query_id, doc_id, score,
+         'org' || (doc_id % 7) || '/repo' || (doc_id % 20) AS repo,
+         row_number() OVER (
+           PARTITION BY query_id, 'org' || (doc_id % 7) || '/repo' || (doc_id % 20)
+           ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+),
+groups AS (
+  SELECT query_id, repo,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS group_rank
+  FROM collapsed WHERE rn = 1
+)
+SELECT c.query_id, g.group_rank::BIGINT AS group_rank, c.repo,
+       c.rn::BIGINT AS hit_rank, c.doc_id, c.score
+FROM collapsed c
+JOIN groups g ON g.query_id = c.query_id AND g.repo = c.repo
+WHERE g.group_rank <= 5 AND c.rn <= 3
+ORDER BY c.query_id, g.group_rank, c.rn
+""",
         # field collapse on repo ('org'||d%7||'/repo'||d%20, FIXTURES §B):
         # one best doc per repo, groups ranked by representative
         "collapse_topk": _PRELUDE

@@ -1333,3 +1333,38 @@ def rank_eval_graded(
             "err_k": pa.array(errs, type=pa.float64()),
         }
     )
+
+
+def collapse_inner_hits(
+    store: SegmentStore,
+    text: str,
+    k: int,
+    inner_size: int,
+    field_of: dict[int, str],
+    round_decimals: int | None = None,
+) -> list[tuple[int, str, int, int, float]]:
+    """ES ``collapse`` + ``inner_hits``: the top-``k`` collapse groups
+    (ranked by their best member, like ``collapse_topk``), each expanded
+    to its top-``inner_size`` members →
+    [(group_rank, field_value, hit_rank, doc_id, score)].
+
+    One pass down the global ranking fills both levels: the first
+    ``k`` distinct field values fix the group order, later members of
+    those groups surface already in per-group rank order."""
+    full = score_query(store, text, k=store.n_docs, round_decimals=round_decimals)
+    reps: list[str] = []
+    members: dict[str, list[tuple[int, float]]] = {}
+    for d, s in full:
+        f = field_of[d]
+        if f not in members:
+            if len(members) >= k:
+                continue
+            members[f] = []
+            reps.append(f)
+        if len(members[f]) < inner_size:
+            members[f].append((d, s))
+    out: list[tuple[int, str, int, int, float]] = []
+    for gi, f in enumerate(reps, start=1):
+        for hi, (d, s) in enumerate(members[f], start=1):
+            out.append((gi, f, hi, d, s))
+    return out

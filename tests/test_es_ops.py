@@ -3267,3 +3267,39 @@ def test_mlt_unlike_excludes_negative_terms(ray_session, built):
     if not (set(doc_terms(res.out_dir, src)["term"].to_pylist()) & bad):
         want = [(d, s) for d, s in lone if d != unlike][:10]
         assert out == want
+
+
+def test_collapse_inner_hits_consistency(ray_session, built):
+    """Group order equals collapse_topk; members are per-group rank-ordered
+    and bounded by inner_size."""
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        collapse_inner_hits,
+        collapse_topk,
+        score_query,
+    )
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    text = f"{vocab[3 % len(vocab)]} {vocab[9 % len(vocab)]}"
+    field_of = {d: f"g{d % 5}" for d in range(store.n_docs)}
+    inner = collapse_inner_hits(store, text, 4, 2, field_of, round_decimals=6)
+    flat = collapse_topk(store, text, 4, field_of, round_decimals=6)
+    # group order and representatives agree
+    reps = [(gr, f, d, s) for gr, f, hr, d, s in inner if hr == 1]
+    assert [(f, d, s) for _, f, d, s in reps] == flat
+    # per-group: ≤ inner_size members, scores non-increasing
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for gr, f, hr, d, s in inner:
+        groups[f].append((hr, s, d))
+    full = dict(score_query(store, text, store.n_docs, round_decimals=6))
+    for f, ms in groups.items():
+        assert len(ms) <= 2
+        assert [hr for hr, _, _ in ms] == list(range(1, len(ms) + 1))
+        ss = [s for _, s, _ in ms]
+        assert ss == sorted(ss, reverse=True)
+        for _, s, d in ms:
+            assert full[d] == s and field_of[d] == f
