@@ -3288,7 +3288,7 @@ def test_collapse_inner_hits_consistency(ray_session, built):
     flat = collapse_topk(store, text, 4, field_of, round_decimals=6)
     # group order and representatives agree
     reps = [(gr, f, d, s) for gr, f, hr, d, s in inner if hr == 1]
-    assert [(f, d, s) for _, f, d, s in reps] == flat
+    assert [(d, f, s) for _, f, d, s in reps] == flat  # collapse_topk rows
     # per-group: ≤ inner_size members, scores non-increasing
     from collections import defaultdict
 
