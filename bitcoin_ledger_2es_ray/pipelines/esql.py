@@ -85,6 +85,7 @@ _KEYWORDS = {
     "ON",
     "AS",
     "MV_EXPAND",
+    "ROW",
     "LIKE",
     "RLIKE",
     "AND",
@@ -94,7 +95,7 @@ _KEYWORDS = {
     "DESC",
 }
 
-_UNSUPPORTED = {"ENRICH", "ROW", "SHOW"}
+_UNSUPPORTED = {"ENRICH", "SHOW"}
 
 # ---------------------------------------------------- dissect / grok
 
@@ -306,7 +307,7 @@ _AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
 @dataclass
 class EsqlPlan:
-    table: str
+    table: str | None
     # row ops in PIPE ORDER (a WHERE may reference an earlier EVAL's column):
     # ("where", expr) | ("eval", name, expr)
     ops: list[tuple] = field(default_factory=list)
@@ -316,15 +317,33 @@ class EsqlPlan:
     limit: int | None = None
     keep: list[str] | None = None
     drop: list[str] = field(default_factory=list)
+    row: dict[str, object] | None = None  # ROW literal source
 
 
 def parse_esql(src: str) -> EsqlPlan:
     """Parse one ES|QL pipe into an :class:`EsqlPlan` (verification included)."""
     toks = tokenize_esql(src)
     p = _Parser(toks)
-    p.expect("kw", "FROM")
-    table = p.expect("ident")[1]
-    plan = EsqlPlan(table=table)
+    kind, first = p.next()
+    if kind != "kw" or first not in ("FROM", "ROW"):
+        raise ValueError("esql: a pipe starts with FROM or ROW")
+    if first == "FROM":
+        plan = EsqlPlan(table=p.expect("ident")[1])
+    else:
+        # ROW a = 1, b = "x" — a literal one-row source (ES|QL's testing
+        # and scripting utility)
+        row: dict[str, object] = {}
+        while True:
+            name = p.expect("ident")[1]
+            p.expect("op", "==")
+            node = p.expr()
+            if node[0] != "lit":
+                raise ValueError("esql: ROW values must be literals")
+            row[name] = node[1]
+            if p.peek() != ("op", ","):
+                break
+            p.next()
+        plan = EsqlPlan(table=None, row=row)
     while p.peek() != ("eof", ""):
         p.expect("op", "|")
         kind, cmd = p.next()
@@ -631,12 +650,16 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     import ray.data as rd
 
     plan = parse_esql(_normalize_assign(src))
-    path = os.path.join(sf_dir, f"{plan.table}.parquet")
-    if not os.path.exists(path):
-        raise ValueError(f"esql: unknown index {plan.table}")
     import pyarrow.parquet as pq
 
-    schema_names = pq.read_schema(path).names
+    if plan.row is not None:
+        schema_names = list(plan.row)
+        path = None
+    else:
+        path = os.path.join(sf_dir, f"{plan.table}.parquet")
+        if not os.path.exists(path):
+            raise ValueError(f"esql: unknown index {plan.table}")
+        schema_names = pq.read_schema(path).names
 
     # LOOKUP JOIN right sides: ES|QL lookup indices are small replicated
     # tables by definition — read once, broadcast once via ray.put, one
@@ -658,7 +681,10 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     cols = _plan_columns(
         plan, schema_names, extra_produced=extra_produced - set(schema_names)
     )
-    ds = rd.read_parquet(path, columns=cols)
+    if plan.row is not None:
+        ds = rd.from_arrow(pa.table({k: [v] for k, v in plan.row.items()}))
+    else:
+        ds = rd.read_parquet(path, columns=cols)
 
     stats = list(plan.stats)
     by = list(plan.by)

@@ -406,3 +406,12 @@ def test_sql_endpoint_matches_duckdb_literally(ray_session):
         assert got.column_names == want.column_names
         for c in got.column_names:
             assert got[c].to_pylist() == want[c].to_pylist(), (sql, c)
+
+
+def test_esql_row_literal_source(ray_session):
+    got = run_esql('ROW a = 1, b = "x" | EVAL c = ROUND(a / 2, 6) | KEEP a, b, c', "/tmp")
+    assert got.to_pydict() == {"a": [1], "b": ["x"], "c": [0.5]}
+    with pytest.raises(ValueError, match="literals"):
+        run_esql("ROW a = b | KEEP a", "/tmp")
+    with pytest.raises(ValueError, match="starts with FROM or ROW"):
+        run_esql("WHERE a == 1", "/tmp")
