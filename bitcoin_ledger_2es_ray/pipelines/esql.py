@@ -36,10 +36,14 @@ order-pinned Arrow left join per batch — the fact stream never shuffles
 (lookup indices are small replicated tables by definition).  ``SPLIT(s,
 "sep")`` in EVAL makes a multi-value (list) column and ``MV_EXPAND col``
 explodes it — one vectorized take+flatten per batch (rows with null/empty
-lists drop, the flat_map convention).  Row commands after STATS raise
-(the pipe aggregates once, at the end).  Unsupported commands (ENRICH —
-exists as ``pipelines/enrich.py`` — ROW, SHOW) raise a parse error,
-mirroring ES|QL's verification phase.
+lists drop, the flat_map convention).  ``ROW a = 1, b = "x"`` is the
+literal one-row source; string functions ``CONCAT`` / ``SUBSTRING`` /
+``TO_LOWER`` / ``TO_UPPER`` / ``STARTS_WITH`` / ``COALESCE`` and the
+``LIKE`` (``*``/``?`` wildcards) / ``RLIKE`` (anchored regex) predicates
+are all single Arrow kernels.  Row commands after STATS raise (the pipe
+aggregates once, at the end).  Unsupported commands (ENRICH — exists as
+``pipelines/enrich.py`` — and SHOW) raise a parse error, mirroring
+ES|QL's verification phase.
 """
 
 from __future__ import annotations
