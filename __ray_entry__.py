@@ -4492,6 +4492,11 @@ _ESQL_MVEXPAND = (
     'FROM documents | EVAL w = SPLIT(text, " ") | MV_EXPAND w '
     "| STATS n = COUNT(*) BY w | SORT n DESC, w ASC | LIMIT 15"
 )
+_ESQL_ENRICH = (
+    "FROM customer | EVAL cents = ROUND(c_acctbal * 100, 0) "
+    "| ENRICH nations ON c_nationkey "
+    "| STATS n = COUNT(*), bal = SUM(cents) BY r_name | SORT r_name"
+)
 _ESQL_LOOKUP = (
     "FROM events | EVAL cents = ROUND(value * 100, 0) "
     "| RENAME user_id AS c_custkey | LOOKUP JOIN customer ON c_custkey "
@@ -4553,6 +4558,14 @@ def _q_esql_mv_expand(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_MVEXPAND, sf_dir)
+
+
+def _q_esql_enrich(sf_dir: str) -> pa.Table:
+    """ES|QL ENRICH: the nations policy index broadcast + per-batch join,
+    aggregated by enriched region name."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_ENRICH, sf_dir)
 
 
 def _q_esql_lookup(sf_dir: str) -> pa.Table:
@@ -4845,6 +4858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_mv_expand": _q_esql_mv_expand,
         "esql_strings": _q_esql_strings,
         "sql_group": _q_sql_group,
+        "esql_enrich": _q_esql_enrich,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -9150,6 +9164,14 @@ FROM documents WHERE n_chars >= 100 AND source LIKE 'src1%'
 GROUP BY lang ORDER BY l
 """,
         "sql_select": _SQL_SELECT,
+        "esql_enrich": """
+SELECT r.r_name, count(*)::BIGINT AS n,
+       sum(round(c.c_acctbal * 100, 0)) AS bal
+FROM customer c
+LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+""",
         # ES date_histogram (1-day fixed interval) + stats sub-agg on value
         # transform pivot: entity-centric user aggregates
         "transform_pivot": """

@@ -40,10 +40,13 @@ lists drop, the flat_map convention).  ``ROW a = 1, b = "x"`` is the
 literal one-row source; string functions ``CONCAT`` / ``SUBSTRING`` /
 ``TO_LOWER`` / ``TO_UPPER`` / ``STARTS_WITH`` / ``COALESCE`` and the
 ``LIKE`` (``*``/``?`` wildcards) / ``RLIKE`` (anchored regex) predicates
-are all single Arrow kernels.  Row commands after STATS raise (the pipe
-aggregates once, at the end).  Unsupported commands (ENRICH — exists as
-``pipelines/enrich.py`` — and SHOW) raise a parse error, mirroring
-ES|QL's verification phase.
+are all single Arrow kernels.  ``ENRICH policy ON key`` materializes the
+named policy's enrich index (``pipelines/enrich.py``), broadcasts it
+once, and decorates the stream with the same order-pinned per-batch join
+as LOOKUP (ES's enrich processor semantics: unmatched keys keep the row
+with null fields).  Row commands after STATS raise (the pipe aggregates
+once, at the end).  The one unsupported command left (SHOW) raises a
+parse error, mirroring ES|QL's verification phase.
 """
 
 from __future__ import annotations
@@ -90,6 +93,7 @@ _KEYWORDS = {
     "AS",
     "MV_EXPAND",
     "ROW",
+    "ENRICH",
     "LIKE",
     "RLIKE",
     "AND",
@@ -99,7 +103,17 @@ _KEYWORDS = {
     "DESC",
 }
 
-_UNSUPPORTED = {"ENRICH", "SHOW"}
+_UNSUPPORTED = {"SHOW"}
+
+# ENRICH policies: name -> (builder(sf_dir) -> lookup table, right key col).
+# The builder materializes the policy's enrich index (pipelines/enrich.py).
+def _nations_policy(sf_dir):
+    from .enrich import execute_enrich_policy
+
+    return execute_enrich_policy(sf_dir)
+
+
+_ENRICH_POLICIES = {"nations": (_nations_policy, "n_nationkey")}
 
 # ---------------------------------------------------- dissect / grok
 
@@ -356,7 +370,7 @@ def parse_esql(src: str) -> EsqlPlan:
         if cmd in _UNSUPPORTED:
             raise ValueError(f"esql: unsupported command {cmd}")
         if plan.stats and cmd in ("WHERE", "EVAL", "DISSECT", "GROK", "RENAME",
-                                  "LOOKUP", "MV_EXPAND"):
+                                  "LOOKUP", "MV_EXPAND", "ENRICH"):
             raise ValueError(
                 f"esql: {cmd} after STATS is not supported (row commands run "
                 "before the aggregation)"
@@ -388,6 +402,12 @@ def parse_esql(src: str) -> EsqlPlan:
             plan.ops.append(("lookup", table, key))
         elif cmd == "MV_EXPAND":
             plan.ops.append(("mvexpand", p.expect("ident")[1]))
+        elif cmd == "ENRICH":
+            policy = p.expect("ident")[1]
+            if policy not in _ENRICH_POLICIES:
+                raise ValueError(f"esql: unknown enrich policy {policy!r}")
+            p.expect("kw", "ON")
+            plan.ops.append(("enrich", policy, p.expect("ident")[1]))
         elif cmd in ("DISSECT", "GROK"):
             src_col = p.expect("ident")[1]
             raw = p.expect("str")[1]
@@ -611,6 +631,8 @@ def _plan_columns(
             need.add(op[1])
         elif op[0] == "lookup":
             need.add(op[2])
+        elif op[0] == "enrich":
+            need.add(op[2])
         else:
             _referenced_cols(op[-1], need)
     for _, _, col in plan.stats:
@@ -671,16 +693,21 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     import ray
 
     look_refs: dict[str, object] = {}
+    enrich_refs: dict[str, tuple[object, str]] = {}
     extra_produced: set[str] = set()
     for op in plan.ops:
-        if op[0] != "lookup":
-            continue
-        lpath = os.path.join(sf_dir, f"{op[1]}.parquet")
-        if not os.path.exists(lpath):
-            raise ValueError(f"esql: unknown lookup index {op[1]}")
-        lt = pq.read_table(lpath)
-        look_refs[op[1]] = ray.put(lt)
-        extra_produced |= set(lt.column_names)
+        if op[0] == "lookup":
+            lpath = os.path.join(sf_dir, f"{op[1]}.parquet")
+            if not os.path.exists(lpath):
+                raise ValueError(f"esql: unknown lookup index {op[1]}")
+            lt = pq.read_table(lpath)
+            look_refs[op[1]] = ray.put(lt)
+            extra_produced |= set(lt.column_names)
+        elif op[0] == "enrich":
+            builder, rkey = _ENRICH_POLICIES[op[1]]
+            et = builder(sf_dir)
+            enrich_refs[op[1]] = (ray.put(et), rkey)
+            extra_produced |= set(et.column_names) - {rkey}
 
     cols = _plan_columns(
         plan, schema_names, extra_produced=extra_produced - set(schema_names)
@@ -725,6 +752,21 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                 batch = batch.rename_columns(
                     [new if c == old else c for c in batch.column_names]
                 )
+            elif op[0] == "enrich":
+                import ray as _ray
+
+                et_ref, rkey = enrich_refs[op[1]]
+                et = _ray.get(et_ref)
+                key = op[2]
+                if key not in batch.column_names:
+                    raise ValueError(f"esql: ENRICH key {key} not in the pipe")
+                b2 = batch.append_column(
+                    "__row", pa.array(np.arange(batch.num_rows, dtype=np.int64))
+                )
+                joined = b2.join(
+                    et, keys=[key], right_keys=[rkey], join_type="left outer"
+                )
+                batch = joined.sort_by("__row").drop_columns(["__row"])
             elif op[0] == "lookup":
                 import ray as _ray
 

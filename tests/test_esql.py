@@ -415,3 +415,24 @@ def test_esql_row_literal_source(ray_session):
         run_esql("ROW a = b | KEEP a", "/tmp")
     with pytest.raises(ValueError, match="starts with FROM or ROW"):
         run_esql("WHERE a == 1", "/tmp")
+
+
+def test_esql_enrich_matches_duckdb(ray_session):
+    got = run_esql(
+        "FROM customer | EVAL cents = ROUND(c_acctbal * 100, 0) "
+        "| ENRICH nations ON c_nationkey "
+        "| STATS n = COUNT(*), bal = SUM(cents) BY r_name | SORT r_name",
+        SF_DIR,
+    )
+    con = duckdb.connect()
+    for t in ("customer", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    want = con.execute(
+        "SELECT r.r_name, count(*)::BIGINT n, sum(round(c.c_acctbal*100,0)) bal "
+        "FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "LEFT JOIN region r ON r.r_regionkey = n.n_regionkey "
+        "GROUP BY 1 ORDER BY 1"
+    ).arrow()
+    _assert_tables_equal(got, want)
+    with pytest.raises(ValueError, match="unknown enrich policy"):
+        parse_esql("FROM customer | ENRICH bogus ON c_nationkey")
