@@ -3732,6 +3732,14 @@ def _q_geo_polygon(sf_dir: str) -> pa.Table:
     return geo_polygon(sf_dir, [(-70.0, -100.0), (60.0, 20.0), (50.0, -140.0)])
 
 
+def _q_geo_sort(sf_dir: str) -> pa.Table:
+    """ES sort by _geo_distance: 25 nearest customers to the origin —
+    per-batch partial top-k, k×blocks driver merge."""
+    from bitcoin_ledger_2es_ray.pipelines.geo import geo_sort_topk
+
+    return geo_sort_topk(sf_dir, k=25, round_decimals=_ROUND)
+
+
 def _q_geo_shape(sf_dir: str) -> pa.Table:
     """ES geo_shape over derived envelopes: intersects/disjoint/within/
     contains counts + exact membership checksums vs a fixed query box."""
@@ -4753,6 +4761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_item_sets": _q_frequent_item_sets,
         "geo_polygon": _q_geo_polygon,
         "geo_shape": _q_geo_shape,
+        "geo_sort": _q_geo_sort,
         "suffix_match": _q_suffix_match,
         "cat_segments": _q_cat_segments,
         "completion_fuzzy": _q_completion_fuzzy,
@@ -6202,6 +6211,26 @@ WHERE 120.0 * (lat - -70.0) - 130.0 * (lon - -100.0) >= 0
   AND -160.0 * (lat - 60.0) - -10.0 * (lon - 20.0) >= 0
   AND 40.0 * (lat - 50.0) - -120.0 * (lon - -140.0) >= 0
 ORDER BY c_custkey
+""",
+        # sort by _geo_distance: rounded-distance rank with key tiebreak
+        "geo_sort": _GEO_PTS
+        + """
+, d AS (
+  SELECT c_custkey,
+         round(2.0 * 6371.0 * asin(sqrt(
+           sin(radians(lat) / 2.0) * sin(radians(lat) / 2.0)
+           + cos(radians(lat))
+             * sin(radians(lon) / 2.0) * sin(radians(lon) / 2.0)
+         )), 6) AS dist_km
+  FROM pts
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY dist_km ASC, c_custkey ASC) AS rank,
+         c_custkey, dist_km
+  FROM d
+)
+SELECT rank::BIGINT AS rank, c_custkey, dist_km
+FROM ranked WHERE rank <= 25 ORDER BY rank
 """,
         # geo_shape envelopes: interval arithmetic per relation, int64
         # membership checksums

@@ -606,3 +606,54 @@ def geo_shape_envelope(
             "custkey_sum": g["s_sum"].cast(pa.int64()),
         }
     )
+
+
+def geo_sort_topk(
+    sf_dir: str,
+    lat0: float = 0.0,
+    lon0: float = 0.0,
+    k: int = 25,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``sort`` by ``_geo_distance``: the ``k`` customers nearest the
+    origin → (rank, c_custkey, dist_km), ranked (rounded distance ASC,
+    key ASC — ES's doc tiebreaker).
+
+    Per-batch partial top-k (each batch emits its own k nearest), driver
+    merge bounded by k × #blocks — the sort never sees the corpus."""
+
+    def nearest(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_coords(key)
+        d = sql_round(haversine_km(lat, lon, lat0, lon0), round_decimals)
+        order = np.lexsort((key, d))[:k]
+        return pa.table(
+            {
+                "c_custkey": pa.array(key[order]),
+                "dist_km": pa.array(d[order]),
+            }
+        )
+
+    ds = _read_customers(sf_dir, ["c_custkey"]).map_batches(
+        nearest, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = _collect(ds)
+    if not parts:
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int64()),
+                "c_custkey": pa.array([], type=pa.int64()),
+                "dist_km": pa.array([], type=pa.float64()),
+            }
+        )
+    cat = pa.concat_tables(parts)
+    key = np.asarray(cat["c_custkey"], dtype=np.int64)
+    d = np.asarray(cat["dist_km"], dtype=np.float64)
+    order = np.lexsort((key, d))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+            "c_custkey": pa.array(key[order], type=pa.int64()),
+            "dist_km": pa.array(d[order], type=pa.float64()),
+        }
+    )

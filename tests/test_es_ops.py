@@ -3303,3 +3303,25 @@ def test_collapse_inner_hits_consistency(ray_session, built):
         assert ss == sorted(ss, reverse=True)
         for _, s, d in ms:
             assert full[d] == s and field_of[d] == f
+
+
+def test_geo_sort_topk_brute_force(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.geo import geo_sort_topk
+
+    sf = "/root/testdata/sf0.001"
+    out = geo_sort_topk(sf, k=10)
+    ck = pq.read_table(f"{sf}/customer.parquet", columns=["c_custkey"])[
+        "c_custkey"
+    ].to_pylist()
+    rows = []
+    for k in ck:
+        lat = np.radians(((k * 7919) % 18000) / 100.0 - 90.0)
+        lon = np.radians(((k * 104729) % 36000) / 100.0 - 180.0)
+        d = 2 * 6371.0 * np.arcsin(
+            np.sqrt(np.sin(lat / 2) ** 2 + np.cos(lat) * np.sin(lon / 2) ** 2)
+        )
+        rows.append((round(float(d), 6), k))
+    rows.sort()
+    assert out["c_custkey"].to_pylist() == [k for _, k in rows[:10]]
+    assert out["dist_km"].to_pylist() == [d for d, _ in rows[:10]]
+    assert out["rank"].to_pylist() == list(range(1, 11))
