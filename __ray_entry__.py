@@ -998,6 +998,39 @@ def _q_terms_enum(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_completion_contexts(sf_dir: str) -> pa.Table:
+    """ES completion suggester with contexts: the same 3-char prefixes,
+    popularity-ranked WITHIN a cycling lang context."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import (
+        build_context_popularity,
+        completion_contexts,
+    )
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    pop = build_context_popularity(sf_dir)
+    langs = ["en", "de", "fr", "es", "zh"]
+    qids, poss, terms, dfs = [], [], [], []
+    for q in range(_N_QUERIES):
+        prefix = vocab[(11 * q + 3) % len(vocab)][:3]
+        lang = langs[q % 5]
+        for pos, (term, df) in enumerate(
+            completion_contexts(pop, prefix, lang, k=5), start=1
+        ):
+            qids.append(q)
+            poss.append(pos)
+            terms.append(term)
+            dfs.append(df)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "pos": pa.array(poss, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array(dfs, type=pa.int64()),
+        }
+    )
+
+
 def _q_completion_suggest(sf_dir: str) -> pa.Table:
     """ES completion suggester: top-5 dictionary completions of the first
     3 chars of vocab term (11q+3) mod |V|, ranked (df DESC, term ASC)."""
@@ -4634,6 +4667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_transpositions": _q_fuzzy_transpositions,
         "term_suggest": _q_term_suggest,
         "completion_suggest": _q_completion_suggest,
+        "completion_contexts": _q_completion_contexts,
         "terms_enum": _q_terms_enum,
         "rescore": _q_rescore,
         "phrase_slop": _q_phrase_slop,
@@ -9643,6 +9677,29 @@ edges AS (
   GROUP BY 1, 2
 )
 SELECT seed, term, co_doc_count FROM edges ORDER BY seed, term
+"""
+    # contexts-aware completion: per-(lang, term) distinct-doc popularity
+    sql["completion_contexts"] = _PRELUDE + """
+, ctx AS (
+  SELECT d.lang, t.term, count(DISTINCT t.doc_id)::BIGINT AS cdf
+  FROM toks t JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+),
+sq AS (
+  SELECT q AS query_id,
+         left(v.term, 3) AS pre,
+         (['en','de','fr','es','zh'])[1 + q % 5] AS lng
+  FROM generate_series(0, 49) tq(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (11 * q + 3) % nv.c
+),
+cand AS (
+  SELECT s.query_id, c.term, c.cdf,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY c.cdf DESC, c.term ASC) AS pos
+  FROM sq s JOIN ctx c ON c.lang = s.lng AND starts_with(c.term, s.pre)
+)
+SELECT query_id::BIGINT AS query_id, pos::BIGINT AS pos, term, cdf AS df
+FROM cand WHERE pos <= 5 ORDER BY query_id, pos
 """
     # watcher: daily error-count watch history with the trigger flag
     sql["watcher_alerts"] = """

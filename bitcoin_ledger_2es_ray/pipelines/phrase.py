@@ -1145,3 +1145,62 @@ def span_multi_near_match(
     if not terms:
         return np.empty(0, dtype=np.uint64)
     return span_or_near_match(store, terms, t2, slop)
+
+
+def build_context_popularity(sf_dir: str) -> "pa.Table":
+    """Per-(context, term) popularity for the contexts-aware completion
+    suggester: one streamed pass over the corpus emits per-batch DISTINCT
+    (lang, term, doc) partials reduced to (lang, term, df) — bounded by
+    #langs × vocab, never doc count."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lengths = pc.list_value_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = np.asarray(flat.flatten())
+        rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lengths)
+        langs = np.asarray(batch["lang"].combine_chunks().cast(pa.string()))
+        # distinct (row, term) via dictionary codes
+        tvals, tcodes = np.unique(terms, return_inverse=True)
+        key = np.unique(rows * np.int64(len(tvals)) + tcodes)
+        rows_d = key // len(tvals)
+        t = pa.table(
+            {
+                "lang": pa.array(langs[rows_d], type=pa.string()),
+                "term": pa.array(tvals[key % len(tvals)], type=pa.string()),
+            }
+        )
+        g = t.group_by(["lang", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(["lang", "term", "df"])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    g = cat.group_by(["lang", "term"]).aggregate([("df", "sum")])
+    return g.rename_columns(["lang", "term", "df"])
+
+
+def completion_contexts(
+    popularity: "pa.Table", prefix: str, lang: str, k: int = 5
+) -> list[tuple[str, int]]:
+    """ES completion suggester with ``contexts`` (category = lang): the
+    ``k`` completions of ``prefix`` ranked by popularity WITHIN the
+    context (df DESC, term ASC) — a different context reorders and
+    filters the same prefix."""
+    import pyarrow.compute as pc
+
+    m = pc.and_(
+        pc.equal(popularity["lang"], lang),
+        pc.starts_with(popularity["term"], pattern=prefix),
+    )
+    t = popularity.filter(m)
+    terms = t["term"].to_pylist()
+    dfs = t["df"].to_pylist()
+    order = sorted(range(len(terms)), key=lambda i: (-dfs[i], terms[i]))
+    return [(terms[i], int(dfs[i])) for i in order[:k]]

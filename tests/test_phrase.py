@@ -1038,3 +1038,30 @@ def test_fuzzy_auto_ladder(pos_index):
         ).tolist()
     with pytest.raises(ValueError, match="bad fuzziness"):
         fuzzy_match(store, "abc", "SOMETIMES")
+
+
+def test_completion_contexts_brute_force(ray_session):
+    """Context filtering: popularity ranks within the lang's docs only; a
+    different context reorders/filters the same prefix."""
+    from collections import Counter
+
+    from bitcoin_ledger_2es_ray.pipelines.phrase import (
+        build_context_popularity,
+        completion_contexts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pop = build_context_popularity(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["text", "lang"])
+    by_lang: dict[str, Counter] = {}
+    for text, lang in zip(docs["text"].to_pylist(), docs["lang"].to_pylist()):
+        by_lang.setdefault(lang, Counter()).update(set(text.split(" ")))
+    for lang in ("en", "zh"):
+        got = completion_contexts(pop, "s", lang, k=5)
+        want = sorted(
+            ((t, n) for t, n in by_lang[lang].items() if t.startswith("s")),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:5]
+        assert got == want, lang
+    # unknown context: empty, never an error
+    assert completion_contexts(pop, "s", "klingon", k=5) == []
