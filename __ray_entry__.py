@@ -3781,6 +3781,35 @@ def _q_geo_shape(sf_dir: str) -> pa.Table:
     return geo_shape_envelope(sf_dir)
 
 
+def _q_wildcard_field(sf_dir: str) -> pa.Table:
+    """ES wildcard FIELD type: trigram-pruned glob matching — prefix,
+    leading-wildcard and infix patterns cycling per query."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import wildcard_field_match
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    c = len(vocab)
+    qids, docs = [], []
+    for q in range(_N_QUERIES):
+        t = vocab[(7 * q + 5) % c]
+        cls = q % 3
+        if cls == 0:
+            pattern = t[:2] + "*"
+        elif cls == 1:
+            pattern = "*" + t[-2:]
+        else:
+            pattern = t[0] + "*" + t[-1]
+        hits = wildcard_field_match(store, pattern)
+        qids.extend([q] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+
+
 def _q_suffix_match(sf_dir: str) -> pa.Table:
     """Leading wildcard *suffix via the reversed-dictionary trick."""
     from bitcoin_ledger_2es_ray.pipelines.phrase import suffix_match
@@ -4797,6 +4826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_shape": _q_geo_shape,
         "geo_sort": _q_geo_sort,
         "suffix_match": _q_suffix_match,
+        "wildcard_field": _q_wildcard_field,
         "cat_segments": _q_cat_segments,
         "completion_fuzzy": _q_completion_fuzzy,
         "zipf_fit": _q_zipf_fit,
@@ -6302,6 +6332,25 @@ FROM (
   UNION ALL SELECT c_custkey, 'contains', contains FROM flags
 )
 GROUP BY rel ORDER BY rel
+""",
+        # wildcard FIELD type: trigram-pruned glob; LIKE mirrors the glob
+        "wildcard_field": _PRELUDE
+        + """
+, sq AS (
+  SELECT q AS query_id, v.term AS t, q % 3 AS cls
+  FROM generate_series(0, 49) tq(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (7 * q + 5) % nv.c
+),
+pat AS (
+  SELECT query_id,
+         CASE cls WHEN 0 THEN left(t, 2) || '%'
+                  WHEN 1 THEN '%' || right(t, 2)
+                  ELSE left(t, 1) || '%' || right(t, 1) END AS p
+  FROM sq
+)
+SELECT DISTINCT s.query_id::BIGINT AS query_id, tk.doc_id::BIGINT AS doc_id
+FROM pat s JOIN toks tk ON tk.term LIKE s.p
+ORDER BY query_id, doc_id
 """,
         # leading wildcard *suffix (reversed-dictionary trick)
         "suffix_match": _PRELUDE

@@ -1204,3 +1204,64 @@ def completion_contexts(
     dfs = t["df"].to_pylist()
     order = sorted(range(len(terms)), key=lambda i: (-dfs[i], terms[i]))
     return [(terms[i], int(dfs[i])) for i in order[:k]]
+
+
+def _trigram_index(store: SegmentStore) -> tuple[list[str], dict[str, np.ndarray]]:
+    """Trigram → sorted term-id postings over the vocabulary, with ``^``/
+    ``$`` boundary markers so anchored pattern pieces prune too.
+    Vocabulary-sized work, cached per store; at index scale this is a
+    second dictionary artifact written at build time (the same contract
+    as the reversed dictionary)."""
+    cached = getattr(store, "_trigram_vocab", None)
+    if cached is not None:
+        return cached
+    vocab = sorted(store.df)
+    tri: dict[str, list[int]] = {}
+    for i, t in enumerate(vocab):
+        padded = f"^{t}$"
+        for j in range(len(padded) - 2):
+            tri.setdefault(padded[j : j + 3], []).append(i)
+    idx = {g: np.array(ids, dtype=np.int64) for g, ids in tri.items()}
+    store._trigram_vocab = (vocab, idx)
+    return vocab, idx
+
+
+def wildcard_field_match(store: SegmentStore, pattern: str) -> np.ndarray:
+    """ES ``wildcard`` FIELD TYPE semantics: glob matching accelerated by
+    a trigram index — unlike the ``wildcard`` QUERY (`wildcard_match`),
+    LEADING and infix wildcards are first-class, because candidate terms
+    come from intersecting the pattern's literal runs' trigram posting
+    sets (ES's wildcard field stores exactly such n-grams), then the glob
+    verifies only the survivors.  A pattern with no literal trigram
+    degrades to the full-vocabulary verify (same as ES's post-filter
+    worst case)."""
+    vocab, tri = _trigram_index(store)
+    runs: list[str] = []
+    cur = ["^"]
+    for ch in pattern:
+        if ch in "*?":
+            runs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    cur.append("$")
+    runs.append("".join(cur))
+    grams = [
+        run[j : j + 3]
+        for run in runs
+        for j in range(len(run) - 2)
+    ]
+    cand_ids: np.ndarray | None = None
+    for g in grams:
+        ids = tri.get(g)
+        if ids is None:
+            return np.empty(0, dtype=np.uint64)  # gram absent → no term
+        cand_ids = ids if cand_ids is None else np.intersect1d(
+            cand_ids, ids, assume_unique=True
+        )
+        if len(cand_ids) == 0:
+            return np.empty(0, dtype=np.uint64)
+    cands = vocab if cand_ids is None else [vocab[i] for i in cand_ids.tolist()]
+    rx = re.compile(fnmatch.translate(pattern))
+    terms = [t for t in cands if rx.match(t)]
+    return union_many([store.postings(t)[0] for t in terms])

@@ -1065,3 +1065,28 @@ def test_completion_contexts_brute_force(ray_session):
         assert got == want, lang
     # unknown context: empty, never an error
     assert completion_contexts(pop, "s", "klingon", k=5) == []
+
+
+def test_wildcard_field_trigram_identity(pos_index):
+    """Trigram-pruned glob == brute-force glob over the vocabulary, for
+    prefix, leading-wildcard and infix patterns; the pruning only removes
+    non-matching terms, never hits."""
+    import fnmatch as _fn
+
+    from bitcoin_ledger_2es_ray.pipelines.phrase import wildcard_field_match
+
+    docs, store, _ = pos_index
+    vocab = sorted(store.df)
+    patterns = []
+    for t in vocab[:20]:
+        patterns += [t[:2] + "*", "*" + t[-2:], t[0] + "*" + t[-1], "*" + t[1:-1] + "*"]
+    checked = 0
+    for p in patterns:
+        got = wildcard_field_match(store, p).tolist()
+        want = set()
+        for i, text in enumerate(docs):
+            if any(_fn.fnmatch(w, p) for w in text.split(" ")):
+                want.add(i)
+        assert got == sorted(want), p
+        checked += len(want)
+    assert checked > 0
