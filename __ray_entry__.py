@@ -302,6 +302,14 @@ def _q_mixture_select(sf_dir: str) -> pa.Table:
     return mixture_select(sf_dir, budget_total=25_000, alpha=0.5)
 
 
+def _q_lg_batches(sf_dir: str) -> pa.Table:
+    """Length-grouped vs arrival batching plan with per-batch padding
+    waste — derived from dl value counts, no global sort."""
+    from bitcoin_ledger_2es_ray.pipelines.textstats import length_grouped_batches
+
+    return length_grouped_batches(sf_dir, batch_size=64)
+
+
 def _q_t5_spans(sf_dir: str) -> pa.Table:
     """T5 span-corruption examples: deterministic sentinel spans, input +
     target re-serialization fully vectorized."""
@@ -4710,6 +4718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_select": _q_mixture_select,
         "fim_examples": _q_fim_examples,
         "t5_spans": _q_t5_spans,
+        "lg_batches": _q_lg_batches,
         "repo_pack": _q_repo_pack,
         "ip_range": _q_ip_range,
         "ip_prefix": _q_ip_prefix,
@@ -10014,6 +10023,30 @@ SELECT repo, count(*)::BIGINT AS n_files, sum(dl)::BIGINT AS n_tokens,
 FROM d GROUP BY repo ORDER BY repo
 """
     # FIM examples: cut-point formulas and PSM/SPM layouts mirrored
+    # batching plans: arrival = doc_id//B, length_grouped = dl-rank//B
+    sql["lg_batches"] = """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents
+),
+arr AS (
+  SELECT 'arrival' AS strategy, (doc_id // 64)::BIGINT AS batch_id,
+         count(*)::BIGINT AS n, max(dl) AS max_dl, sum(dl) AS sum_dl
+  FROM d GROUP BY 2
+),
+lg AS (
+  SELECT 'length_grouped' AS strategy, b AS batch_id,
+         count(*)::BIGINT AS n, max(dl) AS max_dl, sum(dl) AS sum_dl
+  FROM (
+    SELECT dl,
+           ((row_number() OVER (ORDER BY dl, doc_id) - 1) // 64)::BIGINT AS b
+    FROM d
+  ) GROUP BY 2
+)
+SELECT strategy, batch_id, n, max_dl, sum_dl,
+       (n * max_dl - sum_dl)::BIGINT AS padding
+FROM (SELECT * FROM arr UNION ALL SELECT * FROM lg)
+ORDER BY strategy, batch_id
+"""
     # t5 span corruption: per-token span arithmetic + ordered filtered
     # string_agg reassembly, final sentinel appended
     sql["t5_spans"] = """

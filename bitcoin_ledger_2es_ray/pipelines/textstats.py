@@ -774,3 +774,114 @@ def t5_span_corruption_to_parquet(
     sf_dir: str, out_dir: str, period: int = 20, span_len: int = 3
 ) -> str:
     return write_dataset(t5_span_corruption_ds(sf_dir, period, span_len), out_dir)
+
+
+def length_grouped_batches(sf_dir: str, batch_size: int = 64) -> pa.Table:
+    """Length-grouped batching for training (the dynamic-padding trick:
+    sort examples by length so each batch pads to a near-uniform max) vs
+    ARRIVAL-order batching, as one plan table →
+    (strategy, batch_id, n, max_dl, sum_dl, padding).
+
+    ``arrival`` batches are ``doc_id // B`` (map-side groupby partials —
+    the assignment is data-independent).  ``length_grouped`` batches are
+    rank//B of the (dl ASC, doc_id ASC) ordering — derived WITHOUT a
+    global sort from the (dl, count) value-count partials: the driver
+    walks the dl runs arithmetically, bounded by #distinct lengths +
+    #batches, never doc count.  padding = n·max_dl − sum_dl, the tokens a
+    padded batch wastes."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.blocks import collect_tables
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        dl = pc.list_value_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.asarray(batch["doc_id"], dtype=np.int64)
+        arr_b = d // batch_size
+        t = pa.table(
+            {
+                "b": pa.array(arr_b),
+                "one": pa.array(np.ones(len(d), np.int64)),
+                "mx": pa.array(dl),
+                "sm": pa.array(dl),
+                "dl": pa.array(dl),
+            }
+        )
+        g = t.group_by("b").aggregate([("one", "sum"), ("mx", "max"), ("sm", "sum")])
+        arr = g.rename_columns(["b", "n", "mx", "sm"])
+        vc = t.group_by("dl").aggregate([("one", "sum")]).rename_columns(["dl", "cnt"])
+        zeros = pa.array(np.zeros(vc.num_rows, np.int64))
+        arr_t = pa.table(
+            {
+                "kind": pa.array(["arr"] * arr.num_rows, type=pa.string()),
+                "k1": arr["b"].cast(pa.int64()),
+                "v1": arr["n"].cast(pa.int64()),
+                "v2": arr["mx"].cast(pa.int64()),
+                "v3": arr["sm"].cast(pa.int64()),
+            }
+        )
+        vc_t = pa.table(
+            {
+                "kind": pa.array(["vc"] * vc.num_rows, type=pa.string()),
+                "k1": vc["dl"].cast(pa.int64()),
+                "v1": vc["cnt"].cast(pa.int64()),
+                "v2": zeros,
+                "v3": zeros,
+            }
+        )
+        return pa.concat_tables([arr_t, vc_t])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    cat = pa.concat_tables(collect_tables(ds, on_empty="no documents"))
+
+    rows: list[tuple[str, int, int, int, int]] = []
+    # arrival strategy: combine per-(batch) partials
+    arr = (
+        cat.filter(pc.equal(cat["kind"], "arr"))
+        .group_by("k1")
+        .aggregate([("v1", "sum"), ("v2", "max"), ("v3", "sum")])
+        .sort_by("k1")
+    )
+    for b, n, mx, sm in zip(
+        arr["k1"].to_pylist(), arr["v1_sum"].to_pylist(),
+        arr["v2_max"].to_pylist(), arr["v3_sum"].to_pylist(),
+    ):
+        rows.append(("arrival", int(b), int(n), int(mx), int(sm)))
+    # length-grouped: walk the dl runs; ties within one dl are doc_id
+    # ordered, which never changes batch stats (equal lengths)
+    vc = (
+        cat.filter(pc.equal(cat["kind"], "vc"))
+        .group_by("k1")
+        .aggregate([("v1", "sum")])
+        .sort_by("k1")
+    )
+    bi, n_cur, mx_cur, sm_cur = 0, 0, 0, 0
+    for dl, cnt in zip(vc["k1"].to_pylist(), vc["v1_sum"].to_pylist()):
+        left = int(cnt)
+        while left:
+            take = min(batch_size - n_cur, left)
+            n_cur += take
+            sm_cur += take * int(dl)
+            mx_cur = int(dl)
+            left -= take
+            if n_cur == batch_size:
+                rows.append(("length_grouped", bi, n_cur, mx_cur, sm_cur))
+                bi, n_cur, mx_cur, sm_cur = bi + 1, 0, 0, 0
+    if n_cur:
+        rows.append(("length_grouped", bi, n_cur, mx_cur, sm_cur))
+    return pa.table(
+        {
+            "strategy": pa.array([r[0] for r in rows], type=pa.string()),
+            "batch_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n": pa.array([r[2] for r in rows], type=pa.int64()),
+            "max_dl": pa.array([r[3] for r in rows], type=pa.int64()),
+            "sum_dl": pa.array([r[4] for r in rows], type=pa.int64()),
+            "padding": pa.array(
+                [r[2] * r[3] - r[4] for r in rows], type=pa.int64()
+            ),
+        }
+    )

@@ -1488,3 +1488,35 @@ def test_t5_span_corruption_reconstruction(ray_session, tmp_path):
     t5_span_corruption_to_parquet(sf, out_dir)
     sunk = pads.dataset(out_dir).to_table().sort_by("doc_id")
     assert sunk.equals(out)
+
+
+def test_length_grouped_batches_brute_force(ray_session):
+    """Batch stats equal a direct sorted replay; length grouping strictly
+    reduces total padding on this corpus."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.textstats import length_grouped_batches
+
+    out = length_grouped_batches(SF, batch_size=64).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    dls = {
+        d: len(t.split(" "))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    # arrival replay
+    arr = out[out.strategy == "arrival"].set_index("batch_id")
+    for b in arr.index:
+        members = [dl for d, dl in dls.items() if d // 64 == b]
+        assert arr.loc[b, "n"] == len(members)
+        assert arr.loc[b, "max_dl"] == max(members)
+        assert arr.loc[b, "sum_dl"] == sum(members)
+        assert arr.loc[b, "padding"] == len(members) * max(members) - sum(members)
+    # length-grouped replay
+    ordered = sorted(dls.items(), key=lambda kv: (kv[1], kv[0]))
+    lg = out[out.strategy == "length_grouped"].set_index("batch_id")
+    for b in lg.index:
+        members = [dl for _, dl in ordered[b * 64 : (b + 1) * 64]]
+        assert lg.loc[b, "n"] == len(members)
+        assert lg.loc[b, "max_dl"] == max(members)
+        assert lg.loc[b, "sum_dl"] == sum(members)
+    assert lg["padding"].sum() < arr["padding"].sum()
