@@ -4638,6 +4638,18 @@ def _q_esql_mv_expand(sf_dir: str) -> pa.Table:
     return run_esql(_ESQL_MVEXPAND, sf_dir)
 
 
+def _q_esql_count_distinct(sf_dir: str) -> pa.Table:
+    """ES|QL COUNT_DISTINCT: per-batch distinct-row partials, driver
+    distinct-then-count combine."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM events | STATS u = COUNT_DISTINCT(user_id) BY event_type "
+        "| SORT event_type",
+        sf_dir,
+    )
+
+
 def _q_esql_enrich(sf_dir: str) -> pa.Table:
     """ES|QL ENRICH: the nations policy index broadcast + per-batch join,
     aggregated by enriched region name."""
@@ -4941,6 +4953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_strings": _q_esql_strings,
         "sql_group": _q_sql_group,
         "esql_enrich": _q_esql_enrich,
+        "esql_count_distinct": _q_esql_count_distinct,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -9285,6 +9298,10 @@ FROM documents WHERE n_chars >= 100 AND source LIKE 'src1%'
 GROUP BY lang ORDER BY l
 """,
         "sql_select": _SQL_SELECT,
+        "esql_count_distinct": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS u
+FROM events GROUP BY event_type ORDER BY event_type
+""",
         "esql_enrich": """
 SELECT r.r_name, count(*)::BIGINT AS n,
        sum(round(c.c_acctbal * 100, 0)) AS bal

@@ -320,7 +320,7 @@ class _Parser:
         raise ValueError(f"esql: unexpected token {(kind, text)}")
 
 
-_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT"}
 
 
 @dataclass
@@ -447,6 +447,12 @@ def parse_esql(src: str) -> EsqlPlan:
                     if p.peek() != ("op", ","):
                         break
                     p.next()
+            cds = [s_ for s_ in plan.stats if s_[1] == "COUNT_DISTINCT"]
+            if cds and len(cds) != len(plan.stats):
+                raise ValueError(
+                    "esql: COUNT_DISTINCT cannot mix with other aggregates "
+                    "in one STATS (its partial is a distinct-row stream)"
+                )
         elif cmd == "SORT":
             while True:
                 col = p.expect("ident")[1]
@@ -819,6 +825,11 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     [(c, "descending" if d else "ascending") for c, d in plan.sort]
                 ).slice(0, plan.limit)
             return batch
+        if stats and stats[0][1] == "COUNT_DISTINCT":
+            # per-batch DISTINCT (by + cols) rows — the mergeable partial of
+            # a distinct count (combine = distinct again, then count)
+            cols = by + [c for _, _, c in stats]
+            return batch.select(cols).group_by(cols).aggregate([])
         # STATS partials: one Arrow hash-agg per batch, mergeable outputs
         aggs, out_names = [], []
         for out, fn, col in stats:
@@ -873,6 +884,33 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         return cat
     # combine mergeable partials on the driver (bounded by #groups × #blocks)
     cat = pa.concat_tables(parts, promote_options="default")
+    if stats and stats[0][1] == "COUNT_DISTINCT":
+        final: dict[str, object] = {}
+        dedup = cat.group_by(cat.column_names).aggregate([])
+        if by:
+            g = dedup.group_by(by).aggregate(
+                [(c, "count") for _, _, c in stats]
+            )
+            final = {b: g[b] for b in by}
+            for i, (out, _fn, _c) in enumerate(stats):
+                final[out] = g.column(len(by) + i).cast(pa.int64())
+        else:
+            final = {
+                out: pa.array([dedup.num_rows], type=pa.int64())
+                for out, _fn, _c in stats
+            }
+        res = pa.table(final)
+        if plan.keep is not None:
+            res = res.select(plan.keep)
+        if plan.sort:
+            res = res.sort_by(
+                [(c, "descending" if d else "ascending") for c, d in plan.sort]
+            )
+        elif by:
+            res = res.sort_by([(b, "ascending") for b in by])
+        if plan.limit is not None:
+            res = res.slice(0, plan.limit)
+        return res
     comb = [
         (c, _COMBINE[c.rsplit("__", 1)[1]])
         for c in cat.column_names

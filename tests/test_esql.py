@@ -436,3 +436,23 @@ def test_esql_enrich_matches_duckdb(ray_session):
     _assert_tables_equal(got, want)
     with pytest.raises(ValueError, match="unknown enrich policy"):
         parse_esql("FROM customer | ENRICH bogus ON c_nationkey")
+
+
+def test_esql_count_distinct(ray_session):
+    got = run_esql(
+        "FROM events | STATS u = COUNT_DISTINCT(user_id) BY event_type "
+        "| SORT event_type",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT event_type, count(DISTINCT user_id)::BIGINT u "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(got, want)
+    glob = run_esql("FROM events | STATS u = COUNT_DISTINCT(user_id)", SF_DIR)
+    wantg = _duck("SELECT count(DISTINCT user_id)::BIGINT u FROM events")
+    _assert_tables_equal(glob, wantg)
+    with pytest.raises(ValueError, match="cannot mix"):
+        parse_esql(_normalize_assign(
+            "FROM events | STATS u = COUNT_DISTINCT(user_id), n = COUNT(*)"
+        ))
