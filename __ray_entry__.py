@@ -4638,6 +4638,18 @@ def _q_esql_mv_expand(sf_dir: str) -> pa.Table:
     return run_esql(_ESQL_MVEXPAND, sf_dir)
 
 
+def _q_esql_median(sf_dir: str) -> pa.Table:
+    """ES|QL MEDIAN: per-batch value-count partials, driver weighted
+    quantile_cont interpolation."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM events | EVAL cents = ROUND(value * 100, 0) "
+        "| STATS m = MEDIAN(cents) BY event_type | SORT event_type",
+        sf_dir,
+    )
+
+
 def _q_esql_count_distinct(sf_dir: str) -> pa.Table:
     """ES|QL COUNT_DISTINCT: per-batch distinct-row partials, driver
     distinct-then-count combine."""
@@ -4954,6 +4966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_group": _q_sql_group,
         "esql_enrich": _q_esql_enrich,
         "esql_count_distinct": _q_esql_count_distinct,
+        "esql_median": _q_esql_median,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -9300,6 +9313,10 @@ GROUP BY lang ORDER BY l
         "sql_select": _SQL_SELECT,
         "esql_count_distinct": """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS u
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "esql_median": """
+SELECT event_type, round(median(round(value * 100, 0)), 6) AS m
 FROM events GROUP BY event_type ORDER BY event_type
 """,
         "esql_enrich": """

@@ -320,7 +320,7 @@ class _Parser:
         raise ValueError(f"esql: unexpected token {(kind, text)}")
 
 
-_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT"}
+_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT", "MEDIAN"}
 
 
 @dataclass
@@ -452,6 +452,12 @@ def parse_esql(src: str) -> EsqlPlan:
                 raise ValueError(
                     "esql: COUNT_DISTINCT cannot mix with other aggregates "
                     "in one STATS (its partial is a distinct-row stream)"
+                )
+            meds = [s_ for s_ in plan.stats if s_[1] == "MEDIAN"]
+            if meds and len(plan.stats) != 1:
+                raise ValueError(
+                    "esql: MEDIAN must be the only aggregate in STATS (its "
+                    "partial is a value-count stream)"
                 )
         elif cmd == "SORT":
             while True:
@@ -830,6 +836,15 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
             # a distinct count (combine = distinct again, then count)
             cols = by + [c for _, _, c in stats]
             return batch.select(cols).group_by(cols).aggregate([])
+        if stats and stats[0][1] == "MEDIAN":
+            # per-batch VALUE COUNTS — the mergeable partial of an exact
+            # quantile (combine = sum counts, then weighted interpolation)
+            col = stats[0][2]
+            t = batch.select(by + [col]).append_column(
+                "__one", pa.array(np.ones(batch.num_rows, np.int64))
+            )
+            g = t.group_by(by + [col]).aggregate([("__one", "sum")])
+            return g.rename_columns(by + [col, "__cnt"])
         # STATS partials: one Arrow hash-agg per batch, mergeable outputs
         aggs, out_names = [], []
         for out, fn, col in stats:
@@ -884,6 +899,47 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         return cat
     # combine mergeable partials on the driver (bounded by #groups × #blocks)
     cat = pa.concat_tables(parts, promote_options="default")
+    if stats and stats[0][1] == "MEDIAN":
+        out_name, _fn, col = stats[0]
+        g = cat.group_by(by + [col]).aggregate([("__cnt", "sum")])
+        vals = np.asarray(g[col], dtype=np.float64)
+        cnts = np.asarray(g["__cnt_sum"], dtype=np.int64)
+        from .aggs import _weighted_quantile
+
+        final: dict[str, object] = {}
+        if by:
+            keys = list(zip(*(g[b].to_pylist() for b in by)))
+            uniq = sorted(set(keys))
+            med = []
+            for k in uniq:
+                m = np.array([kk == k for kk in keys])
+                med.append(
+                    float(sql_round(_weighted_quantile(vals[m], cnts[m], 0.5),
+                                    round_decimals))
+                )
+            for i, b in enumerate(by):
+                final[b] = pa.array([k[i] for k in uniq])
+            final[out_name] = pa.array(med, type=pa.float64())
+        else:
+            final = {
+                out_name: pa.array(
+                    [float(sql_round(_weighted_quantile(vals, cnts, 0.5),
+                                     round_decimals))],
+                    type=pa.float64(),
+                )
+            }
+        res = pa.table(final)
+        if plan.keep is not None:
+            res = res.select(plan.keep)
+        if plan.sort:
+            res = res.sort_by(
+                [(c, "descending" if d else "ascending") for c, d in plan.sort]
+            )
+        elif by:
+            res = res.sort_by([(b, "ascending") for b in by])
+        if plan.limit is not None:
+            res = res.slice(0, plan.limit)
+        return res
     if stats and stats[0][1] == "COUNT_DISTINCT":
         final: dict[str, object] = {}
         dedup = cat.group_by(cat.column_names).aggregate([])

@@ -71,7 +71,7 @@ def test_parse_rejections():
             "FROM documents | STATS c = COUNT(*) | STATS d = COUNT(*)"
         ))
     with pytest.raises(ValueError, match="unknown aggregate"):
-        parse_esql(_normalize_assign("FROM documents | STATS c = MEDIAN(n_chars)"))
+        parse_esql(_normalize_assign("FROM documents | STATS c = MODE(n_chars)"))
 
 
 def test_normalize_assign_leaves_strings_alone():
@@ -455,4 +455,30 @@ def test_esql_count_distinct(ray_session):
     with pytest.raises(ValueError, match="cannot mix"):
         parse_esql(_normalize_assign(
             "FROM events | STATS u = COUNT_DISTINCT(user_id), n = COUNT(*)"
+        ))
+
+
+def test_esql_median(ray_session):
+    got = run_esql(
+        "FROM events | EVAL cents = ROUND(value * 100, 0) "
+        "| STATS m = MEDIAN(cents) BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT event_type, round(median(round(value * 100, 0)), 6) m "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(got, want)
+    glob = run_esql(
+        "FROM events | EVAL cents = ROUND(value * 100, 0) "
+        "| STATS m = MEDIAN(cents)",
+        SF_DIR,
+    )
+    wantg = _duck(
+        "SELECT round(median(round(value * 100, 0)), 6) m FROM events"
+    )
+    _assert_tables_equal(glob, wantg)
+    with pytest.raises(ValueError, match="only aggregate"):
+        parse_esql(_normalize_assign(
+            "FROM events | STATS m = MEDIAN(value), n = COUNT(*)"
         ))
