@@ -2840,6 +2840,29 @@ def _q_quality(sf_dir: str) -> pa.Table:
     return quality_scores(sf_dir)
 
 
+def _q_simulate_grok(sf_dir: str) -> pa.Table:
+    """Ingest-pipeline grok + dissect processors over the doc stream:
+    typed int extraction and string extraction from the source field."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import simulate_pipeline
+
+    out = simulate_pipeline(
+        sf_dir,
+        [
+            {"type": "grok", "field": "source", "pattern": "src%{INT:srcnum:int}"},
+            {"type": "dissect", "field": "source", "pattern": "src%{srcnum_s}"},
+        ],
+        columns=("doc_id", "source"),
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].combine_chunks().cast(pa.int64()),
+            "source": out["source"],
+            "srcnum": out["srcnum"].combine_chunks().cast(pa.int64()),
+            "srcnum_s": out["srcnum_s"],
+        }
+    )
+
+
 def _q_simulate_pipeline(sf_dir: str) -> pa.Table:
     """ES ``_ingest/pipeline/_simulate``: gsub (vowel→'_') ▸ uppercase ▸
     set tag ▸ fingerprint(text|lang) over the doc stream, in order."""
@@ -4925,6 +4948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_stats": _q_tokenizer_stats,
         "mlm_examples": _q_mlm_examples,
         "simulate_pipeline": _q_simulate_pipeline,
+        "simulate_grok": _q_simulate_grok,
         "quality_classifier": _q_quality_classifier,
         "token_count_bpe": _q_bpe,
         "lang_id": _q_lang_id,  # rows-only (heuristic model)
@@ -8202,6 +8226,13 @@ SELECT lang, count(*)::BIGINT AS n_docs,
 FROM documents GROUP BY lang ORDER BY lang
 """,
         # ingest-pipeline simulate: gsub ▸ uppercase ▸ set ▸ fingerprint
+        "simulate_grok": """
+SELECT doc_id, source,
+       CAST(regexp_extract(source, '^src([+-]?\\d+)$', 1) AS BIGINT)
+         AS srcnum,
+       regexp_extract(source, '^src(.*)$', 1) AS srcnum_s
+FROM documents ORDER BY doc_id
+""",
         "simulate_pipeline": """
 WITH s AS (
   SELECT doc_id,

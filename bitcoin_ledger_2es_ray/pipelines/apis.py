@@ -546,7 +546,11 @@ def disk_usage(index_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
-def simulate_pipeline(sf_dir: str, processors: list[dict]) -> "pa.Table":
+def simulate_pipeline(
+    sf_dir: str,
+    processors: list[dict],
+    columns: tuple[str, ...] = ("doc_id", "text", "lang"),
+) -> "pa.Table":
     """ES ``_ingest/pipeline/_simulate``: run an ordered processor chain
     over the document stream and return the transformed docs — the
     try-before-you-ingest API.  Supported processors (each one vectorized
@@ -561,6 +565,10 @@ def simulate_pipeline(sf_dir: str, processors: list[dict]) -> "pa.Table":
     - ``{"type": "fingerprint", "fields": [f, ...], "target": t}``
       (sha256 hex of the '|'-joined fields — ES's fingerprint processor
       with its default separator)
+    - ``{"type": "grok", "field": f, "pattern": p}`` / ``{"type":
+      "dissect", ...}`` — the log-parsing processors, sharing the ES|QL
+      compilers (patterns → RE2 named groups at registration, one
+      ``extract_regex`` per batch; ``:int``/``:float`` grok conversions)
 
     Unknown processor types raise up front (ES rejects the pipeline at
     registration, not per doc)."""
@@ -570,15 +578,37 @@ def simulate_pipeline(sf_dir: str, processors: list[dict]) -> "pa.Table":
     import ray
     import ray.data as rd
 
-    KNOWN = {"lowercase", "uppercase", "gsub", "set", "trim", "fingerprint"}
+    from .esql import compile_dissect, compile_grok
+
+    KNOWN = {
+        "lowercase", "uppercase", "gsub", "set", "trim", "fingerprint",
+        "grok", "dissect",
+    }
+    compiled: dict[int, tuple[str, list[tuple[str, str]]]] = {}
+    for i, p in enumerate(processors):
+        if p.get("type") == "grok":
+            compiled[i] = compile_grok(p["pattern"])
+        elif p.get("type") == "dissect":
+            compiled[i] = compile_dissect(p["pattern"])
     for p in processors:
         if p.get("type") not in KNOWN:
             raise ValueError(f"unknown processor type {p.get('type')!r}")
 
     def apply(batch: pa.Table) -> pa.Table:
         cols = {name: batch[name].combine_chunks() for name in batch.column_names}
-        for p in processors:
+        for i, p in enumerate(processors):
             t = p["type"]
+            if t in ("grok", "dissect"):
+                regex, fields = compiled[i]
+                st = pc.extract_regex(cols[p["field"]], regex)
+                for name, typ in fields:
+                    v = pc.struct_field(st, name)
+                    if typ == "int":
+                        v = pc.cast(v, pa.int64())
+                    elif typ == "float":
+                        v = pc.cast(v, pa.float64())
+                    cols[name] = v
+                continue
             if t == "lowercase":
                 cols[p["field"]] = pc.utf8_lower(cols[p["field"]])
             elif t == "uppercase":
@@ -609,7 +639,7 @@ def simulate_pipeline(sf_dir: str, processors: list[dict]) -> "pa.Table":
         return pa.table(cols)
 
     ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        f"{sf_dir}/documents.parquet", columns=list(columns)
     ).map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
     parts = [ray.get(r) for r in ds.to_arrow_refs()]
     parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]

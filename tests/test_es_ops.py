@@ -3325,3 +3325,25 @@ def test_geo_sort_topk_brute_force(ray_session):
     assert out["c_custkey"].to_pylist() == [k for _, k in rows[:10]]
     assert out["dist_km"].to_pylist() == [d for d, _ in rows[:10]]
     assert out["rank"].to_pylist() == list(range(1, 11))
+
+
+def test_simulate_grok_dissect_processors(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.apis import simulate_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    out = simulate_pipeline(
+        sf,
+        [
+            {"type": "grok", "field": "source", "pattern": "src%{INT:srcnum:int}"},
+            {"type": "dissect", "field": "source", "pattern": "src%{srcnum_s}"},
+        ],
+        columns=("doc_id", "source"),
+    )
+    src = out["source"].to_pylist()
+    assert out["srcnum"].to_pylist() == [int(s[3:]) for s in src]
+    assert out["srcnum_s"].to_pylist() == [s[3:] for s in src]
+    # bad grok pattern rejected at registration, not per doc
+    with pytest.raises(ValueError, match="unknown grok pattern"):
+        simulate_pipeline(
+            sf, [{"type": "grok", "field": "source", "pattern": "%{NOPE:x}"}]
+        )
