@@ -4661,6 +4661,19 @@ def _q_esql_mv_expand(sf_dir: str) -> pa.Table:
     return run_esql(_ESQL_MVEXPAND, sf_dir)
 
 
+def _q_esql_case(sf_dir: str) -> pa.Table:
+    """ES|QL CASE conditional + IN list predicate, aggregated by the
+    derived bucket."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        'FROM documents | WHERE lang IN ("en", "fr", "es") '
+        '| EVAL size = CASE(n_chars > 400, "big", n_chars > 200, "mid", "small") '
+        "| STATS n = COUNT(*) BY size | SORT size",
+        sf_dir,
+    )
+
+
 def _q_esql_median(sf_dir: str) -> pa.Table:
     """ES|QL MEDIAN: per-batch value-count partials, driver weighted
     quantile_cont interpolation."""
@@ -4991,6 +5004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_enrich": _q_esql_enrich,
         "esql_count_distinct": _q_esql_count_distinct,
         "esql_median": _q_esql_median,
+        "esql_case": _q_esql_case,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -9349,6 +9363,13 @@ FROM events GROUP BY event_type ORDER BY event_type
         "esql_median": """
 SELECT event_type, round(median(round(value * 100, 0)), 6) AS m
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "esql_case": """
+SELECT CASE WHEN n_chars > 400 THEN 'big'
+            WHEN n_chars > 200 THEN 'mid' ELSE 'small' END AS size,
+       count(*)::BIGINT AS n
+FROM documents WHERE lang IN ('en', 'fr', 'es')
+GROUP BY size ORDER BY size
 """,
         "esql_enrich": """
 SELECT r.r_name, count(*)::BIGINT AS n,

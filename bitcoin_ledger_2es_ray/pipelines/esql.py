@@ -96,6 +96,7 @@ _KEYWORDS = {
     "ENRICH",
     "LIKE",
     "RLIKE",
+    "IN",
     "AND",
     "OR",
     "NOT",
@@ -274,6 +275,21 @@ class _Parser:
         if self.peek() in (("kw", "LIKE"), ("kw", "RLIKE")):
             op = self.next()[1].lower()
             return ("bin", op, left, self._add())
+        if self.peek() == ("kw", "IN"):
+            self.next()
+            self.expect("op", "(")
+            vals = []
+            while True:
+                item = self._atom()
+                if item[0] != "lit":
+                    raise ValueError("esql: IN list items must be literals")
+                vals.append(item[1])
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+            self.expect("op", ")")
+            return ("bin", "in", left, ("lit", vals))
         return left
 
     def _add(self):
@@ -557,10 +573,24 @@ def _eval_expr(node: tuple, batch: pa.Table):
             return pc.starts_with(vals[0], pattern=vals[1])
         if name == "COALESCE":
             return pc.coalesce(*vals)
+        if name == "CASE":
+            # CASE(cond1, val1, ..., [default]) — ES|QL's conditional
+            if len(vals) < 2:
+                raise ValueError("esql: CASE needs at least (cond, value)")
+            default = vals[-1] if len(vals) % 2 == 1 else None
+            pairs = vals[: len(vals) - (len(vals) % 2)]
+            acc = default
+            for cond, val in reversed(list(zip(pairs[::2], pairs[1::2]))):
+                acc = pc.if_else(cond, val, acc)
+            return acc
         raise ValueError(f"esql: unknown function {name}")
     op = node[1]
     left = _eval_expr(node[2], batch)
     right = _eval_expr(node[3], batch)
+    if op == "in":
+        if not isinstance(right, list):
+            raise ValueError("esql: IN needs a literal list")
+        return pc.is_in(left, value_set=pa.array(right))
     if op in ("like", "rlike"):
         if not isinstance(right, str):
             raise ValueError(f"esql: {op.upper()} needs a string literal pattern")

@@ -482,3 +482,23 @@ def test_esql_median(ray_session):
         parse_esql(_normalize_assign(
             "FROM events | STATS m = MEDIAN(value), n = COUNT(*)"
         ))
+
+
+def test_esql_in_and_case(ray_session):
+    got = run_esql(
+        'FROM documents | WHERE lang IN ("en", "fr", "es") '
+        '| EVAL size = CASE(n_chars > 400, "big", n_chars > 200, "mid", "small") '
+        "| STATS n = COUNT(*) BY size | SORT size",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT CASE WHEN n_chars > 400 THEN 'big' "
+        "WHEN n_chars > 200 THEN 'mid' ELSE 'small' END size, "
+        "count(*)::BIGINT n FROM documents "
+        "WHERE lang IN ('en','fr','es') GROUP BY size ORDER BY size"
+    )
+    _assert_tables_equal(got, want)
+    with pytest.raises(ValueError, match="IN list items must be literals"):
+        parse_esql("FROM documents | WHERE lang IN (source) | SORT doc_id")
+    with pytest.raises(Exception, match="at least"):
+        run_esql("FROM documents | EVAL x = CASE(lang) | KEEP x", SF_DIR)
