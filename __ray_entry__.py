@@ -2840,6 +2840,32 @@ def _q_quality(sf_dir: str) -> pa.Table:
     return quality_scores(sf_dir)
 
 
+def _q_percolate_bool(sf_dir: str) -> pa.Table:
+    """Bool-query percolation: 50 registered must+must_not queries, the
+    doc stream reports its matches — reverse search with negation."""
+    import pyarrow.parquet as pqm
+
+    from bitcoin_ledger_2es_ray.pipelines.percolate import percolate_bool
+
+    docs = pqm.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    vocab = sorted({t for s in docs["text"].to_pylist() for t in s.split(" ")})
+    c = len(vocab)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(_N_QUERIES), type=pa.int64()),
+            "text": pa.array(
+                [f"{vocab[q % c]} {vocab[(7 * q + 3) % c]}" for q in range(_N_QUERIES)]
+            ),
+            "neg_text": pa.array(
+                [vocab[(7 * q + 1) % c] for q in range(_N_QUERIES)]
+            ),
+        }
+    )
+    return percolate_bool(sf_dir, queries)
+
+
 def _q_simulate_grok(sf_dir: str) -> pa.Table:
     """Ingest-pipeline grok + dissect processors over the doc stream:
     typed int extraction and string extraction from the source field."""
@@ -4962,6 +4988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlm_examples": _q_mlm_examples,
         "simulate_pipeline": _q_simulate_pipeline,
         "simulate_grok": _q_simulate_grok,
+        "percolate_bool": _q_percolate_bool,
         "quality_classifier": _q_quality_classifier,
         "token_count_bpe": _q_bpe,
         "lang_id": _q_lang_id,  # rows-only (heuristic model)
@@ -8240,6 +8267,29 @@ SELECT lang, count(*)::BIGINT AS n_docs,
 FROM documents GROUP BY lang ORDER BY lang
 """,
         # ingest-pipeline simulate: gsub ▸ uppercase ▸ set ▸ fingerprint
+        "percolate_bool": _PRELUDE
+        + """
+, mq AS (
+  SELECT q AS query_id, v1.term AS t1, v2.term AS t2, v3.term AS t3
+  FROM generate_series(0, 49) t(q) CROSS JOIN nv
+  JOIN vocab v1 ON v1.idx = q % nv.c
+  JOIN vocab v2 ON v2.idx = (7*q+3) % nv.c
+  JOIN vocab v3 ON v3.idx = (7*q+1) % nv.c
+),
+matches AS (
+  SELECT m.query_id, tf1.doc_id
+  FROM mq m
+  JOIN tf tf1 ON tf1.term = m.t1
+  JOIN tf tf2 ON tf2.term = m.t2 AND tf2.doc_id = tf1.doc_id
+  WHERE m.t3 IN (m.t1, m.t2)
+     OR NOT EXISTS (
+       SELECT 1 FROM tf tn
+       WHERE tn.term = m.t3 AND tn.doc_id = tf1.doc_id
+     )
+)
+SELECT DISTINCT doc_id::BIGINT AS doc_id, query_id::BIGINT AS query_id
+FROM matches ORDER BY doc_id, query_id
+""",
         "simulate_grok": """
 SELECT doc_id, source,
        CAST(regexp_extract(source, '^src([+-]?\\d+)$', 1) AS BIGINT)

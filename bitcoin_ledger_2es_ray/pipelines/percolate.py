@@ -188,3 +188,112 @@ def percolate_phrases(sf_dir: str, phrases: pa.Table) -> pa.Table:
     return pa.concat_tables(parts).sort_by(
         [("doc_id", "ascending"), ("query_id", "ascending")]
     )
+
+
+def percolate_bool(sf_dir: str, queries: pa.Table) -> pa.Table:
+    """Bool-query percolation: registered queries carry ``must`` AND
+    ``must_not`` term lists — a doc matches iff it contains EVERY must
+    term and NONE of the must_not terms (ES percolates the full query
+    DSL; this is the bool extension of the conjunctive kernel).
+
+    Registration state: (query_id, term, neg) pairs + per-query must
+    counts, broadcast once.  Per batch: distinct (doc, term) joins the
+    pairs; per (doc, query) the positive hits must equal n_must and the
+    negative hits must be zero — one Arrow hash-agg, no per-row Python.
+
+    ``queries`` columns: query_id, text (must terms), neg_text (must_not
+    terms, space-separated, may be empty)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    qids, terms, negs = [], [], []
+    n_must: dict[int, int] = {}
+    for qid, text, neg_text in zip(
+        queries["query_id"].to_pylist(),
+        queries["text"].to_pylist(),
+        queries["neg_text"].to_pylist(),
+    ):
+        must = sorted(set(tokenize_query(text)))
+        must_not = sorted(set(tokenize_query(neg_text or "")) - set(must))
+        n_must[int(qid)] = len(must)
+        for t in must:
+            qids.append(int(qid))
+            terms.append(t)
+            negs.append(0)
+        for t in must_not:
+            qids.append(int(qid))
+            terms.append(t)
+            negs.append(1)
+    pairs = pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "neg": pa.array(negs, type=pa.int64()),
+        }
+    )
+    nt = pa.table(
+        {
+            "query_id": pa.array(sorted(n_must), type=pa.int64()),
+            "n_must": pa.array(
+                [n_must[q] for q in sorted(n_must)], type=pa.int64()
+            ),
+        }
+    )
+    pairs_ref = ray.put(pairs)
+    nt_ref = ray.put(nt)
+
+    def match_batch(batch: pa.Table) -> pa.Table:
+        terms_f, doc_idx, _ = tokenize_flat(batch["text"])
+        doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)[doc_idx]
+        dt = (
+            pa.table({"doc_id": pa.array(doc_ids), "term": terms_f})
+            .group_by(["doc_id", "term"])
+            .aggregate([])
+        )
+        j = dt.join(ray.get(pairs_ref), keys="term", join_type="inner")
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "query_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if j.num_rows == 0:
+            return empty
+        j = j.append_column(
+            "pos", pc.subtract(pa.scalar(1), j["neg"]).cast(pa.int64())
+        )
+        g = j.group_by(["doc_id", "query_id"]).aggregate(
+            [("pos", "sum"), ("neg", "sum")]
+        )
+        full = g.join(ray.get(nt_ref), keys="query_id", join_type="inner")
+        keep = pc.and_(
+            pc.equal(full["pos_sum"], full["n_must"]),
+            pc.equal(full["neg_sum"], 0),
+        )
+        out = full.filter(keep)
+        if out.num_rows == 0:
+            return empty
+        return pa.table(
+            {
+                "doc_id": out["doc_id"].cast(pa.int64()),
+                "query_id": out["query_id"].cast(pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(match_batch, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "query_id": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by(
+        [("doc_id", "ascending"), ("query_id", "ascending")]
+    )

@@ -3347,3 +3347,38 @@ def test_simulate_grok_dissect_processors(ray_session):
         simulate_pipeline(
             sf, [{"type": "grok", "field": "source", "pattern": "%{NOPE:x}"}]
         )
+
+
+def test_percolate_bool_brute_force(ray_session):
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.pipelines.percolate import percolate_bool
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    split = {
+        d: set(t.split(" "))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    vocab = sorted(set().union(*split.values()))
+    queries = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [f"{vocab[0]} {vocab[3]}", vocab[5], f"{vocab[2]} {vocab[2]}"]
+            ),
+            "neg_text": pa.array([vocab[7], vocab[0], vocab[2]]),
+        }
+    )
+    out = percolate_bool(sf, queries)
+    got = set(zip(out["doc_id"].to_pylist(), out["query_id"].to_pylist()))
+    want = set()
+    for d, s in split.items():
+        if vocab[0] in s and vocab[3] in s and vocab[7] not in s:
+            want.add((d, 0))
+        if vocab[5] in s and vocab[0] not in s:
+            want.add((d, 1))
+        # query 2: neg term equals the must term → negation is dropped
+        if vocab[2] in s:
+            want.add((d, 2))
+    assert got == want
