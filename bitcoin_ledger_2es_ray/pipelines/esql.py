@@ -931,6 +931,13 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     cat = pa.concat_tables(parts, promote_options="default")
     if stats and stats[0][1] == "MEDIAN":
         out_name, _fn, col = stats[0]
+        if cat.num_rows == 0:  # empty match: no buckets, ES|QL's shape
+            return pa.table(
+                {
+                    **{b: pa.array([], type=cat.schema.field(b).type) for b in by},
+                    out_name: pa.array([], type=pa.float64()),
+                }
+            )
         g = cat.group_by(by + [col]).aggregate([("__cnt", "sum")])
         vals = np.asarray(g[col], dtype=np.float64)
         cnts = np.asarray(g["__cnt_sum"], dtype=np.int64)

@@ -502,3 +502,12 @@ def test_esql_in_and_case(ray_session):
         parse_esql("FROM documents | WHERE lang IN (source) | SORT doc_id")
     with pytest.raises(Exception, match="at least"):
         run_esql("FROM documents | EVAL x = CASE(lang) | KEEP x", SF_DIR)
+
+
+def test_esql_median_empty_match(ray_session):
+    got = run_esql(
+        'FROM documents | WHERE lang == "klingon" '
+        "| STATS m = MEDIAN(n_chars) BY lang",
+        SF_DIR,
+    )
+    assert got.num_rows == 0 and got.column_names == ["lang", "m"]
