@@ -2266,6 +2266,33 @@ def _q_delete_query_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_function_score_sum(sf_dir: str) -> pa.Table:
+    """function_score with boost_mode=sum: BM25 + ln(1+dl) — ES's additive
+    combine, over the driver store."""
+    from bitcoin_ledger_2es_ray.pipelines.query import function_score_query
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        top = function_score_query(
+            store, text, _TOP_K, round_decimals=_ROUND, boost_mode="sum"
+        )
+        for r, (d, s) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def _q_function_score_topk(sf_dir: str) -> pa.Table:
     """ES ``function_score`` (field_value_factor, modifier ln1p on dl,
     multiply boost_mode): fixture BM25 re-weighted by ln(1+dl), ranked on
@@ -4951,6 +4978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_topk": _q_synonym_topk,
         "delete_query_topk": _q_delete_query_topk,
         "function_score_topk": _q_function_score_topk,
+        "function_score_sum": _q_function_score_sum,
         "script_score_topk": _q_script_score,
         "explain": _q_explain,
         "collapse_topk": _q_collapse_topk,
@@ -5315,6 +5343,29 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """.replace("{k}", str(_TOP_K)),
         # function_score: BM25 × ln(1+dl) (field_value_factor ln1p,
         # multiply boost_mode), ranked on the rounded final score
+        "function_score_sum": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+               + ln(1 + max(dl.dl)), 6) AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
         "function_score_topk": _PRELUDE
         + """
 , scored AS (

@@ -305,10 +305,12 @@ def function_score_query(
     k1: float = K1,
     b: float = B,
     round_decimals: int | None = None,
+    boost_mode: str = "multiply",
 ) -> list[tuple[int, float]]:
     """ES ``function_score`` with a ``field_value_factor`` function:
-    ``score = BM25 × ln(1 + dl)`` (modifier ``ln1p`` on the doc-length
-    field, multiply boost_mode — ES's default combine).
+    ``score = BM25 (op) ln(1 + dl)`` (modifier ``ln1p`` on the doc-length
+    field), where (op) is ES's ``boost_mode`` — ``multiply`` (the
+    default), ``sum``, ``avg``, ``max``, ``min`` or ``replace``.
 
     The field value needs no extra join: ``dl`` travels with every posting
     (schemas.POSTINGS_RAW), so the factor is read off the decoded lists.
@@ -338,7 +340,21 @@ def function_score_query(
     np.add.at(scores, inv, all_contrib)
     dl_of = np.zeros(len(uniq), dtype=np.float64)
     dl_of[inv] = all_dl  # dl is constant per doc — any occurrence works
-    final = scores * np.log1p(dl_of)
+    factor = np.log1p(dl_of)
+    if boost_mode == "multiply":
+        final = scores * factor
+    elif boost_mode == "sum":
+        final = scores + factor
+    elif boost_mode == "avg":
+        final = (scores + factor) / 2.0
+    elif boost_mode == "max":
+        final = np.maximum(scores, factor)
+    elif boost_mode == "min":
+        final = np.minimum(scores, factor)
+    elif boost_mode == "replace":
+        final = factor
+    else:
+        raise ValueError(f"function_score: unknown boost_mode {boost_mode!r}")
     if round_decimals is not None:
         final = sql_round(final, round_decimals)
     order = topk_order(final, uniq, k)

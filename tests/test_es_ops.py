@@ -3382,3 +3382,46 @@ def test_percolate_bool_brute_force(ray_session):
         if vocab[2] in s:
             want.add((d, 2))
     assert got == want
+
+
+def test_function_score_boost_modes(ray_session, built):
+    """All six boost_modes equal direct combines of the base score and
+    ln(1+dl); unknown mode raises."""
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        function_score_query,
+        score_query,
+    )
+
+    res, _, corpus = built
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    text = f"{vocab[4 % len(vocab)]} {vocab[13 % len(vocab)]}"
+    dls = [
+        len(t.split(" "))
+        for t in pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    ]
+    base = dict(score_query(store, text, store.n_docs, round_decimals=None))
+    combos = {
+        "multiply": lambda s, f: s * f,
+        "sum": lambda s, f: s + f,
+        "avg": lambda s, f: (s + f) / 2,
+        "max": max,
+        "min": min,
+        "replace": lambda s, f: f,
+    }
+    for mode, fn in combos.items():
+        got = function_score_query(
+            store, text, 10, round_decimals=6, boost_mode=mode
+        )
+        want = sorted(
+            (
+                (d, float(sql_round(fn(s, np.log1p(dls[d])), 6)))
+                for d, s in base.items()
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        assert got == want, mode
+    with pytest.raises(ValueError, match="unknown boost_mode"):
+        function_score_query(store, text, 5, boost_mode="divide")
