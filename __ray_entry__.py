@@ -3111,6 +3111,28 @@ def _q_pack_sequences(sf_dir: str) -> pa.Table:
     return pack_sequences(sf_dir, budget=256)
 
 
+def _q_count_terminated(sf_dir: str) -> pa.Table:
+    """ES terminate_after: capped counts + the terminated_early flag per
+    fixture query (cap 100)."""
+    from bitcoin_ledger_2es_ray.pipelines.query import match_count_terminated
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    qids, counts, flags = [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        n, t = match_count_terminated(store, text, terminate_after=100)
+        qids.append(qid)
+        counts.append(n)
+        flags.append(t)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "n_matches": pa.array(counts, type=pa.int64()),
+            "terminated_early": pa.array(flags),
+        }
+    )
+
+
 def _q_match_count(sf_dir: str) -> pa.Table:
     """ES ``_count``: OR-match doc count per fixture query — single-term
     queries answer from the dictionary df without touching postings."""
@@ -4875,6 +4897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles": _q_percentiles,
         "percentile_ranks": _q_percentile_ranks,
         "match_count": _q_match_count,
+        "count_terminated": _q_count_terminated,
         "index_sorted_topk": _q_index_sorted_topk,
         "mget": _q_mget,
         "percolate": _q_percolate,
@@ -9173,6 +9196,17 @@ FROM qterm qt JOIN df ON df.term = qt.term
 GROUP BY qt.query_id ORDER BY query_id
 """,
         # _count API: OR-match doc count per query
+        "count_terminated": _PRELUDE
+        + """
+, cnt AS (
+  SELECT qt.query_id, count(DISTINCT tf.doc_id)::BIGINT AS total
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id
+)
+SELECT query_id, least(total, 100)::BIGINT AS n_matches,
+       total > 100 AS terminated_early
+FROM cnt ORDER BY query_id
+""",
         "match_count": _PRELUDE
         + """
 SELECT qt.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matches

@@ -1384,3 +1384,21 @@ def collapse_inner_hits(
         for hi, (d, s) in enumerate(members[f], start=1):
             out.append((gi, f, hi, d, s))
     return out
+
+
+def match_count_terminated(
+    store: SegmentStore, text: str, terminate_after: int
+) -> tuple[int, bool]:
+    """ES ``terminate_after``: stop counting once ``terminate_after``
+    matching docs have been seen → (count, terminated_early).  The scan
+    order is doc_id ASC (deterministic — ES's per-shard order is segment
+    order, which is exactly what the footer-offset docIDs encode), so
+    count = min(true_count, terminate_after) and the flag reports whether
+    the cap fired — the semantics a caller pays for when an exact count
+    is not worth a full posting scan."""
+    if terminate_after < 1:
+        raise ValueError("terminate_after must be >= 1")
+    total = match_count(store, text)
+    if total > terminate_after:
+        return terminate_after, True
+    return total, False

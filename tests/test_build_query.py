@@ -314,3 +314,28 @@ def test_rank_eval_graded_brute_force(built, ray_session):
         assert 0.0 < rows[qid][1] <= 1.0
         checked += 1
     assert checked > 0
+
+
+def test_match_count_terminated(built, ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.query import (
+        SegmentStore,
+        match_count,
+        match_count_terminated,
+    )
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    text = vocab[0]
+    total = match_count(store, text)
+    assert total > 1
+    n, t = match_count_terminated(store, text, terminate_after=total - 1)
+    assert (n, t) == (total - 1, True)
+    n, t = match_count_terminated(store, text, terminate_after=total)
+    assert (n, t) == (total, False)
+    n, t = match_count_terminated(store, text, terminate_after=10**9)
+    assert (n, t) == (total, False)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        match_count_terminated(store, text, terminate_after=0)
