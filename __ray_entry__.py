@@ -1881,6 +1881,37 @@ def _q_synonym_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_highlight_frags(sf_dir: str) -> pa.Table:
+    """ES highlight with number_of_fragments=2: the first two occurrences
+    of vocab[(17q+5) mod |V|] per doc, each with its ±3 window."""
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+    from bitcoin_ledger_2es_ray.pipelines.structured import highlight_fragments
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(store.df)
+    qids, docs, ranks, poss, los, his = [], [], [], [], [], []
+    for q in range(_N_QUERIES):
+        term = vocab[(17 * q + 5) % len(vocab)]
+        for d, r, p, lo, hi in highlight_fragments(store, term, n_frags=2, width=3):
+            qids.append(q)
+            docs.append(d)
+            ranks.append(r)
+            poss.append(p)
+            los.append(lo)
+            his.append(hi)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "frag_rank": pa.array(ranks, type=pa.int64()),
+            "pos": pa.array(poss, type=pa.int64()),
+            "snip_start": pa.array(los, type=pa.int64()),
+            "snip_end": pa.array(his, type=pa.int64()),
+        }
+    )
+
+
 def _q_highlight(sf_dir: str) -> pa.Table:
     """ES ``highlight`` (deterministic core): single term
     vocab[(17q+5) mod |V|] per query; per matching doc the first occurrence
@@ -4944,6 +4975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_topk": _q_range_topk,
         "sort_by_dl": _q_sort_by_dl,
         "highlight": _q_highlight,
+        "highlight_frags": _q_highlight_frags,
         "regexp_match": _q_regexp_match,
         "wildcard_match": _q_wildcard_match,
         "dis_max": _q_dis_max,
@@ -5950,6 +5982,33 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
         # highlight: first occurrence of term vocab[(17q+5) mod |V|] per
         # matching doc (positions == string_split ordinals on this corpus),
         # snippet = +-3 tokens clipped to the doc
+        # highlight fragments: first-2 occurrence positions per doc via
+        # a windowed rank over the positional token stream
+        "highlight_frags": _PRELUDE
+        + """
+, hq AS (
+  SELECT q AS query_id, v.term
+  FROM generate_series(0, 49) t(q) CROSS JOIN nv
+  JOIN vocab v ON v.idx = (17 * q + 5) % nv.c
+),
+pos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p,
+         len(string_split(text, ' ')) AS ndl
+  FROM documents
+),
+occ AS (
+  SELECT h.query_id, p.doc_id, p.p, p.ndl,
+         row_number() OVER (PARTITION BY h.query_id, p.doc_id
+                            ORDER BY p.p ASC) AS frag_rank
+  FROM hq h JOIN pos p ON p.term = h.term
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       frag_rank::BIGINT AS frag_rank, p::BIGINT AS pos,
+       greatest(p - 3, 0)::BIGINT AS snip_start,
+       least(p + 3, ndl - 1)::BIGINT AS snip_end
+FROM occ WHERE frag_rank <= 2 ORDER BY query_id, doc_id, frag_rank
+""",
         "highlight": _PRELUDE
         + """
 , hq AS (

@@ -920,3 +920,42 @@ def named_queries_topk(
     matched = [m for m, kp in zip(matched, keep) if kp]
     top = topk_order(scores, uniq, k)
     return [(int(uniq[i]), float(scores[i]), matched[i]) for i in top]
+
+
+def highlight_fragments(
+    store: SegmentStore, term: str, n_frags: int = 3, width: int = 3
+) -> list[tuple[int, int, int, int, int]]:
+    """ES ``highlight`` with ``number_of_fragments``: per matching doc the
+    first ``n_frags`` occurrences of the term, each with its ±``width``
+    token window clipped to the doc →
+    [(doc_id, frag_rank, pos, snip_start, snip_end)].
+
+    Fully vectorized off the positional index: posting k's occurrence
+    slice is ``flat[cum_tf[k] : cum_tf[k] + min(tf_k, n)]`` — the
+    concatenated ranges build with one repeat + cumsum-offset arange, no
+    per-doc Python.  Fragments are reported as located (ES's fragmenter
+    markup/merging is presentation)."""
+    if n_frags < 1:
+        raise ValueError("n_frags must be >= 1")
+    d, tf, flat = store.postings_positions(term)
+    if not len(d):
+        return []
+    tf64 = tf.astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(tf64)[:-1]))
+    take = np.minimum(tf64, n_frags)
+    # concatenated ranges: for posting k, starts[k] + [0..take[k])
+    total = int(take.sum())
+    reps = np.repeat(starts, take)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(take) - take, take
+    )
+    pos = flat[reps + offs].astype(np.int64)
+    docs = np.repeat(d, take).astype(np.int64)
+    ranks = offs + 1
+    dls = np.repeat(store.postings(term)[2].astype(np.int64), take)
+    lo = np.maximum(pos - width, 0)
+    hi = np.minimum(pos + width, dls - 1)
+    return [
+        (int(a), int(r), int(p), int(l), int(h))
+        for a, r, p, l, h in zip(docs, ranks, pos, lo, hi)
+    ]

@@ -565,3 +565,63 @@ def test_named_queries_matched_and_min_score(corpus_store):
         assert got == want
     # a min_score above every score returns nothing
     assert named_queries_topk(store, text, 10, min_score=1e9, round_decimals=6) == []
+
+
+def test_highlight_fragments_brute_force(ray_session):
+    """First-N occurrence windows equal a direct positional replay; rank 1
+    equals highlight_first's fragment."""
+    import random
+
+    import pyarrow as pa
+    import pytest as _pt
+
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+    from bitcoin_ledger_2es_ray.pipelines.structured import (
+        highlight_first,
+        highlight_fragments,
+    )
+
+    rng = random.Random(31)
+    words = ["ant", "bee", "cat", "dog", "elk"]
+    docs = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(8, 20)))
+        for _ in range(60)
+    ]
+    import tempfile, os
+
+    root = tempfile.mkdtemp()
+    corpus = os.path.join(root, "corpus.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * len(docs),
+                "path": [f"p{i}" for i in range(len(docs))],
+                "commit": ["c"] * len(docs),
+                "lang": ["en"] * len(docs),
+                "content": docs,
+            }
+        ),
+        corpus,
+        row_group_size=16,
+    )
+    res = build_index(
+        BuildConfig(
+            corpus=corpus, out_dir=os.path.join(root, "idx"),
+            num_partitions=4, with_positions=True, sketch_stride=1,
+        )
+    )
+    store = SegmentStore(res.out_dir)
+    for term in words:
+        frags = highlight_fragments(store, term, n_frags=2, width=3)
+        want = []
+        for i, text in enumerate(docs):
+            ws = text.split(" ")
+            occ = [p for p, w in enumerate(ws) if w == term][:2]
+            for r, p in enumerate(occ, 1):
+                want.append((i, r, p, max(p - 3, 0), min(p + 3, len(ws) - 1)))
+        assert sorted(frags) == sorted(want), term
+        first = {(d, p, lo, hi) for d, p, lo, hi in highlight_first(store, term)}
+        assert {(d, p, lo, hi) for d, r, p, lo, hi in frags if r == 1} == first
+    with _pt.raises(ValueError):
+        highlight_fragments(store, "ant", n_frags=0)
