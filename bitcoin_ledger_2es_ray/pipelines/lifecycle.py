@@ -1128,3 +1128,66 @@ def reindex(cfg, registry_dir: str, alias: str):
     res = build_index(cfg)
     update_aliases(registry_dir, [("add", alias, res.out_dir)])
     return res
+
+
+def cat_indices(registry_dir: str) -> pa.Table:
+    """ES ``_cat/indices`` over the alias registry: one row per distinct
+    index dir any alias points at — (index, aliases, docs_count,
+    deleted_docs, store_bytes, status) — from the stats artifacts and the
+    filesystem, no data scan (the same sources as ``index_stats``).
+    ``status`` is ``green`` when the integrity-critical artifacts exist,
+    ``red`` otherwise (a restore that half-landed shows up here)."""
+    import json
+
+    path = os.path.join(registry_dir, "aliases.json")
+    aliases: dict[str, str] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            aliases = json.load(f)
+    by_index: dict[str, list[str]] = {}
+    for alias, target in aliases.items():
+        by_index.setdefault(os.path.abspath(target), []).append(alias)
+    rows = []
+    for index_dir in sorted(by_index):
+        ok = all(
+            os.path.exists(os.path.join(index_dir, p))
+            for p in ("stats.parquet", "term_dict.parquet", "segments")
+        )
+        if ok:
+            st = index_stats(index_dir)
+            rows.append(
+                {
+                    "index": index_dir,
+                    "aliases": ",".join(sorted(by_index[index_dir])),
+                    "docs_count": st["n_docs"],
+                    "deleted_docs": st["n_tombstones"],
+                    "store_bytes": st["segment_bytes"]
+                    + st["posting_bytes"]
+                    + st["forward_bytes"]
+                    + st["term_dict_bytes"],
+                    "status": "green",
+                }
+            )
+        else:
+            rows.append(
+                {
+                    "index": index_dir,
+                    "aliases": ",".join(sorted(by_index[index_dir])),
+                    "docs_count": 0,
+                    "deleted_docs": 0,
+                    "store_bytes": 0,
+                    "status": "red",
+                }
+            )
+    if not rows:
+        return pa.table(
+            {
+                "index": pa.array([], type=pa.string()),
+                "aliases": pa.array([], type=pa.string()),
+                "docs_count": pa.array([], type=pa.int64()),
+                "deleted_docs": pa.array([], type=pa.int64()),
+                "store_bytes": pa.array([], type=pa.int64()),
+                "status": pa.array([], type=pa.string()),
+            }
+        )
+    return pa.Table.from_pylist(rows)

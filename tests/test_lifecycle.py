@@ -769,3 +769,37 @@ def test_snapshot_repository_incremental(idx_copy, tmp_path):
     # dropping s3 GCs its now-unreferenced tombstone blob
     info3 = snapshot_delete(repo, "s3")
     assert info3["deleted_blobs"] == 1
+
+
+def test_cat_indices_over_registry(idx_copy, tmp_path):
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import (
+        cat_indices,
+        index_stats,
+        update_aliases,
+    )
+
+    reg = str(tmp_path / "reg")
+    assert cat_indices(reg).num_rows == 0
+    update_aliases(reg, [("add", "live", idx_copy), ("add", "latest", idx_copy)])
+    bogus = tmp_path / "halfidx"
+    bogus.mkdir()
+    update_aliases(reg, [("add", "broken", str(bogus))])
+
+    out = cat_indices(reg)
+    rows = {r["index"]: r for r in out.to_pylist()}
+    import os as _os
+
+    good = rows[_os.path.abspath(idx_copy)]
+    st = index_stats(idx_copy)
+    assert good["aliases"] == "latest,live"
+    assert good["docs_count"] == st["n_docs"]
+    assert good["status"] == "green"
+    assert good["store_bytes"] > 0
+    bad = rows[_os.path.abspath(str(bogus))]
+    assert bad["status"] == "red" and bad["docs_count"] == 0
+
+    # delete-by-query shows up in deleted_docs
+    n = delete_by_query(idx_copy, pc.field("lang") == "de")
+    out2 = cat_indices(reg)
+    good2 = {r["index"]: r for r in out2.to_pylist()}[_os.path.abspath(idx_copy)]
+    assert good2["deleted_docs"] == n
