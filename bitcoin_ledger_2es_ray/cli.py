@@ -245,6 +245,16 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_cat(args: argparse.Namespace) -> int:
+    """_cat/indices over the alias registry: per-index docs/deletes/bytes
+    and a green/red artifact-health status."""
+    from .pipelines.lifecycle import cat_indices
+
+    for row in cat_indices(args.registry).to_pylist():
+        print(json.dumps(row, sort_keys=True))
+    return 0
+
+
 def cmd_repo(args: argparse.Namespace) -> int:
     """Incremental snapshot repository (ES _snapshot analog): create
     dedupes against the content-addressed blob store, delete GCs blobs no
@@ -445,6 +455,12 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--out", required=True)
     sn.add_argument("--restore", action="store_true")
     sn.set_defaults(fn=cmd_snapshot)
+
+    ct = sub.add_parser(
+        "cat", help="_cat/indices: one JSON line per aliased index"
+    )
+    ct.add_argument("--registry", required=True, help="alias registry dir")
+    ct.set_defaults(fn=cmd_cat)
 
     rp = sub.add_parser(
         "repo", help="incremental snapshot repository: create/restore/delete"

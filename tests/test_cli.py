@@ -107,3 +107,14 @@ def test_cli_delete_repo_restore_roundtrip(cli_flow, capsys, tmp_path):
         _run(capsys, ["repo", "delete", "--repo", repo, "--name", "s2"]).strip()
     )
     assert gone["deleted_blobs"] == 1  # s2's tombstone blob GC'd
+
+
+def test_cli_cat_indices(cli_flow, capsys, tmp_path):
+    _root, idx = cli_flow
+    reg = str(tmp_path / "reg")
+    _run(capsys, ["alias", "--registry", reg, "--alias", "live", "--set", idx])
+    out = _run(capsys, ["cat", "--registry", reg]).strip().splitlines()
+    rows = [json.loads(line) for line in out]
+    assert len(rows) == 1
+    assert rows[0]["aliases"] == "live" and rows[0]["status"] == "green"
+    assert rows[0]["docs_count"] > 0
