@@ -4151,6 +4151,14 @@ def _q_bucket_correlation(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_percentiles_tdigest(sf_dir: str) -> pa.Table:
+    """ES percentiles via t-digest (the at-scale sketch; approximate by
+    nature — rank-error bounds pytest-pinned, rows-only gate)."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import percentiles_tdigest
+
+    return percentiles_tdigest(sf_dir)
+
+
 def _q_bucket_ks_test(sf_dir: str) -> pa.Table:
     """ES ``bucket_count_ks_test``: KS distances of the daily click-count
     distribution vs uniform fractions."""
@@ -5013,6 +5021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles_bucket": _q_percentiles_bucket,
         "bucket_correlation": _q_bucket_correlation,
         "bucket_ks_test": _q_bucket_ks_test,
+        "percentiles_tdigest": _q_percentiles_tdigest,
         "geo_line": _q_geo_line,
         "match_bool_prefix": _q_match_bool_prefix,
         "constant_score": _q_constant_score,

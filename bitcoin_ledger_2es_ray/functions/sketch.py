@@ -146,3 +146,97 @@ def mg_merge(a: tuple[dict, int], b: tuple[dict, int], k: int) -> tuple[dict, in
         merged[t] = merged.get(t, 0) + c
     out, dec = mg_compress(merged, k)
     return out, a[1] + b[1] + dec
+
+
+# ---------------------------------------------------------------- t-digest
+#
+# ES's `percentiles` aggregation is a t-digest (Dunning & Ertl): each shard
+# compresses its values into weighted centroids whose sizes follow the k1
+# scale function (fine near the tails, coarse in the middle), the
+# coordinator merges digests by concatenation + recompression, and
+# quantiles interpolate between centroid means.  Mergeable, bounded size
+# (≈ 2·δ centroids), order-insensitive after compression — the exact shape
+# a 100-TB distributed percentile needs.  The graft's exact value-count
+# percentiles stay the oracle-gated path; this sketch is the scale path,
+# tested for merge invariance and rank-error bounds.
+
+TDIGEST_DELTA = 100.0
+
+
+def _k1(q: np.ndarray, delta: float) -> np.ndarray:
+    """The k1 scale function: k(q) = δ/(2π)·asin(2q−1)."""
+    return (delta / (2.0 * np.pi)) * np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0)
+
+
+def tdigest_compress(
+    means: np.ndarray, weights: np.ndarray, delta: float = TDIGEST_DELTA
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compress weighted points into t-digest centroids (merging variant):
+    sort by mean, then greedily merge neighbours while the merged
+    centroid's k-size stays ≤ 1."""
+    if len(means) == 0:
+        return np.empty(0, np.float64), np.empty(0, np.float64)
+    order = np.argsort(means, kind="mergesort")
+    m = np.asarray(means, dtype=np.float64)[order]
+    w = np.asarray(weights, dtype=np.float64)[order]
+    total = float(w.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = float(m[0]), float(w[0])
+    w_so_far = 0.0
+    for i in range(1, len(m)):
+        q0 = w_so_far / total
+        q1 = (w_so_far + cur_w + w[i]) / total
+        if _k1(np.array([q1]), delta)[0] - _k1(np.array([q0]), delta)[0] <= 1.0:
+            cur_m = (cur_m * cur_w + float(m[i]) * float(w[i])) / (cur_w + float(w[i]))
+            cur_w += float(w[i])
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_so_far += cur_w
+            cur_m, cur_w = float(m[i]), float(w[i])
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.array(out_m), np.array(out_w)
+
+
+def tdigest_from_values(
+    values: np.ndarray, delta: float = TDIGEST_DELTA
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build a digest from raw values (each weight 1)."""
+    v = np.asarray(values, dtype=np.float64)
+    return tdigest_compress(v, np.ones(len(v)), delta)
+
+
+def tdigest_merge(
+    a: tuple[np.ndarray, np.ndarray],
+    b: tuple[np.ndarray, np.ndarray],
+    delta: float = TDIGEST_DELTA,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two digests: concatenate centroids, recompress."""
+    return tdigest_compress(
+        np.concatenate([a[0], b[0]]), np.concatenate([a[1], b[1]]), delta
+    )
+
+
+def tdigest_quantile(
+    digest: tuple[np.ndarray, np.ndarray], q: float
+) -> float:
+    """Estimate the q-quantile: linear interpolation between centroid
+    means at the cumulative-weight midpoints (Dunning's estimator)."""
+    m, w = digest
+    if len(m) == 0:
+        raise ValueError("tdigest_quantile: empty digest")
+    if len(m) == 1:
+        return float(m[0])
+    total = float(w.sum())
+    target = q * total
+    # cumulative weight at each centroid's MIDPOINT
+    cum = np.cumsum(w) - w / 2.0
+    if target <= cum[0]:
+        return float(m[0])
+    if target >= cum[-1]:
+        return float(m[-1])
+    i = int(np.searchsorted(cum, target) - 1)
+    frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(m[i] + frac * (m[i + 1] - m[i]))

@@ -2771,3 +2771,49 @@ def categorize_text_agg(
             "doc_count": out["doc_count"].cast(pa.int64()),
         }
     ).sort_by("category")
+
+
+def percentiles_tdigest(
+    sf_dir: str, qs: tuple[float, ...] = (0.05, 0.25, 0.5, 0.75, 0.95),
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``percentiles`` as ES actually computes it at scale — a
+    T-DIGEST: each batch compresses its values into ≈2δ weighted
+    centroids (``functions/sketch.py``), the driver merges digests by
+    concatenation + recompression (order-insensitive, tested), quantiles
+    interpolate between centroid means.  The exact value-count
+    ``percentiles_agg`` stays the oracle-gated twin; this is the sketch
+    path whose accuracy the tests bound (≈1% rank error)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.blocks import collect_tables
+    from ..functions.bm25 import sql_round
+    from ..functions.sketch import (
+        tdigest_from_values,
+        tdigest_merge,
+        tdigest_quantile,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"], dtype=np.float64)
+        m, w = tdigest_from_values(v)
+        return pa.table({"m": pa.array([m.tolist()]), "w": pa.array([w.tolist()])})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cat = pa.concat_tables(collect_tables(ds, on_empty="tdigest: no events"))
+    digest = (np.empty(0), np.empty(0))
+    for m, w in zip(cat["m"].to_pylist(), cat["w"].to_pylist()):
+        digest = tdigest_merge(digest, (np.array(m), np.array(w)))
+    return pa.table(
+        {
+            "q": pa.array(list(qs), type=pa.float64()),
+            "value": pa.array(
+                [float(sql_round(tdigest_quantile(digest, q), round_decimals)) for q in qs],
+                type=pa.float64(),
+            ),
+            "n_centroids": pa.array([len(digest[0])] * len(qs), type=pa.int64()),
+        }
+    )

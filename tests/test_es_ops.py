@@ -3425,3 +3425,23 @@ def test_function_score_boost_modes(ray_session, built):
         assert got == want, mode
     with pytest.raises(ValueError, match="unknown boost_mode"):
         function_score_query(store, text, 5, boost_mode="divide")
+
+
+def test_percentiles_tdigest_vs_exact(ray_session):
+    """The distributed t-digest percentiles land within 1.5% rank error of
+    the exact empirical quantiles of the value column."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import percentiles_tdigest
+
+    sf = "/root/testdata/sf0.001"
+    out = percentiles_tdigest(sf)
+    vals = np.sort(
+        np.asarray(
+            pq.read_table(f"{sf}/events.parquet", columns=["value"])["value"],
+            dtype=np.float64,
+        )
+    )
+    n = len(vals)
+    for q, est in zip(out["q"].to_pylist(), out["value"].to_pylist()):
+        rank = np.searchsorted(vals, est) / n
+        assert abs(rank - q) < 0.015, (q, rank)
+    assert out["n_centroids"][0].as_py() <= 220

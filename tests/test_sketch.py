@@ -99,3 +99,73 @@ def test_cardinality_hll_pipeline_matches_kernel(ray_session):
     # exact side agrees with a local distinct
     t = pq.read_table(path, columns=["user_id", "event_type"])
     assert exact == len(set(t["user_id"].to_pylist()))
+
+
+# ---------------------------------------------------------------- t-digest
+
+
+def test_tdigest_bounded_size_and_accuracy():
+    """Random data: centroid count stays ≈ O(delta); quantile estimates
+    land within 1% RANK error of the exact empirical quantiles."""
+    import numpy as np
+
+    from bitcoin_ledger_2es_ray.functions.sketch import (
+        tdigest_from_values,
+        tdigest_quantile,
+    )
+
+    rng = np.random.RandomState(17)
+    vals = rng.lognormal(0, 1, size=20_000)
+    d = tdigest_from_values(vals)
+    assert len(d[0]) <= 220  # ≈ 2·delta bound
+    s = np.sort(vals)
+    n = len(s)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = tdigest_quantile(d, q)
+        # rank error: position of the estimate in the sorted data
+        rank = np.searchsorted(s, est) / n
+        assert abs(rank - q) < 0.01, (q, rank)
+
+
+def test_tdigest_merge_invariance():
+    """Digest of the whole ≈ merge of the part digests: same quantiles
+    within the sketch's rank tolerance, any split, any order."""
+    import numpy as np
+
+    from bitcoin_ledger_2es_ray.functions.sketch import (
+        tdigest_from_values,
+        tdigest_merge,
+        tdigest_quantile,
+    )
+
+    rng = np.random.RandomState(99)
+    vals = rng.gamma(2.0, 3.0, size=12_000)
+    whole = tdigest_from_values(vals)
+    parts = [tdigest_from_values(c) for c in np.array_split(vals, 7)]
+    merged = parts[3]
+    for i in (0, 5, 1, 6, 2, 4):  # arbitrary merge order
+        merged = tdigest_merge(merged, parts[i])
+    s = np.sort(vals)
+    n = len(s)
+    for q in (0.05, 0.5, 0.95):
+        a = np.searchsorted(s, tdigest_quantile(whole, q)) / n
+        b = np.searchsorted(s, tdigest_quantile(merged, q)) / n
+        assert abs(a - q) < 0.01 and abs(b - q) < 0.015, (q, a, b)
+
+
+def test_tdigest_edges():
+    import numpy as np
+    import pytest as _pt
+
+    from bitcoin_ledger_2es_ray.functions.sketch import (
+        tdigest_from_values,
+        tdigest_quantile,
+    )
+
+    one = tdigest_from_values(np.array([42.0]))
+    assert tdigest_quantile(one, 0.5) == 42.0
+    d = tdigest_from_values(np.array([1.0, 2.0, 3.0]))
+    assert tdigest_quantile(d, 0.0) == 1.0
+    assert tdigest_quantile(d, 1.0) == 3.0
+    with _pt.raises(ValueError):
+        tdigest_quantile((np.empty(0), np.empty(0)), 0.5)
