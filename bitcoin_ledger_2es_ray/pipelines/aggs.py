@@ -2784,6 +2784,7 @@ def percentiles_tdigest(
     interpolate between centroid means.  The exact value-count
     ``percentiles_agg`` stays the oracle-gated twin; this is the sketch
     path whose accuracy the tests bound (≈1% rank error)."""
+    import numpy as np
     import ray
     import ray.data as rd
 
