@@ -9524,7 +9524,7 @@ SELECT doc_id, n_chars, half FROM (
 """,
         "esql_grok": """
 SELECT event_type, count(*)::BIGINT AS n,
-       sum(CAST(regexp_extract(props, '^\\{"k": ([+-]?\\d+)\\}$', 1) AS BIGINT)) AS s
+       sum(CAST(regexp_extract(props, '^\\{"k": ([+-]?\\d+)\\}$', 1) AS BIGINT))::BIGINT AS s
 FROM events GROUP BY event_type ORDER BY event_type
 """,
         "esql_dissect": """
@@ -10319,12 +10319,12 @@ WITH d AS (
 ),
 arr AS (
   SELECT 'arrival' AS strategy, (doc_id // 64)::BIGINT AS batch_id,
-         count(*)::BIGINT AS n, max(dl) AS max_dl, sum(dl) AS sum_dl
+         count(*)::BIGINT AS n, max(dl) AS max_dl, sum(dl)::BIGINT AS sum_dl
   FROM d GROUP BY 2
 ),
 lg AS (
   SELECT 'length_grouped' AS strategy, b AS batch_id,
-         count(*)::BIGINT AS n, max(dl) AS max_dl, sum(dl) AS sum_dl
+         count(*)::BIGINT AS n, max(dl) AS max_dl, sum(dl)::BIGINT AS sum_dl
   FROM (
     SELECT dl,
            ((row_number() OVER (ORDER BY dl, doc_id) - 1) // 64)::BIGINT AS b

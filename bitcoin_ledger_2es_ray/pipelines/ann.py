@@ -903,10 +903,66 @@ def sem_dedup(
     The within-cluster screen is the paper's O(c²) pairwise pass — bounded
     by the cluster size, which n_centroids controls (at 100 TB, size
     n_centroids ~ n/50k so each cluster fits one task; ``max_cluster``
-    raises rather than silently OOMing).  Returns
-    (vec_id, centroid, kept, dup_of) for every vector, sorted by vec_id —
-    kept=false rows are the semantic duplicates SemDedup would drop.
+    raises rather than silently OOMing).  The screen is TILED
+    (``tile``-row blocks vs earlier-member col blocks, running max), so
+    peak memory is O(tile² + c·dim) — a 200k-member cluster needs the
+    normalized matrix plus one 4k×4k tile, never a dense c×c similarity
+    matrix.  Returns (vec_id, centroid, kept, dup_of) for every vector,
+    sorted by vec_id — kept=false rows are the semantic duplicates
+    SemDedup would drop.  Scale path: ``sem_dedup_to_parquet``.
     """
+    from ..functions.blocks import collect_tables
+
+    out = sem_dedup_ds(
+        sf_dir, tau=tau, n_centroids=n_centroids, sample=sample,
+        max_cluster=max_cluster,
+    )
+    return pa.concat_tables(collect_tables(out)).sort_by("vec_id")
+
+
+def _screen_tiled(
+    nm: np.ndarray, tau: float, tile: int = 4096
+) -> tuple[np.ndarray, np.ndarray]:
+    """Max cosine over EARLIER members, tiled.
+
+    For ordered rows nm (unit-normalized), returns (hit, best): hit[j] is
+    True iff max_{i<j} nm[j]·nm[i] >= tau, best[j] the EARLIEST argmax i
+    (ties keep the smaller i, matching dense ``argmax``'s first-occurrence
+    rule — col tiles are scanned left to right and the running best only
+    moves on strict improvement).  hit[0] is always False.  Peak memory is
+    one tile×tile block, never the dense n×n matrix.
+    """
+    n = len(nm)
+    bmax = np.full(n, -np.inf)
+    best = np.zeros(n, dtype=np.int64)
+    for c0 in range(0, n, tile):
+        c1 = min(c0 + tile, n)
+        cols = nm[c0:c1]
+        # only rows j > c0 can have an earlier member in this col tile
+        for r0 in range(c0, n, tile):
+            r1 = min(r0 + tile, n)
+            s = nm[r0:r1] @ cols.T
+            if r0 == c0:  # diagonal block: mask i >= j
+                ii = np.arange(r0, r1)[:, None]
+                jj = np.arange(c0, c1)[None, :]
+                s = np.where(jj < ii, s, -np.inf)
+            am = s.argmax(axis=1)
+            mv = s[np.arange(r1 - r0), am]
+            upd = mv > bmax[r0:r1]
+            bmax[r0:r1] = np.where(upd, mv, bmax[r0:r1])
+            best[r0:r1] = np.where(upd, am + c0, best[r0:r1])
+    return bmax >= tau, best
+
+
+def sem_dedup_ds(
+    sf_dir: str,
+    tau: float = 0.95,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    max_cluster: int = 200_000,
+):
+    """Streaming SemDedup plan: (vec_id, centroid, kept, dup_of) as a
+    ``ray.data.Dataset`` — see ``sem_dedup`` for semantics."""
     import ray
 
     if tau <= 0:
@@ -941,15 +997,12 @@ def sem_dedup(
         order = np.lexsort((ids, cd))  # (cdist ASC, vec_id ASC)
         nm = _normalize(mat)[order]
         oids = ids[order]
-        # for member j: max sim over earlier members i<j (tril zeros are
-        # harmless — tau > 0 by contract, so a zeroed slot never fires)
+        # for member j: max sim over earlier members i<j, tiled so peak
+        # memory is O(tile²) not O(c²)
         dup = np.zeros(len(oids), dtype=bool)
         dup_of = np.full(len(oids), -1, dtype=np.int64)
         if len(oids) > 1:
-            low = np.tril(nm @ nm.T, k=-1)  # row j, cols i<j
-            best = low.argmax(axis=1)
-            bmax = low[np.arange(len(oids)), best]
-            hit = bmax >= tau
+            hit, best = _screen_tiled(nm, tau)
             dup[1:] = hit[1:]
             dup_of[1:] = np.where(hit[1:], oids[best[1:]], -1)
         c0 = int(group["centroid"][0].as_py())
@@ -968,9 +1021,15 @@ def sem_dedup(
         .groupby("centroid")
         .map_groups(screen_cluster, batch_format="pyarrow")
     )
-    from ..functions.blocks import collect_tables
+    return out
 
-    return pa.concat_tables(collect_tables(out)).sort_by("vec_id")
+
+def sem_dedup_to_parquet(sf_dir: str, out_dir: str, **kw) -> str:
+    """Scale sink for SemDedup: stream the per-vector verdicts straight to
+    parquet (no driver collect; output is O(n_vectors))."""
+    from .textstats import write_dataset
+
+    return write_dataset(sem_dedup_ds(sf_dir, **kw), out_dir)
 
 
 def cluster_sample(

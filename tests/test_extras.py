@@ -864,6 +864,46 @@ def test_sem_dedup_flags_injected_duplicates(ray_session, tmp_path):
     assert info[2][0] and info[3][0]
 
 
+def test_screen_tiled_matches_dense():
+    """The tiled earlier-member screen == the dense tril argmax reference,
+    including first-occurrence tie-breaks, at tile sizes that force the
+    diagonal-mask, multi-row-tile and multi-col-tile paths."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import _normalize, _screen_tiled
+
+    rng = np.random.default_rng(7)
+    for n, tile in [(1, 4), (5, 2), (97, 16), (200, 64), (50, 7)]:
+        mat = rng.standard_normal((n, 8))
+        # inject exact duplicates so ties exercise the earliest-argmax rule
+        if n >= 10:
+            mat[7] = mat[3]
+            mat[9] = mat[3]
+        nm = _normalize(mat)
+        hit, best = _screen_tiled(nm, tau=0.8, tile=tile)
+        dense = np.tril(nm @ nm.T, k=-1)
+        np.fill_diagonal(dense, -np.inf)
+        dense[np.triu_indices(n, k=1)] = -np.inf
+        want_best = dense.argmax(axis=1)
+        want_max = dense[np.arange(n), want_best]
+        want_hit = want_max >= 0.8
+        assert not hit[0]
+        np.testing.assert_array_equal(hit[1:], want_hit[1:]), (n, tile)
+        sel = np.flatnonzero(want_hit)
+        np.testing.assert_array_equal(best[sel], want_best[sel]), (n, tile)
+
+
+def test_sem_dedup_sink_matches_collect(ray_session, tmp_path):
+    """sem_dedup_to_parquet writes exactly the rows the collecting variant
+    returns (the scale path vs the oracle-gate path)."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.ann import sem_dedup, sem_dedup_to_parquet
+
+    want = sem_dedup(SF, tau=0.8, n_centroids=8)
+    out = sem_dedup_to_parquet(SF, str(tmp_path / "semdedup"), tau=0.8, n_centroids=8)
+    got = pq.read_table(out).sort_by("vec_id").select(want.column_names)
+    assert got.equals(want)
+
+
 def test_dsir_select_matches_brute_force(ray_session):
     import math
 
