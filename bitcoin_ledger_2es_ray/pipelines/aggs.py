@@ -1171,10 +1171,16 @@ def terms_shard_error_agg(
     shard = np.asarray(cat["shard"], dtype=np.int64)
     term = np.asarray(cat["term"])
     df = np.asarray(cat["df"], dtype=np.int64)
-    # per shard: the LAST returned doc count = the truncation bound
-    last_of = {
-        int(s): int(df[shard == s].min()) for s in np.unique(shard)
-    }
+    # per shard: the LAST returned doc count = the truncation bound —
+    # unless the shard returned FEWER than shard_size terms, i.e. was
+    # exhausted rather than truncated: it provably holds no missing
+    # terms, so it contributes 0 (ES's rule)
+    last_of = {}
+    for s in np.unique(shard):
+        m = shard == s
+        last_of[int(s)] = (
+            int(df[m].min()) if int(m.sum()) == shard_size else 0
+        )
     out: dict[str, tuple[int, int]] = {}
     all_terms = np.unique(term)
     for t_ in all_terms.tolist():

@@ -35,8 +35,9 @@ reads the lookup table ONCE, broadcasts it via ``ray.put``, and runs one
 order-pinned Arrow left join per batch — the fact stream never shuffles
 (lookup indices are small replicated tables by definition).  ``SPLIT(s,
 "sep")`` in EVAL makes a multi-value (list) column and ``MV_EXPAND col``
-explodes it — one vectorized take+flatten per batch (rows with null/empty
-lists drop, the flat_map convention).  ``ROW a = 1, b = "x"`` is the
+explodes it — one vectorized take+flatten per batch (rows with null or
+element-less lists keep ONE row with a null value, ES|QL's semantics).
+``ROW a = 1, b = "x"`` is the
 literal one-row source; string functions ``CONCAT`` / ``SUBSTRING`` /
 ``TO_LOWER`` / ``TO_UPPER`` / ``STARTS_WITH`` / ``COALESCE`` and the
 ``LIKE`` (``*``/``?`` wildcards) / ``RLIKE`` (anchored regex) predicates
@@ -45,8 +46,9 @@ named policy's enrich index (``pipelines/enrich.py``), broadcasts it
 once, and decorates the stream with the same order-pinned per-batch join
 as LOOKUP (ES's enrich processor semantics: unmatched keys keep the row
 with null fields).  Row commands after STATS raise (the pipe aggregates
-once, at the end).  The one unsupported command left (SHOW) raises a
-parse error, mirroring ES|QL's verification phase.
+once, at the end).  ``SHOW INFO`` is the deterministic one-row version
+source (the only SHOW item ES|QL defines) and composes with the same
+tail commands as ROW — with it, every ES|QL command is covered.
 """
 
 from __future__ import annotations
@@ -93,6 +95,7 @@ _KEYWORDS = {
     "AS",
     "MV_EXPAND",
     "ROW",
+    "SHOW",
     "ENRICH",
     "LIKE",
     "RLIKE",
@@ -104,7 +107,16 @@ _KEYWORDS = {
     "DESC",
 }
 
-_UNSUPPORTED = {"SHOW"}
+_UNSUPPORTED: set[str] = set()
+
+# SHOW INFO's one deterministic row (ES|QL's only SHOW item; see
+# docs: esql-commands.html#esql-show).  The graft pins build date/hash to
+# the package release so the row is bit-stable across runs.
+_SHOW_INFO_ROW = {
+    "date": "2026-01-01T00:00:00.000Z",
+    "hash": "0000000000000000000000000000000000000000",
+    "version": "0.1.0",
+}
 
 # ENRICH policies: name -> (builder(sf_dir) -> lookup table, right key col).
 # The builder materializes the policy's enrich index (pipelines/enrich.py).
@@ -359,10 +371,17 @@ def parse_esql(src: str) -> EsqlPlan:
     toks = tokenize_esql(src)
     p = _Parser(toks)
     kind, first = p.next()
-    if kind != "kw" or first not in ("FROM", "ROW"):
-        raise ValueError("esql: a pipe starts with FROM or ROW")
+    if kind != "kw" or first not in ("FROM", "ROW", "SHOW"):
+        raise ValueError("esql: a pipe starts with FROM, ROW or SHOW")
     if first == "FROM":
         plan = EsqlPlan(table=p.expect("ident")[1])
+    elif first == "SHOW":
+        # SHOW INFO — the deterministic one-row version source; INFO is
+        # the only SHOW item ES|QL defines
+        item = p.expect("ident")[1]
+        if item.upper() != "INFO":
+            raise ValueError(f"esql: SHOW supports only INFO, got {item!r}")
+        plan = EsqlPlan(table=None, row=dict(_SHOW_INFO_ROW))
     else:
         # ROW a = 1, b = "x" — a literal one-row source (ES|QL's testing
         # and scripting utility)
@@ -780,12 +799,33 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     zero_copy_only=False
                 )
                 lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
-                idx = pa.array(
-                    np.repeat(np.arange(batch.num_rows, dtype=np.int64), lengths)
+                # ES|QL semantics: a null (or element-less) multi-value
+                # still yields ONE row, with a null expanded value
+                out_counts = np.maximum(lengths, 1)
+                src_row = np.repeat(
+                    np.arange(batch.num_rows, dtype=np.int64), out_counts
                 )
+                starts = np.concatenate(
+                    [[0], np.cumsum(out_counts)]
+                )[:-1].astype(np.int64)
+                ordinal = np.arange(len(src_row), dtype=np.int64) - np.repeat(
+                    starts, out_counts
+                )
+                row_off = np.concatenate([[0], np.cumsum(lengths)])[:-1]
                 flat = col.flatten()
-                batch = batch.take(idx).set_column(
-                    batch.schema.get_field_index(name), name, flat
+                valid = lengths[src_row] > 0
+                flat_idx = pa.array(
+                    np.where(valid, row_off[src_row] + ordinal, 0),
+                    type=pa.int64(),
+                    mask=~valid,
+                )
+                vals = (
+                    flat.take(flat_idx)
+                    if len(flat)
+                    else pa.nulls(len(src_row), type=col.type.value_type)
+                )
+                batch = batch.take(pa.array(src_row)).set_column(
+                    batch.schema.get_field_index(name), name, vals
                 )
             elif op[0] == "rename":
                 old, new = op[1], op[2]
@@ -978,19 +1018,29 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
             res = res.slice(0, plan.limit)
         return res
     if stats and stats[0][1] == "COUNT_DISTINCT":
+        # each COUNT_DISTINCT deduplicates ITS OWN column's (by, col)
+        # projection of the distinct-tuple partial — counting the deduped
+        # tuples directly would count distinct tuples, overcounting
+        # whenever two CD columns aren't 1:1.  Every projection shares the
+        # same group-key set (each group contributes >=1 tuple), so the
+        # per-stat results align after one identical sort by the keys.
         final: dict[str, object] = {}
-        dedup = cat.group_by(cat.column_names).aggregate([])
         if by:
-            g = dedup.group_by(by).aggregate(
-                [(c, "count") for _, _, c in stats]
-            )
-            final = {b: g[b] for b in by}
-            for i, (out, _fn, _c) in enumerate(stats):
-                final[out] = g.column(len(by) + i).cast(pa.int64())
+            for out, _fn, c in stats:
+                d = cat.select(by + [c]).group_by(by + [c]).aggregate([])
+                g = d.group_by(by).aggregate([(c, "count")]).sort_by(
+                    [(b, "ascending") for b in by]
+                )
+                if not final:
+                    final = {b: g[b] for b in by}
+                final[out] = g.column(f"{c}_count").cast(pa.int64())
         else:
             final = {
-                out: pa.array([dedup.num_rows], type=pa.int64())
-                for out, _fn, _c in stats
+                out: pa.array(
+                    [cat.select([c]).group_by([c]).aggregate([]).num_rows],
+                    type=pa.int64(),
+                )
+                for out, _fn, c in stats
             }
         res = pa.table(final)
         if plan.keep is not None:

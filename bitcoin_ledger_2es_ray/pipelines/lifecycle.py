@@ -177,17 +177,21 @@ def restore_index(snap_dir: str, dest_dir: str) -> int:
     return len(entries)
 
 
+def _sha256_file(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def _hash_files(files: list[str]) -> list[str]:
     """sha256 of each file — Ray tasks when a session is live (cluster-speed
     hashing), in-process otherwise; bounded in-flight submission."""
-    import hashlib
 
-    def _sha(path: str) -> str:
-        h = hashlib.sha256()
-        with open(path, "rb") as f:
-            for chunk in iter(lambda: f.read(1 << 20), b""):
-                h.update(chunk)
-        return h.hexdigest()
+    _sha = _sha256_file
 
     try:
         import ray
@@ -249,6 +253,12 @@ def snapshot_create(index_dir: str, repo_dir: str, name: str) -> dict:
         entries[rel] = {"sha256": digest, "bytes": size}
         total += size
         blob = os.path.join(blob_root, digest)
+        # dedup trusts a pre-existing blob only after re-verifying its
+        # content hash: blobs are hardlinked from source trees when the
+        # filesystem allows, so an in-place edit to a linked source would
+        # otherwise corrupt every snapshot referencing the blob forever
+        if os.path.exists(blob) and _sha256_file(blob) != digest:
+            os.remove(blob)
         if not os.path.exists(blob):
             tmp = blob + ".tmp"
             try:
@@ -295,10 +305,11 @@ def snapshot_restore(repo_dir: str, name: str, dest_dir: str) -> int:
         blob = os.path.join(blob_root, meta["sha256"])
         dst = os.path.join(dest_dir, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        try:
-            os.link(blob, dst)
-        except OSError:
-            shutil.copy2(blob, dst)
+        # COPY, never hardlink: restores land in arbitrary user
+        # directories where in-place edits are legitimate — a linked
+        # restore would share inodes with the blob store and let such an
+        # edit silently corrupt every snapshot referencing the blob
+        shutil.copy2(blob, dst)
     return len(entries)
 
 

@@ -2915,6 +2915,31 @@ def test_terms_shard_error_bounds(ray_session):
     assert all(r["error_bound"] == 0 for r in full.to_pylist())
 
 
+def test_terms_shard_error_exhausted_shard_contributes_zero(ray_session, tmp_path):
+    """A shard that returns FEWER than shard_size terms was exhausted, not
+    truncated — ES contributes 0 to the error bound for it."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import terms_shard_error_agg
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 2, 4, 1, 3], type=pa.int64()),
+            "text": pa.array(["a b c d e", "a b", "a c", "x y", "x"]),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = terms_shard_error_agg(str(tmp_path), n_shards=2, shard_size=3, size=10)
+    got = {r["term"]: (r["doc_count"], r["error_bound"]) for r in out.to_pylist()}
+    # shard 0 (even docs) truncates at df=2; shard 1 (odd docs) returned
+    # only {x, y} < shard_size -> exhausted, bound 0
+    assert got == {
+        "a": (3, 0),  # missing only from the EXHAUSTED shard -> 0, not 1
+        "b": (2, 0),
+        "c": (2, 0),
+        "x": (2, 2),  # missing from the truncated shard -> its last df
+        "y": (1, 2),
+    }
+
+
 def test_heavy_hitters_mg_guarantees(ray_session):
     """Misra-Gries invariants: no overcount, bounded undercount, every
     true heavy hitter (> N/(k+1)) present; k >= vocab is exact."""

@@ -58,7 +58,7 @@ def test_parse_shape():
 def test_parse_rejections():
     with pytest.raises(ValueError, match="nondeterministic"):
         parse_esql("FROM documents | LIMIT 5")
-    with pytest.raises(ValueError, match="unsupported command"):
+    with pytest.raises(ValueError, match="not valid mid-pipe"):
         parse_esql('FROM documents | SHOW info')
     with pytest.raises(ValueError, match="extracts no fields"):
         parse_esql('FROM documents | GROK text "%{WORD}"')
@@ -322,6 +322,28 @@ def test_esql_mv_expand_matches_duckdb(ray_session):
         )
 
 
+def test_esql_mv_expand_null_and_empty_keep_a_row(ray_session, tmp_path):
+    """ES|QL MV_EXPAND keeps one row with a null value for null (and
+    element-less) multi-values — it is not a flat_map drop."""
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "w": pa.array(
+                [["a", "b"], None, [], ["c"]], type=pa.list_(pa.string())
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "mv.parquet"))
+    got = run_esql(
+        "FROM mv | MV_EXPAND w | KEEP id, w | SORT id ASC, w ASC",
+        str(tmp_path),
+    )
+    assert got.to_pydict() == {
+        "id": [0, 0, 1, 2, 3],
+        "w": ["a", "b", None, None, "c"],
+    }
+
+
 def test_esql_string_functions_match_duckdb(ray_session):
     got = run_esql(
         'FROM documents | EVAL k = CONCAT(TO_UPPER(SUBSTRING(lang, 1, 1)), "-", source) '
@@ -413,8 +435,20 @@ def test_esql_row_literal_source(ray_session):
     assert got.to_pydict() == {"a": [1], "b": ["x"], "c": [0.5]}
     with pytest.raises(ValueError, match="literals"):
         run_esql("ROW a = b | KEEP a", "/tmp")
-    with pytest.raises(ValueError, match="starts with FROM or ROW"):
+    with pytest.raises(ValueError, match="starts with FROM, ROW or SHOW"):
         run_esql("WHERE a == 1", "/tmp")
+
+
+def test_esql_show_info(ray_session):
+    got = run_esql("SHOW INFO", "/tmp")
+    assert got.column_names == ["date", "hash", "version"]
+    assert got.num_rows == 1
+    assert got["version"].to_pylist() == ["0.1.0"]
+    # composes with tail commands like any ROW source
+    got = run_esql('SHOW INFO | EVAL v2 = CONCAT(version, "-es") | KEEP v2', "/tmp")
+    assert got.to_pydict() == {"v2": ["0.1.0-es"]}
+    with pytest.raises(ValueError, match="SHOW supports only INFO"):
+        run_esql("SHOW FUNCTIONS", "/tmp")
 
 
 def test_esql_enrich_matches_duckdb(ray_session):
@@ -456,6 +490,29 @@ def test_esql_count_distinct(ray_session):
         parse_esql(_normalize_assign(
             "FROM events | STATS u = COUNT_DISTINCT(user_id), n = COUNT(*)"
         ))
+    # two COUNT_DISTINCTs over non-1:1 columns: each must count ITS column's
+    # distinct values per group, not the distinct (u, s) tuples
+    got2 = run_esql(
+        "FROM events | STATS u = COUNT_DISTINCT(user_id), "
+        "s = COUNT_DISTINCT(props) BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    want2 = _duck(
+        "SELECT event_type, count(DISTINCT user_id)::BIGINT u, "
+        "count(DISTINCT props)::BIGINT s "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(got2, want2)
+    glob2 = run_esql(
+        "FROM events | STATS u = COUNT_DISTINCT(user_id), "
+        "s = COUNT_DISTINCT(props)",
+        SF_DIR,
+    )
+    wantg2 = _duck(
+        "SELECT count(DISTINCT user_id)::BIGINT u, "
+        "count(DISTINCT props)::BIGINT s FROM events"
+    )
+    _assert_tables_equal(glob2, wantg2)
 
 
 def test_esql_median(ray_session):

@@ -771,6 +771,43 @@ def test_snapshot_repository_incremental(idx_copy, tmp_path):
     assert info3["deleted_blobs"] == 1
 
 
+def test_snapshot_blobs_survive_inplace_edits(idx_copy, tmp_path):
+    """Restores are COPIES (no shared inodes with the blob store), and
+    create's dedup re-verifies a pre-existing blob's hash, so an in-place
+    edit through a hardlinked source tree cannot poison the repository."""
+    import hashlib
+    from pathlib import Path
+
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import (
+        snapshot_create,
+        snapshot_restore,
+    )
+
+    repo = str(tmp_path / "repo")
+    s1 = snapshot_create(idx_copy, repo, "s1")
+
+    # restored files never share an inode with the blob store
+    work = str(tmp_path / "work")
+    snapshot_restore(repo, "s1", work)
+    blob_root = Path(repo) / "blobs"
+    blob_inodes = {p.stat().st_ino for p in blob_root.iterdir()}
+    for p in Path(work).rglob("*"):
+        if p.is_file():
+            assert p.stat().st_ino not in blob_inodes, p
+
+    # simulate a corrupted blob (rewrite via a fresh file so the source
+    # index stays intact): the next create must heal it, not trust it
+    victim = next(p for p in blob_root.iterdir() if not p.name.endswith(".tmp"))
+    good = victim.read_bytes()
+    victim.unlink()
+    victim.write_bytes(b"\xff" * min(8, len(good)) + good[min(8, len(good)):])
+    s2 = snapshot_create(idx_copy, repo, "s2")
+    assert s2["new_files"] == 1  # exactly the healed blob
+    healed = victim.read_bytes()
+    assert hashlib.sha256(healed).hexdigest() == victim.name
+    assert healed == good
+
+
 def test_cat_indices_over_registry(idx_copy, tmp_path):
     from bitcoin_ledger_2es_ray.pipelines.lifecycle import (
         cat_indices,
