@@ -964,42 +964,72 @@ def histogram_agg(index_dir: str, matches: pa.Table, interval: int = 16) -> pa.T
     return _agg_over_forward_map(index_dir, matches, ["dl"], bucket, "bucket")
 
 
-def rare_terms_agg(index_dir: str, max_doc_count: int = 2) -> pa.Table:
+def rare_terms_ds(index_dir: str, max_doc_count: int = 2):
+    """Streaming plan behind ``rare_terms_agg``: the (term, doc_count)
+    long tail as a lazy Dataset — one vocabulary-bounded groupby over the
+    term-dict df partials plus a selective filter, never a corpus pass."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+
+    def tail(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["sum(df)"], max_doc_count))
+        return pa.table(
+            {"term": b["term"], "doc_count": b["sum(df)"].cast(pa.int64())}
+        )
+
+    return (
+        rd.read_parquet(os.path.join(index_dir, "term_dict.parquet"), columns=["term", "df"])
+        .groupby("term")
+        .sum("df")
+        .map_batches(tail, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+_RARE_EMPTY = {"term": pa.string(), "doc_count": pa.int64()}
+
+
+def rare_terms_agg(
+    index_dir: str, max_doc_count: int = 2, size: int | None = None
+) -> pa.Table:
     """ES ``rare_terms`` aggregation: the long-tail terms whose document
     frequency is ≤ ``max_doc_count`` → (term, doc_count) sorted by term.
 
     The term dictionary already holds per-(partition, salt-slice) df
     partials, so this is one Ray Data groupby over (term, df) — a shuffle
     bounded by VOCABULARY size, never corpus size — followed by the
-    selective filter.  Only the rare tail (the result) reaches the driver;
-    ES answers the same question with a per-shard df merge on the
-    coordinator, which this mirrors."""
-    import pyarrow.compute as pc
-    import ray.data as rd
+    selective filter.  ES answers the same question with a per-shard df
+    merge on the coordinator, which this mirrors — but at web scale the
+    rare tail IS most of the vocabulary, so the driver result must be
+    bounded: pass ``size`` to cap it (distributed sort + ``limit`` — only
+    ``size`` rows ever reach the driver), or stream the full tail to disk
+    with ``rare_terms_to_parquet``.  ``size=None`` keeps ES's
+    return-all-buckets semantics for small vocabularies (the gated query)."""
+    from ..functions.blocks import collect_tables
 
-    if max_doc_count < 1:
-        raise ValueError("max_doc_count must be >= 1")
-    ds = (
-        rd.read_parquet(os.path.join(index_dir, "term_dict.parquet"), columns=["term", "df"])
-        .groupby("term")
-        .sum("df")
-        .map_batches(
-            lambda b: b.filter(pc.less_equal(b["sum(df)"], max_doc_count)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    )
-    t = pa.Table.from_pylist(ds.take_all())
-    if t.num_rows == 0:
-        return pa.table(
-            {
-                "term": pa.array([], type=pa.string()),
-                "doc_count": pa.array([], type=pa.int64()),
-            }
-        )
-    return pa.table(
-        {"term": t["term"], "doc_count": t["sum(df)"].cast(pa.int64())}
-    ).sort_by("term")
+    ds = rare_terms_ds(index_dir, max_doc_count)
+    if size is not None:
+        if size < 1:
+            raise ValueError("size must be >= 1")
+        # distributed ascending sort, then limit: driver residency is
+        # O(size), the tail shuffle stays on the cluster
+        ds = ds.sort("term").limit(size)
+    parts = collect_tables(ds)
+    if not parts:
+        return pa.table({k: pa.array([], type=v) for k, v in _RARE_EMPTY.items()})
+    t = pa.concat_tables([p.select(["term", "doc_count"]) for p in parts])
+    return t.sort_by("term")
+
+
+def rare_terms_to_parquet(
+    index_dir: str, out_dir: str, max_doc_count: int = 2
+) -> str:
+    """Scale sink for the full rare tail: partitioned parquet, no driver
+    materialization (the unbounded-vocabulary path)."""
+    rare_terms_ds(index_dir, max_doc_count).write_parquet(out_dir, mode="overwrite")
+    return out_dir
 
 
 def multi_terms_agg(

@@ -1409,6 +1409,27 @@ def test_rare_terms_agg_matches_brute(built, ray_session):
         assert list(zip(got["term"].to_pylist(), got["doc_count"].to_pylist())) == want
     with pytest.raises(ValueError):
         rare_terms_agg(res.out_dir, max_doc_count=0)
+    # bounded driver residency: size=k returns exactly the first k buckets
+    # of the unbounded term-ascending result (distributed sort + limit)
+    full = rare_terms_agg(res.out_dir, max_doc_count=10**9)
+    for k in (1, 3, full.num_rows + 5):
+        capped = rare_terms_agg(res.out_dir, max_doc_count=10**9, size=k)
+        assert capped.equals(full.slice(0, min(k, full.num_rows)))
+    with pytest.raises(ValueError):
+        rare_terms_agg(res.out_dir, size=0)
+
+
+def test_rare_terms_sink_matches_agg(built, ray_session, tmp_path):
+    from bitcoin_ledger_2es_ray.pipelines.aggs import (
+        rare_terms_agg,
+        rare_terms_to_parquet,
+    )
+
+    res, _, _ = built
+    out = rare_terms_to_parquet(res.out_dir, str(tmp_path / "rare"), max_doc_count=10**9)
+    got = pq.read_table(out).sort_by("term")
+    want = rare_terms_agg(res.out_dir, max_doc_count=10**9)
+    assert got.select(["term", "doc_count"]).equals(want)
 
 
 def test_multi_terms_agg_matches_pandas(hitset, ray_session):

@@ -210,6 +210,51 @@ def test_langid_goldens(ray_session):
     assert lid.classify("zzz qqq xxx") == "und"
 
 
+def test_langid_batch_matches_classify(ray_session):
+    """The vectorized __call__ must equal the per-row reference exactly,
+    including ties (de vs en share no stopwords, but craft an overlap via
+    'en'/'es'), CJK thresholds, empties, whitespace runs and nulls."""
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.pipelines.textstats import LangId
+
+    lid = LangId()
+    texts = [
+        "the cat and the dog are in the house",
+        "le chat et le chien est dans la maison",
+        "el gato y el perro en la casa es que",
+        "der hund und die katze ist mit ein haus",
+        "你好世界这是一个测试文档",
+        "",
+        "zzz qqq xxx",
+        "de en la",            # shared stopwords across fr/es/en → tie-break
+        "en de",               # two-way tie fr/es/de/en territory
+        "  spaced   out  the  and  ",  # whitespace runs + edge spaces
+        "mixed 你好 text with some cjk 世界 but below threshold ratio here",
+        "你好 a",              # CJK just above 0.2 of total chars
+        None,
+        "THE CAT AND THE DOG",  # case folding
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = lid(batch)
+    got = out["lang_pred"].to_pylist()
+    want = [lid.classify(t) if t is not None else "und" for t in texts]
+    assert got == want, list(zip(texts, got, want))
+
+    # and on the real corpus: every doc identical to the reference loop
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = lid(docs)
+    want = [lid.classify(t) for t in docs["text"].to_pylist()]
+    assert out["lang_pred"].to_pylist() == want
+
+
 def test_fingerprints_deterministic(ray_session):
     from bitcoin_ledger_2es_ray.pipelines.textstats import doc_fingerprints
 
