@@ -3841,6 +3841,23 @@ def _q_rate_agg(sf_dir: str) -> pa.Table:
     return rate_agg(sf_dir, bucket_s=86400, unit_s=3600, round_decimals=_ROUND)
 
 
+def _q_tsds_downsample(sf_dir: str) -> pa.Table:
+    """ES TSDS ``_downsample``: one rollup row per (user_id, event_type)
+    series per day — value_count/min/max/sum/avg gauge metrics plus the
+    counter ``last_value`` (latest by (ts, event_id))."""
+    from bitcoin_ledger_2es_ray.pipelines.events import downsample
+
+    return downsample(sf_dir, interval_s=86400, round_decimals=_ROUND)
+
+
+def _q_time_series(sf_dir: str) -> pa.Table:
+    """ES ``time_series`` aggregation: one bucket per (user_id, event_type)
+    dimension tuple with doc_count + first/last epoch second + gauge sum."""
+    from bitcoin_ledger_2es_ray.pipelines.events import time_series_agg
+
+    return time_series_agg(sf_dir, round_decimals=_ROUND)
+
+
 def _q_bucket_script(sf_dir: str) -> pa.Table:
     """ES ``bucket_script``: per-day purchase revenue ÷ click count,
     null where the denominator bucket is empty."""
@@ -4967,6 +4984,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filters_agg": _q_filters_agg,
         "date_range": _q_date_range,
         "rate_agg": _q_rate_agg,
+        "tsds_downsample": _q_tsds_downsample,
+        "time_series": _q_time_series,
         "bucket_script": _q_bucket_script,
         "geo_bounds": _q_geo_bounds,
         "eql_funnel": _q_eql_funnel,
@@ -8186,6 +8205,39 @@ SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
        round(sum(value) / 24, 6) AS rate_sum,
        round(count(*) / 24.0, 6) AS rate_count
 FROM events GROUP BY 1 ORDER BY 1
+""",
+        # TSDS downsample: one rollup per (user, type) series per day;
+        # last_value = latest by (us, event_id), ES's counter semantics
+        "tsds_downsample": """
+WITH e AS (SELECT user_id, event_type,
+                  ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+                  epoch_us(ts) AS us, event_id, value FROM events),
+agg AS (
+  SELECT user_id::BIGINT AS user_id, event_type, bucket_s::BIGINT AS bucket_s,
+         count(*)::BIGINT AS doc_count,
+         round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
+         round(sum(value), 6) AS sum_value,
+         round(sum(value) / count(*), 6) AS avg_value
+  FROM e GROUP BY 1, 2, 3),
+lastv AS (
+  SELECT user_id::BIGINT AS user_id, event_type, bucket_s::BIGINT AS bucket_s,
+         round(value, 6) AS last_value,
+         row_number() OVER (PARTITION BY user_id, event_type, bucket_s
+                            ORDER BY us DESC, event_id DESC) AS rn
+  FROM e)
+SELECT a.user_id, a.event_type, a.bucket_s, a.doc_count, a.min_value,
+       a.max_value, a.sum_value, a.avg_value, l.last_value
+FROM agg a JOIN lastv l USING (user_id, event_type, bucket_s)
+WHERE l.rn = 1 ORDER BY 1, 2, 3
+""",
+        # time_series agg: one bucket per (user, type) dimension tuple
+        "time_series": """
+SELECT user_id::BIGINT AS user_id, event_type,
+       count(*)::BIGINT AS doc_count,
+       min(epoch_us(ts) // 1000000)::BIGINT AS start_s,
+       max(epoch_us(ts) // 1000000)::BIGINT AS end_s,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # bucket_script: daily purchase revenue / click count (null if 0 clicks)
         "bucket_script": """

@@ -799,3 +799,163 @@ def hopping_window(
             ),
         }
     )
+
+
+def downsample(
+    sf_dir: str, interval_s: int = 3600, round_decimals: int = 6
+) -> pa.Table:
+    """ES TSDS ``_downsample`` API: roll the events log up to ONE document
+    per (time series, fixed interval) — a time series is the dimension
+    tuple (user_id, event_type).  Gauge metric ``value`` keeps ES's stored
+    rollup (value_count/min/max/sum); the counter semantics keep
+    ``last_value`` — the value of the latest event in the bucket, ties by
+    (ts, event_id) like every tie in this engine.
+
+    Shape: one vectorized single-pass partial per Arrow batch (np.lexsort
+    by (series, bucket, ts_us, event_id), then reduceat folds — the run
+    LAST row is the batch-local argmax for free), then a Ray groupby over
+    (series, bucket) whose ``map_groups`` folds the per-block partials —
+    mergeable counts/min/max/sum plus an argmax by (l_us, l_eid).  The
+    shuffle moves partials (one row per key per block), never events, and
+    nothing unbounded reaches the driver on the ``_to_parquet`` path.
+    """
+    from ..functions.blocks import collect_tables
+
+    t = pa.concat_tables(
+        collect_tables(
+            downsample_ds(sf_dir, interval_s, round_decimals),
+            on_empty="downsample: no events",
+        )
+    )
+    return t.sort_by(
+        [("user_id", "ascending"), ("event_type", "ascending"), ("bucket_s", "ascending")]
+    )
+
+
+def downsample_ds(sf_dir: str, interval_s: int = 3600, round_decimals: int = 6):
+    if interval_s <= 0:
+        raise ValueError("interval_s must be positive")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (us // 1_000_000) // interval_s * interval_s
+        u = batch["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = batch["event_type"].combine_chunks().dictionary_encode()
+        etc = np.asarray(et.indices)
+        eid = batch["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, us, bucket, etc, u))
+        u, etc, bucket, us, eid, v = (a[order] for a in (u, etc, bucket, us, eid, v))
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (etc[1:] != etc[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(new)
+        last = np.r_[starts[1:], len(u)] - 1  # run tail = argmax (us, eid)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], type=pa.int64()),
+                "event_type": pc.take(et.dictionary, pa.array(etc[starts])),
+                "bucket_s": pa.array(bucket[starts], type=pa.int64()),
+                "n": pa.array(np.diff(np.r_[starts, len(u)]), type=pa.int64()),
+                "mn": pa.array(np.minimum.reduceat(v, starts)),
+                "mx": pa.array(np.maximum.reduceat(v, starts)),
+                "sm": pa.array(np.add.reduceat(v, starts)),
+                "l_us": pa.array(us[last], type=pa.int64()),
+                "l_eid": pa.array(eid[last], type=pa.int64()),
+                "l_val": pa.array(v[last]),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_us", "l_eid"], kind="mergesort")
+        sm = float(g["sm"].sum())
+        n = int(g["n"].sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "event_type": [g["event_type"].iloc[0]],
+                "bucket_s": [int(g["bucket_s"].iloc[0])],
+                "doc_count": [n],
+                "min_value": [sql_round(float(g["mn"].min()), round_decimals)],
+                "max_value": [sql_round(float(g["mx"].max()), round_decimals)],
+                "sum_value": [sql_round(sm, round_decimals)],
+                "avg_value": [sql_round(sm / n, round_decimals)],
+                "last_value": [sql_round(float(g["l_val"].iloc[-1]), round_decimals)],
+            }
+        )
+
+    return (
+        _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type", "bucket_s"])
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def downsample_to_parquet(sf_dir: str, out_dir: str, interval_s: int = 3600) -> str:
+    """Scale sink: the rolled-up index streams straight to partitioned
+    parquet — the downsampled store IS the new (much smaller) index."""
+    downsample_ds(sf_dir, interval_s).write_parquet(out_dir, mode="overwrite")
+    return out_dir
+
+
+def time_series_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``time_series`` aggregation (8.7+ TSDS): one bucket per time
+    series — the (user_id, event_type) dimension tuple — with doc_count
+    and the series' stats sub-agg (first/last epoch second, sum of the
+    gauge).  Pre-aggregation pattern: per-batch Arrow group_by partials,
+    one Ray groupby over the series key (shuffle bounded by SERIES
+    cardinality × blocks, never events)."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sec = pc.divide(batch["ts"].cast(pa.int64()), 1_000_000)
+        t = pa.table(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "sec": sec,
+                "value": batch["value"],
+            }
+        )
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("value", "count"), ("sec", "min"), ("sec", "max"), ("value", "sum")]
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": g["value_count"].cast(pa.int64()),
+                "mn_s": g["sec_min"],
+                "mx_s": g["sec_max"],
+                "sm": g["value_sum"],
+            }
+        )
+
+    ds = (
+        _read_events(sf_dir, ["ts", "user_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .aggregate(
+            Sum("n", alias_name="doc_count"),
+            Min("mn_s", alias_name="start_s"),
+            Max("mx_s", alias_name="end_s"),
+            Sum("sm", alias_name="sum_value"),
+        )
+    )
+    from ..functions.blocks import collect_tables
+
+    t = pa.concat_tables(collect_tables(ds, on_empty="time_series_agg: no events"))
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "event_type": t["event_type"],
+            "doc_count": t["doc_count"].cast(pa.int64()),
+            "start_s": t["start_s"].cast(pa.int64()),
+            "end_s": t["end_s"].cast(pa.int64()),
+            "sum_value": pa.array(
+                sql_round(np.asarray(t["sum_value"], dtype=np.float64), round_decimals),
+                type=pa.float64(),
+            ),
+        }
+    ).sort_by([("user_id", "ascending"), ("event_type", "ascending")])

@@ -440,6 +440,74 @@ def test_event_windows(ray_session):
     assert sessionize(SF, gap_s=1800).equals(s)
 
 
+def test_tsds_downsample_matches_pandas(ray_session, tmp_path):
+    """ES _downsample rollup vs an independent pandas recompute, at two
+    intervals (hourly ≈ singleton buckets, daily = multi-event folds);
+    the sink round-trips to the same rows."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+    from bitcoin_ledger_2es_ray.pipelines.events import (
+        downsample,
+        downsample_to_parquet,
+        time_series_agg,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    for interval in (3600, 86400):
+        got = downsample(SF, interval_s=interval).to_pandas()
+        ev["bucket_s"] = ev["us"] // 1_000_000 // interval * interval
+        g = ev.groupby(["user_id", "event_type", "bucket_s"])
+        want = g.agg(
+            doc_count=("value", "size"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+            sum_value=("value", "sum"),
+        ).reset_index()
+        want["avg_value"] = want["sum_value"] / want["doc_count"]
+        last = (
+            ev.sort_values(["us", "event_id"])
+            .groupby(["user_id", "event_type", "bucket_s"])
+            .tail(1)[["user_id", "event_type", "bucket_s", "value"]]
+            .rename(columns={"value": "last_value"})
+        )
+        want = want.merge(last, on=["user_id", "event_type", "bucket_s"])
+        want = want.sort_values(["user_id", "event_type", "bucket_s"]).reset_index(drop=True)
+        for c in ("min_value", "max_value", "sum_value", "avg_value", "last_value"):
+            want[c] = sql_round(want[c].to_numpy(), 6)
+        pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False, atol=1e-9)
+    out = downsample_to_parquet(SF, str(tmp_path / "ds"), interval_s=86400)
+    sunk = (
+        pq.read_table(out)
+        .sort_by([("user_id", "ascending"), ("event_type", "ascending"), ("bucket_s", "ascending")])
+    )
+    assert sunk.to_pandas().reset_index(drop=True).equals(
+        downsample(SF, interval_s=86400).to_pandas().reset_index(drop=True)
+    )
+
+    # time_series agg: per-series doc_count/start/end/sum
+    ts = time_series_agg(SF).to_pandas()
+    want = (
+        ev.assign(sec=ev["us"] // 1_000_000)
+        .groupby(["user_id", "event_type"])
+        .agg(doc_count=("value", "size"), start_s=("sec", "min"),
+             end_s=("sec", "max"), sum_value=("value", "sum"))
+        .reset_index()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    want["sum_value"] = sql_round(want["sum_value"].to_numpy(), 6)
+    pd.testing.assert_frame_equal(ts, want[ts.columns], check_dtype=False, atol=1e-9)
+    # the downsampled store re-aggregates to the same series totals
+    daily = downsample(SF, interval_s=86400).to_pandas()
+    re = daily.groupby(["user_id", "event_type"])["doc_count"].sum().reset_index()
+    assert re.merge(ts, on=["user_id", "event_type"])["doc_count_x"].equals(
+        re.merge(ts, on=["user_id", "event_type"])["doc_count_y"]
+    )
+
+
 def test_curation_pipeline(ray_session):
     """Composed curation: filters + dedup-representative join; grouped top-k."""
     from bitcoin_ledger_2es_ray.pipelines.curate import curate_corpus, top_quality_per_lang
