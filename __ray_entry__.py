@@ -4724,6 +4724,35 @@ _ESQL_MVEXPAND = (
     'FROM documents | EVAL w = SPLIT(text, " ") | MV_EXPAND w '
     "| STATS n = COUNT(*) BY w | SORT n DESC, w ASC | LIMIT 15"
 )
+_ESQL_MATH = (
+    "FROM lineitem | EVAL c = CEIL(l_extendedprice), f = FLOOR(l_discount * 100), "
+    "s = ROUND(SQRT(l_quantity), 6), p = ROUND(POW(l_quantity, 2), 6), "
+    "lg = ROUND(LOG10(l_extendedprice), 6), ln2 = ROUND(LOG(2.0, l_quantity), 6), "
+    "sg = SIGNUM(l_extendedprice - 30000.0) "
+    "| KEEP l_orderkey, l_linenumber, c, f, s, p, lg, ln2, sg "
+    "| SORT l_orderkey, l_linenumber, c | LIMIT 200"
+)
+_ESQL_STRING_FNS = (
+    'FROM customer | EVAL t = TRIM(c_name), l5 = LEFT(c_name, 5), '
+    'r4 = RIGHT(c_name, 4), rev = REVERSE(c_mktsegment), '
+    'ew = ENDS_WITH(c_name, "1"), loc = LOCATE(c_name, "er#"), '
+    'rep = REPLACE(c_mktsegment, "A", "_") '
+    "| KEEP c_custkey, t, l5, r4, rev, ew, loc, rep | SORT c_custkey | LIMIT 120"
+)
+_ESQL_MV_FNS = (
+    'FROM documents | EVAL w = SPLIT(text, " "), n = MV_COUNT(w), '
+    "f = MV_FIRST(w), la = MV_LAST(w), mn = MV_MIN(w), mx = MV_MAX(w) "
+    "| KEEP doc_id, n, f, la, mn, mx | SORT doc_id | LIMIT 150"
+)
+_ESQL_DATES = (
+    'FROM events | EVAL day = TO_LONG(DATE_TRUNC(1 day, ts)), '
+    'dow = DATE_EXTRACT("day_of_week", ts), dstr = DATE_FORMAT("%Y-%m-%d", ts) '
+    "| STATS n = COUNT(*) BY day, dow, dstr | SORT day"
+)
+_ESQL_BUCKET = (
+    "FROM events | EVAL b = BUCKET(value, 5.0), w = TO_LONG(BUCKET(ts, 1 week)) "
+    "| STATS n = COUNT(*) BY b, w | SORT b, w"
+)
 _ESQL_ENRICH = (
     "FROM customer | EVAL cents = ROUND(c_acctbal * 100, 0) "
     "| ENRICH nations ON c_nationkey "
@@ -4790,6 +4819,47 @@ def _q_esql_mv_expand(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_MVEXPAND, sf_dir)
+
+
+def _q_esql_math(sf_dir: str) -> pa.Table:
+    """ES|QL math function library: CEIL/FLOOR/SQRT/POW/LOG10/LOG(base)/
+    SIGNUM in EVAL — each a single Arrow kernel per batch."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_MATH, sf_dir)
+
+
+def _q_esql_string_fns(sf_dir: str) -> pa.Table:
+    """ES|QL string long tail: TRIM/LEFT/RIGHT/REVERSE/ENDS_WITH/LOCATE/
+    REPLACE(regex, all matches) — Arrow kernels, no per-row Python."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_STRING_FNS, sf_dir)
+
+
+def _q_esql_mv_fns(sf_dir: str) -> pa.Table:
+    """ES|QL multi-value functions over SPLIT lists: MV_COUNT/FIRST/LAST/
+    MIN/MAX — parent-index group_by reductions, null for null lists."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_MV_FNS, sf_dir)
+
+
+def _q_esql_dates(sf_dir: str) -> pa.Table:
+    """ES|QL date functions: DATE_TRUNC with a temporal literal (1 day),
+    DATE_EXTRACT ChronoFields, DATE_FORMAT strftime; TO_LONG(date) is
+    ES's milliseconds-since-epoch."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_DATES, sf_dir)
+
+
+def _q_esql_bucket(sf_dir: str) -> pa.Table:
+    """ES|QL BUCKET (8.14): numeric span and temporal-literal span forms
+    feeding STATS BY."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_BUCKET, sf_dir)
 
 
 def _q_esql_show(sf_dir: str) -> pa.Table:
@@ -5187,6 +5257,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_median": _q_esql_median,
         "esql_case": _q_esql_case,
         "esql_show": _q_esql_show,
+        "esql_math": _q_esql_math,
+        "esql_string_fns": _q_esql_string_fns,
+        "esql_mv_fns": _q_esql_mv_fns,
+        "esql_dates": _q_esql_dates,
+        "esql_bucket": _q_esql_bucket,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -9627,6 +9702,42 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT '0.1.0' AS version, '0' AS major,
        '0000000000000000000000000000000000000000' AS hash,
        '2026-01-01T00:00:00.000Z' AS date
+""",
+        "esql_math": """
+SELECT l_orderkey, l_linenumber, ceil(l_extendedprice) AS c,
+       floor(l_discount * 100) AS f,
+       round(sqrt(l_quantity), 6) AS s,
+       round(pow(l_quantity, 2), 6) AS p,
+       round(log10(l_extendedprice), 6) AS lg,
+       round(log2(l_quantity), 6) AS ln2,
+       sign(l_extendedprice - 30000.0)::DOUBLE AS sg
+FROM lineitem ORDER BY 1, 2, 3 LIMIT 200
+""",
+        "esql_string_fns": """
+SELECT c_custkey, trim(c_name) AS t, left(c_name, 5) AS l5,
+       right(c_name, 4) AS r4, reverse(c_mktsegment) AS rev,
+       c_name LIKE '%1' AS ew, strpos(c_name, 'er#') AS loc,
+       regexp_replace(c_mktsegment, 'A', '_', 'g') AS rep
+FROM customer ORDER BY 1 LIMIT 120
+""",
+        "esql_mv_fns": """
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents)
+SELECT doc_id, len(l)::BIGINT AS n, l[1] AS f, l[-1] AS la,
+       list_min(l) AS mn, list_max(l) AS mx
+FROM w ORDER BY doc_id LIMIT 150
+""",
+        "esql_dates": """
+SELECT (epoch_us(date_trunc('day', ts)) // 1000)::BIGINT AS day,
+       isodow(ts)::BIGINT AS dow,
+       strftime(ts, '%Y-%m-%d') AS dstr,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2, 3 ORDER BY 1
+""",
+        "esql_bucket": """
+SELECT floor(value / 5.0) * 5.0 AS b,
+       (((epoch_us(ts) // 1000000) // 604800) * 604800 * 1000)::BIGINT AS w,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "esql_dissect": """
 SELECT regexp_extract(props, '^\\{"k": (.*)\\}$', 1) AS k,

@@ -109,6 +109,36 @@ _KEYWORDS = {
 
 _UNSUPPORTED: set[str] = set()
 
+
+class Duration(int):
+    """ES|QL temporal literal (``1 day``, ``2 hours``) as integer
+    MICROSECONDS — an int subclass so it flows through the generic
+    literal plumbing; DATE_TRUNC/BUCKET dispatch on the type."""
+
+
+# fixed-width units only; calendar units (month/quarter/year) are
+# data-dependent and refused at parse time rather than mis-truncated
+_DUR_UNITS_US = {
+    "MILLISECOND": 1_000, "MILLISECONDS": 1_000, "MS": 1_000,
+    "SECOND": 1_000_000, "SECONDS": 1_000_000, "SEC": 1_000_000, "S": 1_000_000,
+    "MINUTE": 60_000_000, "MINUTES": 60_000_000, "MIN": 60_000_000,
+    "HOUR": 3_600_000_000, "HOURS": 3_600_000_000, "H": 3_600_000_000,
+    "DAY": 86_400_000_000, "DAYS": 86_400_000_000, "D": 86_400_000_000,
+    "WEEK": 604_800_000_000, "WEEKS": 604_800_000_000, "W": 604_800_000_000,
+}
+_CALENDAR_UNITS = {"MONTH", "MONTHS", "QUARTER", "QUARTERS", "YEAR", "YEARS"}
+
+# ES|QL DATE_EXTRACT ChronoField names → pyarrow temporal kernels
+_CHRONO_FIELDS = {
+    "YEAR": "year",
+    "MONTH_OF_YEAR": "month",
+    "DAY_OF_MONTH": "day",
+    "HOUR_OF_DAY": "hour",
+    "MINUTE_OF_HOUR": "minute",
+    "SECOND_OF_MINUTE": "second",
+    "DAY_OF_WEEK": "day_of_week",  # ISO: Mon=1 … Sun=7
+}
+
 # SHOW INFO's one deterministic row (ES|QL's only SHOW item; see
 # docs: esql-commands.html#esql-show).  The graft pins build date/hash to
 # the package release so the row is bit-stable across runs.
@@ -321,6 +351,17 @@ class _Parser:
     def _atom(self):
         kind, text = self.next()
         if kind == "num":
+            # ES|QL temporal literal: a number directly followed by a time
+            # unit identifier (``1 day``, ``12 hours``)
+            nk, nt = self.peek()
+            if nk == "ident" and nt.upper() in _DUR_UNITS_US and "." not in text:
+                self.next()
+                return ("lit", Duration(int(text) * _DUR_UNITS_US[nt.upper()]))
+            if nk == "ident" and nt.upper() in _CALENDAR_UNITS:
+                raise ValueError(
+                    f"esql: calendar unit {nt!r} is data-dependent and not "
+                    "supported; use a fixed-width unit (day/hour/…)"
+                )
             return ("lit", float(text) if "." in text else int(text))
         if kind == "str":
             return ("lit", text[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
@@ -543,6 +584,37 @@ def _normalize_assign(src: str) -> str:
 # ------------------------------------------------------------- evaluator
 
 
+def _as_array(v):
+    return v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+
+
+def _mv_reduce(col, how: str):
+    """Per-row reduction of a list column → scalar column, fully
+    vectorized: parent-index group_by for min/max (any orderable type),
+    run boundaries on the flattened stream for first/last.  Rows whose
+    list is null or empty come back null (ES|QL MV_* semantics)."""
+    col = _as_array(col)
+    if not pa.types.is_list(col.type):
+        raise ValueError("esql: MV_* functions need a multi-value (list) column")
+    n = len(col)
+    par = pc.list_parent_indices(col)
+    flat = col.flatten()
+    if how in ("first", "last"):
+        pnp = par.to_numpy(zero_copy_only=False)
+        if len(pnp) == 0:
+            return pa.nulls(n, type=col.type.value_type)
+        starts = np.flatnonzero(np.r_[True, pnp[1:] != pnp[:-1]])
+        pos = starts if how == "first" else np.r_[starts[1:], len(pnp)] - 1
+        rows, vals = pnp[starts], flat.take(pa.array(pos, type=pa.int64()))
+    else:
+        g = pa.table({"i": par, "v": flat}).group_by("i").aggregate([("v", how)])
+        rows = g["i"].to_numpy(zero_copy_only=False)
+        vals = g[f"v_{how}"].combine_chunks()
+    m = np.full(n, -1, dtype=np.int64)
+    m[rows] = np.arange(len(rows))
+    return pc.take(vals, pa.array(m, mask=m < 0))
+
+
 def _eval_expr(node: tuple, batch: pa.Table):
     """Evaluate an expression AST against one Arrow batch → Array/scalar."""
     kind = node[0]
@@ -557,12 +629,13 @@ def _eval_expr(node: tuple, batch: pa.Table):
         name, args = node[1], node[2]
         vals = [_eval_expr(a, batch) for a in args]
         if name == "ROUND":
-            x = vals[0]
+            x = _as_array(vals[0])
             d = int(vals[1]) if len(vals) > 1 else 0
-            arr = np.asarray(
-                x.cast(pa.float64()) if isinstance(x, pa.Array) else x,
-                dtype=np.float64,
-            )
+            if not isinstance(x, pa.Array):
+                if isinstance(x, pa.Scalar):
+                    x = x.as_py()
+                return float(sql_round(float(x), d))
+            arr = np.asarray(x.cast(pa.float64()), dtype=np.float64)
             return pa.array(sql_round(arr, d), type=pa.float64())
         if name == "ABS":
             return pc.abs(vals[0])
@@ -602,6 +675,114 @@ def _eval_expr(node: tuple, batch: pa.Table):
             for cond, val in reversed(list(zip(pairs[::2], pairs[1::2]))):
                 acc = pc.if_else(cond, val, acc)
             return acc
+        # ---- math (single Arrow kernels; see esql-functions-operators) --
+        if name == "CEIL":
+            return pc.ceil(vals[0])
+        if name == "FLOOR":
+            return pc.floor(vals[0])
+        if name == "SQRT":
+            return pc.sqrt(vals[0])
+        if name == "POW":
+            return pc.power(vals[0], vals[1])
+        if name == "EXP":
+            return pc.exp(vals[0])
+        if name == "LOG10":
+            return pc.log10(vals[0])
+        if name == "LOG":
+            # ES|QL LOG([base,] value)
+            if len(vals) == 2:
+                return pc.logb(vals[1], vals[0])
+            return pc.ln(vals[0])
+        if name == "SIGNUM":
+            return pc.sign(vals[0]).cast(pa.float64())
+        if name == "PI":
+            return float(np.pi)
+        if name == "E":
+            return float(np.e)
+        if name == "TAU":
+            return float(2 * np.pi)
+        # ---- strings ----------------------------------------------------
+        if name == "TRIM":
+            return pc.utf8_trim_whitespace(vals[0])
+        if name == "LTRIM":
+            return pc.utf8_ltrim_whitespace(vals[0])
+        if name == "RTRIM":
+            return pc.utf8_rtrim_whitespace(vals[0])
+        if name == "REVERSE":
+            return pc.utf8_reverse(vals[0])
+        if name == "ENDS_WITH":
+            return pc.ends_with(vals[0], pattern=vals[1])
+        if name == "LEFT":
+            return pc.utf8_slice_codeunits(vals[0], 0, int(vals[1]))
+        if name == "RIGHT":
+            # n>len yields the whole string, like ES/DuckDB right()
+            return pc.utf8_reverse(
+                pc.utf8_slice_codeunits(pc.utf8_reverse(vals[0]), 0, int(vals[1]))
+            )
+        if name == "REPLACE":
+            # ES|QL REPLACE(string, regex, newString) — replaces ALL matches
+            if not isinstance(vals[1], str) or not isinstance(vals[2], str):
+                raise ValueError("esql: REPLACE needs literal pattern and replacement")
+            return pc.replace_substring_regex(vals[0], pattern=vals[1], replacement=vals[2])
+        if name == "LOCATE":
+            # ES|QL LOCATE(string, substring): 1-based, 0 when absent
+            if not isinstance(vals[1], str):
+                raise ValueError("esql: LOCATE needs a literal substring")
+            return pc.add(pc.find_substring(vals[0], pattern=vals[1]), 1).cast(pa.int64())
+        # ---- type conversions -------------------------------------------
+        if name == "TO_STRING":
+            return _as_array(vals[0]).cast(pa.string())
+        if name in ("TO_INTEGER", "TO_LONG"):
+            x = _as_array(vals[0])
+            if isinstance(x, pa.Array) and pa.types.is_timestamp(x.type):
+                # ES: TO_LONG(date) = milliseconds since epoch
+                return pc.divide(x.cast(pa.int64()), 1_000)
+            if isinstance(x, pa.Array) and pa.types.is_floating(x.type):
+                return pc.trunc(x).cast(pa.int64())  # ES truncates toward zero
+            return x.cast(pa.int64())
+        if name == "TO_DOUBLE":
+            return _as_array(vals[0]).cast(pa.float64())
+        # ---- dates (fixed-width units; calendar units refused at parse) -
+        if name == "DATE_TRUNC":
+            dur, ts = vals[0], _as_array(vals[1])
+            if not isinstance(dur, Duration):
+                raise ValueError("esql: DATE_TRUNC needs a temporal literal (1 day, …)")
+            us = ts.cast(pa.int64())
+            return pc.multiply(pc.divide(us, int(dur)), int(dur)).cast(ts.type)
+        if name == "BUCKET":
+            x, span = _as_array(vals[0]), vals[1]
+            if isinstance(span, Duration):
+                us = x.cast(pa.int64())
+                return pc.multiply(pc.divide(us, int(span)), int(span)).cast(x.type)
+            span = float(span)
+            return pc.multiply(pc.floor(pc.divide(x.cast(pa.float64()), span)), span)
+        if name == "DATE_EXTRACT":
+            # ES|QL DATE_EXTRACT(datePart, date), ChronoField names
+            part = vals[0]
+            if not isinstance(part, str) or part.upper() not in _CHRONO_FIELDS:
+                raise ValueError(
+                    f"esql: DATE_EXTRACT part must be one of {sorted(_CHRONO_FIELDS)}"
+                )
+            kernel = _CHRONO_FIELDS[part.upper()]
+            if kernel == "day_of_week":
+                return pc.day_of_week(vals[1], count_from_zero=False, week_start=1).cast(pa.int64())
+            return getattr(pc, kernel)(vals[1]).cast(pa.int64())
+        if name == "DATE_FORMAT":
+            # ES|QL DATE_FORMAT([format,] date) — strftime-style here
+            if not isinstance(vals[0], str):
+                raise ValueError("esql: DATE_FORMAT needs a literal format string")
+            return pc.strftime(vals[1], format=vals[0])
+        # ---- multi-value ------------------------------------------------
+        if name == "MV_COUNT":
+            return pc.list_value_length(_as_array(vals[0])).cast(pa.int64())
+        if name == "MV_FIRST":
+            return _mv_reduce(vals[0], "first")
+        if name == "MV_LAST":
+            return _mv_reduce(vals[0], "last")
+        if name == "MV_MIN":
+            return _mv_reduce(vals[0], "min")
+        if name == "MV_MAX":
+            return _mv_reduce(vals[0], "max")
         raise ValueError(f"esql: unknown function {name}")
     op = node[1]
     left = _eval_expr(node[2], batch)

@@ -568,3 +568,125 @@ def test_esql_median_empty_match(ray_session):
         SF_DIR,
     )
     assert got.num_rows == 0 and got.column_names == ["lang", "m"]
+
+
+def test_esql_math_functions(ray_session):
+    got = run_esql(
+        "FROM events | EVAL c = CEIL(value), f = FLOOR(value), "
+        "s = ROUND(SQRT(value), 6), p = ROUND(POW(value, 2), 6), "
+        "sg = SIGNUM(value - 10.0) "
+        "| KEEP event_id, c, f, s, p, sg | SORT event_id | LIMIT 80",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT event_id, ceil(value) c, floor(value) f, "
+        "round(sqrt(value),6) s, round(pow(value,2),6) p, "
+        "sign(value - 10.0)::DOUBLE sg "
+        "FROM events ORDER BY 1 LIMIT 80"
+    )
+    _assert_tables_equal(got, want)
+
+
+def test_esql_string_functions(ray_session):
+    got = run_esql(
+        'FROM documents | EVAL t = TRIM(source), lt = LTRIM(source), '
+        'rt = RTRIM(source), l2 = LEFT(lang, 2), r1 = RIGHT(source, 1), '
+        'rev = REVERSE(lang), ew = ENDS_WITH(source, "1"), '
+        'loc = LOCATE(source, "rc"), miss = LOCATE(source, "zzz"), '
+        'rep = REPLACE(lang, "[aeiou]", ".") '
+        "| KEEP doc_id, t, lt, rt, l2, r1, rev, ew, loc, miss, rep "
+        "| SORT doc_id | LIMIT 80",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT doc_id, trim(source) t, ltrim(source) lt, rtrim(source) rt, "
+        "left(lang,2) l2, right(source,1) r1, reverse(lang) rev, "
+        "source LIKE '%1' ew, strpos(source,'rc') loc, strpos(source,'zzz') miss, "
+        "regexp_replace(lang, '[aeiou]', '.', 'g') rep "
+        "FROM documents ORDER BY 1 LIMIT 80"
+    )
+    _assert_tables_equal(got, want)
+    with pytest.raises(Exception, match="REPLACE"):
+        run_esql("FROM documents | EVAL x = REPLACE(lang, lang, lang) | KEEP x", SF_DIR)
+
+
+def test_esql_mv_functions_and_nulls(ray_session, tmp_path):
+    got = run_esql(
+        'FROM documents | EVAL w = SPLIT(text, " "), n = MV_COUNT(w), '
+        "f = MV_FIRST(w), la = MV_LAST(w), mn = MV_MIN(w), mx = MV_MAX(w) "
+        "| KEEP doc_id, n, f, la, mn, mx | SORT doc_id | LIMIT 80",
+        SF_DIR,
+    )
+    want = _duck(
+        "WITH w AS (SELECT doc_id, str_split(text,' ') l FROM documents) "
+        "SELECT doc_id, len(l)::BIGINT n, l[1] f, l[-1] la, "
+        "list_min(l) mn, list_max(l) mx FROM w ORDER BY 1 LIMIT 80"
+    )
+    _assert_tables_equal(got, want)
+    # null lists → null scalars (direct kernel check)
+    from bitcoin_ledger_2es_ray.pipelines.esql import _mv_reduce
+
+    col = pa.array([["b", "a", "c"], None, [], ["x"]], type=pa.list_(pa.string()))
+    assert _mv_reduce(col, "min").to_pylist() == ["a", None, None, "x"]
+    assert _mv_reduce(col, "max").to_pylist() == ["c", None, None, "x"]
+    assert _mv_reduce(col, "first").to_pylist() == ["b", None, None, "x"]
+    assert _mv_reduce(col, "last").to_pylist() == ["c", None, None, "x"]
+    with pytest.raises(Exception, match="multi-value"):
+        run_esql("FROM documents | EVAL x = MV_MIN(lang) | KEEP x", SF_DIR)
+
+
+def test_esql_date_functions(ray_session):
+    got = run_esql(
+        'FROM events | EVAL day = TO_LONG(DATE_TRUNC(1 day, ts)), '
+        'h12 = TO_LONG(DATE_TRUNC(12 hours, ts)), '
+        'yr = DATE_EXTRACT("year", ts), mo = DATE_EXTRACT("month_of_year", ts), '
+        'dow = DATE_EXTRACT("day_of_week", ts), hr = DATE_EXTRACT("hour_of_day", ts), '
+        'dstr = DATE_FORMAT("%Y-%m-%dT%H", ts) '
+        "| KEEP event_id, day, h12, yr, mo, dow, hr, dstr | SORT event_id | LIMIT 80",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT event_id, (epoch_us(date_trunc('day', ts))//1000)::BIGINT AS day, "
+        "(((epoch_us(ts)//1000000)//43200)*43200*1000)::BIGINT h12, "
+        "year(ts)::BIGINT yr, month(ts)::BIGINT mo, isodow(ts)::BIGINT dow, "
+        "hour(ts)::BIGINT hr, strftime(ts, '%Y-%m-%dT%H') dstr "
+        "FROM events ORDER BY 1 LIMIT 80"
+    )
+    _assert_tables_equal(got, want)
+    # calendar units are data-dependent → parse-time refusal
+    with pytest.raises(ValueError, match="calendar unit"):
+        parse_esql(_normalize_assign(
+            "FROM events | EVAL m = DATE_TRUNC(1 month, ts) | KEEP m"
+        ))
+    with pytest.raises(Exception, match="DATE_EXTRACT part"):
+        run_esql('FROM events | EVAL x = DATE_EXTRACT("nano", ts) | KEEP x', SF_DIR)
+    with pytest.raises(Exception, match="temporal literal"):
+        run_esql("FROM events | EVAL x = DATE_TRUNC(86400, ts) | KEEP x", SF_DIR)
+
+
+def test_esql_bucket_and_conversions(ray_session):
+    got = run_esql(
+        "FROM events | EVAL b = BUCKET(value, 2.5), "
+        "i = TO_INTEGER(value), d = TO_DOUBLE(user_id), s = TO_STRING(user_id), "
+        "ms = TO_LONG(ts) "
+        "| KEEP event_id, b, i, d, s, ms | SORT event_id | LIMIT 80",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT event_id, floor(value/2.5)*2.5 b, trunc(value)::BIGINT i, "
+        "user_id::DOUBLE d, user_id::VARCHAR s, (epoch_us(ts)//1000)::BIGINT ms "
+        "FROM events ORDER BY 1 LIMIT 80"
+    )
+    _assert_tables_equal(got, want)
+    # temporal-literal span form groups like DATE_TRUNC
+    a = run_esql(
+        "FROM events | EVAL w = TO_LONG(BUCKET(ts, 1 week)) "
+        "| STATS n = COUNT(*) BY w | SORT w",
+        SF_DIR,
+    )
+    b = run_esql(
+        "FROM events | EVAL w = TO_LONG(DATE_TRUNC(1 week, ts)) "
+        "| STATS n = COUNT(*) BY w | SORT w",
+        SF_DIR,
+    )
+    assert a.equals(b)
