@@ -4753,6 +4753,14 @@ _ESQL_BUCKET = (
     "FROM events | EVAL b = BUCKET(value, 5.0), w = TO_LONG(BUCKET(ts, 1 week)) "
     "| STATS n = COUNT(*) BY b, w | SORT b, w"
 )
+_ESQL_STATS_WHERE = (
+    "FROM lineitem | EVAL cents = ROUND(l_extendedprice * 100, 0) "
+    '| STATS n_ret = COUNT(*) WHERE l_returnflag == "R", '
+    "rev_disc = SUM(cents) WHERE l_discount > 0.05, "
+    "mx_tax = MAX(l_tax) WHERE l_quantity >= 25, "
+    "avg_big = AVG(l_quantity) WHERE l_quantity >= 25 "
+    "BY l_linestatus | SORT l_linestatus"
+)
 _ESQL_ENRICH = (
     "FROM customer | EVAL cents = ROUND(c_acctbal * 100, 0) "
     "| ENRICH nations ON c_nationkey "
@@ -4862,6 +4870,16 @@ def _q_esql_bucket(sf_dir: str) -> pa.Table:
     return run_esql(_ESQL_BUCKET, sf_dir)
 
 
+def _q_esql_stats_where(sf_dir: str) -> pa.Table:
+    """ES|QL per-aggregate WHERE (8.16): ``STATS agg(...) WHERE cond``.
+    The partial null-masks the aggregate's source column per batch — Arrow
+    count/sum/min/max skip nulls, which is exactly SQL FILTER semantics;
+    a fully-filtered group yields COUNT 0 and NULL for the rest."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_STATS_WHERE, sf_dir)
+
+
 def _q_esql_show(sf_dir: str) -> pa.Table:
     """ES|QL ``SHOW INFO``: the deterministic one-row version source,
     composed with EVAL/KEEP tail commands like any ROW pipe."""
@@ -4963,7 +4981,7 @@ _FRONT_50 = [
     "exact_dedup", "jaccard_dups", "decontaminate", "duplicate_spans",
     "dedup_keep_best", "hash_split", "pack_sequences", "curriculum",
     "query_string", "more_like_this", "rrf_hybrid", "colbert_maxsim",
-    "cosine_dups",
+    "esql_stats_where",
 ]
 
 
@@ -5262,6 +5280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_mv_fns": _q_esql_mv_fns,
         "esql_dates": _q_esql_dates,
         "esql_bucket": _q_esql_bucket,
+        "esql_stats_where": _q_esql_stats_where,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -9738,6 +9757,14 @@ SELECT floor(value / 5.0) * 5.0 AS b,
        (((epoch_us(ts) // 1000000) // 604800) * 604800 * 1000)::BIGINT AS w,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "esql_stats_where": """
+SELECT l_linestatus,
+       count(*) FILTER (l_returnflag = 'R')::BIGINT AS n_ret,
+       sum(round(l_extendedprice * 100, 0)) FILTER (l_discount > 0.05) AS rev_disc,
+       max(l_tax) FILTER (l_quantity >= 25) AS mx_tax,
+       round(avg(l_quantity) FILTER (l_quantity >= 25), 6) AS avg_big
+FROM lineitem GROUP BY 1 ORDER BY 1
 """,
         "esql_dissect": """
 SELECT regexp_extract(props, '^\\{"k": (.*)\\}$', 1) AS k,

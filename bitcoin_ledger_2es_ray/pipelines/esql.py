@@ -398,13 +398,76 @@ class EsqlPlan:
     # row ops in PIPE ORDER (a WHERE may reference an earlier EVAL's column):
     # ("where", expr) | ("eval", name, expr)
     ops: list[tuple] = field(default_factory=list)
-    stats: list[tuple[str, str, str | None]] = field(default_factory=list)  # (out, fn, col)
+    # (out, fn, col, filter_expr|None) — filter is ES 8.16's per-aggregate
+    # ``STATS agg(...) WHERE cond`` predicate
+    stats: list[tuple] = field(default_factory=list)
     by: list[str] = field(default_factory=list)
     sort: list[tuple[str, bool]] = field(default_factory=list)  # (col, descending)
     limit: int | None = None
     keep: list[str] | None = None
     drop: list[str] = field(default_factory=list)
     row: dict[str, object] | None = None  # ROW literal source
+
+
+def _parse_agg_list(p: "_Parser") -> tuple[list[tuple], list[str]]:
+    """Parse ``out = AGG(col) [WHERE cond], ... [BY k, ...]`` — the shared
+    body of STATS and INLINESTATS.  The optional WHERE is ES 8.16's
+    per-aggregate filter; it composes with every decomposable aggregate
+    because the partial simply null-masks the source column (Arrow
+    aggregates skip nulls, exactly SQL ``FILTER`` semantics)."""
+    stats: list[tuple] = []
+    by: list[str] = []
+    while True:
+        name = p.expect("ident")[1]
+        p.expect("op", "==")
+        fn = p.expect("ident")[1].upper()
+        if fn not in _AGG_FUNCS:
+            raise ValueError(f"esql: unknown aggregate {fn}")
+        p.expect("op", "(")
+        col: str | None = None
+        if p.peek() != ("op", ")"):
+            t = p.next()
+            if t == ("ident", "*") or t[1] == "*":
+                col = None
+            else:
+                col = t[1]
+        p.expect("op", ")")
+        if fn != "COUNT" and col is None:
+            raise ValueError(f"esql: {fn} needs a column argument")
+        filt = None
+        if p.peek() == ("kw", "WHERE"):
+            p.next()
+            filt = p.expr()
+            if fn in ("COUNT_DISTINCT", "MEDIAN"):
+                raise ValueError(
+                    f"esql: {fn} does not support a per-aggregate WHERE "
+                    "(its partial is a shared row stream, not a maskable "
+                    "column)"
+                )
+        stats.append((name, fn, col, filt))
+        if p.peek() != ("op", ","):
+            break
+        p.next()
+    if p.peek() == ("kw", "BY"):
+        p.next()
+        while True:
+            by.append(p.expect("ident")[1])
+            if p.peek() != ("op", ","):
+                break
+            p.next()
+    cds = [s_ for s_ in stats if s_[1] == "COUNT_DISTINCT"]
+    if cds and len(cds) != len(stats):
+        raise ValueError(
+            "esql: COUNT_DISTINCT cannot mix with other aggregates "
+            "in one STATS (its partial is a distinct-row stream)"
+        )
+    meds = [s_ for s_ in stats if s_[1] == "MEDIAN"]
+    if meds and len(stats) != 1:
+        raise ValueError(
+            "esql: MEDIAN must be the only aggregate in STATS (its "
+            "partial is a value-count stream)"
+        )
+    return stats, by
 
 
 def parse_esql(src: str) -> EsqlPlan:
@@ -495,46 +558,7 @@ def parse_esql(src: str) -> EsqlPlan:
         elif cmd == "STATS":
             if plan.stats:
                 raise ValueError("esql: only one STATS command per pipe")
-            while True:
-                name = p.expect("ident")[1]
-                p.expect("op", "==")
-                fn = p.expect("ident")[1].upper()
-                if fn not in _AGG_FUNCS:
-                    raise ValueError(f"esql: unknown aggregate {fn}")
-                p.expect("op", "(")
-                col: str | None = None
-                if p.peek() != ("op", ")"):
-                    t = p.next()
-                    if t == ("ident", "*") or t[1] == "*":
-                        col = None
-                    else:
-                        col = t[1]
-                p.expect("op", ")")
-                if fn != "COUNT" and col is None:
-                    raise ValueError(f"esql: {fn} needs a column argument")
-                plan.stats.append((name, fn, col))
-                if p.peek() != ("op", ","):
-                    break
-                p.next()
-            if p.peek() == ("kw", "BY"):
-                p.next()
-                while True:
-                    plan.by.append(p.expect("ident")[1])
-                    if p.peek() != ("op", ","):
-                        break
-                    p.next()
-            cds = [s_ for s_ in plan.stats if s_[1] == "COUNT_DISTINCT"]
-            if cds and len(cds) != len(plan.stats):
-                raise ValueError(
-                    "esql: COUNT_DISTINCT cannot mix with other aggregates "
-                    "in one STATS (its partial is a distinct-row stream)"
-                )
-            meds = [s_ for s_ in plan.stats if s_[1] == "MEDIAN"]
-            if meds and len(plan.stats) != 1:
-                raise ValueError(
-                    "esql: MEDIAN must be the only aggregate in STATS (its "
-                    "partial is a value-count stream)"
-                )
+            plan.stats, plan.by = _parse_agg_list(p)
         elif cmd == "SORT":
             while True:
                 col = p.expect("ident")[1]
@@ -877,9 +901,10 @@ def _plan_columns(
             need.add(op[2])
         else:
             _referenced_cols(op[-1], need)
-    for _, _, col in plan.stats:
+    for _, _, col, filt in plan.stats:
         if col is not None:
             need.add(col)
+        _referenced_cols(filt, need)
     need.update(plan.by)
     for col, _ in plan.sort:
         need.add(col)
@@ -889,7 +914,7 @@ def _plan_columns(
         need.update(schema_names)  # bare SELECT * shape
     # eval/parse/stats outputs aren't read columns — unless they SHADOW a
     # schema column (e.g. ``EVAL v = v + 1``), which must still be read
-    need -= (eval_names | {out for out, _, _ in plan.stats}) - set(schema_names)
+    need -= (eval_names | {out for out, _, _, _ in plan.stats}) - set(schema_names)
     unknown = need - set(schema_names)
     if unknown:
         raise ValueError(f"esql: unknown columns {sorted(unknown)}")
@@ -1085,7 +1110,7 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         if stats and stats[0][1] == "COUNT_DISTINCT":
             # per-batch DISTINCT (by + cols) rows — the mergeable partial of
             # a distinct count (combine = distinct again, then count)
-            cols = by + [c for _, _, c in stats]
+            cols = by + [c for _, _, c, _ in stats]
             return batch.select(cols).group_by(cols).aggregate([])
         if stats and stats[0][1] == "MEDIAN":
             # per-batch VALUE COUNTS — the mergeable partial of an exact
@@ -1098,15 +1123,23 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
             return g.rename_columns(by + [col, "__cnt"])
         # STATS partials: one Arrow hash-agg per batch, mergeable outputs
         aggs, out_names = [], []
-        for out, fn, col in stats:
+        for i, (out, fn, col, filt) in enumerate(stats):
+            src_col = col
+            if src_col is None:  # COUNT(*): count a constant marker
+                if "__one" not in batch.column_names:
+                    batch = batch.append_column(
+                        "__one", pa.array(np.ones(batch.num_rows, np.int64))
+                    )
+                src_col = "__one"
+            if filt is not None:
+                # per-aggregate WHERE: null out filtered rows — Arrow
+                # count/sum/min/max all skip nulls, which IS SQL FILTER
+                mask = pc.fill_null(_eval_expr(filt, batch), False)
+                src = _as_array(batch[src_col])
+                masked = pc.if_else(mask, src, pa.scalar(None, type=src.type))
+                src_col = f"__fsrc{i}"
+                batch = batch.append_column(src_col, masked)
             for batch_agg, suffix in _PARTIAL[fn]:
-                src_col = col
-                if src_col is None:  # COUNT(*): count a constant marker
-                    if "__one" not in batch.column_names:
-                        batch = batch.append_column(
-                            "__one", pa.array(np.ones(batch.num_rows, np.int64))
-                        )
-                    src_col = "__one"
                 aggs.append((src_col, batch_agg))
                 out_names.append(f"{out}__{suffix}")
         # empty batches still emit a schema-correct partial (group_by([]) on
@@ -1151,7 +1184,7 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     # combine mergeable partials on the driver (bounded by #groups × #blocks)
     cat = pa.concat_tables(parts, promote_options="default")
     if stats and stats[0][1] == "MEDIAN":
-        out_name, _fn, col = stats[0]
+        out_name, _fn, col = stats[0][:3]
         if cat.num_rows == 0:  # empty match: no buckets, ES|QL's shape
             return pa.table(
                 {
@@ -1207,7 +1240,7 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         # per-stat results align after one identical sort by the keys.
         final: dict[str, object] = {}
         if by:
-            for out, _fn, c in stats:
+            for out, _fn, c, _ in stats:
                 d = cat.select(by + [c]).group_by(by + [c]).aggregate([])
                 g = d.group_by(by).aggregate([(c, "count")]).sort_by(
                     [(b, "ascending") for b in by]
@@ -1221,7 +1254,7 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     [cat.select([c]).group_by([c]).aggregate([]).num_rows],
                     type=pa.int64(),
                 )
-                for out, _fn, c in stats
+                for out, _fn, c, _ in stats
             }
         res = pa.table(final)
         if plan.keep is not None:
@@ -1242,11 +1275,14 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     ]
     g = cat.group_by(by).aggregate(comb) if by else cat.group_by([]).aggregate(comb)
     final: dict[str, pa.Array] = {b: g[b] for b in by}
-    for out, fn, _col in stats:
+    for out, fn, _col, _filt in stats:
         if fn == "AVG":
-            s = np.asarray(g[f"{out}__s_sum"], dtype=np.float64)
-            n = np.asarray(g[f"{out}__n_sum"], dtype=np.float64)
-            final[out] = pa.array(sql_round(s / n, round_decimals), type=pa.float64())
+            s = g[f"{out}__s_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+            n = g[f"{out}__n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = sql_round(s / n, round_decimals)
+            # a fully-filtered group has n == 0 → NULL, SQL FILTER semantics
+            final[out] = pa.array(vals, type=pa.float64(), mask=(n == 0))
         elif fn == "COUNT":
             final[out] = g[f"{out}__n_sum"].cast(pa.int64())
         elif fn == "SUM":

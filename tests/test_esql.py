@@ -51,7 +51,7 @@ def test_parse_shape():
     ))
     assert p.table == "documents"
     assert [op[0] for op in p.ops] == ["where", "eval"]
-    assert p.stats == [("c", "COUNT", None), ("m", "AVG", "x")]
+    assert p.stats == [("c", "COUNT", None, None), ("m", "AVG", "x", None)]
     assert p.by == ["lang"] and p.sort == [("m", True)] and p.limit == 3
 
 
@@ -690,3 +690,40 @@ def test_esql_bucket_and_conversions(ray_session):
         SF_DIR,
     )
     assert a.equals(b)
+
+
+def test_esql_stats_per_agg_where(ray_session):
+    got = run_esql(
+        'FROM events | STATS n_click = COUNT(*) WHERE event_type == "click", '
+        "s_big = SUM(value) WHERE value > 10.0, "
+        "mx_small = MAX(value) WHERE value <= 10.0, "
+        "a_click = AVG(value) WHERE event_type == \"click\" "
+        "BY user_id | SORT user_id | LIMIT 60",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT user_id, count(*) FILTER (event_type = 'click')::BIGINT n_click, "
+        "sum(value) FILTER (value > 10.0) s_big, "
+        "max(value) FILTER (value <= 10.0) mx_small, "
+        "round(avg(value) FILTER (event_type = 'click'), 6) a_click "
+        "FROM events GROUP BY 1 ORDER BY 1 LIMIT 60"
+    )
+    _assert_tables_equal(got, want)
+    # a fully-filtered group: COUNT 0, SUM/AVG/MIN/MAX NULL (SQL FILTER)
+    z = run_esql(
+        "FROM events | STATS n = COUNT(*) WHERE value > 1000000.0, "
+        "s = SUM(value) WHERE value > 1000000.0, "
+        "a = AVG(value) WHERE value > 1000000.0 BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    assert z["n"].to_pylist() == [0] * z.num_rows and z.num_rows > 0
+    assert z["s"].null_count == z.num_rows and z["a"].null_count == z.num_rows
+    # filters are refused on the non-maskable partial streams
+    with pytest.raises(ValueError, match="per-aggregate WHERE"):
+        parse_esql(_normalize_assign(
+            "FROM events | STATS c = COUNT_DISTINCT(user_id) WHERE value > 1.0"
+        ))
+    with pytest.raises(ValueError, match="per-aggregate WHERE"):
+        parse_esql(_normalize_assign(
+            "FROM events | STATS m = MEDIAN(value) WHERE value > 1.0"
+        ))
