@@ -4761,6 +4761,12 @@ _ESQL_STATS_WHERE = (
     "avg_big = AVG(l_quantity) WHERE l_quantity >= 25 "
     "BY l_linestatus | SORT l_linestatus"
 )
+_ESQL_INLINESTATS = (
+    "FROM lineitem | INLINESTATS a = AVG(l_quantity) BY l_returnflag "
+    "| WHERE l_quantity > a "
+    "| STATS n = COUNT(*), mx = MAX(l_quantity) BY l_returnflag "
+    "| SORT l_returnflag"
+)
 _ESQL_ENRICH = (
     "FROM customer | EVAL cents = ROUND(c_acctbal * 100, 0) "
     "| ENRICH nations ON c_nationkey "
@@ -4878,6 +4884,16 @@ def _q_esql_stats_where(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_STATS_WHERE, sf_dir)
+
+
+def _q_esql_inlinestats(sf_dir: str) -> pa.Table:
+    """ES|QL INLINESTATS (8.18): grouped aggregates joined back as row
+    columns — ES's own two-phase plan (agg pass bounded by group
+    cardinality, broadcast once, joined per batch); later commands filter
+    against the group statistic (the canonical above-average pattern)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_INLINESTATS, sf_dir)
 
 
 def _q_esql_show(sf_dir: str) -> pa.Table:
@@ -5281,6 +5297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_dates": _q_esql_dates,
         "esql_bucket": _q_esql_bucket,
         "esql_stats_where": _q_esql_stats_where,
+        "esql_inlinestats": _q_esql_inlinestats,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -9765,6 +9782,15 @@ SELECT l_linestatus,
        max(l_tax) FILTER (l_quantity >= 25) AS mx_tax,
        round(avg(l_quantity) FILTER (l_quantity >= 25), 6) AS avg_big
 FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+        "esql_inlinestats": """
+WITH t AS (
+  SELECT l_returnflag, l_quantity,
+         round(avg(l_quantity) OVER (PARTITION BY l_returnflag), 6) AS a
+  FROM lineitem
+)
+SELECT l_returnflag, count(*)::BIGINT AS n, max(l_quantity) AS mx
+FROM t WHERE l_quantity > a GROUP BY 1 ORDER BY 1
 """,
         "esql_dissect": """
 SELECT regexp_extract(props, '^\\{"k": (.*)\\}$', 1) AS k,

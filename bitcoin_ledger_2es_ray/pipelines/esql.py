@@ -81,6 +81,7 @@ _KEYWORDS = {
     "WHERE",
     "EVAL",
     "STATS",
+    "INLINESTATS",
     "BY",
     "SORT",
     "LIMIT",
@@ -509,7 +510,8 @@ def parse_esql(src: str) -> EsqlPlan:
         if cmd in _UNSUPPORTED:
             raise ValueError(f"esql: unsupported command {cmd}")
         if plan.stats and cmd in ("WHERE", "EVAL", "DISSECT", "GROK", "RENAME",
-                                  "LOOKUP", "MV_EXPAND", "ENRICH"):
+                                  "LOOKUP", "MV_EXPAND", "ENRICH",
+                                  "INLINESTATS"):
             raise ValueError(
                 f"esql: {cmd} after STATS is not supported (row commands run "
                 "before the aggregation)"
@@ -559,6 +561,20 @@ def parse_esql(src: str) -> EsqlPlan:
             if plan.stats:
                 raise ValueError("esql: only one STATS command per pipe")
             plan.stats, plan.by = _parse_agg_list(p)
+        elif cmd == "INLINESTATS":
+            # ES|QL INLINESTATS (8.18 tech preview): adds the grouped
+            # aggregates as COLUMNS on every row (a window function) —
+            # later commands can reference them (the canonical use:
+            # WHERE value > avg).  Decomposable aggregates only; the
+            # execution is ES's own two-phase agg + join-back plan.
+            istats, iby = _parse_agg_list(p)
+            bad = [s_ for s_ in istats if s_[1] in ("COUNT_DISTINCT", "MEDIAN")]
+            if bad:
+                raise ValueError(
+                    f"esql: INLINESTATS does not support {bad[0][1]} (only "
+                    "decomposable aggregates join back onto the row stream)"
+                )
+            plan.ops.append(("inline", istats, iby))
         elif cmd == "SORT":
             while True:
                 col = p.expect("ident")[1]
@@ -886,6 +902,9 @@ def _plan_columns(
         name for op in plan.ops if op[0] == "parse" for name, _ in op[3]
     }
     eval_names |= {op[2] for op in plan.ops if op[0] == "rename"}
+    eval_names |= {
+        out for op in plan.ops if op[0] == "inline" for out, _, _, _ in op[1]
+    }
     eval_names |= extra_produced or set()
     need: set[str] = set()
     for op in plan.ops:
@@ -899,6 +918,12 @@ def _plan_columns(
             need.add(op[2])
         elif op[0] == "enrich":
             need.add(op[2])
+        elif op[0] == "inline":
+            for _, _, c, f in op[1]:
+                if c is not None:
+                    need.add(c)
+                _referenced_cols(f, need)
+            need.update(op[2])
         else:
             _referenced_cols(op[-1], need)
     for _, _, col, filt in plan.stats:
@@ -987,8 +1012,8 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     stats = list(plan.stats)
     by = list(plan.by)
 
-    def transform(batch: pa.Table) -> pa.Table:
-        for op in plan.ops:
+    def _row_ops(batch: pa.Table, ops: list[tuple]) -> pa.Table:
+        for op_idx, op in enumerate(ops):
             if op[0] == "where":
                 mask = _eval_expr(op[1], batch)
                 batch = batch.filter(pc.fill_null(mask, False))
@@ -1085,6 +1110,31 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                         )
                     else:
                         batch = batch.append_column(name, v)
+            elif op[0] == "inline":
+                # INLINESTATS: the pre-computed group table (bounded by
+                # group cardinality) was broadcast once via ray.put — one
+                # order-pinned Arrow left join per batch, like LOOKUP
+                import ray as _ray
+
+                gt = _ray.get(inline_refs[op_idx])
+                iby = op[2]
+                if not iby:  # global stats: constant columns on every row
+                    for c in gt.column_names:
+                        v = gt.column(c)[0].as_py() if gt.num_rows else None
+                        batch = batch.append_column(
+                            c,
+                            pa.array(
+                                [v] * batch.num_rows,
+                                type=gt.schema.field(c).type,
+                            ),
+                        )
+                else:
+                    b2 = batch.append_column(
+                        "__row",
+                        pa.array(np.arange(batch.num_rows, dtype=np.int64)),
+                    )
+                    joined = b2.join(gt, keys=iby, join_type="left outer")
+                    batch = joined.sort_by("__row").drop_columns(["__row"])
             else:
                 name, e = op[1], op[2]
                 val = _eval_expr(e, batch)
@@ -1096,6 +1146,10 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     )
                 else:
                     batch = batch.append_column(name, val)
+        return batch
+
+    def transform(batch: pa.Table) -> pa.Table:
+        batch = _row_ops(batch, plan.ops)
         if not stats:
             # partial top-k (or full pass-through when no limit)
             out_cols = plan.keep or [
@@ -1121,9 +1175,14 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
             )
             g = t.group_by(by + [col]).aggregate([("__one", "sum")])
             return g.rename_columns(by + [col, "__cnt"])
+        return _standard_partials(batch, stats, by)
+
+    def _standard_partials(
+        batch: pa.Table, st: list[tuple], gb: list[str]
+    ) -> pa.Table:
         # STATS partials: one Arrow hash-agg per batch, mergeable outputs
         aggs, out_names = [], []
-        for i, (out, fn, col, filt) in enumerate(stats):
+        for i, (out, fn, col, filt) in enumerate(st):
             src_col = col
             if src_col is None:  # COUNT(*): count a constant marker
                 if "__one" not in batch.column_names:
@@ -1144,20 +1203,86 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                 out_names.append(f"{out}__{suffix}")
         # empty batches still emit a schema-correct partial (group_by([]) on
         # an empty table yields one all-null/0 row — mergeable as-is)
-        g = batch.group_by(by).aggregate(aggs)
+        g = batch.group_by(gb).aggregate(aggs)
         # pyarrow names duplicate agg outputs identically; select by position
         sel = pa.table(
             {
-                **{b: g[b] for b in by},
+                **{b: g[b] for b in gb},
                 **{
-                    out_names[i]: g.column(len(by) + i)
+                    out_names[i]: g.column(len(gb) + i)
                     for i in range(len(out_names))
                 },
             }
         )
         return sel
 
+    def _standard_combine(
+        cat: pa.Table, st: list[tuple], gb: list[str]
+    ) -> pa.Table:
+        # combine mergeable partials (bounded by #groups × #blocks)
+        comb = [
+            (c, _COMBINE[c.rsplit("__", 1)[1]])
+            for c in cat.column_names
+            if c not in gb
+        ]
+        g = (
+            cat.group_by(gb).aggregate(comb)
+            if gb
+            else cat.group_by([]).aggregate(comb)
+        )
+        final: dict[str, pa.Array] = {b: g[b] for b in gb}
+        for out, fn, _col, _filt in st:
+            if fn == "AVG":
+                s = g[f"{out}__s_sum"].to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+                n = g[f"{out}__n_sum"].to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    vals = sql_round(s / n, round_decimals)
+                # a fully-filtered group has n == 0 → NULL (SQL FILTER)
+                final[out] = pa.array(vals, type=pa.float64(), mask=(n == 0))
+            elif fn == "COUNT":
+                final[out] = g[f"{out}__n_sum"].cast(pa.int64())
+            elif fn == "SUM":
+                col = g[f"{out}__s_sum"]
+                final[out] = (
+                    col.cast(pa.int64())
+                    if pa.types.is_integer(col.type)
+                    else col
+                )
+            elif fn == "MIN":
+                final[out] = g[f"{out}__mn_min"]
+            elif fn == "MAX":
+                final[out] = g[f"{out}__mx_max"]
+        return pa.table(final)
+
     import ray
+
+    # ---- INLINESTATS pre-passes: each inline op aggregates the stream as
+    # of its position in the pipe (ES runs the same two-phase plan: an agg
+    # pass, then a join-back).  The group table is bounded by group
+    # cardinality, broadcast once, joined per batch in the main pass.
+    inline_refs: dict[int, object] = {}
+    for op_i, op in enumerate(plan.ops):
+        if op[0] != "inline":
+            continue
+        _, istats, iby = op
+
+        def _inline_tf(batch: pa.Table, _pre=plan.ops[:op_i], _st=istats, _gb=iby):
+            return _standard_partials(_row_ops(batch, _pre), _st, _gb)
+
+        im = ds.map_batches(
+            _inline_tf, batch_format="pyarrow", zero_copy_batch=True
+        )
+        iparts = [ray.get(r) for r in im.to_arrow_refs()]
+        iparts = [
+            p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+            for p in iparts
+        ]
+        icat = pa.concat_tables(iparts, promote_options="default")
+        inline_refs[op_i] = ray.put(_standard_combine(icat, istats, iby))
 
     mapped = ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)
     if not stats and plan.limit is None and not plan.sort:
@@ -1268,33 +1393,7 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         if plan.limit is not None:
             res = res.slice(0, plan.limit)
         return res
-    comb = [
-        (c, _COMBINE[c.rsplit("__", 1)[1]])
-        for c in cat.column_names
-        if c not in by
-    ]
-    g = cat.group_by(by).aggregate(comb) if by else cat.group_by([]).aggregate(comb)
-    final: dict[str, pa.Array] = {b: g[b] for b in by}
-    for out, fn, _col, _filt in stats:
-        if fn == "AVG":
-            s = g[f"{out}__s_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
-            n = g[f"{out}__n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                vals = sql_round(s / n, round_decimals)
-            # a fully-filtered group has n == 0 → NULL, SQL FILTER semantics
-            final[out] = pa.array(vals, type=pa.float64(), mask=(n == 0))
-        elif fn == "COUNT":
-            final[out] = g[f"{out}__n_sum"].cast(pa.int64())
-        elif fn == "SUM":
-            col = g[f"{out}__s_sum"]
-            final[out] = (
-                col.cast(pa.int64()) if pa.types.is_integer(col.type) else col
-            )
-        elif fn == "MIN":
-            final[out] = g[f"{out}__mn_min"]
-        elif fn == "MAX":
-            final[out] = g[f"{out}__mx_max"]
-    res = pa.table(final)
+    res = _standard_combine(cat, stats, by)
     if plan.keep is not None:
         res = res.select(plan.keep)
     if plan.sort:

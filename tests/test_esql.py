@@ -727,3 +727,55 @@ def test_esql_stats_per_agg_where(ray_session):
         parse_esql(_normalize_assign(
             "FROM events | STATS m = MEDIAN(value) WHERE value > 1.0"
         ))
+
+
+def test_esql_inlinestats(ray_session):
+    # grouped join-back + downstream WHERE against the group statistic
+    got = run_esql(
+        "FROM events | INLINESTATS a = AVG(value) BY event_type "
+        "| WHERE value > a | STATS n = COUNT(*) BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    want = _duck(
+        "WITH t AS (SELECT event_type, value, "
+        "round(avg(value) OVER (PARTITION BY event_type), 6) a FROM events) "
+        "SELECT event_type, count(*)::BIGINT n FROM t WHERE value > a "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(got, want)
+    # global (no BY) inline stats become constant columns
+    g2 = run_esql(
+        "FROM events | INLINESTATS m = MAX(value) "
+        "| EVAL frac = ROUND(value / m, 6) "
+        "| KEEP event_id, frac | SORT event_id | LIMIT 30",
+        SF_DIR,
+    )
+    w2 = _duck(
+        "WITH t AS (SELECT event_id, value, max(value) OVER () m FROM events) "
+        "SELECT event_id, round(value / m, 6) frac FROM t ORDER BY 1 LIMIT 30"
+    )
+    _assert_tables_equal(g2, w2)
+    # two INLINESTATS in one pipe: the second sees the first's columns
+    g3 = run_esql(
+        "FROM events | INLINESTATS s = SUM(value) BY user_id "
+        "| EVAL keyed = ROUND(s, 0) | INLINESTATS c = COUNT(*) BY keyed "
+        "| STATS mx = MAX(c) | LIMIT 1",
+        SF_DIR,
+    )
+    w3 = _duck(
+        "WITH t AS (SELECT round(sum(value) OVER (PARTITION BY user_id), 0) keyed "
+        "FROM events), u AS (SELECT count(*) OVER (PARTITION BY keyed) c FROM t) "
+        "SELECT max(c)::BIGINT mx FROM u"
+    )
+    _assert_tables_equal(g3, w3)
+    # non-decomposable aggregates are refused
+    with pytest.raises(ValueError, match="INLINESTATS does not support"):
+        parse_esql(_normalize_assign(
+            "FROM events | INLINESTATS m = MEDIAN(value) BY user_id"
+        ))
+    # INLINESTATS after STATS is refused like the other row commands
+    with pytest.raises(ValueError, match="after STATS"):
+        parse_esql(_normalize_assign(
+            "FROM events | STATS n = COUNT(*) BY user_id "
+            "| INLINESTATS m = MAX(n)"
+        ))
