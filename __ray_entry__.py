@@ -4767,6 +4767,30 @@ _ESQL_INLINESTATS = (
     "| STATS n = COUNT(*), mx = MAX(l_quantity) BY l_returnflag "
     "| SORT l_returnflag"
 )
+_ESQL_STDDEV = (
+    "FROM lineitem | STATS sd = STD_DEV(l_quantity), "
+    "a = AVG(l_quantity) BY l_returnflag | SORT l_returnflag"
+)
+_ESQL_WEIGHTED_AVG = (
+    "FROM lineitem | STATS w = WEIGHTED_AVG(l_quantity, l_linenumber) "
+    "BY l_linestatus | SORT l_linestatus"
+)
+_ESQL_PERCENTILE = (
+    "FROM lineitem | STATS p = PERCENTILE(l_quantity, 90) "
+    "BY l_returnflag | SORT l_returnflag"
+)
+_ESQL_MAD = (
+    "FROM lineitem | STATS m = MEDIAN_ABSOLUTE_DEVIATION(l_quantity) "
+    "BY l_linestatus | SORT l_linestatus"
+)
+_ESQL_TOP = (
+    'FROM lineitem | STATS t = TOP(l_quantity, 5, "desc") '
+    "BY l_returnflag | SORT l_returnflag"
+)
+_ESQL_VALUES = (
+    "FROM nation | STATS v = VALUES(n_name), c = COUNT_DISTINCT(n_name) "
+    "BY n_regionkey | SORT n_regionkey"
+)
 _ESQL_ENRICH = (
     "FROM customer | EVAL cents = ROUND(c_acctbal * 100, 0) "
     "| ENRICH nations ON c_nationkey "
@@ -4894,6 +4918,55 @@ def _q_esql_inlinestats(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_INLINESTATS, sf_dir)
+
+
+def _q_esql_stddev(sf_dir: str) -> pa.Table:
+    """ES|QL STD_DEV: population stddev from exact partial sums
+    (Σx, Σx², n per batch — one Arrow hash-agg, mergeable)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_STDDEV, sf_dir)
+
+
+def _q_esql_weighted_avg(sf_dir: str) -> pa.Table:
+    """ES|QL WEIGHTED_AVG(value, weight): Σvw / Σw partials — AVG's
+    combine with derived per-batch columns."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_WEIGHTED_AVG, sf_dir)
+
+
+def _q_esql_percentile(sf_dir: str) -> pa.Table:
+    """ES|QL PERCENTILE(field, p): exact value-count partials +
+    quantile_cont interpolation at the combine (same plan as MEDIAN)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_PERCENTILE, sf_dir)
+
+
+def _q_esql_mad(sf_dir: str) -> pa.Table:
+    """ES|QL MEDIAN_ABSOLUTE_DEVIATION: median of |x − median| computed
+    twice from ONE merged value-count histogram (no second pass)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_MAD, sf_dir)
+
+
+def _q_esql_top(sf_dir: str) -> pa.Table:
+    """ES|QL TOP(field, k, order): top-k multivalue per group expanded
+    from the merged value-count histogram, capped at k."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_TOP, sf_dir)
+
+
+def _q_esql_values(sf_dir: str) -> pa.Table:
+    """ES|QL VALUES + COUNT_DISTINCT mixed STATS: both finish from the
+    shared distinct-tuple partial; VALUES pins ascending order (ES
+    documents no order guarantee) so the result is hash-stable."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_VALUES, sf_dir)
 
 
 def _q_esql_show(sf_dir: str) -> pa.Table:
@@ -5298,6 +5371,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_bucket": _q_esql_bucket,
         "esql_stats_where": _q_esql_stats_where,
         "esql_inlinestats": _q_esql_inlinestats,
+        "esql_stddev": _q_esql_stddev,
+        "esql_weighted_avg": _q_esql_weighted_avg,
+        "esql_percentile": _q_esql_percentile,
+        "esql_mad": _q_esql_mad,
+        "esql_top": _q_esql_top,
+        "esql_values": _q_esql_values,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -9791,6 +9870,33 @@ WITH t AS (
 )
 SELECT l_returnflag, count(*)::BIGINT AS n, max(l_quantity) AS mx
 FROM t WHERE l_quantity > a GROUP BY 1 ORDER BY 1
+""",
+        "esql_stddev": """
+SELECT l_returnflag, round(stddev_pop(l_quantity), 6) AS sd,
+       round(avg(l_quantity), 6) AS a
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+        "esql_weighted_avg": """
+SELECT l_linestatus,
+       round(sum(l_quantity * l_linenumber) / sum(l_linenumber), 6) AS w
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+        "esql_percentile": """
+SELECT l_returnflag, round(quantile_cont(l_quantity, 0.9), 6) AS p
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+        "esql_mad": """
+SELECT l_linestatus, round(mad(l_quantity), 6) AS m
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+        "esql_top": """
+SELECT l_returnflag, (list(l_quantity ORDER BY l_quantity DESC))[1:5] AS t
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+        "esql_values": """
+SELECT n_regionkey, list(n_name ORDER BY n_name) AS v,
+       count(DISTINCT n_name)::BIGINT AS c
+FROM nation GROUP BY 1 ORDER BY 1
 """,
         "esql_dissect": """
 SELECT regexp_extract(props, '^\\{"k": (.*)\\}$', 1) AS k,

@@ -390,7 +390,18 @@ class _Parser:
         raise ValueError(f"esql: unexpected token {(kind, text)}")
 
 
-_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT", "MEDIAN"}
+_AGG_FUNCS = {
+    "COUNT", "SUM", "MIN", "MAX", "AVG", "STD_DEV", "WEIGHTED_AVG",
+    "COUNT_DISTINCT", "VALUES",
+    "MEDIAN", "PERCENTILE", "MEDIAN_ABSOLUTE_DEVIATION", "TOP",
+}
+# mergeable-by-column-partial aggregates: compose freely with each other,
+# with per-aggregate WHERE, and with INLINESTATS' join-back plan
+_DECOMPOSABLE = {"COUNT", "SUM", "MIN", "MAX", "AVG", "STD_DEV", "WEIGHTED_AVG"}
+# partial = distinct (by, col) tuples (combine = distinct again)
+_DISTINCT_FAMILY = {"COUNT_DISTINCT", "VALUES"}
+# partial = per-group value counts (combine = sum counts, then finish)
+_VALUECOUNT_FAMILY = {"MEDIAN", "PERCENTILE", "MEDIAN_ABSOLUTE_DEVIATION", "TOP"}
 
 
 @dataclass
@@ -399,8 +410,10 @@ class EsqlPlan:
     # row ops in PIPE ORDER (a WHERE may reference an earlier EVAL's column):
     # ("where", expr) | ("eval", name, expr)
     ops: list[tuple] = field(default_factory=list)
-    # (out, fn, col, filter_expr|None) — filter is ES 8.16's per-aggregate
-    # ``STATS agg(...) WHERE cond`` predicate
+    # (out, fn, col, filter_expr|None, param) — filter is ES 8.16's
+    # per-aggregate ``STATS agg(...) WHERE cond`` predicate; param carries
+    # the extra argument of multi-arg aggregates (WEIGHTED_AVG's weight
+    # column, PERCENTILE's p, TOP's (k, order))
     stats: list[tuple] = field(default_factory=list)
     by: list[str] = field(default_factory=list)
     sort: list[tuple[str, bool]] = field(default_factory=list)  # (col, descending)
@@ -432,20 +445,58 @@ def _parse_agg_list(p: "_Parser") -> tuple[list[tuple], list[str]]:
                 col = None
             else:
                 col = t[1]
+        # optional extra literal/column arguments of multi-arg aggregates
+        extra: list[tuple[str, str]] = []
+        while p.peek() == ("op", ","):
+            p.next()
+            extra.append(p.next())
         p.expect("op", ")")
         if fn != "COUNT" and col is None:
             raise ValueError(f"esql: {fn} needs a column argument")
+        param: object = None
+        if fn == "WEIGHTED_AVG":
+            if len(extra) != 1 or extra[0][0] != "ident":
+                raise ValueError(
+                    "esql: WEIGHTED_AVG(value, weight) takes a weight column"
+                )
+            param = extra[0][1]
+        elif fn == "PERCENTILE":
+            if len(extra) != 1 or extra[0][0] != "num":
+                raise ValueError(
+                    "esql: PERCENTILE(field, p) takes a numeric percentile"
+                )
+            param = float(extra[0][1])
+            if not 0.0 <= param <= 100.0:
+                raise ValueError("esql: PERCENTILE p must be in [0, 100]")
+        elif fn == "TOP":
+            order = extra[1][1][1:-1].lower() if len(extra) == 2 else ""
+            if (
+                len(extra) != 2
+                or extra[0][0] != "num"
+                or extra[1][0] != "str"
+                or order not in ("asc", "desc")
+            ):
+                raise ValueError(
+                    'esql: TOP(field, limit, "asc"|"desc") — limit is a '
+                    "positive integer"
+                )
+            k = int(float(extra[0][1]))
+            if k < 1:
+                raise ValueError("esql: TOP limit must be >= 1")
+            param = (k, order)
+        elif extra:
+            raise ValueError(f"esql: {fn} takes a single column argument")
         filt = None
         if p.peek() == ("kw", "WHERE"):
             p.next()
             filt = p.expr()
-            if fn in ("COUNT_DISTINCT", "MEDIAN"):
+            if fn not in _DECOMPOSABLE:
                 raise ValueError(
                     f"esql: {fn} does not support a per-aggregate WHERE "
                     "(its partial is a shared row stream, not a maskable "
                     "column)"
                 )
-        stats.append((name, fn, col, filt))
+        stats.append((name, fn, col, filt, param))
         if p.peek() != ("op", ","):
             break
         p.next()
@@ -456,16 +507,16 @@ def _parse_agg_list(p: "_Parser") -> tuple[list[tuple], list[str]]:
             if p.peek() != ("op", ","):
                 break
             p.next()
-    cds = [s_ for s_ in stats if s_[1] == "COUNT_DISTINCT"]
+    cds = [s_ for s_ in stats if s_[1] in _DISTINCT_FAMILY]
     if cds and len(cds) != len(stats):
         raise ValueError(
-            "esql: COUNT_DISTINCT cannot mix with other aggregates "
-            "in one STATS (its partial is a distinct-row stream)"
+            "esql: COUNT_DISTINCT/VALUES cannot mix with other aggregates "
+            "in one STATS (their partial is a distinct-row stream)"
         )
-    meds = [s_ for s_ in stats if s_[1] == "MEDIAN"]
+    meds = [s_ for s_ in stats if s_[1] in _VALUECOUNT_FAMILY]
     if meds and len(stats) != 1:
         raise ValueError(
-            "esql: MEDIAN must be the only aggregate in STATS (its "
+            f"esql: {meds[0][1]} must be the only aggregate in STATS (its "
             "partial is a value-count stream)"
         )
     return stats, by
@@ -568,7 +619,7 @@ def parse_esql(src: str) -> EsqlPlan:
             # WHERE value > avg).  Decomposable aggregates only; the
             # execution is ES's own two-phase agg + join-back plan.
             istats, iby = _parse_agg_list(p)
-            bad = [s_ for s_ in istats if s_[1] in ("COUNT_DISTINCT", "MEDIAN")]
+            bad = [s_ for s_ in istats if s_[1] not in _DECOMPOSABLE]
             if bad:
                 raise ValueError(
                     f"esql: INLINESTATS does not support {bad[0][1]} (only "
@@ -903,7 +954,7 @@ def _plan_columns(
     }
     eval_names |= {op[2] for op in plan.ops if op[0] == "rename"}
     eval_names |= {
-        out for op in plan.ops if op[0] == "inline" for out, _, _, _ in op[1]
+        s_[0] for op in plan.ops if op[0] == "inline" for s_ in op[1]
     }
     eval_names |= extra_produced or set()
     need: set[str] = set()
@@ -919,17 +970,21 @@ def _plan_columns(
         elif op[0] == "enrich":
             need.add(op[2])
         elif op[0] == "inline":
-            for _, _, c, f in op[1]:
-                if c is not None:
-                    need.add(c)
-                _referenced_cols(f, need)
+            for s_ in op[1]:
+                if s_[2] is not None:
+                    need.add(s_[2])
+                _referenced_cols(s_[3], need)
+                if s_[1] == "WEIGHTED_AVG":
+                    need.add(s_[4])
             need.update(op[2])
         else:
             _referenced_cols(op[-1], need)
-    for _, _, col, filt in plan.stats:
-        if col is not None:
-            need.add(col)
-        _referenced_cols(filt, need)
+    for s_ in plan.stats:
+        if s_[2] is not None:
+            need.add(s_[2])
+        _referenced_cols(s_[3], need)
+        if s_[1] == "WEIGHTED_AVG":
+            need.add(s_[4])
     need.update(plan.by)
     for col, _ in plan.sort:
         need.add(col)
@@ -939,7 +994,7 @@ def _plan_columns(
         need.update(schema_names)  # bare SELECT * shape
     # eval/parse/stats outputs aren't read columns — unless they SHADOW a
     # schema column (e.g. ``EVAL v = v + 1``), which must still be read
-    need -= (eval_names | {out for out, _, _, _ in plan.stats}) - set(schema_names)
+    need -= (eval_names | {s_[0] for s_ in plan.stats}) - set(schema_names)
     unknown = need - set(schema_names)
     if unknown:
         raise ValueError(f"esql: unknown columns {sorted(unknown)}")
@@ -956,7 +1011,7 @@ _PARTIAL = {
     "MAX": [("max", "mx")],
     "AVG": [("sum", "s"), ("count", "n")],
 }
-_COMBINE = {"n": "sum", "s": "sum", "mn": "min", "mx": "max"}
+_COMBINE = {"n": "sum", "s": "sum", "q": "sum", "mn": "min", "mx": "max"}
 
 
 def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
@@ -1161,14 +1216,15 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     [(c, "descending" if d else "ascending") for c, d in plan.sort]
                 ).slice(0, plan.limit)
             return batch
-        if stats and stats[0][1] == "COUNT_DISTINCT":
+        if stats and stats[0][1] in _DISTINCT_FAMILY:
             # per-batch DISTINCT (by + cols) rows — the mergeable partial of
-            # a distinct count (combine = distinct again, then count)
-            cols = by + [c for _, _, c, _ in stats]
+            # COUNT_DISTINCT / VALUES (combine = distinct again, then finish)
+            cols = by + sorted({s_[2] for s_ in stats})
             return batch.select(cols).group_by(cols).aggregate([])
-        if stats and stats[0][1] == "MEDIAN":
-            # per-batch VALUE COUNTS — the mergeable partial of an exact
-            # quantile (combine = sum counts, then weighted interpolation)
+        if stats and stats[0][1] in _VALUECOUNT_FAMILY:
+            # per-batch VALUE COUNTS — the mergeable partial of the exact
+            # order-statistic family (combine = sum counts, then finish:
+            # quantile interpolation / MAD re-keying / top-k expansion)
             col = stats[0][2]
             t = batch.select(by + [col]).append_column(
                 "__one", pa.array(np.ones(batch.num_rows, np.int64))
@@ -1182,7 +1238,7 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     ) -> pa.Table:
         # STATS partials: one Arrow hash-agg per batch, mergeable outputs
         aggs, out_names = [], []
-        for i, (out, fn, col, filt) in enumerate(st):
+        for i, (out, fn, col, filt, param) in enumerate(st):
             src_col = col
             if src_col is None:  # COUNT(*): count a constant marker
                 if "__one" not in batch.column_names:
@@ -1198,6 +1254,27 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                 masked = pc.if_else(mask, src, pa.scalar(None, type=src.type))
                 src_col = f"__fsrc{i}"
                 batch = batch.append_column(src_col, masked)
+            if fn == "STD_DEV":
+                # partials: sum, count, sum-of-squares of the (masked) column
+                src = pc.cast(_as_array(batch[src_col]), pa.float64())
+                batch = batch.append_column(f"__sq{i}", pc.multiply(src, src))
+                aggs += [(src_col, "sum"), (src_col, "count"),
+                         (f"__sq{i}", "sum")]
+                out_names += [f"{out}__s", f"{out}__n", f"{out}__q"]
+                continue
+            if fn == "WEIGHTED_AVG":
+                # partials: sum(v*w), sum(w) over rows where BOTH are
+                # non-null (ES skips null values) — finish is AVG's s/n
+                v = pc.cast(_as_array(batch[src_col]), pa.float64())
+                w = pc.cast(_as_array(batch[param]), pa.float64())
+                valid = pc.and_kleene(pc.is_valid(v), pc.is_valid(w))
+                null_f = pa.scalar(None, type=pa.float64())
+                batch = batch.append_column(
+                    f"__wv{i}", pc.if_else(valid, pc.multiply(v, w), null_f)
+                ).append_column(f"__wm{i}", pc.if_else(valid, w, null_f))
+                aggs += [(f"__wv{i}", "sum"), (f"__wm{i}", "sum")]
+                out_names += [f"{out}__s", f"{out}__n"]
+                continue
             for batch_agg, suffix in _PARTIAL[fn]:
                 aggs.append((src_col, batch_agg))
                 out_names.append(f"{out}__{suffix}")
@@ -1231,8 +1308,8 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
             else cat.group_by([]).aggregate(comb)
         )
         final: dict[str, pa.Array] = {b: g[b] for b in gb}
-        for out, fn, _col, _filt in st:
-            if fn == "AVG":
+        for out, fn, _col, _filt, _param in st:
+            if fn in ("AVG", "WEIGHTED_AVG"):
                 s = g[f"{out}__s_sum"].to_numpy(zero_copy_only=False).astype(
                     np.float64
                 )
@@ -1256,6 +1333,23 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                 final[out] = g[f"{out}__mn_min"]
             elif fn == "MAX":
                 final[out] = g[f"{out}__mx_max"]
+            elif fn == "STD_DEV":
+                # population stddev from exact partial sums:
+                # var = (n·Σx² − (Σx)²) / n² — one deterministic finish,
+                # no order-dependence beyond the exact sums themselves
+                s = g[f"{out}__s_sum"].to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+                n = g[f"{out}__n_sum"].to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+                q = g[f"{out}__q_sum"].to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    var = np.maximum((n * q - s * s) / (n * n), 0.0)
+                    vals = sql_round(np.sqrt(var), round_decimals)
+                final[out] = pa.array(vals, type=pa.float64(), mask=(n == 0))
         return pa.table(final)
 
     import ray
@@ -1308,40 +1402,67 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         return cat
     # combine mergeable partials on the driver (bounded by #groups × #blocks)
     cat = pa.concat_tables(parts, promote_options="default")
-    if stats and stats[0][1] == "MEDIAN":
-        out_name, _fn, col = stats[0][:3]
+    if stats and stats[0][1] in _VALUECOUNT_FAMILY:
+        out_name, fn0, col = stats[0][:3]
+        param0 = stats[0][4]
+        out_type = (
+            pa.list_(cat.schema.field(col).type)
+            if fn0 == "TOP"
+            else pa.float64()
+        )
         if cat.num_rows == 0:  # empty match: no buckets, ES|QL's shape
             return pa.table(
                 {
                     **{b: pa.array([], type=cat.schema.field(b).type) for b in by},
-                    out_name: pa.array([], type=pa.float64()),
+                    out_name: pa.array([], type=out_type),
                 }
             )
         g = cat.group_by(by + [col]).aggregate([("__cnt", "sum")])
-        vals = np.asarray(g[col], dtype=np.float64)
         cnts = np.asarray(g["__cnt_sum"], dtype=np.int64)
+        raw = g[col].to_pylist()
         from .aggs import _weighted_quantile
+
+        def _finish(idx: np.ndarray):
+            c = cnts[idx]
+            if fn0 == "TOP":
+                # expand the (value, count) histogram in order, capped at k
+                k, order = param0
+                pairs = sorted(
+                    ((raw[i], cnts[i]) for i in idx),
+                    key=lambda p_: p_[0],
+                    reverse=(order == "desc"),
+                )
+                outv: list = []
+                for v_, n_ in pairs:
+                    outv.extend([v_] * min(int(n_), k - len(outv)))
+                    if len(outv) >= k:
+                        break
+                return outv
+            v = np.asarray([raw[i] for i in idx], dtype=np.float64)
+            if fn0 == "MEDIAN":
+                r = _weighted_quantile(v, c, 0.5)
+            elif fn0 == "PERCENTILE":
+                r = _weighted_quantile(v, c, param0 / 100.0)
+            else:  # MEDIAN_ABSOLUTE_DEVIATION: median of |x − median(x)|
+                m = _weighted_quantile(v, c, 0.5)
+                r = _weighted_quantile(np.abs(v - m), c, 0.5)
+            return float(sql_round(r, round_decimals))
 
         final: dict[str, object] = {}
         if by:
             keys = list(zip(*(g[b].to_pylist() for b in by)))
             uniq = sorted(set(keys))
-            med = []
+            vals_out = []
             for k in uniq:
                 m = np.array([kk == k for kk in keys])
-                med.append(
-                    float(sql_round(_weighted_quantile(vals[m], cnts[m], 0.5),
-                                    round_decimals))
-                )
+                vals_out.append(_finish(np.nonzero(m)[0]))
             for i, b in enumerate(by):
                 final[b] = pa.array([k[i] for k in uniq])
-            final[out_name] = pa.array(med, type=pa.float64())
+            final[out_name] = pa.array(vals_out, type=out_type)
         else:
             final = {
                 out_name: pa.array(
-                    [float(sql_round(_weighted_quantile(vals, cnts, 0.5),
-                                     round_decimals))],
-                    type=pa.float64(),
+                    [_finish(np.arange(len(raw)))], type=out_type
                 )
             }
         res = pa.table(final)
@@ -1356,31 +1477,56 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         if plan.limit is not None:
             res = res.slice(0, plan.limit)
         return res
-    if stats and stats[0][1] == "COUNT_DISTINCT":
-        # each COUNT_DISTINCT deduplicates ITS OWN column's (by, col)
+    if stats and stats[0][1] in _DISTINCT_FAMILY:
+        # each COUNT_DISTINCT/VALUES deduplicates ITS OWN column's (by, col)
         # projection of the distinct-tuple partial — counting the deduped
         # tuples directly would count distinct tuples, overcounting
         # whenever two CD columns aren't 1:1.  Every projection shares the
         # same group-key set (each group contributes >=1 tuple), so the
         # per-stat results align after one identical sort by the keys.
+        # VALUES returns the distinct non-null values as an ascending-sorted
+        # multivalue (ES documents NO order guarantee; the graft pins
+        # ascending for determinism — the driver gate hashes values).
         final: dict[str, object] = {}
         if by:
-            for out, _fn, c, _ in stats:
+            for out, fn0, c, _f, _prm in stats:
                 d = cat.select(by + [c]).group_by(by + [c]).aggregate([])
-                g = d.group_by(by).aggregate([(c, "count")]).sort_by(
-                    [(b, "ascending") for b in by]
-                )
-                if not final:
-                    final = {b: g[b] for b in by}
-                final[out] = g.column(f"{c}_count").cast(pa.int64())
+                if fn0 == "VALUES":
+                    keys = list(zip(*(d[b].to_pylist() for b in by)))
+                    vv = d[c].to_pylist()
+                    byk: dict[tuple, list] = {}
+                    for kk, v_ in zip(keys, vv):
+                        byk.setdefault(kk, [])
+                        if v_ is not None:
+                            byk[kk].append(v_)
+                    uniq = sorted(byk)
+                    if not final:
+                        for i, b in enumerate(by):
+                            final[b] = pa.array(
+                                [k[i] for k in uniq],
+                                type=cat.schema.field(b).type,
+                            )
+                    final[out] = pa.array(
+                        [sorted(byk[k]) for k in uniq],
+                        type=pa.list_(cat.schema.field(c).type),
+                    )
+                else:
+                    g = d.group_by(by).aggregate([(c, "count")]).sort_by(
+                        [(b, "ascending") for b in by]
+                    )
+                    if not final:
+                        final = {b: g[b] for b in by}
+                    final[out] = g.column(f"{c}_count").cast(pa.int64())
         else:
-            final = {
-                out: pa.array(
-                    [cat.select([c]).group_by([c]).aggregate([]).num_rows],
-                    type=pa.int64(),
-                )
-                for out, _fn, c, _ in stats
-            }
+            for out, fn0, c, _f, _prm in stats:
+                d = cat.select([c]).group_by([c]).aggregate([])
+                if fn0 == "VALUES":
+                    final[out] = pa.array(
+                        [sorted(v_ for v_ in d[c].to_pylist() if v_ is not None)],
+                        type=pa.list_(cat.schema.field(c).type),
+                    )
+                else:
+                    final[out] = pa.array([d.num_rows], type=pa.int64())
         res = pa.table(final)
         if plan.keep is not None:
             res = res.select(plan.keep)

@@ -51,7 +51,10 @@ def test_parse_shape():
     ))
     assert p.table == "documents"
     assert [op[0] for op in p.ops] == ["where", "eval"]
-    assert p.stats == [("c", "COUNT", None, None), ("m", "AVG", "x", None)]
+    assert p.stats == [
+        ("c", "COUNT", None, None, None),
+        ("m", "AVG", "x", None, None),
+    ]
     assert p.by == ["lang"] and p.sort == [("m", True)] and p.limit == 3
 
 
@@ -778,4 +781,148 @@ def test_esql_inlinestats(ray_session):
         parse_esql(_normalize_assign(
             "FROM events | STATS n = COUNT(*) BY user_id "
             "| INLINESTATS m = MAX(n)"
+        ))
+
+
+def test_esql_std_dev_and_weighted_avg(ray_session):
+    got = run_esql(
+        "FROM events | STATS sd = STD_DEV(value), a = AVG(value) "
+        "BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT event_type, round(stddev_pop(value), 6) sd, "
+        "round(avg(value), 6) a FROM events GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(got, want)
+    # per-aggregate WHERE composes (STD_DEV is decomposable)
+    g2 = run_esql(
+        "FROM events | STATS sd = STD_DEV(value) WHERE value > 50.0 "
+        "BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    w2 = _duck(
+        "SELECT event_type, round(stddev_pop(value) "
+        "FILTER (value > 50.0), 6) sd FROM events GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(g2, w2)
+    g3 = run_esql(
+        "FROM events | STATS w = WEIGHTED_AVG(value, user_id) "
+        "BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    w3 = _duck(
+        "SELECT event_type, round(sum(value * user_id) / sum(user_id), 6) w "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(g3, w3)
+    # INLINESTATS accepts every decomposable aggregate
+    g4 = run_esql(
+        "FROM events | INLINESTATS sd = STD_DEV(value) BY event_type "
+        "| WHERE value > 2 * sd | STATS n = COUNT(*) BY event_type "
+        "| SORT event_type",
+        SF_DIR,
+    )
+    w4 = _duck(
+        "WITH t AS (SELECT event_type, value, round(stddev_pop(value) "
+        "OVER (PARTITION BY event_type), 6) sd FROM events) "
+        "SELECT event_type, count(*)::BIGINT n FROM t WHERE value > 2 * sd "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(g4, w4)
+
+
+def test_esql_percentile_and_mad(ray_session):
+    got = run_esql(
+        "FROM events | STATS p = PERCENTILE(value, 90) BY event_type "
+        "| SORT event_type",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT event_type, round(quantile_cont(value, 0.9), 6) p "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(got, want)
+    g2 = run_esql(
+        "FROM events | STATS m = MEDIAN_ABSOLUTE_DEVIATION(value) "
+        "BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    w2 = _duck(
+        "SELECT event_type, round(mad(value), 6) m FROM events "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(g2, w2)
+    # global (no BY)
+    g3 = run_esql("FROM events | STATS p = PERCENTILE(value, 25)", SF_DIR)
+    w3 = _duck("SELECT round(quantile_cont(value, 0.25), 6) p FROM events")
+    _assert_tables_equal(g3, w3)
+
+
+def test_esql_values_and_top(ray_session):
+    got = run_esql(
+        "FROM events | STATS v = VALUES(event_type) BY user_id "
+        "| SORT user_id | LIMIT 20",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT user_id, list(DISTINCT event_type ORDER BY event_type) v "
+        "FROM events GROUP BY 1 ORDER BY 1 LIMIT 20"
+    )
+    _assert_tables_equal(got, want)
+    g2 = run_esql(
+        'FROM events | STATS t = TOP(value, 3, "desc") BY event_type '
+        "| SORT event_type",
+        SF_DIR,
+    )
+    w2 = _duck(
+        "SELECT event_type, (list(value ORDER BY value DESC))[1:3] t "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(g2, w2)
+    g3 = run_esql('FROM events | STATS t = TOP(user_id, 2, "asc")', SF_DIR)
+    w3 = _duck("SELECT (list(user_id ORDER BY user_id ASC))[1:2] t FROM events")
+    _assert_tables_equal(g3, w3)
+    # mixed distinct-family STATS: VALUES + COUNT_DISTINCT share the partial
+    g4 = run_esql(
+        "FROM events | STATS v = VALUES(event_type), "
+        "c = COUNT_DISTINCT(event_type) BY user_id | SORT user_id | LIMIT 10",
+        SF_DIR,
+    )
+    w4 = _duck(
+        "SELECT user_id, list(DISTINCT event_type ORDER BY event_type) v, "
+        "count(DISTINCT event_type)::BIGINT c "
+        "FROM events GROUP BY 1 ORDER BY 1 LIMIT 10"
+    )
+    _assert_tables_equal(g4, w4)
+
+
+def test_esql_new_agg_rejections():
+    with pytest.raises(ValueError, match="only aggregate"):
+        parse_esql(_normalize_assign(
+            "FROM events | STATS p = PERCENTILE(value, 50), n = COUNT(*)"
+        ))
+    with pytest.raises(ValueError, match="weight column"):
+        parse_esql(_normalize_assign(
+            "FROM events | STATS w = WEIGHTED_AVG(value)"
+        ))
+    with pytest.raises(ValueError, match="TOP"):
+        parse_esql(_normalize_assign(
+            'FROM events | STATS t = TOP(value, 0, "desc")'
+        ))
+    with pytest.raises(ValueError, match="TOP"):
+        parse_esql(_normalize_assign(
+            'FROM events | STATS t = TOP(value, 3, "sideways")'
+        ))
+    with pytest.raises(ValueError, match="per-aggregate WHERE"):
+        parse_esql(_normalize_assign(
+            'FROM events | STATS t = TOP(value, 3, "desc") WHERE value > 1'
+        ))
+    with pytest.raises(ValueError, match="in \\[0, 100\\]"):
+        parse_esql(_normalize_assign(
+            "FROM events | STATS p = PERCENTILE(value, 101)"
+        ))
+    with pytest.raises(ValueError, match="INLINESTATS does not support"):
+        parse_esql(_normalize_assign(
+            "FROM events | INLINESTATS p = PERCENTILE(value, 50) BY user_id"
         ))
