@@ -4791,6 +4791,19 @@ _ESQL_VALUES = (
     "FROM nation | STATS v = VALUES(n_name), c = COUNT_DISTINCT(n_name) "
     "BY n_regionkey | SORT n_regionkey"
 )
+_ESQL_SAMPLE = (
+    "FROM orders | SAMPLE 0.25 "
+    "| STATS n = COUNT(*) BY o_orderstatus | SORT o_orderstatus"
+)
+_ESQL_FORK = (
+    "FROM lineitem | WHERE l_quantity >= 40 | FORK "
+    '(WHERE l_returnflag == "R" | STATS n = COUNT(*) BY l_linestatus) '
+    "(STATS a = AVG(l_quantity) BY l_returnflag)"
+)
+_ESQL_CHANGE_POINT = (
+    "FROM orders | STATS v = COUNT(*) BY o_orderpriority "
+    "| CHANGE_POINT v ON o_orderpriority"
+)
 _ESQL_ENRICH = (
     "FROM customer | EVAL cents = ROUND(c_acctbal * 100, 0) "
     "| ENRICH nations ON c_nationkey "
@@ -4967,6 +4980,37 @@ def _q_esql_values(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_VALUES, sf_dir)
+
+
+def _q_esql_sample(sf_dir: str) -> pa.Table:
+    """ES|QL SAMPLE (deterministic graft variant): keep iff the first two
+    sha256 bytes of the table's id column fall below p·2^16 — a pure
+    function of the row, so the sample is identical on any cluster size
+    or shard order (documented deviation from ES's RNG sampling)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_SAMPLE, sf_dir)
+
+
+def _q_esql_fork(sf_dir: str) -> pa.Table:
+    """ES|QL FORK: branch pipes over the shared head, unioned under a
+    ``_fork`` discriminator with null-filled schema alignment (ES 9.x).
+    Each branch is its own streamed pass — ES's plan also executes
+    branches separately."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_FORK, sf_dir)
+
+
+def _q_esql_change_point(sf_dir: str) -> pa.Table:
+    """ES|QL CHANGE_POINT: deterministic mean-shift detector — split
+    minimizing two-segment SSE over the key-sorted series; marks the
+    first right-segment row with type/pvalue (unexplained-variance
+    ratio).  Driver-side by construction (ES caps the input at 1000
+    buckets)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_CHANGE_POINT, sf_dir)
 
 
 def _q_esql_show(sf_dir: str) -> pa.Table:
@@ -5377,6 +5421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_mad": _q_esql_mad,
         "esql_top": _q_esql_top,
         "esql_values": _q_esql_values,
+        "esql_sample": _q_esql_sample,
+        "esql_fork": _q_esql_fork,
+        "esql_change_point": _q_esql_change_point,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -9897,6 +9944,51 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 SELECT n_regionkey, list(n_name ORDER BY n_name) AS v,
        count(DISTINCT n_name)::BIGINT AS c
 FROM nation GROUP BY 1 ORDER BY 1
+""",
+        # deterministic SAMPLE: lowercase-hex compare == the engine's
+        # 2-byte digest threshold (0.25 * 2^16 = 0x4000)
+        "esql_sample": """
+SELECT o_orderstatus, count(*)::BIGINT AS n FROM orders
+WHERE substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4000'
+GROUP BY 1 ORDER BY 1
+""",
+        "esql_fork": """
+WITH f1 AS (
+  SELECT l_linestatus, count(*)::BIGINT AS n FROM lineitem
+  WHERE l_quantity >= 40 AND l_returnflag = 'R' GROUP BY 1
+), f2 AS (
+  SELECT l_returnflag, round(avg(l_quantity), 6) AS a FROM lineitem
+  WHERE l_quantity >= 40 GROUP BY 1
+)
+SELECT l_linestatus, n, 'fork1' AS _fork,
+       NULL::VARCHAR AS l_returnflag, NULL::DOUBLE AS a FROM f1
+UNION ALL
+SELECT NULL, NULL, 'fork2', l_returnflag, a FROM f2
+ORDER BY _fork, l_linestatus NULLS LAST, n NULLS LAST,
+         l_returnflag NULLS LAST, a NULLS LAST
+""",
+        # two-segment SSE mean-shift split (ties -> smallest k), marker on
+        # the first right-segment row — the engine's documented semantics
+        "esql_change_point": """
+WITH series AS (
+  SELECT o_orderpriority AS k, count(*)::BIGINT AS v FROM orders GROUP BY 1
+), s AS (
+  SELECT k, v, row_number() OVER (ORDER BY k) AS rn,
+         sum(v) OVER (ORDER BY k) AS s1, sum(v*v) OVER (ORDER BY k) AS q1,
+         count(*) OVER () AS n, sum(v) OVER () AS st, sum(v*v) OVER () AS qt
+  FROM series
+), sse AS (
+  SELECT rn, (q1 - s1*s1/rn) + ((qt - q1) - (st - s1)*(st - s1)/(n - rn)) AS sse,
+         qt - st*st/n AS total
+  FROM s WHERE rn < (SELECT max(rn) FROM s)
+), best AS (
+  SELECT rn, sse, total FROM sse ORDER BY round(sse, 9), rn LIMIT 1
+)
+SELECT s.k AS o_orderpriority, s.v AS v,
+       CASE WHEN s.rn = best.rn + 1 THEN 'step_change' END AS type,
+       CASE WHEN s.rn = best.rn + 1 THEN round(best.sse / best.total, 6) END
+         AS pvalue
+FROM s, best ORDER BY s.k
 """,
         "esql_dissect": """
 SELECT regexp_extract(props, '^\\{"k": (.*)\\}$', 1) AS k,

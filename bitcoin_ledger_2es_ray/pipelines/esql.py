@@ -82,6 +82,9 @@ _KEYWORDS = {
     "EVAL",
     "STATS",
     "INLINESTATS",
+    "SAMPLE",
+    "CHANGE_POINT",
+    "FORK",
     "BY",
     "SORT",
     "LIMIT",
@@ -421,6 +424,8 @@ class EsqlPlan:
     keep: list[str] | None = None
     drop: list[str] = field(default_factory=list)
     row: dict[str, object] | None = None  # ROW literal source
+    # CHANGE_POINT value ON key [AS type_name, pvalue_name] — terminal
+    changepoint: tuple[str, str, str, str] | None = None
 
 
 def _parse_agg_list(p: "_Parser") -> tuple[list[tuple], list[str]]:
@@ -560,9 +565,13 @@ def parse_esql(src: str) -> EsqlPlan:
             raise ValueError(f"esql: expected a command after '|', got {cmd!r}")
         if cmd in _UNSUPPORTED:
             raise ValueError(f"esql: unsupported command {cmd}")
+        if plan.changepoint is not None:
+            raise ValueError(
+                "esql: CHANGE_POINT must be the last command in the pipe"
+            )
         if plan.stats and cmd in ("WHERE", "EVAL", "DISSECT", "GROK", "RENAME",
                                   "LOOKUP", "MV_EXPAND", "ENRICH",
-                                  "INLINESTATS"):
+                                  "INLINESTATS", "SAMPLE"):
             raise ValueError(
                 f"esql: {cmd} after STATS is not supported (row commands run "
                 "before the aggregation)"
@@ -626,6 +635,36 @@ def parse_esql(src: str) -> EsqlPlan:
                     "decomposable aggregates join back onto the row stream)"
                 )
             plan.ops.append(("inline", istats, iby))
+        elif cmd == "SAMPLE":
+            # deterministic variant of ES|QL SAMPLE (tech preview): the
+            # keep decision is a pure function of the row's FIRST projected
+            # column (sha256 prefix < p·2^16), not an RNG — same rows on
+            # any cluster size / shard order, replayable, and expressible
+            # as a SQL oracle.  Documented deviation from ES's random
+            # sampling (which is nondeterministic by design).
+            prob = float(p.expect("num")[1])
+            if not 0.0 < prob < 1.0:
+                raise ValueError("esql: SAMPLE probability must be in (0, 1)")
+            plan.ops.append(("sample", prob, None))  # key bound at run time
+        elif cmd == "CHANGE_POINT":
+            # CHANGE_POINT value ON key [AS type_name, pvalue_name] —
+            # terminal command; see _apply_change_point for the
+            # deterministic mean-shift semantics
+            val = p.expect("ident")[1]
+            p.expect("kw", "ON")
+            key = p.expect("ident")[1]
+            tname, pname = "type", "pvalue"
+            if p.peek() == ("kw", "AS"):
+                p.next()
+                tname = p.expect("ident")[1]
+                p.expect("op", ",")
+                pname = p.expect("ident")[1]
+            plan.changepoint = (val, key, tname, pname)
+        elif cmd == "FORK":
+            raise ValueError(
+                "esql: FORK branches are split at the pipe level — "
+                "run_esql handles FORK; parse_esql only sees single pipes"
+            )
         elif cmd == "SORT":
             while True:
                 col = p.expect("ident")[1]
@@ -969,6 +1008,10 @@ def _plan_columns(
             need.add(op[2])
         elif op[0] == "enrich":
             need.add(op[2])
+        elif op[0] == "sample":
+            # keyed on the source table's first schema column (the id by
+            # convention) — force it into the read set
+            need.add(schema_names[0])
         elif op[0] == "inline":
             for s_ in op[1]:
                 if s_[2] is not None:
@@ -988,6 +1031,9 @@ def _plan_columns(
     need.update(plan.by)
     for col, _ in plan.sort:
         need.add(col)
+    if plan.changepoint is not None:
+        need.add(plan.changepoint[0])
+        need.add(plan.changepoint[1])
     if plan.keep is not None:
         need.update(plan.keep)
     elif not plan.stats:
@@ -1014,12 +1060,169 @@ _PARTIAL = {
 _COMBINE = {"n": "sum", "s": "sum", "q": "sum", "mn": "min", "mx": "max"}
 
 
+def _split_fork(src: str) -> tuple[str, list[str]] | None:
+    """Split ``head | FORK (b1) (b2) …`` into ``(head, [b1, b2, …])``.
+
+    Textual split (quote-aware, paren-balanced) so each branch re-enters
+    :func:`run_esql` as an ordinary pipe; returns None when the pipe has
+    no top-level FORK."""
+    i, n = 0, len(src)
+    in_str, depth = False, 0
+    fork_at = None
+    while i < n:
+        ch = src[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and src[i : i + 4].upper() == "FORK"
+            and (i + 4 == n or not (src[i + 4].isalnum() or src[i + 4] == "_"))
+            and (i == 0 or not (src[i - 1].isalnum() or src[i - 1] == "_"))
+        ):
+            fork_at = i
+            break
+        i += 1
+    if fork_at is None:
+        return None
+    head = src[:fork_at].rstrip()
+    if not head.endswith("|"):
+        raise ValueError("esql: FORK must follow a '|'")
+    head = head[:-1].rstrip()
+    rest = src[fork_at + 4 :]
+    branches: list[str] = []
+    j = 0
+    while j < len(rest):
+        ch = rest[j]
+        if ch.isspace():
+            j += 1
+            continue
+        if ch != "(":
+            raise ValueError(
+                "esql: FORK branches must be parenthesized and FORK must "
+                "be the last command"
+            )
+        depth, k, in_str = 1, j + 1, False
+        while k < len(rest) and depth:
+            c2 = rest[k]
+            if in_str:
+                if c2 == "\\":
+                    k += 2
+                    continue
+                if c2 == '"':
+                    in_str = False
+            elif c2 == '"':
+                in_str = True
+            elif c2 == "(":
+                depth += 1
+            elif c2 == ")":
+                depth -= 1
+            k += 1
+        if depth:
+            raise ValueError("esql: unbalanced parentheses in FORK")
+        branches.append(rest[j + 1 : k - 1].strip())
+        j = k
+    return head, branches
+
+
+def _apply_change_point(
+    res: pa.Table, cp: tuple[str, str, str, str], round_decimals: int
+) -> pa.Table:
+    """``CHANGE_POINT value ON key``: deterministic mean-shift detector.
+
+    Documented graft variant of ES's change_point (which runs a battery
+    of stochastic tests): sort the series by key, pick the split k
+    minimizing the two-segment sum of squared errors (ties → smallest
+    k), and mark the FIRST row of the right segment with
+    ``type='step_change'`` and ``pvalue = sse(k)/sse_total`` — the
+    unexplained-variance ratio (0 = perfect step, 1 = no shift).  The
+    series is driver-side by construction: ES caps the agg's input at
+    1000 buckets; the graft raises past 100k points."""
+    val, key, tname, pname = cp
+    for c in (val, key):
+        if c not in res.column_names:
+            raise ValueError(f"esql: CHANGE_POINT column {c} not in the pipe")
+    if res.num_rows > 100_000:
+        raise ValueError("esql: CHANGE_POINT series exceeds 100k points")
+    res = res.sort_by([(key, "ascending")])
+    n = res.num_rows
+    x = res[val].to_numpy(zero_copy_only=False).astype(np.float64)
+    tcol = np.full(n, None, dtype=object)
+    pvals = np.full(n, np.nan)
+    if n >= 4 and not np.isnan(x).any():
+        cs, cq = np.cumsum(x), np.cumsum(x * x)
+        s_tot, q_tot = cs[-1], cq[-1]
+        k = np.arange(1, n, dtype=np.float64)
+        s1, q1 = cs[:-1], cq[:-1]
+        sse = (q1 - s1 * s1 / k) + (
+            (q_tot - q1) - (s_tot - s1) * (s_tot - s1) / (n - k)
+        )
+        kstar = int(np.argmin(np.round(sse, 9)))
+        total = q_tot - s_tot * s_tot / n
+        ratio = float(sse[kstar] / total) if total > 0 else 1.0
+        tcol[kstar + 1] = "step_change"
+        pvals[kstar + 1] = float(sql_round(ratio, round_decimals))
+    out = res.append_column(tname, pa.array(tcol, type=pa.string()))
+    return out.append_column(
+        pname, pa.array(pvals, type=pa.float64(), mask=np.isnan(pvals))
+    )
+
+
 def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     """Parse + execute one ES|QL pipe over the ``sf_dir`` parquet tables.
 
     One streamed Ray Data pass; driver residency is bounded by #groups
     (STATS) or limit × #blocks (SORT/LIMIT) — never the input row count.
-    """
+    ``FORK`` fans the shared head into independent branch pipes (each its
+    own streamed pass — ES's plan also executes branches separately) and
+    unions them under a ``_fork`` discriminator; ``CHANGE_POINT`` is a
+    terminal driver-side detector over the (small) result series."""
+    fork = _split_fork(src)
+    if fork is not None:
+        head, branches = fork
+        if len(branches) < 2:
+            raise ValueError("esql: FORK needs at least two branches")
+        outs = []
+        for i, br in enumerate(branches, 1):
+            sub = run_esql(
+                f"{head} | {br}" if br.strip() else head,
+                sf_dir,
+                round_decimals=round_decimals,
+            )
+            outs.append(
+                sub.append_column(
+                    "_fork",
+                    pa.array([f"fork{i}"] * sub.num_rows, type=pa.string()),
+                )
+            )
+        res = pa.concat_tables(outs, promote_options="default")
+        # deterministic output order: branch id, then every flat column
+        keys = [("_fork", "ascending")] + [
+            (c, "ascending")
+            for c in res.column_names
+            if c != "_fork"
+            and not pa.types.is_nested(res.schema.field(c).type)
+        ]
+        return res.sort_by(keys)
+    plan = parse_esql(_normalize_assign(src))
+    res = _run_pipe(src, sf_dir, round_decimals=round_decimals)
+    if plan.changepoint is not None:
+        res = _apply_change_point(res, plan.changepoint, round_decimals)
+    return res
+
+
+def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
+    """Single-pipe executor behind :func:`run_esql` (no FORK, and
+    CHANGE_POINT is applied by the caller on the returned series)."""
     import ray.data as rd
 
     plan = parse_esql(_normalize_assign(src))
@@ -1033,6 +1236,11 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         if not os.path.exists(path):
             raise ValueError(f"esql: unknown index {plan.table}")
         schema_names = pq.read_schema(path).names
+    # bind SAMPLE's hash key to the source table's first schema column
+    plan.ops = [
+        ("sample", op[1], schema_names[0]) if op[0] == "sample" else op
+        for op in plan.ops
+    ]
 
     # LOOKUP JOIN right sides: ES|QL lookup indices are small replicated
     # tables by definition — read once, broadcast once via ray.put, one
@@ -1190,6 +1398,26 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     )
                     joined = b2.join(gt, keys=iby, join_type="left outer")
                     batch = joined.sort_by("__row").drop_columns(["__row"])
+            elif op[0] == "sample":
+                # deterministic sample: sha256 of the source table's first
+                # schema column (stringified); keep iff the first 2 digest
+                # bytes fall below p·2^16 — vectorized, shard-order-free
+                from ..functions.hashing import sha256_column
+
+                thr = int(op[1] * 65536)
+                if op[2] not in batch.column_names:
+                    raise ValueError(
+                        f"esql: SAMPLE key column {op[2]} was renamed away"
+                    )
+                keyc = _as_array(batch[op[2]])
+                h = sha256_column(pc.cast(keyc, pa.string()))
+                hb = np.frombuffer(h.buffers()[1], dtype=np.uint8)
+                hb = hb[: 32 * batch.num_rows].reshape(-1, 32)
+                first2 = hb[:, 0].astype(np.int64) * 256 + hb[:, 1]
+                keep = first2 < thr
+                if keyc.null_count:  # null keys never pass
+                    keep &= pc.is_valid(keyc).to_numpy(zero_copy_only=False)
+                batch = batch.filter(pa.array(keep))
             else:
                 name, e = op[1], op[2]
                 val = _eval_expr(e, batch)

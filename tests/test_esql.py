@@ -926,3 +926,118 @@ def test_esql_new_agg_rejections():
         parse_esql(_normalize_assign(
             "FROM events | INLINESTATS p = PERCENTILE(value, 50) BY user_id"
         ))
+
+
+def test_esql_sample_deterministic(ray_session):
+    # sha256-keyed deterministic sample == the same predicate in SQL
+    got = run_esql(
+        "FROM events | SAMPLE 0.25 "
+        "| STATS n = COUNT(*) BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT event_type, count(*)::BIGINT n FROM events "
+        "WHERE substr(sha256(CAST(event_id AS VARCHAR)), 1, 4) < '4000' "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(got, want)
+    # composes with WHERE either side; key stays the table id column
+    g2 = run_esql(
+        "FROM events | WHERE value > 10.0 | SAMPLE 0.5 "
+        "| STATS n = COUNT(*)",
+        SF_DIR,
+    )
+    w2 = _duck(
+        "SELECT count(*)::BIGINT n FROM events WHERE value > 10.0 "
+        "AND substr(sha256(CAST(event_id AS VARCHAR)), 1, 4) < '8000'"
+    )
+    _assert_tables_equal(g2, w2)
+    with pytest.raises(ValueError, match="probability"):
+        parse_esql("FROM events | SAMPLE 1.5")
+    with pytest.raises(ValueError, match="after STATS"):
+        parse_esql(_normalize_assign(
+            "FROM events | STATS n = COUNT(*) BY user_id | SAMPLE 0.5"
+        ))
+
+
+def test_esql_fork(ray_session):
+    got = run_esql(
+        'FROM events | WHERE value > 50.0 | FORK '
+        '(WHERE event_type == "click" | STATS n = COUNT(*) BY user_id) '
+        "(STATS a = AVG(user_id) BY event_type)",
+        SF_DIR,
+    )
+    want = _duck(
+        "WITH f1 AS (SELECT user_id, count(*)::BIGINT n FROM events "
+        "  WHERE value > 50.0 AND event_type = 'click' GROUP BY 1), "
+        "f2 AS (SELECT event_type, round(avg(user_id), 6) a FROM events "
+        "  WHERE value > 50.0 GROUP BY 1) "
+        "SELECT user_id, n, 'fork1' AS _fork, NULL::VARCHAR AS event_type, "
+        "NULL::DOUBLE AS a FROM f1 "
+        "UNION ALL SELECT NULL, NULL, 'fork2', event_type, a FROM f2 "
+        "ORDER BY _fork, user_id NULLS LAST, n NULLS LAST, "
+        "event_type NULLS LAST, a NULLS LAST"
+    )
+    _assert_tables_equal(got, want)
+    # row-command branches (no STATS) union row streams
+    g2 = run_esql(
+        "FROM events | FORK "
+        "(WHERE value > 320.0 | KEEP event_id | SORT event_id) "
+        "(WHERE value < 0.4 | KEEP event_id | SORT event_id)",
+        SF_DIR,
+    )
+    w2 = _duck(
+        "SELECT event_id, 'fork1' AS _fork FROM events WHERE value > 320.0 "
+        "UNION ALL SELECT event_id, 'fork2' FROM events WHERE value < 0.4 "
+        "ORDER BY 2, 1"
+    )
+    _assert_tables_equal(g2, w2)
+    with pytest.raises(ValueError, match="at least two"):
+        run_esql("FROM events | FORK (WHERE value > 1.0)", SF_DIR)
+    with pytest.raises(ValueError, match="parenthesized"):
+        run_esql(
+            "FROM events | FORK (WHERE value > 1.0) (WHERE value < 1.0) "
+            "| LIMIT 5",
+            SF_DIR,
+        )
+    # parse_esql never sees FORK pipes
+    with pytest.raises(ValueError, match="pipe level"):
+        parse_esql("FROM events | FORK")
+
+
+def test_esql_change_point(ray_session):
+    got = run_esql(
+        "FROM events | STATS v = COUNT(*) BY user_id "
+        "| CHANGE_POINT v ON user_id",
+        SF_DIR,
+    )
+    want = _duck(
+        "WITH series AS (SELECT user_id k, count(*)::BIGINT v FROM events "
+        "GROUP BY 1), "
+        "s AS (SELECT k, v, row_number() OVER (ORDER BY k) rn, "
+        "  sum(v) OVER (ORDER BY k) s1, sum(v*v) OVER (ORDER BY k) q1, "
+        "  count(*) OVER () n, sum(v) OVER () st, sum(v*v) OVER () qt "
+        "  FROM series), "
+        "sse AS (SELECT rn, (q1 - s1*s1/rn) + ((qt - q1) - "
+        "  (st - s1)*(st - s1)/(n - rn)) sse, qt - st*st/n total "
+        "  FROM s WHERE rn < (SELECT max(rn) FROM s)), "
+        "best AS (SELECT rn, sse, total FROM sse "
+        "  ORDER BY round(sse, 9), rn LIMIT 1) "
+        "SELECT s.k AS user_id, s.v AS v, "
+        "CASE WHEN s.rn = best.rn + 1 THEN 'step_change' END AS type, "
+        "CASE WHEN s.rn = best.rn + 1 THEN round(best.sse / best.total, 6) "
+        "END AS pvalue FROM s, best ORDER BY s.k"
+    )
+    _assert_tables_equal(got, want)
+    assert sum(1 for t in got["type"].to_pylist() if t == "step_change") == 1
+    # AS renames the marker columns
+    g2 = run_esql(
+        "FROM events | STATS v = COUNT(*) BY user_id "
+        "| CHANGE_POINT v ON user_id AS cp_kind, cp_score",
+        SF_DIR,
+    )
+    assert {"cp_kind", "cp_score"} <= set(g2.column_names)
+    with pytest.raises(ValueError, match="last command"):
+        parse_esql(_normalize_assign(
+            "FROM events | CHANGE_POINT value ON event_id | LIMIT 5"
+        ))
