@@ -5103,18 +5103,18 @@ def _q_esql_eval(sf_dir: str) -> pa.Table:
 # its original order, so nothing is removed.
 _FRONT_50 = [
     "lg_batches", "esql_grok", "sem_dedup", "rare_terms", "lang_id",
-    "esql_show", "esql_stats", "esql_topn", "esql_eval", "esql_dissect",
-    "esql_lookup", "esql_mv_expand", "esql_strings", "esql_enrich",
-    "esql_count_distinct", "esql_median", "esql_case", "sql_select",
-    "sql_group", "terms_agg", "multi_terms", "weighted_avg",
-    "extended_stats", "terms_shard_error", "moving_fn", "bucket_script",
-    "derivative", "auto_date_histogram", "composite_page2", "percentiles",
-    "terms_stats", "top_hits", "sig_terms", "delete_query_topk",
-    "update_lang_counts", "filtered_alias", "transform_pivot",
-    "exact_dedup", "jaccard_dups", "decontaminate", "duplicate_spans",
-    "dedup_keep_best", "hash_split", "pack_sequences", "curriculum",
-    "query_string", "more_like_this", "rrf_hybrid", "colbert_maxsim",
-    "esql_stats_where",
+    "esql_show", "esql_stats", "esql_inlinestats", "esql_stddev",
+    "esql_weighted_avg", "esql_lookup", "esql_mv_expand", "esql_strings",
+    "esql_enrich", "esql_count_distinct", "esql_median", "esql_case",
+    "sql_select", "esql_percentile", "terms_agg", "esql_mad",
+    "weighted_avg", "esql_sample", "terms_shard_error", "esql_fork",
+    "bucket_script", "esql_change_point", "auto_date_histogram",
+    "composite_page2", "percentiles", "terms_stats", "top_hits",
+    "sig_terms", "delete_query_topk", "update_lang_counts",
+    "filtered_alias", "transform_pivot", "exact_dedup", "jaccard_dups",
+    "decontaminate", "duplicate_spans", "dedup_keep_best", "hash_split",
+    "pack_sequences", "curriculum", "query_string", "more_like_this",
+    "rrf_hybrid", "colbert_maxsim", "esql_stats_where",
 ]
 
 
