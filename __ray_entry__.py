@@ -4804,6 +4804,15 @@ _ESQL_CHANGE_POINT = (
     "FROM orders | STATS v = COUNT(*) BY o_orderpriority "
     "| CHANGE_POINT v ON o_orderpriority"
 )
+_ESQL_COMPLETION = (
+    "FROM documents | COMPLETION summary = LEFT(text, 30) WITH test_echo "
+    "| KEEP doc_id, summary | SORT doc_id | LIMIT 200"
+)
+_ESQL_RERANK = (
+    'FROM documents | RERANK "data pipeline query engine" ON text '
+    "WITH test_reranker | KEEP doc_id, _score "
+    "| SORT _score DESC, doc_id ASC | LIMIT 100"
+)
 _ESQL_ENRICH = (
     "FROM customer | EVAL cents = ROUND(c_acctbal * 100, 0) "
     "| ENRICH nations ON c_nationkey "
@@ -5011,6 +5020,26 @@ def _q_esql_change_point(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_CHANGE_POINT, sf_dir)
+
+
+def _q_esql_completion(sf_dir: str) -> pa.Table:
+    """ES|QL COMPLETION (9.1): prompt expression → registered inference
+    endpoint per batch.  No model runtime in the container, so the
+    endpoint is the deterministic ``test_echo`` fake (multimodal-stub
+    policy); the command plumbing is real and oracle-gated."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_COMPLETION, sf_dir)
+
+
+def _q_esql_rerank(sf_dir: str) -> pa.Table:
+    """ES|QL RERANK (9.1): per-batch vectorized scorer into ``_score``.
+    The registered ``test_reranker`` is a deterministic token-overlap
+    relevance (|distinct matched| / |query tokens|) — the semantic-model
+    slot is one registry entry."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_RERANK, sf_dir)
 
 
 def _q_esql_show(sf_dir: str) -> pa.Table:
@@ -5424,6 +5453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_sample": _q_esql_sample,
         "esql_fork": _q_esql_fork,
         "esql_change_point": _q_esql_change_point,
+        "esql_completion": _q_esql_completion,
+        "esql_rerank": _q_esql_rerank,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -9966,6 +9997,17 @@ UNION ALL
 SELECT NULL, NULL, 'fork2', l_returnflag, a FROM f2
 ORDER BY _fork, l_linestatus NULLS LAST, n NULLS LAST,
          l_returnflag NULLS LAST, a NULLS LAST
+""",
+        "esql_completion": """
+SELECT doc_id, '[test_echo] ' || lower(left(text, 30)) AS summary
+FROM documents ORDER BY doc_id LIMIT 200
+""",
+        "esql_rerank": """
+SELECT doc_id,
+       round(len(list_intersect(string_split(text, ' '),
+                 string_split('data pipeline query engine', ' '))) / 4.0, 6)
+         AS _score
+FROM documents ORDER BY _score DESC, doc_id ASC LIMIT 100
 """,
         # two-segment SSE mean-shift split (ties -> smallest k), marker on
         # the first right-segment row — the engine's documented semantics

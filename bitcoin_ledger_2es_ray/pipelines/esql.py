@@ -85,6 +85,9 @@ _KEYWORDS = {
     "SAMPLE",
     "CHANGE_POINT",
     "FORK",
+    "COMPLETION",
+    "RERANK",
+    "WITH",
     "BY",
     "SORT",
     "LIMIT",
@@ -161,6 +164,56 @@ def _nations_policy(sf_dir):
 
 
 _ENRICH_POLICIES = {"nations": (_nations_policy, "n_nationkey")}
+
+# ---------------------------------------------------- inference endpoints
+#
+# ES|QL COMPLETION / RERANK call ES inference endpoints (LLMs, rerankers).
+# The container has no model runtime, so the graft registers DETERMINISTIC
+# FAKE endpoints (the same policy as pipelines/multimodal.py's codec stub):
+# the Ray-side plumbing — parse, per-batch vectorized call, schema,
+# streaming — is real and oracle-gated; a real model endpoint is one
+# registry entry away.  Unknown endpoints are refused at parse time.
+
+
+def _echo_completion(prompts: pa.Array) -> pa.Array:
+    """Deterministic 'LLM': ``[test_echo] `` + lowercased prompt."""
+    return pc.binary_join_element_wise(
+        pa.array(["[test_echo]"] * len(prompts)), pc.utf8_lower(prompts), " "
+    )
+
+
+def _overlap_rerank(query: str, field: pa.Array) -> pa.Array:
+    """Deterministic reranker: |distinct field tokens ∩ query tokens| /
+    |query tokens| over single-space tokens (== DuckDB
+    ``len(list_intersect(string_split(f,' '), string_split(q,' ')))/n``),
+    rounded to 6 dp.  Fully vectorized: one split, one ``index_in``
+    against the (tiny) query vocabulary, one pair-dedup + bincount."""
+    qtok = list(dict.fromkeys(query.split(" ")))
+    n_rows = len(field)
+    if not qtok or n_rows == 0:
+        return pa.array(np.zeros(n_rows), type=pa.float64())
+    toks = pc.split_pattern(field, " ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    code = pc.index_in(flat, value_set=pa.array(qtok))
+    valid = pc.is_valid(code).to_numpy(zero_copy_only=False)
+    hits = np.zeros(n_rows, dtype=np.int64)
+    if valid.any():
+        codes = code.to_numpy(zero_copy_only=False)
+        pairs = np.unique(
+            parents[valid].astype(np.int64) * len(qtok)
+            + codes[valid].astype(np.int64)
+        )
+        hits = np.bincount(pairs // len(qtok), minlength=n_rows)
+    return pa.array(
+        sql_round(hits / float(len(qtok)), 6), type=pa.float64()
+    )
+
+
+_INFERENCE_ENDPOINTS: dict[str, tuple[str, object]] = {
+    "test_echo": ("completion", _echo_completion),
+    "test_reranker": ("rerank", _overlap_rerank),
+}
 
 # ---------------------------------------------------- dissect / grok
 
@@ -257,7 +310,15 @@ def tokenize_esql(src: str) -> list[tuple[str, str]]:
         if kind == "ws":
             continue
         text = m.group()
-        if kind == "ident" and text.upper() in _KEYWORDS | _UNSUPPORTED:
+        # exact-lowercase ``completion`` stays an ident: it is the
+        # COMPLETION command's default OUTPUT column (ES's name), so later
+        # commands must be able to reference it; the command keyword is
+        # any other casing (the convention everywhere in this engine)
+        if (
+            kind == "ident"
+            and text.upper() in _KEYWORDS | _UNSUPPORTED
+            and text != "completion"
+        ):
             out.append(("kw", text.upper()))
         else:
             out.append((kind, text))
@@ -571,7 +632,8 @@ def parse_esql(src: str) -> EsqlPlan:
             )
         if plan.stats and cmd in ("WHERE", "EVAL", "DISSECT", "GROK", "RENAME",
                                   "LOOKUP", "MV_EXPAND", "ENRICH",
-                                  "INLINESTATS", "SAMPLE"):
+                                  "INLINESTATS", "SAMPLE", "COMPLETION",
+                                  "RERANK"):
             raise ValueError(
                 f"esql: {cmd} after STATS is not supported (row commands run "
                 "before the aggregation)"
@@ -660,6 +722,44 @@ def parse_esql(src: str) -> EsqlPlan:
                 p.expect("op", ",")
                 pname = p.expect("ident")[1]
             plan.changepoint = (val, key, tname, pname)
+        elif cmd == "COMPLETION":
+            # COMPLETION [out =] prompt_expr WITH endpoint_id — the
+            # endpoint is a registered deterministic fake (no model
+            # runtime in the container); output column defaults to
+            # ES's ``completion``
+            out_name = "completion"
+            if (
+                p.peek()[0] == "ident"
+                and p.i + 1 < len(p.toks)
+                and p.toks[p.i + 1] == ("op", "==")
+            ):
+                out_name = p.next()[1]
+                p.next()
+            prompt = p.expr()
+            p.expect("kw", "WITH")
+            endpoint = p.expect("ident")[1]
+            kind_, _fn = _INFERENCE_ENDPOINTS.get(endpoint, (None, None))
+            if kind_ != "completion":
+                raise ValueError(
+                    f"esql: unknown completion endpoint {endpoint!r} "
+                    f"(registered: {sorted(_INFERENCE_ENDPOINTS)})"
+                )
+            plan.ops.append(("completion", out_name, prompt, endpoint))
+        elif cmd == "RERANK":
+            # RERANK "query" ON field WITH endpoint_id — scores land in
+            # ES's ``_score`` column (follow with SORT _score DESC)
+            qraw = p.expect("str")[1]
+            p.expect("kw", "ON")
+            fld = p.expect("ident")[1]
+            p.expect("kw", "WITH")
+            endpoint = p.expect("ident")[1]
+            kind_, _fn = _INFERENCE_ENDPOINTS.get(endpoint, (None, None))
+            if kind_ != "rerank":
+                raise ValueError(
+                    f"esql: unknown rerank endpoint {endpoint!r} "
+                    f"(registered: {sorted(_INFERENCE_ENDPOINTS)})"
+                )
+            plan.ops.append(("rerank", qraw[1:-1], fld, endpoint))
         elif cmd == "FORK":
             raise ValueError(
                 "esql: FORK branches are split at the pipe level — "
@@ -995,6 +1095,8 @@ def _plan_columns(
     eval_names |= {
         s_[0] for op in plan.ops if op[0] == "inline" for s_ in op[1]
     }
+    eval_names |= {op[1] for op in plan.ops if op[0] == "completion"}
+    eval_names |= {"_score" for op in plan.ops if op[0] == "rerank"}
     eval_names |= extra_produced or set()
     need: set[str] = set()
     for op in plan.ops:
@@ -1012,6 +1114,10 @@ def _plan_columns(
             # keyed on the source table's first schema column (the id by
             # convention) — force it into the read set
             need.add(schema_names[0])
+        elif op[0] == "completion":
+            _referenced_cols(op[2], need)
+        elif op[0] == "rerank":
+            need.add(op[2])
         elif op[0] == "inline":
             for s_ in op[1]:
                 if s_[2] is not None:
@@ -1418,6 +1524,31 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                 if keyc.null_count:  # null keys never pass
                     keep &= pc.is_valid(keyc).to_numpy(zero_copy_only=False)
                 batch = batch.filter(pa.array(keep))
+            elif op[0] == "completion":
+                # registered (deterministic fake) inference endpoint over
+                # the evaluated prompt — one vectorized call per batch
+                _, out, prompt_e, endpoint = op
+                fn = _INFERENCE_ENDPOINTS[endpoint][1]
+                val = _eval_expr(prompt_e, batch)
+                if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+                    val = pa.array([val] * batch.num_rows)
+                comp = fn(_as_array(pc.cast(val, pa.string())))
+                if out in batch.column_names:
+                    batch = batch.set_column(
+                        batch.schema.get_field_index(out), out, comp
+                    )
+                else:
+                    batch = batch.append_column(out, comp)
+            elif op[0] == "rerank":
+                _, qtext, fld, endpoint = op
+                fn = _INFERENCE_ENDPOINTS[endpoint][1]
+                scores = fn(qtext, _as_array(pc.cast(batch[fld], pa.string())))
+                if "_score" in batch.column_names:
+                    batch = batch.set_column(
+                        batch.schema.get_field_index("_score"), "_score", scores
+                    )
+                else:
+                    batch = batch.append_column("_score", scores)
             else:
                 name, e = op[1], op[2]
                 val = _eval_expr(e, batch)

@@ -1041,3 +1041,50 @@ def test_esql_change_point(ray_session):
         parse_esql(_normalize_assign(
             "FROM events | CHANGE_POINT value ON event_id | LIMIT 5"
         ))
+
+
+def test_esql_completion_and_rerank(ray_session):
+    # COMPLETION: deterministic fake endpoint over an evaluated prompt
+    got = run_esql(
+        "FROM documents | COMPLETION summary = LEFT(text, 25) WITH test_echo "
+        "| KEEP doc_id, summary | SORT doc_id | LIMIT 40",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT doc_id, '[test_echo] ' || lower(left(text, 25)) AS summary "
+        "FROM documents ORDER BY 1 LIMIT 40"
+    )
+    _assert_tables_equal(got, want)
+    # default output column is ES's ``completion``
+    g2 = run_esql(
+        "FROM documents | COMPLETION LEFT(text, 5) WITH test_echo "
+        "| KEEP doc_id, completion | SORT doc_id | LIMIT 3",
+        SF_DIR,
+    )
+    assert g2.column_names == ["doc_id", "completion"]
+    # RERANK: deterministic token-overlap scorer == DuckDB list_intersect
+    g3 = run_esql(
+        'FROM documents | RERANK "data pipeline query engine" ON text '
+        "WITH test_reranker | KEEP doc_id, _score "
+        "| SORT _score DESC, doc_id ASC | LIMIT 25",
+        SF_DIR,
+    )
+    w3 = _duck(
+        "SELECT doc_id, round(len(list_intersect(string_split(text, ' '), "
+        "string_split('data pipeline query engine', ' '))) / 4.0, 6) "
+        "AS _score FROM documents ORDER BY 2 DESC, 1 LIMIT 25"
+    )
+    _assert_tables_equal(g3, w3)
+    with pytest.raises(ValueError, match="unknown completion endpoint"):
+        parse_esql(_normalize_assign(
+            "FROM documents | COMPLETION LEFT(text, 5) WITH gpt_real"
+        ))
+    with pytest.raises(ValueError, match="unknown rerank endpoint"):
+        parse_esql(_normalize_assign(
+            'FROM documents | RERANK "q" ON text WITH test_echo'
+        ))
+    with pytest.raises(ValueError, match="after STATS"):
+        parse_esql(_normalize_assign(
+            "FROM documents | STATS n = COUNT(*) BY lang "
+            "| COMPLETION LEFT(lang, 2) WITH test_echo"
+        ))
