@@ -4813,6 +4813,14 @@ _ESQL_RERANK = (
     "WITH test_reranker | KEEP doc_id, _score "
     "| SORT _score DESC, doc_id ASC | LIMIT 100"
 )
+_ESQL_FORK_RRF = (
+    "FROM documents | FORK "
+    '(RERANK "data pipeline query engine" ON text WITH test_reranker '
+    "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 50) "
+    '(RERANK "fast sort hash" ON text WITH test_reranker '
+    "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 50) "
+    "| RRF"
+)
 _ESQL_ENRICH = (
     "FROM customer | EVAL cents = ROUND(c_acctbal * 100, 0) "
     "| ENRICH nations ON c_nationkey "
@@ -5040,6 +5048,16 @@ def _q_esql_rerank(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_RERANK, sf_dir)
+
+
+def _q_esql_fork_rrf(sf_dir: str) -> pa.Table:
+    """ES|QL ``FORK (…) (…) | RRF``: reciprocal-rank fusion of two
+    reranked branches — per-branch (score DESC, id ASC) ranks,
+    fused = Σ 1/(60 + rank) (ES's rank_constant default), bounded
+    driver fold over the already-small branch results."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_FORK_RRF, sf_dir)
 
 
 def _q_esql_show(sf_dir: str) -> pa.Table:
@@ -5455,6 +5473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_change_point": _q_esql_change_point,
         "esql_completion": _q_esql_completion,
         "esql_rerank": _q_esql_rerank,
+        "esql_fork_rrf": _q_esql_fork_rrf,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -10008,6 +10027,23 @@ SELECT doc_id,
                  string_split('data pipeline query engine', ' '))) / 4.0, 6)
          AS _score
 FROM documents ORDER BY _score DESC, doc_id ASC LIMIT 100
+""",
+        "esql_fork_rrf": """
+WITH b1 AS (
+  SELECT doc_id, round(len(list_intersect(string_split(text, ' '),
+    string_split('data pipeline query engine', ' '))) / 4.0, 6) AS s
+  FROM documents ORDER BY s DESC, doc_id LIMIT 50
+), r1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM b1
+), b2 AS (
+  SELECT doc_id, round(len(list_intersect(string_split(text, ' '),
+    string_split('fast sort hash', ' '))) / 3.0, 6) AS s
+  FROM documents ORDER BY s DESC, doc_id LIMIT 50
+), r2 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM b2
+), u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT doc_id, round(sum(1.0/(60+rn)), 6) AS _score FROM u
+GROUP BY 1 ORDER BY _score DESC, doc_id
 """,
         # two-segment SSE mean-shift split (ties -> smallest k), marker on
         # the first right-segment row — the engine's documented semantics

@@ -87,6 +87,7 @@ _KEYWORDS = {
     "FORK",
     "COMPLETION",
     "RERANK",
+    "RRF",
     "WITH",
     "BY",
     "SORT",
@@ -1166,12 +1167,15 @@ _PARTIAL = {
 _COMBINE = {"n": "sum", "s": "sum", "q": "sum", "mn": "min", "mx": "max"}
 
 
-def _split_fork(src: str) -> tuple[str, list[str]] | None:
-    """Split ``head | FORK (b1) (b2) …`` into ``(head, [b1, b2, …])``.
+def _split_fork(src: str) -> tuple[str, list[str], str] | None:
+    """Split ``head | FORK (b1) (b2) … [| RRF]`` into
+    ``(head, [b1, b2, …], tail)``.
 
     Textual split (quote-aware, paren-balanced) so each branch re-enters
     :func:`run_esql` as an ordinary pipe; returns None when the pipe has
-    no top-level FORK."""
+    no top-level FORK.  ``tail`` is the text after the last branch —
+    only ``| RRF`` is accepted there (the fusion command is defined on
+    FORK output)."""
     i, n = 0, len(src)
     in_str, depth = False, 0
     fork_at = None
@@ -1213,9 +1217,12 @@ def _split_fork(src: str) -> tuple[str, list[str]] | None:
             j += 1
             continue
         if ch != "(":
+            tail = rest[j:].strip()
+            if branches and re.fullmatch(r"\|\s*RRF", tail, re.IGNORECASE):
+                return head, branches, "RRF"
             raise ValueError(
-                "esql: FORK branches must be parenthesized and FORK must "
-                "be the last command"
+                "esql: FORK branches must be parenthesized and only "
+                "'| RRF' may follow them"
             )
         depth, k, in_str = 1, j + 1, False
         while k < len(rest) and depth:
@@ -1237,7 +1244,52 @@ def _split_fork(src: str) -> tuple[str, list[str]] | None:
             raise ValueError("esql: unbalanced parentheses in FORK")
         branches.append(rest[j + 1 : k - 1].strip())
         j = k
-    return head, branches
+    return head, branches, ""
+
+
+def _rrf_fuse(
+    outs: list[pa.Table], round_decimals: int, k: int = 60
+) -> pa.Table:
+    """ES|QL ``FORK (…) (…) | RRF``: reciprocal-rank fusion of the
+    branches.  Each branch must emit ``_score`` plus an id column (its
+    first non-``_score``/``_fork`` column, same name in every branch);
+    per branch, rows rank by (_score DESC, id ASC); the fused score is
+    Σ 1/(k + rank) over the branches that returned the id (ES's
+    ``rank_constant`` default k=60).  Output: (id, _score) sorted by
+    fused score DESC, id ASC — branch tables are already driver-side
+    (FORK results), so fusion is a bounded local fold."""
+    id_col = None
+    fused: dict[object, float] = {}
+    for t in outs:
+        cand = [c for c in t.column_names if c not in ("_score", "_fork")]
+        if "_score" not in t.column_names or not cand:
+            raise ValueError(
+                "esql: RRF needs each FORK branch to emit _score and an "
+                "id column"
+            )
+        if id_col is None:
+            id_col = cand[0]
+        elif cand[0] != id_col:
+            raise ValueError(
+                f"esql: RRF branches disagree on the id column "
+                f"({id_col!r} vs {cand[0]!r})"
+            )
+        ranked = t.select([id_col, "_score"]).sort_by(
+            [("_score", "descending"), (id_col, "ascending")]
+        )
+        for rank, doc in enumerate(ranked[id_col].to_pylist(), 1):
+            fused[doc] = fused.get(doc, 0.0) + 1.0 / (k + rank)
+    ids = sorted(fused)  # deterministic fold order for ties
+    scores = np.array([fused[d] for d in ids], dtype=np.float64)
+    out = pa.table(
+        {
+            id_col: pa.array(ids, type=outs[0].schema.field(id_col).type),
+            "_score": pa.array(
+                sql_round(scores, round_decimals), type=pa.float64()
+            ),
+        }
+    )
+    return out.sort_by([("_score", "descending"), (id_col, "ascending")])
 
 
 def _apply_change_point(
@@ -1294,7 +1346,7 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     terminal driver-side detector over the (small) result series."""
     fork = _split_fork(src)
     if fork is not None:
-        head, branches = fork
+        head, branches, tail = fork
         if len(branches) < 2:
             raise ValueError("esql: FORK needs at least two branches")
         outs = []
@@ -1310,6 +1362,8 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     pa.array([f"fork{i}"] * sub.num_rows, type=pa.string()),
                 )
             )
+        if tail == "RRF":
+            return _rrf_fuse(outs, round_decimals)
         res = pa.concat_tables(outs, promote_options="default")
         # deterministic output order: branch id, then every flat column
         keys = [("_fork", "ascending")] + [

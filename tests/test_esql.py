@@ -1088,3 +1088,50 @@ def test_esql_completion_and_rerank(ray_session):
             "FROM documents | STATS n = COUNT(*) BY lang "
             "| COMPLETION LEFT(lang, 2) WITH test_echo"
         ))
+
+
+def test_esql_fork_rrf(ray_session):
+    got = run_esql(
+        'FROM documents | FORK '
+        '(RERANK "data pipeline query engine" ON text WITH test_reranker '
+        "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 20) "
+        '(RERANK "fast sort hash" ON text WITH test_reranker '
+        "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 20) "
+        "| RRF",
+        SF_DIR,
+    )
+    want = _duck(
+        "WITH b1 AS (SELECT doc_id, round(len(list_intersect("
+        "  string_split(text, ' '), "
+        "  string_split('data pipeline query engine', ' '))) / 4.0, 6) "
+        "  AS s FROM documents ORDER BY s DESC, doc_id LIMIT 20), "
+        "r1 AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) "
+        "  rn FROM b1), "
+        "b2 AS (SELECT doc_id, round(len(list_intersect("
+        "  string_split(text, ' '), string_split('fast sort hash', ' '))) "
+        "  / 3.0, 6) AS s FROM documents ORDER BY s DESC, doc_id LIMIT 20), "
+        "r2 AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) "
+        "  rn FROM b2), "
+        "u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2) "
+        "SELECT doc_id, round(sum(1.0/(60+rn)), 6) AS _score FROM u "
+        "GROUP BY 1 ORDER BY _score DESC, doc_id"
+    )
+    _assert_tables_equal(got, want)
+    # RRF needs _score in every branch
+    with pytest.raises(ValueError, match="RRF needs"):
+        run_esql(
+            "FROM documents | FORK "
+            "(WHERE n_chars > 100 | KEEP doc_id | SORT doc_id | LIMIT 5) "
+            "(WHERE n_chars > 200 | KEEP doc_id | SORT doc_id | LIMIT 5) "
+            "| RRF",
+            SF_DIR,
+        )
+    # only RRF may trail the branches
+    with pytest.raises(ValueError, match="only '\\| RRF'"):
+        run_esql(
+            "FROM documents | FORK (WHERE n_chars > 100) "
+            "(WHERE n_chars > 200) | LIMIT 3",
+            SF_DIR,
+        )
+    with pytest.raises(ValueError, match="not valid mid-pipe"):
+        parse_esql("FROM documents | RRF")
