@@ -9,6 +9,7 @@ exposes the equivalent operations over its own engine:
     python -m bitcoin_ledger_2es_ray.cli query  --index IDX --q "text" [-k 10]
     python -m bitcoin_ledger_2es_ray.cli match  --index IDX --q "a b" --mode phrase|phrase-topk|prefix|wildcard
     python -m bitcoin_ledger_2es_ray.cli serve-bench --index IDX --queries Q.parquet
+    python -m bitcoin_ledger_2es_ray.cli esql 'FROM t | STATS ...' --sf-dir DIR [--csv]
 
 ``build`` and ``resume`` are the same operation (the build is always
 incremental from the manifest — the reference's "resume from last indexed
@@ -346,6 +347,38 @@ def cmd_reshard(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_esql(args: argparse.Namespace) -> int:
+    """Run one ES|QL pipe over a directory of parquet tables and print
+    the result as JSON lines (or CSV with --csv)."""
+    from .pipelines.esql import run_esql
+
+    _ensure_ray(args.num_cpus)
+    res = run_esql(args.pipe, args.sf_dir)
+    if args.csv:
+        import io
+
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+
+        # Arrow CSV has no nested-type support: JSON-encode list columns
+        for i, f in enumerate(res.schema):
+            if pa.types.is_nested(f.type):
+                res = res.set_column(
+                    i, f.name,
+                    pa.array(
+                        [json.dumps(v, default=str) for v in res.column(i).to_pylist()],
+                        type=pa.string(),
+                    ),
+                )
+        buf = io.BytesIO()
+        pacsv.write_csv(res, buf)
+        sys.stdout.write(buf.getvalue().decode())
+    else:
+        for row in res.to_pylist():
+            print(json.dumps(row, default=str))
+    return 0
+
+
 def cmd_check(args: argparse.Namespace) -> int:
     """Lucene CheckIndex analog: verify segment/dictionary/stats
     invariants; exit 1 on any issue."""
@@ -529,6 +562,15 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--set", default=None, help="index dir to point the alias at")
     al.add_argument("--remove", action="store_true")
     al.set_defaults(fn=cmd_alias)
+
+    eq = sub.add_parser(
+        "esql", help="run one ES|QL pipe over a directory of parquet tables"
+    )
+    eq.add_argument("pipe", help='e.g. \'FROM events | STATS n = COUNT(*) BY user_id | SORT user_id\'')
+    eq.add_argument("--sf-dir", required=True, help="directory of <table>.parquet files")
+    eq.add_argument("--csv", action="store_true", help="CSV instead of JSON lines")
+    eq.add_argument("--num-cpus", type=int, default=None)
+    eq.set_defaults(fn=cmd_esql)
 
     args = p.parse_args(argv)
     return args.fn(args)

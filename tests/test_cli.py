@@ -118,3 +118,24 @@ def test_cli_cat_indices(cli_flow, capsys, tmp_path):
     assert len(rows) == 1
     assert rows[0]["aliases"] == "live" and rows[0]["status"] == "green"
     assert rows[0]["docs_count"] > 0
+
+
+def test_cli_esql(ray_session, capsys):
+    out = _run(capsys, [
+        "esql",
+        "FROM events | STATS n = COUNT(*) BY event_type | SORT event_type",
+        "--sf-dir", SF_DIR,
+    ]).strip().splitlines()
+    rows = [json.loads(line) for line in out]
+    assert len(rows) == 5 and all(r["n"] > 0 for r in rows)
+    # CSV path JSON-encodes nested (multivalue) columns
+    csv_out = _run(capsys, [
+        "esql",
+        "FROM events | STATS v = VALUES(event_type) BY user_id | SORT user_id",
+        "--sf-dir", SF_DIR, "--csv",
+    ]).strip().splitlines()
+    assert csv_out[0] == '"user_id","v"'
+    import csv as _csv
+
+    first = next(_csv.reader([csv_out[1]]))
+    assert isinstance(json.loads(first[1]), list)  # nested JSON list cell
