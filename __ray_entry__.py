@@ -4813,6 +4813,12 @@ _ESQL_RERANK = (
     "WITH test_reranker | KEEP doc_id, _score "
     "| SORT _score DESC, doc_id ASC | LIMIT 100"
 )
+_ESQL_POST_STATS = (
+    "FROM lineitem | STATS n = COUNT(*) BY l_suppkey, l_returnflag "
+    "| WHERE n >= 3 | EVAL half = ROUND(n / 2, 6) "
+    "| STATS mx = MAX(half), groups = COUNT(*) BY l_returnflag "
+    "| SORT l_returnflag"
+)
 _ESQL_FORK_RRF = (
     "FROM documents | FORK "
     '(RERANK "data pipeline query engine" ON text WITH test_reranker '
@@ -5048,6 +5054,16 @@ def _q_esql_rerank(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_RERANK, sf_dir)
+
+
+def _q_esql_post_stats(sf_dir: str) -> pa.Table:
+    """ES|QL post-STATS command tail: WHERE/EVAL and a second STATS over
+    the aggregation result — the combined table is group-bounded and
+    driver-side, so the tail is a local fold (ES executes the same way:
+    each STATS starts a new pipeline stage)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_POST_STATS, sf_dir)
 
 
 def _q_esql_fork_rrf(sf_dir: str) -> pa.Table:
@@ -5474,6 +5490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_completion": _q_esql_completion,
         "esql_rerank": _q_esql_rerank,
         "esql_fork_rrf": _q_esql_fork_rrf,
+        "esql_post_stats": _q_esql_post_stats,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -10027,6 +10044,16 @@ SELECT doc_id,
                  string_split('data pipeline query engine', ' '))) / 4.0, 6)
          AS _score
 FROM documents ORDER BY _score DESC, doc_id ASC LIMIT 100
+""",
+        "esql_post_stats": """
+WITH a AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n FROM lineitem
+  GROUP BY l_suppkey, l_returnflag
+), b AS (
+  SELECT l_returnflag, round(n / 2, 6) AS half FROM a WHERE n >= 3
+)
+SELECT l_returnflag, max(half) AS mx, count(*)::BIGINT AS groups
+FROM b GROUP BY 1 ORDER BY 1
 """,
         "esql_fork_rrf": """
 WITH b1 AS (

@@ -481,6 +481,12 @@ class EsqlPlan:
     # column, PERCENTILE's p, TOP's (k, order))
     stats: list[tuple] = field(default_factory=list)
     by: list[str] = field(default_factory=list)
+    # commands AFTER the first STATS (ES|QL: the aggregation result is a
+    # new table, so row commands and further STATS may follow) — applied
+    # driver-side on the group-bounded combined result:
+    # ("where", e) | ("eval", name, e) | ("rename", old, new) |
+    # ("stats", stats2, by2)
+    post: list[tuple] = field(default_factory=list)
     sort: list[tuple[str, bool]] = field(default_factory=list)  # (col, descending)
     limit: int | None = None
     keep: list[str] | None = None
@@ -631,21 +637,23 @@ def parse_esql(src: str) -> EsqlPlan:
             raise ValueError(
                 "esql: CHANGE_POINT must be the last command in the pipe"
             )
-        if plan.stats and cmd in ("WHERE", "EVAL", "DISSECT", "GROK", "RENAME",
-                                  "LOOKUP", "MV_EXPAND", "ENRICH",
-                                  "INLINESTATS", "SAMPLE", "COMPLETION",
-                                  "RERANK"):
+        if plan.stats and cmd in ("DISSECT", "GROK", "LOOKUP", "MV_EXPAND",
+                                  "ENRICH", "INLINESTATS", "SAMPLE",
+                                  "COMPLETION", "RERANK"):
             raise ValueError(
-                f"esql: {cmd} after STATS is not supported (row commands run "
-                "before the aggregation)"
+                f"esql: {cmd} after STATS is not supported (only WHERE / "
+                "EVAL / RENAME / STATS compose with the aggregated result)"
             )
+        # WHERE/EVAL/RENAME after STATS operate on the aggregation result
+        # (a new, group-bounded table) — routed to plan.post
+        tgt = plan.post if plan.stats else plan.ops
         if cmd == "WHERE":
-            plan.ops.append(("where", p.expr()))
+            tgt.append(("where", p.expr()))
         elif cmd == "EVAL":
             while True:
                 name = p.expect("ident")[1]
                 p.expect("op", "==")  # lexer folds '=' ... see below
-                plan.ops.append(("eval", name, p.expr()))
+                tgt.append(("eval", name, p.expr()))
                 if p.peek() != ("op", ","):
                     break
                 p.next()
@@ -654,7 +662,7 @@ def parse_esql(src: str) -> EsqlPlan:
                 old = p.expect("ident")[1]
                 p.expect("kw", "AS")
                 new = p.expect("ident")[1]
-                plan.ops.append(("rename", old, new))
+                tgt.append(("rename", old, new))
                 if p.peek() != ("op", ","):
                     break
                 p.next()
@@ -682,8 +690,20 @@ def parse_esql(src: str) -> EsqlPlan:
             plan.ops.append(("parse", src_col, regex, fields))
         elif cmd == "STATS":
             if plan.stats:
-                raise ValueError("esql: only one STATS command per pipe")
-            plan.stats, plan.by = _parse_agg_list(p)
+                # re-aggregation of the combined result (ES|QL allows
+                # arbitrary STATS depth); decomposable aggregates only —
+                # the input is already a driver-side table
+                st2, by2 = _parse_agg_list(p)
+                bad = [s_ for s_ in st2 if s_[1] not in _DECOMPOSABLE]
+                if bad:
+                    raise ValueError(
+                        f"esql: {bad[0][1]} is not supported in a "
+                        "post-STATS re-aggregation (decomposable "
+                        "aggregates only)"
+                    )
+                plan.post.append(("stats", st2, by2))
+            else:
+                plan.stats, plan.by = _parse_agg_list(p)
         elif cmd == "INLINESTATS":
             # ES|QL INLINESTATS (8.18 tech preview): adds the grouped
             # aggregates as COLUMNS on every row (a window function) —
@@ -1098,6 +1118,16 @@ def _plan_columns(
     }
     eval_names |= {op[1] for op in plan.ops if op[0] == "completion"}
     eval_names |= {"_score" for op in plan.ops if op[0] == "rerank"}
+    # post-STATS commands act on the aggregation result, not the source
+    # table: their outputs are producible names, their inputs are NOT
+    # source reads
+    for pop in plan.post:
+        if pop[0] == "eval":
+            eval_names.add(pop[1])
+        elif pop[0] == "rename":
+            eval_names.add(pop[2])
+        elif pop[0] == "stats":
+            eval_names |= {s_[0] for s_ in pop[1]}
     eval_names |= extra_produced or set()
     need: set[str] = set()
     for op in plan.ops:
@@ -1765,6 +1795,31 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                 final[out] = pa.array(vals, type=pa.float64(), mask=(n == 0))
         return pa.table(final)
 
+    def _finish_result(res: pa.Table, final_by: list[str]) -> pa.Table:
+        # post-STATS command tail (ES|QL: the aggregation result is a new
+        # table, so WHERE/EVAL/RENAME and further STATS may follow) —
+        # applied driver-side on the group-bounded combined result, then
+        # the shared KEEP/SORT/LIMIT output shaping
+        for pop in plan.post:
+            if pop[0] == "stats":
+                res = _standard_combine(
+                    _standard_partials(res, pop[1], pop[2]), pop[1], pop[2]
+                )
+                final_by = pop[2]
+            else:
+                res = _row_ops(res, [pop])
+        if plan.keep is not None:
+            res = res.select(plan.keep)
+        if plan.sort:
+            res = res.sort_by(
+                [(c, "descending" if d else "ascending") for c, d in plan.sort]
+            )
+        elif final_by:
+            res = res.sort_by([(b, "ascending") for b in final_by])
+        if plan.limit is not None:
+            res = res.slice(0, plan.limit)
+        return res
+
     import ray
 
     # ---- INLINESTATS pre-passes: each inline op aggregates the stream as
@@ -1878,18 +1933,7 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     [_finish(np.arange(len(raw)))], type=out_type
                 )
             }
-        res = pa.table(final)
-        if plan.keep is not None:
-            res = res.select(plan.keep)
-        if plan.sort:
-            res = res.sort_by(
-                [(c, "descending" if d else "ascending") for c, d in plan.sort]
-            )
-        elif by:
-            res = res.sort_by([(b, "ascending") for b in by])
-        if plan.limit is not None:
-            res = res.slice(0, plan.limit)
-        return res
+        return _finish_result(pa.table(final), by)
     if stats and stats[0][1] in _DISTINCT_FAMILY:
         # each COUNT_DISTINCT/VALUES deduplicates ITS OWN column's (by, col)
         # projection of the distinct-tuple partial — counting the deduped
@@ -1940,27 +1984,5 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     )
                 else:
                     final[out] = pa.array([d.num_rows], type=pa.int64())
-        res = pa.table(final)
-        if plan.keep is not None:
-            res = res.select(plan.keep)
-        if plan.sort:
-            res = res.sort_by(
-                [(c, "descending" if d else "ascending") for c, d in plan.sort]
-            )
-        elif by:
-            res = res.sort_by([(b, "ascending") for b in by])
-        if plan.limit is not None:
-            res = res.slice(0, plan.limit)
-        return res
-    res = _standard_combine(cat, stats, by)
-    if plan.keep is not None:
-        res = res.select(plan.keep)
-    if plan.sort:
-        res = res.sort_by(
-            [(c, "descending" if d else "ascending") for c, d in plan.sort]
-        )
-    elif by:
-        res = res.sort_by([(b, "ascending") for b in by])
-    if plan.limit is not None:
-        res = res.slice(0, plan.limit)
-    return res
+        return _finish_result(pa.table(final), by)
+    return _finish_result(_standard_combine(cat, stats, by), by)

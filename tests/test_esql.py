@@ -69,10 +69,11 @@ def test_parse_rejections():
         parse_esql('FROM documents | GROK text "%{NOPE:x}"')
     with pytest.raises(ValueError, match="duplicate grok field"):
         parse_esql('FROM documents | GROK text "%{WORD:x} %{WORD:x}"')
-    with pytest.raises(ValueError, match="one STATS"):
-        parse_esql(_normalize_assign(
-            "FROM documents | STATS c = COUNT(*) | STATS d = COUNT(*)"
-        ))
+    # a second STATS is a post-aggregation (ES|QL allows arbitrary depth)
+    p2 = parse_esql(_normalize_assign(
+        "FROM documents | STATS c = COUNT(*) | STATS d = COUNT(*)"
+    ))
+    assert p2.post == [("stats", [("d", "COUNT", None, None, None)], [])]
     with pytest.raises(ValueError, match="unknown aggregate"):
         parse_esql(_normalize_assign("FROM documents | STATS c = MODE(n_chars)"))
 
@@ -284,15 +285,34 @@ def test_esql_lookup_join_matches_duckdb(ray_session):
     _assert_tables_equal(got, want)
 
 
-def test_esql_post_stats_row_command_rejected():
+def test_esql_post_stats_commands(ray_session):
+    # ES|QL: the aggregation result is a new table — WHERE/EVAL/RENAME
+    # and further STATS compose after the first STATS
+    got = run_esql(
+        "FROM events | STATS n = COUNT(*) BY user_id, event_type "
+        "| WHERE n > 100 | EVAL half = ROUND(n / 2, 6) "
+        "| RENAME user_id AS u "
+        "| STATS mx = MAX(half), c = COUNT(*) BY u | SORT u",
+        SF_DIR,
+    )
+    want = _duck(
+        "WITH a AS (SELECT user_id u, count(*)::BIGINT n FROM events "
+        "GROUP BY user_id, event_type), "
+        "b AS (SELECT u, round(n / 2, 6) half FROM a WHERE n > 100) "
+        "SELECT u, max(half) mx, count(*)::BIGINT c FROM b "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(got, want)
+    # commands with source-table semantics still refuse to follow STATS
     with pytest.raises(ValueError, match="after STATS"):
         parse_esql(_normalize_assign(
-            "FROM events | STATS n = COUNT(*) BY user_id | WHERE n > 5"
+            "FROM events | STATS n = COUNT(*) BY user_id | SAMPLE 0.5"
         ))
-    with pytest.raises(ValueError, match="after STATS"):
+    # non-decomposable re-aggregation refused
+    with pytest.raises(ValueError, match="post-STATS re-aggregation"):
         parse_esql(_normalize_assign(
             "FROM events | STATS n = COUNT(*) BY user_id "
-            "| RENAME user_id AS u"
+            "| STATS m = MEDIAN(n)"
         ))
 
 
