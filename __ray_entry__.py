@@ -3876,6 +3876,53 @@ def _q_geo_bounds(sf_dir: str) -> pa.Table:
     return geo_bounds_agg(sf_dir, round_decimals=_ROUND)
 
 
+def _q_eql_head(sf_dir: str) -> pa.Table:
+    """EQL event query + head pipe: vectorized condition mask per batch,
+    per-batch partial top-k cap (the stream never lands unbounded on the
+    driver), (ts, event_id) total order."""
+    from bitcoin_ledger_2es_ray.pipelines.eql import run_eql
+
+    return run_eql("any where value > 250.0 | head 20", sf_dir)
+
+
+def _q_eql_unique(sf_dir: str) -> pa.Table:
+    """EQL ``| unique field``: earliest matching event per distinct field
+    value (result bounded by field cardinality)."""
+    from bitcoin_ledger_2es_ray.pipelines.eql import run_eql
+
+    return run_eql("any where value > 200.0 | unique event_type", sf_dir)
+
+
+def _q_eql_sample(sf_dir: str) -> pa.Table:
+    """EQL ``sample by key [a where …] [b where …]``: earliest event per
+    subquery per key, emitted iff every subquery matched — bitmask
+    map_batches pass + one narrow groupby(key)."""
+    from bitcoin_ledger_2es_ray.pipelines.eql import run_eql
+
+    return run_eql(
+        "sample by user_id [signup where true] "
+        "[error where value > 20.0]",
+        sf_dir,
+    )
+
+
+def _q_eql_sequence(sf_dir: str) -> pa.Table:
+    """EQL ``sequence by key with maxspan … until …`` — FULL
+    non-overlapping greedy state machine (every match, not just the
+    first completion; pipelines/eql.py docstring pins the semantics).
+    Iterative per-key matching is not SQL-expressible: rows-only gate;
+    the brute-force reference tests in tests/test_eql.py are the value
+    check."""
+    from bitcoin_ledger_2es_ray.pipelines.eql import run_eql
+
+    return run_eql(
+        "sequence by user_id with maxspan=30d [signup where true] "
+        '[click where value > 50.0] [error where true] '
+        "until [purchase where value > 140.0]",
+        sf_dir,
+    )
+
+
 def _q_eql_funnel(sf_dir: str) -> pa.Table:
     """EQL ``sequence by user_id with maxspan=7d [signup][purchase][error]``
     — first-completion (funnel) semantics; per-user scan after one
@@ -5273,6 +5320,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_script": _q_bucket_script,
         "geo_bounds": _q_geo_bounds,
         "eql_funnel": _q_eql_funnel,
+        "eql_head": _q_eql_head,
+        "eql_unique": _q_eql_unique,
+        "eql_sample": _q_eql_sample,
+        "eql_sequence": _q_eql_sequence,  # rows-only (iterative machine)
         "sig_terms": _q_sig_terms,
         "sig_terms_chi2": _q_sig_terms_chi2,
         "significant_text": _q_significant_text,
@@ -8552,6 +8603,25 @@ SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
              / nullif(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0), 6)
          AS ratio
 FROM events GROUP BY 1 ORDER BY 1
+""",
+        "eql_head": """
+SELECT * FROM events WHERE value > 250.0 ORDER BY ts, event_id LIMIT 20
+""",
+        "eql_unique": """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+    ORDER BY ts, event_id) AS rn FROM events WHERE value > 200.0
+) WHERE rn = 1 ORDER BY ts, event_id
+""",
+        "eql_sample": """
+SELECT user_id,
+       epoch_us(min(ts) FILTER (event_type = 'signup')) AS t1_us,
+       epoch_us(min(ts) FILTER (event_type = 'error' AND value > 20.0))
+         AS t2_us
+FROM events GROUP BY 1
+HAVING count(*) FILTER (event_type = 'signup') > 0
+   AND count(*) FILTER (event_type = 'error' AND value > 20.0) > 0
+ORDER BY 1
 """,
         # eql funnel: earliest signup -> purchase -> error per user, maxspan 7d
         "eql_funnel": """
