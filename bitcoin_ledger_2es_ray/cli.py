@@ -379,6 +379,16 @@ def cmd_esql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_eql(args: argparse.Namespace) -> int:
+    """Run one EQL query over the events table and print JSON lines."""
+    from .pipelines.eql import run_eql
+
+    _ensure_ray(args.num_cpus)
+    for row in run_eql(args.query, args.sf_dir).to_pylist():
+        print(json.dumps(row, default=str))
+    return 0
+
+
 def cmd_check(args: argparse.Namespace) -> int:
     """Lucene CheckIndex analog: verify segment/dictionary/stats
     invariants; exit 1 on any issue."""
@@ -571,6 +581,14 @@ def main(argv: list[str] | None = None) -> int:
     eq.add_argument("--csv", action="store_true", help="CSV instead of JSON lines")
     eq.add_argument("--num-cpus", type=int, default=None)
     eq.set_defaults(fn=cmd_esql)
+
+    el = sub.add_parser(
+        "eql", help="run one EQL query (event/sequence/sample) over events"
+    )
+    el.add_argument("query", help="e.g. 'sequence by user_id [a where true] [b where true]'")
+    el.add_argument("--sf-dir", required=True)
+    el.add_argument("--num-cpus", type=int, default=None)
+    el.set_defaults(fn=cmd_eql)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -216,3 +216,66 @@ def test_sequence_pipes(ray_session):
         SF_DIR,
     )
     assert cnt["count"].to_pylist() == [full.num_rows]
+
+
+def test_sequence_machine_property():
+    """Hypothesis: the searchsorted machine == the linear-scan reference
+    on random event streams (random step memberships, spans, untils)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from bitcoin_ledger_2es_ray.pipelines.eql import _sequence_machine
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        times=st.lists(
+            st.integers(min_value=0, max_value=500), min_size=0,
+            max_size=60, unique=True,
+        ),
+        memb=st.data(),
+        n_steps=st.integers(min_value=2, max_value=4),
+        maxspan=st.one_of(st.none(), st.integers(min_value=1, max_value=100)),
+        with_until=st.booleans(),
+    )
+    def check(times, memb, n_steps, maxspan, with_until):
+        times = sorted(times)
+        step_times = [[] for _ in range(n_steps)]
+        until_times = []
+        for t in times:
+            for k in range(n_steps):
+                if memb.draw(st.booleans()):
+                    step_times[k].append(t)
+            if with_until and memb.draw(st.booleans()):
+                until_times.append(t)
+        st_np = [np.array(s, dtype=np.int64) for s in step_times]
+        ut_np = (
+            np.array(until_times, dtype=np.int64) if with_until else None
+        )
+        if any(len(s) == 0 for s in st_np):
+            return
+        got = _sequence_machine(st_np, ut_np, maxspan)
+        want = _greedy_reference(
+            step_times, until_times if with_until else None, maxspan
+        )
+        assert got == want
+
+    check()
+
+
+def test_cli_eql(ray_session, capsys):
+    import json as _json
+
+    from bitcoin_ledger_2es_ray.cli import main
+
+    capsys.readouterr()
+    rc = main([
+        "eql",
+        "sequence by user_id [signup where true] [error where true] | head 3",
+        "--sf-dir", SF_DIR,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    rows = [_json.loads(line) for line in out.strip().splitlines()]
+    assert len(rows) == 3 and all("span_us" in r for r in rows)
