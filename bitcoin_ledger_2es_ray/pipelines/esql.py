@@ -557,6 +557,16 @@ def _parse_agg_list(p: "_Parser") -> tuple[list[tuple], list[str]]:
             if k < 1:
                 raise ValueError("esql: TOP limit must be >= 1")
             param = (k, order)
+        elif fn == "COUNT_DISTINCT" and extra:
+            # ES's optional precision_threshold (HLL accuracy hint) —
+            # parse-accepted and recorded; the graft's distinct-tuple
+            # partial is EXACT at every cardinality, a strict upgrade
+            if len(extra) != 1 or extra[0][0] != "num":
+                raise ValueError(
+                    "esql: COUNT_DISTINCT(field, precision) takes a "
+                    "numeric precision threshold"
+                )
+            param = int(float(extra[0][1]))
         elif extra:
             raise ValueError(f"esql: {fn} takes a single column argument")
         filt = None

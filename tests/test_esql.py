@@ -1155,3 +1155,23 @@ def test_esql_fork_rrf(ray_session):
         )
     with pytest.raises(ValueError, match="not valid mid-pipe"):
         parse_esql("FROM documents | RRF")
+
+
+def test_esql_count_distinct_precision_hint(ray_session):
+    # ES's precision_threshold is parse-accepted; the exact engine's
+    # answer is identical with or without it
+    a = run_esql(
+        "FROM events | STATS u = COUNT_DISTINCT(user_id, 3000) "
+        "BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    b = run_esql(
+        "FROM events | STATS u = COUNT_DISTINCT(user_id) "
+        "BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    _assert_tables_equal(a, b)
+    with pytest.raises(ValueError, match="precision"):
+        parse_esql(_normalize_assign(
+            'FROM events | STATS u = COUNT_DISTINCT(user_id, "hi")'
+        ))
