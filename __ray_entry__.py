@@ -4866,6 +4866,15 @@ _ESQL_POST_STATS = (
     "| STATS mx = MAX(half), groups = COUNT(*) BY l_returnflag "
     "| SORT l_returnflag"
 )
+_ESQL_MATCH = (
+    'FROM documents | WHERE MATCH(text, "join vector") '
+    "| STATS n = COUNT(*) BY lang | SORT lang"
+)
+_ESQL_QSTR = (
+    "FROM documents | WHERE "
+    'QSTR(text, "fast AND (sort OR hash) AND NOT group") '
+    "| STATS n = COUNT(*) BY lang | SORT lang"
+)
 _ESQL_FORK_RRF = (
     "FROM documents | FORK "
     '(RERANK "data pipeline query engine" ON text WITH test_reranker '
@@ -5111,6 +5120,25 @@ def _q_esql_post_stats(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_POST_STATS, sf_dir)
+
+
+def _q_esql_match(sf_dir: str) -> pa.Table:
+    """ES|QL MATCH(field, query) full-text predicate (9.x): OR of
+    analyzed query terms, evaluated index-free per batch with the SAME
+    analyzer as the engine's index — one tokenize + is_in kernel."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_MATCH, sf_dir)
+
+
+def _q_esql_qstr(sf_dir: str) -> pa.Table:
+    """ES|QL QSTR full-text predicate: Lucene query_string boolean tree
+    (AND/OR/NOT, +/-, parens, wildcards, exact phrases) over the analyzed
+    field; fuzzy/range/sloppy leaves refuse at plan time with a pointer
+    at the index-backed query_string_topk pipeline."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_QSTR, sf_dir)
 
 
 def _q_esql_fork_rrf(sf_dir: str) -> pa.Table:
@@ -5542,6 +5570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_rerank": _q_esql_rerank,
         "esql_fork_rrf": _q_esql_fork_rrf,
         "esql_post_stats": _q_esql_post_stats,
+        "esql_match": _q_esql_match,
+        "esql_qstr": _q_esql_qstr,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -10114,6 +10144,19 @@ SELECT doc_id,
                  string_split('data pipeline query engine', ' '))) / 4.0, 6)
          AS _score
 FROM documents ORDER BY _score DESC, doc_id ASC LIMIT 100
+""",
+        "esql_match": """
+SELECT lang, count(*)::BIGINT AS n FROM documents
+WHERE list_has_any(string_split(text, ' '), ['join', 'vector'])
+GROUP BY 1 ORDER BY 1
+""",
+        "esql_qstr": """
+SELECT lang, count(*)::BIGINT AS n FROM documents
+WHERE list_contains(string_split(text, ' '), 'fast')
+  AND (list_contains(string_split(text, ' '), 'sort')
+       OR list_contains(string_split(text, ' '), 'hash'))
+  AND NOT list_contains(string_split(text, ' '), 'group')
+GROUP BY 1 ORDER BY 1
 """,
         "esql_post_stats": """
 WITH a AS (

@@ -216,6 +216,221 @@ _INFERENCE_ENDPOINTS: dict[str, tuple[str, object]] = {
     "test_reranker": ("rerank", _overlap_rerank),
 }
 
+# ------------------------------------------------- full-text predicates
+#
+# ES|QL 9.x full-text functions: MATCH / QSTR as WHERE predicates.  The
+# pipe has no index context, so both evaluate index-free per batch over
+# the raw field with the SAME analyzer as the engine's index
+# (functions/tokenize) — identical match sets, membership-only (scoring
+# stays with the BM25 pipelines).
+
+
+def _hits_to_rows(n: int, doc_idx: np.ndarray, hit: np.ndarray) -> np.ndarray:
+    out = np.zeros(n, dtype=bool)
+    out[doc_idx[hit]] = True
+    return out
+
+
+def _validate_qstr(query: str) -> None:
+    """Driver-side QSTR validation (parse + leaf check) so unsupported
+    syntax raises before any Ray task runs."""
+    from ..functions.tokenize import tokenize_query
+    from .lucene import parse_query_string
+
+    def walk(nd) -> None:
+        k = nd[0]
+        if k in ("fuzzy", "range"):
+            raise ValueError(
+                f"esql: QSTR {k!r} leaves are index-backed — use the "
+                "query_string_topk pipeline"
+            )
+        if k == "phrase":
+            if nd[2]:
+                raise ValueError(
+                    "esql: QSTR sloppy phrases are index-backed — use the "
+                    "query_string_topk pipeline"
+                )
+            for w in nd[1].split():
+                if len(tokenize_query(w)) != 1:
+                    raise ValueError(
+                        "esql: QSTR phrases over compound tokens are "
+                        "index-backed — use the phrase pipelines"
+                    )
+        elif k in ("not", "boost"):
+            walk(nd[1])
+        elif k in ("and", "or"):
+            for c in nd[1]:
+                walk(c)
+        elif k == "bool":
+            for lst in (nd[1], nd[2], nd[3]):
+                for c in lst:
+                    walk(c)
+
+    walk(parse_query_string(query))
+
+
+def _validate_fulltext_exprs(plan: "EsqlPlan") -> None:
+    """Check every MATCH/QSTR call in the plan's expressions up front."""
+
+    def walk(node) -> None:
+        if isinstance(node, tuple):
+            if node and node[0] == "func" and node[1] in ("MATCH", "QSTR"):
+                args = node[2]
+                if (
+                    len(args) != 2
+                    or args[1][0] != "lit"
+                    or not isinstance(args[1][1], str)
+                ):
+                    raise ValueError(
+                        f'esql: {node[1]}(field, "query") needs a literal '
+                        "query string"
+                    )
+                if node[1] == "QSTR":
+                    _validate_qstr(args[1][1])
+            for x in node:
+                walk(x)
+        elif isinstance(node, list):
+            for x in node:
+                walk(x)
+
+    for op in list(plan.ops) + list(plan.post):
+        walk(tuple(op[1:]))
+    for s_ in plan.stats:
+        walk(s_[3])
+
+
+def _match_predicate(field: pa.Array, query: str) -> pa.Array:
+    """``MATCH(field, "query")``: true iff ANY analyzed query term occurs
+    among the field's analyzed tokens (ES match, default OR operator) —
+    one vectorized tokenize + ``is_in`` per batch."""
+    from ..functions.tokenize import tokenize_flat, tokenize_query
+
+    n = len(field)
+    qterms = sorted(set(tokenize_query(query)))
+    if not qterms or n == 0:
+        return pa.array(np.zeros(n, dtype=bool))
+    toks, doc_idx, _dl = tokenize_flat(field)
+    hit = pc.fill_null(
+        pc.is_in(toks, value_set=pa.array(qterms, type=pa.string())), False
+    ).to_numpy(zero_copy_only=False).astype(bool)
+    return pa.array(_hits_to_rows(n, doc_idx, hit))
+
+
+def _qstr_predicate(field: pa.Array, query: str) -> pa.Array:
+    """``QSTR(field, "query")`` — Lucene query_string syntax as a batch
+    PREDICATE (graft signature names the field explicitly: the pipe has
+    no default-field index context; documented deviation).
+
+    Supported leaves: terms, AND/OR/NOT and +/- bool groups, parentheses,
+    ``*``/``?`` wildcards, exact (slop-0) phrases — the membership subset
+    that evaluates index-free.  Fuzzy, ranges and sloppy phrases are
+    index-backed features: refused with a pointer at the
+    ``query_string_topk`` pipeline."""
+    from ..functions.tokenize import tokenize_flat, tokenize_query
+    from .lucene import parse_query_string
+
+    node = parse_query_string(query)
+    n = len(field)
+    if n == 0:
+        return pa.array(np.zeros(0, dtype=bool))
+    toks, doc_idx, _dl, pos = tokenize_flat(field, return_positions=True)
+
+    def term_any(terms: list[str]) -> np.ndarray:
+        if not terms:
+            return np.zeros(n, dtype=bool)
+        hit = pc.fill_null(
+            pc.is_in(
+                toks,
+                value_set=pa.array(sorted(set(terms)), type=pa.string()),
+            ),
+            False,
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        return _hits_to_rows(n, doc_idx, hit)
+
+    def ev(nd) -> np.ndarray:
+        k = nd[0]
+        if k == "term":
+            return term_any(tokenize_query(nd[1]))
+        if k == "wild":
+            rx = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                for ch in nd[1].lower()
+            ) + "$"
+            hit = pc.fill_null(
+                pc.match_substring_regex(toks, rx), False
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            return _hits_to_rows(n, doc_idx, hit)
+        if k == "phrase":
+            text, slop = nd[1], nd[2]
+            if slop:
+                raise ValueError(
+                    "esql: QSTR sloppy phrases are index-backed — use the "
+                    "query_string_topk pipeline"
+                )
+            terms = []
+            for w in text.split():
+                tw = tokenize_query(w)
+                if len(tw) != 1:
+                    raise ValueError(
+                        "esql: QSTR phrases over compound tokens are "
+                        "index-backed — use the phrase pipelines"
+                    )
+                terms.append(tw[0])
+            if not terms:
+                return np.zeros(n, dtype=bool)
+            if len(terms) > 64:
+                raise ValueError("esql: QSTR phrase longer than 64 words")
+            # intersect (doc, pos − i) keys across the phrase terms:
+            # a surviving key is an adjacent run
+            keys = None
+            for i, t in enumerate(terms):
+                m = pc.fill_null(pc.equal(toks, t), False).to_numpy(
+                    zero_copy_only=False
+                ).astype(bool)
+                k_i = doc_idx[m].astype(np.int64) * (1 << 32) + (
+                    pos[m].astype(np.int64) - i + 64
+                )
+                keys = k_i if keys is None else np.intersect1d(keys, k_i)
+                if len(keys) == 0:
+                    break
+            out = np.zeros(n, dtype=bool)
+            if keys is not None and len(keys):
+                out[np.unique(keys >> 32)] = True
+            return out
+        if k == "not":
+            return ~ev(nd[1])
+        if k == "boost":  # boosts rank, never filters
+            return ev(nd[1])
+        if k == "and":
+            r = ev(nd[1][0])
+            for c in nd[1][1:]:
+                r &= ev(c)
+            return r
+        if k == "or":
+            r = ev(nd[1][0])
+            for c in nd[1][1:]:
+                r |= ev(c)
+            return r
+        if k == "bool":
+            must, must_not, should = nd[1], nd[2], nd[3]
+            r = np.ones(n, dtype=bool)
+            for c in must:
+                r &= ev(c)
+            for c in must_not:
+                r &= ~ev(c)
+            if should and not must:  # pure-should: at least one (ES)
+                s = np.zeros(n, dtype=bool)
+                for c in should:
+                    s |= ev(c)
+                r &= s
+            return r
+        raise ValueError(
+            f"esql: QSTR {k!r} leaves are index-backed — use the "
+            "query_string_topk pipeline"
+        )
+
+    return pa.array(ev(node))
+
 # ---------------------------------------------------- dissect / grok
 
 # the grok pattern library subset the graft ships (Logstash core names)
@@ -889,6 +1104,17 @@ def _eval_expr(node: tuple, batch: pa.Table):
     if kind == "func":
         name, args = node[1], node[2]
         vals = [_eval_expr(a, batch) for a in args]
+        if name == "MATCH":
+            if len(args) != 2 or not isinstance(vals[1], str):
+                raise ValueError('esql: MATCH(field, "query")')
+            return _match_predicate(_as_array(vals[0]), vals[1])
+        if name == "QSTR":
+            if len(args) != 2 or not isinstance(vals[1], str):
+                raise ValueError(
+                    'esql: QSTR(field, "query") — the graft signature '
+                    "names the field explicitly (no index default field)"
+                )
+            return _qstr_predicate(_as_array(vals[0]), vals[1])
         if name == "ROUND":
             x = _as_array(vals[0])
             d = int(vals[1]) if len(vals) > 1 else 0
@@ -1441,6 +1667,8 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         ("sample", op[1], schema_names[0]) if op[0] == "sample" else op
         for op in plan.ops
     ]
+    # MATCH/QSTR query strings validate on the driver, not inside a task
+    _validate_fulltext_exprs(plan)
 
     # LOOKUP JOIN right sides: ES|QL lookup indices are small replicated
     # tables by definition — read once, broadcast once via ray.put, one

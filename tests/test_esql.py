@@ -1175,3 +1175,74 @@ def test_esql_count_distinct_precision_hint(ray_session):
         parse_esql(_normalize_assign(
             'FROM events | STATS u = COUNT_DISTINCT(user_id, "hi")'
         ))
+
+
+def test_esql_match_and_qstr(ray_session):
+    # MATCH: OR of analyzed query terms (plain-word corpus == string_split)
+    got = run_esql(
+        'FROM documents | WHERE MATCH(text, "join vector") '
+        "| STATS n = COUNT(*) BY lang | SORT lang",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT lang, count(*)::BIGINT n FROM documents "
+        "WHERE list_has_any(string_split(text, ' '), "
+        "['join', 'vector']) GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(got, want)
+    # QSTR: boolean tree with AND NOT and parens
+    g2 = run_esql(
+        "FROM documents | WHERE "
+        'QSTR(text, "fast AND (sort OR hash) AND NOT group") '
+        "| STATS n = COUNT(*)",
+        SF_DIR,
+    )
+    w2 = _duck(
+        "SELECT count(*)::BIGINT n FROM documents WHERE "
+        "list_contains(string_split(text,' '), 'fast') AND "
+        "(list_contains(string_split(text,' '), 'sort') OR "
+        " list_contains(string_split(text,' '), 'hash')) AND NOT "
+        "list_contains(string_split(text,' '), 'group')"
+    )
+    _assert_tables_equal(g2, w2)
+    # sequence default operator is Lucene's OR: 'a NOT b' == a OR (NOT b)
+    g2b = run_esql(
+        'FROM documents | WHERE QSTR(text, "fast NOT group") '
+        "| STATS n = COUNT(*)",
+        SF_DIR,
+    )
+    w2b = _duck(
+        "SELECT count(*)::BIGINT n FROM documents WHERE "
+        "list_contains(string_split(text,' '), 'fast') OR NOT "
+        "list_contains(string_split(text,' '), 'group')"
+    )
+    _assert_tables_equal(g2b, w2b)
+    # wildcard leaf
+    g3 = run_esql(
+        'FROM documents | WHERE QSTR(text, "gro*") | STATS n = COUNT(*)',
+        SF_DIR,
+    )
+    w3 = _duck(
+        "SELECT count(*)::BIGINT n FROM documents WHERE EXISTS ("
+        "SELECT 1 FROM unnest(string_split(text,' ')) t(x) "
+        "WHERE x LIKE 'gro%')"
+    )
+    _assert_tables_equal(g3, w3)
+    # exact phrase via adjacent positions == padded-LIKE on the raw text
+    g4 = run_esql(
+        r'FROM documents | WHERE QSTR(text, "\"data join\"") '
+        "| STATS n = COUNT(*)",
+        SF_DIR,
+    )
+    w4 = _duck(
+        "SELECT count(*)::BIGINT n FROM documents "
+        "WHERE (' ' || text || ' ') LIKE '% data join %'"
+    )
+    assert w4["n"].to_pylist()[0] > 0  # the bigram exists in the corpus
+    _assert_tables_equal(g4, w4)
+    # index-backed leaves are refused with a pointer
+    with pytest.raises(ValueError, match="index-backed"):
+        run_esql(
+            'FROM documents | WHERE QSTR(text, "fast~1") | STATS n = COUNT(*)',
+            SF_DIR,
+        )
