@@ -4866,6 +4866,9 @@ _ESQL_POST_STATS = (
     "| STATS mx = MAX(half), groups = COUNT(*) BY l_returnflag "
     "| SORT l_returnflag"
 )
+_ESQL_TS_RATE = (
+    "TS events | STATS r = RATE(value) BY user_id | SORT user_id"
+)
 _ESQL_MATCH = (
     'FROM documents | WHERE MATCH(text, "join vector") '
     "| STATS n = COUNT(*) BY lang | SORT lang"
@@ -5120,6 +5123,18 @@ def _q_esql_post_stats(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
 
     return run_esql(_ESQL_POST_STATS, sf_dir)
+
+
+def _q_esql_ts_rate(sf_dir: str) -> pa.Table:
+    """ES|QL TS source + RATE aggregate (9.x time-series): per-batch
+    per-group endpoint partials (first/last value, min/max ts — one
+    sorted Arrow hash-agg), driver combine keeps the globally earliest/
+    latest endpoint per group; rate = Δvalue/Δseconds.  Documented
+    variant: no counter-reset compensation (events.value is a gauge; the
+    TSDS downsample pipeline owns counter semantics)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_TS_RATE, sf_dir)
 
 
 def _q_esql_match(sf_dir: str) -> pa.Table:
@@ -5572,6 +5587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_post_stats": _q_esql_post_stats,
         "esql_match": _q_esql_match,
         "esql_qstr": _q_esql_qstr,
+        "esql_ts_rate": _q_esql_ts_rate,
         "sql_select": _q_sql_select,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
@@ -10144,6 +10160,12 @@ SELECT doc_id,
                  string_split('data pipeline query engine', ' '))) / 4.0, 6)
          AS _score
 FROM documents ORDER BY _score DESC, doc_id ASC LIMIT 100
+""",
+        "esql_ts_rate": """
+SELECT user_id,
+       round((arg_max(value, ts) - arg_min(value, ts)) /
+             ((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0), 6) AS r
+FROM events GROUP BY 1 ORDER BY 1
 """,
         "esql_match": """
 SELECT lang, count(*)::BIGINT AS n FROM documents

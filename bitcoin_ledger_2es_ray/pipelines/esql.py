@@ -88,6 +88,7 @@ _KEYWORDS = {
     "COMPLETION",
     "RERANK",
     "RRF",
+    "TS",
     "WITH",
     "BY",
     "SORT",
@@ -526,14 +527,15 @@ def tokenize_esql(src: str) -> list[tuple[str, str]]:
         if kind == "ws":
             continue
         text = m.group()
-        # exact-lowercase ``completion`` stays an ident: it is the
-        # COMPLETION command's default OUTPUT column (ES's name), so later
-        # commands must be able to reference it; the command keyword is
-        # any other casing (the convention everywhere in this engine)
+        # exact-lowercase ``completion`` / ``ts`` stay idents: they are
+        # COLUMN names (COMPLETION's default output; the events table's
+        # time column), so commands must be able to reference them; the
+        # command keyword is any other casing (the convention everywhere
+        # in this engine — gate pipes write commands uppercase)
         if (
             kind == "ident"
             and text.upper() in _KEYWORDS | _UNSUPPORTED
-            and text != "completion"
+            and text not in ("completion", "ts")
         ):
             out.append(("kw", text.upper()))
         else:
@@ -674,6 +676,7 @@ _AGG_FUNCS = {
     "COUNT", "SUM", "MIN", "MAX", "AVG", "STD_DEV", "WEIGHTED_AVG",
     "COUNT_DISTINCT", "VALUES",
     "MEDIAN", "PERCENTILE", "MEDIAN_ABSOLUTE_DEVIATION", "TOP",
+    "RATE",
 }
 # mergeable-by-column-partial aggregates: compose freely with each other,
 # with per-aggregate WHERE, and with INLINESTATS' join-back plan
@@ -707,6 +710,7 @@ class EsqlPlan:
     keep: list[str] | None = None
     drop: list[str] = field(default_factory=list)
     row: dict[str, object] | None = None  # ROW literal source
+    ts: bool = False  # TS source command (time-series aggregates legal)
     # CHANGE_POINT value ON key [AS type_name, pvalue_name] — terminal
     changepoint: tuple[str, str, str, str] | None = None
 
@@ -817,6 +821,12 @@ def _parse_agg_list(p: "_Parser") -> tuple[list[tuple], list[str]]:
             f"esql: {meds[0][1]} must be the only aggregate in STATS (its "
             "partial is a value-count stream)"
         )
+    rates = [s_ for s_ in stats if s_[1] == "RATE"]
+    if rates and len(stats) != 1:
+        raise ValueError(
+            "esql: RATE must be the only aggregate in STATS (its partial "
+            "is a per-group endpoint stream)"
+        )
     return stats, by
 
 
@@ -825,10 +835,12 @@ def parse_esql(src: str) -> EsqlPlan:
     toks = tokenize_esql(src)
     p = _Parser(toks)
     kind, first = p.next()
-    if kind != "kw" or first not in ("FROM", "ROW", "SHOW"):
-        raise ValueError("esql: a pipe starts with FROM, ROW or SHOW")
-    if first == "FROM":
-        plan = EsqlPlan(table=p.expect("ident")[1])
+    if kind != "kw" or first not in ("FROM", "ROW", "SHOW", "TS"):
+        raise ValueError("esql: a pipe starts with FROM, TS, ROW or SHOW")
+    if first in ("FROM", "TS"):
+        # TS (9.x time-series source): same scan, but the time-series
+        # aggregates (RATE) become legal and bind to the ``ts`` column
+        plan = EsqlPlan(table=p.expect("ident")[1], ts=(first == "TS"))
     elif first == "SHOW":
         # SHOW INFO — the deterministic one-row version source; INFO is
         # the only SHOW item ES|QL defines
@@ -929,6 +941,11 @@ def parse_esql(src: str) -> EsqlPlan:
                 plan.post.append(("stats", st2, by2))
             else:
                 plan.stats, plan.by = _parse_agg_list(p)
+                if any(s_[1] == "RATE" for s_ in plan.stats) and not plan.ts:
+                    raise ValueError(
+                        "esql: RATE requires the TS time-series source "
+                        "command (start the pipe with TS, not FROM)"
+                    )
         elif cmd == "INLINESTATS":
             # ES|QL INLINESTATS (8.18 tech preview): adds the grouped
             # aggregates as COLUMNS on every row (a window function) —
@@ -1401,6 +1418,8 @@ def _plan_columns(
         _referenced_cols(s_[3], need)
         if s_[1] == "WEIGHTED_AVG":
             need.add(s_[4])
+        elif s_[1] == "RATE":  # time-series endpoint: binds the ts column
+            need.add("ts")
     need.update(plan.by)
     for col, _ in plan.sort:
         need.add(col)
@@ -1897,6 +1916,24 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     [(c, "descending" if d else "ascending") for c, d in plan.sort]
                 ).slice(0, plan.limit)
             return batch
+        if stats and stats[0][1] == "RATE":
+            # per-batch per-group ENDPOINTS — the mergeable partial of a
+            # time-series rate (combine keeps the globally earliest /
+            # latest endpoint per group)
+            col = stats[0][2]
+            b = batch.select(by + [col, "ts"]).sort_by([("ts", "ascending")])
+            g = b.group_by(by).aggregate(
+                [(col, "first"), (col, "last"), ("ts", "min"), ("ts", "max")]
+            )
+            return pa.table(
+                {
+                    **{k_: g[k_] for k_ in by},
+                    "__vf": g[f"{col}_first"],
+                    "__vl": g[f"{col}_last"],
+                    "__tmin": g["ts_min"],
+                    "__tmax": g["ts_max"],
+                }
+            )
         if stats and stats[0][1] in _DISTINCT_FAMILY:
             # per-batch DISTINCT (by + cols) rows — the mergeable partial of
             # COUNT_DISTINCT / VALUES (combine = distinct again, then finish)
@@ -2108,6 +2145,44 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         return cat
     # combine mergeable partials on the driver (bounded by #groups × #blocks)
     cat = pa.concat_tables(parts, promote_options="default")
+    if stats and stats[0][1] == "RATE":
+        # combine partial endpoints: the globally earliest first-value and
+        # latest last-value per group; rate = Δvalue / Δseconds.
+        # Documented variant of ES's counter rate: NO reset compensation
+        # (events.value is a gauge; counter semantics live in the TSDS
+        # downsample pipeline's last_value rollup)
+        out_name = stats[0][0]
+        if cat.num_rows == 0:
+            return pa.table(
+                {
+                    **{b: pa.array([], type=cat.schema.field(b).type) for b in by},
+                    out_name: pa.array([], type=pa.float64()),
+                }
+            )
+        ends: dict[tuple, list] = {}
+        for r in cat.to_pylist():
+            k = tuple(r[b] for b in by)
+            e = ends.setdefault(k, [None, None, None, None])
+            if e[0] is None or r["__tmin"] < e[0]:
+                e[0], e[1] = r["__tmin"], r["__vf"]
+            if e[2] is None or r["__tmax"] > e[2]:
+                e[2], e[3] = r["__tmax"], r["__vl"]
+        uniq = sorted(ends)
+        vals = []
+        for k in uniq:
+            tmin, vf, tmax, vl = ends[k]
+            dt_s = (tmax - tmin).total_seconds()
+            vals.append(
+                None
+                if dt_s <= 0
+                else float(sql_round((vl - vf) / dt_s, round_decimals))
+            )
+        final = {
+            b: pa.array([k[i] for k in uniq], type=cat.schema.field(b).type)
+            for i, b in enumerate(by)
+        }
+        final[out_name] = pa.array(vals, type=pa.float64())
+        return _finish_result(pa.table(final), by)
     if stats and stats[0][1] in _VALUECOUNT_FAMILY:
         out_name, fn0, col = stats[0][:3]
         param0 = stats[0][4]

@@ -458,7 +458,7 @@ def test_esql_row_literal_source(ray_session):
     assert got.to_pydict() == {"a": [1], "b": ["x"], "c": [0.5]}
     with pytest.raises(ValueError, match="literals"):
         run_esql("ROW a = b | KEEP a", "/tmp")
-    with pytest.raises(ValueError, match="starts with FROM, ROW or SHOW"):
+    with pytest.raises(ValueError, match="starts with FROM, TS, ROW or SHOW"):
         run_esql("WHERE a == 1", "/tmp")
 
 
@@ -1246,3 +1246,35 @@ def test_esql_match_and_qstr(ray_session):
             'FROM documents | WHERE QSTR(text, "fast~1") | STATS n = COUNT(*)',
             SF_DIR,
         )
+
+
+def test_esql_ts_rate(ray_session):
+    got = run_esql(
+        "TS events | STATS r = RATE(value) BY user_id | SORT user_id",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT user_id, round((arg_max(value, ts) - arg_min(value, ts)) / "
+        "((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0), 6) AS r "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(got, want)
+    # global rate + a row-command head works through the TS source too
+    g2 = run_esql(
+        'TS events | WHERE event_type == "click" | STATS r = RATE(value)',
+        SF_DIR,
+    )
+    w2 = _duck(
+        "SELECT round((arg_max(value, ts) - arg_min(value, ts)) / "
+        "((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0), 6) AS r "
+        "FROM events WHERE event_type = 'click'"
+    )
+    _assert_tables_equal(g2, w2)
+    with pytest.raises(ValueError, match="requires the TS"):
+        parse_esql(_normalize_assign(
+            "FROM events | STATS r = RATE(value) BY user_id"
+        ))
+    with pytest.raises(ValueError, match="only aggregate"):
+        parse_esql(_normalize_assign(
+            "TS events | STATS r = RATE(value), n = COUNT(*) BY user_id"
+        ))
