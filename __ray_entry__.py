@@ -5256,9 +5256,9 @@ def _q_esql_eval(sf_dir: str) -> pa.Table:
 # its original order, so nothing is removed.
 _FRONT_50 = [
     "lg_batches", "esql_grok", "sem_dedup", "rare_terms", "lang_id",
-    "esql_show", "esql_stats", "esql_inlinestats", "esql_stddev",
+    "esql_match", "esql_stats", "esql_inlinestats", "esql_stddev",
     "esql_weighted_avg", "esql_lookup", "esql_mv_expand", "esql_strings",
-    "esql_enrich", "esql_count_distinct", "esql_median", "esql_case",
+    "esql_enrich", "esql_count_distinct", "esql_qstr", "esql_case",
     "sql_select", "esql_percentile", "terms_agg", "esql_mad",
     "weighted_avg", "esql_sample", "terms_shard_error", "esql_fork",
     "bucket_script", "esql_change_point", "auto_date_histogram",
