@@ -135,7 +135,17 @@ def parse_eql(src: str) -> EqlPlan:
             plan.maxspan_s = int(m.group(2)) * _UNITS_S[m.group(3).lower()]
         rest = core[m.end() :]
         until_split = re.split(r"\buntil\b", rest, flags=re.IGNORECASE)
-        subs = [_parse_subquery(b) for b in _BRACKET.findall(until_split[0])]
+        subs: list[tuple] = []
+        for bm in re.finditer(
+            r"\[([^\]]*)\](?:\s+with\s+runs\s*=\s*(\d+))?",
+            until_split[0],
+            re.IGNORECASE,
+        ):
+            sq = _parse_subquery(bm.group(1))
+            runs = int(bm.group(2)) if bm.group(2) else 1
+            if runs < 1:
+                raise ValueError("eql: runs must be >= 1")
+            subs.extend([sq] * runs)  # ES 'with runs=N' == N copies
         if len(subs) < 2:
             raise ValueError("eql: sequence needs at least two subqueries")
         plan.queries = subs

@@ -232,6 +232,36 @@ def _hits_to_rows(n: int, doc_idx: np.ndarray, hit: np.ndarray) -> np.ndarray:
     return out
 
 
+def _wild_rx(pattern: str) -> str:
+    return "^" + "".join(
+        ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+        for ch in pattern
+    ) + "$"
+
+
+def _expand_cols(patterns: list[str], available: list[str], what: str) -> list[str]:
+    """Expand KEEP/DROP name patterns (ES|QL ``*``/``?`` wildcards)
+    against the current schema — explicit names keep list order,
+    wildcard hits expand in schema order, first occurrence wins."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for p_ in patterns:
+        if "*" in p_ or "?" in p_:
+            rx = _wild_rx(p_)
+            hits = [c for c in available if re.fullmatch(rx, c)]
+            if not hits:
+                raise ValueError(
+                    f"esql: {what} pattern {p_!r} matches no columns"
+                )
+        else:
+            hits = [p_]
+        for c in hits:
+            if c not in seen:
+                seen.add(c)
+                out.append(c)
+    return out
+
+
 def _validate_qstr(query: str) -> None:
     """Driver-side QSTR validation (parse + leaf check) so unsupported
     syntax raises before any Ray task runs."""
@@ -1427,7 +1457,19 @@ def _plan_columns(
         need.add(plan.changepoint[0])
         need.add(plan.changepoint[1])
     if plan.keep is not None:
-        need.update(plan.keep)
+        for p_ in plan.keep:
+            if "*" in p_ or "?" in p_:  # wildcard: all matching source cols
+                rx = _wild_rx(p_)
+                hits = [c for c in schema_names if re.fullmatch(rx, c)]
+                if not hits and not any(
+                    re.fullmatch(rx, c) for c in eval_names
+                ):
+                    raise ValueError(
+                        f"esql: KEEP pattern {p_!r} matches no columns"
+                    )
+                need.update(hits)
+            else:
+                need.add(p_)
     elif not plan.stats:
         need.update(schema_names)  # bare SELECT * shape
     # eval/parse/stats outputs aren't read columns — unless they SHADOW a
@@ -1436,7 +1478,9 @@ def _plan_columns(
     unknown = need - set(schema_names)
     if unknown:
         raise ValueError(f"esql: unknown columns {sorted(unknown)}")
-    return [c for c in schema_names if c in need]
+    # a pipe that references no source column at all (bare COUNT(*))
+    # still needs one column to carry row counts through the scan
+    return [c for c in schema_names if c in need] or [schema_names[0]]
 
 
 # -------------------------------------------------------------- executor
@@ -1907,9 +1951,17 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         batch = _row_ops(batch, plan.ops)
         if not stats:
             # partial top-k (or full pass-through when no limit)
-            out_cols = plan.keep or [
-                c for c in batch.column_names if c not in plan.drop
-            ]
+            if plan.keep:
+                out_cols = _expand_cols(plan.keep, batch.column_names, "KEEP")
+            else:
+                dropped = (
+                    set(_expand_cols(plan.drop, batch.column_names, "DROP"))
+                    if plan.drop
+                    else set()
+                )
+                out_cols = [
+                    c for c in batch.column_names if c not in dropped
+                ]
             batch = batch.select(out_cols)
             if plan.sort and plan.limit is not None:
                 batch = batch.sort_by(
@@ -2084,7 +2136,7 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
             else:
                 res = _row_ops(res, [pop])
         if plan.keep is not None:
-            res = res.select(plan.keep)
+            res = res.select(_expand_cols(plan.keep, res.column_names, "KEEP"))
         if plan.sort:
             res = res.sort_by(
                 [(c, "descending" if d else "ascending") for c, d in plan.sort]

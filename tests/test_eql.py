@@ -279,3 +279,20 @@ def test_cli_eql(ray_session, capsys):
     assert rc == 0
     rows = [_json.loads(line) for line in out.strip().splitlines()]
     assert len(rows) == 3 and all("span_us" in r for r in rows)
+
+
+def test_sequence_runs(ray_session):
+    # [x] with runs=2 == [x] [x]
+    a = run_eql(
+        "sequence by user_id [click where true] with runs=2 "
+        "[error where true]",
+        SF_DIR,
+    )
+    b = run_eql(
+        "sequence by user_id [click where true] [click where true] "
+        "[error where true]",
+        SF_DIR,
+    )
+    assert a.to_pydict() == b.to_pydict()
+    with pytest.raises(ValueError, match="runs must be"):
+        parse_eql("sequence by u [a where true] with runs=0 [b where true]")

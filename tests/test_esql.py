@@ -1278,3 +1278,26 @@ def test_esql_ts_rate(ray_session):
         parse_esql(_normalize_assign(
             "TS events | STATS r = RATE(value), n = COUNT(*) BY user_id"
         ))
+
+
+def test_esql_keep_drop_wildcards(ray_session):
+    got = run_esql(
+        "FROM lineitem | KEEP l_quantity, l_ship*, l_return* "
+        "| SORT l_quantity, l_shipdate, l_returnflag | LIMIT 5",
+        SF_DIR,
+    )
+    assert got.column_names == ["l_quantity", "l_shipdate", "l_returnflag"]
+    g2 = run_esql(
+        "FROM events | DROP props, ts | STATS n = COUNT(*)", SF_DIR
+    )
+    assert g2["n"].to_pylist()[0] > 0
+    g3 = run_esql(
+        'FROM events | WHERE event_type == "error" | DROP p*, ts '
+        "| SORT event_id | LIMIT 3",
+        SF_DIR,
+    )
+    assert "props" not in g3.column_names and "ts" not in g3.column_names
+    with pytest.raises(ValueError, match="matches no columns"):
+        run_esql(
+            "FROM events | KEEP zz_* | SORT event_id | LIMIT 1", SF_DIR
+        )
