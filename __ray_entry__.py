@@ -4930,6 +4930,20 @@ def _q_sql_group(sf_dir: str) -> pa.Table:
     return run_sql(_SQL_GROUP, sf_dir)
 
 
+def _q_sql_having(sf_dir: str) -> pa.Table:
+    """ES _sql endpoint: HAVING → post-STATS WHERE over the aggregation
+    result (alias references, ES SQL's rule) — source-to-source onto the
+    ES|QL pipe like every other SQL construct."""
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import run_sql
+
+    return run_sql(
+        "SELECT l_returnflag, COUNT(*) AS n, AVG(l_quantity) AS a "
+        "FROM lineitem GROUP BY l_returnflag HAVING n > 14000 "
+        "ORDER BY l_returnflag",
+        sf_dir,
+    )
+
+
 def _q_sql_select(sf_dir: str) -> pa.Table:
     """ES _sql endpoint: projection SELECT with alias, NOT and LIMIT."""
     from bitcoin_ledger_2es_ray.pipelines.sql_api import run_sql
@@ -5589,6 +5603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_qstr": _q_esql_qstr,
         "esql_ts_rate": _q_esql_ts_rate,
         "sql_select": _q_sql_select,
+        "sql_having": _q_sql_having,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -10262,6 +10277,10 @@ FROM documents WHERE n_chars >= 100 AND source LIKE 'src1%'
 GROUP BY lang ORDER BY l
 """,
         "sql_select": _SQL_SELECT,
+        "sql_having": """
+SELECT l_returnflag, count(*)::BIGINT AS n, round(avg(l_quantity), 6) AS a
+FROM lineitem GROUP BY 1 HAVING n > 14000 ORDER BY 1
+""",
         "esql_count_distinct": """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS u
 FROM events GROUP BY event_type ORDER BY event_type

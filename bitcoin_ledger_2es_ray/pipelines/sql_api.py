@@ -22,9 +22,11 @@ literals → double-quoted, SQL LIKE wildcards ``%``/``_`` → ES|QL
 ``*``/``?``; aggregates become ``STATS alias = AGG(col) BY group-cols``
 (each non-aggregate select item must appear in GROUP BY — validated like
 any SQL engine); a trailing ``KEEP`` restores the SELECT's column order.
-``AVG`` inherits the ES|QL contract (rounded to 6 dp).  Unsupported
-constructs (joins, subqueries, DISTINCT, HAVING, ``*`` projection) raise
-a parse error rather than mis-translating.
+``AVG`` inherits the ES|QL contract (rounded to 6 dp).  ``HAVING``
+translates to a post-STATS ``WHERE`` over the aggregation result (alias
+references, ES SQL's own rule).  Unsupported constructs (joins,
+subqueries, DISTINCT, ``*`` projection) raise a parse error rather than
+mis-translating.
 """
 
 from __future__ import annotations
@@ -45,9 +47,9 @@ _SQL_TOKEN = re.compile(
 _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 _KW = {
     "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "BY", "LIMIT",
-    "AS", "AND", "OR", "NOT", "ASC", "DESC", "LIKE",
+    "AS", "AND", "OR", "NOT", "ASC", "DESC", "LIKE", "HAVING",
 }
-_REJECT = {"JOIN", "HAVING", "DISTINCT", "UNION", "OFFSET"}
+_REJECT = {"JOIN", "DISTINCT", "UNION", "OFFSET"}
 
 
 def _lex(src: str) -> list[tuple[str, str]]:
@@ -109,7 +111,8 @@ def _predicate(t: _T) -> str:
         kind, text = t.peek()
         if kind == "eof":
             break
-        if kind == "kw" and text in ("GROUP", "ORDER", "LIMIT") and depth == 0:
+        if (kind == "kw" and depth == 0
+                and text in ("GROUP", "ORDER", "LIMIT", "HAVING")):
             break
         if kind == "kw" and text in _REJECT:
             raise ValueError(f"sql: unsupported construct {text}")
@@ -196,6 +199,14 @@ def sql_to_esql(sql: str) -> str:
                 continue
             break
 
+    having = None
+    if t.peek() == ("kw", "HAVING"):
+        # HAVING → a post-STATS WHERE over the aggregation result; it may
+        # reference select-list ALIASES (ES SQL's own rule) — aggregate
+        # EXPRESSIONS repeated inside HAVING are not re-derived
+        t.next()
+        having = _predicate(t)
+
     order: list[str] = []
     if t.peek() == ("kw", "ORDER"):
         t.next()
@@ -240,8 +251,12 @@ def sql_to_esql(sql: str) -> str:
         by_cols = [alias_of.get(g, g) for g in group]
         by = f" BY {', '.join(by_cols)}" if by_cols else ""
         pipe.append(f"STATS {stats}{by}")
+        if having:
+            pipe.append(f"WHERE {having}")
         pipe.append("KEEP " + ", ".join(a for _, _, a in items))
     else:
+        if having:
+            raise ValueError("sql: HAVING needs aggregate select items")
         if group:
             raise ValueError("sql: GROUP BY without aggregates")
         for f, a in plain:

@@ -1301,3 +1301,28 @@ def test_esql_keep_drop_wildcards(ray_session):
         run_esql(
             "FROM events | KEEP zz_* | SORT event_id | LIMIT 1", SF_DIR
         )
+
+
+def test_sql_having(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import run_sql, sql_to_esql
+
+    assert (
+        sql_to_esql(
+            "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
+            "HAVING n > 600 ORDER BY user_id"
+        )
+        == "FROM events | STATS n = COUNT(*) BY user_id | WHERE n > 600 "
+        "| KEEP user_id, n | SORT user_id"
+    )
+    got = run_sql(
+        "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
+        "HAVING n > 600 ORDER BY user_id",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT user_id, count(*)::BIGINT n FROM events GROUP BY 1 "
+        "HAVING n > 600 ORDER BY 1"
+    )
+    _assert_tables_equal(got, want)
+    with pytest.raises(ValueError, match="HAVING needs aggregate"):
+        sql_to_esql("SELECT a FROM t HAVING a > 1")
