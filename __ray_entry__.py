@@ -4930,6 +4930,31 @@ def _q_sql_group(sf_dir: str) -> pa.Table:
     return run_sql(_SQL_GROUP, sf_dir)
 
 
+def _q_esql_stats_by(sf_dir: str) -> pa.Table:
+    """ES|QL agg-less ``STATS BY``: DISTINCT over the grouping keys —
+    per-batch distinct partial, distinct-again combine (bounded by key
+    cardinality, never row count)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM lineitem | STATS BY l_returnflag, l_linestatus "
+        "| SORT l_returnflag, l_linestatus",
+        sf_dir,
+    )
+
+
+def _q_sql_distinct(sf_dir: str) -> pa.Table:
+    """ES _sql endpoint: SELECT DISTINCT → the agg-less ``STATS BY``
+    pipe (the same distinct plan as GROUP BY without aggregates)."""
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import run_sql
+
+    return run_sql(
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders "
+        "ORDER BY o_orderstatus, o_orderpriority",
+        sf_dir,
+    )
+
+
 def _q_sql_having(sf_dir: str) -> pa.Table:
     """ES _sql endpoint: HAVING → post-STATS WHERE over the aggregation
     result (alias references, ES SQL's rule) — source-to-source onto the
@@ -5604,6 +5629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_ts_rate": _q_esql_ts_rate,
         "sql_select": _q_sql_select,
         "sql_having": _q_sql_having,
+        "sql_distinct": _q_sql_distinct,
+        "esql_stats_by": _q_esql_stats_by,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -10280,6 +10307,12 @@ GROUP BY lang ORDER BY l
         "sql_having": """
 SELECT l_returnflag, count(*)::BIGINT AS n, round(avg(l_quantity), 6) AS a
 FROM lineitem GROUP BY 1 HAVING n > 14000 ORDER BY 1
+""",
+        "sql_distinct": """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1, 2
+""",
+        "esql_stats_by": """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2
 """,
         "esql_count_distinct": """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS u

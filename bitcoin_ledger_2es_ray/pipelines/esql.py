@@ -753,6 +753,15 @@ def _parse_agg_list(p: "_Parser") -> tuple[list[tuple], list[str]]:
     aggregates skip nulls, exactly SQL ``FILTER`` semantics)."""
     stats: list[tuple] = []
     by: list[str] = []
+    if p.peek() == ("kw", "BY"):
+        # agg-less ``STATS BY a, b`` — ES|QL's DISTINCT over the keys
+        p.next()
+        while True:
+            by.append(p.expect("ident")[1])
+            if p.peek() != ("op", ","):
+                break
+            p.next()
+        return stats, by
     while True:
         name = p.expect("ident")[1]
         p.expect("op", "==")
@@ -904,7 +913,7 @@ def parse_esql(src: str) -> EsqlPlan:
             raise ValueError(
                 "esql: CHANGE_POINT must be the last command in the pipe"
             )
-        if plan.stats and cmd in ("DISSECT", "GROK", "LOOKUP", "MV_EXPAND",
+        if (plan.stats or plan.by) and cmd in ("DISSECT", "GROK", "LOOKUP", "MV_EXPAND",
                                   "ENRICH", "INLINESTATS", "SAMPLE",
                                   "COMPLETION", "RERANK"):
             raise ValueError(
@@ -913,7 +922,7 @@ def parse_esql(src: str) -> EsqlPlan:
             )
         # WHERE/EVAL/RENAME after STATS operate on the aggregation result
         # (a new, group-bounded table) — routed to plan.post
-        tgt = plan.post if plan.stats else plan.ops
+        tgt = plan.post if (plan.stats or plan.by) else plan.ops
         if cmd == "WHERE":
             tgt.append(("where", p.expr()))
         elif cmd == "EVAL":
@@ -956,7 +965,7 @@ def parse_esql(src: str) -> EsqlPlan:
             )
             plan.ops.append(("parse", src_col, regex, fields))
         elif cmd == "STATS":
-            if plan.stats:
+            if plan.stats or plan.by:
                 # re-aggregation of the combined result (ES|QL allows
                 # arbitrary STATS depth); decomposable aggregates only —
                 # the input is already a driver-side table
@@ -983,6 +992,10 @@ def parse_esql(src: str) -> EsqlPlan:
             # WHERE value > avg).  Decomposable aggregates only; the
             # execution is ES's own two-phase agg + join-back plan.
             istats, iby = _parse_agg_list(p)
+            if not istats:
+                raise ValueError(
+                    "esql: INLINESTATS needs at least one aggregate"
+                )
             bad = [s_ for s_ in istats if s_[1] not in _DECOMPOSABLE]
             if bad:
                 raise ValueError(
@@ -1086,7 +1099,8 @@ def parse_esql(src: str) -> EsqlPlan:
                 p.next()
         else:
             raise ValueError(f"esql: command {cmd} not valid mid-pipe")
-    if plan.limit is not None and not plan.stats and not plan.sort:
+    if (plan.limit is not None and not plan.stats and not plan.by
+            and not plan.sort):
         raise ValueError(
             "esql: LIMIT without SORT is nondeterministic under parallel "
             "execution — add a total-ordering SORT"
@@ -1470,7 +1484,7 @@ def _plan_columns(
                 need.update(hits)
             else:
                 need.add(p_)
-    elif not plan.stats:
+    elif not plan.stats and not plan.by:
         need.update(schema_names)  # bare SELECT * shape
     # eval/parse/stats outputs aren't read columns — unless they SHADOW a
     # schema column (e.g. ``EVAL v = v + 1``), which must still be read
@@ -1949,6 +1963,9 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
 
     def transform(batch: pa.Table) -> pa.Table:
         batch = _row_ops(batch, plan.ops)
+        if not stats and by:
+            # agg-less STATS BY: per-batch DISTINCT over the keys
+            return batch.select(by).group_by(by).aggregate([])
         if not stats:
             # partial top-k (or full pass-through when no limit)
             if plan.keep:
@@ -2174,7 +2191,7 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         inline_refs[op_i] = ray.put(_standard_combine(icat, istats, iby))
 
     mapped = ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)
-    if not stats and plan.limit is None and not plan.sort:
+    if not stats and not by and plan.limit is None and not plan.sort:
         # streaming projection — return the full (small at gate scale) result
         parts = [ray.get(r) for r in mapped.to_arrow_refs()]
         parts = [
@@ -2186,7 +2203,7 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     parts = [
         p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts
     ]
-    if not stats:
+    if not stats and not by:
         cat = pa.concat_tables(parts, promote_options="default")
         if plan.sort:
             cat = cat.sort_by(
@@ -2197,6 +2214,9 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         return cat
     # combine mergeable partials on the driver (bounded by #groups × #blocks)
     cat = pa.concat_tables(parts, promote_options="default")
+    if not stats and by:
+        # agg-less STATS BY: DISTINCT over the keys (combine = distinct)
+        return _finish_result(cat.group_by(by).aggregate([]), by)
     if stats and stats[0][1] == "RATE":
         # combine partial endpoints: the globally earliest first-value and
         # latest last-value per group; rate = Δvalue / Δseconds.

@@ -47,9 +47,9 @@ _SQL_TOKEN = re.compile(
 _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 _KW = {
     "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "BY", "LIMIT",
-    "AS", "AND", "OR", "NOT", "ASC", "DESC", "LIKE", "HAVING",
+    "AS", "AND", "OR", "NOT", "ASC", "DESC", "LIKE", "HAVING", "DISTINCT",
 }
-_REJECT = {"JOIN", "DISTINCT", "UNION", "OFFSET"}
+_REJECT = {"JOIN", "UNION", "OFFSET"}
 
 
 def _lex(src: str) -> list[tuple[str, str]]:
@@ -142,10 +142,21 @@ def sql_to_esql(sql: str) -> str:
     """Translate one SQL SELECT into the equivalent ES|QL pipe string."""
     t = _T(_lex(sql.strip().rstrip(";")))
     t.expect("kw", "SELECT")
+    distinct = False
+    if t.peek() == ("kw", "DISTINCT"):
+        t.next()
+        distinct = True
+    star = False
+    if t.peek() == ("op", "*"):
+        # SELECT * — a bare projection (the pipe keeps the full schema)
+        t.next()
+        star = True
+        if distinct:
+            raise ValueError("sql: SELECT DISTINCT * is not supported")
 
     # select list: (kind, esql_fragment, output_name)
     items: list[tuple[str, str, str]] = []
-    while True:
+    while not star:
         kind, text = t.next()
         if kind == "kw" and text in _AGGS:
             t.expect("op", "(")
@@ -234,7 +245,22 @@ def sql_to_esql(sql: str) -> str:
     pipe = [f"FROM {table}"]
     if where:
         pipe.append(f"WHERE {where}")
-    if aggs:
+    if star:
+        if group or having:
+            raise ValueError("sql: SELECT * cannot take GROUP BY / HAVING")
+    elif distinct:
+        if aggs or group or having:
+            raise ValueError(
+                "sql: DISTINCT composes with plain columns only "
+                "(GROUP BY / aggregates already deduplicate)"
+            )
+        for f, a in plain:
+            if f != a:
+                pipe.append(f"RENAME {f} AS {a}")
+        # DISTINCT == ES|QL's agg-less STATS BY over the keys
+        pipe.append("STATS BY " + ", ".join(a for _, a in plain))
+        pipe.append("KEEP " + ", ".join(a for _, a in plain))
+    elif aggs:
         missing = [f for f, _ in plain if f not in group]
         if missing:
             raise ValueError(

@@ -420,8 +420,8 @@ def test_sql_translation_shapes():
     assert sql_to_esql(
         "SELECT b AS c FROM t WHERE s LIKE 'a%_b' ORDER BY c DESC LIMIT 3;"
     ) == 'FROM t | WHERE s LIKE "a*?b" | RENAME b AS c | KEEP c | SORT c DESC | LIMIT 3'
-    with pytest.raises(ValueError, match="SELECT \\*"):
-        sql_to_esql("SELECT * FROM t")
+    # SELECT * is a bare projection (no KEEP)
+    assert sql_to_esql("SELECT * FROM t ORDER BY a") == "FROM t | SORT a"
     with pytest.raises(ValueError, match="must appear in"):
         sql_to_esql("SELECT a, COUNT(*) AS n FROM t GROUP BY b")
     with pytest.raises(ValueError, match="GROUP BY without aggregates"):
@@ -1326,3 +1326,50 @@ def test_sql_having(ray_session):
     _assert_tables_equal(got, want)
     with pytest.raises(ValueError, match="HAVING needs aggregate"):
         sql_to_esql("SELECT a FROM t HAVING a > 1")
+
+
+def test_esql_stats_by_distinct(ray_session):
+    got = run_esql(
+        "FROM lineitem | STATS BY l_returnflag, l_linestatus "
+        "| SORT l_returnflag, l_linestatus",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM "
+        f"'{'/root/testdata/sf0.001'}/lineitem.parquet' ORDER BY 1, 2"
+    )
+    _assert_tables_equal(got, want)
+    # post-STATS agg-less re-aggregation: distinct of the result keys
+    g2 = run_esql(
+        "FROM events | STATS n = COUNT(*) BY user_id, event_type "
+        "| STATS BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    w2 = _duck("SELECT DISTINCT event_type FROM events ORDER BY 1")
+    _assert_tables_equal(g2, w2)
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        parse_esql(_normalize_assign(
+            "FROM events | INLINESTATS BY user_id"
+        ))
+
+
+def test_sql_distinct_and_star(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import run_sql, sql_to_esql
+
+    assert (
+        sql_to_esql("SELECT DISTINCT lang FROM documents ORDER BY lang")
+        == "FROM documents | STATS BY lang | KEEP lang | SORT lang"
+    )
+    got = run_sql("SELECT DISTINCT lang FROM documents ORDER BY lang", SF_DIR)
+    want = _duck("SELECT DISTINCT lang FROM documents ORDER BY 1")
+    _assert_tables_equal(got, want)
+    g2 = run_sql(
+        "SELECT * FROM events WHERE value > 320 ORDER BY event_id LIMIT 5",
+        SF_DIR,
+    )
+    w2 = _duck(
+        "SELECT * FROM events WHERE value > 320 ORDER BY event_id LIMIT 5"
+    )
+    _assert_tables_equal(g2, w2)
+    with pytest.raises(ValueError, match="DISTINCT composes"):
+        sql_to_esql("SELECT DISTINCT a, COUNT(*) AS n FROM t GROUP BY a")
