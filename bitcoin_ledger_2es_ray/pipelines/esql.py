@@ -90,6 +90,8 @@ _KEYWORDS = {
     "RRF",
     "TS",
     "WITH",
+    "IS",
+    "NULL",
     "BY",
     "SORT",
     "LIMIT",
@@ -624,6 +626,15 @@ class _Parser:
 
     def _cmp(self):
         left = self._add()
+        if self.peek() == ("kw", "IS"):
+            # IS [NOT] NULL — ES|QL's null predicates
+            self.next()
+            neg = self.peek() == ("kw", "NOT")
+            if neg:
+                self.next()
+            self.expect("kw", "NULL")
+            node = ("isnull", left)
+            return ("not", node) if neg else node
         if self.peek()[0] == "op" and self.peek()[1] in ("==", "!=", ">", ">=", "<", "<="):
             op = self.next()[1]
             return ("bin", op, left, self._add())
@@ -1162,6 +1173,11 @@ def _eval_expr(node: tuple, batch: pa.Table):
         return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if kind == "not":
         return pc.invert(_eval_expr(node[1], batch))
+    if kind == "isnull":
+        v = _eval_expr(node[1], batch)
+        if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return pa.array([v is None] * batch.num_rows)
+        return pc.is_null(v)
     if kind == "func":
         name, args = node[1], node[2]
         vals = [_eval_expr(a, batch) for a in args]
@@ -1394,6 +1410,8 @@ def _referenced_cols(node: tuple | None, acc: set[str]) -> None:
     elif kind == "bin":
         _referenced_cols(node[2], acc)
         _referenced_cols(node[3], acc)
+    elif kind == "isnull":
+        _referenced_cols(node[1], acc)
 
 
 def _plan_columns(

@@ -1373,3 +1373,33 @@ def test_sql_distinct_and_star(ray_session):
     _assert_tables_equal(g2, w2)
     with pytest.raises(ValueError, match="DISTINCT composes"):
         sql_to_esql("SELECT DISTINCT a, COUNT(*) AS n FROM t GROUP BY a")
+
+
+def test_esql_is_null(ray_session):
+    # the source tables are fully non-null: derive nulls with MV_FIRST
+    # over an empty split, then test both predicates
+    got = run_esql(
+        'FROM documents | EVAL tag = MV_FIRST(SPLIT(text, "zzz_nowhere")) '
+        "| WHERE tag IS NOT NULL | STATS n = COUNT(*)",
+        SF_DIR,
+    )
+    assert got["n"].to_pylist() == [_duck(
+        "SELECT count(*)::BIGINT n FROM documents"
+    )["n"].to_pylist()[0]]  # split never matches -> whole text, non-null
+    g2 = run_esql(
+        "FROM lineitem | STATS n = COUNT(*) BY l_returnflag "
+        "| WHERE l_returnflag IS NULL | SORT l_returnflag",
+        SF_DIR,
+    )
+    assert g2.num_rows == 0  # no null groups in the source
+    # post-STATS WHERE ... IS NOT NULL keeps everything
+    g3 = run_esql(
+        "FROM lineitem | STATS n = COUNT(*) BY l_returnflag "
+        "| WHERE n IS NOT NULL | SORT l_returnflag",
+        SF_DIR,
+    )
+    w3 = _duck(
+        f"SELECT l_returnflag, count(*)::BIGINT n FROM "
+        f"'{SF_DIR}/lineitem.parquet' GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(g3, w3)
