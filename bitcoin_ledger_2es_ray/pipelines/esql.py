@@ -1336,6 +1336,34 @@ def _eval_expr(node: tuple, batch: pa.Table):
             if not isinstance(vals[0], str):
                 raise ValueError("esql: DATE_FORMAT needs a literal format string")
             return pc.strftime(vals[1], format=vals[0])
+        if name == "DATE_DIFF":
+            # ES|QL DATE_DIFF(unit, start, end): ELAPSED time in whole
+            # units, truncated toward zero (ES subtracts timestamps — not
+            # SQL-style boundary counting); fixed-width units only, like
+            # DATE_TRUNC
+            unit = vals[0]
+            if not isinstance(unit, str) or unit.upper() not in _DUR_UNITS_US:
+                raise ValueError(
+                    "esql: DATE_DIFF unit must be a fixed-width literal "
+                    f"({sorted(set(_DUR_UNITS_US))})"
+                )
+            step = _DUR_UNITS_US[unit.upper()]
+            s_us = _as_array(vals[1]).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            e_us = _as_array(vals[2]).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            d = np.trunc((e_us - s_us) / float(step)).astype(np.int64)
+            return pa.array(d, type=pa.int64())
+        if name == "CATEGORIZE":
+            # ES|QL CATEGORIZE (8.18, BY-clause categorization): the graft
+            # pins a deterministic template — digit runs → <NUM> — usable
+            # anywhere an expression is (a superset of ES's BY-only rule;
+            # mirrors SQL regexp_replace exactly)
+            return pc.replace_substring_regex(
+                _as_array(vals[0]), r"\d+", "<NUM>"
+            )
         # ---- multi-value ------------------------------------------------
         if name == "MV_COUNT":
             return pc.list_value_length(_as_array(vals[0])).cast(pa.int64())

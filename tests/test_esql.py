@@ -1403,3 +1403,37 @@ def test_esql_is_null(ray_session):
         f"'{SF_DIR}/lineitem.parquet' GROUP BY 1 ORDER BY 1"
     )
     _assert_tables_equal(g3, w3)
+
+
+def test_esql_date_diff_and_categorize(ray_session):
+    # DATE_DIFF over two real columns: ts vs the table max (via INLINESTATS)
+    g1 = run_esql(
+        "FROM events | INLINESTATS m = MAX(ts) "
+        '| EVAL d = DATE_DIFF("hour", ts, m) '
+        "| STATS mx = MAX(d), mn = MIN(d)",
+        SF_DIR,
+    )
+    w1 = _duck(
+        "WITH t AS (SELECT ts, max(ts) OVER () m FROM events) "
+        "SELECT max(CAST(trunc((epoch_us(m) - epoch_us(ts)) / 3600000000.0) "
+        "AS BIGINT)) mx, min(CAST(trunc((epoch_us(m) - epoch_us(ts)) "
+        "/ 3600000000.0) AS BIGINT)) mn FROM t"
+    )
+    _assert_tables_equal(g1, w1)
+    g2 = run_esql(
+        "FROM events | EVAL pat = CATEGORIZE(props) "
+        "| STATS n = COUNT(*) BY pat | SORT pat",
+        SF_DIR,
+    )
+    w2 = _duck(
+        "SELECT regexp_replace(props, '[0-9]+', '<NUM>', 'g') pat, "
+        "count(*)::BIGINT n FROM events GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(g2, w2)
+    # runtime kernel errors surface wrapped in Ray's task error
+    with pytest.raises(Exception, match="DATE_DIFF unit"):
+        run_esql(
+            'FROM events | EVAL d = DATE_DIFF("month", ts, ts) '
+            "| SORT event_id | LIMIT 1",
+            SF_DIR,
+        )
