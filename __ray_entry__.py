@@ -4930,6 +4930,19 @@ def _q_sql_group(sf_dir: str) -> pa.Table:
     return run_sql(_SQL_GROUP, sf_dir)
 
 
+def _q_esql_categorize(sf_dir: str) -> pa.Table:
+    """ES|QL CATEGORIZE (8.18): deterministic log-pattern template
+    (digit runs → <NUM>) grouped via STATS — the graft's documented
+    variant of ES's drain-style categorizer."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM events | EVAL pat = CATEGORIZE(props) "
+        "| STATS n = COUNT(*) BY pat | SORT pat | LIMIT 100",
+        sf_dir,
+    )
+
+
 def _q_esql_stats_by(sf_dir: str) -> pa.Table:
     """ES|QL agg-less ``STATS BY``: DISTINCT over the grouping keys —
     per-batch distinct partial, distinct-again combine (bounded by key
@@ -5631,6 +5644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_having": _q_sql_having,
         "sql_distinct": _q_sql_distinct,
         "esql_stats_by": _q_esql_stats_by,
+        "esql_categorize": _q_esql_categorize,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -10313,6 +10327,11 @@ SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1, 2
 """,
         "esql_stats_by": """
 SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2
+""",
+        "esql_categorize": """
+SELECT regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS pat,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1 ORDER BY 1 LIMIT 100
 """,
         "esql_count_distinct": """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS u
