@@ -1437,3 +1437,77 @@ def test_esql_date_diff_and_categorize(ray_session):
             "| SORT event_id | LIMIT 1",
             SF_DIR,
         )
+
+
+def test_esql_stats_property(ray_session):
+    """Hypothesis: random decomposable-aggregate combinations (with and
+    without per-agg WHERE and grouping) match DuckDB on lineitem."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = {
+        "COUNT": ("count({c})::BIGINT", False),
+        "SUM": ("sum({c})", False),
+        "MIN": ("min({c})", False),
+        "MAX": ("max({c})", False),
+        "AVG": ("round(avg({c}), 6)", True),
+        "STD_DEV": ("round(stddev_pop({c}), 6)", True),
+    }
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        picks=st.lists(
+            st.tuples(
+                st.sampled_from(sorted(aggs)),
+                st.sampled_from(cols),
+                st.booleans(),  # per-agg WHERE l_quantity >= 25
+            ),
+            min_size=1, max_size=4,
+        ),
+        n_by=st.integers(min_value=0, max_value=2),
+    )
+    def check(picks, n_by):
+        by = ["l_returnflag", "l_linestatus"][:n_by]
+        frags, sels = [], []
+        for i, (fn, c, filt) in enumerate(picks):
+            w = " WHERE l_quantity >= 25" if filt else ""
+            frags.append(f"o{i} = {fn}({c}){w}")
+            sql_f = aggs[fn][0].format(c=c)
+            sql_w = " FILTER (l_quantity >= 25)" if filt else ""
+            # FILTER attaches to the aggregate call, before any round()
+            if aggs[fn][1]:
+                inner = sql_f[len("round("):-len(", 6)")]
+                sels.append(f"round({inner}{sql_w}, 6) AS o{i}")
+            else:
+                base, cast = (
+                    sql_f.split("::") if "::" in sql_f else (sql_f, None)
+                )
+                sels.append(
+                    f"{base}{sql_w}{'::' + cast if cast else ''} AS o{i}"
+                )
+        pipe = (
+            "FROM lineitem | STATS " + ", ".join(frags)
+            + (f" BY {', '.join(by)}" if by else "")
+            + (" | SORT " + ", ".join(by) if by else "")
+        )
+        sql = (
+            "SELECT "
+            + ", ".join((by + sels) if by else sels)
+            + f" FROM '/root/testdata/sf0.001/lineitem.parquet'"
+            + (f" GROUP BY {', '.join(by)} ORDER BY {', '.join(by)}" if by else "")
+        )
+        got = run_esql(pipe, "/root/testdata/sf0.001")
+        import duckdb
+
+        want = duckdb.connect().execute(sql).arrow()
+        assert got.column_names == want.column_names
+        for name in got.column_names:
+            ga, wa = got[name].to_pylist(), want[name].to_pylist()
+            for x, y in zip(ga, wa):
+                if isinstance(x, float) and x is not None and y is not None:
+                    assert abs(x - y) < 1e-9, name
+                else:
+                    assert x == y, name
+
+    check()
