@@ -1468,6 +1468,13 @@ def test_esql_stats_property(ray_session):
         n_by=st.integers(min_value=0, max_value=2),
     )
     def check(picks, n_by):
+        # the repo's float-exactness rule: SUM only over integer-valued
+        # columns (float sums are block-order-dependent; every shipped
+        # oracle sums integers or integer cents)
+        picks = [
+            (fn, "l_quantity" if fn == "SUM" else c, f)
+            for fn, c, f in picks
+        ]
         by = ["l_returnflag", "l_linestatus"][:n_by]
         frags, sels = [], []
         for i, (fn, c, filt) in enumerate(picks):
