@@ -290,6 +290,20 @@ def run_eql(src: str, sf_dir: str) -> pa.Table:
                 return pa.table(
                     {"__n": pa.array([out.num_rows], type=pa.int64())}
                 )
+            if aggregate is not None and aggregate[0] == "unique":
+                # per-batch pre-dedup: keep the earliest event per field
+                # value, so the driver sees <= |values| x #blocks rows
+                fld = aggregate[1]
+                srt = out.sort_by(
+                    [("ts", "ascending"), ("event_id", "ascending")]
+                )
+                seen: set = set()
+                keep_idx = []
+                for i, v in enumerate(srt[fld].to_pylist()):
+                    if v not in seen:
+                        seen.add(v)
+                        keep_idx.append(i)
+                return srt.take(pa.array(keep_idx, type=pa.int64()))
             if head_n is not None:  # per-batch partial cap
                 out = out.sort_by([("ts", "ascending"), ("event_id", "ascending")])
                 return out.slice(0, head_n)
