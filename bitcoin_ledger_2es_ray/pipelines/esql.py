@@ -70,7 +70,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<num>\d+\.\d+|\d+)
-  | (?P<op>==|!=|>=|<=|>|<|\+|-|\*|/|,|\(|\)|\|)
+  | (?P<op>==|!=|>=|<=|>|<|\+|-|\*|/|,|\(|\)|\[|\]|\|)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.*]*)
     """,
     re.VERBOSE,
@@ -693,6 +693,23 @@ class _Parser:
             e = self.expr()
             self.expect("op", ")")
             return e
+        if kind == "op" and text == "[":
+            # ES|QL multivalue literal: [1, 2, 3] / ["a", "b"]
+            vals = []
+            if self.peek() != ("op", "]"):
+                while True:
+                    item = self._atom()
+                    if item[0] != "lit":
+                        raise ValueError(
+                            "esql: multivalue literal items must be literals"
+                        )
+                    vals.append(item[1])
+                    if self.peek() == ("op", ","):
+                        self.next()
+                        continue
+                    break
+            self.expect("op", "]")
+            return ("mvlit", vals)
         if kind == "op" and text == "-":
             inner = self._atom()
             if inner[0] == "lit":
@@ -906,7 +923,7 @@ def parse_esql(src: str) -> EsqlPlan:
             name = p.expect("ident")[1]
             p.expect("op", "==")
             node = p.expr()
-            if node[0] != "lit":
+            if node[0] not in ("lit", "mvlit"):
                 raise ValueError("esql: ROW values must be literals")
             row[name] = node[1]
             if p.peek() != ("op", ","):
@@ -1173,6 +1190,8 @@ def _eval_expr(node: tuple, batch: pa.Table):
         return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if kind == "not":
         return pc.invert(_eval_expr(node[1], batch))
+    if kind == "mvlit":  # multivalue literal: the same list on every row
+        return pa.array([node[1]] * batch.num_rows)
     if kind == "isnull":
         v = _eval_expr(node[1], batch)
         if not isinstance(v, (pa.Array, pa.ChunkedArray)):

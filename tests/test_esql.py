@@ -1518,3 +1518,23 @@ def test_esql_stats_property(ray_session):
                     assert x == y, name
 
     check()
+
+
+def test_esql_multivalue_literals(ray_session):
+    got = run_esql(
+        'ROW a = [1, 2, 3], b = ["x", "y"] '
+        "| EVAL n = MV_COUNT(a), mx = MV_MAX(a), f = MV_FIRST(b) "
+        "| KEEP n, mx, f",
+        "/tmp",
+    )
+    assert got.to_pydict() == {"n": [3], "mx": [3], "f": ["x"]}
+    # EVAL with a multivalue literal expands per row
+    g2 = run_esql(
+        "FROM events | EVAL tags = [1, 2] | EVAL c = MV_COUNT(tags) "
+        "| STATS s = SUM(c)",
+        SF_DIR,
+    )
+    w = _duck("SELECT 2 * count(*)::BIGINT AS s FROM events")
+    assert g2["s"].to_pylist() == w["s"].to_pylist()
+    with pytest.raises(ValueError, match="must be literals"):
+        parse_esql(_normalize_assign("FROM events | EVAL x = [value, 2]"))
