@@ -1284,6 +1284,39 @@ def _eval_expr(node: tuple, batch: pa.Table):
             return float(np.e)
         if name == "TAU":
             return float(2 * np.pi)
+        if name in ("SIN", "COS", "TAN", "ASIN", "ACOS", "ATAN"):
+            v = vals[0]
+            if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                return float(getattr(np, name.lower())(float(v)))
+            return getattr(pc, name.lower())(pc.cast(_as_array(v), pa.float64()))
+        if name in ("SINH", "COSH", "TANH"):
+            v = vals[0]
+            if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                return float(getattr(np, name.lower())(float(v)))
+            x = pc.cast(_as_array(v), pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            return pa.array(getattr(np, name.lower())(x), type=pa.float64())
+        if name == "ATAN2":
+            return pc.atan2(
+                pc.cast(_as_array(vals[0]), pa.float64()),
+                pc.cast(_as_array(vals[1]), pa.float64()),
+            )
+        if name == "CBRT":
+            v = vals[0]
+            if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                return float(np.cbrt(float(v)))
+            x = pc.cast(_as_array(v), pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            return pa.array(np.cbrt(x), type=pa.float64())
+        if name in ("GREATEST", "LEAST"):
+            if len(vals) < 2:
+                raise ValueError(f"esql: {name} needs at least two arguments")
+            kernel = (
+                pc.max_element_wise if name == "GREATEST" else pc.min_element_wise
+            )
+            return kernel(*vals)
         # ---- strings ----------------------------------------------------
         if name == "TRIM":
             return pc.utf8_trim_whitespace(vals[0])
@@ -1293,6 +1326,14 @@ def _eval_expr(node: tuple, batch: pa.Table):
             return pc.utf8_rtrim_whitespace(vals[0])
         if name == "REVERSE":
             return pc.utf8_reverse(vals[0])
+        if name == "REPEAT":
+            if not isinstance(vals[1], (int, float)) or int(vals[1]) < 0:
+                raise ValueError("esql: REPEAT count must be a literal >= 0")
+            return pc.binary_repeat(_as_array(vals[0]), int(vals[1]))
+        if name == "SPACE":
+            if not isinstance(vals[0], (int, float)) or int(vals[0]) < 0:
+                raise ValueError("esql: SPACE count must be a literal >= 0")
+            return " " * int(vals[0])
         if name == "ENDS_WITH":
             return pc.ends_with(vals[0], pattern=vals[1])
         if name == "LEFT":
@@ -1394,6 +1435,66 @@ def _eval_expr(node: tuple, batch: pa.Table):
             return _mv_reduce(vals[0], "min")
         if name == "MV_MAX":
             return _mv_reduce(vals[0], "max")
+        if name == "MV_SUM":
+            return _mv_reduce(vals[0], "sum")
+        if name == "MV_AVG":
+            avg = _mv_reduce(vals[0], "mean")
+            arr = pc.cast(_as_array(avg), pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            return pa.array(
+                sql_round(arr, 6), type=pa.float64(), mask=np.isnan(arr)
+            )
+        if name == "MV_MEDIAN":
+            # exact per-row median: sort (parent, value) pairs, interpolate
+            # at run midpoints — one vectorized pass
+            col = _as_array(vals[0])
+            if not pa.types.is_list(col.type):
+                raise ValueError("esql: MV_MEDIAN needs a multi-value column")
+            n = len(col)
+            par = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+            flat = pc.cast(col.flatten(), pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            if len(par) == 0:
+                return pa.nulls(n, type=pa.float64())
+            order = np.lexsort((flat, par))
+            par, flat = par[order], flat[order]
+            starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+            ends = np.r_[starts[1:], len(par)]
+            lens = ends - starts
+            lo = starts + (lens - 1) // 2
+            hi = starts + lens // 2
+            med = (flat[lo] + flat[hi]) / 2.0
+            out = np.full(n, np.nan)
+            out[par[starts]] = med
+            return pa.array(out, type=pa.float64(), mask=np.isnan(out))
+        if name in ("MV_SORT", "MV_DEDUPE"):
+            # per-row sorted (and deduplicated) multivalue — vectorized
+            # lexsort + run-boundary rebuild of the list offsets
+            col = _as_array(vals[0])
+            if not pa.types.is_list(col.type):
+                raise ValueError(f"esql: {name} needs a multi-value column")
+            n = len(col)
+            par = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+            flat = col.flatten()
+            fnp = flat.to_numpy(zero_copy_only=False)
+            order = np.lexsort((fnp, par))
+            par_s = par[order]
+            flat_s = flat.take(pa.array(order, type=pa.int64()))
+            if name == "MV_DEDUPE" and len(par_s):
+                fs = flat_s.to_numpy(zero_copy_only=False)
+                keep = np.r_[True, (par_s[1:] != par_s[:-1]) | (fs[1:] != fs[:-1])]
+                par_s = par_s[keep]
+                flat_s = flat_s.filter(pa.array(keep))
+            counts = np.bincount(par_s, minlength=n) if len(par_s) else np.zeros(n, np.int64)
+            offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            return pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                flat_s.combine_chunks() if isinstance(flat_s, pa.ChunkedArray) else flat_s,
+                mask=pa.array(~valid),
+            )
         raise ValueError(f"esql: unknown function {name}")
     op = node[1]
     left = _eval_expr(node[2], batch)

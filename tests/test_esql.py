@@ -1538,3 +1538,57 @@ def test_esql_multivalue_literals(ray_session):
     assert g2["s"].to_pylist() == w["s"].to_pylist()
     with pytest.raises(ValueError, match="must be literals"):
         parse_esql(_normalize_assign("FROM events | EVAL x = [value, 2]"))
+
+
+def test_esql_function_library_batch(ray_session):
+    # new math / string / MV functions vs DuckDB on real columns
+    got = run_esql(
+        "FROM events | EVAL s = ROUND(SIN(value), 6), "
+        "g = GREATEST(value, 100.0), cb = ROUND(CBRT(value), 6) "
+        "| KEEP event_id, s, g, cb | SORT event_id | LIMIT 50",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT event_id, round(sin(value), 6) s, "
+        "greatest(value, 100.0) g, "
+        "round(cbrt(value), 6) cb FROM events ORDER BY 1 LIMIT 50"
+    )
+    # hyperbolics vs numpy (DuckDB 1.0 has no cosh/sinh/tanh)
+    import numpy as _np
+
+    hy = run_esql(
+        "FROM events | EVAL h = COSH(value / 100) "
+        "| KEEP event_id, value, h | SORT event_id | LIMIT 20",
+        SF_DIR,
+    )
+    assert all(
+        abs(h - float(_np.cosh(v / 100))) < 1e-12
+        for v, h in zip(hy["value"].to_pylist(), hy["h"].to_pylist())
+    )
+    _assert_tables_equal(got, want)
+    # MV reductions over SPLIT lists vs DuckDB list kernels
+    g2 = run_esql(
+        'FROM documents | EVAL parts = SPLIT(text, " "), '
+        "srt = MV_DEDUPE(parts), n = MV_COUNT(srt) "
+        "| KEEP doc_id, n | SORT doc_id | LIMIT 40",
+        SF_DIR,
+    )
+    w2 = _duck(
+        "SELECT doc_id, len(list_distinct(string_split(text, ' ')))"
+        "::BIGINT n FROM documents ORDER BY 1 LIMIT 40"
+    )
+    _assert_tables_equal(g2, w2)
+    # literal smoke of the full batch
+    t = run_esql(
+        'ROW v = [3, 1, 2, 2] | EVAL sm = MV_SUM(v), av = MV_AVG(v), '
+        "md = MV_MEDIAN(v), so = MV_SORT(v), dd = MV_DEDUPE(v), "
+        'r = REPEAT("ab", 2), sp = CONCAT("x", SPACE(1), "y"), '
+        "a2 = ROUND(ATAN2(1.0, 1.0) * 4, 6) "
+        "| KEEP sm, av, md, so, dd, r, sp, a2",
+        "/tmp",
+    )
+    assert t.to_pydict() == {
+        "sm": [8], "av": [2.0], "md": [2.0], "so": [[1, 2, 2, 3]],
+        "dd": [[1, 2, 3]], "r": ["abab"], "sp": ["x y"],
+        "a2": [3.141593],
+    }
