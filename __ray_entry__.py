@@ -4930,6 +4930,20 @@ def _q_sql_group(sf_dir: str) -> pa.Table:
     return run_sql(_SQL_GROUP, sf_dir)
 
 
+def _q_esql_mv_reduce(sf_dir: str) -> pa.Table:
+    """ES|QL MV reduction long tail: MV_DEDUPE (vectorized lexsort +
+    run-boundary list rebuild) composed with MV_COUNT, aggregated per
+    language."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        'FROM documents | EVAL parts = SPLIT(text, " ") '
+        "| EVAL uniq = MV_COUNT(MV_DEDUPE(parts)) "
+        "| STATS tot = SUM(uniq), mx = MAX(uniq) BY lang | SORT lang",
+        sf_dir,
+    )
+
+
 def _q_esql_categorize(sf_dir: str) -> pa.Table:
     """ES|QL CATEGORIZE (8.18): deterministic log-pattern template
     (digit runs → <NUM>) grouped via STATS — the graft's documented
@@ -5645,6 +5659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_distinct": _q_sql_distinct,
         "esql_stats_by": _q_esql_stats_by,
         "esql_categorize": _q_esql_categorize,
+        "esql_mv_reduce": _q_esql_mv_reduce,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -10332,6 +10347,12 @@ SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2
 SELECT regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS pat,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1 ORDER BY 1 LIMIT 100
+""",
+        "esql_mv_reduce": """
+SELECT lang,
+       sum(len(list_distinct(string_split(text, ' '))))::BIGINT AS tot,
+       max(len(list_distinct(string_split(text, ' '))))::BIGINT AS mx
+FROM documents GROUP BY 1 ORDER BY 1
 """,
         "esql_count_distinct": """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS u
