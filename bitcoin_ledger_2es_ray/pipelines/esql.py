@@ -45,10 +45,24 @@ are all single Arrow kernels.  ``ENRICH policy ON key`` materializes the
 named policy's enrich index (``pipelines/enrich.py``), broadcasts it
 once, and decorates the stream with the same order-pinned per-batch join
 as LOOKUP (ES's enrich processor semantics: unmatched keys keep the row
-with null fields).  Row commands after STATS raise (the pipe aggregates
-once, at the end).  ``SHOW INFO`` is the deterministic one-row version
+with null fields).  ``SHOW INFO`` is the deterministic one-row version
 source (the only SHOW item ES|QL defines) and composes with the same
-tail commands as ROW — with it, every ES|QL command is covered.
+tail commands as ROW.
+
+Round 4 closed the 9.x surface: ``INLINESTATS`` (two-phase agg +
+broadcast join-back), ``TS`` + ``RATE`` (endpoint partials), ``SAMPLE``
+(deterministic sha256-keyed), ``CHANGE_POINT`` (two-segment-SSE mean
+shift), ``FORK`` (+ ``| RRF`` fusion), ``COMPLETION`` / ``RERANK``
+(registered deterministic fake inference endpoints), post-STATS command
+tails (``WHERE`` / ``EVAL`` / ``RENAME`` / re-aggregating ``STATS`` on
+the group-bounded combined result), agg-less ``STATS BY`` (distinct),
+KEEP/DROP wildcards, multivalue literals, ``MATCH`` / ``QSTR`` full-text
+predicates (index-free, same analyzer as the index), ``IS [NOT] NULL``,
+and the aggregate long tail (STD_DEV, WEIGHTED_AVG, PERCENTILE,
+MEDIAN_ABSOLUTE_DEVIATION, TOP, VALUES, COUNT_DISTINCT precision hint)
+plus math/string/MV functions through CATEGORIZE and DATE_DIFF — every
+documented ES|QL command through the 9.x tech previews parses and
+executes.
 """
 
 from __future__ import annotations
