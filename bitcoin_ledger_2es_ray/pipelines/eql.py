@@ -61,7 +61,7 @@ class EqlPlan:
     kind: str  # "event" | "sequence" | "sample"
     # (category|None for any, condition-ast|None for true), one per subquery
     queries: list[tuple[str | None, tuple | None]] = field(default_factory=list)
-    by: str | None = None
+    by: list[str] = field(default_factory=list)
     maxspan_s: int | None = None
     until: tuple[str | None, tuple | None] | None = None
     pipes: list[tuple] = field(default_factory=list)
@@ -114,12 +114,15 @@ def _parse_subquery(text: str) -> tuple[str | None, tuple | None]:
 
 
 _BRACKET = re.compile(r"\[([^\]]*)\]")
+_BY_KEYS = r"[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*"
 _SEQ_HEAD = re.compile(
-    r"^\s*sequence\s+by\s+([A-Za-z_]\w*)"
+    r"^\s*sequence\s+by\s+(" + _BY_KEYS + r")"
     r"(?:\s+with\s+maxspan\s*=\s*(\d+)([smhd]))?\s*",
     re.IGNORECASE,
 )
-_SAMPLE_HEAD = re.compile(r"^\s*sample\s+by\s+([A-Za-z_]\w*)\s*", re.IGNORECASE)
+_SAMPLE_HEAD = re.compile(
+    r"^\s*sample\s+by\s+(" + _BY_KEYS + r")\s*", re.IGNORECASE
+)
 
 
 def parse_eql(src: str) -> EqlPlan:
@@ -130,7 +133,10 @@ def parse_eql(src: str) -> EqlPlan:
     m = _SEQ_HEAD.match(core)
     ms = _SAMPLE_HEAD.match(core)
     if m:
-        plan = EqlPlan(kind="sequence", by=m.group(1))
+        plan = EqlPlan(
+            kind="sequence",
+            by=[k.strip() for k in m.group(1).split(",")],
+        )
         if m.group(2):
             plan.maxspan_s = int(m.group(2)) * _UNITS_S[m.group(3).lower()]
         rest = core[m.end() :]
@@ -155,7 +161,10 @@ def parse_eql(src: str) -> EqlPlan:
                 raise ValueError("eql: until takes exactly one subquery")
             plan.until = _parse_subquery(ub[0])
     elif ms:
-        plan = EqlPlan(kind="sample", by=ms.group(1))
+        plan = EqlPlan(
+            kind="sample",
+            by=[k.strip() for k in ms.group(1).split(",")],
+        )
         plan.queries = [_parse_subquery(b) for b in _BRACKET.findall(core[ms.end() :])]
         if len(plan.queries) < 2:
             raise ValueError("eql: sample needs at least two subqueries")
@@ -203,8 +212,7 @@ def _need_columns(plan: EqlPlan) -> list[str]:
         if cat is not None:
             need.add("event_type")
         _referenced_cols(cond, need)
-    if plan.by:
-        need.add(plan.by)
+    need.update(plan.by)
     for p_ in plan.pipes:
         if p_[0] == "unique":
             need.add(p_[1])
@@ -352,8 +360,8 @@ def run_eql(src: str, sf_dir: str) -> pa.Table:
         return _apply_result_pipes(res, plan.pipes, skip_first_bound=True)
 
     # sequence / sample: one vectorized pass packs per-step membership
-    # into a bitmask; the shuffle moves only (key, t_us, mask)
-    key = plan.by
+    # into a bitmask; the shuffle moves only (keys, t_us, mask)
+    keys = plan.by
     n_steps = len(plan.queries)
     until_bit = n_steps  # until mask lives one bit past the steps
 
@@ -369,7 +377,7 @@ def run_eql(src: str, sf_dir: str) -> pa.Table:
         t_us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                key: batch[key],
+                **{k_: batch[k_] for k_ in keys},
                 "__t": pa.array(t_us),
                 "__bits": pa.array(bits),
             }
@@ -383,8 +391,16 @@ def run_eql(src: str, sf_dir: str) -> pa.Table:
         bits = group["__bits"].to_numpy(zero_copy_only=False)
         order = np.argsort(t, kind="stable")
         t, bits = t[order], bits[order]
-        kv = group[key][0].as_py()
+        kvs = {k_: group[k_][0].as_py() for k_ in keys}
+        ktypes = {k_: group.schema.field(k_).type for k_ in keys}
         tcols = [f"t{i+1}_us" for i in range(n_steps)]
+
+        def _key_cols(n_rows: int) -> dict:
+            return {
+                k_: pa.array([kvs[k_]] * n_rows, type=ktypes[k_])
+                for k_ in keys
+            }
+
         if plan.kind == "sample":
             firsts = []
             for k in range(n_steps):
@@ -392,14 +408,14 @@ def run_eql(src: str, sf_dir: str) -> pa.Table:
                 if len(sel) == 0:
                     return pa.table(
                         {
-                            key: pa.array([], type=group.schema.field(key).type),
+                            **_key_cols(0),
                             **{c: pa.array([], type=pa.int64()) for c in tcols},
                         }
                     )
                 firsts.append(int(sel[0]))
             return pa.table(
                 {
-                    key: pa.array([kv], type=group.schema.field(key).type),
+                    **_key_cols(1),
                     **{
                         c: pa.array([v], type=pa.int64())
                         for c, v in zip(tcols, firsts)
@@ -418,9 +434,7 @@ def run_eql(src: str, sf_dir: str) -> pa.Table:
         )
         return pa.table(
             {
-                key: pa.array(
-                    [kv] * len(matches), type=group.schema.field(key).type
-                ),
+                **_key_cols(len(matches)),
                 "match_no": pa.array(
                     np.arange(1, len(matches) + 1, dtype=np.int64)
                 ),
@@ -434,13 +448,18 @@ def run_eql(src: str, sf_dir: str) -> pa.Table:
             }
         )
 
-    out = narrow.groupby(key).map_groups(per_key, batch_format="pyarrow")
+    out = narrow.groupby(keys).map_groups(per_key, batch_format="pyarrow")
     from ..functions.blocks import collect_tables
 
     parts = [p for p in collect_tables(out) if p.num_rows]
     if not parts:
         tcols = [f"t{i+1}_us" for i in range(n_steps)]
-        schema = {key: pa.array([], type=pa.int64())}
+        import pyarrow.parquet as pq
+
+        ev_schema = pq.read_schema(f"{sf_dir}/events.parquet")
+        schema = {
+            k_: pa.array([], type=ev_schema.field(k_).type) for k_ in keys
+        }
         if plan.kind == "sequence":
             schema["match_no"] = pa.array([], type=pa.int64())
         schema.update({c: pa.array([], type=pa.int64()) for c in tcols})
@@ -449,7 +468,7 @@ def run_eql(src: str, sf_dir: str) -> pa.Table:
         res = pa.table(schema)
     else:
         res = pa.concat_tables(parts, promote_options="default").sort_by(
-            [(key, "ascending")]
+            [(k_, "ascending") for k_ in keys]
             + ([("match_no", "ascending")] if plan.kind == "sequence" else [])
         )
     return _apply_result_pipes(res, plan.pipes, skip_first_bound=False)

@@ -35,7 +35,7 @@ def test_parse_shapes():
         '[signup where true] [purchase where value > 10.0] '
         "until [error where true] | head 5"
     )
-    assert p.kind == "sequence" and p.by == "user_id"
+    assert p.kind == "sequence" and p.by == ["user_id"]
     assert p.maxspan_s == 7 * 86400 and len(p.queries) == 2
     assert p.queries[0] == ("signup", None)
     assert p.until is not None and p.until[0] == "error"
@@ -296,3 +296,46 @@ def test_sequence_runs(ray_session):
     assert a.to_pydict() == b.to_pydict()
     with pytest.raises(ValueError, match="runs must be"):
         parse_eql("sequence by u [a where true] with runs=0 [b where true]")
+
+
+def test_sequence_compound_by(ray_session):
+    # sequence by (user_id, event_type) == per-(user, type) value runs
+    got = run_eql(
+        "sequence by user_id, event_type "
+        "[any where value < 50.0] [any where value > 250.0]",
+        SF_DIR,
+    )
+    assert set(got.column_names) == {
+        "user_id", "event_type", "match_no", "t1_us", "t2_us", "span_us"
+    }
+    # reference: per (user, type) greedy pairing
+    df = _per_user_times(SF_DIR)
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(
+        f"{SF_DIR}/events.parquet",
+        columns=["user_id", "event_type", "ts", "value"],
+    ).to_pandas()
+    full["t_us"] = full["ts"].astype("int64")
+    rows = []
+    for (uid, et), g in full.groupby(["user_id", "event_type"]):
+        steps = [
+            sorted(g[g.value < 50.0].t_us),
+            sorted(g[g.value > 250.0].t_us),
+        ]
+        if any(len(s) == 0 for s in steps):
+            continue
+        for i, m in enumerate(_greedy_reference(steps, None, None), 1):
+            rows.append((uid, et, i, *m, m[-1] - m[0]))
+    rows.sort()
+    got_rows = sorted(zip(*[got[c].to_pylist() for c in [
+        "user_id", "event_type", "match_no", "t1_us", "t2_us", "span_us"
+    ]]))
+    assert got_rows == rows
+    # sample with compound keys
+    sam = run_eql(
+        "sample by user_id, event_type "
+        "[any where value < 10.0] [any where value > 300.0]",
+        SF_DIR,
+    )
+    assert sam.column_names == ["user_id", "event_type", "t1_us", "t2_us"]
