@@ -654,6 +654,27 @@ class _Parser:
             return ("bin", op, left, self._add())
         if self.peek() in (("kw", "LIKE"), ("kw", "RLIKE")):
             op = self.next()[1].lower()
+            if self.peek() == ("op", "("):
+                # ES|QL 9.1 pattern lists: LIKE ("a*", "b*") — any match
+                self.next()
+                pats: list[str] = []
+                while True:
+                    item = self._atom()
+                    if item[0] != "lit" or not isinstance(item[1], str):
+                        raise ValueError(
+                            f"esql: {op.upper()} list items must be string "
+                            "literals"
+                        )
+                    pats.append(item[1])
+                    if self.peek() == ("op", ","):
+                        self.next()
+                        continue
+                    break
+                self.expect("op", ")")
+                return (
+                    "bin", op, left,
+                    ("lit", pats[0] if len(pats) == 1 else pats),
+                )
             return ("bin", op, left, self._add())
         if self.peek() == ("kw", "IN"):
             self.next()
@@ -1518,21 +1539,26 @@ def _eval_expr(node: tuple, batch: pa.Table):
             raise ValueError("esql: IN needs a literal list")
         return pc.is_in(left, value_set=pa.array(right))
     if op in ("like", "rlike"):
-        if not isinstance(right, str):
-            raise ValueError(f"esql: {op.upper()} needs a string literal pattern")
+        pats = right if isinstance(right, list) else [right]
+        if not pats or not all(isinstance(p_, str) for p_ in pats):
+            raise ValueError(f"esql: {op.upper()} needs string literal patterns")
         if op == "like":
-            # ES|QL LIKE wildcards: * = any run, ? = one char
-            out = []
-            for ch in right:
-                if ch == "*":
-                    out.append(".*")
-                elif ch == "?":
-                    out.append(".")
-                else:
-                    out.append(re.escape(ch))
-            pat = "^" + "".join(out) + "$"
+            # ES|QL LIKE wildcards: * = any run, ? = one char; a pattern
+            # LIST matches if ANY alternative matches (9.1 semantics)
+            alts = []
+            for p_ in pats:
+                out = []
+                for ch in p_:
+                    if ch == "*":
+                        out.append(".*")
+                    elif ch == "?":
+                        out.append(".")
+                    else:
+                        out.append(re.escape(ch))
+                alts.append("".join(out))
         else:
-            pat = "^(?:" + right + ")$"
+            alts = list(pats)
+        pat = "^(?:" + "|".join(alts) + ")$"
         return pc.match_substring_regex(left, pat)
     fns = {
         "==": pc.equal,

@@ -1592,3 +1592,29 @@ def test_esql_function_library_batch(ray_session):
         "dd": [[1, 2, 3]], "r": ["abab"], "sp": ["x y"],
         "a2": [3.141593],
     }
+
+
+def test_esql_like_pattern_lists(ray_session):
+    got = run_esql(
+        'FROM documents | WHERE lang LIKE ("e*", "f?") '
+        "| STATS n = COUNT(*) BY lang | SORT lang",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT lang, count(*)::BIGINT n FROM documents "
+        "WHERE lang LIKE 'e%' OR lang LIKE 'f_' GROUP BY 1 ORDER BY 1"
+    )
+    _assert_tables_equal(got, want)
+    # single parenthesized pattern still works
+    g2 = run_esql(
+        'FROM documents | WHERE lang LIKE ("e*") | STATS n = COUNT(*)',
+        SF_DIR,
+    )
+    w2 = _duck(
+        "SELECT count(*)::BIGINT n FROM documents WHERE lang LIKE 'e%'"
+    )
+    _assert_tables_equal(g2, w2)
+    with pytest.raises(ValueError, match="string literals"):
+        parse_esql(_normalize_assign(
+            "FROM documents | WHERE lang LIKE (n_chars)"
+        ))
