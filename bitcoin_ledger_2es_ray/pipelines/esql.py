@@ -1345,6 +1345,48 @@ def _eval_expr(node: tuple, batch: pa.Table):
                 zero_copy_only=False
             )
             return pa.array(np.cbrt(x), type=pa.float64())
+        if name in ("TO_DEGREES", "TO_RADIANS"):
+            v = vals[0]
+            factor = 180.0 / np.pi if name == "TO_DEGREES" else np.pi / 180.0
+            if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                return float(v) * factor
+            return pc.multiply(pc.cast(_as_array(v), pa.float64()), factor)
+        if name == "TO_BOOLEAN":
+            v = vals[0]
+            if isinstance(v, str):
+                return v.lower() == "true"
+            arr = _as_array(v)
+            if pa.types.is_string(arr.type):
+                return pc.equal(pc.utf8_lower(arr), "true")
+            return pc.cast(arr, pa.bool_())
+        if name in ("MD5", "SHA1", "SHA256"):
+            # hex digests (ES|QL 9.x hash functions) — the Python loop
+            # only dispatches into C hashlib, the same trade as
+            # functions/hashing.sha256_column
+            import hashlib
+
+            arr = pc.cast(_as_array(vals[0]), pa.string())
+            algo = name.lower()
+            return pa.array(
+                [
+                    None
+                    if s_ is None
+                    else hashlib.new(algo, s_.encode()).hexdigest()
+                    for s_ in arr.to_pylist()
+                ],
+                type=pa.string(),
+            )
+        if name == "BYTE_LENGTH":
+            return pc.binary_length(
+                pc.cast(_as_array(vals[0]), pa.string())
+            ).cast(pa.int64())
+        if name == "BIT_LENGTH":
+            return pc.multiply(
+                pc.binary_length(
+                    pc.cast(_as_array(vals[0]), pa.string())
+                ).cast(pa.int64()),
+                8,
+            )
         if name in ("GREATEST", "LEAST"):
             if len(vals) < 2:
                 raise ValueError(f"esql: {name} needs at least two arguments")

@@ -1618,3 +1618,27 @@ def test_esql_like_pattern_lists(ray_session):
         parse_esql(_normalize_assign(
             "FROM documents | WHERE lang LIKE (n_chars)"
         ))
+
+
+def test_esql_conversion_and_hash_functions(ray_session):
+    got = run_esql(
+        "FROM events | EVAL deg = ROUND(TO_DEGREES(value / 100), 6), "
+        "h = SHA256(event_type), m = MD5(event_type), "
+        "bl = BYTE_LENGTH(event_type), bi = BIT_LENGTH(event_type) "
+        "| KEEP event_id, deg, h, m, bl, bi | SORT event_id | LIMIT 30",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT event_id, round(degrees(value / 100), 6) deg, "
+        "sha256(event_type) h, md5(event_type) m, "
+        "length(event_type)::BIGINT bl, (8 * length(event_type))::BIGINT bi "
+        "FROM events ORDER BY 1 LIMIT 30"
+    )
+    _assert_tables_equal(got, want)
+    g2 = run_esql(
+        'ROW x = 90.0, s = "TRUE" '
+        "| EVAL r = ROUND(TO_RADIANS(x), 6), b = TO_BOOLEAN(s) "
+        "| KEEP r, b",
+        "/tmp",
+    )
+    assert g2.to_pydict() == {"r": [1.570796], "b": [True]}
