@@ -1345,6 +1345,26 @@ def _eval_expr(node: tuple, batch: pa.Table):
                 zero_copy_only=False
             )
             return pa.array(np.cbrt(x), type=pa.float64())
+        if name == "NOW":
+            raise ValueError(
+                "esql: NOW() is nondeterministic under replay — pass the "
+                "reference time as a literal (the engine's determinism "
+                "contract, same reason SAMPLE is hash-keyed)"
+            )
+        if name in ("TO_BASE64", "FROM_BASE64"):
+            # C base64 dispatch per row (the sha256_column trade)
+            import base64
+
+            arr = pc.cast(_as_array(vals[0]), pa.string())
+            enc = (
+                (lambda s_: base64.b64encode(s_.encode()).decode())
+                if name == "TO_BASE64"
+                else (lambda s_: base64.b64decode(s_.encode()).decode())
+            )
+            return pa.array(
+                [None if s_ is None else enc(s_) for s_ in arr.to_pylist()],
+                type=pa.string(),
+            )
         if name in ("TO_DEGREES", "TO_RADIANS"):
             v = vals[0]
             factor = 180.0 / np.pi if name == "TO_DEGREES" else np.pi / 180.0

@@ -1642,3 +1642,19 @@ def test_esql_conversion_and_hash_functions(ray_session):
         "/tmp",
     )
     assert g2.to_pydict() == {"r": [1.570796], "b": [True]}
+
+
+def test_esql_base64_and_now(ray_session):
+    got = run_esql(
+        "FROM documents | EVAL b = TO_BASE64(lang), r = FROM_BASE64(TO_BASE64(lang)) "
+        "| KEEP doc_id, b, r, lang | SORT doc_id | LIMIT 10",
+        SF_DIR,
+    )
+    want = _duck(
+        "SELECT doc_id, to_base64(lang::BLOB) b, lang AS r, lang "
+        "FROM documents ORDER BY 1 LIMIT 10"
+    )
+    _assert_tables_equal(got, want)
+    assert got["r"].to_pylist() == got["lang"].to_pylist()
+    with pytest.raises(Exception, match="nondeterministic under replay"):
+        run_esql("FROM events | EVAL t = NOW() | SORT event_id | LIMIT 1", SF_DIR)
