@@ -3066,6 +3066,22 @@ def _q_cosine_dups(sf_dir: str) -> pa.Table:
     return cosine_dup_pairs(sf_dir, tau=0.4)
 
 
+def _q_knn_graph(sf_dir: str) -> pa.Table:
+    """Exact cosine kNN graph (corpus self-join top-k) — the building block
+    for graph-based dedup / SemDeDup clustering / connectivity analyses."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_graph
+
+    return knn_graph(sf_dir, k=5)
+
+
+def _q_knn_graph_lsh(sf_dir: str) -> pa.Table:
+    # rows-only by nature (approximate); recall vs the exact graph is pinned
+    # in tests/test_extras.py
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_graph_lsh
+
+    return knn_graph_lsh(sf_dir, k=5, n_planes=4, n_tables=12)
+
+
 def _q_sem_dedup(sf_dir: str) -> pa.Table:
     """SemDedup (k-means + within-cluster cosine screen) over the
     embeddings table — per-vector kept/dup_of verdicts.  Clustering is not
@@ -5328,7 +5344,7 @@ _FRONT_50 = [
     "sql_select", "esql_percentile", "terms_agg", "esql_mad",
     "weighted_avg", "esql_sample", "terms_shard_error", "esql_fork",
     "bucket_script", "esql_change_point", "auto_date_histogram",
-    "composite_page2", "percentiles", "terms_stats", "top_hits",
+    "composite_page2", "percentiles", "knn_graph", "top_hits",
     "sig_terms", "delete_query_topk", "update_lang_counts",
     "filtered_alias", "transform_pivot", "exact_dedup", "jaccard_dups",
     "decontaminate", "duplicate_spans", "dedup_keep_best", "hash_split",
@@ -5601,6 +5617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sem_dedup": _q_sem_dedup,  # rows-only (k-means not SQL-expressible)
         "cluster_sample": _q_cluster_sample,  # rows-only (k-means)
         "cosine_dups": _q_cosine_dups,
+        "knn_graph": _q_knn_graph,
+        "knn_graph_lsh": _q_knn_graph_lsh,  # rows-only (approximate recall)
         "cosine_dups_lsh": _q_cosine_dups_lsh,  # rows-only (approximate recall)
         "media_features": _q_media_features,  # rows-only (synthetic media)
         # composed curation pipelines
@@ -9968,6 +9986,25 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, vec_id, sim
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        # exact kNN graph: corpus self-join, per-vector top-k by rounded
+        # cosine (ties nbr_id ASC), self-pairs excluded
+        "knn_graph": """
+WITH scored AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+           AS sim
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS rank,
+         nbr_id, sim
+  FROM scored
+)
+SELECT vec_id, rank::BIGINT AS rank, nbr_id, sim
+FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank
 """,
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),

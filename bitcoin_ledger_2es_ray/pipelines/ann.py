@@ -522,6 +522,169 @@ def cosine_dup_pairs_lsh(
     return t.select(["a", "b", "sim"]).sort_by([("a", "ascending"), ("b", "ascending")])
 
 
+def knn_graph(sf_dir: str, k: int = 5) -> pa.Table:
+    """Exact cosine kNN GRAPH: every vector's top-k nearest neighbours
+    (vec_id, rank, nbr_id, sim) — the corpus SELF-join that graph-based
+    dedup / SemDeDup-style clustering / connectivity analyses build on
+    (``knn_bruteforce`` answers query→corpus; this is corpus→corpus).
+
+    One side is broadcast (``ray.put`` once, zero-copy per task) and every
+    batch resolves its rows' GLOBAL top-k in a single vectorized matmul +
+    2-D lexsort — no per-row Python, no driver merge (each row's answer is
+    complete inside its batch, so the output simply streams).  Viable while
+    one normalized copy of the matrix fits a worker (the same envelope as
+    ``cosine_dup_pairs``); past that, ``knn_graph_lsh`` below is the scale
+    path.  Ties break (sim DESC, nbr_id ASC) on the ROUNDED sim so the
+    DuckDB self-join oracle agrees bit-for-bit.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    f_ids, f_mat = _batch_matrix(full)
+    f_ref = ray.put((_normalize(f_mat), f_ids))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fmat, fids = ray.get(f_ref)
+        ids, mat = _batch_matrix(batch)
+        sims = sql_round(_normalize(mat) @ fmat.T, ROUND)
+        sims[ids[:, None] == fids[None, :]] = -np.inf  # a vector is not its own neighbour
+        kk = min(k, sims.shape[1] - 1)
+        # per-row order: sim DESC then nbr_id ASC — one 2-D lexsort, no row loop
+        order = np.lexsort((np.broadcast_to(fids, sims.shape), -sims), axis=1)[:, :kk]
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, kk), type=pa.int64()),
+                "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64), n)),
+                "nbr_id": pa.array(fids[order].ravel(), type=pa.int64()),
+                "sim": pa.array(np.take_along_axis(sims, order, axis=1).ravel(), type=pa.float64()),
+            }
+        )
+
+    t = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in _read_embeddings(sf_dir)
+            .map_batches(partial, batch_format="pyarrow", batch_size=2048, zero_copy_batch=True)
+            .to_arrow_refs()
+        ]
+    )
+    return t.sort_by([("vec_id", "ascending"), ("rank", "ascending")])
+
+
+def knn_graph_lsh(
+    sf_dir: str,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    max_group: int = 20000,
+) -> pa.Table:
+    """Approximate kNN graph — the 100-TB path ``knn_graph`` documents:
+    NO full-matrix broadcast, everything bucket-local.
+
+    Same multi-table sign-hash bucketing as ``cosine_dup_pairs_lsh``; each
+    ``groupby((table, bucket)).map_groups`` emits every member's LOCAL
+    top-k candidates (k × bucket rows, quadratic only in the bounded
+    bucket), a ``groupby((vec_id, nbr_id))`` dedupes across tables, and a
+    final ``groupby(vec_id)`` re-ranks candidates to the global top-k — the
+    shuffle moves candidate triples, never embeddings past the bucket stage.
+    Approximate by design (a true neighbour sharing no bucket is missed);
+    recall vs the exact graph is pinned in tests.  Buckets larger than
+    ``max_group`` are dropped (documented recall bound), mirroring the
+    pair-variant's cap.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    rng = np.random.default_rng(99)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0].as_py())
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        r = ray.get(planes_ref)
+        ids, mat = _batch_matrix(batch)
+        nm = _normalize(mat)
+        emb = batch["embedding"].combine_chunks()
+        tabs, bks, vids, embs = [], [], [], []
+        for t in range(n_tables):
+            signs = (nm @ r[t].T) > 0
+            bucket = (signs.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+            tabs.append(np.full(len(ids), t, dtype=np.int32))
+            bks.append(bucket.astype(np.int64))
+            vids.append(ids)
+            embs.append(emb)
+        return pa.table(
+            {
+                "table": pa.array(np.concatenate(tabs)),
+                "bucket": pa.array(np.concatenate(bks)),
+                "vec_id": pa.array(np.concatenate(vids)),
+                "embedding": pa.concat_arrays(embs),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "nbr_id": pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def local_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2 or group.num_rows > max_group:
+            return empty
+        ids, mat = _batch_matrix(group.select(["vec_id", "embedding"]))
+        nm = _normalize(mat)
+        sims = sql_round(nm @ nm.T, ROUND)
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, sims.shape[1] - 1)
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :kk]
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, kk), type=pa.int64()),
+                "nbr_id": pa.array(ids[order].ravel(), type=pa.int64()),
+                "sim": pa.array(np.take_along_axis(sims, order, axis=1).ravel(), type=pa.float64()),
+            }
+        )
+
+    def rerank(group: pa.Table) -> pa.Table:
+        vids = np.asarray(group["vec_id"])
+        nbrs = np.asarray(group["nbr_id"])
+        sims = np.asarray(group["sim"])
+        order = np.lexsort((nbrs, -sims))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "vec_id": pa.array(vids[order], type=pa.int64()),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "nbr_id": pa.array(nbrs[order], type=pa.int64()),
+                "sim": pa.array(sims[order], type=pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    out = (
+        _read_embeddings(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+        .groupby(["table", "bucket"])
+        .map_groups(local_topk, batch_format="pyarrow")
+        .groupby(["vec_id", "nbr_id"])
+        .aggregate(Max("sim", alias_name="sim"))  # identical sim across tables
+        .groupby("vec_id")
+        .map_groups(rerank, batch_format="pyarrow")
+    )
+    t = pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()])
+    return t.select(["vec_id", "rank", "nbr_id", "sim"]).sort_by(
+        [("vec_id", "ascending"), ("rank", "ascending")]
+    )
+
+
 def _minmax_norm(scores: np.ndarray) -> np.ndarray:
     """ES linear-retriever ``minmax`` normalizer over one leg's top-k:
     (s - min)/(max - min); a degenerate leg (max == min) maps to 1.0."""

@@ -1673,3 +1673,64 @@ def test_length_grouped_batches_brute_force(ray_session):
         assert lg.loc[b, "max_dl"] == max(members)
         assert lg.loc[b, "sum_dl"] == sum(members)
     assert lg["padding"].sum() < arr["padding"].sum()
+
+
+def test_knn_graph_exact_vs_numpy(ray_session):
+    """Exact kNN graph vs an independent dense-numpy recompute (different
+    code path: full matrix in one shot, argsort per row)."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_graph
+
+    t = knn_graph(SF, k=5)
+    full = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(full["vec_id"])
+    mat = np.vstack([np.asarray(e, dtype=np.float64) for e in full["embedding"].to_pylist()])
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(nm @ nm.T, 6)
+    np.fill_diagonal(sims, -np.inf)
+    expected = []
+    for i in range(len(ids)):
+        order = sorted(range(len(ids)), key=lambda j: (-sims[i, j], ids[j]))[:5]
+        for rank, j in enumerate(order, start=1):
+            expected.append((int(ids[i]), rank, int(ids[j]), float(sims[i, j])))
+    expected.sort()
+    got = list(
+        zip(
+            t["vec_id"].to_pylist(),
+            t["rank"].to_pylist(),
+            t["nbr_id"].to_pylist(),
+            t["sim"].to_pylist(),
+        )
+    )
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g[:3] == e[:3]
+        assert abs(g[3] - e[3]) < 1e-9
+
+
+def test_knn_graph_lsh_recall(ray_session):
+    """LSH graph: every edge it returns carries the exact sim (perfect
+    precision on sims), recall vs the exact graph measured, deterministic."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_graph, knn_graph_lsh
+
+    exact = knn_graph(SF, k=5)
+    approx = knn_graph_lsh(SF, k=5, n_planes=4, n_tables=12)
+    exact_edges = set(zip(exact["vec_id"].to_pylist(), exact["nbr_id"].to_pylist()))
+    approx_edges = set(zip(approx["vec_id"].to_pylist(), approx["nbr_id"].to_pylist()))
+    recall = len(exact_edges & approx_edges) / len(exact_edges)
+    assert recall >= 0.75, f"kNN-graph LSH recall {recall:.2f} too low"
+    # sims of recovered true edges are the exact cosines
+    exact_sim = {
+        (a, b): s
+        for a, b, s in zip(
+            exact["vec_id"].to_pylist(), exact["nbr_id"].to_pylist(), exact["sim"].to_pylist()
+        )
+    }
+    for a, b, s in zip(
+        approx["vec_id"].to_pylist(), approx["nbr_id"].to_pylist(), approx["sim"].to_pylist()
+    ):
+        if (a, b) in exact_sim:
+            assert abs(exact_sim[(a, b)] - s) < 1e-9
+    again = knn_graph_lsh(SF, k=5, n_planes=4, n_tables=12)
+    assert again.equals(approx)
