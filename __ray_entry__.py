@@ -3142,6 +3142,22 @@ def _q_top_quality_per_lang(sf_dir: str) -> pa.Table:
     return top_quality_per_lang(sf_dir, k=3)
 
 
+def _q_source_stats(sf_dir: str) -> pa.Table:
+    """Per-source (domain-level, CCNet-style) corpus stats: quality carried
+    as integer micro-units so cross-batch sums are order-exact."""
+    from bitcoin_ledger_2es_ray.pipelines.curate import source_stats
+
+    return source_stats(sf_dir)
+
+
+def _q_source_filter(sf_dir: str) -> pa.Table:
+    """Domain filter: docs from sources whose MEAN quality clears the bar
+    (per-source verdict broadcast once; the doc stream never shuffles)."""
+    from bitcoin_ledger_2es_ray.pipelines.curate import source_filter
+
+    return source_filter(sf_dir, threshold=0.445)
+
+
 def _q_shuffle_order(sf_dir: str) -> pa.Table:
     """Deterministic global training-order shuffle: distributed sort on
     sha256(doc_id ':' seed) + two-phase rank enumeration."""
@@ -5624,6 +5640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed curation pipelines
         "curated_corpus": _q_curated,
         "top_quality_per_lang": _q_top_quality_per_lang,
+        "source_stats": _q_source_stats,
+        "source_filter": _q_source_filter,
         # parent-child join queries over orders/lineitem
         "has_child": _q_has_child,
         "nested_query": _q_nested_query,
@@ -9129,6 +9147,59 @@ SELECT b.doc_id, b.lang, b.n_tokens,
 FROM base b JOIN reps USING (doc_id)
 WHERE n_tokens >= 20 AND mean_tok_len <= 8.0 AND lang IN ('en', 'fr')
 ORDER BY doc_id
+""",
+        # per-source (domain-level) stats: quality summed as integer
+        # micro-units — order-exact on both sides
+        "source_stats": """
+WITH base AS (
+  SELECT doc_id, source, len(text)::BIGINT AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         round(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the','and','of','a','to','in','is','it','that','for',
+                          'on','with','as','at','by','an','be','or','this','are',
+                          'from')))::DOUBLE / greatest(n_tokens, 1), 6) AS stop_ratio,
+         round((n_chars - (n_tokens - 1))::DOUBLE / greatest(n_tokens, 1), 6)
+           AS mean_tok_len
+  FROM documents),
+q AS (
+  SELECT doc_id, source, n_tokens,
+         round(0.5 * least(n_tokens, 100) / 100.0
+               + 0.3 * (1 - least(mean_tok_len, 10.0) / 10.0)
+               + 0.2 * stop_ratio, 6) AS quality
+  FROM base)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(CAST(round(quality * 1000000, 0) AS BIGINT))
+             / (count(*) * 1000000.0), 6) AS mean_quality,
+       round(sum(n_tokens) / count(*)::DOUBLE, 6) AS mean_tokens
+FROM q GROUP BY source ORDER BY source
+""",
+        # CCNet-style domain filter: keep docs whose SOURCE's mean quality
+        # clears the bar
+        "source_filter": """
+WITH base AS (
+  SELECT doc_id, source, len(text)::BIGINT AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         round(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the','and','of','a','to','in','is','it','that','for',
+                          'on','with','as','at','by','an','be','or','this','are',
+                          'from')))::DOUBLE / greatest(n_tokens, 1), 6) AS stop_ratio,
+         round((n_chars - (n_tokens - 1))::DOUBLE / greatest(n_tokens, 1), 6)
+           AS mean_tok_len
+  FROM documents),
+q AS (
+  SELECT doc_id, source,
+         round(0.5 * least(n_tokens, 100) / 100.0
+               + 0.3 * (1 - least(mean_tok_len, 10.0) / 10.0)
+               + 0.2 * stop_ratio, 6) AS quality
+  FROM base),
+s AS (
+  SELECT source,
+         round(sum(CAST(round(quality * 1000000, 0) AS BIGINT))
+               / (count(*) * 1000000.0), 6) AS mean_quality
+  FROM q GROUP BY source)
+SELECT q.doc_id, q.source, q.quality
+FROM q JOIN s ON s.source = q.source
+WHERE s.mean_quality >= 0.445 ORDER BY q.doc_id
 """,
         "top_quality_per_lang": """
 WITH base AS (

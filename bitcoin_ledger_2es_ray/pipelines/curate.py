@@ -716,3 +716,123 @@ def curriculum_stages(sf_dir: str, n_stages: int = 4) -> pa.Table:
         )
         base += p.num_rows
     return pa.concat_tables(out).sort_by("doc_id")
+
+
+def source_stats(sf_dir: str) -> pa.Table:
+    """Per-SOURCE (domain-level, CCNet-style) corpus statistics:
+    (source, n_docs, mean_quality, mean_tokens).
+
+    The web-curation move where the unit of trust is the DOMAIN, not the
+    document (CCNet buckets Common Crawl by URL domain): one streamed pass
+    computes per-batch (source, n, Σq_micro, Σtokens) partials — quality is
+    carried as an INTEGER micro-unit (round(q·1e6)) so the cross-batch sum
+    is order-exact, never a float accumulation — and the driver fold is
+    bounded by the number of sources, not the corpus.
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        feats = quality_batch(batch)
+        q_micro = np.round(
+            np.asarray(feats["quality"], dtype=np.float64) * 1_000_000
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "q_micro": pa.array(q_micro),
+                "n_tokens": feats["n_tokens"],
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("q_micro", "sum"), ("n_tokens", "sum"), ("source", "count")]
+        )
+
+    parts = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in rd_read_docs_source(sf_dir)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        ]
+    )
+    merged = parts.group_by("source").aggregate(
+        [("q_micro_sum", "sum"), ("n_tokens_sum", "sum"), ("source_count", "sum")]
+    )
+    n = np.asarray(merged["source_count_sum"], dtype=np.int64)
+    qsum = np.asarray(merged["q_micro_sum_sum"], dtype=np.int64)
+    tsum = np.asarray(merged["n_tokens_sum_sum"], dtype=np.int64)
+    from ..functions.bm25 import sql_round
+
+    return pa.table(
+        {
+            "source": merged["source"],
+            "n_docs": pa.array(n),
+            "mean_quality": pa.array(sql_round(qsum / (n * 1_000_000.0), 6)),
+            "mean_tokens": pa.array(sql_round(tsum / n.astype(np.float64), 6)),
+        }
+    ).sort_by("source")
+
+
+def rd_read_docs_source(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+
+def source_filter_ds(sf_dir: str, threshold: float = 0.445):
+    """Streaming domain filter: drop every doc whose SOURCE's mean quality
+    is below ``threshold`` (the per-source verdict computed by
+    ``source_stats``, broadcast once via ``ray.put`` — the doc stream never
+    shuffles).  Emits (doc_id, source, quality) for the kept docs."""
+    import ray
+
+    stats = source_stats(sf_dir)
+    keep = {
+        s
+        for s, mq in zip(stats["source"].to_pylist(), stats["mean_quality"].to_pylist())
+        if mq >= threshold
+    }
+    keep_ref = ray.put(pa.array(sorted(keep), type=pa.string()))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        feats = quality_batch(batch)
+        mask = pc.is_in(batch["source"], value_set=ray.get(keep_ref))
+        return pa.table(
+            {
+                "doc_id": feats["doc_id"],
+                "source": batch["source"],
+                "quality": feats["quality"],
+            }
+        ).filter(mask)
+
+    return rd_read_docs_source(sf_dir).map_batches(
+        filt, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def source_filter(sf_dir: str, threshold: float = 0.445) -> pa.Table:
+    import ray
+
+    parts = [
+        ray.get(r) for r in source_filter_ds(sf_dir, threshold).to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "source": pa.array([], type=pa.string()),
+                "quality": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by("doc_id")
+
+
+def source_filter_to_parquet(sf_dir: str, out_dir: str, threshold: float = 0.445) -> str:
+    from .textstats import write_dataset
+
+    return write_dataset(source_filter_ds(sf_dir, threshold), out_dir)

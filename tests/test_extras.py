@@ -1734,3 +1734,33 @@ def test_knn_graph_lsh_recall(ray_session):
             assert abs(exact_sim[(a, b)] - s) < 1e-9
     again = knn_graph_lsh(SF, k=5, n_planes=4, n_tables=12)
     assert again.equals(approx)
+
+
+def test_source_stats_and_filter(ray_session):
+    """Per-source stats vs a pandas brute force over the same quality
+    kernel; the filter keeps exactly the docs of clearing sources, and
+    every kept doc's source mean really clears the bar."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.curate import source_filter, source_stats
+    from bitcoin_ledger_2es_ray.pipelines.textstats import quality_batch
+
+    stats = source_stats(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "source"])
+    feats = quality_batch(docs).to_pandas()
+    feats["source"] = docs["source"].to_pylist()
+    feats["q_micro"] = np.round(feats["quality"] * 1_000_000).astype(np.int64)
+    by = feats.groupby("source")
+    expect_mean = (by["q_micro"].sum() / (by.size() * 1_000_000.0)).round(6)
+    got = dict(zip(stats["source"].to_pylist(), stats["mean_quality"].to_pylist()))
+    assert set(got) == set(expect_mean.index)
+    for s, m in expect_mean.items():
+        assert abs(got[s] - m) < 1e-9
+    assert stats["n_docs"].to_pylist() == by.size().reindex(sorted(got)).tolist()
+
+    kept = source_filter(SF, threshold=0.445)
+    keep_sources = {s for s, m in got.items() if m >= 0.445}
+    assert set(kept["source"].to_pylist()) == keep_sources
+    expected_ids = sorted(feats[feats["source"].isin(keep_sources)]["doc_id"])
+    assert kept["doc_id"].to_pylist() == expected_ids
+    assert 0 < len(keep_sources) < len(got)  # the bar actually splits
