@@ -3158,6 +3158,24 @@ def _q_source_filter(sf_dir: str) -> pa.Table:
     return source_filter(sf_dir, threshold=0.445)
 
 
+def _q_nb_train(sf_dir: str) -> pa.Table:
+    """Distributed Naive-Bayes training: (lang, term) count shuffle (the
+    term-dictionary envelope) -> Laplace-smoothed log-likelihood weights as
+    integer micro-units (order-exact across engines)."""
+    from bitcoin_ledger_2es_ray.pipelines.nbayes import nb_train
+
+    return nb_train(sf_dir)
+
+
+def _q_nb_predict(sf_dir: str) -> pa.Table:
+    """Naive-Bayes inference: model broadcast once via ray.put; each doc
+    batch scores all classes vectorized (sparse present-pair identity); the
+    doc stream never shuffles."""
+    from bitcoin_ledger_2es_ray.pipelines.nbayes import nb_predict
+
+    return nb_predict(sf_dir)
+
+
 def _q_shuffle_order(sf_dir: str) -> pa.Table:
     """Deterministic global training-order shuffle: distributed sort on
     sha256(doc_id ':' seed) + two-phase rank enumeration."""
@@ -5642,6 +5660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quality_per_lang": _q_top_quality_per_lang,
         "source_stats": _q_source_stats,
         "source_filter": _q_source_filter,
+        "nb_train": _q_nb_train,
+        "nb_predict": _q_nb_predict,
         # parent-child join queries over orders/lineitem
         "has_child": _q_has_child,
         "nested_query": _q_nested_query,
@@ -9200,6 +9220,60 @@ s AS (
 SELECT q.doc_id, q.source, q.quality
 FROM q JOIN s ON s.source = q.source
 WHERE s.mean_quality >= 0.445 ORDER BY q.doc_id
+""",
+        # Naive-Bayes training: Laplace-smoothed ln((c+1)/(tokens_lang+V))
+        # as integer micro-units (round = half-away, matching the engine)
+        "nb_train": """
+WITH pairs AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (
+  SELECT lang, term, count(*)::BIGINT AS c FROM pairs GROUP BY lang, term),
+tot AS (SELECT lang, sum(c)::BIGINT AS t FROM counts GROUP BY lang),
+v AS (SELECT count(DISTINCT term)::BIGINT AS v FROM counts)
+SELECT c.lang, c.term, c.c,
+       CAST(round(ln((c.c + 1.0) / (t.t + v.v)) * 1000000) AS BIGINT) AS w_micro
+FROM counts c JOIN tot t USING (lang) CROSS JOIN v
+ORDER BY c.lang, c.term
+""",
+        # Naive-Bayes inference via the sparse identity: score = prior
+        # + dl*floor + SUM_present tf*(w - floor)  ==  prior + SUM tf*w_dense
+        "nb_predict": """
+WITH pairs AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (
+  SELECT lang, term, count(*)::BIGINT AS c FROM pairs GROUP BY lang, term),
+tot AS (SELECT lang, sum(c)::BIGINT AS t FROM counts GROUP BY lang),
+v AS (SELECT count(DISTINCT term)::BIGINT AS v FROM counts),
+w AS (
+  SELECT c.lang, c.term,
+         CAST(round(ln((c.c + 1.0) / (t.t + v.v)) * 1000000) AS BIGINT) AS w
+  FROM counts c JOIN tot t USING (lang) CROSS JOIN v),
+fl AS (
+  SELECT t.lang, CAST(round(ln(1.0 / (t.t + v.v)) * 1000000) AS BIGINT) AS f
+  FROM tot t CROSS JOIN v),
+nd AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+pr AS (
+  SELECT lang,
+         CAST(round(ln(n / (SELECT sum(n)::DOUBLE FROM nd)) * 1000000) AS BIGINT) AS p
+  FROM nd),
+dt AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dtf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM dt GROUP BY doc_id, term),
+ddl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM dt GROUP BY doc_id),
+contrib AS (
+  SELECT dtf.doc_id, w.lang, sum(dtf.tf * (w.w - fl.f))::BIGINT AS s
+  FROM dtf JOIN w USING (term) JOIN fl ON fl.lang = w.lang
+  GROUP BY dtf.doc_id, w.lang),
+scores AS (
+  SELECT d.doc_id, pr.lang,
+         (pr.p + d.dl * fl.f + coalesce(c.s, 0))::BIGINT AS score
+  FROM ddl d CROSS JOIN pr
+  JOIN fl ON fl.lang = pr.lang
+  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = pr.lang)
+SELECT doc_id, lang AS pred_lang, score AS score_micro
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+ORDER BY doc_id
 """,
         "top_quality_per_lang": """
 WITH base AS (
