@@ -3074,6 +3074,14 @@ def _q_knn_graph(sf_dir: str) -> pa.Table:
     return knn_graph(sf_dir, k=5)
 
 
+def _q_outlier_scores(sf_dir: str) -> pa.Table:
+    """ES x-pack outlier_detection (deterministic distance-feature subset):
+    kth-NN distance + mean-kNN distance + min-max-normalized combine."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import outlier_scores
+
+    return outlier_scores(sf_dir, k=5)
+
+
 def _q_knn_graph_lsh(sf_dir: str) -> pa.Table:
     # rows-only by nature (approximate); recall vs the exact graph is pinned
     # in tests/test_extras.py
@@ -5653,6 +5661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dups": _q_cosine_dups,
         "knn_graph": _q_knn_graph,
         "knn_graph_lsh": _q_knn_graph_lsh,  # rows-only (approximate recall)
+        "outlier_scores": _q_outlier_scores,
         "cosine_dups_lsh": _q_cosine_dups_lsh,  # rows-only (approximate recall)
         "media_features": _q_media_features,  # rows-only (synthetic media)
         # composed curation pipelines
@@ -10150,6 +10159,39 @@ ranked AS (
 )
 SELECT vec_id, rank::BIGINT AS rank, nbr_id, sim
 FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank
+""",
+        # x-pack outlier_detection (deterministic distance-feature subset):
+        # integer micro-distances off the ROUNDED cosine, CASE-guarded
+        # min-max normalization — mirrors pipelines/ann.outlier_scores
+        "outlier_scores": """
+WITH scored AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+           AS sim
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS rk,
+         CAST(round((1 - sim) * 1000000) AS BIGINT) AS dmic
+  FROM scored
+),
+feat AS (
+  SELECT vec_id,
+         round(max(CASE WHEN rk = 5 THEN dmic END) / 1000000.0, 6) AS dist_kth,
+         round(sum(dmic) / (5 * 1000000.0), 6) AS dist_avg
+  FROM ranked WHERE rk <= 5 GROUP BY vec_id
+)
+SELECT vec_id, dist_kth, dist_avg,
+       round(CASE WHEN max(dist_kth) OVER () = min(dist_kth) OVER () THEN 0
+                  ELSE 0.5 * (dist_kth - min(dist_kth) OVER ())
+                       / (max(dist_kth) OVER () - min(dist_kth) OVER ()) END
+           + CASE WHEN max(dist_avg) OVER () = min(dist_avg) OVER () THEN 0
+                  ELSE 0.5 * (dist_avg - min(dist_avg) OVER ())
+                       / (max(dist_avg) OVER () - min(dist_avg) OVER ()) END, 6)
+         AS outlier_score
+FROM feat ORDER BY vec_id
 """,
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),

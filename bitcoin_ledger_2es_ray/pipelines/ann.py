@@ -685,6 +685,96 @@ def knn_graph_lsh(
     )
 
 
+def _outlier_features_ds(sf_dir: str, k: int):
+    """Per-vector distance features (vec_id, dist_kth, dist_avg) in ONE
+    broadcast-matmul pass — ``knn_graph``'s envelope, but reduced inside the
+    batch so only 3 small columns per vector ever leave the task."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    f_ids, f_mat = _batch_matrix(full)
+    f_ref = ray.put((_normalize(f_mat), f_ids))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fmat, fids = ray.get(f_ref)
+        ids, mat = _batch_matrix(batch)
+        sims = sql_round(_normalize(mat) @ fmat.T, ROUND)
+        sims[ids[:, None] == fids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1] - 1)
+        order = np.lexsort((np.broadcast_to(fids, sims.shape), -sims), axis=1)[:, :kk]
+        top = np.take_along_axis(sims, order, axis=1)  # (n, kk) rounded sims
+        # integer micro-distances: sims are 6-dp decimals, so this is exact
+        dmic = np.floor((1.0 - top) * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "dist_kth": pa.array(sql_round(dmic[:, -1] / 1_000_000.0, ROUND)),
+                "dist_avg": pa.array(sql_round(dmic.sum(axis=1) / (kk * 1_000_000.0), ROUND)),
+            }
+        )
+
+    return _read_embeddings(sf_dir).map_batches(
+        partial, batch_format="pyarrow", batch_size=2048, zero_copy_batch=True
+    )
+
+
+def outlier_scores_ds(sf_dir: str, k: int = 5):
+    """ES x-pack data-frame-analytics ``outlier_detection`` — the
+    DETERMINISTIC distance-based feature subset (ES's ensemble adds LOF
+    variants and non-reproducible bagging; this graft keeps the two
+    documented distance features and a fixed equal-weight combine so the
+    DuckDB oracle agrees bit-for-bit):
+
+    - ``dist_kth``       distance (1 − rounded cosine) to the kth nearest
+                         neighbour,
+    - ``dist_avg``       mean distance to the k nearest neighbours,
+    - ``outlier_score``  equal-weight sum of the min-max-normalized
+                         features (a degenerate feature — max == min —
+                         contributes 0, mirrored in the SQL CASE).
+
+    Two streamed phases: the feature pass above (embeddings broadcast once),
+    materialized at 3-columns-per-vector, then a streamed min/max aggregate
+    (4 scalars) and a second map_batches that adds the normalized score —
+    the driver only ever holds the 4 normalization scalars."""
+    from ray.data.aggregate import Max as AMax, Min as AMin
+
+    feats = _outlier_features_ds(sf_dir, k).materialize()
+    agg = feats.aggregate(
+        AMin("dist_kth", alias_name="min_k"),
+        AMax("dist_kth", alias_name="max_k"),
+        AMin("dist_avg", alias_name="min_a"),
+        AMax("dist_avg", alias_name="max_a"),
+    )
+    min_k, max_k = float(agg["min_k"]), float(agg["max_k"])
+    min_a, max_a = float(agg["min_a"]), float(agg["max_a"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        dk = np.asarray(batch["dist_kth"], dtype=np.float64)
+        da = np.asarray(batch["dist_avg"], dtype=np.float64)
+        tk = np.zeros_like(dk) if max_k == min_k else 0.5 * (dk - min_k) / (max_k - min_k)
+        ta = np.zeros_like(da) if max_a == min_a else 0.5 * (da - min_a) / (max_a - min_a)
+        return batch.append_column(
+            "outlier_score", pa.array(sql_round(tk + ta, ROUND), type=pa.float64())
+        )
+
+    return feats.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def outlier_scores(sf_dir: str, k: int = 5) -> pa.Table:
+    import ray
+
+    parts = [ray.get(r) for r in outlier_scores_ds(sf_dir, k).to_arrow_refs()]
+    return pa.concat_tables([p for p in parts if p.num_rows]).sort_by("vec_id")
+
+
+def outlier_scores_to_parquet(sf_dir: str, out_dir: str, k: int = 5) -> str:
+    from .textstats import write_dataset
+
+    return write_dataset(outlier_scores_ds(sf_dir, k), out_dir)
+
+
 def _minmax_norm(scores: np.ndarray) -> np.ndarray:
     """ES linear-retriever ``minmax`` normalizer over one leg's top-k:
     (s - min)/(max - min); a degenerate leg (max == min) maps to 1.0."""

@@ -1764,3 +1764,54 @@ def test_source_stats_and_filter(ray_session):
     expected_ids = sorted(feats[feats["source"].isin(keep_sources)]["doc_id"])
     assert kept["doc_id"].to_pylist() == expected_ids
     assert 0 < len(keep_sources) < len(got)  # the bar actually splits
+
+
+def test_outlier_scores_brute_force(ray_session):
+    """x-pack outlier_detection (distance-feature subset) vs an independent
+    dense recompute: per-point kth/avg kNN distance off the rounded cosine,
+    equal-weight min-max-normalized combine."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.ann import outlier_scores
+
+    t = outlier_scores(SF, k=5)
+    full = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(full["vec_id"])
+    mat = np.vstack([np.asarray(e, dtype=np.float64) for e in full["embedding"].to_pylist()])
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(nm @ nm.T, 6)
+    np.fill_diagonal(sims, -np.inf)
+    dk, da = {}, {}
+    for i in range(len(ids)):
+        order = sorted(range(len(ids)), key=lambda j: (-sims[i, j], ids[j]))[:5]
+        dmic = [round((1.0 - sims[i, j]) * 1_000_000) for j in order]
+        dk[int(ids[i])] = dmic[-1] / 1_000_000.0
+        da[int(ids[i])] = round(sum(dmic) / 5_000_000.0, 6)
+    mnk, mxk = min(dk.values()), max(dk.values())
+    mna, mxa = min(da.values()), max(da.values())
+    for vid, gk, ga, gs in zip(
+        t["vec_id"].to_pylist(),
+        t["dist_kth"].to_pylist(),
+        t["dist_avg"].to_pylist(),
+        t["outlier_score"].to_pylist(),
+    ):
+        assert math.isclose(gk, dk[vid], abs_tol=1e-9)
+        assert math.isclose(ga, da[vid], abs_tol=1e-9)
+        want = 0.5 * (dk[vid] - mnk) / (mxk - mnk) + 0.5 * (da[vid] - mna) / (mxa - mna)
+        assert math.isclose(gs, round(want, 6), abs_tol=1e-6)
+    # scores live in [0, 1]; at least one point attains a boundary feature
+    scores = t["outlier_score"].to_pylist()
+    assert min(scores) >= 0.0 and max(scores) <= 1.0
+
+
+def test_outlier_scores_sink_round_trip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.ann import outlier_scores, outlier_scores_to_parquet
+
+    out = outlier_scores_to_parquet(SF, str(tmp_path / "outliers"))
+    back = pq.read_table(out).sort_by("vec_id")
+    direct = outlier_scores(SF)
+    assert back.select(direct.column_names).equals(direct)
