@@ -3184,6 +3184,22 @@ def _q_nb_predict(sf_dir: str) -> pa.Table:
     return nb_predict(sf_dir)
 
 
+def _q_ols_fit(sf_dir: str) -> pa.Table:
+    """x-pack data-frame-analytics regression (deterministic OLS variant):
+    closed-form least squares from exact integer moment partials."""
+    from bitcoin_ledger_2es_ray.pipelines.regress import ols_fit
+
+    return ols_fit(sf_dir)
+
+
+def _q_ols_predict(sf_dir: str) -> pa.Table:
+    """Regression inference over the source rows: prediction + residual per
+    lineitem from the two fitted scalars (row stream never shuffles)."""
+    from bitcoin_ledger_2es_ray.pipelines.regress import ols_predict
+
+    return ols_predict(sf_dir)
+
+
 def _q_shuffle_order(sf_dir: str) -> pa.Table:
     """Deterministic global training-order shuffle: distributed sort on
     sha256(doc_id ':' seed) + two-phase rank enumeration."""
@@ -5671,6 +5687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_filter": _q_source_filter,
         "nb_train": _q_nb_train,
         "nb_predict": _q_nb_predict,
+        "ols_fit": _q_ols_fit,
+        "ols_predict": _q_ols_predict,
         # parent-child join queries over orders/lineitem
         "has_child": _q_has_child,
         "nested_query": _q_nested_query,
@@ -9243,6 +9261,54 @@ SELECT c.lang, c.term, c.c,
        CAST(round(ln((c.c + 1.0) / (t.t + v.v)) * 1000000) AS BIGINT) AS w_micro
 FROM counts c JOIN tot t USING (lang) CROSS JOIN v
 ORDER BY c.lang, c.term
+""",
+        # x-pack data-frame-analytics regression (deterministic OLS):
+        # exact BIGINT moments, each converted to DOUBLE before the closed
+        # form — the identical IEEE expression tree as pipelines/regress.py
+        "ols_fit": """
+WITH m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+         sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+         sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+         sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS sxy,
+         sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS syy
+  FROM lineitem),
+c AS (
+  SELECT n, n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+         n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov_n,
+         n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS var_x,
+         n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS var_y
+  FROM m),
+s AS (SELECT *, cov_n / var_x AS slope FROM c)
+SELECT n, round(slope, 6) AS slope,
+       round((syd - slope * sxd) / nd, 6) AS intercept,
+       round((cov_n * cov_n) / (var_x * var_y), 6) AS r2
+FROM s
+""",
+        "ols_predict": """
+WITH m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+         sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+         sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+         sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+  FROM lineitem),
+c AS (
+  SELECT n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+         n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov_n,
+         n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS var_x
+  FROM m),
+s AS (SELECT cov_n / var_x AS slope, syd, sxd, nd FROM c),
+f AS (SELECT slope, (syd - slope * sxd) / nd AS icept FROM s),
+p AS (
+  SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+         CAST(round(l_extendedprice) AS BIGINT) AS y_usd,
+         round(f.slope * l_quantity + f.icept, 6) AS pred_usd
+  FROM lineitem CROSS JOIN f)
+SELECT l_orderkey, l_linenumber, y_usd, pred_usd,
+       round(y_usd - pred_usd, 6) AS resid_usd
+FROM p ORDER BY l_orderkey, l_linenumber
 """,
         # Naive-Bayes inference via the sparse identity: score = prior
         # + dl*floor + SUM_present tf*(w - floor)  ==  prior + SUM tf*w_dense
