@@ -3184,6 +3184,14 @@ def _q_nb_predict(sf_dir: str) -> pa.Table:
     return nb_predict(sf_dir)
 
 
+def _q_anomaly_scores(sf_dir: str) -> pa.Table:
+    """ES ML anomaly detection (deterministic robust-z-score core): per
+    (event_type, day bucket) counts vs the type's median/MAD typicality."""
+    from bitcoin_ledger_2es_ray.pipelines.events import anomaly_scores
+
+    return anomaly_scores(sf_dir)
+
+
 def _q_ols_fit(sf_dir: str) -> pa.Table:
     """x-pack data-frame-analytics regression (deterministic OLS variant):
     closed-form least squares from exact integer moment partials."""
@@ -5689,6 +5697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_predict": _q_nb_predict,
         "ols_fit": _q_ols_fit,
         "ols_predict": _q_ols_predict,
+        "anomaly_scores": _q_anomaly_scores,
         # parent-child join queries over orders/lineitem
         "has_child": _q_has_child,
         "nested_query": _q_nested_query,
@@ -9261,6 +9270,27 @@ SELECT c.lang, c.term, c.c,
        CAST(round(ln((c.c + 1.0) / (t.t + v.v)) * 1000000) AS BIGINT) AS w_micro
 FROM counts c JOIN tot t USING (lang) CROSS JOIN v
 ORDER BY c.lang, c.term
+""",
+        # ES ML anomaly detection (deterministic robust-z-score core):
+        # per-type median/MAD of day-bucket counts, spread floored at 1
+        "anomaly_scores": """
+WITH b AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         count(*)::BIGINT AS actual
+  FROM events GROUP BY event_type, bucket_s),
+m AS (
+  SELECT event_type,
+         median(actual::DOUBLE) AS typical,
+         mad(actual::DOUBLE) AS spread
+  FROM b GROUP BY event_type)
+SELECT b.event_type, b.bucket_s, b.actual,
+       round(m.typical, 6) AS typical,
+       round(m.spread, 6) AS spread,
+       round(abs(b.actual - m.typical) / greatest(m.spread, 1.0), 6)
+         AS anomaly_score
+FROM b JOIN m USING (event_type)
+ORDER BY b.event_type, b.bucket_s
 """,
         # x-pack data-frame-analytics regression (deterministic OLS):
         # exact BIGINT moments, each converted to DOUBLE before the closed

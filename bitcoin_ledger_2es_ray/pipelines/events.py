@@ -959,3 +959,68 @@ def time_series_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
             ),
         }
     ).sort_by([("user_id", "ascending"), ("event_type", "ascending")])
+
+
+def anomaly_scores(sf_dir: str, interval_s: int = 86400) -> pa.Table:
+    """ES ML anomaly detection — the DETERMINISTIC robust-z-score core of a
+    count-function job (ES fits probabilistic models with decaying state;
+    this graft keeps the median/MAD typicality measure so every engine
+    reproduces it bit-for-bit): per (event_type, fixed UTC bucket) doc
+    counts, ``typical`` = median of that type's bucket counts, ``spread`` =
+    MAD (median absolute deviation, both quantile_cont-interpolated like
+    DuckDB), ``anomaly_score`` = |actual − typical| / max(spread, 1) — the
+    floor keeps constant series from dividing by zero, same shape as ES's
+    severity normalization.
+
+    One streamed pass of per-batch (event_type, bucket, n) hash-agg
+    partials; the driver combine and the per-type median walk are bounded
+    by #types × #buckets, never by event count.
+    """
+    import ray
+
+    from .aggs import _weighted_median
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(batch["ts"].cast(pa.int64()), 1_000_000)
+        bucket = pc.multiply(pc.divide(epoch, interval_s), interval_s)
+        t = pa.table({"event_type": batch["event_type"], "bucket_s": bucket})
+        agg = t.group_by(["event_type", "bucket_s"]).aggregate([("bucket_s", "count")])
+        return pa.table(
+            {
+                "event_type": agg["event_type"],
+                "bucket_s": agg["bucket_s"],
+                "n": agg["bucket_s_count"].cast(pa.int64()),
+            }
+        )
+
+    ds = _read_events(sf_dir, ["ts", "event_type"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ..functions.blocks import collect_tables
+
+    cat = pa.concat_tables(collect_tables(ds, on_empty="anomaly_scores: no events"))
+    g = cat.group_by(["event_type", "bucket_s"]).aggregate([("n", "sum")])
+    g = g.sort_by([("event_type", "ascending"), ("bucket_s", "ascending")])
+    types = np.asarray(g["event_type"])
+    actual = np.asarray(g["n_sum"], dtype=np.float64)
+    typical = np.empty_like(actual)
+    spread = np.empty_like(actual)
+    for ty in np.unique(types):
+        m = types == ty
+        vals = actual[m]
+        med = _weighted_median(vals, np.ones(len(vals), dtype=np.int64))
+        dev = np.abs(vals - med)
+        mad = _weighted_median(dev, np.ones(len(dev), dtype=np.int64))
+        typical[m] = med
+        spread[m] = mad
+    score = np.abs(actual - typical) / np.maximum(spread, 1.0)
+    return pa.table(
+        {
+            "event_type": g["event_type"],
+            "bucket_s": g["bucket_s"].cast(pa.int64()),
+            "actual": g["n_sum"].cast(pa.int64()),
+            "typical": pa.array(sql_round(typical, 6), type=pa.float64()),
+            "spread": pa.array(sql_round(spread, 6), type=pa.float64()),
+            "anomaly_score": pa.array(sql_round(score, 6), type=pa.float64()),
+        }
+    )

@@ -1815,3 +1815,31 @@ def test_outlier_scores_sink_round_trip(ray_session, tmp_path):
     back = pq.read_table(out).sort_by("vec_id")
     direct = outlier_scores(SF)
     assert back.select(direct.column_names).equals(direct)
+
+
+def test_anomaly_scores_brute_force(ray_session):
+    """Robust-z anomaly scores vs an independent pandas recompute
+    (np.median / manual MAD — a different quantile code path)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.events import anomaly_scores
+
+    t = anomaly_scores(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type"]).to_pandas()
+    ev["bucket_s"] = (ev["ts"].astype("int64") // 1_000_000 // 86400) * 86400
+    b = ev.groupby(["event_type", "bucket_s"]).size().rename("actual").reset_index()
+    for ty, grp in b.groupby("event_type"):
+        med = float(np.median(grp["actual"]))  # np.median interpolates like quantile_cont at 0.5
+        mad = float(np.median(np.abs(grp["actual"] - med)))
+        sub = t[t["event_type"] == ty].set_index("bucket_s")
+        assert len(sub) == len(grp)
+        for _, row in grp.iterrows():
+            got = sub.loc[row["bucket_s"]]
+            assert got["actual"] == row["actual"]
+            assert abs(got["typical"] - med) < 1e-9
+            assert abs(got["spread"] - mad) < 1e-9
+            want = abs(row["actual"] - med) / max(mad, 1.0)
+            assert abs(got["anomaly_score"] - round(want, 6)) < 1e-6
+    assert (t["anomaly_score"] >= 0).all()
+    assert isinstance(t, pd.DataFrame)
