@@ -3184,6 +3184,22 @@ def _q_nb_predict(sf_dir: str) -> pa.Table:
     return nb_predict(sf_dir)
 
 
+def _q_pca_fit(sf_dir: str) -> pa.Table:
+    """Distributed PCA fit over milli-quantized integer moments (order-exact
+    on any cluster size); eigendecomposition on the driver's d×d reduce."""
+    from bitcoin_ledger_2es_ray.pipelines.pca import pca_fit
+
+    return pca_fit(sf_dir, k=4)
+
+
+def _q_pca_project(sf_dir: str) -> pa.Table:
+    """PCA projection: components broadcast by closure, one matmul per
+    batch, row stream never shuffles."""
+    from bitcoin_ledger_2es_ray.pipelines.pca import pca_project
+
+    return pca_project(sf_dir, k=4)
+
+
 def _q_anomaly_scores(sf_dir: str) -> pa.Table:
     """ES ML anomaly detection (deterministic robust-z-score core): per
     (event_type, day bucket) counts vs the type's median/MAD typicality."""
@@ -5698,6 +5714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ols_fit": _q_ols_fit,
         "ols_predict": _q_ols_predict,
         "anomaly_scores": _q_anomaly_scores,
+        "pca_fit": _q_pca_fit,  # rows-only (eigendecomposition not SQL-expressible)
+        "pca_project": _q_pca_project,  # rows-only (same)
         # parent-child join queries over orders/lineitem
         "has_child": _q_has_child,
         "nested_query": _q_nested_query,

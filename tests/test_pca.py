@@ -1,0 +1,73 @@
+"""Distributed PCA (pipelines/pca.py): numpy identity on the quantized
+moments, orthonormality, sign pin, projection map, sink round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+Q = 1000
+
+
+def _dense():
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"])
+    mat = np.vstack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+    q = np.sign(mat) * np.floor(np.abs(mat) * Q + 0.5)
+    return ids, mat, q
+
+
+def test_pca_fit_vs_numpy(ray_session):
+    """Engine components equal np.cov+eigh over the SAME quantized data
+    (independent assembly: dense matrix in one shot, np.cov path)."""
+    from bitcoin_ledger_2es_ray.pipelines.pca import pca_fit
+
+    _, _, q = _dense()
+    x = q / Q
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(-vals, kind="stable")[:4]
+    want_vals, want_vecs = vals[order], vecs[:, order].T
+    for i in range(4):
+        j = int(np.argmax(np.abs(want_vecs[i])))
+        if want_vecs[i, j] < 0:
+            want_vecs[i] = -want_vecs[i]
+    t = pca_fit(SF, k=4)
+    d = x.shape[1]
+    assert t.num_rows == 4 * d
+    got_w = np.asarray(t["weight"]).reshape(4, d)
+    got_v = np.asarray(t["eigval"]).reshape(4, d)[:, 0]
+    assert np.allclose(got_w, np.round(want_vecs, 6), atol=2e-6)
+    assert np.allclose(got_v, want_vals, atol=1e-6)
+    # descending variance and orthonormal rows
+    assert (np.diff(got_v) <= 1e-12).all()
+    gram = got_w @ got_w.T
+    assert np.allclose(gram, np.eye(4), atol=1e-4)  # rounded weights
+    evr = np.asarray(t["explained_ratio"]).reshape(4, d)[:, 0]
+    assert np.allclose(evr, want_vals / np.trace(cov), atol=1e-6)
+
+
+def test_pca_project_map(ray_session):
+    """Projections equal (x − μ) @ Wᵀ with the raw float vectors."""
+    from bitcoin_ledger_2es_ray.pipelines.pca import _components, pca_project
+
+    ids, mat, _ = _dense()
+    _, vecs, _, mu = _components(SF, 4)
+    want = np.round((mat - mu) @ vecs.T, 6)
+    t = pca_project(SF, k=4)
+    assert t["vec_id"].to_pylist() == sorted(ids.tolist())
+    order = np.argsort(ids, kind="stable")
+    got = np.column_stack([np.asarray(t[f"pc{i}"]) for i in range(4)])
+    assert np.allclose(got, want[order], atol=1e-6)
+    # centered projections: each component sums to ~0 over the corpus
+    assert np.abs(got.sum(axis=0)).max() < 1.0
+
+
+def test_pca_project_sink_round_trip(ray_session, tmp_path):
+    from bitcoin_ledger_2es_ray.pipelines.pca import pca_project, pca_project_to_parquet
+
+    out = pca_project_to_parquet(SF, str(tmp_path / "pca"))
+    back = pq.read_table(out).sort_by("vec_id")
+    direct = pca_project(SF)
+    assert back.select(direct.column_names).equals(direct)
