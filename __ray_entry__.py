@@ -3184,6 +3184,21 @@ def _q_nb_predict(sf_dir: str) -> pa.Table:
     return nb_predict(sf_dir)
 
 
+def _q_kmeans_fit(sf_dir: str) -> pa.Table:
+    """Spherical k-means fit (bounded-sample trainer, O(sample) driver)."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import kmeans_fit
+
+    return kmeans_fit(sf_dir, n_centroids=16)
+
+
+def _q_kmeans_assign(sf_dir: str) -> pa.Table:
+    """Streamed k-means assignment: centroids broadcast once, one matmul
+    per batch, row stream never shuffles."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import kmeans_assign
+
+    return kmeans_assign(sf_dir, n_centroids=16)
+
+
 def _q_pca_fit(sf_dir: str) -> pa.Table:
     """Distributed PCA fit over milli-quantized integer moments (order-exact
     on any cluster size); eigendecomposition on the driver's d×d reduce."""
@@ -5416,7 +5431,10 @@ def _q_esql_eval(sf_dir: str) -> pa.Table:
 # not-yet-driver-sampled surface to the front: the two round-4 dtype fixes
 # (lg_batches, esql_grok), the two reworked operators (sem_dedup, lang_id),
 # the full ES|QL/SQL command set, the aggregation long tail, index
-# lifecycle, and the dedup/curation pipelines.  Everything else follows in
+# lifecycle, the dedup/curation pipelines, and this session's ML family
+# (nb_train/nb_predict, ols_predict, anomaly_scores, outlier_scores — the
+# newest code benefits most from the external gate).  Everything else
+# follows in
 # its original order, so nothing is removed.
 _FRONT_50 = [
     "lg_batches", "esql_grok", "sem_dedup", "rare_terms", "lang_id",
@@ -5424,9 +5442,9 @@ _FRONT_50 = [
     "esql_weighted_avg", "esql_lookup", "esql_mv_expand", "esql_strings",
     "esql_enrich", "esql_count_distinct", "esql_qstr", "esql_case",
     "sql_select", "esql_percentile", "terms_agg", "esql_mad",
-    "weighted_avg", "esql_sample", "terms_shard_error", "esql_fork",
-    "bucket_script", "esql_change_point", "auto_date_histogram",
-    "composite_page2", "percentiles", "knn_graph", "top_hits",
+    "nb_train", "esql_sample", "nb_predict", "esql_fork",
+    "ols_predict", "esql_change_point", "anomaly_scores",
+    "outlier_scores", "percentiles", "knn_graph", "top_hits",
     "sig_terms", "delete_query_topk", "update_lang_counts",
     "filtered_alias", "transform_pivot", "exact_dedup", "jaccard_dups",
     "decontaminate", "duplicate_spans", "dedup_keep_best", "hash_split",
@@ -5716,6 +5734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_scores": _q_anomaly_scores,
         "pca_fit": _q_pca_fit,  # rows-only (eigendecomposition not SQL-expressible)
         "pca_project": _q_pca_project,  # rows-only (same)
+        "kmeans_fit": _q_kmeans_fit,  # rows-only (iterative clustering)
+        "kmeans_assign": _q_kmeans_assign,  # rows-only (same)
         # parent-child join queries over orders/lineitem
         "has_child": _q_has_child,
         "nested_query": _q_nested_query,

@@ -1719,3 +1719,73 @@ def colbert_maxsim(
             "score": pa.array([r[3] for r in out_rows], type=pa.float64()),
         }
     )
+
+
+def kmeans_fit(
+    sf_dir: str, n_centroids: int = 16, sample: int = 2048, iters: int = 5
+) -> pa.Table:
+    """First-class spherical k-means FIT (the trainer knn_ivf / sem_dedup /
+    cluster_sample share, surfaced): deterministic centroids off a bounded
+    vec_id-ordered sample (row-group-pruned read, O(sample) driver memory —
+    the Lloyd iterations never see the full corpus; assignment below is the
+    streamed full pass).  Output long form (centroid, dim, weight), unit-norm
+    rows, rounded at 6 dp.  Rows-only by nature (iterative clustering)."""
+    cent = _train_centroids(sf_dir, n_centroids, sample=sample, iters=iters)
+    k, d = cent.shape
+    return pa.table(
+        {
+            "centroid": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "weight": pa.array(sql_round(cent.ravel(), 6), type=pa.float64()),
+        }
+    )
+
+
+def kmeans_assign_ds(
+    sf_dir: str, n_centroids: int = 16, sample: int = 2048, iters: int = 5
+):
+    """Streamed ASSIGN pass: centroids broadcast once via ``ray.put``, each
+    batch resolves (vec_id, centroid, sim) in one normalized matmul — ties
+    (sim DESC, centroid ASC) via argmax-first-max; the row stream never
+    shuffles (same envelope as knn_ivf's partition step)."""
+    import ray
+
+    cent = _train_centroids(sf_dir, n_centroids, sample=sample, iters=iters)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, mat = _batch_matrix(batch)
+        sims = sql_round(_normalize(mat) @ c.T, ROUND)
+        best = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "centroid": pa.array(best.astype(np.int64), type=pa.int64()),
+                "sim": pa.array(sims[np.arange(len(ids)), best], type=pa.float64()),
+            }
+        )
+
+    return _read_embeddings(sf_dir).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def kmeans_assign(
+    sf_dir: str, n_centroids: int = 16, sample: int = 2048, iters: int = 5
+) -> pa.Table:
+    import ray
+
+    parts = [
+        ray.get(r)
+        for r in kmeans_assign_ds(sf_dir, n_centroids, sample, iters).to_arrow_refs()
+    ]
+    return pa.concat_tables([p for p in parts if p.num_rows]).sort_by("vec_id")
+
+
+def kmeans_assign_to_parquet(
+    sf_dir: str, out_dir: str, n_centroids: int = 16, sample: int = 2048, iters: int = 5
+) -> str:
+    from .textstats import write_dataset
+
+    return write_dataset(kmeans_assign_ds(sf_dir, n_centroids, sample, iters), out_dir)

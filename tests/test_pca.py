@@ -71,3 +71,51 @@ def test_pca_project_sink_round_trip(ray_session, tmp_path):
     back = pq.read_table(out).sort_by("vec_id")
     direct = pca_project(SF)
     assert back.select(direct.column_names).equals(direct)
+
+
+def test_kmeans_fit_and_assign(ray_session):
+    """First-class k-means: fit matches the shared trainer, assignment is
+    the argmax of the normalized matmul (independent dense recompute),
+    deterministic across calls."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import (
+        _train_centroids,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    f1 = kmeans_fit(SF, n_centroids=8)
+    f2 = kmeans_fit(SF, n_centroids=8)
+    assert f1.equals(f2)  # deterministic
+    cent = _train_centroids(SF, 8)
+    k, d = cent.shape
+    assert f1.num_rows == k * d
+    got = np.asarray(f1["weight"]).reshape(k, d)
+    assert np.allclose(got, np.round(cent, 6), atol=1e-9)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
+
+    a = kmeans_assign(SF, n_centroids=8)
+    ids, mat, _ = _dense()
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(nm @ cent.T, 6)
+    best = np.argmax(sims, axis=1)
+    want = {int(i): (int(b), float(sims[j, b])) for j, (i, b) in enumerate(zip(ids, best))}
+    for vid, c, s in zip(
+        a["vec_id"].to_pylist(), a["centroid"].to_pylist(), a["sim"].to_pylist()
+    ):
+        wb, ws = want[vid]
+        assert c == wb and abs(s - ws) < 1e-9
+    assert a.num_rows == len(ids)
+
+
+def test_kmeans_assign_sink_round_trip(ray_session, tmp_path):
+    import pyarrow.parquet as pqt
+
+    from bitcoin_ledger_2es_ray.pipelines.ann import (
+        kmeans_assign,
+        kmeans_assign_to_parquet,
+    )
+
+    out = kmeans_assign_to_parquet(SF, str(tmp_path / "km"))
+    back = pqt.read_table(out).sort_by("vec_id")
+    direct = kmeans_assign(SF)
+    assert back.select(direct.column_names).equals(direct)
