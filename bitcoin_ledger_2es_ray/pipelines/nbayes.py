@@ -127,7 +127,7 @@ def nb_train(sf_dir: str) -> pa.Table:
             )
         )
     }
-    v = len(set(pairs["term"].to_pylist()))
+    v = pc.count_distinct(pairs["term"]).as_py()
     tot_arr = np.asarray([tot[l] for l in langs], dtype=np.float64)
     w_micro = _micro(np.log((c + 1.0) / (tot_arr + v)))
     return pa.table(
@@ -140,13 +140,28 @@ def nb_train(sf_dir: str) -> pa.Table:
     ).sort_by([("lang", "ascending"), ("term", "ascending")])
 
 
+MAX_DENSE_CELLS = 200_000_000  # langs × vocab ceiling: 1.6 GB of int64
+
+
 def _model(sf_dir: str):
     """Dense broadcastable model: (langs sorted, vocab sorted, W, floors,
-    priors) — all integer micro-units."""
+    priors) — all integer micro-units.
+
+    The dense form is langs × vocab int64; ``MAX_DENSE_CELLS`` caps it at
+    what one ``ray.put`` broadcast comfortably holds (~1.6 GB) and RAISES
+    past that instead of silently OOMing — past the cap, prune the
+    vocabulary (min-df) or score from the sparse table with a per-batch
+    hash join; the guard and the kernel agree by construction."""
     trained = nb_train(sf_dir)
     langs = sorted(set(trained["lang"].to_pylist()))
     vocab = sorted(set(trained["term"].to_pylist()))
     v = len(vocab)
+    if len(langs) * v > MAX_DENSE_CELLS:
+        raise ValueError(
+            f"nb_predict: dense model {len(langs)}×{v} exceeds "
+            f"MAX_DENSE_CELLS={MAX_DENSE_CELLS}; prune the vocabulary "
+            "(min-df) or score from the sparse nb_train table"
+        )
     tot = {
         l: int(n)
         for l, n in zip(
