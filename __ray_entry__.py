@@ -3082,6 +3082,14 @@ def _q_outlier_scores(sf_dir: str) -> pa.Table:
     return outlier_scores(sf_dir, k=5)
 
 
+def _q_outlier_scores_lsh(sf_dir: str) -> pa.Table:
+    """Outlier detection's 100-TB path: distance features off the LSH kNN
+    graph (no full-matrix broadcast), block-local per-vec reduction."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import outlier_scores_lsh
+
+    return outlier_scores_lsh(sf_dir, k=5)
+
+
 def _q_knn_graph_lsh(sf_dir: str) -> pa.Table:
     # rows-only by nature (approximate); recall vs the exact graph is pinned
     # in tests/test_extras.py
@@ -5720,6 +5728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "knn_graph_lsh": _q_knn_graph_lsh,  # rows-only (approximate recall)
         "outlier_scores": _q_outlier_scores,
+        "outlier_scores_lsh": _q_outlier_scores_lsh,  # rows-only (approximate)
         "cosine_dups_lsh": _q_cosine_dups_lsh,  # rows-only (approximate recall)
         "media_features": _q_media_features,  # rows-only (synthetic media)
         # composed curation pipelines

@@ -573,15 +573,18 @@ def knn_graph(sf_dir: str, k: int = 5) -> pa.Table:
     return t.sort_by([("vec_id", "ascending"), ("rank", "ascending")])
 
 
-def knn_graph_lsh(
+def _knn_graph_lsh_ds(
     sf_dir: str,
     k: int = 5,
     n_planes: int = 4,
     n_tables: int = 12,
     max_group: int = 20000,
-) -> pa.Table:
+):
     """Approximate kNN graph — the 100-TB path ``knn_graph`` documents:
-    NO full-matrix broadcast, everything bucket-local.
+    NO full-matrix broadcast, everything bucket-local.  Returns the
+    STREAMING Dataset (each output block holds whole per-vec groups in
+    rank order — downstream per-vec reductions stay block-local);
+    ``knn_graph_lsh`` below is the sorted driver-table collector.
 
     Same multi-table sign-hash bucketing as ``cosine_dup_pairs_lsh``; each
     ``groupby((table, bucket)).map_groups`` emits every member's LOCAL
@@ -669,7 +672,7 @@ def knn_graph_lsh(
 
     from ray.data.aggregate import Max
 
-    out = (
+    return (
         _read_embeddings(sf_dir)
         .map_batches(bucketize, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
         .groupby(["table", "bucket"])
@@ -679,6 +682,19 @@ def knn_graph_lsh(
         .groupby("vec_id")
         .map_groups(rerank, batch_format="pyarrow")
     )
+
+
+def knn_graph_lsh(
+    sf_dir: str,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    max_group: int = 20000,
+) -> pa.Table:
+    """Driver-table collector over ``_knn_graph_lsh_ds`` (docstring there)."""
+    import ray
+
+    out = _knn_graph_lsh_ds(sf_dir, k, n_planes, n_tables, max_group)
     t = pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()])
     return t.select(["vec_id", "rank", "nbr_id", "sim"]).sort_by(
         [("vec_id", "ascending"), ("rank", "ascending")]
@@ -773,6 +789,81 @@ def outlier_scores_to_parquet(sf_dir: str, out_dir: str, k: int = 5) -> str:
     from .textstats import write_dataset
 
     return write_dataset(outlier_scores_ds(sf_dir, k), out_dir)
+
+
+def outlier_scores_lsh(
+    sf_dir: str,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    max_group: int = 20000,
+) -> pa.Table:
+    """The 100-TB path ``outlier_scores`` documents: NO full-matrix
+    broadcast — the distance features come from the APPROXIMATE kNN graph
+    (``knn_graph_lsh``'s bucket-local plan), then the same min-max combine.
+    Approximate by design (a missed true neighbour inflates a distance);
+    agreement with the exact scorer is pinned in tests.  A vector whose
+    buckets yield fewer than ``k`` candidates keeps its available
+    neighbours (ES's own LOF-family features tolerate short neighbourhoods
+    the same way)."""
+    import ray
+    from ray.data.aggregate import Max as AMax, Min as AMin
+
+    graph = _knn_graph_lsh_ds(
+        sf_dir, k=k, n_planes=n_planes, n_tables=n_tables, max_group=max_group
+    )
+
+    def feat(batch: pa.Table) -> pa.Table:
+        # map_groups blocks hold whole per-vec groups in rank order
+        # (batch_size=None below keeps blocks unsplit), so the positional
+        # run-boundary walk reduces each vec entirely inside its batch
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "dist_kth": pa.array([], type=pa.float64()),
+                    "dist_avg": pa.array([], type=pa.float64()),
+                }
+            )
+        vids = np.asarray(batch["vec_id"], dtype=np.int64)
+        sims = np.asarray(batch["sim"], dtype=np.float64)
+        dmic = np.floor((1.0 - sims) * 1_000_000 + 0.5)
+        starts = np.r_[0, np.flatnonzero(np.diff(vids) != 0) + 1]
+        ends = np.append(starts[1:], len(vids))
+        return pa.table(
+            {
+                "vec_id": pa.array(vids[starts], type=pa.int64()),
+                "dist_kth": pa.array(sql_round(dmic[ends - 1] / 1_000_000.0, ROUND)),
+                "dist_avg": pa.array(
+                    sql_round(np.add.reduceat(dmic, starts) / (ends - starts) / 1_000_000.0, ROUND)
+                ),
+            }
+        )
+
+    feats = graph.map_batches(
+        feat, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    agg = feats.aggregate(
+        AMin("dist_kth", alias_name="min_k"),
+        AMax("dist_kth", alias_name="max_k"),
+        AMin("dist_avg", alias_name="min_a"),
+        AMax("dist_avg", alias_name="max_a"),
+    )
+    min_k, max_k = float(agg["min_k"]), float(agg["max_k"])
+    min_a, max_a = float(agg["min_a"]), float(agg["max_a"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        dk = np.asarray(batch["dist_kth"], dtype=np.float64)
+        da = np.asarray(batch["dist_avg"], dtype=np.float64)
+        tk = np.zeros_like(dk) if max_k == min_k else 0.5 * (dk - min_k) / (max_k - min_k)
+        ta = np.zeros_like(da) if max_a == min_a else 0.5 * (da - min_a) / (max_a - min_a)
+        return batch.append_column(
+            "outlier_score", pa.array(sql_round(tk + ta, ROUND), type=pa.float64())
+        )
+
+    out = feats.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [ray.get(r) for r in out.to_arrow_refs()]
+    return pa.concat_tables([p for p in parts if p.num_rows]).sort_by("vec_id")
 
 
 def _minmax_norm(scores: np.ndarray) -> np.ndarray:

@@ -1843,3 +1843,39 @@ def test_anomaly_scores_brute_force(ray_session):
             assert abs(got["anomaly_score"] - round(want, 6)) < 1e-6
     assert (t["anomaly_score"] >= 0).all()
     assert isinstance(t, pd.DataFrame)
+
+
+def test_outlier_scores_lsh_vs_exact(ray_session):
+    """LSH outlier path: per-vec features off the approximate graph agree
+    with the exact scorer wherever the LSH graph recovered the true kNN
+    (same distances => same features); coverage and bounds sanity."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import (
+        knn_graph,
+        knn_graph_lsh,
+        outlier_scores,
+        outlier_scores_lsh,
+    )
+
+    exact = outlier_scores(SF, k=5)
+    approx = outlier_scores_lsh(SF, k=5)
+    assert approx.num_rows > 0.9 * exact.num_rows  # near-total coverage
+    # vectors whose approximate neighbour set equals the exact one must get
+    # identical dist features (the feature math is shared)
+    eg = knn_graph(SF, k=5)
+    ag = knn_graph_lsh(SF, k=5)
+    def edges(t):
+        d = {}
+        for v, n in zip(t["vec_id"].to_pylist(), t["nbr_id"].to_pylist()):
+            d.setdefault(v, []).append(n)
+        return d
+    ee, aa = edges(eg), edges(ag)
+    same = [v for v in aa if aa[v] == ee.get(v)]
+    assert len(same) > 0
+    ef = {v: (k_, a_) for v, k_, a_ in zip(
+        exact["vec_id"].to_pylist(), exact["dist_kth"].to_pylist(), exact["dist_avg"].to_pylist())}
+    af = {v: (k_, a_) for v, k_, a_ in zip(
+        approx["vec_id"].to_pylist(), approx["dist_kth"].to_pylist(), approx["dist_avg"].to_pylist())}
+    for v in same:
+        assert af[v] == ef[v], v
+    s = approx["outlier_score"].to_pylist()
+    assert min(s) >= 0.0 and max(s) <= 1.0
