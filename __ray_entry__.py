@@ -3207,6 +3207,14 @@ def _q_kmeans_assign(sf_dir: str) -> pa.Table:
     return kmeans_assign(sf_dir, n_centroids=16)
 
 
+def _q_embedding_report(sf_dir: str) -> pa.Table:
+    """Composed embedding-curation report: cluster + outlier score + PCs
+    per vector, order-pinned join of the three streamed pipelines."""
+    from bitcoin_ledger_2es_ray.pipelines.pca import embedding_report
+
+    return embedding_report(sf_dir)
+
+
 def _q_pca_fit(sf_dir: str) -> pa.Table:
     """Distributed PCA fit over milli-quantized integer moments (order-exact
     on any cluster size); eigendecomposition on the driver's d×d reduce."""
@@ -5745,6 +5753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": _q_pca_project,  # rows-only (same)
         "kmeans_fit": _q_kmeans_fit,  # rows-only (iterative clustering)
         "kmeans_assign": _q_kmeans_assign,  # rows-only (same)
+        "embedding_report": _q_embedding_report,  # rows-only (composition)
         # parent-child join queries over orders/lineitem
         "has_child": _q_has_child,
         "nested_query": _q_nested_query,

@@ -152,3 +152,27 @@ def pca_project_to_parquet(sf_dir: str, out_dir: str, k: int = 4) -> str:
     from .textstats import write_dataset
 
     return write_dataset(pca_project_ds(sf_dir, k), out_dir)
+
+
+def embedding_report(sf_dir: str, k_pcs: int = 2, n_centroids: int = 8, knn_k: int = 5) -> "pa.Table":
+    """Composed embedding-curation report — the vector-side analog of
+    ``curate.curate_corpus``: one row per vector joining the cluster
+    assignment (``ann.kmeans_assign``), the distance-based outlier score
+    (``ann.outlier_scores``) and the leading principal components
+    (``pca_project``), ORDER-PINNED on vec_id (Arrow ``Table.join`` does
+    not preserve row order — each piece arrives vec_id-sorted and is
+    re-sorted after the joins).
+
+    Each constituent is its own streamed pipeline; the join happens on the
+    already-reduced per-vector tables (3–4 small columns each), so the
+    composition adds no new corpus-sized driver state beyond what the
+    pieces themselves are gated at.  Rows-only by nature (k-means + eigen
+    components are not SQL-expressible)."""
+    from .ann import kmeans_assign, outlier_scores
+
+    km = kmeans_assign(sf_dir, n_centroids=n_centroids)
+    out = outlier_scores(sf_dir, k=knn_k).select(["vec_id", "outlier_score"])
+    pcs = pca_project(sf_dir, k=k_pcs)
+    t = km.join(out, keys="vec_id", join_type="inner")
+    t = t.join(pcs, keys="vec_id", join_type="inner")
+    return t.sort_by("vec_id")

@@ -119,3 +119,20 @@ def test_kmeans_assign_sink_round_trip(ray_session, tmp_path):
     back = pqt.read_table(out).sort_by("vec_id")
     direct = kmeans_assign(SF)
     assert back.select(direct.column_names).equals(direct)
+
+
+def test_embedding_report_composition(ray_session):
+    """The report equals its constituents joined per vec_id."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import kmeans_assign, outlier_scores
+    from bitcoin_ledger_2es_ray.pipelines.pca import embedding_report, pca_project
+
+    r = embedding_report(SF)
+    km = kmeans_assign(SF, n_centroids=8)
+    out = outlier_scores(SF, k=5)
+    pcs = pca_project(SF, k=2)
+    assert r.num_rows == km.num_rows == out.num_rows == pcs.num_rows
+    assert r["vec_id"].to_pylist() == km["vec_id"].to_pylist()
+    assert r["centroid"].to_pylist() == km["centroid"].to_pylist()
+    assert r["outlier_score"].to_pylist() == out["outlier_score"].to_pylist()
+    assert r["pc0"].to_pylist() == pcs["pc0"].to_pylist()
+    assert r["pc1"].to_pylist() == pcs["pc1"].to_pylist()
