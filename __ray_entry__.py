@@ -4383,6 +4383,19 @@ def _q_hybrid_linear(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_hybrid_linear_l2(sf_dir: str) -> pa.Table:
+    """ES 9.x ``linear`` retriever with the ``l2_norm`` normalizer: each
+    leg's top-20 divided by its window's L2 norm before the weighted fuse."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import hybrid_linear
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    return hybrid_linear(
+        sf_dir, store, queries, k=_TOP_K, k_leg=20, w_lex=0.7, w_vec=0.3,
+        round_decimals=_ROUND, normalizer="l2_norm",
+    )
+
+
 def _q_dedup_keep_best(sf_dir: str) -> pa.Table:
     """Quality-aware near-dup resolution: keep max-n_chars doc per
     exact-Jaccard cluster (tie → min doc_id)."""
@@ -5635,6 +5648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_score": _q_random_score,
         "runtime_field": _q_runtime_field,
         "hybrid_linear": _q_hybrid_linear,
+        "hybrid_linear_l2": _q_hybrid_linear_l2,
         "dedup_keep_best": _q_dedup_keep_best,
         "mixing_weights": _q_mixing_weights,
         "intervals": _q_intervals,
@@ -7574,6 +7588,72 @@ knn AS (
          CASE WHEN max(sim) OVER w = min(sim) OVER w THEN 1.0
               ELSE (sim - min(sim) OVER w)
                    / (max(sim) OVER w - min(sim) OVER w) END AS nsc
+  FROM knt WINDOW w AS (PARTITION BY query_id)
+),
+legs AS (
+  SELECT query_id, doc_id, 0.7 * nsc AS c FROM bmn
+  UNION ALL
+  SELECT query_id, doc_id, 0.3 * nsc FROM knn
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS score FROM legs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM fused
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{nq}", str(_N_QUERIES)).replace("{k}", str(_TOP_K)),
+        # 9.x linear retriever, l2_norm normalizer: leg score / window L2
+        "hybrid_linear_l2": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+bml AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS r
+  FROM scored
+),
+bmt AS (SELECT query_id, doc_id, score FROM bml WHERE r <= 20),
+bmn AS (
+  SELECT query_id, doc_id,
+         CASE WHEN sqrt(sum(score * score) OVER w) = 0 THEN 0.0
+              ELSE score / sqrt(sum(score * score) OVER w) END AS nsc
+  FROM bmt WINDOW w AS (PARTITION BY query_id)
+),
+qv AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nq}),
+ksc AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(qv.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+           AS sim
+  FROM qv CROSS JOIN embeddings e
+),
+knr AS (
+  SELECT query_id, doc_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id ASC) AS r
+  FROM ksc
+),
+knt AS (SELECT query_id, doc_id, sim FROM knr WHERE r <= 20),
+knn AS (
+  SELECT query_id, doc_id,
+         CASE WHEN sqrt(sum(sim * sim) OVER w) = 0 THEN 0.0
+              ELSE sim / sqrt(sum(sim * sim) OVER w) END AS nsc
   FROM knt WINDOW w AS (PARTITION BY query_id)
 ),
 legs AS (

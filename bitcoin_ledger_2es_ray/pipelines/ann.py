@@ -875,6 +875,19 @@ def _minmax_norm(scores: np.ndarray) -> np.ndarray:
     return (scores - lo) / (hi - lo)
 
 
+def _l2_norm(scores: np.ndarray) -> np.ndarray:
+    """ES 9.x linear-retriever ``l2_norm`` normalizer: s / ‖leg scores‖₂;
+    an all-zero leg maps to 0.0 (division guarded, mirrored in the SQL
+    oracle's CASE)."""
+    denom = float(np.sqrt((scores * scores).sum()))
+    if denom == 0.0:
+        return np.zeros_like(scores)
+    return scores / denom
+
+
+_NORMALIZERS = {"minmax": _minmax_norm, "l2_norm": _l2_norm, "none": lambda s: s}
+
+
 def hybrid_linear(
     sf_dir: str,
     store,
@@ -884,16 +897,21 @@ def hybrid_linear(
     w_lex: float = 0.7,
     w_vec: float = 0.3,
     round_decimals: int = 6,
+    normalizer: str = "minmax",
 ) -> pa.Table:
     """ES 8.16 ``linear`` retriever: BM25 top-``k_leg`` and exact-cosine
-    kNN top-``k_leg`` each minmax-normalized WITHIN the leg, fused as
-    ``w_lex·norm_lex + w_vec·norm_vec`` over the union (a missing leg
+    kNN top-``k_leg`` each normalized WITHIN the leg (``normalizer`` =
+    ``minmax`` | ``l2_norm`` (9.x) | ``none`` — ES's three options), fused
+    as ``w_lex·norm_lex + w_vec·norm_vec`` over the union (a missing leg
     contributes 0), top-k by (score DESC, doc ASC).  Lexical docIDs and
     vector ids share the 0..N-1 space (FIXTURES.md).  Legs reuse the
     distributed scorers; the fuse is bounded by queries × 2·k_leg."""
     from ..functions.bm25 import sql_round
     from .query import score_query
 
+    if normalizer not in _NORMALIZERS:
+        raise ValueError(f"hybrid_linear: unknown normalizer {normalizer!r}")
+    norm_fn = _NORMALIZERS[normalizer]
     n_queries = queries_tbl.num_rows
     contrib: dict[tuple[int, int], float] = {}
     for qid, text in zip(
@@ -901,7 +919,7 @@ def hybrid_linear(
     ):
         top = score_query(store, text, k_leg, round_decimals=round_decimals)
         if top:
-            s = _minmax_norm(np.array([x[1] for x in top], dtype=np.float64))
+            s = norm_fn(np.array([x[1] for x in top], dtype=np.float64))
             for (d, _), ns in zip(top, s.tolist()):
                 contrib[(qid, d)] = contrib.get((qid, d), 0.0) + w_lex * ns
     knn = knn_bruteforce(sf_dir, n_queries=n_queries, k=k_leg).sort_by(
@@ -915,7 +933,7 @@ def hybrid_linear(
         hi = lo
         while hi < len(kq) and kq[hi] == kq[lo]:
             hi += 1
-        ns = _minmax_norm(ks[lo:hi])
+        ns = norm_fn(ks[lo:hi])
         q = int(kq[lo])
         for v, x in zip(kv[lo:hi].tolist(), ns.tolist()):
             contrib[(q, v)] = contrib.get((q, v), 0.0) + w_vec * x

@@ -123,13 +123,21 @@ def _eval(spec: dict, ctx: _Ctx) -> dict[int, list[tuple[int, float]]]:
         acc: dict[int, dict[int, float]] = {}
         for kid in kids:
             w = float(kid.get("weight", 1.0))
-            child = {k: v for k, v in kid.items() if k != "weight"}
+            norm_kind = kid.get("normalizer", "minmax")
+            child = {
+                k: v for k, v in kid.items() if k not in ("weight", "normalizer")
+            }
+            from .ann import _NORMALIZERS
+
+            if norm_kind not in _NORMALIZERS:
+                raise ValueError(f"retriever: unknown normalizer {norm_kind!r}")
+            norm_fn = _NORMALIZERS[norm_kind] if norm_kind != "minmax" else _minmax
             for q, ranking in _eval(child, ctx).items():
                 rows = acc.setdefault(q, {})
                 top = ranking[:window]
                 if not top:
                     continue
-                norm = _minmax(np.array([s for _, s in top], dtype=np.float64))
+                norm = norm_fn(np.array([s for _, s in top], dtype=np.float64))
                 for (d, _s), ns in zip(top, norm.tolist()):
                     rows[d] = rows.get(d, 0.0) + w * ns
         return {q: _rank(rows, window, ctx.round) for q, rows in acc.items()}

@@ -146,3 +146,50 @@ def test_retriever_spec_validation(rt_ctx, ray_session):
         )
     with pytest.raises(ValueError, match="child retriever"):
         retriever_search(SF_DIR, store, res.out_dir, queries, {"rescorer": {}})
+
+
+def test_linear_node_l2_norm(rt_ctx, ray_session):
+    """9.x l2_norm normalizer: the tree node matches the flat kernel, the
+    normalizer math matches a manual recompute, and unknown normalizers
+    refuse."""
+    import numpy as np
+
+    from bitcoin_ledger_2es_ray.pipelines.ann import _l2_norm, hybrid_linear
+    from bitcoin_ledger_2es_ray.pipelines.retriever import retriever_search
+
+    store, res, queries = rt_ctx
+    spec = {
+        "linear": {
+            "retrievers": [
+                {"standard": {}, "weight": 0.7, "normalizer": "l2_norm"},
+                {"knn": {}, "weight": 0.3, "normalizer": "l2_norm"},
+            ],
+            "rank_window_size": 20,
+        }
+    }
+    out = retriever_search(SF_DIR, store, res.out_dir, queries, spec, k=10)
+    flat = hybrid_linear(
+        SF_DIR, store, queries, k=10, k_leg=20, w_lex=0.7, w_vec=0.3,
+        normalizer="l2_norm",
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    assert out["doc_id"].to_pylist() == flat["doc_id"].to_pylist()
+    assert out["score"].to_pylist() == flat["score"].to_pylist()
+    # l2 differs from minmax on this corpus (the option is not a no-op)
+    mm = hybrid_linear(SF_DIR, store, queries, k=10, k_leg=20)
+    assert mm["score"].to_pylist() != flat["score"].to_pylist()
+    # manual recompute + degenerate leg
+    s = np.array([3.0, 4.0])
+    assert np.allclose(_l2_norm(s), s / 5.0)
+    assert (_l2_norm(np.zeros(3)) == 0.0).all()
+    with pytest.raises(ValueError, match="normalizer"):
+        hybrid_linear(SF_DIR, store, queries, k=10, normalizer="zscore")
+    bad = {
+        "linear": {
+            "retrievers": [
+                {"standard": {}, "normalizer": "zscore"},
+                {"knn": {}},
+            ]
+        }
+    }
+    with pytest.raises(ValueError, match="normalizer"):
+        retriever_search(SF_DIR, store, res.out_dir, queries, bad, k=10)
