@@ -3460,6 +3460,41 @@ def _q_rank_feature(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+
+def _q_rank_feature_sigmoid(sf_dir: str) -> pa.Table:
+    """ES ``rank_feature`` sigmoid function: BM25 +
+    1.5·x^0.6/(x^0.6 + 256^0.6) with x = n_chars, top-10 per query."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.structured import rank_feature_topk
+
+    store, _ = _store_for(sf_dir)
+    dv = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).sort_by("doc_id")
+    doc_ids = np.asarray(dv["doc_id"], dtype=np.int64)
+    nchars = np.asarray(dv["n_chars"], dtype=np.float64)
+    queries = _fixture_queries(store)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        rows = rank_feature_topk(
+            store, text, doc_ids, nchars, k=_TOP_K, boost=1.5, pivot=256.0,
+            round_decimals=_ROUND, function="sigmoid", exponent=0.6,
+        )
+        for rank, (d, s) in enumerate(rows, start=1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
 def _q_scroll(sf_dir: str) -> pa.Table:
     """ES ``scroll``/PIT deep pagination: the first 10 fixture queries
     drained completely in 25-row pages through the stateless cursor loop."""
@@ -5616,6 +5651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_agg": _q_normalize_agg,
         "geo_rings": _q_geo_rings,
         "rank_feature": _q_rank_feature,
+        "rank_feature_sigmoid": _q_rank_feature_sigmoid,
         "scroll": _q_scroll,
         "sliced_scroll": _q_sliced_scroll,
         "unigram_logprob": _q_unigram_logprob,
@@ -9737,6 +9773,36 @@ FROM d GROUP BY 1 ORDER BY min(dist)
 comb AS (
   SELECT sc.query_id, sc.doc_id,
          round(sc.bs + 1.5 * (d.n_chars / (d.n_chars + 256.0)), 6) AS score
+  FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM comb
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        # rank_feature sigmoid: x^e / (x^e + pivot^e), e = 0.6
+        "rank_feature_sigmoid": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+           AS bs
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+comb AS (
+  SELECT sc.query_id, sc.doc_id,
+         round(sc.bs + 1.5 * (pow(d.n_chars, 0.6)
+               / (pow(d.n_chars, 0.6) + pow(256.0, 0.6))), 6) AS score
   FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
 ),
 ranked AS (

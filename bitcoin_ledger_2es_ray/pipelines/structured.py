@@ -514,11 +514,15 @@ def rank_feature_topk(
     boost: float = 1.5,
     pivot: float = 256.0,
     round_decimals: int | None = None,
+    function: str = "saturation",
+    scale: float = 1.0,
+    exponent: float = 0.6,
 ) -> list[tuple[int, float]]:
-    """ES ``rank_feature`` query (saturation function) inside a bool
-    should: score = BM25(text) + boost·x/(x + pivot) with x a per-doc
-    numeric feature (doc-values column) — top-k on the rounded combined
-    score, ties doc ASC.
+    """ES ``rank_feature`` query inside a bool should: score = BM25(text)
+    + boost·f(x) with x a per-doc numeric feature (doc-values column) —
+    top-k on the rounded combined score, ties doc ASC.  ``function`` is
+    ES's full family: ``saturation`` x/(x+pivot) (default), ``log``
+    ln(scale·x + 1), ``sigmoid`` xᵉ/(xᵉ + pivotᵉ), ``linear`` x.
 
     The feature gather is a vectorized searchsorted over the doc-values
     column restricted to the BM25 candidate set (candidates ≪ corpus at
@@ -533,7 +537,17 @@ def rank_feature_topk(
     if (doc_ids_sorted[idx.clip(max=len(doc_ids_sorted) - 1)] != docs).any():
         raise KeyError("rank_feature: candidate doc missing from the feature column")
     x = feature[idx].astype(np.float64)
-    combined = scores + boost * (x / (x + pivot))
+    if function == "saturation":
+        fx = x / (x + pivot)
+    elif function == "log":
+        fx = np.log(scale * x + 1.0)
+    elif function == "sigmoid":
+        fx = x**exponent / (x**exponent + pivot**exponent)
+    elif function == "linear":
+        fx = x
+    else:
+        raise ValueError(f"rank_feature: unknown function {function!r}")
+    combined = scores + boost * fx
     if round_decimals is not None:
         combined = sql_round(combined, round_decimals)
     order = topk_order(combined, docs, k)

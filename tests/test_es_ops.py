@@ -1895,6 +1895,47 @@ def test_rank_feature_boost_and_bruteforce(built):
     assert [d for d, _ in plain] == [int(docs[i]) for i in bm_order]
 
 
+def test_rank_feature_function_family(built):
+    """ES's four rank_feature functions: each matches a direct numpy
+    recompute; unknown functions refuse."""
+    import pytest as _pytest
+
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+    from bitcoin_ledger_2es_ray.pipelines.structured import (
+        _score_map,
+        rank_feature_topk,
+    )
+
+    res, _, _ = built
+    store = SegmentStore(res.out_dir)
+    sf = "/root/testdata/sf0.001"
+    dv = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"]).sort_by(
+        "doc_id"
+    )
+    ids = np.asarray(dv["doc_id"], dtype=np.int64)
+    x = np.asarray(dv["n_chars"], dtype=np.float64)
+    term = sorted(store.df)[7]
+    docs, scores = _score_map(store, term)
+    xi = x[np.searchsorted(ids, docs.astype(np.int64))]
+    fns = {
+        "log": np.log(2.0 * xi + 1.0),
+        "sigmoid": xi**0.6 / (xi**0.6 + 100.0**0.6),
+        "linear": xi,
+    }
+    for fn, fx in fns.items():
+        out = rank_feature_topk(
+            store, term, ids, x, k=5, boost=1.5, pivot=100.0, scale=2.0,
+            exponent=0.6, function=fn, round_decimals=6,
+        )
+        comb = np.round(scores + 1.5 * fx, 6)
+        order = np.lexsort((docs, -comb))[:5]
+        assert [(d, s) for d, s in out] == [
+            (int(docs[i]), float(comb[i])) for i in order
+        ], fn
+    with _pytest.raises(ValueError, match="unknown function"):
+        rank_feature_topk(store, term, ids, x, k=5, function="exp")
+
+
 def test_scroll_all_equals_full_ranking(built):
     from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, scroll_all, search_after
 
