@@ -5121,6 +5121,38 @@ def _q_esql_mv_reduce(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_mv_slice(sf_dir: str) -> pa.Table:
+    """ES|QL MV_SLICE / MV_APPEND / MV_ZIP — list-kernel trio reduced to
+    scalar outputs (slice bounds inclusive, append concatenates per row,
+    zip pairwise-joins with a delimiter)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        'FROM documents | EVAL w = SPLIT(text, " ") '
+        "| EVAL a = MV_SLICE(w, 0, 2) "
+        '| EVAL z = MV_ZIP(a, a, "-"), c = MV_APPEND(a, w) '
+        "| EVAL first3 = MV_FIRST(a), last3 = MV_LAST(a), "
+        "zip_last = MV_LAST(z), app_n = MV_COUNT(c) "
+        "| KEEP doc_id, first3, last3, zip_last, app_n "
+        "| SORT doc_id | LIMIT 200",
+        sf_dir,
+    )
+
+
+def _q_esql_date_parse(sf_dir: str) -> pa.Table:
+    """ES|QL DATE_PARSE (Java pattern → strptime translation): strftime
+    round-trip at minute resolution, epoch-ms output."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        'FROM events | EVAL s = DATE_FORMAT("%Y-%m-%d %H:%M", ts) '
+        '| EVAL d = DATE_PARSE("yyyy-MM-dd HH:mm", s) '
+        "| EVAL d_ms = TO_LONG(d) "
+        "| KEEP event_id, d_ms | SORT event_id | LIMIT 200",
+        sf_dir,
+    )
+
+
 def _q_esql_categorize(sf_dir: str) -> pa.Table:
     """ES|QL CATEGORIZE (8.18): deterministic log-pattern template
     (digit runs → <NUM>) grouped via STATS — the graft's documented
@@ -5858,6 +5890,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_stats_by": _q_esql_stats_by,
         "esql_categorize": _q_esql_categorize,
         "esql_mv_reduce": _q_esql_mv_reduce,
+        "esql_mv_slice": _q_esql_mv_slice,
+        "esql_date_parse": _q_esql_date_parse,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -10875,6 +10909,23 @@ SELECT lang,
        sum(len(list_distinct(string_split(text, ' '))))::BIGINT AS tot,
        max(len(list_distinct(string_split(text, ' '))))::BIGINT AS mx
 FROM documents GROUP BY 1 ORDER BY 1
+""",
+        # MV_SLICE inclusive bounds → DuckDB 1-based inclusive list slice;
+        # MV_ZIP(a, a, '-') last = last '-' last; MV_APPEND count = la + lw
+        "esql_mv_slice": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+a AS (SELECT doc_id, w, w[1:3] AS a FROM w)
+SELECT doc_id, a[1] AS first3, a[len(a)] AS last3,
+       a[len(a)] || '-' || a[len(a)] AS zip_last,
+       (len(a) + len(w))::BIGINT AS app_n
+FROM a ORDER BY doc_id LIMIT 200
+""",
+        "esql_date_parse": """
+SELECT event_id,
+       epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M'),
+                         '%Y-%m-%d %H:%M'))::BIGINT AS d_ms
+FROM events ORDER BY event_id LIMIT 200
 """,
         "esql_count_distinct": """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS u

@@ -1592,6 +1592,108 @@ def _eval_expr(node: tuple, batch: pa.Table):
                 flat_s.combine_chunks() if isinstance(flat_s, pa.ChunkedArray) else flat_s,
                 mask=pa.array(~valid),
             )
+        if name == "MV_SLICE":
+            # ES|QL MV_SLICE(mv, start [, end]) — zero-based, INCLUSIVE end
+            # (ES semantics); negative indexes refuse (the graft keeps the
+            # kernel a single pc.list_slice)
+            col = _as_array(vals[0])
+            if not pa.types.is_list(col.type):
+                raise ValueError("esql: MV_SLICE needs a multi-value column")
+            start = vals[1]
+            end = vals[2] if len(vals) > 2 else None
+            if not isinstance(start, int) or (end is not None and not isinstance(end, int)):
+                raise ValueError("esql: MV_SLICE bounds must be integer literals")
+            if start < 0 or (end is not None and end < 0):
+                raise ValueError("esql: MV_SLICE negative indexes are not supported")
+            stop = None if end is None else end + 1
+            return pc.list_slice(col, start=start, stop=stop)
+        if name == "MV_APPEND":
+            # ES|QL MV_APPEND(mv1, mv2): per-row concatenation; a null list
+            # contributes nothing, both-null rows stay null
+            a, b = _as_array(vals[0]), _as_array(vals[1])
+            if not (pa.types.is_list(a.type) and pa.types.is_list(b.type)):
+                raise ValueError("esql: MV_APPEND needs two multi-value columns")
+            n = len(a)
+            pa_a = pc.list_parent_indices(a).to_numpy(zero_copy_only=False)
+            pa_b = pc.list_parent_indices(b).to_numpy(zero_copy_only=False)
+            flat = pa.concat_arrays(
+                [a.flatten().combine_chunks() if isinstance(a.flatten(), pa.ChunkedArray) else a.flatten(),
+                 b.flatten().combine_chunks() if isinstance(b.flatten(), pa.ChunkedArray) else b.flatten()]
+            )
+            par = np.concatenate([pa_a, pa_b])
+            src = np.concatenate([np.zeros(len(pa_a), np.int8), np.ones(len(pa_b), np.int8)])
+            order = np.lexsort((src, par))
+            counts = np.bincount(par, minlength=n) if len(par) else np.zeros(n, np.int64)
+            offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b)).to_numpy(zero_copy_only=False)
+            return pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                flat.take(pa.array(order, type=pa.int64())),
+                mask=pa.array(both_null),
+            )
+        if name == "MV_ZIP":
+            # ES|QL MV_ZIP(mv1, mv2 [, delim]): pairwise join; past the
+            # shorter list the longer's elements pass through alone
+            a, b = _as_array(vals[0]), _as_array(vals[1])
+            delim = vals[2] if len(vals) > 2 else ","
+            if not isinstance(delim, str):
+                raise ValueError("esql: MV_ZIP delimiter must be a string literal")
+            if not (pa.types.is_list(a.type) and pa.types.is_list(b.type)):
+                raise ValueError("esql: MV_ZIP needs two multi-value columns")
+            n = len(a)
+            la = pc.list_value_length(a).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            lb = pc.list_value_length(b).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.maximum(la, lb)
+            total = int(m.sum())
+            par = np.repeat(np.arange(n, dtype=np.int64), m)
+            offs = np.r_[0, np.cumsum(m)][:-1]
+            pos = np.arange(total, dtype=np.int64) - np.repeat(offs, m)
+            fa = np.asarray(a.flatten().to_numpy(zero_copy_only=False), dtype=object)
+            fb = np.asarray(b.flatten().to_numpy(zero_copy_only=False), dtype=object)
+            offa = np.r_[0, np.cumsum(la)][:-1]
+            offb = np.r_[0, np.cumsum(lb)][:-1]
+            in_a = pos < la[par]
+            in_b = pos < lb[par]
+            va = np.empty(total, dtype=object)
+            vb = np.empty(total, dtype=object)
+            va[in_a] = fa[(offa[par] + pos)[in_a]]
+            vb[in_b] = fb[(offb[par] + pos)[in_b]]
+            out = np.where(
+                in_a & in_b,
+                np.char.add(np.char.add(va.astype(str), delim), vb.astype(str)),
+                np.where(in_a, va, vb),
+            )
+            offsets = np.r_[0, np.cumsum(m)].astype(np.int32)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b)).to_numpy(zero_copy_only=False)
+            return pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(out.tolist(), type=pa.string()),
+                mask=pa.array(both_null),
+            )
+        if name == "DATE_PARSE":
+            # ES|QL DATE_PARSE(javaPattern, string) — the common Java tokens
+            # translate to strptime; unknown alpha tokens refuse
+            patt = vals[0]
+            if not isinstance(patt, str):
+                raise ValueError("esql: DATE_PARSE needs a literal pattern")
+            out, i = [], 0
+            java = {"yyyy": "%Y", "MM": "%m", "dd": "%d", "HH": "%H", "mm": "%M", "ss": "%S"}
+            while i < len(patt):
+                for tok in ("yyyy", "MM", "dd", "HH", "mm", "ss"):
+                    if patt.startswith(tok, i):
+                        out.append(java[tok])
+                        i += len(tok)
+                        break
+                else:
+                    if patt[i].isalpha():
+                        raise ValueError(
+                            f"esql: DATE_PARSE unsupported pattern token at {patt[i:]!r}"
+                        )
+                    out.append(patt[i])
+                    i += 1
+            return pc.strptime(
+                pc.cast(_as_array(vals[1]), pa.string()), format="".join(out), unit="us"
+            )
         raise ValueError(f"esql: unknown function {name}")
     op = node[1]
     left = _eval_expr(node[2], batch)

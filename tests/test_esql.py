@@ -1658,3 +1658,53 @@ def test_esql_base64_and_now(ray_session):
     assert got["r"].to_pylist() == got["lang"].to_pylist()
     with pytest.raises(Exception, match="nondeterministic under replay"):
         run_esql("FROM events | EVAL t = NOW() | SORT event_id | LIMIT 1", SF_DIR)
+
+
+def test_esql_mv_slice_append_zip(ray_session):
+    """MV_SLICE inclusive bounds, MV_APPEND concatenation + null rules,
+    MV_ZIP pairwise join with unequal lengths; bad args refuse."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW s = "a b c d" | EVAL w = SPLIT(s, " ") '
+        "| EVAL sl = MV_SLICE(w, 1, 2) "
+        '| EVAL short = MV_SLICE(w, 0, 0) '
+        '| EVAL z = MV_ZIP(w, short, "+") '
+        "| EVAL ap = MV_APPEND(short, sl) "
+        "| EVAL sl_first = MV_FIRST(sl), sl_n = MV_COUNT(sl), "
+        "z_first = MV_FIRST(z), z_last = MV_LAST(z), "
+        "ap_n = MV_COUNT(ap), ap_last = MV_LAST(ap) "
+        "| KEEP sl_first, sl_n, z_first, z_last, ap_n, ap_last",
+        "/tmp",
+    )
+    row = {c: t[c][0].as_py() for c in t.column_names}
+    # slice [1, 2] inclusive = (b, c)
+    assert row["sl_first"] == "b" and row["sl_n"] == 2
+    # zip of (a b c d) with (a): first pairs, rest pass through alone
+    assert row["z_first"] == "a+a" and row["z_last"] == "d"
+    # append (a) ++ (b c) = (a b c)
+    assert row["ap_n"] == 3 and row["ap_last"] == "c"
+    import pytest as _p
+
+    with _p.raises(Exception, match="negative"):
+        run_esql('ROW s = "a b" | EVAL w = SPLIT(s, " ") | EVAL x = MV_SLICE(w, -1) | KEEP x', "/tmp")
+    with _p.raises(Exception, match="multi-value"):
+        run_esql("ROW a = 1 | EVAL x = MV_SLICE(a, 0) | KEEP x", "/tmp")
+
+
+def test_esql_date_parse_round_trip_and_rejection(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW s = "2024-03-05 07:09" '
+        '| EVAL d = DATE_PARSE("yyyy-MM-dd HH:mm", s) '
+        '| EVAL back = DATE_FORMAT("%Y-%m-%d %H:%M", d) | KEEP back',
+        "/tmp",
+    )
+    assert t["back"][0].as_py() == "2024-03-05 07:09"
+    import pytest as _p
+
+    with _p.raises(Exception, match="unsupported pattern token"):
+        run_esql('ROW s = "x" | EVAL d = DATE_PARSE("QQ-yyyy", s) | KEEP d', "/tmp")
+    with _p.raises(Exception, match="literal pattern"):
+        run_esql('ROW s = "x" | EVAL d = DATE_PARSE(s, s) | KEEP d', "/tmp")
