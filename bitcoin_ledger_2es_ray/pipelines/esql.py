@@ -84,7 +84,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<num>\d+\.\d+|\d+)
-  | (?P<op>==|!=|>=|<=|>|<|\+|-|\*|/|,|\(|\)|\[|\]|\|)
+  | (?P<op>==|!=|>=|<=|>|<|\+|-|\*|/|%|,|\(|\)|\[|\]|\|)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.*]*)
     """,
     re.VERBOSE,
@@ -702,7 +702,7 @@ class _Parser:
 
     def _mul(self):
         left = self._atom()
-        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
             left = ("bin", op, left, self._atom())
         return left
@@ -1745,6 +1745,29 @@ def _eval_expr(node: tuple, batch: pa.Table):
             left = left.cast(pa.float64())
         if isinstance(right, pa.Array) and pa.types.is_integer(right.type):
             right = right.cast(pa.float64())
+    if op == "%":
+        # ES|QL % = truncated remainder, sign of the dividend (Java and
+        # DuckDB agree); pyarrow has no modulo kernel — np.fmod is exact
+        # for int64 and matches both on floats
+        la = _as_array(left) if isinstance(left, (pa.Array, pa.ChunkedArray)) else left
+        ra = _as_array(right) if isinstance(right, (pa.Array, pa.ChunkedArray)) else right
+        mask = None
+        if isinstance(la, pa.Array) and la.null_count:
+            mask = pc.is_null(la).to_numpy(zero_copy_only=False)
+            la = la.fill_null(1)
+        if isinstance(ra, pa.Array) and ra.null_count:
+            rm = pc.is_null(ra).to_numpy(zero_copy_only=False)
+            mask = rm if mask is None else (mask | rm)
+            ra = ra.fill_null(1)
+        ln = la.to_numpy(zero_copy_only=False) if isinstance(la, pa.Array) else la
+        rn = ra.to_numpy(zero_copy_only=False) if isinstance(ra, pa.Array) else ra
+        res = np.fmod(ln, rn)
+        both_int = not (
+            np.asarray(ln).dtype.kind == "f" or np.asarray(rn).dtype.kind == "f"
+        )
+        return pa.array(
+            res, type=pa.int64() if both_int else pa.float64(), mask=mask
+        )
     return fns[op](left, right)
 
 

@@ -1708,3 +1708,27 @@ def test_esql_date_parse_round_trip_and_rejection(ray_session):
         run_esql('ROW s = "x" | EVAL d = DATE_PARSE("QQ-yyyy", s) | KEEP d', "/tmp")
     with _p.raises(Exception, match="literal pattern"):
         run_esql('ROW s = "x" | EVAL d = DATE_PARSE(s, s) | KEEP d', "/tmp")
+
+
+def test_esql_modulo_matches_duckdb(ray_session):
+    """% operator: truncated remainder on ints and floats vs DuckDB."""
+    import duckdb
+
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    sf = "/root/testdata/sf0.001"
+    t = run_esql(
+        "FROM lineitem | EVAL m = l_orderkey % 7 "
+        "| EVAL f = ROUND(l_discount % 0.03, 6) "
+        "| STATS n = COUNT(*) BY m | SORT m",
+        sf,
+    ).to_pandas()
+    want = duckdb.sql(
+        f"SELECT l_orderkey % 7 AS m, count(*)::BIGINT AS n "
+        f"FROM read_parquet('{sf}/lineitem.parquet') GROUP BY m ORDER BY m"
+    ).df()
+    assert t["m"].tolist() == want["m"].tolist()
+    assert t["n"].tolist() == want["n"].tolist()
+    # scalar precedence: % binds like * and /
+    r = run_esql("ROW a = 17 | EVAL x = a % 5 + 1 | KEEP x", "/tmp")
+    assert r["x"][0].as_py() == 3
