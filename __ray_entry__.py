@@ -5153,6 +5153,21 @@ def _q_esql_date_parse(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_cidr(sf_dir: str) -> pa.Table:
+    """ES|QL TO_IP + CIDR_MATCH + % operator: client IPs derived from
+    user_id (the ip_range_agg convention), bucketed by CIDR membership."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        'FROM events | EVAL ip = CONCAT(TO_STRING(user_id % 256), ".", '
+        'TO_STRING(user_id % 100), ".0.1") '
+        '| EVAL inblock = CIDR_MATCH(TO_IP(ip), "0.0.0.0/2") '
+        "| STATS n = COUNT(*) BY inblock, event_type "
+        "| SORT inblock, event_type",
+        sf_dir,
+    )
+
+
 def _q_esql_categorize(sf_dir: str) -> pa.Table:
     """ES|QL CATEGORIZE (8.18): deterministic log-pattern template
     (digit runs → <NUM>) grouped via STATS — the graft's documented
@@ -5892,6 +5907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_mv_reduce": _q_esql_mv_reduce,
         "esql_mv_slice": _q_esql_mv_slice,
         "esql_date_parse": _q_esql_date_parse,
+        "esql_cidr": _q_esql_cidr,
         # stream-shaped ops over the ordered events log
         "tumbling_window": _q_tumbling_window,
         "date_histogram": _q_date_histogram,
@@ -10926,6 +10942,11 @@ SELECT event_id,
        epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M'),
                          '%Y-%m-%d %H:%M'))::BIGINT AS d_ms
 FROM events ORDER BY event_id LIMIT 200
+""",
+        # CIDR 0.0.0.0/2 membership == first derived octet < 64
+        "esql_cidr": """
+SELECT (user_id % 256) < 64 AS inblock, event_type, count(*)::BIGINT AS n
+FROM events GROUP BY inblock, event_type ORDER BY inblock, event_type
 """,
         "esql_count_distinct": """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS u

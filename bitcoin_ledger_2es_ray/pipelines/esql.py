@@ -1670,6 +1670,69 @@ def _eval_expr(node: tuple, batch: pa.Table):
                 pa.array(out.tolist(), type=pa.string()),
                 mask=pa.array(both_null),
             )
+        if name == "TO_IP":
+            # ES|QL TO_IP(string) — IPv4 dotted-quad validation; the graft
+            # keeps IPs as canonical strings (no inet type in the engine),
+            # invalid inputs become null like ES's conversion functions
+            if isinstance(vals[0], str):  # literal → scalar result
+                parts = vals[0].split(".")
+                if len(parts) == 4 and all(
+                    p_.isdigit() and len(p_) <= 3 and int(p_) <= 255 for p_ in parts
+                ):
+                    return ".".join(str(int(p_)) for p_ in parts)
+                return None
+            arr = pc.cast(_as_array(vals[0]), pa.string())
+            st = pc.extract_regex(
+                arr, pattern=r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$"
+            )
+            octs = []
+            ok = pc.is_valid(st)
+            for f_ in ("a", "b", "c", "d"):
+                o = pc.struct_field(st, f_).cast(pa.int64())
+                ok = pc.and_kleene(ok, pc.less_equal(o, 255))
+                octs.append(o.cast(pa.string()))
+            canon = pc.binary_join_element_wise(octs[0], octs[1], octs[2], octs[3], ".")
+            return pc.if_else(ok.fill_null(False), canon, pa.nulls(len(arr), pa.string()))
+        if name == "CIDR_MATCH":
+            # ES|QL CIDR_MATCH(ip, "block", ...) — any-match over CIDR
+            # literals; prefix compare on the numeric address, null ips
+            # stay null
+            blocks = vals[1:]
+            if not blocks or not all(isinstance(b_, str) for b_ in blocks):
+                raise ValueError("esql: CIDR_MATCH needs literal CIDR block strings")
+            if vals[0] is None or isinstance(vals[0], str):  # scalar ip
+                one = pa.array([vals[0]], type=pa.string())
+                res = _eval_expr(
+                    ("func", "CIDR_MATCH", [("lit", one)] + [("lit", b_) for b_ in blocks]),
+                    batch,
+                )
+                return res[0].as_py()
+            ip = pc.cast(_as_array(vals[0]), pa.string())
+            st = pc.extract_regex(
+                ip, pattern=r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$"
+            )
+            nums = np.zeros(len(ip), dtype=np.uint64)
+            for f_ in ("a", "b", "c", "d"):
+                o = pc.struct_field(st, f_).cast(pa.int64()).fill_null(0)
+                nums = nums * 256 + o.to_numpy(zero_copy_only=False).astype(np.uint64)
+            null_mask = pc.is_null(st).to_numpy(zero_copy_only=False)
+            hit = np.zeros(len(ip), dtype=bool)
+            for b_ in blocks:
+                base_s, _, bits_s = b_.partition("/")
+                parts = base_s.split(".")
+                if len(parts) != 4 or not bits_s.isdigit() or not (0 <= int(bits_s) <= 32):
+                    raise ValueError(f"esql: CIDR_MATCH malformed block {b_!r}")
+                base = 0
+                for p_ in parts:
+                    if not p_.isdigit() or int(p_) > 255:
+                        raise ValueError(f"esql: CIDR_MATCH malformed block {b_!r}")
+                    base = base * 256 + int(p_)
+                shift = np.uint64(32 - int(bits_s))
+                if int(bits_s) == 0:
+                    hit |= True
+                else:
+                    hit |= (nums >> shift) == np.uint64(base >> (32 - int(bits_s)))
+            return pa.array(hit, type=pa.bool_(), mask=null_mask)
         if name == "DATE_PARSE":
             # ES|QL DATE_PARSE(javaPattern, string) — the common Java tokens
             # translate to strptime; unknown alpha tokens refuse

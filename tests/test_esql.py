@@ -1732,3 +1732,27 @@ def test_esql_modulo_matches_duckdb(ray_session):
     # scalar precedence: % binds like * and /
     r = run_esql("ROW a = 17 | EVAL x = a % 5 + 1 | KEEP x", "/tmp")
     assert r["x"][0].as_py() == 3
+
+
+def test_esql_to_ip_cidr_match(ray_session):
+    """TO_IP canonicalization + validity nulls; CIDR_MATCH any-match,
+    scalar and column paths; malformed blocks refuse."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW s = "192.168.001.5" | EVAL ip = TO_IP(s) '
+        '| EVAL bad = TO_IP("300.1.1.1"), nb = TO_IP("notip") '
+        '| EVAL m = CIDR_MATCH(ip, "192.168.0.0/16"), '
+        'm2 = CIDR_MATCH(ip, "10.0.0.0/8", "193.0.0.0/8"), '
+        'm3 = CIDR_MATCH(ip, "10.0.0.0/8", "192.0.0.0/4") '
+        "| KEEP ip, bad, nb, m, m2, m3",
+        "/tmp",
+    )
+    row = {c: t[c][0].as_py() for c in t.column_names}
+    assert row["ip"] == "192.168.1.5"  # leading zeros canonicalized
+    assert row["bad"] is None and row["nb"] is None
+    assert row["m"] is True and row["m2"] is False and row["m3"] is True
+    with pytest.raises(Exception, match="malformed block"):
+        run_esql('ROW s = "1.2.3.4" | EVAL m = CIDR_MATCH(TO_IP(s), "1.2.3/33") | KEEP m', "/tmp")
+    with pytest.raises(Exception, match="literal CIDR"):
+        run_esql('ROW s = "1.2.3.4" | EVAL m = CIDR_MATCH(TO_IP(s)) | KEEP m', "/tmp")
