@@ -1463,6 +1463,22 @@ def _eval_expr(node: tuple, batch: pa.Table):
             return x.cast(pa.int64())
         if name == "TO_DOUBLE":
             return _as_array(vals[0]).cast(pa.float64())
+        if name == "TO_DATETIME":
+            # ES|QL TO_DATETIME: epoch-ms long → timestamp (TO_LONG's
+            # inverse); timestamps pass through; strings refuse with a
+            # pointer at DATE_PARSE (ES parses default-format strings —
+            # the graft keeps string parsing in one place)
+            x = vals[0]
+            if isinstance(x, (int, float)):
+                return pa.scalar(int(x) * 1_000, type=pa.timestamp("us"))
+            x = _as_array(x)
+            if pa.types.is_timestamp(x.type):
+                return x
+            if pa.types.is_string(x.type):
+                raise ValueError(
+                    "esql: TO_DATETIME(string) — use DATE_PARSE(pattern, s)"
+                )
+            return pc.multiply(x.cast(pa.int64()), 1_000).cast(pa.timestamp("us"))
         # ---- dates (fixed-width units; calendar units refused at parse) -
         if name == "DATE_TRUNC":
             dur, ts = vals[0], _as_array(vals[1])

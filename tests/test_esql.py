@@ -1756,3 +1756,20 @@ def test_esql_to_ip_cidr_match(ray_session):
         run_esql('ROW s = "1.2.3.4" | EVAL m = CIDR_MATCH(TO_IP(s), "1.2.3/33") | KEEP m', "/tmp")
     with pytest.raises(Exception, match="literal CIDR"):
         run_esql('ROW s = "1.2.3.4" | EVAL m = CIDR_MATCH(TO_IP(s)) | KEEP m', "/tmp")
+
+
+def test_esql_to_datetime_round_trip(ray_session):
+    """TO_DATETIME(TO_LONG(ts)) is the identity at ms resolution; strings
+    point at DATE_PARSE."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    sf = "/root/testdata/sf0.001"
+    t = run_esql(
+        "FROM events | EVAL back = TO_DATETIME(TO_LONG(ts)) "
+        "| EVAL same = TO_LONG(back) == TO_LONG(ts) "
+        "| STATS n = COUNT(*) BY same | SORT same",
+        sf,
+    )
+    assert t["same"].to_pylist() == [True]
+    with pytest.raises(Exception, match="DATE_PARSE"):
+        run_esql('ROW s = "2024-01-01" | EVAL d = TO_DATETIME(s) | KEEP d', "/tmp")
