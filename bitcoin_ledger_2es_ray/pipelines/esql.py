@@ -1379,6 +1379,27 @@ def _eval_expr(node: tuple, batch: pa.Table):
             if pa.types.is_string(arr.type):
                 return pc.equal(pc.utf8_lower(arr), "true")
             return pc.cast(arr, pa.bool_())
+        if name == "HASH":
+            # ES|QL 9.x HASH(algorithm, input) — generic hashlib dispatch;
+            # unknown algorithms refuse at eval like ES's invalid-arg error
+            import hashlib
+
+            algo = vals[0]
+            if not isinstance(algo, str):
+                raise ValueError("esql: HASH needs a literal algorithm name")
+            algo = algo.lower()
+            if algo not in hashlib.algorithms_available:
+                raise ValueError(f"esql: HASH unknown algorithm {algo!r}")
+            if isinstance(vals[1], str):
+                return hashlib.new(algo, vals[1].encode()).hexdigest()
+            arr = pc.cast(_as_array(vals[1]), pa.string())
+            return pa.array(
+                [
+                    None if s_ is None else hashlib.new(algo, s_.encode()).hexdigest()
+                    for s_ in arr.to_pylist()
+                ],
+                type=pa.string(),
+            )
         if name in ("MD5", "SHA1", "SHA256"):
             # hex digests (ES|QL 9.x hash functions) — the Python loop
             # only dispatches into C hashlib, the same trade as

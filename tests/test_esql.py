@@ -1773,3 +1773,18 @@ def test_esql_to_datetime_round_trip(ray_session):
     assert t["same"].to_pylist() == [True]
     with pytest.raises(Exception, match="DATE_PARSE"):
         run_esql('ROW s = "2024-01-01" | EVAL d = TO_DATETIME(s) | KEEP d', "/tmp")
+
+
+def test_esql_hash_generic(ray_session):
+    import hashlib
+
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW s = "hello" | EVAL h = HASH("sha256", s), m = HASH("md5", "abc") | KEEP h, m',
+        "/tmp",
+    )
+    assert t["h"][0].as_py() == hashlib.sha256(b"hello").hexdigest()
+    assert t["m"][0].as_py() == hashlib.md5(b"abc").hexdigest()
+    with pytest.raises(Exception, match="unknown algorithm"):
+        run_esql('ROW s = "x" | EVAL h = HASH("nope", s) | KEEP h', "/tmp")
