@@ -5139,6 +5139,52 @@ def _q_esql_mv_slice(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_mv_stats(sf_dir: str) -> pa.Table:
+    """ES|QL per-row list statistics over the embeddings table:
+    MV_PERCENTILE / MV_MEDIAN_ABSOLUTE_DEVIATION (interpolated quantiles,
+    DuckDB quantile_cont's lerp formula bit-for-bit) and
+    MV_PSERIES_WEIGHTED_SUM (Σ v[i]/(i+1)^p in list order — the bincount
+    fold accumulates exactly like the oracle's zipped-unnest sum)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM embeddings "
+        "| EVAL p = ROUND(MV_PERCENTILE(embedding, 20), 6), "
+        "m = ROUND(MV_MEDIAN_ABSOLUTE_DEVIATION(embedding), 6), "
+        "s = ROUND(MV_PSERIES_WEIGHTED_SUM(embedding, 1.5), 6) "
+        "| KEEP vec_id, p, m, s | SORT vec_id | LIMIT 300",
+        sf_dir,
+    )
+
+
+def _q_esql_mv_concat(sf_dir: str) -> pa.Table:
+    """ES|QL MV_CONCAT: per-row join of a sliced SPLIT list — one Arrow
+    binary_join kernel per batch."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        'FROM documents | EVAL w = SPLIT(text, " "), '
+        'j = MV_CONCAT(MV_SLICE(w, 0, 2), "|") '
+        "| KEEP doc_id, j | SORT doc_id | LIMIT 300",
+        sf_dir,
+    )
+
+
+def _q_esql_ip_prefix(sf_dir: str) -> pa.Table:
+    """ES|QL IP_PREFIX + SCALB: derived dotted-quad ips masked to /16
+    network prefixes (int64 numpy octet math), SCALB's exact power-of-two
+    scaling summed per prefix."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        'FROM events | EVAL ip = TO_IP(CONCAT("10.", '
+        'TO_STRING(user_id % 200), ".", TO_STRING(event_id % 256), ".9")), '
+        "pfx = IP_PREFIX(ip, 16, 0), s = SCALB(TO_DOUBLE(user_id % 10), 3) "
+        "| STATS n = COUNT(*), t = SUM(s) BY pfx | SORT pfx",
+        sf_dir,
+    )
+
+
 def _q_esql_date_parse(sf_dir: str) -> pa.Table:
     """ES|QL DATE_PARSE (Java pattern → strptime translation): strftime
     round-trip at minute resolution, epoch-ms output."""
@@ -5906,6 +5952,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_categorize": _q_esql_categorize,
         "esql_mv_reduce": _q_esql_mv_reduce,
         "esql_mv_slice": _q_esql_mv_slice,
+        "esql_mv_stats": _q_esql_mv_stats,
+        "esql_mv_concat": _q_esql_mv_concat,
+        "esql_ip_prefix": _q_esql_ip_prefix,
         "esql_date_parse": _q_esql_date_parse,
         "esql_cidr": _q_esql_cidr,
         # stream-shaped ops over the ordered events log
@@ -10936,6 +10985,33 @@ SELECT doc_id, a[1] AS first3, a[len(a)] AS last3,
        a[len(a)] || '-' || a[len(a)] AS zip_last,
        (len(a) + len(w))::BIGINT AS app_n
 FROM a ORDER BY doc_id LIMIT 200
+""",
+        # MV_PERCENTILE/MAD == quantile_cont/mad per vec_id group;
+        # PSERIES == zipped-unnest Σ x/pow(i,1.5) (both sum in list order)
+        "esql_mv_stats": """
+WITH f AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings)
+SELECT vec_id,
+       round(quantile_cont(x, 0.20), 6) AS p,
+       round(mad(x), 6) AS m,
+       round(sum(x / pow(i, 1.5)), 6) AS s
+FROM f GROUP BY vec_id ORDER BY vec_id LIMIT 300
+""",
+        # MV_SLICE(w,0,2) inclusive == DuckDB 1-based w[1:3]
+        "esql_mv_concat": """
+SELECT doc_id,
+       array_to_string((string_split(text, ' '))[1:3], '|') AS j
+FROM documents ORDER BY doc_id LIMIT 300
+""",
+        # /16 prefix of 10.(user_id%200).x.9 == '10.<uid%200>.0.0';
+        # SCALB(d,3) == d*8 (exact integer-valued floats, order-free sum)
+        "esql_ip_prefix": """
+SELECT count(*)::BIGINT AS n,
+       round(sum((user_id % 10) * 8.0), 6) AS t,
+       '10.' || (user_id % 200)::VARCHAR || '.0.0' AS pfx
+FROM events GROUP BY pfx ORDER BY pfx
 """,
         "esql_date_parse": """
 SELECT event_id,

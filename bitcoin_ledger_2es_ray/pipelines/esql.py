@@ -1188,6 +1188,37 @@ def _as_array(v):
     return v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
 
 
+def _np_group_quantile(par: np.ndarray, vals: np.ndarray, n: int, q: float) -> np.ndarray:
+    """Per-group linear-interpolated quantile, vectorized: lexsort the
+    (group, value) pairs, lerp at index (len-1)*q within each run.  The
+    interpolation is ``lo*(1-f) + hi*f`` — DuckDB's quantile_cont formula
+    bit-for-bit (verified empirically; ``lo+(hi-lo)*f`` differs in the
+    last ulp), so the SQL oracle can value-hash-match.  Groups absent
+    from ``par`` come back NaN."""
+    if len(par) == 0:
+        return np.full(n, np.nan)
+    order = np.lexsort((vals, par))
+    par_s, v_s = par[order], vals[order]
+    starts = np.flatnonzero(np.r_[True, par_s[1:] != par_s[:-1]])
+    lens = np.r_[starts[1:], len(par_s)] - starts
+    idx = (lens - 1) * q
+    lo = np.floor(idx).astype(np.int64)
+    hi = np.ceil(idx).astype(np.int64)
+    fr = idx - lo
+    res = v_s[starts + lo] * (1.0 - fr) + v_s[starts + hi] * fr
+    out = np.full(n, np.nan)
+    out[par_s[starts]] = res
+    return out
+
+
+def _mv_numeric_parts(col) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, parent indices, float64 flat values) of a numeric list column."""
+    n = len(col)
+    par = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    flat = pc.cast(col.flatten(), pa.float64()).to_numpy(zero_copy_only=False)
+    return n, par, flat
+
+
 def _mv_reduce(col, how: str):
     """Per-row reduction of a list column → scalar column, fully
     vectorized: parent-index group_by for min/max (any orderable type),
@@ -1313,6 +1344,16 @@ def _eval_expr(node: tuple, batch: pa.Table):
             return pc.ln(vals[0])
         if name == "SIGNUM":
             return pc.sign(vals[0]).cast(pa.float64())
+        if name == "SCALB":
+            # ES|QL SCALB(d, scaleFactor) = d * 2^scaleFactor (Java
+            # Math.scalb) — numpy ldexp, exact for integer factors
+            d, k = vals[0], vals[1]
+            if not isinstance(k, int):
+                raise ValueError("esql: SCALB scaleFactor must be an integer literal")
+            if not isinstance(d, (pa.Array, pa.ChunkedArray)):
+                return float(np.ldexp(float(d), k))
+            x = pc.cast(_as_array(d), pa.float64()).to_numpy(zero_copy_only=False)
+            return pa.array(np.ldexp(x, k), type=pa.float64(), mask=np.isnan(x))
         if name == "PI":
             return float(np.pi)
         if name == "E":
@@ -1707,6 +1748,70 @@ def _eval_expr(node: tuple, batch: pa.Table):
                 pa.array(out.tolist(), type=pa.string()),
                 mask=pa.array(both_null),
             )
+        if name == "MV_CONCAT":
+            # ES|QL MV_CONCAT(mv_string, delim): join the row's strings
+            # into one value — a single Arrow binary_join kernel
+            col = _as_array(vals[0])
+            delim = vals[1] if len(vals) > 1 else ","
+            if not pa.types.is_list(col.type):
+                raise ValueError("esql: MV_CONCAT needs a multi-value column")
+            if not isinstance(delim, str):
+                raise ValueError("esql: MV_CONCAT delimiter must be a string literal")
+            return pc.binary_join(col, delim)
+        if name == "MV_PERCENTILE":
+            # ES|QL MV_PERCENTILE(mv, p): per-row exact percentile with
+            # linear interpolation (quantile_cont lerp — see
+            # _np_group_quantile for the float contract)
+            col = _as_array(vals[0])
+            p = vals[1] if len(vals) > 1 else None
+            if not pa.types.is_list(col.type):
+                raise ValueError("esql: MV_PERCENTILE needs a multi-value column")
+            if not isinstance(p, (int, float)) or not (0 <= float(p) <= 100):
+                raise ValueError("esql: MV_PERCENTILE needs a literal 0..100")
+            n, par, flat = _mv_numeric_parts(col)
+            out = _np_group_quantile(par, flat, n, float(p) / 100.0)
+            return pa.array(out, type=pa.float64(), mask=np.isnan(out))
+        if name == "MV_MEDIAN_ABSOLUTE_DEVIATION":
+            # per-row MAD = median(|x - median(x)|), both medians the
+            # interpolated quantile (matches DuckDB mad() per group)
+            col = _as_array(vals[0])
+            if not pa.types.is_list(col.type):
+                raise ValueError(
+                    "esql: MV_MEDIAN_ABSOLUTE_DEVIATION needs a multi-value column"
+                )
+            n, par, flat = _mv_numeric_parts(col)
+            med = _np_group_quantile(par, flat, n, 0.5)
+            if len(par) == 0:
+                return pa.nulls(n, type=pa.float64())
+            dev = np.abs(flat - med[par])
+            out = _np_group_quantile(par, dev, n, 0.5)
+            return pa.array(out, type=pa.float64(), mask=np.isnan(out))
+        if name == "MV_PSERIES_WEIGHTED_SUM":
+            # ES|QL MV_PSERIES_WEIGHTED_SUM(mv, p): Σ v[i] / (i+1)^p in
+            # list order — position weights via one repeat/arange pass,
+            # per-row fold via bincount (accumulates in list order, so a
+            # SQL oracle summing the zipped unnest matches bit-for-bit)
+            col = _as_array(vals[0])
+            p = vals[1] if len(vals) > 1 else None
+            if not pa.types.is_list(col.type):
+                raise ValueError(
+                    "esql: MV_PSERIES_WEIGHTED_SUM needs a multi-value column"
+                )
+            if not isinstance(p, (int, float)):
+                raise ValueError(
+                    "esql: MV_PSERIES_WEIGHTED_SUM needs a literal exponent"
+                )
+            n, par, flat = _mv_numeric_parts(col)
+            if len(par) == 0:
+                return pa.nulls(n, type=pa.float64())
+            counts = np.bincount(par, minlength=n)
+            offs = np.r_[0, np.cumsum(counts)][:-1]
+            pos = np.arange(len(par), dtype=np.int64) - offs[par]
+            s = np.bincount(
+                par, weights=flat / np.power(pos + 1.0, float(p)), minlength=n
+            )
+            out = np.where(counts > 0, s, np.nan)
+            return pa.array(out, type=pa.float64(), mask=counts == 0)
         if name == "TO_IP":
             # ES|QL TO_IP(string) — IPv4 dotted-quad validation; the graft
             # keeps IPs as canonical strings (no inet type in the engine),
@@ -1730,6 +1835,42 @@ def _eval_expr(node: tuple, batch: pa.Table):
                 octs.append(o.cast(pa.string()))
             canon = pc.binary_join_element_wise(octs[0], octs[1], octs[2], octs[3], ".")
             return pc.if_else(ok.fill_null(False), canon, pa.nulls(len(arr), pa.string()))
+        if name == "IP_PREFIX":
+            # ES|QL IP_PREFIX(ip, prefixLengthV4, prefixLengthV6): truncate
+            # the address to its network prefix.  The engine's IP type is a
+            # canonical IPv4 string (see TO_IP), so the v6 length is
+            # accepted-and-ignored; octets → uint32 → mask → dotted quad,
+            # all int64 numpy — null ips stay null
+            plen = vals[1]
+            if not isinstance(plen, int) or not (0 <= plen <= 32):
+                raise ValueError("esql: IP_PREFIX v4 length must be a literal 0..32")
+            arr = pc.cast(_as_array(vals[0]), pa.string())
+            st = pc.extract_regex(
+                arr,
+                pattern=r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$",
+            )
+            octs = [
+                pc.struct_field(st, f_).cast(pa.int64()).to_numpy(zero_copy_only=False)
+                for f_ in ("a", "b", "c", "d")
+            ]
+            valid = pc.is_valid(st).to_numpy(zero_copy_only=False)
+            o = [np.where(valid, x, 0).astype(np.int64) for x in octs]
+            addr = (o[0] << 24) | (o[1] << 16) | (o[2] << 8) | o[3]
+            mask = ((1 << plen) - 1) << (32 - plen) if plen else 0
+            net = addr & mask
+            quad = np.char.add(
+                np.char.add(
+                    np.char.add(
+                        np.char.add((net >> 24).astype(str), "."),
+                        np.char.add(((net >> 16) & 255).astype(str), "."),
+                    ),
+                    np.char.add(((net >> 8) & 255).astype(str), "."),
+                ),
+                (net & 255).astype(str),
+            )
+            return pa.array(
+                np.where(valid, quad, None).tolist(), type=pa.string()
+            )
         if name == "CIDR_MATCH":
             # ES|QL CIDR_MATCH(ip, "block", ...) — any-match over CIDR
             # literals; prefix compare on the numeric address, null ips

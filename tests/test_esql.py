@@ -1788,3 +1788,79 @@ def test_esql_hash_generic(ray_session):
     assert t["m"][0].as_py() == hashlib.md5(b"abc").hexdigest()
     with pytest.raises(Exception, match="unknown algorithm"):
         run_esql('ROW s = "x" | EVAL h = HASH("nope", s) | KEEP h', "/tmp")
+
+
+def test_esql_mv_quantile_family_brute_force(ray_session):
+    """MV_PERCENTILE / MV_MEDIAN_ABSOLUTE_DEVIATION / MV_PSERIES_WEIGHTED_SUM
+    against an independent numpy recompute on the embeddings table."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        "FROM embeddings "
+        "| EVAL p = MV_PERCENTILE(embedding, 37), "
+        "m = MV_MEDIAN_ABSOLUTE_DEVIATION(embedding), "
+        "s = MV_PSERIES_WEIGHTED_SUM(embedding, 1.1) "
+        "| KEEP vec_id, p, m, s | SORT vec_id | LIMIT 50",
+        SF_DIR,
+    )
+    raw = pq.read_table(f"{SF_DIR}/embeddings.parquet").sort_by("vec_id")
+
+    def lerp_quantile(v: np.ndarray, q: float) -> float:
+        v = np.sort(v)
+        idx = (len(v) - 1) * q
+        lo, hi = int(np.floor(idx)), int(np.ceil(idx))
+        fr = idx - lo
+        return v[lo] * (1.0 - fr) + v[hi] * fr
+
+    for i in range(50):
+        v = np.asarray(raw["embedding"][i].as_py(), dtype=np.float64)
+        assert t["p"][i].as_py() == lerp_quantile(v, 0.37)
+        med = lerp_quantile(v, 0.5)
+        assert t["m"][i].as_py() == lerp_quantile(np.abs(v - med), 0.5)
+        w = v / np.power(np.arange(1.0, len(v) + 1.0), 1.1)
+        got = t["s"][i].as_py()
+        assert abs(got - w.sum()) < 1e-9
+
+
+def test_esql_mv_concat_and_empty(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW s = "a b c" | EVAL w = SPLIT(s, " ") '
+        '| EVAL j = MV_CONCAT(w, "-"), one = MV_CONCAT(MV_SLICE(w, 0, 0), "-") '
+        "| KEEP j, one",
+        "/tmp",
+    )
+    assert t["j"][0].as_py() == "a-b-c"
+    assert t["one"][0].as_py() == "a"
+    with pytest.raises(Exception, match="multi-value"):
+        run_esql('ROW a = 1 | EVAL x = MV_CONCAT(a, "-") | KEEP x', "/tmp")
+
+
+def test_esql_scalb_and_ip_prefix(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW ip = "192.168.213.77", bad = "999.1.2.3", d = 3.5 '
+        "| EVAL p24 = IP_PREFIX(TO_IP(ip), 24, 0), "
+        "p12 = IP_PREFIX(TO_IP(ip), 12, 0), "
+        "p0 = IP_PREFIX(TO_IP(ip), 0, 0), "
+        "pbad = IP_PREFIX(TO_IP(bad), 24, 0), "
+        "s = SCALB(d, 4), sneg = SCALB(d, -1) "
+        "| KEEP p24, p12, p0, pbad, s, sneg",
+        "/tmp",
+    )
+    assert t["p24"][0].as_py() == "192.168.213.0"
+    # /12 keeps the top 4 bits of the second octet: 168 & 0xF0 = 160
+    assert t["p12"][0].as_py() == "192.160.0.0"
+    assert t["p0"][0].as_py() == "0.0.0.0"
+    assert t["pbad"][0].as_py() is None
+    assert t["s"][0].as_py() == 3.5 * 16
+    assert t["sneg"][0].as_py() == 1.75
+    with pytest.raises(Exception, match="0..32"):
+        run_esql('ROW ip = "1.2.3.4" | EVAL x = IP_PREFIX(ip, 40, 0) | KEEP x', "/tmp")
+    with pytest.raises(Exception, match="integer literal"):
+        run_esql("ROW d = 1.0 | EVAL x = SCALB(d, 1.5) | KEEP x", "/tmp")
