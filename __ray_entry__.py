@@ -5185,6 +5185,45 @@ def _q_esql_ip_prefix(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_match_phrase(sf_dir: str) -> pa.Table:
+    """ES|QL MATCH_PHRASE full-text predicate: analyzed-adjacency via the
+    (doc, pos − i) key-intersection plan, evaluated index-free per batch."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        'FROM documents | WHERE MATCH_PHRASE(text, "the fast") '
+        "| STATS n = COUNT(*) BY lang | SORT lang",
+        sf_dir,
+    )
+
+
+def _q_esql_kql(sf_dir: str) -> pa.Table:
+    """ES|QL KQL function: field:value leaves (term / quoted phrase /
+    wildcard) with and/or/not + parentheses, resolved against the pipe
+    schema; fields inside the literal feed projection pushdown."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        'FROM documents | WHERE KQL("lang:en and (text:\\"the fast\\" '
+        'or text:qu*ry)") '
+        "| STATS n = COUNT(*) BY source | SORT source",
+        sf_dir,
+    )
+
+
+def _q_esql_term_round_to(sf_dir: str) -> pa.Table:
+    """ES|QL TERM (unanalyzed-query exact term) + ROUND_TO (round down to
+    fixed points via one searchsorted)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        'FROM documents | WHERE TERM(lang, "en") '
+        "| EVAL b = ROUND_TO(n_chars, 0, 100, 200, 400) "
+        "| STATS n = COUNT(*) BY b | SORT b",
+        sf_dir,
+    )
+
+
 def _q_esql_date_parse(sf_dir: str) -> pa.Table:
     """ES|QL DATE_PARSE (Java pattern → strptime translation): strftime
     round-trip at minute resolution, epoch-ms output."""
@@ -5955,6 +5994,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_mv_stats": _q_esql_mv_stats,
         "esql_mv_concat": _q_esql_mv_concat,
         "esql_ip_prefix": _q_esql_ip_prefix,
+        "esql_match_phrase": _q_esql_match_phrase,
+        "esql_kql": _q_esql_kql,
+        "esql_term_round_to": _q_esql_term_round_to,
         "esql_date_parse": _q_esql_date_parse,
         "esql_cidr": _q_esql_cidr,
         # stream-shaped ops over the ordered events log
@@ -10985,6 +11027,28 @@ SELECT doc_id, a[1] AS first3, a[len(a)] AS last3,
        a[len(a)] || '-' || a[len(a)] AS zip_last,
        (len(a) + len(w))::BIGINT AS app_n
 FROM a ORDER BY doc_id LIMIT 200
+""",
+        # analyzed adjacency == whitespace substring on this corpus
+        "esql_match_phrase": """
+SELECT lang, count(*)::BIGINT AS n FROM documents
+WHERE contains(' ' || text || ' ', ' the fast ')
+GROUP BY lang ORDER BY lang
+""",
+        # KQL: term == match membership, quoted == adjacency, wildcard ==
+        # per-token regex (qu*ry → ^qu.*ry$)
+        "esql_kql": """
+SELECT source, count(*)::BIGINT AS n FROM documents
+WHERE lang = 'en' AND (contains(' ' || text || ' ', ' the fast ')
+   OR len(list_filter(string_split(text, ' '),
+           x -> regexp_matches(x, '^qu.*ry$'))) > 0)
+GROUP BY source ORDER BY source
+""",
+        # ROUND_TO: round down to the fixed points, clamped at the lowest
+        "esql_term_round_to": """
+SELECT CASE WHEN n_chars >= 400 THEN 400.0 WHEN n_chars >= 200 THEN 200.0
+            WHEN n_chars >= 100 THEN 100.0 ELSE 0.0 END AS b,
+       count(*)::BIGINT AS n
+FROM documents WHERE lang = 'en' GROUP BY b ORDER BY b
 """,
         # MV_PERCENTILE/MAD == quantile_cont/mad per vec_id group;
         # PSERIES == zipped-unnest Σ x/pow(i,1.5) (both sum in list order)

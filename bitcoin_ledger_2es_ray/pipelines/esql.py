@@ -321,7 +321,9 @@ def _validate_fulltext_exprs(plan: "EsqlPlan") -> None:
 
     def walk(node) -> None:
         if isinstance(node, tuple):
-            if node and node[0] == "func" and node[1] in ("MATCH", "QSTR"):
+            if node and node[0] == "func" and node[1] in (
+                "MATCH", "QSTR", "MATCH_PHRASE", "TERM"
+            ):
                 args = node[2]
                 if (
                     len(args) != 2
@@ -334,6 +336,15 @@ def _validate_fulltext_exprs(plan: "EsqlPlan") -> None:
                     )
                 if node[1] == "QSTR":
                     _validate_qstr(args[1][1])
+            if node and node[0] == "func" and node[1] == "KQL":
+                args = node[2]
+                if (
+                    len(args) != 1
+                    or args[0][0] != "lit"
+                    or not isinstance(args[0][1], str)
+                ):
+                    raise ValueError('esql: KQL("query") needs a literal query')
+                _kql_parse(args[0][1])  # syntax errors surface on the driver
             for x in node:
                 walk(x)
         elif isinstance(node, list):
@@ -477,6 +488,182 @@ def _qstr_predicate(field: pa.Array, query: str) -> pa.Array:
         )
 
     return pa.array(ev(node))
+
+
+def _phrase_predicate(field: pa.Array, query: str) -> pa.Array:
+    """``MATCH_PHRASE(field, "query")``: true iff the analyzed query terms
+    occur ADJACENT and in order among the field's analyzed tokens — the
+    (doc, pos − i) key-intersection plan QSTR uses for quoted phrases,
+    evaluated index-free per batch."""
+    from ..functions.tokenize import tokenize_flat, tokenize_query
+
+    n = len(field)
+    terms = tokenize_query(query)
+    if not terms or n == 0:
+        return pa.array(np.zeros(n, dtype=bool))
+    if len(terms) > 64:
+        raise ValueError("esql: MATCH_PHRASE longer than 64 terms")
+    toks, doc_idx, _dl, pos = tokenize_flat(field, return_positions=True)
+    keys = None
+    for i, t in enumerate(terms):
+        m = pc.fill_null(pc.equal(toks, t), False).to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+        k_i = doc_idx[m].astype(np.int64) * (1 << 32) + (
+            pos[m].astype(np.int64) - i + 64
+        )
+        keys = k_i if keys is None else np.intersect1d(keys, k_i)
+        if len(keys) == 0:
+            break
+    out = np.zeros(n, dtype=bool)
+    if keys is not None and len(keys):
+        out[np.unique(keys >> 32)] = True
+    return pa.array(out)
+
+
+# ---------------------------------------------------------------- KQL
+
+_KQL_TOKEN = re.compile(
+    r'\s*(\(|\)|"(?:[^"\\]|\\.)*"|[Aa][Nn][Dd]\b|[Oo][Rr]\b|[Nn][Oo][Tt]\b'
+    r"|[^\s():]+:|[^\s()]+)"
+)
+
+
+def _kql_parse(src: str):
+    """Parse the KQL subset the graft evaluates index-free: ``field:value``
+    leaves (bare word, ``"quoted phrase"``, ``*``/``?`` wildcards) combined
+    with AND / OR / NOT and parentheses.  ``field:(a or b)`` groups and
+    range operators are refused with a pointer at the richer pipelines."""
+    toks: list[str] = []
+    i = 0
+    while i < len(src):
+        m = _KQL_TOKEN.match(src, i)
+        if not m:
+            raise ValueError(f"esql: KQL cannot lex at {src[i:i+20]!r}")
+        toks.append(m.group(1))
+        i = m.end()
+    p = [0]
+
+    def peek() -> str | None:
+        return toks[p[0]] if p[0] < len(toks) else None
+
+    def take() -> str:
+        t = toks[p[0]]
+        p[0] += 1
+        return t
+
+    def primary():
+        t = peek()
+        if t == "(":
+            take()
+            node = or_expr()
+            if peek() != ")":
+                raise ValueError("esql: KQL unbalanced parenthesis")
+            take()
+            return node
+        if t is None or t in (")",):
+            raise ValueError("esql: KQL expected a field:value leaf")
+        if t.lower() == "not":
+            take()
+            return ("not", primary())
+        if not t.endswith(":"):
+            raise ValueError(
+                f"esql: KQL leaf {t!r} has no field — the graft signature "
+                "requires explicit field:value"
+            )
+        field = take()[:-1]
+        v = peek()
+        if v is None or v in ("(", ")"):
+            raise ValueError(
+                "esql: KQL field:(...) groups are not supported — "
+                "distribute the field over the parenthesis"
+            )
+        take()
+        if v.startswith('"'):
+            return ("phrase", field, v[1:-1])
+        if "*" in v or "?" in v:
+            return ("wild", field, v)
+        return ("term", field, v)
+
+    def and_expr():
+        node = primary()
+        while (t := peek()) is not None and t.lower() == "and":
+            take()
+            node = ("and", node, primary())
+        return node
+
+    def or_expr():
+        node = and_expr()
+        while (t := peek()) is not None and t.lower() == "or":
+            take()
+            node = ("or", node, and_expr())
+        return node
+
+    node = or_expr()
+    if p[0] != len(toks):
+        raise ValueError(f"esql: KQL trailing input {toks[p[0]]!r}")
+    return node
+
+
+def _kql_fields(node, acc: set[str]) -> None:
+    if node[0] in ("term", "phrase", "wild"):
+        acc.add(node[1])
+    elif node[0] == "not":
+        _kql_fields(node[1], acc)
+    else:
+        _kql_fields(node[1], acc)
+        _kql_fields(node[2], acc)
+
+
+def _kql_predicate(batch: pa.Table, query: str) -> pa.Array:
+    """``KQL("query")`` over the batch's own columns (ES KQL resolves
+    fields from the index mapping; here, from the pipe schema): term
+    leaves reuse the MATCH membership plan, quoted phrases the adjacency
+    plan, wildcards a token regex."""
+    node = _kql_parse(query)
+    n = batch.num_rows
+
+    def col(name: str) -> pa.Array:
+        if name not in batch.column_names:
+            raise ValueError(f"esql: KQL unknown field {name!r}")
+        c = batch[name]
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        if not pa.types.is_string(c.type) and not pa.types.is_large_string(c.type):
+            c = c.cast(pa.string())
+        return c
+
+    def ev(nd) -> np.ndarray:
+        k = nd[0]
+        if k == "term":
+            return _match_predicate(col(nd[1]), nd[2]).to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
+        if k == "phrase":
+            return _phrase_predicate(col(nd[1]), nd[2]).to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
+        if k == "wild":
+            from ..functions.tokenize import tokenize_flat
+
+            toks, doc_idx, _dl = tokenize_flat(col(nd[1]))
+            rx = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                for ch in nd[2].lower()
+            ) + "$"
+            hit = pc.fill_null(
+                pc.match_substring_regex(toks, rx), False
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            return _hits_to_rows(n, doc_idx, hit)
+        if k == "not":
+            return ~ev(nd[1])
+        if k == "and":
+            return ev(nd[1]) & ev(nd[2])
+        if k == "or":
+            return ev(nd[1]) | ev(nd[2])
+        raise AssertionError(k)
+
+    return pa.array(ev(node))
+
 
 # ---------------------------------------------------- dissect / grok
 
@@ -1277,6 +1464,43 @@ def _eval_expr(node: tuple, batch: pa.Table):
                     "names the field explicitly (no index default field)"
                 )
             return _qstr_predicate(_as_array(vals[0]), vals[1])
+        if name == "MATCH_PHRASE":
+            if len(args) != 2 or not isinstance(vals[1], str):
+                raise ValueError('esql: MATCH_PHRASE(field, "query")')
+            return _phrase_predicate(_as_array(vals[0]), vals[1])
+        if name == "TERM":
+            # ES|QL TERM(field, "term"): exact term — the QUERY side is
+            # not analyzed (ES term query), the field side is
+            if len(args) != 2 or not isinstance(vals[1], str):
+                raise ValueError('esql: TERM(field, "term")')
+            from ..functions.tokenize import tokenize_flat
+
+            fld = _as_array(vals[0])
+            toks, doc_idx, _dl = tokenize_flat(fld)
+            hit = pc.fill_null(pc.equal(toks, vals[1]), False).to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
+            return pa.array(_hits_to_rows(len(fld), doc_idx, hit))
+        if name == "KQL":
+            if len(args) != 1 or not isinstance(vals[0], str):
+                raise ValueError('esql: KQL("field:value and ...")')
+            return _kql_predicate(batch, vals[0])
+        if name == "ROUND_TO":
+            # ES|QL ROUND_TO(value, p1, p2, ...): round DOWN to the
+            # nearest of the fixed points; values below the smallest
+            # point clamp to it — one searchsorted
+            if len(vals) < 2 or not all(
+                isinstance(v_, (int, float)) for v_ in vals[1:]
+            ):
+                raise ValueError("esql: ROUND_TO needs numeric literal points")
+            pts = np.sort(np.asarray([float(v_) for v_ in vals[1:]]))
+            x = pc.cast(_as_array(vals[0]), pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            idx = np.clip(np.searchsorted(pts, x, side="right") - 1, 0, None)
+            out = pts[idx]
+            mask = np.isnan(x)
+            return pa.array(out, type=pa.float64(), mask=mask)
         if name == "ROUND":
             x = _as_array(vals[0])
             d = int(vals[1]) if len(vals) > 1 else 0
@@ -2021,6 +2245,14 @@ def _referenced_cols(node: tuple | None, acc: set[str]) -> None:
     elif kind == "not":
         _referenced_cols(node[1], acc)
     elif kind == "func":
+        # KQL names its fields INSIDE the literal query string — surface
+        # them so projection pushdown keeps the columns it evaluates
+        if node[1] == "KQL" and node[2] and node[2][0][0] == "lit" \
+                and isinstance(node[2][0][1], str):
+            try:
+                _kql_fields(_kql_parse(node[2][0][1]), acc)
+            except ValueError:
+                pass  # the evaluator raises the real parse error
         for a in node[2]:
             _referenced_cols(a, acc)
     elif kind == "bin":

@@ -1864,3 +1864,61 @@ def test_esql_scalb_and_ip_prefix(ray_session):
         run_esql('ROW ip = "1.2.3.4" | EVAL x = IP_PREFIX(ip, 40, 0) | KEEP x', "/tmp")
     with pytest.raises(Exception, match="integer literal"):
         run_esql("ROW d = 1.0 | EVAL x = SCALB(d, 1.5) | KEEP x", "/tmp")
+
+
+def test_esql_match_phrase_and_term(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW s = "alpha beta gamma" '
+        '| EVAL adj = MATCH_PHRASE(s, "alpha beta"), '
+        'rev = MATCH_PHRASE(s, "beta alpha"), '
+        'gap = MATCH_PHRASE(s, "alpha gamma"), '
+        't1 = TERM(s, "beta"), t2 = TERM(s, "Beta") '
+        "| KEEP adj, rev, gap, t1, t2",
+        "/tmp",
+    )
+    row = {c: t[c][0].as_py() for c in t.column_names}
+    assert row["adj"] is True and row["rev"] is False and row["gap"] is False
+    # TERM does not analyze its query: 'Beta' stays uppercase and misses
+    assert row["t1"] is True and row["t2"] is False
+    with pytest.raises(Exception, match="literal"):
+        run_esql('ROW s = "x" | EVAL b = MATCH_PHRASE(s, s) | KEEP b', "/tmp")
+
+
+def test_esql_kql_predicate_and_errors(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW lang = "en", s = "alpha beta gamma" '
+        '| EVAL a = KQL("lang:en and s:beta"), '
+        'b = KQL("lang:fr or s:\\"beta gamma\\""), '
+        'c = KQL("not lang:en"), '
+        'd = KQL("s:alp*a"), e = KQL("s:be?a and (lang:en or lang:fr)") '
+        "| KEEP a, b, c, d, e",
+        "/tmp",
+    )
+    row = {c_: t[c_][0].as_py() for c_ in t.column_names}
+    assert row["a"] and row["b"] and not row["c"] and row["d"] and row["e"]
+    with pytest.raises(Exception, match="no field"):
+        run_esql('ROW s = "x" | EVAL b = KQL("bare") | KEEP b', "/tmp")
+    with pytest.raises(Exception, match="unknown (field|columns)"):
+        run_esql('ROW s = "x" | EVAL b = KQL("nope:x") | KEEP b', "/tmp")
+    with pytest.raises(Exception, match="parenthesis|groups"):
+        run_esql('ROW s = "x" | EVAL b = KQL("s:(a or b)") | KEEP b', "/tmp")
+
+
+def test_esql_round_to(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        "ROW v = 250 | EVAL a = ROUND_TO(v, 0, 100, 200, 400), "
+        "b = ROUND_TO(v, 300, 500), c = ROUND_TO(v, 250) "
+        "| KEEP a, b, c",
+        "/tmp",
+    )
+    assert t["a"][0].as_py() == 200.0
+    assert t["b"][0].as_py() == 300.0  # below the smallest point: clamp
+    assert t["c"][0].as_py() == 250.0
+    with pytest.raises(Exception, match="numeric literal"):
+        run_esql('ROW v = 1 | EVAL x = ROUND_TO(v, "a") | KEEP x', "/tmp")
