@@ -3350,6 +3350,23 @@ def _q_mget(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_ids_query(sf_dir: str) -> pa.Table:
+    """ES ``ids`` query: explicit-id SEARCH — constant score 1.0 per hit,
+    id predicate pushed into the forward-map scan."""
+    from bitcoin_ledger_2es_ray.pipelines.query import ids_query
+
+    store, res = _store_for(sf_dir)
+    ids = sorted({(q * 37) % store.n_docs for q in range(_N_QUERIES)})
+    t = ids_query(res.out_dir, ids, columns=["lang"])
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "lang": t["lang"],
+            "score": t["score"],
+        }
+    )
+
+
 def _q_percentile_ranks(sf_dir: str) -> pa.Table:
     """ES ``percentile_ranks`` over doc length (exact value-counts plan):
     % of docs with dl ≤ v for v ∈ {8,16,32,64}."""
@@ -5757,6 +5774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_terminated": _q_count_terminated,
         "index_sorted_topk": _q_index_sorted_topk,
         "mget": _q_mget,
+        "ids_query": _q_ids_query,
         "percolate": _q_percolate,
         "percolate_phrase": _q_percolate_phrase,
         "prf_expand": _q_prf_expand,
@@ -10480,6 +10498,15 @@ FROM qterm qt JOIN tf ON tf.term = qt.term
 GROUP BY qt.query_id ORDER BY query_id
 """,
         # _mget: metadata for ids (31q mod N)
+        "ids_query": """
+WITH nd AS (SELECT count(*) AS c FROM documents),
+ids AS (
+  SELECT DISTINCT (q * 37) % c AS doc_id
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+)
+SELECT d.doc_id, d.lang, 1.0 AS score
+FROM documents d JOIN ids USING (doc_id) ORDER BY doc_id
+""".replace("{nq1}", str(_N_QUERIES - 1)),
         "mget": """
 WITH nd AS (SELECT count(*) AS c FROM documents),
 ids AS (

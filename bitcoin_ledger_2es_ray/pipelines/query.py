@@ -787,6 +787,20 @@ def mget(index_dir: str, doc_ids: list[int], columns: list[str] = ("lang", "dl")
     return t.sort_by("doc_id")
 
 
+def ids_query(
+    index_dir: str, doc_ids: list[int], columns: list[str] = ("lang",)
+) -> pa.Table:
+    """ES ``ids`` query: a SEARCH (not a GET) whose hit set is an explicit
+    id list — every hit carries the ES constant score 1.0; ids absent
+    from the index produce no hit.  The id predicate pushes into the
+    forward-map parquet scan exactly like ``mget`` (row-group pruning),
+    so at scale each partition reads only its own requested rows — the
+    full forward map is never materialized."""
+    t = mget(index_dir, doc_ids, columns=list(columns))
+    score = pa.array(np.ones(t.num_rows), type=pa.float64())
+    return t.append_column("score", score)
+
+
 def collapse_topk(
     store: SegmentStore,
     text: str,

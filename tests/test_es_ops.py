@@ -1149,6 +1149,17 @@ def test_mget_pushdown_matches_direct(built):
         assert (l, dl) == (langs[d], dls[d])
 
 
+def test_ids_query_scores_and_missing(built):
+    from bitcoin_ledger_2es_ray.pipelines.query import ids_query
+
+    res, _, corpus = built
+    n = pq.read_table(corpus, columns=["lang"]).num_rows
+    got = ids_query(res.out_dir, [3, 1, n - 1, n + 50], columns=["lang"])
+    assert got["doc_id"].to_pylist() == [1, 3, n - 1]  # sorted, missing absent
+    assert got["score"].to_pylist() == [1.0, 1.0, 1.0]  # ES constant score
+    assert got.schema.field("score").type == "double"
+
+
 def test_percentile_ranks_matches_numpy(built, ray_session):
     from bitcoin_ledger_2es_ray.pipelines.aggs import percentile_ranks_agg
 
