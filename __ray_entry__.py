@@ -5202,6 +5202,43 @@ def _q_esql_ip_prefix(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_over_time(sf_dir: str) -> pa.Table:
+    """ES|QL TS-source *_OVER_TIME aggregates (decomposable trio): the
+    STATS group IS the series, so they rewrite to plain MAX/SUM/COUNT at
+    parse — integer-cent sum keeps the fold order-exact."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "TS events | EVAL v = ROUND(value * 100, 0) "
+        "| STATS mx = MAX_OVER_TIME(value), s = SUM_OVER_TIME(v), "
+        "n = COUNT_OVER_TIME(value) BY user_id | SORT user_id",
+        sf_dir,
+    )
+
+
+def _q_esql_first_over_time(sf_dir: str) -> pa.Table:
+    """ES|QL FIRST_OVER_TIME: ts-ordered endpoint partials (RATE's plan),
+    combine keeps the globally earliest value per series."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "TS events | STATS f = FIRST_OVER_TIME(value) BY user_id "
+        "| SORT user_id",
+        sf_dir,
+    )
+
+
+def _q_esql_last_over_time(sf_dir: str) -> pa.Table:
+    """ES|QL LAST_OVER_TIME: the latest endpoint per series."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "TS events | STATS l = LAST_OVER_TIME(value) BY user_id "
+        "| SORT user_id",
+        sf_dir,
+    )
+
+
 def _q_esql_match_phrase(sf_dir: str) -> pa.Table:
     """ES|QL MATCH_PHRASE full-text predicate: analyzed-adjacency via the
     (doc, pos − i) key-intersection plan, evaluated index-free per batch."""
@@ -6015,6 +6052,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_match_phrase": _q_esql_match_phrase,
         "esql_kql": _q_esql_kql,
         "esql_term_round_to": _q_esql_term_round_to,
+        "esql_over_time": _q_esql_over_time,
+        "esql_first_over_time": _q_esql_first_over_time,
+        "esql_last_over_time": _q_esql_last_over_time,
         "esql_date_parse": _q_esql_date_parse,
         "esql_cidr": _q_esql_cidr,
         # stream-shaped ops over the ordered events log
@@ -11054,6 +11094,21 @@ SELECT doc_id, a[1] AS first3, a[len(a)] AS last3,
        a[len(a)] || '-' || a[len(a)] AS zip_last,
        (len(a) + len(w))::BIGINT AS app_n
 FROM a ORDER BY doc_id LIMIT 200
+""",
+        # *_OVER_TIME over the series group == plain aggregates
+        "esql_over_time": """
+SELECT user_id::BIGINT AS user_id, round(max(value), 6) AS mx,
+       round(sum(round(value * 100, 0)), 6) AS s,
+       count(value)::BIGINT AS n
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "esql_first_over_time": """
+SELECT user_id::BIGINT AS user_id, round(arg_min(value, ts), 6) AS f
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "esql_last_over_time": """
+SELECT user_id::BIGINT AS user_id, round(arg_max(value, ts), 6) AS l
+FROM events GROUP BY user_id ORDER BY user_id
 """,
         # analyzed adjacency == whitespace substring on this corpus
         "esql_match_phrase": """

@@ -957,7 +957,18 @@ _AGG_FUNCS = {
     "COUNT_DISTINCT", "VALUES",
     "MEDIAN", "PERCENTILE", "MEDIAN_ABSOLUTE_DEVIATION", "TOP",
     "RATE",
+    "MAX_OVER_TIME", "MIN_OVER_TIME", "SUM_OVER_TIME", "COUNT_OVER_TIME",
+    "AVG_OVER_TIME", "FIRST_OVER_TIME", "LAST_OVER_TIME",
 }
+# TS-source *_OVER_TIME aggregates (9.x): the STATS group IS the
+# series × bucket, so the decomposable ones rewrite to their plain
+# aggregate at parse; FIRST/LAST need ts-ordered endpoints (RATE's plan)
+_OVER_TIME_PLAIN = {
+    "MAX_OVER_TIME": "MAX", "MIN_OVER_TIME": "MIN",
+    "SUM_OVER_TIME": "SUM", "COUNT_OVER_TIME": "COUNT",
+    "AVG_OVER_TIME": "AVG",
+}
+_ENDPOINT_FAMILY = {"RATE", "FIRST_OVER_TIME", "LAST_OVER_TIME"}
 # mergeable-by-column-partial aggregates: compose freely with each other,
 # with per-aggregate WHERE, and with INLINESTATS' join-back plan
 _DECOMPOSABLE = {"COUNT", "SUM", "MIN", "MAX", "AVG", "STD_DEV", "WEIGHTED_AVG"}
@@ -1110,11 +1121,11 @@ def _parse_agg_list(p: "_Parser") -> tuple[list[tuple], list[str]]:
             f"esql: {meds[0][1]} must be the only aggregate in STATS (its "
             "partial is a value-count stream)"
         )
-    rates = [s_ for s_ in stats if s_[1] == "RATE"]
+    rates = [s_ for s_ in stats if s_[1] in _ENDPOINT_FAMILY]
     if rates and len(stats) != 1:
         raise ValueError(
-            "esql: RATE must be the only aggregate in STATS (its partial "
-            "is a per-group endpoint stream)"
+            f"esql: {rates[0][1]} must be the only aggregate in STATS "
+            "(its partial is a per-group endpoint stream)"
         )
     return stats, by
 
@@ -1230,11 +1241,20 @@ def parse_esql(src: str) -> EsqlPlan:
                 plan.post.append(("stats", st2, by2))
             else:
                 plan.stats, plan.by = _parse_agg_list(p)
-                if any(s_[1] == "RATE" for s_ in plan.stats) and not plan.ts:
+                ts_only = [
+                    s_ for s_ in plan.stats
+                    if s_[1] in _ENDPOINT_FAMILY or s_[1] in _OVER_TIME_PLAIN
+                ]
+                if ts_only and not plan.ts:
                     raise ValueError(
-                        "esql: RATE requires the TS time-series source "
-                        "command (start the pipe with TS, not FROM)"
+                        f"esql: {ts_only[0][1]} requires the TS time-series "
+                        "source command (start the pipe with TS, not FROM)"
                     )
+                # decomposable *_OVER_TIME: over-time == over-group
+                plan.stats = [
+                    (s_[0], _OVER_TIME_PLAIN.get(s_[1], s_[1]), *s_[2:])
+                    for s_ in plan.stats
+                ]
         elif cmd == "INLINESTATS":
             # ES|QL INLINESTATS (8.18 tech preview): adds the grouped
             # aggregates as COLUMNS on every row (a window function) —
@@ -2328,7 +2348,7 @@ def _plan_columns(
         _referenced_cols(s_[3], need)
         if s_[1] == "WEIGHTED_AVG":
             need.add(s_[4])
-        elif s_[1] == "RATE":  # time-series endpoint: binds the ts column
+        elif s_[1] in _ENDPOINT_FAMILY:  # ts-ordered endpoints bind ``ts``
             need.add("ts")
     need.update(plan.by)
     for col, _ in plan.sort:
@@ -2851,10 +2871,10 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     [(c, "descending" if d else "ascending") for c, d in plan.sort]
                 ).slice(0, plan.limit)
             return batch
-        if stats and stats[0][1] == "RATE":
-            # per-batch per-group ENDPOINTS — the mergeable partial of a
-            # time-series rate (combine keeps the globally earliest /
-            # latest endpoint per group)
+        if stats and stats[0][1] in _ENDPOINT_FAMILY:
+            # per-batch per-group ENDPOINTS — the mergeable partial of
+            # RATE / FIRST_OVER_TIME / LAST_OVER_TIME (combine keeps the
+            # globally earliest / latest endpoint per group)
             col = stats[0][2]
             b = batch.select(by + [col, "ts"]).sort_by([("ts", "ascending")])
             g = b.group_by(by).aggregate(
@@ -3083,12 +3103,14 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     if not stats and by:
         # agg-less STATS BY: DISTINCT over the keys (combine = distinct)
         return _finish_result(cat.group_by(by).aggregate([]), by)
-    if stats and stats[0][1] == "RATE":
+    if stats and stats[0][1] in _ENDPOINT_FAMILY:
         # combine partial endpoints: the globally earliest first-value and
-        # latest last-value per group; rate = Δvalue / Δseconds.
+        # latest last-value per group; RATE = Δvalue / Δseconds,
+        # FIRST/LAST_OVER_TIME = the endpoint value itself.
         # Documented variant of ES's counter rate: NO reset compensation
         # (events.value is a gauge; counter semantics live in the TSDS
         # downsample pipeline's last_value rollup)
+        fn0 = stats[0][1]
         out_name = stats[0][0]
         if cat.num_rows == 0:
             return pa.table(
@@ -3109,6 +3131,12 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         vals = []
         for k in uniq:
             tmin, vf, tmax, vl = ends[k]
+            if fn0 == "FIRST_OVER_TIME":
+                vals.append(float(sql_round(vf, round_decimals)))
+                continue
+            if fn0 == "LAST_OVER_TIME":
+                vals.append(float(sql_round(vl, round_decimals)))
+                continue
             dt_s = (tmax - tmin).total_seconds()
             vals.append(
                 None

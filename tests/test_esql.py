@@ -1922,3 +1922,48 @@ def test_esql_round_to(ray_session):
     assert t["c"][0].as_py() == 250.0
     with pytest.raises(Exception, match="numeric literal"):
         run_esql('ROW v = 1 | EVAL x = ROUND_TO(v, "a") | KEEP x', "/tmp")
+
+
+def test_esql_over_time_family(ray_session):
+    """*_OVER_TIME aggregates: decomposable rewrite + endpoint FIRST/LAST,
+    against a pandas brute force; FROM-source refusal."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        "TS events | STATS mx = MAX_OVER_TIME(value), "
+        "a = AVG_OVER_TIME(value), n = COUNT_OVER_TIME(value) "
+        "BY event_type | SORT event_type",
+        SF_DIR,
+    )
+    f = run_esql(
+        "TS events | STATS f = FIRST_OVER_TIME(value) BY event_type "
+        "| SORT event_type",
+        SF_DIR,
+    )
+    l_ = run_esql(
+        "TS events | STATS l = LAST_OVER_TIME(value) BY event_type "
+        "| SORT event_type",
+        SF_DIR,
+    )
+    df = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    g = df.sort_values("ts").groupby("event_type")["value"]
+    want = pd.DataFrame(
+        {"mx": g.max(), "a": g.mean().round(6), "n": g.count(),
+         "f": g.first(), "l": g.last()}
+    ).sort_index()
+    assert t["mx"].to_pylist() == want["mx"].tolist()
+    assert t["a"].to_pylist() == pytest.approx(want["a"].tolist(), abs=1e-6)
+    assert t["n"].to_pylist() == want["n"].tolist()
+    assert f["f"].to_pylist() == want["f"].tolist()
+    assert l_["l"].to_pylist() == want["l"].tolist()
+    with pytest.raises(Exception, match="requires the TS"):
+        run_esql("FROM events | STATS x = MAX_OVER_TIME(value) | LIMIT 1", SF_DIR)
+    with pytest.raises(Exception, match="only aggregate"):
+        run_esql(
+            "TS events | STATS x = FIRST_OVER_TIME(value), y = COUNT(*) "
+            "BY event_type | SORT event_type",
+            SF_DIR,
+        )
