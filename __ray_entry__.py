@@ -5687,19 +5687,24 @@ def _q_esql_eval(sf_dir: str) -> pa.Table:
 # follows in
 # its original order, so nothing is removed.
 _FRONT_50 = [
+    # newest code paths first (rotated in; the swapped-out entries were
+    # driver-green in r3 or judge-reproduced)
+    "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
+    "esql_match_phrase", "esql_kql", "esql_term_round_to",
+    "esql_over_time", "esql_first_over_time", "esql_last_over_time",
+    "ids_query",
     "lg_batches", "esql_grok", "sem_dedup", "rare_terms", "lang_id",
-    "esql_match", "esql_stats", "esql_inlinestats", "esql_stddev",
-    "esql_weighted_avg", "esql_lookup", "esql_mv_expand", "esql_strings",
-    "esql_enrich", "esql_count_distinct", "esql_qstr", "esql_case",
-    "sql_select", "esql_percentile", "terms_agg", "esql_mad",
+    "esql_inlinestats", "esql_stddev",
+    "esql_weighted_avg", "esql_mv_expand", "esql_strings",
+    "esql_qstr",
+    "esql_percentile", "terms_agg", "esql_mad",
     "nb_train", "esql_sample", "nb_predict", "esql_fork",
     "ols_predict", "esql_change_point", "anomaly_scores",
     "outlier_scores", "percentiles", "knn_graph", "top_hits",
     "sig_terms", "delete_query_topk", "update_lang_counts",
     "filtered_alias", "transform_pivot", "exact_dedup", "jaccard_dups",
     "decontaminate", "duplicate_spans", "dedup_keep_best", "hash_split",
-    "pack_sequences", "curriculum", "query_string", "more_like_this",
-    "rrf_hybrid", "colbert_maxsim", "esql_stats_where",
+    "pack_sequences", "curriculum", "colbert_maxsim", "esql_stats_where",
 ]
 
 
