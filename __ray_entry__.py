@@ -5202,6 +5202,21 @@ def _q_esql_ip_prefix(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_calendar_trunc(sf_dir: str) -> pa.Table:
+    """ES|QL calendar-unit DATE_TRUNC / BUCKET (month, quarter, year):
+    Arrow's calendar-aware floor_temporal — timestamps spread ×40 so the
+    one-month test corpus crosses many calendar boundaries."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM events | EVAL t2 = TO_DATETIME(TO_LONG(ts) * 40), "
+        "m = DATE_TRUNC(1 month, t2), q = BUCKET(t2, 1 quarter), "
+        "y = DATE_TRUNC(1 year, t2) "
+        "| STATS n = COUNT(*) BY m, q, y | SORT m",
+        sf_dir,
+    )
+
+
 def _q_esql_over_time(sf_dir: str) -> pa.Table:
     """ES|QL TS-source *_OVER_TIME aggregates (decomposable trio): the
     STATS group IS the series, so they rewrite to plain MAX/SUM/COUNT at
@@ -5692,7 +5707,7 @@ _FRONT_50 = [
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
-    "ids_query",
+    "ids_query", "esql_calendar_trunc",
     "lg_batches", "esql_grok", "sem_dedup", "rare_terms", "lang_id",
     "esql_inlinestats", "esql_stddev",
     "esql_weighted_avg", "esql_mv_expand", "esql_strings",
@@ -5704,7 +5719,7 @@ _FRONT_50 = [
     "sig_terms", "delete_query_topk", "update_lang_counts",
     "filtered_alias", "transform_pivot", "exact_dedup", "jaccard_dups",
     "decontaminate", "duplicate_spans", "dedup_keep_best", "hash_split",
-    "pack_sequences", "curriculum", "colbert_maxsim", "esql_stats_where",
+    "pack_sequences", "curriculum", "colbert_maxsim",
 ]
 
 
@@ -6057,6 +6072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_match_phrase": _q_esql_match_phrase,
         "esql_kql": _q_esql_kql,
         "esql_term_round_to": _q_esql_term_round_to,
+        "esql_calendar_trunc": _q_esql_calendar_trunc,
         "esql_over_time": _q_esql_over_time,
         "esql_first_over_time": _q_esql_first_over_time,
         "esql_last_over_time": _q_esql_last_over_time,
@@ -11099,6 +11115,13 @@ SELECT doc_id, a[1] AS first3, a[len(a)] AS last3,
        a[len(a)] || '-' || a[len(a)] AS zip_last,
        (len(a) + len(w))::BIGINT AS app_n
 FROM a ORDER BY doc_id LIMIT 200
+""",
+        # calendar floor == date_trunc; TO_LONG(ts) == epoch_ms truncation
+        "esql_calendar_trunc": """
+WITH t AS (SELECT epoch_ms(epoch_ms(ts) * 40) AS t2 FROM events)
+SELECT date_trunc('month', t2) AS m, date_trunc('quarter', t2) AS q,
+       date_trunc('year', t2) AS y, count(*)::BIGINT AS n
+FROM t GROUP BY 1, 2, 3 ORDER BY m
 """,
         # *_OVER_TIME over the series group == plain aggregates
         "esql_over_time": """

@@ -141,8 +141,29 @@ class Duration(int):
     literal plumbing; DATE_TRUNC/BUCKET dispatch on the type."""
 
 
-# fixed-width units only; calendar units (month/quarter/year) are
-# data-dependent and refused at parse time rather than mis-truncated
+class CalendarPeriod:
+    """ES|QL calendar-unit temporal literal (``1 month``, ``2 quarters``,
+    ``1 year``) — data-dependent width, so it truncates via Arrow's
+    calendar-aware ``floor_temporal`` instead of integer division.  Only
+    DATE_TRUNC and BUCKET accept it; arithmetic refuses."""
+
+    __slots__ = ("n", "unit")
+
+    def __init__(self, n: int, unit: str):
+        self.n, self.unit = n, unit
+
+    def __repr__(self) -> str:  # error messages
+        return f"{self.n} {self.unit}"
+
+
+_CALENDAR_NORM = {
+    "MONTH": "month", "MONTHS": "month",
+    "QUARTER": "quarter", "QUARTERS": "quarter",
+    "YEAR": "year", "YEARS": "year",
+}
+
+# fixed-width units resolve to Duration microseconds; calendar units
+# (month/quarter/year) become CalendarPeriod and truncate calendar-aware
 _DUR_UNITS_US = {
     "MILLISECOND": 1_000, "MILLISECONDS": 1_000, "MS": 1_000,
     "SECOND": 1_000_000, "SECONDS": 1_000_000, "SEC": 1_000_000, "S": 1_000_000,
@@ -903,11 +924,12 @@ class _Parser:
             if nk == "ident" and nt.upper() in _DUR_UNITS_US and "." not in text:
                 self.next()
                 return ("lit", Duration(int(text) * _DUR_UNITS_US[nt.upper()]))
-            if nk == "ident" and nt.upper() in _CALENDAR_UNITS:
-                raise ValueError(
-                    f"esql: calendar unit {nt!r} is data-dependent and not "
-                    "supported; use a fixed-width unit (day/hour/…)"
-                )
+            if nk == "ident" and nt.upper() in _CALENDAR_UNITS and "." not in text:
+                self.next()
+                n_ = int(text)
+                if n_ < 1:
+                    raise ValueError("esql: calendar periods need n >= 1")
+                return ("lit", CalendarPeriod(n_, _CALENDAR_NORM[nt.upper()]))
             return ("lit", float(text) if "." in text else int(text))
         if kind == "str":
             return ("lit", text[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
@@ -1788,12 +1810,16 @@ def _eval_expr(node: tuple, batch: pa.Table):
         # ---- dates (fixed-width units; calendar units refused at parse) -
         if name == "DATE_TRUNC":
             dur, ts = vals[0], _as_array(vals[1])
+            if isinstance(dur, CalendarPeriod):
+                return pc.floor_temporal(ts, multiple=dur.n, unit=dur.unit)
             if not isinstance(dur, Duration):
                 raise ValueError("esql: DATE_TRUNC needs a temporal literal (1 day, …)")
             us = ts.cast(pa.int64())
             return pc.multiply(pc.divide(us, int(dur)), int(dur)).cast(ts.type)
         if name == "BUCKET":
             x, span = _as_array(vals[0]), vals[1]
+            if isinstance(span, CalendarPeriod):
+                return pc.floor_temporal(x, multiple=span.n, unit=span.unit)
             if isinstance(span, Duration):
                 us = x.cast(pa.int64())
                 return pc.multiply(pc.divide(us, int(span)), int(span)).cast(x.type)

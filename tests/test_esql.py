@@ -1967,3 +1967,31 @@ def test_esql_over_time_family(ray_session):
             "BY event_type | SORT event_type",
             SF_DIR,
         )
+
+
+def test_esql_calendar_trunc_units(ray_session):
+    """Calendar DATE_TRUNC/BUCKET: hand-computed month/quarter/year floors,
+    including a multi-unit period (months-since-epoch floor)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW s = "2024-04-15 10:30" '
+        '| EVAL d = DATE_PARSE("yyyy-MM-dd HH:mm", s) '
+        "| EVAL m = DATE_TRUNC(1 month, d), m2 = DATE_TRUNC(2 months, d), "
+        "q = BUCKET(d, 1 quarter), y = DATE_TRUNC(1 year, d) "
+        "| KEEP m, m2, q, y",
+        "/tmp",
+    )
+    row = {c: str(t[c][0].as_py()) for c in t.column_names}
+    assert row["m"] == "2024-04-01 00:00:00"
+    # months since epoch: 2024-04 = 651, floor to even = 650 = 2024-03
+    assert row["m2"] == "2024-03-01 00:00:00"
+    assert row["q"] == "2024-04-01 00:00:00"
+    assert row["y"] == "2024-01-01 00:00:00"
+    with pytest.raises(Exception, match="n >= 1"):
+        run_esql(
+            'ROW s = "2024-01-01 00:00" '
+            '| EVAL d = DATE_PARSE("yyyy-MM-dd HH:mm", s) '
+            "| EVAL m = DATE_TRUNC(0 months, d) | KEEP m",
+            "/tmp",
+        )
