@@ -10900,9 +10900,10 @@ SELECT (epoch_us(date_trunc('day', ts)) // 1000)::BIGINT AS day,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1, 2, 3 ORDER BY 1
 """,
+        # week bucket is CALENDAR (Monday-anchored, ES semantics)
         "esql_bucket": """
 SELECT floor(value / 5.0) * 5.0 AS b,
-       (((epoch_us(ts) // 1000000) // 604800) * 604800 * 1000)::BIGINT AS w,
+       epoch_ms(date_trunc('week', ts))::BIGINT AS w,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,

@@ -138,7 +138,17 @@ _UNSUPPORTED: set[str] = set()
 class Duration(int):
     """ES|QL temporal literal (``1 day``, ``2 hours``) as integer
     MICROSECONDS — an int subclass so it flows through the generic
-    literal plumbing; DATE_TRUNC/BUCKET dispatch on the type."""
+    literal plumbing; DATE_TRUNC/BUCKET dispatch on the type.  Carries
+    the source unit so WEEK can truncate calendar-aware (ES anchors
+    weeks to Monday, not to the Thursday epoch) while week ARITHMETIC
+    stays the fixed 7 days."""
+
+    unit: str = ""
+
+    def __new__(cls, us: int, unit: str = ""):
+        o = super().__new__(cls, us)
+        o.unit = unit
+        return o
 
 
 class CalendarPeriod:
@@ -923,7 +933,8 @@ class _Parser:
             nk, nt = self.peek()
             if nk == "ident" and nt.upper() in _DUR_UNITS_US and "." not in text:
                 self.next()
-                return ("lit", Duration(int(text) * _DUR_UNITS_US[nt.upper()]))
+                u = nt.upper()
+                return ("lit", Duration(int(text) * _DUR_UNITS_US[u], unit=u))
             if nk == "ident" and nt.upper() in _CALENDAR_UNITS and "." not in text:
                 self.next()
                 n_ = int(text)
@@ -1814,6 +1825,15 @@ def _eval_expr(node: tuple, batch: pa.Table):
                 return pc.floor_temporal(ts, multiple=dur.n, unit=dur.unit)
             if not isinstance(dur, Duration):
                 raise ValueError("esql: DATE_TRUNC needs a temporal literal (1 day, …)")
+            if dur.unit in ("WEEK", "WEEKS", "W"):
+                # ES anchors weeks to Monday — calendar floor, not
+                # epoch-anchored division (the epoch was a Thursday)
+                return pc.floor_temporal(
+                    ts,
+                    multiple=int(dur) // 604_800_000_000,
+                    unit="week",
+                    week_starts_monday=True,
+                )
             us = ts.cast(pa.int64())
             return pc.multiply(pc.divide(us, int(dur)), int(dur)).cast(ts.type)
         if name == "BUCKET":
@@ -1821,6 +1841,13 @@ def _eval_expr(node: tuple, batch: pa.Table):
             if isinstance(span, CalendarPeriod):
                 return pc.floor_temporal(x, multiple=span.n, unit=span.unit)
             if isinstance(span, Duration):
+                if span.unit in ("WEEK", "WEEKS", "W"):
+                    return pc.floor_temporal(
+                        x,
+                        multiple=int(span) // 604_800_000_000,
+                        unit="week",
+                        week_starts_monday=True,
+                    )
                 us = x.cast(pa.int64())
                 return pc.multiply(pc.divide(us, int(span)), int(span)).cast(x.type)
             span = float(span)

@@ -1995,3 +1995,19 @@ def test_esql_calendar_trunc_units(ray_session):
             "| EVAL m = DATE_TRUNC(0 months, d) | KEEP m",
             "/tmp",
         )
+
+
+def test_esql_week_is_monday_anchored(ray_session):
+    """ES DATE_TRUNC/BUCKET weeks anchor to Monday (the epoch was a
+    Thursday, so epoch-division would differ)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW s = "2024-04-17 10:00" '
+        '| EVAL d = DATE_PARSE("yyyy-MM-dd HH:mm", s) '
+        "| EVAL w = DATE_TRUNC(1 week, d), wb = BUCKET(d, 1 week) "
+        "| KEEP w, wb",
+        "/tmp",
+    )
+    assert str(t["w"][0].as_py()) == "2024-04-15 00:00:00"  # a Monday
+    assert str(t["wb"][0].as_py()) == "2024-04-15 00:00:00"
