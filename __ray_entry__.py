@@ -5202,6 +5202,18 @@ def _q_esql_ip_prefix(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_cast_op(sf_dir: str) -> pa.Table:
+    """ES|QL ``::`` cast operator: postfix sugar for the TO_* conversion
+    functions (value::LONG truncates toward zero like ES)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM events | EVAL d = value::LONG, s = user_id::STRING "
+        "| STATS n = COUNT(*), t = SUM(d) BY s | SORT s",
+        sf_dir,
+    )
+
+
 def _q_esql_calendar_trunc(sf_dir: str) -> pa.Table:
     """ES|QL calendar-unit DATE_TRUNC / BUCKET (month, quarter, year):
     Arrow's calendar-aware floor_temporal — timestamps spread ×40 so the
@@ -5707,7 +5719,7 @@ _FRONT_50 = [
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
-    "ids_query", "esql_calendar_trunc",
+    "ids_query", "esql_calendar_trunc", "esql_cast_op",
     "lg_batches", "esql_grok", "sem_dedup", "rare_terms", "lang_id",
     "esql_inlinestats", "esql_stddev",
     "esql_weighted_avg", "esql_mv_expand", "esql_strings",
@@ -5719,7 +5731,7 @@ _FRONT_50 = [
     "sig_terms", "delete_query_topk", "update_lang_counts",
     "filtered_alias", "transform_pivot", "exact_dedup", "jaccard_dups",
     "decontaminate", "duplicate_spans", "dedup_keep_best", "hash_split",
-    "pack_sequences", "curriculum", "colbert_maxsim",
+    "pack_sequences", "curriculum",
 ]
 
 
@@ -6072,6 +6084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_match_phrase": _q_esql_match_phrase,
         "esql_kql": _q_esql_kql,
         "esql_term_round_to": _q_esql_term_round_to,
+        "esql_cast_op": _q_esql_cast_op,
         "esql_calendar_trunc": _q_esql_calendar_trunc,
         "esql_over_time": _q_esql_over_time,
         "esql_first_over_time": _q_esql_first_over_time,
@@ -11116,6 +11129,12 @@ SELECT doc_id, a[1] AS first3, a[len(a)] AS last3,
        a[len(a)] || '-' || a[len(a)] AS zip_last,
        (len(a) + len(w))::BIGINT AS app_n
 FROM a ORDER BY doc_id LIMIT 200
+""",
+        # ::LONG truncates toward zero (trunc, not SQL's round-on-cast)
+        "esql_cast_op": """
+SELECT user_id::VARCHAR AS s, count(*)::BIGINT AS n,
+       sum(trunc(value)::BIGINT)::BIGINT AS t
+FROM events GROUP BY s ORDER BY s
 """,
         # calendar floor == date_trunc; TO_LONG(ts) == epoch_ms truncation
         "esql_calendar_trunc": """

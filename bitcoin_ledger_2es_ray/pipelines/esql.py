@@ -84,7 +84,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<num>\d+\.\d+|\d+)
-  | (?P<op>==|!=|>=|<=|>|<|\+|-|\*|/|%|,|\(|\)|\[|\]|\|)
+  | (?P<op>==|!=|>=|<=|::|>|<|\+|-|\*|/|%|,|\(|\)|\[|\]|\|)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.*]*)
     """,
     re.VERBOSE,
@@ -170,6 +170,16 @@ _CALENDAR_NORM = {
     "MONTH": "month", "MONTHS": "month",
     "QUARTER": "quarter", "QUARTERS": "quarter",
     "YEAR": "year", "YEARS": "year",
+}
+
+# ``expr::type`` cast names → the TO_* conversion function they sugar to
+_CAST_TYPES = {
+    "LONG": "TO_LONG", "INT": "TO_INTEGER", "INTEGER": "TO_INTEGER",
+    "DOUBLE": "TO_DOUBLE", "FLOAT": "TO_DOUBLE",
+    "STRING": "TO_STRING", "KEYWORD": "TO_STRING", "TEXT": "TO_STRING",
+    "BOOL": "TO_BOOLEAN", "BOOLEAN": "TO_BOOLEAN",
+    "DATETIME": "TO_DATETIME", "DATE": "TO_DATETIME",
+    "IP": "TO_IP",
 }
 
 # fixed-width units resolve to Duration microseconds; calendar units
@@ -919,11 +929,26 @@ class _Parser:
         return left
 
     def _mul(self):
-        left = self._atom()
+        left = self._cast()
         while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
-            left = ("bin", op, left, self._atom())
+            left = ("bin", op, left, self._cast())
         return left
+
+    def _cast(self):
+        # ES|QL postfix cast operator: expr::type — sugar for the TO_*
+        # conversion functions, binds tighter than * /
+        e = self._atom()
+        while self.peek() == ("op", "::"):
+            self.next()
+            k, t = self.next()
+            if k not in ("ident", "kw") or t.upper() not in _CAST_TYPES:
+                raise ValueError(
+                    f"esql: unknown cast type {t!r} "
+                    f"(one of {sorted(_CAST_TYPES)})"
+                )
+            e = ("func", _CAST_TYPES[t.upper()], [e])
+        return e
 
     def _atom(self):
         kind, text = self.next()
@@ -1791,9 +1816,18 @@ def _eval_expr(node: tuple, batch: pa.Table):
             return pc.add(pc.find_substring(vals[0], pattern=vals[1]), 1).cast(pa.int64())
         # ---- type conversions -------------------------------------------
         if name == "TO_STRING":
-            return _as_array(vals[0]).cast(pa.string())
+            x = vals[0]
+            if isinstance(x, bool):
+                return "true" if x else "false"
+            if isinstance(x, (int, float, str)):
+                return str(x)
+            return _as_array(x).cast(pa.string())
         if name in ("TO_INTEGER", "TO_LONG"):
             x = _as_array(vals[0])
+            if isinstance(x, str):
+                return int(x)
+            if isinstance(x, (int, float)):
+                return int(x)  # Python int() truncates toward zero, like ES
             if isinstance(x, pa.Array) and pa.types.is_timestamp(x.type):
                 # ES: TO_LONG(date) = milliseconds since epoch
                 return pc.divide(x.cast(pa.int64()), 1_000)
@@ -1801,7 +1835,10 @@ def _eval_expr(node: tuple, batch: pa.Table):
                 return pc.trunc(x).cast(pa.int64())  # ES truncates toward zero
             return x.cast(pa.int64())
         if name == "TO_DOUBLE":
-            return _as_array(vals[0]).cast(pa.float64())
+            x = vals[0]
+            if isinstance(x, (int, float, str)):
+                return float(x)
+            return _as_array(x).cast(pa.float64())
         if name == "TO_DATETIME":
             # ES|QL TO_DATETIME: epoch-ms long → timestamp (TO_LONG's
             # inverse); timestamps pass through; strings refuse with a

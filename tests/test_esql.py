@@ -2011,3 +2011,21 @@ def test_esql_week_is_monday_anchored(ray_session):
     )
     assert str(t["w"][0].as_py()) == "2024-04-15 00:00:00"  # a Monday
     assert str(t["wb"][0].as_py()) == "2024-04-15 00:00:00"
+
+
+def test_esql_cast_operator(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW v = 3.9, u = 7 | EVAL a = v::LONG, b = u::DOUBLE, '
+        'c = u::STRING, d = "12"::INT, e = (v > 1.0)::STRING, '
+        "f = v::INT::DOUBLE | KEEP a, b, c, d, e, f",
+        "/tmp",
+    )
+    row = {c_: t[c_][0].as_py() for c_ in t.column_names}
+    assert row["a"] == 3  # truncation toward zero, not rounding
+    assert row["b"] == 7.0 and row["c"] == "7" and row["d"] == 12
+    assert row["e"] == "true"  # ES renders booleans lowercase
+    assert row["f"] == 3.0  # casts chain left-to-right
+    with pytest.raises(Exception, match="unknown cast type"):
+        run_esql("ROW v = 1 | EVAL x = v::NOPE | KEEP x", "/tmp")
