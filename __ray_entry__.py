@@ -5202,6 +5202,27 @@ def _q_esql_ip_prefix(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_spatial(sf_dir: str) -> pa.Table:
+    """ES|QL spatial functions: TO_GEOPOINT (canonical WKT string,
+    coordinate text preserved verbatim so ST_X/ST_Y round-trip
+    bit-exactly) and ST_DISTANCE (haversine meters, 6371 km sphere, op
+    order mirrored verbatim in the oracle)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM customer "
+        "| EVAL lat = TO_DOUBLE((c_custkey * 7919) % 18000) / 100.0 - 90.0, "
+        "lon = TO_DOUBLE((c_custkey * 104729) % 36000) / 100.0 - 180.0, "
+        'p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(lon), " ", '
+        'TO_STRING(lat), ")")), '
+        'd = ROUND(ST_DISTANCE(p, "POINT (0 0)"), 6), '
+        "x = ST_X(p), y = ST_Y(p) "
+        "| STATS n = COUNT(*), mx = MAX(d), sx = MIN(x), sy = MAX(y) "
+        "BY c_mktsegment | SORT c_mktsegment",
+        sf_dir,
+    )
+
+
 def _q_esql_cast_op(sf_dir: str) -> pa.Table:
     """ES|QL ``::`` cast operator: postfix sugar for the TO_* conversion
     functions (value::LONG truncates toward zero like ES)."""
@@ -5719,7 +5740,7 @@ _FRONT_50 = [
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
-    "ids_query", "esql_calendar_trunc", "esql_cast_op",
+    "ids_query", "esql_calendar_trunc", "esql_cast_op", "esql_spatial",
     "lg_batches", "esql_grok", "sem_dedup", "rare_terms", "lang_id",
     "esql_inlinestats", "esql_stddev",
     "esql_weighted_avg", "esql_mv_expand", "esql_strings",
@@ -5731,7 +5752,7 @@ _FRONT_50 = [
     "sig_terms", "delete_query_topk", "update_lang_counts",
     "filtered_alias", "transform_pivot", "exact_dedup", "jaccard_dups",
     "decontaminate", "duplicate_spans", "dedup_keep_best", "hash_split",
-    "pack_sequences", "curriculum",
+    "pack_sequences",
 ]
 
 
@@ -6084,6 +6105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_match_phrase": _q_esql_match_phrase,
         "esql_kql": _q_esql_kql,
         "esql_term_round_to": _q_esql_term_round_to,
+        "esql_spatial": _q_esql_spatial,
         "esql_cast_op": _q_esql_cast_op,
         "esql_calendar_trunc": _q_esql_calendar_trunc,
         "esql_over_time": _q_esql_over_time,
@@ -11129,6 +11151,26 @@ SELECT doc_id, a[1] AS first3, a[len(a)] AS last3,
        a[len(a)] || '-' || a[len(a)] AS zip_last,
        (len(a) + len(w))::BIGINT AS app_n
 FROM a ORDER BY doc_id LIMIT 200
+""",
+        # haversine meters, op order mirrored; WKT round-trip is exact
+        # (shortest-repr float rendering), so ST_X/ST_Y == lon/lat
+        "esql_spatial": """
+WITH pts AS (
+  SELECT c_mktsegment,
+         ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer),
+d AS (
+  SELECT c_mktsegment, lat, lon,
+         round(2.0 * 6371000.0 * asin(sqrt(
+           sin(radians(lat) / 2.0) * sin(radians(lat) / 2.0)
+           + cos(radians(lat))
+             * (sin(radians(lon) / 2.0) * sin(radians(lon) / 2.0))
+         )), 6) AS d
+  FROM pts)
+SELECT c_mktsegment, count(*)::BIGINT AS n, max(d) AS mx,
+       min(lon) AS sx, max(lat) AS sy
+FROM d GROUP BY 1 ORDER BY 1
 """,
         # ::LONG truncates toward zero (trunc, not SQL's round-on-cast)
         "esql_cast_op": """

@@ -1476,6 +1476,29 @@ def _np_group_quantile(par: np.ndarray, vals: np.ndarray, n: int, q: float) -> n
     return out
 
 
+_WKT_POINT = re.compile(
+    r"^\s*POINT\s*\(\s*(?P<x>[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)\s+"
+    r"(?P<y>[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)\s*\)\s*$"
+)
+
+
+def _geopoint_xy(v) -> tuple:
+    """(lon, lat) float64 of a WKT-string geo_point column or literal;
+    malformed rows come back NaN (masked to null by the callers)."""
+    if isinstance(v, str):
+        m = _WKT_POINT.match(v)
+        if not m:
+            raise ValueError(f"esql: not a WKT POINT literal: {v!r}")
+        return float(m.group("x")), float(m.group("y"))
+    arr = pc.cast(_as_array(v), pa.string())
+    st = pc.extract_regex(arr, pattern=_WKT_POINT.pattern)
+    ok = pc.is_valid(st).to_numpy(zero_copy_only=False)
+    def col(f_: str) -> np.ndarray:
+        c = pc.struct_field(st, f_).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return np.where(ok, c, np.nan)
+    return col("x"), col("y")
+
+
 def _mv_numeric_parts(col) -> tuple[int, np.ndarray, np.ndarray]:
     """(n, parent indices, float64 flat values) of a numeric list column."""
     n = len(col)
@@ -2146,6 +2169,49 @@ def _eval_expr(node: tuple, batch: pa.Table):
             )
             out = np.where(counts > 0, s, np.nan)
             return pa.array(out, type=pa.float64(), mask=counts == 0)
+        if name == "TO_GEOPOINT":
+            # ES|QL TO_GEOPOINT("POINT (lon lat)"): the engine's geo_point
+            # is a canonical WKT string (no geometry type in Arrow's core);
+            # the coordinate TEXT is preserved verbatim so ST_X/ST_Y parse
+            # back bit-exactly; malformed input becomes null like TO_IP
+            x = vals[0]
+            if isinstance(x, str):
+                m = _WKT_POINT.match(x)
+                return f"POINT ({m.group(1)} {m.group(2)})" if m else None
+            arr = pc.cast(_as_array(x), pa.string())
+            st = pc.extract_regex(arr, pattern=_WKT_POINT.pattern)
+            ok = pc.is_valid(st)
+            canon = pc.binary_join_element_wise(
+                pa.array(["POINT ("] * len(arr)),
+                pc.struct_field(st, "x"),
+                pa.array([" "] * len(arr)),
+                pc.struct_field(st, "y"),
+                pa.array([")"] * len(arr)),
+                "",
+            )
+            return pc.if_else(ok, canon, pa.nulls(len(arr), pa.string()))
+        if name in ("ST_X", "ST_Y"):
+            lon, lat = _geopoint_xy(vals[0])
+            v = lon if name == "ST_X" else lat
+            if isinstance(v, float):
+                return v
+            return pa.array(v, type=pa.float64(), mask=np.isnan(v))
+        if name == "ST_DISTANCE":
+            # ES|QL ST_DISTANCE(geo_point, geo_point) → METERS; haversine
+            # with the repo-wide 6371 km sphere, op order mirrored verbatim
+            # in the SQL oracles (see geo.haversine_km)
+            lon1, lat1 = _geopoint_xy(vals[0])
+            lon2, lat2 = _geopoint_xy(vals[1])
+            rlat, rlon = np.radians(lat1), np.radians(lon1)
+            rlat0, rlon0 = np.radians(lat2), np.radians(lon2)
+            a = (
+                np.sin((rlat - rlat0) / 2.0) ** 2
+                + np.cos(rlat0) * np.cos(rlat) * np.sin((rlon - rlon0) / 2.0) ** 2
+            )
+            d = 2.0 * 6_371_000.0 * np.arcsin(np.sqrt(a))
+            if isinstance(d, float):
+                return d
+            return pa.array(d, type=pa.float64(), mask=np.isnan(d))
         if name == "TO_IP":
             # ES|QL TO_IP(string) — IPv4 dotted-quad validation; the graft
             # keeps IPs as canonical strings (no inet type in the engine),

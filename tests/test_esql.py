@@ -2029,3 +2029,29 @@ def test_esql_cast_operator(ray_session):
     assert row["f"] == 3.0  # casts chain left-to-right
     with pytest.raises(Exception, match="unknown cast type"):
         run_esql("ROW v = 1 | EVAL x = v::NOPE | KEEP x", "/tmp")
+
+
+def test_esql_spatial_functions(ray_session):
+    """TO_GEOPOINT WKT round-trip, ST_X/ST_Y extraction, ST_DISTANCE
+    haversine (pole-to-equator quarter circumference), malformed → null."""
+    import numpy as np
+
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW w = "POINT (12.5 -33.25)" '
+        "| EVAL p = TO_GEOPOINT(w), x = ST_X(p), y = ST_Y(p), "
+        'dq = ST_DISTANCE("POINT (0 90)", "POINT (0 0)"), '
+        'dz = ST_DISTANCE(p, p), bad = TO_GEOPOINT("nope") '
+        "| KEEP p, x, y, dq, dz, bad",
+        "/tmp",
+    )
+    row = {c: t[c][0].as_py() for c in t.column_names}
+    assert row["p"] == "POINT (12.5 -33.25)"
+    assert row["x"] == 12.5 and row["y"] == -33.25
+    # quarter of the 6371 km sphere's circumference, in meters
+    assert row["dq"] == pytest.approx(np.pi / 2 * 6_371_000.0, rel=1e-12)
+    assert row["dz"] == 0.0
+    assert row["bad"] is None
+    with pytest.raises(Exception, match="WKT POINT"):
+        run_esql('ROW a = 1 | EVAL d = ST_DISTANCE("junk", "POINT (0 0)") | KEEP d', "/tmp")
