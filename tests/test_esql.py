@@ -676,11 +676,11 @@ def test_esql_date_functions(ray_session):
         "FROM events ORDER BY 1 LIMIT 80"
     )
     _assert_tables_equal(got, want)
-    # calendar units are data-dependent → parse-time refusal
-    with pytest.raises(ValueError, match="calendar unit"):
-        parse_esql(_normalize_assign(
-            "FROM events | EVAL m = DATE_TRUNC(1 month, ts) | KEEP m"
-        ))
+    # calendar units parse to CalendarPeriod (calendar-aware truncation —
+    # see test_esql_calendar_trunc_units for the value semantics)
+    parse_esql(_normalize_assign(
+        "FROM events | EVAL m = DATE_TRUNC(1 month, ts) | KEEP m"
+    ))
     with pytest.raises(Exception, match="DATE_EXTRACT part"):
         run_esql('FROM events | EVAL x = DATE_EXTRACT("nano", ts) | KEEP x', SF_DIR)
     with pytest.raises(Exception, match="temporal literal"):
