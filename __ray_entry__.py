@@ -5202,6 +5202,22 @@ def _q_esql_ip_prefix(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_chrono_fields(sf_dir: str) -> pa.Table:
+    """ES|QL DATE_EXTRACT long-tail ChronoFields: DAY_OF_YEAR (kernel),
+    EPOCH_DAY / INSTANT_SECONDS / ALIGNED_WEEK_OF_YEAR (epoch-us integer
+    math, Java semantics)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        'FROM events | EVAL doy = DATE_EXTRACT("day_of_year", ts), '
+        'ed = DATE_EXTRACT("epoch_day", ts), '
+        'aw = DATE_EXTRACT("aligned_week_of_year", ts), '
+        'isec = DATE_EXTRACT("instant_seconds", ts) '
+        "| STATS n = COUNT(*), mn = MIN(isec) BY doy, ed, aw | SORT doy",
+        sf_dir,
+    )
+
+
 def _q_esql_spatial(sf_dir: str) -> pa.Table:
     """ES|QL spatial functions: TO_GEOPOINT (canonical WKT string,
     coordinate text preserved verbatim so ST_X/ST_Y round-trip
@@ -6105,6 +6121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_match_phrase": _q_esql_match_phrase,
         "esql_kql": _q_esql_kql,
         "esql_term_round_to": _q_esql_term_round_to,
+        "esql_chrono_fields": _q_esql_chrono_fields,
         "esql_spatial": _q_esql_spatial,
         "esql_cast_op": _q_esql_cast_op,
         "esql_calendar_trunc": _q_esql_calendar_trunc,
@@ -11151,6 +11168,15 @@ SELECT doc_id, a[1] AS first3, a[len(a)] AS last3,
        a[len(a)] || '-' || a[len(a)] AS zip_last,
        (len(a) + len(w))::BIGINT AS app_n
 FROM a ORDER BY doc_id LIMIT 200
+""",
+        # Java ChronoField mirrors: epoch_day/instant_seconds integer math
+        "esql_chrono_fields": """
+SELECT dayofyear(ts)::BIGINT AS doy,
+       (epoch_us(ts) // 86400000000)::BIGINT AS ed,
+       ((dayofyear(ts) - 1) // 7 + 1)::BIGINT AS aw,
+       count(*)::BIGINT AS n,
+       min(epoch_us(ts) // 1000000)::BIGINT AS mn
+FROM events GROUP BY 1, 2, 3 ORDER BY doy
 """,
         # haversine meters, op order mirrored; WKT round-trip is exact
         # (shortest-repr float rendering), so ST_X/ST_Y == lon/lat

@@ -199,10 +199,21 @@ _CHRONO_FIELDS = {
     "YEAR": "year",
     "MONTH_OF_YEAR": "month",
     "DAY_OF_MONTH": "day",
+    "DAY_OF_YEAR": "day_of_year",
     "HOUR_OF_DAY": "hour",
     "MINUTE_OF_HOUR": "minute",
     "SECOND_OF_MINUTE": "second",
+    "MILLI_OF_SECOND": "millisecond",
     "DAY_OF_WEEK": "day_of_week",  # ISO: Mon=1 … Sun=7
+}
+# ChronoFields with no single Arrow kernel — integer math on the epoch-us
+# view (Java semantics: EPOCH_DAY = days since 1970-01-01,
+# INSTANT_SECONDS = epoch seconds, MICRO_OF_SECOND = micros within the
+# second [Arrow's microsecond kernel is micros within the MILLIsecond],
+# ALIGNED_WEEK_OF_YEAR = weeks aligned to Jan 1)
+_CHRONO_DERIVED = {
+    "EPOCH_DAY", "INSTANT_SECONDS", "MICRO_OF_SECOND",
+    "ALIGNED_WEEK_OF_YEAR",
 }
 
 # SHOW INFO's one deterministic row (ES|QL's only SHOW item; see
@@ -1915,10 +1926,25 @@ def _eval_expr(node: tuple, batch: pa.Table):
         if name == "DATE_EXTRACT":
             # ES|QL DATE_EXTRACT(datePart, date), ChronoField names
             part = vals[0]
-            if not isinstance(part, str) or part.upper() not in _CHRONO_FIELDS:
+            known = set(_CHRONO_FIELDS) | _CHRONO_DERIVED
+            if not isinstance(part, str) or part.upper() not in known:
                 raise ValueError(
-                    f"esql: DATE_EXTRACT part must be one of {sorted(_CHRONO_FIELDS)}"
+                    f"esql: DATE_EXTRACT part must be one of {sorted(known)}"
                 )
+            if part.upper() in _CHRONO_DERIVED:
+                us = _as_array(vals[1]).cast(pa.int64())
+                if part.upper() == "EPOCH_DAY":
+                    return pc.divide(us, 86_400_000_000)
+                if part.upper() == "INSTANT_SECONDS":
+                    return pc.divide(us, 1_000_000)
+                if part.upper() == "MICRO_OF_SECOND":
+                    return pc.subtract(
+                        us, pc.multiply(pc.divide(us, 1_000_000), 1_000_000)
+                    )
+                doy = pc.day_of_year(vals[1]).cast(pa.int64())
+                return pc.add(
+                    pc.divide(pc.subtract(doy, 1), 7), 1
+                )  # ALIGNED_WEEK_OF_YEAR
             kernel = _CHRONO_FIELDS[part.upper()]
             if kernel == "day_of_week":
                 return pc.day_of_week(vals[1], count_from_zero=False, week_start=1).cast(pa.int64())

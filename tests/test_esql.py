@@ -2055,3 +2055,33 @@ def test_esql_spatial_functions(ray_session):
     assert row["bad"] is None
     with pytest.raises(Exception, match="WKT POINT"):
         run_esql('ROW a = 1 | EVAL d = ST_DISTANCE("junk", "POINT (0 0)") | KEEP d', "/tmp")
+
+
+def test_esql_chrono_fields_long_tail(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW s = "2024-03-05 07:09" '
+        '| EVAL d = DATE_PARSE("yyyy-MM-dd HH:mm", s) '
+        '| EVAL doy = DATE_EXTRACT("day_of_year", d), '
+        'ed = DATE_EXTRACT("epoch_day", d), '
+        'isec = DATE_EXTRACT("instant_seconds", d), '
+        'aw = DATE_EXTRACT("aligned_week_of_year", d), '
+        'ms = DATE_EXTRACT("milli_of_second", d), '
+        'mus = DATE_EXTRACT("micro_of_second", d) '
+        "| KEEP doy, ed, isec, aw, ms, mus",
+        "/tmp",
+    )
+    row = {c: t[c][0].as_py() for c in t.column_names}
+    # 2024-03-05: leap year, day 31+29+5
+    assert row["doy"] == 65 and row["aw"] == 10  # ceil(65/7)
+    assert row["ed"] == 19787  # days since 1970-01-01
+    assert row["isec"] == row["ed"] * 86400 + 7 * 3600 + 9 * 60
+    assert row["ms"] == 0 and row["mus"] == 0
+    with pytest.raises(Exception, match="DATE_EXTRACT part"):
+        run_esql(
+            'ROW s = "2024-01-01 00:00" '
+            '| EVAL d = DATE_PARSE("yyyy-MM-dd HH:mm", s) '
+            '| EVAL x = DATE_EXTRACT("nope", d) | KEEP x',
+            "/tmp",
+        )
