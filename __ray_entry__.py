@@ -2793,6 +2793,15 @@ def _q_enrich(sf_dir: str) -> pa.Table:
     return enrich_customers(sf_dir)
 
 
+def _q_enrich_range(sf_dir: str) -> pa.Table:
+    """ES enrich with a RANGE policy (``match_type: range``): interval
+    containment via one searchsorted against broadcast boundaries;
+    integer-cent sums keep the fold order-exact."""
+    from bitcoin_ledger_2es_ray.pipelines.enrich import enrich_customers_range
+
+    return enrich_customers_range(sf_dir)
+
+
 def _q_lang_counts(sf_dir: str) -> pa.Table:
     """M6 language filter/projection: doc counts per lang from the engine's
     forward map, via a Ray Data groupby aggregate."""
@@ -6010,6 +6019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "update_lang_counts": _q_update_lang_counts,
         "enrich_customers": _q_enrich,
+        "enrich_range": _q_enrich_range,
         "rollup_search": _q_rollup,
         "transform_pivot": _q_transform,
         # training-data operators
@@ -9427,6 +9437,14 @@ ORDER BY query_id, doc_id
 SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang ORDER BY lang
 """,
         # enrich processor: nation|>region policy decorates the customer stream
+        # range policy: CASE tiers mirror the [lo, hi) interval table
+        "enrich_range": """
+SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 2500 THEN 'low'
+            WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS tier,
+       count(*)::BIGINT AS n,
+       sum(round(c_acctbal * 100, 0))::BIGINT AS bal_cents
+FROM customer GROUP BY tier ORDER BY tier
+""",
         "enrich_customers": """
 SELECT c.c_custkey::BIGINT AS c_custkey, c.c_mktsegment, n.n_name, r.r_name
 FROM customer c

@@ -271,3 +271,25 @@ def test_parent_id_query_brute_force(ray_session):
 
     with pytest.raises(ValueError):
         parent_id_query(sf, parent_rank=0)
+
+
+def test_enrich_range_policy_brute_force(ray_session):
+    """Range-policy enrich: searchsorted tier assignment against an
+    independent pandas CASE recompute, including the below-lowest clamp."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.enrich import enrich_customers_range
+
+    got = enrich_customers_range(SF_DIR).to_pandas().set_index("tier")
+    bal = pq.read_table(
+        f"{SF_DIR}/customer.parquet", columns=["c_acctbal"]
+    )["c_acctbal"].to_numpy(zero_copy_only=False)
+    tiers = np.where(
+        bal < 0, "neg", np.where(bal < 2500, "low", np.where(bal < 5000, "mid", "high"))
+    )
+    for t in ("neg", "low", "mid", "high"):
+        m = tiers == t
+        assert got.loc[t, "n"] == int(m.sum())
+        assert got.loc[t, "bal_cents"] == int(np.rint(bal[m] * 100).sum())
+    assert int(got["n"].sum()) == len(bal)  # the ranges tile the line
