@@ -2956,6 +2956,28 @@ def _q_simulate_grok(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_ingest_kv(sf_dir: str) -> pa.Table:
+    """ES ingest processors long tail: gsub → kv (named-key extraction) →
+    convert → rename → remove, chained in list order over the events
+    stream."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import simulate_pipeline
+
+    return simulate_pipeline(
+        sf_dir,
+        [
+            {"type": "gsub", "field": "props", "pattern": '[{}" ]',
+             "replacement": ""},
+            {"type": "kv", "field": "props", "field_split": ",",
+             "value_split": ":", "keys": ["k"]},
+            {"type": "convert", "field": "k", "to": "integer"},
+            {"type": "rename", "field": "k", "target": "props_k"},
+            {"type": "remove", "field": "props"},
+        ],
+        columns=("event_id", "props"),
+        table="events",
+    )
+
+
 def _q_simulate_pipeline(sf_dir: str) -> pa.Table:
     """ES ``_ingest/pipeline/_simulate``: gsub (vowel→'_') ▸ uppercase ▸
     set tag ▸ fingerprint(text|lang) over the doc stream, in order."""
@@ -6033,6 +6055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_stats": _q_tokenizer_stats,
         "mlm_examples": _q_mlm_examples,
         "simulate_pipeline": _q_simulate_pipeline,
+        "ingest_kv": _q_ingest_kv,
         "simulate_grok": _q_simulate_grok,
         "percolate_bool": _q_percolate_bool,
         "quality_classifier": _q_quality_classifier,
@@ -9579,6 +9602,11 @@ SELECT doc_id, source,
          AS srcnum,
        regexp_extract(source, '^src(.*)$', 1) AS srcnum_s
 FROM documents ORDER BY doc_id
+""",
+        # kv over gsub-normalized JSON-ish props: the single numeric value
+        "ingest_kv": """
+SELECT event_id, regexp_replace(props, '[^0-9]', '', 'g')::BIGINT AS props_k
+FROM events ORDER BY event_id
 """,
         "simulate_pipeline": """
 WITH s AS (

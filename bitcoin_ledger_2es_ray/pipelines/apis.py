@@ -550,6 +550,7 @@ def simulate_pipeline(
     sf_dir: str,
     processors: list[dict],
     columns: tuple[str, ...] = ("doc_id", "text", "lang"),
+    table: str = "documents",
 ) -> "pa.Table":
     """ES ``_ingest/pipeline/_simulate``: run an ordered processor chain
     over the document stream and return the transformed docs — the
@@ -569,6 +570,18 @@ def simulate_pipeline(
       "dissect", ...}`` — the log-parsing processors, sharing the ES|QL
       compilers (patterns → RE2 named groups at registration, one
       ``extract_regex`` per batch; ``:int``/``:float`` grok conversions)
+    - ``{"type": "rename", "field": f, "target": t}`` /
+      ``{"type": "remove", "field": f}``
+    - ``{"type": "convert", "field": f, "to": "integer"|"long"|"double"|
+      "float"|"string"}`` (one Arrow cast; string→int parses like ES)
+    - ``{"type": "date", "field": f, "pattern": javaPattern,
+      "target": t}`` — the ES date processor, sharing ES|QL DATE_PARSE's
+      Java→strptime translation
+    - ``{"type": "kv", "field": f, "field_split": fs, "value_split": vs,
+      "keys": [k, ...]}`` — key=value extraction into the NAMED keys
+      (ES's kv discovers keys dynamically per doc; a fixed key list keeps
+      the schema static, the invariant every stage here relies on); one
+      ``extract_regex`` per key, absent keys null
 
     Unknown processor types raise up front (ES rejects the pipeline at
     registration, not per doc)."""
@@ -582,7 +595,12 @@ def simulate_pipeline(
 
     KNOWN = {
         "lowercase", "uppercase", "gsub", "set", "trim", "fingerprint",
-        "grok", "dissect",
+        "grok", "dissect", "rename", "remove", "convert", "date", "kv",
+    }
+    _CONVERT = {
+        "integer": pa.int64(), "long": pa.int64(),
+        "double": pa.float64(), "float": pa.float64(),
+        "string": pa.string(),
     }
     compiled: dict[int, tuple[str, list[tuple[str, str]]]] = {}
     for i, p in enumerate(processors):
@@ -623,6 +641,34 @@ def simulate_pipeline(
                 )
             elif t == "trim":
                 cols[p["field"]] = pc.utf8_trim_whitespace(cols[p["field"]])
+            elif t == "rename":
+                cols[p["target"]] = cols.pop(p["field"])
+            elif t == "remove":
+                del cols[p["field"]]
+            elif t == "convert":
+                cols[p["field"]] = pc.cast(
+                    cols[p["field"]], _CONVERT[p["to"]]
+                )
+            elif t == "date":
+                from .esql import java_to_strptime
+
+                cols[p["target"]] = pc.strptime(
+                    pc.cast(cols[p["field"]], pa.string()),
+                    format=java_to_strptime(p["pattern"]),
+                    unit="us",
+                )
+            elif t == "kv":
+                import re as _re
+
+                fs, vs = p["field_split"], p["value_split"]
+                src = pc.cast(cols[p["field"]], pa.string())
+                for key in p["keys"]:
+                    rx = (
+                        f"(?:^|{_re.escape(fs)}){_re.escape(key)}"
+                        f"{_re.escape(vs)}(?P<v>[^{_re.escape(fs)}]*)"
+                    )
+                    st = pc.extract_regex(src, rx)
+                    cols[key] = pc.struct_field(st, "v")
             elif t == "fingerprint":
                 joined = cols[p["fields"][0]].cast(pa.string())
                 for f in p["fields"][1:]:
@@ -639,12 +685,12 @@ def simulate_pipeline(
         return pa.table(cols)
 
     ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=list(columns)
+        f"{sf_dir}/{table}.parquet", columns=list(columns)
     ).map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
     parts = [ray.get(r) for r in ds.to_arrow_refs()]
     parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
     parts = [p for p in parts if p.num_rows]
-    return pa.concat_tables(parts).sort_by("doc_id")
+    return pa.concat_tables(parts).sort_by(columns[0])
 
 
 def graph_explore(sf_dir: str, seed_ranks: tuple[int, ...] = (1, 7), size: int = 8) -> pa.Table:

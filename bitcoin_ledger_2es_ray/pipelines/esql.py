@@ -736,6 +736,29 @@ _GROK_LIB = {
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(int|float))?\}")
 
 
+def java_to_strptime(patt: str) -> str:
+    """Translate the common Java date-format tokens (yyyy/MM/dd/HH/mm/ss)
+    to strptime; unknown alpha tokens refuse.  Shared by ES|QL DATE_PARSE
+    and the ingest ``date`` processor."""
+    out: list[str] = []
+    i = 0
+    java = {"yyyy": "%Y", "MM": "%m", "dd": "%d", "HH": "%H", "mm": "%M", "ss": "%S"}
+    while i < len(patt):
+        for tok in ("yyyy", "MM", "dd", "HH", "mm", "ss"):
+            if patt.startswith(tok, i):
+                out.append(java[tok])
+                i += len(tok)
+                break
+        else:
+            if patt[i].isalpha():
+                raise ValueError(
+                    f"esql: DATE_PARSE unsupported pattern token at {patt[i:]!r}"
+                )
+            out.append(patt[i])
+            i += 1
+    return "".join(out)
+
+
 def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str]]]:
     """Grok pattern → (RE2 regex with named groups, [(field, type)]).
 
@@ -2343,23 +2366,10 @@ def _eval_expr(node: tuple, batch: pa.Table):
             patt = vals[0]
             if not isinstance(patt, str):
                 raise ValueError("esql: DATE_PARSE needs a literal pattern")
-            out, i = [], 0
-            java = {"yyyy": "%Y", "MM": "%m", "dd": "%d", "HH": "%H", "mm": "%M", "ss": "%S"}
-            while i < len(patt):
-                for tok in ("yyyy", "MM", "dd", "HH", "mm", "ss"):
-                    if patt.startswith(tok, i):
-                        out.append(java[tok])
-                        i += len(tok)
-                        break
-                else:
-                    if patt[i].isalpha():
-                        raise ValueError(
-                            f"esql: DATE_PARSE unsupported pattern token at {patt[i:]!r}"
-                        )
-                    out.append(patt[i])
-                    i += 1
             return pc.strptime(
-                pc.cast(_as_array(vals[1]), pa.string()), format="".join(out), unit="us"
+                pc.cast(_as_array(vals[1]), pa.string()),
+                format=java_to_strptime(patt),
+                unit="us",
             )
         raise ValueError(f"esql: unknown function {name}")
     op = node[1]

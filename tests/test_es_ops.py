@@ -3543,3 +3543,41 @@ def test_percentiles_tdigest_vs_exact(ray_session):
         rank = np.searchsorted(vals, est) / n
         assert abs(rank - q) < 0.015, (q, rank)
     assert out["n_centroids"][0].as_py() <= 220
+
+
+def test_ingest_processors_long_tail(ray_session, tmp_path):
+    """rename / remove / convert / date / kv over a hand-built corpus."""
+    import pyarrow.parquet as _pq
+
+    from bitcoin_ledger_2es_ray.pipelines.apis import simulate_pipeline
+
+    sf = str(tmp_path)
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": ["a=1,b=x", "b=y,a=22"],
+                "lang": ["2024-03-05 07:09", "2025-01-02 03:04"],
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    out = simulate_pipeline(
+        sf,
+        [
+            {"type": "kv", "field": "text", "field_split": ",",
+             "value_split": "=", "keys": ["a", "b", "c"]},
+            {"type": "convert", "field": "a", "to": "integer"},
+            {"type": "date", "field": "lang",
+             "pattern": "yyyy-MM-dd HH:mm", "target": "ts"},
+            {"type": "rename", "field": "b", "target": "bee"},
+            {"type": "remove", "field": "text"},
+        ],
+    )
+    assert out["a"].to_pylist() == [1, 22]  # order-independent kv extraction
+    assert out["bee"].to_pylist() == ["x", "y"]
+    assert out["c"].to_pylist() == [None, None]  # absent key stays null
+    assert "text" not in out.column_names and "b" not in out.column_names
+    assert str(out["ts"][0].as_py()) == "2024-03-05 07:09:00"
+    with pytest.raises(Exception, match="unknown processor"):
+        simulate_pipeline(sf, [{"type": "script", "field": "lang"}])
