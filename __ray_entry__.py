@@ -5233,6 +5233,20 @@ def _q_esql_ip_prefix(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_metadata(sf_dir: str) -> pa.Table:
+    """ES|QL FROM ... METADATA: scan-time _index/_id/_version/_score
+    columns (_id = the table's id column as a string, the corpus
+    convention; _score null outside a scoring context)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM documents METADATA _index, _id, _version "
+        "| EVAL i = TO_INTEGER(_id) | WHERE i % 37 == 0 "
+        "| KEEP _index, _id, _version, i | SORT i",
+        sf_dir,
+    )
+
+
 def _q_esql_chrono_fields(sf_dir: str) -> pa.Table:
     """ES|QL DATE_EXTRACT long-tail ChronoFields: DAY_OF_YEAR (kernel),
     EPOCH_DAY / INSTANT_SECONDS / ALIGNED_WEEK_OF_YEAR (epoch-us integer
@@ -5788,6 +5802,7 @@ _FRONT_50 = [
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
     "ids_query", "esql_calendar_trunc", "esql_cast_op", "esql_spatial",
+    "esql_metadata", "esql_chrono_fields", "enrich_range", "ingest_kv",
     "lg_batches", "esql_grok", "sem_dedup", "rare_terms", "lang_id",
     "esql_inlinestats", "esql_stddev",
     "esql_weighted_avg", "esql_mv_expand", "esql_strings",
@@ -5796,10 +5811,9 @@ _FRONT_50 = [
     "nb_train", "esql_sample", "nb_predict", "esql_fork",
     "ols_predict", "esql_change_point", "anomaly_scores",
     "outlier_scores", "percentiles", "knn_graph", "top_hits",
-    "sig_terms", "delete_query_topk", "update_lang_counts",
-    "filtered_alias", "transform_pivot", "exact_dedup", "jaccard_dups",
-    "decontaminate", "duplicate_spans", "dedup_keep_best", "hash_split",
-    "pack_sequences",
+    "sig_terms", "delete_query_topk",
+    "filtered_alias", "exact_dedup", "jaccard_dups",
+    "decontaminate", "dedup_keep_best", "hash_split",
 ]
 
 
@@ -6154,6 +6168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_match_phrase": _q_esql_match_phrase,
         "esql_kql": _q_esql_kql,
         "esql_term_round_to": _q_esql_term_round_to,
+        "esql_metadata": _q_esql_metadata,
         "esql_chrono_fields": _q_esql_chrono_fields,
         "esql_spatial": _q_esql_spatial,
         "esql_cast_op": _q_esql_cast_op,
@@ -11214,6 +11229,11 @@ SELECT doc_id, a[1] AS first3, a[len(a)] AS last3,
        a[len(a)] || '-' || a[len(a)] AS zip_last,
        (len(a) + len(w))::BIGINT AS app_n
 FROM a ORDER BY doc_id LIMIT 200
+""",
+        "esql_metadata": """
+SELECT 'documents' AS _index, doc_id::VARCHAR AS _id,
+       1::BIGINT AS _version, doc_id::BIGINT AS i
+FROM documents WHERE doc_id % 37 = 0 ORDER BY i
 """,
         # Java ChronoField mirrors: epoch_day/instant_seconds integer math
         "esql_chrono_fields": """

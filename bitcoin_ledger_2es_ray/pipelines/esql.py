@@ -1096,6 +1096,8 @@ class EsqlPlan:
     ts: bool = False  # TS source command (time-series aggregates legal)
     # CHANGE_POINT value ON key [AS type_name, pvalue_name] — terminal
     changepoint: tuple[str, str, str, str] | None = None
+    # FROM idx METADATA _index, _id, ... — requested metadata columns
+    metadata: list[str] = field(default_factory=list)
 
 
 def _parse_agg_list(p: "_Parser") -> tuple[list[tuple], list[str]]:
@@ -1233,6 +1235,21 @@ def parse_esql(src: str) -> EsqlPlan:
         # TS (9.x time-series source): same scan, but the time-series
         # aggregates (RATE) become legal and bind to the ``ts`` column
         plan = EsqlPlan(table=p.expect("ident")[1], ts=(first == "TS"))
+        # FROM idx METADATA _index, _id [, _version, _score] (ES|QL's
+        # metadata-field request; exact-case METADATA like the docs)
+        if p.peek() == ("ident", "METADATA"):
+            p.next()
+            while True:
+                m_ = p.expect("ident")[1]
+                if m_ not in ("_index", "_id", "_version", "_score"):
+                    raise ValueError(
+                        f"esql: unknown metadata field {m_!r} (one of "
+                        "_index, _id, _version, _score)"
+                    )
+                plan.metadata.append(m_)
+                if p.peek() != ("op", ","):
+                    break
+                p.next()
     elif first == "SHOW":
         # SHOW INFO — the deterministic one-row version source; INFO is
         # the only SHOW item ES|QL defines
@@ -2504,7 +2521,12 @@ def _plan_columns(
         elif pop[0] == "stats":
             eval_names |= {s_[0] for s_ in pop[1]}
     eval_names |= extra_produced or set()
+    eval_names |= set(plan.metadata)  # produced at scan time, not read
     need: set[str] = set()
+    if "_id" in plan.metadata:
+        # _id derives from the table's first schema column (the id by the
+        # corpus convention) — force it into the read set
+        need.add(schema_names[0])
     for op in plan.ops:
         if op[0] == "parse":
             need.add(op[1])
@@ -3040,6 +3062,21 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         return batch
 
     def transform(batch: pa.Table) -> pa.Table:
+        for m_ in plan.metadata:
+            # scan-time metadata columns (ES|QL FROM ... METADATA): _index
+            # = source index name, _id = the table's id column as a string
+            # (the corpus convention: first schema column), _version = 1,
+            # _score = null outside a scoring context — ES's own values
+            # for a non-scoring pipe
+            if m_ == "_index":
+                col = pa.array([plan.table] * batch.num_rows, type=pa.string())
+            elif m_ == "_id":
+                col = pc.cast(batch[schema_names[0]], pa.string())
+            elif m_ == "_version":
+                col = pa.array(np.ones(batch.num_rows, np.int64))
+            else:  # _score
+                col = pa.nulls(batch.num_rows, type=pa.float64())
+            batch = batch.append_column(m_, col)
         batch = _row_ops(batch, plan.ops)
         if not stats and by:
             # agg-less STATS BY: per-batch DISTINCT over the keys

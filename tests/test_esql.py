@@ -2085,3 +2085,20 @@ def test_esql_chrono_fields_long_tail(ray_session):
             '| EVAL x = DATE_EXTRACT("nope", d) | KEEP x',
             "/tmp",
         )
+
+
+def test_esql_metadata_clause(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        "FROM documents METADATA _index, _id, _version, _score "
+        "| EVAL i = TO_INTEGER(_id) | WHERE i < 3 "
+        "| KEEP _index, _id, _version, _score, i | SORT i",
+        SF_DIR,
+    )
+    assert t["_index"].to_pylist() == ["documents"] * 3
+    assert t["_id"].to_pylist() == ["0", "1", "2"]  # strings, like ES _id
+    assert t["_version"].to_pylist() == [1, 1, 1]
+    assert t["_score"].to_pylist() == [None, None, None]  # non-scoring pipe
+    with pytest.raises(Exception, match="unknown metadata"):
+        run_esql("FROM documents METADATA _nope | LIMIT 1", SF_DIR)
