@@ -793,13 +793,22 @@ def compile_dissect(pattern: str) -> tuple[str, list[tuple[str, str]]]:
 
     Text outside ``%{...}`` is LITERAL (dissect semantics); each field
     matches up to the next literal separator (the last one consumes the
-    rest); ``%{}`` / ``%{?skip}`` match without extracting."""
+    rest); ``%{}`` / ``%{?skip}`` match without extracting; ``%{key->}``
+    (right padding) lets the FOLLOWING separator repeat — dissect's
+    padded-column modifier."""
     fields: list[tuple[str, str]] = []
     segs: list[tuple[str, str | None]] = []  # (regex piece, field or None)
     pos = 0
+    pad_next = False
     for m in re.finditer(r"%\{([^}]*)\}", pattern):
-        segs.append((re.escape(pattern[pos : m.start()]), None))
+        lit = re.escape(pattern[pos : m.start()])
+        if pad_next and lit:
+            lit = f"(?:{lit})+"
+        segs.append((lit, None))
         key = m.group(1)
+        pad_next = key.endswith("->")
+        if pad_next:
+            key = key[:-2]
         if key == "" or key.startswith("?"):
             segs.append((r".*?", None))
         else:
@@ -808,7 +817,10 @@ def compile_dissect(pattern: str) -> tuple[str, list[tuple[str, str]]]:
             fields.append((key, "str"))
             segs.append((f"(?P<{key}>.*?)", key))
         pos = m.end()
-    segs.append((re.escape(pattern[pos:]), None))
+    lit = re.escape(pattern[pos:])
+    if pad_next and lit:
+        lit = f"(?:{lit})+"
+    segs.append((lit, None))
     if not fields:
         raise ValueError("esql: dissect pattern extracts no fields")
     # a trailing field (no literal after it) consumes the rest: greedy

@@ -2102,3 +2102,17 @@ def test_esql_metadata_clause(ray_session):
     assert t["_score"].to_pylist() == [None, None, None]  # non-scoring pipe
     with pytest.raises(Exception, match="unknown metadata"):
         run_esql("FROM documents METADATA _nope | LIMIT 1", SF_DIR)
+
+
+def test_esql_dissect_right_padding(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW s = "[t1]   [INFO]  alpha" '
+        '| DISSECT s "[%{ts}]%{->}[%{level}]%{sp->} %{msg}" '
+        "| KEEP ts, level, msg",
+        "/tmp",
+    )
+    row = {c: t[c][0].as_py() for c in t.column_names}
+    assert row["ts"] == "t1" and row["level"] == "INFO"
+    assert row["msg"] == "alpha"
