@@ -620,7 +620,11 @@ def simulate_pipeline(
                 regex, fields = compiled[i]
                 st = pc.extract_regex(cols[p["field"]], regex)
                 for name, typ in fields:
-                    v = pc.struct_field(st, name)
+                    if isinstance(typ, tuple) and typ[0] == "cat":
+                        parts = [pc.struct_field(st, g) for g in typ[1]]
+                        v = pc.binary_join_element_wise(*parts, typ[2])
+                    else:
+                        v = pc.struct_field(st, name)
                     if typ == "int":
                         v = pc.cast(v, pa.int64())
                     elif typ == "float":

@@ -788,18 +788,24 @@ def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str]]]:
     return "".join(out), fields
 
 
-def compile_dissect(pattern: str) -> tuple[str, list[tuple[str, str]]]:
-    """Dissect pattern → (RE2 regex, [(field, 'str')]).
+def compile_dissect(
+    pattern: str, append_separator: str = ""
+) -> tuple[str, list[tuple[str, str | tuple]]]:
+    """Dissect pattern → (RE2 regex, [(field, typ)]) where typ is ``'str'``
+    or ``('cat', [group, ...], separator)`` for append fields.
 
     Text outside ``%{...}`` is LITERAL (dissect semantics); each field
     matches up to the next literal separator (the last one consumes the
     rest); ``%{}`` / ``%{?skip}`` match without extracting; ``%{key->}``
-    (right padding) lets the FOLLOWING separator repeat — dissect's
-    padded-column modifier."""
-    fields: list[tuple[str, str]] = []
+    (right padding) lets the FOLLOWING separator repeat; ``%{+key}``
+    APPENDS to an earlier capture, joined by ``append_separator``
+    (DISSECT's APPEND_SEPARATOR option, default empty)."""
+    fields: list[tuple[str, str | tuple]] = []
+    appends: dict[str, list[str]] = {}
     segs: list[tuple[str, str | None]] = []  # (regex piece, field or None)
     pos = 0
     pad_next = False
+    n_app = 0
     for m in re.finditer(r"%\{([^}]*)\}", pattern):
         lit = re.escape(pattern[pos : m.start()])
         if pad_next and lit:
@@ -811,6 +817,16 @@ def compile_dissect(pattern: str) -> tuple[str, list[tuple[str, str]]]:
             key = key[:-2]
         if key == "" or key.startswith("?"):
             segs.append((r".*?", None))
+        elif key.startswith("+"):
+            base = key[1:]
+            if base not in appends and not any(f == base for f, _ in fields):
+                raise ValueError(
+                    f"esql: dissect append %{{+{base}}} before %{{{base}}}"
+                )
+            g = f"__app{n_app}"
+            n_app += 1
+            appends.setdefault(base, []).append(g)
+            segs.append((f"(?P<{g}>.*?)", g))
         else:
             if any(f == key for f, _ in fields):
                 raise ValueError(f"esql: duplicate dissect field {key}")
@@ -831,6 +847,13 @@ def compile_dissect(pattern: str) -> tuple[str, list[tuple[str, str]]]:
             (f"(?P<{last_key}>.*)", last_key) if k == last_key else (r_, k)
             for r_, k in segs
         ]
+    # rewrite appended fields to a concatenation instruction over the
+    # base capture + its append groups, in pattern order
+    fields = [
+        (f, ("cat", [f] + appends[f], append_separator)) if f in appends
+        else (f, t)
+        for f, t in fields
+    ]
     return "^" + "".join(r_ for r_, _ in segs) + "$", fields
 
 
@@ -1342,8 +1365,18 @@ def parse_esql(src: str) -> EsqlPlan:
             src_col = p.expect("ident")[1]
             raw = p.expect("str")[1]
             pat = re.sub(r"\\(.)", r"\1", raw[1:-1])
+            app_sep = ""
+            if p.peek() == ("ident", "APPEND_SEPARATOR"):
+                # DISSECT option: the string joining %{+key} appends
+                if cmd != "DISSECT":
+                    raise ValueError("esql: APPEND_SEPARATOR is DISSECT-only")
+                p.next()
+                p.expect("op", "==")  # '=' normalized to '==' by the lexer
+                app_sep = p.expect("str")[1][1:-1]
             regex, fields = (
-                compile_dissect(pat) if cmd == "DISSECT" else compile_grok(pat)
+                compile_dissect(pat, append_separator=app_sep)
+                if cmd == "DISSECT"
+                else compile_grok(pat)
             )
             plan.ops.append(("parse", src_col, regex, fields))
         elif cmd == "STATS":
@@ -2979,7 +3012,12 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     src_arr = src_arr.combine_chunks()
                 st = pc.extract_regex(src_arr, op[2])
                 for name, typ in op[3]:
-                    v = pc.struct_field(st, name)
+                    if isinstance(typ, tuple) and typ[0] == "cat":
+                        # dissect %{+key} append: join the capture chain
+                        parts = [pc.struct_field(st, g) for g in typ[1]]
+                        v = pc.binary_join_element_wise(*parts, typ[2])
+                    else:
+                        v = pc.struct_field(st, name)
                     if typ == "int":
                         v = pc.cast(v, pa.int64())
                     elif typ == "float":

@@ -2116,3 +2116,26 @@ def test_esql_dissect_right_padding(ray_session):
     row = {c: t[c][0].as_py() for c in t.column_names}
     assert row["ts"] == "t1" and row["level"] == "INFO"
     assert row["msg"] == "alpha"
+
+
+def test_esql_dissect_append_modifier(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    t = run_esql(
+        'ROW s = "john jacob smith" '
+        '| DISSECT s "%{name} %{+name} %{last}" APPEND_SEPARATOR = "-" '
+        "| KEEP name, last",
+        "/tmp",
+    )
+    assert t["name"][0].as_py() == "john-jacob"
+    assert t["last"][0].as_py() == "smith"
+    # default separator is empty
+    t2 = run_esql('ROW s = "ab cd" | DISSECT s "%{x} %{+x}" | KEEP x', "/tmp")
+    assert t2["x"][0].as_py() == "abcd"
+    with pytest.raises(Exception, match=r"append %\{\+x\} before"):
+        run_esql('ROW s = "a" | DISSECT s "%{+x}" | KEEP x', "/tmp")
+    with pytest.raises(Exception, match="DISSECT-only"):
+        run_esql(
+            'ROW s = "a" | GROK s "%{WORD:w}" APPEND_SEPARATOR = "-" | KEEP w',
+            "/tmp",
+        )
