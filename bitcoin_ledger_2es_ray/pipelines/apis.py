@@ -602,12 +602,19 @@ def simulate_pipeline(
         "double": pa.float64(), "float": pa.float64(),
         "string": pa.string(),
     }
-    compiled: dict[int, tuple[str, list[tuple[str, str]]]] = {}
+    compiled: dict[int, list[tuple[str, list[tuple[str, str]]]]] = {}
     for i, p in enumerate(processors):
         if p.get("type") == "grok":
-            compiled[i] = compile_grok(p["pattern"])
+            # ES grok options: "patterns" list (first match wins) and
+            # custom "pattern_definitions".  The output schema is the
+            # UNION of the alternatives' fields (fixed at registration —
+            # the static-schema invariant): a field absent from the
+            # matching alternative stays null, like ES
+            patterns = p.get("patterns") or [p["pattern"]]
+            defs = p.get("pattern_definitions")
+            compiled[i] = [compile_grok(pt, defs) for pt in patterns]
         elif p.get("type") == "dissect":
-            compiled[i] = compile_dissect(p["pattern"])
+            compiled[i] = [compile_dissect(p["pattern"])]
     for p in processors:
         if p.get("type") not in KNOWN:
             raise ValueError(f"unknown processor type {p.get('type')!r}")
@@ -617,19 +624,37 @@ def simulate_pipeline(
         for i, p in enumerate(processors):
             t = p["type"]
             if t in ("grok", "dissect"):
-                regex, fields = compiled[i]
-                st = pc.extract_regex(cols[p["field"]], regex)
-                for name, typ in fields:
-                    if isinstance(typ, tuple) and typ[0] == "cat":
-                        parts = [pc.struct_field(st, g) for g in typ[1]]
-                        v = pc.binary_join_element_wise(*parts, typ[2])
-                    else:
-                        v = pc.struct_field(st, name)
-                    if typ == "int":
-                        v = pc.cast(v, pa.int64())
-                    elif typ == "float":
-                        v = pc.cast(v, pa.float64())
-                    cols[name] = v
+                # FIRST matching alternative wins per row (ES grok
+                # "patterns"): later alternatives only apply to rows no
+                # earlier one matched, even for fields the earlier one
+                # does not extract
+                acc: dict[str, object] = {}
+                claimed = None  # rows matched by an earlier alternative
+                for regex, fields in compiled[i]:
+                    st = pc.extract_regex(cols[p["field"]], regex)
+                    hit = pc.is_valid(st)
+                    if claimed is not None:
+                        st = pc.if_else(
+                            claimed, pa.nulls(len(st), type=st.type), st
+                        )
+                    for name, typ in fields:
+                        if isinstance(typ, tuple) and typ[0] == "cat":
+                            parts = [pc.struct_field(st, g) for g in typ[1]]
+                            v = pc.binary_join_element_wise(*parts, typ[2])
+                        else:
+                            v = pc.struct_field(st, name)
+                        if typ == "int":
+                            v = pc.cast(v, pa.int64())
+                        elif typ == "float":
+                            v = pc.cast(v, pa.float64())
+                        acc[name] = (
+                            v if name not in acc
+                            else pc.coalesce(acc[name], v)
+                        )
+                    claimed = (
+                        hit if claimed is None else pc.or_(claimed, hit)
+                    )
+                cols.update(acc)
                 continue
             if t == "lowercase":
                 cols[p["field"]] = pc.utf8_lower(cols[p["field"]])

@@ -759,27 +759,31 @@ def java_to_strptime(patt: str) -> str:
     return "".join(out)
 
 
-def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str]]]:
+def compile_grok(
+    pattern: str, pattern_definitions: dict[str, str] | None = None
+) -> tuple[str, list[tuple[str, str]]]:
     """Grok pattern → (RE2 regex with named groups, [(field, type)]).
 
     Text outside ``%{...}`` is regex (Logstash semantics); ``%{NAME}``
     without a field name matches without extracting; ``:int``/``:float``
-    request the ES|QL typed conversions."""
+    request the ES|QL typed conversions; ``pattern_definitions`` adds
+    custom names for THIS compile (ES grok processor option)."""
+    lib = dict(_GROK_LIB, **(pattern_definitions or {}))
     fields: list[tuple[str, str]] = []
     out = ["^"]
     pos = 0
     for m in _GROK_REF.finditer(pattern):
         out.append(pattern[pos : m.start()])
         name, field, typ = m.groups()
-        if name not in _GROK_LIB:
+        if name not in lib:
             raise ValueError(f"esql: unknown grok pattern %{{{name}}}")
         if field is None:
-            out.append(f"(?:{_GROK_LIB[name]})")
+            out.append(f"(?:{lib[name]})")
         else:
             if any(f == field for f, _ in fields):
                 raise ValueError(f"esql: duplicate grok field {field}")
             fields.append((field, typ or "str"))
-            out.append(f"(?P<{field}>{_GROK_LIB[name]})")
+            out.append(f"(?P<{field}>{lib[name]})")
         pos = m.end()
     out.append(pattern[pos:])
     out.append("$")

@@ -3581,3 +3581,45 @@ def test_ingest_processors_long_tail(ray_session, tmp_path):
     assert str(out["ts"][0].as_py()) == "2024-03-05 07:09:00"
     with pytest.raises(Exception, match="unknown processor"):
         simulate_pipeline(sf, [{"type": "script", "field": "lang"}])
+
+
+def test_grok_pattern_alternatives_and_definitions(ray_session, tmp_path):
+    """ES grok processor options: "patterns" (first match wins) and
+    custom "pattern_definitions"."""
+    import pyarrow.parquet as _pq
+
+    from bitcoin_ledger_2es_ray.pipelines.apis import simulate_pipeline
+
+    sf = str(tmp_path)
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": ["GET /a 200", "oops: disk full", "PUT /b 503"],
+                "lang": ["en", "en", "en"],
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    out = simulate_pipeline(
+        sf,
+        [
+            {
+                "type": "grok",
+                "field": "text",
+                "patterns": [
+                    "%{VERB:what} %{NOTSPACE} %{INT:code:int}",
+                    "oops: %{GREEDYDATA:what}",
+                ],
+                "pattern_definitions": {"VERB": "GET|PUT|POST"},
+            }
+        ],
+    )
+    # union schema: first matching alternative wins per row; a field the
+    # matching alternative does not extract stays null
+    assert out["what"].to_pylist() == ["GET", "disk full", "PUT"]
+    assert out["code"].to_pylist() == [200, None, 503]
+    with pytest.raises(Exception, match="unknown grok"):
+        simulate_pipeline(
+            sf, [{"type": "grok", "field": "text", "pattern": "%{NOPE:x}"}]
+        )
