@@ -613,11 +613,25 @@ def simulate_pipeline(
             patterns = p.get("patterns") or [p["pattern"]]
             defs = p.get("pattern_definitions")
             compiled[i] = [compile_grok(pt, defs) for pt in patterns]
+            # a field typed differently across alternatives cannot
+            # coalesce — refuse at registration like ES
+            seen_types: dict[str, object] = {}
+            for _, flds in compiled[i]:
+                for name, typ in flds:
+                    if seen_types.setdefault(name, typ) != typ:
+                        raise ValueError(
+                            f"grok field {name!r} has conflicting types "
+                            "across pattern alternatives"
+                        )
         elif p.get("type") == "dissect":
             compiled[i] = [compile_dissect(p["pattern"])]
     for p in processors:
         if p.get("type") not in KNOWN:
             raise ValueError(f"unknown processor type {p.get('type')!r}")
+        if p["type"] == "kv" and len(p["field_split"]) != 1:
+            # the value terminator compiles to a character class; RE2 has
+            # no lookahead to express a multi-character boundary
+            raise ValueError("kv field_split must be a single character")
 
     def apply(batch: pa.Table) -> pa.Table:
         cols = {name: batch[name].combine_chunks() for name in batch.column_names}

@@ -426,6 +426,65 @@ def _match_predicate(field: pa.Array, query: str) -> pa.Array:
     return pa.array(_hits_to_rows(n, doc_idx, hit))
 
 
+def _phrase_terms(query: str, who: str) -> list[str]:
+    """Analyze a phrase string into single-token terms.  Words that
+    tokenize to COMPOUND tokens (camelCase/snake_case split parts —
+    position-increment-0 in the index) refuse with a pointer at the
+    positional pipelines, instead of silently never matching (the split
+    parts land at the END of the token stream, so the adjacency
+    intersection below cannot see them)."""
+    from ..functions.tokenize import tokenize_query
+
+    terms: list[str] = []
+    for w in query.split():
+        tw = tokenize_query(w)
+        if len(tw) != 1:
+            raise ValueError(
+                f"esql: {who} phrases over compound tokens are "
+                "index-backed — use the phrase pipelines"
+            )
+        terms.append(tw[0])
+    if len(terms) > 64:
+        raise ValueError(f"esql: {who} phrase longer than 64 words")
+    return terms
+
+
+def _adjacent_rows(
+    n: int,
+    toks: pa.Array,
+    doc_idx: np.ndarray,
+    pos: np.ndarray,
+    terms: list[str],
+) -> np.ndarray:
+    """Rows where ``terms`` occur ADJACENT and in order: intersect
+    (doc, pos − i) keys across the terms — a surviving key is a run."""
+    if not terms:
+        return np.zeros(n, dtype=bool)
+    keys = None
+    for i, t in enumerate(terms):
+        m = pc.fill_null(pc.equal(toks, t), False).to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+        k_i = doc_idx[m].astype(np.int64) * (1 << 32) + (
+            pos[m].astype(np.int64) - i + 64
+        )
+        keys = k_i if keys is None else np.intersect1d(keys, k_i)
+        if len(keys) == 0:
+            break
+    out = np.zeros(n, dtype=bool)
+    if keys is not None and len(keys):
+        out[np.unique(keys >> 32)] = True
+    return out
+
+
+def _wild_token_rx(patt: str) -> str:
+    """Lucene/KQL wildcard pattern → anchored token regex."""
+    return "^" + "".join(
+        ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+        for ch in patt.lower()
+    ) + "$"
+
+
 def _qstr_predicate(field: pa.Array, query: str) -> pa.Array:
     """``QSTR(field, "query")`` — Lucene query_string syntax as a batch
     PREDICATE (graft signature names the field explicitly: the pipe has
@@ -462,12 +521,8 @@ def _qstr_predicate(field: pa.Array, query: str) -> pa.Array:
         if k == "term":
             return term_any(tokenize_query(nd[1]))
         if k == "wild":
-            rx = "^" + "".join(
-                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
-                for ch in nd[1].lower()
-            ) + "$"
             hit = pc.fill_null(
-                pc.match_substring_regex(toks, rx), False
+                pc.match_substring_regex(toks, _wild_token_rx(nd[1])), False
             ).to_numpy(zero_copy_only=False).astype(bool)
             return _hits_to_rows(n, doc_idx, hit)
         if k == "phrase":
@@ -477,36 +532,9 @@ def _qstr_predicate(field: pa.Array, query: str) -> pa.Array:
                     "esql: QSTR sloppy phrases are index-backed — use the "
                     "query_string_topk pipeline"
                 )
-            terms = []
-            for w in text.split():
-                tw = tokenize_query(w)
-                if len(tw) != 1:
-                    raise ValueError(
-                        "esql: QSTR phrases over compound tokens are "
-                        "index-backed — use the phrase pipelines"
-                    )
-                terms.append(tw[0])
-            if not terms:
-                return np.zeros(n, dtype=bool)
-            if len(terms) > 64:
-                raise ValueError("esql: QSTR phrase longer than 64 words")
-            # intersect (doc, pos − i) keys across the phrase terms:
-            # a surviving key is an adjacent run
-            keys = None
-            for i, t in enumerate(terms):
-                m = pc.fill_null(pc.equal(toks, t), False).to_numpy(
-                    zero_copy_only=False
-                ).astype(bool)
-                k_i = doc_idx[m].astype(np.int64) * (1 << 32) + (
-                    pos[m].astype(np.int64) - i + 64
-                )
-                keys = k_i if keys is None else np.intersect1d(keys, k_i)
-                if len(keys) == 0:
-                    break
-            out = np.zeros(n, dtype=bool)
-            if keys is not None and len(keys):
-                out[np.unique(keys >> 32)] = True
-            return out
+            return _adjacent_rows(
+                n, toks, doc_idx, pos, _phrase_terms(text, "QSTR")
+            )
         if k == "not":
             return ~ev(nd[1])
         if k == "boost":  # boosts rank, never filters
@@ -545,32 +573,17 @@ def _qstr_predicate(field: pa.Array, query: str) -> pa.Array:
 def _phrase_predicate(field: pa.Array, query: str) -> pa.Array:
     """``MATCH_PHRASE(field, "query")``: true iff the analyzed query terms
     occur ADJACENT and in order among the field's analyzed tokens — the
-    (doc, pos − i) key-intersection plan QSTR uses for quoted phrases,
-    evaluated index-free per batch."""
-    from ..functions.tokenize import tokenize_flat, tokenize_query
+    (doc, pos − i) key-intersection plan shared with QSTR quoted phrases
+    (``_adjacent_rows``), evaluated index-free per batch.  Compound-token
+    phrases refuse like QSTR (see ``_phrase_terms``)."""
+    from ..functions.tokenize import tokenize_flat
 
     n = len(field)
-    terms = tokenize_query(query)
+    terms = _phrase_terms(query, "MATCH_PHRASE")
     if not terms or n == 0:
         return pa.array(np.zeros(n, dtype=bool))
-    if len(terms) > 64:
-        raise ValueError("esql: MATCH_PHRASE longer than 64 terms")
     toks, doc_idx, _dl, pos = tokenize_flat(field, return_positions=True)
-    keys = None
-    for i, t in enumerate(terms):
-        m = pc.fill_null(pc.equal(toks, t), False).to_numpy(
-            zero_copy_only=False
-        ).astype(bool)
-        k_i = doc_idx[m].astype(np.int64) * (1 << 32) + (
-            pos[m].astype(np.int64) - i + 64
-        )
-        keys = k_i if keys is None else np.intersect1d(keys, k_i)
-        if len(keys) == 0:
-            break
-    out = np.zeros(n, dtype=bool)
-    if keys is not None and len(keys):
-        out[np.unique(keys >> 32)] = True
-    return pa.array(out)
+    return pa.array(_adjacent_rows(n, toks, doc_idx, pos, terms))
 
 
 # ---------------------------------------------------------------- KQL
@@ -586,6 +599,7 @@ def _kql_parse(src: str):
     leaves (bare word, ``"quoted phrase"``, ``*``/``?`` wildcards) combined
     with AND / OR / NOT and parentheses.  ``field:(a or b)`` groups and
     range operators are refused with a pointer at the richer pipelines."""
+    src = src.strip()  # the token regex needs a non-space tail to anchor on
     toks: list[str] = []
     i = 0
     while i < len(src):
@@ -671,39 +685,48 @@ def _kql_predicate(batch: pa.Table, query: str) -> pa.Array:
     """``KQL("query")`` over the batch's own columns (ES KQL resolves
     fields from the index mapping; here, from the pipe schema): term
     leaves reuse the MATCH membership plan, quoted phrases the adjacency
-    plan, wildcards a token regex."""
+    plan, wildcards a token regex.  Each referenced field is tokenized
+    ONCE per batch (cached), however many leaves touch it."""
+    from ..functions.tokenize import tokenize_flat, tokenize_query
+
     node = _kql_parse(query)
     n = batch.num_rows
+    tok_cache: dict[str, tuple] = {}
 
-    def col(name: str) -> pa.Array:
-        if name not in batch.column_names:
-            raise ValueError(f"esql: KQL unknown field {name!r}")
-        c = batch[name]
-        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-        if not pa.types.is_string(c.type) and not pa.types.is_large_string(c.type):
-            c = c.cast(pa.string())
-        return c
+    def field_toks(name: str) -> tuple:
+        if name not in tok_cache:
+            if name not in batch.column_names:
+                raise ValueError(f"esql: KQL unknown field {name!r}")
+            c = batch[name]
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            if not pa.types.is_string(c.type) and not pa.types.is_large_string(
+                c.type
+            ):
+                c = c.cast(pa.string())
+            tok_cache[name] = tokenize_flat(c, return_positions=True)
+        return tok_cache[name]
 
     def ev(nd) -> np.ndarray:
         k = nd[0]
         if k == "term":
-            return _match_predicate(col(nd[1]), nd[2]).to_numpy(
-                zero_copy_only=False
-            ).astype(bool)
-        if k == "phrase":
-            return _phrase_predicate(col(nd[1]), nd[2]).to_numpy(
-                zero_copy_only=False
-            ).astype(bool)
-        if k == "wild":
-            from ..functions.tokenize import tokenize_flat
-
-            toks, doc_idx, _dl = tokenize_flat(col(nd[1]))
-            rx = "^" + "".join(
-                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
-                for ch in nd[2].lower()
-            ) + "$"
+            toks, doc_idx, _dl, _pos = field_toks(nd[1])
+            qterms = sorted(set(tokenize_query(nd[2])))
+            if not qterms:
+                return np.zeros(n, dtype=bool)
             hit = pc.fill_null(
-                pc.match_substring_regex(toks, rx), False
+                pc.is_in(toks, value_set=pa.array(qterms, type=pa.string())),
+                False,
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            return _hits_to_rows(n, doc_idx, hit)
+        if k == "phrase":
+            toks, doc_idx, _dl, pos = field_toks(nd[1])
+            return _adjacent_rows(
+                n, toks, doc_idx, pos, _phrase_terms(nd[2], "KQL")
+            )
+        if k == "wild":
+            toks, doc_idx, _dl, _pos = field_toks(nd[1])
+            hit = pc.fill_null(
+                pc.match_substring_regex(toks, _wild_token_rx(nd[2])), False
             ).to_numpy(zero_copy_only=False).astype(bool)
             return _hits_to_rows(n, doc_idx, hit)
         if k == "not":
@@ -1066,6 +1089,10 @@ class _Parser:
         if kind == "op" and text == "-":
             inner = self._atom()
             if inner[0] == "lit":
+                if isinstance(inner[1], CalendarPeriod):
+                    raise ValueError(
+                        "esql: calendar periods cannot be negated"
+                    )
                 return ("lit", -inner[1])
             return ("bin", "-", ("lit", 0), inner)
         if kind == "ident":
@@ -2021,19 +2048,22 @@ def _eval_expr(node: tuple, batch: pa.Table):
                     f"esql: DATE_EXTRACT part must be one of {sorted(known)}"
                 )
             if part.upper() in _CHRONO_DERIVED:
-                us = _as_array(vals[1]).cast(pa.int64())
+                # numpy // is FLOOR division — Java ChronoField semantics
+                # for pre-1970 instants (Arrow's divide truncates toward
+                # zero, which would put MICRO_OF_SECOND outside 0..999999)
+                us = _as_array(vals[1]).cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
                 if part.upper() == "EPOCH_DAY":
-                    return pc.divide(us, 86_400_000_000)
+                    return pa.array(us // 86_400_000_000, type=pa.int64())
                 if part.upper() == "INSTANT_SECONDS":
-                    return pc.divide(us, 1_000_000)
+                    return pa.array(us // 1_000_000, type=pa.int64())
                 if part.upper() == "MICRO_OF_SECOND":
-                    return pc.subtract(
-                        us, pc.multiply(pc.divide(us, 1_000_000), 1_000_000)
-                    )
+                    return pa.array(us % 1_000_000, type=pa.int64())
                 doy = pc.day_of_year(vals[1]).cast(pa.int64())
                 return pc.add(
                     pc.divide(pc.subtract(doy, 1), 7), 1
-                )  # ALIGNED_WEEK_OF_YEAR
+                )  # ALIGNED_WEEK_OF_YEAR (doy ≥ 1, truncation == floor)
             kernel = _CHRONO_FIELDS[part.upper()]
             if kernel == "day_of_week":
                 return pc.day_of_week(vals[1], count_from_zero=False, week_start=1).cast(pa.int64())
@@ -2441,6 +2471,13 @@ def _eval_expr(node: tuple, batch: pa.Table):
     op = node[1]
     left = _eval_expr(node[2], batch)
     right = _eval_expr(node[3], batch)
+    if isinstance(left, CalendarPeriod) or isinstance(right, CalendarPeriod):
+        # calendar periods have data-dependent width: only DATE_TRUNC and
+        # BUCKET accept them (documented contract on CalendarPeriod)
+        raise ValueError(
+            "esql: calendar periods are only valid in DATE_TRUNC/BUCKET, "
+            f"not in the {op!r} operator"
+        )
     if op == "in":
         if not isinstance(right, list):
             raise ValueError("esql: IN needs a literal list")

@@ -3623,3 +3623,35 @@ def test_grok_pattern_alternatives_and_definitions(ray_session, tmp_path):
         simulate_pipeline(
             sf, [{"type": "grok", "field": "text", "pattern": "%{NOPE:x}"}]
         )
+
+
+def test_review_fixes_grok_types_and_kv_separator(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from bitcoin_ledger_2es_ray.pipelines.apis import simulate_pipeline
+
+    sf = str(tmp_path)
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], type=pa.int64()),
+                "text": ["a=1"],
+                "lang": ["en"],
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    # conflicting types across grok alternatives refuse at registration
+    with pytest.raises(Exception, match="conflicting types"):
+        simulate_pipeline(
+            sf,
+            [{"type": "grok", "field": "text",
+              "patterns": ["%{INT:x:int}", "%{WORD:x}"]}],
+        )
+    # multi-character kv field_split refuses (RE2 has no lookahead)
+    with pytest.raises(Exception, match="single character"):
+        simulate_pipeline(
+            sf,
+            [{"type": "kv", "field": "text", "field_split": "; ",
+              "value_split": "=", "keys": ["a"]}],
+        )

@@ -2139,3 +2139,46 @@ def test_esql_dissect_append_modifier(ray_session):
             'ROW s = "a" | GROK s "%{WORD:w}" APPEND_SEPARATOR = "-" | KEEP w',
             "/tmp",
         )
+
+
+def test_review_fixes_phrase_compound_chrono_floor_kql_ws(ray_session):
+    """Round-4 review fixes: compound-token phrases refuse (not silently
+    false), derived ChronoFields floor for pre-1970 instants, KQL accepts
+    trailing whitespace, calendar periods refuse arithmetic."""
+    import numpy as np
+
+    from bitcoin_ledger_2es_ray.pipelines.esql import (
+        _kql_parse,
+        _phrase_predicate,
+        run_esql,
+    )
+    import pyarrow as _pa
+    import pytest as _p
+
+    # a doc literally containing the compound phrase must NOT silently miss
+    with _p.raises(ValueError, match="compound tokens"):
+        _phrase_predicate(_pa.array(["the fooBar baz end"]), "fooBar baz")
+    with _p.raises(Exception, match="compound tokens"):
+        run_esql(
+            'ROW s = "x" | EVAL b = KQL("s:\\"fooBar baz\\"") | KEEP b', "/tmp"
+        )
+    # KQL trailing whitespace lexes
+    assert _kql_parse("lang:en ") == ("term", "lang", "en")
+    # pre-1970: floor semantics (Java ChronoField), micro in 0..999999
+    t = run_esql(
+        'ROW s = "1969-12-31 12:00" '
+        '| EVAL d = DATE_PARSE("yyyy-MM-dd HH:mm", s) '
+        '| EVAL ed = DATE_EXTRACT("epoch_day", d), '
+        'isec = DATE_EXTRACT("instant_seconds", d), '
+        'mus = DATE_EXTRACT("micro_of_second", d) '
+        "| KEEP ed, isec, mus",
+        "/tmp",
+    )
+    assert t["ed"][0].as_py() == -1
+    assert t["isec"][0].as_py() == -12 * 3600
+    assert t["mus"][0].as_py() == 0
+    # calendar periods refuse arithmetic with a clean esql error
+    with _p.raises(Exception, match="calendar periods"):
+        run_esql("ROW a = 1 | EVAL x = a + 1 month | KEEP x", "/tmp")
+    with _p.raises(Exception, match="negated"):
+        run_esql("ROW a = 1 | EVAL x = -1 month | KEEP x", "/tmp")
