@@ -5284,6 +5284,48 @@ def _q_esql_spatial(sf_dir: str) -> pa.Table:
     )
 
 
+# 64-dim deterministic query vector shared by the ES|QL dense-vector
+# queries and their oracles (literal text identical on both sides)
+_ESQL_QVEC = (
+    "[" + ", ".join(str(round(float(np.sin(i + 1)), 4)) for i in range(64)) + "]"
+)
+
+
+def _q_esql_vector(sf_dir: str) -> pa.Table:
+    """ES|QL dense-vector function family (9.1+ tech preview): V_COSINE /
+    V_DOT_PRODUCT / V_L1_NORM / V_L2_NORM against a literal query vector,
+    plus V_MAGNITUDE — each ONE reshaped (n, d) float64 numpy expression
+    per batch (`pipelines/esql.py: _dense_matrix`)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        f"FROM embeddings | EVAL cos = ROUND(V_COSINE(embedding, {_ESQL_QVEC}), 6), "
+        f"dot = ROUND(V_DOT_PRODUCT(embedding, {_ESQL_QVEC}), 6), "
+        f"l1 = ROUND(V_L1_NORM(embedding, {_ESQL_QVEC}), 6), "
+        f"l2 = ROUND(V_L2_NORM(embedding, {_ESQL_QVEC}), 6), "
+        "mag = ROUND(V_MAGNITUDE(embedding), 6) "
+        "| KEEP vec_id, cos, dot, l1, l2, mag | SORT vec_id | LIMIT 600",
+        sf_dir,
+    )
+
+
+def _q_esql_knn(sf_dir: str) -> pa.Table:
+    """ES|QL KNN predicate (9.1 tech preview, positional k — documented
+    deviation from ES's options map): rewritten by the compiler into a
+    two-pass plan — pass 1 keeps k SCORES per block and the driver merge
+    yields the kth-best cosine, pass 2 streams a plain threshold WHERE.
+    The sibling conjunct (label == 1) acts as ES's knn PRE-filter: the k
+    nearest among rows passing it."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        f"FROM embeddings | WHERE KNN(embedding, {_ESQL_QVEC}, 10) AND label == 1 "
+        f"| EVAL cos = ROUND(V_COSINE(embedding, {_ESQL_QVEC}), 6) "
+        "| KEEP vec_id, label, cos | SORT cos DESC, vec_id | LIMIT 100",
+        sf_dir,
+    )
+
+
 def _q_esql_cast_op(sf_dir: str) -> pa.Table:
     """ES|QL ``::`` cast operator: postfix sugar for the TO_* conversion
     functions (value::LONG truncates toward zero like ES)."""
@@ -5798,6 +5840,7 @@ def _q_esql_eval(sf_dir: str) -> pa.Table:
 _FRONT_50 = [
     # newest code paths first (rotated in; the swapped-out entries were
     # driver-green in r3 or judge-reproduced)
+    "esql_vector", "esql_knn",
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
@@ -6133,6 +6176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_case": _q_esql_case,
         "esql_show": _q_esql_show,
         "esql_math": _q_esql_math,
+        "esql_vector": _q_esql_vector,
+        "esql_knn": _q_esql_knn,
         "esql_string_fns": _q_esql_string_fns,
         "esql_mv_fns": _q_esql_mv_fns,
         "esql_dates": _q_esql_dates,
@@ -10992,6 +11037,28 @@ SELECT l_orderkey, l_linenumber, ceil(l_extendedprice) AS c,
        round(log2(l_quantity), 6) AS ln2,
        sign(l_extendedprice - 30000.0)::DOUBLE AS sg
 FROM lineitem ORDER BY 1, 2, 3 LIMIT 200
+""",
+        "esql_vector": f"""
+WITH qv AS (SELECT {_ESQL_QVEC}::DOUBLE[] AS v)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], v), 6) AS cos,
+       round(list_inner_product(embedding::DOUBLE[], v), 6) AS dot,
+       round(list_aggregate(list_transform(list_zip(embedding::DOUBLE[], v),
+             x -> abs(x[1] - x[2])), 'sum'), 6) AS l1,
+       round(list_distance(embedding::DOUBLE[], v), 6) AS l2,
+       round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS mag
+FROM embeddings, qv ORDER BY vec_id LIMIT 600
+""",
+        "esql_knn": f"""
+WITH qv AS (SELECT {_ESQL_QVEC}::DOUBLE[] AS v),
+scored AS (
+  SELECT vec_id, label,
+         list_cosine_similarity(embedding::DOUBLE[], v) AS c
+  FROM embeddings, qv WHERE label = 1
+)
+SELECT vec_id, label, round(c, 6) AS cos
+FROM (SELECT *, rank() OVER (ORDER BY c DESC) AS r FROM scored)
+WHERE r <= 10 ORDER BY cos DESC, vec_id LIMIT 100
 """,
         "esql_string_fns": """
 SELECT c_custkey, trim(c_name) AS t, left(c_name, 5) AS l5,

@@ -1634,6 +1634,38 @@ def _mv_numeric_parts(col) -> tuple[int, np.ndarray, np.ndarray]:
     return n, par, flat
 
 
+def _dense_matrix(col, what: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """A dense_vector (list<numeric>) column → ``(matrix (n, d) float64,
+    null-row mask, d)``.  ES dense_vector fields are fixed-dimension by
+    mapping, so ragged non-null rows REFUSE rather than mis-align; null
+    rows pass through (they come back null from every vector function).
+    One flatten + one reshape — no per-row Python."""
+    col = _as_array(col)
+    if not pa.types.is_list(col.type):
+        raise ValueError(f"esql: {what} needs a dense_vector (list) column")
+    null = pc.is_null(col).to_numpy(zero_copy_only=False)
+    lens = (
+        pc.list_value_length(col)
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    live = lens[~null]
+    if live.size and int(live.min()) != int(live.max()):
+        raise ValueError(f"esql: {what}: ragged dense_vector column")
+    d = int(live[0]) if live.size else 0
+    mat = np.zeros((len(lens), d), dtype=np.float64)
+    if d:
+        if int(live.min()) == 0:
+            raise ValueError(f"esql: {what}: ragged dense_vector column")
+        flat = pc.cast(col.flatten(), pa.float64()).to_numpy(zero_copy_only=False)
+        mat[~null] = flat.reshape(-1, d)
+    return mat, null, d
+
+
+_VECTOR_FUNCS = {"V_COSINE", "V_DOT_PRODUCT", "V_L1_NORM", "V_L2_NORM", "V_HAMMING"}
+
+
 def _mv_reduce(col, how: str):
     """Per-row reduction of a list column → scalar column, fully
     vectorized: parent-index group_by for min/max (any orderable type),
@@ -1672,7 +1704,12 @@ def _eval_expr(node: tuple, batch: pa.Table):
     if kind == "not":
         return pc.invert(_eval_expr(node[1], batch))
     if kind == "mvlit":  # multivalue literal: the same list on every row
-        return pa.array([node[1]] * batch.num_rows)
+        # type from a one-element probe so a 0-row batch keeps the list
+        # type (a bare pa.array([]) would come back null-typed)
+        one = pa.array([node[1]])
+        if batch.num_rows == 0:
+            return one.slice(0, 0)
+        return pa.array([node[1]] * batch.num_rows, type=one.type)
     if kind == "isnull":
         v = _eval_expr(node[1], batch)
         if not isinstance(v, (pa.Array, pa.ChunkedArray)):
@@ -1736,8 +1773,12 @@ def _eval_expr(node: tuple, batch: pa.Table):
                 if isinstance(x, pa.Scalar):
                     x = x.as_py()
                 return float(sql_round(float(x), d))
-            arr = np.asarray(x.cast(pa.float64()), dtype=np.float64)
-            return pa.array(sql_round(arr, d), type=pa.float64())
+            arr = x.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            # null in → null out (numpy surfaces nulls as NaN; ES|QL has
+            # no NaN value, so the mask restores them)
+            return pa.array(
+                sql_round(arr, d), type=pa.float64(), mask=np.isnan(arr)
+            )
         if name == "ABS":
             return pc.abs(vals[0])
         if name == "LENGTH":
@@ -2467,6 +2508,56 @@ def _eval_expr(node: tuple, batch: pa.Table):
                 format=java_to_strptime(patt),
                 unit="us",
             )
+        if name in _VECTOR_FUNCS:
+            # ES|QL 9.1+ dense-vector functions (tech preview): both sides
+            # reshape to (n, d) float64 matrices — a multivalue literal
+            # broadcasts as the same row repeated — and each metric is ONE
+            # vectorized numpy expression.  V_HAMMING is defined here as
+            # the element-wise disagreement count (ES's bitwise form needs
+            # byte vectors; documented deviation).
+            if len(vals) != 2:
+                raise ValueError(f"esql: {name}(vector, vector)")
+            A, na, da = _dense_matrix(vals[0], name)
+            B, nb, db = _dense_matrix(vals[1], name)
+            if da and db and da != db:
+                raise ValueError(
+                    f"esql: {name}: dimension mismatch ({da} vs {db})"
+                )
+            if da == 0 or db == 0:
+                # one side is all-null in this block → every row is null
+                out_t = pa.int64() if name == "V_HAMMING" else pa.float64()
+                return pa.nulls(len(na), type=out_t)
+            null = na | nb
+            if name == "V_HAMMING":
+                out = (A != B).sum(axis=1).astype(np.int64)
+                return pa.array(out, type=pa.int64(), mask=null)
+            if name == "V_DOT_PRODUCT":
+                out = np.einsum("ij,ij->i", A, B)
+            elif name == "V_L1_NORM":
+                out = np.abs(A - B).sum(axis=1)
+            elif name == "V_L2_NORM":
+                out = np.sqrt(np.einsum("ij,ij->i", A - B, A - B))
+            else:  # V_COSINE: null where either norm is 0 (undefined)
+                num = np.einsum("ij,ij->i", A, B)
+                den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                    np.einsum("ij,ij->i", B, B)
+                )
+                null = null | (den == 0)
+                out = np.divide(num, den, out=np.zeros_like(num), where=den != 0)
+            return pa.array(out, type=pa.float64(), mask=null)
+        if name == "V_MAGNITUDE":
+            if len(vals) != 1:
+                raise ValueError("esql: V_MAGNITUDE(vector)")
+            A, null, _d = _dense_matrix(vals[0], name)
+            out = np.sqrt(np.einsum("ij,ij->i", A, A))
+            return pa.array(out, type=pa.float64(), mask=null)
+        if name == "KNN":
+            # KNN never reaches the evaluator: _run_pipe rewrites the WHERE
+            # it sits in into a scored two-pass plan (threshold predicate)
+            raise ValueError(
+                "esql: KNN is only valid as a WHERE predicate directly "
+                "after the source command"
+            )
         raise ValueError(f"esql: unknown function {name}")
     op = node[1]
     left = _eval_expr(node[2], batch)
@@ -2909,6 +3000,69 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     return res
 
 
+def _node_has_fn(node, fname: str) -> bool:
+    """True when the expression tree contains a call to ``fname``."""
+    if not isinstance(node, tuple):
+        return False
+    if node[0] == "func" and node[1] == fname:
+        return True
+    for part in node[1:]:
+        if isinstance(part, tuple) and _node_has_fn(part, fname):
+            return True
+        if isinstance(part, list) and any(
+            _node_has_fn(p, fname) for p in part if isinstance(p, tuple)
+        ):
+            return True
+    return False
+
+
+def _and_conjuncts(node) -> list:
+    """Flatten an AND tree into its conjunct list."""
+    if isinstance(node, tuple) and node[0] == "bin" and node[1] == "and":
+        return _and_conjuncts(node[2]) + _and_conjuncts(node[3])
+    return [node]
+
+
+def _extract_knn(plan) -> tuple[int, tuple, tuple | None] | None:
+    """Locate a ``KNN(field, query_vector, k)`` predicate for the two-pass
+    rewrite → ``(where_op_index, knn_node, prefilter_node_or_None)``.
+
+    ES pushes KNN down to the index scan and treats sibling WHERE
+    conjuncts as PRE-filters (the k nearest among rows passing them); the
+    graft mirrors that by requiring KNN in the first command after the
+    source, as a top-level conjunct, at most once per pipe.  The third
+    argument is the graft's positional ``k`` (ES spells it as a named
+    option map; documented deviation)."""
+    hits = [
+        i
+        for i, op in enumerate(plan.ops)
+        if op[0] == "where" and _node_has_fn(op[1], "KNN")
+    ]
+    if not hits:
+        return None
+    if len(hits) > 1 or hits[0] != 0:
+        raise ValueError(
+            "esql: KNN must appear exactly once, in the first WHERE "
+            "directly after the source command"
+        )
+    conj = _and_conjuncts(plan.ops[0][1])
+    knn = [c for c in conj if isinstance(c, tuple) and c[0] == "func" and c[1] == "KNN"]
+    rest = [c for c in conj if c not in knn]
+    if len(knn) != 1 or any(_node_has_fn(c, "KNN") for c in rest):
+        raise ValueError(
+            "esql: KNN must be a single bare top-level conjunct "
+            "(not nested under OR/NOT or repeated)"
+        )
+    args = knn[0][2]
+    if len(args) != 3 or args[2][0] != "lit" or not isinstance(args[2][1], int) \
+            or args[2][1] < 1:
+        raise ValueError("esql: KNN(field, query_vector, k) needs integer k >= 1")
+    rest_node = None
+    for c in rest:
+        rest_node = c if rest_node is None else ("bin", "and", rest_node, c)
+    return hits[0], knn[0], rest_node
+
+
 def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     """Single-pipe executor behind :func:`run_esql` (no FORK, and
     CHANGE_POINT is applied by the caller on the returned series)."""
@@ -2962,6 +3116,46 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         ds = rd.from_arrow(pa.table({k: [v] for k, v in plan.row.items()}))
     else:
         ds = rd.read_parquet(path, columns=cols)
+
+    knn_spec = _extract_knn(plan)
+    if knn_spec is not None:
+        # KNN(field, q, k) → two streamed passes, ES's pushdown shape:
+        # pass 1 scores every (pre-filtered) row and keeps only a per-block
+        # top-k of SCORES (k floats per block — never the rows); the driver
+        # merge yields the kth-best score, and the WHERE is rewritten into
+        # a plain threshold predicate for the main pass.  Ties at the
+        # threshold all match (SQL rank() semantics) — deterministic, and
+        # measure-zero on real-valued vectors.
+        where_idx, knn_node, rest = knn_spec
+        k = knn_node[2][2][1]
+        score_node = ("func", "V_COSINE", [knn_node[2][0], knn_node[2][1]])
+
+        def _knn_prepass(batch: pa.Table) -> pa.Table:
+            if rest is not None:
+                batch = batch.filter(pc.fill_null(_eval_expr(rest, batch), False))
+            s = _as_array(_eval_expr(score_node, batch))
+            x = pc.drop_null(s).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            if len(x) > k:
+                x = np.partition(x, len(x) - k)[len(x) - k:]
+            return pa.table({"s": pa.array(x, type=pa.float64())})
+
+        from ..functions.blocks import collect_tables
+
+        parts = collect_tables(
+            ds.map_batches(
+                _knn_prepass, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        scores = (
+            pa.concat_tables(parts)["s"].to_numpy(zero_copy_only=False)
+            if parts
+            else np.empty(0, dtype=np.float64)
+        )
+        thr = float(np.sort(scores)[-k]) if len(scores) >= k else -np.inf
+        pred = ("bin", ">=", score_node, ("lit", thr))
+        if rest is not None:
+            pred = ("bin", "and", pred, rest)
+        plan.ops[where_idx] = ("where", pred)
 
     stats = list(plan.stats)
     by = list(plan.by)

@@ -2182,3 +2182,113 @@ def test_review_fixes_phrase_compound_chrono_floor_kql_ws(ray_session):
         run_esql("ROW a = 1 | EVAL x = a + 1 month | KEEP x", "/tmp")
     with _p.raises(Exception, match="negated"):
         run_esql("ROW a = 1 | EVAL x = -1 month | KEEP x", "/tmp")
+
+
+def test_esql_vector_functions(ray_session, tmp_path):
+    """V_COSINE/V_DOT_PRODUCT/V_L1_NORM/V_L2_NORM/V_MAGNITUDE/V_HAMMING vs a
+    plain-python recompute; null rows come back null."""
+    import math
+
+    vecs = [[1.0, 2.0, 2.0], [0.0, 3.0, 4.0], None, [-1.0, 0.0, 1.0]]
+    q = [2.0, 1.0, 2.0]
+    t = pa.table({"vid": [0, 1, 2, 3], "v": pa.array(vecs, type=pa.list_(pa.float32()))})
+    pq.write_table(t, str(tmp_path / "vecs.parquet"))
+    out = run_esql(
+        "FROM vecs | EVAL cos = ROUND(V_COSINE(v, [2.0, 1.0, 2.0]), 6), "
+        "dot = ROUND(V_DOT_PRODUCT(v, [2.0, 1.0, 2.0]), 6), "
+        "l1 = ROUND(V_L1_NORM(v, [2.0, 1.0, 2.0]), 6), "
+        "l2 = ROUND(V_L2_NORM(v, [2.0, 1.0, 2.0]), 6), "
+        "ham = V_HAMMING(v, [2.0, 1.0, 2.0]), "
+        "mag = ROUND(V_MAGNITUDE(v), 6) "
+        "| KEEP vid, cos, dot, l1, l2, ham, mag | SORT vid | LIMIT 10",
+        str(tmp_path),
+    )
+    rows = {r["vid"]: r for r in out.to_pylist()}
+    for vid, vec in enumerate(vecs):
+        if vec is None:
+            assert all(rows[vid][c] is None for c in ("cos", "dot", "l1", "l2", "ham", "mag"))
+            continue
+        dot = sum(a * b for a, b in zip(vec, q))
+        na = math.sqrt(sum(a * a for a in vec))
+        nq = math.sqrt(sum(b * b for b in q))
+        assert rows[vid]["dot"] == round(dot, 6)
+        assert rows[vid]["cos"] == round(dot / (na * nq), 6)
+        assert rows[vid]["l1"] == round(sum(abs(a - b) for a, b in zip(vec, q)), 6)
+        assert rows[vid]["l2"] == round(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(vec, q))), 6
+        )
+        assert rows[vid]["ham"] == sum(1 for a, b in zip(vec, q) if a != b)
+        assert rows[vid]["mag"] == round(na, 6)
+    # dimension mismatch and ragged columns refuse loudly
+    with pytest.raises(Exception, match="dimension mismatch"):
+        run_esql("FROM vecs | EVAL x = V_COSINE(v, [1.0, 2.0]) | KEEP x "
+                 "| SORT x | LIMIT 5", str(tmp_path))
+    # raggedness is checked per block (dense_vector fields are fixed-dim
+    # by mapping) — unit-test the kernel helper directly
+    from bitcoin_ledger_2es_ray.pipelines.esql import _dense_matrix
+
+    with pytest.raises(Exception, match="ragged"):
+        _dense_matrix(pa.array([[1.0], [1.0, 2.0]]), "V_MAGNITUDE")
+
+
+def test_esql_knn_two_pass(ray_session, tmp_path):
+    """KNN(field, q, k): threshold rewrite equals the brute-force top-k;
+    sibling conjuncts act as PRE-filters; misplaced KNN refuses."""
+    import math
+
+    rng = [[float((7 * i + j) % 5 - 2) for j in range(4)] for i in range(20)]
+    labels = [i % 2 for i in range(20)]
+    t = pa.table({
+        "vid": list(range(20)),
+        "v": pa.array(rng, type=pa.list_(pa.float32())),
+        "lab": pa.array(labels, type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "kv.parquet"))
+    q = [1.0, 0.5, -1.0, 2.0]
+
+    def cos(a):
+        d = sum(x * y for x, y in zip(a, q))
+        na = math.sqrt(sum(x * x for x in a))
+        nq = math.sqrt(sum(y * y for y in q))
+        return d / (na * nq) if na else None
+
+    out = run_esql(
+        "FROM kv | WHERE KNN(v, [1.0, 0.5, -1.0, 2.0], 3) "
+        "| KEEP vid | SORT vid | LIMIT 50",
+        str(tmp_path),
+    )
+    scored = sorted(
+        (c, vid) for vid, a in enumerate(rng) if (c := cos(a)) is not None
+    )
+    thr = scored[-3][0]
+    expect = sorted(vid for c, vid in scored if c >= thr)
+    assert out["vid"].to_pylist() == expect
+
+    # pre-filter: the 3 nearest AMONG lab == 1 rows
+    out2 = run_esql(
+        "FROM kv | WHERE KNN(v, [1.0, 0.5, -1.0, 2.0], 3) AND lab == 1 "
+        "| KEEP vid | SORT vid | LIMIT 50",
+        str(tmp_path),
+    )
+    scored1 = sorted((c, vid) for vid, a in enumerate(rng)
+                     if labels[vid] == 1 and (c := cos(a)) is not None)
+    thr1 = scored1[-3][0]
+    assert out2["vid"].to_pylist() == sorted(v for c, v in scored1 if c >= thr1)
+
+    # k >= row count keeps everything
+    out3 = run_esql(
+        "FROM kv | WHERE KNN(v, [1.0, 0.5, -1.0, 2.0], 99) "
+        "| KEEP vid | SORT vid | LIMIT 50",
+        str(tmp_path),
+    )
+    assert len(out3) == 20
+    # misuse refuses: not the first command / under OR / bad k
+    with pytest.raises(Exception, match="first WHERE"):
+        run_esql("FROM kv | EVAL z = vid + 1 | WHERE KNN(v, [1.0, 0.5, -1.0, 2.0], 3) "
+                 "| KEEP vid | SORT vid | LIMIT 5", str(tmp_path))
+    with pytest.raises(Exception, match="bare top-level conjunct"):
+        run_esql("FROM kv | WHERE KNN(v, [1.0, 0.5, -1.0, 2.0], 3) OR lab == 1 "
+                 "| KEEP vid | SORT vid | LIMIT 5", str(tmp_path))
+    with pytest.raises(Exception, match="integer k"):
+        run_esql("FROM kv | WHERE KNN(v, [1.0, 0.5, -1.0, 2.0], 0) "
+                 "| KEEP vid | SORT vid | LIMIT 5", str(tmp_path))
