@@ -3915,6 +3915,17 @@ def _q_reverse_nested(sf_dir: str) -> pa.Table:
     return reverse_nested_agg(sf_dir)
 
 
+def _q_children_agg(sf_dir: str) -> pa.Table:
+    """ES ``children`` aggregation: terms buckets on the PARENT field
+    (o_orderpriority) stepping down into child lineitems — parent
+    doc_count + child doc_count / sum / avg of quantity.  Parent map
+    broadcast once; children stream with one searchsorted per batch
+    (`pipelines/joins.py: children_agg`)."""
+    from bitcoin_ledger_2es_ray.pipelines.joins import children_agg
+
+    return children_agg(sf_dir, round_decimals=_ROUND)
+
+
 def _q_has_child(sf_dir: str) -> pa.Table:
     """ES ``has_child`` (join field): orders with ≥1 lineitem of quantity
     ≥ 48 — child predicate pushed into the scan, per-batch partials reduce
@@ -5840,7 +5851,7 @@ def _q_esql_eval(sf_dir: str) -> pa.Table:
 _FRONT_50 = [
     # newest code paths first (rotated in; the swapped-out entries were
     # driver-green in r3 or judge-reproduced)
-    "esql_vector", "esql_knn",
+    "esql_vector", "esql_knn", "children_agg",
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
@@ -6154,6 +6165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "has_child": _q_has_child,
         "nested_query": _q_nested_query,
         "reverse_nested": _q_reverse_nested,
+        "children_agg": _q_children_agg,
         "has_parent": _q_has_parent,
         # geo queries / aggs over the derived customer geo_point
         "geo_distance": _q_geo_distance,
@@ -10937,6 +10949,16 @@ SELECT l_returnflag,
        count(DISTINCT l_orderkey)::BIGINT AS n_parents,
        count(*)::BIGINT AS n_children
 FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+        # ES children agg: parent terms buckets stepping into child docs
+        "children_agg": """
+SELECT o.o_orderpriority,
+       count(DISTINCT o.o_orderkey)::BIGINT AS parent_count,
+       count(l.l_orderkey)::BIGINT AS child_count,
+       round(coalesce(sum(l.l_quantity), 0), 6) AS sum_qty,
+       round(avg(l.l_quantity), 6) AS avg_qty
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
 """,
         # ES has_parent: children whose parent matches the filter
         "has_parent": """

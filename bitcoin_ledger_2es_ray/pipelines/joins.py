@@ -471,3 +471,96 @@ def parent_id_query(sf_dir: str, parent_rank: int = 8) -> pa.Table:
             "l_quantity": pc.cast(t["l_quantity"], pa.float64()),
         }
     )
+
+
+def children_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``children`` aggregation: a ``terms`` agg over a PARENT field
+    (orders by ``o_orderpriority``), stepping down into the child docs
+    (lineitems) per bucket — parent doc_count plus the child sub-agg
+    family (child doc_count, sum / avg of ``l_quantity``).
+
+    Shape: the parent (key → bucket-code) map is read once, encoded to
+    int8 codes against the SORTED parent key array, and broadcast via
+    ``ray.put``; children stream through ``map_batches`` with ONE
+    searchsorted lookup per batch and reduce to per-bucket partials —
+    the child table never shuffles and the driver combine is bounded by
+    the bucket count.  Beyond ~200k parents the map no longer broadcasts:
+    switch to the hash-partitioned ``Dataset.join`` exactly as
+    ``has_child_orders`` does (same output, one all-to-all)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    keys = np.asarray(orders["o_orderkey"], dtype=np.int64)
+    prio = orders["o_orderpriority"].combine_chunks().dictionary_encode()
+    buckets = [s.as_py() for s in prio.dictionary]
+    codes = prio.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys, codes = keys[order], codes[order]
+    parent_counts = np.bincount(codes, minlength=len(buckets))
+    map_ref = ray.put((keys, codes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k, c = ray.get(map_ref)
+        if len(k) == 0:
+            return pa.table(
+                {
+                    "b": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.float64()),
+                }
+            )
+        ok = np.asarray(batch["l_orderkey"].combine_chunks(), dtype=np.int64)
+        qty = np.asarray(batch["l_quantity"].combine_chunks(), dtype=np.float64)
+        pos = np.searchsorted(k, ok)
+        hit = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == ok)
+        b = c[pos[hit]]
+        n = np.bincount(b, minlength=len(c) and int(c.max()) + 1)
+        s = np.bincount(b, weights=qty[hit], minlength=len(n))
+        return pa.table(
+            {
+                "b": pa.array(np.arange(len(n)), type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+                "s": pa.array(s, type=pa.float64()),
+            }
+        )
+
+    from ..functions.blocks import collect_tables
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    cat = pa.concat_tables(collect_tables(ds, on_empty="children_agg: no children"))
+    g = cat.group_by("b").aggregate([("n", "sum"), ("s", "sum")])
+    n_child = np.zeros(len(buckets), dtype=np.int64)
+    s_child = np.zeros(len(buckets), dtype=np.float64)
+    bs = g["b"].to_numpy(zero_copy_only=False)
+    n_child[bs] = g["n_sum"].to_numpy(zero_copy_only=False)
+    s_child[bs] = g["s_sum"].to_numpy(zero_copy_only=False)
+    out = pa.table(
+        {
+            "o_orderpriority": pa.array(buckets, type=pa.string()),
+            "parent_count": pa.array(parent_counts, type=pa.int64()),
+            "child_count": pa.array(n_child, type=pa.int64()),
+            "sum_qty": pa.array(
+                sql_round(s_child, round_decimals), type=pa.float64()
+            ),
+            "avg_qty": pa.array(
+                sql_round(
+                    np.divide(
+                        s_child, n_child, out=np.zeros_like(s_child),
+                        where=n_child > 0,
+                    ),
+                    round_decimals,
+                ),
+                type=pa.float64(),
+                mask=n_child == 0,  # ES avg over an empty bucket is null
+            ),
+        }
+    ).sort_by("o_orderpriority")
+    return out

@@ -293,3 +293,27 @@ def test_enrich_range_policy_brute_force(ray_session):
         assert got.loc[t, "n"] == int(m.sum())
         assert got.loc[t, "bal_cents"] == int(np.rint(bal[m] * 100).sum())
     assert int(got["n"].sum()) == len(bal)  # the ranges tile the line
+
+
+def test_children_agg_matches_duckdb(ray_session, con):
+    from bitcoin_ledger_2es_ray.pipelines.joins import children_agg
+
+    mine = _norm(children_agg(SF_DIR).to_pandas())
+    orc = _norm(
+        con.sql(
+            """
+            SELECT o.o_orderpriority,
+                   count(DISTINCT o.o_orderkey)::BIGINT AS parent_count,
+                   count(l.l_orderkey)::BIGINT AS child_count,
+                   round(coalesce(sum(l.l_quantity), 0), 6) AS sum_qty,
+                   round(avg(l.l_quantity), 6) AS avg_qty
+            FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+            """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False, atol=1e-9, rtol=0)
+    # bucket parent counts tile the orders table exactly
+    assert int(mine["parent_count"].sum()) == con.sql(
+        "SELECT count(*) FROM orders"
+    ).fetchone()[0]
