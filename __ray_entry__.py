@@ -5337,6 +5337,38 @@ def _q_esql_knn(sf_dir: str) -> pa.Table:
     )
 
 
+_ESQL_SPATIAL_POLY = (
+    "POLYGON ((-60.05 -45.05, 60.05 -45.05, 60.05 45.05, "
+    "-60.05 45.05, -60.05 -45.05))"
+)
+
+
+def _q_esql_spatial_rel(sf_dir: str) -> pa.Table:
+    """ES|QL spatial relations: ST_WITHIN / ST_INTERSECTS / ST_DISJOINT /
+    ST_CONTAINS of derived geo_points against a literal TO_GEOSHAPE
+    polygon (boundary-inclusive even-odd kernel, vectorized over the
+    batch), plus ST_ENVELOPE + ST_XMAX/ST_YMIN extent readers."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM customer "
+        "| EVAL lat = TO_DOUBLE((c_custkey * 7919) % 18000) / 100.0 - 90.0, "
+        "lon = TO_DOUBLE((c_custkey * 104729) % 36000) / 100.0 - 180.0, "
+        'p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(lon), " ", '
+        'TO_STRING(lat), ")")), '
+        f'win = ST_WITHIN(p, TO_GEOSHAPE("{_ESQL_SPATIAL_POLY}")), '
+        f'inter = ST_INTERSECTS(p, TO_GEOSHAPE("{_ESQL_SPATIAL_POLY}")), '
+        f'dis = ST_DISJOINT(p, TO_GEOSHAPE("{_ESQL_SPATIAL_POLY}")), '
+        f'cont = ST_CONTAINS(TO_GEOSHAPE("{_ESQL_SPATIAL_POLY}"), p), '
+        "ex = ST_XMAX(ST_ENVELOPE(p)), ey = ST_YMIN(ST_ENVELOPE(p)) "
+        "| STATS n = COUNT(*), nw = COUNT(*) WHERE win, "
+        "ni = COUNT(*) WHERE inter, nd = COUNT(*) WHERE dis, "
+        "nc = COUNT(*) WHERE cont, mx = MAX(ex), my = MIN(ey) "
+        "BY c_mktsegment | SORT c_mktsegment",
+        sf_dir,
+    )
+
+
 def _q_esql_cast_op(sf_dir: str) -> pa.Table:
     """ES|QL ``::`` cast operator: postfix sugar for the TO_* conversion
     functions (value::LONG truncates toward zero like ES)."""
@@ -5851,7 +5883,7 @@ def _q_esql_eval(sf_dir: str) -> pa.Table:
 _FRONT_50 = [
     # newest code paths first (rotated in; the swapped-out entries were
     # driver-green in r3 or judge-reproduced)
-    "esql_vector", "esql_knn", "children_agg",
+    "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
@@ -6190,6 +6222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_math": _q_esql_math,
         "esql_vector": _q_esql_vector,
         "esql_knn": _q_esql_knn,
+        "esql_spatial_rel": _q_esql_spatial_rel,
         "esql_string_fns": _q_esql_string_fns,
         "esql_mv_fns": _q_esql_mv_fns,
         "esql_dates": _q_esql_dates,
@@ -11070,6 +11103,27 @@ SELECT vec_id,
        round(list_distance(embedding::DOUBLE[], v), 6) AS l2,
        round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS mag
 FROM embeddings, qv ORDER BY vec_id LIMIT 600
+""",
+        "esql_spatial_rel": """
+WITH pts AS (
+  SELECT c_mktsegment,
+         (c_custkey * 7919) % 18000 / 100.0 - 90.0 AS lat,
+         (c_custkey * 104729) % 36000 / 100.0 - 180.0 AS lon
+  FROM customer
+),
+f AS (
+  SELECT c_mktsegment, lat, lon,
+         (lon >= -60.05 AND lon <= 60.05
+          AND lat >= -45.05 AND lat <= 45.05) AS inside
+  FROM pts
+)
+SELECT c_mktsegment, count(*)::BIGINT AS n,
+       count(*) FILTER (inside)::BIGINT AS nw,
+       count(*) FILTER (inside)::BIGINT AS ni,
+       count(*) FILTER (NOT inside)::BIGINT AS nd,
+       count(*) FILTER (inside)::BIGINT AS nc,
+       max(lon) AS mx, min(lat) AS my
+FROM f GROUP BY 1 ORDER BY 1
 """,
         "esql_knn": f"""
 WITH qv AS (SELECT {_ESQL_QVEC}::DOUBLE[] AS v),

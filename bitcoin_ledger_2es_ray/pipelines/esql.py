@@ -1626,6 +1626,71 @@ def _geopoint_xy(v) -> tuple:
     return col("x"), col("y")
 
 
+_WKT_POLYGON = re.compile(
+    r"^\s*POLYGON\s*\(\s*\(\s*(?P<body>[^()]+?)\s*\)\s*\)\s*$", re.IGNORECASE
+)
+_WKT_BBOX = re.compile(
+    r"^\s*BBOX\s*\(\s*(?P<x0>-?\d+(?:\.\d+)?)\s*,\s*(?P<x1>-?\d+(?:\.\d+)?)"
+    r"\s*,\s*(?P<y1>-?\d+(?:\.\d+)?)\s*,\s*(?P<y0>-?\d+(?:\.\d+)?)\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_wkt_shape(s: str):
+    """Literal WKT → ``("point", (x, y))`` / ``("polygon", closed ring
+    (m, 2) float64)`` / ``("bbox", (xmin, xmax, ymax, ymin))`` / None for
+    malformed input.  Single outer ring only — ES|QL's own geo_shape
+    grammar is far wider (holes, multi-*); the graft covers the
+    point/polygon/envelope relations its queries exercise."""
+    m = _WKT_POINT.match(s)
+    if m:
+        return ("point", (float(m.group("x")), float(m.group("y"))))
+    m = _WKT_POLYGON.match(s)
+    if m:
+        pts = []
+        for pair in m.group("body").split(","):
+            toks = pair.split()
+            if len(toks) != 2:
+                return None
+            try:
+                pts.append((float(toks[0]), float(toks[1])))
+            except ValueError:
+                return None
+        if len(pts) < 3:
+            return None
+        ring = np.asarray(pts, dtype=np.float64)
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        return ("polygon", ring)
+    m = _WKT_BBOX.match(s)
+    if m:
+        return (
+            "bbox",
+            tuple(float(m.group(g)) for g in ("x0", "x1", "y1", "y0")),
+        )
+    return None
+
+
+def _points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Boundary-inclusive even-odd point-in-polygon: a loop over EDGES,
+    vectorized over points (O(E) numpy passes — never per-row Python).
+    Works for any simple polygon; convex CCW rings agree with the
+    half-plane kernel in pipelines/geo.py."""
+    inside = np.zeros(len(px), dtype=bool)
+    onedge = np.zeros(len(px), dtype=bool)
+    for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        onedge |= (
+            (cross == 0.0)
+            & (px >= min(ax, bx)) & (px <= max(ax, bx))
+            & (py >= min(ay, by)) & (py <= max(ay, by))
+        )
+        cond = (ay > py) != (by > py)
+        xs = ax + (bx - ax) * (py - ay) / np.where(by != ay, by - ay, 1.0)
+        inside ^= cond & (px < xs)
+    return inside | onedge
+
+
 def _mv_numeric_parts(col) -> tuple[int, np.ndarray, np.ndarray]:
     """(n, parent indices, float64 flat values) of a numeric list column."""
     n = len(col)
@@ -2355,15 +2420,34 @@ def _eval_expr(node: tuple, batch: pa.Table):
             )
             out = np.where(counts > 0, s, np.nan)
             return pa.array(out, type=pa.float64(), mask=counts == 0)
-        if name == "TO_GEOPOINT":
+        if name in ("TO_GEOPOINT", "TO_GEOSHAPE"):
             # ES|QL TO_GEOPOINT("POINT (lon lat)"): the engine's geo_point
             # is a canonical WKT string (no geometry type in Arrow's core);
             # the coordinate TEXT is preserved verbatim so ST_X/ST_Y parse
-            # back bit-exactly; malformed input becomes null like TO_IP
+            # back bit-exactly; malformed input becomes null like TO_IP.
+            # TO_GEOSHAPE additionally accepts literal POLYGON / BBOX WKT
+            # (canonicalized textually); shape COLUMNS must be points —
+            # polygon columns aren't grafted (documented).
             x = vals[0]
             if isinstance(x, str):
                 m = _WKT_POINT.match(x)
-                return f"POINT ({m.group(1)} {m.group(2)})" if m else None
+                if m:
+                    return f"POINT ({m.group(1)} {m.group(2)})"
+                if name == "TO_GEOSHAPE":
+                    mp = _WKT_POLYGON.match(x)
+                    if mp and _parse_wkt_shape(x) is not None:
+                        body = ", ".join(
+                            " ".join(p.split())
+                            for p in mp.group("body").split(",")
+                        )
+                        return f"POLYGON (({body}))"
+                    mb = _WKT_BBOX.match(x)
+                    if mb:
+                        return "BBOX ({}, {}, {}, {})".format(
+                            mb.group("x0"), mb.group("x1"),
+                            mb.group("y1"), mb.group("y0"),
+                        )
+                return None
             arr = pc.cast(_as_array(x), pa.string())
             st = pc.extract_regex(arr, pattern=_WKT_POINT.pattern)
             ok = pc.is_valid(st)
@@ -2398,6 +2482,128 @@ def _eval_expr(node: tuple, batch: pa.Table):
             if isinstance(d, float):
                 return d
             return pa.array(d, type=pa.float64(), mask=np.isnan(d))
+        if name in ("ST_INTERSECTS", "ST_CONTAINS", "ST_WITHIN", "ST_DISJOINT"):
+            # ES|QL spatial relations: each side is a geo_point column /
+            # literal, or a literal POLYGON (via TO_GEOSHAPE).  Point vs
+            # polygon = boundary-inclusive even-odd test, vectorized over
+            # the batch; point vs point = coordinate equality;
+            # polygon vs polygon is NOT grafted (refuses — ES delegates to
+            # Lucene's full geometry engine).
+            if len(vals) != 2:
+                raise ValueError(f"esql: {name}(geometry, geometry)")
+            sides = []
+            for v in vals:
+                if isinstance(v, str):
+                    shp = _parse_wkt_shape(v)
+                    if shp is None:
+                        raise ValueError(f"esql: {name}: malformed WKT {v!r}")
+                    if shp[0] == "point":
+                        px = np.asarray([shp[1][0]])
+                        py = np.asarray([shp[1][1]])
+                        sides.append(("points", (px, py), True))
+                    elif shp[0] == "polygon":
+                        sides.append(("polygon", shp[1], True))
+                    else:
+                        x0, x1, y1, y0 = shp[1]
+                        ring = np.asarray(
+                            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+                        )
+                        sides.append(("polygon", ring, True))
+                else:
+                    sides.append(("points", _geopoint_xy(v), False))
+            kinds = (sides[0][0], sides[1][0])
+            if kinds == ("polygon", "polygon"):
+                raise ValueError(
+                    f"esql: {name}: polygon-polygon relations are not grafted"
+                )
+            scalar_out = all(s[2] for s in sides)
+            if "polygon" in kinds:
+                poly_first = kinds[0] == "polygon"
+                ring = sides[0][1] if poly_first else sides[1][1]
+                px, py = sides[1][1] if poly_first else sides[0][1]
+                px, py = np.asarray(px, dtype=np.float64), np.asarray(py, dtype=np.float64)
+                inside = _points_in_ring(px, py, ring)
+                if name == "ST_CONTAINS":
+                    out = inside if poly_first else np.zeros(len(px), dtype=bool)
+                elif name == "ST_WITHIN":
+                    out = inside if not poly_first else np.zeros(len(px), dtype=bool)
+                elif name == "ST_DISJOINT":
+                    out = ~inside
+                else:
+                    out = inside
+                null = np.isnan(px) | np.isnan(py)
+            else:
+                ax, ay = (np.asarray(c, dtype=np.float64) for c in sides[0][1])
+                bx, by = (np.asarray(c, dtype=np.float64) for c in sides[1][1])
+                eq = (ax == bx) & (ay == by)
+                out = ~eq if name == "ST_DISJOINT" else eq
+                null = np.isnan(ax) | np.isnan(ay) | np.isnan(bx) | np.isnan(by)
+            if scalar_out:
+                return None if null[0] else bool(out[0])
+            return pa.array(out, type=pa.bool_(), mask=null)
+        if name == "ST_ENVELOPE":
+            # envelope of a literal shape → its BBOX (minX, maxX, maxY,
+            # minY — ES's envelope rendering); of a geo_point column →
+            # the per-row degenerate BBOX, coordinate TEXT preserved
+            x = vals[0]
+            if isinstance(x, str):
+                shp = _parse_wkt_shape(x)
+                if shp is None:
+                    return None
+                if shp[0] == "point":
+                    gx, gy = shp[1]
+                    return f"BBOX ({gx!r}, {gx!r}, {gy!r}, {gy!r})"
+                if shp[0] == "bbox":
+                    x0, x1, y1, y0 = shp[1]
+                    return f"BBOX ({x0!r}, {x1!r}, {y1!r}, {y0!r})"
+                ring = shp[1]
+                return "BBOX ({!r}, {!r}, {!r}, {!r})".format(
+                    ring[:, 0].min(), ring[:, 0].max(),
+                    ring[:, 1].max(), ring[:, 1].min(),
+                )
+            arr = pc.cast(_as_array(x), pa.string())
+            st = pc.extract_regex(arr, pattern=_WKT_POINT.pattern)
+            ok = pc.is_valid(st)
+            xs, ys = pc.struct_field(st, "x"), pc.struct_field(st, "y")
+            env = pc.binary_join_element_wise(
+                pa.array(["BBOX ("] * len(arr)), xs,
+                pa.array([", "] * len(arr)), xs,
+                pa.array([", "] * len(arr)), ys,
+                pa.array([", "] * len(arr)), ys,
+                pa.array([")"] * len(arr)), "",
+            )
+            return pc.if_else(ok, env, pa.nulls(len(arr), pa.string()))
+        if name in ("ST_XMIN", "ST_XMAX", "ST_YMIN", "ST_YMAX"):
+            x = vals[0]
+            if isinstance(x, str):
+                shp = _parse_wkt_shape(x)
+                if shp is None:
+                    return None
+                if shp[0] == "point":
+                    return float(shp[1][0] if name[3] == "X" else shp[1][1])
+                if shp[0] == "bbox":
+                    x0, x1, y1, y0 = shp[1]
+                    return {
+                        "ST_XMIN": x0, "ST_XMAX": x1,
+                        "ST_YMIN": y0, "ST_YMAX": y1,
+                    }[name]
+                ring = shp[1]
+                col_i = 0 if name[3] == "X" else 1
+                v = ring[:, col_i]
+                return float(v.min() if name.endswith("MIN") else v.max())
+            # column path: geo_point or BBOX strings, both one extract_regex
+            arr = pc.cast(_as_array(x), pa.string())
+            lon, lat = _geopoint_xy(arr)
+            pt = lon if name[3] == "X" else lat
+            stb = pc.extract_regex(arr, pattern=_WKT_BBOX.pattern)
+            okb = pc.is_valid(stb).to_numpy(zero_copy_only=False)
+            grp = {"ST_XMIN": "x0", "ST_XMAX": "x1",
+                   "ST_YMIN": "y0", "ST_YMAX": "y1"}[name]
+            bb = pc.struct_field(stb, grp).cast(pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            out = np.where(okb, bb, pt)
+            return pa.array(out, type=pa.float64(), mask=np.isnan(out))
         if name == "TO_IP":
             # ES|QL TO_IP(string) — IPv4 dotted-quad validation; the graft
             # keeps IPs as canonical strings (no inet type in the engine),

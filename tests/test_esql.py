@@ -2292,3 +2292,88 @@ def test_esql_knn_two_pass(ray_session, tmp_path):
     with pytest.raises(Exception, match="integer k"):
         run_esql("FROM kv | WHERE KNN(v, [1.0, 0.5, -1.0, 2.0], 0) "
                  "| KEEP vid | SORT vid | LIMIT 5", str(tmp_path))
+
+
+def test_esql_spatial_relations(ray_session, tmp_path):
+    """ST_WITHIN/ST_CONTAINS/ST_INTERSECTS/ST_DISJOINT vs a brute-force
+    matplotlib-free even-odd recompute over a NON-convex polygon, plus
+    envelope/extent readers and refusals."""
+    import pyarrow.parquet as pq_
+
+    # a concave "arrow" polygon
+    poly = "POLYGON ((0 0, 4 0, 4 4, 2 1.5, 0 4, 0 0))"
+    pts = [(x / 2.0, y / 2.0) for x in range(-2, 10) for y in range(-2, 10)]
+    t = pa.table({
+        "pid": list(range(len(pts))),
+        "wkt": [f"POINT ({x} {y})" for x, y in pts],
+    })
+    pq_.write_table(t, str(tmp_path / "pts.parquet"))
+    out = run_esql(
+        f'FROM pts | EVAL w = ST_WITHIN(wkt, TO_GEOSHAPE("{poly}")), '
+        f'c = ST_CONTAINS(TO_GEOSHAPE("{poly}"), wkt), '
+        f'i = ST_INTERSECTS(wkt, TO_GEOSHAPE("{poly}")), '
+        f'd = ST_DISJOINT(wkt, TO_GEOSHAPE("{poly}")) '
+        "| KEEP pid, w, c, i, d | SORT pid | LIMIT 500",
+        str(tmp_path),
+    )
+
+    ring = [(0, 0), (4, 0), (4, 4), (2, 1.5), (0, 4), (0, 0)]
+
+    def brute_inside(px, py):
+        ins = False
+        on = False
+        for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+            cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            if cross == 0 and min(ax, bx) <= px <= max(ax, bx) \
+                    and min(ay, by) <= py <= max(ay, by):
+                on = True
+            if (ay > py) != (by > py):
+                xs = ax + (bx - ax) * (py - ay) / (by - ay)
+                if px < xs:
+                    ins = not ins
+        return ins or on
+
+    rows = out.to_pylist()
+    assert len(rows) == len(pts)
+    n_in = 0
+    for r in rows:
+        px, py = pts[r["pid"]]
+        exp = brute_inside(px, py)
+        n_in += exp
+        assert r["w"] == exp and r["c"] == exp and r["i"] == exp
+        assert r["d"] == (not exp)
+    assert 0 < n_in < len(pts)  # the grid straddles the polygon
+
+    # scalar point-point relations + envelope / extents of shapes
+    row = run_esql(
+        'ROW a = 1 | EVAL '
+        'eqp = ST_INTERSECTS("POINT (5 5)", "POINT (5 5)"), '
+        'dsj = ST_DISJOINT("POINT (5 5)", "POINT (5 6)"), '
+        f'env = ST_ENVELOPE(TO_GEOSHAPE("{poly}")), '
+        f'x0 = ST_XMIN(TO_GEOSHAPE("{poly}")), '
+        f'x1 = ST_XMAX(TO_GEOSHAPE("{poly}")), '
+        f'y0 = ST_YMIN(TO_GEOSHAPE("{poly}")), '
+        f'y1 = ST_YMAX(TO_GEOSHAPE("{poly}")), '
+        'bx = ST_XMAX("BBOX (1.0, 2.0, 4.0, 3.0)") '
+        "| KEEP eqp, dsj, env, x0, x1, y0, y1, bx",
+        "/tmp",
+    ).to_pylist()[0]
+    assert row["eqp"] is True and row["dsj"] is True
+    assert row["env"] == "BBOX (0.0, 4.0, 4.0, 0.0)"
+    assert (row["x0"], row["x1"], row["y0"], row["y1"]) == (0.0, 4.0, 0.0, 4.0)
+    assert row["bx"] == 2.0
+    # TO_GEOSHAPE canonicalization and malformed → null
+    row2 = run_esql(
+        'ROW a = 1 | EVAL g = TO_GEOSHAPE("POLYGON((0 0,1 0,1 1,0 0))"), '
+        'bad = TO_GEOSHAPE("POLYGON ((0 0, 1 1))") | KEEP g, bad',
+        "/tmp",
+    ).to_pylist()[0]
+    assert row2["g"] == "POLYGON ((0 0, 1 0, 1 1, 0 0))"
+    assert row2["bad"] is None
+    # polygon-polygon refuses
+    with pytest.raises(Exception, match="polygon-polygon"):
+        run_esql(
+            f'ROW a = 1 | EVAL x = ST_INTERSECTS(TO_GEOSHAPE("{poly}"), '
+            f'TO_GEOSHAPE("{poly}")) | KEEP x',
+            "/tmp",
+        )
