@@ -5369,6 +5369,31 @@ def _q_esql_spatial_rel(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_grid_conv(sf_dir: str) -> pa.Table:
+    """ES|QL 9.2 grid functions + conversion stragglers: ST_GEOHASH /
+    ST_GEOTILE (string grid keys — ES's long form + _TO_STRING converters
+    collapse into the one rendering the grid aggs use), TO_UNSIGNED_LONG
+    (negatives convert to null like ES's range failures) and TO_VERSION
+    (validated version strings; malformed → null)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM customer "
+        "| EVAL lat = TO_DOUBLE((c_custkey * 7919) % 18000) / 100.0 - 90.0, "
+        "lon = TO_DOUBLE((c_custkey * 104729) % 36000) / 100.0 - 180.0, "
+        'p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(lon), " ", '
+        'TO_STRING(lat), ")")), '
+        "gh = ST_GEOHASH(p, 2), gt = ST_GEOTILE(p, 4), "
+        "ul = TO_UNSIGNED_LONG(TO_LONG(c_acctbal * 100.0)), "
+        'ver = TO_VERSION(CONCAT(TO_STRING(c_custkey % 10), ".", '
+        'TO_STRING(c_custkey % 7), ".0")), '
+        "bad = TO_VERSION(c_mktsegment) "
+        "| KEEP c_custkey, gh, gt, ul, ver, bad "
+        "| SORT c_custkey | LIMIT 150",
+        sf_dir,
+    )
+
+
 def _q_esql_cast_op(sf_dir: str) -> pa.Table:
     """ES|QL ``::`` cast operator: postfix sugar for the TO_* conversion
     functions (value::LONG truncates toward zero like ES)."""
@@ -5884,6 +5909,7 @@ _FRONT_50 = [
     # newest code paths first (rotated in; the swapped-out entries were
     # driver-green in r3 or judge-reproduced)
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
+    "esql_grid_conv",
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
@@ -6223,6 +6249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_vector": _q_esql_vector,
         "esql_knn": _q_esql_knn,
         "esql_spatial_rel": _q_esql_spatial_rel,
+        "esql_grid_conv": _q_esql_grid_conv,
         "esql_string_fns": _q_esql_string_fns,
         "esql_mv_fns": _q_esql_mv_fns,
         "esql_dates": _q_esql_dates,
@@ -11103,6 +11130,44 @@ SELECT vec_id,
        round(list_distance(embedding::DOUBLE[], v), 6) AS l2,
        round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS mag
 FROM embeddings, qv ORDER BY vec_id LIMIT 600
+""",
+        "esql_grid_conv": """
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         (c_custkey * 7919) % 18000 / 100.0 - 90.0 AS lat,
+         (c_custkey * 104729) % 36000 / 100.0 - 180.0 AS lon
+  FROM customer
+),
+cells AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, lat, lon,
+         least(floor((lon + 180.0) / 360.0 * 32), 31)::BIGINT AS x,
+         least(floor((lat + 90.0) / 180.0 * 32), 31)::BIGINT AS y,
+         greatest(least(floor((lon + 180.0) / 360.0 * 16), 15), 0)::BIGINT AS tx,
+         greatest(least(floor((1.0 - ln(tan(radians(
+             greatest(least(lat, 85.05112877980659), -85.05112877980659)))
+           + 1.0 / cos(radians(
+             greatest(least(lat, 85.05112877980659), -85.05112877980659))))
+           / pi()) / 2.0 * 16), 15), 0)::BIGINT AS ty
+  FROM pts
+),
+enc AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, tx, ty,
+         ((x // 16) % 2) * 512 + ((y // 16) % 2) * 256
+       + ((x // 8) % 2) * 128 + ((y // 8) % 2) * 64
+       + ((x // 4) % 2) * 32 + ((y // 4) % 2) * 16
+       + ((x // 2) % 2) * 8 + ((y // 2) % 2) * 4
+       + (x % 2) * 2 + (y % 2) AS v
+  FROM cells
+)
+SELECT c_custkey,
+       substr('0123456789bcdefghjkmnpqrstuvwxyz', (v // 32)::INT + 1, 1) ||
+       substr('0123456789bcdefghjkmnpqrstuvwxyz', (v % 32)::INT + 1, 1) AS gh,
+       '4/' || tx || '/' || ty AS gt,
+       CASE WHEN trunc(c_acctbal * 100.0) >= 0
+            THEN trunc(c_acctbal * 100.0)::UBIGINT END AS ul,
+       (c_custkey % 10) || '.' || (c_custkey % 7) || '.0' AS ver,
+       CAST(NULL AS VARCHAR) AS bad
+FROM enc ORDER BY c_custkey LIMIT 150
 """,
         "esql_spatial_rel": """
 WITH pts AS (

@@ -2111,6 +2111,86 @@ def _eval_expr(node: tuple, batch: pa.Table):
                     "esql: TO_DATETIME(string) — use DATE_PARSE(pattern, s)"
                 )
             return pc.multiply(x.cast(pa.int64()), 1_000).cast(pa.timestamp("us"))
+        if name == "TO_UNSIGNED_LONG":
+            # ES range failures convert to null (with a warning header);
+            # the graft nulls negatives the same way
+            x = vals[0]
+            if isinstance(x, pa.Scalar):
+                x = x.as_py()
+            if x is None or isinstance(x, (int, float, str)):
+                if x is None:
+                    return None
+                v = int(float(x)) if not isinstance(x, str) else int(x)
+                return v if v >= 0 else None
+            x = _as_array(x)
+            if pa.types.is_timestamp(x.type):
+                x = pc.divide(x.cast(pa.int64()), 1_000)
+            elif pa.types.is_floating(x.type):
+                x = pc.trunc(x).cast(pa.int64())
+            else:
+                x = x.cast(pa.int64())
+            neg = pc.fill_null(pc.less(x, 0), False)
+            # zero the negatives BEFORE the unsigned cast (Arrow casts are
+            # eager — a raw cast would raise on them), then null them out
+            safe = pc.if_else(neg, pa.scalar(0, pa.int64()), x).cast(pa.uint64())
+            return pc.if_else(neg, pa.nulls(len(x), pa.uint64()), safe)
+        if name == "TO_VERSION":
+            # ES version type: the graft keeps versions as validated
+            # strings (release or pre-release semver shapes); malformed
+            # input becomes null like the other conversions
+            patt = r"^(?P<v>\d+(?:\.\d+)*(?:[-+][A-Za-z0-9.\-]+)?)$"
+            x = vals[0]
+            if isinstance(x, str):
+                return x if re.match(patt, x) else None
+            arr = pc.cast(_as_array(x), pa.string())
+            st = pc.extract_regex(arr, pattern=patt)
+            return pc.if_else(
+                pc.is_valid(st),
+                pc.struct_field(st, "v"),
+                pa.nulls(len(arr), pa.string()),
+            )
+        if name == "TO_DATE_NANOS":
+            # ES date_nanos: epoch-NANOSECOND long → ns timestamp;
+            # datetimes widen exactly (us → ns)
+            x = vals[0]
+            if isinstance(x, (int, float)):
+                return pa.scalar(int(x), type=pa.timestamp("ns"))
+            x = _as_array(x)
+            if pa.types.is_timestamp(x.type):
+                return x.cast(pa.timestamp("ns"))
+            return x.cast(pa.int64()).cast(pa.timestamp("ns"))
+        if name in ("ST_GEOHASH", "ST_GEOTILE"):
+            # ES|QL 9.2 grid functions: the graft returns the STRING grid
+            # key directly (geohash base-32 / "z/x/y" — the exact bucket
+            # keys the grid aggs use; ES's long form + _TO_STRING
+            # converters collapse into this one rendering, documented).
+            # ST_GEOHEX is NOT grafted: H3 math, same skip as the agg.
+            from .geo import geohash_encode, geotile_xy
+
+            if len(vals) != 2 or not isinstance(vals[1], int):
+                raise ValueError(f"esql: {name}(geo_point, precision)")
+            p = vals[1]
+            limit = 12 if name == "ST_GEOHASH" else 29
+            if not (0 if name == "ST_GEOTILE" else 1) <= p <= limit:
+                raise ValueError(f"esql: {name}: precision out of range")
+            lon, lat = _geopoint_xy(vals[0])
+            scalar = isinstance(vals[0], str)
+            lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+            lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+            null = np.isnan(lon) | np.isnan(lat)
+            safe_lon = np.where(null, 0.0, lon)
+            safe_lat = np.where(null, 0.0, lat)
+            if name == "ST_GEOHASH":
+                keys = np.asarray(geohash_encode(safe_lat, safe_lon, p))
+            else:
+                tx, ty = geotile_xy(safe_lat, safe_lon, p)
+                keys = np.char.add(
+                    np.char.add(f"{p}/", tx.astype(np.int64).astype(str)),
+                    np.char.add("/", ty.astype(np.int64).astype(str)),
+                )
+            if scalar:
+                return None if null[0] else str(keys[0])
+            return pa.array(keys.tolist(), type=pa.string(), mask=null)
         # ---- dates (fixed-width units; calendar units refused at parse) -
         if name == "DATE_TRUNC":
             dur, ts = vals[0], _as_array(vals[1])
@@ -2420,7 +2500,8 @@ def _eval_expr(node: tuple, batch: pa.Table):
             )
             out = np.where(counts > 0, s, np.nan)
             return pa.array(out, type=pa.float64(), mask=counts == 0)
-        if name in ("TO_GEOPOINT", "TO_GEOSHAPE"):
+        if name in ("TO_GEOPOINT", "TO_GEOSHAPE",
+                    "TO_CARTESIANPOINT", "TO_CARTESIANSHAPE"):
             # ES|QL TO_GEOPOINT("POINT (lon lat)"): the engine's geo_point
             # is a canonical WKT string (no geometry type in Arrow's core);
             # the coordinate TEXT is preserved verbatim so ST_X/ST_Y parse
@@ -2433,7 +2514,7 @@ def _eval_expr(node: tuple, batch: pa.Table):
                 m = _WKT_POINT.match(x)
                 if m:
                     return f"POINT ({m.group(1)} {m.group(2)})"
-                if name == "TO_GEOSHAPE":
+                if name in ("TO_GEOSHAPE", "TO_CARTESIANSHAPE"):
                     mp = _WKT_POLYGON.match(x)
                     if mp and _parse_wkt_shape(x) is not None:
                         body = ", ".join(

@@ -362,6 +362,38 @@ def geo_bounds_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
 _BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
+def geohash_encode(lat: np.ndarray, lon: np.ndarray, precision: int) -> list[str]:
+    """Vectorized geohash (base-32, lon in the even bit slots from the
+    MSB — the standard interleave).  Closed-form integer arithmetic so
+    SQL oracles can mirror it bit-for-bit without a geohash library."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    x = np.minimum(
+        ((lon + 180.0) / 360.0 * (1 << lon_bits)).astype(np.int64),
+        (1 << lon_bits) - 1,
+    )
+    y = np.minimum(
+        ((lat + 90.0) / 180.0 * (1 << lat_bits)).astype(np.int64),
+        (1 << lat_bits) - 1,
+    )
+    v = np.zeros(len(x), dtype=np.int64)
+    xi, yi = lon_bits, lat_bits
+    for b in range(bits - 1, -1, -1):
+        if (bits - 1 - b) % 2 == 0:  # even slot from MSB -> lon
+            xi -= 1
+            v |= ((x >> xi) & 1) << b
+        else:
+            yi -= 1
+            v |= ((y >> yi) & 1) << b
+    # vectorized base32 render: one fancy-index + add per char slot
+    chars = np.array(list(_BASE32))
+    s = chars[(v >> (5 * (precision - 1))) & 31]
+    for c in range(precision - 2, -1, -1):
+        s = np.char.add(s, chars[(v >> (5 * c)) & 31])
+    return s.tolist()
+
+
 def geohash_grid(sf_dir: str, precision: int = 2) -> pa.Table:
     """ES ``geohash_grid`` aggregation over the derived geo_point:
     (geohash, doc_count) at the given precision (base-32 chars; 5 bits
@@ -372,34 +404,8 @@ def geohash_grid(sf_dir: str, precision: int = 2) -> pa.Table:
     The cell math is closed-form integer arithmetic (floor-scale each
     axis to its bit budget, interleave) so the DuckDB oracle can mirror
     it bit-for-bit without a geohash library."""
-    bits = 5 * precision
-    lon_bits = (bits + 1) // 2
-    lat_bits = bits // 2
-
     def encode(lat: np.ndarray, lon: np.ndarray) -> list[str]:
-        x = np.minimum(
-            ((lon + 180.0) / 360.0 * (1 << lon_bits)).astype(np.int64),
-            (1 << lon_bits) - 1,
-        )
-        y = np.minimum(
-            ((lat + 90.0) / 180.0 * (1 << lat_bits)).astype(np.int64),
-            (1 << lat_bits) - 1,
-        )
-        v = np.zeros(len(x), dtype=np.int64)
-        xi, yi = lon_bits, lat_bits
-        for b in range(bits - 1, -1, -1):
-            if (bits - 1 - b) % 2 == 0:  # even slot from MSB -> lon
-                xi -= 1
-                v |= ((x >> xi) & 1) << b
-            else:
-                yi -= 1
-                v |= ((y >> yi) & 1) << b
-        # vectorized base32 render: one fancy-index + add per char slot
-        chars = np.array(list(_BASE32))
-        s = chars[(v >> (5 * (precision - 1))) & 31]
-        for c in range(precision - 2, -1, -1):
-            s = np.char.add(s, chars[(v >> (5 * c)) & 31])
-        return s.tolist()
+        return geohash_encode(lat, lon, precision)
 
     def partial(batch: pa.Table) -> pa.Table:
         key = np.asarray(batch["c_custkey"], dtype=np.int64)

@@ -2377,3 +2377,32 @@ def test_esql_spatial_relations(ray_session, tmp_path):
             f'TO_GEOSHAPE("{poly}")) | KEEP x',
             "/tmp",
         )
+
+
+def test_esql_grid_and_conversion_stragglers(ray_session):
+    """ST_GEOHASH/ST_GEOTILE string grid keys (known city fixture),
+    TO_UNSIGNED_LONG null-on-negative, TO_VERSION validation,
+    TO_DATE_NANOS exact widening, TO_CARTESIAN* canonicalization."""
+    row = run_esql(
+        'ROW a = 1 | EVAL '
+        'gh = ST_GEOHASH("POINT (13.361389 38.115556)", 5), '
+        'gt = ST_GEOTILE("POINT (13.361389 38.115556)", 8), '
+        'u = TO_UNSIGNED_LONG(42), un = TO_UNSIGNED_LONG(0 - 5), '
+        'v = TO_VERSION("1.2.3-beta.1"), vb = TO_VERSION("not a version"), '
+        'cp = TO_CARTESIANPOINT("POINT (10 20)"), '
+        'cs = TO_CARTESIANSHAPE("POLYGON((0 0,1 0,1 1,0 0))"), '
+        'dn = TO_DATE_NANOS(TO_DATETIME(1704067200000)) '
+        "| KEEP gh, gt, u, un, v, vb, cp, cs, dn",
+        "/tmp",
+    ).to_pylist()[0]
+    assert row["gh"] == "sqc8b"  # Palermo, the geohash reference fixture
+    assert row["gt"] == "8/137/98"
+    assert row["u"] == 42 and row["un"] is None
+    assert row["v"] == "1.2.3-beta.1" and row["vb"] is None
+    assert row["cp"] == "POINT (10 20)"
+    assert row["cs"] == "POLYGON ((0 0, 1 0, 1 1, 0 0))"
+    assert str(row["dn"]) == "2024-01-01 00:00:00"
+    with pytest.raises(Exception, match="precision out of range"):
+        run_esql('ROW a = 1 | EVAL x = ST_GEOHASH("POINT (1 1)", 13) | KEEP x', "/tmp")
+    with pytest.raises(Exception, match="precision out of range"):
+        run_esql('ROW a = 1 | EVAL x = ST_GEOTILE("POINT (1 1)", 30) | KEEP x', "/tmp")
