@@ -5369,6 +5369,24 @@ def _q_esql_spatial_rel(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_temporal_math(sf_dir: str) -> pa.Table:
+    """ES|QL temporal arithmetic: timestamp ± duration literals and the
+    8.15 TO_TIMEDURATION / TO_DATEPERIOD string casts (fixed-width
+    amounts; calendar periods stay DATE_TRUNC/BUCKET-only, the documented
+    contract)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM events | EVAL later = ts + 2 hours, "
+        'earlier = ts - TO_TIMEDURATION("90 minutes"), '
+        'nxt = ts + TO_DATEPERIOD("1 week"), '
+        'day = DATE_TRUNC(TO_DATEPERIOD("1 day"), ts) '
+        "| KEEP event_id, later, earlier, nxt, day "
+        "| SORT event_id | LIMIT 200",
+        sf_dir,
+    )
+
+
 def _q_esql_grid_conv(sf_dir: str) -> pa.Table:
     """ES|QL 9.2 grid functions + conversion stragglers: ST_GEOHASH /
     ST_GEOTILE (string grid keys — ES's long form + _TO_STRING converters
@@ -5909,7 +5927,7 @@ _FRONT_50 = [
     # newest code paths first (rotated in; the swapped-out entries were
     # driver-green in r3 or judge-reproduced)
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
-    "esql_grid_conv",
+    "esql_grid_conv", "esql_temporal_math",
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
@@ -6250,6 +6268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_knn": _q_esql_knn,
         "esql_spatial_rel": _q_esql_spatial_rel,
         "esql_grid_conv": _q_esql_grid_conv,
+        "esql_temporal_math": _q_esql_temporal_math,
         "esql_string_fns": _q_esql_string_fns,
         "esql_mv_fns": _q_esql_mv_fns,
         "esql_dates": _q_esql_dates,
@@ -11130,6 +11149,13 @@ SELECT vec_id,
        round(list_distance(embedding::DOUBLE[], v), 6) AS l2,
        round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS mag
 FROM embeddings, qv ORDER BY vec_id LIMIT 600
+""",
+        "esql_temporal_math": """
+SELECT event_id, ts + INTERVAL 2 HOUR AS later,
+       ts - INTERVAL 90 MINUTE AS earlier,
+       ts + INTERVAL 7 DAY AS nxt,
+       date_trunc('day', ts) AS day
+FROM events ORDER BY event_id LIMIT 200
 """,
         "esql_grid_conv": """
 WITH pts AS (

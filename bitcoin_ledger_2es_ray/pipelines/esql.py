@@ -2111,6 +2111,35 @@ def _eval_expr(node: tuple, batch: pa.Table):
                     "esql: TO_DATETIME(string) — use DATE_PARSE(pattern, s)"
                 )
             return pc.multiply(x.cast(pa.int64()), 1_000).cast(pa.timestamp("us"))
+        if name in ("TO_TIMEDURATION", "TO_DATEPERIOD"):
+            # ES|QL 8.15 string → temporal-amount casts: TIMEDURATION
+            # takes sub-day units, DATEPERIOD takes day/week + calendar
+            # units — the same Duration / CalendarPeriod values the bare
+            # literals produce, so they flow through the identical
+            # arithmetic and DATE_TRUNC/BUCKET plumbing
+            if len(vals) != 1 or not isinstance(vals[0], str):
+                raise ValueError(f'esql: {name}("n unit") needs a literal string')
+            m = re.match(r"^\s*(\d+)\s*([A-Za-z]+)\s*$", vals[0])
+            if not m:
+                raise ValueError(f"esql: {name}: malformed amount {vals[0]!r}")
+            n_, unit = int(m.group(1)), m.group(2).upper()
+            sub_day = unit in _DUR_UNITS_US and _DUR_UNITS_US[unit] < 86_400_000_000
+            if name == "TO_TIMEDURATION":
+                if not sub_day:
+                    raise ValueError(
+                        "esql: TO_TIMEDURATION takes millisecond/second/"
+                        "minute/hour units"
+                    )
+                return Duration(n_ * _DUR_UNITS_US[unit], unit=unit)
+            if unit in _CALENDAR_UNITS:
+                if n_ < 1:
+                    raise ValueError("esql: calendar periods need n >= 1")
+                return CalendarPeriod(n_, _CALENDAR_NORM[unit])
+            if unit in _DUR_UNITS_US and not sub_day:
+                return Duration(n_ * _DUR_UNITS_US[unit], unit=unit)
+            raise ValueError(
+                "esql: TO_DATEPERIOD takes day/week/month/quarter/year units"
+            )
         if name == "TO_UNSIGNED_LONG":
             # ES range failures convert to null (with a warning header);
             # the graft nulls negatives the same way
@@ -2856,6 +2885,30 @@ def _eval_expr(node: tuple, batch: pa.Table):
             "esql: calendar periods are only valid in DATE_TRUNC/BUCKET, "
             f"not in the {op!r} operator"
         )
+    if isinstance(left, Duration) or isinstance(right, Duration):
+        # ES|QL temporal arithmetic: timestamp ± duration (fixed-width
+        # amounts only — calendar periods refused above); duration ±
+        # duration folds to a new literal
+        if op not in ("+", "-"):
+            raise ValueError(
+                f"esql: durations are only valid with +/-, not {op!r}"
+            )
+        if isinstance(left, Duration) and isinstance(right, Duration):
+            us = int(left) + int(right) if op == "+" else int(left) - int(right)
+            return Duration(us)
+        dur = left if isinstance(left, Duration) else right
+        other = right if isinstance(left, Duration) else left
+        if op == "-" and isinstance(left, Duration):
+            raise ValueError("esql: cannot subtract a timestamp from a duration")
+        if isinstance(other, pa.ChunkedArray):
+            other = other.combine_chunks()
+        is_ts = (
+            isinstance(other, pa.Array) and pa.types.is_timestamp(other.type)
+        ) or (isinstance(other, pa.Scalar) and pa.types.is_timestamp(other.type))
+        if not is_ts:
+            raise ValueError("esql: duration arithmetic needs a datetime side")
+        d = pa.scalar(int(dur), type=pa.duration("us"))
+        return pc.add(other, d) if op == "+" else pc.subtract(other, d)
     if op == "in":
         if not isinstance(right, list):
             raise ValueError("esql: IN needs a literal list")

@@ -2406,3 +2406,37 @@ def test_esql_grid_and_conversion_stragglers(ray_session):
         run_esql('ROW a = 1 | EVAL x = ST_GEOHASH("POINT (1 1)", 13) | KEEP x', "/tmp")
     with pytest.raises(Exception, match="precision out of range"):
         run_esql('ROW a = 1 | EVAL x = ST_GEOTILE("POINT (1 1)", 30) | KEEP x', "/tmp")
+
+
+def test_esql_temporal_math_and_amount_casts(ray_session):
+    """timestamp ± duration (literal and TO_TIMEDURATION/TO_DATEPERIOD
+    casts) with exact expectations, plus the refusal matrix."""
+    rows = run_esql(
+        "ROW t = 1704067200000 | EVAL d = TO_DATETIME(t), "
+        "a = d + 2 hours, "
+        'b = d - TO_TIMEDURATION("90 minutes"), '
+        'c = d + TO_DATEPERIOD("1 week"), '
+        'e = DATE_TRUNC(TO_DATEPERIOD("1 day"), d + 26 hours) '
+        "| KEEP a, b, c, e",
+        "/tmp",
+    ).to_pylist()[0]
+    assert str(rows["a"]) == "2024-01-01 02:00:00"
+    assert str(rows["b"]) == "2023-12-31 22:30:00"
+    assert str(rows["c"]) == "2024-01-08 00:00:00"
+    assert str(rows["e"]) == "2024-01-02 00:00:00"
+    for bad, msg in [
+        ('TO_TIMEDURATION("3 days")', "millisecond/second"),
+        ('TO_DATEPERIOD("5 minutes")', "day/week/month"),
+        ("TO_DATETIME(1) * 2 hours", "only valid with"),
+        ("1 + 2 hours", "datetime side"),
+        ('2 hours - TO_DATETIME(1)', "subtract a timestamp"),
+    ]:
+        with pytest.raises(Exception, match=msg):
+            run_esql(f"ROW t = 1 | EVAL x = {bad} | KEEP x", "/tmp")
+    # duration ± duration folds
+    row2 = run_esql(
+        'ROW t = 1704067200000 | EVAL x = TO_DATETIME(t) + '
+        '(2 hours - TO_TIMEDURATION("30 minutes")) | KEEP x',
+        "/tmp",
+    ).to_pylist()[0]
+    assert str(row2["x"]) == "2024-01-01 01:30:00"
