@@ -3973,6 +3973,18 @@ def _q_geotile_grid(sf_dir: str) -> pa.Table:
     return geotile_grid(sf_dir, zoom=3)
 
 
+def _q_search_mvt(sf_dir: str) -> pa.Table:
+    """ES ``_search_mvt`` (vector-tile search) grafted as rows: the hits /
+    aggs / meta layers of tile 3/4/3 — tile membership by INTEGER geotile
+    index compare, gridded layer at zoom+4 with centroid sub-agg, one
+    streamed pass with partial top-k hits (`pipelines/geo.py:
+    search_mvt`)."""
+    from bitcoin_ledger_2es_ray.pipelines.geo import search_mvt
+
+    return search_mvt(sf_dir, zoom=3, x=4, y=3, grid_precision=4, size=10,
+                      round_decimals=_ROUND)
+
+
 def _q_tumbling_window(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.events import tumbling_window
 
@@ -5927,7 +5939,7 @@ _FRONT_50 = [
     # newest code paths first (rotated in; the swapped-out entries were
     # driver-green in r3 or judge-reproduced)
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
-    "esql_grid_conv", "esql_temporal_math",
+    "esql_grid_conv", "esql_temporal_math", "search_mvt",
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
@@ -6248,6 +6260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox": _q_geo_bbox,
         "geo_centroid": _q_geo_centroid,
         "geotile_grid": _q_geotile_grid,
+        "search_mvt": _q_search_mvt,
         # ES|QL pipes (`POST /_query`)
         "esql_stats": _q_esql_stats,
         "esql_topn": _q_esql_topn,
@@ -11149,6 +11162,44 @@ SELECT vec_id,
        round(list_distance(embedding::DOUBLE[], v), 6) AS l2,
        round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS mag
 FROM embeddings, qv ORDER BY vec_id LIMIT 600
+""",
+        "search_mvt": """
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+),
+t7 AS (
+  SELECT c_custkey, lat, lon,
+         least(greatest(floor((lon + 180.0) / 360.0 * 128.0), 0), 127)::BIGINT AS x7,
+         least(greatest(floor((1.0 - ln(tan(radians(latc))
+             + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 128.0), 0), 127)::BIGINT AS y7
+  FROM (SELECT *, least(greatest(lat, -85.05112877980659),
+                        85.05112877980659) AS latc FROM pts)
+),
+intile AS (SELECT * FROM t7 WHERE x7 // 16 = 4 AND y7 // 16 = 3),
+hits AS (
+  SELECT 'hits' AS layer, c_custkey::VARCHAR AS "key", 1::BIGINT AS doc_count,
+         round(lat, 6) AS lat, round(lon, 6) AS lon
+  FROM intile ORDER BY c_custkey LIMIT 10
+),
+aggs AS (
+  SELECT 'aggs' AS layer, ('7/' || x7 || '/' || y7) AS "key",
+         count(*)::BIGINT AS doc_count,
+         round(sum(lat) / count(*), 6) AS lat,
+         round(sum(lon) / count(*), 6) AS lon
+  FROM intile GROUP BY x7, y7
+),
+meta AS (
+  SELECT 'meta' AS layer, '3/4/3' AS "key",
+         (SELECT count(*) FROM intile)::BIGINT AS doc_count,
+         round(degrees(atan((exp(pi() * (1.0 - 2.0 * 4.0 / 8.0))
+             - exp(-(pi() * (1.0 - 2.0 * 4.0 / 8.0)))) / 2.0)), 6) AS lat,
+         round(4.0 / 8.0 * 360.0 - 180.0, 6) AS lon
+)
+SELECT * FROM hits UNION ALL SELECT * FROM aggs UNION ALL SELECT * FROM meta
+ORDER BY layer, "key"
 """,
         "esql_temporal_math": """
 SELECT event_id, ts + INTERVAL 2 HOUR AS later,

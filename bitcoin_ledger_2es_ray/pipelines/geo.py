@@ -663,3 +663,143 @@ def geo_sort_topk(
             "dist_km": pa.array(d[order], type=pa.float64()),
         }
     )
+
+
+def search_mvt(
+    sf_dir: str,
+    zoom: int = 3,
+    x: int = 4,
+    y: int = 3,
+    grid_precision: int = 4,
+    size: int = 10,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``_search_mvt/{index}/{field}/{z}/{x}/{y}`` grafted as ROWS (the
+    engine has no protobuf tile encoder — the three MVT layers come back
+    as one deterministic table):
+
+    - ``hits``  — the ``size`` lowest-custkey points inside the tile (ES
+      returns top hits per tile), key = custkey, with the point coords;
+    - ``aggs``  — the geotile cells at ``zoom + grid_precision`` inside
+      the tile (ES's gridded layer), key = "z/x/y", doc_count + mean
+      coords (centroid sub-agg);
+    - ``meta``  — one row: the tile key, total doc_count, and the tile's
+      west/south bounds in the coord columns.
+
+    Tile membership is the INTEGER geotile index compare (the SQL oracle
+    mirrors it bit-for-bit) — never float bbox edges.  One streamed pass:
+    per-batch partial top-k for hits (k × #blocks driver merge), bounded
+    cell-count partials for the grid, scalar totals.  The tile filter
+    can't push to parquet (coords are derived), so the stream filters
+    per batch — at 100 TB the corpus would carry materialized coord
+    columns and this becomes a row-group predicate."""
+    import pyarrow.compute as pc
+
+    cz = zoom + grid_precision
+    shift = grid_precision
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_coords(key)
+        cx, cy = geotile_xy(lat, lon, cz)
+        m = (cx >> shift == x) & (cy >> shift == y)
+        key, lat, lon, cx, cy = key[m], lat[m], lon[m], cx[m], cy[m]
+        rows: dict[str, list] = {
+            "layer": [], "key": [], "doc_count": [], "lat": [], "lon": [],
+        }
+        order = np.argsort(key, kind="stable")[:size]
+        for i in order:
+            rows["layer"].append("hits")
+            rows["key"].append(str(int(key[i])))
+            rows["doc_count"].append(1)
+            rows["lat"].append(float(lat[i]))
+            rows["lon"].append(float(lon[i]))
+        if len(key):
+            t = pa.table({"cx": cx, "cy": cy, "lat": lat, "lon": lon})
+            g = t.group_by(["cx", "cy"]).aggregate(
+                [("lat", "count"), ("lat", "sum"), ("lon", "sum")]
+            )
+            for r in g.to_pylist():
+                rows["layer"].append("aggs")
+                rows["key"].append(f"{cz}/{r['cx']}/{r['cy']}")
+                rows["doc_count"].append(int(r["lat_count"]))
+                rows["lat"].append(float(r["lat_sum"]))
+                rows["lon"].append(float(r["lon_sum"]))
+        return pa.table(
+            {
+                "layer": pa.array(rows["layer"], type=pa.string()),
+                "key": pa.array(rows["key"], type=pa.string()),
+                "doc_count": pa.array(rows["doc_count"], type=pa.int64()),
+                "lat": pa.array(rows["lat"], type=pa.float64()),
+                "lon": pa.array(rows["lon"], type=pa.float64()),
+            }
+        )
+
+    from ..functions.blocks import collect_tables
+
+    ds = _read_customers(sf_dir, ["c_custkey"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = collect_tables(ds)
+    out_rows: list[dict] = []
+    total = 0
+    if parts:
+        cat = pa.concat_tables(parts)
+        hits = cat.filter(pc.equal(cat["layer"], "hits"))
+        hk = np.asarray([int(s) for s in hits["key"].to_pylist()], dtype=np.int64)
+        order = np.argsort(hk, kind="stable")[:size]
+        for i in order:
+            out_rows.append(
+                {
+                    "layer": "hits",
+                    "key": str(int(hk[i])),
+                    "doc_count": 1,
+                    "lat": float(
+                        sql_round(hits["lat"][int(i)].as_py(), round_decimals)
+                    ),
+                    "lon": float(
+                        sql_round(hits["lon"][int(i)].as_py(), round_decimals)
+                    ),
+                }
+            )
+        aggs = cat.filter(pc.equal(cat["layer"], "aggs"))
+        g = aggs.group_by("key").aggregate(
+            [("doc_count", "sum"), ("lat", "sum"), ("lon", "sum")]
+        )
+        for r in sorted(g.to_pylist(), key=lambda r: r["key"]):
+            n = int(r["doc_count_sum"])
+            total += n
+            out_rows.append(
+                {
+                    "layer": "aggs",
+                    "key": r["key"],
+                    "doc_count": n,
+                    "lat": float(sql_round(r["lat_sum"] / n, round_decimals)),
+                    "lon": float(sql_round(r["lon_sum"] / n, round_decimals)),
+                }
+            )
+    west = x / float(1 << zoom) * 360.0 - 180.0
+    south = float(
+        np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (y + 1) / (1 << zoom)))))
+    )
+    out_rows.append(
+        {
+            "layer": "meta",
+            "key": f"{zoom}/{x}/{y}",
+            "doc_count": total,
+            "lat": float(sql_round(south, round_decimals)),
+            "lon": float(sql_round(west, round_decimals)),
+        }
+    )
+    out_rows.sort(key=lambda r: (r["layer"], r["key"]))
+    return pa.table(
+        {
+            "layer": pa.array([r["layer"] for r in out_rows], type=pa.string()),
+            "key": pa.array([r["key"] for r in out_rows], type=pa.string()),
+            "doc_count": pa.array(
+                [r["doc_count"] for r in out_rows], type=pa.int64()
+            ),
+            "lat": pa.array([r["lat"] for r in out_rows], type=pa.float64()),
+            "lon": pa.array([r["lon"] for r in out_rows], type=pa.float64()),
+        }
+    )

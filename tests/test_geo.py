@@ -144,3 +144,41 @@ def test_geohash_grid_reference_encoder(ray_session):
     )
     got = dict(zip(t["geohash"].to_pylist(), t["doc_count"].to_pylist()))
     assert got == dict(want)
+
+
+def test_search_mvt_layers(ray_session):
+    """_search_mvt rows: hits layer = lowest custkeys in the tile, aggs
+    cells tile the hit set, meta totals agree — brute-forced from the
+    coordinate derivation."""
+    import numpy as np
+
+    from bitcoin_ledger_2es_ray.pipelines.geo import (
+        derive_coords,
+        geotile_xy,
+        search_mvt,
+    )
+
+    t = search_mvt(SF_DIR, zoom=3, x=4, y=3, grid_precision=4, size=10)
+    df = t.to_pandas()
+    hits = df[df.layer == "hits"]
+    aggs = df[df.layer == "aggs"]
+    meta = df[df.layer == "meta"].iloc[0]
+
+    import pyarrow.parquet as pq_
+
+    keys = np.asarray(
+        pq_.read_table(f"{SF_DIR}/customer.parquet", columns=["c_custkey"])
+        ["c_custkey"]
+    )
+    lat, lon = derive_coords(keys)
+    cx, cy = geotile_xy(lat, lon, 7)
+    m = (cx >> 4 == 4) & (cy >> 4 == 3)
+    expect_hits = sorted(keys[m].tolist())[:10]
+    assert sorted(int(k) for k in hits["key"]) == sorted(expect_hits)
+    assert int(meta["doc_count"]) == int(m.sum())
+    assert int(aggs["doc_count"].sum()) == int(m.sum())
+    assert meta["key"] == "3/4/3"
+    # every aggs cell is inside the parent tile
+    for k in aggs["key"]:
+        z, xx, yy = (int(p) for p in k.split("/"))
+        assert z == 7 and xx >> 4 == 4 and yy >> 4 == 3
