@@ -5381,6 +5381,20 @@ def _q_esql_spatial_rel(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_sort_nulls(sf_dir: str) -> pa.Table:
+    """ES|QL SORT null placement: per-key NULLS FIRST/LAST (pc.rank per
+    key + one np.lexsort — Arrow's global-placement sort_by can't express
+    mixed specs); default = null LARGER than any value (ES|QL)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        'FROM events | EVAL price = CASE(event_type == "purchase", value) '
+        "| KEEP event_id, price | SORT price DESC NULLS LAST, event_id "
+        "| LIMIT 100",
+        sf_dir,
+    )
+
+
 def _q_esql_temporal_math(sf_dir: str) -> pa.Table:
     """ES|QL temporal arithmetic: timestamp ± duration literals and the
     8.15 TO_TIMEDURATION / TO_DATEPERIOD string casts (fixed-width
@@ -5939,7 +5953,7 @@ _FRONT_50 = [
     # newest code paths first (rotated in; the swapped-out entries were
     # driver-green in r3 or judge-reproduced)
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
-    "esql_grid_conv", "esql_temporal_math", "search_mvt",
+    "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
@@ -6282,6 +6296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_spatial_rel": _q_esql_spatial_rel,
         "esql_grid_conv": _q_esql_grid_conv,
         "esql_temporal_math": _q_esql_temporal_math,
+        "esql_sort_nulls": _q_esql_sort_nulls,
         "esql_string_fns": _q_esql_string_fns,
         "esql_mv_fns": _q_esql_mv_fns,
         "esql_dates": _q_esql_dates,
@@ -11200,6 +11215,10 @@ meta AS (
 )
 SELECT * FROM hits UNION ALL SELECT * FROM aggs UNION ALL SELECT * FROM meta
 ORDER BY layer, "key"
+""",
+        "esql_sort_nulls": """
+SELECT event_id, CASE WHEN event_type = 'purchase' THEN value END AS price
+FROM events ORDER BY price DESC NULLS LAST, event_id LIMIT 100
 """,
         "esql_temporal_math": """
 SELECT event_id, ts + INTERVAL 2 HOUR AS later,

@@ -1532,7 +1532,15 @@ def parse_esql(src: str) -> EsqlPlan:
                 desc = False
                 if p.peek() in (("kw", "ASC"), ("kw", "DESC")):
                     desc = p.next()[1] == "DESC"
-                plan.sort.append((col, desc))
+                nf = None
+                pk, pt = p.peek()
+                if pk == "ident" and pt.upper() == "NULLS":
+                    p.next()
+                    wk, wt = p.next()
+                    if wk != "ident" or wt.upper() not in ("FIRST", "LAST"):
+                        raise ValueError("esql: SORT ... NULLS FIRST|LAST")
+                    nf = wt.upper() == "FIRST"
+                plan.sort.append((col, desc, nf))
                 if p.peek() != ("op", ","):
                     break
                 p.next()
@@ -3082,7 +3090,7 @@ def _plan_columns(
         elif s_[1] in _ENDPOINT_FAMILY:  # ts-ordered endpoints bind ``ts``
             need.add("ts")
     need.update(plan.by)
-    for col, _ in plan.sort:
+    for col, *_rest in plan.sort:
         need.add(col)
     if plan.changepoint is not None:
         need.add(plan.changepoint[0])
@@ -3403,6 +3411,33 @@ def _extract_knn(plan) -> tuple[int, tuple, tuple | None] | None:
     return hits[0], knn[0], rest_node
 
 
+def _sorted_by_plan(t: pa.Table, sort_keys: list[tuple]) -> pa.Table:
+    """Apply a SORT spec with per-key null placement.  ES|QL treats null
+    as LARGER than any value (ascending → nulls last, descending → nulls
+    first) unless NULLS FIRST/LAST overrides; Arrow's ``sort_by`` only
+    takes one global placement, so each key becomes a ``pc.rank`` array
+    (dense, with its own placement) and one ``np.lexsort`` orders the
+    table — stable, vectorized, no per-row Python."""
+    if not sort_keys or t.num_rows <= 1:
+        return t
+    ranks = []
+    for col, desc, nf in sort_keys:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if nf is None:
+            nf = desc  # nulls are largest (ES|QL default)
+        r = pc.rank(
+            arr,
+            sort_keys="descending" if desc else "ascending",
+            null_placement="at_start" if nf else "at_end",
+            tiebreaker="dense",
+        ).to_numpy(zero_copy_only=False)
+        ranks.append(r)
+    order = np.lexsort(tuple(reversed(ranks)))
+    return t.take(pa.array(order, type=pa.int64()))
+
+
 def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     """Single-pipe executor behind :func:`run_esql` (no FORK, and
     CHANGE_POINT is applied by the caller on the returned series)."""
@@ -3721,9 +3756,7 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                 ]
             batch = batch.select(out_cols)
             if plan.sort and plan.limit is not None:
-                batch = batch.sort_by(
-                    [(c, "descending" if d else "ascending") for c, d in plan.sort]
-                ).slice(0, plan.limit)
+                batch = _sorted_by_plan(batch, plan.sort).slice(0, plan.limit)
             return batch
         if stats and stats[0][1] in _ENDPOINT_FAMILY:
             # per-batch per-group ENDPOINTS — the mergeable partial of
@@ -3895,9 +3928,7 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
         if plan.keep is not None:
             res = res.select(_expand_cols(plan.keep, res.column_names, "KEEP"))
         if plan.sort:
-            res = res.sort_by(
-                [(c, "descending" if d else "ascending") for c, d in plan.sort]
-            )
+            res = _sorted_by_plan(res, plan.sort)
         elif final_by:
             res = res.sort_by([(b, "ascending") for b in final_by])
         if plan.limit is not None:
@@ -3946,9 +3977,7 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
     if not stats and not by:
         cat = pa.concat_tables(parts, promote_options="default")
         if plan.sort:
-            cat = cat.sort_by(
-                [(c, "descending" if d else "ascending") for c, d in plan.sort]
-            )
+            cat = _sorted_by_plan(cat, plan.sort)
         if plan.limit is not None:
             cat = cat.slice(0, plan.limit)
         return cat

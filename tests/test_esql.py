@@ -55,7 +55,7 @@ def test_parse_shape():
         ("c", "COUNT", None, None, None),
         ("m", "AVG", "x", None, None),
     ]
-    assert p.by == ["lang"] and p.sort == [("m", True)] and p.limit == 3
+    assert p.by == ["lang"] and p.sort == [("m", True, None)] and p.limit == 3
 
 
 def test_parse_rejections():
@@ -2440,3 +2440,23 @@ def test_esql_temporal_math_and_amount_casts(ray_session):
         "/tmp",
     ).to_pylist()[0]
     assert str(row2["x"]) == "2024-01-01 01:30:00"
+
+
+def test_esql_sort_nulls_placement(ray_session, tmp_path):
+    """SORT NULLS FIRST/LAST and the ES|QL default (null is LARGER than
+    any value: ASC → last, DESC → first)."""
+    t = pa.table({
+        "k": [1, 2, 3, 4],
+        "v": pa.array([10.0, None, 5.0, None], type=pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "nv.parquet"))
+
+    def keys(src):
+        return run_esql(src, str(tmp_path))["k"].to_pylist()
+
+    assert keys("FROM nv | KEEP k, v | SORT v, k | LIMIT 10") == [3, 1, 2, 4]
+    assert keys("FROM nv | KEEP k, v | SORT v DESC, k | LIMIT 10") == [2, 4, 1, 3]
+    assert keys("FROM nv | KEEP k, v | SORT v NULLS FIRST, k | LIMIT 10") == [2, 4, 3, 1]
+    assert keys("FROM nv | KEEP k, v | SORT v DESC NULLS LAST, k | LIMIT 10") == [1, 3, 2, 4]
+    with pytest.raises(Exception, match="NULLS FIRST"):
+        run_esql("FROM nv | KEEP k, v | SORT v NULLS SOMETIMES | LIMIT 5", str(tmp_path))
