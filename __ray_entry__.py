@@ -3973,6 +3973,16 @@ def _q_geotile_grid(sf_dir: str) -> pa.Table:
     return geotile_grid(sf_dir, zoom=3)
 
 
+def _q_cartesian_agg(sf_dir: str) -> pa.Table:
+    """ES ``cartesian_bounds`` + ``cartesian_centroid`` aggregations: the
+    derived point read as a PLANAR (x, y) — no mercator clamp, no sphere
+    (the cartesian family's contract) — per market segment in one
+    streamed pass (`pipelines/geo.py: cartesian_agg`)."""
+    from bitcoin_ledger_2es_ray.pipelines.geo import cartesian_agg
+
+    return cartesian_agg(sf_dir, round_decimals=_ROUND)
+
+
 def _q_search_mvt(sf_dir: str) -> pa.Table:
     """ES ``_search_mvt`` (vector-tile search) grafted as rows: the hits /
     aggs / meta layers of tile 3/4/3 — tile membership by INTEGER geotile
@@ -5954,6 +5964,7 @@ _FRONT_50 = [
     # driver-green in r3 or judge-reproduced)
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
     "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
+    "cartesian_agg",
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
@@ -6275,6 +6286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_centroid": _q_geo_centroid,
         "geotile_grid": _q_geotile_grid,
         "search_mvt": _q_search_mvt,
+        "cartesian_agg": _q_cartesian_agg,
         # ES|QL pipes (`POST /_query`)
         "esql_stats": _q_esql_stats,
         "esql_topn": _q_esql_topn,
@@ -11177,6 +11189,20 @@ SELECT vec_id,
        round(list_distance(embedding::DOUBLE[], v), 6) AS l2,
        round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS mag
 FROM embeddings, qv ORDER BY vec_id LIMIT 600
+""",
+        "cartesian_agg": """
+WITH pts AS (
+  SELECT c_mktsegment,
+         ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS x,
+         ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS y
+  FROM customer
+)
+SELECT c_mktsegment, count(*)::BIGINT AS n,
+       round(sum(x) / count(*), 6) AS centroid_x,
+       round(sum(y) / count(*), 6) AS centroid_y,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM pts GROUP BY 1 ORDER BY 1
 """,
         "search_mvt": """
 WITH pts AS (

@@ -803,3 +803,69 @@ def search_mvt(
             "lon": pa.array([r["lon"] for r in out_rows], type=pa.float64()),
         }
     )
+
+
+def cartesian_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``cartesian_bounds`` + ``cartesian_centroid`` aggregations in one
+    pass, bucketed by market segment.  The derived point is read as a
+    PLANAR (x, y) — no mercator clamp, no sphere — which is exactly the
+    cartesian family's contract; one streamed scan emits per-batch
+    (segment, n, Σx, Σy, min/max x, min/max y) partials and the driver
+    combine is bounded by the segment count."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_coords(key)
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "x": pa.array(lon),
+                "y": pa.array(lat),
+            }
+        )
+        g = t.group_by("c_mktsegment").aggregate(
+            [
+                ("x", "count"), ("x", "sum"), ("y", "sum"),
+                ("x", "min"), ("x", "max"), ("y", "min"), ("y", "max"),
+            ]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "n": g["x_count"].cast(pa.int64()),
+                "sx": g["x_sum"], "sy": g["y_sum"],
+                "x0": g["x_min"], "x1": g["x_max"],
+                "y0": g["y_min"], "y1": g["y_max"],
+            }
+        )
+
+    ds = (
+        _read_customers(sf_dir, ["c_custkey", "c_mktsegment"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+            Min("x0", alias_name="x0"), Max("x1", alias_name="x1"),
+            Min("y0", alias_name="y0"), Max("y1", alias_name="y1"),
+        )
+    )
+    t = pa.concat_tables(_collect(ds))
+    n = np.asarray(t["n"], dtype=np.float64)
+    return pa.table(
+        {
+            "c_mktsegment": t["c_mktsegment"],
+            "n": t["n"].cast(pa.int64()),
+            "centroid_x": pa.array(
+                sql_round(np.asarray(t["sx"], dtype=np.float64) / n, round_decimals)
+            ),
+            "centroid_y": pa.array(
+                sql_round(np.asarray(t["sy"], dtype=np.float64) / n, round_decimals)
+            ),
+            "min_x": t["x0"].cast(pa.float64()),
+            "max_x": t["x1"].cast(pa.float64()),
+            "min_y": t["y0"].cast(pa.float64()),
+            "max_y": t["y1"].cast(pa.float64()),
+        }
+    ).sort_by("c_mktsegment")

@@ -182,3 +182,34 @@ def test_search_mvt_layers(ray_session):
     for k in aggs["key"]:
         z, xx, yy = (int(p) for p in k.split("/"))
         assert z == 7 and xx >> 4 == 4 and yy >> 4 == 3
+
+
+def test_cartesian_agg_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from bitcoin_ledger_2es_ray.pipelines.geo import cartesian_agg
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{SF_DIR}/customer.parquet')"
+    )
+    mine = cartesian_agg(SF_DIR).to_pandas().reset_index(drop=True)
+    orc = con.sql(
+        """
+        WITH pts AS (
+          SELECT c_mktsegment,
+                 ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS x,
+                 ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS y
+          FROM customer)
+        SELECT c_mktsegment, count(*)::BIGINT AS n,
+               round(sum(x) / count(*), 6) AS centroid_x,
+               round(sum(y) / count(*), 6) AS centroid_y,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM pts GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False, atol=1e-9, rtol=0)
+    assert (mine["min_x"] <= mine["centroid_x"]).all()
+    assert (mine["centroid_x"] <= mine["max_x"]).all()
