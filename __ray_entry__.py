@@ -5144,6 +5144,14 @@ _ESQL_FORK_RRF = (
     "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 50) "
     "| RRF"
 )
+_ESQL_FUSE_LINEAR = (
+    "FROM documents | FORK "
+    '(RERANK "data pipeline query engine" ON text WITH test_reranker '
+    "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 50) "
+    '(RERANK "fast sort hash" ON text WITH test_reranker '
+    "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 50) "
+    "| FUSE linear"
+)
 _ESQL_ENRICH = (
     "FROM customer | EVAL cents = ROUND(c_acctbal * 100, 0) "
     "| ENRICH nations ON c_nationkey "
@@ -5868,6 +5876,15 @@ def _q_esql_fork_rrf(sf_dir: str) -> pa.Table:
     return run_esql(_ESQL_FORK_RRF, sf_dir)
 
 
+def _q_esql_fuse(sf_dir: str) -> pa.Table:
+    """ES|QL 9.2 ``FUSE linear``: weight-1 / normalizer-none sum of the
+    branch ``_score``s per id (FUSE's defaults) — same bounded driver
+    fold as RRF; ``FUSE`` with no method is RRF."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(_ESQL_FUSE_LINEAR, sf_dir)
+
+
 def _q_esql_show(sf_dir: str) -> pa.Table:
     """ES|QL ``SHOW INFO``: the deterministic one-row version source,
     composed with EVAL/KEEP tail commands like any ROW pipe."""
@@ -5964,7 +5981,7 @@ _FRONT_50 = [
     # driver-green in r3 or judge-reproduced)
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
     "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
-    "cartesian_agg",
+    "cartesian_agg", "esql_fuse",
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
@@ -6309,6 +6326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_grid_conv": _q_esql_grid_conv,
         "esql_temporal_math": _q_esql_temporal_math,
         "esql_sort_nulls": _q_esql_sort_nulls,
+        "esql_fuse": _q_esql_fuse,
         "esql_string_fns": _q_esql_string_fns,
         "esql_mv_fns": _q_esql_mv_fns,
         "esql_dates": _q_esql_dates,
@@ -11241,6 +11259,19 @@ meta AS (
 )
 SELECT * FROM hits UNION ALL SELECT * FROM aggs UNION ALL SELECT * FROM meta
 ORDER BY layer, "key"
+""",
+        "esql_fuse": """
+WITH b1 AS (
+  SELECT doc_id, round(len(list_intersect(string_split(text, ' '),
+    string_split('data pipeline query engine', ' '))) / 4.0, 6) AS s
+  FROM documents ORDER BY s DESC, doc_id LIMIT 50
+), b2 AS (
+  SELECT doc_id, round(len(list_intersect(string_split(text, ' '),
+    string_split('fast sort hash', ' '))) / 3.0, 6) AS s
+  FROM documents ORDER BY s DESC, doc_id LIMIT 50
+), u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+SELECT doc_id, round(sum(s), 6) AS _score FROM u
+GROUP BY 1 ORDER BY _score DESC, doc_id
 """,
         "esql_sort_nulls": """
 SELECT event_id, CASE WHEN event_type = 'purchase' THEN value END AS price

@@ -3188,9 +3188,15 @@ def _split_fork(src: str) -> tuple[str, list[str], str] | None:
             tail = rest[j:].strip()
             if branches and re.fullmatch(r"\|\s*RRF", tail, re.IGNORECASE):
                 return head, branches, "RRF"
+            # ES|QL 9.2 FUSE command: method rrf (default) or linear
+            m = re.fullmatch(
+                r"\|\s*FUSE(?:\s+(rrf|linear))?", tail, re.IGNORECASE
+            )
+            if branches and m:
+                return head, branches, f"FUSE:{(m.group(1) or 'rrf').lower()}"
             raise ValueError(
                 "esql: FORK branches must be parenthesized and only "
-                "'| RRF' may follow them"
+                "'| RRF' or '| FUSE [rrf|linear]' may follow them"
             )
         depth, k, in_str = 1, j + 1, False
         while k < len(rest) and depth:
@@ -3216,16 +3222,18 @@ def _split_fork(src: str) -> tuple[str, list[str], str] | None:
 
 
 def _rrf_fuse(
-    outs: list[pa.Table], round_decimals: int, k: int = 60
+    outs: list[pa.Table], round_decimals: int, k: int = 60,
+    method: str = "rrf",
 ) -> pa.Table:
-    """ES|QL ``FORK (…) (…) | RRF``: reciprocal-rank fusion of the
-    branches.  Each branch must emit ``_score`` plus an id column (its
-    first non-``_score``/``_fork`` column, same name in every branch);
-    per branch, rows rank by (_score DESC, id ASC); the fused score is
-    Σ 1/(k + rank) over the branches that returned the id (ES's
-    ``rank_constant`` default k=60).  Output: (id, _score) sorted by
-    fused score DESC, id ASC — branch tables are already driver-side
-    (FORK results), so fusion is a bounded local fold."""
+    """ES|QL ``FORK (…) (…) | RRF`` / 9.2 ``| FUSE [rrf|linear]``: fusion
+    of the branches.  Each branch must emit ``_score`` plus an id column
+    (its first non-``_score``/``_fork`` column, same name in every
+    branch); per branch, rows rank by (_score DESC, id ASC); the fused
+    score is Σ 1/(k + rank) for ``rrf`` (ES's ``rank_constant`` default
+    k=60) or Σ raw ``_score`` for ``linear`` (FUSE's default weight 1 /
+    normalizer none).  Output: (id, _score) sorted by fused score DESC,
+    id ASC — branch tables are already driver-side (FORK results), so
+    fusion is a bounded local fold."""
     id_col = None
     fused: dict[object, float] = {}
     for t in outs:
@@ -3245,8 +3253,14 @@ def _rrf_fuse(
         ranked = t.select([id_col, "_score"]).sort_by(
             [("_score", "descending"), (id_col, "ascending")]
         )
-        for rank, doc in enumerate(ranked[id_col].to_pylist(), 1):
-            fused[doc] = fused.get(doc, 0.0) + 1.0 / (k + rank)
+        if method == "linear":
+            for doc, s in zip(
+                ranked[id_col].to_pylist(), ranked["_score"].to_pylist()
+            ):
+                fused[doc] = fused.get(doc, 0.0) + float(s or 0.0)
+        else:
+            for rank, doc in enumerate(ranked[id_col].to_pylist(), 1):
+                fused[doc] = fused.get(doc, 0.0) + 1.0 / (k + rank)
     ids = sorted(fused)  # deterministic fold order for ties
     scores = np.array([fused[d] for d in ids], dtype=np.float64)
     out = pa.table(
@@ -3330,8 +3344,10 @@ def run_esql(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                     pa.array([f"fork{i}"] * sub.num_rows, type=pa.string()),
                 )
             )
-        if tail == "RRF":
+        if tail == "RRF" or tail == "FUSE:rrf":
             return _rrf_fuse(outs, round_decimals)
+        if tail == "FUSE:linear":
+            return _rrf_fuse(outs, round_decimals, method="linear")
         res = pa.concat_tables(outs, promote_options="default")
         # deterministic output order: branch id, then every flat column
         keys = [("_fork", "ascending")] + [

@@ -2460,3 +2460,34 @@ def test_esql_sort_nulls_placement(ray_session, tmp_path):
     assert keys("FROM nv | KEEP k, v | SORT v DESC NULLS LAST, k | LIMIT 10") == [1, 3, 2, 4]
     with pytest.raises(Exception, match="NULLS FIRST"):
         run_esql("FROM nv | KEEP k, v | SORT v NULLS SOMETIMES | LIMIT 5", str(tmp_path))
+
+
+def test_esql_fuse_command(ray_session, tmp_path):
+    """FUSE (default rrf) == | RRF; FUSE linear sums raw branch scores;
+    unknown methods refuse."""
+    base = (
+        "FROM documents | FORK "
+        '(RERANK "code data" ON text WITH test_reranker '
+        "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 20) "
+        '(RERANK "query sort" ON text WITH test_reranker '
+        "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 20) "
+    )
+    sf = "/root/testdata/sf0.001"
+    rrf_tail = run_esql(base + "| RRF", sf)
+    fuse_default = run_esql(base + "| FUSE", sf)
+    fuse_rrf = run_esql(base + "| FUSE rrf", sf)
+    assert rrf_tail.equals(fuse_default) and rrf_tail.equals(fuse_rrf)
+    lin = run_esql(base + "| FUSE linear", sf).to_pylist()
+    # brute force: per-branch score maps summed
+    b1 = {r["doc_id"]: r["_score"] for r in run_esql(
+        'FROM documents | RERANK "code data" ON text WITH test_reranker '
+        "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 20", sf
+    ).to_pylist()}
+    b2 = {r["doc_id"]: r["_score"] for r in run_esql(
+        'FROM documents | RERANK "query sort" ON text WITH test_reranker '
+        "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 20", sf
+    ).to_pylist()}
+    expect = {d: round(b1.get(d, 0.0) + b2.get(d, 0.0), 6) for d in set(b1) | set(b2)}
+    assert {r["doc_id"]: r["_score"] for r in lin} == expect
+    with pytest.raises(Exception, match="FUSE"):
+        run_esql(base + "| FUSE cubic", sf)
