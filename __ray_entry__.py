@@ -3973,6 +3973,36 @@ def _q_geotile_grid(sf_dir: str) -> pa.Table:
     return geotile_grid(sf_dir, zoom=3)
 
 
+def _q_ingest_transforms(sf_dir: str) -> pa.Table:
+    """Ingest-processor long tail in one simulated pipeline: split (regex
+    separator) → sort → append → join over the token list, convert+gsub
+    +bytes ("Nkb" → N·1024), gsub-built URL → uri_parts (flat url_*
+    columns), and a drop (field == value condition — ES's painless `if`
+    collapsed to the predicate, documented)."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import simulate_pipeline
+
+    return simulate_pipeline(
+        sf_dir,
+        [
+            {"type": "split", "field": "text", "separator": " "},
+            {"type": "sort", "field": "text", "order": "asc"},
+            {"type": "append", "field": "text", "value": "zzz"},
+            {"type": "join", "field": "text", "separator": "-"},
+            {"type": "convert", "field": "n_chars", "to": "string"},
+            {"type": "gsub", "field": "n_chars", "pattern": "$",
+             "replacement": "kb"},
+            {"type": "bytes", "field": "n_chars"},
+            {"type": "gsub", "field": "source", "pattern": "^",
+             "replacement": "https://me@"},
+            {"type": "gsub", "field": "source", "pattern": "$",
+             "replacement": ":8443/p/q?x=1#frag"},
+            {"type": "uri_parts", "field": "source"},
+            {"type": "drop", "field": "lang", "equals": "fr"},
+        ],
+        columns=("doc_id", "text", "lang", "source", "n_chars"),
+    )
+
+
 def _q_cartesian_agg(sf_dir: str) -> pa.Table:
     """ES ``cartesian_bounds`` + ``cartesian_centroid`` aggregations: the
     derived point read as a PLANAR (x, y) — no mercator clamp, no sphere
@@ -5981,7 +6011,7 @@ _FRONT_50 = [
     # driver-green in r3 or judge-reproduced)
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
     "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
-    "cartesian_agg", "esql_fuse",
+    "cartesian_agg", "esql_fuse", "ingest_transforms",
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
@@ -6304,6 +6334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geotile_grid": _q_geotile_grid,
         "search_mvt": _q_search_mvt,
         "cartesian_agg": _q_cartesian_agg,
+        "ingest_transforms": _q_ingest_transforms,
         # ES|QL pipes (`POST /_query`)
         "esql_stats": _q_esql_stats,
         "esql_topn": _q_esql_topn,
@@ -11207,6 +11238,22 @@ SELECT vec_id,
        round(list_distance(embedding::DOUBLE[], v), 6) AS l2,
        round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS mag
 FROM embeddings, qv ORDER BY vec_id LIMIT 600
+""",
+        "ingest_transforms": """
+SELECT doc_id,
+       array_to_string(list_append(list_sort(string_split(text, ' ')), 'zzz'),
+                       '-') AS text,
+       lang,
+       'https://me@' || source || ':8443/p/q?x=1#frag' AS source,
+       n_chars * 1024 AS n_chars,
+       'https' AS url_scheme,
+       'me' AS url_user_info,
+       source AS url_domain,
+       '/p/q' AS url_path,
+       'x=1' AS url_query,
+       'frag' AS url_fragment,
+       8443::BIGINT AS url_port
+FROM documents WHERE lang != 'fr' ORDER BY doc_id
 """,
         "cartesian_agg": """
 WITH pts AS (

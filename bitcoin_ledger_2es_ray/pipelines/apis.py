@@ -583,6 +583,31 @@ def simulate_pipeline(
       the schema static, the invariant every stage here relies on); one
       ``extract_regex`` per key, absent keys null
 
+    - ``{"type": "split", "field": f, "separator": s}`` (→ list column)
+      / ``{"type": "join", "field": f, "separator": s}`` (list → string)
+      / ``{"type": "append", "field": f, "value": v}`` (one vectorized
+      list rebuild — +1 slot per row, no per-row Python)
+      / ``{"type": "sort", "field": f, "order": "asc"|"desc"}`` (per-row
+      list sort via one Arrow two-key sort_indices + offset rebuild)
+    - ``{"type": "html_strip", "field": f}`` — tags stripped with one
+      regex kernel, then the five basic entities decoded (&amp; LAST, so
+      ``&amp;lt;`` decodes once to ``&lt;`` — single-pass semantics)
+    - ``{"type": "bytes", "field": f}`` — "1.5kb" → 1536 (b/kb/mb/gb/
+      tb/pb, case-insensitive); malformed → null (the conversion
+      convention here; ES throws per doc)
+    - ``{"type": "csv", "field": f, "target_fields": [...],
+      "separator": ","}`` — positional split, short rows null-fill the
+      trailing targets (ES semantics)
+    - ``{"type": "uri_parts", "field": f}`` — scheme/user_info/domain/
+      port/path/query/fragment via ONE extract_regex, flattened as
+      ``url_*`` columns (the engine's schemas are flat; ES nests under
+      ``url``)
+    - ``{"type": "drop", "field": f, "equals": v}`` /
+      ``{"type": "fail", "field": f, "equals": v}`` — ES takes a painless
+      ``if`` script; the graft's condition is the field == value
+      predicate (documented deviation).  drop removes matching rows,
+      fail refuses the batch when any row matches.
+
     Unknown processor types raise up front (ES rejects the pipeline at
     registration, not per doc)."""
     import hashlib
@@ -596,6 +621,8 @@ def simulate_pipeline(
     KNOWN = {
         "lowercase", "uppercase", "gsub", "set", "trim", "fingerprint",
         "grok", "dissect", "rename", "remove", "convert", "date", "kv",
+        "split", "join", "append", "sort", "html_strip", "bytes", "csv",
+        "uri_parts", "drop", "fail",
     }
     _CONVERT = {
         "integer": pa.int64(), "long": pa.int64(),
@@ -712,6 +739,160 @@ def simulate_pipeline(
                     )
                     st = pc.extract_regex(src, rx)
                     cols[key] = pc.struct_field(st, "v")
+            elif t == "split":
+                # the ES split processor's separator is a REGEX
+                cols[p["field"]] = pc.split_pattern_regex(
+                    pc.cast(cols[p["field"]], pa.string()), p["separator"]
+                )
+            elif t == "join":
+                cols[p["field"]] = pc.binary_join(
+                    cols[p["field"]], p["separator"]
+                )
+            elif t == "append":
+                col = cols[p["field"]]
+                if not pa.types.is_list(col.type):
+                    raise ValueError("append needs a list field (use split)")
+                lens = (
+                    pc.list_value_length(col)
+                    .fill_null(0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                flat = col.flatten()
+                n_rows = len(col)
+                total = int((lens + 1).sum())
+                new_off = np.r_[0, np.cumsum(lens + 1)]
+                par = np.repeat(np.arange(n_rows, dtype=np.int64), lens + 1)
+                pos = np.arange(total, dtype=np.int64) - np.repeat(
+                    new_off[:-1], lens + 1
+                )
+                is_app = pos == lens[par]
+                if len(flat):
+                    old_off = np.r_[0, np.cumsum(lens)][:-1]
+                    take = pa.array(
+                        np.where(is_app, 0, old_off[par] + pos),
+                        type=pa.int64(),
+                    )
+                    vals = flat.take(take)
+                    appended = pa.array([p["value"]] * total).cast(flat.type)
+                    merged = pc.if_else(pa.array(is_app), appended, vals)
+                else:
+                    merged = pa.array([p["value"]] * total, type=pa.string())
+                cols[p["field"]] = pa.ListArray.from_arrays(
+                    pa.array(new_off.astype(np.int32)), merged
+                )
+            elif t == "sort":
+                col = cols[p["field"]]
+                if not pa.types.is_list(col.type):
+                    raise ValueError("sort needs a list field (use split)")
+                par = pc.list_parent_indices(col)
+                flat = col.flatten()
+                si = pc.sort_indices(
+                    pa.table({"p": par, "v": flat}),
+                    sort_keys=[
+                        ("p", "ascending"),
+                        ("v", "descending" if p.get("order") == "desc"
+                         else "ascending"),
+                    ],
+                )
+                lens = pc.list_value_length(col).fill_null(0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                cols[p["field"]] = pa.ListArray.from_arrays(
+                    pa.array(np.r_[0, np.cumsum(lens)].astype(np.int32)),
+                    flat.take(si),
+                )
+            elif t == "html_strip":
+                v = pc.replace_substring_regex(
+                    pc.cast(cols[p["field"]], pa.string()), "<[^>]*>", ""
+                )
+                for ent, ch in (
+                    ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"),
+                ):
+                    v = pc.replace_substring(v, ent, ch)
+                cols[p["field"]] = v
+            elif t == "bytes":
+                st = pc.extract_regex(
+                    pc.utf8_lower(pc.cast(cols[p["field"]], pa.string())),
+                    pattern=r"^\s*(?P<n>\d+(?:\.\d+)?)\s*"
+                            r"(?P<u>b|kb|mb|gb|tb|pb)\s*$",
+                )
+                num = pc.struct_field(st, "n").cast(pa.float64())
+                fidx = pc.index_in(
+                    pc.struct_field(st, "u"),
+                    value_set=pa.array(["b", "kb", "mb", "gb", "tb", "pb"]),
+                )
+                factor = pc.take(
+                    pa.array([1024.0 ** e for e in range(6)]), fidx
+                )
+                cols[p["field"]] = pc.round(pc.multiply(num, factor)).cast(
+                    pa.int64()
+                )
+            elif t == "csv":
+                lists = pc.split_pattern(
+                    pc.cast(cols[p["field"]], pa.string()),
+                    p.get("separator", ","),
+                )
+                lens = pc.list_value_length(lists).fill_null(0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                flat = lists.flatten()
+                offs = np.r_[0, np.cumsum(lens)][:-1]
+                for i, name in enumerate(p["target_fields"]):
+                    valid = lens > i
+                    if len(flat):
+                        take = pa.array(
+                            np.where(valid, offs + i, 0),
+                            type=pa.int64(),
+                            mask=~valid,
+                        )
+                        cols[name] = flat.take(take)
+                    else:
+                        cols[name] = pa.nulls(len(lists), type=pa.string())
+            elif t == "uri_parts":
+                st = pc.extract_regex(
+                    pc.cast(cols[p["field"]], pa.string()),
+                    pattern=r"^(?P<scheme>[a-z][a-z0-9+.\-]*)://"
+                            r"(?:(?P<user_info>[^@/?#]*)@)?"
+                            r"(?P<domain>[^:/?#]*)"
+                            r"(?::(?P<port>\d+))?"
+                            r"(?P<path>/[^?#]*)?"
+                            r"(?:\?(?P<query>[^#]*))?"
+                            r"(?:#(?P<fragment>.*))?$",
+                )
+                # optional regex groups extract as "" when absent —
+                # collapse to null (absent and empty are the same here)
+                def _opt(g: str):
+                    v = pc.struct_field(st, g)
+                    return pc.if_else(
+                        pc.equal(v, ""), pa.nulls(len(v), pa.string()), v
+                    )
+
+                cols["url_scheme"] = pc.struct_field(st, "scheme")
+                cols["url_domain"] = pc.struct_field(st, "domain")
+                for g in ("user_info", "path", "query", "fragment"):
+                    cols[f"url_{g}"] = _opt(g)
+                cols["url_port"] = _opt("port").cast(pa.int64())
+            elif t == "drop":
+                eq = pc.fill_null(
+                    pc.equal(cols[p["field"]], p["equals"]), False
+                )
+                keep = pc.invert(eq)
+                t_ = pa.table(cols).filter(keep)
+                cols = {
+                    name: t_[name].combine_chunks()
+                    for name in t_.column_names
+                }
+            elif t == "fail":
+                eq = pc.fill_null(
+                    pc.equal(cols[p["field"]], p["equals"]), False
+                )
+                if len(eq) and pc.any(eq).as_py():
+                    raise ValueError(
+                        f"fail processor tripped: {p['field']} == "
+                        f"{p['equals']!r}"
+                    )
             elif t == "fingerprint":
                 joined = cols[p["fields"][0]].cast(pa.string())
                 for f in p["fields"][1:]:

@@ -3655,3 +3655,51 @@ def test_review_fixes_grok_types_and_kv_separator(ray_session, tmp_path):
             [{"type": "kv", "field": "text", "field_split": "; ",
               "value_split": "=", "keys": ["a"]}],
         )
+
+
+def test_ingest_processor_long_tail(ray_session):
+    """split(regex)/sort/append/join, html_strip entity order, bytes
+    units, csv null-fill, uri_parts groups, drop/fail conditions."""
+    import pytest
+
+    from bitcoin_ledger_2es_ray.pipelines.apis import simulate_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    t = simulate_pipeline(sf, [
+        {"type": "set", "field": "s", "value": "b, c,a"},
+        {"type": "split", "field": "s", "separator": ", ?"},
+        {"type": "sort", "field": "s", "order": "asc"},
+        {"type": "append", "field": "s", "value": "d"},
+        {"type": "join", "field": "s", "separator": "|"},
+        {"type": "set", "field": "h", "value": "<i>x &amp;lt; y &gt; z</i>"},
+        {"type": "html_strip", "field": "h"},
+        {"type": "set", "field": "b1", "value": "2MB"},
+        {"type": "bytes", "field": "b1"},
+        {"type": "set", "field": "b2", "value": "nonsense"},
+        {"type": "bytes", "field": "b2"},
+        {"type": "set", "field": "c", "value": "x,y"},
+        {"type": "csv", "field": "c", "target_fields": ["c1", "c2", "c3"]},
+        {"type": "set", "field": "u", "value": "http://h.example/p"},
+        {"type": "uri_parts", "field": "u"},
+    ])
+    r = t.to_pylist()[0]
+    assert r["s"] == "a|b|c|d"
+    assert r["h"] == "x &lt; y > z"  # single-pass entity decode
+    assert r["b1"] == 2 * 1024 * 1024 and r["b2"] is None
+    assert (r["c1"], r["c2"], r["c3"]) == ("x", "y", None)
+    assert r["url_scheme"] == "http" and r["url_domain"] == "h.example"
+    assert r["url_path"] == "/p" and r["url_port"] is None
+    assert r["url_user_info"] is None
+    # drop removes matching rows; fail refuses when any row matches
+    kept = simulate_pipeline(sf, [{"type": "drop", "field": "lang", "equals": "en"}])
+    assert "en" not in set(kept["lang"].to_pylist()) and len(kept) > 0
+    with pytest.raises(Exception, match="tripped"):
+        simulate_pipeline(sf, [{"type": "fail", "field": "lang", "equals": "en"}])
+    # desc sort order
+    t2 = simulate_pipeline(sf, [
+        {"type": "set", "field": "s", "value": "a,b,c"},
+        {"type": "split", "field": "s", "separator": ","},
+        {"type": "sort", "field": "s", "order": "desc"},
+        {"type": "join", "field": "s", "separator": ""},
+    ])
+    assert t2.to_pylist()[0]["s"] == "cba"
