@@ -5429,6 +5429,23 @@ def _q_esql_spatial_rel(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_esql_score(sf_dir: str) -> pa.Table:
+    """ES|QL full-text scoring (8.18+): ``FROM idx METADATA _score |
+    WHERE MATCH(...)`` populates _score with the Lucene-BM25 sum of the
+    MATCH conjuncts — index-global df/N/avgdl from ONE pre-pass over the
+    unfiltered source (partials bounded by the query vocabulary), then
+    one vectorized tf/tf_norm evaluation per batch."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM documents METADATA _score "
+        '| WHERE MATCH(text, "data pipeline query engine") '
+        "| EVAL s = ROUND(_score, 6) "
+        "| KEEP doc_id, s | SORT s DESC, doc_id | LIMIT 50",
+        sf_dir,
+    )
+
+
 def _q_esql_sort_nulls(sf_dir: str) -> pa.Table:
     """ES|QL SORT null placement: per-key NULLS FIRST/LAST (pc.rank per
     key + one np.lexsort — Arrow's global-placement sort_by can't express
@@ -6011,7 +6028,7 @@ _FRONT_50 = [
     # driver-green in r3 or judge-reproduced)
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
     "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
-    "cartesian_agg", "esql_fuse", "ingest_transforms",
+    "cartesian_agg", "esql_fuse", "ingest_transforms", "esql_score",
     "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
     "esql_match_phrase", "esql_kql", "esql_term_round_to",
     "esql_over_time", "esql_first_over_time", "esql_last_over_time",
@@ -6358,6 +6375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_temporal_math": _q_esql_temporal_math,
         "esql_sort_nulls": _q_esql_sort_nulls,
         "esql_fuse": _q_esql_fuse,
+        "esql_score": _q_esql_score,
         "esql_string_fns": _q_esql_string_fns,
         "esql_mv_fns": _q_esql_mv_fns,
         "esql_dates": _q_esql_dates,
@@ -11306,6 +11324,23 @@ meta AS (
 )
 SELECT * FROM hits UNION ALL SELECT * FROM aggs UNION ALL SELECT * FROM meta
 ORDER BY layer, "key"
+""",
+        "esql_score": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q AS (SELECT unnest(['data', 'engine', 'pipeline', 'query']) AS term),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6) AS s
+  FROM tf JOIN q USING (term) JOIN df USING (term)
+       JOIN dl USING (doc_id), stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 50
 """,
         "esql_fuse": """
 WITH b1 AS (

@@ -3548,6 +3548,85 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
             pred = ("bin", "and", pred, rest)
         plan.ops[where_idx] = ("where", pred)
 
+    # ---- ES|QL full-text SCORING (8.18+): `FROM idx METADATA _score |
+    # WHERE MATCH(field, "query")` populates _score with the Lucene-BM25
+    # sum of the MATCH conjuncts (non-scoring conjuncts contribute 0 —
+    # ES's own behavior).  The df / N / avgdl statistics are INDEX-global
+    # in ES, so a pre-pass streams the unfiltered source once and reduces
+    # (N, Σdl, df per analyzed query term) per scored field — partials
+    # bounded by the query vocabulary, never row count.  Only MATCH
+    # conjuncts in the first WHERE score (QSTR/KQL rows keep _score null
+    # semantics via a 0 contribution — documented subset).
+    score_specs: list[tuple[str, list[str]]] = []
+    if "_score" in plan.metadata and plan.ops and plan.ops[0][0] == "where":
+        from ..functions.tokenize import tokenize_query
+
+        for c in _and_conjuncts(plan.ops[0][1]):
+            if isinstance(c, tuple) and c[0] == "func" and c[1] == "MATCH":
+                fld, q = c[2]
+                if fld[0] == "col" and q[0] == "lit" and isinstance(q[1], str):
+                    score_specs.append(
+                        (fld[1], sorted(set(tokenize_query(q[1]))))
+                    )
+    score_stats: dict[str, tuple[float, float, dict[str, float]]] = {}
+    if score_specs:
+        from ..functions.tokenize import tokenize_flat as _tok_flat
+
+        field_terms: dict[str, list[str]] = {}
+        for f_, ts_ in score_specs:
+            field_terms.setdefault(f_, [])
+            field_terms[f_] = sorted(set(field_terms[f_]) | set(ts_))
+
+        def _score_prepass(batch: pa.Table) -> pa.Table:
+            fs, ts, dfs, ns, sdls = [], [], [], [], []
+            for f_, terms_ in field_terms.items():
+                col = batch[f_]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                toks, didx, dl = _tok_flat(col)
+                fs.append(f_); ts.append(None)
+                dfs.append(0); ns.append(len(col))
+                sdls.append(int(np.asarray(dl, dtype=np.int64).sum()))
+                tnp = toks.to_numpy(zero_copy_only=False)
+                for t_ in terms_:
+                    hit = tnp == t_
+                    fs.append(f_); ts.append(t_)
+                    dfs.append(int(_hits_to_rows(len(col), didx, hit).sum()))
+                    ns.append(0); sdls.append(0)
+            return pa.table(
+                {
+                    "f": pa.array(fs, type=pa.string()),
+                    "t": pa.array(ts, type=pa.string()),
+                    "df": pa.array(dfs, type=pa.int64()),
+                    "n": pa.array(ns, type=pa.int64()),
+                    "sdl": pa.array(sdls, type=pa.int64()),
+                }
+            )
+
+        from ..functions.blocks import collect_tables
+
+        sparts = collect_tables(
+            ds.map_batches(
+                _score_prepass, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        scat = pa.concat_tables(sparts) if sparts else None
+        for f_, terms_ in field_terms.items():
+            if scat is None:
+                score_stats[f_] = (0.0, 1.0, {t_: 0.0 for t_ in terms_})
+                continue
+            mine = scat.filter(pc.equal(scat["f"], f_))
+            n_docs = float(sum(mine["n"].to_pylist()))
+            sdl = float(sum(mine["sdl"].to_pylist()))
+            avgdl = sdl / n_docs if n_docs else 1.0
+            dfmap: dict[str, float] = {}
+            for t_ in terms_:
+                rows = mine.filter(
+                    pc.equal(pc.fill_null(mine["t"], ""), t_)
+                )
+                dfmap[t_] = float(sum(rows["df"].to_pylist()))
+            score_stats[f_] = (n_docs, avgdl, dfmap)
+
     stats = list(plan.stats)
     by = list(plan.by)
 
@@ -3750,7 +3829,35 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
                 col = pc.cast(batch[schema_names[0]], pa.string())
             elif m_ == "_version":
                 col = pa.array(np.ones(batch.num_rows, np.int64))
-            else:  # _score
+            elif m_ == "_score" and score_specs:
+                from ..functions.bm25 import idf as _idf, tf_norm as _tfn
+                from ..functions.tokenize import tokenize_flat as _tf2
+
+                total = np.zeros(batch.num_rows, dtype=np.float64)
+                tok_cache: dict[str, tuple] = {}
+                for f_, terms_ in score_specs:
+                    if f_ not in tok_cache:
+                        c_ = batch[f_]
+                        if isinstance(c_, pa.ChunkedArray):
+                            c_ = c_.combine_chunks()
+                        tok_cache[f_] = _tf2(c_)
+                    toks, didx, dl = tok_cache[f_]
+                    n_docs, avgdl, dfmap = score_stats[f_]
+                    tnp = toks.to_numpy(zero_copy_only=False)
+                    dlf = np.asarray(dl, dtype=np.float64)
+                    for t_ in terms_:
+                        df_ = dfmap.get(t_, 0.0)
+                        if df_ <= 0:
+                            continue
+                        tf = np.bincount(
+                            didx[tnp == t_], minlength=batch.num_rows
+                        ).astype(np.float64)
+                        contrib = float(_idf(n_docs, df_)) * _tfn(
+                            tf, np.maximum(dlf, 1.0), avgdl
+                        )
+                        total += np.where(tf > 0, contrib, 0.0)
+                col = pa.array(total, type=pa.float64())
+            else:  # _score (no scoring context)
                 col = pa.nulls(batch.num_rows, type=pa.float64())
             batch = batch.append_column(m_, col)
         batch = _row_ops(batch, plan.ops)

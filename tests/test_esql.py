@@ -2491,3 +2491,60 @@ def test_esql_fuse_command(ray_session, tmp_path):
     assert {r["doc_id"]: r["_score"] for r in lin} == expect
     with pytest.raises(Exception, match="FUSE"):
         run_esql(base + "| FUSE cubic", sf)
+
+
+def test_esql_metadata_score_bm25(ray_session):
+    """METADATA _score + MATCH populates Lucene BM25 — brute-forced from
+    the corpus; non-scoring pipes keep _score null; pre-filter conjuncts
+    don't change the index-global statistics."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq_.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"])
+    toks = [t.as_py().split(" ") for t in docs["text"]]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    terms = ["data", "pipeline"]
+    df = {t: sum(1 for d in toks if t in d) for t in terms}
+
+    def bm25(d):
+        s = 0.0
+        for t in terms:
+            tf = d.count(t)
+            if tf:
+                s += math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) * tf / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * len(d) / avgdl)
+                )
+        return round(s, 6)
+
+    out = run_esql(
+        'FROM documents METADATA _score | WHERE MATCH(text, "data pipeline") '
+        "| EVAL s = ROUND(_score, 6) | KEEP doc_id, s "
+        "| SORT doc_id | LIMIT 100000",
+        sf,
+    )
+    got = {r["doc_id"]: r["s"] for r in out.to_pylist()}
+    ids = docs["doc_id"].to_pylist()
+    expect = {i: bm25(d) for i, d in zip(ids, toks) if set(d) & set(terms)}
+    assert got == expect
+
+    # a pre-filter conjunct narrows the rows but NOT the statistics
+    out2 = run_esql(
+        'FROM documents METADATA _score | WHERE MATCH(text, "data pipeline") '
+        'AND lang == "en" | EVAL s = ROUND(_score, 6) | KEEP doc_id, s '
+        "| SORT doc_id | LIMIT 100000",
+        sf,
+    )
+    langs = {i: l_ for i, l_ in zip(ids, docs["lang"].to_pylist())}
+    got2 = {r["doc_id"]: r["s"] for r in out2.to_pylist()}
+    assert got2 == {i: v for i, v in expect.items() if langs[i] == "en"}
+
+    # no scoring context → _score stays null
+    out3 = run_esql(
+        "FROM documents METADATA _score | KEEP doc_id, _score "
+        "| SORT doc_id | LIMIT 5",
+        sf,
+    )
+    assert all(v is None for v in out3["_score"].to_pylist())
