@@ -3926,6 +3926,44 @@ def _q_children_agg(sf_dir: str) -> pa.Table:
     return children_agg(sf_dir, round_decimals=_ROUND)
 
 
+def _q_parent_agg(sf_dir: str) -> pa.Table:
+    """ES ``parent`` aggregation (the inverse of ``children``): terms
+    buckets on the CHILD field (l_returnflag) stepping UP into the parent
+    orders — child doc_count + DISTINCT-parent doc_count / sum / avg of
+    o_totalprice, each parent counted once per bucket
+    (`pipelines/joins.py: parent_agg`)."""
+    from bitcoin_ledger_2es_ray.pipelines.joins import parent_agg
+
+    return parent_agg(sf_dir, round_decimals=_ROUND)
+
+
+def _q_ext_stats_bucket(sf_dir: str) -> pa.Table:
+    """ES ``extended_stats_bucket`` sibling pipeline agg over the daily
+    date_histogram doc counts — population variance / std bounds computed
+    coordinator-side like ES (`pipelines/aggs.py: extended_stats_bucket`)."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import extended_stats_bucket
+    from bitcoin_ledger_2es_ray.pipelines.events import date_histogram_stats
+
+    buckets = date_histogram_stats(sf_dir, interval_s=86400).select(
+        ["bucket_s", "doc_count"]
+    )
+    return extended_stats_bucket(
+        buckets, metric="doc_count", sigma=2.0, round_decimals=_ROUND
+    )
+
+
+def _q_count_api(sf_dir: str) -> pa.Table:
+    """ES ``_count`` API: per fixture query, the count of docs matching the
+    AND of its terms — hits never materialize, only per-query counts
+    (`pipelines/apis.py: count_docs`)."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import count_docs
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_query_terms
+
+    store, _ = _store_for(sf_dir)
+    qterms = fixture_query_terms(sorted(store.df), n=_N_QUERIES)
+    return count_docs(store, qterms)
+
+
 def _q_has_child(sf_dir: str) -> pa.Table:
     """ES ``has_child`` (join field): orders with ≥1 lineitem of quantity
     ≥ 48 — child predicate pushed into the scan, per-batch partials reduce
@@ -6026,6 +6064,7 @@ def _q_esql_eval(sf_dir: str) -> pa.Table:
 _FRONT_50 = [
     # newest code paths first (rotated in; the swapped-out entries were
     # driver-green in r3 or judge-reproduced)
+    "parent_agg", "ext_stats_bucket", "count_api",
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
     "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
     "cartesian_agg", "esql_fuse", "ingest_transforms", "esql_score",
@@ -6343,6 +6382,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_query": _q_nested_query,
         "reverse_nested": _q_reverse_nested,
         "children_agg": _q_children_agg,
+        "parent_agg": _q_parent_agg,
+        "ext_stats_bucket": _q_ext_stats_bucket,
+        "count_api": _q_count_api,
         "has_parent": _q_has_parent,
         # geo queries / aggs over the derived customer geo_point
         "geo_distance": _q_geo_distance,
@@ -6566,6 +6608,24 @@ hits AS (
 SELECT h.query_id, h.doc_id
 FROM hits h JOIN qn USING (query_id) WHERE h.m = qn.nt
 ORDER BY query_id, doc_id
+""",
+        # ES _count API: per-query conjunctive match COUNT (no hits fetched)
+        "count_api": _PRELUDE
+        + """
+, qn AS (SELECT query_id, count(*) AS nt FROM qterm GROUP BY query_id),
+hits AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qterm qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+c AS (
+  SELECT h.query_id, count(*)::BIGINT AS n
+  FROM hits h JOIN qn USING (query_id) WHERE h.m = qn.nt
+  GROUP BY h.query_id
+)
+SELECT q.query_id, coalesce(c.n, 0)::BIGINT AS "count"
+FROM qn q LEFT JOIN c USING (query_id)
+ORDER BY query_id
 """,
         "boolean_or": _PRELUDE
         + """
@@ -11145,6 +11205,53 @@ SELECT o.o_orderpriority,
        round(avg(l.l_quantity), 6) AS avg_qty
 FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1
+""",
+        # ES parent agg: child-field buckets stepping UP to distinct parents
+        "parent_agg": """
+WITH pairs AS (
+  SELECT l_returnflag, l_orderkey, count(*)::BIGINT AS n_child
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT p.l_returnflag,
+       sum(p.n_child)::BIGINT AS child_count,
+       sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS parent_count,
+       round(coalesce(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)), 0)
+             / 100.0, 6) AS sum_totalprice,
+       round((sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) / 100.0)
+             / sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END), 6)
+         AS avg_totalprice
+FROM pairs p LEFT JOIN orders o ON o.o_orderkey = p.l_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+        # ES extended_stats_bucket over the daily doc-count buckets
+        "ext_stats_bucket": """
+WITH e AS (
+  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT count(*)::BIGINT AS "count",
+       min(doc_count)::DOUBLE AS "min",
+       max(doc_count)::DOUBLE AS "max",
+       round(sum(doc_count) / count(*), 6) AS "avg",
+       round(sum(doc_count), 6) AS "sum",
+       round(sum(doc_count * doc_count), 6) AS sum_of_squares,
+       round(sum(doc_count * doc_count) / count(*)
+             - (sum(doc_count) / count(*)) * (sum(doc_count) / count(*)), 6)
+         AS variance,
+       round(sqrt(sum(doc_count * doc_count) / count(*)
+             - (sum(doc_count) / count(*)) * (sum(doc_count) / count(*))), 6)
+         AS std_deviation,
+       round(sum(doc_count) / count(*)
+             + 2.0 * sqrt(sum(doc_count * doc_count) / count(*)
+               - (sum(doc_count) / count(*)) * (sum(doc_count) / count(*))), 6)
+         AS std_upper,
+       round(sum(doc_count) / count(*)
+             - 2.0 * sqrt(sum(doc_count * doc_count) / count(*)
+               - (sum(doc_count) / count(*)) * (sum(doc_count) / count(*))), 6)
+         AS std_lower
+FROM e
 """,
         # ES has_parent: children whose parent matches the filter
         "has_parent": """

@@ -1442,6 +1442,51 @@ def sibling_bucket_stats(
     )
 
 
+def extended_stats_bucket(
+    buckets: pa.Table, metric: str, sigma: float = 2.0, round_decimals: int = 6
+) -> pa.Table:
+    """ES ``extended_stats_bucket`` sibling pipeline agg: count / min /
+    max / avg / sum / sum_of_squares / POPULATION variance / std_deviation
+    and the ±``sigma`` std_deviation_bounds, over the parent aggregation's
+    final bucket metric values.
+
+    Like every pipeline agg, ES computes this on the coordinator over the
+    already-reduced buckets — the driver-side pass over the tiny bucket
+    table IS the faithful scale plan (the distributed work happened in the
+    parent agg)."""
+    import numpy as np
+
+    from ..functions.bm25 import sql_round
+
+    if sigma < 0:
+        raise ValueError("sigma must be >= 0")
+    v = np.asarray(buckets[metric], dtype=np.float64)
+    if len(v) == 0:
+        raise ValueError("extended_stats_bucket needs >= 1 bucket")
+    n = len(v)
+    s = float(v.sum())
+    sq = float((v * v).sum())
+    avg = s / n
+    # ES variance is population variance: sum_of_squares/n - avg^2
+    var = max(sq / n - avg * avg, 0.0)
+    std = var**0.5
+    r = lambda x: float(sql_round(x, round_decimals))  # noqa: E731
+    return pa.table(
+        {
+            "count": pa.array([n], type=pa.int64()),
+            "min": pa.array([float(v.min())], type=pa.float64()),
+            "max": pa.array([float(v.max())], type=pa.float64()),
+            "avg": pa.array([r(avg)], type=pa.float64()),
+            "sum": pa.array([r(s)], type=pa.float64()),
+            "sum_of_squares": pa.array([r(sq)], type=pa.float64()),
+            "variance": pa.array([r(var)], type=pa.float64()),
+            "std_deviation": pa.array([r(std)], type=pa.float64()),
+            "std_upper": pa.array([r(avg + sigma * std)], type=pa.float64()),
+            "std_lower": pa.array([r(avg - sigma * std)], type=pa.float64()),
+        }
+    )
+
+
 def serial_diff(
     buckets: pa.Table, key: str, metric: str, lag: int = 1
 ) -> pa.Table:

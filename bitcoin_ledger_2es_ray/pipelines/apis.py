@@ -1167,3 +1167,30 @@ def watcher_check(
             "triggered": pa.array(n > threshold),
         }
     )
+
+
+def count_docs(store, query_terms: list[list[str]]) -> pa.Table:
+    """ES ``_count`` API: per query, the NUMBER of docs matching the
+    conjunction of its terms — the hits themselves never materialize past
+    the per-query intersection, which is the whole point of the endpoint
+    (ES skips the fetch phase and scoring entirely for ``_count``).
+
+    → (query_id, count), one row per query in input order.  Each term's
+    postings come off the footer-pruned dictionary lookup; the AND is the
+    shared vectorized ``intersect_many`` kernel, smallest list first.  At
+    serving scale this runs inside the routed scorer actors exactly like
+    the boolean queries — per-segment counts SUM across doc-disjoint
+    slices, so the distributed count is the sum of per-actor counts with
+    no merge state."""
+    from ..functions.boolean import intersect_many
+
+    counts = []
+    for terms in query_terms:
+        sets = [np.sort(store.postings(t)[0]) for t in sorted(set(terms))]
+        counts.append(int(len(intersect_many(sets))) if sets else 0)
+    return pa.table(
+        {
+            "query_id": pa.array(range(len(query_terms)), type=pa.int64()),
+            "count": pa.array(counts, type=pa.int64()),
+        }
+    )

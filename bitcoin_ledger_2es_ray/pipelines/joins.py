@@ -564,3 +564,118 @@ def children_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
         }
     ).sort_by("o_orderpriority")
     return out
+
+
+def parent_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``parent`` aggregation — the inverse of ``children_agg``: a
+    ``terms`` agg over a CHILD field (lineitems by ``l_returnflag``),
+    stepping UP into the parent docs (orders) per bucket.  Per bucket:
+    child doc_count, parent doc_count (DISTINCT parents with >=1 child in
+    the bucket), and parent sub-aggs (sum / avg of ``o_totalprice`` over
+    those distinct parents — each parent counted ONCE, the ES contract).
+
+    Shape: children reduce to distinct (flag, parent) pairs via per-batch
+    Arrow hash-agg partials (carrying the per-pair child count) followed by
+    ONE groupby on the pair key — the only shuffle, and it moves one row
+    per distinct pair per batch, never one per child.  The parent metric
+    map (o_orderkey -> o_totalprice) is read once, sorted, broadcast via
+    ``ray.put``, and each deduped pair batch attaches the metric with one
+    searchsorted — the combine is bounded by the bucket count.  Beyond
+    ~200k parents the broadcast flips to the hash-partitioned
+    ``Dataset.join`` exactly as ``has_child_orders`` does."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..functions.blocks import collect_tables
+
+    parents = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    pk = np.asarray(parents["o_orderkey"], dtype=np.int64)
+    # exact integer cents: partial sums of integers are exact in float64
+    # below 2^53, so the combine is order-independent (bit-stable vs SQL)
+    pv = np.rint(
+        np.asarray(parents["o_totalprice"], dtype=np.float64) * 100.0
+    )
+    order = np.argsort(pk, kind="stable")
+    pk, pv = pk[order], pv[order]
+    map_ref = ray.put((pk, pv))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_orderkey"]).aggregate(
+            [("l_orderkey", "count")]
+        )
+        return pa.table(
+            {
+                "flag": g["l_returnflag"],
+                "parent": g["l_orderkey"].cast(pa.int64()),
+                "n_child": g["l_orderkey_count"].cast(pa.int64()),
+            }
+        )
+
+    pairs = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_orderkey"],
+        )
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["flag", "parent"])
+        .aggregate(Sum("n_child", alias_name="n_child"))
+    )
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(map_ref)
+        par = np.asarray(batch["parent"].combine_chunks(), dtype=np.int64)
+        pos = np.searchsorted(k, par)
+        hit = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == par)
+        price = np.where(hit, v[np.minimum(pos, len(k) - 1)], 0.0)
+        g = pa.table(
+            {
+                "flag": batch["flag"],
+                "p": pa.array(hit.astype(np.int64)),
+                "s": pa.array(price, type=pa.float64()),
+                "c": batch["n_child"],
+            }
+        ).group_by("flag").aggregate([("p", "sum"), ("s", "sum"), ("c", "sum")])
+        return pa.table(
+            {
+                "flag": g["flag"],
+                "p": g["p_sum"].cast(pa.int64()),
+                "s": g["s_sum"].cast(pa.float64()),
+                "c": g["c_sum"].cast(pa.int64()),
+            }
+        )
+
+    reduced = pairs.map_batches(bucket_partial, batch_format="pyarrow")
+    cat = pa.concat_tables(
+        collect_tables(reduced, on_empty="parent_agg: no children")
+    )
+    g = cat.group_by("flag").aggregate([("p", "sum"), ("s", "sum"), ("c", "sum")])
+    n_parent = g["p_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_price = g["s_sum"].to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+    return pa.table(
+        {
+            "l_returnflag": g["flag"],
+            "child_count": g["c_sum"].cast(pa.int64()),
+            "parent_count": pa.array(n_parent, type=pa.int64()),
+            "sum_totalprice": pa.array(
+                sql_round(s_price, round_decimals), type=pa.float64()
+            ),
+            "avg_totalprice": pa.array(
+                sql_round(
+                    np.divide(
+                        s_price,
+                        n_parent,
+                        out=np.zeros_like(s_price),
+                        where=n_parent > 0,
+                    ),
+                    round_decimals,
+                ),
+                type=pa.float64(),
+                mask=n_parent == 0,
+            ),
+        }
+    ).sort_by("l_returnflag")

@@ -339,3 +339,24 @@ def test_match_count_terminated(built, ray_session):
 
     with _pt.raises(ValueError):
         match_count_terminated(store, text, terminate_after=0)
+
+
+def test_count_api_matches_brute_force(built):
+    """ES _count: per-query conjunctive counts == brute force over the
+    oracle's postings; queries with no terms / unknown terms count 0."""
+    from bitcoin_ledger_2es_ray.pipelines.apis import count_docs
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_query_terms
+
+    res, oracle, _ = built
+    store = SegmentStore(res.out_dir)
+    qterms = fixture_query_terms(sorted(oracle.postings), n=25)
+    got = count_docs(store, qterms)
+    assert got.column_names == ["query_id", "count"]
+    assert got["query_id"].to_pylist() == list(range(len(qterms)))
+    for qid, terms in enumerate(qterms):
+        sets = [set(oracle.postings[t]) for t in set(terms)]
+        exp = len(set.intersection(*sets)) if sets else 0
+        assert got["count"][qid].as_py() == exp, (qid, terms)
+    # empty and unknown-term queries
+    extra = count_docs(store, [[], ["__nosuchterm__"]])
+    assert extra["count"].to_pylist() == [0, 0]

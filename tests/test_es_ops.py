@@ -3703,3 +3703,33 @@ def test_ingest_processor_long_tail(ray_session):
         {"type": "join", "field": "s", "separator": ""},
     ])
     assert t2.to_pylist()[0]["s"] == "cba"
+
+
+def test_extended_stats_bucket_identity():
+    import numpy as np
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import extended_stats_bucket
+
+    out = extended_stats_bucket(_toy_buckets(), metric="m", sigma=2.0)
+    row = out.to_pylist()[0]
+    v = np.array([5, 3, 9, 9, 1], dtype=np.float64)
+    var = float((v * v).sum() / 5 - (v.sum() / 5) ** 2)
+    assert row["count"] == 5
+    assert row["min"] == 1.0 and row["max"] == 9.0
+    assert row["avg"] == 5.4 and row["sum"] == 27.0
+    assert row["sum_of_squares"] == float((v * v).sum())
+    assert abs(row["variance"] - round(var, 6)) < 1e-12
+    assert abs(row["std_deviation"] - round(var**0.5, 6)) < 1e-12
+    assert abs(row["std_upper"] - round(5.4 + 2 * var**0.5, 6)) < 1e-12
+    assert abs(row["std_lower"] - round(5.4 - 2 * var**0.5, 6)) < 1e-12
+
+
+def test_extended_stats_bucket_rejections():
+    import pytest as _pytest
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import extended_stats_bucket
+
+    with _pytest.raises(ValueError):
+        extended_stats_bucket(_toy_buckets().slice(0, 0), metric="m")
+    with _pytest.raises(ValueError):
+        extended_stats_bucket(_toy_buckets(), metric="m", sigma=-1.0)

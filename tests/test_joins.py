@@ -317,3 +317,33 @@ def test_children_agg_matches_duckdb(ray_session, con):
     assert int(mine["parent_count"].sum()) == con.sql(
         "SELECT count(*) FROM orders"
     ).fetchone()[0]
+
+
+def test_parent_agg_matches_duckdb(ray_session, con):
+    from bitcoin_ledger_2es_ray.pipelines.joins import parent_agg
+
+    mine = _norm(parent_agg(SF_DIR).to_pandas())
+    orc = _norm(
+        con.sql(
+            """
+            WITH pairs AS (
+              SELECT l_returnflag, l_orderkey, count(*)::BIGINT AS n_child
+              FROM lineitem GROUP BY 1, 2
+            )
+            SELECT p.l_returnflag,
+                   sum(p.n_child)::BIGINT AS child_count,
+                   count(*)::BIGINT AS parent_count,
+                   round(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT))
+                         / 100.0, 6) AS sum_totalprice,
+                   round((sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT))
+                         / 100.0) / count(*), 6) AS avg_totalprice
+            FROM pairs p JOIN orders o ON o.o_orderkey = p.l_orderkey
+            GROUP BY 1
+            """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False, atol=1e-9, rtol=0)
+    # every lineitem is counted exactly once across the child buckets
+    assert int(mine["child_count"].sum()) == con.sql(
+        "SELECT count(*) FROM lineitem"
+    ).fetchone()[0]
