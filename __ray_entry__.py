@@ -3878,6 +3878,22 @@ def _q_dpr_triples(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_bpe_corpus_tokens(sf_dir: str) -> pa.Table:
+    """Corpus-wide BPE tokenization with the trained merges (rows-only:
+    BPE inference is not SQL-expressible): per doc, word count and
+    subword count after encoding — the stage between tokenizer training
+    and sequence packing (`pipelines/bpe.py: bpe_tokenize_corpus`)."""
+    from bitcoin_ledger_2es_ray.pipelines.bpe import (
+        bpe_tokenize_corpus,
+        bpe_train,
+        word_freq_from_dict,
+    )
+
+    res = _index_for(sf_dir)
+    merges = bpe_train(word_freq_from_dict(res.out_dir), n_merges=20)
+    return bpe_tokenize_corpus(sf_dir, merges, concurrency=4)
+
+
 def _q_bpe_merges(sf_dir: str) -> pa.Table:
     """BPE tokenizer training (Sennrich 2016) over the indexed corpus: 20
     merges learned from the term dictionary's cf column (the
@@ -6202,6 +6218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval": _q_rank_eval,
         "hard_negatives": _q_hard_negatives,
         "bpe_merges": _q_bpe_merges,
+        "bpe_corpus_tokens": _q_bpe_corpus_tokens,
         "dpr_triples": _q_dpr_triples,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "bucket_selector": _q_bucket_selector,

@@ -217,3 +217,148 @@ def bpe_vocab_stats(
             "subword_vocab": pa.array([len(vocab)], type=pa.int64()),
         }
     )
+
+
+def merge_ranks(merges: pa.Table) -> dict[tuple[str, str], int]:
+    """(left, right) → rank lookup for the priority encoder."""
+    return {
+        (l, r): int(k)
+        for k, l, r in zip(
+            merges["rank"].to_pylist(),
+            merges["left"].to_pylist(),
+            merges["right"].to_pylist(),
+        )
+    }
+
+
+def bpe_encode_ranked(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Priority BPE encode: repeatedly merge the LOWEST-ranked pair present
+    until none applies — O(pairs present) per step instead of
+    ``bpe_encode``'s O(n_merges) full-table sweep, the corpus-scale shape
+    (HuggingFace tokenizers' approach).
+
+    Provably identical to rank-order application: a learned pair's two
+    symbols are each created strictly BEFORE its rank (training can only
+    count a pair once both symbols exist), and a merge at rank r only
+    creates adjacencies involving its own new symbol (whose pairs all rank
+    > r) — so the lowest-rank-first schedule can never resurrect an
+    earlier merge after a later one.  Asserted against ``bpe_encode`` in
+    tests over every fixture word."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank: int | None = None
+        best_pair: tuple[str, str] | None = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        syms = _apply_merge(syms, best_pair[0], best_pair[1])
+    return syms
+
+
+class BpeEncoder:
+    """Actor-pool corpus tokenizer: trained merges load ONCE per actor in
+    ``__init__`` (the stateful-stage contract), and the per-actor
+    distinct-word memo makes cost track DISTINCT words per batch, not
+    token occurrences — the standard tokenizer-application trade.
+
+    ``__call__``: (doc_id, text) → (doc_id, n_words, n_subwords).  The
+    word stream is Arrow-split and dictionary-encoded per batch, so the
+    Python encode loop runs once per distinct word; per-doc totals are one
+    ``np.bincount`` over the flattened doc index."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        merges = ray.get(merges_ref) if not isinstance(merges_ref, pa.Table) else merges_ref
+        self.ranks = merge_ranks(merges)
+        self.memo: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        words = pc.split_pattern(batch["text"], pattern=" ")
+        lengths = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = flat.dictionary_encode()
+        distinct = enc.dictionary.to_pylist()
+        n_sub = np.empty(len(distinct), dtype=np.int64)
+        for j, w in enumerate(distinct):
+            n = self.memo.get(w)
+            if n is None:
+                n = len(bpe_encode_ranked(w, self.ranks))
+                self.memo[w] = n
+            n_sub[j] = n
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        subs = np.bincount(doc_of, weights=n_sub[codes], minlength=len(batch))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_words": pa.array(lengths, type=pa.int64()),
+                "n_subwords": pa.array(subs.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+
+def bpe_tokenize_corpus(
+    sf_dir: str, merges: pa.Table, concurrency: int = 4
+) -> pa.Table:
+    """Corpus-wide BPE tokenization with the TRAINED merges — the stage
+    between ``bpe_train`` and sequence packing in a training-data
+    pipeline.  Per doc: word count and subword count after encoding.
+
+    Merges broadcast once via ``ray.put``; the encode streams as an actor
+    pool (state = rank table + distinct-word memo, loaded per actor, never
+    per batch).  Output is doc-keyed with no shuffle at any scale; the
+    driver only collects the per-doc counts table here — use
+    ``bpe_tokenize_to_parquet`` to keep 10^12-file output off the
+    driver."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.blocks import collect_tables
+
+    merges_ref = ray.put(merges)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        BpeEncoder,
+        fn_constructor_args=(merges_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    parts = collect_tables(ds, on_empty="bpe_tokenize_corpus: empty corpus")
+    return pa.concat_tables(parts).sort_by("doc_id")
+
+
+def bpe_tokenize_to_parquet(
+    sf_dir: str, merges: pa.Table, out_dir: str, concurrency: int = 4
+) -> str:
+    """Sink twin of ``bpe_tokenize_corpus``: streams per-doc counts to a
+    partitioned parquet directory (resumable output contract)."""
+    import ray
+    import ray.data as rd
+
+    merges_ref = ray.put(merges)
+    (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(
+            BpeEncoder,
+            fn_constructor_args=(merges_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+        .write_parquet(out_dir)
+    )
+    return out_dir

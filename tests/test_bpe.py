@@ -105,3 +105,67 @@ def test_bpe_from_index_dict(built, ray_session):
     # invariant in general, but every merge freq is positive and <= corpus
     # token count)
     assert all(0 < f <= sum(want.values()) for f in merges["freq"].to_pylist())
+
+
+def test_bpe_encode_ranked_identical_to_rank_order():
+    """Priority encode == full rank-order sweep, for every corpus word and
+    a handful of unseen ones (incl. chars outside the training alphabet)."""
+    from bitcoin_ledger_2es_ray.pipelines.bpe import bpe_encode_ranked, merge_ranks
+
+    merges = bpe_train(WF, n_merges=8)
+    ranks = merge_ranks(merges)
+    for w in ["low", "lower", "newest", "widest", "lowest", "news", "", "zz", "wide"]:
+        assert bpe_encode_ranked(w, ranks) == bpe_encode(w, merges), w
+
+
+def test_bpe_corpus_tokenize_matches_vocab_stats(built, ray_session):
+    """The distributed corpus encode's totals == bpe_vocab_stats off the
+    word-frequency table (corpus-weighted identity), and per-doc subword
+    counts == per-word brute force."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.bpe import (
+        bpe_tokenize_corpus,
+        bpe_encode_ranked,
+        merge_ranks,
+    )
+
+    res, _, _ = built
+    wf = word_freq_from_dict(res.out_dir)
+    merges = bpe_train(wf, n_merges=20)
+    got = bpe_tokenize_corpus("/root/testdata/sf0.001", merges, concurrency=2)
+    stats = bpe_vocab_stats(wf, merges)
+    assert int(sum(got["n_words"].to_pylist())) == stats["n_words"][0].as_py()
+    total_sub = float(sum(got["n_subwords"].to_pylist()))
+    assert abs(
+        total_sub / stats["n_words"][0].as_py()
+        - stats["tokens_per_word"][0].as_py()
+    ) < 1e-12
+    # spot per-doc identity on the first 5 docs
+    ranks = merge_ranks(merges)
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, 5)
+    by_id = {d: n for d, n in zip(got["doc_id"].to_pylist(), got["n_subwords"].to_pylist())}
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        exp = sum(len(bpe_encode_ranked(w, ranks)) for w in t.split(" "))
+        assert by_id[d] == exp, d
+
+
+def test_bpe_tokenize_sink(built, ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.bpe import (
+        bpe_tokenize_corpus,
+        bpe_tokenize_to_parquet,
+    )
+
+    res, _, _ = built
+    wf = word_freq_from_dict(res.out_dir)
+    merges = bpe_train(wf, n_merges=10)
+    out = bpe_tokenize_to_parquet(
+        "/root/testdata/sf0.001", merges, str(tmp_path / "bpe"), concurrency=2
+    )
+    sink = pq.read_table(out).sort_by("doc_id")
+    direct = bpe_tokenize_corpus("/root/testdata/sf0.001", merges, concurrency=2)
+    assert sink.equals(direct.cast(sink.schema))
