@@ -3278,6 +3278,16 @@ def _q_ols_fit(sf_dir: str) -> pa.Table:
     return ols_fit(sf_dir)
 
 
+def _q_inference_agg(sf_dir: str) -> pa.Table:
+    """ES ``inference`` pipeline agg: the trained OLS model applied to the
+    per-returnflag bucket feature (mean quantity) on the coordinator —
+    the last member of the ES pipeline-agg family
+    (`pipelines/regress.py: inference_agg`)."""
+    from bitcoin_ledger_2es_ray.pipelines.regress import inference_agg
+
+    return inference_agg(sf_dir, round_decimals=_ROUND)
+
+
 def _q_ols_predict(sf_dir: str) -> pa.Table:
     """Regression inference over the source rows: prediction + residual per
     lineitem from the two fitted scalars (row stream never shuffles)."""
@@ -6387,6 +6397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_train": _q_nb_train,
         "nb_predict": _q_nb_predict,
         "ols_fit": _q_ols_fit,
+        "inference_agg": _q_inference_agg,
         "ols_predict": _q_ols_predict,
         "anomaly_scores": _q_anomaly_scores,
         "pca_fit": _q_pca_fit,  # rows-only (eigendecomposition not SQL-expressible)
@@ -10140,6 +10151,30 @@ SELECT n, round(slope, 6) AS slope,
        round((syd - slope * sxd) / nd, 6) AS intercept,
        round((cov_n * cov_n) / (var_x * var_y), 6) AS r2
 FROM s
+""",
+        "inference_agg": """
+WITH m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+         sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+         sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+         sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+  FROM lineitem),
+c AS (
+  SELECT n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+         n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov_n,
+         n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS var_x
+  FROM m),
+s AS (SELECT cov_n / var_x AS slope, syd, sxd, nd FROM c),
+f AS (SELECT slope, (syd - slope * sxd) / nd AS icept FROM s),
+b AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sq
+  FROM lineitem GROUP BY 1)
+SELECT b.l_returnflag, b.n,
+       round(b.sq::DOUBLE / b.n::DOUBLE, 6) AS avg_qty,
+       round(f.slope * (b.sq::DOUBLE / b.n::DOUBLE) + f.icept, 6) AS pred_usd
+FROM b, f ORDER BY 1
 """,
         "ols_predict": """
 WITH m AS (

@@ -146,3 +146,64 @@ def ols_predict_to_parquet(sf_dir: str, out_dir: str) -> str:
     from .textstats import write_dataset
 
     return write_dataset(ols_predict_ds(sf_dir), out_dir)
+
+
+def inference_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
+    """ES ``inference`` pipeline aggregation (x-pack): apply a trained
+    model to the PARENT aggregation's buckets, adding a prediction field
+    per bucket.  Graft: parent = terms buckets over ``l_returnflag`` with
+    the per-bucket mean quantity as the feature; model = the closed-form
+    OLS of ``ols_fit`` (the deterministic member of ES's regression
+    family); inference = slope·avg_qty + intercept per bucket.
+
+    Like every pipeline agg, ES runs the model on the coordinator over
+    the reduced buckets — here that is (slope, intercept) × #buckets
+    scalar math; the distributed work is the bucket partials and the
+    moment pass, both single streamed ``map_batches`` reductions.  The
+    feature average divides exact integer-unit sums so the bucket values
+    are bit-stable against the SQL oracle at any parallelism."""
+    import ray
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["l_quantity"], dtype=np.float64)
+        xi = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        t = pa.table({"flag": batch["l_returnflag"], "q": pa.array(xi)})
+        g = t.group_by("flag").aggregate([("q", "sum"), ("q", "count")])
+        return pa.table(
+            {
+                "flag": g["flag"],
+                "sq": g["q_sum"].cast(pa.int64()),
+                "n": g["q_count"].cast(pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    parts = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_returnflag", "l_quantity"],
+            )
+            .map_batches(bucket_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        ]
+    )
+    g = parts.group_by("flag").aggregate([("sq", "sum"), ("n", "sum")])
+    n_m, sx, sy, sxx, sxy, syy = _moments(sf_dir)
+    slope, intercept, _ = _closed_form(n_m, sx, sy, sxx, sxy, syy)
+    sq = g["sq_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    nb = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    avg = sq / nb
+    return pa.table(
+        {
+            "l_returnflag": g["flag"],
+            "n": g["n_sum"].cast(pa.int64()),
+            "avg_qty": pa.array(sql_round(avg, round_decimals), type=pa.float64()),
+            "pred_usd": pa.array(
+                sql_round(slope * avg + intercept, round_decimals),
+                type=pa.float64(),
+            ),
+        }
+    ).sort_by("l_returnflag")

@@ -72,3 +72,43 @@ def test_ols_predict_sink_round_trip(ray_session, tmp_path):
     )
     direct = ols_predict(SF)
     assert back.select(direct.column_names).equals(direct)
+
+
+def test_inference_agg_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from bitcoin_ledger_2es_ray.pipelines.regress import inference_agg
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
+    mine = inference_agg(sf).to_pandas()
+    orc = con.sql(
+        """
+        WITH m AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+                 sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+                 sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+                 sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+          FROM lineitem),
+        c AS (
+          SELECT n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+                 n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov_n,
+                 n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS var_x
+          FROM m),
+        s AS (SELECT cov_n / var_x AS slope, syd, sxd, nd FROM c),
+        f AS (SELECT slope, (syd - slope * sxd) / nd AS icept FROM s),
+        b AS (
+          SELECT l_returnflag, count(*)::BIGINT AS n,
+                 sum(CAST(round(l_quantity) AS BIGINT)) AS sq
+          FROM lineitem GROUP BY 1)
+        SELECT b.l_returnflag, b.n,
+               round(b.sq::DOUBLE / b.n::DOUBLE, 6) AS avg_qty,
+               round(f.slope * (b.sq::DOUBLE / b.n::DOUBLE) + f.icept, 6) AS pred_usd
+        FROM b, f ORDER BY 1
+        """
+    ).df()
+    pd.testing.assert_frame_equal(mine.to_pandas() if hasattr(mine, "to_pandas") else mine,
+                                  orc, check_dtype=False, atol=0, rtol=0)
