@@ -5996,6 +5996,21 @@ def _q_esql_fuse(sf_dir: str) -> pa.Table:
     return run_esql(_ESQL_FUSE_LINEAR, sf_dir)
 
 
+def _q_esql_insist(sf_dir: str) -> pa.Table:
+    """ES|QL ``INSIST_\U0001F414`` (9.x tech preview): a mapped field
+    passes through, an unmapped one enters the pipe as a null keyword
+    column (COALESCE-able downstream) — both directions in one pipe
+    (`pipelines/esql.py`)."""
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    return run_esql(
+        "FROM documents | INSIST_\U0001F414 lang | INSIST_\U0001F414 ghost "
+        '| EVAL tag = COALESCE(ghost, lang) '
+        "| STATS n = COUNT(*) BY tag | SORT tag",
+        sf_dir,
+    )
+
+
 def _q_esql_show(sf_dir: str) -> pa.Table:
     """ES|QL ``SHOW INFO``: the deterministic one-row version source,
     composed with EVAL/KEEP tail commands like any ROW pipe."""
@@ -6437,6 +6452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_median": _q_esql_median,
         "esql_case": _q_esql_case,
         "esql_show": _q_esql_show,
+        "esql_insist": _q_esql_insist,
         "esql_math": _q_esql_math,
         "esql_vector": _q_esql_vector,
         "esql_knn": _q_esql_knn,
@@ -11389,6 +11405,9 @@ SELECT doc_id, n_chars, half FROM (
 SELECT event_type, count(*)::BIGINT AS n,
        sum(CAST(regexp_extract(props, '^\\{"k": ([+-]?\\d+)\\}$', 1) AS BIGINT))::BIGINT AS s
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "esql_insist": """
+SELECT lang AS tag, count(*)::BIGINT AS n FROM documents GROUP BY 1 ORDER BY 1
 """,
         "esql_show": """
 SELECT '0.1.0' AS version, '0' AS major,

@@ -85,7 +85,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<num>\d+\.\d+|\d+)
   | (?P<op>==|!=|>=|<=|::|>|<|\+|-|\*|/|%|,|\(|\)|\[|\]|\|)
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_.*]*)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.*\U0001F414]*)
     """,
     re.VERBOSE,
 )
@@ -98,6 +98,7 @@ _KEYWORDS = {
     "INLINESTATS",
     "SAMPLE",
     "CHANGE_POINT",
+    "INSIST_\U0001F414",
     "FORK",
     "COMPLETION",
     "RERANK",
@@ -1384,6 +1385,19 @@ def parse_esql(src: str) -> EsqlPlan:
             p.expect("kw", "ON")
             key = p.expect("ident")[1]
             plan.ops.append(("lookup", table, key))
+        elif cmd == "INSIST_\U0001F414":
+            # ES|QL 9.x tech preview: coerce a possibly-unmapped field into
+            # the pipe — mapped fields pass through, unmapped ones appear
+            # as null keyword columns.  ES restricts it to directly after
+            # FROM (or another INSIST); mirror that.
+            if plan.row is not None or plan.stats or plan.by or any(
+                op[0] != "insist" for op in plan.ops
+            ):
+                raise ValueError(
+                    "esql: INSIST_\U0001F414 must directly follow FROM "
+                    "(or another INSIST_\U0001F414)"
+                )
+            plan.ops.append(("insist", p.expect("ident")[1]))
         elif cmd == "MV_EXPAND":
             plan.ops.append(("mvexpand", p.expect("ident")[1]))
         elif cmd == "ENRICH":
@@ -3034,6 +3048,13 @@ def _plan_columns(
         s_[0] for op in plan.ops if op[0] == "inline" for s_ in op[1]
     }
     eval_names |= {op[1] for op in plan.ops if op[0] == "completion"}
+    # INSIST on an unmapped field PRODUCES the (null) column; on a mapped
+    # field it is a read (handled in the per-op loop below)
+    eval_names |= {
+        op[1]
+        for op in plan.ops
+        if op[0] == "insist" and op[1] not in schema_names
+    }
     eval_names |= {"_score" for op in plan.ops if op[0] == "rerank"}
     # post-STATS commands act on the aggregation result, not the source
     # table: their outputs are producible names, their inputs are NOT
@@ -3059,6 +3080,9 @@ def _plan_columns(
             need.add(op[1])
         elif op[0] == "mvexpand":
             need.add(op[1])
+        elif op[0] == "insist":
+            if op[1] in schema_names:
+                need.add(op[1])
         elif op[0] == "lookup":
             need.add(op[2])
         elif op[0] == "enrich":
@@ -3635,6 +3659,12 @@ def _run_pipe(src: str, sf_dir: str, *, round_decimals: int = 6) -> pa.Table:
             if op[0] == "where":
                 mask = _eval_expr(op[1], batch)
                 batch = batch.filter(pc.fill_null(mask, False))
+            elif op[0] == "insist":
+                name = op[1]
+                if name not in batch.column_names:
+                    batch = batch.append_column(
+                        name, pa.nulls(batch.num_rows, type=pa.string())
+                    )
             elif op[0] == "mvexpand":
                 name = op[1]
                 col = batch[name]

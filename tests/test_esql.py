@@ -2548,3 +2548,41 @@ def test_esql_metadata_score_bm25(ray_session):
         sf,
     )
     assert all(v is None for v in out3["_score"].to_pylist())
+
+
+def test_esql_insist_unmapped_and_mapped(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    sf = "/root/testdata/sf0.001"
+    t = run_esql(
+        "FROM documents | INSIST_\U0001F414 ghost "
+        '| EVAL tag = COALESCE(ghost, "absent") | STATS n = COUNT(*) BY tag',
+        sf,
+    )
+    assert t.to_pylist() == [{"tag": "absent", "n": 500}]
+    # mapped field passes through untouched
+    t2 = run_esql(
+        "FROM documents | INSIST_\U0001F414 lang | STATS n = COUNT(*) BY lang"
+        " | SORT lang",
+        sf,
+    )
+    t3 = run_esql("FROM documents | STATS n = COUNT(*) BY lang | SORT lang", sf)
+    assert t2.equals(t3)
+
+
+def test_esql_insist_rejections(ray_session):
+    import pytest as _pytest
+
+    from bitcoin_ledger_2es_ray.pipelines.esql import run_esql
+
+    sf = "/root/testdata/sf0.001"
+    with _pytest.raises(ValueError):
+        run_esql(
+            'FROM documents | WHERE lang == "py" | INSIST_\U0001F414 x', sf
+        )
+    with _pytest.raises(ValueError):
+        run_esql(
+            "FROM documents | STATS n = COUNT(*) BY lang "
+            "| INSIST_\U0001F414 x",
+            sf,
+        )
