@@ -4031,6 +4031,16 @@ def _q_geo_centroid(sf_dir: str) -> pa.Table:
     return geo_centroid(sf_dir, round_decimals=_ROUND)
 
 
+def _q_geohex_grid(sf_dir: str) -> pa.Table:
+    """ES ``geohex_grid`` (deterministic axial-hex variant — H3's
+    icosahedral projection needs the h3 lib, absent here; the agg plan is
+    identical and the cell kernel is bit-mirrored in SQL)
+    (`pipelines/geo.py: geohex_grid / hex_cell`)."""
+    from bitcoin_ledger_2es_ray.pipelines.geo import geohex_grid
+
+    return geohex_grid(sf_dir, size_deg=30.0)
+
+
 def _q_geotile_grid(sf_dir: str) -> pa.Table:
     from bitcoin_ledger_2es_ray.pipelines.geo import geotile_grid
 
@@ -6434,6 +6444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox": _q_geo_bbox,
         "geo_centroid": _q_geo_centroid,
         "geotile_grid": _q_geotile_grid,
+        "geohex_grid": _q_geohex_grid,
         "search_mvt": _q_search_mvt,
         "cartesian_agg": _q_cartesian_agg,
         "ingest_transforms": _q_ingest_transforms,
@@ -11363,6 +11374,32 @@ FROM pts GROUP BY 1 ORDER BY 1
 SELECT c_mktsegment, round(max(lat), 6) AS top, round(min(lat), 6) AS bottom,
        round(min(lon), 6) AS "left", round(max(lon), 6) AS "right"
 FROM pts GROUP BY 1 ORDER BY 1
+""",
+        "geohex_grid": _GEO_PTS
+        + """
+, hexes AS (
+  SELECT (sqrt(3.0)/3.0 * lon - lat/3.0) / 30.0 AS q,
+         (2.0/3.0 * lat) / 30.0 AS r
+  FROM pts
+),
+rounded AS (
+  SELECT q, r, -q - r AS y,
+         floor(q + 0.5) AS rq0, floor(-q - r + 0.5) AS ry,
+         floor(r + 0.5) AS rr0
+  FROM hexes
+),
+d AS (
+  SELECT *, abs(rq0 - q) AS dq, abs(ry - y) AS dy, abs(rr0 - r) AS dr
+  FROM rounded
+),
+fixed AS (
+  SELECT CASE WHEN dq > dy AND dq > dr THEN -ry - rr0 ELSE rq0 END AS rq,
+         CASE WHEN NOT (dq > dy AND dq > dr) AND dr > dy
+              THEN -rq0 - ry ELSE rr0 END AS rr
+  FROM d
+)
+SELECT (rq::BIGINT || '/' || rr::BIGINT) AS cell, count(*)::BIGINT AS n
+FROM fixed GROUP BY 1 ORDER BY n DESC, cell ASC
 """,
         "geotile_grid": _GEO_PTS
         + """

@@ -869,3 +869,61 @@ def cartesian_agg(sf_dir: str, round_decimals: int = 6) -> pa.Table:
             "max_y": t["y1"].cast(pa.float64()),
         }
     ).sort_by("c_mktsegment")
+
+
+def hex_cell(
+    lat: np.ndarray, lon: np.ndarray, size_deg: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Axial (q, r) hex-cell ids for pointy-top hexagons of ``size_deg``
+    on the equirectangular lat/lon plane — the deterministic stand-in for
+    ES ``geohex_grid``'s H3 cells (the H3 library's icosahedral projection
+    is not in this container; the DEVIATION is the cell shape, the agg
+    plan is identical).  Cube-rounding with floor(v + 0.5) on every axis —
+    the same IEEE expression tree the SQL oracle spells out."""
+    q = (np.sqrt(3.0) / 3.0 * lon - lat / 3.0) / size_deg
+    r = (2.0 / 3.0 * lat) / size_deg
+    y = -q - r
+    rq = np.floor(q + 0.5)
+    ry = np.floor(y + 0.5)
+    rr = np.floor(r + 0.5)
+    dq = np.abs(rq - q)
+    dy = np.abs(ry - y)
+    dr = np.abs(rr - r)
+    fix_q = (dq > dy) & (dq > dr)
+    fix_r = ~fix_q & (dr > dy)
+    rq = np.where(fix_q, -ry - rr, rq)
+    rr = np.where(fix_r, -rq - ry, rr)
+    return rq.astype(np.int64), rr.astype(np.int64)
+
+
+def geohex_grid(sf_dir: str, size_deg: float = 30.0) -> pa.Table:
+    """ES ``geohex_grid`` agg (deterministic axial-hex variant, see
+    ``hex_cell``) → ("q/r" cell key, doc count), count DESC then key ASC
+    (ES bucket order).  Per-batch cell-count partials; the shuffle is
+    bounded by the cell count at the chosen size."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_coords(key)
+        q, r = hex_cell(lat, lon, size_deg)
+        t = pa.table({"q": pa.array(q), "r": pa.array(r)})
+        g = t.group_by(["q", "r"]).aggregate([("q", "count")])
+        return pa.table(
+            {"q": g["q"], "r": g["r"], "n": g["q_count"].cast(pa.int64())}
+        )
+
+    ds = (
+        _read_customers(sf_dir, ["c_custkey"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["q", "r"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    t = pa.concat_tables(_collect(ds))
+    keys = [
+        f"{q}/{r}" for q, r in zip(t["q"].to_pylist(), t["r"].to_pylist())
+    ]
+    out = pa.table(
+        {"cell": pa.array(keys, type=pa.string()), "n": t["n"].cast(pa.int64())}
+    )
+    return out.sort_by([("n", "descending"), ("cell", "ascending")])

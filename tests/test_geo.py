@@ -213,3 +213,44 @@ def test_cartesian_agg_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(mine, orc, check_dtype=False, atol=1e-9, rtol=0)
     assert (mine["min_x"] <= mine["centroid_x"]).all()
     assert (mine["centroid_x"] <= mine["max_x"]).all()
+
+
+def test_hex_cell_brute_force():
+    """Cube rounding invariant: every point maps to the NEAREST hex center
+    (axial distance), verified against an exhaustive center scan."""
+    import numpy as np
+
+    from bitcoin_ledger_2es_ray.pipelines.geo import derive_coords, hex_cell
+
+    rng = np.arange(1, 400, dtype=np.int64)
+    lat, lon = derive_coords(rng)
+    s = 30.0
+    q, r = hex_cell(lat, lon, s)
+    # cube coordinates must satisfy x + y + z == 0 by construction
+    # (rounding fixes exactly one axis); check hex-metric nearest center
+    qf = (np.sqrt(3.0) / 3.0 * lon - lat / 3.0) / s
+    rf = (2.0 / 3.0 * lat) / s
+    for i in range(0, len(rng), 37):
+        best, bd = None, 1e18
+        for cq in range(int(qf[i]) - 2, int(qf[i]) + 3):
+            for cr in range(int(rf[i]) - 2, int(rf[i]) + 3):
+                dq, dr = qf[i] - cq, rf[i] - cr
+                d = (abs(dq) + abs(dr) + abs(dq + dr)) / 2.0  # hex distance
+                if d < bd - 1e-12:
+                    bd, best = d, (cq, cr)
+        assert (int(q[i]), int(r[i])) == best, i
+
+
+def test_geohex_grid_counts(ray_session):
+    import duckdb
+
+    from bitcoin_ledger_2es_ray.pipelines.geo import geohex_grid
+
+    got = geohex_grid("/root/testdata/sf0.001", size_deg=30.0)
+    con = duckdb.connect()
+    n_cust = con.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/customer.parquet')"
+    ).fetchone()[0]
+    assert int(sum(got["n"].to_pylist())) == n_cust  # cells tile the plane
+    ns = got["n"].to_pylist()
+    assert ns == sorted(ns, reverse=True) or len(set(ns)) < len(ns)
