@@ -172,6 +172,43 @@ def _q_bm25_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_synonym_match(sf_dir: str) -> pa.Table:
+    """ES ``match`` + search-time ``synonym_graph``: each fixture query
+    term pairs with a vocab-derived synonym partner and the pair scores as
+    ONE Lucene SynonymQuery (tf summed per doc, df = max member — blended
+    statistics, no idf double count)
+    (`pipelines/structured.py: synonym_match_topk`)."""
+    from bitcoin_ledger_2es_ray.pipelines.structured import synonym_match_topk
+    from bitcoin_ledger_2es_ray.sources.queries import fixture_query_terms
+
+    store, _ = _store_for(sf_dir)
+    vocab = sorted(store.df)
+    c = len(vocab)
+    idx_of = {t: i for i, t in enumerate(vocab)}
+    qterms = fixture_query_terms(vocab, n=_N_QUERIES)
+    qid_l, rank_l, doc_l, score_l = [], [], [], []
+    for qid, terms in enumerate(qterms):
+        groups = [
+            [t, vocab[(idx_of[t] * 31 + 7) % c]] for t in sorted(set(terms))
+        ]
+        for rank, (doc, score) in enumerate(
+            synonym_match_topk(store, groups, k=_TOP_K, round_decimals=_ROUND),
+            1,
+        ):
+            qid_l.append(qid)
+            rank_l.append(rank)
+            doc_l.append(doc)
+            score_l.append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(qid_l, type=pa.int64()),
+            "rank": pa.array(rank_l, type=pa.int64()),
+            "doc_id": pa.array(doc_l, type=pa.int64()),
+            "score": pa.array(score_l, type=pa.float64()),
+        }
+    )
+
+
 def _q_indices_boost(sf_dir: str) -> pa.Table:
     """ES ``indices_boost`` over the two-member federation: member A (the
     first third of the corpus) boosted 1.5, member B 0.5; global stats
@@ -1105,6 +1142,36 @@ def _q_analyze(sf_dir: str) -> pa.Table:
         }
     )
     out = analyze_texts(queries)
+    return pa.table(
+        {
+            "query_id": out["query_id"].cast(pa.int64()),
+            "pos": out["pos"],
+            "token": out["token"],
+        }
+    )
+
+
+def _q_analyze_stop(sf_dir: str) -> pa.Table:
+    """ES ``_analyze`` with the ``stop`` token filter: the same fixture
+    texts as ``analyze``, stopwords dropped with their POSITION GAPS
+    preserved (ES keeps ordinals so phrases don't collapse)
+    (`functions/tokenize.py: stop_filtered`)."""
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.apis import analyze_texts
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    texts = docs["text"].to_pylist()
+    n = len(texts)
+    queries = pa.table(
+        {
+            "query_id": pa.array(list(range(_N_QUERIES)), type=pa.uint64()),
+            "text": pa.array([texts[(29 * q) % n] for q in range(_N_QUERIES)]),
+        }
+    )
+    out = analyze_texts(queries, tokenizer="code_stop")
     return pa.table(
         {
             "query_id": out["query_id"].cast(pa.int64()),
@@ -6153,6 +6220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": _q_term_df,
         "postings": _q_postings,
         "bm25_topk": _q_bm25_topk,
+        "synonym_match": _q_synonym_match,
         "bm25_topk_routed": _q_bm25_topk_routed,
         "bm25_topk_federated": _q_bm25_topk_federated,
         "indices_boost": _q_indices_boost,
@@ -6184,6 +6252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rescore": _q_rescore,
         "phrase_slop": _q_phrase_slop,
         "analyze": _q_analyze,
+        "analyze_stop": _q_analyze_stop,
         "analyze_stem": _q_analyze_stem,
         "stemmed_topk": _q_stemmed_topk,
         "histogram_field": _q_histogram_field,
@@ -6603,6 +6672,48 @@ SELECT term, df::BIGINT AS df, cf::BIGINT AS cf FROM df ORDER BY term
         + """
 SELECT term, doc_id, tf::BIGINT AS tf FROM tf ORDER BY term, doc_id
 """,
+        "synonym_match": _PRELUDE
+        + """
+, qg AS (
+  SELECT qt.query_id, v.idx AS gid, v.term AS t1, v2.term AS t2
+  FROM qterm qt
+  JOIN vocab v ON v.term = qt.term
+  CROSS JOIN nv
+  JOIN vocab v2 ON v2.idx = (v.idx * 31 + 7) % nv.c
+),
+members AS (
+  SELECT DISTINCT query_id, gid, t1 AS term FROM qg
+  UNION
+  SELECT DISTINCT query_id, gid, t2 AS term FROM qg
+),
+gdf AS (
+  SELECT m.query_id, m.gid, max(df.df) AS df
+  FROM members m JOIN df ON df.term = m.term GROUP BY 1, 2
+),
+gtf AS (
+  SELECT m.query_id, m.gid, tf.doc_id, sum(tf.tf) AS tf
+  FROM members m JOIN tf ON tf.term = m.term GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT g.query_id, g.doc_id,
+         round(sum( ln(1 + (s.n - gd.df + 0.5) / (gd.df + 0.5))
+                    * g.tf / (g.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM gtf g
+  JOIN gdf gd ON gd.query_id = g.query_id AND gd.gid = g.gid
+  JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
         "bm25_topk": _PRELUDE
         + """
 , scored AS (
@@ -9186,6 +9297,22 @@ FROM anded a JOIN documents d USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # _analyze: the indexed token stream of document (29q mod n)
+        "analyze_stop": """
+WITH nd AS (SELECT count(*) AS c FROM documents),
+aq AS (
+  SELECT q AS query_id, (29 * q) % c AS sel
+  FROM generate_series(0, {nq1}) t(q) CROSS JOIN nd
+),
+stream AS (
+  SELECT a.query_id::BIGINT AS query_id,
+         (generate_subscripts(string_split(d.text, ' '), 1) - 1)::BIGINT AS pos,
+         unnest(string_split(d.text, ' ')) AS token
+  FROM aq a JOIN documents d ON d.doc_id = a.sel
+)
+SELECT query_id, pos, token FROM stream
+WHERE token NOT IN ('scan', 'column', 'window', 'order')
+ORDER BY 1, 2, 3
+""".replace("{nq1}", str(_N_QUERIES - 1)),
         "analyze": """
 WITH nd AS (SELECT count(*) AS c FROM documents),
 aq AS (

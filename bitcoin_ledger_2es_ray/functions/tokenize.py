@@ -322,3 +322,44 @@ def term_counts(
             "tf": agg["doc_id_count"].cast(pa.uint32()),
         }
     )
+
+
+# ES `stop` token filter: a fixed stopword set dropped AFTER tokenization.
+# Positions keep their original ordinals (ES preserves position gaps so
+# phrase queries don't collapse across removed words); dl counts only the
+# kept tokens (stopped terms are never indexed, so they can't norm).
+STOPWORDS: tuple[str, ...] = ("scan", "column", "window", "order")
+
+
+def stop_filtered(base, stopwords: tuple[str, ...] = STOPWORDS):
+    """Wrap a Tokenizer-protocol callable with the ES ``stop`` filter."""
+    stop_arr = pa.array(sorted(set(stopwords)), type=pa.string())
+
+    def tok(content, langs=None, tag_lang=False, return_positions=False):
+        out = base(
+            content, langs=langs, tag_lang=tag_lang,
+            return_positions=return_positions,
+        )
+        if return_positions:
+            terms, doc_idx, dl, pos = out
+        else:
+            terms, doc_idx, dl = out
+            pos = None
+        drop = pc.is_in(terms, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        drop = np.nan_to_num(drop, nan=False).astype(bool)
+        if drop.any():
+            keep_idx = np.flatnonzero(~drop)
+            terms = terms.take(pa.array(keep_idx))
+            doc_idx = doc_idx[keep_idx]
+            if pos is not None:
+                pos = pos[keep_idx]
+            dl = np.bincount(doc_idx, minlength=len(dl)).astype(np.uint32)
+        if return_positions:
+            return terms, doc_idx, dl, pos
+        return terms, doc_idx, dl
+
+    return tok
+
+
+TOKENIZERS["code_stop"] = stop_filtered(tokenize_flat)
+TOKENIZERS["whitespace_stop"] = stop_filtered(whitespace_tokenize_flat)

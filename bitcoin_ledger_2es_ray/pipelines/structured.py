@@ -973,3 +973,61 @@ def highlight_fragments(
         (int(a), int(r), int(p), int(l), int(h))
         for a, r, p, l, h in zip(docs, ranks, pos, lo, hi)
     ]
+
+
+def synonym_match_topk(
+    store: SegmentStore,
+    groups: list[list[str]],
+    k: int,
+    round_decimals: int = 6,
+) -> list[tuple[int, float]]:
+    """ES ``match`` under a search-time ``synonym_graph`` filter — Lucene
+    ``SynonymQuery`` semantics: each synonym GROUP scores as one pseudo
+    term whose per-doc tf is the SUM over member tfs and whose df is the
+    MAX member df (Lucene's blended statistics), so adding synonyms never
+    double-counts idf.  Scores sum across groups, rank on the rounded
+    score, ties doc ASC — the shared ranking contract.
+
+    Groups resolve against the footer-pruned dictionary exactly like
+    plain terms; a group with no indexed member contributes nothing (ES:
+    the SynonymQuery matches no docs)."""
+    from ..functions.bm25 import idf, sql_round, tf_norm, topk_order
+
+    docs_l: list[np.ndarray] = []
+    contrib_l: list[np.ndarray] = []
+    for group in groups:
+        members = sorted(set(group))
+        d_l, tf_l, dl_l, dfs = [], [], [], []
+        for t in members:
+            df_t = store.td.df_of(t)
+            if df_t == 0:
+                continue
+            d, tf, dl = store.postings(t)
+            if len(d) == 0:
+                continue
+            dfs.append(df_t)
+            d_l.append(d.astype(np.int64))
+            tf_l.append(tf.astype(np.float64))
+            dl_l.append(dl.astype(np.float64))
+        if not dfs:
+            continue
+        d_all = np.concatenate(d_l)
+        uniq, inv = np.unique(d_all, return_inverse=True)
+        tf_sum = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(tf_sum, inv, np.concatenate(tf_l))
+        dl_u = np.zeros(len(uniq), dtype=np.float64)
+        dl_u[inv] = np.concatenate(dl_l)  # same dl for every member hit
+        contrib = float(idf(store.n_docs, max(dfs))) * tf_norm(
+            tf_sum, dl_u, store.avgdl
+        )
+        docs_l.append(uniq)
+        contrib_l.append(contrib)
+    if not docs_l:
+        return []
+    all_docs = np.concatenate(docs_l)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, np.concatenate(contrib_l))
+    scores = sql_round(scores, round_decimals)
+    order = topk_order(scores, uniq.astype(np.uint64), k)
+    return [(int(uniq[i]), float(scores[i])) for i in order]

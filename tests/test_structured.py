@@ -625,3 +625,41 @@ def test_highlight_fragments_brute_force(ray_session):
         assert {(d, p, lo, hi) for d, r, p, lo, hi in frags if r == 1} == first
     with _pt.raises(ValueError):
         highlight_fragments(store, "ant", n_frags=0)
+
+
+def test_synonym_match_blended_stats(built):
+    """Lucene SynonymQuery: tf sums over the group, df = MAX member df —
+    brute force over the oracle postings; singleton group == plain term."""
+    import numpy as np
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import idf, sql_round, tf_norm
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+    from bitcoin_ledger_2es_ray.pipelines.structured import synonym_match_topk
+
+    res, oracle, _ = built
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(oracle.postings)
+    g = [vocab[0], vocab[1]]
+    got = synonym_match_topk(store, [g], k=10)
+    # brute force
+    tf_by_doc: dict[int, float] = {}
+    for t in g:
+        for row, tf in oracle.postings[t].items():
+            d = int(oracle.doc_ids[row])
+            tf_by_doc[d] = tf_by_doc.get(d, 0.0) + tf
+    df_g = max(len(oracle.postings[t]) for t in g)
+    dl_of = {int(oracle.doc_ids[i]): float(oracle.dl[i]) for i in range(len(oracle.dl))}
+    avgdl = float(oracle.dl.sum()) / len(oracle.dl)
+    scored = sorted(
+        (
+            (d, float(sql_round(idf(len(oracle.dl), df_g) * tf_norm(np.float64(tf), np.float64(dl_of[d]), avgdl), 6)))
+            for d, tf in tf_by_doc.items()
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    assert got == scored
+    # singleton group reduces to the plain term query
+    s1 = synonym_match_topk(store, [[vocab[0]]], k=5)
+    from bitcoin_ledger_2es_ray.pipelines.query import score_query
+
+    assert s1 == score_query(store, vocab[0], 5, round_decimals=6)

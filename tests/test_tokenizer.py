@@ -92,3 +92,31 @@ def test_docs_roundtrip():
     docs = tokenize_docs(pa.array(["snake_case fooBar", "plain words here"]))
     assert docs[0] == ["snakecase", "foobar", "snake", "case", "foo", "bar"]
     assert docs[1] == ["plain", "words", "here"]
+
+
+def test_stop_filter_positions_and_dl():
+    """ES `stop` filter: stopwords dropped, position GAPS preserved, dl
+    counts only kept tokens; registry chains participate like any
+    tokenizer."""
+    import pyarrow as pa
+
+    from bitcoin_ledger_2es_ray.functions.tokenize import get_tokenizer
+
+    tok = get_tokenizer("code_stop")
+    t, d, dl, p = tok(
+        pa.array(["scan the column fast", "order by window", "scan scan"]),
+        return_positions=True,
+    )
+    assert t.to_pylist() == ["the", "fast", "by"]
+    assert d.tolist() == [0, 0, 1]
+    assert p.tolist() == [1, 3, 1]  # gaps preserved
+    assert dl.tolist() == [2, 1, 0]  # all-stop doc has dl 0
+    # no-positions path agrees
+    t2, d2, dl2 = tok(pa.array(["scan the column fast"]))
+    assert t2.to_pylist() == ["the", "fast"] and dl2.tolist() == [2]
+
+
+def test_stop_filter_synonym_registry():
+    from bitcoin_ledger_2es_ray.functions.tokenize import TOKENIZERS
+
+    assert "code_stop" in TOKENIZERS and "whitespace_stop" in TOKENIZERS
