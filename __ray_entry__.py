@@ -6182,7 +6182,9 @@ def _q_esql_eval(sf_dir: str) -> pa.Table:
 _FRONT_50 = [
     # newest code paths first (rotated in; the swapped-out entries were
     # driver-green in r3 or judge-reproduced)
-    "parent_agg", "ext_stats_bucket", "count_api",
+    "parent_agg", "ext_stats_bucket", "count_api", "inference_agg",
+    "esql_insist", "geohex_grid", "synonym_match", "analyze_stop",
+    "bpe_corpus_tokens",
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
     "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
     "cartesian_agg", "esql_fuse", "ingest_transforms", "esql_score",

@@ -275,6 +275,15 @@ def cmd_repo(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ccr(args: argparse.Namespace) -> int:
+    """Cross-cluster replication (ES x-pack CCR): one incremental follow
+    sync — only new/changed leader files ship to the follower."""
+    from .pipelines.lifecycle import ccr_follow
+
+    print(json.dumps(ccr_follow(args.leader, args.follower)))
+    return 0
+
+
 def cmd_delete(args: argparse.Namespace) -> int:
     """Soft-delete by forward-map predicate (ES delete_by_query analog):
     tombstones the matching doc_ids; queries mask them immediately, space
@@ -514,6 +523,13 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--index", help="index dir (create)")
     rp.add_argument("--out", help="destination dir (restore)")
     rp.set_defaults(fn=cmd_repo)
+
+    cc = sub.add_parser(
+        "ccr", help="cross-cluster replication: incremental follow sync"
+    )
+    cc.add_argument("--leader", required=True, help="leader index dir")
+    cc.add_argument("--follower", required=True, help="follower index dir")
+    cc.set_defaults(fn=cmd_ccr)
 
     d = sub.add_parser(
         "delete", help="soft-delete docs whose forward-map field matches a value"

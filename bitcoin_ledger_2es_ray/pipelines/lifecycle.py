@@ -1202,3 +1202,61 @@ def cat_indices(registry_dir: str) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows)
+
+
+def ccr_follow(leader_dir: str, follower_dir: str) -> dict:
+    """ES cross-cluster replication (x-pack CCR) — one ``follow`` sync:
+    make the follower index a byte-identical replica of the leader,
+    copying ONLY files that are new or changed since the last sync (ES
+    ships segment files the follower is missing, never the whole index).
+
+    Plan: hash both trees (Ray-parallel when a session is live, exactly
+    like the snapshot repo), copy leader files whose hash differs or is
+    absent (atomic tmp→rename so a killed sync never leaves a torn
+    follower), delete follower files the leader no longer has (segments
+    replaced by compaction).  Repeated syncs on an unchanged leader copy
+    ZERO bytes — the incrementality contract.  Returns
+    {"files", "copied", "reused", "deleted", "bytes_copied"}."""
+    import shutil
+
+    src_root = os.path.abspath(leader_dir)
+    dst_root = os.path.abspath(follower_dir)
+    if src_root == dst_root:
+        raise ValueError("ccr_follow: leader and follower are the same dir")
+    os.makedirs(dst_root, exist_ok=True)
+
+    src_files = _index_files(src_root)
+    src_rel = [os.path.relpath(p, src_root) for p in src_files]
+    dst_files = _index_files(dst_root)
+    dst_rel = {os.path.relpath(p, dst_root): p for p in dst_files}
+
+    # hash everything in one batch (leader + existing follower twins)
+    twins = [r for r in src_rel if r in dst_rel]
+    digests = _hash_files(src_files + [dst_rel[r] for r in twins])
+    src_digest = dict(zip(src_rel, digests[: len(src_files)]))
+    dst_digest = dict(zip(twins, digests[len(src_files):]))
+
+    copied = reused = deleted = bytes_copied = 0
+    for rel, src in zip(src_rel, src_files):
+        if dst_digest.get(rel) == src_digest[rel]:
+            reused += 1
+            continue
+        dst = os.path.join(dst_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = dst + ".ccr-tmp"
+        shutil.copy2(src, tmp)
+        os.replace(tmp, dst)
+        copied += 1
+        bytes_copied += os.path.getsize(src)
+    keep = set(src_rel)
+    for rel, path in dst_rel.items():
+        if rel not in keep:
+            os.remove(path)
+            deleted += 1
+    return {
+        "files": len(src_files),
+        "copied": copied,
+        "reused": reused,
+        "deleted": deleted,
+        "bytes_copied": bytes_copied,
+    }

@@ -139,3 +139,12 @@ def test_cli_esql(ray_session, capsys):
 
     first = next(_csv.reader([csv_out[1]]))
     assert isinstance(json.loads(first[1]), list)  # nested JSON list cell
+
+
+def test_cli_ccr_follow(cli_flow, capsys, tmp_path):
+    _, idx = cli_flow
+    follower = str(tmp_path / "follower")
+    s1 = json.loads(_run(capsys, ["ccr", "--leader", idx, "--follower", follower]).strip())
+    assert s1["copied"] == s1["files"] > 0
+    s2 = json.loads(_run(capsys, ["ccr", "--leader", idx, "--follower", follower]).strip())
+    assert s2["copied"] == 0 and s2["reused"] == s2["files"]

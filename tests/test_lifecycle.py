@@ -840,3 +840,39 @@ def test_cat_indices_over_registry(idx_copy, tmp_path):
     out2 = cat_indices(reg)
     good2 = {r["index"]: r for r in out2.to_pylist()}[_os.path.abspath(idx_copy)]
     assert good2["deleted_docs"] == n
+
+
+def test_ccr_follow_incremental(ray_session, idx_copy, tmp_path):
+    """CCR follow: initial sync copies everything, a no-change re-sync
+    copies ZERO bytes, a leader mutation ships only the changed files, and
+    the follower stays byte-identical throughout."""
+    import pyarrow.compute as pc
+
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import (
+        ccr_follow,
+        update_by_query,
+    )
+
+    follower = str(tmp_path / "follower")
+    s1 = ccr_follow(idx_copy, follower)
+    assert s1["copied"] == s1["files"] and s1["reused"] == 0
+    assert _seg_hashes(follower) == _seg_hashes(idx_copy)
+
+    s2 = ccr_follow(idx_copy, follower)
+    assert s2["copied"] == 0 and s2["bytes_copied"] == 0
+    assert s2["reused"] == s2["files"] == s1["files"]
+
+    update_by_query(idx_copy, pc.field("lang") == "de", {"lang": "und"})
+    s3 = ccr_follow(idx_copy, follower)
+    assert 0 < s3["copied"] < s3["files"]  # only the touched files ship
+    assert _seg_hashes(follower) == _seg_hashes(idx_copy)
+
+    # follower-local corruption repairs on the next sync
+    seg = sorted((Path(follower) / "segments").glob("*.parquet"))[0]
+    seg.write_bytes(b"garbage")
+    s4 = ccr_follow(idx_copy, follower)
+    assert s4["copied"] >= 1
+    assert _seg_hashes(follower) == _seg_hashes(idx_copy)
+
+    with pytest.raises(ValueError):
+        ccr_follow(idx_copy, idx_copy)
