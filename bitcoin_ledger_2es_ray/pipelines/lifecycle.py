@@ -1260,3 +1260,39 @@ def ccr_follow(leader_dir: str, follower_dir: str) -> dict:
         "deleted": deleted,
         "bytes_copied": bytes_copied,
     }
+
+
+def mount_snapshot(repo_dir: str, name: str, mount_dir: str):
+    """ES searchable snapshots (``_snapshot/.../_mount``): serve queries
+    DIRECTLY off a repository snapshot without a full restore.
+
+    The repo's blobs are immutable content-addressed files, so mounting is
+    the PIT trick pointed at the repository: verify each blob against its
+    manifest hash once, then HARDLINK it into the mount tree under its
+    original relative path (zero bytes copied when the filesystem allows;
+    copy-fallback otherwise).  The mounted tree is read-only by contract —
+    writers must restore instead (the ES distinction between a mounted
+    searchable snapshot and a restored index).  Returns a ``SegmentStore``
+    over the mount; unmounting = deleting the directory, the repo is
+    untouched."""
+    import json
+    import shutil
+
+    from .query import SegmentStore
+
+    with open(os.path.join(repo_dir, "snapshots", f"{name}.json")) as f:
+        entries = json.load(f)["files"]
+    blob_root = os.path.join(repo_dir, "blobs")
+    for rel, meta in sorted(entries.items()):
+        blob = os.path.join(blob_root, meta["sha256"])
+        if _sha256_file(blob) != meta["sha256"]:
+            raise ValueError(f"snapshot corruption: {rel} checksum mismatch")
+    for rel, meta in sorted(entries.items()):
+        blob = os.path.join(blob_root, meta["sha256"])
+        dst = os.path.join(mount_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(blob, dst)
+        except OSError:
+            shutil.copy2(blob, dst)
+    return SegmentStore(mount_dir)

@@ -876,3 +876,37 @@ def test_ccr_follow_incremental(ray_session, idx_copy, tmp_path):
 
     with pytest.raises(ValueError):
         ccr_follow(idx_copy, idx_copy)
+
+
+def test_mount_snapshot_searchable(ray_session, idx_copy, tmp_path, built):
+    """Searchable snapshot: a mounted repo snapshot answers queries
+    byte-identically to the live index, survives later live-index writes,
+    and refuses corrupted blobs."""
+    import pyarrow.compute as pc
+
+    from bitcoin_ledger_2es_ray.pipelines.lifecycle import (
+        mount_snapshot,
+        snapshot_create,
+        update_by_query,
+    )
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, score_query
+
+    repo = str(tmp_path / "repo")
+    snapshot_create(idx_copy, repo, "s1")
+    store = mount_snapshot(repo, "s1", str(tmp_path / "mnt"))
+    live = SegmentStore(idx_copy)
+    _, oracle, _ = built
+    term = sorted(oracle.postings)[0]
+    assert score_query(store, term, 10, round_decimals=6) == score_query(
+        live, term, 10, round_decimals=6
+    )
+    # live mutation after the mount does not disturb the mounted view
+    before = score_query(store, term, 10, round_decimals=6)
+    update_by_query(idx_copy, pc.field("lang") == "de", {"lang": "und"})
+    assert score_query(store, term, 10, round_decimals=6) == before
+
+    # corrupted blob refuses to mount
+    blobs = sorted((Path(repo) / "blobs").iterdir())
+    blobs[0].write_bytes(b"garbage")
+    with pytest.raises(ValueError):
+        mount_snapshot(repo, "s1", str(tmp_path / "mnt2"))
