@@ -169,3 +169,38 @@ def test_bpe_tokenize_sink(built, ray_session, tmp_path):
     sink = pq.read_table(out).sort_by("doc_id")
     direct = bpe_tokenize_corpus("/root/testdata/sf0.001", merges, concurrency=2)
     assert sink.equals(direct.cast(sink.schema))
+
+
+def test_bpe_priority_encode_property():
+    """Hypothesis: for ANY trained merge table (random corpora) and ANY
+    word, the priority encoder equals the rank-order sweep and its output
+    concatenates back to word + EOW."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bitcoin_ledger_2es_ray.pipelines.bpe import (
+        bpe_encode,
+        bpe_encode_ranked,
+        merge_ranks,
+    )
+
+    words_st = st.text(alphabet="abcd", min_size=1, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        corpus=st.lists(
+            st.tuples(words_st, st.integers(min_value=1, max_value=9)),
+            min_size=1,
+            max_size=6,
+        ),
+        probe=words_st,
+        n_merges=st.integers(min_value=1, max_value=12),
+    )
+    def check(corpus, probe, n_merges):
+        merges = bpe_train(corpus, n_merges=n_merges)
+        ranks = merge_ranks(merges)
+        got = bpe_encode_ranked(probe, ranks)
+        assert got == bpe_encode(probe, merges)
+        assert "".join(got) == probe + EOW
+
+    check()

@@ -254,3 +254,33 @@ def test_geohex_grid_counts(ray_session):
     assert int(sum(got["n"].to_pylist())) == n_cust  # cells tile the plane
     ns = got["n"].to_pylist()
     assert ns == sorted(ns, reverse=True) or len(set(ns)) < len(ns)
+
+
+def test_hex_cell_property_nearest_center():
+    """Hypothesis: hex_cell always returns the axial cell whose center is
+    nearest in hex metric (ties aside), for arbitrary lat/lon and sizes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bitcoin_ledger_2es_ray.pipelines.geo import hex_cell
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        lat=st.floats(min_value=-90, max_value=90, allow_nan=False),
+        lon=st.floats(min_value=-180, max_value=180, allow_nan=False),
+        size=st.sampled_from([5.0, 15.0, 30.0, 45.0]),
+    )
+    def check(lat, lon, size):
+        la = np.array([lat]); lo = np.array([lon])
+        q, r = hex_cell(la, lo, size)
+        qf = float((np.sqrt(3.0) / 3.0 * lo - la / 3.0) / size)
+        rf = float((2.0 / 3.0 * la) / size)
+        dq, dr = qf - q[0], rf - r[0]
+        mine = (abs(dq) + abs(dr) + abs(dq + dr)) / 2.0
+        for cq in range(int(qf) - 2, int(qf) + 3):
+            for cr in range(int(rf) - 2, int(rf) + 3):
+                d = (abs(qf - cq) + abs(rf - cr) + abs(qf - cq + rf - cr)) / 2.0
+                assert mine <= d + 1e-9, (lat, lon, size, (cq, cr))
+
+    check()
