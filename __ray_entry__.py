@@ -3692,6 +3692,15 @@ def _q_stratified_sample(sf_dir: str) -> pa.Table:
     return stratified_sample(sf_dir, frac=0.2)
 
 
+def _q_histogram_field_stats(sf_dir: str) -> pa.Table:
+    """ES ``histogram`` field type: per-order pre-binned quantity
+    histograms, percentile/value_count/sum/avg aggs merging the
+    PRE-AGGREGATED data (`pipelines/aggs.py: histogram_field_stats`)."""
+    from bitcoin_ledger_2es_ray.pipelines.aggs import histogram_field_stats
+
+    return histogram_field_stats(sf_dir, round_decimals=_ROUND)
+
+
 def _q_sibling_bucket_stats(sf_dir: str) -> pa.Table:
     """ES sibling pipeline aggs (avg/min/max/sum/stats_bucket) over the
     daily date_histogram doc counts — coordinator-side like ES."""
@@ -6329,6 +6338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "bucket_selector": _q_bucket_selector,
         "sibling_bucket_stats": _q_sibling_bucket_stats,
+        "histogram_field_stats": _q_histogram_field_stats,
         "serial_diff": _q_serial_diff,
         "derivative": _q_derivative,
         "cumulative_sum": _q_cumulative_sum,
@@ -10724,6 +10734,17 @@ r AS (
 SELECT doc_id, lang FROM r WHERE rn <= ceil(0.2 * n) ORDER BY doc_id
 """,
         # sibling pipeline aggs over the daily doc-count buckets
+        "histogram_field_stats": """
+SELECT count(*)::BIGINT AS value_count,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       round(quantile_cont(l_quantity, 0.90), 6) AS p90,
+       round(quantile_cont(l_quantity, 0.99), 6) AS p99
+FROM lineitem
+""",
         "sibling_bucket_stats": """
 WITH e AS (
   SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS bucket_s,

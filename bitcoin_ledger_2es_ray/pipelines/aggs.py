@@ -2899,3 +2899,84 @@ def percentiles_tdigest(
             "n_centroids": pa.array([len(digest[0])] * len(qs), type=pa.int64()),
         }
     )
+
+
+def histogram_field_stats(
+    sf_dir: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``histogram`` FIELD type + the aggs that run over it: docs store
+    pre-aggregated (values[], counts[]) histograms (here: one histogram of
+    lineitem quantities per order, derived by the one index-time groupby
+    ES's ingest pre-aggregation corresponds to), and percentiles /
+    value_count / sum / avg merge the PRE-BINNED data without ever seeing
+    raw rows — the histogram-field contract (lossless here because the
+    binning is exact value-counts).
+
+    Plan: the per-doc histograms stream back out as (value, count) pair
+    partials (per-batch Arrow hash-agg — bounded by distinct values per
+    batch, never rows), ONE driver combine bounded by global distinct
+    values, then ``quantile_cont`` interpolation off the merged histogram.
+    → one row: (value_count, sum_qty, avg_qty, p25..p99)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.bm25 import sql_round
+
+    # index-time pre-aggregation: the per-order histogram field
+    def pre_bin(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_orderkey", "l_quantity"]).aggregate(
+            [("l_quantity", "count")]
+        )
+        return pa.table(
+            {
+                "doc": g["l_orderkey"].cast(pa.int64()),
+                "value": g["l_quantity"].cast(pa.float64()),
+                "count": g["l_quantity_count"].cast(pa.int64()),
+            }
+        )
+
+    hist_field = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_quantity"],
+        )
+        .map_batches(pre_bin, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc", "value"])
+        .aggregate(Sum("count", alias_name="count"))
+    )
+
+    # the agg over the histogram field: merge pre-binned pairs
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("value").aggregate([("count", "sum")])
+        return pa.table(
+            {"value": g["value"], "n": g["count_sum"].cast(pa.int64())}
+        )
+
+    ds = hist_field.map_batches(partial, batch_format="pyarrow")
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [
+        p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+        for p in parts
+    ]
+    cat = pa.concat_tables([p for p in parts if p.num_rows])
+    if cat.num_rows == 0:
+        raise ValueError("histogram_field_stats: empty input")
+    t = cat.group_by("value").aggregate([("n", "sum")])
+    vals = np.asarray(t["value"].combine_chunks(), dtype=np.float64)
+    cnts = np.asarray(t["n_sum"].combine_chunks(), dtype=np.int64)
+    n = int(cnts.sum())
+    s = float((vals * cnts).sum())  # integral quantities: exact in float64
+    cols: dict[str, pa.Array] = {
+        "value_count": pa.array([n], type=pa.int64()),
+        "sum_qty": pa.array([float(sql_round(s, round_decimals))]),
+        "avg_qty": pa.array([float(sql_round(s / n, round_decimals))]),
+    }
+    for q in quantiles:
+        cols[f"p{int(q * 100)}"] = pa.array(
+            [float(sql_round(_weighted_quantile(vals, cnts, q), round_decimals))]
+        )
+    return pa.table(cols)

@@ -3733,3 +3733,28 @@ def test_extended_stats_bucket_rejections():
         extended_stats_bucket(_toy_buckets().slice(0, 0), metric="m")
     with _pytest.raises(ValueError):
         extended_stats_bucket(_toy_buckets(), metric="m", sigma=-1.0)
+
+
+def test_histogram_field_stats_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from bitcoin_ledger_2es_ray.pipelines.aggs import histogram_field_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = histogram_field_stats(sf).to_pandas()
+    con = duckdb.connect()
+    orc = con.sql(
+        f"""
+        SELECT count(*)::BIGINT AS value_count,
+               round(sum(l_quantity), 6) AS sum_qty,
+               round(sum(l_quantity) / count(*), 6) AS avg_qty,
+               round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+               round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+               round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+               round(quantile_cont(l_quantity, 0.90), 6) AS p90,
+               round(quantile_cont(l_quantity, 0.99), 6) AS p99
+        FROM read_parquet('{sf}/lineitem.parquet')
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, orc, check_dtype=False, atol=0, rtol=0)
