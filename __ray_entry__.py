@@ -4524,6 +4524,15 @@ def _q_model_rerank(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_knn_int4(sf_dir: str) -> pa.Table:
+    """ES int4 scalar-quantized kNN (8.14+): half-byte packed codes,
+    dequantize-scan + exact rescore — rows-only (approximate by nature;
+    recall pinned in pytest) (`pipelines/ann.py: knn_int4`)."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_int4
+
+    return knn_int4(sf_dir, n_queries=5, k=5, oversample=8, round_decimals=_ROUND)
+
+
 def _q_knn_int8(sf_dir: str) -> pa.Table:
     """int8 scalar-quantized kNN with exact rescore of the quantized
     shortlist (approximate — recall pytest-asserted, rows-only gate)."""
@@ -6409,6 +6418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": _q_zipf_fit,
         "model_rerank": _q_model_rerank,
         "knn_int8": _q_knn_int8,
+        "knn_int4": _q_knn_int4,
         "knn_bbq": _q_knn_bbq,
         "percentiles_bucket": _q_percentiles_bucket,
         "bucket_correlation": _q_bucket_correlation,

@@ -1898,3 +1898,134 @@ def kmeans_assign_to_parquet(
     from .textstats import write_dataset
 
     return write_dataset(kmeans_assign_ds(sf_dir, n_centroids, sample, iters), out_dir)
+
+
+def knn_int4(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    oversample: int = 8,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """ES ``int4_flat`` / ``int4_hnsw``-style HALF-BYTE scalar-quantized
+    kNN (8.14+): ``knn_int8``'s plan at twice the compression — vectors
+    quantize to 4-bit codes PACKED two-per-byte (8× memory vs float32,
+    the int4 deal), the scan unpacks + dequantizes per batch, ranks by
+    approximate dot, and exact float cosine rescores only the
+    ``oversample``·k shortlist.  The coarser grid loses more shortlist
+    recall than int8, hence the larger default oversample (ES's own int4
+    guidance).  Approximate by nature (recall vs the exact scan is
+    pytest-asserted; no SQL oracle)."""
+    import ray
+    import ray.data as rd
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    qn = _normalize(q_mat)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(batch)
+        mat = _normalize(mat)
+        return pa.table(
+            {
+                "mn": pa.array([mat.min(axis=0).tolist()]),
+                "mx": pa.array([mat.max(axis=0).tolist()]),
+            }
+        )
+
+    sparts = [
+        ray.get(r)
+        for r in rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ]
+    sparts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in sparts]
+    st = pa.concat_tables([p for p in sparts if p.num_rows])
+    mn = np.array(st["mn"].to_pylist(), dtype=np.float64).min(axis=0)
+    mx = np.array(st["mx"].to_pylist(), dtype=np.float64).max(axis=0)
+    span = np.where(mx > mn, mx - mn, 1.0)
+    scale = (span / 15.0).astype(np.float64)
+    shortlist = oversample * k
+    q_ref = ray.put((qn, q_ids))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qnm, qid = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        norm = _normalize(mat)
+        codes = np.clip(
+            np.round((norm - mn) / span * 15.0), 0, 15
+        ).astype(np.uint8)
+        # pack two 4-bit codes per byte — what the int4 index stores;
+        # odd dims pad one nibble (exactly ES's layout trade)
+        d = codes.shape[1]
+        if d % 2:
+            codes = np.concatenate(
+                [codes, np.zeros((codes.shape[0], 1), dtype=np.uint8)], axis=1
+            )
+        packed = (codes[:, 0::2] << 4) | codes[:, 1::2]
+        # the scan unpacks (this is the stored form round-tripping)
+        hi = (packed >> 4).astype(np.float64)
+        lo = (packed & 0x0F).astype(np.float64)
+        unpacked = np.empty_like(codes, dtype=np.float64)
+        unpacked[:, 0::2] = hi
+        unpacked[:, 1::2] = lo
+        deq = mn + unpacked[:, :d] * scale
+        raw = deq @ qnm.T
+        out_q, out_v, out_i, out_s = [], [], [], []
+        m = min(shortlist, raw.shape[0])
+        for j in range(raw.shape[1]):
+            col = raw[:, j]
+            top = (
+                np.argpartition(-col, m - 1)[:m]
+                if raw.shape[0] > m
+                else np.arange(raw.shape[0])
+            )
+            sims = norm[top] @ qnm[j]
+            out_q.append(np.full(len(top), qid[j], dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_i.append(col[top])
+            out_s.append(sql_round(sims, round_decimals))
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "iscore": np.concatenate(out_i),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    q = np.asarray(t["query_id"], dtype=np.int64)
+    v = np.asarray(t["vec_id"], dtype=np.int64)
+    isc = np.asarray(t["iscore"], dtype=np.float64)
+    sim = np.asarray(t["sim"], dtype=np.float64)
+    qids, ranks, vids, sims = [], [], [], []
+    for qi in np.unique(q):
+        msk = q == qi
+        vv, ii, ss = v[msk], isc[msk], sim[msk]
+        order = np.lexsort((vv, -ii))[:shortlist]
+        vv, ss = vv[order], ss[order]
+        rr = np.lexsort((vv, -ss))[:k]
+        for rank, j in enumerate(rr, start=1):
+            qids.append(int(qi))
+            ranks.append(rank)
+            vids.append(int(vv[j]))
+            sims.append(float(ss[j]))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "vec_id": pa.array(vids, type=pa.int64()),
+            "sim": pa.array(sims, type=pa.float64()),
+        }
+    )

@@ -1879,3 +1879,35 @@ def test_outlier_scores_lsh_vs_exact(ray_session):
         assert af[v] == ef[v], v
     s = approx["outlier_score"].to_pylist()
     assert min(s) >= 0.0 and max(s) <= 1.0
+
+
+def test_knn_int4_recall_vs_exact(ray_session):
+    """int4 half-byte quantization: recall vs the exact scan holds at the
+    larger oversample, and agreeing rows carry the EXACT cosine (rescore
+    semantics, same contract as int8)."""
+    from bitcoin_ledger_2es_ray.pipelines.ann import knn_bruteforce, knn_int4
+
+    exact = knn_bruteforce(SF, n_queries=5, k=5)
+    quant = knn_int4(SF, n_queries=5, k=5, oversample=8)
+    ex = {}
+    for q, v in zip(exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()):
+        ex.setdefault(q, set()).add(v)
+    got = {}
+    for q, v in zip(quant["query_id"].to_pylist(), quant["vec_id"].to_pylist()):
+        got.setdefault(q, set()).add(v)
+    hits = sum(len(ex[q] & got.get(q, set())) for q in ex)
+    total = sum(len(s) for s in ex.values())
+    assert hits / total >= 0.8, f"int4 recall {hits/total:.2f}"
+    exact_sim = {
+        (q, v): s
+        for q, v, s in zip(
+            exact["query_id"].to_pylist(), exact["vec_id"].to_pylist(),
+            exact["sim"].to_pylist(),
+        )
+    }
+    for q, v, s in zip(
+        quant["query_id"].to_pylist(), quant["vec_id"].to_pylist(),
+        quant["sim"].to_pylist(),
+    ):
+        if (q, v) in exact_sim:
+            assert s == exact_sim[(q, v)], (q, v)
