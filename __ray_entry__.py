@@ -3964,6 +3964,19 @@ def _q_dpr_triples(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_bpe_pack(sf_dir: str) -> pa.Table:
+    """Sequence packing under the TRAINED tokenizer's subword lengths
+    (rows-only: BPE lengths aren't SQL-expressible) — the two-phase
+    distributed prefix sum over BPE counts
+    (`pipelines/curate.py: pack_bpe_sequences`)."""
+    from bitcoin_ledger_2es_ray.pipelines.bpe import bpe_train, word_freq_from_dict
+    from bitcoin_ledger_2es_ray.pipelines.curate import pack_bpe_sequences
+
+    res = _index_for(sf_dir)
+    merges = bpe_train(word_freq_from_dict(res.out_dir), n_merges=20)
+    return pack_bpe_sequences(sf_dir, merges, budget=512)
+
+
 def _q_bpe_corpus_tokens(sf_dir: str) -> pa.Table:
     """Corpus-wide BPE tokenization with the trained merges (rows-only:
     BPE inference is not SQL-expressible): per doc, word count and
@@ -6343,6 +6356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": _q_hard_negatives,
         "bpe_merges": _q_bpe_merges,
         "bpe_corpus_tokens": _q_bpe_corpus_tokens,
+        "bpe_pack": _q_bpe_pack,
         "dpr_triples": _q_dpr_triples,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "bucket_selector": _q_bucket_selector,

@@ -836,3 +836,91 @@ def source_filter_to_parquet(sf_dir: str, out_dir: str, threshold: float = 0.445
     from .textstats import write_dataset
 
     return write_dataset(source_filter_ds(sf_dir, threshold), out_dir)
+
+
+def pack_bpe_sequences(
+    sf_dir: str, merges: pa.Table, budget: int = 256
+) -> pa.Table:
+    """``pack_sequences`` with the TRAINED tokenizer's lengths: the same
+    two-phase distributed prefix-sum plan, but each doc's length is its
+    BPE SUBWORD count (the number a real LM packing job needs — whitespace
+    counts under-budget every sequence once documents tokenize to >1
+    subword per word).  → (doc_id, tok_offset, chunk_id) over subword
+    offsets.
+
+    Phase-1 tasks carry the broadcast merge-rank table and a distinct-word
+    memo per task (the ``BpeEncoder`` trade: encode cost tracks distinct
+    words per row group, not token occurrences); phase 2 is unchanged —
+    driver state stays O(#row groups)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from .bpe import bpe_encode_ranked, merge_ranks
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    path = f"{sf_dir}/documents.parquet"
+    ranks_ref = ray.put(merge_ranks(merges))
+
+    @ray.remote(num_cpus=1)
+    def count_rg(rg: int) -> pa.Table:
+        ranks = ray.get(ranks_ref)
+        t = pq.ParquetFile(path).read_row_group(rg, columns=["doc_id", "text"])
+        words = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        lengths = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = flat.dictionary_encode()
+        n_sub = np.array(
+            [len(bpe_encode_ranked(w, ranks)) for w in enc.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), lengths)
+        dl = np.bincount(doc_of, weights=n_sub[codes], minlength=t.num_rows)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "dl": pa.array(dl.astype(np.int64)),
+            }
+        )
+
+    @ray.remote(num_cpus=1)
+    def summarize(part: pa.Table) -> tuple[int, int, int]:
+        return (
+            int(pc.sum(part["dl"]).as_py() or 0),
+            int(pc.min(part["doc_id"]).as_py()),
+            int(pc.max(part["doc_id"]).as_py()),
+        )
+
+    n_rgs = pq.ParquetFile(path).metadata.num_row_groups
+    refs = [count_rg.remote(rg) for rg in range(n_rgs)]
+    sums = ray.get([summarize.remote(r) for r in refs])
+    prev_max = -1
+    for _, lo, hi in sums:
+        if lo <= prev_max:
+            raise ValueError("documents.parquet is not doc_id-ordered by row group")
+        prev_max = hi
+    totals = [s for s, _, _ in sums]
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1])).astype(np.int64)
+
+    @ray.remote(num_cpus=1)
+    def assign(part: pa.Table, base: int) -> pa.Table:
+        dl = np.asarray(part["dl"], dtype=np.int64)
+        ids = np.asarray(part["doc_id"], dtype=np.int64)
+        if len(ids) > 1 and np.any(np.diff(ids) <= 0):
+            raise ValueError("row group not doc_id-ordered")
+        off = base + np.concatenate(([0], np.cumsum(dl)[:-1]))
+        return pa.table(
+            {
+                "doc_id": part["doc_id"],
+                "tok_offset": pa.array(off),
+                "chunk_id": pa.array(off // budget),
+            }
+        )
+
+    out = [assign.remote(r, int(b)) for r, b in zip(refs, bases)]
+    return pa.concat_tables(ray.get(out)).sort_by("doc_id")

@@ -1911,3 +1911,28 @@ def test_knn_int4_recall_vs_exact(ray_session):
     ):
         if (q, v) in exact_sim:
             assert s == exact_sim[(q, v)], (q, v)
+
+
+def test_pack_bpe_sequences_consistency(ray_session, built):
+    """BPE packing: offsets are the exclusive prefix sum of the per-doc
+    subword counts from bpe_tokenize_corpus, chunk ids floor-divide, and
+    the whitespace packer is recovered when no merges apply."""
+    import numpy as np
+
+    from bitcoin_ledger_2es_ray.pipelines.bpe import (
+        bpe_tokenize_corpus,
+        bpe_train,
+        word_freq_from_dict,
+    )
+    from bitcoin_ledger_2es_ray.pipelines.curate import pack_bpe_sequences
+
+    res, _, _ = built
+    wf = word_freq_from_dict(res.out_dir)
+    merges = bpe_train(wf, n_merges=15)
+    packed = pack_bpe_sequences(SF, merges, budget=512).sort_by("doc_id")
+    counts = bpe_tokenize_corpus(SF, merges, concurrency=2).sort_by("doc_id")
+    assert packed["doc_id"].to_pylist() == counts["doc_id"].to_pylist()
+    dl = np.asarray(counts["n_subwords"], dtype=np.int64)
+    exp_off = np.concatenate(([0], np.cumsum(dl)[:-1]))
+    assert packed["tok_offset"].to_pylist() == exp_off.tolist()
+    assert packed["chunk_id"].to_pylist() == (exp_off // 512).tolist()
