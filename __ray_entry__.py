@@ -5859,6 +5859,24 @@ def _q_sql_having(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_sql_show_tables(sf_dir: str) -> pa.Table:
+    """ES SQL ``SHOW TABLES``: the catalog from the table directory —
+    independently mirrored by DuckDB's information_schema over the same
+    registered views (`pipelines/sql_api.py: show_tables`)."""
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import run_sql
+
+    return run_sql("SHOW TABLES", sf_dir)
+
+
+def _q_sql_describe(sf_dir: str) -> pa.Table:
+    """ES SQL ``DESCRIBE embeddings``: (column, type) from the parquet
+    FOOTER, Arrow→ES type names (list → dense_vector)
+    (`pipelines/sql_api.py: describe_table`)."""
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import run_sql
+
+    return run_sql("DESCRIBE embeddings", sf_dir)
+
+
 def _q_sql_select(sf_dir: str) -> pa.Table:
     """ES _sql endpoint: projection SELECT with alias, NOT and LIMIT."""
     from bitcoin_ledger_2es_ray.pipelines.sql_api import run_sql
@@ -6601,6 +6619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_qstr": _q_esql_qstr,
         "esql_ts_rate": _q_esql_ts_rate,
         "sql_select": _q_sql_select,
+        "sql_show_tables": _q_sql_show_tables,
+        "sql_describe": _q_sql_describe,
         "sql_having": _q_sql_having,
         "sql_distinct": _q_sql_distinct,
         "esql_stats_by": _q_esql_stats_by,
@@ -12030,6 +12050,27 @@ FROM documents WHERE n_chars >= 100 AND source LIKE 'src1%'
 GROUP BY lang ORDER BY l
 """,
         "sql_select": _SQL_SELECT,
+        "sql_show_tables": """
+SELECT table_name AS name FROM information_schema.tables
+WHERE table_schema = 'main' ORDER BY 1
+""",
+        "sql_describe": """
+SELECT column_name AS "column",
+       CASE data_type
+            WHEN 'BIGINT' THEN 'long'
+            WHEN 'INTEGER' THEN 'integer'
+            WHEN 'DOUBLE' THEN 'double'
+            WHEN 'FLOAT' THEN 'float'
+            WHEN 'VARCHAR' THEN 'text'
+            WHEN 'BOOLEAN' THEN 'boolean'
+            WHEN 'TIMESTAMP' THEN 'datetime'
+            ELSE CASE WHEN data_type LIKE '%[]' THEN 'dense_vector'
+                      ELSE lower(data_type) END
+       END AS type
+FROM information_schema.columns WHERE table_name = 'embeddings'
+ORDER BY 1
+""",
+
         "sql_having": """
 SELECT l_returnflag, count(*)::BIGINT AS n, round(avg(l_quantity), 6) AS a
 FROM lineitem GROUP BY 1 HAVING n > 14000 ORDER BY 1

@@ -297,7 +297,81 @@ def sql_to_esql(sql: str) -> str:
 
 
 def run_sql(sql: str, sf_dir: str):
-    """Translate + execute one SQL SELECT over the ``sf_dir`` tables."""
+    """Translate + execute one SQL SELECT over the ``sf_dir`` tables;
+    catalog commands (``SHOW TABLES``, ``DESCRIBE t`` / ``SHOW COLUMNS
+    [FROM|IN] t``) answer from parquet footers without a scan."""
+    import re as _re
+
     from .esql import run_esql
 
+    stripped = sql.strip().rstrip(";").strip()
+    if _re.fullmatch(r"SHOW\s+TABLES", stripped, _re.IGNORECASE):
+        return show_tables(sf_dir)
+    m = _re.fullmatch(
+        r"(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+(?:FROM|IN))\s+(\w+)",
+        stripped,
+        _re.IGNORECASE,
+    )
+    if m:
+        return describe_table(sf_dir, m.group(1))
     return run_esql(sql_to_esql(sql), sf_dir)
+
+
+# ES SQL type names for Arrow physical types (DESCRIBE/SHOW COLUMNS).
+# ES maps analyzed strings to "text"; every testdata string column is the
+# analyzed kind, so the mapping has no keyword branch (documented).
+_ES_TYPE = {
+    "int64": "long",
+    "int32": "integer",
+    "double": "double",
+    "float": "float",
+    "string": "text",
+    "large_string": "text",
+    "bool": "boolean",
+    "timestamp[us]": "datetime",
+    "timestamp[ns]": "datetime",
+}
+
+
+def show_tables(sf_dir: str) -> "pa.Table":
+    """ES SQL ``SHOW TABLES``: the catalog — one row per parquet table in
+    the directory, name ascending (ES lists indices the same way)."""
+    import os
+
+    import pyarrow as pa
+
+    names = sorted(
+        f[:-8]
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    return pa.table({"name": pa.array(names, type=pa.string())})
+
+
+def describe_table(sf_dir: str, table: str) -> "pa.Table":
+    """ES SQL ``DESCRIBE <table>`` / ``SHOW COLUMNS``: (column, type) rows
+    from the parquet SCHEMA (footer only — no data reads), Arrow types
+    mapped to ES SQL type names, column name ascending."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.exists(path):
+        raise ValueError(f"sql: unknown table {table!r}")
+    schema = pq.read_schema(path)
+    rows = []
+    for f in schema:
+        t = str(f.type)
+        es = _ES_TYPE.get(t)
+        if es is None and t.startswith("list"):
+            es = "dense_vector"
+        rows.append((f.name, es or t))
+    rows.sort()
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in rows], type=pa.string()),
+            "type": pa.array([r[1] for r in rows], type=pa.string()),
+        }
+    )

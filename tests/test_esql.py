@@ -2586,3 +2586,24 @@ def test_esql_insist_rejections(ray_session):
             "| INSIST_\U0001F414 x",
             sf,
         )
+
+
+def test_sql_catalog_commands(ray_session):
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import run_sql
+
+    sf = "/root/testdata/sf0.001"
+    tables = run_sql("SHOW TABLES", sf)["name"].to_pylist()
+    assert tables == sorted(tables) and "documents" in tables and len(tables) == 10
+    d = run_sql("DESCRIBE documents;", sf)
+    assert dict(zip(d["column"].to_pylist(), d["type"].to_pylist())) == {
+        "doc_id": "long", "lang": "text", "n_chars": "long",
+        "source": "text", "text": "text",
+    }
+    e = run_sql("show columns from embeddings", sf)
+    assert dict(zip(e["column"].to_pylist(), e["type"].to_pylist())) == {
+        "embedding": "dense_vector", "label": "integer", "vec_id": "long",
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_sql("DESCRIBE nosuch", sf)
