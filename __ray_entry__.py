@@ -6233,7 +6233,8 @@ _FRONT_50 = [
     # driver-green in r3 or judge-reproduced)
     "parent_agg", "ext_stats_bucket", "count_api", "inference_agg",
     "esql_insist", "geohex_grid", "synonym_match", "analyze_stop",
-    "bpe_corpus_tokens", "histogram_field_stats", "knn_int4",
+    "bpe_corpus_tokens", "histogram_field_stats", "knn_int4", "bpe_pack",
+    "sql_show_tables", "sql_describe",
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
     "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
     "cartesian_agg", "esql_fuse", "ingest_transforms", "esql_score",
