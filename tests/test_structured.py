@@ -663,3 +663,56 @@ def test_synonym_match_blended_stats(built):
     from bitcoin_ledger_2es_ray.pipelines.query import score_query
 
     assert s1 == score_query(store, vocab[0], 5, round_decimals=6)
+
+
+def test_synonym_match_randomized_groups(built):
+    """Randomized multi-group synonym queries vs a NumPy brute force over
+    the oracle postings (blended stats per group, sum across groups)."""
+    import hashlib
+
+    import numpy as np
+
+    from bitcoin_ledger_2es_ray.functions.bm25 import idf, sql_round, tf_norm
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+    from bitcoin_ledger_2es_ray.pipelines.structured import synonym_match_topk
+
+    res, oracle, _ = built
+    store = SegmentStore(res.out_dir)
+    vocab = sorted(oracle.postings)
+    dl_of = {int(oracle.doc_ids[i]): float(oracle.dl[i]) for i in range(len(oracle.dl))}
+    avgdl = float(oracle.dl.sum()) / len(oracle.dl)
+    n_docs = len(oracle.dl)
+    for trial in range(6):
+        # deterministic pseudo-random groups off sha256
+        def pick(j):
+            h = int(hashlib.sha256(f"{trial}:{j}".encode()).hexdigest(), 16)
+            return vocab[h % len(vocab)]
+
+        groups = [[pick(3 * g), pick(3 * g + 1), pick(3 * g + 2)][: 1 + g % 3]
+                  for g in range(1 + trial % 3)]
+        got = synonym_match_topk(store, groups, k=7)
+        acc: dict[int, float] = {}
+        for group in groups:
+            members = sorted(set(group))
+            tf_by: dict[int, float] = {}
+            dfs = []
+            for t in members:
+                pl = oracle.postings.get(t)
+                if not pl:
+                    continue
+                dfs.append(len(pl))
+                for row, tf in pl.items():
+                    d = int(oracle.doc_ids[row])
+                    tf_by[d] = tf_by.get(d, 0.0) + tf
+            if not dfs:
+                continue
+            w = float(idf(n_docs, max(dfs)))
+            for d, tf in tf_by.items():
+                acc[d] = acc.get(d, 0.0) + w * float(
+                    tf_norm(np.float64(tf), np.float64(dl_of[d]), avgdl)
+                )
+        exp = sorted(
+            ((d, float(sql_round(s, 6))) for d, s in acc.items()),
+            key=lambda r: (-r[1], r[0]),
+        )[:7]
+        assert got == exp, (trial, groups)

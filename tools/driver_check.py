@@ -4,11 +4,18 @@ Runs entry() as a smoke check, then every queries()[name](sf_dir) against
 oracle_sql()[name] via DuckDB at sf0.01: row count, column names, and an
 order-insensitive value comparison (rows sorted by all columns).
 
-Usage: python tools/driver_check.py [sf_dir]
+Usage: python tools/driver_check.py [sf_dir] [--chunk N]
+
+--chunk N runs the query list in N-sized chunks, each in a FRESH
+subprocess (own Ray session): ray 2.49's core worker intermittently
+crashes (task_manager.cc CompletePendingTask check) deep into a single
+session that executes ~400 datasets; chunking bounds the blast radius
+and retries nothing silently — a crashed chunk fails loudly.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -39,8 +46,36 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _chunk_main(sf_dir: str, chunk: int) -> int:
+    """Run the full list in fresh-subprocess chunks of ``chunk`` queries."""
+    import subprocess
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    names = list(e.queries())
+    rc = 0
+    for lo in range(0, len(names), chunk):
+        sel = names[lo : lo + chunk]
+        env = dict(os.environ, DRIVER_CHECK_ONLY=",".join(sel))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir], env=env
+        )
+        rc |= r.returncode
+    print("CHUNKED:", "ALL OK" if rc == 0 else "FAILURES")
+    return rc
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    chunk = None
+    if "--chunk" in argv:
+        i = argv.index("--chunk")
+        chunk = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if chunk:
+        return _chunk_main(sf_dir, chunk)
     import ray
 
     ray.init(
@@ -63,6 +98,10 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, sqls = e.queries(), e.oracle_sql()
+    only = os.environ.get("DRIVER_CHECK_ONLY")
+    if only:
+        keep = set(only.split(","))
+        qs = {k: v for k, v in qs.items() if k in keep}
     failures = 0
     for name, fn in qs.items():
         t0 = time.monotonic()
