@@ -6,6 +6,9 @@ salted term shuffle → compressed segments) plus the BM25 query paths.
     python bench.py               # one run; prints ONE JSON line
     python bench.py --scaling     # 8-CPU vs 32-CPU fresh processes +
                                   # scaling efficiency (N vs 4N stand-in)
+    python bench.py --ops         # training-data ops lane (dedup/ANN/
+                                  # textstats/curation seconds; separate
+                                  # JSON, not the headline contract)
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
@@ -376,8 +379,63 @@ def run_scaling() -> dict:
     }
 
 
+def run_ops() -> dict:
+    """Training-data-pipeline ops lane (NOT the headline contract): wall
+    seconds per operator family at the sf corpus, one warm Ray session —
+    the dedup / ANN / textstats / curation numbers BASELINE.md cites."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    ops = [
+        "exact_dedup", "minhash_dups", "simhash", "jaccard_dups",
+        "duplicate_spans", "decontaminate", "sem_dedup",
+        "knn_bruteforce" if "knn_bruteforce" in qs else "knn_graph",
+        "knn_int8", "knn_int4", "quality_scores"
+        if "quality_scores" in qs else "lang_id",
+        "lang_id", "pii_redact" if "pii_redact" in qs else "token_counts",
+        "bpe_corpus_tokens", "bpe_pack", "pack_sequences"
+        if "pack_sequences" in qs else "hash_split",
+        "hash_split", "chunk_documents",
+    ]
+    seen: list[str] = []
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in ops:
+        if name not in qs or name in seen:
+            continue
+        seen.append(name)
+        t0 = time.monotonic()
+        r = qs[name](SF_DIR)
+        timings[name] = round(time.monotonic() - t0, 3)
+        rows[name] = int(r.num_rows if hasattr(r, "num_rows") else len(r))
+    ray.shutdown()
+    return {
+        "metric": "training-data ops wall time (sf corpus)",
+        "unit": "sec",
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "ops": timings,
+        "rows": rows,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--ops" in sys.argv:
+        print(json.dumps(run_ops()))
     else:
         print(json.dumps(run_once()))
