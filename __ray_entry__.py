@@ -4605,6 +4605,29 @@ def _q_hopping_window(sf_dir: str) -> pa.Table:
     return hopping_window(sf_dir, size_s=3600, hop_s=1800, round_decimals=_ROUND)
 
 
+def _q_intervals_prefix(sf_dir: str) -> pa.Table:
+    """ES ``intervals`` with a multi-term PREFIX source: all_of(ordered,
+    max_gaps=3, [prefix "s", match "window"]) — the prefix expands through
+    the dictionary into any_of (ES 128-expansion cap contract)
+    (`pipelines/intervals.py: expand_spec`)."""
+    from bitcoin_ledger_2es_ray.pipelines.intervals import intervals_search
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    spec = {
+        "all_of": {
+            "ordered": True,
+            "max_gaps": 3,
+            "intervals": [
+                {"prefix": {"prefix": "s"}},
+                {"match": {"query": "window"}},
+            ],
+        }
+    }
+    return intervals_search(store, spec)
+
+
 def _q_intervals_algebra(sf_dir: str) -> pa.Table:
     """ES ``intervals`` nested ALGEBRA: all_of(ordered, max_gaps=2,
     [any_of(scan | column), window]) filtered not_containing "order" —
@@ -6262,6 +6285,7 @@ _FRONT_50 = [
     "esql_insist", "geohex_grid", "synonym_match", "analyze_stop",
     "bpe_corpus_tokens", "histogram_field_stats", "knn_int4", "bpe_pack",
     "sql_show_tables", "sql_describe", "intervals_algebra",
+    "intervals_prefix",
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
     "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
     "cartesian_agg", "esql_fuse", "ingest_transforms", "esql_score",
@@ -6462,6 +6486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixing_weights": _q_mixing_weights,
         "intervals": _q_intervals,
         "intervals_algebra": _q_intervals_algebra,
+        "intervals_prefix": _q_intervals_prefix,
         "sparse_vector": _q_sparse_vector,
         "bigram_logprob": _q_bigram_logprob,
         "hopping_window": _q_hopping_window,
@@ -8053,6 +8078,31 @@ SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id
 """,
         # intervals (3 terms, max_gaps, ordered on odd q) over positions
+        "intervals_prefix": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         (generate_subscripts(string_split(text, ' '), 1) - 1)::BIGINT AS p
+  FROM documents
+),
+va AS (SELECT doc_id, p FROM toks WHERE w LIKE 's%'),
+vc AS (SELECT doc_id, p FROM toks WHERE w = 'window'),
+cand AS (
+  SELECT c.doc_id, c.p AS e, max(a.p) AS s
+  FROM vc c JOIN va a ON a.doc_id = c.doc_id AND a.p < c.p
+  GROUP BY 1, 2
+  HAVING c.p - max(a.p) - 1 <= 3
+),
+minimal AS (SELECT doc_id, s, min(e) AS e FROM cand GROUP BY 1, 2),
+sel AS (
+  SELECT doc_id, s, e,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s, e) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM minimal
+)
+SELECT doc_id, n::BIGINT AS n_intervals, s::BIGINT AS first_start,
+       e::BIGINT AS first_end
+FROM sel WHERE rn = 1 ORDER BY doc_id
+""",
         "intervals_algebra": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w,

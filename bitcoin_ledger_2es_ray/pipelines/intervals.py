@@ -260,6 +260,7 @@ def intervals_search(store: SegmentStore, spec: dict) -> pa.Table:
     the spec requires any, else the union of all leaf docs; positions are
     sliced per doc from the flat positional postings with searchsorted —
     the per-doc kernel is ``eval_intervals``."""
+    spec = expand_spec(store, spec)
     req: set[str] = set()
     opt: set[str] = set()
     _leaf_terms(spec, True, req, opt)
@@ -307,3 +308,67 @@ def intervals_search(store: SegmentStore, spec: dict) -> pa.Table:
             "first_end": pa.array([r[3] for r in rows], type=pa.int64()),
         }
     )
+
+
+_MAX_EXPANSIONS = 128  # ES intervals contract: error past 128 expansions
+
+
+def expand_spec(store: SegmentStore, spec: dict) -> dict:
+    """Rewrite the multi-term interval sources — ``prefix`` / ``wildcard``
+    / ``fuzzy`` / ``range`` — into ``any_of`` over their dictionary
+    expansions, so the algebra only ever sees ``match`` leaves.  Mirrors
+    ES's contract exactly: each source expands to AT MOST 128 terms and
+    ERRORS beyond (never silently truncates); expansion rides the same
+    footer-pruned dictionary scans as the standalone queries."""
+    import fnmatch
+    import re as _re
+
+    rule, body = next(iter(spec.items()))
+    if rule in ("match", "any_of", "all_of"):
+        out_body = dict(body)
+        if rule in ("any_of", "all_of"):
+            out_body["intervals"] = [
+                expand_spec(store, c) for c in body["intervals"]
+            ]
+        if body.get("filter"):
+            kind, fspec = next(iter(body["filter"].items()))
+            out_body["filter"] = {kind: expand_spec(store, fspec)}
+        return {rule: out_body}
+    if rule == "prefix":
+        terms = store.td.terms_with_prefix(body["prefix"])
+    elif rule == "wildcard":
+        pattern = body["pattern"]
+        wc = min(
+            [i for i, ch in enumerate(pattern) if ch in "*?"] or [len(pattern)]
+        )
+        if wc == 0:
+            raise ValueError(
+                "intervals wildcard: leading-wildcard patterns are not "
+                "allowed (full-vocab scan)"
+            )
+        rx = _re.compile(fnmatch.translate(pattern))
+        terms = [
+            t for t in store.td.terms_with_prefix(pattern[:wc]) if rx.match(t)
+        ]
+    elif rule == "fuzzy":
+        terms = store.td.terms_fuzzy(
+            body["term"], int(body.get("fuzziness", 1))
+        )
+    elif rule == "range":
+        gte, lte = body["gte"], body["lte"]
+        terms = [t for t in store.td.vocab() if gte <= t <= lte]
+    else:
+        raise ValueError(f"unknown intervals rule {rule!r}")
+    if len(terms) > _MAX_EXPANSIONS:
+        raise ValueError(
+            f"intervals {rule} expands to {len(terms)} terms "
+            f"(> {_MAX_EXPANSIONS}) — ES errors here too"
+        )
+    if not terms:
+        # an empty expansion matches nothing: an impossible match leaf
+        return {"match": {"query": "\x00__nomatch__"}}
+    return {
+        "any_of": {
+            "intervals": [{"match": {"query": t}} for t in sorted(terms)]
+        }
+    }

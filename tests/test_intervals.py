@@ -267,3 +267,46 @@ def test_intervals_search_vs_naive_corpus(ivx):
             assert rows.get(doc_id) == (len(want), want[0][0], want[0][1]), doc_id
         else:
             assert doc_id not in rows, doc_id
+
+
+def test_intervals_expand_multi_term_sources(ivx):
+    """prefix / wildcard / fuzzy / range sources expand through the
+    dictionary into any_of-of-match (ES 128-expansion cap contract)."""
+    docs, store = ivx
+    spec = {
+        "all_of": {
+            "ordered": True,
+            "max_gaps": 4,
+            "intervals": [
+                {"prefix": {"prefix": "al"}},       # alpha
+                {"wildcard": {"pattern": "gamm?"}},  # gamma
+            ],
+        }
+    }
+    got = intervals_search(store, spec)
+    # equivalent literal spec
+    lit = {
+        "all_of": {
+            "ordered": True,
+            "max_gaps": 4,
+            "intervals": [
+                {"match": {"query": "alpha"}},
+                {"match": {"query": "gamma"}},
+            ],
+        }
+    }
+    assert got.equals(intervals_search(store, lit))
+    # fuzzy: beta~1 expands to beta (plus neighbors within dist 1, none here)
+    fz = intervals_search(store, {"fuzzy": {"term": "betaa", "fuzziness": 1}})
+    assert fz.equals(intervals_search(store, {"match": {"query": "beta"}}))
+    # range scan over the dictionary
+    rg = intervals_search(store, {"range": {"gte": "delta", "lte": "eps"}})
+    lit_rg = intervals_search(store, {"any_of": {"intervals": [
+        {"match": {"query": "delta"}}, {"match": {"query": "eps"}},
+    ]}})
+    assert rg.equals(lit_rg)
+    # empty expansion matches nothing
+    assert intervals_search(store, {"prefix": {"prefix": "zzz"}}).num_rows == 0
+    # leading wildcard refuses
+    with pytest.raises(ValueError):
+        intervals_search(store, {"wildcard": {"pattern": "*pha"}})
