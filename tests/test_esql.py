@@ -2607,3 +2607,43 @@ def test_sql_catalog_commands(ray_session):
 
     with _pytest.raises(ValueError):
         run_sql("DESCRIBE nosuch", sf)
+
+
+def test_parser_fuzz_never_crashes():
+    """Garbage into the ES|QL / EQL / SQL parsers must raise a clean
+    ValueError (the engine's refusal contract) — never an internal
+    exception type.  Hypothesis drives random strings plus mutated
+    fragments of valid pipes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bitcoin_ledger_2es_ray.pipelines.eql import parse_eql
+    from bitcoin_ledger_2es_ray.pipelines.esql import parse_esql
+    from bitcoin_ledger_2es_ray.pipelines.sql_api import sql_to_esql
+
+    seeds = [
+        "FROM documents | STATS n = COUNT(*) BY lang",
+        "FROM events | WHERE value > 1 | SORT ts | LIMIT 3",
+        "ROW a = 1 | EVAL b = a + 2",
+        'sequence by user_id [a where true] [b where true]',
+        "SELECT lang FROM documents WHERE n_chars > 10",
+    ]
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        base=st.sampled_from(seeds),
+        junk=st.text(min_size=0, max_size=12),
+        cut=st.integers(min_value=0, max_value=60),
+        mode=st.sampled_from(["esql", "eql", "sql"]),
+    )
+    def check(base, junk, cut, mode):
+        src = base[:cut] + junk + base[cut:]
+        fn = {"esql": parse_esql, "eql": parse_eql, "sql": sql_to_esql}[mode]
+        try:
+            fn(src)
+        except ValueError:
+            pass  # the refusal contract
+        except (KeyError, IndexError, AttributeError, TypeError) as ex:
+            raise AssertionError(f"{mode} parser leaked {type(ex).__name__} on {src!r}") from ex
+
+    check()
