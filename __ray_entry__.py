@@ -209,6 +209,37 @@ def _q_synonym_match(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_search_api(sf_dir: str) -> pa.Table:
+    """ES ``_search`` endpoint: the JSON query-DSL body compiled onto the
+    engine kernels — each fixture query as {"query": {"match": …},
+    "size": k}; must be value-identical to ``bm25_topk`` (shared oracle)
+    (`pipelines/search_api.py: run_search`)."""
+    from bitcoin_ledger_2es_ray.pipelines.search_api import run_search
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    parts = []
+    for qid, text, k in zip(
+        queries["query_id"].to_pylist(),
+        queries["text"].to_pylist(),
+        queries["k"].to_pylist(),
+    ):
+        t = run_search(
+            store,
+            {"query": {"match": {"content": text}}, "size": int(k)},
+            round_decimals=_ROUND,
+        )
+        parts.append(
+            t.append_column(
+                "query_id", pa.array([int(qid)] * t.num_rows, type=pa.int64())
+            )
+        )
+    out = pa.concat_tables(parts)
+    return out.select(["query_id", "rank", "doc_id", "score"]).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )
+
+
 def _q_indices_boost(sf_dir: str) -> pa.Table:
     """ES ``indices_boost`` over the two-member federation: member A (the
     first third of the corpus) boosted 1.5, member B 0.5; global stats
@@ -6285,7 +6316,7 @@ _FRONT_50 = [
     "esql_insist", "geohex_grid", "synonym_match", "analyze_stop",
     "bpe_corpus_tokens", "histogram_field_stats", "knn_int4", "bpe_pack",
     "sql_show_tables", "sql_describe", "intervals_algebra",
-    "intervals_prefix",
+    "intervals_prefix", "search_api",
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
     "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
     "cartesian_agg", "esql_fuse", "ingest_transforms", "esql_score",
@@ -6324,6 +6355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": _q_postings,
         "bm25_topk": _q_bm25_topk,
         "synonym_match": _q_synonym_match,
+        "search_api": _q_search_api,
         "bm25_topk_routed": _q_bm25_topk_routed,
         "bm25_topk_federated": _q_bm25_topk_federated,
         "indices_boost": _q_indices_boost,
@@ -13347,5 +13379,6 @@ SELECT q, round(v / 100.0, 6) AS value FROM qq ORDER BY q
     sql["reshard_topk"] = sql["bm25_topk"]
     sql["pit_search"] = sql["bm25_topk"]
     sql["async_search"] = sql["bm25_topk"]
+    sql["search_api"] = sql["bm25_topk"]
     sql["percolate_phrase"] = sql["phrase_match"]
     return sql

@@ -1,0 +1,190 @@
+"""ES ``_search`` endpoint: the JSON query-DSL body compiler.
+
+Every other module exposes the engine's operators as Python kernels; real
+ES users write JSON bodies.  ``run_search(store, body)`` accepts the
+``_search`` request shape — ``{"query": {...}, "size": k, "from": n}`` —
+and compiles the query tree onto the SAME green kernels (``_score_map``,
+``phrase_topk``, ``prefix_match`` …), so the compiler adds plumbing, not
+new scoring math.  Supported query types:
+
+  match, term, match_phrase, bool (must / should / must_not / filter,
+  minimum_should_match), constant_score, dis_max (tie_breaker), prefix,
+  wildcard, fuzzy, intervals.
+
+Scoring contract: match/term/match_phrase score BM25 exactly like their
+kernels; prefix / wildcard / fuzzy / intervals score a CONSTANT 1.0 per
+matching doc (Lucene's constant-score multi-term rewrite; for intervals
+this is a documented simplification of Lucene's frequency-based interval
+score).  The corpus is a single analyzed field, so the field name in the
+body is accepted and ignored (documented).  Ranking: rounded score DESC,
+doc ASC — the shared contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .query import SegmentStore
+
+_Scored = tuple[np.ndarray, np.ndarray]  # (sorted unique docs, scores)
+
+
+def _empty() -> _Scored:
+    return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+
+def _merge_sum(parts: list[_Scored]) -> _Scored:
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        return _empty()
+    all_docs = np.concatenate([d for d, _ in parts])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inv, np.concatenate([s for _, s in parts]))
+    return uniq, scores
+
+
+def _leaf_text(body) -> str:
+    """Unwrap {"field": "text"} / {"field": {"query"|"value": "text"}}."""
+    if len(body) != 1:
+        raise ValueError("search: leaf query needs exactly one field")
+    v = next(iter(body.values()))
+    if isinstance(v, dict):
+        for key in ("query", "value"):
+            if key in v:
+                return v[key]
+        raise ValueError("search: leaf options need 'query' or 'value'")
+    return v
+
+
+def _eval(store: SegmentStore, q: dict) -> _Scored:
+    from .intervals import intervals_search
+    from .phrase import (
+        fuzzy_match,
+        phrase_topk,
+        prefix_match,
+        wildcard_match,
+    )
+    from .structured import _score_map
+
+    if len(q) != 1:
+        raise ValueError("search: query object needs exactly one type key")
+    kind, body = next(iter(q.items()))
+    if kind in ("match", "term"):
+        return _score_map(store, _leaf_text(body))
+    if kind == "match_phrase":
+        pairs = phrase_topk(store, _leaf_text(body), k=store.n_docs)
+        if not pairs:
+            return _empty()
+        d = np.array([p[0] for p in pairs], dtype=np.int64)
+        s = np.array([p[1] for p in pairs], dtype=np.float64)
+        order = np.argsort(d, kind="stable")
+        return d[order], s[order]
+    if kind == "prefix":
+        d = np.unique(prefix_match(store, _leaf_text(body)).astype(np.int64))
+        return d, np.ones(len(d), dtype=np.float64)
+    if kind == "wildcard":
+        d = np.unique(wildcard_match(store, _leaf_text(body)).astype(np.int64))
+        return d, np.ones(len(d), dtype=np.float64)
+    if kind == "fuzzy":
+        opts = next(iter(body.values()))
+        fz = opts.get("fuzziness", 1) if isinstance(opts, dict) else 1
+        d = np.unique(
+            fuzzy_match(store, _leaf_text(body), max_dist=fz).astype(np.int64)
+        )
+        return d, np.ones(len(d), dtype=np.float64)
+    if kind == "intervals":
+        if len(body) != 1:
+            raise ValueError("search: intervals needs exactly one field")
+        spec = next(iter(body.values()))
+        t = intervals_search(store, spec)
+        d = np.asarray(t["doc_id"], dtype=np.int64)
+        return d, np.ones(len(d), dtype=np.float64)
+    if kind == "constant_score":
+        docs, _ = _eval(store, body["filter"])
+        boost = float(body.get("boost", 1.0))
+        return docs, np.full(len(docs), boost, dtype=np.float64)
+    if kind == "dis_max":
+        parts = [_eval(store, c) for c in body["queries"]]
+        tie = float(body.get("tie_breaker", 0.0))
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return _empty()
+        uniq = np.unique(np.concatenate([d for d, _ in parts]))
+        best = np.zeros(len(uniq), dtype=np.float64)
+        total = np.zeros(len(uniq), dtype=np.float64)
+        for d, s in parts:
+            pos = np.searchsorted(uniq, d)
+            np.maximum.at(best, pos, s)
+            np.add.at(total, pos, s)
+        return uniq, best + tie * (total - best)
+    if kind == "bool":
+        must = [_eval(store, c) for c in _as_list(body.get("must"))]
+        should = [_eval(store, c) for c in _as_list(body.get("should"))]
+        cand: np.ndarray | None = None
+        for d, _ in must:
+            cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        msm = int(body.get("minimum_should_match", 0 if must else 1))
+        if should and msm > 0:
+            sd = [d for d, _ in should if len(d)]
+            if not sd:
+                return _empty()
+            docs, counts = np.unique(np.concatenate(sd), return_counts=True)
+            ok = docs[counts >= msm]
+            cand = ok if cand is None else np.intersect1d(cand, ok, assume_unique=True)
+        docs_sum, scores_sum = _merge_sum(must + should)
+        if cand is None:
+            cand = docs_sum
+        for c in _as_list(body.get("filter")):
+            fd, _ = _eval(store, c)
+            cand = np.intersect1d(cand, fd, assume_unique=True)
+        for c in _as_list(body.get("must_not")):
+            nd, _ = _eval(store, c)
+            cand = np.setdiff1d(cand, nd, assume_unique=True)
+        if cand is None or len(cand) == 0:
+            return _empty()
+        keep = np.searchsorted(docs_sum, cand)
+        ok = (keep < len(docs_sum)) & (
+            docs_sum[np.minimum(keep, max(len(docs_sum) - 1, 0))] == cand
+        ) if len(docs_sum) else np.zeros(len(cand), dtype=bool)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        if len(docs_sum):
+            scores[ok] = scores_sum[keep[ok]]
+        return cand, scores
+    raise ValueError(f"search: unsupported query type {kind!r}")
+
+
+def _as_list(v):
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def run_search(
+    store: SegmentStore, body: dict, round_decimals: int = 6
+) -> pa.Table:
+    """Execute one ``_search`` body → (rank, doc_id, score), rounded-score
+    ranking with doc-ASC ties, honoring ``size`` (default 10) and
+    ``from`` (default 0)."""
+    from ..functions.bm25 import sql_round, topk_order
+
+    if "query" not in body:
+        raise ValueError("search: body needs a 'query'")
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    if size < 0 or offset < 0:
+        raise ValueError("search: size/from must be >= 0")
+    docs, scores = _eval(store, body["query"])
+    scores = sql_round(scores, round_decimals)
+    order = topk_order(scores, docs.astype(np.uint64), offset + size)
+    sel = order[offset: offset + size]
+    return pa.table(
+        {
+            "rank": pa.array(
+                range(offset + 1, offset + 1 + len(sel)), type=pa.int64()
+            ),
+            "doc_id": pa.array(docs[sel].astype(np.int64), type=pa.int64()),
+            "score": pa.array(scores[sel], type=pa.float64()),
+        }
+    )

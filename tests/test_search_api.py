@@ -1,0 +1,151 @@
+"""JSON _search body compiler (pipelines/search_api.py): every compiled
+shape must equal the direct kernel it delegates to."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore, score_query
+from bitcoin_ledger_2es_ray.pipelines.search_api import run_search
+
+
+@pytest.fixture(scope="module")
+def store(built):
+    res, _, _ = built
+    return SegmentStore(res.out_dir)
+
+
+def _pairs(t):
+    return list(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+
+
+def test_search_match_equals_score_query(built, store):
+    _, oracle, _ = built
+    text = " ".join(sorted(oracle.postings)[:2])
+    got = run_search(store, {"query": {"match": {"content": text}}, "size": 10})
+    assert _pairs(got) == score_query(store, text, 10, round_decimals=6)
+    assert got["rank"].to_pylist() == list(range(1, got.num_rows + 1))
+
+
+def test_search_from_pagination(built, store):
+    _, oracle, _ = built
+    text = sorted(oracle.postings)[0]
+    full = run_search(store, {"query": {"match": {"content": text}}, "size": 20})
+    page2 = run_search(
+        store, {"query": {"match": {"content": text}}, "size": 10, "from": 10}
+    )
+    assert _pairs(page2) == _pairs(full)[10:20]
+    assert page2["rank"].to_pylist() == list(range(11, 11 + page2.num_rows))
+
+
+def test_search_bool_equals_bool_topk(built, store):
+    from bitcoin_ledger_2es_ray.pipelines.structured import bool_topk
+
+    _, oracle, _ = built
+    v = sorted(oracle.postings)
+    body = {
+        "query": {"bool": {
+            "must": [{"term": {"content": v[0]}}],
+            "should": [{"term": {"content": v[1]}}],
+            "must_not": [{"term": {"content": v[2]}}],
+        }},
+        "size": 10,
+    }
+    got = run_search(store, body)
+    want = bool_topk(
+        store, must=(v[0],), should=(v[1],), must_not=(v[2],), k=10,
+        round_decimals=6,
+    )
+    assert _pairs(got) == want
+
+
+def test_search_constant_score_and_dis_max(built, store):
+    _, oracle, _ = built
+    v = sorted(oracle.postings)
+    cs = run_search(
+        store,
+        {"query": {"constant_score": {
+            "filter": {"term": {"content": v[0]}}, "boost": 2.5,
+        }}, "size": 5},
+    )
+    assert all(s == 2.5 for _, s in _pairs(cs))
+    assert set(d for d, _ in _pairs(cs)) <= set(oracle.doc_ids[list(oracle.postings[v[0]])])
+    # dis_max with tie_breaker 0 == max of legs
+    dm = run_search(
+        store,
+        {"query": {"dis_max": {"queries": [
+            {"term": {"content": v[0]}}, {"term": {"content": v[1]}},
+        ], "tie_breaker": 0.0}}, "size": 8},
+    )
+    a = dict(score_query(store, v[0], store.n_docs, round_decimals=None) or [])
+    b = dict(score_query(store, v[1], store.n_docs, round_decimals=None) or [])
+    for d, s in _pairs(dm):
+        assert abs(s - round(max(a.get(d, 0.0), b.get(d, 0.0)), 6)) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def pos_store(ray_session, tmp_path_factory):
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.build import BuildConfig, build_index
+
+    rng = random.Random(17)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 12)))
+        for _ in range(40)
+    ]
+    root = tmp_path_factory.mktemp("sapi")
+    corpus = str(root / "c.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * len(docs), "path": [f"p{i}" for i in range(len(docs))],
+                "commit": ["c"] * len(docs), "lang": ["en"] * len(docs),
+                "content": docs,
+            }
+        ),
+        corpus, row_group_size=16,
+    )
+    res = build_index(BuildConfig(
+        corpus=corpus, out_dir=str(root / "idx"), num_partitions=2,
+        with_positions=True, head_df_ratio=0.5, n_salt=2, sketch_stride=1,
+    ))
+    return SegmentStore(res.out_dir)
+
+
+def test_search_phrase_prefix_intervals(pos_store):
+    from bitcoin_ledger_2es_ray.pipelines.phrase import phrase_topk, prefix_match
+
+    ph = run_search(
+        pos_store, {"query": {"match_phrase": {"content": "alpha beta"}}, "size": 5}
+    )
+    want = phrase_topk(pos_store, "alpha beta", 5, round_decimals=6)
+    assert _pairs(ph) == want
+    pf = run_search(pos_store, {"query": {"prefix": {"content": "ga"}}, "size": 5})
+    assert all(s == 1.0 for _, s in _pairs(pf))
+    docs = prefix_match(pos_store, "ga")
+    assert [d for d, _ in _pairs(pf)] == sorted(docs.tolist())[:5]
+    iv = run_search(
+        pos_store,
+        {"query": {"intervals": {"content": {
+            "match": {"query": "alpha gamma", "ordered": True, "max_gaps": 5},
+        }}}, "size": 5},
+    )
+    assert all(s == 1.0 for _, s in _pairs(iv))
+    assert iv.num_rows > 0
+
+
+def test_search_rejections(store):
+    with pytest.raises(ValueError):
+        run_search(store, {"size": 5})
+    with pytest.raises(ValueError):
+        run_search(store, {"query": {"bogus": {}}})
+    with pytest.raises(ValueError):
+        run_search(store, {"query": {"match": {"content": "x"}}, "size": -1})
+    with pytest.raises(ValueError):
+        run_search(store, {"query": {"match": {"a": 1, "b": 2}}})
