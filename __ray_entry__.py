@@ -240,6 +240,44 @@ def _q_search_api(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_search_api_aggs(sf_dir: str) -> pa.Table:
+    """ES ``_search`` with an ``aggs`` section: per fixture query the
+    top-k hits feed a query-scoped ``terms`` agg over ``lang`` —
+    (query_id, lang, doc_count)
+    (`pipelines/search_api.py: run_search_aggs`)."""
+    from bitcoin_ledger_2es_ray.pipelines.search_api import run_search_aggs
+
+    store, res = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    parts = []
+    for qid, text, k in zip(
+        queries["query_id"].to_pylist(),
+        queries["text"].to_pylist(),
+        queries["k"].to_pylist(),
+    ):
+        r = run_search_aggs(
+            res.out_dir,
+            store,
+            {
+                "query": {"match": {"content": text}},
+                "size": int(k),
+                "aggs": {"langs": {"terms": {"field": "lang"}}},
+            },
+            round_decimals=_ROUND,
+        )
+        t = r["langs"]
+        parts.append(
+            t.set_column(
+                t.schema.get_field_index("query_id"),
+                "query_id",
+                pa.array([int(qid)] * t.num_rows, type=pa.int64()),
+            )
+        )
+    return pa.concat_tables(parts).sort_by(
+        [("query_id", "ascending"), ("lang", "ascending")]
+    )
+
+
 def _q_indices_boost(sf_dir: str) -> pa.Table:
     """ES ``indices_boost`` over the two-member federation: member A (the
     first third of the corpus) boosted 1.5, member B 0.5; global stats
@@ -6316,7 +6354,7 @@ _FRONT_50 = [
     "esql_insist", "geohex_grid", "synonym_match", "analyze_stop",
     "bpe_corpus_tokens", "histogram_field_stats", "knn_int4", "bpe_pack",
     "sql_show_tables", "sql_describe", "intervals_algebra",
-    "intervals_prefix", "search_api",
+    "intervals_prefix", "search_api", "search_api_aggs",
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
     "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
     "cartesian_agg", "esql_fuse", "ingest_transforms", "esql_score",
@@ -6356,6 +6394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "synonym_match": _q_synonym_match,
         "search_api": _q_search_api,
+        "search_api_aggs": _q_search_api_aggs,
         "bm25_topk_routed": _q_bm25_topk_routed,
         "bm25_topk_federated": _q_bm25_topk_federated,
         "indices_boost": _q_indices_boost,
@@ -6855,6 +6894,31 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
+        "search_api_aggs": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id
+  FROM scored
+)
+SELECT r.query_id, d.lang, count(*)::BIGINT AS doc_count
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rank <= {k}
+GROUP BY 1, 2 ORDER BY 1, 2
 """.replace("{k}", str(_TOP_K)),
         "bm25_topk": _PRELUDE
         + """

@@ -188,3 +188,38 @@ def run_search(
             "score": pa.array(scores[sel], type=pa.float64()),
         }
     )
+
+
+def run_search_aggs(
+    index_dir: str,
+    store: SegmentStore,
+    body: dict,
+    round_decimals: int = 6,
+) -> dict[str, pa.Table]:
+    """The ``_search`` body's ``aggs`` section: run the query, then each
+    named aggregation over the HIT SET (ES's query-scoped agg contract),
+    delegating to the agg kernels (`aggs.terms_agg` / `histogram_agg`).
+    Returns {"hits": hits_table, <agg_name>: agg_table, ...}."""
+    from .aggs import histogram_agg, terms_agg
+
+    hits = run_search(store, body, round_decimals=round_decimals)
+    matches = pa.table(
+        {
+            "query_id": pa.array([0] * hits.num_rows, type=pa.int64()),
+            "doc_id": hits["doc_id"],
+        }
+    )
+    out: dict[str, pa.Table] = {"hits": hits}
+    for name, spec in (body.get("aggs") or {}).items():
+        if len(spec) != 1:
+            raise ValueError("search: agg spec needs exactly one type key")
+        kind, opts = next(iter(spec.items()))
+        if kind == "terms":
+            out[name] = terms_agg(index_dir, matches, field=opts["field"])
+        elif kind == "histogram":
+            out[name] = histogram_agg(
+                index_dir, matches, interval=int(opts.get("interval", 16))
+            )
+        else:
+            raise ValueError(f"search: unsupported agg type {kind!r}")
+    return out

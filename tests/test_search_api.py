@@ -149,3 +149,40 @@ def test_search_rejections(store):
         run_search(store, {"query": {"match": {"content": "x"}}, "size": -1})
     with pytest.raises(ValueError):
         run_search(store, {"query": {"match": {"a": 1, "b": 2}}})
+
+
+def test_search_aggs_terms_over_hits(built, store):
+    import duckdb
+
+    from bitcoin_ledger_2es_ray.pipelines.search_api import run_search_aggs
+
+    res, oracle, _ = built
+    text = sorted(oracle.postings)[0]
+    r = run_search_aggs(
+        res.out_dir,
+        store,
+        {"query": {"match": {"content": text}}, "size": 10,
+         "aggs": {"langs": {"terms": {"field": "lang"}}}},
+    )
+    hits = r["hits"]
+    langs = r["langs"]
+    # agg counts must tile the hit count
+    assert int(sum(langs["doc_count"].to_pylist())) == hits.num_rows
+    # against the forward map directly
+    con = duckdb.connect()
+    ids = hits["doc_id"].to_pylist()
+    want = con.sql(
+        f"""SELECT lang, count(*) FROM read_parquet(
+            '/root/testdata/sf0.001/documents.parquet')
+            WHERE doc_id IN ({','.join(map(str, ids))}) GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    got = sorted(zip(langs["lang"].to_pylist(), langs["doc_count"].to_pylist()))
+    assert got == [(l, int(n)) for l, n in want]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_search_aggs(
+            res.out_dir, store,
+            {"query": {"match": {"content": text}},
+             "aggs": {"x": {"bogus": {}}}},
+        )
