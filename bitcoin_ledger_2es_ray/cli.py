@@ -275,6 +275,20 @@ def cmd_repo(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_search(args: argparse.Namespace) -> int:
+    """ES ``_search``: a JSON query-DSL body against a built index."""
+    from .pipelines.query import SegmentStore
+    from .pipelines.search_api import run_search
+
+    body = json.loads(args.body)
+    t = run_search(SegmentStore(args.index), body)
+    for rank, doc, score in zip(
+        t["rank"].to_pylist(), t["doc_id"].to_pylist(), t["score"].to_pylist()
+    ):
+        print(json.dumps({"rank": rank, "doc_id": doc, "score": score}))
+    return 0
+
+
 def cmd_ccr(args: argparse.Namespace) -> int:
     """Cross-cluster replication (ES x-pack CCR): one incremental follow
     sync — only new/changed leader files ship to the follower."""
@@ -523,6 +537,13 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--index", help="index dir (create)")
     rp.add_argument("--out", help="destination dir (restore)")
     rp.set_defaults(fn=cmd_repo)
+
+    se = sub.add_parser(
+        "search", help="_search: JSON query-DSL body against an index"
+    )
+    se.add_argument("--index", required=True, help="index dir")
+    se.add_argument("--body", required=True, help="JSON _search body")
+    se.set_defaults(fn=cmd_search)
 
     cc = sub.add_parser(
         "ccr", help="cross-cluster replication: incremental follow sync"

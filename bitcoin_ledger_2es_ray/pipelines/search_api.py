@@ -9,7 +9,7 @@ new scoring math.  Supported query types:
 
   match, term, match_phrase, bool (must / should / must_not / filter,
   minimum_should_match), constant_score, dis_max (tie_breaker), prefix,
-  wildcard, fuzzy, intervals.
+  wildcard, fuzzy, intervals, ids, range (on the index's dl field).
 
 Scoring contract: match/term/match_phrase score BM25 exactly like their
 kernels; prefix / wildcard / fuzzy / intervals score a CONSTANT 1.0 per
@@ -100,6 +100,54 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
         spec = next(iter(body.values()))
         t = intervals_search(store, spec)
         d = np.asarray(t["doc_id"], dtype=np.int64)
+        return d, np.ones(len(d), dtype=np.float64)
+    if kind == "ids":
+        # ES ids query: explicit doc ids, constant score 1.0 (the contract
+        # query.ids_query implements over the forward map)
+        vals = body.get("values")
+        if not isinstance(vals, list):
+            raise ValueError("search: ids needs a 'values' list")
+        import os
+
+        import pyarrow.dataset as pads
+
+        # ES contract: missing ids are simply not found — the id set is
+        # pushed into the forward-map scan like mget (row-group pruning)
+        want = sorted({int(v) for v in vals})
+        t = pads.dataset(
+            os.path.join(store.index_dir, "forward_map")
+        ).to_table(
+            columns=["doc_id"], filter=pads.field("doc_id").isin(want)
+        )
+        d = np.unique(np.asarray(t["doc_id"], dtype=np.int64))
+        return d, np.ones(len(d), dtype=np.float64)
+    if kind == "range":
+        # filter-context range over the doc-length norm field (the one
+        # numeric per-doc field the index itself carries); matches score
+        # a constant 1.0 like every filter under the rewrite
+        if len(body) != 1:
+            raise ValueError("search: range needs exactly one field")
+        fname, opts = next(iter(body.items()))
+        if fname != "dl":
+            raise ValueError("search: range supports the index's dl field")
+        import os
+
+        import pyarrow.dataset as pads
+
+        flt = None
+        if opts.get("gte") is not None:
+            flt = pads.field("dl") >= int(opts["gte"])
+        if opts.get("lte") is not None:
+            c = pads.field("dl") <= int(opts["lte"])
+            flt = c if flt is None else flt & c
+        if flt is None:
+            raise ValueError("search: range needs gte and/or lte")
+        # predicate pushed into the forward-map scan (row-group pruning —
+        # only matching rows leave storage, the exists_docs pattern)
+        t = pads.dataset(
+            os.path.join(store.index_dir, "forward_map")
+        ).to_table(columns=["doc_id"], filter=flt)
+        d = np.unique(np.asarray(t["doc_id"], dtype=np.int64))
         return d, np.ones(len(d), dtype=np.float64)
     if kind == "constant_score":
         docs, _ = _eval(store, body["filter"])

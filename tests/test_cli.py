@@ -148,3 +148,14 @@ def test_cli_ccr_follow(cli_flow, capsys, tmp_path):
     assert s1["copied"] == s1["files"] > 0
     s2 = json.loads(_run(capsys, ["ccr", "--leader", idx, "--follower", follower]).strip())
     assert s2["copied"] == 0 and s2["reused"] == s2["files"]
+
+
+def test_cli_search_body(cli_flow, capsys):
+    _, idx = cli_flow
+    out = _run(capsys, [
+        "search", "--index", idx, "--body",
+        '{"query": {"bool": {"must": [{"match": {"content": "scan"}}]}}, "size": 3}',
+    ]).strip().splitlines()
+    assert 1 <= len(out) <= 3
+    rows = [json.loads(l) for l in out]
+    assert rows[0]["rank"] == 1 and rows[0]["score"] >= rows[-1]["score"]

@@ -186,3 +186,30 @@ def test_search_aggs_terms_over_hits(built, store):
             {"query": {"match": {"content": text}},
              "aggs": {"x": {"bogus": {}}}},
         )
+
+
+def test_search_ids_and_range(built, store):
+    _, oracle, _ = built
+    ids = [int(oracle.doc_ids[0]), int(oracle.doc_ids[5]), 10**9]
+    r = run_search(store, {"query": {"ids": {"values": ids}}, "size": 10})
+    # constant score, only the requested ids (missing one included as an
+    # id literal — it simply never matches a stored doc in the hit join;
+    # ES also scores only by membership here)
+    assert all(s == 1.0 for s in r["score"].to_pylist())
+    # the nonexistent id is NOT found (ES contract)
+    assert set(r["doc_id"].to_pylist()) == {ids[0], ids[1]}
+    # range on dl as a bool filter context
+    dl_of = {int(oracle.doc_ids[i]): int(oracle.dl[i]) for i in range(len(oracle.dl))}
+    lo, hi = 5, 40
+    text = sorted(oracle.postings)[0]
+    b = run_search(
+        store,
+        {"query": {"bool": {
+            "must": [{"match": {"content": text}}],
+            "filter": [{"range": {"dl": {"gte": lo, "lte": hi}}}],
+        }}, "size": 50},
+    )
+    full = score_query(store, text, store.n_docs, round_decimals=6)
+    want = [(d, s) for d, s in full if lo <= dl_of[d] <= hi]
+    got = list(zip(b["doc_id"].to_pylist(), b["score"].to_pylist()))
+    assert got == sorted(want, key=lambda r_: (-r_[1], r_[0]))[:50]
