@@ -183,7 +183,20 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
             cand = ok if cand is None else np.intersect1d(cand, ok, assume_unique=True)
         docs_sum, scores_sum = _merge_sum(must + should)
         if cand is None:
-            cand = docs_sum
+            if not must and not should:
+                # pure filter context: ES matches the filter set at score
+                # 0.0; seed candidates from the FIRST filter (a bool with
+                # neither scoring nor filter clauses has no doc source)
+                flts = _as_list(body.get("filter"))
+                if not flts:
+                    raise ValueError(
+                        "search: bool needs at least one scoring or "
+                        "filter clause"
+                    )
+                cand, _ = _eval(store, flts[0])
+                body = dict(body, filter=flts[1:])
+            else:
+                cand = docs_sum
         for c in _as_list(body.get("filter")):
             fd, _ = _eval(store, c)
             cand = np.intersect1d(cand, fd, assume_unique=True)

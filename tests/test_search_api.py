@@ -213,3 +213,17 @@ def test_search_ids_and_range(built, store):
     want = [(d, s) for d, s in full if lo <= dl_of[d] <= hi]
     got = list(zip(b["doc_id"].to_pylist(), b["score"].to_pylist()))
     assert got == sorted(want, key=lambda r_: (-r_[1], r_[0]))[:50]
+
+
+def test_search_bool_filter_only_scores_zero(built, store):
+    _, oracle, _ = built
+    v = sorted(oracle.postings)
+    r = run_search(
+        store,
+        {"query": {"bool": {"filter": [{"term": {"content": v[0]}}]}}, "size": 8},
+    )
+    docs = sorted(int(oracle.doc_ids[row]) for row in oracle.postings[v[0]])
+    assert r["doc_id"].to_pylist() == docs[:8]
+    assert all(s == 0.0 for s in r["score"].to_pylist())
+    with pytest.raises(ValueError):
+        run_search(store, {"query": {"bool": {}}})
