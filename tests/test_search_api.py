@@ -227,3 +227,54 @@ def test_search_bool_filter_only_scores_zero(built, store):
     assert all(s == 0.0 for s in r["score"].to_pylist())
     with pytest.raises(ValueError):
         run_search(store, {"query": {"bool": {}}})
+
+
+def test_search_body_fuzz_never_crashes(store):
+    """Random/mutated _search bodies must either return a table or raise
+    the clean ValueError refusal — never leak internal exception types."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    leaf = st.sampled_from([
+        {"match": {"content": "scan"}},
+        {"term": {"content": "window"}},
+        {"prefix": {"content": "sc"}},
+        {"ids": {"values": [1, 2]}},
+        {"range": {"dl": {"gte": 1}}},
+        {"bogus": {}},
+        {"match": {}},
+        {"match": {"a": "x", "b": "y"}},
+        {"constant_score": {"filter": {"term": {"content": "scan"}}}},
+    ])
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        q=st.recursive(
+            leaf,
+            lambda inner: st.one_of(
+                st.fixed_dictionaries({"bool": st.fixed_dictionaries({
+                    "must": st.lists(inner, max_size=2),
+                    "should": st.lists(inner, max_size=2),
+                })}),
+                st.fixed_dictionaries({"dis_max": st.fixed_dictionaries({
+                    "queries": st.lists(inner, min_size=1, max_size=2),
+                })}),
+            ),
+            max_leaves=4,
+        ),
+        size=st.integers(min_value=-1, max_value=5),
+        extra=st.sampled_from([{}, {"from": 2}, {"from": -3}]),
+    )
+    def check(q, size, extra):
+        body = {"query": q, "size": size, **extra}
+        try:
+            t = run_search(store, body)
+            assert t.num_rows >= 0
+        except ValueError:
+            pass
+        except (KeyError, IndexError, AttributeError, TypeError) as ex:
+            raise AssertionError(
+                f"search compiler leaked {type(ex).__name__} on {body!r}"
+            ) from ex
+
+    check()
