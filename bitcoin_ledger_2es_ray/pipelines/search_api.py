@@ -238,8 +238,63 @@ def run_search(
         raise ValueError("search: size/from must be >= 0")
     docs, scores = _eval(store, body["query"])
     scores = sql_round(scores, round_decimals)
-    order = topk_order(scores, docs.astype(np.uint64), offset + size)
-    sel = order[offset: offset + size]
+    sort_spec = body.get("sort")
+    if sort_spec:
+        # ES sort section: keys over _score / _doc / the index's dl
+        # field (fetched with the hit-id set pushed into the forward-map
+        # scan); final tiebreak doc ASC like every ranking here
+        keys: list[np.ndarray] = []
+        dirs: list[bool] = []
+        for item in sort_spec if isinstance(sort_spec, list) else [sort_spec]:
+            if isinstance(item, str):
+                field, order_s = item, "desc" if item == "_score" else "asc"
+            else:
+                if len(item) != 1:
+                    raise ValueError("search: sort item needs one field")
+                field, opts = next(iter(item.items()))
+                order_s = (
+                    opts.get("order", "desc" if field == "_score" else "asc")
+                    if isinstance(opts, dict)
+                    else opts
+                )
+            if order_s not in ("asc", "desc"):
+                raise ValueError(f"search: sort order {order_s!r}")
+            if field == "_score":
+                keys.append(scores)
+            elif field == "_doc":
+                keys.append(docs.astype(np.float64))
+            elif field == "dl":
+                import os
+
+                import pyarrow.dataset as pads
+
+                t = pads.dataset(
+                    os.path.join(store.index_dir, "forward_map")
+                ).to_table(
+                    columns=["doc_id", "dl"],
+                    filter=pads.field("doc_id").isin(docs.tolist()),
+                )
+                fd = np.asarray(t["doc_id"], dtype=np.int64)
+                fv = np.asarray(t["dl"], dtype=np.float64)
+                o = np.argsort(fd, kind="stable")
+                fd, fv = fd[o], fv[o]
+                pos = np.searchsorted(fd, docs)
+                vals = np.zeros(len(docs), dtype=np.float64)
+                hit = (pos < len(fd)) & (fd[np.minimum(pos, max(len(fd) - 1, 0))] == docs) if len(fd) else np.zeros(len(docs), bool)
+                vals[hit] = fv[pos[hit]]
+                keys.append(vals)
+            else:
+                raise ValueError(f"search: unsupported sort field {field!r}")
+            dirs.append(order_s == "desc")
+        # lexsort: last key is primary; doc ASC is the ultimate tiebreak
+        lex = [docs.astype(np.float64)]
+        for kv, desc in zip(reversed(keys), reversed(dirs)):
+            lex.append(-kv if desc else kv)
+        order = np.lexsort(tuple(lex))
+        sel = order[offset: offset + size]
+    else:
+        order = topk_order(scores, docs.astype(np.uint64), offset + size)
+        sel = order[offset: offset + size]
     return pa.table(
         {
             "rank": pa.array(

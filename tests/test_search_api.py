@@ -278,3 +278,28 @@ def test_search_body_fuzz_never_crashes(store):
             ) from ex
 
     check()
+
+
+def test_search_sort_section(built, store):
+    _, oracle, _ = built
+    dl_of = {int(oracle.doc_ids[i]): int(oracle.dl[i]) for i in range(len(oracle.dl))}
+    text = sorted(oracle.postings)[0]
+    r = run_search(
+        store,
+        {"query": {"match": {"content": text}}, "size": 15,
+         "sort": [{"dl": {"order": "asc"}}, "_score"]},
+    )
+    rows = list(zip(r["doc_id"].to_pylist(), r["score"].to_pylist()))
+    full = run_search(store, {"query": {"match": {"content": text}},
+                              "size": 10_000})
+    pool = list(zip(full["doc_id"].to_pylist(), full["score"].to_pylist()))
+    want = sorted(pool, key=lambda p: (dl_of[p[0]], -p[1], p[0]))[:15]
+    assert rows == want
+    # _doc sort == plain doc order
+    r2 = run_search(
+        store, {"query": {"match": {"content": text}}, "size": 15, "sort": ["_doc"]}
+    )
+    assert r2["doc_id"].to_pylist() == sorted(d for d, _ in pool)[:15]
+    with pytest.raises(ValueError):
+        run_search(store, {"query": {"match": {"content": text}},
+                           "sort": [{"bogus": "asc"}]})
