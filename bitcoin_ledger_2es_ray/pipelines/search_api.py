@@ -326,6 +326,8 @@ def run_search_aggs(
         }
     )
     out: dict[str, pa.Table] = {"hits": hits}
+    if body.get("highlight"):
+        out["highlight"] = _highlight_hits(store, body, hits)
     for name, spec in (body.get("aggs") or {}).items():
         if len(spec) != 1:
             raise ValueError("search: agg spec needs exactly one type key")
@@ -339,3 +341,42 @@ def run_search_aggs(
         else:
             raise ValueError(f"search: unsupported agg type {kind!r}")
     return out
+
+
+def _highlight_hits(
+    store: SegmentStore, body: dict, hits: pa.Table
+) -> pa.Table:
+    """The ``highlight`` section: per hit doc, located fragments for each
+    query term (ES reports marked-up snippets; the engine reports the
+    fragment COORDINATES — markup is presentation, `highlight_fragments`'
+    documented contract).  Supported for match/term top-level queries
+    (the terms are well-defined); needs a positional index."""
+    from ..functions.tokenize import tokenize_query
+    from .structured import highlight_fragments
+
+    kind, qbody = next(iter(body["query"].items()))
+    if kind not in ("match", "term"):
+        raise ValueError(
+            "search: highlight supports match/term top-level queries"
+        )
+    opts = next(iter((body["highlight"].get("fields") or {"content": {}}).values()))
+    n_frags = int(opts.get("number_of_fragments", 3))
+    hit_set = set(hits["doc_id"].to_pylist())
+    rows = []
+    for t in sorted(set(tokenize_query(_leaf_text(qbody)))):
+        for doc, rank, pos, lo, hi in highlight_fragments(
+            store, t, n_frags=n_frags
+        ):
+            if doc in hit_set:
+                rows.append((doc, t, rank, pos, lo, hi))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "term": pa.array([r[1] for r in rows], type=pa.string()),
+            "frag_rank": pa.array([r[2] for r in rows], type=pa.int64()),
+            "pos": pa.array([r[3] for r in rows], type=pa.int64()),
+            "snip_start": pa.array([r[4] for r in rows], type=pa.int64()),
+            "snip_end": pa.array([r[5] for r in rows], type=pa.int64()),
+        }
+    )

@@ -303,3 +303,28 @@ def test_search_sort_section(built, store):
     with pytest.raises(ValueError):
         run_search(store, {"query": {"match": {"content": text}},
                            "sort": [{"bogus": "asc"}]})
+
+
+def test_search_highlight_section(pos_store):
+    from bitcoin_ledger_2es_ray.pipelines.search_api import run_search_aggs
+    from bitcoin_ledger_2es_ray.pipelines.structured import highlight_fragments
+
+    r = run_search_aggs(
+        pos_store.index_dir,
+        pos_store,
+        {"query": {"match": {"content": "alpha"}}, "size": 5,
+         "highlight": {"fields": {"content": {"number_of_fragments": 2}}}},
+    )
+    h = r["highlight"]
+    hit_set = set(r["hits"]["doc_id"].to_pylist())
+    assert set(h["doc_id"].to_pylist()) <= hit_set
+    assert set(h["term"].to_pylist()) == {"alpha"}
+    assert max(h["frag_rank"].to_pylist()) <= 2
+    # fragment coordinates must agree with the kernel on hit docs
+    want = [
+        row for row in highlight_fragments(pos_store, "alpha", n_frags=2)
+        if row[0] in hit_set
+    ]
+    got = list(zip(*[h[c].to_pylist() for c in
+                     ["doc_id", "frag_rank", "pos", "snip_start", "snip_end"]]))
+    assert sorted(got) == sorted(want)
