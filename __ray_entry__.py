@@ -278,6 +278,39 @@ def _q_search_api_aggs(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_search_api_sorted(sf_dir: str) -> pa.Table:
+    """ES ``_search`` with a ``sort`` section: each fixture query ranked
+    by (dl ASC, _score DESC) — the field key fetched through the
+    forward-map pushdown (`pipelines/search_api.py: run_search`)."""
+    from bitcoin_ledger_2es_ray.pipelines.search_api import run_search
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    parts = []
+    for qid, text, k in zip(
+        queries["query_id"].to_pylist(),
+        queries["text"].to_pylist(),
+        queries["k"].to_pylist(),
+    ):
+        t = run_search(
+            store,
+            {
+                "query": {"match": {"content": text}},
+                "size": int(k),
+                "sort": [{"dl": {"order": "asc"}}, "_score"],
+            },
+            round_decimals=_ROUND,
+        )
+        parts.append(
+            t.append_column(
+                "query_id", pa.array([int(qid)] * t.num_rows, type=pa.int64())
+            )
+        )
+    return pa.concat_tables(parts).select(
+        ["query_id", "rank", "doc_id", "score"]
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_indices_boost(sf_dir: str) -> pa.Table:
     """ES ``indices_boost`` over the two-member federation: member A (the
     first third of the corpus) boosted 1.5, member B 0.5; global stats
@@ -6355,6 +6388,7 @@ _FRONT_50 = [
     "bpe_corpus_tokens", "histogram_field_stats", "knn_int4", "bpe_pack",
     "sql_show_tables", "sql_describe", "intervals_algebra",
     "intervals_prefix", "search_api", "search_api_aggs",
+    "search_api_sorted",
     "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
     "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
     "cartesian_agg", "esql_fuse", "ingest_transforms", "esql_score",
@@ -6395,6 +6429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_match": _q_synonym_match,
         "search_api": _q_search_api,
         "search_api_aggs": _q_search_api_aggs,
+        "search_api_sorted": _q_search_api_sorted,
         "bm25_topk_routed": _q_bm25_topk_routed,
         "bm25_topk_federated": _q_bm25_topk_federated,
         "indices_boost": _q_indices_boost,
@@ -6891,6 +6926,32 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
          doc_id, score
   FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
+        "search_api_sorted": _PRELUDE
+        + """
+, scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT sc.query_id,
+         row_number() OVER (
+           PARTITION BY sc.query_id
+           ORDER BY d2.dl ASC, sc.score DESC, sc.doc_id ASC
+         ) AS rank,
+         sc.doc_id, sc.score
+  FROM scored sc JOIN dl d2 ON d2.doc_id = sc.doc_id
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
