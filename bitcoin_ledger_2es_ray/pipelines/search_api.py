@@ -238,6 +238,9 @@ def run_search(
         raise ValueError("search: size/from must be >= 0")
     docs, scores = _eval(store, body["query"])
     scores = sql_round(scores, round_decimals)
+    collapse = body.get("collapse")
+    if collapse is not None and body.get("sort"):
+        raise ValueError("search: collapse does not compose with sort here")
     sort_spec = body.get("sort")
     if sort_spec:
         # ES sort section: keys over _score / _doc / the index's dl
@@ -292,6 +295,42 @@ def run_search(
             lex.append(-kv if desc else kv)
         order = np.lexsort(tuple(lex))
         sel = order[offset: offset + size]
+    elif collapse is not None:
+        # ES field collapse: walk the FULL ranking, keep the best doc per
+        # field value until from+size groups — field values fetched with
+        # the hit-id set pushed into the forward-map scan (at scale this
+        # is the owning actor's partition, collapse_topk's contract)
+        import os
+
+        import pyarrow.dataset as pads
+
+        field = collapse.get("field")
+        if not field:
+            raise ValueError("search: collapse needs a 'field'")
+        t = pads.dataset(
+            os.path.join(store.index_dir, "forward_map")
+        ).to_table(
+            columns=["doc_id", field],
+            filter=pads.field("doc_id").isin(docs.tolist()),
+        )
+        fd = np.asarray(t["doc_id"], dtype=np.int64)
+        fvals = t[field].to_pylist()
+        o = np.argsort(fd, kind="stable")
+        fd = fd[o]
+        fvals = [fvals[i] for i in o]
+        full_order = topk_order(scores, docs.astype(np.uint64), len(docs))
+        seen: set = set()
+        sel_l: list[int] = []
+        for i in full_order:
+            pos = int(np.searchsorted(fd, docs[i]))
+            fv = fvals[pos] if pos < len(fd) and fd[pos] == docs[i] else None
+            if fv in seen:
+                continue
+            seen.add(fv)
+            sel_l.append(int(i))
+            if len(sel_l) == offset + size:
+                break
+        sel = np.array(sel_l[offset: offset + size], dtype=np.int64)
     else:
         order = topk_order(scores, docs.astype(np.uint64), offset + size)
         sel = order[offset: offset + size]

@@ -328,3 +328,29 @@ def test_search_highlight_section(pos_store):
     got = list(zip(*[h[c].to_pylist() for c in
                      ["doc_id", "frag_rank", "pos", "snip_start", "snip_end"]]))
     assert sorted(got) == sorted(want)
+
+
+def test_search_collapse_section(built, store):
+    import pyarrow.parquet as pq
+
+    from bitcoin_ledger_2es_ray.pipelines.query import collapse_topk
+
+    res, oracle, _ = built
+    text = " ".join(sorted(oracle.postings)[:2])
+    r = run_search(
+        store,
+        {"query": {"match": {"content": text}}, "size": 4,
+         "collapse": {"field": "lang"}},
+    )
+    fm = pq.read_table(res.out_dir + "/forward_map", columns=["doc_id", "lang"])
+    field_of = dict(zip(fm["doc_id"].to_pylist(), fm["lang"].to_pylist()))
+    want = collapse_topk(store, text, 4, field_of, round_decimals=6)
+    assert list(zip(r["doc_id"].to_pylist(), r["score"].to_pylist())) == [
+        (d, s) for d, _f, s in want
+    ]
+    with pytest.raises(ValueError):
+        run_search(store, {"query": {"match": {"content": text}},
+                           "collapse": {"field": "lang"}, "sort": ["_doc"]})
+    with pytest.raises(ValueError):
+        run_search(store, {"query": {"match": {"content": text}},
+                           "collapse": {}})
