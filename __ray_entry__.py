@@ -242,8 +242,8 @@ def _q_search_api(sf_dir: str) -> pa.Table:
 
 def _q_search_api_aggs(sf_dir: str) -> pa.Table:
     """ES ``_search`` with an ``aggs`` section: per fixture query the
-    top-k hits feed a query-scoped ``terms`` agg over ``lang`` —
-    (query_id, lang, doc_count)
+    FULL hit set (pagination ignored, ES's agg contract) feeds a
+    query-scoped ``terms`` agg over ``lang`` — (query_id, lang, doc_count)
     (`pipelines/search_api.py: run_search_aggs`)."""
     from bitcoin_ledger_2es_ray.pipelines.search_api import run_search_aggs
 
@@ -6969,18 +6969,11 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
   GROUP BY qt.query_id, tf.doc_id
-),
-ranked AS (
-  SELECT query_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
-         doc_id
-  FROM scored
 )
-SELECT r.query_id, d.lang, count(*)::BIGINT AS doc_count
-FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
-WHERE r.rank <= {k}
+SELECT sc.query_id, d.lang, count(*)::BIGINT AS doc_count
+FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
 GROUP BY 1, 2 ORDER BY 1, 2
-""".replace("{k}", str(_TOP_K)),
+""",
         "bm25_topk": _PRELUDE
         + """
 , scored AS (

@@ -84,32 +84,47 @@ def _match_intervals(
             if o and (e - s + 1) - k <= max_gaps
         ]
         return minimal_intervals(cands)
-    # unordered: smallest window covering one occurrence of every term —
+    # unordered: smallest window covering one occurrence of every clause —
     # overlapping positions ALLOWED (Lucene's Intervals.unordered
-    # contract since LUCENE-8828); classic merged two-pointer
-    if len({arr.tobytes() for arr in pos_lists}) != k:
-        raise ValueError(
-            "intervals match (unordered) needs distinct term clauses"
-        )
+    # contract since LUCENE-8828); classic merged two-pointer.  Repeated
+    # term clauses (identical position arrays — positions are token
+    # slots, so identical arrays ⇔ the same term) group together and the
+    # window must hold that many DISTINCT occurrences of the term, which
+    # is Lucene's behavior for e.g. {"query": "a a", "ordered": false}.
+    groups: dict[bytes, int] = {}
+    uniq_arrs: list[np.ndarray] = []
+    need: list[int] = []
+    for arr in pos_lists:
+        key = arr.tobytes()
+        if key in groups:
+            need[groups[key]] += 1
+        else:
+            groups[key] = len(uniq_arrs)
+            uniq_arrs.append(arr)
+            need.append(1)
+    g = len(uniq_arrs)
+    if any(len(arr) < n for arr, n in zip(uniq_arrs, need)):
+        return []
+    need_a = np.asarray(need, dtype=np.int64)
     tagged = np.concatenate(
-        [np.stack([arr, np.full(len(arr), j)], axis=1) for j, arr in enumerate(pos_lists)]
+        [np.stack([arr, np.full(len(arr), j)], axis=1) for j, arr in enumerate(uniq_arrs)]
     ).astype(np.int64)
     tagged = tagged[np.argsort(tagged[:, 0], kind="stable")]
-    counts = np.zeros(k, dtype=np.int64)
+    counts = np.zeros(g, dtype=np.int64)
     have = 0
     lo = 0
     cands: list[Interval] = []
     for hi in range(len(tagged)):
         t = int(tagged[hi, 1])
         counts[t] += 1
-        if counts[t] == 1:
+        if counts[t] == need_a[t]:
             have += 1
-        while have == k:
+        while have == g:
             cands.append((int(tagged[lo, 0]), int(tagged[hi, 0])))
             tl = int(tagged[lo, 1])
-            counts[tl] -= 1
-            if counts[tl] == 0:
+            if counts[tl] == need_a[tl]:
                 have -= 1
+            counts[tl] -= 1
             lo += 1
     cands = [c for c in cands if (c[1] - c[0] + 1) - k <= max_gaps]
     return minimal_intervals(cands)
@@ -355,8 +370,32 @@ def expand_spec(store: SegmentStore, spec: dict) -> dict:
             body["term"], int(body.get("fuzziness", 1))
         )
     elif rule == "range":
-        gte, lte = body["gte"], body["lte"]
-        terms = [t for t in store.td.vocab() if gte <= t <= lte]
+        # ES supports one-sided bounds (gte/gt/lte/lt); reject unknown
+        # keys with a clean ValueError (the compiler's refusal contract)
+        bad = set(body) - {"gte", "gt", "lte", "lt", "analyzer", "use_field"}
+        if bad:
+            raise ValueError(
+                f"intervals range: unsupported keys {sorted(bad)!r}"
+            )
+        lo_i, lo_x = body.get("gte"), body.get("gt")
+        hi_i, hi_x = body.get("lte"), body.get("lt")
+        if lo_i is None and lo_x is None and hi_i is None and hi_x is None:
+            raise ValueError(
+                "intervals range: needs at least one of gte/gt/lte/lt"
+            )
+
+        def _in_range(t: str) -> bool:
+            if lo_i is not None and not (t >= lo_i):
+                return False
+            if lo_x is not None and not (t > lo_x):
+                return False
+            if hi_i is not None and not (t <= hi_i):
+                return False
+            if hi_x is not None and not (t < hi_x):
+                return False
+            return True
+
+        terms = [t for t in store.td.vocab() if _in_range(t)]
     else:
         raise ValueError(f"unknown intervals rule {rule!r}")
     if len(terms) > _MAX_EXPANSIONS:

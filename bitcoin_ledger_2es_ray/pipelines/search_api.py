@@ -173,7 +173,15 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
         cand: np.ndarray | None = None
         for d, _ in must:
             cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
-        msm = int(body.get("minimum_should_match", 0 if must else 1))
+        # ES defaults minimum_should_match to 0 when the bool carries must
+        # OR filter clauses (should becomes purely optional scoring), 1
+        # only when should is the sole doc source
+        msm = int(
+            body.get(
+                "minimum_should_match",
+                0 if (must or _as_list(body.get("filter"))) else 1,
+            )
+        )
         if should and msm > 0:
             sd = [d for d, _ in should if len(d)]
             if not sd:
@@ -183,16 +191,28 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
             cand = ok if cand is None else np.intersect1d(cand, ok, assume_unique=True)
         docs_sum, scores_sum = _merge_sum(must + should)
         if cand is None:
+            # reached only when must is empty AND (should is empty or
+            # msm == 0 — a should set under msm > 0 assigned cand above)
+            flts = _as_list(body.get("filter"))
             if not must and not should:
-                # pure filter context: ES matches the filter set at score
-                # 0.0; seed candidates from the FIRST filter (a bool with
-                # neither scoring nor filter clauses has no doc source)
-                flts = _as_list(body.get("filter"))
-                if not flts:
+                # pure filter / pure must_not context: ES matches the
+                # filter set at score 0.0; seed candidates from the FIRST
+                # filter, or from the full doc set when only must_not
+                # clauses exist (ES supports must_not-only bools)
+                if flts:
+                    cand, _ = _eval(store, flts[0])
+                    body = dict(body, filter=flts[1:])
+                elif _as_list(body.get("must_not")):
+                    cand = _all_docs(store)
+                else:
                     raise ValueError(
-                        "search: bool needs at least one scoring or "
-                        "filter clause"
+                        "search: bool needs at least one scoring, filter "
+                        "or must_not clause"
                     )
+            elif flts:
+                # should at msm=0 next to filter clauses: should is
+                # optional scoring only — the filter set is the doc
+                # source (ES), should contributions land in the score sum
                 cand, _ = _eval(store, flts[0])
                 body = dict(body, filter=flts[1:])
             else:
@@ -220,6 +240,20 @@ def _as_list(v):
     if v is None:
         return []
     return v if isinstance(v, list) else [v]
+
+
+def _all_docs(store: SegmentStore) -> np.ndarray:
+    """Sorted doc_id universe from the forward map (doc_id column only —
+    row-group pruned scan; at scale this is the owning actor's
+    partition, exists_docs' contract)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(store.index_dir, "forward_map")).to_table(
+        columns=["doc_id"]
+    )
+    return np.unique(np.asarray(t["doc_id"], dtype=np.int64))
 
 
 def run_search(
@@ -351,17 +385,19 @@ def run_search_aggs(
     body: dict,
     round_decimals: int = 6,
 ) -> dict[str, pa.Table]:
-    """The ``_search`` body's ``aggs`` section: run the query, then each
-    named aggregation over the HIT SET (ES's query-scoped agg contract),
-    delegating to the agg kernels (`aggs.terms_agg` / `histogram_agg`).
+    """The ``_search`` body's ``aggs`` section: run the query for the
+    paginated hits, then each named aggregation over the FULL query hit
+    set (ES's contract: aggs ignore size/from pagination), delegating to
+    the agg kernels (`aggs.terms_agg` / `histogram_agg`).
     Returns {"hits": hits_table, <agg_name>: agg_table, ...}."""
     from .aggs import histogram_agg, terms_agg
 
     hits = run_search(store, body, round_decimals=round_decimals)
+    all_docs, _ = _eval(store, body["query"])
     matches = pa.table(
         {
-            "query_id": pa.array([0] * hits.num_rows, type=pa.int64()),
-            "doc_id": hits["doc_id"],
+            "query_id": pa.array([0] * len(all_docs), type=pa.int64()),
+            "doc_id": pa.array(all_docs.astype(np.int64), type=pa.int64()),
         }
     )
     out: dict[str, pa.Table] = {"hits": hits}

@@ -49,8 +49,17 @@ def naive_eval(spec, pos):
                     if (e - s + 1) - len(combo) <= mg:
                         cands.append((s, e))
         else:
-            # overlapping positions allowed (Lucene Intervals.unordered)
+            # overlapping positions allowed between DIFFERENT terms
+            # (Lucene Intervals.unordered); repeated terms need distinct
+            # occurrences per clause
             for combo in product(*lists):
+                by_term: dict[str, set] = {}
+                for t, p in zip(terms, combo):
+                    by_term.setdefault(t, set()).add(p)
+                if any(
+                    len(by_term[t]) != terms.count(t) for t in by_term
+                ):
+                    continue
                 s, e = min(combo), max(combo)
                 if (e - s + 1) - len(combo) <= mg:
                     cands.append((s, e))
@@ -173,10 +182,48 @@ def test_minimal_intervals_basic():
     assert minimal_intervals([]) == []
 
 
+def test_intervals_unordered_repeated_terms():
+    """Repeated-term unordered match requires that many DISTINCT
+    occurrences in the window (ADVICE round 5 — Lucene supports duplicate
+    terms; the old compiler rejected them)."""
+    # one occurrence of "a": "a a" can never match
+    assert eval_intervals(
+        {"match": {"query": "a a", "ordered": False}},
+        _np_pos({"a": [3]}),
+    ) == []
+    # two occurrences: the window spans both
+    assert eval_intervals(
+        {"match": {"query": "a a", "ordered": False}},
+        _np_pos({"a": [3, 7]}),
+    ) == [(3, 7)]
+    # minimality: three occurrences yield the two adjacent windows
+    assert eval_intervals(
+        {"match": {"query": "a a", "ordered": False}},
+        _np_pos({"a": [1, 4, 6]}),
+    ) == [(1, 4), (4, 6)]
+    # mixed with a distinct term, max_gaps bound applies ((e-s+1)-k)
+    assert eval_intervals(
+        {"match": {"query": "a a b", "ordered": False, "max_gaps": 1}},
+        _np_pos({"a": [0, 2], "b": [3]}),
+    ) == [(0, 3)]
+    assert eval_intervals(
+        {"match": {"query": "a a b", "ordered": False, "max_gaps": 0}},
+        _np_pos({"a": [0, 2], "b": [3]}),
+    ) == []
+    # randomized against the naive distinct-occurrence mirror
+    rng = random.Random(23)
+    for _ in range(60):
+        pos = _rand_pos(rng, terms=("a", "b"), n=10)
+        for q in ("a a", "a a b", "b b", "a b b"):
+            spec = {"match": {"query": q, "ordered": False,
+                              "max_gaps": rng.choice([-1, 0, 1, 3])}}
+            assert eval_intervals(spec, _np_pos(pos)) == naive_eval(
+                spec, pos
+            ), (q, pos)
+
+
 def test_intervals_rejections():
     p = _np_pos({"a": [1], "b": [2]})
-    with pytest.raises(ValueError):
-        eval_intervals({"match": {"query": "a a", "ordered": False}}, p)
     with pytest.raises(ValueError):
         eval_intervals({"bogus": {}}, p)
     with pytest.raises(ValueError):
@@ -310,3 +357,34 @@ def test_intervals_expand_multi_term_sources(ivx):
     # leading wildcard refuses
     with pytest.raises(ValueError):
         intervals_search(store, {"wildcard": {"pattern": "*pha"}})
+
+
+def test_intervals_range_bounds(ivx):
+    """range source supports one-sided and exclusive bounds and refuses
+    unknown/missing keys with a clean ValueError (ADVICE round 5)."""
+    docs, store = ivx
+    vocab = sorted({t for d in docs for t in d.split()})
+    # one-sided gte: every term >= "delta"
+    rg = intervals_search(store, {"range": {"gte": "delta"}})
+    lit = intervals_search(store, {"any_of": {"intervals": [
+        {"match": {"query": t}} for t in vocab if t >= "delta"
+    ]}})
+    assert rg.equals(lit)
+    # one-sided lt (exclusive)
+    rg2 = intervals_search(store, {"range": {"lt": "delta"}})
+    lit2 = intervals_search(store, {"any_of": {"intervals": [
+        {"match": {"query": t}} for t in vocab if t < "delta"
+    ]}})
+    assert rg2.equals(lit2)
+    # gt + lte combination
+    rg3 = intervals_search(store, {"range": {"gt": "alpha", "lte": "delta"}})
+    lit3 = intervals_search(store, {"any_of": {"intervals": [
+        {"match": {"query": t}} for t in vocab if "alpha" < t <= "delta"
+    ]}})
+    assert rg3.equals(lit3)
+    # no bounds at all → clean refusal, not a KeyError
+    with pytest.raises(ValueError):
+        intervals_search(store, {"range": {}})
+    # unknown key → clean refusal
+    with pytest.raises(ValueError):
+        intervals_search(store, {"range": {"gte": "a", "bogus": 1}})

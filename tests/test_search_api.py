@@ -166,11 +166,14 @@ def test_search_aggs_terms_over_hits(built, store):
     )
     hits = r["hits"]
     langs = r["langs"]
-    # agg counts must tile the hit count
-    assert int(sum(langs["doc_count"].to_pylist())) == hits.num_rows
+    # ES contract: aggs run over the FULL query hit set, ignoring the
+    # size/from pagination applied to hits
+    full = score_query(store, text, store.n_docs, round_decimals=6)
+    assert hits.num_rows == 10 < len(full)
+    assert int(sum(langs["doc_count"].to_pylist())) == len(full)
     # against the forward map directly
     con = duckdb.connect()
-    ids = hits["doc_id"].to_pylist()
+    ids = [d for d, _ in full]
     want = con.sql(
         f"""SELECT lang, count(*) FROM read_parquet(
             '/root/testdata/sf0.001/documents.parquet')
@@ -354,3 +357,51 @@ def test_search_collapse_section(built, store):
     with pytest.raises(ValueError):
         run_search(store, {"query": {"match": {"content": text}},
                            "collapse": {}})
+
+
+def test_search_bool_filter_should_msm_defaults_zero(built, store):
+    """ES defaults minimum_should_match to 0 when the bool has must OR
+    filter clauses: filter-matching docs that match no should clause must
+    survive (ADVICE round 5)."""
+    _, oracle, _ = built
+    v = sorted(oracle.postings)
+    filt_docs = sorted(int(oracle.doc_ids[r]) for r in oracle.postings[v[0]])
+    r = run_search(
+        store,
+        {"query": {"bool": {
+            "filter": [{"term": {"content": v[0]}}],
+            "should": [{"term": {"content": v[1]}}],
+        }}, "size": store.n_docs},
+    )
+    # every filter-matching doc present, even those matching no should
+    assert sorted(r["doc_id"].to_pylist()) == filt_docs
+    # docs matching the should clause carry its score; the rest score 0
+    should_set = {int(oracle.doc_ids[row]) for row in oracle.postings[v[1]]}
+    for d, s in zip(r["doc_id"].to_pylist(), r["score"].to_pylist()):
+        assert (s > 0.0) == (d in should_set)
+    # explicit msm=1 restores the restrictive behavior
+    r1 = run_search(
+        store,
+        {"query": {"bool": {
+            "filter": [{"term": {"content": v[0]}}],
+            "should": [{"term": {"content": v[1]}}],
+            "minimum_should_match": 1,
+        }}, "size": store.n_docs},
+    )
+    assert set(r1["doc_id"].to_pylist()) == set(filt_docs) & should_set
+
+
+def test_search_bool_must_not_only(built, store):
+    """ES supports pure must_not bools: all docs except the matches, score
+    0 (filter context) (ADVICE round 5)."""
+    _, oracle, _ = built
+    v = sorted(oracle.postings)
+    not_docs = {int(oracle.doc_ids[row]) for row in oracle.postings[v[0]]}
+    all_docs = {int(d) for d in oracle.doc_ids}
+    r = run_search(
+        store,
+        {"query": {"bool": {"must_not": [{"term": {"content": v[0]}}]}},
+         "size": store.n_docs},
+    )
+    assert set(r["doc_id"].to_pylist()) == all_docs - not_docs
+    assert all(s == 0.0 for s in r["score"].to_pylist())
