@@ -1047,12 +1047,12 @@ def bulk_apply(sf_dir: str, round_decimals: int = 6) -> pa.Table:
 
     from ..functions.bm25 import sql_round
 
-    def replay(g: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
-
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        eid = g["event_id"].to_numpy(dtype=np.int64)
-        val = g["value"].to_numpy(dtype=np.float64)
+    def replay(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, ts))
+        eid, val = eid[order], val[order]
         op = eid % 4  # 0=index 1=create 2=update 3=delete
         n = len(op)
         idx = np.arange(n, dtype=np.int64)
@@ -1065,12 +1065,12 @@ def bulk_apply(sf_dir: str, round_decimals: int = 6) -> pa.Table:
         )
         last_def = last_def_incl[-1] if n else -1
         if last_def < 0 or op[last_def] > 1:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "value": pd.Series([], dtype="float64"),
-                    "version": pd.Series([], dtype="int64"),
-                    "n_errors": pd.Series([], dtype="int64"),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "value": pa.array([], type=pa.float64()),
+                    "version": pa.array([], type=pa.int64()),
+                    "n_errors": pa.array([], type=pa.int64()),
                 }
             )
         set_mask = (op == 0) | ((op == 1) & ok)
@@ -1078,12 +1078,17 @@ def bulk_apply(sf_dir: str, round_decimals: int = 6) -> pa.Table:
         value = float(
             val[last_set] + val[(op == 2) & ok & (idx > last_set)].sum()
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "value": [float(sql_round(value, round_decimals))],
-                "version": [int(ok.sum())],
-                "n_errors": [int(n - ok.sum())],
+                "user_id": pa.array(
+                    [int(g["user_id"][0].as_py())], type=pa.int64()
+                ),
+                "value": pa.array(
+                    [float(sql_round(value, round_decimals))],
+                    type=pa.float64(),
+                ),
+                "version": pa.array([int(ok.sum())], type=pa.int64()),
+                "n_errors": pa.array([int(n - ok.sum())], type=pa.int64()),
             }
         )
 
@@ -1095,14 +1100,9 @@ def bulk_apply(sf_dir: str, round_decimals: int = 6) -> pa.Table:
             columns=["user_id", "ts", "event_id", "value"],
         )
         .groupby("user_id")
-        .map_groups(replay, batch_format="pandas")
+        .map_groups(replay, batch_format="pyarrow")
     )
-    parts = []
-    for p in (ray.get(r) for r in ds.to_arrow_refs()):
-        if not isinstance(p, pa.Table):
-            p = pa.Table.from_pandas(p, preserve_index=False)
-        if p.num_rows:
-            parts.append(p)
+    parts = [p for p in (ray.get(r) for r in ds.to_arrow_refs()) if p.num_rows]
     if not parts:
         return pa.table(
             {

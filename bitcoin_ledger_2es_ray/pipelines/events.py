@@ -19,7 +19,6 @@ DuckDB oracle comparison is timezone-free.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -215,51 +214,45 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> pa.Table:
     when the gap to the previous event of the same user exceeds ``gap_s``."""
     import ray
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        sec = (g["ts"].astype("int64") // 1_000_000).to_numpy()
+    def sessions(g: pa.Table) -> pa.Table:
+        # one user per group: sort its events, cut runs where the gap
+        # exceeds gap_s, reduce each run with flatnonzero/diff — pure
+        # numpy over the Arrow buffers, no pandas round-trip
+        sec = np.sort(
+            g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 1_000_000,
+            kind="stable",
+        )
         new = np.ones(len(sec), dtype=bool)
         new[1:] = (sec[1:] - sec[:-1]) > gap_s
-        sid = np.cumsum(new)
-        out = pd.DataFrame(
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(sec)] - 1
+        uid = int(g["user_id"][0].as_py())
+        return pa.table(
             {
-                "user_id": g["user_id"].to_numpy(),
-                "session_id": sid,
-                "sec": sec,
+                "user_id": pa.array(
+                    np.full(len(starts), uid), type=pa.int64()
+                ),
+                "session_id": pa.array(
+                    np.arange(1, len(starts) + 1), type=pa.int64()
+                ),
+                "n_events": pa.array(
+                    np.diff(np.r_[starts, len(sec)]), type=pa.int64()
+                ),
+                "start_s": pa.array(sec[starts], type=pa.int64()),
+                "end_s": pa.array(sec[ends], type=pa.int64()),
             }
         )
-        return (
-            out.groupby("session_id", as_index=False)
-            .agg(
-                user_id=("user_id", "first"),
-                n_events=("sec", "size"),
-                start_s=("sec", "min"),
-                end_s=("sec", "max"),
-            )
-        )[["user_id", "session_id", "n_events", "start_s", "end_s"]]
 
     ds = (
         _read_events(sf_dir, ["user_id", "ts"])
         .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(sessions, batch_format="pyarrow")
     )
-    parts = [ray.get(r) for r in ds.to_arrow_refs()]
-    tabs = []
-    for p in parts:
-        if not isinstance(p, pa.Table):
-            p = pa.Table.from_pandas(p)
-        if p.num_rows:
-            tabs.append(p)
-    t = pa.concat_tables(tabs)
-    return pa.table(
-        {
-            "user_id": t["user_id"].cast(pa.int64()),
-            "session_id": t["session_id"].cast(pa.int64()),
-            "n_events": t["n_events"].cast(pa.int64()),
-            "start_s": t["start_s"].cast(pa.int64()),
-            "end_s": t["end_s"].cast(pa.int64()),
-        }
-    ).sort_by([("user_id", "ascending"), ("session_id", "ascending")])
+    tabs = [p for p in (ray.get(r) for r in ds.to_arrow_refs()) if p.num_rows]
+    return pa.concat_tables(tabs).sort_by(
+        [("user_id", "ascending"), ("session_id", "ascending")]
+    )
 
 
 AUTO_LADDER = (60, 300, 600, 1800, 3600, 10800, 43200, 86400, 604800)
@@ -865,21 +858,43 @@ def downsample_ds(sf_dir: str, interval_s: int = 3600, round_decimals: int = 6):
             }
         )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["l_us", "l_eid"], kind="mergesort")
-        sm = float(g["sm"].sum())
-        n = int(g["n"].sum())
-        return pd.DataFrame(
+    def fold(g: pa.Table) -> pa.Table:
+        # one (user, type, bucket) per group: combine the batch partials
+        # with Arrow sums and pick the partial whose (l_us, l_eid) is
+        # globally last — lexsort over the numpy views, no pandas
+        l_us = g["l_us"].to_numpy(zero_copy_only=False)
+        l_eid = g["l_eid"].to_numpy(zero_copy_only=False)
+        last = int(np.lexsort((l_eid, l_us))[-1])
+        sm = float(pc.sum(g["sm"]).as_py())
+        n = int(pc.sum(g["n"]).as_py())
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "event_type": [g["event_type"].iloc[0]],
-                "bucket_s": [int(g["bucket_s"].iloc[0])],
-                "doc_count": [n],
-                "min_value": [sql_round(float(g["mn"].min()), round_decimals)],
-                "max_value": [sql_round(float(g["mx"].max()), round_decimals)],
-                "sum_value": [sql_round(sm, round_decimals)],
-                "avg_value": [sql_round(sm / n, round_decimals)],
-                "last_value": [sql_round(float(g["l_val"].iloc[-1]), round_decimals)],
+                "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
+                "event_type": pa.array(
+                    [g["event_type"][0].as_py()], type=pa.string()
+                ),
+                "bucket_s": pa.array(
+                    [g["bucket_s"][0].as_py()], type=pa.int64()
+                ),
+                "doc_count": pa.array([n], type=pa.int64()),
+                "min_value": pa.array(
+                    [sql_round(float(pc.min(g["mn"]).as_py()), round_decimals)],
+                    type=pa.float64(),
+                ),
+                "max_value": pa.array(
+                    [sql_round(float(pc.max(g["mx"]).as_py()), round_decimals)],
+                    type=pa.float64(),
+                ),
+                "sum_value": pa.array(
+                    [sql_round(sm, round_decimals)], type=pa.float64()
+                ),
+                "avg_value": pa.array(
+                    [sql_round(sm / n, round_decimals)], type=pa.float64()
+                ),
+                "last_value": pa.array(
+                    [sql_round(float(g["l_val"][last].as_py()), round_decimals)],
+                    type=pa.float64(),
+                ),
             }
         )
 
@@ -887,7 +902,7 @@ def downsample_ds(sf_dir: str, interval_s: int = 3600, round_decimals: int = 6):
         _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["user_id", "event_type", "bucket_s"])
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 
