@@ -81,30 +81,40 @@ class MediaDecoder:
     def __init__(self, fake: bool = True):
         self.fake = fake  # once-per-actor setup point (real: codec contexts)
 
-    def _decode_one(self, kind: str, payload: bytes) -> tuple[int, int, int]:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
             raise NotImplementedError(
                 "real image/audio/video decode requires PIL/ffmpeg, "
                 "not available in this container — run with fake=True"
             )
-        h = hashlib.blake2b(payload, digest_size=8).digest()
-        w = 16 + h[0] % 64
-        ht = 16 + h[1] % 64
-        frames = 1 if kind == "image" else 1 + h[2] % 30
-        return w, ht, frames
+        # hash straight off the Arrow values buffer via memoryview
+        # segments (hashlib accepts memoryviews — no Python bytes
+        # allocation per payload); dims derive vectorized from the
+        # first digest bytes
+        pay = batch["payload"].combine_chunks()
+        offs, values = _binary_segments(pay)
+        n = len(pay)
+        d0 = np.empty(n, dtype=np.uint8)
+        d1 = np.empty(n, dtype=np.uint8)
+        d2 = np.empty(n, dtype=np.uint8)
+        for i in range(n):
+            d = hashlib.blake2b(
+                values[offs[i]: offs[i + 1]], digest_size=8
+            ).digest()
+            d0[i], d1[i], d2[i] = d[0], d[1], d[2]
+        import pyarrow.compute as pc
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        dims = [
-            self._decode_one(k, p)
-            for k, p in zip(batch["kind"].to_pylist(), batch["payload"].to_pylist())
-        ]
+        is_image = pc.equal(batch["kind"], "image").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        frames = np.where(is_image, 1, 1 + (d2 % 30).astype(np.int32))
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
-                "width": pa.array([d[0] for d in dims], type=pa.int32()),
-                "height": pa.array([d[1] for d in dims], type=pa.int32()),
-                "n_frames": pa.array([d[2] for d in dims], type=pa.int32()),
+                "width": pa.array((16 + d0 % 64).astype(np.int32), type=pa.int32()),
+                "height": pa.array((16 + d1 % 64).astype(np.int32), type=pa.int32()),
+                "n_frames": pa.array(frames.astype(np.int32), type=pa.int32()),
                 "payload": batch["payload"],
             },
             schema=DECODED,
@@ -117,20 +127,40 @@ class FeatureExtractor:
     __init__ — once per actor, never per batch)."""
 
     def __init__(self):
-        self.bins = np.linspace(0, 256, 65)
+        # 64 bins of width 4 over [0, 256): bin = byte >> 2 (identical to
+        # np.histogram with edges linspace(0, 256, 65))
+        self.n_bins = 64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
-        for p in batch["payload"].to_pylist():
-            b = np.frombuffer(p, dtype=np.uint8)
-            hist, _ = np.histogram(b, bins=self.bins)
-            total = hist.sum() or 1
-            feats.append((hist / total).astype(np.float32))
-        flat = pa.array(np.concatenate(feats) if feats else np.array([], dtype=np.float32))
+        # one pass over the concatenated payload buffer: segment ids via
+        # repeat(diff(offsets)), all histograms in a single bincount —
+        # no per-payload Python loop
+        pay = batch["payload"].combine_chunks()
+        offs, values = _binary_segments(pay)
+        n = len(pay)
+        lengths = np.diff(offs)
+        data = np.frombuffer(values, dtype=np.uint8)[offs[0]: offs[-1]]
+        seg = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        hist = np.bincount(
+            seg * self.n_bins + (data >> 2), minlength=n * self.n_bins
+        ).reshape(n, self.n_bins)
+        totals = np.maximum(hist.sum(axis=1), 1)
+        feats = (hist / totals[:, None]).astype(np.float32)
+        flat = pa.array(feats.ravel())
         feature = pa.FixedSizeListArray.from_arrays(flat, 64)
         return pa.table(
             {"media_id": batch["media_id"], "feature": feature}, schema=FEATURES
         )
+
+
+def _binary_segments(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
+    """(offsets, values) views of a binary Array — zero-copy accessors
+    for hashing/histogramming payload segments without to_pylist()."""
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    values = arr.buffers()[2]
+    return offs, memoryview(values) if values is not None else memoryview(b"")
 
 
 def frame_sample(n_frames: int, every: int = 5) -> list[int]:

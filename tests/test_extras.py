@@ -298,8 +298,30 @@ def test_multimodal_pipeline(ray_session):
     assert out.equals(out2)
     # the real-decode path is a clearly-marked stub
     with pytest.raises(NotImplementedError):
-        MediaDecoder(fake=False)._decode_one("image", b"\x00")
+        MediaDecoder(fake=False)(media.slice(0, 1))
     assert frame_sample(12, every=5) == [0, 5, 10]
+    # the vectorized decode matches the per-payload hash formula
+    import hashlib
+
+    dec = MediaDecoder(fake=True)(media.slice(0, 8))
+    for i in range(8):
+        h = hashlib.blake2b(
+            media["payload"][i].as_py(), digest_size=8
+        ).digest()
+        assert dec["width"][i].as_py() == 16 + h[0] % 64
+        assert dec["height"][i].as_py() == 16 + h[1] % 64
+        assert dec["n_frames"][i].as_py() == 1 + h[2] % 30  # video
+    # the single-bincount features match per-payload np.histogram
+    from bitcoin_ledger_2es_ray.pipelines.multimodal import FeatureExtractor
+
+    feats = FeatureExtractor()(media.slice(0, 8))
+    for i in range(8):
+        b = np.frombuffer(media["payload"][i].as_py(), dtype=np.uint8)
+        hist, _ = np.histogram(b, bins=np.linspace(0, 256, 65))
+        want = (hist / (hist.sum() or 1)).astype(np.float32)
+        assert np.array_equal(
+            np.array(feats["feature"][i].as_py(), dtype=np.float32), want
+        )
 
 
 def test_per_doc_sinks_match_collected(ray_session, tmp_path):
