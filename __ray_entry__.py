@@ -243,39 +243,35 @@ def _q_search_api(sf_dir: str) -> pa.Table:
 def _q_search_api_aggs(sf_dir: str) -> pa.Table:
     """ES ``_search`` with an ``aggs`` section: per fixture query the
     FULL hit set (pagination ignored, ES's agg contract) feeds a
-    query-scoped ``terms`` agg over ``lang`` — (query_id, lang, doc_count)
-    (`pipelines/search_api.py: run_search_aggs`)."""
-    from bitcoin_ledger_2es_ray.pipelines.search_api import run_search_aggs
+    query-scoped ``terms`` agg over ``lang`` — (query_id, lang, doc_count).
+    All 50 bodies run through the batched ``_msearch`` path: the agg
+    kernel runs ONCE over the assembled (query_id, doc_id) matches
+    (`pipelines/search_api.py: run_msearch_aggs`)."""
+    from bitcoin_ledger_2es_ray.pipelines.search_api import run_msearch_aggs
 
     store, res = _store_for(sf_dir)
     queries = _fixture_queries(store)
-    parts = []
-    for qid, text, k in zip(
-        queries["query_id"].to_pylist(),
-        queries["text"].to_pylist(),
-        queries["k"].to_pylist(),
-    ):
-        r = run_search_aggs(
-            res.out_dir,
-            store,
-            {
-                "query": {"match": {"content": text}},
-                "size": int(k),
-                "aggs": {"langs": {"terms": {"field": "lang"}}},
-            },
-            round_decimals=_ROUND,
+    qids = [int(q) for q in queries["query_id"].to_pylist()]
+    bodies = [
+        {
+            "query": {"match": {"content": text}},
+            "size": int(k),
+            "aggs": {"langs": {"terms": {"field": "lang"}}},
+        }
+        for text, k in zip(
+            queries["text"].to_pylist(), queries["k"].to_pylist()
         )
-        t = r["langs"]
-        parts.append(
-            t.set_column(
-                t.schema.get_field_index("query_id"),
-                "query_id",
-                pa.array([int(qid)] * t.num_rows, type=pa.int64()),
-            )
-        )
-    return pa.concat_tables(parts).sort_by(
-        [("query_id", "ascending"), ("lang", "ascending")]
+    ]
+    r = run_msearch_aggs(res.out_dir, store, bodies, round_decimals=_ROUND)
+    t = r["langs"]
+    # body index → fixture query_id
+    remap = pa.array(qids, type=pa.int64())
+    t = t.set_column(
+        t.schema.get_field_index("query_id"),
+        "query_id",
+        remap.take(t["query_id"]),
     )
+    return t.sort_by([("query_id", "ascending"), ("lang", "ascending")])
 
 
 def _q_search_api_sorted(sf_dir: str) -> pa.Table:
@@ -309,6 +305,71 @@ def _q_search_api_sorted(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts).select(
         ["query_id", "rank", "doc_id", "score"]
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_bool_filter_should(sf_dir: str) -> pa.Table:
+    """ES bool with ``filter`` + ``should`` and NO explicit
+    minimum_should_match: msm defaults to 0 (the bool carries filter
+    clauses), so every filter-matching doc survives and the should clause
+    adds optional score (ADVICE r5 — `pipelines/search_api.py: _eval`)."""
+    from bitcoin_ledger_2es_ray.pipelines.search_api import run_search
+
+    store, _ = _store_for(sf_dir)
+    v = sorted(store.df)
+    t = run_search(
+        store,
+        {
+            "query": {"bool": {
+                "filter": [{"term": {"content": v[0]}}],
+                "should": [{"term": {"content": v[1]}}],
+            }},
+            "size": store.n_docs,
+        },
+        round_decimals=_ROUND,
+    )
+    return t.select(["rank", "doc_id", "score"])
+
+
+def _q_bool_must_not_only(sf_dir: str) -> pa.Table:
+    """ES pure-must_not bool: all docs except the matches, score 0
+    (filter context; ADVICE r5 — `pipelines/search_api.py: _all_docs`)."""
+    from bitcoin_ledger_2es_ray.pipelines.search_api import run_search
+
+    store, _ = _store_for(sf_dir)
+    v = sorted(store.df)
+    t = run_search(
+        store,
+        {"query": {"bool": {"must_not": [{"term": {"content": v[0]}}]}},
+         "size": store.n_docs},
+        round_decimals=_ROUND,
+    )
+    return t.select(["rank", "doc_id", "score"])
+
+
+def _q_intervals_range(sf_dir: str) -> pa.Table:
+    """ES intervals ``range`` source with one-sided and exclusive bounds
+    (gte-only; gt+lte), expanded through the term dictionary into
+    any_of-of-match (ADVICE r5 — `pipelines/intervals.py: expand_spec`)."""
+    from bitcoin_ledger_2es_ray.pipelines.intervals import intervals_search
+    from bitcoin_ledger_2es_ray.pipelines.query import SegmentStore
+
+    res = _index_pos_for(sf_dir)
+    store = SegmentStore(res.out_dir)
+    parts = []
+    for sid, spec in enumerate(
+        ({"range": {"gte": "t"}}, {"range": {"gt": "o", "lte": "s"}})
+    ):
+        t = intervals_search(store, spec)
+        parts.append(
+            t.append_column(
+                "spec", pa.array([sid] * t.num_rows, type=pa.int64())
+            )
+        )
+    return (
+        pa.concat_tables(parts)
+        .select(["spec", "doc_id", "n_intervals", "first_start", "first_end"])
+        .sort_by([("spec", "ascending"), ("doc_id", "ascending")])
+    )
 
 
 def _q_indices_boost(sf_dir: str) -> pa.Table:
@@ -6442,6 +6503,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_api": _q_search_api,
         "search_api_aggs": _q_search_api_aggs,
         "search_api_sorted": _q_search_api_sorted,
+        "bool_filter_should": _q_bool_filter_should,
+        "bool_must_not_only": _q_bool_must_not_only,
+        "intervals_range": _q_intervals_range,
         "bm25_topk_routed": _q_bm25_topk_routed,
         "bm25_topk_federated": _q_bm25_topk_federated,
         "indices_boost": _q_indices_boost,
@@ -6985,6 +7049,69 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 SELECT sc.query_id, d.lang, count(*)::BIGINT AS doc_count
 FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # bool filter+should, msm default 0: the filter set IS the hit
+        # set; the should term contributes optional score (0 elsewhere)
+        "bool_filter_should": _PRELUDE
+        + """
+, t0 AS (SELECT term FROM vocab WHERE idx = 0),
+t1 AS (SELECT term FROM vocab WHERE idx = 1),
+filt AS (SELECT DISTINCT tf.doc_id FROM tf JOIN t0 ON tf.term = t0.term),
+sc AS (
+  SELECT tf.doc_id,
+         round(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+           AS score
+  FROM tf JOIN t1 ON tf.term = t1.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+hits AS (
+  SELECT f.doc_id, coalesce(sc.score, 0.0) AS score
+  FROM filt f LEFT JOIN sc ON sc.doc_id = f.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM hits ORDER BY rank
+""",
+        # pure must_not bool: every doc except the matches, score 0
+        "bool_must_not_only": _PRELUDE
+        + """
+, t0 AS (SELECT term FROM vocab WHERE idx = 0),
+nd AS (SELECT DISTINCT tf.doc_id FROM tf JOIN t0 ON tf.term = t0.term),
+hits AS (
+  SELECT d.doc_id FROM dl d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM nd)
+)
+SELECT row_number() OVER (ORDER BY doc_id ASC)::BIGINT AS rank,
+       doc_id, 0.0 AS score
+FROM hits ORDER BY rank
+""",
+        # intervals range source: single-token any_of expansion — minimal
+        # intervals are exactly the matching token positions
+        "intervals_range": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         (generate_subscripts(string_split(text, ' '), 1) - 1)::BIGINT AS p
+  FROM documents
+),
+m0 AS (SELECT DISTINCT doc_id, p FROM toks WHERE w >= 't'),
+m1 AS (SELECT DISTINCT doc_id, p FROM toks WHERE w > 'o' AND w <= 's'),
+u AS (
+  SELECT 0 AS spec, doc_id, p FROM m0
+  UNION ALL
+  SELECT 1, doc_id, p FROM m1
+),
+sel AS (
+  SELECT spec, doc_id, p,
+         row_number() OVER (PARTITION BY spec, doc_id ORDER BY p) AS rn,
+         count(*) OVER (PARTITION BY spec, doc_id) AS n
+  FROM u
+)
+SELECT spec::BIGINT AS spec, doc_id, n::BIGINT AS n_intervals,
+       p AS first_start, p AS first_end
+FROM sel WHERE rn = 1 ORDER BY spec, doc_id
 """,
         "bm25_topk": _PRELUDE
         + """

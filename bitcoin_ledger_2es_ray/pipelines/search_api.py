@@ -262,15 +262,27 @@ def run_search(
     """Execute one ``_search`` body → (rank, doc_id, score), rounded-score
     ranking with doc-ASC ties, honoring ``size`` (default 10) and
     ``from`` (default 0)."""
-    from ..functions.bm25 import sql_round, topk_order
-
     if "query" not in body:
         raise ValueError("search: body needs a 'query'")
+    docs, scores = _eval(store, body["query"])
+    return _rank_hits(store, body, docs, scores, round_decimals)
+
+
+def _rank_hits(
+    store: SegmentStore,
+    body: dict,
+    docs: np.ndarray,
+    scores: np.ndarray,
+    round_decimals: int = 6,
+) -> pa.Table:
+    """Ranking/pagination over an already-evaluated hit set — split out so
+    run_search_aggs evaluates the query ONCE for both hits and aggs."""
+    from ..functions.bm25 import sql_round, topk_order
+
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
     if size < 0 or offset < 0:
         raise ValueError("search: size/from must be >= 0")
-    docs, scores = _eval(store, body["query"])
     scores = sql_round(scores, round_decimals)
     collapse = body.get("collapse")
     if collapse is not None and body.get("sort"):
@@ -392,8 +404,12 @@ def run_search_aggs(
     Returns {"hits": hits_table, <agg_name>: agg_table, ...}."""
     from .aggs import histogram_agg, terms_agg
 
-    hits = run_search(store, body, round_decimals=round_decimals)
-    all_docs, _ = _eval(store, body["query"])
+    if "query" not in body:
+        raise ValueError("search: body needs a 'query'")
+    all_docs, all_scores = _eval(store, body["query"])
+    hits = _rank_hits(
+        store, body, all_docs, all_scores, round_decimals=round_decimals
+    )
     matches = pa.table(
         {
             "query_id": pa.array([0] * len(all_docs), type=pa.int64()),
@@ -404,6 +420,72 @@ def run_search_aggs(
     if body.get("highlight"):
         out["highlight"] = _highlight_hits(store, body, hits)
     for name, spec in (body.get("aggs") or {}).items():
+        if len(spec) != 1:
+            raise ValueError("search: agg spec needs exactly one type key")
+        kind, opts = next(iter(spec.items()))
+        if kind == "terms":
+            out[name] = terms_agg(index_dir, matches, field=opts["field"])
+        elif kind == "histogram":
+            out[name] = histogram_agg(
+                index_dir, matches, interval=int(opts.get("interval", 16))
+            )
+        else:
+            raise ValueError(f"search: unsupported agg type {kind!r}")
+    return out
+
+
+def run_msearch_aggs(
+    index_dir: str,
+    store: SegmentStore,
+    bodies: list[dict],
+    round_decimals: int = 6,
+) -> dict[str, object]:
+    """ES ``_msearch`` with a SHARED ``aggs`` section: evaluate each body
+    once, assemble every body's FULL hit set into one (query_id, doc_id)
+    matches table, and run each named agg ONCE across all bodies over the
+    agg kernel's query_id axis — one Ray pipeline per agg instead of one
+    per body (the 50-query fixture set pays one scheduling floor, not 50).
+    All bodies must carry the same aggs spec (the shared-template
+    contract); per-body paginated hits come back as a list under
+    ``"hits"``, each agg as a (query_id, key, doc_count) table keyed by
+    body index."""
+    from .aggs import histogram_agg, terms_agg
+
+    if not bodies:
+        raise ValueError("msearch: needs at least one body")
+    aggs_spec = bodies[0].get("aggs") or {}
+    evals: list[np.ndarray] = []
+    hits: list[pa.Table] = []
+    for body in bodies:
+        if "query" not in body:
+            raise ValueError("search: body needs a 'query'")
+        if (body.get("aggs") or {}) != aggs_spec:
+            raise ValueError("msearch: bodies must share one aggs spec")
+        d, s = _eval(store, body["query"])
+        evals.append(d)
+        hits.append(
+            _rank_hits(store, body, d, s, round_decimals=round_decimals)
+        )
+    qid = (
+        np.concatenate(
+            [np.full(len(d), i, dtype=np.int64) for i, d in enumerate(evals)]
+        )
+        if evals
+        else np.empty(0, dtype=np.int64)
+    )
+    docs = (
+        np.concatenate(evals).astype(np.int64)
+        if evals
+        else np.empty(0, dtype=np.int64)
+    )
+    matches = pa.table(
+        {
+            "query_id": pa.array(qid, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+    out: dict[str, object] = {"hits": hits}
+    for name, spec in aggs_spec.items():
         if len(spec) != 1:
             raise ValueError("search: agg spec needs exactly one type key")
         kind, opts = next(iter(spec.items()))

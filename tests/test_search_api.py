@@ -405,3 +405,41 @@ def test_search_bool_must_not_only(built, store):
     )
     assert set(r["doc_id"].to_pylist()) == all_docs - not_docs
     assert all(s == 0.0 for s in r["score"].to_pylist())
+
+
+def test_msearch_aggs_matches_per_body(built, store):
+    """run_msearch_aggs ≡ run_search_aggs per body (one agg pipeline for
+    all bodies), and bodies with differing aggs specs are refused."""
+    from bitcoin_ledger_2es_ray.pipelines.search_api import (
+        run_msearch_aggs,
+        run_search_aggs,
+    )
+
+    res, oracle, _ = built
+    terms = sorted(oracle.postings)[:3]
+    aggs = {"langs": {"terms": {"field": "lang"}}}
+    bodies = [
+        {"query": {"match": {"content": t}}, "size": 5, "aggs": aggs}
+        for t in terms
+    ]
+    r = run_msearch_aggs(res.out_dir, store, bodies)
+    assert len(r["hits"]) == 3
+    for i, body in enumerate(bodies):
+        single = run_search_aggs(res.out_dir, store, body)
+        assert r["hits"][i].equals(single["hits"])
+        mine = (
+            r["langs"]
+            .filter(np.asarray(r["langs"]["query_id"]) == i)
+            .select(["lang", "doc_count"])
+            .sort_by("lang")
+        )
+        want = single["langs"].select(["lang", "doc_count"]).sort_by("lang")
+        assert mine.equals(want)
+    with pytest.raises(ValueError):
+        run_msearch_aggs(
+            res.out_dir,
+            store,
+            [bodies[0], {**bodies[1], "aggs": {"x": {"terms": {"field": "repo"}}}}],
+        )
+    with pytest.raises(ValueError):
+        run_msearch_aggs(res.out_dir, store, [])

@@ -79,7 +79,9 @@ def main() -> int:
     import ray
 
     ray.init(
-        address="local", num_cpus=8, include_dashboard=False,
+        address="local",
+        num_cpus=int(os.environ.get("DRIVER_CHECK_CPUS", "8")),
+        include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
     )
     from ray.data import DataContext
