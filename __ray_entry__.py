@@ -6443,44 +6443,38 @@ def _q_esql_eval(sf_dir: str) -> pa.Table:
 
 
 # The driver's per-round correctness gate samples the FIRST 50 dict entries
-# of queries().  Rounds 1-3 sampled the same head (core engine + spans +
-# suggesters), so this list rotates a representative cross-section of the
-# not-yet-driver-sampled surface to the front: the two round-4 dtype fixes
-# (lg_batches, esql_grok), the two reworked operators (sem_dedup, lang_id),
-# the full ES|QL/SQL command set, the aggregation long tail, index
-# lifecycle, the dedup/curation pipelines, and this session's ML family
-# (nb_train/nb_predict, ols_predict, anomaly_scores, outlier_scores — the
-# newest code benefits most from the external gate).  Everything else
-# follows in
-# its original order, so nothing is removed.
+# of queries().  Each round rotates a window of not-yet-driver-sampled
+# entries to the front so the external hard signal keeps growing: r1-r3
+# covered the core engine + spans + suggesters, r4 covered ES|QL/SQL, the
+# agg long tail and the ML family.  The r5 window is DISJOINT from all
+# 118 previously-sampled names (VERDICT r4 item 1): this session's changed
+# paths first (search_api_aggs — full-hit-set agg semantics; nb_predict —
+# artifact path; the three new ADVICE-fix queries), then the oldest
+# never-sampled families: the Lucene query DSL long tail, EQL, lifecycle
+# APIs, fields/rank_feature, and the curation/text-quality operators.
+# Everything else follows in its original order, so nothing is removed.
 _FRONT_50 = [
-    # newest code paths first (rotated in; the swapped-out entries were
-    # driver-green in r3 or judge-reproduced)
-    "parent_agg", "ext_stats_bucket", "count_api", "inference_agg",
-    "esql_insist", "geohex_grid", "synonym_match", "analyze_stop",
-    "bpe_corpus_tokens", "histogram_field_stats", "knn_int4", "bpe_pack",
-    "sql_show_tables", "sql_describe", "intervals_algebra",
-    "intervals_prefix", "search_api", "search_api_aggs",
-    "search_api_sorted",
-    "esql_vector", "esql_knn", "children_agg", "esql_spatial_rel",
-    "esql_grid_conv", "esql_temporal_math", "search_mvt", "esql_sort_nulls",
-    "cartesian_agg", "esql_fuse", "ingest_transforms", "esql_score",
-    "esql_mv_stats", "esql_mv_concat", "esql_ip_prefix",
-    "esql_match_phrase", "esql_kql", "esql_term_round_to",
-    "esql_over_time", "esql_first_over_time", "esql_last_over_time",
-    "ids_query", "esql_calendar_trunc", "esql_cast_op", "esql_spatial",
-    "esql_metadata", "esql_chrono_fields", "enrich_range", "ingest_kv",
-    "lg_batches", "esql_grok", "sem_dedup", "rare_terms", "lang_id",
-    "esql_inlinestats", "esql_stddev",
-    "esql_weighted_avg", "esql_mv_expand", "esql_strings",
-    "esql_qstr",
-    "esql_percentile", "terms_agg", "esql_mad",
-    "nb_train", "esql_sample", "nb_predict", "esql_fork",
-    "ols_predict", "esql_change_point", "anomaly_scores",
-    "outlier_scores", "percentiles", "knn_graph", "top_hits",
-    "sig_terms", "delete_query_topk",
-    "filtered_alias", "exact_dedup", "jaccard_dups",
-    "decontaminate", "dedup_keep_best", "hash_split",
+    # changed this round — the external gate matters most here
+    "search_api_aggs", "nb_predict", "bool_filter_should",
+    "bool_must_not_only", "intervals_range",
+    # Lucene query DSL long tail (never driver-sampled)
+    "simple_query_string", "min_should_match", "dis_max", "boosting",
+    "multi_match", "multi_match_cross", "match_bool_prefix",
+    "constant_score", "pinned", "rule_query", "wrapper_topk", "bool_query",
+    "regexp_match", "wildcard_match", "named_queries", "post_filter_hits",
+    "post_filter_aggs",
+    # EQL
+    "eql_funnel", "eql_head", "eql_unique", "eql_sample",
+    # lifecycle / search APIs
+    "scroll", "sliced_scroll", "async_search", "mget", "msearch",
+    "search_template", "validate_query", "field_caps", "cat_segments",
+    "disk_usage", "profile", "filtered_alias",
+    # fields / rank features
+    "sparse_vector", "rank_feature", "rank_feature_sigmoid",
+    "runtime_field", "field_presence", "exists_docs",
+    # curation / text quality
+    "curriculum", "mixing_weights", "quality_classifier", "redact_pii",
+    "repetition_stats", "zipf_fit",
 ]
 
 
