@@ -1887,7 +1887,10 @@ def top_metrics_agg(sf_dir: str, size: int = 3) -> pa.Table:
         t = t.sort_by(
             [("lang", "ascending"), ("n_chars", "descending"), ("doc_id", "ascending")]
         )
-        langs = np.asarray(t["lang"].cast(pa.string()).to_pandas())
+        langs = (
+            t["lang"].cast(pa.string()).combine_chunks()
+            .dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        )
         rank = _per_group_rank(langs)
         return t.filter(pa.array(rank < size)).append_column(
             "rank", pa.array((rank[rank < size] + 1).astype(np.int64))
@@ -1944,7 +1947,10 @@ def diversified_sampler_agg(
 
     def _keep_cap(t: pa.Table) -> pa.Table:
         t = t.sort_by([("lang", "ascending"), ("sha", "ascending")])
-        langs = np.asarray(t["lang"].cast(pa.string()).to_pandas())
+        langs = (
+            t["lang"].cast(pa.string()).combine_chunks()
+            .dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        )
         rank = _per_group_rank(langs)
         return t.filter(pa.array(rank < max_docs_per_lang))
 
