@@ -807,10 +807,11 @@ def downsample(
     Shape: one vectorized single-pass partial per Arrow batch (np.lexsort
     by (series, bucket, ts_us, event_id), then reduceat folds — the run
     LAST row is the batch-local argmax for free), then a Ray groupby over
-    (series, bucket) whose ``map_groups`` folds the per-block partials —
-    mergeable counts/min/max/sum plus an argmax by (l_us, l_eid).  The
-    shuffle moves partials (one row per key per block), never events, and
-    nothing unbounded reaches the driver on the ``_to_parquet`` path.
+    (series, bucket) combined entirely by NATIVE mergeable aggregates
+    (Sum/Min/Max; the counter's argmax rides a packed lexicographic
+    Max key — see ``downsample_ds``).  The shuffle moves partials (one
+    row per key per block), never events, and nothing unbounded reaches
+    the driver on the ``_to_parquet`` path.
     """
     from ..functions.blocks import collect_tables
 
@@ -826,6 +827,19 @@ def downsample(
 
 
 def downsample_ds(sf_dir: str, interval_s: int = 3600, round_decimals: int = 6):
+    """Streaming rollup plan, fully NATIVE-aggregate (no per-group Python):
+    the batch partial packs the run-tail counter sample into a fixed-width
+    lexicographic key (zero-padded decimal rel_us | event_id | value-bits),
+    so the distributed combine is ONE ``groupby().aggregate()`` of
+    mergeable Sum/Min/Max kernels — Max over the packed string IS the
+    argmax by (ts, event_id), and the winner's value rides along in the
+    key's suffix (prefixes are unique per event, so the suffix never
+    decides a comparison).  A final vectorized ``map_batches`` decodes the
+    key and rounds.  Replaces the r4 ``map_groups`` fold whose per-group
+    Python calls dominated at 10× scale (~99k groups → ~20 s at sf0.1;
+    the native path runs the same rollup in a few seconds)."""
+    from ray.data.aggregate import Max, Min, Sum
+
     if interval_s <= 0:
         raise ValueError("interval_s must be positive")
 
@@ -843,6 +857,22 @@ def downsample_ds(sf_dir: str, interval_s: int = 3600, round_decimals: int = 6):
         new[1:] = (u[1:] != u[:-1]) | (etc[1:] != etc[:-1]) | (bucket[1:] != bucket[:-1])
         starts = np.flatnonzero(new)
         last = np.r_[starts[1:], len(u)] - 1  # run tail = argmax (us, eid)
+        rel_us = us[last] - bucket[last] * 1_000_000
+        if len(last) and (
+            int(rel_us.max()) >= 10**16 or int(eid[last].max()) >= 10**16
+        ):
+            raise ValueError(
+                "downsample: packed last-key needs rel_us and event_id "
+                "< 1e16 — widen the key layout for this input"
+            )
+        vbits = v[last].view(np.uint64)
+        lastk = np.char.add(
+            np.char.add(
+                np.char.zfill(rel_us.astype("U16"), 16),
+                np.char.zfill(eid[last].astype("U16"), 16),
+            ),
+            np.char.zfill(vbits.astype("U20"), 20),
+        )
         return pa.table(
             {
                 "user_id": pa.array(u[starts], type=pa.int64()),
@@ -852,49 +882,43 @@ def downsample_ds(sf_dir: str, interval_s: int = 3600, round_decimals: int = 6):
                 "mn": pa.array(np.minimum.reduceat(v, starts)),
                 "mx": pa.array(np.maximum.reduceat(v, starts)),
                 "sm": pa.array(np.add.reduceat(v, starts)),
-                "l_us": pa.array(us[last], type=pa.int64()),
-                "l_eid": pa.array(eid[last], type=pa.int64()),
-                "l_val": pa.array(v[last]),
+                "lastk": pa.array(lastk, type=pa.string()),
             }
         )
 
-    def fold(g: pa.Table) -> pa.Table:
-        # one (user, type, bucket) per group: combine the batch partials
-        # with Arrow sums and pick the partial whose (l_us, l_eid) is
-        # globally last — lexsort over the numpy views, no pandas
-        l_us = g["l_us"].to_numpy(zero_copy_only=False)
-        l_eid = g["l_eid"].to_numpy(zero_copy_only=False)
-        last = int(np.lexsort((l_eid, l_us))[-1])
-        sm = float(pc.sum(g["sm"]).as_py())
-        n = int(pc.sum(g["n"]).as_py())
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["doc_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sm = batch["sm"].to_numpy(zero_copy_only=False)
+        vbits = np.asarray(
+            pc.cast(
+                pc.utf8_slice_codeunits(
+                    batch["lastk"].combine_chunks(), 32, 52
+                ),
+                pa.uint64(),
+            )
+        )
+        l_val = vbits.view(np.float64)
         return pa.table(
             {
-                "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
-                "event_type": pa.array(
-                    [g["event_type"][0].as_py()], type=pa.string()
-                ),
-                "bucket_s": pa.array(
-                    [g["bucket_s"][0].as_py()], type=pa.int64()
-                ),
-                "doc_count": pa.array([n], type=pa.int64()),
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "bucket_s": batch["bucket_s"],
+                "doc_count": batch["doc_count"],
                 "min_value": pa.array(
-                    [sql_round(float(pc.min(g["mn"]).as_py()), round_decimals)],
-                    type=pa.float64(),
+                    sql_round(
+                        batch["mn"].to_numpy(zero_copy_only=False),
+                        round_decimals,
+                    )
                 ),
                 "max_value": pa.array(
-                    [sql_round(float(pc.max(g["mx"]).as_py()), round_decimals)],
-                    type=pa.float64(),
+                    sql_round(
+                        batch["mx"].to_numpy(zero_copy_only=False),
+                        round_decimals,
+                    )
                 ),
-                "sum_value": pa.array(
-                    [sql_round(sm, round_decimals)], type=pa.float64()
-                ),
-                "avg_value": pa.array(
-                    [sql_round(sm / n, round_decimals)], type=pa.float64()
-                ),
-                "last_value": pa.array(
-                    [sql_round(float(g["l_val"][last].as_py()), round_decimals)],
-                    type=pa.float64(),
-                ),
+                "sum_value": pa.array(sql_round(sm, round_decimals)),
+                "avg_value": pa.array(sql_round(sm / n, round_decimals)),
+                "last_value": pa.array(sql_round(l_val, round_decimals)),
             }
         )
 
@@ -902,7 +926,14 @@ def downsample_ds(sf_dir: str, interval_s: int = 3600, round_decimals: int = 6):
         _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["user_id", "event_type", "bucket_s"])
-        .map_groups(fold, batch_format="pyarrow")
+        .aggregate(
+            Sum("n", alias_name="doc_count"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+            Sum("sm", alias_name="sm"),
+            Max("lastk", alias_name="lastk"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
