@@ -245,31 +245,62 @@ def _verify_pairs_exact(sf_dir: str, cand, k: int, tau: float, num_partitions: i
         right_on=("doc",),
     )
 
-    # One (a, b)-keyed shuffle, then a vectorized exact Jaccard per pair
-    # group.  Candidate counts are prefix/length/position-filtered upstream
-    # (shingle_jaccard_pairs) or band-bounded (minhash), so groups are few
-    # and tiny; keys are doc ids (int64-safe — a uint64 SHINGLE key here
-    # would hit Ray's pickled-object hash fallback, measured 40x slower).
-    def jaccard_of_group(group: pa.Table) -> pa.Table:
-        sh = np.asarray(group["sh"])
-        side = np.asarray(group["side"])
-        a_set = sh[side == 0]  # distinct by construction (per-doc distinct)
-        b_set = sh[side == 1]
-        if len(a_set) == 0 or len(b_set) == 0:
-            return _empty_pairs_j()
-        inter = len(np.intersect1d(a_set, b_set, assume_unique=True))
-        j = inter / (len(a_set) + len(b_set) - inter)
-        if j < tau:  # filter UNROUNDED (matches the SQL oracle)
+    # One shuffle keyed by a COARSE pair-hash bucket (not per pair: a
+    # groupby((a, b)).map_groups pays one Python call + table build per
+    # candidate pair — measured dominating at 10× scale), then one
+    # vectorized pass per bucket computes EVERY pair's exact Jaccard with
+    # lexsort + run reduction: per-side shingle sets are distinct by
+    # construction, so within a (a, b) run an sh value repeats iff both
+    # sides hold it — adjacent-duplicate counting IS the intersection.
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"]).astype(np.uint64)
+        b = np.asarray(batch["b"]).astype(np.uint64)
+        pb = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % np.uint64(n_buckets)
+        return batch.append_column("pb", pa.array(pb.astype(np.int64)))
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        a = np.asarray(group["a"]).astype(np.int64)
+        b = np.asarray(group["b"]).astype(np.int64)
+        sh = np.asarray(group["sh"]).astype(np.uint64)
+        side = np.asarray(group["side"]).astype(np.int8)
+        order = np.lexsort((sh, b, a))
+        a, b, sh, side = a[order], b[order], sh[order], side[order]
+        newp = np.ones(len(a), dtype=bool)
+        newp[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(newp)
+        runlen = np.diff(np.r_[starts, len(a)])
+        seg = np.repeat(np.arange(len(starts)), runlen)
+        dup = np.zeros(len(a), dtype=bool)
+        dup[1:] = ~newp[1:] & (sh[1:] == sh[:-1])
+        inter = np.bincount(seg, weights=dup, minlength=len(starts)).astype(
+            np.int64
+        )
+        na = np.bincount(
+            seg, weights=(side == 0), minlength=len(starts)
+        ).astype(np.int64)
+        nb = runlen - na
+        ok = (na > 0) & (nb > 0)
+        j = inter / np.maximum(na + nb - inter, 1)
+        keep = ok & (j >= tau)  # filter UNROUNDED (matches the SQL oracle)
+        if not keep.any():
             return _empty_pairs_j()
         return pa.table(
             {
-                "a": pa.array([int(group["a"][0].as_py())], type=pa.int64()),
-                "b": pa.array([int(group["b"][0].as_py())], type=pa.int64()),
-                "jaccard": pa.array([sql_round(j, 6)], type=pa.float64()),
+                "a": pa.array(a[starts][keep], type=pa.int64()),
+                "b": pa.array(b[starts][keep], type=pa.int64()),
+                "jaccard": pa.array(sql_round(j[keep], 6), type=pa.float64()),
             }
         )
 
-    out = joined.groupby(["a", "b"]).map_groups(jaccard_of_group, batch_format="pyarrow")
+    out = (
+        joined.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("pb")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+    )
     # drop empty blocks BEFORE concat: an empty map_groups output block can
     # carry the upstream join schema (doc_id/sh/side/...) instead of the
     # kernel's (a, b, jaccard) — concat across them raises ArrowInvalid
@@ -744,13 +775,15 @@ def duplicate_spans_ds(sf_dir: str, k: int = 5):
     repeats count).  Returns (doc_id, start_tok, end_tok, n_tokens),
     end exclusive, n_tokens = end - start ≥ k.
 
-    Plan: positional k-gram explode (vectorized) → gram-keyed shuffle →
-    groups of size ≥ 2 fan their (doc, pos) occurrences back out →
-    doc-keyed shuffle → per-doc gaps-and-islands merge of consecutive
-    duplicated window starts.  Keys here are literal gram strings so the
-    result is exact against the SQL oracle; at 100 TB the gram key
-    becomes (hash, verify-inside-group) exactly like
-    ``shingle_jaccard_pairs`` — the shuffle then moves 8-byte keys."""
+    Plan: positional k-gram explode (vectorized) → gram-BUCKET-keyed
+    shuffle (coarse hash buckets; in-bucket exact gram runs of size ≥ 2
+    fan their (doc, pos) occurrences back out, one lexsort per bucket —
+    never one Python call per distinct gram) → doc-bucket shuffle →
+    vectorized gaps-and-islands merge of consecutive duplicated window
+    starts.  Grams stay literal strings so the result is exact against
+    the SQL oracle; at 100 TB the gram becomes (hash, verify-inside-
+    bucket) exactly like ``shingle_jaccard_pairs`` — the shuffle then
+    moves 8-byte keys."""
     import ray
     import ray.data as rd
 
@@ -761,36 +794,79 @@ def duplicate_spans_ds(sf_dir: str, k: int = 5):
         zero_copy_batch=True,
     )
 
-    def dup_occurrences(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.uint64()),
-                    "pos": pa.array([], type=pa.int64()),
-                }
-            )
-        return group.select(["doc_id", "pos"])
+    # Both shuffles key on COARSE hash buckets, not raw grams/docs: a
+    # per-distinct-gram (or per-doc) map_groups pays one Python call per
+    # group, which dominates once distinct grams reach millions.  Inside a
+    # bucket the whole reduction is one lexsort + run pass; bucket-hash
+    # quality only affects load balance, never correctness (equality is
+    # decided on exact values in-bucket).
+    n_buckets = 64
 
-    marked = grams.groupby("g").map_groups(dup_occurrences, batch_format="pyarrow")
+    def add_gb(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("gb", pa.array([], type=pa.int64()))
+        g = batch["g"].combine_chunks()
+        offs = np.frombuffer(g.buffers()[1], dtype=np.int32)[
+            g.offset: g.offset + len(g) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(g.buffers()[2], dtype=np.uint8).astype(np.int64)
+        sums = np.add.reduceat(data[offs[0]: offs[-1]], offs[:-1] - offs[0])
+        lens = np.diff(offs)
+        gb = (sums * 31 + lens * 131) % n_buckets
+        return batch.append_column("gb", pa.array(gb, type=pa.int64()))
 
-    def islands(group: pa.Table) -> pa.Table:
-        pos = np.sort(np.asarray(group["pos"], dtype=np.int64))
-        breaks = np.flatnonzero(np.diff(pos) > 1)
-        starts = np.concatenate(([0], breaks + 1))
-        ends = np.concatenate((breaks, [len(pos) - 1]))
-        doc = int(group["doc_id"][0].as_py())
+    def dup_occurrences_bucket(group: pa.Table) -> pa.Table:
+        codes = (
+            group["g"].combine_chunks().dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(codes, kind="stable")
+        cs = codes[order]
+        newg = np.ones(len(cs), dtype=bool)
+        newg[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(newg)
+        runlen = np.diff(np.r_[starts, len(cs)])
+        sel = order[np.repeat(runlen >= 2, runlen)]
+        doc = np.asarray(group["doc_id"]).astype(np.uint64)[sel]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.uint64()),
+                "pos": pa.array(
+                    np.asarray(group["pos"], dtype=np.int64)[sel],
+                    type=pa.int64(),
+                ),
+                "db": pa.array(
+                    (doc % np.uint64(n_buckets)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    marked = grams.map_batches(
+        add_gb, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("gb").map_groups(dup_occurrences_bucket, batch_format="pyarrow")
+
+    def islands_bucket(group: pa.Table) -> pa.Table:
+        doc = np.asarray(group["doc_id"]).astype(np.int64)
+        pos = np.asarray(group["pos"], dtype=np.int64)
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        brk = np.ones(len(doc), dtype=bool)
+        brk[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > 1)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(doc)] - 1
         s = pos[starts]
         e = pos[ends] + k
         return pa.table(
             {
-                "doc_id": pa.array([doc] * len(s), type=pa.int64()),
+                "doc_id": pa.array(doc[starts], type=pa.int64()),
                 "start_tok": pa.array(s, type=pa.int64()),
                 "end_tok": pa.array(e, type=pa.int64()),
                 "n_tokens": pa.array(e - s, type=pa.int64()),
             }
         )
 
-    return marked.groupby("doc_id").map_groups(islands, batch_format="pyarrow")
+    return marked.groupby("db").map_groups(islands_bucket, batch_format="pyarrow")
 
 
 def duplicate_spans(sf_dir: str, k: int = 5) -> pa.Table:
