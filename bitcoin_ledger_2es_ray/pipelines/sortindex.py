@@ -84,25 +84,23 @@ def build_sorted_view(
         b = np.searchsorted(boundaries, v, side="right").astype(np.int32)
         return batch.append_column("bucket", pa.array(b))
 
-    def write_bucket(df):
-        import pandas as pd  # noqa: F401  (map_groups hands us pandas)
-
-        b = int(df["bucket"].iloc[0])
-        sdf = df.sort_values([field, "doc_id"], kind="mergesort").drop(
-            columns=["bucket"]
-        )
-        t = pa.Table.from_pandas(sdf, preserve_index=False)
+    def write_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["bucket"][0].as_py())
+        v = g[field].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, v))
+        t = g.drop(["bucket"]).take(pa.array(order))
         path = os.path.join(out_dir, f"bucket_{b:05d}.parquet")
         tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(t, tmp, row_group_size=8192)
         os.replace(tmp, path)
-        vals = sdf[field].to_numpy()
-        return pd.DataFrame(
+        vals = v[order]
+        return pa.table(
             {
-                "bucket": [b],
-                "n_rows": [len(sdf)],
-                "key_min": [float(vals[0])],
-                "key_max": [float(vals[-1])],
+                "bucket": pa.array([b], type=pa.int64()),
+                "n_rows": pa.array([len(vals)], type=pa.int64()),
+                "key_min": pa.array([float(vals[0])], type=pa.float64()),
+                "key_max": pa.array([float(vals[-1])], type=pa.float64()),
             }
         )
 
@@ -110,7 +108,7 @@ def build_sorted_view(
     man = (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(write_bucket)
+        .map_groups(write_bucket, batch_format="pyarrow")
         .to_pandas()
         .sort_values("bucket")
     )
