@@ -9,9 +9,9 @@
   in ``textstats.unigram_logprob``.
 - ``tfidf_top_terms``: per-document top-k terms by tf·idf — the engine's
   postings artifact already holds (term, doc_id, tf), so this is a
-  broadcast idf lookup inside ``map_batches`` plus one doc-keyed
-  ``groupby().map_groups`` top-k (the shuffle is keyed by doc_id, the
-  partitioning key every other per-doc stage reuses).
+  broadcast idf lookup inside ``map_batches`` plus one doc-BUCKET
+  ``groupby().map_groups`` top-k (coarse hash buckets; per bucket one
+  vectorized sort + run-rank filter covers all its docs).
 """
 
 from __future__ import annotations
@@ -121,8 +121,8 @@ def tfidf_top_terms(
 
     The df map is broadcast once (``ray.put``); scores attach inside
     ``map_batches`` via dictionary-encoded lookup (one numpy gather per
-    batch); the only shuffle is the doc-keyed groupby feeding the tiny
-    per-group top-k.
+    batch); the only shuffle is a coarse doc-bucket groupby whose per-bucket
+    combine is one vectorized sort + run-rank filter.
     """
     import pyarrow.parquet as pq
     import ray
@@ -154,10 +154,38 @@ def tfidf_top_terms(
             }
         )
 
-    def topk(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("score", "descending"), ("term", "ascending")]).slice(0, k)
-        return g.append_column(
-            "rank", pa.array(np.arange(1, g.num_rows + 1), type=pa.int64())
+    # coarse doc-hash buckets, not one map_groups call per doc: each
+    # bucket does ONE Arrow multi-column sort + run-rank filter for all
+    # its docs (the per-doc shape pays a Python call per document)
+    n_buckets = 64
+
+    def add_db(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "db",
+            pa.array(
+                np.asarray(batch["doc_id"], dtype=np.int64) % n_buckets,
+                type=pa.int64(),
+            ),
+        )
+
+    def topk_bucket(group: pa.Table) -> pa.Table:
+        g = group.sort_by(
+            [
+                ("doc_id", "ascending"),
+                ("score", "descending"),
+                ("term", "ascending"),
+            ]
+        )
+        doc = np.asarray(g["doc_id"], dtype=np.int64)
+        newd = np.ones(len(doc), dtype=bool)
+        newd[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(newd)
+        rank = np.arange(len(doc), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, len(doc)])
+        )
+        keep = rank < k
+        return g.filter(pa.array(keep)).drop(["db"]).append_column(
+            "rank", pa.array(rank[keep] + 1, type=pa.int64())
         )
 
     ds = (
@@ -165,8 +193,9 @@ def tfidf_top_terms(
             os.path.join(index_dir, "postings"), columns=["term", "doc_id", "tf"]
         )
         .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("doc_id")
-        .map_groups(topk, batch_format="pyarrow")
+        .map_batches(add_db, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("db")
+        .map_groups(topk_bucket, batch_format="pyarrow")
     )
     parts = [ray.get(r) for r in ds.to_arrow_refs()]
     parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p]) for p in parts]
