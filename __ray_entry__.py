@@ -3980,6 +3980,17 @@ def _q_unigram_logprob(sf_dir: str) -> pa.Table:
     return unigram_logprob(res.out_dir, round_decimals=_ROUND)
 
 
+def _q_perplexity_buckets(sf_dir: str) -> pa.Table:
+    """CCNet head/middle/tail split: per lang, docs ranked by unigram-LM
+    logprob (the index IS the LM) cut into 3 ntile buckets — bucket 1 =
+    the head slice CCNet keeps
+    (`pipelines/textstats.py: perplexity_buckets`)."""
+    from bitcoin_ledger_2es_ray.pipelines.textstats import perplexity_buckets
+
+    _, res = _store_for(sf_dir)
+    return perplexity_buckets(sf_dir, res.out_dir, round_decimals=_ROUND)
+
+
 def _q_chunk_documents(sf_dir: str) -> pa.Table:
     """Training-data chunking: fixed 32-token windows with stride 24 over
     every document — the context-window preparation step for embedding /
@@ -6456,7 +6467,7 @@ def _q_esql_eval(sf_dir: str) -> pa.Table:
 _FRONT_50 = [
     # changed this round — the external gate matters most here
     "search_api_aggs", "nb_predict", "bool_filter_should",
-    "bool_must_not_only", "intervals_range",
+    "bool_must_not_only", "intervals_range", "perplexity_buckets",
     # Lucene query DSL long tail (never driver-sampled)
     "simple_query_string", "min_should_match", "dis_max", "boosting",
     "multi_match", "multi_match_cross", "match_bool_prefix",
@@ -6474,7 +6485,7 @@ _FRONT_50 = [
     "runtime_field", "field_presence", "exists_docs",
     # curation / text quality
     "curriculum", "mixing_weights", "quality_classifier", "redact_pii",
-    "repetition_stats", "zipf_fit",
+    "repetition_stats",
 ]
 
 
@@ -6628,6 +6639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scroll": _q_scroll,
         "sliced_scroll": _q_sliced_scroll,
         "unigram_logprob": _q_unigram_logprob,
+        "perplexity_buckets": _q_perplexity_buckets,
         "chunk_documents": _q_chunk_documents,
         "pmi_collocations": _q_pmi_collocations,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -11310,6 +11322,27 @@ JOIN df ON df.term = tf.term
 JOIN dl ON dl.doc_id = tf.doc_id
 CROSS JOIN c
 GROUP BY tf.doc_id, dl.dl ORDER BY tf.doc_id
+""",
+        # CCNet head/middle/tail: ntile(3) per lang over the same
+        # unigram-LM logprob, ties (logprob DESC, doc_id ASC)
+        "perplexity_buckets": _PRELUDE
+        + """
+, c AS (SELECT sum(cf) AS total FROM df),
+lp AS (
+  SELECT tf.doc_id,
+         round(sum(tf.tf * ln(df.cf / c.total)) / dl.dl, 6) AS logprob
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN c
+  GROUP BY tf.doc_id, dl.dl
+)
+SELECT lp.doc_id, d.lang, lp.logprob,
+       ntile(3) OVER (
+         PARTITION BY d.lang ORDER BY lp.logprob DESC, lp.doc_id
+       )::BIGINT AS bucket
+FROM lp JOIN documents d ON d.doc_id = lp.doc_id
+ORDER BY lp.doc_id
 """,
         # token-window chunking: window=32 stride=24; DuckDB 1-based
         # inclusive list slicing t[s+1 : min(s+32, dl)] mirrors the

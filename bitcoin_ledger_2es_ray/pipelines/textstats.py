@@ -427,6 +427,73 @@ def unigram_logprob(index_dir: str, round_decimals: int = 6) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def _ntile(ranks: np.ndarray, sizes: np.ndarray, k: int) -> np.ndarray:
+    """SQL ``ntile(k)`` bucket for 0-based in-partition ``ranks`` with
+    partition ``sizes`` (per row): the first n % k buckets get
+    ceil(n/k) rows — DuckDB/ANSI semantics, vectorized."""
+    base = sizes // k
+    rem = sizes % k
+    big = base + 1
+    cut = rem * big
+    return np.where(
+        ranks < cut,
+        ranks // np.maximum(big, 1) + 1,
+        rem + (ranks - cut) // np.maximum(base, 1) + 1,
+    ).astype(np.int64)
+
+
+def perplexity_buckets(
+    sf_dir: str, index_dir: str, n_buckets: int = 3, round_decimals: int = 6
+) -> pa.Table:
+    """CCNet's head/middle/tail perplexity split (Wenzek et al. 2020):
+    per language, docs ranked by unigram-LM log-probability (the inverted
+    index IS the LM — ``unigram_logprob``, zero extra corpus passes) and
+    cut into ``n_buckets`` SQL-ntile buckets; bucket 1 = head (highest
+    logprob = lowest perplexity), the slice CCNet keeps for training.
+
+    The per-doc logprob table is doc-bounded (the same envelope
+    ``unigram_logprob`` already returns); the lang attach is a pruned
+    two-column scan and the bucket assignment is one lexsort + run-rank
+    pass over dictionary codes.  Returns (doc_id, lang, logprob, bucket),
+    doc ascending — bit-exact vs DuckDB ``ntile`` (ties: logprob DESC,
+    doc_id ASC)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    lp = unigram_logprob(index_dir, round_decimals)
+    langs = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "lang"]
+    )
+    j = lp.join(langs, keys="doc_id", join_type="inner")
+    doc = np.asarray(j["doc_id"], dtype=np.int64)
+    lpv = np.asarray(j["logprob"], dtype=np.float64)
+    codes = (
+        j["lang"].combine_chunks().dictionary_encode()
+        .indices.to_numpy(zero_copy_only=False)
+    )
+    order = np.lexsort((doc, -lpv, codes))
+    cs = codes[order]
+    newl = np.ones(len(cs), dtype=bool)
+    newl[1:] = cs[1:] != cs[:-1]
+    starts = np.flatnonzero(newl)
+    runlen = np.diff(np.r_[starts, len(cs)])
+    ranks = np.arange(len(cs), dtype=np.int64) - np.repeat(starts, runlen)
+    bucket = _ntile(ranks, np.repeat(runlen, runlen), n_buckets)
+    inv = np.empty(len(order), dtype=np.int64)
+    inv[order] = np.arange(len(order))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "lang": j["lang"],
+            "logprob": pa.array(lpv, type=pa.float64()),
+            "bucket": pa.array(bucket[inv], type=pa.int64()),
+        }
+    ).sort_by("doc_id")
+
+
 _FP_BASE = np.uint64(1315423911)
 _FP_WINDOW = 16
 

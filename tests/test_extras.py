@@ -1958,3 +1958,23 @@ def test_pack_bpe_sequences_consistency(ray_session, built):
     exp_off = np.concatenate(([0], np.cumsum(dl)[:-1]))
     assert packed["tok_offset"].to_pylist() == exp_off.tolist()
     assert packed["chunk_id"].to_pylist() == (exp_off // 512).tolist()
+
+
+def test_ntile_matches_duckdb(ray_session):
+    """_ntile mirrors SQL ntile(k) bucket sizing (first n%k buckets get
+    ceil(n/k)) for every partition size 1..40 and k in {1,2,3,4,7}."""
+    import duckdb
+
+    from bitcoin_ledger_2es_ray.pipelines.textstats import _ntile
+
+    for k in (1, 2, 3, 4, 7):
+        for n in range(1, 41):
+            ranks = np.arange(n, dtype=np.int64)
+            got = _ntile(ranks, np.full(n, n, dtype=np.int64), k).tolist()
+            want = [
+                r[0]
+                for r in duckdb.sql(
+                    f"SELECT ntile({k}) OVER (ORDER BY i) FROM range({n}) t(i)"
+                ).fetchall()
+            ]
+            assert got == want, (k, n)
