@@ -252,7 +252,9 @@ def _verify_pairs_exact(sf_dir: str, cand, k: int, tau: float, num_partitions: i
     # lexsort + run reduction: per-side shingle sets are distinct by
     # construction, so within a (a, b) run an sh value repeats iff both
     # sides hold it — adjacent-duplicate counting IS the intersection.
-    n_buckets = 64
+    # Bucket count scales with the requested partitioning (8 reduce tasks
+    # per partition) so a bigger cluster fans the verify wider.
+    n_buckets = max(64, num_partitions * 8)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["a"]).astype(np.uint64)
@@ -767,7 +769,7 @@ def _batch_grams_positional(batch: pa.Table, k: int) -> pa.Table:
     )
 
 
-def duplicate_spans_ds(sf_dir: str, k: int = 5):
+def duplicate_spans_ds(sf_dir: str, k: int = 5, n_buckets: int = 64):
     """Exact substring-duplication spans, the token-level dedup of Lee et
     al. 2022 ("Deduplicating Training Data Makes Language Models
     Better"): every MAXIMAL token span whose every length-k window
@@ -799,8 +801,8 @@ def duplicate_spans_ds(sf_dir: str, k: int = 5):
     # group, which dominates once distinct grams reach millions.  Inside a
     # bucket the whole reduction is one lexsort + run pass; bucket-hash
     # quality only affects load balance, never correctness (equality is
-    # decided on exact values in-bucket).
-    n_buckets = 64
+    # decided on exact values in-bucket).  ``n_buckets`` should scale
+    # with the cluster (tasks per shuffle side); 64 covers a single node.
 
     def add_gb(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

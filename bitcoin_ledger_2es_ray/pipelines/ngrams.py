@@ -113,7 +113,8 @@ def pmi_collocations(
 
 
 def tfidf_top_terms(
-    index_dir: str, n_docs: int, k: int = 3, round_decimals: int = 6
+    index_dir: str, n_docs: int, k: int = 3, round_decimals: int = 6,
+    n_buckets: int = 64,
 ) -> pa.Table:
     """Per-document top-k terms by tf·idf, idf = ln(N/df) →
     (doc_id, rank, term, score); ranking uses the ROUNDED score (ties →
@@ -156,8 +157,8 @@ def tfidf_top_terms(
 
     # coarse doc-hash buckets, not one map_groups call per doc: each
     # bucket does ONE Arrow multi-column sort + run-rank filter for all
-    # its docs (the per-doc shape pays a Python call per document)
-    n_buckets = 64
+    # its docs (the per-doc shape pays a Python call per document);
+    # ``n_buckets`` should scale with the cluster — 64 covers a node.
 
     def add_db(batch: pa.Table) -> pa.Table:
         return batch.append_column(
