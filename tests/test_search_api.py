@@ -443,3 +443,94 @@ def test_msearch_aggs_matches_per_body(built, store):
         )
     with pytest.raises(ValueError):
         run_msearch_aggs(res.out_dir, store, [])
+
+
+def test_search_bool_randomized_vs_naive(built, store):
+    """Differential fuzz of the (round-5) bool compiler: random flat bool
+    bodies over term leaves vs an independent set-algebra + score-sum
+    mirror built from the oracle postings."""
+    import random
+
+    _, oracle, _ = built
+    vocab = sorted(oracle.postings)
+    n_docs = store.n_docs
+    all_docs = set(int(d) for d in oracle.doc_ids)
+    # per-term doc → unrounded BM25 score maps
+    term_scores = {
+        t: dict(score_query(store, t, n_docs, round_decimals=None) or [])
+        for t in vocab
+    }
+
+    def naive(must, should, filt, must_not, msm):
+        cand = None
+        for t in must:
+            s = set(term_scores[t])
+            cand = s if cand is None else cand & s
+        if msm is None:
+            msm_v = 0 if (must or filt) else 1
+        else:
+            msm_v = msm
+        if should and msm_v > 0:
+            ok = {
+                d
+                for d in all_docs
+                if sum(d in term_scores[t] for t in should) >= msm_v
+            }
+            cand = ok if cand is None else cand & ok
+        if cand is None:
+            if not must and not should:
+                if filt:
+                    cand = set(term_scores[filt[0]])
+                    filt = filt[1:]
+                elif must_not:
+                    cand = set(all_docs)
+                else:
+                    return None  # engine refuses
+            else:
+                # must empty; should at msm 0
+                if filt:
+                    cand = set(term_scores[filt[0]])
+                    filt = filt[1:]
+                else:
+                    cand = set()
+                    for t in should:
+                        cand |= set(term_scores[t])
+        for t in filt:
+            cand &= set(term_scores[t])
+        for t in must_not:
+            cand -= set(term_scores[t])
+        from bitcoin_ledger_2es_ray.functions.bm25 import sql_round
+
+        out = []
+        for d in cand:
+            s = sum(term_scores[t].get(d, 0.0) for t in must + should)
+            out.append((d, float(sql_round(s, 6))))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out
+
+    rng = random.Random(41)
+    checked = 0
+    for _trial in range(120):
+        must = rng.sample(vocab, rng.randint(0, 2))
+        should = rng.sample(vocab, rng.randint(0, 2))
+        filt = rng.sample(vocab, rng.randint(0, 2))
+        must_not = rng.sample(vocab, rng.randint(0, 1))
+        msm = rng.choice([None, None, 0, 1, 2])
+        body_q = {}
+        if must:
+            body_q["must"] = [{"term": {"content": t}} for t in must]
+        if should:
+            body_q["should"] = [{"term": {"content": t}} for t in should]
+        if filt:
+            body_q["filter"] = [{"term": {"content": t}} for t in filt]
+        if must_not:
+            body_q["must_not"] = [{"term": {"content": t}} for t in must_not]
+        if msm is not None:
+            body_q["minimum_should_match"] = msm
+        want = naive(must, should, filt, must_not, msm)
+        if want is None or not body_q or set(body_q) == {"minimum_should_match"}:
+            continue
+        got = run_search(store, {"query": {"bool": body_q}, "size": n_docs})
+        assert _pairs(got) == want, (body_q, want[:5])
+        checked += 1
+    assert checked >= 80
