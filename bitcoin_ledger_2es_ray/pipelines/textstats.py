@@ -494,6 +494,20 @@ def perplexity_buckets(
     ).sort_by("doc_id")
 
 
+def perplexity_buckets_to_parquet(
+    sf_dir: str, index_dir: str, out_dir: str, n_buckets: int = 3
+) -> str:
+    """Scale sink for the bucket table.  The ntile assignment is a global
+    per-lang rank, so the table is assembled once (doc-bounded — the same
+    envelope ``unigram_logprob`` returns) and streamed out via the shared
+    overwrite sink; at 10^12 docs the rank cut becomes the distributed
+    two-phase quantile plan ``curate.shuffle_order`` already implements."""
+    import ray.data as rd
+
+    t = perplexity_buckets(sf_dir, index_dir, n_buckets)
+    return write_dataset(rd.from_arrow(t), out_dir)
+
+
 _FP_BASE = np.uint64(1315423911)
 _FP_WINDOW = 16
 

@@ -1978,3 +1978,34 @@ def test_ntile_matches_duckdb(ray_session):
                 ).fetchall()
             ]
             assert got == want, (k, n)
+
+
+def test_perplexity_buckets_and_sink(ray_session, built, tmp_path):
+    """CCNet bucket split: per lang the bucket sizes follow ntile, bucket 1
+    holds the highest-logprob docs, and the parquet sink round-trips."""
+    import pyarrow.dataset as pads
+
+    from bitcoin_ledger_2es_ray.pipelines.textstats import (
+        perplexity_buckets,
+        perplexity_buckets_to_parquet,
+    )
+
+    res, _, _ = built
+    sf = "/root/testdata/sf0.001"
+    t = perplexity_buckets(sf, res.out_dir)
+    assert t.column_names == ["doc_id", "lang", "logprob", "bucket"]
+    df = t.to_pandas()
+    for lang, g in df.groupby("lang"):
+        n = len(g)
+        sizes = g["bucket"].value_counts().sort_index().tolist()
+        base, rem = divmod(n, 3)
+        want = [base + 1] * rem + [base] * (3 - rem)
+        assert sizes == [w for w in want if w], (lang, sizes)
+        # bucket 1 logprobs >= bucket 3 logprobs
+        if 1 in set(g["bucket"]) and 3 in set(g["bucket"]):
+            assert g[g["bucket"] == 1]["logprob"].min() >= g[
+                g["bucket"] == 3
+            ]["logprob"].max()
+    out = perplexity_buckets_to_parquet(sf, res.out_dir, str(tmp_path / "pb"))
+    back = pads.dataset(out).to_table().sort_by("doc_id")
+    assert back.select(t.column_names).equals(t)
