@@ -58,6 +58,7 @@ LANE = [
     "pack_sequences",
     "shuffle_order",
     "tfidf_top_terms",
+    "perplexity_buckets",
 ]
 
 LINE = re.compile(r"^(OK|rows|FAIL)\s+([a-z0-9_]+):.*?(?:\[(\d+\.\d+)s\])?$")
@@ -132,7 +133,9 @@ def main() -> int:
                 "failures": failures,
                 "total_sec": round(time.monotonic() - t_start, 1),
                 "queries": {
-                    n: results[n]["sec"] for n in LANE if results[n]["sec"]
+                    n: results[n]["sec"]
+                    for n in LANE
+                    if results[n]["sec"] is not None
                 },
                 "ok": failures == 0,
             }
