@@ -307,6 +307,38 @@ def _q_search_api_sorted(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_match_operator_and(sf_dir: str) -> pa.Table:
+    """ES ``match`` with ``operator: "and"``: every analyzed query term
+    must match — per-term doc sets intersect, scores stay the BM25 sum
+    (`pipelines/search_api.py: _eval`)."""
+    from bitcoin_ledger_2es_ray.pipelines.search_api import run_search
+
+    store, _ = _store_for(sf_dir)
+    queries = _fixture_queries(store)
+    parts = []
+    for qid, text, k in zip(
+        queries["query_id"].to_pylist(),
+        queries["text"].to_pylist(),
+        queries["k"].to_pylist(),
+    ):
+        t = run_search(
+            store,
+            {
+                "query": {"match": {"content": {"query": text, "operator": "and"}}},
+                "size": int(k),
+            },
+            round_decimals=_ROUND,
+        )
+        parts.append(
+            t.append_column(
+                "query_id", pa.array([int(qid)] * t.num_rows, type=pa.int64())
+            )
+        )
+    return pa.concat_tables(parts).select(
+        ["query_id", "rank", "doc_id", "score"]
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_bool_filter_should(sf_dir: str) -> pa.Table:
     """ES bool with ``filter`` + ``should`` and NO explicit
     minimum_should_match: msm defaults to 0 (the bool carries filter
@@ -6467,7 +6499,7 @@ def _q_esql_eval(sf_dir: str) -> pa.Table:
 _FRONT_50 = [
     # changed this round — the external gate matters most here
     "search_api_aggs", "nb_predict", "bool_filter_should",
-    "bool_must_not_only", "intervals_range", "perplexity_buckets",
+    "bool_must_not_only", "intervals_range", "perplexity_buckets", "match_operator_and",
     # Lucene query DSL long tail (never driver-sampled)
     "simple_query_string", "min_should_match", "dis_max", "boosting",
     "multi_match", "multi_match_cross", "match_bool_prefix",
@@ -6485,8 +6517,7 @@ _FRONT_50 = [
     "runtime_field", "field_presence", "exists_docs",
     # curation / text quality
     "curriculum", "mixing_weights", "quality_classifier", "redact_pii",
-    "repetition_stats",
-]
+    ]
 
 
 def _rotate_front(qs: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
@@ -6508,6 +6539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_api": _q_search_api,
         "search_api_aggs": _q_search_api_aggs,
         "search_api_sorted": _q_search_api_sorted,
+        "match_operator_and": _q_match_operator_and,
         "bool_filter_should": _q_bool_filter_should,
         "bool_must_not_only": _q_bool_must_not_only,
         "intervals_range": _q_intervals_range,
@@ -7056,6 +7088,36 @@ SELECT sc.query_id, d.lang, count(*)::BIGINT AS doc_count
 FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
+        # match operator=and: docs holding EVERY distinct query term;
+        # scores stay the BM25 sum over the matched terms
+        "match_operator_and": _PRELUDE
+        + """
+, nq AS (SELECT query_id, count(DISTINCT term) AS nt FROM qterm GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score,
+         count(DISTINCT qt.term) AS n_match
+  FROM qterm qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT sc.query_id,
+         row_number() OVER (
+           PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.doc_id ASC
+         ) AS rank,
+         sc.doc_id, sc.score
+  FROM scored sc JOIN nq ON nq.query_id = sc.query_id
+  WHERE sc.n_match = nq.nt
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("{k}", str(_TOP_K)),
         # bool filter+should, msm default 0: the filter set IS the hit
         # set; the should term contributes optional score (0 elsewhere)
         "bool_filter_should": _PRELUDE

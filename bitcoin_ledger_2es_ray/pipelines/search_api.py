@@ -72,7 +72,23 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
         raise ValueError("search: query object needs exactly one type key")
     kind, body = next(iter(q.items()))
     if kind in ("match", "term"):
-        return _score_map(store, _leaf_text(body))
+        docs, scores = _score_map(store, _leaf_text(body))
+        opts = next(iter(body.values())) if len(body) == 1 else None
+        if kind == "match" and isinstance(opts, dict):
+            op = opts.get("operator", "or")
+            if op not in ("or", "and"):
+                raise ValueError(f"search: match operator {op!r}")
+            if op == "and":
+                # ES operator=and: every analyzed term must match — the
+                # scored union intersects per-term doc sets, scores stay
+                # the BM25 sum
+                from ..functions.tokenize import tokenize_query
+
+                for t in set(tokenize_query(_leaf_text(body))):
+                    td, _ = _score_map(store, t)
+                    keep = np.isin(docs, td, assume_unique=True)
+                    docs, scores = docs[keep], scores[keep]
+        return docs, scores
     if kind == "match_phrase":
         pairs = phrase_topk(store, _leaf_text(body), k=store.n_docs)
         if not pairs:

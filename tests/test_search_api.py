@@ -534,3 +534,31 @@ def test_search_bool_randomized_vs_naive(built, store):
         assert _pairs(got) == want, (body_q, want[:5])
         checked += 1
     assert checked >= 80
+
+
+def test_search_match_operator_and(built, store):
+    """match operator=and intersects per-term doc sets, scores stay the
+    BM25 sum; bad operator values refuse cleanly."""
+    _, oracle, _ = built
+    v = sorted(oracle.postings)
+    text = f"{v[0]} {v[1]}"
+    both = run_search(
+        store,
+        {"query": {"match": {"content": {"query": text, "operator": "and"}}},
+         "size": store.n_docs},
+    )
+    union = run_search(
+        store, {"query": {"match": {"content": text}}, "size": store.n_docs}
+    )
+    a_docs = {int(oracle.doc_ids[r]) for r in oracle.postings[v[0]]}
+    b_docs = {int(oracle.doc_ids[r]) for r in oracle.postings[v[1]]}
+    assert set(both["doc_id"].to_pylist()) == a_docs & b_docs
+    # scores agree with the OR-mode scores on the intersection
+    u = dict(_pairs(union))
+    for d, s in _pairs(both):
+        assert s == u[d]
+    with pytest.raises(ValueError):
+        run_search(
+            store,
+            {"query": {"match": {"content": {"query": text, "operator": "xor"}}}},
+        )
