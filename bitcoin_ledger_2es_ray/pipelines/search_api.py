@@ -191,13 +191,13 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
             cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
         # ES defaults minimum_should_match to 0 when the bool carries must
         # OR filter clauses (should becomes purely optional scoring), 1
-        # only when should is the sole doc source
-        msm = int(
-            body.get(
-                "minimum_should_match",
-                0 if (must or _as_list(body.get("filter"))) else 1,
-            )
+        # only when should is the sole doc source; explicit values accept
+        # the full Lucene grammar (int / "-2" / "75%" / "2<-25% 9<-3")
+        raw_msm = body.get(
+            "minimum_should_match",
+            0 if (must or _as_list(body.get("filter"))) else 1,
         )
+        msm = parse_min_should_match(raw_msm, len(should))
         if should and msm > 0:
             sd = [d for d, _ in should if len(d)]
             if not sd:
@@ -250,6 +250,57 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
             scores[ok] = scores_sum[keep[ok]]
         return cand, scores
     raise ValueError(f"search: unsupported query type {kind!r}")
+
+
+def parse_min_should_match(spec, n_optional: int) -> int:
+    """Lucene's ``minimum_should_match`` grammar over ``n_optional``
+    should clauses (Queries.calculateMinShouldMatch — public Solr/ES
+    spec): integer; negative integer (n − k); percentage (floor of the
+    percent of n, truncating); negative percentage (n − floor);
+    space-separated conditionals ``u<spec`` where the segment with the
+    LARGEST u still below the clause count applies, and a clause count at
+    or below every u requires ALL clauses.  The caller interprets the
+    result like Lucene: ≤ 0 is unconstrained, > n matches nothing."""
+    if isinstance(spec, bool):
+        raise ValueError("search: minimum_should_match must be int or str")
+    if isinstance(spec, int):
+        return spec
+    if not isinstance(spec, str):
+        raise ValueError("search: minimum_should_match must be int or str")
+    s = spec.strip()
+    if "<" in s:
+        result = n_optional
+        best_upper = -1
+        for seg in s.split():
+            cond, sep, sub = seg.partition("<")
+            if not sep or not sub:
+                raise ValueError(
+                    f"search: bad minimum_should_match segment {seg!r}"
+                )
+            try:
+                upper = int(cond)
+            except ValueError:
+                raise ValueError(
+                    f"search: bad minimum_should_match segment {seg!r}"
+                ) from None
+            if n_optional > upper and upper > best_upper:
+                best_upper = upper
+                result = parse_min_should_match(sub, n_optional)
+        return result
+    if s.endswith("%"):
+        try:
+            pct = int(s[:-1])
+        except ValueError:
+            raise ValueError(
+                f"search: bad minimum_should_match {spec!r}"
+            ) from None
+        part = abs(pct) * n_optional // 100
+        return n_optional - part if pct < 0 else part
+    try:
+        v = int(s)
+    except ValueError:
+        raise ValueError(f"search: bad minimum_should_match {spec!r}") from None
+    return n_optional + v if v < 0 else v
 
 
 def _as_list(v):

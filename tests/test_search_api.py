@@ -562,3 +562,59 @@ def test_search_match_operator_and(built, store):
             store,
             {"query": {"match": {"content": {"query": text, "operator": "xor"}}}},
         )
+
+
+def test_parse_min_should_match_grammar(store):
+    """The Lucene msm grammar, pinned to the documented Solr/ES examples."""
+    from bitcoin_ledger_2es_ray.pipelines.search_api import (
+        parse_min_should_match as p,
+    )
+
+    # integers and negatives
+    assert p(3, 4) == 3
+    assert p("3", 4) == 3
+    assert p("-1", 4) == 3
+    # percentages truncate toward zero
+    assert p("75%", 4) == 3
+    assert p("-25%", 4) == 3
+    assert p("75%", 5) == 3  # floor(3.75)
+    assert p("-25%", 9) == 7  # 9 - floor(2.25)
+    # conditionals: count <= every upper → ALL clauses required
+    assert p("2<-25%", 2) == 2
+    assert p("2<-25%", 4) == 3
+    # multi-segment: the largest applicable upper wins
+    assert p("2<-25% 9<-3", 5) == 4   # 25% leg: 5 - floor(1.25)
+    assert p("2<-25% 9<-3", 10) == 7  # -3 leg
+    assert p("2<-25% 9<-3", 2) == 2   # below both → all required
+    # refusals stay clean ValueErrors
+    import pytest as _pytest
+
+    for bad in ("x", "5x%", "a<50%", "<50%", "3<", True, 1.5):
+        with _pytest.raises(ValueError):
+            p(bad, 4)
+    # end-to-end: percentage msm through the bool compiler equals the
+    # integer form it resolves to
+    got_pct = run_search(
+        store,
+        {"query": {"bool": {
+            "should": [{"term": {"content": t}} for t in ("scan", "window", "sort", "merge")],
+            "minimum_should_match": "50%",
+        }}, "size": store.n_docs},
+    )
+    got_int = run_search(
+        store,
+        {"query": {"bool": {
+            "should": [{"term": {"content": t}} for t in ("scan", "window", "sort", "merge")],
+            "minimum_should_match": 2,
+        }}, "size": store.n_docs},
+    )
+    assert got_pct.equals(got_int)
+    # msm above the clause count matches nothing
+    none = run_search(
+        store,
+        {"query": {"bool": {
+            "should": [{"term": {"content": "scan"}}],
+            "minimum_should_match": "200%",
+        }}, "size": 5},
+    )
+    assert none.num_rows == 0
