@@ -74,20 +74,39 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
     if kind in ("match", "term"):
         docs, scores = _score_map(store, _leaf_text(body))
         opts = next(iter(body.values())) if len(body) == 1 else None
-        if kind == "match" and isinstance(opts, dict):
-            op = opts.get("operator", "or")
-            if op not in ("or", "and"):
-                raise ValueError(f"search: match operator {op!r}")
-            if op == "and":
-                # ES operator=and: every analyzed term must match — the
-                # scored union intersects per-term doc sets, scores stay
-                # the BM25 sum
+        if isinstance(opts, dict):
+            if kind == "match":
+                op = opts.get("operator", "or")
+                if op not in ("or", "and"):
+                    raise ValueError(f"search: match operator {op!r}")
+                msm_spec = opts.get("minimum_should_match")
                 from ..functions.tokenize import tokenize_query
 
-                for t in set(tokenize_query(_leaf_text(body))):
-                    td, _ = _score_map(store, t)
-                    keep = np.isin(docs, td, assume_unique=True)
+                terms = sorted(set(tokenize_query(_leaf_text(body))))
+                # ES: operator=and requires every analyzed term; an
+                # explicit msm requires that many distinct terms (full
+                # Lucene grammar).  Scores stay the BM25 sum either way.
+                need = (
+                    len(terms)
+                    if op == "and"
+                    else (
+                        parse_min_should_match(msm_spec, len(terms))
+                        if msm_spec is not None
+                        else 0
+                    )
+                )
+                if need > 0:
+                    counts = np.zeros(len(docs), dtype=np.int64)
+                    for t in terms:
+                        td, _ = _score_map(store, t)
+                        counts += np.isin(docs, td, assume_unique=True)
+                    keep = counts >= need
                     docs, scores = docs[keep], scores[keep]
+            # leaf boost (match AND term): multiplies the leaf's scores
+            # before any enclosing sum, like Lucene's BoostQuery
+            boost = float(opts.get("boost", 1.0))
+            if boost != 1.0:
+                scores = scores * boost
         return docs, scores
     if kind == "match_phrase":
         pairs = phrase_topk(store, _leaf_text(body), k=store.n_docs)

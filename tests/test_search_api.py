@@ -618,3 +618,43 @@ def test_parse_min_should_match_grammar(store):
         }}, "size": 5},
     )
     assert none.num_rows == 0
+
+
+def test_search_match_msm_and_leaf_boost(built, store):
+    """match-level minimum_should_match mirrors the bool-should form, and
+    leaf boost scales scores before any enclosing sum."""
+    _, oracle, _ = built
+    v = sorted(oracle.postings)[:3]
+    text = " ".join(v)
+    m = run_search(
+        store,
+        {"query": {"match": {"content": {
+            "query": text, "minimum_should_match": 2,
+        }}}, "size": store.n_docs},
+    )
+    b = run_search(
+        store,
+        {"query": {"bool": {
+            "should": [{"term": {"content": t}} for t in v],
+            "minimum_should_match": 2,
+        }}, "size": store.n_docs},
+    )
+    assert m.equals(b)
+    # percentage form resolves through the same grammar
+    mp = run_search(
+        store,
+        {"query": {"match": {"content": {
+            "query": text, "minimum_should_match": "67%",
+        }}}, "size": store.n_docs},
+    )
+    assert mp.equals(m)  # floor(0.67 * 3) == 2
+    # leaf boost: term boost 2.5 == 2.5 × the UNROUNDED base scores,
+    # rounded once at the end (Lucene boosts before any rounding)
+    base = dict(score_query(store, v[0], store.n_docs, round_decimals=None))
+    boosted = run_search(
+        store,
+        {"query": {"term": {"content": {"value": v[0], "boost": 2.5}}},
+         "size": store.n_docs},
+    )
+    for d, s in _pairs(boosted):
+        assert abs(s - base[d] * 2.5) < 1e-6
