@@ -7,9 +7,13 @@ and compiles the query tree onto the SAME green kernels (``_score_map``,
 ``phrase_topk``, ``prefix_match`` …), so the compiler adds plumbing, not
 new scoring math.  Supported query types:
 
-  match, term, match_phrase, bool (must / should / must_not / filter,
-  minimum_should_match), constant_score, dis_max (tie_breaker), prefix,
-  wildcard, fuzzy, intervals, ids, range (on the index's dl field).
+  match (operator and/or, per-leaf minimum_should_match, boost), term
+  (boost), terms, match_phrase, exists, bool (must / should / must_not /
+  filter, minimum_should_match with the full Lucene grammar — int,
+  negatives, percentages, "u<spec" conditionals — and boost),
+  constant_score, dis_max (tie_breaker), prefix, wildcard, fuzzy,
+  intervals, ids, range (gte/gt/lte/lt on the index's dl field).
+  Pure-must_not bools match the complement at score 0 (ES semantics).
 
 Scoring contract: match/term/match_phrase score BM25 exactly like their
 kernels; prefix / wildcard / fuzzy / intervals score a CONSTANT 1.0 per
@@ -169,14 +173,21 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
 
         import pyarrow.dataset as pads
 
+        bad = set(opts) - {"gte", "gt", "lte", "lt"}
+        if bad:
+            raise ValueError(f"search: range keys {sorted(bad)!r}")
         flt = None
-        if opts.get("gte") is not None:
-            flt = pads.field("dl") >= int(opts["gte"])
-        if opts.get("lte") is not None:
-            c = pads.field("dl") <= int(opts["lte"])
-            flt = c if flt is None else flt & c
+        for key, op in (
+            ("gte", "__ge__"),
+            ("gt", "__gt__"),
+            ("lte", "__le__"),
+            ("lt", "__lt__"),
+        ):
+            if opts.get(key) is not None:
+                c = getattr(pads.field("dl"), op)(int(opts[key]))
+                flt = c if flt is None else flt & c
         if flt is None:
-            raise ValueError("search: range needs gte and/or lte")
+            raise ValueError("search: range needs gte/gt/lte/lt")
         # predicate pushed into the forward-map scan (row-group pruning —
         # only matching rows leave storage, the exists_docs pattern)
         t = pads.dataset(
@@ -188,6 +199,32 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
         docs, _ = _eval(store, body["filter"])
         boost = float(body.get("boost", 1.0))
         return docs, np.full(len(docs), boost, dtype=np.float64)
+    if kind == "exists":
+        # ES exists query: every doc carrying the field, constant score
+        # 1.0 — the engine's stored fields are the forward-map columns
+        field = body.get("field")
+        if field not in ("content", "repo", "path", "commit", "lang", "dl"):
+            raise ValueError(f"search: exists field {field!r}")
+        d = _all_docs(store)
+        return d, np.ones(len(d), dtype=np.float64)
+    if kind == "terms":
+        # ES terms query: docs matching ANY of the listed values,
+        # constant score 1.0 (filter context)
+        if len(body) != 1:
+            raise ValueError("search: terms needs exactly one field")
+        values = next(iter(body.values()))
+        if not isinstance(values, list):
+            raise ValueError("search: terms needs a list of values")
+        sets = []
+        for v in values:
+            td, _ = _score_map(store, str(v))
+            sets.append(td)
+        d = (
+            np.unique(np.concatenate(sets))
+            if sets
+            else np.empty(0, dtype=np.int64)
+        )
+        return d, np.ones(len(d), dtype=np.float64)
     if kind == "dis_max":
         parts = [_eval(store, c) for c in body["queries"]]
         tie = float(body.get("tie_breaker", 0.0))
@@ -267,7 +304,8 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
         scores = np.zeros(len(cand), dtype=np.float64)
         if len(docs_sum):
             scores[ok] = scores_sum[keep[ok]]
-        return cand, scores
+        boost = float(body.get("boost", 1.0))
+        return cand, scores * boost if boost != 1.0 else scores
     raise ValueError(f"search: unsupported query type {kind!r}")
 
 

@@ -658,3 +658,54 @@ def test_search_match_msm_and_leaf_boost(built, store):
     )
     for d, s in _pairs(boosted):
         assert abs(s - base[d] * 2.5) < 1e-6
+
+
+def test_search_exists_terms_range_bounds_bool_boost(built, store):
+    """Round-5 leaf closures: exists (all docs, score 1), terms (constant
+    OR), exclusive range bounds, and bool boost."""
+    _, oracle, _ = built
+    v = sorted(oracle.postings)
+    all_docs = sorted(int(d) for d in oracle.doc_ids)
+    ex = run_search(
+        store, {"query": {"exists": {"field": "lang"}}, "size": store.n_docs}
+    )
+    assert ex["doc_id"].to_pylist() == all_docs
+    assert all(s == 1.0 for s in ex["score"].to_pylist())
+    with pytest.raises(ValueError):
+        run_search(store, {"query": {"exists": {"field": "bogus"}}})
+    # terms = union at constant score
+    tm = run_search(
+        store,
+        {"query": {"terms": {"content": [v[0], v[1]]}}, "size": store.n_docs},
+    )
+    want = {int(oracle.doc_ids[r]) for r in oracle.postings[v[0]]} | {
+        int(oracle.doc_ids[r]) for r in oracle.postings[v[1]]
+    }
+    assert set(tm["doc_id"].to_pylist()) == want
+    assert all(s == 1.0 for s in tm["score"].to_pylist())
+    # exclusive range bounds: gt/lt vs gte/lte shifted by one
+    dl_of = {int(oracle.doc_ids[i]): int(oracle.dl[i]) for i in range(len(oracle.dl))}
+    ex_r = run_search(
+        store,
+        {"query": {"bool": {"filter": [{"range": {"dl": {"gt": 10, "lt": 40}}}]}},
+         "size": store.n_docs},
+    )
+    assert set(ex_r["doc_id"].to_pylist()) == {
+        d for d, n in dl_of.items() if 10 < n < 40
+    }
+    with pytest.raises(ValueError):
+        run_search(store, {"query": {"range": {"dl": {"bogus": 1}}}})
+    # bool boost scales the summed scores
+    plain = run_search(
+        store,
+        {"query": {"bool": {"must": [{"term": {"content": v[0]}}]}},
+         "size": store.n_docs},
+    )
+    boosted = run_search(
+        store,
+        {"query": {"bool": {"must": [{"term": {"content": v[0]}}],
+                            "boost": 3.0}}, "size": store.n_docs},
+    )
+    pd_ = dict(_pairs(plain))
+    for d, s in _pairs(boosted):
+        assert abs(s - pd_[d] * 3.0) < 5e-6
