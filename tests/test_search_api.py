@@ -244,9 +244,21 @@ def test_search_body_fuzz_never_crashes(store):
         {"prefix": {"content": "sc"}},
         {"ids": {"values": [1, 2]}},
         {"range": {"dl": {"gte": 1}}},
+        {"range": {"dl": {"gt": 3, "lt": 50}}},
+        {"range": {"dl": {"bogus": 1}}},
         {"bogus": {}},
         {"match": {}},
         {"match": {"a": "x", "b": "y"}},
+        {"match": {"content": {"query": "scan window", "operator": "and"}}},
+        {"match": {"content": {"query": "scan window",
+                               "minimum_should_match": "75%"}}},
+        {"match": {"content": {"query": "scan", "operator": "xor"}}},
+        {"match": {"content": {"query": "scan",
+                               "minimum_should_match": "nope"}}},
+        {"terms": {"content": ["scan", "window"]}},
+        {"terms": {"content": "notalist"}},
+        {"exists": {"field": "lang"}},
+        {"exists": {"field": "bogus"}},
         {"constant_score": {"filter": {"term": {"content": "scan"}}}},
     ])
 
