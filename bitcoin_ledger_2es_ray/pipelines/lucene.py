@@ -444,12 +444,40 @@ def query_string_topk(
     qstr: str,
     k: int = 10,
     round_decimals: int | None = None,
+    minimum_should_match=None,
 ) -> list[tuple[int, float]]:
     """Parse + evaluate one Lucene query string; top-k
-    (doc_id, score) ranked (rounded score DESC, doc ASC)."""
-    res = _eval(parse_query_string(qstr), store)
+    (doc_id, score) ranked (rounded score DESC, doc ASC).
+
+    ``minimum_should_match`` (int or the full Lucene grammar string)
+    applies to the TOP-LEVEL optional clauses — a plain disjunction or a
+    bool with no '+' clauses — exactly like ES's query_string parameter;
+    when every top-level clause is mandatory the parameter is a no-op
+    (ES behaves the same)."""
+    tree = parse_query_string(qstr)
+    res = _eval(tree, store)
     if not isinstance(res, _Surface):
         raise ValueError("query_string: query has no positive surface")
+    if minimum_should_match is not None and len(res.docs):
+        from .search_api import parse_min_should_match
+
+        if tree[0] == "or":
+            children = tree[1]
+        elif tree[0] == "bool" and not tree[1]:
+            children = tree[3]
+        else:
+            children = None
+        if children is not None:
+            m = parse_min_should_match(minimum_should_match, len(children))
+            if m > 0:
+                counts = np.zeros(len(res.docs), dtype=np.int64)
+                for c in children:
+                    s_ = _eval(c, store)
+                    if isinstance(s_, _Surface):
+                        counts += np.isin(
+                            res.docs, s_.docs, assume_unique=True
+                        )
+                res = _mask(res, counts >= m)
     if len(res.docs) == 0:
         return []
     scores = res.scores

@@ -315,3 +315,38 @@ def test_dissect_compile_properties():
         _ = tail
 
     check()
+
+
+def test_qs_minimum_should_match(qs_store):
+    """query_string minimum_should_match applies the Lucene grammar to the
+    top-level optional clauses, matching the bool-compiler form."""
+    from bitcoin_ledger_2es_ray.pipelines.search_api import run_search
+
+    t1, t2, t3 = _terms(qs_store, 3, 11, 19)
+    assert len({t1, t2, t3}) == 3
+    got = query_string_topk(
+        qs_store, f"{t1} {t2} {t3}", k=qs_store.n_docs,
+        round_decimals=6, minimum_should_match=2,
+    )
+    want = run_search(
+        qs_store,
+        {"query": {"bool": {
+            "should": [{"term": {"content": t}} for t in (t1, t2, t3)],
+            "minimum_should_match": 2,
+        }}, "size": qs_store.n_docs},
+    )
+    assert got == list(zip(want["doc_id"].to_pylist(),
+                           want["score"].to_pylist()))
+    # percentage form resolves identically
+    got_pct = query_string_topk(
+        qs_store, f"{t1} {t2} {t3}", k=qs_store.n_docs,
+        round_decimals=6, minimum_should_match="67%",
+    )
+    assert got_pct == got
+    # mandatory-only queries ignore the parameter (ES behavior)
+    base = query_string_topk(qs_store, f"+{t1} +{t2}", k=10, round_decimals=6)
+    with_msm = query_string_topk(
+        qs_store, f"+{t1} +{t2}", k=10, round_decimals=6,
+        minimum_should_match=5,
+    )
+    assert with_msm == base
