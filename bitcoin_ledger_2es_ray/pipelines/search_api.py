@@ -195,6 +195,45 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
         ).to_table(columns=["doc_id"], filter=flt)
         d = np.unique(np.asarray(t["doc_id"], dtype=np.int64))
         return d, np.ones(len(d), dtype=np.float64)
+    if kind == "query_string":
+        # the embedded Lucene query-string leaf (ES bodies routinely
+        # carry one): full grammar via the real parser, scores unrounded
+        # so enclosing sums round once at the end
+        from .lucene import query_string_topk
+
+        qs = body.get("query")
+        if not isinstance(qs, str):
+            raise ValueError("search: query_string needs a 'query' string")
+        pairs = query_string_topk(
+            store,
+            qs,
+            k=store.n_docs,
+            round_decimals=None,
+            minimum_should_match=body.get("minimum_should_match"),
+        )
+        if not pairs:
+            return _empty()
+        d = np.array([p[0] for p in pairs], dtype=np.int64)
+        s = np.array([p[1] for p in pairs], dtype=np.float64)
+        order = np.argsort(d, kind="stable")
+        return d[order], s[order]
+    if kind == "simple_query_string":
+        from .structured import simple_query_string_topk
+
+        qs = body.get("query")
+        if not isinstance(qs, str):
+            raise ValueError(
+                "search: simple_query_string needs a 'query' string"
+            )
+        pairs = simple_query_string_topk(
+            store, qs, store.n_docs, round_decimals=None
+        )
+        if not pairs:
+            return _empty()
+        d = np.array([p[0] for p in pairs], dtype=np.int64)
+        s = np.array([p[1] for p in pairs], dtype=np.float64)
+        order = np.argsort(d, kind="stable")
+        return d[order], s[order]
     if kind == "constant_score":
         docs, _ = _eval(store, body["filter"])
         boost = float(body.get("boost", 1.0))

@@ -721,3 +721,39 @@ def test_search_exists_terms_range_bounds_bool_boost(built, store):
     pd_ = dict(_pairs(plain))
     for d, s in _pairs(boosted):
         assert abs(s - pd_[d] * 3.0) < 5e-6
+
+
+def test_search_embedded_query_string_leaves(built, store):
+    """query_string / simple_query_string leaves in _search bodies equal
+    their direct kernels, and compose inside bool."""
+    from bitcoin_ledger_2es_ray.pipelines.lucene import query_string_topk
+    from bitcoin_ledger_2es_ray.pipelines.structured import (
+        simple_query_string_topk,
+    )
+
+    _, oracle, _ = built
+    v = sorted(oracle.postings)
+    qs = f"{v[0]} +{v[1]}"
+    r = run_search(
+        store, {"query": {"query_string": {"query": qs}}, "size": store.n_docs}
+    )
+    want = query_string_topk(store, qs, k=store.n_docs, round_decimals=6)
+    assert _pairs(r) == want
+    r2 = run_search(
+        store,
+        {"query": {"simple_query_string": {"query": qs}},
+         "size": store.n_docs},
+    )
+    want2 = simple_query_string_topk(store, qs, store.n_docs, round_decimals=6)
+    assert _pairs(r2) == want2
+    # composes in a bool filter context: query_string hits filtered by dl
+    b = run_search(
+        store,
+        {"query": {"bool": {
+            "must": [{"query_string": {"query": qs}}],
+            "filter": [{"range": {"dl": {"gte": 10}}}],
+        }}, "size": store.n_docs},
+    )
+    assert set(b["doc_id"].to_pylist()) <= {d for d, _ in want}
+    with pytest.raises(ValueError):
+        run_search(store, {"query": {"query_string": {}}})
