@@ -12,7 +12,9 @@ new scoring math.  Supported query types:
   filter, minimum_should_match with the full Lucene grammar — int,
   negatives, percentages, "u<spec" conditionals — and boost),
   constant_score, dis_max (tie_breaker), prefix, wildcard, fuzzy,
-  intervals, ids, range (gte/gt/lte/lt on the index's dl field).
+  intervals, ids, range (gte/gt/lte/lt on the index's dl field),
+  query_string (full Lucene grammar + minimum_should_match) and
+  simple_query_string (embedded leaves through the real parsers).
   Pure-must_not bools match the complement at score 0 (ES semantics).
 
 Scoring contract: match/term/match_phrase score BM25 exactly like their
