@@ -115,6 +115,25 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
                 scores = scores * boost
         return docs, scores
     if kind == "match_phrase":
+        opts = next(iter(body.values())) if len(body) == 1 else None
+        slop = (
+            int(opts.get("slop", 0)) if isinstance(opts, dict) else 0
+        )
+        if slop < 0:
+            raise ValueError("search: match_phrase slop must be >= 0")
+        if slop > 0:
+            # ES match_phrase + slop (chained-gap semantics via the
+            # phrase_match_slop kernel); matches score a constant 1.0 —
+            # the documented simplification of Lucene's sloppy-freq
+            # scoring, same contract as the other proximity leaves
+            from .phrase import phrase_match_slop
+
+            d = np.unique(
+                phrase_match_slop(store, _leaf_text(body), slop=slop).astype(
+                    np.int64
+                )
+            )
+            return d, np.ones(len(d), dtype=np.float64)
         pairs = phrase_topk(store, _leaf_text(body), k=store.n_docs)
         if not pairs:
             return _empty()

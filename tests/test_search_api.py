@@ -757,3 +757,34 @@ def test_search_embedded_query_string_leaves(built, store):
     assert set(b["doc_id"].to_pylist()) <= {d for d, _ in want}
     with pytest.raises(ValueError):
         run_search(store, {"query": {"query_string": {}}})
+
+
+def test_search_match_phrase_slop(pos_store):
+    """match_phrase with slop delegates to the chained-gap kernel at a
+    constant score; slop=0 keeps the scored phrase path."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import (
+        phrase_match_slop,
+        phrase_topk,
+    )
+
+    body0 = {"query": {"match_phrase": {"content": {
+        "query": "alpha beta", "slop": 0,
+    }}}, "size": 10}
+    r0 = run_search(pos_store, body0)
+    assert _pairs(r0) == phrase_topk(pos_store, "alpha beta", 10,
+                                     round_decimals=6)
+    r2 = run_search(
+        pos_store,
+        {"query": {"match_phrase": {"content": {
+            "query": "alpha beta", "slop": 2,
+        }}}, "size": pos_store.n_docs},
+    )
+    want = sorted(phrase_match_slop(pos_store, "alpha beta", slop=2).tolist())
+    assert r2["doc_id"].to_pylist() == want
+    assert all(s == 1.0 for s in r2["score"].to_pylist())
+    # slop widens or keeps the exact-phrase doc set
+    assert set(d for d, _ in _pairs(r0)) <= set(want)
+    with pytest.raises(ValueError):
+        run_search(pos_store, {"query": {"match_phrase": {"content": {
+            "query": "alpha beta", "slop": -1,
+        }}}})
