@@ -11,10 +11,13 @@ new scoring math.  Supported query types:
   (boost), terms, match_phrase, exists, bool (must / should / must_not /
   filter, minimum_should_match with the full Lucene grammar — int,
   negatives, percentages, "u<spec" conditionals — and boost),
-  constant_score, dis_max (tie_breaker), prefix, wildcard, fuzzy,
-  intervals, ids, range (gte/gt/lte/lt on the index's dl field),
-  query_string (full Lucene grammar + minimum_should_match) and
-  simple_query_string (embedded leaves through the real parsers).
+  match_phrase_prefix (max_expansions; single token → prefix),
+  boosting (negative_boost demotion), constant_score, dis_max
+  (tie_breaker), prefix, wildcard, fuzzy, intervals, ids, range
+  (gte/gt/lte/lt on the index's dl field), query_string (full Lucene
+  grammar + minimum_should_match) and simple_query_string (embedded
+  leaves through the real parsers).  match_phrase accepts slop
+  (chained-gap kernel, constant-scored).
   Pure-must_not bools match the complement at score 0 (ES semantics).
 
 Scoring contract: match/term/match_phrase score BM25 exactly like their
@@ -216,6 +219,41 @@ def _eval(store: SegmentStore, q: dict) -> _Scored:
         ).to_table(columns=["doc_id"], filter=flt)
         d = np.unique(np.asarray(t["doc_id"], dtype=np.int64))
         return d, np.ones(len(d), dtype=np.float64)
+    if kind == "match_phrase_prefix":
+        # ES: the LAST analyzed token is a dictionary-expanded prefix;
+        # a single-token query degrades to a prefix query (ES behavior).
+        # Matches score a constant 1.0 (the proximity-leaf contract).
+        opts = next(iter(body.values())) if len(body) == 1 else None
+        max_exp = (
+            int(opts.get("max_expansions", 50))
+            if isinstance(opts, dict)
+            else 50
+        )
+        toks = str(_leaf_text(body)).split()
+        if not toks:
+            raise ValueError("search: match_phrase_prefix needs tokens")
+        if len(toks) == 1:
+            d = np.unique(prefix_match(store, toks[0]).astype(np.int64))
+        else:
+            from .phrase import phrase_prefix_match
+
+            d = np.unique(
+                phrase_prefix_match(
+                    store,
+                    " ".join(toks[:-1]),
+                    toks[-1],
+                    max_expansions=max_exp,
+                ).astype(np.int64)
+            )
+        return d, np.ones(len(d), dtype=np.float64)
+    if kind == "boosting":
+        # ES boosting query: positive hits keep their score unless they
+        # also match the negative clause, which demotes by negative_boost
+        pos_d, pos_s = _eval(store, body["positive"])
+        neg_d, _ = _eval(store, body["negative"])
+        nb = float(body.get("negative_boost", 0.5))
+        hit = np.isin(pos_d, neg_d, assume_unique=True)
+        return pos_d, np.where(hit, pos_s * nb, pos_s)
     if kind == "query_string":
         # the embedded Lucene query-string leaf (ES bodies routinely
         # carry one): full grammar via the real parser, scores unrounded

@@ -788,3 +788,51 @@ def test_search_match_phrase_slop(pos_store):
         run_search(pos_store, {"query": {"match_phrase": {"content": {
             "query": "alpha beta", "slop": -1,
         }}}})
+
+
+def test_search_boosting_and_phrase_prefix_leaves(built, store, pos_store):
+    """boosting demotes negative-matching hits by negative_boost;
+    match_phrase_prefix expands the last slot (single token → prefix)."""
+    from bitcoin_ledger_2es_ray.pipelines.phrase import (
+        phrase_prefix_match,
+        prefix_match,
+    )
+
+    _, oracle, _ = built
+    v = sorted(oracle.postings)
+    plain = run_search(
+        store, {"query": {"term": {"content": v[0]}}, "size": store.n_docs}
+    )
+    bq = run_search(
+        store,
+        {"query": {"boosting": {
+            "positive": {"term": {"content": v[0]}},
+            "negative": {"term": {"content": v[1]}},
+            "negative_boost": 0.25,
+        }}, "size": store.n_docs},
+    )
+    neg = {int(oracle.doc_ids[r]) for r in oracle.postings[v[1]]}
+    pd_ = dict(_pairs(plain))
+    assert set(d for d, _ in _pairs(bq)) == set(pd_)
+    for d, s in _pairs(bq):
+        want = pd_[d] * 0.25 if d in neg else pd_[d]
+        assert abs(s - want) < 5e-6
+    # phrase prefix: "alpha b" == alpha followed by any b-term
+    pp = run_search(
+        pos_store,
+        {"query": {"match_phrase_prefix": {"content": "alpha b"}},
+         "size": pos_store.n_docs},
+    )
+    want_d = sorted(
+        np.unique(phrase_prefix_match(pos_store, "alpha", "b")).tolist()
+    )
+    assert pp["doc_id"].to_pylist() == want_d
+    assert all(s == 1.0 for s in pp["score"].to_pylist())
+    # single token degrades to prefix
+    one = run_search(
+        pos_store,
+        {"query": {"match_phrase_prefix": {"content": "ga"}}, "size": 100},
+    )
+    assert one["doc_id"].to_pylist() == sorted(
+        np.unique(prefix_match(pos_store, "ga")).tolist()
+    )
